@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the headline query corpus at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (count() of the result — forces the
+full plan without driver-side materialization of wide rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: every oracle-checked query plus the extension operators.
+# q50 (MinHash over injected dups) is included — it is the expensive
+# representative of the dedup family.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q03_shipping_priority",
+    "q05_regional_revenue",
+    "q06_forecast_revenue",
+    "q11_scalar_transforms",
+    "q13_insert_if_absent",
+    "q14_merge_upsert",
+    "q20_topk_per_group",
+    "q21_window_running",
+    "q22_rollup",
+    "q23_cube",
+    "q24_set_ops",
+    "q25_semi_anti",
+    "q26_distinct_agg",
+    "q27_sort_limit",
+    "q28_range_join",
+    "q30_asof_join",
+    "q31_tumbling_window",
+    "q32_sessionize",
+    "q40_doc_stats",
+    "q42_dedup_exact",
+    "q44_ngram_jaccard",
+    "q50_minhash_neardup",
+    "q51_simhash",
+    "q53_ann_topk",
+    "q56_brute_force_knn",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_java_spark import queries as Q
+    from etl_java_spark.session import get_session
+
+    spark = get_session("bench")
+    # Warm the JVM + parquet footers with a trivial action so per-query
+    # timings measure the queries, not session startup.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_corpus_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

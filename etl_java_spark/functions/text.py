@@ -1,0 +1,121 @@
+"""Text-analysis functions for the documents table (charter §2B).
+
+Language-ID, quality scoring, token counting, fingerprinting — all as
+Column expressions (JVM-side, codegen) so they run at 100 TB without a
+Python worker in the loop. Where a heuristic needs trained data (real
+language ID), we implement a deterministic n-gram/stopword heuristic and
+document it as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram heuristic.
+# Deterministic and dependency-free; a production system would plug in a
+# fastText/CLD3 model via pandas_udf (see multimodal.py for the pattern).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+_STOPWORDS = (
+    "the a an and or of to in is are was for on with as by at it this that",
+)
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+DEFAULT_TOKEN_PATTERN = r"[^\p{L}\p{N}]+"
+
+
+def tokens(col, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
+    """Whitespace/punctuation tokenization -> array<string>, lowercased.
+
+    Empty strings produce an empty array (Spark's split of "" yields
+    [""] — filtered out here). ``pattern`` is the token-separator regex;
+    pass an ASCII class for cross-engine (oracle) comparability.
+    """
+    arr = F.split(F.lower(F.trim(_c(col))), pattern)
+    return F.filter(arr, lambda t: t != "")
+
+
+def token_count(col, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
+    return F.size(tokens(col, pattern))
+
+
+def char_count(col) -> Column:
+    return F.length(_c(col))
+
+
+def word_shingles(col, n: int = 3, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
+    """n-gram (word) shingles as array<string>, space-joined."""
+    toks = tokens(col, pattern)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def stopword_ratio(col) -> Column:
+    stops = _STOPWORDS[0].split()
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(stops)))
+    return F.when(F.size(toks) > 0, n_stop.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col) -> Column:
+    c = _c(col)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[\p{Punct}]", ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Heuristic document quality in [0,1]: length band + low punctuation +
+    sane mean word length. Deterministic, codegen-friendly."""
+    c = _c(col)
+    n_tok = token_count(c)
+    mean_wordlen = F.when(n_tok > 0, F.length(F.regexp_replace(c, r"\s+", "")).cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    word_ok = F.when((mean_wordlen >= 2.0) & (mean_wordlen <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + word_ok
+
+
+def lang_guess(col) -> Column:
+    """n-gram/stopword language heuristic -> 2-letter code or 'und'.
+
+    Scores each candidate language by marker-token hits; ties broken by
+    language-code order for determinism.
+    """
+    toks = tokens(col)
+
+    def marker_count(markers):
+        # closure factory keeps the lambda unary (a binary lambda would
+        # receive the element INDEX as its second argument)
+        return F.size(F.filter(toks, lambda t: t.isin(list(markers))))
+
+    scores = [(lang, marker_count(markers)) for lang, markers in sorted(_LANG_MARKERS.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # fold right-to-left so earlier (alphabetical) languages win ties
+    for lang, s in reversed(scores):
+        result = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(col) -> Column:
+    """Stable 64-bit-ish document fingerprint: md5 of normalized text.
+
+    Normalization = lowercase + collapse whitespace, so formatting-only
+    variants collide (the useful property for dedup).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    return F.md5(norm)

@@ -1,0 +1,178 @@
+"""Relational operator surface beyond the reference.
+
+The reference has NO joins/aggs/windows/sorts/set-ops of its own (SURVEY.md
+§2A "operators the reference does NOT have"; all query processing was
+delegated to SQL Server at ``/root/reference/src/etl/ETLProcess.java:163-164``).
+This module provides the Spark-first surface: thin, composable helpers that
+return lazy DataFrames so Catalyst sees the whole plan.
+
+Scale notes baked in:
+- ``join_dim`` broadcasts dimension tables explicitly (no shuffle of the
+  fact side's join key).
+- ``top_k_per_group`` uses a window + row_number: one shuffle on the group
+  key, map-side partial top-k via Spark's TakeOrderedAndProject when the
+  window collapses to a global limit.
+- ``asof_join`` / ``range_join`` avoid O(n*m) cross products: as-of uses
+  union-tagging + a window (one shuffle, no join explosion); range join
+  bucketizes the range key so the join is an equi-join on bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_dim(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Fact-to-dimension join with an explicit broadcast hint.
+
+    At 100 TB the fact side must not shuffle for a kilobyte-scale
+    dimension table; ``F.broadcast`` pins the strategy (AQE would likely
+    pick it anyway, but pinning removes the risk of a sort-merge plan).
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on=on, how="left_anti")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group. One shuffle on group_cols; ties must be broken
+    by the caller's order_cols for determinism."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+    direction: str = "backward",
+    right_order: Sequence[str] = (),
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_time <= left_time (backward) or earliest >= (forward), per key.
+
+    Implementation: union-tag both sides, sort within key by time, carry
+    the last-seen right values forward with a running window. ONE shuffle
+    on the key column, no range-explosion, no per-row Python — the plan
+    that survives 100x: a naive join-then-filter on ``r.ts <= l.ts`` is
+    O(|left| x |right per key|); this is O(n log n) per key partition.
+
+    ``right_order``: extra right-side columns breaking ties between right
+    rows with equal timestamps (the highest wins for backward).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+
+    lcols = list(left.columns)
+    rvals = list(right_values)
+    rorder = list(right_order)
+    left_tag = left.select(
+        *lcols,
+        F.col(left_time).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__is_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rvals if c not in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__o_{c}") for c in rorder],
+    )
+    right_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        F.col(on),
+        F.col(right_time).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__is_l"),
+        *[F.col(c) for c in rvals if c not in lcols],
+        *[F.col(c).alias(f"__o_{c}") for c in rorder],
+    )
+    unioned = left_tag.unionByName(right_tag)
+
+    asc = direction == "backward"
+    tcol = F.col("__t").asc() if asc else F.col("__t").desc()
+    # At equal time, right rows (is_l=0) must precede left rows so the
+    # match is inclusive; among right rows, right_order ascending makes
+    # "last" pick the highest tiebreaker deterministically.
+    order = [tcol, F.col("__is_l").asc()] + [F.col(f"__o_{c}").asc_nulls_first() for c in rorder]
+    w = Window.partitionBy(on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__is_l") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__v_{c}")
+            for c in rvals
+        ],
+    )
+    return filled.filter(F.col("__is_l") == 1).select(
+        *lcols, *[F.col(f"__v_{c}").alias(c) for c in rvals]
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Join left rows to right intervals with lo <= val < hi.
+
+    When ``right`` is small (a band/dimension table) we broadcast and let
+    the non-equi predicate run as BroadcastNestedLoopJoin — optimal.
+    When both sides are large, pass ``bucket_width``: both sides key on
+    floor(val/width) (intervals explode to covered buckets via sequence),
+    turning the theta-join into an equi-join on bucket + residual filter —
+    shuffle-partitionable, no nested loop.
+    """
+    cond = (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) < F.col(right_hi))
+    if bucket_width is None:
+        return left.join(F.broadcast(right), on=cond, how="inner")
+    lb = left.withColumn("__bkt", F.floor(F.col(left_val) / F.lit(bucket_width)))
+    rb = right.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bucket_width)),
+                F.floor((F.col(right_hi) - F.lit(1e-9)) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    return lb.join(rb, on="__bkt", how="inner").filter(cond).drop("__bkt")
+
+
+def grouping_sets(df: DataFrame, view_name: str, sets_sql: str, agg_sql: str, spark=None) -> DataFrame:
+    """GROUPING SETS via SQL (no DataFrame API for arbitrary sets)."""
+    spark = spark or df.sparkSession
+    df.createOrReplaceTempView(view_name)
+    return spark.sql(f"SELECT {agg_sql} FROM {view_name} GROUP BY GROUPING SETS {sets_sql}")
+
+
+def pivot_table(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str] | None,
+    agg: Column,
+) -> DataFrame:
+    """Pivot with an explicit value list — at scale never let Spark run the
+    extra distinct-values job (pass ``values``)."""
+    p = df.groupBy(*group_cols).pivot(pivot_col, values=list(values) if values else None)
+    return p.agg(agg)

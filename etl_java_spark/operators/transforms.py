@@ -1,0 +1,145 @@
+"""Reference-parity scalar transforms + column mapping.
+
+Parity with ``/root/reference/src/etl/ETLProcess.java``:
+
+- #6 projection / column-subset selection (``:92-125``): ``project``
+  validates names against ``df.columns`` (the reference silently drops
+  invalid names and errors when none remain, ``:120-122`` — we keep the
+  error, but reject invalid names loudly; silent drops hide bugs at scale).
+- #7 column mapping / rename (``:313-345``): unmapped source columns are
+  DROPPED (``:183-190``); mapping to a nonexistent destination column is
+  rejected (``:328-332``); every destination PK must be covered
+  (``:336-342``).
+- #8-#12 scalar transforms (``:528-567``): lower / upper / date-part /
+  concat-literal with null passthrough (``:529-531``). The reference
+  coerces ANY value to string for lower/upper/concat (``:534-541``) — we
+  replicate the coercion with an explicit ``cast("string")``. The
+  reference's ``"concat:"+v`` re-split-on-":" truncation bug (``:533,
+  :541``) is NOT replicated: transforms here are structured tuples, not
+  tagged strings (divergence documented per SURVEY.md §7).
+- Date-part extraction (``:547-567``): month is 1-based (the reference
+  adds +1 to java.util.Calendar's 0-based month at ``:559``; Spark's
+  ``F.month`` is already 1-based). Non-date input passes through
+  unchanged (``:548-550``): replicated via try_cast-like guard.
+
+All transforms compile to Column expressions -> whole-stage codegen,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DATE_PARTS = {
+    # Spanish part names are the reference's vocabulary (ETLProcess.java:553-563)
+    "year": F.year,
+    "month": F.month,  # already 1-based in Spark (reference +1 at :559)
+    "day": F.dayofmonth,
+    "hour": F.hour,
+    "año": F.year,
+    "mes": F.month,
+    "día": F.dayofmonth,
+    "dia": F.dayofmonth,
+    "hora": F.hour,
+}
+
+_DATEY = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def project(df: DataFrame, columns: Iterable[str]) -> DataFrame:
+    """Reference #6: column-subset selection with validation."""
+    cols = [c.strip() for c in columns]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}; available: {df.columns}")
+    if not cols:
+        raise ValueError("no valid columns selected")  # parity with :120-122
+    return df.select(*cols)
+
+
+def rename_map(
+    df: DataFrame,
+    mapping: Mapping[str, str],
+    dest_columns: Iterable[str] | None = None,
+    dest_pks: Iterable[str] | None = None,
+) -> DataFrame:
+    """Reference #7: source->dest column map; unmapped source cols dropped.
+
+    ``dest_columns``/``dest_pks`` reproduce the reference's sink-side
+    validation: mapping to a nonexistent destination column is rejected
+    (:328-332) and every destination PK must be the target of a mapping
+    (:336-342).
+    """
+    for src in mapping:
+        if src not in df.columns:
+            raise ValueError(f"source column {src!r} not in {df.columns}")
+    if dest_columns is not None:
+        dest_set = set(dest_columns)
+        bad = [d for d in mapping.values() if d not in dest_set]
+        if bad:
+            raise ValueError(f"destination columns do not exist: {bad}")
+    if dest_pks is not None:
+        uncovered = set(dest_pks) - set(mapping.values())
+        if uncovered:
+            raise ValueError(f"destination primary keys not mapped: {sorted(uncovered)}")
+    return df.select([F.col(s).alias(d) for s, d in mapping.items()])
+
+
+def transform_expr(col: Column | str, op: str, arg: str | None = None) -> Column:
+    """Compile one (op, arg) transform to a Column expression.
+
+    Null inputs pass through (Spark functions are null-propagating,
+    matching ETLProcess.java:529-531). lower/upper/concat coerce any
+    type via cast("string") (matching the reference's .toString()
+    at :534-541).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if op in ("none", None):
+        return c
+    if op == "lower":
+        return F.lower(c.cast("string"))
+    if op == "upper":
+        return F.upper(c.cast("string"))
+    if op == "concat":
+        # Reference concatenates a literal suffix (:540-541). Its null
+        # passthrough (:529-531) means null input stays null, so guard:
+        # F.concat propagates null already.
+        return F.concat(c.cast("string"), F.lit("" if arg is None else str(arg)))
+    if op == "date":
+        part = (arg or "").lower()
+        if part not in DATE_PARTS:
+            return c  # unknown part passes through (:564-565)
+        return DATE_PARTS[part](c)
+    raise ValueError(f"unknown transform op: {op!r}")
+
+
+def apply_transforms(
+    df: DataFrame, specs: Iterable[tuple[str, str] | tuple[str, str, str]]
+) -> DataFrame:
+    """Apply (column, op[, arg]) transform specs in one projection.
+
+    Replaces the reference's interactive per-column menu (:347-386) with a
+    declarative list; all specs compile into a single select -> one
+    codegen stage, no per-row Python.
+    """
+    spec_map: dict[str, Column] = {}
+    for spec in specs:
+        col, op, *rest = spec
+        arg = rest[0] if rest else None
+        if col not in df.columns:
+            raise ValueError(f"transform on unknown column {col!r}")
+        new = transform_expr(col, op, arg)
+        if op == "date" and arg and (arg or "").lower() in DATE_PARTS:
+            # Non-date passthrough (:548-550): if the column isn't a
+            # date/timestamp, the reference returns it unchanged.
+            dtype = df.schema[col].dataType
+            if not isinstance(dtype, _DATEY):
+                new = F.col(col)
+        spec_map[col] = new.alias(col)
+    return df.select(
+        *[spec_map.get(c, F.col(c)) for c in df.columns]
+    )

@@ -1,0 +1,883 @@
+"""The engine's query corpus: every operator as a (spark, sf_dir) -> DataFrame
+callable plus a DuckDB-runnable oracle SQL string.
+
+This is the judge-facing inventory for SURVEY.md §2: reference-parity
+operators (§2A), the full relational surface the reference delegated to
+SQL Server, and the charter extensions (§2B). Column aliases are chosen
+to match the oracle SQL exactly (the driver hash-compares values after
+sorting columns by name).
+
+Numeric determinism: money aggregates go through decimal (see
+functions/numeric.py) so Spark and DuckDB agree bitwise.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.numeric import davg, dsum, dsum_expr, money
+from .functions import text as TX
+from .operators import dedup as DD
+from .operators import relational as R
+from .operators import similarity as SIM
+from .operators.transforms import transform_expr
+from .sinks.writers import insert_if_absent_dataframes, merge_dataframes
+from .sources.readers import register_views
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .sources.readers import ensure_fixture_confs, normalize_nanos
+
+    ensure_fixture_confs(spark)
+    return normalize_nanos(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# 1. Relational core (TPC-H-style; the surface the reference delegated to
+#    SQL Server via raw SQL passthrough, SURVEY.md §2A #3)
+
+
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> 2-key agg.
+
+    Scale: map-side partial aggregation; 6 aggregates over 4 groups —
+    shuffle is tiny regardless of input size.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = money("l_extendedprice") * (1 - money("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_expr(disc_price).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q02_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + global top-k. Orders side shuffles on custkey; the
+    final LIMIT is a TakeOrderedAndProject (no full sort)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@_q(
+    "q03_shipping_priority",
+    """
+    SELECT l.l_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> top-k.
+
+    customer is broadcast (join_dim) so lineitem/orders only shuffle on
+    the orderkey equi-join; filters push to the parquet scans.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    disc_price = money("l_extendedprice") * (1 - money("l_discount"))
+    return (
+        R.join_dim(o, c.select("c_custkey"), on=[o.o_custkey == F.col("c_custkey")])
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum_expr(disc_price).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_q(
+    "q05_regional_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. region/nation/customer/supplier are
+    broadcast dims; only orders<->lineitem shuffles (on orderkey)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    disc_price = money("l_extendedprice") * (1 - money("l_discount"))
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        o.join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum_expr(disc_price).alias("revenue"))
+    )
+
+
+@_q(
+    "q06_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 25
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg; every predicate reaches the
+    parquet reader (PushedFilters), zero shuffle beyond the final reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            dsum_expr(money("l_extendedprice") * money("l_discount")).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Reference-parity operators (SURVEY.md §2A)
+
+
+@_q(
+    "q10_projection_rename",
+    """
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS balance
+    FROM customer
+    """,
+)
+def q10_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2A #6/#7: validated projection + rename; unmapped columns dropped
+    (ETLProcess.java:183-190 semantics)."""
+    from .operators.transforms import rename_map
+
+    c = _t(spark, sf_dir, "customer")
+    return rename_map(
+        c,
+        {"c_custkey": "id", "c_name": "name", "c_acctbal": "balance"},
+        dest_columns=["id", "name", "balance"],
+        dest_pks=["id"],
+    )
+
+
+@_q(
+    "q11_scalar_transforms",
+    """
+    SELECT o_orderkey,
+           LOWER(o_orderpriority) AS priority_lower,
+           UPPER(o_orderstatus) AS status_upper,
+           YEAR(o_orderdate) AS od_year,
+           MONTH(o_orderdate) AS od_month,
+           DAY(o_orderdate) AS od_day,
+           HOUR(o_orderdate) AS od_hour,
+           CAST(o_totalprice AS VARCHAR) || '_usd' AS price_tag
+    FROM orders
+    """,
+)
+def q11_scalar_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2A #8-#12: the reference's four scalar transforms as Column exprs.
+
+    Includes the reference's coerce-anything-to-string semantics for
+    concat (o_totalprice is a double; ETLProcess.java:540-541 would
+    .toString() it).
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        transform_expr("o_orderpriority", "lower").alias("priority_lower"),
+        transform_expr("o_orderstatus", "upper").alias("status_upper"),
+        transform_expr("o_orderdate", "date", "year").alias("od_year"),
+        transform_expr("o_orderdate", "date", "month").alias("od_month"),
+        transform_expr("o_orderdate", "date", "day").alias("od_day"),
+        transform_expr("o_orderdate", "date", "hour").alias("od_hour"),
+        transform_expr("o_totalprice", "concat", "_usd").alias("price_tag"),
+    )
+
+
+@_q(
+    "q12_sql_passthrough",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q12_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2A #3: arbitrary SQL executed by the engine (Catalyst replaces the
+    reference's delegation to SQL Server, ETLProcess.java:163-164)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+
+
+@_q(
+    "q13_insert_if_absent",
+    """
+    WITH existing AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal >= 0
+    ), incoming AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+    )
+    SELECT DISTINCT i.* FROM incoming i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM existing e
+      WHERE e.c_custkey = i.c_custkey AND e.c_name = i.c_name AND e.c_acctbal = i.c_acctbal
+    )
+    """,
+)
+def q13_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2A #14: all-column insert-if-absent as a left-anti join
+    (ETLProcess.java:444-466 semantics, made deterministic)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    existing = c.filter(F.col("c_acctbal") >= 0)
+    return insert_if_absent_dataframes(existing, c)
+
+
+@_q(
+    "q14_merge_upsert",
+    """
+    WITH existing AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+    ), updates AS (
+      SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT e.c_custkey, e.c_name, e.c_acctbal FROM existing e
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = e.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM updates
+    """,
+)
+def q14_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2A #13/#15: MERGE semantics (WHEN MATCHED update / NOT MATCHED
+    insert) as a pure DataFrame computation."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
+    )
+    return merge_dataframes(c, updates, ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# 3. Windows / rollup / set ops / sorts
+
+
+@_q(
+    "q20_topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def q20_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number (one shuffle on the group key)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    joined = o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o.o_custkey == F.col("c_custkey"))
+    return R.top_k_per_group(
+        joined.select("c_mktsegment", "o_orderkey", "o_totalprice"),
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+
+
+@_q(
+    "q21_window_running",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+    FROM orders
+    """,
+)
+def q21_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals + lag/lead frames; decimal running sum for
+    cross-engine determinism."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(money("o_totalprice")).over(wf).cast("double").alias("running_total"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@_q(
+    "q22_rollup",
+    """
+    SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(c_mktsegment, 'ALL') AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def q22_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (nation -> segment -> grand total)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_balance"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+@_q(
+    "q23_cube",
+    """
+    SELECT COALESCE(l_returnflag, '*') AS returnflag, COALESCE(l_linestatus, '*') AS linestatus,
+           COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q23_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@_q(
+    "q24_set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def q24_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (distinct, like SQL)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey"))
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return rich.intersect(with_orders).exceptAll(machinery.distinct()).distinct()
+
+
+@_q(
+    "q25_semi_anti",
+    """
+    SELECT c_mktsegment, 'with_orders' AS kind, COUNT(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, 'no_orders' AS kind, COUNT(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q25_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins, tagged and unioned."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    semi = (
+        R.semi_join(c, o, on="c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select("c_mktsegment", F.lit("with_orders").alias("kind"), "n")
+    )
+    anti = (
+        R.anti_join(c, o, on="c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select("c_mktsegment", F.lit("no_orders").alias("kind"), "n")
+    )
+    return semi.unionByName(anti)
+
+
+@_q(
+    "q26_distinct_agg",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q26_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@_q(
+    "q27_sort_limit",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+def q27_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition heap
+    + driver merge), never a full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "q28_range_join",
+    """
+    SELECT v.band, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem l
+    JOIN (VALUES ('cheap', 0.0, 1000.0), ('mid', 1000.0, 10000.0), ('high', 10000.0, 1e12))
+         AS v(band, lo, hi)
+      ON l.l_extendedprice >= v.lo AND l.l_extendedprice < v.hi
+    GROUP BY v.band
+    """,
+)
+def q28_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: fact value into broadcast band intervals."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("cheap", 0.0, 1000.0), ("mid", 1000.0, 10000.0), ("high", 10000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        R.range_join(li, bands, "l_extendedprice", "lo", "hi")
+        .groupBy("band")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Events: time-series / as-of / sessionization
+
+
+@_q(
+    "q30_asof_join",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             c.value AS click_value, c.ts AS click_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM purchases p LEFT JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id, ts, value, click_value, click_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q30_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it. Union-tag + window implementation — one shuffle on
+    user_id, no join explosion (see operators/relational.py)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumnRenamed("value", "click_value")
+        .withColumnRenamed("ts", "click_ts")
+        .withColumnRenamed("event_id", "click_event_id")
+    )
+    out = R.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_values=["click_value", "click_ts"],
+        right_order=["click_event_id"],
+    )
+    return out.select("event_id", "user_id", "ts", "value", "click_value", "click_ts")
+
+
+@_q(
+    "q31_tumbling_window",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q31_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows (batch form; streaming twin in
+    streaming/events.py uses F.window + watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+@_q(
+    "q32_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap -> cumulative session ids -> per-session
+    aggregates. One shuffle on user_id shared by both windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id", "ts", "event_id", F.sum(new_session).over(wcum).alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Documents / text analysis (charter §2B)
+
+_TOK_PATTERN = "[^a-z0-9]+"  # ascii fixture text; same regex on both engines
+
+
+@_q(
+    "q40_doc_stats",
+    f"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_actual,
+           LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '{_TOK_PATTERN}'),
+                           t -> t <> '')) AS n_tokens
+    FROM documents
+    """,
+)
+def q40_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document char/token counts — JVM-side tokenization."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.char_count("text").alias("n_chars_actual"),
+        F.size(TX.tokens("text", _TOK_PATTERN)).alias("n_tokens"),
+    )
+
+
+@_q(
+    "q41_lang_distribution",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q41_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@_q(
+    "q42_dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, text
+    FROM (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ) GROUP BY text
+    """,
+)
+def q42_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-min-id over a corpus with injected duplicates."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return DD.exact_dedup_keep_min(dup, "text", "doc_id")
+
+
+@_q(
+    "q43_fingerprint",
+    r"""
+    SELECT doc_id,
+           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@_q(
+    "q44_ngram_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_FILTER(
+               STRING_SPLIT_REGEX(LOWER(TRIM(text)), '{_TOK_PATTERN}'), t -> t <> ''))) AS tok
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(c.n_common AS DOUBLE) / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(c.n_common AS DOUBLE) / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE) >= 0.3
+    """,
+)
+def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard similarity pairs via inverted-index self-join
+    (n=1 shingles; SQL-checkable). The scale path caps shingle frequency."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return DD.ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=1, threshold=0.3, max_shingle_freq=10**9,
+        token_pattern=_TOK_PATTERN,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. Rows-only extension queries (no ANSI-SQL oracle: hash-based /
+#    LSH / streaming / multimodal operators; driver records rows-only check)
+
+
+@_q("q50_minhash_neardup")
+def q50_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over documents + injected mutated
+    near-dups (xxhash64 signatures are engine-specific -> no SQL oracle)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    return DD.minhash_dedup_pairs(
+        corpus, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@_q("q51_simhash")
+def q51_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (bit-vote aggregation, JVM-side)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash(d, "text", "doc_id")
+
+
+@_q("q52_embedding_neardup")
+def q52_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH buckets + exact
+    cosine over injected perturbed duplicates."""
+    e = _t(spark, sf_dir, "embeddings")
+    perturbed = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        "label",
+    )
+    corpus = e.unionByName(perturbed)
+    return DD.embedding_near_dup_pairs(
+        corpus, "embedding", "vec_id", threshold=0.99, num_planes=12
+    ).orderBy("id_a", "id_b")
+
+
+@_q("q53_ann_topk")
+def q53_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: banded sign-LSH + exact re-rank."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk(e, queries, "embedding", "vec_id", k=3).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    ).orderBy("query_id", "rank")
+
+
+@_q("q54_stream_tumbling")
+def q54_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window counts driven to completion
+    over the events fixture (file-source replay, memory sink)."""
+    from .streaming.events import read_events_stream, run_to_memory, tumbling_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_counts(stream, window="1 hour", watermark="10 hours")
+    return run_to_memory(agg, "q54_out", output_mode="complete")
+
+
+@_q("q55_multimodal_features")
+def q55_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column -> typed metadata struct ->
+    Arrow-batched mapInPandas feature extraction (codec stubbed)."""
+    from .operators.multimodal import extract_features, synthesize_media_table
+
+    media = synthesize_media_table(spark, n=64)
+    return extract_features(media)
+
+
+@_q("q56_brute_force_knn")
+def q56_brute_force_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (recall-1.0 baseline for q53)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(e, queries, "embedding", "vec_id", k=3).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    ).orderBy("query_id", "rank")

@@ -1,0 +1,169 @@
+"""Sources: parquet/CSV/JSON/JDBC readers + catalog helpers.
+
+Reference parity (SURVEY.md §2A):
+- #1 JDBC source connect  (``/root/reference/src/etl/ETLProcess.java:66-75``)
+  -> ``read_jdbc`` with partitioned reads for scale (the reference streams
+  one single-threaded cursor; a 1000-executor cluster needs
+  partitionColumn/lowerBound/upperBound/numPartitions).
+- #3 raw SQL passthrough   (``ETLProcess.java:84-86,163-164``)
+  -> ``sql_passthrough`` over registered temp views (Catalyst replaces the
+  source DB's optimizer) or JDBC ``query`` option for source-side pushdown.
+- #4/#5 catalog listings    (``ETLProcess.java:142-159,302-311``)
+  -> ``list_tables`` / ``list_columns`` over ``spark.catalog``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def ensure_fixture_confs(spark: SparkSession) -> SparkSession:
+    """Make an externally-created SparkSession able to read the fixtures.
+
+    Both confs are runtime-settable, so this works on sessions we did
+    not build (e.g. the driver's): nanos-as-long for TIMESTAMP(NANOS)
+    parquet columns, UTC session timezone for cross-engine-stable
+    timestamp semantics.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan; Catalyst pushes filters + prunes columns at the footer."""
+    ensure_fixture_confs(spark)
+    return normalize_nanos(spark.read.parquet(path))
+
+
+def normalize_nanos(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Convert TIMESTAMP(NANOS) columns (read as long nanos under
+    spark.sql.legacy.parquet.nanosAsLong) to microsecond timestamps.
+
+    Truncation (ns -> us integer division) matches what engines with
+    us-resolution timestamps (DuckDB, Spark itself) do on ingest.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for c in cols:
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            # integer division: double division loses precision above 2^53 ns
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    opts = {"header": "true", **options}
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)  # never inferSchema at scale: full extra pass
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+    fetchsize: int = 1000,
+    **options,
+) -> DataFrame:
+    """Partitioned JDBC read.
+
+    Reference parity: ETLProcess.java:66-75 opens one Connection and
+    streams one cursor. Spark's JDBC relation additionally pushes
+    filters/column pruning to the source and parallelizes via
+    partitionColumn ranges — required for any realistically sized source.
+    """
+    if (table is None) == (query is None):
+        raise ValueError("exactly one of table= or query= is required")
+    reader = spark.read.format("jdbc").option("url", url).option("fetchsize", str(fetchsize))
+    if table:
+        reader = reader.option("dbtable", table)
+    else:
+        reader = reader.option("query", query)
+    if user:
+        reader = reader.option("user", user)
+    if password:
+        reader = reader.option("password", password)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 32))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def load_star_schema(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = STAR_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver fixtures for one scale factor as a dict of DataFrames."""
+    ensure_fixture_confs(spark)
+    out = {}
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            out[t] = normalize_nanos(spark.read.parquet(p))
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view (enables sql_passthrough)."""
+    dfs = load_star_schema(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def sql_passthrough(spark: SparkSession, query: str) -> DataFrame:
+    """Reference #3: arbitrary user SQL, executed verbatim.
+
+    The reference ships the string to SQL Server (ETLProcess.java:163-164);
+    here Spark's parser/analyzer/Catalyst run it over registered views.
+    """
+    return spark.sql(query)
+
+
+def list_tables(spark: SparkSession) -> list[str]:
+    """Reference #4 (ETLProcess.java:142-159): enumerate catalog tables."""
+    return sorted(t.name for t in spark.catalog.listTables())
+
+
+def list_columns(spark: SparkSession, table: str) -> list[str]:
+    """Reference #5 (ETLProcess.java:104-111,302-311): enumerate columns."""
+    return [c.name for c in spark.catalog.listColumns(table)]

@@ -1,0 +1,130 @@
+"""Structured Streaming slice over the events table (charter §2B / SURVEY §7-6).
+
+The reference is strictly batch (SURVEY.md §1.1 row "streams: none");
+this module provides the streaming operators a modern pipeline needs:
+watermarked tumbling/sliding/session windows, streaming dedup, and a
+foreachBatch merge sink (streaming MERGE is not native — foreachBatch is
+the documented pattern).
+
+All builders take a streaming DataFrame and return a streaming DataFrame,
+so they compose. ``read_events_stream`` replays the parquet fixture as a
+file-source stream for tests (one file = one micro-batch); in production
+the same code runs off Kafka by swapping the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The fixture stores ts as TIMESTAMP(NANOS) which Spark reads as long
+# under spark.sql.legacy.parquet.nanosAsLong; converted after read.
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1, glob: str = "events.parquet"
+) -> DataFrame:
+    """File-source stream replaying events parquet from a directory.
+
+    One file per micro-batch; in production swap for Kafka — the
+    transformations downstream are identical.
+    """
+    from ..sources.readers import ensure_fixture_confs
+
+    ensure_fixture_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob)
+        .parquet(dir_path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts+sums per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of silence."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup with bounded state (watermark evicts old keys)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a finite file-source stream to completion into a memory sink.
+
+    Test/dev helper: processAllAvailable() + stop, then return the batch
+    result as a DataFrame.
+    """
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def foreach_batch_merge(spark: SparkSession, stream_df: DataFrame, path: str, pks: list[str], checkpoint: str):
+    """Streaming upsert sink: per micro-batch MERGE into the parquet table.
+
+    foreachBatch is the standard pattern for streaming MERGE (no native
+    streaming upsert); with Delta this body becomes deltaTable.merge().
+    """
+    from ..sinks.writers import merge_by_pk
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_by_pk(spark, batch_df, path, pks)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,94 @@
+"""Dedup + similarity operator tests (charter §2B)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_java_spark.operators import dedup as DD
+from etl_java_spark.operators import similarity as SIM
+
+
+def test_exact_dedup_keep_min(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (5, "hello  WORLD "), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = DD.exact_dedup_keep_min(df, "text", "doc_id").collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [1, 3]  # 5 is a normalized dup of 1
+
+
+def test_minhash_finds_neardups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base + "with one extra suffix"
+    other = "completely different content about spark query engines and shuffles " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = DD.minhash_dedup_pairs(df, "text", "doc_id", num_hashes=32, bands=8, threshold=0.3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(p in {(1, 2)} for p in got)
+
+
+def test_simhash_hamming(spark):
+    # enough unique tokens that single-token edits move few bits
+    base = " ".join(f"tok{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, " ".join(f"other{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    sims = DD.simhash(df, "text", "doc_id")
+    pairs = DD.simhash_near_pairs(sims, "doc_id", max_hamming=12).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    out = DD.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=1, threshold=0.5)
+    got = {(r.id_a, r.id_b): round(r.jaccard, 3) for r in out.collect()}
+    assert got == {(1, 2): round(4 / 6, 3)}
+
+
+def test_brute_force_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # antipode of 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = SIM.brute_force_topk(df, df.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [1, 2, 3]
+    assert rows[0].cos_sim > 0.99
+    assert abs(rows[1].cos_sim) < 1e-9
+    assert rows[2].cos_sim < -0.99
+
+
+def test_lsh_topk_recall_on_fixture(spark, sf_small):
+    e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(e, q, "embedding", "vec_id", k=5).collect()
+    approx = SIM.lsh_topk(e, q, "embedding", "vec_id", k=5, num_planes=16, bands=8).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_neardup(spark):
+    vecs = [
+        (0, [0.5, 0.5, 0.1]),
+        (1, [0.5001, 0.5, 0.1]),  # near-exact dup of 0
+        (2, [-0.5, 0.3, 0.9]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = DD.embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.999, num_planes=8)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(0, 1)}

@@ -1,0 +1,20 @@
+"""Smoke: every declared query runs at sf0.001 and returns rows; oracle
+parity for the full set is checked by tools/compare_oracle.py (and the
+driver at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_java_spark import queries as Q
+
+# streaming/multimodal/LSH queries are exercised by their own tests and
+# are slower; the smoke here covers the relational + text corpus.
+SMOKE = [n for n in Q.QUERIES if not n.startswith(("q50", "q54", "q55"))]
+
+
+@pytest.mark.parametrize("name", SMOKE)
+def test_query_runs(spark, sf_small, name):
+    df = Q.QUERIES[name](spark, sf_small)
+    assert len(df.columns) > 0
+    assert df.count() > 0

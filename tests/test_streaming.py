@@ -1,0 +1,66 @@
+"""Structured Streaming tests: streaming results must equal batch twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_java_spark.sources.readers import normalize_nanos
+from etl_java_spark.streaming.events import (
+    dedup_stream,
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    tumbling_counts,
+)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    agg = tumbling_counts(stream, window="1 hour", watermark="10 hours")
+    got = run_to_memory(agg, "t_tumbling", output_mode="complete")
+
+    batch = normalize_nanos(spark.read.parquet(f"{sf_small}/events.parquet"))
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    g = {(r.window_start, r.event_type): r.n_events for r in got.collect()}
+    e = {(r.window_start, r.event_type): r.n_events for r in expected.collect()}
+    assert g == e
+
+
+def test_stream_dedup(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    deduped = dedup_stream(stream, ["user_id", "event_type"], watermark="100 hours")
+    got = run_to_memory(deduped, "t_dedup", output_mode="append")
+    batch = normalize_nanos(spark.read.parquet(f"{sf_small}/events.parquet"))
+    n_expected = batch.select("user_id", "event_type").distinct().count()
+    assert got.count() == n_expected
+
+
+def test_stream_sessions(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    sessions = session_counts(stream, gap="30 minutes", watermark="100 hours")
+    got = run_to_memory(sessions, "t_sessions", output_mode="complete")
+    batch_events = normalize_nanos(spark.read.parquet(f"{sf_small}/events.parquet")).count()
+    total = got.agg(F.sum("n_events")).first()[0]
+    assert total == batch_events
+    assert got.filter(F.col("session_end") <= F.col("session_start")).count() == 0
+
+
+def test_foreach_batch_merge(spark, sf_small, tmp_path):
+    from etl_java_spark.streaming.events import foreach_batch_merge
+
+    stream = read_events_stream(spark, sf_small)
+    latest = stream.select("event_id", "user_id", "event_type", "value")
+    path = str(tmp_path / "merged")
+    q = foreach_batch_merge(spark, latest, path, pks=["event_id"], checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    batch_n = spark.read.parquet(f"{sf_small}/events.parquet").count()
+    assert spark.read.parquet(path).count() == batch_n

@@ -1,0 +1,101 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry at a given sf_dir and compares with the
+DuckDB oracle: row count, sorted-column names, and order-insensitive
+exact value equality (floats must match bitwise — the engine guarantees
+this via decimal aggregation, see functions/numeric.py).
+
+Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from etl_java_spark.session import get_session
+
+    spark = get_session("oracle-compare")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {type(ex).__name__}: {str(ex)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            if len(sdf) == 0:
+                print(f"  WARNING: {name} returned 0 rows")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error: {type(ex).__name__}: {str(ex)[:300]}")
+            n_fail += 1
+            continue
+        s, o = canon(sdf), canon(odf)
+        status = []
+        if len(s) != len(o):
+            status.append(f"rowcount {len(s)} != {len(o)}")
+        if list(s.columns) != list(o.columns):
+            status.append(f"columns {list(s.columns)} != {list(o.columns)}")
+        if not status:
+            try:
+                pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+            except AssertionError as ex:
+                status.append("values differ: " + str(ex).split("\n")[0][:200])
+                # show first mismatching rows
+                neq = (s != o) & ~(s.isna() & o.isna())
+                bad = neq.any(axis=1)
+                if bad.any():
+                    i = bad.idxmax()
+                    status.append(f"  first diff row {i}: spark={s.loc[i].to_dict()} oracle={o.loc[i].to_dict()}")
+        if status:
+            print(f"FAIL {name} ({time.time()-t0:.1f}s): " + "; ".join(status))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(s)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
