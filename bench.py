@@ -40,13 +40,23 @@ BENCH_QUERIES = [
     "q30_asof_join",
     "q31_tumbling_window",
     "q32_sessionize",
+    "q33_grouping_sets",
+    "q34_pivot",
+    "q35_exists_subquery",
+    "q36_string_functions",
+    "q37_math_functions",
+    "q38_conditional_functions",
+    "q39_json_extraction",
     "q40_doc_stats",
     "q42_dedup_exact",
     "q44_ngram_jaccard",
+    "q45_lang_guess",
+    "q46_quality_scores",
     "q50_minhash_neardup",
     "q51_simhash",
     "q53_ann_topk",
     "q56_brute_force_knn",
+    "q58_array_functions",
 ]
 
 

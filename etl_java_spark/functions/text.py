@@ -62,24 +62,24 @@ def word_shingles(col, n: int = 3, pattern: str = DEFAULT_TOKEN_PATTERN) -> Colu
     )
 
 
-def stopword_ratio(col) -> Column:
+def stopword_ratio(col, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
     stops = _STOPWORDS[0].split()
-    toks = tokens(col)
+    toks = tokens(col, pattern)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(stops)))
     return F.when(F.size(toks) > 0, n_stop.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
 
 
 def punct_ratio(col) -> Column:
     c = _c(col)
-    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[\p{Punct}]", ""))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"\p{Punct}", ""))
     return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(F.lit(0.0))
 
 
-def quality_score(col) -> Column:
+def quality_score(col, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
     """Heuristic document quality in [0,1]: length band + low punctuation +
     sane mean word length. Deterministic, codegen-friendly."""
     c = _c(col)
-    n_tok = token_count(c)
+    n_tok = token_count(c, pattern)
     mean_wordlen = F.when(n_tok > 0, F.length(F.regexp_replace(c, r"\s+", "")).cast("double") / n_tok).otherwise(
         F.lit(0.0)
     )
@@ -89,13 +89,13 @@ def quality_score(col) -> Column:
     return len_ok + punct_ok + word_ok
 
 
-def lang_guess(col) -> Column:
+def lang_guess(col, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
     """n-gram/stopword language heuristic -> 2-letter code or 'und'.
 
     Scores each candidate language by marker-token hits; ties broken by
     language-code order for determinism.
     """
-    toks = tokens(col)
+    toks = tokens(col, pattern)
 
     def marker_count(markers):
         # closure factory keeps the lambda unary (a binary lambda would

@@ -263,10 +263,10 @@ def q10_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            LOWER(o_orderpriority) AS priority_lower,
            UPPER(o_orderstatus) AS status_upper,
-           YEAR(o_orderdate) AS od_year,
-           MONTH(o_orderdate) AS od_month,
-           DAY(o_orderdate) AS od_day,
-           HOUR(o_orderdate) AS od_hour,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS od_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS od_month,
+           CAST(DAY(o_orderdate) AS INTEGER) AS od_day,
+           CAST(HOUR(o_orderdate) AS INTEGER) AS od_hour,
            CAST(o_totalprice AS VARCHAR) || '_usd' AS price_tag
     FROM orders
     """,
@@ -369,7 +369,7 @@ def q14_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q20_topk_per_group",
     """
-    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
       SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
                                 ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
@@ -666,7 +666,8 @@ def q31_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM gaps
     )
-    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events
     FROM sessions GROUP BY user_id, session_id
     """,
@@ -701,9 +702,9 @@ _TOK_PATTERN = "[^a-z0-9]+"  # ascii fixture text; same regex on both engines
     "q40_doc_stats",
     f"""
     SELECT doc_id,
-           LENGTH(text) AS n_chars_actual,
-           LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '{_TOK_PATTERN}'),
-                           t -> t <> '')) AS n_tokens
+           CAST(LENGTH(text) AS INTEGER) AS n_chars_actual,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '{_TOK_PATTERN}'),
+                           t -> t <> '')) AS INTEGER) AS n_tokens
     FROM documents
     """,
 )
@@ -768,6 +769,24 @@ def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q39_json_extraction",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q39_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column + aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_q(
     "q44_ngram_jaccard",
     f"""
     WITH toks AS (
@@ -796,6 +815,269 @@ def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
         d, "text", "doc_id", shingle_n=1, threshold=0.3, max_shingle_freq=10**9,
         token_pattern=_TOK_PATTERN,
+    )
+
+
+@_q(
+    "q33_grouping_sets",
+    """
+    SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(c_mktsegment, 'ALL') AS segment,
+           COUNT(*) AS n
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+)
+def q33_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (finer control than rollup/cube)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).createOrReplaceTempView(
+        "__q33_cn"
+    )
+    return spark.sql(
+        """
+        SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(c_mktsegment, 'ALL') AS segment,
+               COUNT(*) AS n
+        FROM __q33_cn
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@_q(
+    "q34_pivot",
+    """
+    SELECT n_name,
+           CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS AUTOMOBILE,
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS BUILDING,
+           CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS FURNITURE,
+           CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS HOUSEHOLD,
+           CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS MACHINERY
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q34_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — never let Spark run the extra
+    distinct-values job at scale."""
+    from .operators.relational import pivot_table
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    p = pivot_table(j, ["n_name"], "c_mktsegment", _SEGMENTS, F.count(F.lit(1)))
+    return p.select(
+        "n_name", *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in _SEGMENTS]
+    )
+
+
+@_q(
+    "q35_exists_subquery",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q35_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@_q(
+    "q36_string_functions",
+    """
+    SELECT c_custkey,
+           SPLIT_PART(c_name, '#', 2) AS cust_num,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           LPAD(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+           REVERSE(c_mktsegment) AS segment_rev,
+           CONCAT_WS('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           CAST(LENGTH(TRIM(c_name)) AS INTEGER) AS name_len
+    FROM customer
+    """,
+)
+def q36_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (split_part/substr/replace/pad/reverse/concat_ws)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace("c_name", F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.reverse("c_mktsegment").alias("segment_rev"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.length(F.trim("c_name")).alias("name_len"),
+    )
+
+
+@_q(
+    "q37_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_disc,
+           ROUND(l_extendedprice / 7.0, 2) AS price_seventh,
+           FLOOR(l_quantity) AS qty_floor,
+           CEIL(l_extendedprice) AS price_ceil,
+           SQRT(l_quantity) AS qty_sqrt,
+           CAST(SIGN(l_extendedprice - 5000.0) AS DOUBLE) AS price_sign,
+           l_orderkey % 7 AS okey_mod
+    FROM lineitem
+    """,
+)
+def q37_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface; only IEEE-exact functions (abs/round/floor/
+    ceil/sqrt/sign/mod) — exp/ln differ across libm implementations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.round(F.col("l_extendedprice") / 7.0, 2).alias("price_seventh"),
+        F.floor("l_quantity").cast("double").alias("qty_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.signum(F.col("l_extendedprice") - 5000.0).alias("price_sign"),
+        (F.col("l_orderkey") % 7).alias("okey_mod"),
+    )
+
+
+@_q(
+    "q38_conditional_functions",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 1000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+           LEAST(c_acctbal, 5000.0) AS bal_capped,
+           GREATEST(c_acctbal, 0.0) AS bal_floor,
+           IF(c_nationkey % 2 = 0, 'even', 'odd') AS nation_parity
+    FROM customer
+    """,
+)
+def q38_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional surface: CASE/COALESCE/NULLIF/LEAST/GREATEST/IF."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.least("c_acctbal", F.lit(5000.0)).alias("bal_capped"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
+        F.when(F.col("c_nationkey") % 2 == 0, "even").otherwise("odd").alias("nation_parity"),
+    )
+
+
+@_q(
+    "q45_lang_guess",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '{_TOK_PATTERN}'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['der','die','und','das','ist'], t))) AS s_de,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['the','and','of','to','is'], t))) AS s_en,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['el','la','de','que','y'], t))) AS s_es,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['le','la','et','les','des'], t))) AS s_fr
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+)
+def q45_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token votes, alphabetical tiebreak)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.lang_guess("text", _TOK_PATTERN).alias("lang_pred"))
+
+
+@_q(
+    "q46_quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '{_TOK_PATTERN}'),
+                        x -> x <> '')) AS n_tok,
+        LEN(LIST_FILTER(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '{_TOK_PATTERN}'),
+                        x -> x <> ''),
+            t -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was',
+                                'for','on','with','as','by','at','it','this','that'], t))) AS n_stop,
+        LENGTH(text) AS n_chars,
+        LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS n_punct,
+        LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS n_nonspace
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+      CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END AS stop_ratio,
+      (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+       + CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) < 0.2
+              THEN 0.25 ELSE 0.0 END
+       + CASE WHEN n_tok > 0 AND CAST(n_nonspace AS DOUBLE) / n_tok >= 2.0
+                           AND CAST(n_nonspace AS DOUBLE) / n_tok <= 12.0
+              THEN 0.25 ELSE 0.0 END) AS quality
+    FROM t
+    """,
+)
+def q46_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: punct/stopword ratios + composite score."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text", _TOK_PATTERN).alias("stop_ratio"),
+        TX.quality_score("text", _TOK_PATTERN).alias("quality"),
+    )
+
+
+@_q(
+    "q58_array_functions",
+    """
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INTEGER) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           SQRT(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q58_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over embeddings: size / element_at / higher-order norm."""
+    from .functions.vectors import norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        norm("embedding").alias("l2_norm"),
     )
 
 
@@ -873,11 +1155,89 @@ def q55_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
-@_q("q56_brute_force_knn")
+@_q(
+    "q56_brute_force_knn",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ), pairs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        list_sum(list_transform(list_zip(q.qe, c.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+        list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nc
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc)) ELSE 0.0 END AS cos_sim
+      FROM pairs
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
 def q56_brute_force_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k (recall-1.0 baseline for q53)."""
+    """Exact cosine top-k (recall-1.0 baseline for q53).
+
+    Oracle-comparable: both engines accumulate the dot product
+    left-to-right in double over the same array order, so cos_sim is
+    bit-identical (verified empirically; see also functions/vectors.py).
+    """
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return SIM.brute_force_topk(e, queries, "embedding", "vec_id", k=3).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
-    ).orderBy("query_id", "rank")
+    )
+
+
+@_q("q60_approx_distinct")
+def q60_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (engine-specific sketch -> no
+    oracle; the exact twin is q26)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@_q("q61_approx_percentiles")
+def q61_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (GK sketch; engine-specific -> no oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.99], 10000).alias("pcts"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    ).select(
+        F.col("pcts")[0].alias("p25"),
+        F.col("pcts")[1].alias("p50"),
+        F.col("pcts")[2].alias("p75"),
+        F.col("pcts")[3].alias("p99"),
+        "min_price",
+        "max_price",
+    )
+
+
+@_q("q62_stream_sliding")
+def q62_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding windows (1h window / 15min slide)."""
+    from .streaming.events import read_events_stream, run_to_memory, sliding_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = sliding_counts(stream, window="1 hour", slide="15 minutes", watermark="10 hours")
+    return run_to_memory(agg, "q62_out", output_mode="complete")
+
+
+@_q("q63_stream_sessions")
+def q63_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session windows (30min gap) per user."""
+    from .streaming.events import read_events_stream, run_to_memory, session_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = session_counts(stream, gap="30 minutes", watermark="10 hours")
+    return run_to_memory(agg, "q63_out", output_mode="complete")

@@ -1,0 +1,96 @@
+"""Physical-plan quality gates.
+
+Correctness tests say the answers are right; these say the PLANS are
+right — the properties that decide whether a query survives a 100x
+scale-up. If a refactor regresses pushdown, broadcast choice, partial
+aggregation, or top-k strategy, these fail before a benchmark ever runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_java_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    """Physical plan text; use mode='simple' when COUNTING nodes (the
+    formatted mode prints each node twice: tree + detail section)."""
+    df = Q.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_q06_predicates_pushed_and_columns_pruned(spark):
+    plan = plan_of(spark, "q06_forecast_revenue")
+    # every predicate reaches the parquet scan
+    for pushed in [
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ]:
+        assert pushed in plan, f"missing pushed filter {pushed}"
+    # column pruning: the 11-column lineitem scan reads only 4
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"
+        in plan
+    )
+
+
+def test_q01_partial_aggregation(spark):
+    plan = plan_of(spark, "q01_pricing_summary", "simple")
+    assert "partial_sum" in plan, "map-side partial aggregation missing"
+    assert plan.count("Exchange") == 1, "Q1 must shuffle exactly once"
+
+
+def test_q03_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q03_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2, "customer+orders side must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan, "top-10 must not be a global sort"
+
+
+def test_q05_single_fact_shuffle(spark):
+    plan = plan_of(spark, "q05_regional_revenue")
+    # all four dims broadcast; orders<->lineitem is the only join that may
+    # move fact data, and the agg adds one more exchange
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q27_take_ordered(spark):
+    plan = plan_of(spark, "q27_sort_limit")
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in plan
+
+
+def test_q20_single_window_shuffle(spark):
+    plan = plan_of(spark, "q20_topk_per_group", "simple")
+    assert "Window" in plan
+    # broadcast dim join + one hash partitioning for the window
+    assert plan.count("BroadcastHashJoin") == 1
+    # Spark 4 pushes row_number()<=k down as a partial group-limit before
+    # the shuffle — the property that makes per-group top-k scale
+    assert "WindowGroupLimit" in plan
+
+
+def test_q31_partial_agg_on_events(spark):
+    plan = plan_of(spark, "q31_tumbling_window")
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = plan_of(spark, "q30_asof_join")
+    # union+window strategy: no join node at all, one hashpartitioning on user_id
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_q13_insert_if_absent_no_cartesian(spark):
+    plan = plan_of(spark, "q13_insert_if_absent")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan

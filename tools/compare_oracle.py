@@ -72,6 +72,13 @@ def main() -> int:
             continue
         s, o = canon(sdf), canon(odf)
         status = []
+        dt_mismatch = [
+            (c, str(s[c].dtype), str(o[c].dtype))
+            for c in s.columns
+            if c in o.columns and str(s[c].dtype) != str(o[c].dtype)
+        ]
+        if dt_mismatch:
+            print(f"  DTYPE-WARN {name}: {dt_mismatch}")
         if len(s) != len(o):
             status.append(f"rowcount {len(s)} != {len(o)}")
         if list(s.columns) != list(o.columns):
