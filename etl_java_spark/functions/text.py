@@ -111,6 +111,39 @@ def lang_guess(col, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
     return result
 
 
+BPE_ISH_PATTERN = (
+    # GPT-2-style pretokenizer shape: contractions, letter runs, digit
+    # runs, punctuation runs, whitespace runs — a cheap proxy for "how
+    # many BPE tokens would this text cost".
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+)
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Approximate LLM-token count via a BPE-style pretokenizer regex.
+
+    Counts pretoken pieces (letter runs / digit runs / punctuation /
+    contractions); real BPE splits pieces further, so this is a lower
+    bound with the right shape for budget estimation. Pure Column expr.
+    """
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def rolling_hash(col, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over the document's characters.
+
+    h = sum(base^i * code(c_i)) mod p, computed left-to-right with
+    ``((acc * base) + code) % p`` — values stay < 2^36, no overflow.
+    JVM-side via aggregate over the char array; deterministic everywhere.
+    """
+    chars = F.split(_c(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
 def fingerprint(col) -> Column:
     """Stable 64-bit-ish document fingerprint: md5 of normalized text.
 

@@ -158,6 +158,62 @@ def range_join(
     return lb.join(rb, on="__bkt", how="inner").filter(cond).drop("__bkt")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side and
+    replicate the right side across all salt values.
+
+    When one join key holds a disproportionate share of rows, a plain
+    shuffle join puts that key's entire volume on one task. Salting
+    splits the hot key across ``num_salts`` tasks at the cost of
+    replicating the right side num_salts times — appropriate when the
+    right side is too big to broadcast but much smaller than the left.
+    (AQE's skew-join split handles moderate skew automatically; salting
+    is the explicit tool for extreme single-key skew.)
+
+    The salt is derived deterministically from the left row's full
+    content so results are reproducible.
+    """
+    salt_cols = [c for c in left.columns]
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(num_salts))
+    )
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = l_salted.join(r_salted, on=[on, "__salt"], how="inner")
+    return out.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    agg_exprs: dict[str, tuple],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant aggregation: pre-aggregate on (key, salt), then
+    combine per key.
+
+    ``agg_exprs``: {out_name: (col, kind)} with kind in sum|count|min|max.
+    Spark's hash aggregate already combines map-side; the explicit salt
+    phase matters when a single hot key overwhelms even the merge task
+    (e.g. count per ultra-hot event_type at 100 TB).
+    """
+    KINDS = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    RE_KINDS = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts)))
+    partial = salted.groupBy(key, "__salt").agg(
+        *[KINDS[kind](col).alias(name) for name, (col, kind) in agg_exprs.items()]
+    )
+    return partial.groupBy(key).agg(
+        *[RE_KINDS[kind](name).alias(name) for name, (col, kind) in agg_exprs.items()]
+    )
+
+
 def grouping_sets(df: DataFrame, view_name: str, sets_sql: str, agg_sql: str, spark=None) -> DataFrame:
     """GROUPING SETS via SQL (no DataFrame API for arbitrary sets)."""
     spark = spark or df.sparkSession

@@ -988,6 +988,87 @@ def q38_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q47_window_analytics",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           FIRST_VALUE(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+           LAST_VALUE(o_totalprice)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_last
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q47_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: ntile/percent_rank/cume_dist/first/last."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("running_last"),
+    )
+
+
+@_q(
+    "q48_date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS due_date,
+           CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_95,
+           CAST(ISODOW(o_orderdate) AS INTEGER) AS iso_weekday,
+           CAST(WEEKOFYEAR(o_orderdate) AS INTEGER) AS week_no,
+           CAST(LAST_DAY(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr,
+           CAST(DAYOFYEAR(o_orderdate) AS INTEGER) AS doy
+    FROM orders
+    """,
+)
+def q48_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface. Note: Spark dayofweek is Sunday=1 while
+    DuckDB's is Sunday=0 — ISO weekday (Mon=1) is the portable form."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        (F.weekday("o_orderdate") + 1).alias("iso_weekday"),
+        F.weekofyear("o_orderdate").alias("week_no"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )
+
+
+@_q(
+    "q49_regexp_functions",
+    """
+    SELECT doc_id,
+           REGEXP_EXTRACT(text, '^([a-z]+)', 1) AS first_word,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[aeiou]+')) AS INTEGER) AS vowel_runs,
+           REGEXP_REPLACE(text, '[0-9]+', '#', 'g') AS masked
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q49_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: extract / extract_all-count / replace-all."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_word"),
+        F.size(F.expr(r"regexp_extract_all(text, '[aeiou]+', 0)")).alias("vowel_runs"),
+        F.regexp_replace("text", r"[0-9]+", "#").alias("masked"),
+    )
+
+
+@_q(
     "q45_lang_guess",
     f"""
     WITH toks AS (
@@ -1078,6 +1159,132 @@ def q58_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         norm("embedding").alias("l2_norm"),
+    )
+
+
+@_q(
+    "q57_struct_map_columns",
+    """
+    SELECT c_custkey, c_acctbal AS struct_bal, c_mktsegment AS map_seg,
+           c_name AS nested_name
+    FROM customer
+    """,
+)
+def q57_struct_map_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested types round-trip: build struct + map columns, access fields.
+
+    The oracle checks the extracted scalars; the Spark side proves the
+    nested construction/access path (StructType, MapType)."""
+    c = _t(spark, sf_dir, "customer")
+    nested = c.select(
+        "c_custkey",
+        F.named_struct(
+            F.lit("key"), F.col("c_custkey"), F.lit("bal"), F.col("c_acctbal"),
+            F.lit("info"), F.named_struct(F.lit("name"), F.col("c_name")),
+        ).alias("s"),
+        F.create_map(F.lit("seg"), F.col("c_mktsegment")).alias("m"),
+    )
+    return nested.select(
+        "c_custkey",
+        F.col("s.bal").alias("struct_bal"),
+        F.col("m")[F.lit("seg")].alias("map_seg"),
+        F.col("s.info.name").alias("nested_name"),
+    )
+
+
+@_q(
+    "q59_explode_arrays",
+    """
+    SELECT vec_id,
+           CAST(UNNEST(generate_series(0, LEN(embedding) - 1)) AS INTEGER) AS pos,
+           CAST(UNNEST(embedding) AS DOUBLE) AS val
+    FROM embeddings WHERE vec_id < 3
+    """,
+)
+def q59_explode_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array column -> (id, position, value) rows."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "__v")
+    ).select("vec_id", "pos", F.col("__v").cast("double").alias("val"))
+
+
+@_q(
+    "q64_unpivot",
+    """
+    SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+    """,
+)
+def q64_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via stack()."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice, 'custkey', cast(o_custkey as double))"
+        ).alias("metric", "value"),
+    )
+
+
+@_q(
+    "q65_deterministic_stats",
+    """
+    WITH sums AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sq
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           s / n AS mean_bal,
+           (sq - s * s / n) / (n - 1) AS var_bal,
+           SQRT((sq - s * s / n) / (n - 1)) AS stddev_bal
+    FROM sums
+    """,
+)
+def q65_deterministic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev from EXACT decimal sums -> order-independent,
+    cluster-size-independent, bit-reproducible. Built-in stddev over
+    doubles is none of those."""
+    c = _t(spark, sf_dir, "customer")
+    sums = c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(money("c_acctbal")).cast("double").alias("s"),
+        F.sum(money("c_acctbal") * money("c_acctbal")).cast("double").alias("sq"),
+    )
+    n, s, sq = F.col("n"), F.col("s"), F.col("sq")
+    return sums.select(
+        "c_mktsegment",
+        "n",
+        (s / n).alias("mean_bal"),
+        ((sq - s * s / n) / (n - 1)).alias("var_bal"),
+        F.sqrt((sq - s * s / n) / (n - 1)).alias("stddev_bal"),
+    )
+
+
+@_q(
+    "q66_exact_percentiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q66_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same linear
+    interpolation -> bit-identical; verified empirically)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
     )
 
 
@@ -1192,6 +1399,74 @@ def q56_brute_force_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(e, queries, "embedding", "vec_id", k=3).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
+
+
+@_q(
+    "q69_salted_join",
+    """
+    SELECT p.p_brand, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q69_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (same answer as the plain join — the
+    salt only changes the physical distribution of the hot keys)."""
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = R.salted_join(li, p, on="p_partkey", num_salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"), dsum("l_quantity").alias("total_qty")
+    )
+
+
+@_q(
+    "q70_two_phase_agg",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q70_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation for extreme key skew (hot event_type);
+    same answer as the direct groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    out = R.two_phase_agg(
+        ev.select("event_type", money("value").alias("__v")),
+        key="event_type",
+        agg_exprs={"n": ("__v", "count"), "total_value": ("__v", "sum")},
+        num_salts=8,
+    )
+    return out.select("event_type", "n", F.col("total_value").cast("double").alias("total_value"))
+
+
+@_q("q67_token_budget")
+def q67_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish LLM-token budget estimate + rolling-hash fingerprint per doc
+    (engine-specific regex/hash -> rows-only)."""
+    from .functions.text import bpe_ish_token_count, rolling_hash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+        rolling_hash("text").alias("rhash"),
+        TX.token_count("text").alias("ws_tokens"),
+    )
+
+
+@_q("q68_stateful_stream")
+def q68_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals via
+    applyInPandasWithState (state-store-backed, update mode)."""
+    from .streaming.events import read_events_stream, run_to_memory
+    from .streaming.stateful import running_user_totals
+
+    stream = read_events_stream(spark, sf_dir)
+    totals = running_user_totals(stream)
+    return run_to_memory(totals, "q68_out", output_mode="update")
 
 
 @_q("q60_approx_distinct")

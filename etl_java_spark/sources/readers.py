@@ -38,11 +38,37 @@ def ensure_fixture_confs(spark: SparkSession) -> SparkSession:
     Both confs are runtime-settable, so this works on sessions we did
     not build (e.g. the driver's): nanos-as-long for TIMESTAMP(NANOS)
     parquet columns, UTC session timezone for cross-engine-stable
-    timestamp semantics.
+    timestamp semantics. Also ships this package to Python workers so
+    pickled-by-reference UDFs (stateful operators, media codecs) import
+    cleanly even when the driver process launched outside the repo.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """addPyFile a zip of etl_java_spark once per session (idempotent)."""
+    sc = spark.sparkContext
+    tag = "etl_java_spark_shipped"
+    if sc.getLocalProperty(tag):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="etl_java_spark_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc.setLocalProperty(tag, "1")
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

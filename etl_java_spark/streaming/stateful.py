@@ -1,0 +1,68 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The charter requires custom stateful operators beyond built-in windowed
+aggregation (SURVEY.md §2B / guide "Stateful"). The pattern here —
+grouped Arrow batches + an explicit GroupState carrying a small tuple —
+is the scalable shape: state lives in the state store (RocksDB on a real
+cluster), partitioned by group key, and only the per-key running tuple
+is held, never the events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+RUNNING_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("max", T.DoubleType()),
+    ]
+)
+
+
+def _update_running_totals(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total], "max_value": [mx]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) maintained across micro-batches.
+
+    Emits the updated totals for every user seen in each micro-batch.
+    State is one 3-tuple per user — bounded, store-backed, shuffled once
+    on user_id.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running_totals,
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        stateStructType=RUNNING_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

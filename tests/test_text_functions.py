@@ -49,6 +49,26 @@ def test_lang_guess(spark):
     assert _one(spark, "zzz qqq", TX.lang_guess("t")) == "und"
 
 
+def test_bpe_ish_token_count(spark):
+    got = _one(spark, "hello world, it's 42 degrees!", TX.bpe_ish_token_count("t"))
+    # hello | world | , | it | 's | 42 | degrees | !
+    assert got == 8
+    assert _one(spark, "", TX.bpe_ish_token_count("t")) == 0
+
+
+def test_rolling_hash_deterministic(spark):
+    a = _one(spark, "hello", TX.rolling_hash("t"))
+    b = _one(spark, "hello", TX.rolling_hash("t"))
+    c = _one(spark, "hellp", TX.rolling_hash("t"))
+    assert a == b
+    assert a != c
+    # matches the straightforward python reference
+    ref = 0
+    for ch in "hello":
+        ref = (ref * 31 + ord(ch)) % ((1 << 31) - 1)
+    assert a == ref
+
+
 def test_fingerprint_normalizes(spark):
     a = _one(spark, "Hello   World", TX.fingerprint("t"))
     b = _one(spark, "  hello world ", TX.fingerprint("t"))

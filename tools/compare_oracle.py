@@ -28,7 +28,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            import datetime as _dt
+
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], _dt.date):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
