@@ -52,11 +52,21 @@ BENCH_QUERIES = [
     "q44_ngram_jaccard",
     "q45_lang_guess",
     "q46_quality_scores",
+    "q47_window_analytics",
+    "q48_date_functions",
+    "q49_regexp_functions",
     "q50_minhash_neardup",
     "q51_simhash",
     "q53_ann_topk",
     "q56_brute_force_knn",
     "q58_array_functions",
+    "q65_deterministic_stats",
+    "q66_exact_percentiles",
+    "q69_salted_join",
+    "q70_two_phase_agg",
+    "q71_repetition_quality",
+    "q72_pii_scrub",
+    "q74_ivf_ann",
 ]
 
 

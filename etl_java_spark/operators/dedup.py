@@ -214,30 +214,16 @@ def embedding_near_dup_pairs(
     """
     import numpy as np
 
+    from ..functions.vectors import plane_band_hashes_udf
+
     rng = np.random.RandomState(seed)
     dim = len(df.select(vec_col).first()[0])
     planes = rng.randn(num_planes, dim).astype(float).tolist()
-    planes_lit = F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes])
-
-    def bucket_bits(vec):
-        return F.aggregate(
-            F.transform(
-                planes_lit,
-                lambda p: F.when(
-                    F.aggregate(
-                        F.zip_with(vec, p, lambda x, y: x.cast("double") * y),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                    >= 0,
-                    F.lit(1),
-                ).otherwise(F.lit(0)),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, bit: acc * 2 + bit,
-        )
-
-    bucketed = df.select(F.col(id_col), F.col(vec_col), bucket_bits(F.col(vec_col)).alias("__bkt"))
+    # one band packing all plane sign bits = the bucket id
+    bucket_udf = plane_band_hashes_udf(planes, bands=1)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), bucket_udf(F.col(vec_col))[0].alias("__bkt")
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
@@ -251,6 +237,63 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Resolve near-dup pairs into clusters: (id, cluster_id) where
+    cluster_id = min doc id reachable through the pair graph.
+
+    Iterative min-label propagation (the standard large-graph connected-
+    components recipe — alternating small joins, converging in
+    O(log(diameter)) rounds; near-dup clusters are tiny so this is
+    effectively 2-3 rounds). Each round is two shuffles on id; no driver-
+    side graph materialization, so it scales with the pair list.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # candidate labels: own label + min neighbor label
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.id, "inner")
+            .select(F.col("src").alias("id"), F.col("cluster_id"))
+        )
+        new_labels = (
+            labels.select("id", "cluster_id")
+            .unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # converged when no label changed
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_cluster_representative(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop all near-dup docs except the min-id representative per cluster."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def ngram_jaccard_pairs(

@@ -10,12 +10,16 @@ Two paths:
   cosine re-ranks candidates. Cost O(|Q| * bucket_size) — the 100 TB
   path. Recall < 1.0, tunable via planes/bands.
 
-An IVF (k-means coarse quantizer) variant is the classic third option;
-with pyspark.ml KMeans it is a straightforward extension — the bucket
-assignment becomes nearest-centroid instead of sign bits. Deferred.
+- ``ivf_topk``: IVF (inverted-file) index — a k-means coarse quantizer
+  assigns each corpus vector to its nearest centroid; queries probe the
+  ``nprobe`` nearest cells and re-rank exactly. The classic
+  billion-vector layout: cells are the partition unit, recall is tuned
+  by nprobe instead of planes.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -57,29 +61,84 @@ def brute_force_topk(
 
 
 def _sign_bands(vec_col, planes, bands: int):
-    """Split sign bits of dot(vec, plane_i) into ``bands`` band-hashes."""
-    per_band = len(planes) // bands
-    import pyspark.sql.functions as F
+    """Band hashes from hyperplane sign bits — Arrow-vectorized numpy
+    matmul per batch (see functions.vectors.plane_band_hashes_udf)."""
+    from ..functions.vectors import plane_band_hashes_udf
 
-    def dot_sign(p):
-        return F.when(
-            F.aggregate(
-                F.zip_with(vec_col, F.array(*[F.lit(v) for v in p]), lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
+    return plane_band_hashes_udf(planes, bands)(vec_col)
 
-    band_hashes = []
-    for b in range(bands):
-        bits = planes[b * per_band : (b + 1) * per_band]
-        acc = F.lit(0).cast("long")
-        for p in bits:
-            acc = acc * 2 + dot_sign(p)
-        band_hashes.append(acc)
-    return F.array(*band_hashes)
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    seed: int = 42,
+    sample_size: int = 10000,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: k-means cells + multi-probe exact re-rank.
+
+    Centroids are fit driver-side on a bounded sample (numpy Lloyd
+    iterations, deterministic seed) — the index build is one sample +
+    one assignment pass; a pyspark.ml KMeans drop-in works identically
+    when the sample must itself be distributed. Assignment is an
+    Arrow-vectorized matmul (argmin of distances); the probe join is an
+    equi-join on cell id.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    query_id_col = query_id_col or id_col
+
+    sample = np.stack(
+        [r[0] for r in corpus.select(vec_col).limit(sample_size).collect()]
+    ).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(10):  # Lloyd iterations on the sample
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    C = centroids  # cells x dim
+
+    def cell_udf(n_probe: int):
+        @pandas_udf("array<int>")
+        def nearest_cells(s: pd.Series) -> pd.Series:
+            M = np.stack(s.to_numpy()).astype(np.float64)
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1)[:, :n_probe].astype(np.int32)
+            return pd.Series(list(order))
+
+        return nearest_cells
+
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.explode(cell_udf(1)(F.col(vec_col))).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(cell_udf(nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        cb.join(qb, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("__qvec"), F.col("__cvec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_topk(
@@ -121,7 +180,11 @@ def lsh_topk(
         cb.join(qb, ["band_idx", "band_hash"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "__vec_query_id", "__vec_neighbor_id")
-        .distinct()
+        # a pair can surface from several bands: dedupe on the ID PAIR,
+        # carrying the vectors as payload — a distinct() over the vector
+        # columns would hash + FP-normalize the full arrays (measured 2x
+        # slower at sf0.1)
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id",

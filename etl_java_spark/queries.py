@@ -1442,6 +1442,98 @@ def q70_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "n", F.col("total_value").cast("double").alias("total_value"))
 
 
+@_q(
+    "q71_repetition_quality",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '{_TOK_PATTERN}'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, tk,
+             CASE WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                  ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                      i -> ARRAY_TO_STRING(tk[i:i+2], ' '))
+             END AS g3
+      FROM sh
+    )
+    SELECT doc_id,
+           CASE WHEN LEN(g3) > 0
+                THEN CAST(LEN(g3) - LEN(LIST_DISTINCT(g3)) AS DOUBLE) / LEN(g3)
+                ELSE 0.0 END AS dup_ngram_ratio
+    FROM grams
+    """,
+)
+def q71_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-3-gram repetition ratio per document."""
+    from .functions.quality import duplicate_ngram_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", duplicate_ngram_ratio("text", 3, _TOK_PATTERN).alias("dup_ngram_ratio")
+    )
+
+
+@_q(
+    "q72_pii_scrub",
+    """
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(text || ' contact: a.b@test.org or 10.0.0.1',
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS scrubbed
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q72_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/IP/SSN masked with typed placeholders.
+
+    The fixture text has no PII, so a synthetic suffix is appended to
+    prove masking end-to-end (phone masking is engine-tested separately;
+    its loose regex interacts with the digit-free fixture identically).
+    """
+    from .functions.quality import EMAIL_RE, IPV4_RE, SSN_RE
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    c = F.concat(F.col("text"), F.lit(" contact: a.b@test.org or 10.0.0.1"))
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, SSN_RE, "<SSN>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    return d.select("doc_id", c.alias("scrubbed"))
+
+
+@_q("q73_dedup_clusters")
+def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: MinHash pairs -> connected components
+    -> keep min-id representative (iterative label propagation)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m1 = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail a")).alias("text"),
+    )
+    m2 = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail b")).alias("text"),
+    )
+    corpus = d.unionByName(m1).unionByName(m2)
+    pairs = DD.minhash_dedup_pairs(corpus, "text", "doc_id", threshold=0.5)
+    kept = DD.dedup_keep_cluster_representative(corpus, pairs, "doc_id")
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+@_q("q74_ivf_ann")
+def q74_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells) approximate nearest neighbors with multi-probe."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(e, queries, "embedding", "vec_id", k=3, n_cells=8, nprobe=3).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
 @_q("q67_token_budget")
 def q67_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish LLM-token budget estimate + rolling-hash fingerprint per doc
