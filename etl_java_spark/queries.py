@@ -16,6 +16,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1559,6 +1561,100 @@ def q68_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     totals = running_user_totals(stream)
     return run_to_memory(totals, "q68_out", output_mode="update")
+
+
+@_q(
+    "q75_collect_list",
+    """
+    SELECT c_nationkey,
+           LIST(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q75_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> sorted array (deterministic array aggregation)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q76_pandas_udf",
+    """
+    SELECT c_custkey, c_acctbal * 1.07 + 10.0 AS adjusted_bal
+    FROM customer
+    """,
+)
+def q76_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (the sanctioned custom-logic
+    escape hatch; same arithmetic as the oracle -> bitwise equal)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def adjust(s: pd.Series) -> pd.Series:
+        return s * 1.07 + 10.0
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", adjust("c_acctbal").alias("adjusted_bal"))
+
+
+@_q(
+    "q78_intersect_except_all",
+    """
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    EXCEPT ALL
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def q78_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 0).select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")).select("c_nationkey")
+    d = c.filter(F.col("c_acctbal") > 9000).select("c_nationkey")
+    return a.intersectAll(b).exceptAll(d)
+
+
+@_q("q77_pack_sequences")
+def q77_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: greedy first-fit of documents into
+    2048-token sequences (partition-parallel, mapInPandas)."""
+    from .functions.text import token_count
+    from .operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    return pack_sequences(d, "doc_id", "n_tok", max_tokens=2048, partitions=8).select(
+        "seq_id", "n_docs", "total_tokens"
+    )
+
+
+@_q("q79_stream_stream_join")
+def q79_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase x preceding clicks) with
+    watermarks bounding both sides' state."""
+    from .streaming.events import read_events_stream, run_to_memory, stream_stream_join
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_stream_join(stream, within="1 hour", watermark="100 hours")
+    return run_to_memory(joined, "q79_out", output_mode="append")
+
+
+@_q("q80_deterministic_sample")
+def q80_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with a fixed seed (sampleBy): deterministic for
+    a given partitioning, engine-specific -> rows-only."""
+    o = _t(spark, sf_dir, "orders")
+    sampled = o.sampleBy("o_orderpriority", fractions={
+        "1-URGENT": 0.2, "2-HIGH": 0.2, "3-MEDIUM": 0.1, "4-NOT SPECIFIED": 0.1, "5-LOW": 0.05
+    }, seed=42)
+    return sampled.groupBy("o_orderpriority").agg(F.count("*").alias("n_sampled"))
 
 
 @_q("q60_approx_distinct")

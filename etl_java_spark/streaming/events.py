@@ -111,6 +111,49 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     return stream_df.sparkSession.table(name)
 
 
+def stream_stream_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each left event paired with the right
+    events of the same user in the preceding ``within`` interval.
+
+    Both sides carry watermarks + a time-range join condition, so state
+    for each side is evicted once the other side's watermark passes —
+    the requirement for bounded state in stream-stream joins.
+    """
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("l_value"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+        "inner",
+    ).select("l_id", "user_id", "l_ts", "l_value", "r_id", "r_ts", "r_value")
+
+
 def foreach_batch_merge(spark: SparkSession, stream_df: DataFrame, path: str, pks: list[str], checkpoint: str):
     """Streaming upsert sink: per micro-batch MERGE into the parquet table.
 

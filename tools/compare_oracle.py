@@ -34,7 +34,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             if len(sample) and isinstance(sample.iloc[0], _dt.date):
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
             else:
-                df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+                import numpy as np
+
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+                )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
