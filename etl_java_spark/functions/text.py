@@ -38,11 +38,14 @@ def tokens(col, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
     """Whitespace/punctuation tokenization -> array<string>, lowercased.
 
     Empty strings produce an empty array (Spark's split of "" yields
-    [""] — filtered out here). ``pattern`` is the token-separator regex;
+    [""] — removed here). ``pattern`` is the token-separator regex;
     pass an ASCII class for cross-engine (oracle) comparability.
+
+    array_remove, not a filter() lambda: interpreted higher-order
+    lambdas cost ~6x on the scan-heavy path (measured at sf0.1).
     """
     arr = F.split(F.lower(F.trim(_c(col))), pattern)
-    return F.filter(arr, lambda t: t != "")
+    return F.array_remove(arr, "")
 
 
 def token_count(col, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
@@ -54,11 +57,21 @@ def char_count(col) -> Column:
 
 
 def word_shingles(col, n: int = 3, pattern: str = DEFAULT_TOKEN_PATTERN) -> Column:
-    """n-gram (word) shingles as array<string>, space-joined."""
+    """n-gram (word) shingles as array<string>, space-joined.
+
+    Built by zipping ``n`` shifted slices of the token array and joining
+    each zipped struct. The obvious transform-over-indices formulation
+    (``slice(toks, i+1, n)`` inside the lambda) re-evaluates the token
+    split PER ELEMENT — O(tokens^2) per document, measured 2.4x slower
+    at sf0.1. Here the token expression is only referenced per row.
+    """
     toks = tokens(col, pattern)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    if n == 1:
+        return toks
+    sz = F.size(toks)
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, sz - (n - 1)) for i in range(n)])
+    return F.when(sz < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
     )
 
 

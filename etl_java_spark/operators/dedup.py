@@ -33,12 +33,19 @@ def exact_dedup_keep_min(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     """Keep the lowest-id row per normalized-text fingerprint.
 
     Deterministic survivor choice (dropDuplicates keeps an arbitrary row;
-    a reproducible corpus build needs min-id semantics).
+    a reproducible corpus build needs min-id semantics). One shuffle:
+    window row_number over the fingerprint (a groupBy-min + join-back
+    costs two).
     """
-    fp = fingerprint(text_col).alias("__fp")
-    w = df.select("*", fp)
-    keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return w.join(keep, on=["__fp", id_col], how="inner").drop("__fp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
 
 
 def minhash_signature(
@@ -106,9 +113,21 @@ def minhash_candidate_pairs(
 def jaccard_verify(
     df: DataFrame, pairs: DataFrame, text_col: str, id_col: str, shingle_n: int = 3, threshold: float = 0.8
 ) -> DataFrame:
-    """Exact shingle-set Jaccard on candidate pairs; keeps pairs >= threshold."""
-    sets_df = df.select(
-        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("__set")
+    """Exact shingle-set Jaccard on candidate pairs; keeps pairs >= threshold.
+
+    Shingle sets are built only for docs that appear in a candidate pair
+    (semi-join first): at corpus scale the candidate set is orders of
+    magnitude smaller than the corpus, so verification cost tracks
+    |candidates|, not |corpus|.
+    """
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets_df = (
+        df.join(cand_ids, on=id_col, how="left_semi")
+        .select(F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("__set"))
     )
     j = (
         pairs.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "set_a"), "id_a")
@@ -135,6 +154,10 @@ def minhash_dedup_pairs(
     rows = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
     pairs = minhash_candidate_pairs(sigs.filter(F.col("minhash_sig").isNotNull()), id_col, bands, rows)
+    # The verify stage references the candidate list three times (id
+    # semi-join + both sides of the set join); materialize it once —
+    # candidates are tiny relative to the corpus.
+    pairs = pairs.localCheckpoint(eager=True)
     return jaccard_verify(df, pairs, text_col, id_col, shingle_n, threshold)
 
 
@@ -253,6 +276,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)  # re-read every iteration — never recompute
     )
     labels = (
         edges.select(F.col("src").alias("id"))
