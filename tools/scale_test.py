@@ -1,0 +1,88 @@
+"""Reproducible 10x scale-up experiment (see SCALE.md).
+
+Replicates the sf0.1 fixtures N-fold with key offsets (stride 1e9 keeps
+every FK relationship intact), then times a representative query slice
+at both scales.
+
+Usage: python tools/scale_test.py [replication_factor] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STRIDE = 10**9
+KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "region": [],
+    "nation": [],
+}
+QUERY_SLICE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_regional_revenue",
+    "q21_window_running",
+    "q31_tumbling_window",
+    "q32_sessionize",
+    "q42_dedup_exact",
+    "q50_minhash_neardup",
+    "q56_brute_force_knn",
+]
+
+
+def replicate(spark, src: str, dst: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst, exist_ok=True)
+    for t, ks in KEYS.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if ks:
+            parts = []
+            for i in range(factor):
+                p = df
+                for k in ks:
+                    p = p.withColumn(k, F.col(k) + F.lit(i * STRIDE))
+                parts.append(p)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfx_scale"
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from etl_java_spark import queries as Q
+    from etl_java_spark.session import get_session
+
+    spark = get_session("scale-test")
+    print(f"replicating {src} x{factor} -> {dst}", file=sys.stderr)
+    replicate(spark, src, dst, factor)
+
+    results = {}
+    for label, d in [("base", src), (f"x{factor}", dst)]:
+        spark.read.parquet(d + "/region.parquet").count()  # warm
+        for name in QUERY_SLICE:
+            t0 = time.time()
+            n = Q.QUERIES[name](spark, d).count()
+            results.setdefault(name, {})[label] = (round(time.time() - t0, 2), n)
+    for name, r in results.items():
+        (a, _), (b, _) = r["base"], r[f"x{factor}"]
+        print(f"{name}: base={a}s x{factor}={b}s ratio={b / a:.1f}x")
+
+
+if __name__ == "__main__":
+    main()
