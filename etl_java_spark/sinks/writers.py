@@ -140,6 +140,84 @@ def write_jdbc(
     w.mode(mode).save()
 
 
+_IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_idents(*names: str) -> None:
+    """The reference string-concatenates identifiers into SQL (SQL-
+    injectable by design, ETLProcess.java:124, :388-427). We synthesize
+    SQL only for the server-side MERGE and validate every identifier."""
+    for n in names:
+        if not _IDENT.match(n):
+            raise ValueError(f"invalid SQL identifier: {n!r}")
+
+
+def jdbc_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    pks: Sequence[str],
+    driver: str | None = None,
+    batchsize: int = REFERENCE_BATCH_SIZE,
+    staging_table: str | None = None,
+) -> None:
+    """Reference #13 against a real JDBC destination: stage + server-side
+    MERGE (SURVEY.md §2A row 13's scalable pattern).
+
+    The reference upserts row-by-row with UPDATE-then-INSERT
+    (ETLProcess.java:388-427); per-row round trips do not scale. Here
+    the frame lands in a staging table via the batched JDBC writer
+    (batchsize honors the reference's 1000), then ONE server-side
+    ``MERGE INTO`` applies it atomically — the database's optimizer does
+    the matching.
+    """
+    pks = list(pks)
+    stage = staging_table or f"{table}_stage"
+    cols = df.columns
+    _check_idents(table, stage, *cols, *pks)
+    missing = [k for k in pks if k not in cols]
+    if missing:
+        raise ValueError(f"primary keys not in frame: {missing}")  # :336-342 parity
+
+    df = df.dropDuplicates(pks)
+    write_jdbc(df, url, stage, mode="overwrite", batchsize=batchsize,
+               **({"driver": driver} if driver else {}))
+
+    # Spark's JDBC writer creates the staging table with QUOTED (case-
+    # sensitive) column names; the destination keeps its owner's naming,
+    # so staging references are quoted and destination references are not.
+    on = " AND ".join(f't.{k} = s."{k}"' for k in pks)
+    non_pk = [c for c in cols if c not in pks]
+    set_clause = ", ".join(f't.{c} = s."{c}"' for c in non_pk)
+    insert_cols = ", ".join(cols)
+    insert_vals = ", ".join(f's."{c}"' for c in cols)
+    matched = f"WHEN MATCHED THEN UPDATE SET {set_clause} " if non_pk else ""
+    sql = (
+        f"MERGE INTO {table} t USING {stage} s ON {on} "
+        f"{matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        stmt.executeUpdate(sql)
+        stmt.close()
+    finally:
+        conn.close()
+
+
+def jdbc_execute(spark: SparkSession, url: str, sql: str) -> None:
+    """Run one DDL/DML statement on a JDBC destination (tests/setup)."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        stmt.execute(sql)
+        stmt.close()
+    finally:
+        conn.close()
+
+
 def checked_columns(existing_cols: Iterable[str], incoming: DataFrame) -> None:
     missing = [c for c in existing_cols if c not in incoming.columns]
     if missing:

@@ -1,0 +1,71 @@
+"""Live JDBC source/sink tests against embedded Derby (on Spark's
+classpath for the Hive metastore) — reference-parity rows #1, #13, #16.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_java_spark.sinks.writers import jdbc_execute, jdbc_upsert, write_jdbc
+from etl_java_spark.sources.readers import read_jdbc
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    d = tmp_path_factory.mktemp("derby")
+    return f"jdbc:derby:{d}/db;create=true"
+
+
+def test_jdbc_write_read_roundtrip(spark, derby_url):
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", -2.0)], "id int, s string, v double")
+    write_jdbc(df, derby_url, "rt", mode="overwrite", driver=DRIVER)
+    back = read_jdbc(spark, derby_url, table="rt", driver=DRIVER)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in df.collect())
+
+
+def test_jdbc_partitioned_read(spark, derby_url):
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(100)], "id int, s string")
+    write_jdbc(df, derby_url, "pt", mode="overwrite", driver=DRIVER)
+    back = read_jdbc(
+        spark, derby_url, table="pt", driver=DRIVER,
+        partition_column="id", lower_bound=0, upper_bound=100, num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+
+
+def test_jdbc_query_pushdown(spark, derby_url):
+    df = spark.createDataFrame([(i, i * 10) for i in range(50)], "id int, v int")
+    write_jdbc(df, derby_url, "qp", mode="overwrite", driver=DRIVER)
+    # Spark-written tables have quoted (case-sensitive) identifiers
+    back = read_jdbc(spark, derby_url, query='SELECT "id" FROM qp WHERE "v" >= 250', driver=DRIVER)
+    assert back.columns == ["ID"] or back.columns == ["id"]
+    assert back.count() == 25
+
+
+def test_jdbc_upsert_merge(spark, derby_url):
+    jdbc_execute(
+        spark, derby_url,
+        "CREATE TABLE dest (id INT PRIMARY KEY, name VARCHAR(50), bal DOUBLE)",
+    )
+    base = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "id int, name string, bal double")
+    jdbc_upsert(spark, base, derby_url, "dest", pks=["id"], driver=DRIVER)
+    upd = spark.createDataFrame([(2, "B", 99.0), (3, "c", 30.0)], "id int, name string, bal double")
+    jdbc_upsert(spark, upd, derby_url, "dest", pks=["id"], driver=DRIVER)
+    got = read_jdbc(spark, derby_url, table="dest", driver=DRIVER)
+    rows = {r[0]: (r[1], r[2]) for r in got.collect()}
+    assert rows == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0)}
+    # idempotency: applying the same update again changes nothing
+    jdbc_upsert(spark, upd, derby_url, "dest", pks=["id"], driver=DRIVER)
+    assert read_jdbc(spark, derby_url, table="dest", driver=DRIVER).count() == 3
+
+
+def test_jdbc_upsert_validates(spark, derby_url):
+    df = spark.createDataFrame([(1, "x")], "id int, s string")
+    with pytest.raises(ValueError, match="identifier"):
+        jdbc_upsert(spark, df, derby_url, 'bad"table', pks=["id"], driver=DRIVER)
+    with pytest.raises(ValueError, match="primary keys"):
+        jdbc_upsert(spark, df, derby_url, "dest2", pks=["missing"], driver=DRIVER)
