@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "q71_repetition_quality",
     "q72_pii_scrub",
     "q74_ivf_ann",
+    "q81_nation_volume",
+    "q82_returned_items",
+    "q83_correlated_scalar",
+    "q84_range_frame",
 ]
 
 

@@ -694,6 +694,142 @@ def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q81_nation_volume",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(YEAR(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_name <> sn.n_name AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q81_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation shipping volume by year. All dims
+    broadcast; the nation table joins twice under different aliases."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    disc_price = money("l_extendedprice") * (1 - money("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(dsum_expr(disc_price).alias("volume"))
+    )
+
+
+@_q(
+    "q82_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q82_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-item revenue."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    disc_price = money("l_extendedprice") * (1 - money("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum_expr(disc_price).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "q83_correlated_scalar",
+    """
+    SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM customer c2 WHERE c2.c_mktsegment = c.c_mktsegment
+    )
+    """,
+)
+def q83_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (above-segment-average customers).
+
+    Decorrelated by hand into a broadcast join against the per-segment
+    aggregate — the plan Catalyst produces for the SQL form, stated
+    explicitly. Average computed from exact decimal sums (deterministic).
+    """
+    c = _t(spark, sf_dir, "customer")
+    seg_avg = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        (F.sum(money("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(seg_avg), c.c_mktsegment == F.col("seg"))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    )
+
+
+@_q(
+    "q84_range_frame",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def q84_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame: trailing-30-day spend per customer.
+
+    Spark's rangeBetween needs a numeric/interval-orderable key; ordering
+    by day number with a (-30, 0) range matches the SQL INTERVAL frame.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. Documents / text analysis (charter §2B)
 
