@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: every oracle-checked query plus the extension operators.
@@ -80,9 +82,25 @@ def main() -> None:
     from etl_java_spark.session import get_session
 
     spark = get_session("bench")
-    # Warm the JVM + parquet footers with a trivial action so per-query
-    # timings measure the queries, not session startup.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm-up: session startup, whole-stage codegen compilation, parquet
+    # footer reads, and Python worker fork each cost ~0.5-1.5s ONCE per
+    # JVM. Exercise each machinery class untimed so the per-query numbers
+    # measure steady-state throughput (how a long-lived cluster runs),
+    # not first-query JIT effects.
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    ).count()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s * 1.0
+
+    o.select(_warm("o_totalprice")).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -53,6 +53,38 @@ def test_stream_sessions(spark, sf_small):
     assert got.filter(F.col("session_end") <= F.col("session_start")).count() == 0
 
 
+def test_checkpoint_resume_exactly_once(spark, sf_small, tmp_path):
+    """Restarting a checkpointed stream must not reprocess committed
+    batches: the second start with the same checkpoint is a no-op when
+    no new files arrived (exactly-once file-sink semantics)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = read_events_stream(spark, sf_small)
+        counted = stream.select("event_id", "user_id", "value")
+        return (
+            counted.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    n1 = spark.read.parquet(out).count()
+    # restart with the same checkpoint — same input files, nothing new
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    n2 = spark.read.parquet(out).count()
+    expected = spark.read.parquet(f"{sf_small}/events.parquet").count()
+    assert n1 == expected
+    assert n2 == n1, "restart reprocessed already-committed input"
+
+
 def test_foreach_batch_merge(spark, sf_small, tmp_path):
     from etl_java_spark.streaming.events import foreach_batch_merge
 
