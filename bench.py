@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q82_returned_items",
     "q83_correlated_scalar",
     "q84_range_frame",
+    "q85_deterministic_corr",
 ]
 
 

@@ -830,6 +830,67 @@ def q84_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q85_deterministic_corr",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((sxy - sx * sy / n) / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 12) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * CAST(n - 1 AS DOUBLE)) AS covar_qty_price
+    FROM s
+    """,
+)
+def q85_deterministic_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance from EXACT decimal sums —
+    reproducible on any cluster size (built-in corr() accumulates
+    co-moments in doubles, order-dependent in the last bits).
+
+    corr is rounded to 12 decimals: the final double expression chain is
+    1 ulp sensitive to FP contraction differences between engines, the
+    one place decimal sums can't carry us all the way."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty, price = money("l_quantity"), money("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12
+        ).alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * (n - 1).cast("double"))).alias("covar_qty_price"),
+    )
+
+
+@_q("q86_freq_items")
+def q86_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items (stat sketch; engine-specific order ->
+    rows-only). Output sorted for stability."""
+    o = _t(spark, sf_dir, "orders")
+    fi = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
+    return fi.select(
+        F.sort_array("o_orderpriority_freqItems").alias("frequent_priorities"),
+        F.sort_array("o_orderstatus_freqItems").alias("frequent_statuses"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. Documents / text analysis (charter §2B)
 
