@@ -831,6 +831,172 @@ def q84_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q87_order_count_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY n_orders
+    """,
+)
+def q87_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram INCLUDING zero-order
+    customers (left outer + count of the nullable side)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@_q(
+    "q88_promo_revenue_share",
+    """
+    SELECT CAST(YEAR(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CASE WHEN p.p_type = 'widget'
+                 THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))) AS DOUBLE)
+           AS widget_share
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def q88_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation revenue ratio per year."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = (money("l_extendedprice") * (1 - money("l_discount"))).cast("decimal(38,6)")
+    widget = F.when(F.col("p_type") == "widget", disc).otherwise(F.lit(0).cast("decimal(38,6)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            (F.sum(widget).cast("double") / F.sum(disc).cast("double")).alias("widget_share")
+        )
+    )
+
+
+@_q(
+    "q89_having_in_subquery",
+    """
+    SELECT o.o_custkey, COUNT(*) AS n_big_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    GROUP BY o.o_custkey
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q89_having_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (semi join) + HAVING (post-aggregation filter)."""
+    o = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        o.join(rich, o.o_custkey == F.col("c_custkey"), "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big_orders"), dsum("o_totalprice").alias("total"))
+        .filter(F.col("n_big_orders") >= 5)
+    )
+
+
+@_q(
+    "q90_not_in_subquery",
+    """
+    SELECT p.p_brand, COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p.p_brand
+    """,
+)
+def q90_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN as a null-safe anti join + distinct count.
+
+    (The supplier key is non-null in the fixture; with nullable keys a
+    SQL NOT IN returns empty if the subquery yields any null — the
+    anti-join translation assumes the non-null invariant.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+@_q(
+    "q91_ordered_collect",
+    """
+    SELECT o_custkey,
+           LIST(o_orderkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS recent_orders
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    GROUP BY o_custkey
+    """,
+)
+def q91_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: last-3 order ids per customer, newest
+    first. collect_list order is nondeterministic, so the struct-sort
+    idiom (sort_array of (key, value) structs, then extract) makes it
+    deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    top3 = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    pairs = F.struct(
+        F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k")
+    )
+    return (
+        top3.groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list(pairs), asc=False).alias("__s"))
+        .select(
+            "o_custkey",
+            F.transform("__s", lambda s: s["k"]).alias("recent_orders"),
+        )
+    )
+
+
+@_q(
+    "q92_rank_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           NTH_VALUE(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q92_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / nth_value window surface."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+    )
+
+
+@_q(
     "q85_deterministic_corr",
     """
     WITH s AS (
