@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     "q83_correlated_scalar",
     "q84_range_frame",
     "q85_deterministic_corr",
+    "q87_order_count_distribution",
+    "q88_promo_revenue_share",
+    "q89_having_in_subquery",
+    "q90_not_in_subquery",
+    "q91_ordered_collect",
+    "q92_rank_functions",
 ]
 
 

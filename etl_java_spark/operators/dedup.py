@@ -24,6 +24,21 @@ from ..functions.text import fingerprint, tokens, word_shingles
 from ..functions.vectors import cosine
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition iff the input has fewer partitions than the
+    cluster has slots.
+
+    Explode-heavy operators burn their CPU map-side, BEFORE the first
+    shuffle; a small parquet scan (1-2 splits) pins that work onto 1-2
+    cores while the rest idle. At real scale (100 TB -> thousands of
+    input splits) the condition is false and no shuffle is added.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Exact dedup: distinct on cols (or all columns). One shuffle."""
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
@@ -63,12 +78,21 @@ def minhash_signature(
     # (measured 100x slowdown at sf0.1). The explode structurally
     # guarantees single evaluation, and the groupBy(id) min-agg is
     # map-side combinable -> shuffle carries only k longs per doc.
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("__sh"),
+    #
+    # Each shingle STRING is hashed exactly once (__h0, in the same
+    # codegen stage as the explode); the k family members rehash the
+    # 8-byte long, not the ~20-byte string — measured ~2x on the
+    # signature stage at sf0.1.
+    exploded = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("__sh"),
+        )
+        .select(F.col(id_col), F.xxhash64("__sh").alias("__h0"))
     )
     mins = [
-        F.min(F.xxhash64("__sh", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)
+        F.min(F.xxhash64("__h0", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)
     ]
     agged = exploded.groupBy(id_col).agg(*mins)
     return agged.select(
@@ -125,9 +149,14 @@ def jaccard_verify(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # Materialize the candidate shingle sets ONCE: both sides of the pair
+    # join reference this frame, and exchange reuse across the two rename
+    # chains is not guaranteed. Candidates are orders of magnitude smaller
+    # than the corpus, so the checkpoint is cheap at any scale.
     sets_df = (
         df.join(cand_ids, on=id_col, how="left_semi")
         .select(F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("__set"))
+        .localCheckpoint(eager=False)
     )
     j = (
         pairs.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "set_a"), "id_a")
@@ -168,6 +197,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     reassemble sign bits. One explode + one groupBy(id) with 64 sums —
     map-side partial aggregation keeps the shuffle small.
     """
+    # No _spread here: one xxhash64 per token is too cheap to amortize the
+    # round-robin shuffle (A/B at sf0.1: 1.3s unspread vs 1.6s spread).
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
     h = tok.withColumn("__h", F.xxhash64("__tok"))
     votes = [
