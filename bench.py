@@ -80,6 +80,13 @@ BENCH_QUERIES = [
     "q90_not_in_subquery",
     "q91_ordered_collect",
     "q92_rank_functions",
+    "q93_priority_line_counts",
+    "q94_top_supplier",
+    "q95_small_qty_revenue",
+    "q96_large_orders",
+    "q97_disjunctive_predicates",
+    "q98_sole_returning_supplier",
+    "q99_idle_rich_customers",
 ]
 
 
