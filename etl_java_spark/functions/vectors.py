@@ -74,6 +74,38 @@ def plane_band_hashes_udf(planes: list[list[float]], bands: int):
     return band_hashes
 
 
+def seeded_band_hashes_udf(seed: int, num_planes: int, bands: int):
+    """Like :func:`plane_band_hashes_udf`, but derives the plane matrix
+    lazily from the FIRST Arrow batch's vector dimension (deterministic
+    ``RandomState(seed)``), so callers don't need a driver-side
+    ``.first()`` job just to learn the embedding dim — one fewer job per
+    query, and no driver/executor dim mismatch at scale.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    if num_planes % bands:
+        raise ValueError("num_planes must be divisible by bands")
+    per_band = num_planes // bands
+    pw = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
+    state: dict = {}
+
+    @pandas_udf("array<bigint>")
+    def band_hashes(s: pd.Series) -> pd.Series:
+        M = np.stack(s.to_numpy()).astype(np.float64)  # batch x dim
+        if "P" not in state:
+            state["P"] = np.random.RandomState(seed).randn(num_planes, M.shape[1]).T
+        bits = (M @ state["P"]) >= 0.0  # batch x planes
+        hashes = np.stack(
+            [bits[:, b * per_band : (b + 1) * per_band].astype(np.int64) @ pw for b in range(bands)],
+            axis=1,
+        )
+        return pd.Series(list(hashes))
+
+    return band_hashes
+
+
 def l2_distance(a, b) -> Column:
     diffsq = F.zip_with(
         _c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))

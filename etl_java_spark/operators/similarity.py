@@ -160,25 +160,29 @@ def lsh_topk(
     product. Rank/result schema matches brute_force_topk, so callers can
     swap paths by data size.
     """
-    import numpy as np
+    from ..functions.vectors import seeded_band_hashes_udf
 
     query_id_col = query_id_col or id_col
-    rng = np.random.RandomState(seed)
-    dim = len(corpus.select(vec_col).first()[0])
-    planes = rng.randn(num_planes, dim).astype(float).tolist()
+    # Planes are derived executor-side from (seed, batch dim): no driver
+    # .first() job just to learn the embedding dimension.
+    hasher = seeded_band_hashes_udf(seed, num_planes, bands)
 
     def banded(df, idc, alias):
         return df.select(
             F.col(idc).alias(alias),
-            F.posexplode(_sign_bands(F.col(vec_col), planes, bands)).alias("band_idx", "band_hash"),
+            F.posexplode(hasher(F.col(vec_col))).alias("band_idx", "band_hash"),
         )
 
     cb = banded(corpus, id_col, "neighbor_id")
-    qb = banded(queries, query_id_col, "query_id")
-    # candidate generation moves ONLY ids through the band shuffle and the
-    # pair dedupe; vectors re-join afterwards (queries broadcast, corpus
-    # equi-join on id) — shuffling 64-float arrays through the band join
-    # and dropDuplicates measured ~2x slower at sf0.1
+    # The query side is small by contract (same assumption as
+    # brute_force_topk's broadcast): broadcasting its banded form makes
+    # candidate generation a map-only pass over the corpus — the corpus
+    # banding output is never shuffled.
+    qb = F.broadcast(banded(queries, query_id_col, "query_id"))
+    # candidate generation moves ONLY ids through the pair dedupe;
+    # vectors re-join afterwards (queries broadcast, corpus equi-join on
+    # id) — shuffling 64-float arrays through the band join and
+    # dropDuplicates measured ~2x slower at sf0.1
     cand_ids = (
         cb.join(qb, ["band_idx", "band_hash"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -189,9 +193,12 @@ def lsh_topk(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
     cvec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    # |candidates| <= |queries| * bucket width — broadcast them into the
+    # corpus-vector fetch so the full corpus is streamed, not shuffled.
     scored = (
-        cand_ids.join(F.broadcast(qvec), "query_id")
-        .join(cvec, "neighbor_id")
+        cvec.join(
+            F.broadcast(cand_ids.join(F.broadcast(qvec), "query_id")), "neighbor_id"
+        )
         .select(
             "query_id",
             "neighbor_id",
