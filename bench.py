@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q97_disjunctive_predicates",
     "q98_sole_returning_supplier",
     "q99_idle_rich_customers",
+    "q100_corpus_prep",
 ]
 
 

@@ -2346,3 +2346,76 @@ def q99_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_nationkey") % 5).cast("int").alias("nation_bucket"))
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
     )
+
+
+@_q(
+    "q100_corpus_prep",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), deduped AS (
+      SELECT MIN(doc_id) AS doc_id, text FROM corpus GROUP BY text
+    ), t AS (
+      SELECT doc_id,
+        LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '{_TOK_PATTERN}'), x -> x <> '') AS tk,
+        LENGTH(text) AS n_chars,
+        LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS n_punct,
+        LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS n_nonspace
+      FROM deduped
+    ), s AS (
+      SELECT doc_id, CAST(LEN(tk) AS INTEGER) AS n_tok,
+        (CASE WHEN LEN(tk) BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+         + CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) < 0.2
+                THEN 0.25 ELSE 0.0 END
+         + CASE WHEN LEN(tk) > 0 AND CAST(n_nonspace AS DOUBLE) / LEN(tk) >= 2.0
+                              AND CAST(n_nonspace AS DOUBLE) / LEN(tk) <= 12.0
+                THEN 0.25 ELSE 0.0 END) AS q,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['der','die','und','das','ist'], t))) AS s_de,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['the','and','of','to','is'], t))) AS s_en,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['el','la','de','que','y'], t))) AS s_es,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['le','la','et','les','des'], t))) AS s_fr
+      FROM t
+    ), labeled AS (
+      SELECT n_tok, q,
+             CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM s WHERE q >= 0.75
+    )
+    SELECT lang_pred, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           SUM(q) / COUNT(*) AS avg_quality
+    FROM labeled GROUP BY lang_pred
+    """,
+)
+def q100_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline: injected-dup corpus -> exact dedup
+    (keep-min-id) -> quality gate (score >= 0.75) -> language ID ->
+    per-language doc/token/quality stats.
+
+    One operator chain, three shuffles total (dedup fingerprint window,
+    final 4-group agg, and nothing else — scoring and language ID are
+    pure map-side codegen). avg_quality sums quarter-point doubles, which
+    are binary-exact, so the oracle comparison is bitwise.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    deduped = DD.exact_dedup_keep_min(dup, "text", "doc_id")
+    scored = deduped.select(
+        TX.quality_score("text", _TOK_PATTERN).alias("q"),
+        TX.lang_guess("text", _TOK_PATTERN).alias("lang_pred"),
+        F.size(TX.tokens("text", _TOK_PATTERN)).alias("n_tok"),
+    )
+    return (
+        scored.filter(F.col("q") >= 0.75)
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("q") / F.count("*")).alias("avg_quality"),
+        )
+    )
