@@ -2009,15 +2009,47 @@ def q79_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "q79_out", output_mode="append")
 
 
-@_q("q80_deterministic_sample")
+@_q(
+    "q80_deterministic_sample",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_sampled
+    FROM orders
+    WHERE ((o_orderkey * 2654435761) % 1000000007 * 524287) % 1000000007 % 10000 <
+          CASE o_orderpriority
+            WHEN '1-URGENT' THEN 2000
+            WHEN '2-HIGH' THEN 2000
+            WHEN '3-MEDIUM' THEN 1000
+            WHEN '4-NOT SPECIFIED' THEN 1000
+            ELSE 500 END
+    GROUP BY o_orderpriority
+    """,
+)
 def q80_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling with a fixed seed (sampleBy): deterministic for
-    a given partitioning, engine-specific -> rows-only."""
+    """Stratified sampling via an arithmetic key hash, not sampleBy(seed).
+
+    seed-based sampleBy draws per-partition, so the sample changes whenever
+    the partitioning does — useless for reproducible train/eval splits on a
+    cluster. Hashing the key with pure int64 arithmetic (two multiplicative
+    rounds mod a prime; intermediates < 2^63 by construction) makes the
+    sample a pure function of the row, identical on any partitioning and on
+    any engine — which also makes it oracle-checkable.
+    """
     o = _t(spark, sf_dir, "orders")
-    sampled = o.sampleBy("o_orderpriority", fractions={
-        "1-URGENT": 0.2, "2-HIGH": 0.2, "3-MEDIUM": 0.1, "4-NOT SPECIFIED": 0.1, "5-LOW": 0.05
-    }, seed=42)
-    return sampled.groupBy("o_orderpriority").agg(F.count("*").alias("n_sampled"))
+    bucket = (
+        F.col("o_orderkey").cast("long") * F.lit(2654435761).cast("long")
+    ) % 1000000007 * 524287 % 1000000007 % 10000
+    threshold = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 2000)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2000)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1000)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 1000)
+        .otherwise(500)
+    )
+    return (
+        o.filter(bucket < threshold)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_sampled"))
+    )
 
 
 @_q("q60_approx_distinct")
