@@ -1899,18 +1899,37 @@ def q74_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q67_token_budget")
+@_q(
+    "q67_token_budget",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS bpe_ish_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS rhash,
+           len(list_filter(
+             regexp_split_to_array(lower(trim(text)), '[^\p{L}\p{N}]+'),
+             x -> x <> '')) AS ws_tokens
+    FROM documents
+    """,
+)
 def q67_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish LLM-token budget estimate + rolling-hash fingerprint per doc
-    (engine-specific regex/hash -> rows-only)."""
+    """BPE-ish LLM-token budget estimate + rolling-hash fingerprint per doc.
+
+    Oracle-checked: the pretokenizer regex is RE2-compatible (DuckDB
+    ``regexp_extract_all``) and the polynomial hash is pure int64
+    arithmetic (DuckDB ``list_reduce``), so both engines agree exactly.
+    """
     from .functions.text import bpe_ish_token_count, rolling_hash
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_ish_tokens"),
         rolling_hash("text").alias("rhash"),
-        TX.token_count("text").alias("ws_tokens"),
+        TX.token_count("text").cast("long").alias("ws_tokens"),
     )
 
 
