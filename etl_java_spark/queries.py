@@ -936,7 +936,8 @@ def q90_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q91_ordered_collect",
     """
     SELECT o_custkey,
-           LIST(o_orderkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS recent_orders
+           STRING_AGG(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS recent_orders
     FROM (
       SELECT o_custkey, o_orderkey, o_orderdate,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -950,7 +951,12 @@ def q91_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation: last-3 order ids per customer, newest
     first. collect_list order is nondeterministic, so the struct-sort
     idiom (sort_array of (key, value) structs, then extract) makes it
-    deterministic."""
+    deterministic.
+
+    The ordered list is emitted as a comma-joined string, not an
+    array<bigint>: the driver's canonicalizer sorts rows with pandas and
+    dies on unhashable list cells (CORRECTNESS_r01 q91 err). Same
+    information, hash-friendly encoding (oracle mirrors via STRING_AGG)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
@@ -964,7 +970,9 @@ def q91_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(pairs), asc=False).alias("__s"))
         .select(
             "o_custkey",
-            F.transform("__s", lambda s: s["k"]).alias("recent_orders"),
+            F.array_join(
+                F.transform("__s", lambda s: s["k"].cast("string")), ","
+            ).alias("recent_orders"),
         )
     )
 
@@ -1047,13 +1055,19 @@ def q85_deterministic_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("q86_freq_items")
 def q86_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate frequent items (stat sketch; engine-specific order ->
-    rows-only). Output sorted for stability."""
+    """Approximate frequent items (stat sketch; engine-specific
+    guarantees -> rows-only). Arrays are comma-joined to plain strings so
+    the driver's pandas canonicalizer can sort/hash the row
+    (CORRECTNESS_r01 recorded an err on the raw array<string> columns)."""
     o = _t(spark, sf_dir, "orders")
     fi = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
     return fi.select(
-        F.sort_array("o_orderpriority_freqItems").alias("frequent_priorities"),
-        F.sort_array("o_orderstatus_freqItems").alias("frequent_statuses"),
+        F.array_join(F.sort_array("o_orderpriority_freqItems"), ",").alias(
+            "frequent_priorities"
+        ),
+        F.array_join(F.sort_array("o_orderstatus_freqItems"), ",").alias(
+            "frequent_statuses"
+        ),
     )
 
 
@@ -1720,11 +1734,27 @@ def q54_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("q55_multimodal_features")
 def q55_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column -> typed metadata struct ->
-    Arrow-batched mapInPandas feature extraction (codec stubbed)."""
+    Arrow-batched mapInPandas feature extraction (codec stubbed).
+
+    The float feature vector is summarized (dim + rounded L2 norm) so the
+    driver's rows-only canonicalizer never sees an array cell (see q91)."""
     from .operators.multimodal import extract_features, synthesize_media_table
 
     media = synthesize_media_table(spark, n=64)
-    return extract_features(media)
+    feats = extract_features(media)
+    scalar_cols = [
+        f.name
+        for f in feats.schema.fields
+        if not f.dataType.simpleString().startswith(("array", "map", "struct", "binary"))
+    ]
+    return feats.select(
+        *scalar_cols,
+        F.size("feature").alias("feature_dim"),
+        F.round(
+            F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))),
+            6,
+        ).alias("feature_l2"),
+    )
 
 
 @_q(
@@ -1949,16 +1979,20 @@ def q68_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q75_collect_list",
     """
     SELECT c_nationkey,
-           LIST(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+           STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
            COUNT(*) AS n
     FROM customer GROUP BY c_nationkey
     """,
 )
 def q75_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set -> sorted array (deterministic array aggregation)."""
+    """collect_set -> sorted array (deterministic array aggregation),
+    emitted comma-joined: the driver's canonicalizer cannot sort/hash
+    array cells (see q91)."""
     c = _t(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
         F.count("*").alias("n"),
     )
 
@@ -2406,8 +2440,16 @@ def q99_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), fp AS (
+      SELECT doc_id, text,
+             REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm
+      FROM corpus
     ), deduped AS (
-      SELECT MIN(doc_id) AS doc_id, text FROM corpus GROUP BY text
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id ASC) AS rn
+        FROM fp
+      ) WHERE rn = 1
     ), t AS (
       SELECT doc_id,
         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '{_TOK_PATTERN}'), x -> x <> '') AS tk,

@@ -36,9 +36,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             else:
                 import numpy as np
 
-                df[c] = df[c].map(
-                    lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
-                )
+                # The driver's canonicalizer sort_values-dies on list cells
+                # (CORRECTNESS_r01 q91/q86 err) — mirror that strictness here
+                # instead of tuple-izing, so local runs catch what the
+                # external gate would.
+                if any(
+                    isinstance(v, (list, tuple, np.ndarray, dict))
+                    for v in df[c].dropna().head(5)
+                ):
+                    raise TypeError(
+                        f"column {c!r} holds non-scalar cells; the driver's "
+                        "canonicalizer cannot hash these — emit array_join/"
+                        "to_json strings instead"
+                    )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
