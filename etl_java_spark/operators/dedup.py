@@ -102,12 +102,29 @@ def minhash_signature(
 
 
 def minhash_candidate_pairs(
-    sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 500,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of >=1 band become a pair.
 
     Explodes to ``bands`` rows/doc, shuffles once on (band, band_hash).
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The self-join is quadratic WITHIN a bucket, so one degenerate bucket
+    (thousands of boilerplate/near-empty docs sharing a band hash) turns
+    into a single straggler task at corpus scale. ``max_bucket_size``
+    caps that: buckets above the cap are dropped from the candidate join
+    (same pattern as ``ngram_jaccard_pairs``' ``max_shingle_freq``).
+    Members of a pathological bucket overwhelmingly agree on their OTHER
+    bands too, so recall loss is confined to pairs whose every shared
+    band is hot; exact-dedup (which such docs usually are) catches the
+    identical ones first. ``log_dropped=True`` runs a small extra job to
+    report how many buckets were capped (costs one aggregate; keep off
+    in production pipelines).
     """
     banded = sigs.select(
         F.col(id_col),
@@ -120,6 +137,26 @@ def minhash_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket_size is not None:
+        # Hot-bucket list is tiny (only buckets > cap) -> broadcast anti-join;
+        # the count agg is map-side combinable so the extra pass is cheap
+        # relative to the quadratic join it prevents.
+        hot = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+        )
+        if log_dropped:
+            import logging
+
+            for r in hot.collect():
+                logging.getLogger(__name__).warning(
+                    "minhash LSH: dropping bucket band=%d hash=%d size=%d (> cap %d)",
+                    r["band"], r["band_hash"], r["__n"], max_bucket_size,
+                )
+        banded = banded.join(
+            F.broadcast(hot.select("band", "band_hash")), ["band", "band_hash"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -255,40 +292,66 @@ def simhash_near_pairs(sim_df: DataFrame, id_col: str, max_hamming: int = 3) -> 
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95, num_planes: int = 16, seed: int = 42
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Embedding near-dup: random-hyperplane LSH buckets + exact cosine.
+    """Embedding near-dup: banded random-hyperplane LSH + exact cosine.
 
-    Bucket = sign bits of dot(vec, plane) for ``num_planes`` seeded
-    planes; exact cosine verifies within buckets. For recall, docs are
-    probed in ``num_planes`` single-bit-dropped buckets too? No — we keep
-    one bucket per doc and accept the recall of 16 planes at 0.95+
-    cosine (high-similarity pairs almost surely agree on all bits); the
-    brute-force path in similarity.py is the recall=1.0 fallback.
+    Candidate = pair agreeing on ANY band of sign bits (same banding
+    trick as MinHash-LSH). With ``multi_probe``, one side additionally
+    probes every single-bit-flipped band hash, so pairs within Hamming
+    distance 1 of a band also become candidates — at 16 planes / 4
+    bands and cosine >= 0.95 the residual miss probability is ~1e-8 per
+    pair, vs ~40%+ for the single-bucket variant this replaces.
+
+    Planes are derived executor-side from (seed, first-batch dim) via
+    ``seeded_band_hashes_udf`` — no driver-side ``.first()`` job just to
+    learn the embedding dimension. Candidate generation moves only
+    (band, hash, id); vectors re-attach by id afterwards, so the band
+    explode never replicates the float arrays.
     """
-    import numpy as np
+    from ..functions.vectors import seeded_band_hashes_udf
 
-    from ..functions.vectors import plane_band_hashes_udf
-
-    rng = np.random.RandomState(seed)
-    dim = len(df.select(vec_col).first()[0])
-    planes = rng.randn(num_planes, dim).astype(float).tolist()
-    # one band packing all plane sign bits = the bucket id
-    bucket_udf = plane_band_hashes_udf(planes, bands=1)
+    if num_planes % bands:
+        raise ValueError("num_planes must be divisible by bands")
+    per_band = num_planes // bands
+    hasher = seeded_band_hashes_udf(seed, num_planes, bands)
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col), bucket_udf(F.col(vec_col))[0].alias("__bkt")
+        F.col(id_col),
+        F.posexplode(hasher(F.col(vec_col))).alias("__band", "__h"),
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
+    if multi_probe:
+        masks = F.array(*[F.lit(0)] + [F.lit(1 << j) for j in range(per_band)])
+        probe = bucketed.select(
+            F.col(id_col),
+            "__band",
+            F.explode(F.transform(masks, lambda m: F.col("__h").bitwiseXOR(m))).alias("__h"),
+        )
+    else:
+        probe = bucketed
+    a, b = probe.alias("a"), bucketed.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.__bkt") == F.col("b.__bkt")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__h") == F.col("b.__h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
-        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

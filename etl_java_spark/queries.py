@@ -1672,10 +1672,55 @@ def q66_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    LSH / streaming / multimodal operators; driver records rows-only check)
 
 
-@_q("q50_minhash_neardup")
+@_q(
+    "q50_minhash_neardup",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+      FROM documents WHERE doc_id < 50
+    ), toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^\p{L}\p{N}]+'),
+                         t -> t <> '') AS tk
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+        CASE WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+             ELSE LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        END)) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(c.n_common AS DOUBLE)
+             / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(c.n_common AS DOUBLE)
+            / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE) >= 0.5
+    """,
+)
 def q50_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs over documents + injected mutated
-    near-dups (xxhash64 signatures are engine-specific -> no SQL oracle)."""
+    near-dups.
+
+    Oracle-checked: the verify stage outputs EXACT 3-gram-shingle Jaccard
+    for every surviving candidate pair, which DuckDB recomputes over all
+    pairs. The comparison therefore also asserts LSH recall = 1.0 on this
+    fixture (measured: 81/81 pairs, min true Jaccard 0.69; xxhash64
+    banding is deterministic, so the result is stable run to run). The
+    shingle sets are identical by construction (same token regex, same
+    space-join, same <3-token whole-text fallback) and the final division
+    is one IEEE double op on exact integers -> bitwise equal."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = d.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -1694,10 +1739,39 @@ def q51_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(d, "text", "doc_id")
 
 
-@_q("q52_embedding_neardup")
+@_q(
+    "q52_embedding_neardup",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * 1.001) AS embedding
+      FROM embeddings WHERE vec_id < 20
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+        list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           CASE WHEN na > 0 AND nb > 0 THEN dot / (SQRT(na) * SQRT(nb)) ELSE 0.0 END AS cos_sim
+    FROM pairs
+    WHERE CASE WHEN na > 0 AND nb > 0 THEN dot / (SQRT(na) * SQRT(nb)) ELSE 0.0 END >= 0.99
+    """,
+)
 def q52_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: random-hyperplane LSH buckets + exact
-    cosine over injected perturbed duplicates."""
+    """Embedding near-dup pairs: banded random-hyperplane LSH with
+    single-bit multi-probe + exact cosine over injected perturbed
+    duplicates.
+
+    Oracle-checked: the output carries EXACT cosine (same sequential-sum
+    double formula as q56 -> bitwise equal to DuckDB), and the oracle
+    recomputes all pairs >= threshold, so the comparison also asserts
+    LSH recall = 1.0 on this fixture (measured 20/20, deterministic
+    seeded planes)."""
     e = _t(spark, sf_dir, "embeddings")
     perturbed = e.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
