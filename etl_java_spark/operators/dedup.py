@@ -215,11 +215,15 @@ def minhash_dedup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature -> bands -> verify."""
     rows = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    pairs = minhash_candidate_pairs(sigs.filter(F.col("minhash_sig").isNotNull()), id_col, bands, rows)
+    pairs = minhash_candidate_pairs(
+        sigs.filter(F.col("minhash_sig").isNotNull()), id_col, bands, rows,
+        max_bucket_size=max_bucket_size,
+    )
     # The verify stage references the candidate list three times (id
     # semi-join + both sides of the set join); materialize it once —
     # candidates are tiny relative to the corpus.

@@ -31,6 +31,42 @@ def test_minhash_finds_neardups(spark):
     assert all(p in {(1, 2)} for p in got)
 
 
+def test_minhash_bucket_cap_bounds_degenerate_buckets(spark):
+    """10k identical docs share every band bucket: uncapped, the band
+    self-join materializes ~50M pairs per band (the 100 TB straggler
+    pattern). With the cap the candidate join must stay empty and finish
+    fast; near-dups OUTSIDE the hot bucket must still be found."""
+    import time
+
+    boiler = "subscribe to our newsletter terms and conditions apply " * 4
+    rows = [(i, boiler) for i in range(10_000)]
+    rows += [(20_001, "a genuinely unique document about spark shuffles " * 3),
+             (20_002, "a genuinely unique document about spark shuffles " * 3 + "tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    t0 = time.time()
+    pairs = DD.minhash_dedup_pairs(
+        df, "text", "doc_id", num_hashes=32, bands=8, threshold=0.3, max_bucket_size=100
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    elapsed = time.time() - t0
+    assert (20_001, 20_002) in got            # recall outside the hot bucket
+    assert all(a >= 20_000 for a, _ in got)   # capped bucket contributes no pairs
+    assert elapsed < 60, f"capped run took {elapsed:.0f}s — cap not effective"
+
+
+def test_minhash_uncapped_still_finds_identical(spark):
+    """Sanity: with the cap disabled the identical docs DO pair up (the
+    cap, not a bug, is what removes them above)."""
+    df = spark.createDataFrame(
+        [(i, "same text here repeated for shingles " * 2) for i in range(5)],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_dedup_pairs(
+        df, "text", "doc_id", num_hashes=32, bands=8, threshold=0.9, max_bucket_size=None
+    )
+    assert pairs.count() == 10  # all C(5,2) identical pairs
+
+
 def test_simhash_hamming(spark):
     # enough unique tokens that single-token edits move few bits
     base = " ".join(f"tok{i}" for i in range(80))
