@@ -68,6 +68,58 @@ def _sign_bands(vec_col, planes, bands: int):
     return plane_band_hashes_udf(planes, bands)(vec_col)
 
 
+# Multipliers for the arithmetic plane hash (two classic spatial-hash
+# primes; any pair of odd constants works — they only need to be THE SAME
+# in every engine that must reproduce the buckets).
+_PLANE_MULT_I = 73856093
+_PLANE_MULT_J = 19349663
+
+
+def arithmetic_plane_bands(vec_col, num_planes: int, bands: int):
+    """Band hashes from DETERMINISTIC arithmetic hyperplanes, entirely
+    JVM-side (whole-stage codegen, no Python/Arrow hop).
+
+    plane(i, j) = ((xor(i*73856093, j*19349663) % 2001) - 1000) / 1000.0
+
+    Every step is integer arithmetic plus one exactly-rounded IEEE
+    division and a SEQUENTIAL double sum, so any engine reproduces the
+    same sign bits bitwise — the q53 DuckDB oracle recomputes these
+    buckets and hash-matches. Uniform (not Gaussian) planes are fine for
+    sign-LSH: only the direction distribution matters and the symmetric
+    cube is isotropic enough at these plane counts.
+
+    Use this when bucket reproducibility across engines matters; the
+    numpy seeded variant (``seeded_band_hashes_udf``) wins CPU-wise once
+    num_planes is large enough for the matmul to dominate.
+    """
+    if num_planes % bands:
+        raise ValueError("num_planes must be divisible by bands")
+    per_band = num_planes // bands
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def plane_val(i: int, j):
+        h = F.lit(i * _PLANE_MULT_I).cast("long").bitwiseXOR(
+            j.cast("long") * F.lit(_PLANE_MULT_J)
+        )
+        return ((h % 2001) - 1000) / F.lit(1000.0)
+
+    def dot_with_plane(i: int):
+        # factory closure: Spark inspects lambda arity, so a default-arg
+        # capture (lambda x, j, i=i: ...) would read as a 3-arg lambda
+        prod = F.zip_with(v, idx, lambda x, j: x.cast("double") * plane_val(i, j))
+        return F.aggregate(prod, F.lit(0.0), lambda a, x: a + x)
+
+    bits = [(dot_with_plane(i) >= 0).cast("long") for i in range(num_planes)]
+    bands_cols = []
+    for b in range(bands):
+        h = F.lit(0).cast("long")
+        for r in range(per_band):
+            h = h + bits[b * per_band + r] * F.lit(1 << (per_band - 1 - r))
+        bands_cols.append(h)
+    return F.array(*bands_cols)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -79,21 +131,81 @@ def ivf_topk(
     seed: int = 42,
     sample_size: int = 10000,
     query_id_col: str | None = None,
+    centroids_df: DataFrame | None = None,
+    centroid_id_col: str = "cell",
 ) -> DataFrame:
-    """IVF approximate top-k: k-means cells + multi-probe exact re-rank.
+    """IVF approximate top-k: coarse-quantizer cells + multi-probe exact
+    re-rank.
 
-    Centroids are fit driver-side on a bounded sample (numpy Lloyd
-    iterations, deterministic seed) — the index build is one sample +
-    one assignment pass; a pyspark.ml KMeans drop-in works identically
-    when the sample must itself be distributed. Assignment is an
-    Arrow-vectorized matmul (argmin of distances); the probe join is an
-    equi-join on cell id.
+    By default centroids are fit driver-side with k-means on a bounded
+    sample (numpy Lloyd iterations, deterministic seed) — the index
+    build is one sample + one assignment pass; a pyspark.ml KMeans
+    drop-in works identically when the sample must itself be
+    distributed. Assignment is an Arrow-vectorized matmul (argmin of
+    distances); the probe join is an equi-join on cell id.
+
+    ``centroids_df`` supplies a PREBUILT coarse quantizer instead — the
+    production IVF pattern (index built offline, queries only probe).
+    With explicit centroids, assignment runs JVM-side (broadcast
+    centroids, sequential-sum squared distance, min-struct argmin with
+    (distance, cell) tie-break), which any engine reproduces bitwise —
+    the q74 oracle recomputes the same cells in DuckDB.
     """
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
     query_id_col = query_id_col or id_col
+
+    if centroids_df is not None:
+        cents = F.broadcast(
+            centroids_df.select(
+                F.col(centroid_id_col).alias("__cell"), F.col(vec_col).alias("__cent")
+            )
+        )
+
+        def assign(df, idc, out_id, n_probe):
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("__cent"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            scored = df.crossJoin(cents).select(
+                F.col(idc).alias(out_id),
+                F.col(vec_col).alias(f"__{out_id}_vec"),
+                d2.alias("__d2"),
+                F.col("__cell"),
+            )
+            w = Window.partitionBy(out_id).orderBy(F.col("__d2").asc(), F.col("__cell").asc())
+            return (
+                scored.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= n_probe)
+                .select(out_id, f"__{out_id}_vec", F.col("__cell").alias("cell"))
+            )
+
+        cb = assign(corpus, id_col, "neighbor_id", 1).withColumnRenamed(
+            "__neighbor_id_vec", "__cvec"
+        )
+        qb = assign(queries, query_id_col, "query_id", nprobe).withColumnRenamed(
+            "__query_id_vec", "__qvec"
+        )
+        cand = (
+            cb.join(qb, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        scored = cand.select(
+            "query_id", "neighbor_id", cosine(F.col("__qvec"), F.col("__cvec")).alias("cos_sim")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
     sample = np.stack(
         [r[0] for r in corpus.select(vec_col).limit(sample_size).collect()]
@@ -151,6 +263,7 @@ def lsh_topk(
     bands: int = 4,
     seed: int = 42,
     query_id_col: str | None = None,
+    hasher=None,
 ) -> DataFrame:
     """Approximate top-k: banded sign-LSH candidates + exact cosine re-rank.
 
@@ -159,13 +272,19 @@ def lsh_topk(
     Equi-join on (band_idx, band_hash): shuffle-partitionable, no cross
     product. Rank/result schema matches brute_force_topk, so callers can
     swap paths by data size.
+
+    ``hasher`` (vec column -> array<bigint> of band hashes) defaults to
+    the numpy seeded-plane UDF; pass
+    ``lambda c: arithmetic_plane_bands(c, n, b)`` for engine-reproducible
+    buckets (the q53 oracle path).
     """
     from ..functions.vectors import seeded_band_hashes_udf
 
     query_id_col = query_id_col or id_col
     # Planes are derived executor-side from (seed, batch dim): no driver
     # .first() job just to learn the embedding dimension.
-    hasher = seeded_band_hashes_udf(seed, num_planes, bands)
+    if hasher is None:
+        hasher = seeded_band_hashes_udf(seed, num_planes, bands)
 
     def banded(df, idc, alias):
         return df.select(

@@ -1784,14 +1784,78 @@ def q52_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@_q("q53_ann_topk")
+def _lsh_oracle_sql(num_planes: int, bands: int, k: int, n_queries: int) -> str:
+    """DuckDB SQL reproducing arithmetic_plane_bands sign-LSH + exact
+    re-rank bitwise (see operators/similarity.py:arithmetic_plane_bands:
+    integer plane hash, exactly-rounded division, sequential double sums)."""
+    per = num_planes // bands
+    dots = ",\n             ".join(
+        f"list_sum(list_transform(range(1, len(embedding)+1), j -> "
+        f"CAST(embedding[j] AS DOUBLE) * "
+        f"(((xor({i * 73856093}, (j-1)*19349663) % 2001) - 1000) / 1000.0))) AS d{i}"
+        for i in range(num_planes)
+    )
+    band_exprs = ", ".join(
+        " + ".join(
+            f"(CASE WHEN d{b * per + r} >= 0 THEN 1 ELSE 0 END) * {1 << (per - 1 - r)}"
+            for r in range(per)
+        )
+        for b in range(bands)
+    )
+    band_idxs = ", ".join(str(b) for b in range(bands))
+    return f"""
+    WITH dots AS (
+      SELECT vec_id,
+             {dots}
+      FROM embeddings
+    ), bands_c AS (
+      SELECT vec_id,
+             UNNEST([{band_idxs}]) AS band_idx,
+             UNNEST([{band_exprs}]) AS band_hash
+      FROM dots
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM (SELECT * FROM bands_c WHERE vec_id < {n_queries}) q
+      JOIN bands_c c USING (band_idx, band_hash)
+      WHERE c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+        list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nc
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc)) ELSE 0.0 END AS cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc)) ELSE 0.0 END DESC,
+                        neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@_q("q53_ann_topk", _lsh_oracle_sql(num_planes=16, bands=4, k=3, n_queries=5))
 def q53_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors: banded sign-LSH + exact re-rank."""
+    """Approximate nearest neighbors: banded sign-LSH + exact re-rank.
+
+    Oracle-checked END TO END: the planes are deterministic integer
+    arithmetic (arithmetic_plane_bands), so DuckDB reproduces the exact
+    candidate buckets, and the re-rank cosine is the q56 sequential-sum
+    formula -> the whole approximate result hash-matches. Recall vs
+    brute force is separately asserted in tests/test_dedup_similarity.py
+    (approximation quality), while this oracle pins approximation
+    CORRECTNESS (the algorithm computes exactly what it claims)."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
-    return SIM.lsh_topk(e, queries, "embedding", "vec_id", k=3).select(
-        "query_id", "neighbor_id", "cos_sim", "rank"
-    ).orderBy("query_id", "rank")
+    return SIM.lsh_topk(
+        e, queries, "embedding", "vec_id", k=3, num_planes=16, bands=4,
+        hasher=lambda c: SIM.arithmetic_plane_bands(c, 16, 4),
+    ).select("query_id", "neighbor_id", "cos_sim", "rank").orderBy("query_id", "rank")
 
 
 @_q("q54_stream_tumbling")
@@ -1993,14 +2057,68 @@ def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id").orderBy("doc_id")
 
 
-@_q("q74_ivf_ann")
+_IVF_D2 = (
+    "list_sum(list_transform(list_zip(v.embedding, c.cent), p -> "
+    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+
+
+@_q(
+    "q74_ivf_ann",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cent FROM embeddings WHERE vec_id < 8
+    ), assign_all AS (
+      SELECT vec_id, cell, rn FROM (
+        SELECT v.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_IVF_D2} ASC, c.cell ASC) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      )
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM (SELECT * FROM assign_all WHERE vec_id < 5 AND rn <= 3) q
+      JOIN (SELECT * FROM assign_all WHERE rn = 1) c USING (cell)
+      WHERE c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+        list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nc
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc)) ELSE 0.0 END AS cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc)) ELSE 0.0 END DESC,
+                        neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
 def q74_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means cells) approximate nearest neighbors with multi-probe."""
+    """IVF approximate nearest neighbors with a prebuilt coarse quantizer
+    and nprobe=3 multi-probe.
+
+    Oracle-checked END TO END: centroids are the first 8 corpus vectors
+    (the offline-index pattern — see ivf_topk's kmeans default for the
+    self-building variant, recall-tested in pytest), cell assignment is a
+    sequential-sum squared distance with (distance, cell) tie-break, and
+    the re-rank is the q56 cosine formula — DuckDB reproduces cells,
+    candidates, and scores bitwise."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
-    return SIM.ivf_topk(e, queries, "embedding", "vec_id", k=3, n_cells=8, nprobe=3).select(
-        "query_id", "neighbor_id", "cos_sim", "rank"
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), "embedding"
     )
+    return SIM.ivf_topk(
+        e, queries, "embedding", "vec_id", k=3, nprobe=3, centroids_df=cents
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
 @_q(

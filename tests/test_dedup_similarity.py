@@ -118,6 +118,47 @@ def test_lsh_topk_recall_on_fixture(spark, sf_small):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_arithmetic_plane_lsh_recall_and_determinism(spark, sf_small):
+    """The q53 path: arithmetic (engine-reproducible) planes. Recall vs
+    brute force, plus partition-independence of the band hashes."""
+    e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    # 2-bit bands (16/8): same operating point as the seeded-plane recall
+    # test above — this fixture's true neighbors are low-cosine, so
+    # recall is band-width-bound, not plane-arithmetic-bound
+    hasher = lambda c: SIM.arithmetic_plane_bands(c, 16, 8)  # noqa: E731
+    exact = SIM.brute_force_topk(e, q, "embedding", "vec_id", k=5).collect()
+    approx = SIM.lsh_topk(e, q, "embedding", "vec_id", k=5, hasher=hasher).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"arithmetic-plane LSH recall too low: {recall}"
+
+    h1 = e.select("vec_id", SIM.arithmetic_plane_bands("embedding", 16, 4).alias("h"))
+    h2 = e.repartition(7).select(
+        "vec_id", SIM.arithmetic_plane_bands("embedding", 16, 4).alias("h")
+    )
+    assert h1.exceptAll(h2).count() == 0  # same buckets under any partitioning
+
+
+def test_ivf_fixed_centroids_matches_probe_semantics(spark):
+    """Prebuilt-quantizer IVF: vectors near centroid A never probe into
+    unrelated cells at nprobe=1; self is excluded; ranks deterministic."""
+    rows = [(i, [float(i % 2) * 2 - 1, 1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    out = SIM.ivf_topk(
+        df, df.filter(F.col("vec_id") < 2), "embedding", "vec_id",
+        k=2, nprobe=1, centroids_df=cents,
+    ).collect()
+    for r in out:
+        # even ids cluster with centroid 0, odd with centroid 1
+        assert r.neighbor_id % 2 == r.query_id % 2
+        assert r.neighbor_id != r.query_id
+
+
 def test_embedding_neardup(spark):
     vecs = [
         (0, [0.5, 0.5, 0.1]),
