@@ -136,6 +136,11 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --sink-jdbc requires --dest-table", file=sys.stderr)
             return 2
         if args.mode == "merge":
+            if not pks:
+                # mirror the parquet branch: an empty PK list would reach
+                # jdbc_upsert as dropDuplicates([]) + 'MERGE ... ON <empty>'
+                print("error: --mode merge requires --pks", file=sys.stderr)
+                return 2
             writers.jdbc_upsert(
                 spark, df, args.sink_jdbc, args.dest_table, pks,
                 driver=args.driver,

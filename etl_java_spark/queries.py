@@ -2704,3 +2704,42 @@ def q100_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("q") / F.count("*")).alias("avg_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Registration order = the order the round driver's correctness gate runs
+# queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
+# entries, so the gate caps (or times out) around 50: queries with no
+# green row yet MUST come first or they stay unverified for another
+# round. Priority: oracle-bearing queries never checked in r1, then the
+# two r1 errors (fixed), then never-checked rows-only queries, then the
+# 48 already-green ones (re-confirmed only if the gate gets that far).
+
+_PRIORITY = [
+    # oracle-bearing, no CORRECTNESS row yet
+    "q46_quality_scores", "q58_array_functions", "q57_struct_map_columns",
+    "q59_explode_arrays", "q64_unpivot", "q65_deterministic_stats",
+    "q66_exact_percentiles", "q50_minhash_neardup", "q52_embedding_neardup",
+    "q53_ann_topk", "q56_brute_force_knn", "q69_salted_join",
+    "q70_two_phase_agg", "q71_repetition_quality", "q72_pii_scrub",
+    "q74_ivf_ann", "q67_token_budget", "q75_collect_list", "q76_pandas_udf",
+    "q78_intersect_except_all", "q80_deterministic_sample",
+    "q93_priority_line_counts", "q94_top_supplier", "q95_small_qty_revenue",
+    "q96_large_orders", "q97_disjunctive_predicates",
+    "q98_sole_returning_supplier", "q99_idle_rich_customers",
+    "q100_corpus_prep",
+    # errored in r1, fixed this round
+    "q91_ordered_collect", "q86_freq_items",
+    # rows-only, no CORRECTNESS row yet
+    "q51_simhash", "q54_stream_tumbling", "q55_multimodal_features",
+    "q73_dedup_clusters", "q68_stateful_stream", "q77_pack_sequences",
+    "q79_stream_stream_join", "q60_approx_distinct", "q61_approx_percentiles",
+    "q62_stream_sliding", "q63_stream_sessions",
+]
+
+_missing = [n for n in _PRIORITY if n not in QUERIES]
+assert not _missing, f"priority list names unknown queries: {_missing}"
+QUERIES = {
+    **{n: QUERIES[n] for n in _PRIORITY},
+    **{n: f for n, f in QUERIES.items() if n not in _PRIORITY},
+}

@@ -65,28 +65,95 @@ def merge_dataframes(
     return kept.unionByName(updates.select(*existing.columns))
 
 
+#: Above this many touched partitions the pruned MERGE falls back to a
+#: full rewrite: the IN-filter expression and the per-partition file
+#: churn stop paying for themselves once most of the table is touched.
+MAX_PRUNED_PARTITIONS = 10_000
+
+
+def _touched_partition_filter(updates: DataFrame, partition_by: Sequence[str]):
+    """(filter Column, n_partitions) selecting the partitions present in
+    ``updates``. Returns (None, n) past MAX_PRUNED_PARTITIONS.
+
+    The distinct partition tuples are collected driver-side — bounded by
+    the update batch's partition spread, the same contract as Delta's
+    ``replaceWhere``; this is metadata-sized, not data-sized.
+    """
+    vals = updates.select(*partition_by).distinct().limit(MAX_PRUNED_PARTITIONS + 1).collect()
+    if len(vals) > MAX_PRUNED_PARTITIONS:
+        return None, len(vals)
+    cond = None
+    for row in vals:
+        term = None
+        for c in partition_by:
+            v = row[c]
+            t = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            term = t if term is None else term & t
+        cond = term if cond is None else cond | term
+    return cond, len(vals)
+
+
 def merge_by_pk(
     spark: SparkSession,
     updates: DataFrame,
     path: str,
     pks: Sequence[str],
     fmt: str = "parquet",
+    partition_by: Sequence[str] | None = None,
 ) -> None:
     """Upsert ``updates`` into the table stored at ``path`` keyed on pks.
 
-    Emulated Delta MERGE: read-modify-atomic-rewrite. On Delta/Iceberg
-    this becomes a real ``MERGE INTO`` (file-level conflict detection,
-    no full rewrite); the API is stable either way.
+    Emulated Delta MERGE. With ``partition_by`` (a hive-partitioned sink
+    table), the merge is PARTITION-PRUNED: only partitions containing
+    updated rows are read (static literal pruning at the parquet scan)
+    and only those are rewritten (dynamic partition overwrite) — cost is
+    O(touched partitions), not O(table), which is the difference between
+    a usable and an unusable upsert at 100 TB. Untouched partitions'
+    files are not rewritten (byte-identical; see test_sinks).
+
+    Constraint (shared with every partition-pruned MERGE, incl. Delta's
+    replaceWhere): an update must not move a PK across partitions — the
+    stale row in the old partition would survive. Partition columns
+    should be PK-derived or immutable per PK.
+
+    Without ``partition_by`` this is a full read-modify-atomic-rewrite;
+    on Delta/Iceberg it becomes a real ``MERGE INTO`` (file-level
+    conflict detection). The API is stable either way.
     """
+    pks = list(pks)
     try:
         existing = spark.read.format(fmt).load(path)
     except Exception:
-        updates.dropDuplicates(list(pks)).write.format(fmt).mode("overwrite").save(path)
+        w = updates.dropDuplicates(pks).write.format(fmt).mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*list(partition_by))
+        w.save(path)
         return
+
+    if partition_by:
+        cond, _n = _touched_partition_filter(updates, partition_by)
+        if cond is not None:
+            merged = merge_dataframes(existing.filter(cond), updates, pks)
+            merged_local = merged.localCheckpoint(eager=True)
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                merged_local.write.format(fmt).mode("overwrite").partitionBy(
+                    *list(partition_by)
+                ).save(path)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            spark.catalog.refreshByPath(path)
+            return
+        # fall through: touched-partition list too large to prune
+
     merged = merge_dataframes(existing, updates, pks)
     # Materialize before overwriting the files we are reading from.
     merged_local = merged.localCheckpoint(eager=True)
-    merged_local.write.format(fmt).mode("overwrite").save(path)
+    w = merged_local.write.format(fmt).mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*list(partition_by))
+    w.save(path)
     # Drop stale file listings from the shared FileStatusCache so later
     # reads of this path don't reference the overwritten part files.
     spark.catalog.refreshByPath(path)
@@ -161,6 +228,8 @@ def jdbc_upsert(
     driver: str | None = None,
     batchsize: int = REFERENCE_BATCH_SIZE,
     staging_table: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
 ) -> None:
     """Reference #13 against a real JDBC destination: stage + server-side
     MERGE (SURVEY.md §2A row 13's scalable pattern).
@@ -173,6 +242,8 @@ def jdbc_upsert(
     the matching.
     """
     pks = list(pks)
+    if not pks:
+        raise ValueError("jdbc_upsert requires at least one primary key")
     stage = staging_table or f"{table}_stage"
     cols = df.columns
     _check_idents(table, stage, *cols, *pks)
@@ -181,8 +252,13 @@ def jdbc_upsert(
         raise ValueError(f"primary keys not in frame: {missing}")  # :336-342 parity
 
     df = df.dropDuplicates(pks)
+    creds = {}
+    if user is not None:
+        creds["user"] = user
+    if password is not None:
+        creds["password"] = password
     write_jdbc(df, url, stage, mode="overwrite", batchsize=batchsize,
-               **({"driver": driver} if driver else {}))
+               **({"driver": driver} if driver else {}), **creds)
 
     # Spark's JDBC writer creates the staging table with QUOTED (case-
     # sensitive) column names; the destination keeps its owner's naming,
@@ -198,7 +274,7 @@ def jdbc_upsert(
         f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
     )
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    conn = _jdbc_connect(spark, url, user, password, driver)
     try:
         stmt = conn.createStatement()
         stmt.executeUpdate(sql)
@@ -207,9 +283,28 @@ def jdbc_upsert(
         conn.close()
 
 
-def jdbc_execute(spark: SparkSession, url: str, sql: str) -> None:
+def _jdbc_connect(spark, url, user=None, password=None, driver=None):
+    """DriverManager connection honoring the same credentials/driver the
+    staging write used — the reference registers the driver class and
+    passes user/password explicitly (ETLProcess.java:66-75)."""
+    if driver:
+        spark._jvm.java.lang.Class.forName(driver)
+    dm = spark._jvm.java.sql.DriverManager
+    if user is not None:
+        return dm.getConnection(url, user, password or "")
+    return dm.getConnection(url)
+
+
+def jdbc_execute(
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+) -> None:
     """Run one DDL/DML statement on a JDBC destination (tests/setup)."""
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    conn = _jdbc_connect(spark, url, user, password, driver)
     try:
         stmt = conn.createStatement()
         stmt.execute(sql)

@@ -48,11 +48,24 @@ def ensure_fixture_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
 def ship_package(spark: SparkSession) -> None:
-    """addPyFile a zip of etl_java_spark once per session (idempotent)."""
+    """addPyFile a zip of etl_java_spark once per SparkContext (idempotent).
+
+    The guard is a process-global set keyed by context id plus a check of
+    ``sc._python_includes`` — NOT ``setLocalProperty``, which is
+    thread-local and would re-zip + re-ship from every new thread of a
+    multithreaded driver, accumulating temp zips over a long session.
+    """
     sc = spark.sparkContext
-    tag = "etl_java_spark_shipped"
-    if sc.getLocalProperty(tag):
+    ctx_key = id(sc)
+    if ctx_key in _SHIPPED_CONTEXTS:
+        return
+    includes = getattr(sc, "_python_includes", None) or []
+    if any("etl_java_spark_" in str(p) for p in includes):
+        _SHIPPED_CONTEXTS.add(ctx_key)
         return
     import tempfile
     import zipfile
@@ -68,7 +81,7 @@ def ship_package(spark: SparkSession) -> None:
                     full = os.path.join(dirpath, f)
                     zf.write(full, os.path.relpath(full, root))
     sc.addPyFile(zpath)
-    sc.setLocalProperty(tag, "1")
+    _SHIPPED_CONTEXTS.add(ctx_key)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -39,6 +39,63 @@ def test_merge_by_pk_roundtrip(spark, tmp_path):
     assert _rows(spark.read.parquet(path)) == [(1, "a"), (2, "B"), (3, "C")]
 
 
+def _partition_files(path):
+    import hashlib
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, path)] = hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+    return out
+
+
+def test_merge_by_pk_partition_pruned(spark, tmp_path):
+    """Partitioned MERGE rewrites ONLY touched partitions: untouched
+    partitions' files stay byte-identical, results match the unpruned
+    semantics, and new partition values are created."""
+    path = str(tmp_path / "ptbl")
+    base = spark.createDataFrame(
+        [(1, "2024-01", "a"), (2, "2024-01", "b"), (3, "2024-02", "c"), (4, "2024-03", "d")],
+        "id int, month string, v string",
+    )
+    merge_by_pk(spark, base, path, ["id"], partition_by=["month"])
+    before = _partition_files(path)
+    assert any("month=2024-02" in k for k in before)
+
+    upd = spark.createDataFrame(
+        [(2, "2024-01", "B"), (5, "2024-04", "E")], "id int, month string, v string"
+    )
+    merge_by_pk(spark, upd, path, ["id"], partition_by=["month"])
+    after = _partition_files(path)
+
+    untouched_before = {k: v for k, v in before.items() if "month=2024-01" not in k}
+    untouched_after = {k: v for k, v in after.items() if "month=2024-01" not in k and "month=2024-04" not in k}
+    assert untouched_before == untouched_after  # 2024-02/03 files untouched, byte-identical
+    assert any("month=2024-04" in k for k in after)  # new partition created
+
+    got = sorted(tuple(r) for r in spark.read.parquet(path).select("id", "month", "v").collect())
+    assert got == [
+        (1, "2024-01", "a"), (2, "2024-01", "B"), (3, "2024-02", "c"),
+        (4, "2024-03", "d"), (5, "2024-04", "E"),
+    ]
+
+
+def test_merge_by_pk_partitioned_idempotent(spark, tmp_path):
+    path = str(tmp_path / "ptbl2")
+    base = spark.createDataFrame([(1, "x", "a")], "id int, part string, v string")
+    merge_by_pk(spark, base, path, ["id"], partition_by=["part"])
+    upd = spark.createDataFrame([(1, "x", "A"), (2, "y", "B")], "id int, part string, v string")
+    merge_by_pk(spark, upd, path, ["id"], partition_by=["part"])
+    merge_by_pk(spark, upd, path, ["id"], partition_by=["part"])
+    got = sorted(tuple(r) for r in spark.read.parquet(path).select("id", "part", "v").collect())
+    assert got == [(1, "x", "A"), (2, "y", "B")]
+
+
 def test_insert_if_absent_all_columns(spark):
     existing = spark.createDataFrame([(1, "a")], "id int, v string")
     new = spark.createDataFrame([(1, "a"), (1, "x"), (2, "b"), (2, "b")], "id int, v string")
