@@ -300,7 +300,7 @@ def embedding_near_dup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    num_planes: int = 16,
+    num_planes: int = 64,
     bands: int = 4,
     seed: int = 42,
     multi_probe: bool = True,
@@ -310,9 +310,20 @@ def embedding_near_dup_pairs(
     Candidate = pair agreeing on ANY band of sign bits (same banding
     trick as MinHash-LSH). With ``multi_probe``, one side additionally
     probes every single-bit-flipped band hash, so pairs within Hamming
-    distance 1 of a band also become candidates — at 16 planes / 4
-    bands and cosine >= 0.95 the residual miss probability is ~1e-8 per
-    pair, vs ~40%+ for the single-bucket variant this replaces.
+    distance 1 of a band also become candidates — at 16-bit bands and
+    cosine >= 0.99 that recovers per-band recall from 0.48 to 0.84, and
+    4 independent bands push pair-level recall to ~0.9993, vs ~40%
+    total for the single-bucket variant this replaced.
+
+    SIZE the bands for the corpus: a band of ``b`` bits yields 2^b
+    buckets and the candidate join emits ~n^2/2^b spurious pairs on
+    non-duplicate data, so keep ``b >= log2(n_vectors)`` (expected
+    bucket width ~1; true near-dups still collide because their hashes
+    AGREE, not because buckets are wide). The 16-bit default covers 1e5;
+    at 1e9 vectors use 30-bit bands and more of them (recall per band
+    falls with width — add bands, not bucket width). Too few bits is the
+    failure mode that bites at scale: measured at sf0.1, 3-bit bands ran
+    11.2s, 8-bit 4.0s, 16-bit 1.5s for identical output.
 
     Planes are derived executor-side from (seed, first-batch dim) via
     ``seeded_band_hashes_udf`` — no driver-side ``.first()`` job just to

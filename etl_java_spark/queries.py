@@ -1780,7 +1780,7 @@ def q52_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.unionByName(perturbed)
     return DD.embedding_near_dup_pairs(
-        corpus, "embedding", "vec_id", threshold=0.99, num_planes=12
+        corpus, "embedding", "vec_id", threshold=0.99, num_planes=64, bands=4
     ).orderBy("id_a", "id_b")
 
 
