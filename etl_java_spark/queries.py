@@ -2707,6 +2707,92 @@ def q100_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 8. CDC / changelog processing (operators/cdc.py) — the scale form of the
+#    reference's upsert loading (ETLProcess.java:208-282)
+
+
+@_q(
+    "q101_cdc_snapshot",
+    """
+    WITH ops AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ops
+    )
+    SELECT user_id, ts AS last_change, event_type AS last_event,
+           value AS last_value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q101_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins compaction: the events table read as a changelog
+    (user_id = PK, ts+event_id = change order, 'error' = delete).
+
+    Scale: one shuffle on the PK; a PK's full history is one window
+    group — bounded by feed semantics, never by table size.
+    """
+    from .operators import cdc as CDC
+
+    ev = _t(spark, sf_dir, "events")
+    ops = ev.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    snap = CDC.latest_snapshot(
+        ops, ["user_id"], "ts", seq_cols=["event_id"], op_col="op"
+    )
+    return snap.select(
+        "user_id",
+        F.col("ts").alias("last_change"),
+        F.col("event_type").alias("last_event"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@_q(
+    "q102_scd2_history",
+    """
+    WITH ops AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ), v AS (
+      SELECT user_id, event_id, value, op, ts AS valid_from,
+             LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
+      FROM ops
+    )
+    SELECT user_id, event_id, value, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM v WHERE op <> 'D'
+    """,
+)
+def q102_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 historization: every change becomes a validity interval
+    [valid_from, valid_to); deletes close intervals but emit no version.
+
+    Scale: identical shuffle shape to q101 (window over PK) — lead() and
+    row_number() share the same sort, so snapshot + history in one pass
+    costs one shuffle total.
+    """
+    from .operators import cdc as CDC
+
+    ev = _t(spark, sf_dir, "events")
+    ops = ev.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    hist = CDC.scd2_history(
+        ops, ["user_id"], "ts", seq_cols=["event_id"], op_col="op"
+    )
+    return hist.select(
+        "user_id", "event_id", "value", "valid_from", "valid_to", "is_current"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
 # entries, so the gate caps (or times out) around 50: queries with no
@@ -2727,7 +2813,7 @@ _PRIORITY = [
     "q93_priority_line_counts", "q94_top_supplier", "q95_small_qty_revenue",
     "q96_large_orders", "q97_disjunctive_predicates",
     "q98_sole_returning_supplier", "q99_idle_rich_customers",
-    "q100_corpus_prep",
+    "q100_corpus_prep", "q101_cdc_snapshot", "q102_scd2_history",
     # errored in r1, fixed this round
     "q91_ordered_collect", "q86_freq_items",
     # rows-only, no CORRECTNESS row yet
