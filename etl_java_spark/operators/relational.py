@@ -221,6 +221,53 @@ def grouping_sets(df: DataFrame, view_name: str, sets_sql: str, agg_sql: str, sp
     return spark.sql(f"SELECT {agg_sql} FROM {view_name} GROUP BY GROUPING SETS {sets_sql}")
 
 
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    how: str = "inner",
+) -> DataFrame:
+    """Edit-distance join without the cross product, via length banding.
+
+    Edit distance is >= the length difference, so banding on string
+    length is a COMPLETE blocking: explode the left side over target
+    lengths len-d..len+d, equi-join on length, then the exact
+    ``levenshtein`` filter (threshold form — early-exits once the
+    running distance exceeds ``max_dist``). Result keeps both frames'
+    columns plus ``dist``.
+
+    Scale: the explode factor is (2d+1); the join is an equi-join on
+    length, so it shuffles instead of cross-producting. Length alone is
+    a coarse key (many strings share a length) — for corpora where one
+    length bucket dominates, compose with an additional sound filter
+    (e.g. ``ngram_jaccard_pairs``'s shingle index) before the
+    levenshtein pass rather than an unsound first-letter block.
+    Column names must be disjoint between the two frames.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"fuzzy_join requires disjoint column names; both sides have {overlap}")
+    l = left.withColumn(
+        "__len",
+        F.explode(
+            F.sequence(
+                F.greatest(F.length(left_col) - max_dist, F.lit(0)),
+                F.length(left_col) + max_dist,
+            )
+        ),
+    )
+    r = right.withColumn("__rlen", F.length(right_col))
+    dist = F.levenshtein(F.col(left_col), F.col(right_col), max_dist)
+    return (
+        l.join(r, l["__len"] == r["__rlen"], how)
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)  # threshold form returns -1 when exceeded
+        .drop("__len", "__rlen")
+    )
+
+
 def pivot_table(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -1,0 +1,88 @@
+"""Time-series resampling and gap-filling (charter §2B).
+
+The events fixture is an append-only event stream; analytics over it
+routinely need a REGULAR grid (one row per key per interval) with gaps
+filled — the batch analogue of what streaming windows give online.
+
+Plan shape (all JVM-side, no UDFs):
+
+1. bucket observations with ``date_trunc`` and aggregate per
+   (key, bucket) — one shuffle, map-side combine applies;
+2. per key, span the grid with ``sequence(min, max, interval)`` +
+   ``explode`` — grid rows are generated distributed, never on the
+   driver;
+3. left-join observations onto the grid — equi-join on (key, bucket),
+   AQE-broadcastable when the observed side is small;
+4. forward-fill with ``last(ignorenulls)`` over an unbounded-preceding
+   row frame — one window shuffle that reuses the same key
+   partitioning.
+
+Scale: the grid size is (span / interval) per key, independent of the
+event count — a key observed for a year at hourly grain is 8,760 rows
+no matter how many raw events it has. ``max_buckets_per_key`` guards
+against a pathological key (decades-long span at fine grain) turning
+explode into a straggler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    agg: Column,
+    unit: str = "hour",
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Regularize ``df`` to one row per (key, ``unit`` bucket) between each
+    key's first and last observation, forward-filling empty buckets.
+
+    ``agg`` is the per-bucket aggregate expression (pass a deterministic
+    one — e.g. decimal-backed ``davg`` — when cross-engine bitwise
+    equality matters). Result: (key, bucket, observed, filled, is_gap).
+    """
+    b = df.withColumn("__bucket", F.date_trunc(unit, F.col(ts_col)))
+    obs = b.groupBy(key_col, "__bucket").agg(agg.alias("observed"))
+    spans = obs.groupBy(key_col).agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    n_buckets = F.expr(f"timestampdiff({unit.upper()}, __lo, __hi)") + 1
+    # assert_true must feed the SELECTED expression — a free-standing
+    # guard column would be dropped by Catalyst's column pruning and
+    # never evaluated.
+    ok = F.assert_true(
+        n_buckets <= max_buckets_per_key,
+        F.concat(
+            F.lit("resample_gapfill: key "),
+            F.col(key_col).cast("string"),
+            F.lit(f" spans more than {max_buckets_per_key} {unit} buckets"),
+        ),
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.when(
+                ok.isNull(),
+                F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL 1 {unit}")),
+            )
+        ).alias("bucket"),
+    )
+    joined = grid.join(
+        obs.withColumnRenamed("__bucket", "bucket"), [key_col, "bucket"], "left"
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        "observed",
+        F.last("observed", ignorenulls=True).over(w).alias("filled"),
+        F.col("observed").isNull().alias("is_gap"),
+    )

@@ -2792,6 +2792,80 @@ def q102_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q103_gapfill",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+               / CAST(COUNT(value) AS DOUBLE) AS observed
+      FROM events WHERE user_id < 25
+      GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM spans
+    )
+    SELECT g.user_id, g.bucket, o.observed,
+           LAST_VALUE(o.observed IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           (o.observed IS NULL) AS is_gap
+    FROM grid g LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.bucket = o.bucket
+    """,
+)
+def q103_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + forward fill per user (operators/timeseries.py).
+
+    Scale: grid size is span/interval per key — independent of event
+    volume; distributed sequence+explode, no driver-side grid. Decimal
+    per-bucket average keeps the fill values bitwise-equal to DuckDB.
+    """
+    from .operators.timeseries import resample_gapfill
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    return resample_gapfill(ev, "user_id", "ts", davg("value"), "hour")
+
+
+@_q(
+    "q104_fuzzy_join",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+         mutated AS (
+           SELECT concat(substr(p_name, 1, 2), substr(p_name, 4,
+                         length(p_name))) AS typo
+           FROM names
+         )
+    SELECT m.typo, n.p_name AS matched,
+           levenshtein(m.typo, n.p_name) AS dist
+    FROM mutated m JOIN names n
+      ON abs(length(m.typo) - length(n.p_name)) <= 1
+     AND levenshtein(m.typo, n.p_name) <= 1
+    """,
+)
+def q104_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance <= 1) self-match of part names against
+    deterministically misspelled copies (3rd char dropped).
+
+    Scale: relational.fuzzy_join length-banding — explode factor 3,
+    equi-join on length, threshold levenshtein; never a cross product.
+    """
+    part = _t(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    mutated = names.select(
+        F.concat(
+            F.substring("p_name", 1, 2),
+            F.col("p_name").substr(F.lit(4), F.length("p_name")),
+        ).alias("typo")
+    )
+    out = R.fuzzy_join(mutated, names, "typo", "p_name", max_dist=1)
+    return out.select(
+        "typo", F.col("p_name").alias("matched"), F.col("dist").cast("long").alias("dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
@@ -2814,6 +2888,7 @@ _PRIORITY = [
     "q96_large_orders", "q97_disjunctive_predicates",
     "q98_sole_returning_supplier", "q99_idle_rich_customers",
     "q100_corpus_prep", "q101_cdc_snapshot", "q102_scd2_history",
+    "q103_gapfill", "q104_fuzzy_join",
     # errored in r1, fixed this round
     "q91_ordered_collect", "q86_freq_items",
     # rows-only, no CORRECTNESS row yet
