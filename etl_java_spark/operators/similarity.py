@@ -120,6 +120,39 @@ def arithmetic_plane_bands(vec_col, num_planes: int, bands: int):
     return F.array(*bands_cols)
 
 
+def fit_centroids_ml(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Fit IVF coarse-quantizer centroids with pyspark.ml KMeans — the
+    fully distributed index build for when the corpus sample itself
+    must be distributed (the 100 TB path; the driver-side numpy fit in
+    ``ivf_topk`` is bounded to a 10k sample).
+
+    Returns a tiny (n_cells rows) DataFrame shaped for
+    ``ivf_topk(centroids_df=...)``: (cell int, <vec_col> array<double>).
+    KMeans'' cost is O(rows * cells * iters) map-side with only cluster
+    sums shuffled per iteration — no all-pairs stage.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, f"{cell_col} int, {vec_col} array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

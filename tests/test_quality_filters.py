@@ -75,3 +75,20 @@ def test_ivf_recall_on_fixture(spark, sf_small):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_ml_kmeans_centroids_recall(spark, sf_small):
+    """Distributed index build: pyspark.ml KMeans centroids feed the
+    same prebuilt-quantizer probe path as hand-supplied centroids."""
+    e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    cents = SIM.fit_centroids_ml(e, "embedding", n_cells=8, seed=42)
+    assert cents.count() == 8
+    exact = SIM.brute_force_topk(e, q, "embedding", "vec_id", k=5).collect()
+    approx = SIM.ivf_topk(
+        e, q, "embedding", "vec_id", k=5, nprobe=4, centroids_df=cents
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF(ml-kmeans) recall too low: {recall}"
