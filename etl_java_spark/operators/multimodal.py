@@ -7,11 +7,12 @@ Media travels as an opaque ``binary`` column plus a typed metadata struct:
 
 The Spark-side plumbing — schema, binaryFile reads, Arrow-batched
 mapInPandas feature extraction, partition sizing — is real and tested.
-The actual codec step (JPEG decode, audio resample, video frame-sample)
-requires image/audio libs not present in this container, so the codec is
-a pluggable function; the default is a deterministic fake (hash-derived
-"features") clearly marked, and ``decode_real`` raises NotImplementedError
-until a codec is injected.
+The codec is a pluggable function. WAV/BMP/PPM/PNG decode FOR REAL via
+the pure-stdlib/numpy codecs in operators/codecs.py (``decode_real`` /
+``codecs.stdlib_codec``); JPEG and video need an injected library
+(Pillow/PyAV) and raise NotImplementedError until one is supplied. The
+default codec for ``extract_features`` remains the deterministic fake —
+mime-agnostic, so it exercises the distributed path on any bytes.
 """
 
 from __future__ import annotations
@@ -64,6 +65,9 @@ def attach_media_meta(
         mime = (
             F.when(F.col(uri_col).endswith(".jpg") | F.col(uri_col).endswith(".jpeg"), "image/jpeg")
             .when(F.col(uri_col).endswith(".png"), "image/png")
+            .when(F.col(uri_col).endswith(".bmp"), "image/bmp")
+            .when(F.col(uri_col).endswith(".ppm"), "image/x-portable-pixmap")
+            .when(F.col(uri_col).endswith(".pgm"), "image/x-portable-graymap")
             .when(F.col(uri_col).endswith(".wav"), "audio/wav")
             .when(F.col(uri_col).endswith(".mp4"), "video/mp4")
             .otherwise("application/octet-stream")
@@ -80,11 +84,13 @@ def attach_media_meta(
 
 
 def decode_real(content: bytes, mime: str):
-    """Real codec hook — inject Pillow/torchaudio/PyAV here in production."""
-    raise NotImplementedError(
-        "media codecs (Pillow/PyAV/torchaudio) are not available in this "
-        "environment; pass a codec= callable to extract_features"
-    )
+    """Real decode: WAV/BMP/PPM/PNG are decoded for real with the
+    pure-stdlib/numpy codecs in operators/codecs.py; JPEG and video
+    still raise NotImplementedError until a codec (Pillow/PyAV) is
+    injected — those formats are not stdlib-decodable."""
+    from .codecs import decode_any
+
+    return decode_any(content, mime)
 
 
 def _fake_codec(content: bytes, mime: str) -> list[float]:
@@ -136,5 +142,38 @@ def synthesize_media_table(spark: SparkSession, n: int = 64, seed: int = 42) -> 
         content = bytes(((i * 131 + j * 17 + seed) % 256) for j in range(256 + i))
         mime = ["image/jpeg", "image/png", "audio/wav", "video/mp4"][i % 4]
         rows.append((f"mem://media/{i}", mime, bytearray(content)))
+    df = spark.createDataFrame(rows, "path string, mime string, content binary")
+    return attach_media_meta(df, mime_col="mime")
+
+
+def synthesize_real_media_table(spark: SparkSession, n: int = 32, seed: int = 42) -> DataFrame:
+    """Deterministic table of REAL media bytes (valid BMP/PNG/PPM/WAV
+    files synthesized with operators/codecs.py encoders) — every row is
+    decodable by the stdlib codec path, no external libs needed."""
+    import numpy as np
+
+    from . import codecs as C
+
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(seed + i)
+        kind = i % 4
+        if kind == 0:
+            img = rng.randint(0, 256, size=(8 + i % 5, 11 + i % 7, 3), dtype=np.uint8)
+            rows.append((f"mem://media/{i}.bmp", "image/bmp", bytearray(C.encode_bmp(img))))
+        elif kind == 1:
+            img = rng.randint(0, 256, size=(6 + i % 5, 9 + i % 7, 3), dtype=np.uint8)
+            rows.append(
+                (f"mem://media/{i}.png", "image/png", bytearray(C.encode_png(img, filter_type=i % 5)))
+            )
+        elif kind == 2:
+            img = rng.randint(0, 256, size=(7 + i % 5, 10 + i % 7, 3), dtype=np.uint8)
+            rows.append(
+                (f"mem://media/{i}.ppm", "image/x-portable-pixmap", bytearray(C.encode_ppm(img)))
+            )
+        else:
+            t = np.arange(800 + 50 * (i % 4)) / 8000.0
+            tone = 0.5 * np.sin(2 * np.pi * (220.0 + 20 * i) * t)
+            rows.append((f"mem://media/{i}.wav", "audio/wav", bytearray(C.encode_wav(tone))))
     df = spark.createDataFrame(rows, "path string, mime string, content binary")
     return attach_media_meta(df, mime_col="mime")

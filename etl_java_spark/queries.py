@@ -1895,6 +1895,37 @@ def q55_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q105_real_codec_features")
+def q105_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: valid BMP/PNG/PPM/WAV bytes
+    (synthesized with operators/codecs.py encoders) -> Arrow-batched
+    mapInPandas -> stdlib decode (PNG unfiltering, PCM parse) ->
+    per-mime feature summary.
+
+    Rows-only by nature (DuckDB cannot decode PNG); determinism comes
+    from fixed seeds + per-row rounding before the decimal-exact
+    group sum."""
+    from .operators.codecs import stdlib_codec
+    from .operators.multimodal import extract_features, synthesize_real_media_table
+
+    media = synthesize_real_media_table(spark, n=32)
+    feats = extract_features(media, codec=stdlib_codec)
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        feats.select("mime", F.size("feature").alias("feature_dim"), l2.alias("l2"))
+        .groupBy("mime", "feature_dim")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum("l2").cast("double") / F.count("*")).alias("avg_l2"),
+        )
+    )
+
+
 @_q(
     "q56_brute_force_knn",
     """
@@ -2950,6 +2981,7 @@ _PRIORITY = [
     "q91_ordered_collect", "q86_freq_items",
     # rows-only, no CORRECTNESS row yet
     "q51_simhash", "q54_stream_tumbling", "q55_multimodal_features",
+    "q105_real_codec_features",
     "q73_dedup_clusters", "q68_stateful_stream", "q77_pack_sequences",
     "q79_stream_stream_join", "q60_approx_distinct", "q61_approx_percentiles",
     "q62_stream_sliding", "q63_stream_sessions",
