@@ -2880,6 +2880,39 @@ def q102_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Morton interleave, unrolled per bit for the DuckDB oracle: bit i of
+# dimension j lands at position i*ndims + j (dims = [p_size, p_partkey]),
+# mirroring sinks.clustering.zorder_key exactly.
+_Z8_TERMS = " | ".join(
+    [f"((((p_size % 256) >> {i}) & 1) << {2 * i})" for i in range(8)]
+    + [f"((((p_partkey % 256) >> {i}) & 1) << {2 * i + 1})" for i in range(8)]
+)
+
+
+@_q(
+    "q106_zorder_key",
+    f"""
+    SELECT p_partkey, CAST({_Z8_TERMS} AS BIGINT) AS zkey
+    FROM part
+    """,
+)
+def q106_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: pure shift/and/or bit interleave,
+    whole-stage-codegen friendly (sinks/clustering.py:zorder_key).
+
+    Scale: the key costs zero shuffles to compute; clustering on it is
+    the one repartitionByRange the write needs anyway, and buys
+    row-group pruning on every interleaved dimension."""
+    from .sinks.clustering import zorder_key
+
+    part = _t(spark, sf_dir, "part")
+    key = zorder_key(
+        [F.pmod(F.col("p_size"), F.lit(256)), F.pmod(F.col("p_partkey"), F.lit(256))],
+        bits=8,
+    )
+    return part.select("p_partkey", key.alias("zkey"))
+
+
 @_q(
     "q103_gapfill",
     """
@@ -2976,7 +3009,7 @@ _PRIORITY = [
     "q96_large_orders", "q97_disjunctive_predicates",
     "q98_sole_returning_supplier", "q99_idle_rich_customers",
     "q100_corpus_prep", "q101_cdc_snapshot", "q102_scd2_history",
-    "q103_gapfill", "q104_fuzzy_join",
+    "q103_gapfill", "q104_fuzzy_join", "q106_zorder_key",
     # errored in r1, fixed this round
     "q91_ordered_collect", "q86_freq_items",
     # rows-only, no CORRECTNESS row yet
