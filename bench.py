@@ -103,6 +103,13 @@ BENCH_QUERIES = [
     "q98_sole_returning_supplier",
     "q99_idle_rich_customers",
     "q100_corpus_prep",
+    "q101_cdc_snapshot",
+    "q102_scd2_history",
+    "q103_gapfill",
+    "q104_fuzzy_join",
+    "q105_real_codec_features",
+    "q106_zorder_key",
+    "q73_dedup_clusters",
 ]
 
 

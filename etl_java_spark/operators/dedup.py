@@ -231,26 +231,46 @@ def minhash_dedup_pairs(
     return jaccard_verify(df, pairs, text_col, id_col, shingle_n, threshold)
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document.
+def md5_hash60(col) -> "F.Column":
+    """60-bit token hash from the md5 hex prefix — slower than xxhash64
+    but reproducible by ANY engine with md5 (DuckDB:
+    ``CAST('0x' || substr(md5(t),1,15) AS BIGINT)``); 15 hex chars keep
+    the value inside a signed long."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bits: int = 64,
+    hash_expr=None,
+) -> DataFrame:
+    """SimHash per document (default 64-bit, xxhash64 token hash).
 
     Explode tokens, per-bit weighted vote (+1 if bit set, -1 if not),
-    reassemble sign bits. One explode + one groupBy(id) with 64 sums —
-    map-side partial aggregation keeps the shuffle small.
+    reassemble sign bits. One explode + one groupBy(id) with num_bits
+    sums — map-side partial aggregation keeps the shuffle small.
+
+    ``hash_expr`` (token column -> long) swaps the token hash; pass
+    ``md5_hash60`` (with num_bits<=60) for engine-reproducible
+    signatures — the q51 oracle path.
     """
     # No _spread here: one xxhash64 per token is too cheap to amortize the
     # round-robin shuffle (A/B at sf0.1: 1.3s unspread vs 1.6s spread).
+    hash_expr = hash_expr or (lambda c: F.xxhash64(c))
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
-    h = tok.withColumn("__h", F.xxhash64("__tok"))
+    h = tok.withColumn("__h", hash_expr(F.col("__tok")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(num_bits)
     ]
     agg = h.groupBy(id_col).agg(*votes)
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(num_bits):
         sim = sim.bitwiseOR(
             F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
         )
