@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "q104_fuzzy_join",
     "q105_real_codec_features",
     "q106_zorder_key",
+    "q107_market_share",
+    "q108_product_profit",
     "q73_dedup_clusters",
 ]
 

@@ -423,8 +423,11 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
             .unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+            # checkpoint BEFORE the convergence probe: the probe then
+            # reads the materialized result instead of recomputing the
+            # whole round's plan a second time (measured ~2x per round)
+            .localCheckpoint(eager=True)
         )
-        # converged when no label changed
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -432,7 +435,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        labels = new_labels
         if changed == 0:
             break
     return labels

@@ -1938,7 +1938,9 @@ def q105_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.codecs import stdlib_codec
     from .operators.multimodal import extract_features, synthesize_real_media_table
 
-    media = synthesize_real_media_table(spark, n=32)
+    # 32 rows over default parallelism would fork 32 Python workers for
+    # one row each; a handful of Arrow batches is the right shape here
+    media = synthesize_real_media_table(spark, n=32).coalesce(4)
     feats = extract_features(media, codec=stdlib_codec)
     l2 = F.round(
         F.sqrt(
@@ -2824,6 +2826,123 @@ def q100_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q107_market_share",
+    """
+    WITH base AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(38,6)) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p      ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+      JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN customer c  ON c.c_custkey = o.o_custkey
+      JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+      JOIN region r    ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q107_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape adapted to the fixture: 8-way join, one nation's
+    share of a region's STANDARD-part volume per order year.
+
+    Scale: part/supplier/nation/customer/region are broadcast dims (the
+    customer->nation->region reduction happens before broadcast); only
+    lineitem<->orders shuffles, on orderkey. The share is a ratio of two
+    exact decimal sums — one double division at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier")
+    ns = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nc = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_region = (
+        c.join(F.broadcast(nc), c.c_nationkey == nc.n_nationkey)
+        .join(F.broadcast(r), nc.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = s.join(F.broadcast(ns), s.s_nationkey == ns.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    volume = money("l_extendedprice") * (1 - money("l_discount"))
+    base = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_region), o.o_custkey == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.cast("decimal(38,6)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@_q(
+    "q108_product_profit",
+    """
+    SELECT ns.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+             - CAST(p.p_retailprice AS DECIMAL(18,2))
+               * CAST(l.l_quantity AS DECIMAL(18,2))
+             AS DECIMAL(38,6))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    GROUP BY ns.n_name, o_year
+    """,
+)
+def q108_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted (no partsupp in fixture: retail price
+    stands in for supply cost): profit by supplier nation and year over
+    name-matched parts.
+
+    Scale: part filter broadcast-joined BEFORE the orders shuffle prunes
+    lineitem ~8x; profit arithmetic is exact decimal, summed map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    ns = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    supp_nation = s.join(F.broadcast(ns), s.s_nationkey == ns.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    profit = money("l_extendedprice") * (1 - money("l_discount")) - money(
+        "p_retailprice"
+    ) * money("l_quantity")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dsum_expr(profit).alias("profit"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # 8. CDC / changelog processing (operators/cdc.py) — the scale form of the
 #    reference's upsert loading (ETLProcess.java:208-282)
@@ -3040,6 +3159,7 @@ _PRIORITY = [
     "q98_sole_returning_supplier", "q99_idle_rich_customers",
     "q100_corpus_prep", "q101_cdc_snapshot", "q102_scd2_history",
     "q103_gapfill", "q104_fuzzy_join", "q106_zorder_key",
+    "q107_market_share", "q108_product_profit",
     "q51_simhash", "q73_dedup_clusters",
     # errored in r1, fixed this round (string-encoded output)
     "q91_ordered_collect",
