@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q106_zorder_key",
     "q107_market_share",
     "q108_product_profit",
+    "q109_funnel",
     "q73_dedup_clusters",
 ]
 

@@ -3063,6 +3063,52 @@ def q106_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q109_funnel",
+    """
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_signup) AS n_signup,
+           SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS n_signup_then_click,
+           SUM(CASE WHEN t_click > t_signup AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS n_full_funnel
+    FROM stage
+    """,
+)
+def q109_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> click -> purchase) via
+    conditional-min stage timestamps.
+
+    Scale: stage extraction is a conditional agg — map-side combinable,
+    one shuffle on user_id, funnel predicates evaluated on the tiny
+    per-user stage table. No self-joins, no window over raw events."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(etype):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stage = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_click") > F.col("t_signup")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return stage.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        one_if(clicked).alias("n_signup_then_click"),
+        one_if(purchased).alias("n_full_funnel"),
+    )
+
+
+@_q(
     "q103_gapfill",
     """
     WITH obs AS (
@@ -3159,7 +3205,7 @@ _PRIORITY = [
     "q98_sole_returning_supplier", "q99_idle_rich_customers",
     "q100_corpus_prep", "q101_cdc_snapshot", "q102_scd2_history",
     "q103_gapfill", "q104_fuzzy_join", "q106_zorder_key",
-    "q107_market_share", "q108_product_profit",
+    "q107_market_share", "q108_product_profit", "q109_funnel",
     "q51_simhash", "q73_dedup_clusters",
     # errored in r1, fixed this round (string-encoded output)
     "q91_ordered_collect",

@@ -124,6 +124,12 @@ def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFra
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (built into Spark) — same pushdown/pruning story as
+    parquet; useful when the lakehouse's existing data is ORC."""
+    return spark.read.orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

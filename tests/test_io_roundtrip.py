@@ -52,3 +52,20 @@ def test_catalog_helpers(spark, sf_small):
     assert {"customer", "orders", "lineitem"} <= set(tables)
     cols = list_columns(spark, "customer")
     assert cols == ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from etl_java_spark.sources.readers import read_orc
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i) / 2) for i in range(100)], "id int, s string, v double"
+    )
+    path = str(tmp_path / "orc")
+    df.write.option("compression", "zstd").orc(path)
+    back = read_orc(spark, path)
+    assert _rows(back) == _rows(df)
+    filtered = back.filter(F.col("id") < 10)
+    assert filtered.count() == 10
+    # predicate must reach the ORC scan (same pushdown story as parquet)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]

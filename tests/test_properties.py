@@ -75,3 +75,44 @@ def test_date_parts_match_python(spark, values):
             assert row.y is None
         else:
             assert (row.y, row.m, row.h) == (v.year, v.month, v.hour)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),                      # pk
+            st.integers(0, 20),                     # ts offset (days)
+            st.integers(0, 10_000),                 # seq (uniquified below)
+            st.sampled_from(["U", "U", "U", "D"]),  # op, deletes rarer
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cdc_snapshot_scd2_consistency(spark, rows):
+    """latest_snapshot is idempotent and agrees with scd2_history's
+    current versions; SCD2 intervals tile each PK's timeline."""
+    from etl_java_spark.operators import cdc
+
+    base = datetime.datetime(2024, 1, 1)
+    uniq = [
+        (pk, base + datetime.timedelta(days=d), i, op)
+        for i, (pk, d, _s, op) in enumerate(rows)
+    ]
+    log = spark.createDataFrame(uniq, "pk int, ts timestamp, seq long, op string")
+    snap = cdc.latest_snapshot(log, ["pk"], "ts", seq_cols=["seq"], op_col="op")
+    # idempotence: compacting a compacted snapshot is a no-op
+    again = cdc.latest_snapshot(snap, ["pk"], "ts", seq_cols=["seq"], op_col="op")
+    assert sorted(map(tuple, snap.collect())) == sorted(map(tuple, again.collect()))
+    # agreement: snapshot rows == SCD2 current versions
+    hist = cdc.scd2_history(log, ["pk"], "ts", seq_cols=["seq"], op_col="op")
+    current = {(r.pk, r.seq) for r in hist.filter(F.col("is_current")).collect()}
+    assert {(r.pk, r.seq) for r in snap.collect()} == current
+    # tiling: within a PK, ordered versions chain valid_from -> valid_to
+    by_pk = {}
+    for r in sorted(hist.collect(), key=lambda r: (r.pk, r.valid_from, r.seq)):
+        prev = by_pk.get(r.pk)
+        if prev is not None:
+            assert prev <= r.valid_from  # no overlap beyond shared boundary
+        by_pk[r.pk] = r.valid_to if r.valid_to is not None else r.valid_from

@@ -38,6 +38,12 @@ QUERY_SLICE = [
     "q42_dedup_exact",
     "q50_minhash_neardup",
     "q56_brute_force_knn",
+    "q51_simhash",
+    "q101_cdc_snapshot",
+    "q102_scd2_history",
+    "q103_gapfill",
+    "q107_market_share",
+    "q108_product_profit",
 ]
 
 
