@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "q107_market_share",
     "q108_product_profit",
     "q109_funnel",
+    "q110_dq_checks",
     "q73_dedup_clusters",
 ]
 

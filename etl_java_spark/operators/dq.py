@@ -1,0 +1,156 @@
+"""Declarative data-quality checks (charter §2B; generalizes the
+reference's only validation — PK coverage abort, ETLProcess.java:336-342
+— into the constraint kinds a warehouse load actually needs).
+
+A check is data, not code: build them with the ``check_*`` helpers and
+run the whole suite with ``run_checks``, which returns one row per
+check: (check_name, kind, n_violations). Violation ROWS (for
+quarantine/repair flows) come from ``violations``.
+
+Scale shape:
+- not_null / accepted_range / custom predicate checks collapse into ONE
+  conditional aggregation over a single scan — adding checks adds
+  columns, not passes;
+- unique is a groupBy on the key (one shuffle) counting groups with >1;
+- foreign_key is a left-anti join against the (usually broadcastable)
+  reference keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import Literal
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    kind: Literal["not_null", "range", "predicate", "unique", "foreign_key"]
+    # predicate-style checks: Column that is True when the row VIOLATES
+    violation: Column | None = None
+    cols: tuple[str, ...] = ()
+    ref: DataFrame | None = None
+    ref_col: str | None = None
+
+
+def check_not_null(col: str, name: str | None = None) -> Check:
+    return Check(name or f"{col}_not_null", "not_null", F.col(col).isNull())
+
+
+def check_accepted_range(col: str, lo, hi, name: str | None = None) -> Check:
+    c = F.col(col)
+    return Check(
+        name or f"{col}_in_range", "range", c.isNotNull() & ~c.between(lo, hi)
+    )
+
+
+def check_predicate(name: str, violated_when: Column) -> Check:
+    """Arbitrary row-level constraint; ``violated_when`` is True on bad rows."""
+    return Check(name, "predicate", violated_when)
+
+
+def check_unique(*cols: str, name: str | None = None) -> Check:
+    return Check(name or "_".join(cols) + "_unique", "unique", None, tuple(cols))
+
+
+def check_foreign_key(
+    col: str, ref: DataFrame, ref_col: str, name: str | None = None
+) -> Check:
+    return Check(
+        name or f"{col}_fk_{ref_col}", "foreign_key", None, (col,), ref, ref_col
+    )
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate every check; returns (check_name, kind, n_violations).
+
+    All predicate-style checks share one scan; each unique/foreign_key
+    check adds its own (shuffled/anti-joined) branch, unioned in."""
+    spark = df.sparkSession
+    parts: list[DataFrame] = []
+
+    row_checks = [c for c in checks if c.violation is not None]
+    if row_checks:
+        agg = df.agg(
+            *[
+                F.sum(F.when(c.violation, 1).otherwise(0)).cast("long").alias(c.name)
+                for c in row_checks
+            ]
+        )
+        kinds = {c.name: c.kind for c in row_checks}
+        stacked = agg.unpivot([], [c.name for c in row_checks], "check_name", "n_violations")
+        kind_col = reduce(
+            lambda acc, kv: acc.when(F.col("check_name") == kv[0], kv[1]),
+            kinds.items(),
+            F.when(F.lit(False), ""),
+        ).otherwise("")
+        parts.append(
+            stacked.select("check_name", kind_col.alias("kind"), "n_violations")
+        )
+
+    for c in checks:
+        if c.kind == "unique":
+            dupes = (
+                df.groupBy(*[F.col(x) for x in c.cols])
+                .count()
+                .filter(F.col("count") > 1)
+                .agg(
+                    F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations")
+                )
+            )
+            parts.append(
+                dupes.select(
+                    F.lit(c.name).alias("check_name"),
+                    F.lit("unique").alias("kind"),
+                    "n_violations",
+                )
+            )
+        elif c.kind == "foreign_key":
+            refk = c.ref.select(F.col(c.ref_col).alias(c.cols[0])).distinct()
+            orphans = (
+                df.filter(F.col(c.cols[0]).isNotNull())
+                .join(F.broadcast(refk), c.cols[0], "left_anti")
+                .agg(F.count("*").cast("long").alias("n_violations"))
+            )
+            parts.append(
+                orphans.select(
+                    F.lit(c.name).alias("check_name"),
+                    F.lit("foreign_key").alias("kind"),
+                    "n_violations",
+                )
+            )
+
+    if not parts:
+        return spark.createDataFrame(
+            [], "check_name string, kind string, n_violations long"
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def violations(df: DataFrame, check: Check) -> DataFrame:
+    """The violating rows themselves (quarantine/repair input)."""
+    if check.violation is not None:
+        return df.filter(check.violation)
+    if check.kind == "unique":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(c) for c in check.cols])
+        return (
+            df.withColumn("__n", F.count("*").over(w))
+            .filter(F.col("__n") > 1)
+            .drop("__n")
+        )
+    if check.kind == "foreign_key":
+        refk = check.ref.select(
+            F.col(check.ref_col).alias(check.cols[0])
+        ).distinct()
+        return df.filter(F.col(check.cols[0]).isNotNull()).join(
+            F.broadcast(refk), check.cols[0], "left_anti"
+        )
+    raise ValueError(f"unknown check kind {check.kind}")

@@ -3063,6 +3063,51 @@ def q106_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q110_dq_checks",
+    """
+    SELECT 'o_custkey_not_null' AS check_name, 'not_null' AS kind,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_in_range', 'range',
+           CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                          AND o_totalprice NOT BETWEEN 0 AND 300000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique', 'unique',
+           CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey
+          HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'o_custkey_fk_c_custkey', 'foreign_key', CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def q110_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over orders (operators/dq.py):
+    not-null + range share ONE scan (conditional agg), uniqueness is a
+    keyed count, FK integrity a broadcast anti-join."""
+    from .operators import dq
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return dq.run_checks(
+        o,
+        [
+            dq.check_not_null("o_custkey"),
+            dq.check_accepted_range("o_totalprice", 0, 300000),
+            dq.check_unique("o_orderkey"),
+            dq.check_foreign_key("o_custkey", c, "c_custkey"),
+        ],
+    )
+
+
+@_q(
     "q109_funnel",
     """
     WITH stage AS (
@@ -3206,6 +3251,7 @@ _PRIORITY = [
     "q100_corpus_prep", "q101_cdc_snapshot", "q102_scd2_history",
     "q103_gapfill", "q104_fuzzy_join", "q106_zorder_key",
     "q107_market_share", "q108_product_profit", "q109_funnel",
+    "q110_dq_checks",
     "q51_simhash", "q73_dedup_clusters",
     # errored in r1, fixed this round (string-encoded output)
     "q91_ordered_collect",
