@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "q108_product_profit",
     "q109_funnel",
     "q110_dq_checks",
+    "q111_pack_next_fit",
     "q73_dedup_clusters",
 ]
 

@@ -72,3 +72,62 @@ def pack_sequences(
         )
 
     return src.mapInPandas(_pack, PACKED_SCHEMA)
+
+
+def pack_sequences_next_fit(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    group_col: str,
+    max_tokens: int = 2048,
+) -> DataFrame:
+    """DETERMINISTIC next-fit packing: within each group, docs are
+    processed in id order and only the most recent sequence is open —
+    if the doc doesn't fit, a new sequence starts.
+
+    Next-fit trades a little fill rate vs first-fit for a canonical,
+    engine-reproducible assignment (the q111 DuckDB oracle replays it
+    with a recursive CTE). Parallelism is per-group (applyInPandas);
+    groups are the packing unit exactly as partitions are for
+    ``pack_sequences``. A doc longer than ``max_tokens`` opens its own
+    (overfull) sequence; the next doc never joins it.
+
+    Output: (group, seq_idx, n_docs, total_tokens).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("group", df.schema[group_col].dataType),
+            T.StructField("seq_idx", T.LongType()),
+            T.StructField("n_docs", T.IntegerType()),
+            T.StructField("total_tokens", T.LongType()),
+        ]
+    )
+    src = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("doc_id"),
+        F.col(token_count_col).alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins: list[tuple[int, int]] = []  # (n_docs, total_tokens)
+        fill = None
+        for n_tok in pdf["n_tokens"].astype(int):
+            if fill is not None and fill + n_tok <= max_tokens:
+                nd, tt = bins[-1]
+                bins[-1] = (nd + 1, tt + n_tok)
+                fill += n_tok
+            else:
+                bins.append((1, n_tok))
+                fill = n_tok
+        g = pdf["group"].iloc[0]
+        return pd.DataFrame(
+            {
+                "group": [g] * len(bins),
+                "seq_idx": range(len(bins)),
+                "n_docs": [b[0] for b in bins],
+                "total_tokens": [b[1] for b in bins],
+            }
+        )
+
+    return src.groupBy("group").applyInPandas(_pack, out_schema)

@@ -3063,6 +3063,51 @@ def q106_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q111_pack_next_fit",
+    f"""
+    WITH RECURSIVE docs AS (
+      SELECT lang AS grp, doc_id,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)),
+                                                     '{_TOK_PATTERN}'),
+                                  t -> t <> '')) AS BIGINT) AS tok,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS idx
+      FROM documents
+    ), rec AS (
+      SELECT grp, idx, tok AS fill, CAST(0 AS BIGINT) AS bin
+      FROM docs WHERE idx = 1
+      UNION ALL
+      SELECT d.grp, d.idx,
+             CASE WHEN r.fill + d.tok <= 2048 THEN r.fill + d.tok
+                  ELSE d.tok END,
+             CASE WHEN r.fill + d.tok <= 2048 THEN r.bin ELSE r.bin + 1 END
+      FROM rec r JOIN docs d ON d.grp = r.grp AND d.idx = r.idx + 1
+    )
+    SELECT r.grp AS lang, r.bin AS seq_idx,
+           CAST(COUNT(*) AS INTEGER) AS n_docs,
+           CAST(SUM(d.tok) AS BIGINT) AS total_tokens
+    FROM rec r JOIN docs d ON d.grp = r.grp AND d.idx = r.idx
+    GROUP BY r.grp, r.bin
+    """,
+)
+def q111_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic next-fit sequence packing per language group —
+    the engine-reproducible counterpart of q77's first-fit (the DuckDB
+    oracle replays the sequential fill with a recursive CTE).
+
+    Scale: groups are the parallel unit (applyInPandas); a group's doc
+    list streams through one Arrow batch chain, state is two ints."""
+    from .operators.packing import pack_sequences_next_fit
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(TX.tokens("text", _TOK_PATTERN)).cast("long").alias("n_tok")
+    )
+    packed = pack_sequences_next_fit(d, "doc_id", "n_tok", "lang", max_tokens=2048)
+    return packed.select(
+        F.col("group").alias("lang"), "seq_idx", "n_docs", "total_tokens"
+    )
+
+
+@_q(
     "q110_dq_checks",
     """
     SELECT 'o_custkey_not_null' AS check_name, 'not_null' AS kind,
@@ -3251,7 +3296,7 @@ _PRIORITY = [
     "q100_corpus_prep", "q101_cdc_snapshot", "q102_scd2_history",
     "q103_gapfill", "q104_fuzzy_join", "q106_zorder_key",
     "q107_market_share", "q108_product_profit", "q109_funnel",
-    "q110_dq_checks",
+    "q110_dq_checks", "q111_pack_next_fit",
     "q51_simhash", "q73_dedup_clusters",
     # errored in r1, fixed this round (string-encoded output)
     "q91_ordered_collect",

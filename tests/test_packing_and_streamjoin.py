@@ -61,3 +61,27 @@ def test_stream_stream_join_equals_batch(spark, sf_small):
     ).count()
     assert got.count() == expected
     assert got.count() > 0
+
+
+def test_pack_next_fit_deterministic_semantics(spark):
+    from etl_java_spark.operators.packing import pack_sequences_next_fit
+
+    rows = [
+        ("a", 1, 1000), ("a", 2, 1000),  # fill exactly 2000
+        ("a", 3, 100),                   # 2000+100 > 2048: new bin
+        ("a", 4, 2000),                  # 100+2000 > 2048: new bin
+        ("a", 5, 3000),                  # oversized: own (overfull) bin
+        ("a", 6, 10),                    # never joins the overfull bin
+        ("b", 7, 5),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tok long")
+    out = pack_sequences_next_fit(df, "doc_id", "n_tok", "lang", max_tokens=2048)
+    got = {(r.group, r.seq_idx): (r.n_docs, r.total_tokens) for r in out.collect()}
+    assert got == {
+        ("a", 0): (2, 2000),
+        ("a", 1): (1, 100),
+        ("a", 2): (1, 2000),
+        ("a", 3): (1, 3000),
+        ("a", 4): (1, 10),
+        ("b", 0): (1, 5),
+    }
