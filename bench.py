@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q109_funnel",
     "q110_dq_checks",
     "q111_pack_next_fit",
+    "q112_cohort_retention",
     "q73_dedup_clusters",
 ]
 

@@ -3108,6 +3108,53 @@ def q111_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q112_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', e.ts)) AS BIGINT) AS week_no
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, week_no,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_no
+    """,
+)
+def q112_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted as active per week offset.
+
+    Scale: first_seen is one agg on user_id; the activity join
+    broadcasts the per-user cohort (users << events); the distinct +
+    final agg share the (user, week) shuffle. No event-to-event self
+    join."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_no").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+
+
+@_q(
     "q110_dq_checks",
     """
     SELECT 'o_custkey_not_null' AS check_name, 'not_null' AS kind,
@@ -3296,7 +3343,7 @@ _PRIORITY = [
     "q100_corpus_prep", "q101_cdc_snapshot", "q102_scd2_history",
     "q103_gapfill", "q104_fuzzy_join", "q106_zorder_key",
     "q107_market_share", "q108_product_profit", "q109_funnel",
-    "q110_dq_checks", "q111_pack_next_fit",
+    "q110_dq_checks", "q111_pack_next_fit", "q112_cohort_retention",
     "q51_simhash", "q73_dedup_clusters",
     # errored in r1, fixed this round (string-encoded output)
     "q91_ordered_collect",
