@@ -221,6 +221,29 @@ def grouping_sets(df: DataFrame, view_name: str, sets_sql: str, agg_sql: str, sp
     return spark.sql(f"SELECT {agg_sql} FROM {view_name} GROUP BY GROUPING SETS {sets_sql}")
 
 
+def skew_report(df: DataFrame, key_cols: Sequence[str], top: int = 20) -> DataFrame:
+    """Skew diagnosis for a prospective join/agg key: the ``top`` hottest
+    keys with their row counts and fraction of the table.
+
+    The report IS a top-k aggregation (one map-side-combinable count +
+    TakeOrderedAndProject), so diagnosing a 100 TB table costs one scan.
+    Feed the hot keys to ``salted_join``'s salt factor or AQE's skew
+    thresholds; a `frac` near 1/partitions is healthy, a single-digit
+    percent key is a straggler in waiting.
+    """
+    total = df.count()
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count("*").alias("n_rows")
+    )
+    return (
+        counts.withColumn(
+            "frac", (F.col("n_rows") / F.lit(float(max(total, 1)))).cast("double")
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(top)
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,

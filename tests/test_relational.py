@@ -99,3 +99,13 @@ def test_pipeline_end_to_end(spark, tmp_path, sf_small):
     # idempotent merge: run again, same count
     p.run(spark)
     assert spark.read.parquet(out_path).count() == n
+
+
+def test_skew_report_ranks_hot_keys(spark):
+    from etl_java_spark.operators.relational import skew_report
+
+    rows = [(1,)] * 50 + [(2,)] * 30 + [(3,)] * 15 + [(4,)] * 5
+    df = spark.createDataFrame(rows, "k int")
+    out = skew_report(df, ["k"], top=3).collect()
+    assert [(r.k, r.n_rows) for r in out] == [(1, 50), (2, 30), (3, 15)]
+    assert abs(out[0].frac - 0.5) < 1e-12
