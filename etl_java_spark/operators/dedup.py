@@ -231,6 +231,54 @@ def minhash_dedup_pairs(
     return jaccard_verify(df, pairs, text_col, id_col, shingle_n, threshold)
 
 
+def minhash_pairs_ml(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """pyspark.ml-native MinHash near-dup pairs (SURVEY.md §2B's
+    suggested mapping): shingles -> HashingTF binary vectors ->
+    MinHashLSH.approxSimilarityJoin.
+
+    Alternative backend to ``minhash_dedup_pairs`` — same blocking idea
+    (OR-amplified hash tables), but candidate verification uses ml's
+    exact Jaccard DISTANCE on the hashed feature space, so scores can
+    differ from true shingle Jaccard under HashingTF collisions
+    (collision probability ~ n_shingles / num_features). The custom
+    pipeline remains the oracle-checked primary; this one exists for
+    interop with pyspark.ml pipelines. Returns (id_a, id_b, jaccard).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    tf = HashingTF(
+        inputCol="__sh", outputCol="__features", numFeatures=num_features, binary=True
+    )
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(
+        feat, feat, threshold=1.0 - threshold, distCol="__dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.__id") < F.col("datasetB.__id"))
+        .select(
+            F.col("datasetA.__id").alias("id_a"),
+            F.col("datasetB.__id").alias("id_b"),
+            (1.0 - F.col("__dist")).alias("jaccard"),
+        )
+    )
+
+
 def md5_hash60(col) -> "F.Column":
     """60-bit token hash from the md5 hex prefix — slower than xxhash64
     but reproducible by ANY engine with md5 (DuckDB:
