@@ -250,9 +250,10 @@ def fuzzy_join(
     left_col: str,
     right_col: str,
     max_dist: int = 1,
-    how: str = "inner",
 ) -> DataFrame:
-    """Edit-distance join without the cross product, via length banding.
+    """Edit-distance INNER join without the cross product, via length
+    banding. (Outer variants would need null-dist handling across the
+    explode — compose with an anti-join for "unmatched left" instead.)
 
     Edit distance is >= the length difference, so banding on string
     length is a COMPLETE blocking: explode the left side over target
@@ -284,7 +285,7 @@ def fuzzy_join(
     r = right.withColumn("__rlen", F.length(right_col))
     dist = F.levenshtein(F.col(left_col), F.col(right_col), max_dist)
     return (
-        l.join(r, l["__len"] == r["__rlen"], how)
+        l.join(r, l["__len"] == r["__rlen"], "inner")
         .withColumn("dist", dist)
         .filter(F.col("dist") >= 0)  # threshold form returns -1 when exceeded
         .drop("__len", "__rlen")

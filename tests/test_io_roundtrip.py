@@ -69,3 +69,43 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     # predicate must reach the ORC scan (same pushdown story as parquet)
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
+
+
+def test_json_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE mode lands malformed lines in _corrupt_record instead
+    of failing the job — the behavior a 100 TB ingest needs (one bad
+    file must not kill a pipeline)."""
+    p = tmp_path / "mixed.json"
+    p.write_text('{"id": 1, "v": "ok"}\n{broken json\n{"id": 2, "v": "fine"}\n')
+    df = read_json(
+        spark,
+        str(p),
+        schema="id int, v string, _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.id for r in good} == {1, 2}
+    assert len(bad) == 1 and "{broken" in bad[0]._corrupt_record
+
+
+def test_csv_malformed_rows_dropped_in_dropmalformed(spark, tmp_path):
+    p = tmp_path / "rows.csv"
+    p.write_text("id,v\n1,a\nnot_an_int,b\n3,c\n")
+    df = read_csv(spark, str(p), schema="id int, v string", mode="DROPMALFORMED")
+    assert sorted(r.id for r in df.collect()) == [1, 3]
+
+
+def test_parquet_schema_merge(spark, tmp_path):
+    """mergeSchema unions evolving file schemas — additive column
+    evolution without rewriting history."""
+    old = spark.createDataFrame([(1, "a")], "id int, v string")
+    new = spark.createDataFrame([(2, "b", 9.5)], "id int, v string, score double")
+    old.write.parquet(str(tmp_path / "t"), mode="append")
+    new.write.parquet(str(tmp_path / "t"), mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"id", "v", "score"}
+    got = {r.id: r.score for r in merged.collect()}
+    assert got == {1: None, 2: 9.5}
