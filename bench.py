@@ -116,6 +116,12 @@ BENCH_QUERIES = [
     "q111_pack_next_fit",
     "q112_cohort_retention",
     "q73_dedup_clusters",
+    "q113_order_priority",
+    "q114_decontaminate",
+    "q115_line_dedup",
+    "q116_semantic_dedup",
+    "q117_incremental_agg",
+    "q118_token_topk",
 ]
 
 

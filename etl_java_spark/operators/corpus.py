@@ -1,0 +1,253 @@
+"""Corpus-hygiene operators for LLM training-data pipelines.
+
+Charter §2B extensions (no reference counterpart — RoberWaters/ETL-Java
+is a JDBC console ETL, src/etl/ETLProcess.java:1-568): benchmark
+decontamination, C4-style duplicated-line removal, and SemDeDup-style
+semantic (embedding-cluster) deduplication.
+
+Scale stance shared by all three:
+- the "small" side (benchmark shingle set, hot-line list, centroids) is
+  broadcast; the corpus side is never shuffled more than once per
+  logical step and never collected;
+- candidate generation is blocked (per-cell / per-line-hash), never
+  all-pairs;
+- everything is pure Column expressions — no Python row UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import DEFAULT_TOKEN_PATTERN, word_shingles
+from ..functions.vectors import cosine
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    shingle_n: int = 3,
+    token_pattern: str = DEFAULT_TOKEN_PATTERN,
+) -> DataFrame:
+    """Count, per corpus document, the DISTINCT word ``shingle_n``-grams it
+    shares with any benchmark document.
+
+    The standard train/test decontamination primitive: a corpus doc that
+    shares enough n-grams with an eval benchmark is contaminated and must
+    be dropped before training.
+
+    Plan at scale: the benchmark shingle set is tiny relative to the
+    corpus (eval suites are ~1e5 docs vs 1e9+ corpus docs), so it is
+    deduplicated and **broadcast**; the corpus pass is then map-only —
+    explode distinct shingles, broadcast-hash semi join, partial-count —
+    with a single shuffle for the final per-doc count. The corpus text
+    itself never moves: only (id, matched-shingle) pairs, and only for
+    shingles that actually hit.
+
+    Returns ``(id_col, n_hits)`` with ``n_hits >= 1`` (clean docs emit no
+    row — at corpus scale the result is sparse by construction; left-anti
+    join it against the corpus to drop contaminated docs, see
+    ``decontaminate``).
+    """
+    bt = bench_text_col or text_col
+    bench_sh = (
+        bench.select(F.explode(word_shingles(bt, shingle_n, token_pattern)).alias("__sh"))
+        .filter(F.col("__sh") != "")
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n, token_pattern))).alias(
+            "__sh"
+        ),
+    ).filter(F.col("__sh") != "")
+    hits = corpus_sh.join(F.broadcast(bench_sh), "__sh", "left_semi")
+    return hits.groupBy(id_col).agg(F.count("*").alias("n_hits"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+    **kw,
+) -> DataFrame:
+    """Drop corpus docs sharing >= ``min_hits`` distinct shingles with the
+    benchmark set (left-anti join against ``contamination_hits``)."""
+    flagged = contamination_hits(corpus, bench, text_col, id_col, **kw).filter(
+        F.col("n_hits") >= min_hits
+    )
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# C4-style duplicated-line removal
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """Remove boilerplate lines — lines occurring (trimmed-identical) in
+    >= ``min_dup_docs`` DISTINCT documents — and reassemble each document
+    from its surviving lines in original order (C4's "discard any line
+    repeated across the corpus" rule).
+
+    Plan at scale: one shuffle to count distinct docs per line, filtered
+    to the hot-line list — which is SMALL by construction (only lines
+    with corpus-wide repeats: navigation chrome, cookie banners, license
+    headers) — then **broadcast** anti-join back onto the exploded lines
+    (map-side), and one shuffle on ``id_col`` to reassemble. The full
+    text column is never shuffled: reassembly moves (id, line_no, line)
+    for surviving lines only.
+
+    Empty/whitespace-only lines are never treated as boilerplate (they
+    are structure, not content) and survive verbatim.
+
+    Returns the input frame with ``text_col`` replaced by the cleaned
+    text plus ``n_kept_lines`` / ``n_dropped_lines`` counts.
+    """
+    other = [c for c in df.columns if c != text_col]
+    lines = df.select(
+        *other, F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias(
+            "__line_no", "__line"
+        )
+    ).withColumn("__key", F.trim(F.col("__line")))
+    hot = (
+        lines.filter(F.col("__key") != "")
+        .groupBy("__key")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_dup_docs)
+        .select("__key")
+    )
+    kept = lines.join(F.broadcast(hot), "__key", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__line_no", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                delimiter,
+            ).alias("__clean"),
+            F.count("*").alias("n_kept_lines"),
+        )
+    )
+    n_lines = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), F.lit(delimiter), -1)).alias("__n_total")
+    )
+    out = (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .join(n_lines, id_col)
+        .select(
+            *[F.col(c) for c in other],
+            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_kept_lines"), F.lit(0)).alias("n_kept_lines"),
+            (F.col("__n_total") - F.coalesce(F.col("n_kept_lines"), F.lit(0))).alias(
+                "n_dropped_lines"
+            ),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) deduplication
+
+
+def _assign_cells(df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame,
+                  centroid_id_col: str, out_id: str) -> DataFrame:
+    """Nearest-centroid assignment, JVM-side and engine-reproducible:
+    broadcast centroids, sequential-sum squared distance, (d2, cell)
+    tie-break — the same arithmetic the q74 IVF oracle replays in DuckDB."""
+    cents = F.broadcast(
+        centroids.select(F.col(centroid_id_col).alias("__cell"), F.col(vec_col).alias("__cent"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("__cent"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = df.crossJoin(cents).select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias("__vec"),
+        d2.alias("__d2"),
+        F.col("__cell"),
+    )
+    w = Window.partitionBy(out_id).orderBy(F.col("__d2").asc(), F.col("__cell").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(out_id, "__vec", F.col("__cell").alias("cell"))
+    )
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids_df: DataFrame,
+    threshold: float = 0.9,
+    centroid_id_col: str = "cell",
+) -> DataFrame:
+    """SemDeDup candidate pairs: exact cosine >= ``threshold`` between
+    members of the SAME k-means cell (Abbas et al. 2023 — semantic
+    duplicates cluster together, so intra-cell comparison finds them
+    without an all-pairs scan).
+
+    Pairwise work is quadratic only WITHIN a cell; cells are bounded by
+    the quantizer granularity (at 100 TB: ~sqrt(n) cells keeps expected
+    cell width ~sqrt(n), and the centroid fit is the distributed
+    pyspark.ml KMeans in ``similarity.fit_centroids_ml``). Like IVF, the
+    quantizer is prebuilt offline — pass it in as ``centroids_df``.
+
+    Returns ``(id_a, id_b, cell, cos_sim)`` with ``id_a < id_b``.
+    """
+    assigned = _assign_cells(df, vec_col, id_col, centroids_df, centroid_id_col, id_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("cell"), F.col("__vec").alias("__va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("cell"), F.col("__vec").alias("__vb")
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", "cell", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids_df: DataFrame,
+    threshold: float = 0.9,
+    centroid_id_col: str = "cell",
+) -> DataFrame:
+    """Keep-min-id SemDeDup: drop every row having a LOWER-id row in the
+    same cell with cosine >= ``threshold``. Deterministic survivor rule
+    (min id), same as ``dedup.exact_dedup_keep_min``."""
+    dropped = (
+        semantic_dup_pairs(df, vec_col, id_col, centroids_df, threshold, centroid_id_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")

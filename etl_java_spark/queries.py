@@ -3320,6 +3320,287 @@ def q104_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 8. Round-2 charter extensions: corpus hygiene (decontamination, line
+#    dedup, SemDeDup) + incremental aggregate maintenance + TPC-H Q4 tail
+
+
+@_q(
+    "q113_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+)
+def q113_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): date-range scan + EXISTS
+    semi join + single-key agg. Fixture has no commit/receipt dates, so
+    the EXISTS predicate is discount > 0.05.
+
+    Scale: the semi join shuffles only (orderkey) pairs that pass the
+    pushed-down filters on both sides; the agg is 5 groups — map-side
+    combine makes the final shuffle negligible.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# DuckDB replay of functions.text.word_shingles(n=3) on the ascii fixture
+# tokenizer: tokens = split lower(trim(text)) on _TOK_PATTERN, drop ''.
+_SHINGLE3_SQL = f"""
+    tk AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)),
+               '{_TOK_PATTERN}'), t -> t <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+        CASE WHEN LEN(t) < 3 THEN [ARRAY_TO_STRING(t, ' ')]
+             ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+      FROM tk
+    )
+"""
+
+
+@_q(
+    "q114_decontaminate",
+    f"""
+    WITH {_SHINGLE3_SQL},
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0 AND s <> '')
+    SELECT c.doc_id, COUNT(*) AS n_hits
+    FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0 AND s <> '') c
+    JOIN bench USING (s)
+    GROUP BY c.doc_id
+    """,
+)
+def q114_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 3-gram overlap counts between
+    corpus docs and a held-out "benchmark" slice (doc_id % 50 == 0).
+
+    Scale: benchmark shingle set deduped + broadcast; corpus pass is
+    map-only explode -> broadcast semi join; one shuffle for the per-doc
+    count (operators/corpus.py:contamination_hits).
+    """
+    from .operators.corpus import contamination_hits
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_hits(
+        corpus, bench, "text", "doc_id", shingle_n=3, token_pattern=_TOK_PATTERN
+    )
+
+
+@_q(
+    "q115_line_dedup",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)),
+               '{_TOK_PATTERN}'), t -> t <> '') AS t
+      FROM documents
+    ), doc AS (
+      SELECT doc_id,
+             CASE WHEN LEN(t) = 0 THEN '' ELSE
+               ARRAY_TO_STRING(LIST_TRANSFORM(
+                 GENERATE_SERIES(0, CAST(CEIL(LEN(t) / 8.0) AS INT) - 1),
+                 i -> ARRAY_TO_STRING(t[i*8+1 : i*8+8], ' ')), CHR(10)) END AS text2
+      FROM tk
+    ), lines AS (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT(text2, CHR(10))) AS line,
+             UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text2, CHR(10))))) AS line_no
+      FROM doc
+    ), hot AS (
+      SELECT line FROM (
+        SELECT TRIM(line) AS line, COUNT(DISTINCT doc_id) AS nd
+        FROM lines WHERE TRIM(line) <> '' GROUP BY 1
+      ) WHERE nd >= 2
+    ), kept AS (
+      SELECT doc_id, line_no, line FROM lines
+      WHERE TRIM(line) NOT IN (SELECT line FROM hot)
+    ), rebuilt AS (
+      SELECT doc_id, STRING_AGG(line, CHR(10) ORDER BY line_no) AS clean_text,
+             COUNT(*) AS n_kept_lines
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_kept_lines, 0) AS n_kept_lines,
+           LEN(STRING_SPLIT(d.text2, CHR(10))) - COALESCE(r.n_kept_lines, 0)
+             AS n_dropped_lines
+    FROM doc d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q115_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-line removal. The fixture text has no
+    newlines, so lines are derived first (8-token chunks) — the operator
+    itself (operators/corpus.py:line_dedup) is delimiter-generic and
+    unit-tested on real multi-line text.
+
+    Scale: hot-line list is small by construction (corpus-wide repeats
+    only) -> broadcast anti-join; reassembly shuffles surviving
+    (id, line_no, line) rows once.
+    """
+    from .functions import text as _TXT
+    from .operators.corpus import line_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _TXT.tokens("text", _TOK_PATTERN)
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    derived = d.select(
+        "doc_id",
+        F.when(F.size(toks) == 0, F.lit("")).otherwise(
+            F.array_join(lines_arr, "\n")
+        ).alias("text"),
+    )
+    out = line_dedup(derived, "text", "doc_id", "\n", min_dup_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        F.col("n_kept_lines").cast("long"),
+        F.col("n_dropped_lines").cast("long"),
+    )
+
+
+@_q(
+    "q116_semantic_dedup",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cent FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+      SELECT vec_id, cell, embedding FROM (
+        SELECT v.vec_id, c.cell, v.embedding,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_IVF_D2} ASC, c.cell ASC) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+        list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+        list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cell,
+           CASE WHEN na > 0 AND nb > 0 THEN dot / (SQRT(na) * SQRT(nb)) ELSE 0.0 END AS cos_sim
+    FROM scored
+    WHERE CASE WHEN na > 0 AND nb > 0 THEN dot / (SQRT(na) * SQRT(nb)) ELSE 0.0 END >= 0.4
+    """,
+)
+def q116_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic duplicate pairs = exact
+    cosine >= threshold WITHIN a k-means cell. Prebuilt quantizer (first 8
+    corpus vectors, the q74 offline-index pattern) keeps the oracle
+    bitwise-reproducible; production swaps in fit_centroids_ml. The 0.4
+    threshold is fixture-tuned (random-ish vectors, max intra-cell
+    cosine 0.49) so the check is non-vacuous; production uses ~0.95.
+
+    Scale: pairwise work is quadratic only within a cell; cells bounded
+    by quantizer granularity (~sqrt(n) cells at corpus scale). Never
+    all-pairs (operators/corpus.py:semantic_dup_pairs).
+    """
+    from .operators.corpus import semantic_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    return semantic_dup_pairs(e, "embedding", "vec_id", cents, threshold=0.4)
+
+
+@_q(
+    "q117_incremental_agg",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q117_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the orders table arrives as two
+    batches (before/after 1998-01-01); each batch is reduced to a partial
+    aggregate and the partials are MERGED — the oracle recomputes from
+    scratch, proving merge(partial(a), partial(b)) == full(a ∪ b).
+
+    Scale: this is the O(delta) maintenance path — the base table is
+    never re-scanned; the merge shuffles one row per group per batch
+    (operators/incremental.py).
+    """
+    from .operators.incremental import merge_partials, partial_aggs
+
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    spec = {
+        "n_orders": ("count", None),
+        "total_price": ("sum", "__price_dec"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    prep = lambda df: df.withColumn("__price_dec", money("o_totalprice"))  # noqa: E731
+    base = partial_aggs(prep(o.filter(F.col("o_orderdate") < cut)), ["o_orderpriority"], spec)
+    delta = partial_aggs(prep(o.filter(F.col("o_orderdate") >= cut)), ["o_orderpriority"], spec)
+    merged = merge_partials([base, delta], ["o_orderpriority"], spec)
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+        "first_order",
+        "last_order",
+    )
+
+
+@_q(
+    "q118_token_topk",
+    f"""
+    WITH tk AS (
+      SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)),
+               '{_TOK_PATTERN}'), t -> t <> '')) AS tok
+      FROM documents
+    )
+    SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT 20
+    """,
+)
+def q118_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 tokens by frequency (vocabulary /
+    stopword discovery pass).
+
+    Scale: explode -> groupBy(token) is map-side combinable (partial
+    counts per partition), and the final ORDER BY+LIMIT is
+    TakeOrderedAndProject — only 20 rows ever reach the driver.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens("text", _TOK_PATTERN)).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
 # entries, so the gate caps (or times out) around 50. Strategy: ALL
@@ -3330,6 +3611,8 @@ def q104_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRIORITY = [
     # oracle-bearing, no green CORRECTNESS row yet (incl. new this round)
+    "q113_order_priority", "q114_decontaminate", "q115_line_dedup",
+    "q116_semantic_dedup", "q117_incremental_agg", "q118_token_topk",
     "q46_quality_scores", "q58_array_functions", "q57_struct_map_columns",
     "q59_explode_arrays", "q64_unpivot", "q65_deterministic_stats",
     "q66_exact_percentiles", "q50_minhash_neardup", "q52_embedding_neardup",
