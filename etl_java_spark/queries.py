@@ -3211,9 +3211,10 @@ def q110_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS n_users,
            COUNT(t_signup) AS n_signup,
-           SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS n_signup_then_click,
-           SUM(CASE WHEN t_click > t_signup AND t_purchase > t_click
-                    THEN 1 ELSE 0 END) AS n_full_funnel
+           CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup_then_click,
+           CAST(SUM(CASE WHEN t_click > t_signup AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
     FROM stage
     """,
 )

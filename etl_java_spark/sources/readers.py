@@ -91,19 +91,30 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def normalize_nanos(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
-    """Convert TIMESTAMP(NANOS) columns (read as long nanos under
-    spark.sql.legacy.parquet.nanosAsLong) to microsecond timestamps.
+    """Normalize fixture timestamp columns to session-zone TIMESTAMP.
 
-    Truncation (ns -> us integer division) matches what engines with
-    us-resolution timestamps (DuckDB, Spark itself) do on ingest.
+    Two fixture vintages exist:
+    - TIMESTAMP(NANOS): read as long nanos under
+      spark.sql.legacy.parquet.nanosAsLong -> truncate to micros
+      (integer division, matching us-resolution engines on ingest).
+    - TIMESTAMP_MICROS with isAdjustedToUTC=false: Spark 4 reads this as
+      TIMESTAMP_NTZ, which refuses numeric casts and breaks interval
+      arithmetic shared with the LTZ path. The session is pinned to UTC,
+      so NTZ wall-clock == the UTC instant DuckDB sees; casting to
+      TIMESTAMP is lossless and keeps one code path downstream.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     for c in cols:
-        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
             # integer division: double division loses precision above 2^53 ns
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

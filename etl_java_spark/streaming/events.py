@@ -18,9 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # The fixture stores ts as TIMESTAMP(NANOS) which Spark reads as long
-# under spark.sql.legacy.parquet.nanosAsLong; converted after read.
+# as TIMESTAMP_MICROS (isAdjustedToUTC=false); read under a TIMESTAMP schema.
 EVENTS_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -42,7 +42,10 @@ def read_events_stream(
         .option("pathGlobFilter", glob)
         .parquet(dir_path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Fixture stores TIMESTAMP_MICROS (isAdjustedToUTC=false); reading it
+    # under an explicit TIMESTAMP schema interprets the wall-clock in the
+    # UTC-pinned session zone — identical instants to the batch path.
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
