@@ -122,6 +122,16 @@ BENCH_QUERIES = [
     "q116_semantic_dedup",
     "q117_incremental_agg",
     "q118_token_topk",
+    "q119_bm25_rank",
+    "q120_tfidf_terms",
+    "q121_chunk_chars",
+    "q122_source_caps",
+    "q123_split_assign",
+    "q124_source_mixture",
+    "q125_bigram_fluency",
+    "q126_event_paths",
+    "q127_price_histogram",
+    "q128_zscore_outliers",
 ]
 
 

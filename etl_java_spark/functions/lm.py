@@ -1,0 +1,108 @@
+"""Corpus n-gram language-model scoring — a perplexity-style fluency
+signal computed entirely inside the engine (no external model).
+
+Charter §2B extension (no reference counterpart — RoberWaters/ETL-Java,
+src/etl/ETLProcess.java:1-568). The classic data-quality trick: train a
+tiny LM on the corpus itself and score each document by how predictable
+its token transitions are. Boilerplate and fluent text score high;
+gibberish, OCR noise, and wrong-language fragments score low. Real
+pipelines use KenLM; the distributed shape (count -> smooth -> join ->
+per-doc aggregate) is identical, and this stays 100% inside Spark.
+
+Determinism contract: each conditional probability
+``P(w2|w1) = (C12 + 1) / (C1 + V)`` is one correctly-rounded double
+division of exact integers — bit-identical on every engine. The per-doc
+mean then goes through an exact decimal sum (order-independent) rather
+than a double sum, so the score is reproducible across partitionings
+and matches the DuckDB oracle bitwise. ``ln`` is deliberately avoided:
+libm/JVM log can disagree in the last ulp, and avg-probability induces
+the same quality ordering for scoring purposes.
+
+Scale: bigram extraction is array arithmetic on each row (map-only);
+the model is two count tables built with map-side-combinable shuffles;
+scoring joins exploded doc bigrams to the model on the bigram key — at
+web scale the model table is Zipf-shaped, so prune it with a min-count
+floor and let AQE handle the residual skew (the hot head of the
+distribution is exactly what AQE's skew-join splitting is for).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_array(col, pattern: str = "[^a-z0-9]+") -> Column:
+    """Lowercased, empty-filtered token array (ASCII fixture tokenizer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), pattern), lambda x: x != F.lit(""))
+
+
+def bigram_array(col, pattern: str = "[^a-z0-9]+") -> Column:
+    """Adjacent-token bigrams as 'w1 w2' strings (array arithmetic, no
+    shuffle: transform over 0..n-2 indexing the token array twice)."""
+    toks = token_array(col, pattern)
+    # sequence(1, 0) would step BACKWARDS in Spark — guard docs with < 2
+    # tokens to NULL (explode/transform of NULL emits nothing).
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+
+
+def bigram_fluency(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Score each document by the add-one-smoothed average probability of
+    its adjacent-token bigrams under the corpus's own bigram model.
+
+    Returns (id, n_bigrams, fluency) where fluency is the per-doc mean of
+    ``(C(w1,w2) + 1) / (C(w1) + V)`` over the doc's bigram instances
+    (docs with < 2 tokens emit no row), decimal-exact and rounded to 12.
+
+    Three shuffles total regardless of corpus size: bigram counts,
+    unigram counts (both map-side combinable), and the per-doc score
+    aggregate. The vocab size V is a 1-row aggregate broadcast into the
+    probability expression.
+    """
+    toks_col = token_array(text_col, pattern)
+    # same < 2-token NULL guard as bigram_array (see above)
+    idx = F.when(
+        F.size(toks_col) >= 2, F.sequence(F.lit(1), F.size(toks_col) - 1)
+    )
+    pair_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks_col, i).alias("w1"),
+            F.element_at(toks_col, i + 1).alias("w2"),
+        ),
+    )
+    pairs = docs.select(
+        F.col(id_col), F.explode(pair_structs).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    toks = docs.select(F.explode(toks_col).alias("w"))
+    c_bigram = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c_unigram = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab = toks.agg(F.countDistinct("w").cast("double").alias("v"))
+
+    prob = (F.col("c12").cast("double") + 1.0) / (
+        F.col("c1").cast("double") + F.col("v")
+    )
+    return (
+        pairs.join(c_bigram, ["w1", "w2"])
+        .join(c_unigram, pairs.w1 == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(prob.cast("decimal(38,18)")).cast("double")
+                / F.count("*").cast("double"),
+                12,
+            ).alias("fluency"),
+        )
+    )

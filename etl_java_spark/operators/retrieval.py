@@ -1,0 +1,220 @@
+"""Retrieval / search operators: BM25 ranking, TF-IDF term extraction,
+and fixed-size overlapping text chunking (RAG document prep).
+
+Charter §2B extensions (no reference counterpart — RoberWaters/ETL-Java,
+src/etl/ETLProcess.java:1-568, is a JDBC console ETL with no text
+processing). These are the retrieval-side primitives of an LLM data
+platform: score corpus documents against a query, surface the most
+distinguishing terms per document, and split long documents into
+overlapping windows for embedding/indexing.
+
+Scale stance:
+- Tokenisation and term statistics are pure Column expressions (explode +
+  groupBy count): one shuffle for per-(doc, term) frequencies, one
+  map-side-combinable shuffle for document frequencies. No Python UDFs.
+- Corpus-level scalars (N docs, average doc length) are a 1-row aggregate
+  cross-joined back in — Spark plans that as a broadcast nested loop with
+  a single-row build side, i.e. free.
+- Query terms are a literal array (broadcast by value). The corpus text
+  column itself is never shuffled — only (id, term, tf) triples, and only
+  for terms that survive the semi join against the query.
+- Chunking is sequence+explode+substring: output size is O(total chars /
+  stride) rows regardless of document count, embarrassingly parallel,
+  no shuffle at all.
+
+Determinism: every ranking ties-breaks on integer/string columns and all
+float scores are rounded before comparison/output, so results are
+bitwise-reproducible across engines and partitionings (DuckDB-oracle
+checkable — see queries q119-q121).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ASCII fixture text; identical regex semantics in DuckDB's
+# STRING_SPLIT_REGEX and Spark's split().
+ASCII_TOKEN_PATTERN = "[^a-z0-9]+"
+
+
+def doc_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = ASCII_TOKEN_PATTERN,
+) -> DataFrame:
+    """Explode documents to (id, term, tf) term-frequency triples.
+
+    One shuffle (groupBy (id, term)); the count is map-side combinable so
+    the shuffle carries partial counts, not raw token instances.
+    """
+    tok = F.explode(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), pattern),
+            lambda x: x != F.lit(""),
+        )
+    ).alias("term")
+    return (
+        docs.select(F.col(id_col), tok)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    pattern: str = ASCII_TOKEN_PATTERN,
+) -> DataFrame:
+    """Rank documents against ``query_terms`` with BM25 (Robertson/
+    Sparck-Jones idf, Lucene's +1 floor so idf stays positive).
+
+    Plan: tokenize once, carry doc length through the tf aggregation (no
+    separate doc-length join — at corpus scale a per-doc side table is
+    itself 100 TB-adjacent) -> filter to query terms via an ``isin``
+    literal (map-side, no join) -> df per term (|q| rows, map-side
+    combinable, broadcast back) + 1-row corpus stats -> per-doc score sum
+    (1 shuffle on id) -> global top-k (TakeOrderedAndProject, no sort).
+
+    At 100 TB the only data that moves is (doc, query-term, tf, dl) for
+    docs actually containing a query term — the corpus text never
+    shuffles.
+
+    Determinism: doc lengths are integers (exact in double at any
+    summation order, so avgdl is reproducible); per-doc contributions go
+    through an exact decimal sum; scores are ROUND(..,9)ed and ties break
+    on id. The only transcendental is ln over |q| distinct df values,
+    verified bitwise-equal between JVM and libm in tests.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), pattern),
+        lambda x: x != F.lit(""),
+    )
+    tokenized = docs.select(
+        F.col(id_col), toks.alias("toks"), F.size(toks).cast("double").alias("dl")
+    )
+    tf = (
+        tokenized.select(id_col, "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    # corpus stats: 1 row, broadcast-joined (free at any scale)
+    stats = tokenized.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # per-term document frequency over the filtered triples (|q| rows)
+    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * tf_d * (k1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(contrib.cast("decimal(38,18)")).cast("double"), 9
+            ).alias("bm25")
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(topk)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = ASCII_TOKEN_PATTERN,
+) -> DataFrame:
+    """Top-``k`` most distinguishing terms per document.
+
+    Rank is (tf DESC, df ASC, term ASC) — pure integer/string ordering,
+    exactly the ordering tf·idf induces when comparing terms with equal
+    tf, but with no float boundary to flip between engines. The tf-idf
+    value itself (tf · ln(N/df), rounded) is emitted as a column.
+
+    Plan: tf triples (1 shuffle) -> df per term (map-side combinable
+    shuffle; at web scale the term table is vocab-sized, so it joins
+    back on the term key as a plain equi-join — AQE broadcasts it when
+    it fits, shuffles it when it doesn't — and a min-df floor prunes the
+    Zipf tail) -> per-doc window top-k.
+    """
+    tf = doc_terms(docs, text_col, id_col, pattern)
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                9,
+            ).alias("tfidf"),
+            F.col("rk").alias("rank"),
+        )
+    )
+
+
+def chunk_chars(
+    docs: DataFrame,
+    size: int = 200,
+    overlap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the standard RAG indexing prep (chunk -> embed -> index).
+
+    Chunks start at 1, 1+stride, 1+2·stride, ... (stride = size-overlap);
+    every chunk is ``substring(text, start, size)`` so the final chunk is
+    naturally short. Emits (id, chunk_id, chunk_start, chunk_len, chunk).
+
+    Plan: sequence+explode+substring — pure Column expressions, no
+    shuffle, no UDF; output rows ∝ total corpus chars / stride. At 100 TB
+    this is a map-only pass that parallelises with the input splits.
+    (Token-aware chunking = run this on the output of a tokenizer's
+    offset column instead of raw chars; the plumbing is identical.)
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    starts = F.sequence(
+        F.lit(1),
+        # last window start: covers the final partial chunk
+        F.greatest(F.length(F.col(text_col)) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.col("chunk_start"),
+            F.substring(F.col(text_col), F.col("chunk_start"), size).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length(F.col("chunk")))
+        .select(id_col, "chunk_id", "chunk_start", "chunk_len", "chunk")
+    )

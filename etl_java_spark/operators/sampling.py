@@ -1,0 +1,122 @@
+"""Deterministic sampling, per-group caps, split assignment, and source
+mixing for training-data curation.
+
+Charter §2B extensions (no reference counterpart — RoberWaters/ETL-Java,
+src/etl/ETLProcess.java:1-568, has no sampling surface). These are the
+dataset-composition primitives of an LLM pipeline: cap over-represented
+domains, carve reproducible train/val/test splits, and re-weight sources
+to a target mixture.
+
+Design rule shared with q80_deterministic_sample: NEVER seed-based
+``df.sample``/``sampleBy`` — those draw per-partition, so the selection
+changes whenever the partitioning does. Every selection here is a pure
+arithmetic function of the row key (two multiplicative rounds mod a
+prime; intermediates < 2^63 by construction), identical on any cluster
+size and on any engine — which is also what makes it oracle-checkable.
+
+Scale stance: caps are one window per group key (single shuffle, same
+key as any downstream per-group work); split assignment and mixture
+expansion are map-only (zero shuffle); mixture output size is
+sum(weights x source sizes) rows by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_bucket(key, buckets: int = 10000) -> Column:
+    """Deterministic pseudo-uniform bucket in [0, buckets) from an int key.
+
+    Same arithmetic as the SQL form
+    ``((k * 2654435761) % 1000000007 * 524287) % 1000000007 % buckets``
+    so DuckDB reproduces the selection bit-for-bit.
+    """
+    k = (F.col(key) if isinstance(key, str) else key).cast("long")
+    h = (k * F.lit(2654435761).cast("long")) % 1000000007 * 524287 % 1000000007
+    return h % buckets
+
+
+def key_bucket_sql(key: str, buckets: int = 10000) -> str:
+    """The DuckDB-side twin of :func:`key_bucket` (keep in lockstep)."""
+    return f"(({key} * 2654435761) % 1000000007 * 524287) % 1000000007 % {buckets}"
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by deterministic hash
+    order (hash asc, key asc tiebreak) — the domain-cap step of corpus
+    curation (bound any one domain's share regardless of its raw size).
+
+    One shuffle (window on group_col). The hash order makes the survivors
+    a uniform sample of the group rather than "first by storage order",
+    and keeps the selection stable under repartitioning.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        key_bucket(key_col).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Add a reproducible ``split`` column (train/val/test) keyed on the
+    row id — a pure map (zero shuffle), stable across engines, runs, and
+    partitionings. test gets the remaining 1 - train - val mass.
+    """
+    b = key_bucket(key_col, 10000)
+    t_hi = int(train * 10000)
+    v_hi = t_hi + int(val * 10000)
+    return df.withColumn(
+        "split",
+        F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test"),
+    )
+
+
+def source_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Re-weight sources to a target mixture by row replication: weight
+    2.5 -> every row twice plus a deterministic half of rows a third
+    time; weight 0.25 -> a deterministic quarter of rows once.
+
+    This is epoch-style data mixing (integer part = full epochs over the
+    source, fractional part = a hash-selected subset) — the standard way
+    to hit target mixture proportions for LLM training without a global
+    shuffle. Replication is ``explode(sequence(...))``: map-only, output
+    size = sum over sources of weight x rows, no shuffle, no skew (copies
+    of a row stay in its input partition; a downstream global shuffle for
+    training order is a separate, deliberate step).
+
+    Emits the input columns plus ``copy_id`` (0-based replica index, so
+    downstream dedup-aware consumers can distinguish replicas).
+    """
+    w_expr: Column = F.lit(float(default_weight))
+    for src, w in weights.items():
+        w_expr = F.when(F.col(source_col) == src, float(w)).otherwise(w_expr)
+    whole = F.floor(w_expr).cast("int")
+    frac_scaled = ((w_expr - F.floor(w_expr)) * 10000).cast("int")
+    n_copies = whole + (key_bucket(key_col) < frac_scaled).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

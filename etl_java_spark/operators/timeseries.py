@@ -86,3 +86,48 @@ def resample_gapfill(
         F.last("observed", ignorenulls=True).over(w).alias("filled"),
         F.col("observed").isNull().alias("is_gap"),
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    n_events: int = 5,
+    topk: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Most common event sequences: each user's first ``n_events`` event
+    types (time order, id tiebreak) joined into a path string, counted
+    across users, top-k by (count DESC, path ASC).
+
+    The journey-analysis staple ("what do users do first?"). Plan: one
+    window shuffle on user to rank events, one map-side-combinable
+    count shuffle on the path string, TakeOrderedAndProject for the
+    top-k (no global sort). Path strings are bounded (n_events types),
+    so the count table is tiny regardless of event volume.
+
+    Fully deterministic: integer rank ordering with an id tiebreak and
+    string path grouping — no floats anywhere.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    ranked = events.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= n_events
+    )
+    paths = ranked.groupBy(user_col).agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__rn", type_col))),
+                lambda s: s[type_col],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(topk)
+    )

@@ -3602,6 +3602,344 @@ def q118_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 8. Round-3 additions: retrieval (BM25 / tf-idf / chunking), dataset
+#    composition (caps / splits / mixture), corpus LM scoring, event-path
+#    mining, and two deterministic-stats shapes.
+
+_TOKS_SQL = (
+    "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z0-9]+'), "
+    "x -> x <> '')"
+)
+_KEYHASH_SQL = "(({k} * 2654435761) % 1000000007 * 524287) % 1000000007 % 10000"
+
+
+@_q(
+    "q119_bm25_rank",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             CAST(LEN({_TOKS_SQL}) AS DOUBLE) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM base
+    ), tf AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM base, UNNEST(toks) AS t(term)
+      WHERE t.term IN ('spark', 'vector', 'merge', 'window')
+      GROUP BY doc_id, t.term
+    ), dft AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           ROUND(CAST(SUM(CAST(
+             LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * CAST(tf AS DOUBLE) * 2.2
+             / (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           AS DECIMAL(38,18))) AS DOUBLE), 9) AS bm25
+    FROM tf JOIN dft USING (term) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 20
+    """,
+)
+def q119_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 docs for a 4-term query (operators/retrieval.py)."""
+    from .operators.retrieval import bm25_rank
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_rank(d, ["spark", "vector", "merge", "window"], topk=20)
+
+
+@_q(
+    "q120_tfidf_terms",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), tf AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf
+      FROM base, UNNEST(toks) AS t(term) GROUP BY doc_id, t.term
+    ), dft AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+    ), rk AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+             ROUND(CAST(tf.tf AS DOUBLE)
+                   * LN(n_docs / CAST(dft.df AS DOUBLE)), 9) AS tfidf,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC
+             ) AS INTEGER) AS term_rank
+      FROM tf JOIN dft USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, term_rank FROM rk WHERE term_rank <= 3
+    """,
+)
+def q120_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per doc (operators/retrieval.py)."""
+    from .operators.retrieval import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3).withColumnRenamed("rank", "term_rank")
+
+
+@_q(
+    "q121_chunk_chars",
+    """
+    SELECT doc_id,
+           CAST((s.start - 1) / 90 AS INTEGER) AS chunk_id,
+           CAST(s.start AS INTEGER) AS chunk_start,
+           CAST(LENGTH(SUBSTR(text, CAST(s.start AS INTEGER), 120))
+                AS INTEGER) AS chunk_len,
+           SUBSTR(text, CAST(s.start AS INTEGER), 120) AS chunk
+    FROM documents,
+         UNNEST(range(1, GREATEST(LENGTH(text) - 30, 1) + 1, 90)) AS s(start)
+    """,
+)
+def q121_chunk_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 120/30 char chunks for RAG indexing (retrieval.py)."""
+    from .operators.retrieval import chunk_chars
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_chars(d, size=120, overlap=30)
+
+
+@_q(
+    "q122_source_caps",
+    f"""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_KEYHASH_SQL.format(k='doc_id')}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def q122_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain cap: at most 10 docs per source, hash-uniform survivors
+    (operators/sampling.py — stable under any repartitioning)."""
+    from .operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_group(d, "source", "doc_id", 10).select("source", "doc_id")
+
+
+@_q(
+    "q123_split_assign",
+    f"""
+    SELECT source,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM (SELECT source, {_KEYHASH_SQL.format(k='doc_id')} AS b FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def q123_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split counts per source
+    (operators/sampling.py — pure map, no seed, engine-independent)."""
+    from .operators.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        assign_split(d, "doc_id", train=0.8, val=0.1)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "q124_source_mixture",
+    f"""
+    WITH w AS (
+      SELECT source, doc_id,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                         WHEN 'src2' THEN 2.0 ELSE 1.0 END AS wt,
+             {_KEYHASH_SQL.format(k='doc_id')} AS b
+      FROM documents
+    ), n AS (
+      SELECT source, doc_id,
+             CAST(FLOOR(wt) AS INTEGER)
+             + CASE WHEN b < CAST((wt - FLOOR(wt)) * 10000 AS INTEGER)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM w
+    )
+    SELECT source,
+           CAST(SUM(n_copies) AS BIGINT) AS n_rows,
+           COUNT(CASE WHEN n_copies > 0 THEN 1 END) AS n_docs
+    FROM n GROUP BY source
+    """,
+)
+def q124_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style source re-weighting (web x2.5, ...) -> per-source row
+    and distinct-doc counts after mixing (operators/sampling.py)."""
+    from .operators.sampling import source_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = source_mixture(
+        d, {"src0": 2.5, "src1": 0.25, "src2": 2.0}, "source", "doc_id"
+    )
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@_q(
+    "q125_bigram_fluency",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), pairs AS (
+      SELECT doc_id, toks[CAST(r.i AS INTEGER)] AS w1,
+             toks[CAST(r.i AS INTEGER) + 1] AS w2
+      FROM tok, UNNEST(range(1, LEN(toks))) AS r(i)
+    ), uni AS (
+      SELECT t.term AS w, COUNT(*) AS c1
+      FROM tok, UNNEST(toks) AS t(term) GROUP BY 1
+    ), bi AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT t.term) AS DOUBLE) AS v
+      FROM tok, UNNEST(toks) AS t(term)
+    )
+    SELECT p.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(
+             (CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v.v)
+           AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 12)
+             AS fluency
+    FROM pairs p JOIN bi USING (w1, w2) JOIN uni ON p.w1 = uni.w CROSS JOIN v
+    GROUP BY p.doc_id
+    """,
+)
+def q125_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM fluency score per doc (functions/
+    lm.py) — the KenLM-style quality signal, ln-free for determinism."""
+    from .functions.lm import bigram_fluency
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_fluency(d)
+
+
+@_q(
+    "q126_event_paths",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), paths AS (
+      SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def q126_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 first-5-event user journeys (operators/timeseries.py)."""
+    from .operators.timeseries import top_event_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return top_event_paths(ev, n_events=5, topk=20)
+
+
+@_q(
+    "q127_price_histogram",
+    """
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 30000), 19) AS INTEGER) AS bin,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q127_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins, last bin open-ended): single
+    map-side-combinable agg on an integer bin key — the profile-pass
+    shape for choosing clustering/partition bounds at scale."""
+    o = _t(spark, sf_dir, "orders")
+    bin_col = F.least(F.floor(F.col("o_totalprice") / 30000), F.lit(19)).cast(
+        "int"
+    )
+    return o.groupBy(bin_col.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+
+
+@_q(
+    "q128_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT event_type, COUNT(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, n, sx / n AS mean,
+             SQRT((sxx - sx * sx / n) / (n - 1)) AS std
+      FROM s
+    )
+    SELECT e.event_type, stats.n,
+           CAST(SUM(CASE WHEN ABS((CAST(CAST(e.value AS DECIMAL(18,6))
+                                        AS DOUBLE) - mean) / std) > 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(mean, 9) AS mean_value,
+           ROUND(std, 9) AS std_value
+    FROM events e JOIN stats ON e.event_type = stats.event_type
+    GROUP BY e.event_type, stats.n, mean, std
+    """,
+)
+def q128_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier counts with decimal-exact moments.
+
+    Two passes over events (moments, then flagging) with map-side
+    combinable aggs; the 5-row stats table broadcasts back onto the
+    scan. Decimal sums make mean/std bit-reproducible on any
+    partitioning — same guarantee as q85's correlation."""
+    ev = _t(spark, sf_dir, "events")
+    v6 = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(v6).cast("double").alias("sx"),
+        F.sum(v6 * v6).cast("double").alias("sxx"),
+    )
+    stats = s.select(
+        "event_type",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    z = (v6.cast("double") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(
+            F.sum(F.when(F.abs(z) > 3, 1).otherwise(0)).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.round("mean", 9).alias("mean_value"),
+            F.round("std", 9).alias("std_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
 # entries, so the gate caps (or times out) around 50. Strategy: ALL
@@ -3611,7 +3949,17 @@ def q118_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that could have earned a hash_match row.
 
 _PRIORITY = [
-    # oracle-bearing, no green CORRECTNESS row yet (incl. new this round)
+    # oracle-bearing, no green CORRECTNESS row yet: new this round (r3)
+    "q119_bm25_rank", "q120_tfidf_terms", "q121_chunk_chars",
+    "q122_source_caps", "q123_split_assign", "q124_source_mixture",
+    "q125_bigram_fluency", "q126_event_paths", "q127_price_histogram",
+    "q128_zscore_outliers",
+    # hash-mismatched in r2 (oracle sum type), fixed this round
+    "q109_funnel",
+    # r1-green but only against the old events fixture vintage — the
+    # events.parquet timestamps changed encoding; re-confirm first
+    "q31_tumbling_window", "q32_sessionize",
+    # oracle-bearing, green in r2 (re-confirm)
     "q113_order_priority", "q114_decontaminate", "q115_line_dedup",
     "q116_semantic_dedup", "q117_incremental_agg", "q118_token_topk",
     "q46_quality_scores", "q58_array_functions", "q57_struct_map_columns",
@@ -3626,7 +3974,7 @@ _PRIORITY = [
     "q98_sole_returning_supplier", "q99_idle_rich_customers",
     "q100_corpus_prep", "q101_cdc_snapshot", "q102_scd2_history",
     "q103_gapfill", "q104_fuzzy_join", "q106_zorder_key",
-    "q107_market_share", "q108_product_profit", "q109_funnel",
+    "q107_market_share", "q108_product_profit",
     "q110_dq_checks", "q111_pack_next_fit", "q112_cohort_retention",
     "q51_simhash", "q73_dedup_clusters",
     # errored in r1, fixed this round (string-encoded output)
@@ -3638,7 +3986,7 @@ _PRIORITY = [
     "q14_merge_upsert", "q20_topk_per_group", "q21_window_running",
     "q22_rollup", "q23_cube", "q24_set_ops", "q25_semi_anti",
     "q26_distinct_agg", "q27_sort_limit", "q28_range_join", "q30_asof_join",
-    "q31_tumbling_window", "q32_sessionize", "q33_grouping_sets",
+    "q33_grouping_sets",
     "q34_pivot", "q35_exists_subquery", "q36_string_functions",
     "q37_math_functions", "q38_conditional_functions", "q39_json_extraction",
     "q40_doc_stats", "q41_lang_distribution", "q42_dedup_exact",
