@@ -132,6 +132,11 @@ BENCH_QUERIES = [
     "q126_event_paths",
     "q127_price_histogram",
     "q128_zscore_outliers",
+    "q129_pagerank",
+    "q130_inverted_index",
+    "q131_numeric_profile",
+    "q132_winsorized_stats",
+    "q133_udtf_tokens",
 ]
 
 

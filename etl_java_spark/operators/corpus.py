@@ -221,16 +221,36 @@ def semantic_dup_pairs(
 
     Returns ``(id_a, id_b, cell, cos_sim)`` with ``id_a < id_b``.
     """
+    from ..functions.vectors import dot, norm
+
     assigned = _assign_cells(df, vec_col, id_col, centroids_df, centroid_id_col, id_col)
+    # Precompute each row's norm ONCE (identical doubles to a per-pair
+    # norm: same array -> same left-to-right sum), so each of the
+    # O(cell^2) pairs pays one array pass (the dot) instead of three.
+    assigned = assigned.withColumn("__norm", norm(F.col("__vec")))
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col("cell"), F.col("__vec").alias("__va")
+        F.col(id_col).alias("id_a"), F.col("cell"),
+        F.col("__vec").alias("__va"), F.col("__norm").alias("__na"),
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col("cell"), F.col("__vec").alias("__vb")
+        F.col(id_col).alias("id_b"), F.col("cell"),
+        F.col("__vec").alias("__vb"), F.col("__norm").alias("__nb"),
     )
-    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    # The cell join has only n_cells distinct keys, so the scoring work
+    # would land on n_cells tasks; round-robin spread the pairs across
+    # the full shuffle width before the per-pair dot product (the
+    # expensive part) so every core scores.
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .repartition(F.col("id_a"), F.col("id_b"))
+    )
+    cos = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+    ).otherwise(F.lit(0.0))
     return pairs.select(
-        "id_a", "id_b", "cell", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim")
+        "id_a", "id_b", "cell", cos.alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
 
 

@@ -154,3 +154,35 @@ def violations(df: DataFrame, check: Check) -> DataFrame:
             F.broadcast(refk), check.cols[0], "left_anti"
         )
     raise ValueError(f"unknown check kind {check.kind}")
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-scan numeric profile: per column, row count, null count,
+    distinct count, and min/max as doubles — the describe-pass a
+    pipeline runs before choosing partition bounds, clustering keys, or
+    DQ thresholds.
+
+    Single aggregation over the table (all metrics for all columns in
+    one pass), unpivoted to one row per column with ``stack``. The
+    multiple COUNT(DISTINCT) resolve through Spark's expand — fine for
+    a handful of profiled columns; at very wide profiles switch the
+    distinct counts to approx_count_distinct and mark them as such.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"__n_{c}"),
+            (F.count("*") - F.count(c)).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+            F.min(c).cast("double").alias(f"__min_{c}"),
+            F.max(c).cast("double").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __null_{c}, __dist_{c}, __min_{c}, __max_{c}"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n, n_null, n_distinct, min_v, max_v)"
+    )

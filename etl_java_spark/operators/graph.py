@@ -1,0 +1,95 @@
+"""Graph analytics over relational edge lists: PageRank and degree
+statistics — the "beyond SQL" iterative-algorithm surface.
+
+Charter §2B extension (no reference counterpart — RoberWaters/ETL-Java,
+src/etl/ETLProcess.java:1-568). Complements the connected-components
+labeler in ``operators/dedup.py:dedup_clusters``: that one resolves
+near-dup clusters (undirected min-label propagation); this one ranks
+nodes in a directed graph (supplier->customer flows, link graphs,
+citation graphs).
+
+Scale stance: the rank vector is a DataFrame keyed by node — never a
+driver-side structure — and every iteration is one join + one
+map-side-combinable aggregate on the node key, i.e. two shuffles that
+reuse the same hash partitioning (AQE keeps them co-partitioned). Edge
+lists of any size stream through; ``localCheckpoint`` per round caps
+lineage growth exactly as in ``dedup_clusters``.
+
+Determinism: per-edge contributions are correctly-rounded double
+divisions; per-node sums go through an exact decimal cast (order-
+independent), so a fixed-iteration run is bit-reproducible on any
+partitioning and replayable by the DuckDB oracle as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
+    """(src, outdeg) — one map-side-combinable count shuffle."""
+    return edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Simplified formulation (uniform 1.0 init, rank mass from dangling
+    nodes NOT redistributed — their rank leaks, which is fine for
+    *ranking* and keeps the recurrence exactly replayable in SQL):
+
+        r0(v)    = 1.0
+        r_k+1(v) = (1 - d) + d * SUM over in-edges (u, v) of r_k(u) / outdeg(u)
+
+    A fixed iteration count (vs convergence probing) keeps the plan
+    static — at 100 TB you budget rounds, not convergence jobs, and 3-5
+    rounds already separate hubs from leaves. Each round: edge join on
+    src (co-partitioned with the previous round's agg output) + decimal-
+    exact sum on dst + left join back onto the node set for nodes with
+    no in-edges. Returns (node, rank) for every node appearing as src
+    or dst.
+    """
+    # Materialize the edge list ONCE — the caller's edge plan may be an
+    # arbitrary join tree, and nodes/degrees/iterations all re-read it.
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("e_src").agg(F.count("*").alias("outdeg"))
+    # (src, dst, outdeg) — static over iterations, checkpoint once
+    ed = e.join(deg, "e_src").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed.e_src == ranks.node)
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.col("rank") / F.col("outdeg").cast("double")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

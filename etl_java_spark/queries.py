@@ -3797,22 +3797,24 @@ def q124_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, toks[CAST(r.i AS INTEGER)] AS w1,
              toks[CAST(r.i AS INTEGER) + 1] AS w2
       FROM tok, UNNEST(range(1, LEN(toks))) AS r(i)
+    ), dbg AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2, 3
     ), uni AS (
       SELECT t.term AS w, COUNT(*) AS c1
       FROM tok, UNNEST(toks) AS t(term) GROUP BY 1
     ), bi AS (
-      SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2
+      SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM dbg GROUP BY 1, 2
     ), v AS (
-      SELECT CAST(COUNT(DISTINCT t.term) AS DOUBLE) AS v
-      FROM tok, UNNEST(toks) AS t(term)
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni
     )
-    SELECT p.doc_id, COUNT(*) AS n_bigrams,
+    SELECT d.doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
            ROUND(CAST(SUM(CAST(
-             (CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v.v)
-           AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 12)
+             CAST(n AS DOUBLE)
+             * ((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v.v))
+           AS DECIMAL(38,15))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 12)
              AS fluency
-    FROM pairs p JOIN bi USING (w1, w2) JOIN uni ON p.w1 = uni.w CROSS JOIN v
-    GROUP BY p.doc_id
+    FROM dbg d JOIN bi USING (w1, w2) JOIN uni ON d.w1 = uni.w CROSS JOIN v
+    GROUP BY d.doc_id
     """,
 )
 def q125_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3939,6 +3941,266 @@ def q128_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_SUM = (
+    "CAST(SUM(CAST(r.pr / CAST(outdeg AS DOUBLE) AS DECIMAL(38,18))) "
+    "AS DOUBLE)"
+)
+
+
+@_q(
+    "q129_pagerank",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), ed AS (
+      SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)
+    ), r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes
+    ), r1 AS (
+      SELECT n.node,
+             (1.0 - CAST(0.85 AS DOUBLE))
+             + CAST(0.85 AS DOUBLE) * COALESCE(s.s, 0.0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, {_PR_SUM} AS s
+        FROM ed JOIN r0 r ON ed.src = r.node GROUP BY ed.dst
+      ) s USING (node)
+    ), r2 AS (
+      SELECT n.node,
+             (1.0 - CAST(0.85 AS DOUBLE))
+             + CAST(0.85 AS DOUBLE) * COALESCE(s.s, 0.0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, {_PR_SUM} AS s
+        FROM ed JOIN r1 r ON ed.src = r.node GROUP BY ed.dst
+      ) s USING (node)
+    ), r3 AS (
+      SELECT n.node,
+             (1.0 - CAST(0.85 AS DOUBLE))
+             + CAST(0.85 AS DOUBLE) * COALESCE(s.s, 0.0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, {_PR_SUM} AS s
+        FROM ed JOIN r2 r ON ed.src = r.node GROUP BY ed.dst
+      ) s USING (node)
+    )
+    SELECT node, ROUND(pr, 9) AS pr FROM r3
+    ORDER BY pr DESC, node LIMIT 20
+    """,
+)
+def q129_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank on the supplier->customer shipment graph
+    (operators/graph.py) — top-20 hubs. The oracle replays the exact
+    recurrence as chained CTEs; decimal-exact per-node sums make the
+    fixed-point arithmetic engine-independent."""
+    from .operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 9).alias("pr"))
+        .orderBy(F.col("pr").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q130_inverted_index",
+    f"""
+    WITH tf AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+           UNNEST(toks) AS t(term)
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), top10 AS (
+      SELECT term, doc_id FROM (
+        SELECT term, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM tf
+      ) WHERE rn <= 10
+    ), post AS (
+      SELECT term,
+             STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+      FROM top10 GROUP BY term
+    )
+    SELECT term, df, postings FROM df JOIN post USING (term)
+    """,
+)
+def q130_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per term, document frequency plus the
+    first-10 posting list (comma string — the driver's canonicalizer
+    needs scalar cells).
+
+    Scale: postings are built per term with a window capped at 10, so
+    shuffle volume per term is bounded; full posting lists at corpus
+    scale would instead range-partition by term and spill to files."""
+    from .operators.retrieval import doc_terms
+
+    d = _t(spark, sf_dir, "documents")
+    tf = doc_terms(d).select("doc_id", "term")  # (doc, term) unique
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    post = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings")
+        )
+    )
+    return df_t.join(post, "term")
+
+
+@_q(
+    "q131_numeric_profile",
+    """
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_v,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+)
+def q131_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan numeric table profile (operators/dq.py:profile_numeric):
+    the describe-pass before choosing partition bounds or DQ gates."""
+    from .operators.dq import profile_numeric
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_numeric(o, ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+@_q(
+    "q132_winsorized_stats",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders
+    )
+    SELECT CAST(COUNT(CASE WHEN o_totalprice < lo THEN 1 END) AS BIGINT)
+             AS n_below,
+           CAST(COUNT(CASE WHEN o_totalprice > hi THEN 1 END) AS BIGINT)
+             AS n_above,
+           CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, lo), hi)
+                         AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS winsor_mean,
+           ROUND(CAST(lo AS DOUBLE), 9) AS p05,
+           ROUND(CAST(hi AS DOUBLE), 9) AS p95
+    FROM orders CROSS JOIN b
+    GROUP BY lo, hi
+    """,
+)
+def q132_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) mean with outlier tail counts.
+
+    Two passes: exact percentiles (1-row, broadcast back), then a
+    decimal-exact clipped sum — the robust-mean profile step that
+    survives corrupted extreme values in metric columns."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.when(F.col("o_totalprice") < F.col("lo"), 1)).alias(
+                "n_below"
+            ),
+            F.count(F.when(F.col("o_totalprice") > F.col("hi"), 1)).alias(
+                "n_above"
+            ),
+            (
+                F.sum(clipped.cast("decimal(18,6)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("winsor_mean"),
+        )
+        .select(
+            "n_below",
+            "n_above",
+            "winsor_mean",
+            F.round(F.col("lo"), 9).alias("p05"),
+            F.round(F.col("hi"), 9).alias("p95"),
+        )
+    )
+
+
+@_q(
+    "q133_udtf_tokens",
+    f"""
+    SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS word_idx,
+           toks[CAST(r.i AS INTEGER)] AS word
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+         UNNEST(range(1, LEAST(LEN(toks), 5) + 1)) AS r(i)
+    """,
+)
+def q133_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table function + LATERAL join):
+    first-5 token rows per document.
+
+    Deliberately the one row-at-a-time Python operator in the corpus —
+    it exists to exercise the UDTF API end-to-end (class eval/yield,
+    registration, LATERAL correlation), not as a scale path; the same
+    result is a pure-Column explode (see q59/q121). Oracle-checked
+    against the SQL tokenizer."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word_idx int, word string")
+    class FirstTokens:
+        def eval(self, text):
+            import re
+
+            toks = [
+                t
+                for t in re.split(r"[^a-z0-9]+", (text or "").strip().lower())
+                if t
+            ]
+            for i, t in enumerate(toks[:5]):
+                yield i, t
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.word_idx, t.word "
+        "FROM __udtf_docs d, LATERAL first_tokens(d.text) t"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
@@ -3953,7 +4215,8 @@ _PRIORITY = [
     "q119_bm25_rank", "q120_tfidf_terms", "q121_chunk_chars",
     "q122_source_caps", "q123_split_assign", "q124_source_mixture",
     "q125_bigram_fluency", "q126_event_paths", "q127_price_histogram",
-    "q128_zscore_outliers",
+    "q128_zscore_outliers", "q129_pagerank", "q130_inverted_index",
+    "q131_numeric_profile", "q132_winsorized_stats", "q133_udtf_tokens",
     # hash-mismatched in r2 (oracle sum type), fixed this round
     "q109_funnel",
     # r1-green but only against the old events fixture vintage — the
