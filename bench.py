@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "q131_numeric_profile",
     "q132_winsorized_stats",
     "q133_udtf_tokens",
+    "q134_incremental_join",
+    "q135_sketch_union",
 ]
 
 

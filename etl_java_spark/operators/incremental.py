@@ -70,3 +70,53 @@ def merge_partials(
         u = u.unionByName(p)
     merges = [_ALGEBRAIC[op][1](out).alias(out) for out, (op, _src) in spec.items()]
     return u.groupBy(*keys).agg(*merges)
+
+
+def incremental_join(
+    base_left: DataFrame,
+    base_right: DataFrame,
+    delta_left: DataFrame,
+    delta_right: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Delta rows for an inner-join materialization under inserts.
+
+    The classic incremental-view-maintenance identity: with inserts
+    ΔL / ΔR arriving on top of bases L / R,
+
+        Δ(L ⋈ R) = (ΔL ⋈ R) ∪ (L ⋈ ΔR) ∪ (ΔL ⋈ ΔR)
+
+    Append the returned rows to the stored join — no recompute of
+    L ⋈ R. At 100 TB this is the difference between shuffling two full
+    fact tables nightly and shuffling O(delta): the base sides enter
+    each term as probe-side scans keyed by the join columns (bucketed
+    bases join with no exchange at all), and the delta sides are small
+    enough that AQE broadcasts them.
+
+    Inserts only (the fixtures' CDC deletes/updates route through
+    operators/cdc.py compaction first, which reduces them to inserts of
+    current rows).
+    """
+    new = (
+        delta_left.join(base_right, on)
+        .unionByName(base_left.join(delta_right, on))
+        .unionByName(delta_left.join(delta_right, on))
+    )
+    return new
+
+
+def incremental_join_equals_full(
+    base_left: DataFrame,
+    base_right: DataFrame,
+    delta_left: DataFrame,
+    delta_right: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Materialized view after the delta fold: stored join + delta rows.
+
+    Equals ``(L ∪ ΔL) ⋈ (R ∪ ΔR)`` by the IVM identity — which is what
+    the oracle recomputes from scratch (q134)."""
+    stored = base_left.join(base_right, on)
+    return stored.unionByName(
+        incremental_join(base_left, base_right, delta_left, delta_right, on)
+    )

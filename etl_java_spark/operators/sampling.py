@@ -29,18 +29,28 @@ from pyspark.sql import functions as F
 def key_bucket(key, buckets: int = 10000) -> Column:
     """Deterministic pseudo-uniform bucket in [0, buckets) from an int key.
 
+    The key is reduced mod p BEFORE the multiplicative round so every
+    intermediate stays below 2^63 for ANY int64 key (p-1 ~ 1e9 times
+    2654435761 ~ 2.7e18 < 2^63; found the hard way — the 10x scale-up's
+    offset ids overflowed the unreduced form under ANSI mode).
+
     Same arithmetic as the SQL form
-    ``((k * 2654435761) % 1000000007 * 524287) % 1000000007 % buckets``
-    so DuckDB reproduces the selection bit-for-bit.
+    ``((k % 1000000007) * 2654435761 % 1000000007 * 524287) % 1000000007
+    % buckets`` so DuckDB reproduces the selection bit-for-bit.
     """
     k = (F.col(key) if isinstance(key, str) else key).cast("long")
-    h = (k * F.lit(2654435761).cast("long")) % 1000000007 * 524287 % 1000000007
+    h = (
+        (k % 1000000007) * F.lit(2654435761).cast("long")
+    ) % 1000000007 * 524287 % 1000000007
     return h % buckets
 
 
 def key_bucket_sql(key: str, buckets: int = 10000) -> str:
     """The DuckDB-side twin of :func:`key_bucket` (keep in lockstep)."""
-    return f"(({key} * 2654435761) % 1000000007 * 524287) % 1000000007 % {buckets}"
+    return (
+        f"(({key} % 1000000007) * 2654435761 % 1000000007 * 524287) "
+        f"% 1000000007 % {buckets}"
+    )
 
 
 def cap_per_group(

@@ -185,3 +185,30 @@ def test_non_algebraic_op_rejected(spark):
     df = spark.range(10).select((F.col("id") % 2).alias("k"), F.col("id").alias("v"))
     with pytest.raises(ValueError, match="not algebraic"):
         INC.partial_aggs(df, ["k"], {"m": ("median", "v")})
+
+
+def test_incremental_join_equals_full_recompute(spark):
+    left = spark.range(200).select(
+        (F.col("id") % 20).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(60).select(
+        (F.col("id") % 20).alias("k"), (F.col("id") * 10).alias("rv")
+    )
+    bl, dl = left.filter(F.col("lv") % 3 != 0), left.filter(F.col("lv") % 3 == 0)
+    br, dr = right.filter(F.col("rv") % 40 != 0), right.filter(F.col("rv") % 40 == 0)
+    got = INC.incremental_join_equals_full(bl, br, dl, dr, ["k"])
+    want = left.join(right, ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_incremental_join_delta_only_rows(spark):
+    # the delta term must contain exactly the rows the full join gains
+    left = spark.range(50).select((F.col("id") % 5).alias("k"), F.col("id").alias("lv"))
+    right = spark.range(20).select((F.col("id") % 5).alias("k"), (F.col("id") + 100).alias("rv"))
+    bl, dl = left.filter(F.col("lv") < 40), left.filter(F.col("lv") >= 40)
+    br, dr = right.filter(F.col("rv") < 110), right.filter(F.col("rv") >= 110)
+    delta = INC.incremental_join(bl, br, dl, dr, ["k"])
+    full = left.join(right, ["k"])
+    stored = bl.join(br, ["k"])
+    gained = full.exceptAll(stored)
+    assert sorted(map(tuple, delta.collect())) == sorted(map(tuple, gained.collect()))

@@ -44,6 +44,12 @@ QUERY_SLICE = [
     "q103_gapfill",
     "q107_market_share",
     "q108_product_profit",
+    "q116_semantic_dedup",
+    "q119_bm25_rank",
+    "q122_source_caps",
+    "q125_bigram_fluency",
+    "q126_event_paths",
+    "q129_pagerank",
 ]
 
 
