@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q133_udtf_tokens",
     "q134_incremental_join",
     "q135_sketch_union",
+    "q136_variant_json",
 ]
 
 

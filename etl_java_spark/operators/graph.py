@@ -90,6 +90,10 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
+            # Per-round materialization measured FASTER than one unrolled
+            # lazy DAG here (5-6s vs 7.7s at sf0.1): each round's AQE
+            # re-plans against the real rank-vector size instead of a
+            # 3-round-deep estimate, and lineage stays O(1) for long runs.
             .localCheckpoint(eager=True)
         )
     return ranks

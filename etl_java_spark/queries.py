@@ -4284,6 +4284,35 @@ def q135_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q136_variant_json",
+    """
+    SELECT event_type,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS max_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER))
+             AS n_distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q136_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion: parse_json once into the open-schema
+    binary encoding, then typed variant_get path extraction — the
+    semi-structured pattern that replaces per-path get_json_object
+    re-parsing (q39 is the string-path twin). At scale the single parse
+    amortizes across every downstream path access."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("pv"))
+    k = F.variant_get("pv", "$.k", "int")
+    return v.groupBy("event_type").agg(
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
@@ -4300,7 +4329,7 @@ _PRIORITY = [
     "q125_bigram_fluency", "q126_event_paths", "q127_price_histogram",
     "q128_zscore_outliers", "q129_pagerank", "q130_inverted_index",
     "q131_numeric_profile", "q132_winsorized_stats", "q133_udtf_tokens",
-    "q134_incremental_join",
+    "q134_incremental_join", "q136_variant_json",
     # hash-mismatched in r2 (oracle sum type), fixed this round
     "q109_funnel",
     # r1-green but only against the old events fixture vintage — the
