@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q134_incremental_join",
     "q135_sketch_union",
     "q136_variant_json",
+    "q137_stream_dedup",
 ]
 
 

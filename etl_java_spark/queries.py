@@ -1888,10 +1888,25 @@ def q53_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cos_sim", "rank").orderBy("query_id", "rank")
 
 
-@_q("q54_stream_tumbling")
+@_q(
+    "q54_stream_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
 def q54_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window counts driven to completion
-    over the events fixture (file-source replay, memory sink)."""
+    over the events fixture (file-source replay, memory sink).
+
+    ORACLE-CHECKED streaming: with availableNow replay and a watermark
+    wider than the fixture's time span, nothing is late-dropped, so the
+    drained stream's state equals the batch aggregation — which DuckDB
+    recomputes relationally. Decimal-exact sums make the equality
+    bitwise across micro-batch boundaries AND engines."""
     from .streaming.events import read_events_stream, run_to_memory, tumbling_counts
 
     stream = read_events_stream(spark, sf_dir)
@@ -2275,10 +2290,24 @@ def q67_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q68_stateful_stream")
+@_q(
+    "q68_stateful_stream",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS total_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
 def q68_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user running totals via
-    applyInPandasWithState (state-store-backed, update mode)."""
+    applyInPandasWithState (state-store-backed, update mode).
+
+    ORACLE-CHECKED: the state tuple accumulates exact int64 micro-units
+    (floor(value*1e6)), so the drained final state is bitwise equal to
+    the relational aggregation regardless of micro-batch boundaries or
+    accumulation order — DuckDB replays the same fixed-point sum."""
     from .streaming.events import read_events_stream, run_to_memory
     from .streaming.stateful import running_user_totals
 
@@ -2363,10 +2392,24 @@ def q77_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q79_stream_stream_join")
+@_q(
+    "q79_stream_stream_join",
+    """
+    SELECT p.event_id AS l_id, p.user_id, p.ts AS l_ts, p.value AS l_value,
+           c.event_id AS r_id, c.ts AS r_ts, c.value AS r_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
 def q79_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (purchase x preceding clicks) with
-    watermarks bounding both sides' state."""
+    watermarks bounding both sides' state.
+
+    ORACLE-CHECKED: with full replay and a watermark wider than the
+    fixture span, no state is evicted early, so the streamed join
+    equals the relational interval join DuckDB computes."""
     from .streaming.events import read_events_stream, run_to_memory, stream_stream_join
 
     stream = read_events_stream(spark, sf_dir)
@@ -2449,9 +2492,22 @@ def q61_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q62_stream_sliding")
+@_q(
+    "q62_stream_sliding",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+             - j.j * INTERVAL '15 minutes' AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events, UNNEST(range(0, 4)) AS j(j)
+    GROUP BY 1, 2
+    """,
+)
 def q62_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming sliding windows (1h window / 15min slide)."""
+    """Structured Streaming sliding windows (1h window / 15min slide).
+
+    ORACLE-CHECKED: every event belongs to exactly 4 overlapping hourly
+    windows (one per 15-min slide); DuckDB replays that membership by
+    exploding each event into its 4 window starts."""
     from .streaming.events import read_events_stream, run_to_memory, sliding_counts
 
     stream = read_events_stream(spark, sf_dir)
@@ -2459,9 +2515,34 @@ def q62_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "q62_out", output_mode="complete")
 
 
-@_q("q63_stream_sessions")
+@_q(
+    "q63_stream_sessions",
+    """
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def q63_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming session windows (30min gap) per user."""
+    """Structured Streaming session windows (30min gap) per user.
+
+    ORACLE-CHECKED: session_window's [first, last+gap) semantics (an
+    event at exactly last+gap opens a NEW session, hence >= in the
+    oracle's gap test) replayed in DuckDB as gaps-and-islands."""
     from .streaming.events import read_events_stream, run_to_memory, session_counts
 
     stream = read_events_stream(spark, sf_dir)
@@ -4313,6 +4394,32 @@ def q136_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q137_stream_dedup",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q137_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) driven to
+    completion, then summarized per event_type.
+
+    ORACLE-CHECKED on the surviving KEY SET (which physical row survives
+    a streaming dedup is arrival-order-dependent; the set of distinct
+    keys is not) — DuckDB replays it as COUNT(DISTINCT)."""
+    from .streaming.events import dedup_stream, read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir)
+    deduped = dedup_stream(
+        stream, ["user_id", "event_type"], watermark="1000 hours"
+    )
+    got = run_to_memory(deduped, "q137_out", output_mode="append")
+    return got.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
@@ -4330,6 +4437,9 @@ _PRIORITY = [
     "q128_zscore_outliers", "q129_pagerank", "q130_inverted_index",
     "q131_numeric_profile", "q132_winsorized_stats", "q133_udtf_tokens",
     "q134_incremental_join", "q136_variant_json",
+    # streaming queries upgraded from rows-only to oracle-checked (r3)
+    "q54_stream_tumbling", "q62_stream_sliding", "q63_stream_sessions",
+    "q79_stream_stream_join", "q68_stateful_stream", "q137_stream_dedup",
     # hash-mismatched in r2 (oracle sum type), fixed this round
     "q109_funnel",
     # r1-green but only against the old events fixture vintage — the
@@ -4373,10 +4483,9 @@ _PRIORITY = [
     "q87_order_count_distribution", "q88_promo_revenue_share",
     "q89_having_in_subquery", "q90_not_in_subquery", "q92_rank_functions",
     # rows-only (weak check only) — deliberately last
-    "q86_freq_items", "q54_stream_tumbling", "q55_multimodal_features",
-    "q105_real_codec_features", "q68_stateful_stream", "q77_pack_sequences",
-    "q79_stream_stream_join", "q60_approx_distinct",
-    "q61_approx_percentiles", "q62_stream_sliding", "q63_stream_sessions",
+    "q86_freq_items", "q55_multimodal_features",
+    "q105_real_codec_features", "q77_pack_sequences",
+    "q60_approx_distinct", "q61_approx_percentiles",
     "q135_sketch_union",
 ]
 

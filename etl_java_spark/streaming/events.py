@@ -53,7 +53,14 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        # decimal-exact sum: order-independent across micro-batch
+        # boundaries AND bitwise-equal to the batch/oracle twin
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -80,7 +87,12 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),

@@ -30,25 +30,40 @@ RUNNING_TOTALS_OUTPUT = T.StructType(
 RUNNING_TOTALS_STATE = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        T.StructField("total_units", T.LongType()),
         T.StructField("max", T.DoubleType()),
     ]
 )
+
+# fixed-point accumulation unit: each value is floored to integer
+# micro-units before summing, so the running total is an exact int64 sum
+# — reproducible across micro-batch boundaries, accumulation orders, and
+# engines (floor(x * 1e6) of the same double is engine-independent; a
+# float running sum is none of these). Standard money-style fixed point.
+_UNITS = 1_000_000
 
 
 def _update_running_totals(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     (user_id,) = key
-    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    n, total_units, mx = state.get if state.exists else (0, 0, float("-inf"))
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
         if len(pdf):
-            mx = max(mx, float(pdf["value"].max()))
-    state.update((n, total, mx))
+            v = pdf["value"].to_numpy(dtype="float64")
+            total_units += int(np.floor(v * _UNITS).astype("int64").sum())
+            mx = max(mx, float(v.max()))
+    state.update((n, total_units, mx))
     yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [total], "max_value": [mx]}
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total_units / _UNITS],
+            "max_value": [mx],
+        }
     )
 
 

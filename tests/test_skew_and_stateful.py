@@ -40,13 +40,17 @@ def test_stateful_running_totals_equals_batch(spark, sf_small):
     stream = read_events_stream(spark, sf_small)
     got = run_to_memory(running_user_totals(stream), "t_stateful", output_mode="update")
     batch = normalize_nanos(spark.read.parquet(f"{sf_small}/events.parquet"))
+    # batch twin of the operator's fixed-point accumulation (exact int64
+    # micro-unit sum -> equality is bitwise, no rounding tolerance)
     expected = batch.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.sum("value").alias("total_value"),
+        (
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")) / 1_000_000
+        ).alias("total_value"),
         F.max("value").alias("max_value"),
     )
-    g = {r.user_id: (r.n_events, round(r.total_value, 6), r.max_value) for r in got.collect()}
-    e = {r.user_id: (r.n_events, round(r.total_value, 6), r.max_value) for r in expected.collect()}
+    g = {r.user_id: (r.n_events, r.total_value, r.max_value) for r in got.collect()}
+    e = {r.user_id: (r.n_events, r.total_value, r.max_value) for r in expected.collect()}
     assert g == e
 
 
