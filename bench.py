@@ -141,6 +141,10 @@ BENCH_QUERIES = [
     "q135_sketch_union",
     "q136_variant_json",
     "q137_stream_dedup",
+    "q138_video_pipeline",
+    "q139_arrow_features",
+    "q140_try_functions",
+    "q141_observed_metrics",
 ]
 
 

@@ -340,3 +340,87 @@ def stdlib_codec(content: bytes, mime: str) -> list[float]:
     if isinstance(decoded, tuple):
         return audio_features(*decoded)
     return image_features(decoded)
+
+
+# ---------------------------------------------------------------------------
+# Image resize + video-style frame packs (charter: decode / feature-
+# extract / RESIZE / FRAME-SAMPLE as the multimodal preprocessing set)
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor image resize (the embedding-model preprocessing
+    step), pure integer index arithmetic — deterministic on any engine,
+    no interpolation-library variance. Works on HxW and HxWxC arrays."""
+    a = np.asarray(arr)
+    h, w = a.shape[0], a.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("cannot resize an empty image")
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return a[rows][:, cols]
+
+
+_FPK_MAGIC = b"FPK1"
+
+
+def encode_framepack(frames: list[np.ndarray]) -> bytes:
+    """Pack frames into a length-prefixed BMP container — a minimal but
+    REAL multi-frame video stand-in (this environment has no ffmpeg/
+    PyAV; the container lets frame-sampling be exercised end-to-end
+    with real bytes instead of a stub). Layout:
+    magic 'FPK1' | uint32 n_frames | n x (uint32 len | BMP bytes)."""
+    import struct
+
+    out = [_FPK_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        b = encode_bmp(f)
+        out.append(struct.pack("<I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def decode_framepack(content: bytes) -> list[np.ndarray]:
+    """Inverse of :func:`encode_framepack` (bit-exact round-trip)."""
+    import struct
+
+    b = bytes(content)
+    if b[:4] != _FPK_MAGIC:
+        raise ValueError("not a framepack payload")
+    (n,) = struct.unpack_from("<I", b, 4)
+    off = 8
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", b, off)
+        off += 4
+        frames.append(decode_bmp(b[off : off + ln]))
+        off += ln
+    return frames
+
+
+def sample_frame_indices(n_frames: int, k: int) -> list[int]:
+    """Uniform temporal sampling: k evenly-spaced frame indices
+    (first and last always included when k >= 2) — the standard
+    video-preprocessing policy, pure integer arithmetic."""
+    if n_frames <= 0 or k <= 0:
+        return []
+    if k == 1:
+        return [n_frames // 2]
+    k = min(k, n_frames)
+    return [(i * (n_frames - 1)) // (k - 1) for i in range(k)]
+
+
+def video_features(content: bytes, k: int = 4, thumb: int = 4) -> list[float]:
+    """Frame-sample + resize + featurize a framepack 'video': decode all
+    frames, keep ``k`` uniformly sampled ones, nearest-resize each to
+    ``thumb`` x ``thumb`` gray, return the concatenated block means —
+    the decode->sample->resize->embed front end of a video pipeline."""
+    frames = decode_framepack(content)
+    idx = sample_frame_indices(len(frames), k)
+    feats: list[float] = []
+    for i in idx:
+        a = np.asarray(frames[i], dtype=np.float64)
+        if a.ndim == 3:
+            a = a[:, :, : min(3, a.shape[2])].mean(axis=2)
+        small = resize_nearest(a, thumb, thumb)
+        feats.extend((small / 255.0).reshape(-1).tolist())
+    return feats

@@ -177,3 +177,30 @@ def synthesize_real_media_table(spark: SparkSession, n: int = 32, seed: int = 42
             rows.append((f"mem://media/{i}.wav", "audio/wav", bytearray(C.encode_wav(tone))))
     df = spark.createDataFrame(rows, "path string, mime string, content binary")
     return attach_media_meta(df, mime_col="mime")
+
+
+def synthesize_video_table(spark: SparkSession, n: int = 12, seed: int = 7) -> DataFrame:
+    """Deterministic table of framepack 'videos' (real multi-frame BMP
+    containers, operators/codecs.py) — exercises the decode ->
+    frame-sample -> resize -> featurize path with real bytes."""
+    import numpy as np
+
+    from . import codecs as C
+
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(seed + i)
+        n_frames = 3 + i % 6
+        frames = [
+            rng.randint(0, 256, size=(6 + i % 3, 8 + i % 4, 3), dtype=np.uint8)
+            for _ in range(n_frames)
+        ]
+        rows.append(
+            (
+                f"mem://video/{i}.fpk",
+                "video/x-framepack",
+                bytearray(C.encode_framepack(frames)),
+            )
+        )
+    df = spark.createDataFrame(rows, "path string, mime string, content binary")
+    return attach_media_meta(df, mime_col="mime")

@@ -4420,6 +4420,142 @@ def q137_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q138_video_pipeline")
+def q138_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video preprocessing end-to-end: decode a real multi-frame
+    container (framepack: length-prefixed BMPs), uniformly frame-sample
+    k=4, nearest-resize each frame to 4x4 gray, featurize — the charter's
+    decode/feature-extract/resize/frame-sample set with real bytes
+    (operators/codecs.py: decode_framepack/sample_frame_indices/
+    resize_nearest/video_features).
+
+    Rows-only by nature (DuckDB cannot decode the container); the
+    feature vector is summarized to scalars for the row check."""
+    from .operators.codecs import video_features
+    from .operators.multimodal import extract_features, synthesize_video_table
+
+    media = synthesize_video_table(spark, n=12).coalesce(2)
+
+    def framepack_codec(content: bytes, mime: str) -> list[float]:
+        return video_features(content, k=4, thumb=4)
+
+    feats = extract_features(media, codec=framepack_codec)
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                "feature", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+            )
+        ),
+        6,
+    )
+    return feats.select(
+        "uri",
+        "mime",
+        F.size("feature").alias("n_feats"),
+        l2.alias("l2"),
+    ).orderBy("uri")
+
+
+@_q(
+    "q139_arrow_features",
+    """
+    SELECT vec_id, CAST(LEN(embedding) AS INTEGER) AS dim,
+           CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INTEGER)
+             AS n_positive
+    FROM embeddings
+    """,
+)
+def q139_arrow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface: columnar batches processed with zero pandas
+    conversion — integer per-vector stats, so the result is
+    engine-exact and the Arrow path itself is what's under test
+    (q76/q105 cover the pandas variants)."""
+    import pyarrow as pa
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def stats(batches):
+        import numpy as np
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            dims, pos = [], []
+            for v in tbl["embedding"]:
+                a = np.asarray(v, dtype=np.float32)
+                dims.append(len(a))
+                pos.append(int((a > 0).sum()))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": tbl["vec_id"],
+                    "dim": pa.array(dims, type=pa.int32()),
+                    "n_positive": pa.array(pos, type=pa.int32()),
+                }
+            )
+
+    return e.mapInArrow(stats, "vec_id long, dim int, n_positive int")
+
+
+@_q(
+    "q140_try_functions",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+           TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS pri_digit,
+           ROUND(o_totalprice / NULLIF(o_custkey % 7, 0), 9) AS ratio
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def q140_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe surface: try_cast / try_divide return NULL
+    where strict evaluation would raise — the batch-pipeline behavior
+    you want at 100 TB (one malformed row must not kill a 6-hour job).
+    The oracle expresses the same semantics with TRY_CAST/NULLIF."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("pri_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias(
+            "pri_digit"
+        ),
+        F.round(
+            F.try_divide("o_totalprice", F.col("o_custkey") % 7), 9
+        ).alias("ratio"),
+    )
+
+
+@_q(
+    "q141_observed_metrics",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null_cust
+    FROM orders
+    """,
+)
+def q141_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation API: DQ metrics piggybacked on a query's existing
+    pass (df.observe + accumulator harvest after the action) — at scale
+    this is observability WITHOUT a second table scan. The harvested
+    metrics are returned as a 1-row DataFrame and hash-checked."""
+    from pyspark.sql import Observation
+
+    o = _t(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("n_null_cust"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_price"], m["n_null_cust"])],
+        "n_rows long, total_price double, n_null_cust long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
@@ -4440,6 +4576,7 @@ _PRIORITY = [
     # streaming queries upgraded from rows-only to oracle-checked (r3)
     "q54_stream_tumbling", "q62_stream_sliding", "q63_stream_sessions",
     "q79_stream_stream_join", "q68_stateful_stream", "q137_stream_dedup",
+    "q139_arrow_features", "q140_try_functions", "q141_observed_metrics",
     # hash-mismatched in r2 (oracle sum type), fixed this round
     "q109_funnel",
     # r1-green but only against the old events fixture vintage — the
@@ -4486,7 +4623,7 @@ _PRIORITY = [
     "q86_freq_items", "q55_multimodal_features",
     "q105_real_codec_features", "q77_pack_sequences",
     "q60_approx_distinct", "q61_approx_percentiles",
-    "q135_sketch_union",
+    "q135_sketch_union", "q138_video_pipeline",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -109,3 +109,53 @@ def test_real_codec_distributed(spark):
         else:
             assert len(r.feature) == 64
             assert all(0.0 <= f <= 1.0 for f in r.feature)
+
+
+# ---------------------------------------------------------------------------
+# resize / framepack / frame sampling (charter: decode, feature-extract,
+# resize, frame-sample)
+
+
+def test_resize_nearest_upscale_exact():
+    img = np.array([[0, 255], [100, 200]], dtype=np.uint8)
+    big = C.resize_nearest(img, 4, 4)
+    assert big.shape == (4, 4)
+    # each source pixel becomes a 2x2 block
+    assert (big[:2, :2] == 0).all() and (big[:2, 2:] == 255).all()
+    assert (big[2:, :2] == 100).all() and (big[2:, 2:] == 200).all()
+
+
+def test_resize_nearest_downscale_and_color():
+    img = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    small = C.resize_nearest(img, 3, 4)
+    assert small.shape == (3, 4, 3)
+    # row/col index mapping: out[i,j] = in[(i*6)//3, (j*8)//4]
+    assert (small[1, 2] == img[2, 4]).all()
+
+
+def test_framepack_roundtrip_bit_exact():
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8) for _ in range(4)]
+    packed = C.encode_framepack(frames)
+    out = C.decode_framepack(packed)
+    assert len(out) == 4
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+
+def test_sample_frame_indices_policy():
+    assert C.sample_frame_indices(10, 4) == [0, 3, 6, 9]  # ends included
+    assert C.sample_frame_indices(10, 1) == [5]
+    assert C.sample_frame_indices(3, 5) == [0, 1, 2]  # k capped at n
+    assert C.sample_frame_indices(0, 3) == []
+
+
+def test_video_features_shape_and_determinism():
+    rng = np.random.RandomState(1)
+    frames = [rng.randint(0, 256, size=(6, 6, 3), dtype=np.uint8) for _ in range(8)]
+    packed = C.encode_framepack(frames)
+    f1 = C.video_features(packed, k=4, thumb=4)
+    f2 = C.video_features(packed, k=4, thumb=4)
+    assert len(f1) == 4 * 4 * 4  # k frames x thumb^2
+    assert f1 == f2
+    assert all(0.0 <= x <= 1.0 for x in f1)
