@@ -4579,6 +4579,12 @@ _PRIORITY = [
     "q139_arrow_features", "q140_try_functions", "q141_observed_metrics",
     # hash-mismatched in r2 (oracle sum type), fixed this round
     "q109_funnel",
+    # rows-only queries that have never had ANY recorded row (the gate
+    # caps ~50/round and these sat past the cap) — record at least the
+    # weak check once; genuinely engine-specific, no oracle possible
+    "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
+    "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",
+    "q135_sketch_union", "q138_video_pipeline",
     # r1-green but only against the old events fixture vintage — the
     # events.parquet timestamps changed encoding; re-confirm first
     "q31_tumbling_window", "q32_sessionize",
@@ -4619,11 +4625,6 @@ _PRIORITY = [
     "q84_range_frame", "q85_deterministic_corr",
     "q87_order_count_distribution", "q88_promo_revenue_share",
     "q89_having_in_subquery", "q90_not_in_subquery", "q92_rank_functions",
-    # rows-only (weak check only) — deliberately last
-    "q86_freq_items", "q55_multimodal_features",
-    "q105_real_codec_features", "q77_pack_sequences",
-    "q60_approx_distinct", "q61_approx_percentiles",
-    "q135_sketch_union", "q138_video_pipeline",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
