@@ -145,6 +145,9 @@ BENCH_QUERIES = [
     "q139_arrow_features",
     "q140_try_functions",
     "q141_observed_metrics",
+    "q142_full_outer_join",
+    "q143_union_missing_cols",
+    "q144_null_safe_join",
 ]
 
 

@@ -4556,6 +4556,119 @@ def q141_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q142_full_outer_join",
+    """
+    SELECT COALESCE(c.c_mktsegment, '(no customer)') AS segment,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_customers_without_orders,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan_orders
+    FROM orders o FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q142_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with unmatched-side accounting (customers who
+    never ordered vs orphan orders). Full outer cannot broadcast — the
+    plan is the corpus's deliberate sort-merge join; both unmatched
+    directions are asserted in the output."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey, "full_outer")
+    return j.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("(no customer)")).alias(
+            "segment"
+        )
+    ).agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "n_customers_without_orders"
+        ),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+            "n_orphan_orders"
+        ),
+    )
+
+
+@_q(
+    "q143_union_missing_cols",
+    """
+    SELECT o_orderkey AS id, o_totalprice AS amount,
+           o_orderpriority AS priority, NULL AS segment
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT c_custkey AS id, NULL AS amount, NULL AS priority,
+           c_mktsegment AS segment
+    FROM customer WHERE c_custkey < 300
+    """,
+)
+def q143_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: unionByName(allowMissingColumns=True)
+    NULL-fills each side's absent columns — the heterogeneous-batch
+    append path of a long-lived table whose schema grew over time."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("amount"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return o.unionByName(c, allowMissingColumns=True)
+
+
+@_q(
+    "q144_null_safe_join",
+    """
+    WITH l AS (
+      SELECT o_orderkey, NULLIF(o_custkey % 10, 0) AS k FROM orders
+      WHERE o_orderkey < 4000
+    ), r AS (
+      SELECT NULLIF(n, 0) AS k, COUNT(*) AS n_side
+      FROM (SELECT c_custkey % 10 AS n FROM customer) GROUP BY 1
+    )
+    SELECT CAST(COALESCE(CAST(l.k AS VARCHAR), '(null)') AS VARCHAR)
+             AS key_class,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(n_side) AS BIGINT) AS sum_matched
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY 1
+    """,
+)
+def q144_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics you
+    need when joining on nullable surrogate keys."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    l = o.select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 10, F.lit(0)).alias("k")
+    )
+    c = _t(spark, sf_dir, "customer")
+    r = (
+        c.select(F.nullif(F.col("c_custkey") % 10, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_side"))
+    )
+    j = l.join(r, l.k.eqNullSafe(r.k))
+    return j.groupBy(
+        F.coalesce(l.k.cast("string"), F.lit("(null)")).alias("key_class")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("n_side").alias("sum_matched"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
@@ -4577,6 +4690,7 @@ _PRIORITY = [
     "q54_stream_tumbling", "q62_stream_sliding", "q63_stream_sessions",
     "q79_stream_stream_join", "q68_stateful_stream", "q137_stream_dedup",
     "q139_arrow_features", "q140_try_functions", "q141_observed_metrics",
+    "q142_full_outer_join", "q143_union_missing_cols", "q144_null_safe_join",
     # hash-mismatched in r2 (oracle sum type), fixed this round
     "q109_funnel",
     # rows-only queries that have never had ANY recorded row (the gate

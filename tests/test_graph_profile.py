@@ -59,3 +59,8 @@ def test_profile_numeric(spark):
     k, v = rows["k"], rows["v"]
     assert (k.n, k.n_null, k.n_distinct, k.min_v, k.max_v) == (4, 0, 3, 1.0, 3.0)
     assert (v.n, v.n_null, v.n_distinct, v.min_v, v.max_v) == (4, 1, 2, 10.0, 30.0)
+
+
+def test_pagerank_empty_edges(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(e, iterations=2).count() == 0

@@ -221,3 +221,32 @@ def test_top_event_paths(spark):
     got = top_event_paths(ev, n_events=5, topk=10).collect()
     assert (got[0].path, got[0].n_users) == ("A>B>C", 3)
     assert (got[1].path, got[1].n_users) == ("B>A", 1)
+
+
+# ---------------------------------------------------------------------------
+# edge cases
+
+
+def test_chunk_chars_rejects_bad_overlap(spark):
+    d = _docs(spark, [(1, "abc")])
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_chars(d, size=10, overlap=10)
+
+
+def test_bm25_no_matching_terms_empty(spark):
+    d = _docs(spark, [(1, "alpha beta"), (2, "gamma")])
+    assert bm25_rank(d, ["zzz_not_present"], topk=5).count() == 0
+
+
+def test_source_mixture_zero_weight_drops_source(spark):
+    d = _sourced(spark, 100, sources=("a", "b"))
+    mixed = source_mixture(d, {"a": 0.0}, "source", "doc_id")
+    got = {r.source for r in mixed.select("source").distinct().collect()}
+    assert got == {"b"}  # a fully dropped, b defaults to weight 1.0
+
+
+def test_bigram_fluency_all_short_docs_empty(spark):
+    d = _docs(spark, [(1, "one"), (2, ""), (3, "x")])
+    assert bigram_fluency(d).count() == 0
