@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "q142_full_outer_join",
     "q143_union_missing_cols",
     "q144_null_safe_join",
+    "q145_min_cost_supplier",
+    "q146_important_stock",
+    "q147_excess_stock_suppliers",
 ]
 
 
