@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "q145_min_cost_supplier",
     "q146_important_stock",
     "q147_excess_stock_suppliers",
+    "q148_time_range_frame",
 ]
 
 

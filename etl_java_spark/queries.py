@@ -4892,6 +4892,49 @@ def q147_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q148_time_range_frame",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS sum_last_hour
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q148_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per event, activity in the trailing
+    hour (count + decimal-exact sum) — the rolling-window shape for
+    rate limiting, burst detection, and trailing metrics.
+
+    RANGE frames order by microsecond epoch with an interval-sized
+    bound, so rows with equal timestamps share a frame (the semantic
+    difference from ROWS frames that q84 covers). One shuffle on the
+    partition key; the frame is evaluated in a single sort pass."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    epoch_us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
@@ -4915,7 +4958,7 @@ _PRIORITY = [
     "q139_arrow_features", "q140_try_functions", "q141_observed_metrics",
     "q142_full_outer_join", "q143_union_missing_cols", "q144_null_safe_join",
     "q145_min_cost_supplier", "q146_important_stock",
-    "q147_excess_stock_suppliers",
+    "q147_excess_stock_suppliers", "q148_time_range_frame",
     # hash-mismatched in r2 (oracle sum type), fixed this round
     "q109_funnel",
     # rows-only queries that have never had ANY recorded row (the gate
