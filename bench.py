@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "q146_important_stock",
     "q147_excess_stock_suppliers",
     "q148_time_range_frame",
+    "q149_python_datasource",
 ]
 
 
@@ -180,6 +181,11 @@ def main() -> None:
         return s * 1.0
 
     o.select(_warm("o_totalprice")).count()
+    # Python DataSource machinery (planner + worker protocol) also costs
+    # ~4s once per JVM — warm it so q149 measures steady-state scans
+    from etl_java_spark import queries as _Q
+
+    _Q.QUERIES["q149_python_datasource"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -4935,6 +4935,82 @@ def q148_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q149_python_datasource",
+    """
+    WITH src AS (
+      SELECT i.i AS id,
+             ((i.i % 1000000007) * 2654435761 % 1000000007 * 524287)
+               % 1000000007 % 10000 AS bucket
+      FROM UNNEST(range(0, 5000)) AS i(i)
+    )
+    SELECT bucket % 50 AS bclass, COUNT(*) AS n,
+           CAST(SUM(id) AS BIGINT) AS sum_id
+    FROM src GROUP BY 1
+    """,
+)
+def q149_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API: a custom partitioned source
+    (deterministic id+hash generator, 4 input partitions) registered
+    with spark.dataSource.register and read with spark.read.format —
+    the extension point for bespoke feeds (internal APIs, queues,
+    proprietary formats) as first-class scan nodes. The oracle
+    regenerates the same rows relationally.
+
+    Scale: partitions() splits the keyspace, so the scan parallelizes
+    like any file source; the generator is executor-side (no driver
+    materialization)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _HashedRangeReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 5000))
+            self.parts = int(options.get("partitions", 8))
+
+        def partitions(self):
+            step = (self.n + self.parts - 1) // self.parts
+            return [
+                _RangePartition(lo, min(lo + step, self.n))
+                for lo in range(0, self.n, step)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                b = ((i % 1000000007) * 2654435761 % 1000000007 * 524287) \
+                    % 1000000007 % 10000
+                yield (i, b)
+
+    class _HashedRangeSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "hashed_range"
+
+        def schema(self):
+            return "id bigint, bucket bigint"
+
+        def reader(self, schema):
+            return _HashedRangeReader(self.options)
+
+    spark.dataSource.register(_HashedRangeSource)
+    src = (
+        spark.read.format("hashed_range")
+        .option("n", "5000")
+        .option("partitions", "4")
+        .load()
+    )
+    return src.groupBy((F.col("bucket") % 50).alias("bclass")).agg(
+        F.count("*").alias("n"), F.sum("id").alias("sum_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
@@ -4959,6 +5035,7 @@ _PRIORITY = [
     "q142_full_outer_join", "q143_union_missing_cols", "q144_null_safe_join",
     "q145_min_cost_supplier", "q146_important_stock",
     "q147_excess_stock_suppliers", "q148_time_range_frame",
+    "q149_python_datasource",
     # hash-mismatched in r2 (oracle sum type), fixed this round
     "q109_funnel",
     # rows-only queries that have never had ANY recorded row (the gate
