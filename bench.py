@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "q147_excess_stock_suppliers",
     "q148_time_range_frame",
     "q149_python_datasource",
+    "q150_token_chunks",
 ]
 
 

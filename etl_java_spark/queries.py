@@ -5011,6 +5011,60 @@ def q149_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q150_token_chunks",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST((s.start - 1) / 24 AS INTEGER) AS chunk_id,
+           CAST(s.start AS INTEGER) AS tok_start,
+           CAST(LEN(list_slice(toks, CAST(s.start AS INTEGER),
+                    CAST(s.start AS INTEGER) + 31)) AS INTEGER) AS n_toks,
+           array_to_string(list_slice(toks, CAST(s.start AS INTEGER),
+                    CAST(s.start AS INTEGER) + 31), ' ') AS chunk
+    FROM tok,
+         UNNEST(range(1, GREATEST(LEN(toks) - 8, 1) + 1, 24)) AS s(start)
+    WHERE LEN(toks) > 0
+    """,
+)
+def q150_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking: 32-token windows with 8-token overlap
+    (stride 24) — the LLM-pipeline counterpart of q121's char chunks
+    (context-window packing, embedding inputs). Same map-only
+    sequence+explode+slice shape; chunk text re-joined for the
+    canonicalizer. Starts run while start <= n_toks - overlap, so the
+    tail window is emitted exactly once."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    ).filter(F.size("toks") > 0)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("toks") - 8, F.lit(1)),
+        F.lit(24),
+    )
+    sliced = d.select(
+        "doc_id", "toks", F.explode(starts).alias("tok_start")
+    ).select(
+        "doc_id",
+        (((F.col("tok_start") - 1) / 24).cast("int")).alias("chunk_id"),
+        F.col("tok_start").cast("int").alias("tok_start"),
+        F.slice("toks", F.col("tok_start"), 32).alias("__chunk_toks"),
+    )
+    return sliced.select(
+        "doc_id",
+        "chunk_id",
+        "tok_start",
+        F.size("__chunk_toks").alias("n_toks"),
+        F.concat_ws(" ", "__chunk_toks").alias("chunk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
@@ -5035,7 +5089,7 @@ _PRIORITY = [
     "q142_full_outer_join", "q143_union_missing_cols", "q144_null_safe_join",
     "q145_min_cost_supplier", "q146_important_stock",
     "q147_excess_stock_suppliers", "q148_time_range_frame",
-    "q149_python_datasource",
+    "q149_python_datasource", "q150_token_chunks",
     # hash-mismatched in r2 (oracle sum type), fixed this round
     "q109_funnel",
     # rows-only queries that have never had ANY recorded row (the gate
