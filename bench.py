@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "q148_time_range_frame",
     "q149_python_datasource",
     "q150_token_chunks",
+    "q151_rag_prep",
+    "q152_char_entropy",
 ]
 
 

@@ -5065,6 +5065,136 @@ def q150_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q151_rag_prep",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, CAST(s.start AS INTEGER),
+                      CAST(s.start AS INTEGER) + 31), ' ') AS chunk
+      FROM tok,
+           UNNEST(range(1, GREATEST(LEN(toks) - 8, 1) + 1, 24)) AS s(start)
+      WHERE LEN(toks) > 0
+    ), hashed AS (
+      SELECT doc_id, chunk, md5(chunk) AS h,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique_chunks,
+           CAST(SUM(CASE WHEN rn = 1
+                    THEN LEN(LIST_FILTER(STRING_SPLIT(chunk, ' '),
+                                         x -> x <> '')) ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM hashed GROUP BY doc_id
+    """,
+)
+def q151_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite RAG indexing prep: token-window chunking -> corpus-wide
+    exact chunk dedup (md5 fingerprint, deterministic min-(doc,chunk)
+    survivor) -> per-doc kept-chunk/token accounting. The full
+    chunk->dedup->budget pipeline as one declarative plan: chunking is
+    map-only, dedup is one window shuffle on the fingerprint, the
+    rollup reuses the doc key. Boilerplate chunks shared across docs
+    survive exactly once corpus-wide."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    ).filter(F.size("toks") > 0)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks") - 8, F.lit(1)), F.lit(24)
+    )
+    chunks = d.select(
+        "doc_id", F.explode(starts).alias("s"), "toks"
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("toks", F.col("s"), 32)).alias("chunk"),
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk")
+    hashed = chunks.withColumn("rn", F.row_number().over(w))
+    kept_tokens = F.when(
+        F.col("rn") == 1, F.size(F.split(F.col("chunk"), " "))
+    ).otherwise(0)
+    return hashed.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias(
+            "n_unique_chunks"
+        ),
+        F.sum(kept_tokens).alias("kept_tokens"),
+    )
+
+
+@_q(
+    "q152_char_entropy",
+    f"""
+    WITH chars AS (
+      SELECT doc_id, c.c AS ch
+      FROM (SELECT doc_id, string_split_regex(LOWER(text), '') AS cs
+            FROM documents WHERE LENGTH(text) > 0),
+           UNNEST(cs) AS c(c)
+      WHERE c.c <> ''
+    ), freq AS (
+      SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, SUM(n) AS total FROM freq GROUP BY 1
+    )
+    SELECT f.doc_id,
+           CAST(t.total AS BIGINT) AS n_chars,
+           COUNT(*) AS n_distinct_chars,
+           ROUND(CAST(SUM(CAST(
+             -1.0 * (CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                  * LOG2(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+           AS DECIMAL(38,15))) AS DOUBLE), 9) AS entropy_bits
+    FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id, t.total
+    """,
+)
+def q152_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document — the classic
+    gibberish/encoding-noise detector (natural text ~4-4.5 bits/char;
+    base64 blobs and repeated junk sit far off). Per-character
+    frequencies via explode+count (map-side combinable); the entropy
+    sum is decimal-cast per term and rounded, keeping the one
+    transcendental (log2 of small rationals) inside a 9-decimal guard
+    band."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), ""),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    term = (-1.0 * p * F.log2(p)).cast("decimal(38,15)")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "total")
+        .agg(
+            F.count("*").alias("n_distinct_chars"),
+            F.round(F.sum(term).cast("double"), 9).alias("entropy_bits"),
+        )
+        .select(
+            "doc_id",
+            F.col("total").cast("long").alias("n_chars"),
+            "n_distinct_chars",
+            "entropy_bits",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. CORRECTNESS_r01 recorded exactly the first 50 registered
@@ -5089,7 +5219,8 @@ _PRIORITY = [
     "q142_full_outer_join", "q143_union_missing_cols", "q144_null_safe_join",
     "q145_min_cost_supplier", "q146_important_stock",
     "q147_excess_stock_suppliers", "q148_time_range_frame",
-    "q149_python_datasource", "q150_token_chunks",
+    "q149_python_datasource", "q150_token_chunks", "q151_rag_prep",
+    "q152_char_entropy",
     # hash-mismatched in r2 (oracle sum type), fixed this round
     "q109_funnel",
     # rows-only queries that have never had ANY recorded row (the gate
