@@ -50,6 +50,10 @@ QUERY_SLICE = [
     "q125_bigram_fluency",
     "q126_event_paths",
     "q129_pagerank",
+    "q134_incremental_join",
+    "q148_time_range_frame",
+    "q151_rag_prep",
+    "q152_char_entropy",
 ]
 
 
