@@ -237,9 +237,10 @@ def semantic_dup_pairs(
         F.col("__vec").alias("__vb"), F.col("__norm").alias("__nb"),
     )
     # The cell join has only n_cells distinct keys, so the scoring work
-    # would land on n_cells tasks; round-robin spread the pairs across
-    # the full shuffle width before the per-pair dot product (the
-    # expensive part) so every core scores.
+    # would land on n_cells tasks; hash-partition on the (id_a, id_b)
+    # pair key — effectively unique, so the pairs spread across the full
+    # shuffle width before the per-pair dot product (the expensive part)
+    # and every core scores.
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 
 def key_bucket(key, buckets: int = 10000) -> Column:
-    """Deterministic pseudo-uniform bucket in [0, buckets) from an int key.
+    """Deterministic pseudo-uniform bucket in [0, buckets) from a
+    NON-NEGATIVE int key (ids, surrogate keys). Negative keys are
+    REJECTED by contract rather than silently mis-bucketed: ``%`` in
+    both Spark and DuckDB truncates toward zero, so a negative key
+    would yield a negative bucket that compares below every split
+    threshold. Callers with signed keys must pre-map them (e.g.
+    ``abs()`` or an offset) on BOTH engines identically.
 
     The key is reduced mod p BEFORE the multiplicative round so every
     intermediate stays below 2^63 for ANY int64 key (p-1 ~ 1e9 times
@@ -88,8 +94,11 @@ def assign_split(
     partitionings. test gets the remaining 1 - train - val mass.
     """
     b = key_bucket(key_col, 10000)
-    t_hi = int(train * 10000)
-    v_hi = t_hi + int(val * 10000)
+    # round(), not int(): 0.7 * 10000 is 6999.999... in binary floating
+    # point and truncation would shift the boundary by one bucket vs the
+    # oracle's decimal arithmetic
+    t_hi = int(round(train * 10000))
+    v_hi = t_hi + int(round(val * 10000))
     return df.withColumn(
         "split",
         F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test"),
@@ -122,7 +131,9 @@ def source_mixture(
     for src, w in weights.items():
         w_expr = F.when(F.col(source_col) == src, float(w)).otherwise(w_expr)
     whole = F.floor(w_expr).cast("int")
-    frac_scaled = ((w_expr - F.floor(w_expr)) * 10000).cast("int")
+    # round to the nearest bucket before the int cast (same reason as
+    # assign_split: 0.7 - floor -> 6999.999... must not truncate to 6999)
+    frac_scaled = F.round((w_expr - F.floor(w_expr)) * 10000).cast("int")
     n_copies = whole + (key_bucket(key_col) < frac_scaled).cast("int")
     return (
         df.withColumn("__n", n_copies)

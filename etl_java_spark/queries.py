@@ -1053,21 +1053,54 @@ def q85_deterministic_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q86_freq_items")
+@_q(
+    "q86_freq_items",
+    """
+    WITH tot AS (SELECT COUNT(*) AS n FROM orders),
+    p AS (
+      SELECT COALESCE(string_agg(v, ',' ORDER BY v), '') AS frequent_priorities
+      FROM (SELECT o_orderpriority AS v FROM orders, tot
+            GROUP BY v, tot.n HAVING COUNT(*) * 10 > tot.n)
+    ),
+    s AS (
+      SELECT COALESCE(string_agg(v, ',' ORDER BY v), '') AS frequent_statuses
+      FROM (SELECT o_orderstatus AS v FROM orders, tot
+            GROUP BY v, tot.n HAVING COUNT(*) * 10 > tot.n)
+    )
+    SELECT p.frequent_priorities, s.frequent_statuses FROM p, s
+    """,
+)
 def q86_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate frequent items (stat sketch; engine-specific
-    guarantees -> rows-only). Arrays are comma-joined to plain strings so
-    the driver's pandas canonicalizer can sort/hash the row
-    (CORRECTNESS_r01 recorded an err on the raw array<string> columns)."""
+    """Frequent items via the Karp-Papadimitriou-Shenker sketch
+    (df.stat.freqItems), ORACLE-CHECKED via the confirm-pass pattern:
+    the sketch's candidate set (no false negatives for true frequency >
+    support, but arbitrary false positives) is joined back against exact
+    counts and filtered to truly-frequent — making the output exactly
+    "items with frequency > 10%", which plain SQL recomputes. The sketch
+    is still load-bearing: at 100 TB the candidate set bounds the
+    confirm-pass to a handful of keys, and a missed frequent item would
+    surface as a gate mismatch. Arrays are comma-joined to plain strings
+    for the driver's canonicalizer (CORRECTNESS_r01 q86 err)."""
     o = _t(spark, sf_dir, "orders")
     fi = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
-    return fi.select(
-        F.array_join(F.sort_array("o_orderpriority_freqItems"), ",").alias(
-            "frequent_priorities"
-        ),
-        F.array_join(F.sort_array("o_orderstatus_freqItems"), ",").alias(
-            "frequent_statuses"
-        ),
+
+    def confirmed(col: str, out: str) -> DataFrame:
+        cand = fi.select(F.explode(f"{col}_freqItems").alias("__v"))
+        counts = o.groupBy(F.col(col).alias("__v")).agg(F.count("*").alias("__cnt"))
+        total = o.agg(F.count("*").alias("__n"))
+        return (
+            cand.join(counts, "__v")
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("__cnt") * 10 > F.col("__n"))
+            .agg(
+                F.coalesce(
+                    F.array_join(F.sort_array(F.collect_list("__v")), ","), F.lit("")
+                ).alias(out)
+            )
+        )
+
+    return confirmed("o_orderpriority", "frequent_priorities").crossJoin(
+        confirmed("o_orderstatus", "frequent_statuses")
     )
 
 
@@ -2463,32 +2496,105 @@ def q80_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q60_approx_distinct")
+@_q(
+    "q60_approx_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           COUNT(*) AS n_orders,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q60_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (engine-specific sketch -> no
-    oracle; the exact twin is q26)."""
+    """HyperLogLog++ approximate distinct, ORACLE-CHECKED via the
+    exact-companion pattern: the raw estimate is engine-specific, so the
+    output carries the exact COUNT(DISTINCT) plus ``approx_ok`` =
+    |approx - exact| / exact <= 3 * rsd. The boolean is deterministic
+    (the sketch itself is deterministic on fixed data) and flips to
+    false — failing the gate — if the sketch ever breaks its error
+    contract; the oracle recomputes the exact side and asserts TRUE."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
         F.count("*").alias("n_orders"),
+    )
+    rel_err = F.abs(F.col("__approx") - F.col("exact_custs")) / F.col("exact_custs")
+    return agg.select(
+        "o_orderpriority",
+        "exact_custs",
+        "n_orders",
+        (rel_err <= 3 * 0.02).alias("approx_ok"),
     )
 
 
-@_q("q61_approx_percentiles")
+@_q(
+    "q61_approx_percentiles",
+    """
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c, o_totalprice
+      FROM orders
+    )
+    SELECT ROUND(quantile_cont(c, 0.25) / 100, 6) AS p25,
+           ROUND(quantile_cont(c, 0.5) / 100, 6) AS p50,
+           ROUND(quantile_cont(c, 0.75) / 100, 6) AS p75,
+           ROUND(quantile_cont(c, 0.99) / 100, 6) AS p99,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p99_ok
+    FROM cents
+    """,
+)
 def q61_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (GK sketch; engine-specific -> no oracle)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.99], 10000).alias("pcts"),
+    """Approximate percentiles (GK sketch), ORACLE-CHECKED via the
+    exact-companion pattern: exact interpolated percentiles are computed
+    over integer cents (integer order stats + power-of-two interpolation
+    fractions -> bitwise-identical doubles on both engines), and each
+    approx value gets a rank-tolerance boolean — percentile_approx
+    guarantees rank error <= n/accuracy, so the count of rows at-or-below
+    the returned value must bracket the target rank within that
+    tolerance. The booleans fail the gate if the sketch breaks."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_totalprice", F.round(F.col("o_totalprice") * 100).cast("long").alias("__c")
+    )
+    ps = [0.25, 0.5, 0.75, 0.99]
+    one = o.agg(
+        F.percentile_approx("o_totalprice", ps, 10000).alias("__ap")
+    )
+    j = o.crossJoin(F.broadcast(one))
+    agg = j.agg(
+        F.count("*").alias("__n"),
+        F.expr("percentile(__c, array(0.25D, 0.5D, 0.75D, 0.99D))").alias("__ex"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
-    ).select(
-        F.col("pcts")[0].alias("p25"),
-        F.col("pcts")[1].alias("p50"),
-        F.col("pcts")[2].alias("p75"),
-        F.col("pcts")[3].alias("p99"),
+        *[
+            F.sum((F.col("o_totalprice") <= F.col("__ap")[i]).cast("long")).alias(f"__le{i}")
+            for i in range(4)
+        ],
+        *[
+            F.sum((F.col("o_totalprice") < F.col("__ap")[i]).cast("long")).alias(f"__lt{i}")
+            for i in range(4)
+        ],
+    )
+    # rank tolerance: accuracy=10000 -> error <= ceil(n/10000); +1 slack
+    # for the floor/ceil edges of the target rank itself
+    tol = F.ceil(F.col("__n") / 10000) + 1
+    checks = [
+        (
+            (F.col(f"__le{i}") >= F.floor(F.col("__n") * p) - tol)
+            & (F.col(f"__lt{i}") <= F.ceil(F.col("__n") * p) + tol)
+        ).alias(f"p{int(p * 100)}_ok")
+        for i, p in enumerate(ps)
+    ]
+    return agg.select(
+        *[
+            F.round(F.col("__ex")[i] / 100, 6).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(ps)
+        ],
         "min_price",
         "max_price",
+        *checks,
     )
 
 
@@ -2619,8 +2725,12 @@ def q94_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     disc = (money("l_extendedprice") * (1 - money("l_discount"))).cast("decimal(38,6)")
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(disc).cast("double").alias("total_revenue")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(disc).cast("double").alias("total_revenue"))
+        # the view feeds BOTH the scalar MAX and the equality join —
+        # materialize once instead of re-aggregating lineitem twice
+        .localCheckpoint(eager=True)
     )
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     s = _t(spark, sf_dir, "supplier")
@@ -4333,7 +4443,17 @@ def q134_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q135_sketch_union")
+@_q(
+    "q135_sketch_union",
+    """
+    SELECT n_regionkey,
+           COUNT(DISTINCT c_custkey) AS exact_customers,
+           TRUE AS approx_ok
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
 def q135_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (DataSketches via Spark 3.5+ hll_* aggs):
     per-nation customer sketches union-merged to per-region distinct
@@ -4341,28 +4461,36 @@ def q135_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     THE 100 TB cardinality pattern: sketch once per partition/day, store
     bytes, re-aggregate by merging sketches — never re-scan raw data to
-    change the rollup level. Rows-only (estimates are engine-specific;
-    DuckDB's HLL differs), with the exact distinct alongside for the
-    recorded row check."""
+    change the rollup level. ORACLE-CHECKED via the exact-companion
+    pattern: the estimate itself is engine-specific (DuckDB's HLL
+    differs), so the output carries the exact distinct plus ``approx_ok``
+    = |estimate - exact| / exact within 3x the lgConfigK=12 standard
+    error (1.04/sqrt(2^12) ~ 1.6%); a broken sketch or union flips the
+    boolean and fails the gate."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     per_nation = c.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("c_custkey").alias("sk"),
         F.countDistinct("c_custkey").alias("exact_nation"),
     )
-    return (
-        per_nation.join(
-            F.broadcast(n), per_nation.c_nationkey == n.n_nationkey
-        )
+    rolled = (
+        per_nation.join(F.broadcast(n), per_nation.c_nationkey == n.n_nationkey)
         .groupBy("n_regionkey")
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                "approx_customers"
-            ),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__approx"),
+            # customers have exactly one nation, so per-nation exacts sum
+            # to the per-region exact distinct
             F.sum("exact_nation").alias("exact_customers"),
         )
-        .orderBy("n_regionkey")
     )
+    rel_err = (
+        F.abs(F.col("__approx") - F.col("exact_customers")) / F.col("exact_customers")
+    )
+    return rolled.select(
+        "n_regionkey",
+        "exact_customers",
+        (rel_err <= 3 * 1.04 / (2**6)).alias("approx_ok"),
+    ).orderBy("n_regionkey")
 
 
 @_q(
@@ -4799,14 +4927,16 @@ def q145_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ps_partkey, CAST(val AS DOUBLE) AS stock_value
     FROM nat
-    WHERE val > (SELECT SUM(val) * 0.001 FROM nat)
+    WHERE val * 1000 > (SELECT SUM(val) FROM nat)
     """,
 )
 def q146_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part inventory value within one nation,
     HAVING above a fraction of the global total (group agg vs broadcast
-    1-row scalar). Decimal-exact products keep the threshold comparison
-    engine-independent."""
+    1-row scalar). The 0.1% threshold is compared as ``val * 1000 >
+    total`` — pure decimal on both engines, so a part sitting within one
+    double ulp of the threshold can't flip between them (the old
+    ``SUM(val) * 0.001`` mixed decimal x double)."""
     ps = _partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -4821,10 +4951,10 @@ def q146_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ps_partkey")
         .agg(F.sum(val_expr).alias("val"))
     )
-    total = nat.agg((F.sum("val") * 0.001).alias("__thresh"))
+    total = nat.agg(F.sum("val").alias("__total"))
     return (
         nat.crossJoin(F.broadcast(total))
-        .filter(F.col("val") > F.col("__thresh"))
+        .filter(F.col("val") * 1000 > F.col("__total"))
         .select("ps_partkey", F.col("val").cast("double").alias("stock_value"))
     )
 

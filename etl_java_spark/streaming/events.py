@@ -17,12 +17,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# The fixture stores ts as TIMESTAMP(NANOS) which Spark reads as long
-# as TIMESTAMP_MICROS (isAdjustedToUTC=false); read under a TIMESTAMP schema.
+# Two fixture vintages exist (see sources/readers.normalize_nanos):
+# TIMESTAMP(NANOS) which Spark reads as int64 nanos under the
+# nanosAsLong conf, and TIMESTAMP_MICROS (isAdjustedToUTC=false).
+# ``read_events_stream`` sniffs the parquet footer and picks the
+# matching schema, so a driver-regenerated fixture in either vintage
+# streams identically to the batch path.
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
+EVENTS_SCHEMA_NANOS = EVENTS_SCHEMA.replace("ts TIMESTAMP", "ts BIGINT")
+
+
+def _ts_stored_as_long(dir_path: str, glob_pat: str) -> bool:
+    """Peek at one matching file's footer: True for the NANOS-as-long
+    vintage (streams can't apply the batch reader's runtime dispatch, so
+    the vintage must be resolved before the schema is declared)."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    matches = sorted(_glob.glob(os.path.join(dir_path, glob_pat)))
+    if not matches:
+        return False
+    field = pq.ParquetFile(matches[0]).schema_arrow.field("ts")
+    return pa.types.is_int64(field.type)
 
 
 def read_events_stream(
@@ -36,15 +58,19 @@ def read_events_stream(
     from ..sources.readers import ensure_fixture_confs
 
     ensure_fixture_confs(spark)
+    nanos = _ts_stored_as_long(dir_path, glob)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", glob)
         .parquet(dir_path)
     )
-    # Fixture stores TIMESTAMP_MICROS (isAdjustedToUTC=false); reading it
-    # under an explicit TIMESTAMP schema interprets the wall-clock in the
-    # UTC-pinned session zone — identical instants to the batch path.
+    if nanos:
+        # integer division, exactly as normalize_nanos does on the batch path
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # MICROS vintage: reading NTZ micros under an explicit TIMESTAMP
+    # schema interprets the wall-clock in the UTC-pinned session zone —
+    # identical instants to the batch path.
     return raw
 
 
