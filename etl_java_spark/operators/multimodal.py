@@ -135,21 +135,33 @@ def extract_features(
     return df.select(content_col, media_col).mapInPandas(_extract, FEATURE_SCHEMA)
 
 
-def synthesize_media_table(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (no real files needed)."""
+# Synthesis is split into pure-Python row generators plus thin Spark
+# wrappers: the q55/q105/q138 oracles replay the SAME generator
+# sequentially to compute their expected outputs (the media inputs are
+# constants — independent of sf_dir — so the replayed values are
+# literal-stable across fixture regenerations).
+
+
+def media_rows(n: int = 64, seed: int = 42) -> list[tuple[str, str, bytearray]]:
+    """Deterministic fake media rows (path, mime, content)."""
     rows = []
     for i in range(n):
         content = bytes(((i * 131 + j * 17 + seed) % 256) for j in range(256 + i))
         mime = ["image/jpeg", "image/png", "audio/wav", "video/mp4"][i % 4]
         rows.append((f"mem://media/{i}", mime, bytearray(content)))
-    df = spark.createDataFrame(rows, "path string, mime string, content binary")
+    return rows
+
+
+def synthesize_media_table(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests (no real files needed)."""
+    df = spark.createDataFrame(media_rows(n, seed), "path string, mime string, content binary")
     return attach_media_meta(df, mime_col="mime")
 
 
-def synthesize_real_media_table(spark: SparkSession, n: int = 32, seed: int = 42) -> DataFrame:
-    """Deterministic table of REAL media bytes (valid BMP/PNG/PPM/WAV
-    files synthesized with operators/codecs.py encoders) — every row is
-    decodable by the stdlib codec path, no external libs needed."""
+def real_media_rows(n: int = 32, seed: int = 42) -> list[tuple[str, str, bytearray]]:
+    """Deterministic REAL media rows: valid BMP/PNG/PPM/WAV bytes
+    (operators/codecs.py encoders) — every row decodes via the stdlib
+    codec path, no external libs needed."""
     import numpy as np
 
     from . import codecs as C
@@ -175,14 +187,20 @@ def synthesize_real_media_table(spark: SparkSession, n: int = 32, seed: int = 42
             t = np.arange(800 + 50 * (i % 4)) / 8000.0
             tone = 0.5 * np.sin(2 * np.pi * (220.0 + 20 * i) * t)
             rows.append((f"mem://media/{i}.wav", "audio/wav", bytearray(C.encode_wav(tone))))
-    df = spark.createDataFrame(rows, "path string, mime string, content binary")
+    return rows
+
+
+def synthesize_real_media_table(spark: SparkSession, n: int = 32, seed: int = 42) -> DataFrame:
+    """Deterministic table of REAL media bytes — see real_media_rows."""
+    df = spark.createDataFrame(
+        real_media_rows(n, seed), "path string, mime string, content binary"
+    )
     return attach_media_meta(df, mime_col="mime")
 
 
-def synthesize_video_table(spark: SparkSession, n: int = 12, seed: int = 7) -> DataFrame:
-    """Deterministic table of framepack 'videos' (real multi-frame BMP
-    containers, operators/codecs.py) — exercises the decode ->
-    frame-sample -> resize -> featurize path with real bytes."""
+def video_rows(n: int = 12, seed: int = 7) -> list[tuple[str, str, bytearray]]:
+    """Deterministic framepack 'video' rows (real multi-frame BMP
+    containers, operators/codecs.py)."""
     import numpy as np
 
     from . import codecs as C
@@ -202,5 +220,11 @@ def synthesize_video_table(spark: SparkSession, n: int = 12, seed: int = 7) -> D
                 bytearray(C.encode_framepack(frames)),
             )
         )
-    df = spark.createDataFrame(rows, "path string, mime string, content binary")
+    return rows
+
+
+def synthesize_video_table(spark: SparkSession, n: int = 12, seed: int = 7) -> DataFrame:
+    """Deterministic table of framepack 'videos' — exercises the decode
+    -> frame-sample -> resize -> featurize path with real bytes."""
+    df = spark.createDataFrame(video_rows(n, seed), "path string, mime string, content binary")
     return attach_media_meta(df, mime_col="mime")

@@ -74,6 +74,67 @@ def pack_sequences(
     return src.mapInPandas(_pack, PACKED_SCHEMA)
 
 
+def pack_sequences_first_fit_grouped(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    group_col: str,
+    max_tokens: int = 2048,
+) -> DataFrame:
+    """DETERMINISTIC first-fit packing: within each group, docs are
+    processed in id order and each doc lands in the FIRST open sequence
+    with room (vs ``pack_sequences_next_fit`` which only keeps the most
+    recent sequence open). Better fill rate than next-fit, still fully
+    canonical — the q77 DuckDB oracle replays the bin-fill state as a
+    LIST column in a recursive CTE.
+
+    Parallelism is per-group (applyInPandas), exactly like the next-fit
+    variant; a doc longer than ``max_tokens`` opens its own (overfull)
+    sequence that no later doc can join.
+
+    Output: (group, seq_idx, n_docs, total_tokens), seq_idx 0-based in
+    bin-creation order.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("group", df.schema[group_col].dataType),
+            T.StructField("seq_idx", T.LongType()),
+            T.StructField("n_docs", T.IntegerType()),
+            T.StructField("total_tokens", T.LongType()),
+        ]
+    )
+    src = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("doc_id"),
+        F.col(token_count_col).alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        fills: list[int] = []
+        n_docs: list[int] = []
+        for n_tok in pdf["n_tokens"].astype(int):
+            for i in range(len(fills)):
+                if fills[i] + n_tok <= max_tokens:
+                    fills[i] += n_tok
+                    n_docs[i] += 1
+                    break
+            else:
+                fills.append(n_tok)
+                n_docs.append(1)
+        g = pdf["group"].iloc[0]
+        return pd.DataFrame(
+            {
+                "group": [g] * len(fills),
+                "seq_idx": range(len(fills)),
+                "n_docs": n_docs,
+                "total_tokens": fills,
+            }
+        )
+
+    return src.groupBy("group").applyInPandas(_pack, out_schema)
+
+
 def pack_sequences_next_fit(
     df: DataFrame,
     id_col: str,

@@ -1947,13 +1947,103 @@ def q54_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "q54_out", output_mode="complete")
 
 
-@_q("q55_multimodal_features")
+# --- media replay oracles -------------------------------------------------
+# q55/q105/q138 synthesize their media deterministically and INDEPENDENT
+# of sf_dir, so their expected outputs are constants. Each oracle replays
+# the same pure-Python synthesis + codec + summarization sequentially and
+# embeds the result as a VALUES literal (the VERDICT r3 recipe for
+# non-SQL-decodable media): the gate then proves the distributed path
+# (Arrow batches, mapInPandas, decimal group aggs) reproduces the
+# sequential ground truth bit-for-bit.
+
+
+def _spark_round(x: float, scale: int = 6) -> float:
+    """Replay Spark's ROUND(double, n): BigDecimal.valueOf (shortest
+    decimal repr, which Python's repr also produces) + HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal(f"1e-{scale}"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _l2_round6(feats) -> float:
+    """Replay the queries' L2 summary: float32 storage (array<float>),
+    left-to-right double accumulation (F.aggregate), sqrt, ROUND 6."""
+    import math
+
+    import numpy as np
+
+    acc = 0.0
+    for v in feats:
+        xd = float(np.float32(v))
+        acc = acc + xd * xd
+    return _spark_round(math.sqrt(acc), 6)
+
+
+def _q55_oracle() -> str:
+    from .operators.multimodal import _fake_codec, media_rows
+
+    vals = []
+    for path, mime, content in media_rows(64, 42):
+        feats = _fake_codec(bytes(content), mime)
+        l2 = _l2_round6(feats)
+        vals.append(f"('{path}', '{mime}', {len(feats)}, CAST('{l2!r}' AS DOUBLE))")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(uri, mime, feature_dim, feature_l2)"
+    )
+
+
+def _q105_oracle() -> str:
+    from decimal import Decimal
+
+    from .operators.codecs import stdlib_codec
+    from .operators.multimodal import real_media_rows
+
+    groups: dict[tuple[str, int], list] = {}
+    for path, mime, content in real_media_rows(32, 42):
+        feats = stdlib_codec(bytes(content), mime)
+        l2_dec = Decimal(repr(_l2_round6(feats))).quantize(Decimal("1e-6"))
+        key = (mime, len(feats))
+        acc = groups.setdefault(key, [Decimal(0), 0])
+        acc[0] += l2_dec
+        acc[1] += 1
+    vals = [
+        f"('{mime}', {dim}, CAST({n} AS BIGINT), CAST('{float(s) / n!r}' AS DOUBLE))"
+        for (mime, dim), (s, n) in groups.items()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(mime, feature_dim, n_items, avg_l2)"
+    )
+
+
+def _q138_oracle() -> str:
+    from .operators.codecs import video_features
+    from .operators.multimodal import video_rows
+
+    vals = []
+    for path, mime, content in video_rows(12, 7):
+        feats = video_features(bytes(content), k=4, thumb=4)
+        l2 = _l2_round6(feats)
+        vals.append(f"('{path}', '{mime}', {len(feats)}, CAST('{l2!r}' AS DOUBLE))")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals) + ") AS t(uri, mime, n_feats, l2)"
+    )
+
+
+@_q("q55_multimodal_features", _q55_oracle())
 def q55_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column -> typed metadata struct ->
     Arrow-batched mapInPandas feature extraction (codec stubbed).
 
-    The float feature vector is summarized (dim + rounded L2 norm) so the
-    driver's rows-only canonicalizer never sees an array cell (see q91)."""
+    ORACLE-CHECKED against a sequential pure-Python replay of the same
+    synthesis + codec arithmetic (VALUES literal — see _q55_oracle). The
+    float feature vector is summarized (dim + rounded L2 norm) so the
+    driver's canonicalizer never sees an array cell (see q91)."""
     from .operators.multimodal import extract_features, synthesize_media_table
 
     media = synthesize_media_table(spark, n=64)
@@ -1973,16 +2063,17 @@ def q55_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q105_real_codec_features")
+@_q("q105_real_codec_features", _q105_oracle())
 def q105_real_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end: valid BMP/PNG/PPM/WAV bytes
     (synthesized with operators/codecs.py encoders) -> Arrow-batched
     mapInPandas -> stdlib decode (PNG unfiltering, PCM parse) ->
     per-mime feature summary.
 
-    Rows-only by nature (DuckDB cannot decode PNG); determinism comes
-    from fixed seeds + per-row rounding before the decimal-exact
-    group sum."""
+    ORACLE-CHECKED against a sequential replay of the same decode +
+    featurize arithmetic (VALUES literal — DuckDB itself cannot decode
+    PNG); determinism comes from fixed seeds + per-row rounding before
+    the decimal-exact group sum."""
     from .operators.codecs import stdlib_codec
     from .operators.multimodal import extract_features, synthesize_real_media_table
 
@@ -2410,18 +2501,56 @@ def q78_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersectAll(b).exceptAll(d)
 
 
-@_q("q77_pack_sequences")
+@_q(
+    "q77_pack_sequences",
+    f"""
+    WITH RECURSIVE docs AS (
+      SELECT lang AS grp, doc_id,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)),
+                                                     '{_TOK_PATTERN}'),
+                                  t -> t <> '')) AS BIGINT) AS tok,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS idx
+      FROM documents
+    ), rec AS (
+      SELECT grp, idx, [tok] AS fills, CAST(1 AS BIGINT) AS bin
+      FROM docs WHERE idx = 1
+      UNION ALL
+      SELECT d.grp, d.idx,
+        CASE WHEN pos IS NULL OR pos = 0
+             THEN list_append(r.fills, d.tok)
+             ELSE r.fills[1:pos-1] || [r.fills[pos] + d.tok] || r.fills[pos+1:]
+        END,
+        CASE WHEN pos IS NULL OR pos = 0 THEN CAST(LEN(r.fills) + 1 AS BIGINT)
+             ELSE CAST(pos AS BIGINT) END
+      FROM rec r JOIN docs d ON d.grp = r.grp AND d.idx = r.idx + 1,
+      LATERAL (SELECT list_position(
+                 list_transform(r.fills, f -> f + d.tok <= 2048), true) AS pos) fit
+    )
+    SELECT r.grp AS lang, r.bin - 1 AS seq_idx,
+           CAST(COUNT(*) AS INTEGER) AS n_docs,
+           CAST(SUM(d.tok) AS BIGINT) AS total_tokens
+    FROM rec r JOIN docs d ON d.grp = r.grp AND d.idx = r.idx
+    GROUP BY 1, 2
+    """,
+)
 def q77_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-sequence packing: greedy first-fit of documents into
-    2048-token sequences (partition-parallel, mapInPandas)."""
-    from .functions.text import token_count
-    from .operators.packing import pack_sequences
+    """Training-sequence packing: deterministic per-language FIRST-FIT of
+    documents (id order) into 2048-token sequences — each doc lands in
+    the first open sequence with room, so fill rate beats q111's
+    next-fit while the assignment stays canonical. ORACLE-CHECKED: the
+    DuckDB oracle replays the bin-fill state as a LIST column in a
+    recursive CTE (list_position finds the first fitting bin).
+
+    Scale: groups are the parallel unit (applyInPandas); open-bin state
+    is a small int list per group."""
+    from .operators.packing import pack_sequences_first_fit_grouped
 
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", token_count("text").cast("long").alias("n_tok")
+        "doc_id", "lang", F.size(TX.tokens("text", _TOK_PATTERN)).cast("long").alias("n_tok")
     )
-    return pack_sequences(d, "doc_id", "n_tok", max_tokens=2048, partitions=8).select(
-        "seq_id", "n_docs", "total_tokens"
+    packed = pack_sequences_first_fit_grouped(d, "doc_id", "n_tok", "lang", max_tokens=2048)
+    return packed.select(
+        F.col("group").alias("lang"), "seq_idx", "n_docs", "total_tokens"
     )
 
 
@@ -4548,7 +4677,7 @@ def q137_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q138_video_pipeline")
+@_q("q138_video_pipeline", _q138_oracle())
 def q138_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video preprocessing end-to-end: decode a real multi-frame
     container (framepack: length-prefixed BMPs), uniformly frame-sample
@@ -4557,8 +4686,9 @@ def q138_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/codecs.py: decode_framepack/sample_frame_indices/
     resize_nearest/video_features).
 
-    Rows-only by nature (DuckDB cannot decode the container); the
-    feature vector is summarized to scalars for the row check."""
+    ORACLE-CHECKED against a sequential replay of the same decode +
+    featurize arithmetic (VALUES literal — DuckDB cannot decode the
+    container); the feature vector is summarized to scalars."""
     from .operators.codecs import video_features
     from .operators.multimodal import extract_features, synthesize_video_table
 
