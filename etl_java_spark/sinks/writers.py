@@ -230,6 +230,7 @@ def jdbc_upsert(
     staging_table: str | None = None,
     user: str | None = None,
     password: str | None = None,
+    staging_column_types: str | None = None,
 ) -> None:
     """Reference #13 against a real JDBC destination: stage + server-side
     MERGE (SURVEY.md §2A row 13's scalable pattern).
@@ -240,6 +241,12 @@ def jdbc_upsert(
     (batchsize honors the reference's 1000), then ONE server-side
     ``MERGE INTO`` applies it atomically — the database's optimizer does
     the matching.
+
+    ``staging_column_types`` is passed to the staging write as
+    ``createTableColumnTypes``. Needed on Derby: its dialect maps
+    StringType to CLOB, and Derby's MERGE hits XSDA8/UTFDataFormat
+    corruption reading multi-page CLOB staging columns (observed at
+    ~25 rows) — declare string columns as ``"col VARCHAR(n)"`` instead.
     """
     pks = list(pks)
     if not pks:
@@ -258,7 +265,10 @@ def jdbc_upsert(
     if password is not None:
         creds["password"] = password
     write_jdbc(df, url, stage, mode="overwrite", batchsize=batchsize,
-               **({"driver": driver} if driver else {}), **creds)
+               **({"driver": driver} if driver else {}),
+               **({"createTableColumnTypes": staging_column_types}
+                  if staging_column_types else {}),
+               **creds)
 
     # Spark's JDBC writer creates the staging table with QUOTED (case-
     # sensitive) column names; the destination keeps its owner's naming,

@@ -69,3 +69,32 @@ def test_jdbc_upsert_validates(spark, derby_url):
         jdbc_upsert(spark, df, derby_url, 'bad"table', pks=["id"], driver=DRIVER)
     with pytest.raises(ValueError, match="primary keys"):
         jdbc_upsert(spark, df, derby_url, "dest2", pks=["missing"], driver=DRIVER)
+
+
+def test_jdbc_upsert_varchar_staging_many_rows(spark, derby_url):
+    """Derby's MERGE corrupts multi-page CLOB staging reads (XSDA8 /
+    UTFDataFormatException at ~25 rows); staging_column_types=VARCHAR
+    is the documented workaround and must round-trip cleanly."""
+    jdbc_execute(
+        spark, derby_url,
+        "CREATE TABLE big (id INT PRIMARY KEY, name VARCHAR(64))",
+    )
+    df = spark.createDataFrame(
+        [(i, f"NAME_{i}") for i in range(200)], "id int, name string"
+    )
+    jdbc_upsert(
+        spark, df, derby_url, "big", pks=["id"], driver=DRIVER,
+        staging_column_types="name VARCHAR(64)",
+    )
+    got = read_jdbc(spark, derby_url, table="big", driver=DRIVER)
+    assert got.count() == 200
+    assert {r[1] for r in got.collect()} == {f"NAME_{i}" for i in range(200)}
+
+
+def test_q153_roundtrip_uses_live_derby(spark, capfd):
+    """q153 must exercise the real JDBC path, not its parquet fallback."""
+    from etl_java_spark.queries import QUERIES
+
+    out = QUERIES["q153_jdbc_roundtrip"](spark, "/root/testdata/sf0.001")
+    assert out.count() == 25
+    assert "Derby unavailable" not in capfd.readouterr().err
