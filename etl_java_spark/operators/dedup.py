@@ -439,7 +439,13 @@ def embedding_near_dup_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Resolve near-dup pairs into clusters: (id, cluster_id) where
     cluster_id = min doc id reachable through the pair graph.
 
@@ -448,12 +454,18 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
     O(log(diameter)) rounds; near-dup clusters are tiny so this is
     effectively 2-3 rounds). Each round is two shuffles on id; no driver-
     side graph materialization, so it scales with the pair list.
+
+    ``checkpoint_dir`` (HDFS/S3 path) switches the per-round
+    materialization to reliable checkpoints that survive executor loss —
+    the production setting on a real cluster (see plans/checkpoints).
     """
-    edges = (
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    edges = ckpt(  # re-read every iteration — never recompute
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)  # re-read every iteration — never recompute
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -466,15 +478,14 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
             edges.join(labels, edges.dst == labels.id, "inner")
             .select(F.col("src").alias("id"), F.col("cluster_id"))
         )
-        new_labels = (
+        # checkpoint BEFORE the convergence probe: the probe then
+        # reads the materialized result instead of recomputing the
+        # whole round's plan a second time (measured ~2x per round)
+        new_labels = ckpt(
             labels.select("id", "cluster_id")
             .unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            # checkpoint BEFORE the convergence probe: the probe then
-            # reads the materialized result instead of recomputing the
-            # whole round's plan a second time (measured ~2x per round)
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

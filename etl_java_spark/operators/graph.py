@@ -12,8 +12,9 @@ Scale stance: the rank vector is a DataFrame keyed by node — never a
 driver-side structure — and every iteration is one join + one
 map-side-combinable aggregate on the node key, i.e. two shuffles that
 reuse the same hash partitioning (AQE keeps them co-partitioned). Edge
-lists of any size stream through; ``localCheckpoint`` per round caps
-lineage growth exactly as in ``dedup_clusters``.
+lists of any size stream through; a checkpoint per round caps lineage
+growth exactly as in ``dedup_clusters`` — reliable (``checkpoint_dir``)
+on a real cluster, executor-local in local mode (plans/checkpoints).
 
 Determinism: per-edge contributions are correctly-rounded double
 divisions; per-node sums go through an exact decimal cast (order-
@@ -38,6 +39,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -56,20 +58,23 @@ def pagerank(
     no in-edges. Returns (node, rank) for every node appearing as src
     or dst.
     """
+    from ..plans.checkpoints import make_checkpointer
+
+    # Reliable checkpoints (checkpoint_dir=HDFS/S3 path) survive executor
+    # loss mid-iteration — the production setting on a real cluster;
+    # localCheckpoint is the local-mode fast default (see plans/checkpoints).
+    ckpt = make_checkpointer(checkpoint_dir)
     # Materialize the edge list ONCE — the caller's edge plan may be an
     # arbitrary join tree, and nodes/degrees/iterations all re-read it.
-    e = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint(eager=True)
-    nodes = (
+    e = ckpt(edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")))
+    nodes = ckpt(
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("e_src").agg(F.count("*").alias("outdeg"))
     # (src, dst, outdeg) — static over iterations, checkpoint once
-    ed = e.join(deg, "e_src").localCheckpoint(eager=True)
+    ed = ckpt(e.join(deg, "e_src"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
         contribs = (
@@ -90,10 +95,10 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            # Per-round materialization measured FASTER than one unrolled
-            # lazy DAG here (5-6s vs 7.7s at sf0.1): each round's AQE
-            # re-plans against the real rank-vector size instead of a
-            # 3-round-deep estimate, and lineage stays O(1) for long runs.
-            .localCheckpoint(eager=True)
         )
+        # Per-round materialization measured FASTER than one unrolled
+        # lazy DAG here (5-6s vs 7.7s at sf0.1): each round's AQE
+        # re-plans against the real rank-vector size instead of a
+        # 3-round-deep estimate, and lineage stays O(1) for long runs.
+        ranks = ckpt(ranks)
     return ranks

@@ -64,3 +64,17 @@ def test_profile_numeric(spark):
 def test_pagerank_empty_edges(spark):
     e = spark.createDataFrame([], "src string, dst string")
     assert pagerank(e, iterations=2).count() == 0
+
+
+def test_pagerank_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches to reliable df.checkpoint (survives
+    executor loss on a cluster); results must be bitwise-identical to
+    the localCheckpoint default, and checkpoint files must appear."""
+    import os
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")])
+    local = sorted(pagerank(e, iterations=3).collect())
+    ckdir = str(tmp_path / "ck")
+    reliable = sorted(pagerank(e, iterations=3, checkpoint_dir=ckdir).collect())
+    assert local == reliable
+    assert any(os.scandir(ckdir)), "no reliable checkpoint files written"
