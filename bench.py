@@ -156,6 +156,13 @@ BENCH_QUERIES = [
     "q150_token_chunks",
     "q151_rag_prep",
     "q152_char_entropy",
+    # newly oracle-checked in r4 (exact-companion / replay oracles)
+    "q55_multimodal_features",
+    "q60_approx_distinct",
+    "q61_approx_percentiles",
+    "q77_pack_sequences",
+    "q86_freq_items",
+    "q153_jdbc_roundtrip",
 ]
 
 
@@ -201,17 +208,39 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf else None
+    # Full-fidelity record (full query names, ms resolution) for the
+    # judge's per-query comparisons across rounds.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+        json.dump(
             {
                 "metric": "headline_query_corpus_total_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
         )
+    # The driver captures only the TAIL (~2 KB) of stdout — BENCH_r03
+    # lost the head of a 4 KB one-liner and recorded parsed:null. Keep
+    # the final line compact: totals first, short query keys ("q94" for
+    # "q94_top_supplier" — prefixes are unique), seconds at 2 decimals.
+    compact = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
+    line = json.dumps(
+        {
+            "metric": "corpus_total_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "queries": compact,
+        },
+        separators=(",", ":"),
     )
+    print(f"# final JSON line length: {len(line)} bytes", file=sys.stderr)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

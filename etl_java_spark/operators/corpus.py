@@ -200,11 +200,33 @@ def _assign_cells(df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame
     )
 
 
+def default_quantizer(df: DataFrame, vec_col: str, cells_divisor: int = 250) -> DataFrame:
+    """Production quantizer: distributed pyspark.ml KMeans centroids
+    (similarity.fit_centroids_ml) with corpus-proportional cell count
+    max(8, n/divisor) — cells MUST grow with the corpus or intra-cell
+    quadratic work blows up (measured 15.6x at 10x data with a fixed
+    quantizer, SCALE.md)."""
+    from pyspark.sql import functions as _F
+
+    from .similarity import fit_centroids_ml
+
+    n = df.count()
+    if n < 2:
+        # no pairs possible; a 1-cell identity quantizer avoids KMeans'
+        # k >= 2 requirement
+        return df.select(_F.lit(0).alias("cell"), _F.col(vec_col)).limit(1)
+    # n/divisor cells, floored at KMeans' minimum k=2 — NOT at a larger
+    # constant: a floor above n would give every vector its own cell and
+    # no intra-cell pairs at all
+    n_cells = max(2, min(n, n // cells_divisor))
+    return fit_centroids_ml(df, vec_col, n_cells=n_cells)
+
+
 def semantic_dup_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    centroids_df: DataFrame,
+    centroids_df: DataFrame | None = None,
     threshold: float = 0.9,
     centroid_id_col: str = "cell",
 ) -> DataFrame:
@@ -215,14 +237,17 @@ def semantic_dup_pairs(
 
     Pairwise work is quadratic only WITHIN a cell; cells are bounded by
     the quantizer granularity (at 100 TB: ~sqrt(n) cells keeps expected
-    cell width ~sqrt(n), and the centroid fit is the distributed
-    pyspark.ml KMeans in ``similarity.fit_centroids_ml``). Like IVF, the
-    quantizer is prebuilt offline — pass it in as ``centroids_df``.
+    cell width ~sqrt(n)). The default quantizer is the DISTRIBUTED
+    pyspark.ml KMeans fit (``default_quantizer``); pass ``centroids_df``
+    to reuse a prebuilt offline index (the IVF pattern) or to pin a
+    deterministic quantizer for replay (q116's oracle).
 
     Returns ``(id_a, id_b, cell, cos_sim)`` with ``id_a < id_b``.
     """
     from ..functions.vectors import dot, norm
 
+    if centroids_df is None:
+        centroids_df = default_quantizer(df, vec_col)
     assigned = _assign_cells(df, vec_col, id_col, centroids_df, centroid_id_col, id_col)
     # Precompute each row's norm ONCE (identical doubles to a per-pair
     # norm: same array -> same left-to-right sum), so each of the
@@ -259,13 +284,14 @@ def semantic_dedup(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    centroids_df: DataFrame,
+    centroids_df: DataFrame | None = None,
     threshold: float = 0.9,
     centroid_id_col: str = "cell",
 ) -> DataFrame:
     """Keep-min-id SemDeDup: drop every row having a LOWER-id row in the
     same cell with cosine >= ``threshold``. Deterministic survivor rule
-    (min id), same as ``dedup.exact_dedup_keep_min``."""
+    (min id), same as ``dedup.exact_dedup_keep_min``. Default quantizer
+    = distributed KMeans fit (see semantic_dup_pairs)."""
     dropped = (
         semantic_dup_pairs(df, vec_col, id_col, centroids_df, threshold, centroid_id_col)
         .select(F.col("id_b").alias(id_col))

@@ -144,6 +144,16 @@ def test_semantic_dedup_cross_cell_pairs_never_compared(spark, emb):
     assert (0, 5) not in cells
 
 
+def test_semantic_dup_pairs_default_fitted_quantizer(spark, emb):
+    """Omitting centroids_df must route through the production default:
+    a distributed pyspark.ml KMeans fit (fit_centroids_ml). The planted
+    near-dup pairs cluster tightly, so any reasonable k-means quantizer
+    co-locates them and the pairs survive."""
+    pairs = C.semantic_dup_pairs(emb, "embedding", "vec_id", threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1), (2, 3)}
+
+
 # ---------------------------------------------------------------------------
 # incremental aggregates
 
