@@ -1080,14 +1080,32 @@ def q86_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     is still load-bearing: at 100 TB the candidate set bounds the
     confirm-pass to a handful of keys, and a missed frequent item would
     surface as a gate mismatch. Arrays are comma-joined to plain strings
-    for the driver's canonicalizer (CORRECTNESS_r01 q86 err)."""
+    for the driver's canonicalizer (CORRECTNESS_r01 q86 err).
+
+    Scale: BOTH columns' marginal counts come from ONE grouping-sets
+    pass (one scan + one map-side-combinable shuffle, vs a per-column
+    groupBy + per-column total = 5 scans), materialized once (it is
+    |distinct| rows) and reused for counts and totals."""
     o = _t(spark, sf_dir, "orders")
     fi = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
+    marg = (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(F.count("*").alias("__cnt"))
+        .localCheckpoint(eager=True)
+    )
+    total = marg.filter(F.col("o_orderstatus").isNull()).agg(
+        F.sum("__cnt").alias("__n")
+    )
 
     def confirmed(col: str, out: str) -> DataFrame:
         cand = fi.select(F.explode(f"{col}_freqItems").alias("__v"))
-        counts = o.groupBy(F.col(col).alias("__v")).agg(F.count("*").alias("__cnt"))
-        total = o.agg(F.count("*").alias("__n"))
+        counts = marg.filter(F.col(col).isNotNull()).select(
+            F.col(col).alias("__v"), "__cnt"
+        )
         return (
             cand.join(counts, "__v")
             .crossJoin(F.broadcast(total))
