@@ -303,3 +303,80 @@ def pivot_table(
     extra distinct-values job (pass ``values``)."""
     p = df.groupBy(*group_cols).pivot(pivot_col, values=list(values) if values else None)
     return p.agg(agg)
+
+
+def bloom_prune(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    expected_items: int = 4096,
+    num_bits: int = 1 << 16,
+) -> DataFrame:
+    """Runtime-filter a large fact table by a bloom filter of a (filtered)
+    dimension's join keys, BEFORE any join or shuffle of the fact.
+
+    This is the explicit form of Spark's runtime row-level bloom filter
+    (Scala's `bloom_filter_agg`/`might_contain` are not exposed to
+    PySpark, so the filter is built from first principles as DataFrame
+    ops): each dim key sets k probe bits in an m-bit bitset packed into
+    an `array<long>` of m/64 words; the one-row bitset is broadcast and
+    each fact row tests its k positions with O(1) `element_at` indexing
+    and bitwise AND — all whole-stage codegen, no Python.
+
+    At 100 TB the win is that the pruned fact never reaches the join
+    shuffle — only the ~selectivity fraction (plus the bloom's false
+    positives) does. The result is a SUPERSET of the matching rows:
+    follow with the exact join, which removes false positives, so the
+    end-to-end answer is exact regardless of bloom sizing. With
+    k = ln2 * m/n probes the FP rate is the textbook (1 - e^{-kn/m})^k;
+    the m-bit array costs m/8 bytes broadcast (64 KiB default).
+    """
+    del expected_items  # sizing is (num_bits, num_hashes); kept for API compat
+    num_hashes = 7
+    n_words = (num_bits + 63) // 64
+
+    def probes(key: str):
+        return [
+            F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+
+    # dim side: sparse (word_idx -> OR of bits), then densify to one
+    # array<long> row. The explode is over the SMALL side only; the
+    # sparse agg is one map-side-combinable bit_or shuffle.
+    pos = keys.select(
+        F.explode(F.array(*probes(dim_key))).alias("__p")
+    )
+    # F.shiftleft only takes a literal shift in PySpark — expr() reaches
+    # the column-shift form of the JVM expression
+    sparse = (
+        pos.select(
+            (F.col("__p") / 64).cast("long").alias("__w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(__p % 64 as int))"
+            ).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+    )
+    bloom = sparse.agg(
+        F.map_from_arrays(
+            F.collect_list("__w"), F.collect_list("__bits")
+        ).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda w: F.coalesce(F.element_at(F.col("__m"), w), F.lit(0).cast("long")),
+        ).alias("__bloom")
+    )
+
+    cond = None
+    for i in range(num_hashes):
+        p = f"pmod(xxhash64({fact_key}, {i}), {num_bits})"
+        hit = F.expr(
+            f"(element_at(__bloom, cast({p} div 64 as int) + 1)"
+            f" & shiftleft(cast(1 as bigint), cast({p} % 64 as int))) != 0"
+        )
+        cond = hit if cond is None else (cond & hit)
+    return fact.join(F.broadcast(bloom)).where(cond).drop("__bloom")

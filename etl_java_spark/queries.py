@@ -5540,6 +5540,197 @@ def q153_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return n
 
 
+@_q(
+    "q154_bloom_pruned_join",
+    """
+    SELECT p.p_partkey,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+    GROUP BY p.p_partkey
+    """,
+)
+def q154_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pruning of a fact scan (relational.bloom_prune):
+    the filtered part keys set bits in ONE m-bit bitset row (array<long>),
+    which is broadcast so each lineitem row tests its probe positions
+    BEFORE the join. The exact broadcast join then removes the bloom's
+    false positives, so the answer is exact regardless of bloom sizing.
+
+    Scale: this is the explicit form of Spark's runtime row-level bloom
+    filter — at 100 TB the fact side never shuffles unmatched rows; only
+    ~1/|brands| of lineitem (plus FP noise) survives the scan. The bloom
+    itself is KBs for thousands of keys.
+    """
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pruned = R.bloom_prune(li, p, "l_partkey", "p_partkey")
+    disc = (money("l_extendedprice") * (1 - money("l_discount"))).cast("decimal(38,6)")
+    return (
+        pruned.join(F.broadcast(p), pruned.l_partkey == p.p_partkey)
+        .groupBy("p_partkey")
+        .agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q155_clustered_layout_roundtrip",
+    """
+    SELECT date_trunc('month', o_orderdate) AS month,
+           COUNT(*) AS n_orders,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q155_clustered_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered parquet layout round-trip
+    (sinks/clustering.py:write_range_clustered): orders are written
+    repartitionByRange + sortWithinPartitions on o_orderdate, read back
+    from disk, and aggregated per month. The oracle aggregates the
+    source table directly — a write that dropped, duplicated, or mangled
+    rows fails the hash.
+
+    Scale: the layout is the point — each output file covers a narrow,
+    non-overlapping o_orderdate range, so parquet min/max stats prune
+    whole files for any date-filtered scan (the property itself is
+    pinned by tests/test_clustering.py reading footers). The one shuffle
+    is the repartitionByRange the write needs anyway.
+    """
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="q155_layout_")
+    try:
+        from .sinks.clustering import write_range_clustered
+
+        write_range_clustered(o, out, ["o_orderdate"], num_files=8)
+        back = spark.read.parquet(out)
+        res = (
+            back.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.min("o_orderdate").alias("first_order"),
+                F.max("o_orderdate").alias("last_order"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+        )
+        # materialize before the tempdir vanishes
+        res = res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
+@_q(
+    "q156_crossdoc_ngram_dup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '{_TOK_PATTERN}'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+        CASE WHEN LEN(tk) < 5 THEN [ARRAY_TO_STRING(tk, ' ')]
+             ELSE LIST_TRANSFORM(RANGE(1, LEN(tk) - 3),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                         || tk[i+3] || ' ' || tk[i+4])
+        END)) AS s
+      FROM toks
+    ), freq AS (
+      SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM sh JOIN freq f ON f.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def q156_crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-5-gram fraction — the RefinedWeb/ccnet
+    repetition signal that within-doc `duplicate_ngram_ratio` cannot
+    see: what share of a document's 5-gram shingles also occur in OTHER
+    documents. High fractions mark boilerplate (headers, license blocks,
+    mirrored pages) that survives exact and near dedup.
+
+    Scale: shingles are hashed to int64 (xxhash64) before the shuffle so
+    the document-frequency aggregation and the join back move 8-byte
+    keys, not strings; both aggs are map-side combinable. The oracle
+    counts the same shingles by string in DuckDB — a 64-bit collision in
+    the fixture would fail the hash (none exists; at corpus scale the
+    per-key collision odds stay negligible).
+    """
+    d = _t(spark, sf_dir, "documents")
+    sh = DD._spread(d).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.word_shingles("text", n=5, pattern=_TOK_PATTERN))
+        ).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("sh"))
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    return (
+        sh.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+@_q(
+    "q157_skew_profile",
+    """
+    WITH c AS (
+      SELECT o_custkey, COUNT(*) AS n_rows FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM orders
+    )
+    SELECT o_custkey, n_rows, CAST(n_rows AS DOUBLE) / total AS frac
+    FROM c, t
+    ORDER BY n_rows DESC, o_custkey ASC
+    LIMIT 20
+    """,
+)
+def q157_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnosis (relational.skew_report): the 20
+    hottest o_custkey values with their row counts and table fraction.
+    Feed the output to `salted_join`'s salt factor or AQE's skew
+    thresholds before a 100 TB join — the report costs one scan (map-
+    side-combinable count + TakeOrderedAndProject; total ties broken by
+    key, so the top-k set is deterministic).
+    """
+    o = _t(spark, sf_dir, "orders")
+    return R.skew_report(o, ["o_custkey"], top=20)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -5549,6 +5740,9 @@ def q153_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # most a couple of rounds old as the corpus rotates through the window.
 
 _PRIORITY = [
+    # 0) brand-new this round (r4) — never registered before
+    "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
+    "q156_crossdoc_ngram_dup", "q157_skew_profile",
     # 1) newly-oracled this round (r4) — never had a recorded green row
     "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
     "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",
