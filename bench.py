@@ -163,6 +163,12 @@ BENCH_QUERIES = [
     "q77_pack_sequences",
     "q86_freq_items",
     "q153_jdbc_roundtrip",
+    # new in r4
+    "q154_bloom_pruned_join",
+    "q155_clustered_layout_roundtrip",
+    "q156_crossdoc_ngram_dup",
+    "q157_skew_profile",
+    "q158_dataset_diff",
 ]
 
 

@@ -120,3 +120,46 @@ def incremental_join_equals_full(
     return stored.unionByName(
         incremental_join(base_left, base_right, delta_left, delta_right, on)
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Snapshot-to-snapshot dataset diff by key + content fingerprint:
+    one row per changed key, with status 'added' / 'removed' / 'changed'.
+
+    The comparison never ships row contents through the shuffle twice:
+    each side is reduced to (key, xxhash64 of every non-key column) and
+    the two fingerprint tables are full-outer joined on the key — the
+    shuffle moves keys + 8-byte hashes, not payloads. At 100 TB this is
+    how you audit what a rebuild changed without diffing bytes: O(keys)
+    network, map-side hash computation, one shuffle.
+
+    Unchanged keys are dropped (they are the overwhelming majority in an
+    incremental world — emitting them would make the diff O(table)).
+    """
+    def fp(df: DataFrame) -> DataFrame:
+        # xxhash64 SKIPS null inputs (a null contributes nothing to the
+        # accumulator), so (null, x) vs (x, null) would collide if the
+        # raw columns were hashed together. Pre-hashing each column
+        # individually fixes the position ambiguity: a null column still
+        # contributes one long (the seed) to the outer hash.
+        payload = [c for c in df.columns if c not in key_cols]
+        cols = [F.xxhash64(F.col(c)) for c in payload]
+        return df.select(*key_cols, F.xxhash64(*cols).alias("__fp"))
+
+    o = fp(old).withColumnRenamed("__fp", "__fp_old")
+    n = fp(new).withColumnRenamed("__fp", "__fp_new")
+    j = o.join(n, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*key_cols, "status")
+    )

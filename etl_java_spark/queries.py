@@ -5731,6 +5731,63 @@ def q157_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.skew_report(o, ["o_custkey"], top=20)
 
 
+@_q(
+    "q158_dataset_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ), new AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 500000000, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_custkey IS DISTINCT FROM n.o_custkey
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def q158_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot dataset diff (incremental.dataset_diff):
+    which keys a rebuild added / removed / changed. The 'new' snapshot
+    is derived deterministically from orders (every 97th key dropped,
+    every 101st repriced, every 103rd re-keyed as an insert); the oracle
+    recomputes the same diff by direct payload comparison, so a
+    fingerprint that misses a change (or flags a non-change) fails.
+
+    Scale: each side is reduced map-side to (key, xxhash64 of payload)
+    before the one full-outer shuffle — the network moves 16 bytes/row
+    regardless of row width, and unchanged keys (the vast majority of an
+    incremental rebuild) are dropped before the result materializes.
+    """
+    from .operators.incremental import dataset_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    changed = F.when(
+        F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1
+    ).otherwise(F.col("o_totalprice"))
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn("o_totalprice", changed)
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(500000000)
+            )
+        )
+    )
+    return dataset_diff(o, new, ["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -5742,7 +5799,7 @@ def q157_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY = [
     # 0) brand-new this round (r4) — never registered before
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
-    "q156_crossdoc_ngram_dup", "q157_skew_profile",
+    "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     # 1) newly-oracled this round (r4) — never had a recorded green row
     "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
     "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",
