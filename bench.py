@@ -169,6 +169,9 @@ BENCH_QUERIES = [
     "q156_crossdoc_ngram_dup",
     "q157_skew_profile",
     "q158_dataset_diff",
+    "q159_recursive_cte",
+    "q160_pipe_syntax",
+    "q161_collated_match",
 ]
 
 

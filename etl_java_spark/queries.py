@@ -5788,6 +5788,124 @@ def q158_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_diff(o, new, ["o_orderkey"])
 
 
+@_q(
+    "q159_recursive_cte",
+    """
+    WITH RECURSIVE walk AS (
+      SELECT doc_id, doc_id AS cur, 0 AS depth FROM documents
+      UNION ALL
+      SELECT doc_id, CAST(FLOOR(cur / 2) AS BIGINT), depth + 1
+      FROM walk WHERE cur > 0
+    )
+    SELECT doc_id, CAST(MAX(depth) AS INT) AS depth
+    FROM walk GROUP BY doc_id
+    """,
+)
+def q159_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): ancestor-walk depth over an
+    implicit binary-tree hierarchy (parent(d) = floor(d/2), root 0) —
+    the iterate-until-exhausted query shape (org charts, BOM explosions,
+    folder trees) that previously needed a driver-side loop
+    (graph.py/dedup_clusters style). DuckDB runs the identical
+    recursion.
+
+    Scale: each recursion step is one self-referencing map + union —
+    Spark executes it as iterative plan expansion with the same two-
+    shuffle-per-round profile as the hand-rolled loops, but the
+    termination check is engine-managed. Depth here is log2(n): 14
+    rounds at sf0.1, still 14 at 100 TB doc counts ~2^27.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT doc_id, doc_id AS cur, 0 AS depth FROM documents
+          UNION ALL
+          SELECT doc_id, CAST(FLOOR(cur / 2) AS BIGINT), depth + 1
+          FROM walk WHERE cur > 0
+        )
+        SELECT doc_id, CAST(MAX(depth) AS INT) AS depth
+        FROM walk GROUP BY doc_id
+        """
+    )
+
+
+@_q(
+    "q160_pipe_syntax",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(AVG(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def q160_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|>, new in Spark 4): the linear FROM -> WHERE ->
+    AGGREGATE form of a filtered aggregate. Same Catalyst plan as the
+    ANSI form (filter pushed to the scan, partial agg map-side) — the
+    surface matters for pipeline-style query authoring; the oracle is
+    the equivalent ANSI SQL.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_returnflag = 'R'
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                     COUNT(*) AS n
+           GROUP BY l_linestatus
+        |> SELECT l_linestatus, sum_qty, avg_disc, n
+        """
+    )
+
+
+@_q(
+    "q161_collated_match",
+    """
+    SELECT COUNT(*) AS n_match,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+    FROM (
+      SELECT c_acctbal,
+             CASE WHEN c_custkey % 2 = 0 THEN LOWER(c_mktsegment)
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    WHERE LOWER(seg) = 'building'
+    """,
+)
+def q161_collated_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (new in Spark 4): case-insensitive matching via
+    UTF8_LCASE collation instead of wrapping every comparison in
+    lower(). A mixed-case segment column (even keys lowercased) is
+    filtered with a collated equality; the oracle lowercases explicitly.
+
+    Scale: the collated comparison happens inside codegen like any
+    binary comparison — no expression wrapping, and (unlike lower())
+    the collation is part of the column type, so every downstream
+    join/group on the column inherits case-insensitivity.
+    """
+    c = _t(spark, sf_dir, "customer")
+    mixed = c.select(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    collated = mixed.select(
+        "c_acctbal", F.expr("seg COLLATE UTF8_LCASE").alias("seg")
+    )
+    return collated.filter(F.col("seg") == "BUILDING").agg(
+        F.count("*").alias("n_match"),
+        dsum("c_acctbal").alias("bal_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -5800,6 +5918,7 @@ _PRIORITY = [
     # 0) brand-new this round (r4) — never registered before
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
+    "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
     # 1) newly-oracled this round (r4) — never had a recorded green row
     "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
     "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",

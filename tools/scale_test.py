@@ -54,6 +54,11 @@ QUERY_SLICE = [
     "q148_time_range_frame",
     "q151_rag_prep",
     "q152_char_entropy",
+    # r4 additions: runtime-filter join, layout write, cross-doc dup, diff
+    "q154_bloom_pruned_join",
+    "q155_clustered_layout_roundtrip",
+    "q156_crossdoc_ngram_dup",
+    "q158_dataset_diff",
 ]
 
 
