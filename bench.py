@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "q159_recursive_cte",
     "q160_pipe_syntax",
     "q161_collated_match",
+    "q162_corrupt_quarantine",
 ]
 
 

@@ -5906,6 +5906,53 @@ def q161_collated_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q162_corrupt_quarantine",
+    """
+    WITH src AS (
+      SELECT event_type,
+             CASE WHEN event_id % 10 = 0 THEN SUBSTRING(props, 1, LENGTH(props) - 1)
+                  ELSE props END AS p
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN json_valid(p) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN json_valid(p) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN json_valid(p)
+                         THEN CAST(json_extract_string(p, '$.k') AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS sum_k
+    FROM src GROUP BY event_type
+    """,
+)
+def q162_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record quarantine for semi-structured ingestion: every 10th
+    event's JSON payload is deterministically corrupted (closing brace
+    truncated), then `try_parse_json` splits the feed into parse-clean rows
+    (aggregated normally) and quarantined rows (counted per type, never
+    failing the job). The reference's per-row try/catch survives a bad
+    record by skipping it; at scale the same policy must be an
+    expression, not an exception handler.
+
+    Scale: one map-side pass — try_parse_json returns NULL on invalid
+    input instead of raising, so there is no Python, no task retry, and
+    the corrupt/valid split costs a conditional aggregation.
+    """
+    ev = _t(spark, sf_dir, "events")
+    p = F.when(
+        F.col("event_id") % 10 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    v = F.try_parse_json(p)
+    k = F.try_variant_get(v, "$.k", "int")
+    return ev.select("event_type", v.alias("v"), k.alias("k")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.coalesce(F.col("k"), F.lit(0))).alias("sum_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -5919,6 +5966,7 @@ _PRIORITY = [
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
+    "q162_corrupt_quarantine",
     # 1) newly-oracled this round (r4) — never had a recorded green row
     "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
     "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",
