@@ -311,7 +311,7 @@ def bloom_prune(
     fact_key: str,
     dim_key: str,
     expected_items: int = 4096,
-    num_bits: int = 1 << 16,
+    num_bits: int | None = None,
 ) -> DataFrame:
     """Runtime-filter a large fact table by a bloom filter of a (filtered)
     dimension's join keys, BEFORE any join or shuffle of the fact.
@@ -328,11 +328,13 @@ def bloom_prune(
     shuffle — only the ~selectivity fraction (plus the bloom's false
     positives) does. The result is a SUPERSET of the matching rows:
     follow with the exact join, which removes false positives, so the
-    end-to-end answer is exact regardless of bloom sizing. With
-    k = ln2 * m/n probes the FP rate is the textbook (1 - e^{-kn/m})^k;
-    the m-bit array costs m/8 bytes broadcast (64 KiB default).
+    end-to-end answer is exact regardless of bloom sizing. The FP rate
+    with k probes is the textbook (1 - e^{-kn/m})^k; the default sizing
+    m = 16n with k = 7 gives ~7e-4, and the m-bit array costs m/8 bytes
+    broadcast (8 KiB at the default expected_items).
     """
-    del expected_items  # sizing is (num_bits, num_hashes); kept for API compat
+    if num_bits is None:
+        num_bits = max(1 << 10, 16 * expected_items)
     num_hashes = 7
     n_words = (num_bits + 63) // 64
 
