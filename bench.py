@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "q160_pipe_syntax",
     "q161_collated_match",
     "q162_corrupt_quarantine",
+    "q163_bucketed_fact_join",
 ]
 
 

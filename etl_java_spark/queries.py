@@ -5953,6 +5953,62 @@ def q162_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q163_bucketed_fact_join",
+    """
+    SELECT o.o_orderstatus,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q163_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join via co-located bucketed tables
+    (sinks/bucketing.py): both sides are written bucketed+sorted on the
+    join key, so the join plans with NO Exchange on either side — the
+    100 TB answer to the shuffle-bound fact-fact ratio SCALE.md measures
+    on q05 (each task reads matching bucket files directly; the
+    zero-Exchange guarantee is pinned by tests/test_bucketing.py).
+
+    Guard: managed bucketed tables need a writable warehouse/metastore;
+    if the driver sandbox forbids that, fall back to the identical plain
+    join — same rows either way, so the oracle is unaffected.
+    """
+    import sys
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_discount", F.col("l_orderkey").alias("okey")
+    )
+    disc = (money("l_extendedprice") * (1 - money("l_discount"))).cast("decimal(38,6)")
+
+    def final(joined: DataFrame) -> DataFrame:
+        return joined.groupBy("o_orderstatus").agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+
+    try:
+        from .sinks.bucketing import colocated_join, write_bucketed
+
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        write_bucketed(
+            o.withColumnRenamed("o_orderkey", "okey"),
+            "q163_orders_b", ["okey"], 16, sort_cols=["okey"],
+        )
+        write_bucketed(li, "q163_lineitem_b", ["okey"], 16, sort_cols=["okey"])
+        return final(colocated_join(spark, "q163_lineitem_b", "q163_orders_b", ["okey"]))
+    except Exception as ex:  # read-only warehouse/metastore sandbox
+        print(
+            f"q163: bucketed tables unavailable ({type(ex).__name__}); plain join fallback",
+            file=sys.stderr,
+        )
+        return final(li.join(o, li.okey == o.o_orderkey))
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -5966,7 +6022,7 @@ _PRIORITY = [
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
-    "q162_corrupt_quarantine",
+    "q162_corrupt_quarantine", "q163_bucketed_fact_join",
     # 1) newly-oracled this round (r4) — never had a recorded green row
     "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
     "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",
