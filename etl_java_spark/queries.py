@@ -6009,6 +6009,50 @@ def q163_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return final(li.join(o, li.okey == o.o_orderkey))
 
 
+@_q(
+    "q164_stream_static_enrich",
+    """
+    SELECT 'seg_' || CAST(user_id % 5 AS VARCHAR) AS segment,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q164_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a STATIC
+    dimension (user -> segment) that is broadcast into every
+    micro-batch — the standard streaming enrich pattern (no state, no
+    watermark bookkeeping on the static side). Aggregates per segment
+    and event type in complete mode; with availableNow replay the
+    drained state equals the batch computation, which DuckDB recomputes
+    relationally.
+
+    Scale: the static side is broadcast once per micro-batch plan — the
+    stream side never shuffles for the join; only the aggregation
+    shuffles, and it is map-side combinable.
+    """
+    from .streaming.events import read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "segment",
+            F.concat(F.lit("seg_"), (F.col("user_id") % 5).cast("string")),
+        )
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return run_to_memory(agg, "q164_out", output_mode="complete")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -6023,6 +6067,7 @@ _PRIORITY = [
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
     "q162_corrupt_quarantine", "q163_bucketed_fact_join",
+    "q164_stream_static_enrich",
     # 1) newly-oracled this round (r4) — never had a recorded green row
     "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
     "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",
