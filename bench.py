@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "q161_collated_match",
     "q162_corrupt_quarantine",
     "q163_bucketed_fact_join",
+    "q165_ewma_smoothing",
 ]
 
 

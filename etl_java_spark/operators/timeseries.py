@@ -131,3 +131,36 @@ def top_event_paths(
         .orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(topk)
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the sequential
+    recurrence EWMA_t = (1-a)*EWMA_{t-1} + a*x_t, folded in event order;
+    returns (key, n_points, ewma_last).
+
+    A sequential recurrence cannot be a plain aggregate (it is not
+    commutative), so each key's series is collected into one sorted
+    array and folded with `F.aggregate` — one shuffle on the key, the
+    fold runs inside codegen, and the per-key array is bounded by that
+    key's history (the same bound any per-entity state store carries).
+    With alpha = 0.5 every step is an exact binary halving, so the fold
+    is bit-reproducible and a DuckDB recursive CTE replays it exactly.
+    """
+    struct = F.struct(*[F.col(c) for c in order_cols], F.col(value_col).alias("__v"))
+    arr = F.array_sort(F.collect_list(struct))
+    fold = F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["__v"]).otherwise(
+            acc * F.lit(1.0 - alpha) + x["__v"] * F.lit(alpha)
+        ),
+    )
+    return df.groupBy(key_col).agg(
+        F.size(arr).alias("n_points"), fold.alias("ewma_last")
+    )

@@ -5793,6 +5793,7 @@ def q158_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE walk AS (
       SELECT doc_id, doc_id AS cur, 0 AS depth FROM documents
+      WHERE doc_id < 1000
       UNION ALL
       SELECT doc_id, CAST(FLOOR(cur / 2) AS BIGINT), depth + 1
       FROM walk WHERE cur > 0
@@ -5820,6 +5821,7 @@ def q159_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH RECURSIVE walk AS (
           SELECT doc_id, doc_id AS cur, 0 AS depth FROM documents
+          WHERE doc_id < 1000
           UNION ALL
           SELECT doc_id, CAST(FLOOR(cur / 2) AS BIGINT), depth + 1
           FROM walk WHERE cur > 0
@@ -6053,6 +6055,44 @@ def q164_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "q164_out", output_mode="complete")
 
 
+@_q(
+    "q165_ewma_smoothing",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, rn, value AS ewma FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, r.ewma * 0.5 + e.value * 0.5
+      FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    ), last AS (
+      SELECT user_id, MAX(rn) AS n FROM ev GROUP BY user_id
+    )
+    SELECT r.user_id, CAST(l.n AS INTEGER) AS n_points, r.ewma AS ewma_last
+    FROM rec r JOIN last l ON l.user_id = r.user_id AND r.rn = l.n
+    """,
+)
+def q165_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over the event stream (timeseries.ewma_last): a
+    sequential recurrence folded in (ts, event_id) order with
+    F.aggregate — the non-commutative-aggregate shape (state machines,
+    decay counters, online smoothing) that plain groupBy cannot express.
+    alpha = 0.5 makes every step an exact binary halving, so the DuckDB
+    recursive CTE replays the fold bitwise.
+
+    Scale: one shuffle on user_id; each key's array is bounded by that
+    user's history, the same bound any per-entity state store carries
+    (for unbounded histories the streaming stateful twin q68 is the
+    tool).
+    """
+    from .operators.timeseries import ewma_last
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_last(ev, "user_id", ["ts", "event_id"], "value", alpha=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -6067,7 +6107,7 @@ _PRIORITY = [
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
     "q162_corrupt_quarantine", "q163_bucketed_fact_join",
-    "q164_stream_static_enrich",
+    "q164_stream_static_enrich", "q165_ewma_smoothing",
     # 1) newly-oracled this round (r4) — never had a recorded green row
     "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
     "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",

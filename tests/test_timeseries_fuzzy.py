@@ -67,3 +67,28 @@ def test_fuzzy_join_rejects_column_overlap(spark):
     df = spark.createDataFrame([("x",)], "name string")
     with pytest.raises(ValueError, match="disjoint"):
         R.fuzzy_join(df, df, "name", "name")
+
+
+def test_ewma_last_hand_computed(spark):
+    from etl_java_spark.operators.timeseries import ewma_last
+    from pyspark.sql import functions as F
+
+    # series 1,2,3 with alpha=0.5: 1 -> 1.5 -> 2.25
+    df = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (1, 30, 3.0), (2, 10, 5.0)],
+        "k int, t int, v double",
+    )
+    out = {r.k: (r.n_points, r.ewma_last) for r in
+           ewma_last(df, "k", ["t"], "v", alpha=0.5).collect()}
+    assert out[1] == (3, 2.25)
+    assert out[2] == (1, 5.0)
+
+
+def test_ewma_order_independence_of_input_partitioning(spark):
+    from etl_java_spark.operators.timeseries import ewma_last
+
+    rows = [(1, t, float(t % 7)) for t in range(100)]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    a = ewma_last(df, "k", ["t"], "v").collect()[0].ewma_last
+    b = ewma_last(df.repartition(13), "k", ["t"], "v").collect()[0].ewma_last
+    assert a == b  # sort_array makes the fold order canonical
