@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "q162_corrupt_quarantine",
     "q163_bucketed_fact_join",
     "q165_ewma_smoothing",
+    "q166_asof_tolerance",
 ]
 
 

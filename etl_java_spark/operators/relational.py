@@ -68,9 +68,16 @@ def asof_join(
     right_values: Sequence[str],
     direction: str = "backward",
     right_order: Sequence[str] = (),
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right_time <= left_time (backward) or earliest >= (forward), per key.
+
+    ``tolerance_seconds`` (pandas merge_asof semantics): when set, a
+    match staler than the tolerance yields NULL values instead (the left
+    row is kept). Nulling the best match equals restricting candidates:
+    staleness is monotone in the match order, so if the nearest right
+    row is out of tolerance every other candidate is too.
 
     Implementation: union-tag both sides, sort within key by time, carry
     the last-seen right values forward with a running window. ONE shuffle
@@ -119,9 +126,22 @@ def asof_join(
             .alias(f"__v_{c}")
             for c in rvals
         ],
+        F.last(F.when(F.col("__is_l") == 0, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias("__vt"),
     )
+    out_vals = [F.col(f"__v_{c}") for c in rvals]
+    if tolerance_seconds is not None:
+        staleness_us = F.abs(
+            F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__vt"))
+        )
+        fresh = staleness_us <= F.lit(int(tolerance_seconds * 1_000_000))
+        out_vals = [
+            F.when(fresh, v).otherwise(F.lit(None).cast(right.schema[c].dataType))
+            for v, c in zip(out_vals, rvals)
+        ]
     return filled.filter(F.col("__is_l") == 1).select(
-        *lcols, *[F.col(f"__v_{c}").alias(c) for c in rvals]
+        *lcols, *[v.alias(c) for v, c in zip(out_vals, rvals)]
     )
 
 

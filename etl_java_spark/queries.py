@@ -6093,6 +6093,58 @@ def q165_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_last(ev, "user_id", ["ts", "event_id"], "value", alpha=0.5)
 
 
+@_q(
+    "q166_asof_tolerance",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             c.value AS click_value, c.ts AS click_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM purchases p LEFT JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+    )
+    SELECT event_id, user_id, ts, value, click_value, click_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q166_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas merge_asof
+    `tolerance`): each purchase matched to the user's latest click at or
+    before it, but only if that click is within the last hour — stale
+    matches become NULLs, the purchase row is kept. Same one-shuffle
+    union-tag window plan as q30 (relational.asof_join); the tolerance
+    is one comparison on the carried match timestamp, no extra join.
+    """
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumnRenamed("value", "click_value")
+        .withColumnRenamed("ts", "click_ts")
+        .withColumnRenamed("event_id", "click_event_id")
+    )
+    out = R.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_values=["click_value", "click_ts"],
+        right_order=["click_event_id"],
+        tolerance_seconds=3600,
+    )
+    return out.select("event_id", "user_id", "ts", "value", "click_value", "click_ts")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -6108,6 +6160,7 @@ _PRIORITY = [
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
     "q162_corrupt_quarantine", "q163_bucketed_fact_join",
     "q164_stream_static_enrich", "q165_ewma_smoothing",
+    "q166_asof_tolerance",
     # 1) newly-oracled this round (r4) — never had a recorded green row
     "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
     "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",

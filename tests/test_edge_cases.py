@@ -73,3 +73,31 @@ def test_topk_ties_deterministic(spark):
     )
     out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id").asc()], k=2).collect()
     assert sorted(r.id for r in out) == [1, 2]
+
+
+def test_asof_join_tolerance_nulls_stale_match(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")], "k int, t string"
+    ).selectExpr("k", "cast(t as timestamp) as t")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 7.0)], "k int, rt string, v double"
+    ).selectExpr("k", "cast(rt as timestamp) as rt", "v")
+    out = {
+        r.t.isoformat(): r.v
+        for r in asof_join(
+            left, right, "k", "t", "rt", ["v"], tolerance_seconds=3600
+        ).collect()
+    }
+    # 10:00 matches the 09:30 click (30 min ago); 12:00's nearest match is
+    # 2.5h stale -> nulled, row kept
+    assert out == {"2024-01-01T10:00:00": 7.0, "2024-01-01T12:00:00": None}
+
+
+def test_asof_join_no_tolerance_keeps_stale(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "k int, t string"
+    ).selectExpr("k", "cast(t as timestamp) as t")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00", 3.0)], "k int, rt string, v double"
+    ).selectExpr("k", "cast(rt as timestamp) as rt", "v")
+    assert asof_join(left, right, "k", "t", "rt", ["v"]).collect()[0].v == 3.0
