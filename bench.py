@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "q163_bucketed_fact_join",
     "q165_ewma_smoothing",
     "q166_asof_tolerance",
+    "q167_median_impute",
 ]
 
 

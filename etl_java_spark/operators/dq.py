@@ -186,3 +186,23 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(col_name, n, n_null, n_distinct, min_v, max_v)"
     )
+
+
+def impute_median(
+    df: DataFrame, group_col: str, value_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Per-group exact-median imputation: NULLs in ``value_col`` are
+    replaced by their group's median of the non-null values.
+
+    The per-group median table is one aggregation (exact interpolated
+    median — deterministic), broadcast back onto the data: the big side
+    never shuffles. This is the DQ-repair counterpart of `run_checks` —
+    fail-fast policies quarantine, imputation repairs.
+    """
+    out_col = out_col or value_col
+    med = df.groupBy(group_col).agg(F.median(value_col).alias("__med"))
+    return (
+        df.join(F.broadcast(med), group_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(value_col), F.col("__med")))
+        .drop("__med")
+    )

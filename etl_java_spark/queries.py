@@ -6145,6 +6145,55 @@ def q166_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "value", "click_value", "click_ts")
 
 
+@_q(
+    "q167_median_impute",
+    """
+    WITH src AS (
+      SELECT c_mktsegment AS seg,
+             CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    ), med AS (
+      SELECT seg, MEDIAN(bal) AS m FROM src GROUP BY seg
+    )
+    SELECT s.seg,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN s.bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+           med.m AS fill_value,
+           CAST(SUM(CASE WHEN COALESCE(s.bal, med.m) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls_after
+    FROM src s JOIN med ON med.seg = s.seg
+    GROUP BY s.seg, med.m
+    """,
+)
+def q167_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group median imputation (dq.impute_median) — the DQ-repair
+    counterpart of run_checks' fail-fast policies. Account balances are
+    deterministically nulled (every 13th key) and refilled with their
+    market segment's exact median; the output reports rows, imputed
+    count, the fill value used, and zero remaining nulls.
+
+    Scale: the median table is one aggregation broadcast back — the
+    customer side never shuffles for the repair.
+    """
+    from .operators.dq import impute_median
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    fixed = impute_median(c, "seg", "bal", out_col="bal_filled")
+    return fixed.groupBy("seg").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("bal").isNull(), 1).otherwise(0)).alias("n_imputed"),
+        F.median("bal").alias("fill_value"),
+        F.sum(F.when(F.col("bal_filled").isNull(), 1).otherwise(0)).alias(
+            "n_nulls_after"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -6160,7 +6209,7 @@ _PRIORITY = [
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
     "q162_corrupt_quarantine", "q163_bucketed_fact_join",
     "q164_stream_static_enrich", "q165_ewma_smoothing",
-    "q166_asof_tolerance",
+    "q166_asof_tolerance", "q167_median_impute",
     # 1) newly-oracled this round (r4) — never had a recorded green row
     "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
     "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",
