@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "q165_ewma_smoothing",
     "q166_asof_tolerance",
     "q167_median_impute",
+    "q168_dataset_checksum",
 ]
 
 

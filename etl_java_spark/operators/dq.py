@@ -206,3 +206,26 @@ def impute_median(
         .withColumn(out_col, F.coalesce(F.col(value_col), F.col("__med")))
         .drop("__med")
     )
+
+
+def dataset_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent content checksum of a projection: one row of
+    (n_rows, checksum) where checksum = SUM over rows of the first 48
+    bits of md5(columns joined with a 0x1f separator), summed exactly in
+    decimal.
+
+    Because the sum is commutative the checksum is independent of
+    partitioning and row order — two datasets with equal checksums and
+    counts are content-equal up to md5 collisions. This is the integrity
+    primitive for export manifests and copy verification at 100 TB: one
+    map-side hash + one scalar aggregation, no sort, no shuffle of data
+    rows. Callers pass explicitly string-cast columns when cross-engine
+    string formatting matters (floats/timestamps format differently
+    across engines; ints and strings are safe).
+    """
+    payload = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(payload), 1, 12), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).cast("string").alias("checksum"),
+    )

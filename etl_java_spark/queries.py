@@ -6194,6 +6194,68 @@ def q167_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q168_dataset_checksum",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST('0x' || SUBSTRING(
+               md5(CONCAT_WS(CHR(31), CAST(o_orderkey AS VARCHAR),
+                             o_orderstatus, o_orderpriority)),
+               1, 12) AS BIGINT)) AS VARCHAR) AS checksum,
+           TRUE AS roundtrip_ok
+    FROM orders
+    """,
+)
+def q168_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-verification via order-independent content checksum
+    (dq.dataset_checksum): the projection is checksummed, written to
+    parquet, read back, and re-checksummed — `roundtrip_ok` asserts the
+    two match, and the oracle recomputes the checksum independently in
+    DuckDB (md5 + exact decimal sum agree bitwise across engines).
+
+    Scale: the checksum is one map-side hash + a scalar aggregation —
+    no sort and no row shuffle, so verifying a 100 TB export costs one
+    scan per side; the sum's commutativity makes it independent of
+    partitioning and row order.
+    """
+    import shutil
+    import tempfile
+
+    from .operators.dq import dataset_checksum
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    o = _t(spark, sf_dir, "orders").select(*cols)
+    src = dataset_checksum(o, cols)
+    out = tempfile.mkdtemp(prefix="q168_ck_")
+    try:
+        o.write.mode("overwrite").parquet(out)
+        back = dataset_checksum(spark.read.parquet(out), cols)
+        res = (
+            src.select(
+                "n_rows",
+                "checksum",
+                F.lit(None).alias("__x"),
+            )
+            .crossJoin(
+                back.select(
+                    F.col("n_rows").alias("__n2"), F.col("checksum").alias("__c2")
+                )
+            )
+            .select(
+                "n_rows",
+                "checksum",
+                (
+                    (F.col("n_rows") == F.col("__n2"))
+                    & (F.col("checksum") == F.col("__c2"))
+                ).alias("roundtrip_ok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -6209,7 +6271,7 @@ _PRIORITY = [
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
     "q162_corrupt_quarantine", "q163_bucketed_fact_join",
     "q164_stream_static_enrich", "q165_ewma_smoothing",
-    "q166_asof_tolerance", "q167_median_impute",
+    "q166_asof_tolerance", "q167_median_impute", "q168_dataset_checksum",
     # 1) newly-oracled this round (r4) — never had a recorded green row
     "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
     "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",
