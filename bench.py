@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "q166_asof_tolerance",
     "q167_median_impute",
     "q168_dataset_checksum",
+    "q169_group_trend",
 ]
 
 

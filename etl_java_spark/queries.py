@@ -6256,6 +6256,71 @@ def q168_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+@_q(
+    "q169_group_trend",
+    """
+    WITH pts AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(date_diff('day', DATE '1992-01-01', o.o_orderdate) AS HUGEINT) AS x,
+             CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS HUGEINT) AS yc
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), s AS (
+      SELECT seg,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(yc) AS syc,
+             SUM(x * yc) AS sxyc, SUM(x * x) AS sxx
+      FROM pts GROUP BY seg
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n,
+           CAST(n * sxyc - sx * syc AS DOUBLE)
+             / CAST((n * sxx - sx * sx) * 100 AS DOUBLE) AS slope
+    FROM s
+    """,
+)
+def q169_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise closed-form OLS trend: the order-value slope over time
+    per market segment, from the textbook normal equations
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2). Prices are scaled to
+    integer cents so every moment and both normal-equation operands are
+    EXACT integers (Spark decimal(38,0) scale-0 arithmetic never
+    rounds; DuckDB mirrors in HUGEINT) — each side rounds to double
+    exactly once before the one division, so the slope is bitwise
+    identical across engines.
+
+    Scale: a per-group regression is just four map-side-combinable sums
+    — one shuffle on the group key, no ml fit, no iteration; the same
+    shape fits millions of groups (per-product trends over 100 TB of
+    order history).
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    d38 = "decimal(38,0)"
+    pts = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast(d38)
+        .alias("x"),
+        (money("o_totalprice") * 100).cast("bigint").cast(d38).alias("yc"),
+    )
+    s = pts.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("yc").cast(d38).alias("syc"),
+        F.sum(F.col("x") * F.col("yc")).cast(d38).alias("sxyc"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+    )
+    nd = F.col("n").cast(d38)
+    return s.select(
+        "seg",
+        "n",
+        (
+            (nd * F.col("sxyc") - F.col("sx") * F.col("syc")).cast("double")
+            / ((nd * F.col("sxx") - F.col("sx") * F.col("sx")) * 100).cast("double")
+        ).alias("slope"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -6272,6 +6337,7 @@ _PRIORITY = [
     "q162_corrupt_quarantine", "q163_bucketed_fact_join",
     "q164_stream_static_enrich", "q165_ewma_smoothing",
     "q166_asof_tolerance", "q167_median_impute", "q168_dataset_checksum",
+    "q169_group_trend",
     # 1) newly-oracled this round (r4) — never had a recorded green row
     "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
     "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",
