@@ -1771,7 +1771,13 @@ def q50_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding is deterministic, so the result is stable run to run). The
     shingle sets are identical by construction (same token regex, same
     space-join, same <3-token whole-text fallback) and the final division
-    is one IEEE double op on exact integers -> bitwise equal."""
+    is one IEEE double op on exact integers -> bitwise equal.
+    Scale note: the recall-1.0 property is a measured fact of the sf0.01
+    gate fixture, not an LSH guarantee — at sf0.001 one borderline pair
+    (J=0.50 exactly at threshold) falls outside every band and the
+    oracle counts 92 vs Spark's 91; banded LSH is approximate by design
+    and the band/row sizing targets the gate scale.
+    """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = d.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -5837,7 +5843,7 @@ def q159_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(AVG(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS avg_disc,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_returnflag = 'R'
