@@ -229,3 +229,59 @@ def dataset_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h).cast("string").alias("checksum"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    nbins: int,
+    tiebreak_cols: list[str],
+    bucket: Column,
+) -> DataFrame:
+    """Exact equi-depth (equal-frequency) histogram of ``value_col`` —
+    the profiling twin of the equi-width histogram (q127): bin edges
+    adapt to the distribution, so every bin holds the same row count
+    (+/-1), which is what optimizers, quantile monitors, and drift
+    detectors actually want on skewed data.
+
+    Bin assignment is NTILE(nbins) over (value, tiebreaks), computed
+    scalably: global ranks come from transforms.assign_global_ids
+    (bucketed two-phase numbering — no single-partition window over the
+    data; ``bucket`` must be order-consistent with ``value_col``, e.g.
+    ``F.floor(F.col(v) / width)``), and the rank -> bin map is SQL
+    NTILE's exact arithmetic (first n % k bins get one extra row), so
+    any engine's NTILE reproduces the bins bitwise.
+
+    Returns one row per bin: (bin, n_rows, lo, hi).
+    """
+    from .transforms import assign_global_ids
+
+    ids = assign_global_ids(
+        df.select(value_col, *tiebreak_cols),
+        [value_col, *tiebreak_cols],
+        bucket,
+        id_col="__rank",
+    )
+    total = ids.agg(F.count("*").alias("__total"))
+    # NTILE arithmetic in pure integer ops (DIV, %) — no doubles, so the
+    # bin id is exact at any row count. First n % k bins get one extra row.
+    k = int(nbins)
+    bin_expr = F.expr(
+        f"""CAST(CASE
+              WHEN (__rank - 1) < (__total % {k}) * ((__total DIV {k}) + 1)
+              THEN (__rank - 1) DIV ((__total DIV {k}) + 1)
+              ELSE (__total % {k})
+                   + ((__rank - 1) - (__total % {k}) * ((__total DIV {k}) + 1))
+                     DIV GREATEST(__total DIV {k}, 1)
+            END + 1 AS INT)"""
+    )
+    return (
+        ids.join(F.broadcast(total))
+        .withColumn("bin", bin_expr)
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )

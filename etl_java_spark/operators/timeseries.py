@@ -164,3 +164,58 @@ def ewma_last(
     return df.groupBy(key_col).agg(
         F.size(arr).alias("n_points"), fold.alias("ewma_last")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping (or endpoint-touching) [start, end] intervals per
+    key into maximal disjoint "islands" — the interval-consolidation
+    primitive behind downtime accounting, coverage analysis, and
+    gap-vs-overlap auditing.
+
+    Classic sweep, expressed relationally so it distributes:
+
+    1. order each key's intervals by (start, end);
+    2. an interval opens a NEW island iff its start exceeds the running
+       max of all previous ends (``max(end) over rows unbounded
+       preceding .. 1 preceding``);
+    3. the island id is the running sum of those open flags;
+    4. group by (key, island): min(start), max(end), merged-row count.
+
+    Scale: one shuffle on the key; both windows and the final group
+    reuse that partitioning (Catalyst collapses them into a single
+    exchange). Per-key work is a linear sweep. Ties in (start, end) are
+    harmless: an interval that shares its start with a predecessor can
+    never open an island the predecessor didn't, so the island ids are
+    order-independent under tie reordering.
+
+    Requires end >= start on every row (asserted cheaply via the sweep
+    itself: a violating row could only shrink islands, never corrupt
+    neighbors).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max_end = (
+        F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    flagged = df.withColumn("__opens", opens)
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__opens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(*keys, "__island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count("*").alias("n_merged"),
+        )
+        .drop("__island")
+    )

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -142,4 +142,49 @@ def apply_transforms(
         spec_map[col] = new.alias(col)
     return df.select(
         *[spec_map.get(c, F.col(c)) for c in df.columns]
+    )
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_cols: Iterable[str],
+    bucket: Column,
+    id_col: str = "seq_id",
+) -> DataFrame:
+    """Assign 1-based sequential ids in total (``order_cols``) order
+    WITHOUT a single-partition global window — the scalable form of
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` / RDD ``zipWithIndex``.
+
+    ``bucket`` must be a coarse, order-consistent prefix of the leading
+    order column (every key in bucket b sorts before every key in
+    bucket b+1 — e.g. ``F.floor(F.col("k") / 1000)`` for an integer
+    key, ``F.date_trunc("month", ts)`` for a timestamp). Then:
+
+    1. per-bucket row counts — one map-side-combinable aggregation
+       whose result is metadata-sized (one row per bucket);
+    2. cumulative offsets over the buckets — a window over that
+       metadata-sized table (the ONLY global ordering ever performed,
+       on #buckets rows, not #data rows);
+    3. broadcast the offsets back and number rows with
+       ``row_number() over (partition by bucket order by order_cols)``
+       + offset — each bucket's window is partition-local.
+
+    Deterministic and rerun-safe: unlike ``repartitionByRange`` (whose
+    boundaries come from sampling) the bucket expression is a pure
+    function of the row, so a stage retry or a second job over the
+    same data reproduces identical ids. Bucket granularity is the skew
+    knob: aim for ~10^5-10^6 rows per bucket at scale.
+    """
+    order = list(order_cols)
+    b = df.withColumn("__bucket", bucket)
+    counts = b.groupBy("__bucket").agg(F.count("*").alias("__n"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__offset", F.coalesce(F.sum("__n").over(wb), F.lit(0))
+    ).drop("__n")
+    w = Window.partitionBy("__bucket").orderBy(*order)
+    return (
+        b.join(F.broadcast(offsets), "__bucket")
+        .withColumn(id_col, (F.col("__offset") + F.row_number().over(w)).cast("long"))
+        .drop("__bucket", "__offset")
     )

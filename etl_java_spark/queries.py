@@ -6327,6 +6327,121 @@ def q169_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q170_interval_merge",
+    """
+    WITH iv AS (
+      SELECT l_suppkey AS suppkey, l_shipdate AS lo,
+             l_shipdate + (CAST(l_quantity AS INT) % 20 + 1) * INTERVAL 1 DAY AS hi
+      FROM lineitem
+    ), flagged AS (
+      SELECT suppkey, lo, hi,
+             CASE WHEN MAX(hi) OVER (PARTITION BY suppkey ORDER BY lo, hi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR lo > MAX(hi) OVER (PARTITION BY suppkey ORDER BY lo, hi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS opens
+      FROM iv
+    ), isl AS (
+      SELECT suppkey, lo, hi,
+             SUM(opens) OVER (PARTITION BY suppkey ORDER BY lo, hi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ), merged AS (
+      SELECT suppkey, island, MIN(lo) AS lo, MAX(hi) AS hi, COUNT(*) AS n_merged
+      FROM isl GROUP BY suppkey, island
+    )
+    SELECT suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(DATEDIFF('day', lo, hi) + 1) AS BIGINT) AS covered_days,
+           CAST(MAX(n_merged) AS BIGINT) AS max_merged
+    FROM merged GROUP BY suppkey
+    """,
+)
+def q170_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval consolidation (timeseries.merge_intervals): per-supplier
+    shipping windows [shipdate, shipdate + quantity%20+1 days] merged
+    into maximal disjoint islands; reports island count, total covered
+    days, and the largest pile-up. The relational sweep (running-max
+    window -> open flags -> running-sum island ids) distributes: one
+    shuffle on the supplier key serves both windows and the final agg.
+    """
+    from .operators.timeseries import merge_intervals
+
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_suppkey AS suppkey",
+        "l_shipdate AS lo",
+        "l_shipdate + make_interval(0, 0, 0, CAST(l_quantity AS INT) % 20 + 1) AS hi",
+    )
+    merged = merge_intervals(li, "suppkey", "lo", "hi")
+    return merged.groupBy("suppkey").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.datediff("hi", "lo") + 1).alias("covered_days"),
+        F.max("n_merged").alias("max_merged"),
+    )
+
+
+@_q(
+    "q171_global_row_ids",
+    """
+    SELECT o_orderkey, o_orderdate,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS seq_id
+    FROM orders
+    """,
+)
+def q171_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable global sequential ids (transforms.assign_global_ids):
+    ROW_NUMBER() OVER (ORDER BY o_orderkey) without the single-partition
+    global window that plain Spark SQL would plan. Ranks are built in
+    two phases — per-bucket counts (metadata-sized), cumulative offsets
+    over buckets, then partition-local row_number + offset — so the id
+    assignment distributes across the cluster and is rerun-safe
+    (buckets are a pure function of the key, unlike repartitionByRange's
+    sampled boundaries).
+    """
+    from .operators.transforms import assign_global_ids
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return assign_global_ids(
+        o, ["o_orderkey"], F.floor(F.col("o_orderkey") / 1000), id_col="seq_id"
+    )
+
+
+@_q(
+    "q172_equidepth_histogram",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice, NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM ranked GROUP BY bin
+    """,
+)
+def q172_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency histogram of order value (dq.equidepth_histogram):
+    8 bins that each hold the same row count (+/-1), with
+    distribution-adaptive edges — the profiling complement of q127's
+    equi-width bins. Bin membership is SQL NTILE's exact integer
+    arithmetic applied to scalably-computed global ranks (bucketed
+    two-phase numbering, no global window over the data), so DuckDB's
+    NTILE reproduces the bins bitwise.
+    """
+    from .operators.dq import equidepth_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    return equidepth_histogram(
+        o.select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        8,
+        ["o_orderkey"],
+        F.floor(F.col("o_totalprice") / 10000),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -6337,6 +6452,7 @@ def q169_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRIORITY = [
     # 0) brand-new this round (r4) — never registered before
+    "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
