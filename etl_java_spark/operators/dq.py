@@ -285,3 +285,60 @@ def equidepth_histogram(
             F.max(value_col).alias("hi"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 3,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Median/MAD robust outlier detection per group — the
+    heavy-tail-safe alternative to z-scores (q128): a single far point
+    moves a mean and inflates a stddev, but not a median or a MAD.
+
+    Flags rows where |x - median| > k * MAD (MAD = median of absolute
+    deviations). All arithmetic runs in integer "cents"
+    (``value * cents_scale`` as long), so both medians are either an
+    integer or a .5 midpoint — exactly representable — and the flag
+    threshold compares in exact integers scaled by 2 (|2(x-med)| vs
+    2k*MAD), never in floats: any engine reproduces the flags bitwise.
+
+    Plan: two grouped exact-median aggregations (medians broadcast
+    back), one map-only flag pass — the value table shuffles once.
+    Returns (group, n_rows, median_cents2, mad_cents2, n_outliers)
+    where *_cents2 are doubled-cents integers (exact).
+    """
+    cents = F.round(F.col(value_col) * cents_scale).cast("long")
+    src = df.select(F.col(group_col).alias("g"), cents.alias("c"))
+    # exact median in doubled units: 2*median of ints is always an int
+    med = src.groupBy("g").agg(
+        (F.median("c") * 2).cast("long").alias("med2")
+    )
+    j = src.join(F.broadcast(med), "g")
+    absdev2 = F.abs(F.col("c") * 2 - F.col("med2"))  # |2(x - med)| exact
+    mad = (
+        j.withColumn("d2", absdev2)
+        .groupBy("g", "med2")
+        .agg((F.median("d2") * 2).cast("long").alias("mad4"))
+    )
+    # outlier iff |x - med| > k * MAD  <=>  2*|2(x-med)| > k * (2*2*MAD/2)
+    # in quadrupled units: 2*d2 > k*mad4
+    flagged = j.join(F.broadcast(mad.select("g", "mad4")), "g").withColumn(
+        "is_outlier", (absdev2 * 2 > F.lit(int(k)) * F.col("mad4"))
+    )
+    return (
+        flagged.groupBy("g", "med2", "mad4")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("is_outlier").cast("int")).alias("n_outliers"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_rows",
+            "med2",
+            "mad4",
+            "n_outliers",
+        )
+    )

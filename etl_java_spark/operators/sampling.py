@@ -141,3 +141,27 @@ def source_mixture(
         .withColumn("copy_id", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with a ROW-DEPENDENT
+    inclusion probability (quality-weighted corpus downsampling: keep
+    high-quality documents with probability ~1, boilerplate with
+    probability ~0.1).
+
+    ``weight`` is any Column in [0, 1] (clamped). A row survives iff
+    ``key_bucket(key) < floor(weight * 10000)`` — the same arithmetic
+    key hash as assign_split, so the draw is a pure map (zero shuffle),
+    reproducible on any partitioning/cluster, and replayable by any SQL
+    engine. Probabilities are quantized to 1e-4 by ``floor`` (floor,
+    not round: exact and identical in every engine; a weight below
+    1e-4 never selects).
+    """
+    p = F.floor(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight)) * 10000
+    ).cast("int")
+    return df.filter(key_bucket(key_col) < p)

@@ -418,3 +418,51 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the standard
+    4x compression before shipping vectors to an ANN index (100 TB of
+    float32 embeddings -> 25 TB of uint8 codes).
+
+    Per-dimension global [min, max] is one posexplode + grouped min/max
+    (map-side combinable, #dims result rows); the ranges come back as a
+    single broadcast array row and each vector quantizes map-only with
+    ``zip_with``: code = clamp(floor((x - mn) * 255 / (mx - mn)), 0, 255),
+    degenerate dimensions (mx == mn) code to 0. All math is IEEE double
+    (+, -, *, /, floor), so any engine replays the codes bitwise.
+
+    Returns (id, codes array<int>) with codes.size == input dim.
+    """
+    dims = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    ranges = dims.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "mn", "mx"))
+        ).alias("__ranges")
+    )
+    codes = F.zip_with(
+        F.col(vec_col),
+        F.col("__ranges"),
+        lambda x, r: F.when(r["mx"] == r["mn"], F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (x.cast("double") - r["mn"]) * 255.0 / (r["mx"] - r["mn"])
+                    ).cast("int"),
+                ),
+            )
+        ).cast("int"),
+    )
+    return (
+        df.join(F.broadcast(ranges))
+        .select(F.col(id_col), codes.alias("codes"))
+    )

@@ -6442,6 +6442,136 @@ def q172_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q173_mad_outliers",
+    """
+    WITH src AS (
+      SELECT c_mktsegment AS g, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c
+      FROM customer
+    ), med AS (
+      SELECT g, CAST(MEDIAN(c) * 2 AS BIGINT) AS med2 FROM src GROUP BY g
+    ), dev AS (
+      SELECT s.g, s.c, m.med2, ABS(s.c * 2 - m.med2) AS d2
+      FROM src s JOIN med m ON m.g = s.g
+    ), mad AS (
+      SELECT g, med2, CAST(MEDIAN(d2) * 2 AS BIGINT) AS mad4
+      FROM dev GROUP BY g, med2
+    )
+    SELECT d.g AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           d.med2, a.mad4,
+           CAST(SUM(CASE WHEN d.d2 * 2 > 3 * a.mad4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad a ON a.g = d.g
+    GROUP BY d.g, d.med2, a.mad4
+    """,
+)
+def q173_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers (dq.mad_outliers): account balances
+    more than 3 MADs from their market segment's median. Unlike q128's
+    z-scores, a single extreme balance cannot drag the center or
+    inflate the spread. All comparisons run in exact integer cents
+    (doubled/quadrupled units keep .5 midpoints integral), so the
+    flags are engine-independent — no float threshold boundary.
+    """
+    from .operators.dq import mad_outliers
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"), "c_acctbal"
+    )
+    return mad_outliers(c, "seg", "c_acctbal", k=3)
+
+
+@_q(
+    "q174_weighted_sample",
+    """
+    WITH weighted AS (
+      SELECT doc_id, source, n_chars,
+             CAST(FLOOR(LEAST(1.0, CAST(n_chars AS DOUBLE) / 2000.0) * 10000)
+                  AS INT) AS p
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM weighted
+    WHERE ((doc_id % 1000000007) * 2654435761 % 1000000007 * 524287)
+          % 1000000007 % 10000 < p
+    GROUP BY source
+    """,
+)
+def q174_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (sampling.weighted_sample):
+    longer documents survive with probability ~ n_chars/2000 (capped at
+    1), short ones are mostly dropped — the downsample-by-quality step
+    of corpus curation. The draw is the arithmetic key hash (never
+    seed-based sample()), so it is a zero-shuffle map, reproducible on
+    any partitioning, and DuckDB replays the exact selection.
+    """
+    from .operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 2000.0)
+    return weighted_sample(d, "doc_id", w).groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@_q(
+    "q175_embedding_quantize",
+    """
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(UNNEST(generate_series(0, LEN(embedding) - 1)) AS INTEGER) AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), dims AS (
+      SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM flat GROUP BY pos
+    ), codes AS (
+      SELECT f.vec_id, f.pos,
+             CASE WHEN d.mx = d.mn THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                       CAST(FLOOR((f.x - d.mn) * 255.0 / (d.mx - d.mn)) AS INT)))
+             END AS code
+      FROM flat f JOIN dims d ON d.pos = f.pos
+    )
+    SELECT vec_id,
+           CAST(SUM(code * (pos + 1)) AS BIGINT) AS code_checksum,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(MAX(code) AS BIGINT) AS max_code
+    FROM codes GROUP BY vec_id
+    """,
+)
+def q175_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table
+    (similarity.quantize_int8): per-dimension global [min,max] ranges
+    (one grouped agg, #dims rows) broadcast back, every vector coded
+    map-only to 0..255 via exact IEEE-double arithmetic — the 4x
+    compression step before building a large ANN index. Output is a
+    per-vector positional checksum of the codes plus dims/max-code, so
+    the oracle verifies every code without 49k-wide rows.
+    """
+    from .operators.similarity import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(e, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(1), F.size("codes")),
+                lambda c, i: c.cast("long") * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("code_checksum"),
+        F.size("codes").cast("long").alias("n_dims"),
+        F.array_max("codes").cast("long").alias("max_code"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -6453,6 +6583,7 @@ def q172_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY = [
     # 0) brand-new this round (r4) — never registered before
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",
+    "q173_mad_outliers", "q174_weighted_sample", "q175_embedding_quantize",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
