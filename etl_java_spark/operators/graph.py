@@ -102,3 +102,75 @@ def pagerank(
         # 3-round-deep estimate, and lineage stays O(1) for long runs.
         ranks = ckpt(ranks)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Exact triangle count of the undirected graph under ``edges``
+    (direction and duplicates ignored, self-loops dropped) — the
+    clustering/community-density primitive (cohesion metrics, spam-farm
+    detection, graph QA).
+
+    Degree-ordered orientation — the standard shuffle-bound algorithm:
+
+    1. canonicalize to distinct undirected pairs (u < v);
+    2. orient every edge from its LOWER-(degree, id) endpoint to the
+       higher one; each triangle then has exactly one vertex with two
+       out-edges into the other two, so it is counted exactly once;
+    3. wedges = self-join of the oriented list on the source vertex
+       (out-neighbor pairs); closing edges found by joining the wedge's
+       (y, z) endpoints back against the canonical edge set.
+
+    The orientation bounds every vertex's out-degree by O(sqrt(|E|))
+    on any graph (arboricity bound), so the wedge join is
+    sum(outdeg^2)-sized — the hub that would explode a naive
+    neighbor-pair join is oriented INTO, not out of. Returns one row:
+    (n_vertices, n_edges, n_triangles).
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    a, b = F.col(src), F.col(dst)
+    # The canonical edge set feeds degrees (twice), the orientation join
+    # AND the closing-edge probe — materialize it once instead of
+    # re-running the caller's (possibly expensive) edge-derivation plan
+    # four times.
+    und = ckpt(
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    o1 = oriented.select(F.col("s"), F.col("t").alias("y"))
+    o2 = oriented.select(F.col("s"), F.col("t").alias("z"))
+    wedges = o1.join(o2, "s").filter(F.col("y") < F.col("z"))
+    closed = wedges.join(
+        und,
+        (F.col("u") == F.col("y")) & (F.col("v") == F.col("z")),
+        "left_semi",
+    )
+    return (
+        closed.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(deg.agg(F.count("*").alias("n_vertices")))
+        .crossJoin(und.agg(F.count("*").alias("n_edges")))
+        .select("n_vertices", "n_edges", "n_triangles")
+    )

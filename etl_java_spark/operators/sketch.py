@@ -1,0 +1,99 @@
+"""Count-min sketch over a key column — mergeable heavy-hitter counts.
+
+Charter §2B extension (no reference counterpart — RoberWaters/ETL-Java,
+src/etl/ETLProcess.java:1-568). Complements the HLL distinct-count
+sketches (q135) with the FREQUENCY sketch of the mergeable-summary
+family: a (depth x width) counter table whose cells are plain sums, so
+per-partition/per-day sketches union by cell-wise addition and the raw
+stream is never re-scanned — the correct 100 TB shape for "top items
+this quarter" over append-only logs.
+
+Estimates: est(k) = min over rows i of table[i][h_i(k)], an
+OVERESTIMATE bounded by eps*N with probability 1-delta for
+width = e/eps, depth = ln(1/delta).
+
+Determinism: the row hashes are md5 prefixes of "<row>:<key>" reduced
+mod width — fixed-seed, engine-independent arithmetic, so a SQL oracle
+replays the whole sketch (build, merge, and estimates) bit-for-bit.
+The md5-per-row cost is one JVM digest per (row, input row) — fine for
+the sketch-build pass, which is otherwise one shuffle of
+depth x width <= a few thousand cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_bucket(key: Column | str, row: int, width: int) -> Column:
+    """Deterministic bucket of ``key`` for sketch row ``row``: the first
+    48 bits of md5('<row>:<key>'), mod width. Keep in lockstep with
+    :func:`cms_bucket_sql`."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(row)), k.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return h % width
+
+
+def cms_bucket_sql(key: str, row: int, width: int) -> str:
+    """DuckDB twin of :func:`cms_bucket`."""
+    return (
+        f"CAST('0x' || SUBSTRING(md5('{row}:' || CAST({key} AS VARCHAR)), 1, 12) "
+        f"AS BIGINT) % {width}"
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 256, depth: int = 3
+) -> DataFrame:
+    """Build the sketch: one explode (depth cells per input row) + one
+    grouped count -> (row, bucket, cnt), at most depth x width rows.
+    Map-side combine collapses the shuffle to the cell count."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), cms_bucket(key_col, i, width).alias("bucket")
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketches by cell-wise addition (CMS linearity)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Point-estimate each key in ``keys``: join the (broadcastable)
+    sketch ``depth`` times on the key's per-row buckets and take the
+    min cell — adds column ``est``."""
+    out = keys
+    for i in range(depth):
+        s = sketch.filter(F.col("row") == i).select(
+            F.col("bucket").alias(f"__b{i}"), F.col("cnt").alias(f"__c{i}")
+        )
+        out = out.withColumn(f"__b{i}", cms_bucket(key_col, i, width)).join(
+            F.broadcast(s), f"__b{i}"
+        )
+    est = F.least(*[F.col(f"__c{i}") for i in range(depth)])
+    drop = [c for i in range(depth) for c in (f"__b{i}", f"__c{i}")]
+    return out.withColumn("est", est).drop(*drop)

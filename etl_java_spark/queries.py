@@ -6572,6 +6572,191 @@ def q175_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q176_triangle_count",
+    """
+    WITH und AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       AND ABS(a.p_retailprice - b.p_retailprice) <= 1.0
+    ), verts AS (
+      SELECT COUNT(*) AS n_vertices FROM (
+        SELECT DISTINCT x FROM (
+          SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und
+        )
+      )
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST(verts.n_vertices AS BIGINT) AS n_vertices,
+           CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles
+    FROM verts, tri
+    """,
+)
+def q176_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count (graph.triangle_count) of the price-similarity
+    graph: same-brand parts within $1 of each other are linked, and
+    triangles measure how clustered the catalog's pricing is. The edge
+    list itself is built scalably — $1 price buckets exploded +/-1 on
+    the probe side turn the band predicate into an equi-join (the 1-D
+    twin of q177's grid blocking), never a per-brand cross join. The
+    operator then orients edges by degree, bounding every vertex's
+    wedge fan-out by O(sqrt(E)) regardless of hub skew; the DuckDB
+    oracle counts the same triangles with a brute-force ordered 3-way
+    self-join — an independent algorithm confirming the count exactly.
+    """
+    from .operators.graph import triangle_count
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+        F.floor(F.col("p_retailprice")).cast("long").alias("bkt"),
+    )
+    probe = p.withColumn(
+        "__off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    ).select(
+        F.col("k").alias("u"),
+        "brand",
+        F.col("price").alias("pu"),
+        (F.col("bkt") + F.col("__off")).alias("bkt"),
+    )
+    build = p.select(
+        F.col("k").alias("v"), "brand", F.col("price").alias("pv"), "bkt"
+    )
+    edges = (
+        probe.join(build, ["brand", "bkt"])
+        .filter(
+            (F.col("u") < F.col("v"))
+            & (F.abs(F.col("pu") - F.col("pv")) <= 1.0)
+        )
+        .select("u", "v")
+    )
+    return triangle_count(edges, src="u", dst="v")
+
+
+def _q177_oracle() -> str:
+    from .operators.sampling import key_bucket_sql
+
+    x = f"CAST({key_bucket_sql('c_custkey', 36000)} AS DOUBLE) / 100.0 - 180.0"
+    y = f"CAST({key_bucket_sql('(c_custkey + 1000003)', 18000)} AS DOUBLE) / 100.0 - 90.0"
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS id, {x} AS x, {y} AS y FROM customer
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25.0
+    ), und AS (
+      SELECT id_a AS id, dist2 FROM pairs
+      UNION ALL
+      SELECT id_b AS id, dist2 FROM pairs
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_neighbors, MIN(dist2) AS nearest2
+    FROM und GROUP BY id
+    """
+
+
+def q177_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity self-join (spatial.grid_self_join): all customer pairs
+    within 5 coordinate units, found by 3x3 grid-cell blocking instead
+    of the N^2 cross join — candidate volume is local density x 9 per
+    point, and the cell equi-join is AQE-plannable. Coordinates derive
+    deterministically from the key hash (the fixture has no geo
+    columns); the oracle computes the SAME pairs by brute-force
+    distance self-join — an independent algorithm, so the check also
+    proves the blocking loses no pair.
+    """
+    from .operators.sampling import key_bucket
+    from .operators.spatial import grid_self_join
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (key_bucket("c_custkey", 36000).cast("double") / 100.0 - 180.0).alias("x"),
+        (
+            key_bucket(F.col("c_custkey") + 1000003, 18000).cast("double") / 100.0
+            - 90.0
+        ).alias("y"),
+    )
+    pairs = grid_self_join(pts, "id", "x", "y", radius=5.0)
+    und = pairs.select(F.col("id_a").alias("id"), "dist2").unionAll(
+        pairs.select(F.col("id_b").alias("id"), "dist2")
+    )
+    return und.groupBy("id").agg(
+        F.count("*").alias("n_neighbors"), F.min("dist2").alias("nearest2")
+    )
+
+
+QUERIES["q177_grid_distance_join"] = q177_grid_distance_join
+ORACLES["q177_grid_distance_join"] = _q177_oracle()
+
+
+def _q178_oracle() -> str:
+    from .operators.sketch import cms_bucket_sql
+
+    probes = " OR ".join(
+        f"(c.row = {i} AND c.bucket = {cms_bucket_sql('e.partkey', i, 256)})"
+        for i in range(3)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST([0, 1, 2]) AS row,
+               UNNEST([{cms_bucket_sql('l_partkey', 0, 256)},
+                       {cms_bucket_sql('l_partkey', 1, 256)},
+                       {cms_bucket_sql('l_partkey', 2, 256)}]) AS bucket
+        FROM lineitem
+      ) GROUP BY row, bucket
+    ), exact AS (
+      SELECT l_partkey AS partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY exact_cnt DESC, partkey ASC LIMIT 10
+    )
+    SELECT e.partkey, e.exact_cnt, MIN(c.cnt) AS est_cnt
+    FROM exact e JOIN cells c ON {probes}
+    GROUP BY e.partkey, e.exact_cnt
+    """
+
+
+def q178_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (sketch.cms_build/cms_estimate):
+    the top-10 most-ordered parts estimated from a 3x256 mergeable
+    counter table instead of the raw stream. CMS cells are plain sums,
+    so per-partition/per-day sketches merge by addition (see
+    test_sketch.py for the linearity property) — the re-aggregatable
+    100 TB shape, like the HLL sketches of q135 but for frequencies.
+    The md5-seeded row hashes make build and probe engine-replayable,
+    so the DuckDB oracle reproduces every estimate bitwise (no
+    tolerance boolean needed); exact counts ride along to show the
+    overestimate bound.
+    """
+    from .operators.sketch import cms_build, cms_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = cms_build(li, "l_partkey", width=256, depth=3)
+    exact = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("partkey").asc())
+        .limit(10)
+    )
+    return cms_estimate(sk, exact, "partkey", width=256, depth=3).select(
+        "partkey", "exact_cnt", F.col("est").alias("est_cnt")
+    )
+
+
+QUERIES["q178_cms_heavy_hitters"] = q178_cms_heavy_hitters
+ORACLES["q178_cms_heavy_hitters"] = _q178_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -6584,6 +6769,7 @@ _PRIORITY = [
     # 0) brand-new this round (r4) — never registered before
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",
     "q173_mad_outliers", "q174_weighted_sample", "q175_embedding_quantize",
+    "q176_triangle_count", "q177_grid_distance_join", "q178_cms_heavy_hitters",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
