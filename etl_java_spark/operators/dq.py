@@ -342,3 +342,53 @@ def mad_outliers(
             "n_outliers",
         )
     )
+
+
+def drift_chisq(
+    before: DataFrame,
+    after: DataFrame,
+    bin_expr: Column,
+) -> DataFrame:
+    """Distribution-drift report between two dataset snapshots: bin both
+    sides with the SAME ``bin_expr`` (integer bin id), scale the before
+    counts to the after total, and report each bin's Pearson chi-square
+    contribution (after - expected)^2 / expected — the standard
+    monitoring statistic for "did this batch's distribution move?",
+    log-free so every arithmetic step is engine-exact.
+
+    Two grouped counts (map-side combinable, #bins result rows) + a
+    broadcast-sized join — the raw tables shuffle nothing but their bin
+    counts. Bins present on only one side surface with a NULL partner
+    count (fail-fast signal for brand-new mass) rather than a silent
+    drop. Returns (bin, n_before, n_after, expected_after, chisq).
+    """
+    nb = before.select(bin_expr.alias("bin")).groupBy("bin").agg(
+        F.count("*").alias("n_before")
+    )
+    na = after.select(bin_expr.alias("bin")).groupBy("bin").agg(
+        F.count("*").alias("n_after")
+    )
+    tb = nb.agg(F.sum("n_before").alias("__tb"))
+    ta = na.agg(F.sum("n_after").alias("__ta"))
+    j = (
+        nb.join(na, "bin", "full_outer")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+    )
+    expected = (
+        F.col("n_before").cast("double")
+        * F.col("__ta").cast("double")
+        / F.col("__tb").cast("double")
+    )
+    chisq = (
+        (F.col("n_after").cast("double") - expected)
+        * (F.col("n_after").cast("double") - expected)
+        / expected
+    )
+    return j.select(
+        "bin",
+        "n_before",
+        "n_after",
+        expected.alias("expected_after"),
+        chisq.alias("chisq"),
+    )

@@ -165,3 +165,31 @@ def weighted_sample(
         F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight)) * 10000
     ).cast("int")
     return df.filter(key_bucket(key_col) < p)
+
+
+def shuffle_positions(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    1-based position in hash-of-key order — the "shuffle the corpus
+    before training" step, made reproducible (same order on any
+    cluster, any partitioning, any run) and scalable (positions come
+    from transforms.assign_global_ids' bucketed two-phase numbering:
+    no single-partition window, no driver-side sort).
+
+    Order is (key_bucket(key, 1e6), key): the hash scatters runs of
+    adjacent source rows apart, the key breaks hash ties totally.
+    """
+    from .transforms import assign_global_ids
+
+    h = key_bucket(key_col, 1_000_000)
+    out = df.withColumn("__h", h)
+    out = assign_global_ids(
+        out,
+        ["__h", key_col],
+        F.floor(F.col("__h") / 10000),
+        id_col=id_col,
+    )
+    return out.drop("__h")

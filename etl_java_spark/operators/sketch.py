@@ -97,3 +97,21 @@ def cms_estimate(
     est = F.least(*[F.col(f"__c{i}") for i in range(depth)])
     drop = [c for i in range(depth) for c in (f"__b{i}", f"__c{i}")]
     return out.withColumn("est", est).drop(*drop)
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimation from two sketches: the CMS inner product
+    min over rows i of SUM_b a[i][b] * b[i][b] OVERESTIMATES
+    SUM_k fa(k) * fb(k) — exactly the row count of an equi-join on k.
+    Query planners use this to pick join order/strategy WITHOUT
+    touching the raw tables: both sketches are depth x width cells,
+    mergeable, and shippable to the driver. Returns one row (est)."""
+    bb = b.select(
+        F.col("row"), F.col("bucket"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        a.join(bb, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("dot"))
+        .agg(F.min("dot").alias("est"))
+    )

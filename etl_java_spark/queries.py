@@ -6757,6 +6757,183 @@ QUERIES["q178_cms_heavy_hitters"] = q178_cms_heavy_hitters
 ORACLES["q178_cms_heavy_hitters"] = _q178_oracle()
 
 
+@_q(
+    "q179_ab_welch",
+    """
+    WITH m AS (
+      SELECT ((user_id % 1000000007) * 2654435761 % 1000000007 * 524287)
+             % 1000000007 % 10000 % 2 AS variant,
+             CAST(ROUND(value * 100) AS BIGINT) AS u
+      FROM events
+    ), per AS (
+      SELECT variant, COUNT(*) AS n,
+             CAST(SUM(CAST(u AS HUGEINT)) AS DOUBLE) AS s,
+             CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE) AS ss
+      FROM m GROUP BY variant
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           a.s / a.n AS mean_a, b.s / b.n AS mean_b,
+           (a.ss - a.s * a.s / a.n) / (a.n - 1) AS var_a,
+           (b.ss - b.s * b.s / b.n) / (b.n - 1) AS var_b,
+           (a.s / a.n - b.s / b.n)
+             / SQRT(((a.ss - a.s * a.s / a.n) / (a.n - 1)) / a.n
+                  + ((b.ss - b.s * b.s / b.n) / (b.n - 1)) / b.n) AS t_welch
+    FROM per a, per b WHERE a.variant = 0 AND b.variant = 1
+    """,
+)
+def q179_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (experiments.welch_t): users hash into two
+    variants with the arithmetic key bucket (reproducible, seedless —
+    the analysis twin of q123's split assignment), and the event-value
+    difference is scored with Welch's t. Sums and sums-of-squares
+    aggregate as exact integer micro-units (order-independent decimal),
+    and mean/variance/t derive through one fixed double expression
+    tree, so the statistic is bitwise engine-identical — no resampling
+    noise, no float-sum drift.
+    """
+    from .operators.experiments import welch_t
+
+    ev = _t(spark, sf_dir, "events")
+    # cents, not micro-units: every sum/sum-of-squares stays below
+    # 2^53, so the decimal->double (Spark) and HUGEINT->double
+    # (DuckDB) conversions are both EXACT — DuckDB's HUGEINT cast
+    # is not correctly rounded past 2^53 (found by this gate).
+    return welch_t(ev, "user_id", "value", scale=100)
+
+
+@_q(
+    "q180_drift_chisq",
+    """
+    WITH nb AS (
+      SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+             COUNT(*) AS n_before
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    ), na AS (
+      SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+             COUNT(*) AS n_after
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    )
+    SELECT COALESCE(nb.bin, na.bin) AS bin,
+           nb.n_before, na.n_after,
+           CAST(nb.n_before AS DOUBLE)
+             * CAST((SELECT SUM(n_after) FROM na) AS DOUBLE)
+             / CAST((SELECT SUM(n_before) FROM nb) AS DOUBLE) AS expected_after,
+           (CAST(na.n_after AS DOUBLE)
+              - CAST(nb.n_before AS DOUBLE)
+                * CAST((SELECT SUM(n_after) FROM na) AS DOUBLE)
+                / CAST((SELECT SUM(n_before) FROM nb) AS DOUBLE))
+           * (CAST(na.n_after AS DOUBLE)
+              - CAST(nb.n_before AS DOUBLE)
+                * CAST((SELECT SUM(n_after) FROM na) AS DOUBLE)
+                / CAST((SELECT SUM(n_before) FROM nb) AS DOUBLE))
+           / (CAST(nb.n_before AS DOUBLE)
+                * CAST((SELECT SUM(n_after) FROM na) AS DOUBLE)
+                / CAST((SELECT SUM(n_before) FROM nb) AS DOUBLE)) AS chisq
+    FROM nb FULL OUTER JOIN na ON nb.bin = na.bin
+    """,
+)
+def q180_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (dq.drift_chisq): order-value
+    distribution before vs after 1997, binned at $50k, scored with
+    per-bin Pearson chi-square contributions — the batch-over-batch
+    "did the data move?" check a training pipeline runs before
+    accepting a new snapshot. Log-free arithmetic keeps every value
+    engine-exact; bins present on only one side surface with NULLs
+    instead of being silently dropped.
+    """
+    from .operators.dq import drift_chisq
+
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    return drift_chisq(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        F.floor(F.col("o_totalprice") / 50000).cast("long"),
+    )
+
+
+@_q(
+    "q181_training_shuffle",
+    """
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+             ORDER BY ((doc_id % 1000000007) * 2654435761 % 1000000007 * 524287)
+                      % 1000000007 % 1000000,
+                      doc_id) AS shuffle_pos
+    FROM documents
+    """,
+)
+def q181_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (sampling.shuffle_positions): every
+    document gets a global training-order position in hash-of-key
+    order — reproducible on any cluster/partitioning (seedless
+    arithmetic hash) and scalable (positions via the bucketed two-phase
+    numbering of q171, never a single-partition window or driver sort).
+    The oracle is the plain ROW_NUMBER the operator refuses to plan.
+    """
+    from .operators.sampling import shuffle_positions
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return shuffle_positions(d, "doc_id", id_col="shuffle_pos")
+
+
+def _q182_oracle() -> str:
+    from .operators.sketch import cms_bucket_sql
+
+    return f"""
+    WITH cells AS (
+      SELECT row, bucket, COUNT(*) AS cnt FROM (
+        SELECT UNNEST([0, 1, 2]) AS row,
+               UNNEST([{cms_bucket_sql('l_partkey', 0, 512)},
+                       {cms_bucket_sql('l_partkey', 1, 512)},
+                       {cms_bucket_sql('l_partkey', 2, 512)}]) AS bucket
+        FROM lineitem
+      ) GROUP BY row, bucket
+    ), ex AS (
+      SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS exact_size
+      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT ex.exact_size,
+           CAST((SELECT MIN(dot) FROM (
+             SELECT row, SUM(CAST(cnt AS HUGEINT) * cnt) AS dot
+             FROM cells GROUP BY row)) AS BIGINT) AS est_size
+    FROM ex
+    """
+
+
+def q182_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches
+    (sketch.cms_inner_product): predict the l_partkey SELF-join row
+    count — the "will this join explode?" planner question — from two
+    3x512 count-min sketches' inner product, never re-scanning the raw
+    table. The estimate provably overestimates; the exact size rides
+    along (sum of squared per-key counts, exact decimal) to show the
+    bound. All md5-seeded arithmetic, so DuckDB replays the estimate
+    bitwise.
+    """
+    from .operators.sketch import cms_build, cms_inner_product
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = cms_build(li, "l_partkey", width=512, depth=3)
+    est = cms_inner_product(sk, sk).select(F.col("est").alias("est_size"))
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("exact_size")
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select("exact_size", "est_size")
+
+
+QUERIES["q182_join_size_estimate"] = q182_join_size_estimate
+ORACLES["q182_join_size_estimate"] = _q182_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -6770,6 +6947,8 @@ _PRIORITY = [
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",
     "q173_mad_outliers", "q174_weighted_sample", "q175_embedding_quantize",
     "q176_triangle_count", "q177_grid_distance_join", "q178_cms_heavy_hitters",
+    "q179_ab_welch", "q180_drift_chisq", "q181_training_shuffle",
+    "q182_join_size_estimate",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
