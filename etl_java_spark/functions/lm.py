@@ -121,3 +121,70 @@ def bigram_fluency(
             ).alias("fluency"),
         )
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 30,
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Top collocations by pointwise mutual information — which adjacent
+    token pairs co-occur far more than their unigram frequencies
+    predict. The standard phrase-mining/tokenizer-merge signal
+    ("new york", "machine learning"), computed corpus-wide.
+
+    PMI's log is deliberately skipped (libm logs differ in the last
+    ulp across engines); the RATIO
+
+        r(w1, w2) = C(w1 w2) * N / (C(w1) * C(w2))
+
+    is the same ordering, and it is ONE correctly-rounded double
+    division of exact integer products (keep C*N below 2^53) — so the
+    scores and the top-k cut are engine-bitwise. ``min_count`` floors
+    bigram support (PMI is noise at tiny counts — a hapax pair of two
+    hapax words scores N).
+
+    Same scale shape as bigram_fluency: two map-side-combinable count
+    shuffles, a 1-row total broadcast, and a Zipf-head-aware join (AQE
+    skew-split handles the hot unigrams).
+    """
+    toks_col = token_array(text_col, pattern)
+    sliced = docs.select(
+        F.slice(toks_col, 1, F.greatest(F.size(toks_col) - 1, F.lit(0))).alias(
+            "w1s"
+        ),
+        F.slice(toks_col, 2, F.greatest(F.size(toks_col) - 1, F.lit(0))).alias(
+            "w2s"
+        ),
+    )
+    pairs = sliced.select(
+        F.explode(F.arrays_zip("w1s", "w2s")).alias("p")
+    ).select(F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2"))
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(toks_col).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))
+    ratio = (F.col("c12") * F.col("n")).cast("double") / (
+        F.col("c1_w1") * F.col("c1_w2")
+    ).cast("double")
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c12", "c1_w1", "c1_w2", ratio.alias("pmi_ratio")
+        )
+        .orderBy(F.col("pmi_ratio").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(topk)
+    )

@@ -551,3 +551,74 @@ def ngram_jaccard_pairs(
         F.col("sz_a") + F.col("sz_b") - F.col("__common")
     ).cast("double")
     return j.select("id_a", "id_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 1,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+    token_pattern: str | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|. Jaccard (q44) misses
+    subsumption — a paragraph quoted inside a much longer document has
+    tiny Jaccard but containment ~1.0 — and subsumed fragments are
+    exactly what corpus dedup wants to catch (quote farms, wrapper
+    boilerplate, partial mirrors).
+
+    Same inverted-index blocking as ngram_jaccard_pairs (hot-shingle
+    frequency cap kills the quadratic stopword bucket); emits the pair
+    when EITHER direction clears ``threshold``, with both directions
+    reported. Each containment is one double division of exact counts.
+    """
+    from ..functions.text import DEFAULT_TOKEN_PATTERN
+
+    pat = token_pattern or DEFAULT_TOKEN_PATTERN
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n, pat)).alias("__set"),
+    ).filter(F.size("__set") > 0)
+    inv = sets_df.select(F.col(id_col), F.explode("__set").alias("__sh"))
+    freq = (
+        inv.groupBy("__sh")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_shingle_freq)
+    )
+    inv = inv.join(F.broadcast(freq.select("__sh")), "__sh")
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__sh") == F.col("b.__sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("__common"))
+    )
+    sizes = sets_df.select(F.col(id_col), F.size("__set").alias("__sz"))
+    j = common.join(
+        sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sz", "sz_a"),
+        "id_a",
+    ).join(
+        sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sz", "sz_b"),
+        "id_b",
+    )
+    cab = F.col("__common").cast("double") / F.col("sz_a").cast("double")
+    cba = F.col("__common").cast("double") / F.col("sz_b").cast("double")
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            cab.alias("containment_ab"),
+            cba.alias("containment_ba"),
+        )
+        .filter(
+            F.greatest(F.col("containment_ab"), F.col("containment_ba"))
+            >= threshold
+        )
+    )

@@ -6934,6 +6934,90 @@ QUERIES["q182_join_size_estimate"] = q182_join_size_estimate
 ORACLES["q182_join_size_estimate"] = _q182_oracle()
 
 
+@_q(
+    "q183_pmi_collocations",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), pairs AS (
+      SELECT toks[CAST(r.i AS INTEGER)] AS w1,
+             toks[CAST(r.i AS INTEGER) + 1] AS w2
+      FROM tok, UNNEST(range(1, LEN(toks))) AS r(i)
+    ), bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ), uni AS (
+      SELECT t.term AS w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM tok, UNNEST(toks) AS t(term) GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni
+    )
+    SELECT b.w1, b.w2, b.c12, u1.c1 AS c1_w1, u2.c1 AS c1_w2,
+           CAST(b.c12 * tot.n AS DOUBLE)
+             / CAST(u1.c1 * u2.c1 AS DOUBLE) AS pmi_ratio
+    FROM bi b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN tot
+    ORDER BY pmi_ratio DESC, b.w1 ASC, b.w2 ASC
+    LIMIT 30
+    """,
+)
+def q183_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by PMI (lm.pmi_bigrams): adjacent token pairs
+    that co-occur far beyond their unigram frequencies — the
+    phrase-mining / tokenizer-merge signal. Log-free: the PMI RATIO
+    c12*N/(c1*c1) preserves the ordering and is one correctly-rounded
+    double division of exact integer products, so scores and the
+    top-30 cut are engine-bitwise. min_count=5 floors hapax noise.
+    """
+    from .functions.lm import pmi_bigrams
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_bigrams(d, min_count=5, topk=30)
+
+
+@_q(
+    "q184_containment_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_FILTER(
+               STRING_SPLIT_REGEX(LOWER(TRIM(text)), '{_TOK_PATTERN}'), t -> t <> ''))) AS tok
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(c.n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment_ab,
+           CAST(c.n_common AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS containment_ba
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE GREATEST(CAST(c.n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+                   CAST(c.n_common AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.8
+    """,
+)
+def q184_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs
+    (dedup.ngram_containment_pairs): |A∩B|/|A| catches subsumption —
+    a fragment quoted inside a longer document has tiny Jaccard (q44
+    would miss it) but containment ~1. Same inverted-index blocking
+    with the hot-shingle cap; both directions reported, pair kept when
+    either clears 0.8.
+    """
+    from .operators.dedup import ngram_containment_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_containment_pairs(
+        d, "text", "doc_id", shingle_n=1, threshold=0.8,
+        token_pattern=_TOK_PATTERN,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -6948,7 +7032,8 @@ _PRIORITY = [
     "q173_mad_outliers", "q174_weighted_sample", "q175_embedding_quantize",
     "q176_triangle_count", "q177_grid_distance_join", "q178_cms_heavy_hitters",
     "q179_ab_welch", "q180_drift_chisq", "q181_training_shuffle",
-    "q182_join_size_estimate",
+    "q182_join_size_estimate", "q183_pmi_collocations",
+    "q184_containment_pairs",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
