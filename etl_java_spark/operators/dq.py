@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from functools import reduce
 from typing import Literal
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -391,4 +391,79 @@ def drift_chisq(
         "n_after",
         expected.alias("expected_after"),
         chisq.alias("chisq"),
+    )
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bucket: Column,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — the binning-free drift
+    test (complement of drift_chisq: no bin-width choice, sensitive to
+    any CDF shift): D = max over x of |F_a(x) - F_b(x)|.
+
+    Computed exactly and scalably: collapse both samples to distinct
+    values with per-sample counts (one shuffle), then build the two
+    cumulative counts with the same bucketed two-phase prefix-sum as
+    transforms.assign_global_ids — per-bucket subtotals (metadata-
+    sized), cumulative offsets over buckets, partition-local running
+    sums — never a single-partition window over the data. ``bucket``
+    must be order-consistent with ``value_col``.
+
+    D is maximized in EXACT integers: D = max|i*n_b - j*n_a| / (n_a*n_b),
+    one double division at the end — bit-identical on any engine.
+    Returns one row: (n_a, n_b, d_num, ks).
+    """
+    va = a.select(F.col(value_col).alias("v")).withColumn("__s", F.lit(0))
+    vb = b.select(F.col(value_col).alias("v")).withColumn("__s", F.lit(1))
+    vals = (
+        va.unionByName(vb)
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("cb"),
+        )
+        .withColumn("__bucket", bucket.cast("long"))
+    )
+    per_bucket = vals.groupBy("__bucket").agg(
+        F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
+    )
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "__bucket",
+        F.coalesce(F.sum("ba").over(wb), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("bb").over(wb), F.lit(0)).alias("ob"),
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        vals.join(F.broadcast(offsets), "__bucket")
+        .withColumn("i", F.sum("ca").over(w) + F.col("oa"))
+        .withColumn("j", F.sum("cb").over(w) + F.col("ob"))
+    )
+    na = va.agg(F.count("*").alias("n_a"))
+    nb = vb.agg(F.count("*").alias("n_b"))
+    return (
+        cum.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(F.abs(F.col("i") * F.col("n_b") - F.col("j") * F.col("n_a")))
+            .alias("d_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks"),
+        )
     )

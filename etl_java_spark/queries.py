@@ -7018,6 +7018,284 @@ def q184_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q185_cluster_canonical",
+    r"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' tail a' AS text
+      FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' tail b' AS text
+      FROM documents WHERE doc_id < 30
+    ), toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^\p{L}\p{N}]+'),
+                         t -> t <> '') AS tk
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+        CASE WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+             ELSE LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        END)) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(c.n_common AS DOUBLE)
+              / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+    ), labels AS (
+      SELECT a AS node, LEAST(MIN(b), a) AS lab FROM reach GROUP BY a
+    ), members AS (
+      SELECT c.doc_id, COALESCE(l.lab, c.doc_id) AS cluster_id,
+             LENGTH(c.text) AS len
+      FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY len DESC, doc_id ASC) AS rn
+      FROM members
+    )
+    SELECT m.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(r.doc_id) AS survivor_id,
+           CAST(MAX(m.len) AS BIGINT) AS survivor_len
+    FROM members m
+    JOIN (SELECT cluster_id, doc_id FROM ranked WHERE rn = 1) r
+      ON r.cluster_id = m.cluster_id
+    GROUP BY m.cluster_id
+    HAVING COUNT(*) > 1
+    """,
+)
+def q185_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end canonical dedup: MinHash pairs -> connected-component
+    clusters (dedup_clusters) -> per-cluster BEST survivor (longest
+    text, id tiebreak) instead of q73's min-id convention — the "keep
+    the best copy" policy real corpus curation wants. The survivor pick
+    is one max(struct(len, -id)) aggregate (no extra window over the
+    corpus); only multi-member clusters are reported. Oracle replays
+    the pair graph, the transitive closure, and the survivor ranking.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m1 = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail a")).alias("text"),
+    )
+    m2 = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail b")).alias("text"),
+    )
+    corpus = d.unionByName(m1).unionByName(m2)
+    pairs = DD.minhash_dedup_pairs(corpus, "text", "doc_id", threshold=0.5)
+    labels = DD.dedup_clusters(pairs)
+    members = (
+        corpus.join(labels, corpus.doc_id == labels.id, "left")
+        .select(
+            corpus.doc_id,
+            F.coalesce(F.col("cluster_id"), corpus.doc_id).alias("cluster_id"),
+            F.length("text").alias("len"),
+        )
+    )
+    best = F.max(
+        F.struct(F.col("len").alias("l"), (-F.col("doc_id")).alias("nid"))
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            (-best["nid"]).alias("survivor_id"),
+            best["l"].cast("long").alias("survivor_len"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+@_q(
+    "q186_ks_drift",
+    """
+    WITH a AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ), b AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ), vals AS (
+      SELECT v,
+             SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+      FROM (SELECT v, 0 AS s FROM a UNION ALL SELECT v, 1 AS s FROM b)
+      GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i,
+             SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j
+      FROM vals
+    ), n AS (
+      SELECT (SELECT COUNT(*) FROM a) AS n_a, (SELECT COUNT(*) FROM b) AS n_b
+    )
+    SELECT n.n_a, n.n_b,
+           CAST(MAX(ABS(cum.i * n.n_b - cum.j * n.n_a)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(cum.i * n.n_b - cum.j * n.n_a)) AS DOUBLE)
+             / CAST(n.n_a * n.n_b AS DOUBLE) AS ks
+    FROM cum, n GROUP BY n.n_a, n.n_b
+    """,
+)
+def q186_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (dq.ks_statistic) on
+    order values before vs after 1997 — the binning-free complement of
+    q180's chi-square. D is maximized in exact integer cross-products
+    (|i*n_b - j*n_a|) over a scalably-built pair of cumulative counts
+    (bucketed two-phase prefix sums — no single-partition window over
+    the data), with one double division at the end.
+    """
+    from .operators.dq import ks_statistic
+
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    return ks_statistic(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        F.floor(F.col("v") / 10000),
+    )
+
+
+@_q(
+    "q187_gini_concentration",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_suppkey
+    ), ranked AS (
+      SELECT suppkey, cents,
+             ROW_NUMBER() OVER (ORDER BY cents, suppkey) AS i
+      FROM rev
+    ), agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS total,
+             SUM(CAST(i AS HUGEINT) * cents) AS weighted
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_suppliers,
+           CAST(total AS VARCHAR) AS total_cents,
+           CAST(2 * weighted - (n + 1) * total AS VARCHAR) AS gini_num,
+           CAST(2 * weighted - (n + 1) * total AS DOUBLE)
+             / CAST(n * total AS DOUBLE) AS gini
+    FROM agg
+    """,
+)
+def q187_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over suppliers — the
+    dataset-composition inequality metric ("how dominated is this
+    corpus/revenue by its head?"). Ranks come from the scalable
+    two-phase numbering (q171), revenue aggregates in exact integer
+    cents-x-basis-points, and the Gini closed form
+    (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) stays in exact
+    integers until one final double division. The exact numerator and
+    total ride along as strings (they exceed int64; DuckDB mirrors in
+    HUGEINT, Spark in decimal(38,0)).
+    """
+    from .operators.transforms import assign_global_ids
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum((cents * (100 - disc_bp)).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = assign_global_ids(
+        rev, ["cents", "suppkey"], F.floor(F.col("cents") / 100000000), id_col="i"
+    )
+    d38 = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast(d38)).alias("total"),
+        F.sum((F.col("i").cast(d38) * F.col("cents"))).cast(d38).alias("weighted"),
+    )
+    n = F.col("n").cast(d38)
+    gini_num = F.lit(2).cast(d38) * F.col("weighted") - (n + 1) * F.col("total")
+    return agg.select(
+        F.col("n").alias("n_suppliers"),
+        F.col("total").cast("string").alias("total_cents"),
+        gini_num.cast("string").alias("gini_num"),
+        (
+            gini_num.cast("double") / (n * F.col("total")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@_q(
+    "q188_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type AS prev_type, next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT prev_type, SUM(n) AS tot FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           CAST(t.n AS DOUBLE) / CAST(ttl.tot AS DOUBLE) AS p
+    FROM trans t JOIN totals ttl ON ttl.prev_type = t.prev_type
+    """,
+)
+def q188_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event types — the
+    behavioral-model summary behind q126's path mining: for each
+    (prev, next) event pair, the transition count and row-normalized
+    probability (one exact-integer division). One window shuffle on
+    user_id + one map-side-combinable count; the per-prev totals table
+    is a broadcast-sized join back.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -7033,7 +7311,8 @@ _PRIORITY = [
     "q176_triangle_count", "q177_grid_distance_join", "q178_cms_heavy_hitters",
     "q179_ab_welch", "q180_drift_chisq", "q181_training_shuffle",
     "q182_join_size_estimate", "q183_pmi_collocations",
-    "q184_containment_pairs",
+    "q184_containment_pairs", "q185_cluster_canonical", "q186_ks_drift",
+    "q187_gini_concentration", "q188_markov_transitions",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",

@@ -59,6 +59,15 @@ QUERY_SLICE = [
     "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup",
     "q158_dataset_diff",
+    # r4 second wave: two-phase ids, int8 quantize, triangles, grid join,
+    # CMS sketch, training shuffle, PMI
+    "q171_global_row_ids",
+    "q175_embedding_quantize",
+    "q176_triangle_count",
+    "q177_grid_distance_join",
+    "q178_cms_heavy_hitters",
+    "q181_training_shuffle",
+    "q183_pmi_collocations",
 ]
 
 
