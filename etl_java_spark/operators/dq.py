@@ -310,37 +310,14 @@ def mad_outliers(
     Returns (group, n_rows, median_cents2, mad_cents2, n_outliers)
     where *_cents2 are doubled-cents integers (exact).
     """
-    cents = F.round(F.col(value_col) * cents_scale).cast("long")
-    src = df.select(F.col(group_col).alias("g"), cents.alias("c"))
-    # exact median in doubled units: 2*median of ints is always an int
-    med = src.groupBy("g").agg(
-        (F.median("c") * 2).cast("long").alias("med2")
-    )
-    j = src.join(F.broadcast(med), "g")
-    absdev2 = F.abs(F.col("c") * 2 - F.col("med2"))  # |2(x - med)| exact
-    mad = (
-        j.withColumn("d2", absdev2)
-        .groupBy("g", "med2")
-        .agg((F.median("d2") * 2).cast("long").alias("mad4"))
-    )
-    # outlier iff |x - med| > k * MAD  <=>  2*|2(x-med)| > k * (2*2*MAD/2)
-    # in quadrupled units: 2*d2 > k*mad4
-    flagged = j.join(F.broadcast(mad.select("g", "mad4")), "g").withColumn(
-        "is_outlier", (absdev2 * 2 > F.lit(int(k)) * F.col("mad4"))
-    )
+    flagged = mad_flag(df, group_col, value_col, k=k, cents_scale=cents_scale)
     return (
-        flagged.groupBy("g", "med2", "mad4")
+        flagged.groupBy(group_col, "med2", "mad4")
         .agg(
             F.count("*").alias("n_rows"),
             F.sum(F.col("is_outlier").cast("int")).alias("n_outliers"),
         )
-        .select(
-            F.col("g").alias(group_col),
-            "n_rows",
-            "med2",
-            "mad4",
-            "n_outliers",
-        )
+        .select(group_col, "n_rows", "med2", "mad4", "n_outliers")
     )
 
 
@@ -466,4 +443,39 @@ def ks_statistic(
                 / (F.col("n_a") * F.col("n_b")).cast("double")
             ).alias("ks"),
         )
+    )
+
+
+def mad_flag(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 3,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Row-level sibling of :func:`mad_outliers`: returns the input rows
+    (all columns preserved) plus (med2, mad4, is_outlier) in the same
+    exact doubled/quadrupled integer units — the quarantine/alerting
+    form (which rows ARE the anomalies), where mad_outliers is the
+    summary form. Same plan shape: two grouped exact medians broadcast
+    back, one map-only flag pass."""
+    cents = F.round(F.col(value_col) * cents_scale).cast("long")
+    src = df.withColumn("__c", cents)
+    # exact median in doubled units: 2*median of ints is always an int
+    med = src.groupBy(group_col).agg(
+        (F.median("__c") * 2).cast("long").alias("med2")
+    )
+    j = src.join(F.broadcast(med), group_col)
+    absdev2 = F.abs(F.col("__c") * 2 - F.col("med2"))  # |2(x - med)| exact
+    mad = (
+        j.withColumn("__d2", absdev2)
+        .groupBy(group_col)
+        .agg((F.median("__d2") * 2).cast("long").alias("mad4"))
+    )
+    # outlier iff |x - med| > k * MAD, compared in exact quadrupled
+    # units: 2*|2(x-med)| > k * mad4
+    return (
+        j.join(F.broadcast(mad), group_col)
+        .withColumn("is_outlier", (absdev2 * 2 > F.lit(int(k)) * F.col("mad4")))
+        .drop("__c")
     )

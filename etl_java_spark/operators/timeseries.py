@@ -219,3 +219,58 @@ def merge_intervals(
         )
         .drop("__island")
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    seq_cols: list[str] | None = None,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Time-weighted average per key (TWAP): each observation's value
+    holds until the next observation, so the mean weights each value by
+    its holding duration — the correct average for irregularly-sampled
+    series (prices, sensor readings, account balances), where a plain
+    AVG over-counts bursts.
+
+    One window shuffle on the key (lead over (ts, seq)); weights are
+    exact integer seconds x integer scaled values, summed as decimal
+    (order-independent), with ONE double division at the end — engine-
+    bitwise. The final observation carries no duration and drops out;
+    keys with a single observation emit no row (no interval to
+    average). Returns (key, n_intervals, total_seconds, twap) with twap
+    in ``cents_scale`` units.
+    """
+    seq = seq_cols or []
+    w = Window.partitionBy(key_col).orderBy("__t", *seq)
+    cents = F.round(F.col(value_col) * cents_scale).cast("long")
+    stepped = df.select(
+        F.col(key_col),
+        F.col(ts_col).cast("long").alias("__t"),
+        *[F.col(c) for c in seq],
+        cents.alias("__v"),
+    ).withColumn("__tn", F.lead("__t").over(w))
+    iv = stepped.filter(F.col("__tn").isNotNull()).withColumn(
+        "__dur", F.col("__tn") - F.col("__t")
+    )
+    d38 = "decimal(38,0)"
+    return (
+        iv.groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.col("__dur").cast(d38)).alias("__sumdur"),
+            F.sum((F.col("__dur").cast(d38) * F.col("__v")).cast(d38)).alias(
+                "__wsum"
+            ),
+        )
+        .select(
+            key_col,
+            "n_intervals",
+            F.col("__sumdur").cast("long").alias("total_seconds"),
+            (
+                F.col("__wsum").cast("double") / F.col("__sumdur").cast("double")
+            ).alias("twap"),
+        )
+    )

@@ -7296,6 +7296,199 @@ def q188_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q189_dataset_card",
+    """
+    WITH sl AS (
+      SELECT source, lang, COUNT(*) AS c, SUM(n_chars) AS ch
+      FROM documents GROUP BY 1, 2
+    ), s AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+             CAST(SUM(ch) AS BIGINT) AS total_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM sl GROUP BY source
+    ), top AS (
+      SELECT source, lang AS top_lang, CAST(c AS BIGINT) AS top_lang_n
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY c DESC, lang ASC) AS rn
+            FROM sl) WHERE rn = 1
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs FROM s
+    )
+    SELECT s.source, s.n_docs, s.total_chars, s.n_langs,
+           top.top_lang, top.top_lang_n,
+           CAST(s.n_docs AS DOUBLE) / CAST(tot.all_docs AS DOUBLE)
+             AS corpus_share
+    FROM s JOIN top ON top.source = s.source CROSS JOIN tot
+    """,
+)
+def q189_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (datasheet row): doc count, total chars,
+    language spread, dominant language, and corpus share — the summary
+    block a training-data release publishes per source. One grouped
+    count over (source, lang) feeds everything: totals roll up from it,
+    the dominant language is a min(struct(-count, lang)) pick (no
+    second scan), and the share divides by a broadcast 1-row total.
+    """
+    d = _t(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(
+        F.count("*").alias("c"), F.sum("n_chars").alias("ch")
+    )
+    top_pick = F.min(F.struct((-F.col("c")).alias("nc"), F.col("lang").alias("l")))
+    s = sl.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum("ch").alias("total_chars"),
+        F.count("*").alias("n_langs"),
+        top_pick.alias("__top"),
+    )
+    tot = s.agg(F.sum("n_docs").alias("all_docs"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "n_langs",
+            F.col("__top.l").alias("top_lang"),
+            (-F.col("__top.nc")).alias("top_lang_n"),
+            (
+                F.col("n_docs").cast("double") / F.col("all_docs").cast("double")
+            ).alias("corpus_share"),
+        )
+    )
+
+
+@_q(
+    "q190_event_rate_anomalies",
+    """
+    WITH hourly AS (
+      SELECT event_type AS g, DATE_TRUNC('hour', ts) AS hour,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT g, CAST(MEDIAN(c) * 2 AS BIGINT) AS med2 FROM hourly GROUP BY g
+    ), dev AS (
+      SELECT h.g, h.hour, h.c, m.med2, ABS(h.c * 2 - m.med2) AS d2
+      FROM hourly h JOIN med m ON m.g = h.g
+    ), mad AS (
+      SELECT g, CAST(MEDIAN(d2) * 2 AS BIGINT) AS mad4 FROM dev GROUP BY g
+    )
+    SELECT d.g AS event_type, d.hour, CAST(d.c AS BIGINT) AS n_events,
+           d.med2, a.mad4
+    FROM dev d JOIN mad a ON a.g = d.g
+    WHERE d.d2 * 2 > 6 * a.mad4
+    """,
+)
+def q190_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection (dq.mad_flag over resampled counts):
+    hourly event counts per type, hours whose count sits more than
+    6 MADs from that type's median — the robust burst/outage monitor
+    (a mean/σ control chart would let one huge burst mask the others).
+    Counts are already integers, so cents_scale=1 and every comparison
+    is exact. Returns only the anomalous hours with their evidence.
+    """
+    from .operators.dq import mad_flag
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    flagged = mad_flag(hourly, "event_type", "c", k=6, cents_scale=1)
+    return flagged.filter(F.col("is_outlier")).select(
+        "event_type",
+        "hour",
+        F.col("c").cast("long").alias("n_events"),
+        "med2",
+        "mad4",
+    )
+
+
+@_q(
+    "q191_twap",
+    """
+    WITH stepped AS (
+      SELECT user_id,
+             EPOCH_US(ts) // 1000000 AS t,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             LEAD(EPOCH_US(ts) // 1000000) OVER (
+               PARTITION BY user_id
+               ORDER BY EPOCH_US(ts) // 1000000, event_id) AS tn
+      FROM events
+    ), iv AS (
+      SELECT user_id, v, tn - t AS dur FROM stepped WHERE tn IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur) AS BIGINT) AS total_seconds,
+           CAST(SUM(CAST(dur AS HUGEINT) * v) AS DOUBLE)
+             / CAST(SUM(dur) AS DOUBLE) AS twap
+    FROM iv GROUP BY user_id
+    """,
+)
+def q191_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (timeseries.time_weighted_avg):
+    each event's value holds until the user's next event, so bursts
+    don't over-count — the correct mean for irregular series (prices,
+    balances, sensor readings). Exact integer seconds x cents summed as
+    decimal, one final division — engine-bitwise. (The weighted sum
+    stays far below 2^53 here, so DuckDB's HUGEINT->double cast is
+    exact — the same constraint documented on welch_t.)
+    """
+    from .operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, "user_id", "ts", "value", seq_cols=["event_id"], cents_scale=100
+    )
+
+
+@_q(
+    "q192_scd2_asof",
+    """
+    WITH ops AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ), v AS (
+      SELECT user_id, event_id, value, op, ts AS valid_from,
+             LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
+      FROM ops
+    )
+    SELECT user_id, event_id, value, valid_from
+    FROM v
+    WHERE op <> 'D'
+      AND valid_from <= TIMESTAMP '2024-01-15'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15')
+    """,
+)
+def q192_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over SCD2 history (cdc.scd2_history + an as-of
+    predicate): reconstruct each user's state exactly as it stood at
+    2024-01-15 — the audit/backtest query historization exists for.
+    Same single window shuffle as q102; the as-of filter is two
+    comparisons on the interval columns, and a delete op masks the
+    state (no row) just as it would have at the time.
+    """
+    from .operators import cdc as CDC
+
+    ev = _t(spark, sf_dir, "events")
+    ops = ev.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    hist = CDC.scd2_history(
+        ops, ["user_id"], "ts", seq_cols=["event_id"], op_col="op"
+    )
+    asof = F.lit("2024-01-15").cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+    ).select("user_id", "event_id", "value", "valid_from")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -7313,6 +7506,8 @@ _PRIORITY = [
     "q182_join_size_estimate", "q183_pmi_collocations",
     "q184_containment_pairs", "q185_cluster_canonical", "q186_ks_drift",
     "q187_gini_concentration", "q188_markov_transitions",
+    "q189_dataset_card", "q190_event_rate_anomalies", "q191_twap",
+    "q192_scd2_asof",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
