@@ -218,3 +218,49 @@ def chunk_chars(
         .withColumn("chunk_len", F.length(F.col("chunk")))
         .select(id_col, "chunk_id", "chunk_start", "chunk_len", "chunk")
     )
+
+
+def prefix_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 2,
+    max_len: int = 4,
+    topk: int = 3,
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Autocomplete/search prefix index: for every token prefix of
+    length ``min_len..max_len``, the ``topk`` completions by corpus
+    frequency — the build step behind type-ahead and query-suggestion
+    services, expressed as two bounded shuffles.
+
+    Plan: one token-frequency count (map-side combinable) over the
+    corpus; prefixes explode from the DISTINCT token table (vocab-
+    sized, not corpus-sized — at most max_len-min_len+1 rows per term);
+    the per-prefix top-k is a window capped at ``topk`` with
+    deterministic (count desc, token asc) order. Returns
+    (prefix, token, total, rank).
+    """
+    from ..functions.lm import token_array
+    from pyspark.sql import Window
+
+    toks = docs.select(F.explode(token_array(text_col, pattern)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("total"))
+    lens = F.sequence(
+        F.lit(min_len), F.least(F.lit(max_len), F.length("tok"))
+    )
+    prefixed = (
+        freq.filter(F.length("tok") >= min_len)
+        .withColumn("__len", F.explode(lens))
+        .select(
+            F.expr("substring(tok, 1, __len)").alias("prefix"),
+            F.col("tok").alias("token"),
+            "total",
+        )
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("total").desc(), F.col("token").asc()
+    )
+    return (
+        prefixed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )

@@ -7489,6 +7489,211 @@ def q192_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "value", "valid_from")
 
 
+@_q(
+    "q193_join_hints",
+    """
+    SELECT c.c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q193_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: the same equi-join computed under
+    a forced SORT-MERGE hint (``.hint("merge")``) — the override you
+    reach for when the optimizer's size estimate is wrong (a "small"
+    side that explodes after filters, or a broadcast OOM on skewed
+    builds). Results are strategy-independent (the oracle is the plain
+    join); test_plans gates that merge/shuffle_hash/broadcast hints
+    each produce their named physical operator.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "q194_prefix_index",
+    f"""
+    WITH toks AS (
+      SELECT UNNEST({_TOKS_SQL}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS total FROM toks GROUP BY tok
+    ), prefixed AS (
+      SELECT SUBSTRING(tok, 1, l) AS prefix, tok AS token, total
+      FROM freq, UNNEST(range(2, LEAST(4, LEN(tok)) + 1)) AS r(l)
+      WHERE LEN(tok) >= 2
+    ), ranked AS (
+      SELECT prefix, token, total,
+             ROW_NUMBER() OVER (PARTITION BY prefix
+                                ORDER BY total DESC, token ASC) AS rank
+      FROM prefixed
+    )
+    SELECT prefix, token, total, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q194_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete prefix index (retrieval.prefix_index): top-3
+    completions by corpus frequency for every 2-4 char token prefix —
+    the type-ahead index build. Prefixes explode from the vocab-sized
+    DISTINCT term table (never the corpus), and the per-prefix cut is
+    a topk-capped window with deterministic (count, token) order.
+    """
+    from .operators.retrieval import prefix_index
+
+    d = _t(spark, sf_dir, "documents")
+    out = prefix_index(d, "text", 2, 4, 3, pattern=_TOK_PATTERN)
+    return out.select(
+        "prefix", "token", "total", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _q195_oracle(num_planes: int = 24, bands: int = 1, thr: float = 0.99) -> str:
+    per = num_planes // bands
+    dots = ",\n             ".join(
+        f"list_sum(list_transform(range(1, len(embedding)+1), j -> "
+        f"CAST(embedding[j] AS DOUBLE) * "
+        f"(((xor({i * 73856093}, (j-1)*19349663) % 2001) - 1000) / 1000.0))) AS d{i}"
+        for i in range(num_planes)
+    )
+    band_exprs = ", ".join(
+        " + ".join(
+            f"(CASE WHEN d{b * per + r} >= 0 THEN 1 ELSE 0 END) * {1 << (per - 1 - r)}"
+            for r in range(per)
+        )
+        for b in range(bands)
+    )
+    band_idxs = ", ".join(str(b) for b in range(bands))
+    cos = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        "/ (SQRT(list_sum(list_transform(a.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        "* SQRT(list_sum(list_transform(b.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             LIST_TRANSFORM(range(1, LEN(embedding) + 1), j ->
+               CAST(embedding[j] AS DOUBLE)
+               * (1.0 + 0.1 * CAST(((j - 1) % 5) - 2 AS DOUBLE) / 2.0))
+               AS embedding
+      FROM embeddings WHERE vec_id < 40
+    ), dots AS (
+      SELECT vec_id,
+             {dots}
+      FROM corpus
+    ), bnd AS (
+      SELECT vec_id, UNNEST([{band_idxs}]) AS band,
+             UNNEST([{band_exprs}]) AS h
+      FROM dots
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.h = b.h AND a.vec_id < b.vec_id
+    ), exact AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE {cos} >= {thr}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact e
+             JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b) AS n_found,
+           CAST((SELECT COUNT(*) FROM exact e
+                  JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall
+    """
+
+
+def q195_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality self-evaluation: measure sign-LSH candidate recall
+    against exact brute-force cosine pairs on a bounded probe set — the
+    "is my ANN index good enough?" report a pipeline should emit before
+    trusting approximate dedup at scale. Both sides are deterministic
+    (arithmetic hyperplanes, exact double cosine), so the MEASURED
+    recall itself is oracle-checked bitwise — unlike q52/q53, recall
+    here is deliberately configured < 1 (ONE 24-bit band, no multi-probe)
+    so the harness demonstrably measures rather than asserts.
+    """
+    corpus = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    perturbed = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 40)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            # dimension-DEPENDENT perturbation (a pure scale would keep
+            # the direction, making LSH recall trivially 1.0): factor
+            # cycles 0.9,0.95,1.0,1.05,1.1 by dim -> cos ~ 0.9984
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.1) * ((i % 5) - 2).cast("double") / F.lit(2.0)
+                ),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    allv = corpus.select("vec_id", "embedding").unionByName(
+        perturbed.select("vec_id", "embedding")
+    )
+    bandarr = SIM.arithmetic_plane_bands("embedding", 24, 1)
+    bnd = allv.select(
+        "vec_id", F.posexplode(bandarr).alias("band", "h")
+    )
+    b2 = bnd.select(
+        F.col("vec_id").alias("id_b"), F.col("band"), F.col("h")
+    )
+    cand = (
+        bnd.join(b2, ["band", "h"])
+        .filter(F.col("vec_id") < F.col("id_b"))
+        .select(F.col("vec_id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    from .functions.vectors import cosine
+
+    a = allv.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = allv.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine("ea", "eb") >= 0.99)
+        .select("id_a", "id_b")
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_found = exact.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").alias("n_found")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_found))
+        .select(
+            "n_exact",
+            "n_found",
+            (
+                F.col("n_found").cast("double") / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+QUERIES["q195_lsh_recall_eval"] = q195_lsh_recall_eval
+ORACLES["q195_lsh_recall_eval"] = _q195_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -7507,7 +7712,8 @@ _PRIORITY = [
     "q184_containment_pairs", "q185_cluster_canonical", "q186_ks_drift",
     "q187_gini_concentration", "q188_markov_transitions",
     "q189_dataset_card", "q190_event_rate_anomalies", "q191_twap",
-    "q192_scd2_asof",
+    "q192_scd2_asof", "q193_join_hints", "q194_prefix_index",
+    "q195_lsh_recall_eval",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
