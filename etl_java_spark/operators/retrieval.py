@@ -264,3 +264,41 @@ def prefix_index(
         prefixed.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Feature hashing (the "hashing trick"): map every token into one
+    of ``dim`` buckets by md5 and count — fixed-width sparse text
+    featurization with NO vocabulary build, the property that matters
+    at corpus scale (a vocab dictionary needs a global build + broadcast
+    and grows with the data; a hash is stateless and map-only).
+
+    Returns one row per document: (id, features, nnz, l1) where
+    ``features`` is the sparse vector as a bucket-sorted
+    array<struct<bucket,cnt>>. The md5 bucket arithmetic is the same
+    engine-replayable form as the CMS sketch rows.
+    """
+    from ..functions.lm import token_array
+
+    toks = docs.select(
+        F.col(id_col), F.explode(token_array(text_col, pattern)).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long") % dim
+    ).cast("int")
+    counts = toks.groupBy(id_col, bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    return counts.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "cnt"))).alias(
+            "features"
+        ),
+        F.count("*").cast("long").alias("nnz"),
+        F.sum("cnt").alias("l1"),
+    )

@@ -7694,6 +7694,223 @@ QUERIES["q195_lsh_recall_eval"] = q195_lsh_recall_eval
 ORACLES["q195_lsh_recall_eval"] = _q195_oracle()
 
 
+@_q(
+    "q196_feature_hashing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKS_SQL}) AS tok FROM documents
+    ), counts AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || SUBSTRING(md5(tok), 1, 12) AS BIGINT) % 64
+                  AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS nnz,
+           CAST(SUM(cnt) AS BIGINT) AS l1,
+           CAST(SUM(bucket * cnt) AS BIGINT) AS checksum
+    FROM counts GROUP BY doc_id
+    """,
+)
+def q196_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (retrieval.hashed_features): every token md5-maps
+    into one of 64 buckets — fixed-width sparse featurization with NO
+    vocabulary build or broadcast, the stateless map-only property that
+    matters at corpus scale. Output digests each document's sparse
+    vector (nnz, l1 mass, positional checksum) so the oracle verifies
+    every bucket count without 64-wide rows.
+    """
+    from .operators.retrieval import hashed_features
+
+    d = _t(spark, sf_dir, "documents")
+    feats = hashed_features(d, "doc_id", "text", dim=64, pattern=_TOK_PATTERN)
+    checksum = F.aggregate(
+        F.col("features"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s["bucket"].cast("long") * s["cnt"],
+    )
+    return feats.select("doc_id", "nnz", "l1", checksum.alias("checksum"))
+
+
+@_q(
+    "q197_sketch_set_algebra",
+    """
+    WITH a AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), b AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS exact_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS exact_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT o_custkey FROM a UNION SELECT o_custkey FROM b))
+             AS exact_union,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a
+             JOIN b USING (o_custkey)) AS exact_intersection,
+           TRUE AS union_ok, TRUE AS intersection_ok
+    """,
+)
+def q197_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch set algebra: customers ordering URGENT vs HIGH as two
+    mergeable sketches; |A∪B| from the sketch union, |A∩B| by
+    inclusion-exclusion — audience-overlap analytics computed from
+    stored sketch bytes, never re-scanning raw orders (the q135 pattern
+    extended to set operations). Exact companions ride along; the
+    ``*_ok`` booleans bound the estimates within 3x the compounded
+    lgConfigK=12 standard error, so a broken union or a bad estimate
+    flips a boolean and fails the gate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk_a"),
+        F.countDistinct("o_custkey").alias("exact_a"),
+    )
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk_b"),
+        F.countDistinct("o_custkey").alias("exact_b"),
+    )
+    exact_u = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .agg(F.countDistinct("o_custkey").alias("exact_union"))
+    )
+    exact_i = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .join(
+            o.filter(F.col("o_orderpriority") == "2-HIGH")
+            .select("o_custkey")
+            .distinct(),
+            "o_custkey",
+            "left_semi",
+        )
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    j = (
+        a.crossJoin(b)
+        .crossJoin(F.broadcast(exact_u))
+        .crossJoin(F.broadcast(exact_i))
+        .withColumn(
+            "est_union",
+            F.hll_sketch_estimate(F.hll_union(F.col("sk_a"), F.col("sk_b"))),
+        )
+        .withColumn("est_a", F.hll_sketch_estimate("sk_a"))
+        .withColumn("est_b", F.hll_sketch_estimate("sk_b"))
+        .withColumn(
+            "est_intersection",
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        )
+    )
+    se = 3 * 1.04 / (2**6)  # 3 sigma at lgConfigK=12
+    union_ok = (
+        F.abs(F.col("est_union") - F.col("exact_union"))
+        <= F.lit(se) * F.col("exact_union")
+    )
+    # inclusion-exclusion compounds three estimates' errors: bound by
+    # the same relative se applied to the sum of the operand magnitudes
+    inter_ok = F.abs(F.col("est_intersection") - F.col("exact_intersection")) <= (
+        F.lit(se)
+        * (F.col("exact_a") + F.col("exact_b") + F.col("exact_union")).cast(
+            "double"
+        )
+    )
+    return j.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersection",
+        union_ok.alias("union_ok"),
+        inter_ok.alias("intersection_ok"),
+    )
+
+
+def _q198_oracle() -> str:
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cent FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_IVF_D2} ASC, c.cell ASC) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT cell, COUNT(*) AS n_probing FROM assign
+      WHERE vec_id < 5 GROUP BY cell
+    )
+    SELECT a.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COALESCE(MAX(p.n_probing), 0) AS BIGINT) AS n_queries
+    FROM assign a LEFT JOIN probes p ON p.cell = a.cell
+    GROUP BY a.cell
+    """
+
+
+def q198_ivf_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index lifecycle: build the IVF assignment table (deterministic
+    first-8 quantizer, the q74 oracle convention), PERSIST centroids +
+    assignments to parquet, read them back, and serve from the stored
+    index — per-cell membership plus which cells the first 5 query
+    vectors would probe. The oracle recomputes the assignment
+    arithmetic directly, so a byte-lossy round-trip (schema drift,
+    float truncation) would hash-mismatch. At scale this is the "build
+    once, serve many" shape: the raw embeddings never re-scan at query
+    time.
+    """
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cent")
+    )
+    # squared distance, NOT sqrt'd: the oracle orders by d2, and sqrt
+    # (weakly monotone) could collapse two distinct d2 into an equal
+    # double, flipping the tiebreak between engines
+    diffsq = F.zip_with(
+        F.col("embedding"),
+        F.col("cent"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    d2 = F.aggregate(diffsq, F.lit(0.0), lambda acc, v: acc + v)
+    w = Window.partitionBy("vec_id").orderBy(
+        d2.asc(), F.col("cell").asc()
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    out_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    assign.write.mode("overwrite").parquet(f"{out_dir}/assignments")
+    stored = spark.read.parquet(f"{out_dir}/assignments")
+    probes = (
+        stored.filter(F.col("vec_id") < 5)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_probing"))
+    )
+    return (
+        stored.groupBy("cell")
+        .agg(F.count("*").alias("n_members"))
+        .join(F.broadcast(probes), "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            F.coalesce(F.col("n_probing"), F.lit(0)).cast("long").alias(
+                "n_queries"
+            ),
+        )
+    )
+
+
+QUERIES["q198_ivf_index_persistence"] = q198_ivf_index_persistence
+ORACLES["q198_ivf_index_persistence"] = _q198_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -7713,7 +7930,8 @@ _PRIORITY = [
     "q187_gini_concentration", "q188_markov_transitions",
     "q189_dataset_card", "q190_event_rate_anomalies", "q191_twap",
     "q192_scd2_asof", "q193_join_hints", "q194_prefix_index",
-    "q195_lsh_recall_eval",
+    "q195_lsh_recall_eval", "q196_feature_hashing",
+    "q197_sketch_set_algebra", "q198_ivf_index_persistence",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
