@@ -18,168 +18,27 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set: EVERY oracle-bearing query (bench and correctness now
-# cover the same corpus) plus q51 for the dedup family. Streaming
-# queries (q54/q62/q63/q68/q79) stay out: at bench scale they time
-# microbatch startup, not data throughput — their latency story lives in
-# tests/test_streaming.py batch-equivalence checks instead.
-BENCH_QUERIES = [
-    "q01_pricing_summary",
-    "q02_top_customers",
-    "q03_shipping_priority",
-    "q05_regional_revenue",
-    "q06_forecast_revenue",
-    "q11_scalar_transforms",
-    "q13_insert_if_absent",
-    "q14_merge_upsert",
-    "q20_topk_per_group",
-    "q21_window_running",
-    "q22_rollup",
-    "q23_cube",
-    "q24_set_ops",
-    "q25_semi_anti",
-    "q26_distinct_agg",
-    "q27_sort_limit",
-    "q28_range_join",
-    "q30_asof_join",
-    "q31_tumbling_window",
-    "q32_sessionize",
-    "q33_grouping_sets",
-    "q34_pivot",
-    "q35_exists_subquery",
-    "q36_string_functions",
-    "q37_math_functions",
-    "q38_conditional_functions",
-    "q39_json_extraction",
-    "q40_doc_stats",
-    "q42_dedup_exact",
-    "q44_ngram_jaccard",
-    "q45_lang_guess",
-    "q46_quality_scores",
-    "q47_window_analytics",
-    "q48_date_functions",
-    "q49_regexp_functions",
-    "q10_projection_rename",
-    "q12_sql_passthrough",
-    "q41_lang_distribution",
-    "q43_fingerprint",
-    "q50_minhash_neardup",
-    "q51_simhash",
-    "q52_embedding_neardup",
-    "q53_ann_topk",
-    "q56_brute_force_knn",
-    "q57_struct_map_columns",
-    "q58_array_functions",
-    "q59_explode_arrays",
-    "q64_unpivot",
-    "q65_deterministic_stats",
-    "q66_exact_percentiles",
-    "q67_token_budget",
-    "q69_salted_join",
-    "q70_two_phase_agg",
-    "q71_repetition_quality",
-    "q72_pii_scrub",
-    "q74_ivf_ann",
-    "q75_collect_list",
-    "q76_pandas_udf",
-    "q78_intersect_except_all",
-    "q80_deterministic_sample",
-    "q81_nation_volume",
-    "q82_returned_items",
-    "q83_correlated_scalar",
-    "q84_range_frame",
-    "q85_deterministic_corr",
-    "q87_order_count_distribution",
-    "q88_promo_revenue_share",
-    "q89_having_in_subquery",
-    "q90_not_in_subquery",
-    "q91_ordered_collect",
-    "q92_rank_functions",
-    "q93_priority_line_counts",
-    "q94_top_supplier",
-    "q95_small_qty_revenue",
-    "q96_large_orders",
-    "q97_disjunctive_predicates",
-    "q98_sole_returning_supplier",
-    "q99_idle_rich_customers",
-    "q100_corpus_prep",
-    "q101_cdc_snapshot",
-    "q102_scd2_history",
-    "q103_gapfill",
-    "q104_fuzzy_join",
-    "q105_real_codec_features",
-    "q106_zorder_key",
-    "q107_market_share",
-    "q108_product_profit",
-    "q109_funnel",
-    "q110_dq_checks",
-    "q111_pack_next_fit",
-    "q112_cohort_retention",
-    "q73_dedup_clusters",
-    "q113_order_priority",
-    "q114_decontaminate",
-    "q115_line_dedup",
-    "q116_semantic_dedup",
-    "q117_incremental_agg",
-    "q118_token_topk",
-    "q119_bm25_rank",
-    "q120_tfidf_terms",
-    "q121_chunk_chars",
-    "q122_source_caps",
-    "q123_split_assign",
-    "q124_source_mixture",
-    "q125_bigram_fluency",
-    "q126_event_paths",
-    "q127_price_histogram",
-    "q128_zscore_outliers",
-    "q129_pagerank",
-    "q130_inverted_index",
-    "q131_numeric_profile",
-    "q132_winsorized_stats",
-    "q133_udtf_tokens",
-    "q134_incremental_join",
-    "q135_sketch_union",
-    "q136_variant_json",
-    "q137_stream_dedup",
-    "q138_video_pipeline",
-    "q139_arrow_features",
-    "q140_try_functions",
-    "q141_observed_metrics",
-    "q142_full_outer_join",
-    "q143_union_missing_cols",
-    "q144_null_safe_join",
-    "q145_min_cost_supplier",
-    "q146_important_stock",
-    "q147_excess_stock_suppliers",
-    "q148_time_range_frame",
-    "q149_python_datasource",
-    "q150_token_chunks",
-    "q151_rag_prep",
-    "q152_char_entropy",
-    # newly oracle-checked in r4 (exact-companion / replay oracles)
-    "q55_multimodal_features",
-    "q60_approx_distinct",
-    "q61_approx_percentiles",
-    "q77_pack_sequences",
-    "q86_freq_items",
-    "q153_jdbc_roundtrip",
-    # new in r4
-    "q154_bloom_pruned_join",
-    "q155_clustered_layout_roundtrip",
-    "q156_crossdoc_ngram_dup",
-    "q157_skew_profile",
-    "q158_dataset_diff",
-    "q159_recursive_cte",
-    "q160_pipe_syntax",
-    "q161_collated_match",
-    "q162_corrupt_quarantine",
-    "q163_bucketed_fact_join",
-    "q165_ewma_smoothing",
-    "q166_asof_tolerance",
-    "q167_median_impute",
-    "q168_dataset_checksum",
-    "q169_group_trend",
-]
+# Bench covers EVERY registered query except the micro-batch streaming
+# drains (q54/q62/q63/q68/q79/q164): at bench scale those time
+# Structured Streaming's per-batch startup, not data throughput — their
+# latency story lives in tests/test_streaming.py batch-equivalence
+# checks. q137 (streaming dedup drain) stays in as the one
+# representative of micro-batch cost. The list is DERIVED from the
+# registry at runtime so new queries are benched automatically.
+BENCH_EXCLUDE = {
+    "q54_stream_tumbling",
+    "q62_stream_sliding",
+    "q63_stream_sessions",
+    "q68_stateful_stream",
+    "q79_stream_stream_join",
+    "q164_stream_static_enrich",
+}
+
+
+def bench_queries() -> list[str]:
+    from etl_java_spark import queries as Q
+
+    return [n for n in Q.QUERIES if n not in BENCH_EXCLUDE]
 
 
 def main() -> None:
@@ -214,7 +73,7 @@ def main() -> None:
     _Q.QUERIES["q149_python_datasource"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries():
         fn = Q.QUERIES[name]
         t0 = time.time()
         df = fn(spark, sf_dir)

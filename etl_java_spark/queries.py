@@ -7911,6 +7911,169 @@ QUERIES["q198_ivf_index_persistence"] = q198_ivf_index_persistence
 ORACLES["q198_ivf_index_persistence"] = _q198_oracle()
 
 
+@_q(
+    "q199_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.event_id, p.value, c.ts AS click_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM purchases p LEFT JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+    ), attributed AS (
+      SELECT event_id, value, click_ts FROM ranked WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS attribution_rate,
+           CAST(SUM(CASE WHEN click_ts IS NOT NULL
+                    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS attributed_cents,
+           CAST(SUM(CASE WHEN click_ts IS NULL
+                    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS organic_cents
+    FROM attributed
+    """,
+)
+def q199_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution report: every purchase matched to the
+    user's latest click within the previous hour (the q166 tolerance
+    as-of join), rolled up to the marketing readout — attribution rate
+    and the revenue split between click-attributed and organic
+    purchases (exact integer cents). One as-of shuffle + one global
+    aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withColumnRenamed("ts", "click_ts")
+        .withColumnRenamed("event_id", "click_event_id")
+    )
+    matched = R.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_values=["click_ts"],
+        right_order=["click_event_id"],
+        tolerance_seconds=3600,
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    attributed = F.col("click_ts").isNotNull()
+    return matched.agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(attributed.cast("int")).alias("n_attributed"),
+        (
+            F.sum(attributed.cast("int")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("attribution_rate"),
+        F.sum(F.when(attributed, cents).otherwise(0)).alias("attributed_cents"),
+        F.sum(F.when(~attributed, cents).otherwise(0)).alias("organic_cents"),
+    )
+
+
+def _q200_oracle() -> str:
+    from .operators.sketch import cms_bucket_sql
+
+    def cells(alias: str, pred: str) -> str:
+        return f"""
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST([0, 1, 2]) AS row,
+               UNNEST([{cms_bucket_sql('l_partkey', 0, 512)},
+                       {cms_bucket_sql('l_partkey', 1, 512)},
+                       {cms_bucket_sql('l_partkey', 2, 512)}]) AS bucket
+        FROM lineitem WHERE {pred}
+      ) GROUP BY row, bucket"""
+
+    probes = " OR ".join(
+        f"(c.row = {i} AND c.bucket = {cms_bucket_sql('k.partkey', i, 512)})"
+        for i in range(3)
+    )
+    return f"""
+    WITH before_cells AS ({cells('b', "l_shipdate <  TIMESTAMP '1997-01-01'")}
+    ), after_cells AS ({cells('a', "l_shipdate >= TIMESTAMP '1997-01-01'")}
+    ), keys AS (
+      SELECT l_partkey AS partkey,
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                      THEN 1 ELSE 0 END)
+                  - SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS exact_delta
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY exact_delta DESC, partkey ASC LIMIT 10
+    ), est AS (
+      SELECT k.partkey, k.exact_delta,
+             MIN(cb.cnt) AS est_before, MIN(ca.cnt) AS est_after
+      FROM keys k
+      JOIN before_cells cb ON {probes.replace('c.row', 'cb.row').replace('c.bucket', 'cb.bucket')}
+      JOIN after_cells ca ON {probes.replace('c.row', 'ca.row').replace('c.bucket', 'ca.bucket')}
+      GROUP BY k.partkey, k.exact_delta
+    )
+    SELECT partkey, exact_delta,
+           CAST(est_after - est_before AS BIGINT) AS est_delta
+    FROM est
+    """
+
+
+def q200_heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-powered trend detection: which parts gained the most order
+    volume after 1997? Both periods live as stored 3x512 count-min
+    sketches; the per-key delta estimate (est_after - est_before) never
+    re-scans either period — the "top movers this week vs last" shape
+    where the raw logs are long gone. The exact deltas (from one
+    grouped pass, for the gate) pick the probe keys and ride along;
+    both estimates replay bitwise in DuckDB.
+    """
+    from .operators.sketch import cms_build, cms_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    before = li.filter(F.col("l_shipdate") < cut)
+    after = li.filter(F.col("l_shipdate") >= cut)
+    sk_b = cms_build(before, "l_partkey", width=512, depth=3)
+    sk_a = cms_build(after, "l_partkey", width=512, depth=3)
+    movers = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") >= cut, 1).otherwise(0)).alias(
+                "__na"
+            ),
+            F.sum(F.when(F.col("l_shipdate") < cut, 1).otherwise(0)).alias(
+                "__nb"
+            ),
+        )
+        .select(
+            "partkey", (F.col("__na") - F.col("__nb")).alias("exact_delta")
+        )
+        .orderBy(F.col("exact_delta").desc(), F.col("partkey").asc())
+        .limit(10)
+    )
+    with_b = cms_estimate(sk_b, movers, "partkey", width=512, depth=3)
+    with_b = with_b.withColumnRenamed("est", "est_before")
+    both = cms_estimate(sk_a, with_b, "partkey", width=512, depth=3)
+    return both.select(
+        "partkey",
+        "exact_delta",
+        (F.col("est") - F.col("est_before")).alias("est_delta"),
+    )
+
+
+QUERIES["q200_heavy_hitter_drift"] = q200_heavy_hitter_drift
+ORACLES["q200_heavy_hitter_drift"] = _q200_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -7932,6 +8095,7 @@ _PRIORITY = [
     "q192_scd2_asof", "q193_join_hints", "q194_prefix_index",
     "q195_lsh_recall_eval", "q196_feature_hashing",
     "q197_sketch_set_algebra", "q198_ivf_index_persistence",
+    "q199_attribution", "q200_heavy_hitter_drift",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
