@@ -91,10 +91,16 @@ def cms_estimate(
         s = sketch.filter(F.col("row") == i).select(
             F.col("bucket").alias(f"__b{i}"), F.col("cnt").alias(f"__c{i}")
         )
+        # LEFT join: a key hashing into a never-touched cell means the
+        # sketch saw zero occurrences — est 0, not a dropped row (dense
+        # fixtures occupy every cell, but sparse/per-period sketches may
+        # not)
         out = out.withColumn(f"__b{i}", cms_bucket(key_col, i, width)).join(
-            F.broadcast(s), f"__b{i}"
+            F.broadcast(s), f"__b{i}", "left"
         )
-    est = F.least(*[F.col(f"__c{i}") for i in range(depth)])
+    est = F.least(
+        *[F.coalesce(F.col(f"__c{i}"), F.lit(0)) for i in range(depth)]
+    )
     drop = [c for i in range(depth) for c in (f"__b{i}", f"__c{i}")]
     return out.withColumn("est", est).drop(*drop)
 

@@ -8081,6 +8081,8 @@ ORACLES["q200_heavy_hitter_drift"] = _q200_oracle()
 # row yet), then queries changed this round, then everything else
 # oldest-green-confirmation-first — so every query's green row stays at
 # most a couple of rounds old as the corpus rotates through the window.
+# Round-4 second wave: q170-q200 (31 brand-new queries) lead, followed
+# by the first wave's q154-q169 — together they fill the ~50-row gate.
 
 _PRIORITY = [
     # 0) brand-new this round (r4) — never registered before
