@@ -391,7 +391,8 @@ def ks_statistic(
 
     D is maximized in EXACT integers: D = max|i*n_b - j*n_a| / (n_a*n_b),
     one double division at the end — bit-identical on any engine.
-    Returns one row: (n_a, n_b, d_num, ks).
+    Returns one row: (n_a, n_b, d_num, ks). Values must be non-null
+    (a NULL has no place in a CDF; filter first).
     """
     va = a.select(F.col(value_col).alias("v")).withColumn("__s", F.lit(0))
     vb = b.select(F.col(value_col).alias("v")).withColumn("__s", F.lit(1))

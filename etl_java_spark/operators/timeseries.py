@@ -195,7 +195,8 @@ def merge_intervals(
 
     Requires end >= start on every row (asserted cheaply via the sweep
     itself: a violating row could only shrink islands, never corrupt
-    neighbors).
+    neighbors) and non-null bounds (engines disagree on NULL sort
+    placement; filter first).
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     w = Window.partitionBy(*keys).orderBy(start_col, end_col)

@@ -174,6 +174,11 @@ def assign_global_ids(
     function of the row, so a stage retry or a second job over the
     same data reproduces identical ids. Bucket granularity is the skew
     knob: aim for ~10^5-10^6 rows per bucket at scale.
+
+    Contract: order columns (and therefore the bucket) must be
+    non-null — engines disagree on NULL sort placement (Spark NULLS
+    FIRST vs DuckDB NULLS LAST), so a nullable order key would make
+    the ids engine-dependent. Filter or coalesce first.
     """
     order = list(order_cols)
     b = df.withColumn("__bucket", bucket)
