@@ -480,3 +480,77 @@ def mad_flag(
         .withColumn("is_outlier", (absdev2 * 2 > F.lit(int(k)) * F.col("mad4")))
         .drop("__c")
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns — the
+    privacy gate a dataset release runs before publishing: a row is
+    at risk when its quasi-identifier combination is shared by fewer
+    than ``k`` rows (the combination singles people out).
+
+    One grouped count on the quasi-identifier tuple (map-side
+    combinable) + one aggregate over the group sizes. Returns one row:
+    (n_rows, n_groups, n_violating_groups, n_rows_at_risk, k_anonymous)
+    — ``k_anonymous`` is TRUE iff every group has >= k members.
+    """
+    groups = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count("*").alias("__n")
+    )
+    return groups.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        F.sum((F.col("__n") < k).cast("int")).alias("n_violating_groups"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+        (F.min("__n") >= k).alias("k_anonymous"),
+    )
+
+
+def suppress_small_groups(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """The repair for a failed k-anonymity audit: drop every row whose
+    quasi-identifier group has fewer than ``k`` members (record
+    suppression — the blunt, always-sound fix; generalization ladders
+    are schema-specific and out of scope). Group sizes come from one
+    window over the quasi tuple, reusing the same shuffle the audit
+    needs."""
+    w = Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    return (
+        df.withColumn("__n", F.count("*").over(w))
+        .filter(F.col("__n") >= k)
+        .drop("__n")
+    )
+
+
+def profile_strings(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-scan string-column profile: per column, row count, null
+    count, distinct count, min/max LENGTH, and blank count — the
+    text-side twin of profile_numeric (same single-aggregation +
+    stack-unpivot shape)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"__n_{c}"),
+            (F.count("*") - F.count(c)).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+            F.min(F.length(c)).cast("long").alias(f"__minl_{c}"),
+            F.max(F.length(c)).cast("long").alias(f"__maxl_{c}"),
+            F.sum((F.trim(F.col(c)) == "").cast("int")).alias(f"__blank_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __null_{c}, __dist_{c}, __minl_{c}, __maxl_{c}, __blank_{c}"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n, n_null, n_distinct, min_len, max_len, n_blank)"
+    )

@@ -8198,6 +8198,137 @@ def q201_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q202_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           MIN(n) >= 5 AS k_anonymous,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT c_mktsegment, c_nationkey,
+                     CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bb,
+                     COUNT(*) OVER (PARTITION BY c_mktsegment, c_nationkey,
+                                    CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+                       AS gn
+              FROM customer) WHERE gn >= 5) AS n_rows_after_suppression
+    FROM g
+    """,
+)
+def q202_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release gate (dq.k_anonymity + suppress_small_groups):
+    are customers k=5-anonymous under the quasi-identifier tuple
+    (segment, nation, $1000 balance band)? Reports the violating
+    groups, the rows they expose, and the row count after record
+    suppression — the audit-then-repair pair a dataset publisher runs.
+    One grouped count + one window, both on the same quasi-tuple
+    shuffle.
+    """
+    from .operators.dq import k_anonymity, suppress_small_groups
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    quasi = ["c_mktsegment", "c_nationkey", "bal_band"]
+    audit = k_anonymity(c, quasi, k=5)
+    kept = suppress_small_groups(c, quasi, k=5).agg(
+        F.count("*").alias("n_rows_after_suppression")
+    )
+    return audit.crossJoin(F.broadcast(kept))
+
+
+@_q(
+    "q203_string_profile",
+    """
+    SELECT col_name, n, n_null, n_distinct, min_len, max_len, n_blank
+    FROM (
+      SELECT 'c_name' AS col_name, COUNT(*) AS n,
+             COUNT(*) - COUNT(c_name) AS n_null,
+             COUNT(DISTINCT c_name) AS n_distinct,
+             CAST(MIN(LENGTH(c_name)) AS BIGINT) AS min_len,
+             CAST(MAX(LENGTH(c_name)) AS BIGINT) AS max_len,
+             CAST(SUM(CASE WHEN TRIM(c_name) = '' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_blank
+      FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+             COUNT(DISTINCT c_mktsegment),
+             CAST(MIN(LENGTH(c_mktsegment)) AS BIGINT),
+             CAST(MAX(LENGTH(c_mktsegment)) AS BIGINT),
+             CAST(SUM(CASE WHEN TRIM(c_mktsegment) = '' THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM customer
+    )
+    """,
+)
+def q203_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-column profiling (dq.profile_strings): null/blank/distinct
+    counts and length bounds for every profiled column in ONE scan
+    (single aggregation + stack unpivot — the text twin of q131's
+    numeric profile). The pass a pipeline runs before choosing
+    varchar sink widths, dedup keys, or DQ thresholds.
+    """
+    from .operators.dq import profile_strings
+
+    c = _t(spark, sf_dir, "customer")
+    return profile_strings(c, ["c_name", "c_mktsegment"])
+
+
+@_q(
+    "q204_duplication_profile",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 0
+    ), g AS (
+      SELECT text, COUNT(*) AS copies FROM corpus GROUP BY text
+    )
+    SELECT CAST(copies AS BIGINT) AS copies,
+           CAST(COUNT(*) AS BIGINT) AS n_texts,
+           CAST(SUM(copies) AS BIGINT) AS n_docs,
+           CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_redundant
+    FROM g GROUP BY copies
+    """,
+)
+def q204_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile: the cluster-size histogram of exact
+    duplicates (how many texts exist in 1, 2, 3... copies) plus the
+    redundant-row count per bucket — the "how duplicated is this crawl"
+    number a curation run reports before deciding dedup strategy.
+    Synthetic copies (every 3rd doc twice, every 9th three times) make
+    the histogram non-trivial at any SF. Two map-side-combinable
+    count shuffles, output bounded by the max copy count.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    c2 = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(c1).unionByName(c2)
+    g = corpus.groupBy("text").agg(F.count("*").alias("copies"))
+    return g.groupBy("copies").agg(
+        F.count("*").alias("n_texts"),
+        F.sum("copies").alias("n_docs"),
+        (F.sum("copies") - F.count("*")).alias("n_redundant"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -8222,6 +8353,7 @@ _PRIORITY = [
     "q195_lsh_recall_eval", "q196_feature_hashing",
     "q197_sketch_set_algebra", "q198_ivf_index_persistence",
     "q199_attribution", "q200_heavy_hitter_drift", "q201_training_pipeline",
+    "q202_k_anonymity", "q203_string_profile", "q204_duplication_profile",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
