@@ -8329,6 +8329,109 @@ def q204_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q205_partitioned_io",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE STRFTIME(o_orderdate, '%Y-%m') = '1997-03'
+    GROUP BY o_orderpriority
+    """,
+)
+def q205_partitioned_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-table lifecycle: write orders hive-partitioned by
+    month, read back with a partition filter, aggregate one month. The
+    month predicate never touches data — it prunes DIRECTORIES at
+    planning time (test_plans gates PartitionFilters in the scan), the
+    core trick that makes a 100 TB table behave like its hot month.
+    The oracle computes the same month from the unpartitioned source,
+    so a lossy partition round-trip (dropped rows, month boundary
+    bugs) hash-mismatches.
+    """
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    out_dir = tempfile.mkdtemp(prefix="orders_by_month_")
+    (
+        o.withColumn(
+            "month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir).filter(F.col("month") == "1997-03")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+@_q(
+    "q206_cogroup_balance",
+    """
+    WITH p AS (
+      SELECT user_id, COUNT(*) AS n_purchases,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS purchase_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), c AS (
+      SELECT user_id, COUNT(*) AS n_clicks,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS click_cents
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+           CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(p.purchase_cents, 0)
+                - COALESCE(c.click_cents, 0) AS BIGINT) AS balance_cents
+    FROM p FULL OUTER JOIN c ON c.user_id = p.user_id
+    """,
+)
+def q206_cogroup_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogroup grouped-map surface (groupby().cogroup()
+    .applyInPandas): each user's purchase rows and click rows arrive as
+    TWO aligned pandas DataFrames in one function call — the API for
+    per-key custom alignment logic that would otherwise need a join
+    plus a grouped map. Here the kernel computes the purchase-vs-click
+    cents balance (exact integers, so the relational full-outer oracle
+    reproduces it bitwise; empty sides exercise the missing-key paths).
+    One co-partitioned shuffle on user_id, Arrow-batched both ways.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", cents.alias("cents")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", cents.alias("cents")
+    )
+
+    def balance(key, pdf_p: pd.DataFrame, pdf_c: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchases": [len(pdf_p)],
+                "n_clicks": [len(pdf_c)],
+                "balance_cents": [
+                    int(pdf_p["cents"].sum()) - int(pdf_c["cents"].sum())
+                ],
+            }
+        )
+
+    return (
+        p.groupby("user_id")
+        .cogroup(c.groupby("user_id"))
+        .applyInPandas(
+            balance,
+            "user_id long, n_purchases long, n_clicks long, balance_cents long",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -8354,6 +8457,7 @@ _PRIORITY = [
     "q197_sketch_set_algebra", "q198_ivf_index_persistence",
     "q199_attribution", "q200_heavy_hitter_drift", "q201_training_pipeline",
     "q202_k_anonymity", "q203_string_profile", "q204_duplication_profile",
+    "q205_partitioned_io", "q206_cogroup_balance",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
