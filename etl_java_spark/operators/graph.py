@@ -174,3 +174,72 @@ def triangle_count(
         .crossJoin(und.agg(F.count("*").alias("n_edges")))
         .select("n_vertices", "n_edges", "n_triangles")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the SEED set
+    instead of uniformly — rank becomes "relevance to these seeds",
+    the recommendation/expansion primitive (customers most associated
+    with a supplier set, pages most related to a topic seed):
+
+        r0(v)    = seed(v)
+        r_k+1(v) = (1 - d) * seed(v)
+                   + d * SUM over in-edges (u, v) of r_k(u) / outdeg(u)
+
+    Same plan shape, determinism contract (decimal-exact contribution
+    sums), and checkpoint strategy as :func:`pagerank`; the seed
+    indicator joins once onto the node set (broadcast when the seed
+    set is small — the typical case) and is reused every round.
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    e = ckpt(edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")))
+    nodes = e.select(F.col("e_src").alias("node")).unionByName(
+        e.select(F.col("e_dst").alias("node"))
+    ).distinct()
+    seed_flag = (
+        nodes.join(
+            F.broadcast(seeds.select(F.col(seed_col).alias("node")).distinct()),
+            "node",
+            "left_semi",
+        )
+        .withColumn("seed", F.lit(1.0))
+    )
+    base = ckpt(
+        nodes.join(seed_flag, "node", "left").select(
+            "node", F.coalesce(F.col("seed"), F.lit(0.0)).alias("seed")
+        )
+    )
+    deg = e.groupBy("e_src").agg(F.count("*").alias("outdeg"))
+    ed = ckpt(e.join(deg, "e_src"))
+    ranks = base.select("node", F.col("seed").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed.e_src == ranks.node)
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.col("rank") / F.col("outdeg").cast("double")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s"))
+        )
+        ranks = ckpt(
+            base.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("seed")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -8432,6 +8432,93 @@ def q206_cogroup_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q207_personalized_pagerank",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), ed AS (
+      SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)
+    ), seedset AS (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
+      FROM supplier WHERE s_suppkey < 5
+    ), base AS (
+      SELECT n.node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN 1.0 ELSE 0.0 END
+                  AS DOUBLE) AS seed
+      FROM nodes n LEFT JOIN seedset s ON s.node = n.node
+    ), r0 AS (
+      SELECT node, seed AS pr FROM base
+    ), r1 AS (
+      SELECT b.node,
+             (1.0 - CAST(0.85 AS DOUBLE)) * b.seed
+             + CAST(0.85 AS DOUBLE) * COALESCE(s.s, 0.0) AS pr
+      FROM base b LEFT JOIN (
+        SELECT ed.dst AS node, {_PR_SUM} AS s
+        FROM ed JOIN r0 r ON ed.src = r.node GROUP BY ed.dst
+      ) s USING (node)
+    ), r2 AS (
+      SELECT b.node,
+             (1.0 - CAST(0.85 AS DOUBLE)) * b.seed
+             + CAST(0.85 AS DOUBLE) * COALESCE(s.s, 0.0) AS pr
+      FROM base b LEFT JOIN (
+        SELECT ed.dst AS node, {_PR_SUM} AS s
+        FROM ed JOIN r1 r ON ed.src = r.node GROUP BY ed.dst
+      ) s USING (node)
+    ), r3 AS (
+      SELECT b.node,
+             (1.0 - CAST(0.85 AS DOUBLE)) * b.seed
+             + CAST(0.85 AS DOUBLE) * COALESCE(s.s, 0.0) AS pr
+      FROM base b LEFT JOIN (
+        SELECT ed.dst AS node, {_PR_SUM} AS s
+        FROM ed JOIN r2 r ON ed.src = r.node GROUP BY ed.dst
+      ) s USING (node)
+    )
+    SELECT node, ROUND(pr, 9) AS pr FROM r3
+    ORDER BY pr DESC, node LIMIT 20
+    """,
+)
+def q207_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.personalized_pagerank): teleport
+    mass returns to suppliers 0-4, so rank becomes "relevance to this
+    supplier set" — the recommendation/seed-expansion primitive (which
+    customers orbit these suppliers?) rather than global importance
+    (q129). Same bipartite supplier->customer graph, decimal-exact
+    contribution sums, chained-CTE oracle replaying all 3 rounds.
+    """
+    from .operators.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 5)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+        )
+    )
+    ranks = personalized_pagerank(edges, seeds, iterations=3)
+    return (
+        ranks.select("node", F.round("rank", 9).alias("pr"))
+        .orderBy(F.col("pr").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -8458,6 +8545,7 @@ _PRIORITY = [
     "q199_attribution", "q200_heavy_hitter_drift", "q201_training_pipeline",
     "q202_k_anonymity", "q203_string_profile", "q204_duplication_profile",
     "q205_partitioned_io", "q206_cogroup_balance",
+    "q207_personalized_pagerank",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",

@@ -78,3 +78,22 @@ def test_pagerank_reliable_checkpoint(spark, tmp_path):
     reliable = sorted(pagerank(e, iterations=3, checkpoint_dir=ckdir).collect())
     assert local == reliable
     assert any(os.scandir(ckdir)), "no reliable checkpoint files written"
+
+
+def test_personalized_pagerank_mass_concentrates_on_seeds(spark):
+    from etl_java_spark.operators.graph import pagerank, personalized_pagerank
+    from pyspark.sql import functions as F
+
+    # two disconnected stars: hub A -> a1..a3, hub B -> b1..b3
+    edges = [("A", f"a{i}") for i in range(3)] + [
+        ("B", f"b{i}") for i in range(3)
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("A",)], ["node"])
+    ppr = {r.node: r.rank for r in personalized_pagerank(e, seeds, 3).collect()}
+    # mass flows only within the seeded component
+    assert ppr["A"] > 0 and all(ppr[f"a{i}"] > 0 for i in range(3))
+    assert ppr["B"] == 0.0 and all(ppr[f"b{i}"] == 0.0 for i in range(3))
+    # global pagerank, by contrast, ranks both hubs identically
+    pr = {r.node: r.rank for r in pagerank(e, 3).collect()}
+    assert pr["A"] == pr["B"] > 0
