@@ -8519,6 +8519,67 @@ def q207_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q208_oracle() -> str:
+    import hashlib
+
+    from .operators.multimodal import real_media_rows
+
+    base = real_media_rows(32, 42)
+    corpus = [(p, m, bytes(c)) for p, m, c in base] + [
+        (f"mem://copies/{i}", m, bytes(c)) for i, (_, m, c) in enumerate(base[:10])
+    ]
+    per_mime: dict[str, dict[str, int]] = {}
+    for _, mime, content in corpus:
+        h = hashlib.md5(content).hexdigest()
+        per_mime.setdefault(mime, {})[h] = per_mime.get(mime, {}).get(h, 0) + 1
+    vals = []
+    for mime in sorted(per_mime):
+        counts = per_mime[mime]
+        n_items = sum(counts.values())
+        n_unique = len(counts)
+        vals.append(
+            f"('{mime}', CAST({n_items} AS BIGINT), CAST({n_unique} AS BIGINT), "
+            f"CAST({n_items - n_unique} AS BIGINT))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(mime, n_items, n_unique, n_redundant)"
+    )
+
+
+def q208_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column dedup: media blobs (real BMP/PNG/PPM/WAV bytes from
+    the q105 synthesizer, plus 10 byte-identical copies under new
+    paths) grouped by content hash — the "same file uploaded twice"
+    dedup every multimodal corpus runs before paying for decode or
+    embedding. One md5 per blob (JVM-side, streaming over the binary
+    column), one map-side-combinable count shuffle; paths never matter,
+    bytes do. The oracle replays the synthesis + hashing sequentially
+    in Python (the q105/q138 VALUES-literal pattern).
+    """
+    from .operators.multimodal import real_media_rows
+
+    base = real_media_rows(32, 42)
+    rows = [(p, m, bytes(c)) for p, m, c in base] + [
+        (f"mem://copies/{i}", m, bytes(c))
+        for i, (_, m, c) in enumerate(base[:10])
+    ]
+    df = spark.createDataFrame(rows, "path string, mime string, content binary")
+    groups = df.groupBy("mime", F.md5("content").alias("__h")).agg(
+        F.count("*").alias("n")
+    )
+    return groups.groupBy("mime").agg(
+        F.sum("n").alias("n_items"),
+        F.count("*").alias("n_unique"),
+        (F.sum("n") - F.count("*")).alias("n_redundant"),
+    )
+
+
+QUERIES["q208_media_dedup"] = q208_media_dedup
+ORACLES["q208_media_dedup"] = _q208_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -8545,7 +8606,7 @@ _PRIORITY = [
     "q199_attribution", "q200_heavy_hitter_drift", "q201_training_pipeline",
     "q202_k_anonymity", "q203_string_profile", "q204_duplication_profile",
     "q205_partitioned_io", "q206_cogroup_balance",
-    "q207_personalized_pagerank",
+    "q207_personalized_pagerank", "q208_media_dedup",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
