@@ -8519,6 +8519,80 @@ def q207_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q209_grouped_quartiles",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment AS seg, c_acctbal,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT seg, CAST(quartile AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+    FROM ranked GROUP BY seg, quartile
+    """,
+)
+def q209_grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile binning: account-balance quartiles WITHIN each
+    market segment (NTILE partitioned by the group) — the grouped twin
+    of q172's global equi-depth bins, and the common "quartile within
+    cohort" feature/report shape. Unlike the global case, the
+    partitioned window is already scalable: each segment's NTILE runs
+    inside its own hash partition, no two-phase trick needed.
+    """
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy(F.col("c_mktsegment").alias("seg"), "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+    )
+
+
+@_q(
+    "q210_user_growth",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT CAST(DATE_TRUNC('day', first_ts) AS DATE) AS day,
+             COUNT(*) AS new_users
+      FROM first_seen GROUP BY 1
+    )
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def q210_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: new users per day (first-event attribution)
+    and the cumulative unique-user curve — the activation funnel's
+    first chart. First-seen is one grouped MIN (map-side combinable);
+    the cumulative sum runs over the DAILY table (calendar-sized, so
+    the global window is metadata-scale, same argument as q171's
+    offsets table).
+    """
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    daily = first_seen.groupBy(
+        F.date_trunc("day", "first_ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
 def _q208_oracle() -> str:
     import hashlib
 
@@ -8607,6 +8681,7 @@ _PRIORITY = [
     "q202_k_anonymity", "q203_string_profile", "q204_duplication_profile",
     "q205_partitioned_io", "q206_cogroup_balance",
     "q207_personalized_pagerank", "q208_media_dedup",
+    "q209_grouped_quartiles", "q210_user_growth",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
