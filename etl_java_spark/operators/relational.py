@@ -402,3 +402,36 @@ def bloom_prune(
         )
         cond = hit if cond is None else (cond & hit)
     return fact.join(F.broadcast(bloom)).where(cond).drop("__bloom")
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    on: str,
+    fact_time: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Enrich facts from an SCD2 dimension HISTORY: each fact row joins
+    the dimension version whose validity interval covers the fact's
+    event time (``valid_from <= t < valid_to``, NULL valid_to = still
+    current) — the warehouse-standard "fact to versioned dim" join.
+
+    Same answer as an as-of join against the dim's change events, but a
+    different (often cheaper) plan: one EQUI-join on the business key
+    with the interval predicate applied map-side as a join residual —
+    no window pass over the union, and the dim side is the compact
+    version table SCD2 already maintains (cdc.scd2_history). Each fact
+    matches at most one version because SCD2 intervals partition time.
+    """
+    cond = (
+        (facts[on] == dim_history[on])
+        & (dim_history[valid_from] <= facts[fact_time])
+        & (
+            dim_history[valid_to].isNull()
+            | (dim_history[valid_to] > facts[fact_time])
+        )
+    )
+    # keep the fact side's key column only — the dim's copy would shadow it
+    return facts.join(dim_history, cond, how).drop(dim_history[on])

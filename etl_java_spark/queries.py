@@ -8593,6 +8593,138 @@ def q210_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q211_temporal_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id, value, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS valid_to
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents,
+           c.event_id AS state_event_id,
+           CAST(ROUND(c.value * 100) AS BIGINT) AS state_cents
+    FROM purchases p LEFT JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.valid_from <= p.ts
+     AND (c.valid_to IS NULL OR c.valid_to > p.ts)
+    """,
+)
+def q211_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-versioned-dimension join (relational.temporal_join): each
+    purchase enriched with the click-state version VALID AT its event
+    time, from the SCD2 history cdc.scd2_history maintains. Same
+    answer as an as-of join against the raw click events (q30), but a
+    different — often cheaper — plan: one equi-join on the business
+    key with the interval predicate as a map-side residual, no window
+    pass over the fact∪dim union; SCD2 intervals partition time, so
+    each fact matches at most one version.
+    """
+    from .operators import cdc as CDC
+    from .operators.relational import temporal_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    hist = CDC.scd2_history(clicks, ["user_id"], "ts", seq_cols=["event_id"])
+    dim = hist.select(
+        F.col("user_id"),
+        F.col("event_id").alias("state_event_id"),
+        F.round(F.col("value") * 100).cast("long").alias("state_cents"),
+        "valid_from",
+        "valid_to",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("p_user_id"),
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("purchase_cents"),
+    )
+    joined = temporal_join(
+        purchases,
+        dim.withColumnRenamed("user_id", "p_user_id"),
+        on="p_user_id",
+        fact_time="ts",
+    )
+    return joined.select(
+        "event_id",
+        F.col("p_user_id").alias("user_id"),
+        "ts",
+        "purchase_cents",
+        "state_event_id",
+        "state_cents",
+    )
+
+
+@_q(
+    "q212_json_schema_census",
+    """
+    WITH shaped AS (
+      SELECT CASE
+               WHEN event_type = 'purchase' THEN
+                 json_object('k', CAST(json_extract_string(props, '$.k') AS INTEGER),
+                             'amount', CAST(ROUND(value * 100) AS BIGINT))
+               WHEN event_type = 'error' THEN
+                 json_object('k', CAST(json_extract_string(props, '$.k') AS INTEGER),
+                             'code', event_id % 7)
+               ELSE props
+             END AS doc
+      FROM events
+    )
+    SELECT ARRAY_TO_STRING(json_keys(doc), ',') AS key_signature,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT json_extract_string(doc, '$.k')) AS BIGINT)
+             AS n_distinct_k
+    FROM shaped GROUP BY 1
+    """,
+)
+def q212_json_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema census: group heterogeneous JSON payloads
+    by their KEY SIGNATURE (sorted key list) and count — the governance
+    pass that tells you how many payload shapes a "schemaless" column
+    actually contains before you commit to a parse schema. Payload
+    variants are synthesized deterministically from the fixture's
+    homogeneous props (purchases gain 'amount', errors gain 'code') so
+    the census has real work to do; json_object_keys / json_keys agree
+    on key ORDER (insertion order both engines).
+    """
+    ev = _t(spark, sf_dir, "events")
+    k_int = F.get_json_object("props", "$.k").cast("int")
+    doc = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.to_json(
+                F.struct(
+                    k_int.alias("k"),
+                    F.round(F.col("value") * 100)
+                    .cast("long")
+                    .alias("amount"),
+                )
+            ),
+        )
+        .when(
+            F.col("event_type") == "error",
+            F.to_json(
+                F.struct(k_int.alias("k"), (F.col("event_id") % 7).alias("code"))
+            ),
+        )
+        .otherwise(F.col("props"))
+    )
+    shaped = ev.select(doc.alias("doc"))
+    return shaped.groupBy(
+        F.concat_ws(",", F.json_object_keys("doc")).alias("key_signature")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.get_json_object("doc", "$.k")).alias("n_distinct_k"),
+    )
+
+
 def _q208_oracle() -> str:
     import hashlib
 
@@ -8681,7 +8813,8 @@ _PRIORITY = [
     "q202_k_anonymity", "q203_string_profile", "q204_duplication_profile",
     "q205_partitioned_io", "q206_cogroup_balance",
     "q207_personalized_pagerank", "q208_media_dedup",
-    "q209_grouped_quartiles", "q210_user_growth",
+    "q209_grouped_quartiles", "q210_user_growth", "q211_temporal_join",
+    "q212_json_schema_census",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",

@@ -109,3 +109,47 @@ def test_skew_report_ranks_hot_keys(spark):
     out = skew_report(df, ["k"], top=3).collect()
     assert [(r.k, r.n_rows) for r in out] == [(1, 50), (2, 30), (3, 15)]
     assert abs(out[0].frac - 0.5) < 1e-12
+
+
+def test_temporal_join_matches_asof_semantics(spark, sf_small):
+    """temporal_join against SCD2 history must equal the as-of join
+    against the raw change events — two different plans, one answer."""
+    from pyspark.sql import functions as F
+
+    from etl_java_spark.operators import cdc as CDC
+    from etl_java_spark.operators.relational import asof_join, temporal_join
+    from etl_java_spark.sources.readers import normalize_nanos
+
+    ev = normalize_nanos(spark.read.parquet(f"{sf_small}/events.parquet"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    hist = CDC.scd2_history(clicks, ["user_id"], "ts", seq_cols=["event_id"])
+    dim = hist.select(
+        "user_id",
+        F.col("event_id").alias("state_event_id"),
+        "valid_from",
+        "valid_to",
+    )
+    via_temporal = temporal_join(
+        purchases, dim, on="user_id", fact_time="ts"
+    ).select("event_id", "state_event_id")
+    via_asof = asof_join(
+        purchases,
+        clicks.select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("state_event_id"),
+        ),
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_values=["state_event_id"],
+        right_order=["state_event_id"],
+    ).select("event_id", "state_event_id")
+    a = {(r.event_id, r.state_event_id) for r in via_temporal.collect()}
+    b = {(r.event_id, r.state_event_id) for r in via_asof.collect()}
+    assert a == b and a
