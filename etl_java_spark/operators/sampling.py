@@ -159,10 +159,13 @@ def weighted_sample(
     reproducible on any partitioning/cluster, and replayable by any SQL
     engine. Probabilities are quantized to 1e-4 by ``floor`` (floor,
     not round: exact and identical in every engine; a weight below
-    1e-4 never selects).
+    1e-4 never selects). A NULL weight DROPS the row — made explicit
+    because Spark's greatest/least silently IGNORE nulls, which would
+    otherwise clamp an unknown weight to certainty 1.0.
     """
+    clamped = F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight))
     p = F.floor(
-        F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight)) * 10000
+        F.when(weight.isNull(), F.lit(0.0)).otherwise(clamped) * 10000
     ).cast("int")
     return df.filter(key_bucket(key_col) < p)
 
