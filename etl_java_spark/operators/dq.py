@@ -392,7 +392,9 @@ def ks_statistic(
     D is maximized in EXACT integers: D = max|i*n_b - j*n_a| / (n_a*n_b),
     one double division at the end — bit-identical on any engine.
     Returns one row: (n_a, n_b, d_num, ks). Values must be non-null
-    (a NULL has no place in a CDF; filter first).
+    (a NULL has no place in a CDF; filter first) and BOTH samples
+    non-empty (an empty side makes ks 0/0 -> NULL, the correct
+    "undefined" answer but probably not what the caller wants).
     """
     va = a.select(F.col(value_col).alias("v")).withColumn("__s", F.lit(0))
     vb = b.select(F.col(value_col).alias("v")).withColumn("__s", F.lit(1))

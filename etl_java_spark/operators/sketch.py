@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 def cms_bucket(key: Column | str, row: int, width: int) -> Column:
     """Deterministic bucket of ``key`` for sketch row ``row``: the first
     48 bits of md5('<row>:<key>'), mod width. Keep in lockstep with
-    :func:`cms_bucket_sql`."""
+    :func:`cms_bucket_sql`. NULL keys all hash to one pseudo-key
+    bucket (concat_ws skips nulls) — filter them out first if nulls
+    should not be counted as a value."""
     k = F.col(key) if isinstance(key, str) else key
     h = F.conv(
         F.substring(F.md5(F.concat_ws(":", F.lit(str(row)), k.cast("string"))), 1, 12),

@@ -178,7 +178,10 @@ def assign_global_ids(
     Contract: order columns (and therefore the bucket) must be
     non-null — engines disagree on NULL sort placement (Spark NULLS
     FIRST vs DuckDB NULLS LAST), so a nullable order key would make
-    the ids engine-dependent. Filter or coalesce first.
+    the ids engine-dependent. Filter or coalesce first. The order must
+    also be TOTAL (no ties): row_number over tied rows is
+    partition-order dependent, so append a unique key as the last
+    order column (every caller in queries.py does).
     """
     order = list(order_cols)
     b = df.withColumn("__bucket", bucket)
