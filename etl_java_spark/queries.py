@@ -8725,6 +8725,101 @@ def q212_json_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q213_seasonality",
+    """
+    WITH hourly AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS all_cents,
+             CAST(SUM(n) AS BIGINT) AS all_n
+      FROM hourly
+    )
+    SELECT h.hod, h.cents, CAST(h.n AS BIGINT) AS n,
+           (CAST(h.cents AS DOUBLE) / CAST(h.n AS DOUBLE))
+             / (CAST(tot.all_cents AS DOUBLE) / CAST(tot.all_n AS DOUBLE))
+             AS seasonal_index
+    FROM hourly h CROSS JOIN tot
+    """,
+)
+def q213_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile: each hour's mean event value
+    relative to the overall mean (index 1.0 = typical, >1 = hot hour)
+    — the seasonality factor a forecast or anomaly monitor divides out
+    before trending. Sums run in exact integer cents; the index is a
+    ratio of two exact-operand divisions, engine-bitwise. One
+    map-side-combinable shuffle to 24 rows + a broadcast total.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(F.hour("ts").alias("hod")).agg(
+        F.sum(cents).alias("cents"), F.count("*").alias("n")
+    )
+    tot = hourly.agg(
+        F.sum("cents").alias("all_cents"), F.sum("n").alias("all_n")
+    )
+    return hourly.crossJoin(F.broadcast(tot)).select(
+        "hod",
+        "cents",
+        "n",
+        (
+            (F.col("cents").cast("double") / F.col("n").cast("double"))
+            / (
+                F.col("all_cents").cast("double")
+                / F.col("all_n").cast("double")
+            )
+        ).alias("seasonal_index"),
+    )
+
+
+@_q(
+    "q214_target_encoding",
+    """
+    WITH g AS (
+      SELECT c_mktsegment AS seg,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1
+    )
+    SELECT c.c_custkey,
+           c.c_mktsegment AS seg,
+           CAST((g.sum_cents - CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                AS DOUBLE) / CAST(g.n - 1 AS DOUBLE) AS loo_mean_cents
+    FROM customer c JOIN g ON g.seg = c.c_mktsegment
+    """,
+)
+def q214_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each customer's segment encoded
+    as the mean balance of the OTHER members — the leakage-safe
+    categorical encoding for tabular ML ((sum - own)/(n - 1), which a
+    naive per-group mean join would leak). Group sums aggregate in
+    exact integer cents and broadcast back, so the encoding is one
+    map-side division per row — zero extra shuffles at any
+    cardinality, and bitwise engine-exact.
+    """
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    g = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.sum(cents).alias("sum_cents"), F.count("*").alias("n")
+    )
+    return (
+        c.withColumn("__cents", cents)
+        .join(F.broadcast(g), c.c_mktsegment == g.seg)
+        .select(
+            "c_custkey",
+            "seg",
+            (
+                (F.col("sum_cents") - F.col("__cents")).cast("double")
+                / (F.col("n") - 1).cast("double")
+            ).alias("loo_mean_cents"),
+        )
+    )
+
+
 def _q208_oracle() -> str:
     import hashlib
 
@@ -8814,7 +8909,7 @@ _PRIORITY = [
     "q205_partitioned_io", "q206_cogroup_balance",
     "q207_personalized_pagerank", "q208_media_dedup",
     "q209_grouped_quartiles", "q210_user_growth", "q211_temporal_join",
-    "q212_json_schema_census",
+    "q212_json_schema_census", "q213_seasonality", "q214_target_encoding",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
