@@ -243,3 +243,59 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core extraction: repeatedly peel nodes of degree < k until the
+    surviving subgraph has minimum degree >= k (or ``rounds`` fixed
+    iterations elapse) — the standard dense-community / noise-pruning
+    primitive (drop hangers-on before clustering, find the cohesive
+    heart of a co-occurrence graph).
+
+    Each round is one degree aggregation + two broadcast-able
+    anti-joins against the (usually small) peel set — the same
+    alternating join/agg shape as dedup_clusters, materialized per
+    round through the same checkpoint strategy. FIXED ``rounds`` (not
+    a convergence probe) keeps the computation exactly replayable by
+    a chained-CTE SQL oracle; peeling converges in O(log) rounds on
+    real graphs, and a converged round is a no-op, so extra rounds
+    cost one cheap empty-peel pass each.
+
+    Returns the surviving (node, degree) table — degrees measured IN
+    the core.
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    a, b = F.col(src), F.col(dst)
+    und = ckpt(
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = (
+            und.select(F.col("u").alias("x"))
+            .unionAll(und.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count("*").alias("d"))
+        )
+        bad = deg.filter(F.col("d") < k).select("x")
+        und = ckpt(
+            und.join(bad.withColumnRenamed("x", "u"), "u", "left_anti").join(
+                bad.withColumnRenamed("x", "v"), "v", "left_anti"
+            )
+        )
+    return (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )

@@ -8820,6 +8820,92 @@ def q214_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q215_oracle(k: int = 4, rounds: int = 8) -> str:
+    chain = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        chain.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT x, COUNT(*) AS d FROM (
+        SELECT u AS x FROM {prev} UNION ALL SELECT v AS x FROM {prev}
+      ) GROUP BY x
+    ), bad{i} AS MATERIALIZED (
+      SELECT x FROM d{i} WHERE d < {k}
+    ), e{i} AS MATERIALIZED (
+      SELECT u, v FROM {prev}
+      WHERE u NOT IN (SELECT x FROM bad{i})
+        AND v NOT IN (SELECT x FROM bad{i})
+    )"""
+        )
+        prev = f"e{i}"
+    return f"""
+    WITH cand AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v,
+             ABS(a.p_retailprice - b.p_retailprice) AS d
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+       AND ABS(a.p_retailprice - b.p_retailprice) <= 1.0
+    ), knn AS (
+      SELECT u, v FROM (
+        SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY d, v) AS rn
+        FROM cand) WHERE rn <= 8
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM knn
+    ), {", ".join(chain)}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+    ) GROUP BY node
+    """
+
+
+def q215_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the price-similarity k-NN graph (graph.k_core): peel
+    parts with fewer than 4 surviving neighbors until the remaining
+    subgraph has min degree >= 4 — the cohesive pricing heart of the
+    catalog, with hangers-on pruned. Fixed 8-round peeling keeps the
+    computation exactly replayable by the chained-CTE oracle (a
+    converged round is a no-op); same edge derivation as q176.
+    """
+    from .operators.graph import k_core
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("kk"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+        F.floor(F.col("p_retailprice")).cast("long").alias("bkt"),
+    )
+    probe = p.withColumn(
+        "__off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    ).select(
+        F.col("kk").alias("u"),
+        "brand",
+        F.col("price").alias("pu"),
+        (F.col("bkt") + F.col("__off")).alias("bkt"),
+    )
+    build = p.select(
+        F.col("kk").alias("v"), "brand", F.col("price").alias("pv"), "bkt"
+    )
+    cand = (
+        probe.join(build, ["brand", "bkt"])
+        .filter(
+            (F.col("u") != F.col("v"))
+            & (F.abs(F.col("pu") - F.col("pv")) <= 1.0)
+        )
+        .select("u", "v", F.abs(F.col("pu") - F.col("pv")).alias("d"))
+    )
+    wk = Window.partitionBy("u").orderBy(F.col("d").asc(), F.col("v").asc())
+    knn = (
+        cand.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= 8)
+        .select("u", "v")
+    )
+    return k_core(knn, k=4, rounds=8, src="u", dst="v")
+
+
+QUERIES["q215_k_core"] = q215_k_core
+ORACLES["q215_k_core"] = _q215_oracle()
+
+
 def _q208_oracle() -> str:
     import hashlib
 
@@ -8910,6 +8996,7 @@ _PRIORITY = [
     "q207_personalized_pagerank", "q208_media_dedup",
     "q209_grouped_quartiles", "q210_user_growth", "q211_temporal_join",
     "q212_json_schema_census", "q213_seasonality", "q214_target_encoding",
+    "q215_k_core",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",

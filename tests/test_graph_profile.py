@@ -97,3 +97,19 @@ def test_personalized_pagerank_mass_concentrates_on_seeds(spark):
     # global pagerank, by contrast, ranks both hubs identically
     pr = {r.node: r.rank for r in pagerank(e, 3).collect()}
     assert pr["A"] == pr["B"] > 0
+
+
+def test_k_core_peels_to_clique(spark):
+    from etl_java_spark.operators.graph import k_core
+
+    # K5 (every vertex degree 4) + a chain hanging off it: the 4-core
+    # is exactly the K5; peeling must cascade through the chain.
+    k5 = [(i, j) for i in range(5) for j in range(5) if i < j]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(k5 + chain, ["src", "dst"])
+    core = {r.node: r.degree for r in k_core(e, k=4, rounds=8).collect()}
+    assert set(core) == {0, 1, 2, 3, 4}
+    assert all(d == 4 for d in core.values())
+    # 2-core of a pure chain is empty (endpoints peel, cascade inward)
+    chain_only = spark.createDataFrame(chain, ["src", "dst"])
+    assert k_core(chain_only, k=2, rounds=8).count() == 0
