@@ -8820,6 +8820,85 @@ def q214_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q216_one_big_table",
+    """
+    WITH obt AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+             o.o_orderdate, o.o_orderpriority,
+             c.c_mktsegment, n.n_name AS nation, r.r_name AS region,
+             p.p_brand, s.s_name AS supplier
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT region) AS BIGINT) AS n_regions,
+           CAST(SUM(CAST('0x' || SUBSTRING(
+               md5(CONCAT_WS(CHR(31),
+                   CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                   o_orderpriority, c_mktsegment, nation, region, p_brand,
+                   supplier)),
+               1, 12) AS BIGINT)) AS VARCHAR) AS checksum
+    FROM obt
+    """,
+)
+def q216_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-big-table denormalization: lineitem joined to ALL six
+    dimensions in a single DAG (every dim broadcast — the star-schema
+    flattening that feeds BI extracts and feature stores), verified by
+    the order-independent dataset checksum over the denormalized key
+    and dimension attributes (the q168 md5-prefix sum). A dropped or
+    duplicated row from any of the six joins moves the checksum.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    obt = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderpriority",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "p_brand",
+            F.col("s_name").alias("supplier"),
+        )
+    )
+    row_sig = F.concat_ws(
+        "\x1f",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        "o_orderpriority",
+        "c_mktsegment",
+        "nation",
+        "region",
+        "p_brand",
+        "supplier",
+    )
+    h48 = F.conv(F.substring(F.md5(row_sig), 1, 12), 16, 10).cast("long")
+    return obt.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("region").alias("n_regions"),
+        F.sum(h48.cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )
+
+
 def _q215_oracle(k: int = 4, rounds: int = 8) -> str:
     chain = []
     prev = "e0"
@@ -8996,7 +9075,7 @@ _PRIORITY = [
     "q207_personalized_pagerank", "q208_media_dedup",
     "q209_grouped_quartiles", "q210_user_growth", "q211_temporal_join",
     "q212_json_schema_census", "q213_seasonality", "q214_target_encoding",
-    "q215_k_core",
+    "q215_k_core", "q216_one_big_table",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
