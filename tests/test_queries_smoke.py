@@ -12,9 +12,14 @@ from etl_java_spark import queries as Q
 # are slower; the smoke here covers the relational + text corpus.
 SMOKE = [n for n in Q.QUERIES if not n.startswith(("q50", "q54", "q55"))]
 
+# legitimately empty at sf0.001 (still oracle-checked for exact
+# agreement): the 200-part price k-NN graph has no 4-core.
+MAY_BE_EMPTY_AT_SMOKE = {"q215_k_core"}
+
 
 @pytest.mark.parametrize("name", SMOKE)
 def test_query_runs(spark, sf_small, name):
     df = Q.QUERIES[name](spark, sf_small)
     assert len(df.columns) > 0
-    assert df.count() > 0
+    n = df.count()
+    assert n > 0 or name in MAY_BE_EMPTY_AT_SMOKE
