@@ -94,3 +94,33 @@ def test_q13_insert_if_absent_no_cartesian(spark):
     plan = plan_of(spark, "q13_insert_if_absent")
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_one_big_table_joins_all_broadcast(spark, sf_small):
+    """q216's six dimension joins must ALL resolve as broadcast hash
+    joins — a sort-merge in the star flattening means a dim table
+    silently stopped broadcasting."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from etl_java_spark import queries as Q
+
+    df = Q.QUERIES["q216_one_big_table"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan
+
+
+def test_seasonality_single_data_shuffle(spark, sf_small):
+    """q213 aggregates the event table once (map-side combinable to 24
+    rows); the only other exchange feeds the 1-row broadcast total."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from etl_java_spark import queries as Q
+
+    df = Q.QUERIES["q213_seasonality"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # partial aggregation present -> the event scan combines map-side
+    assert "partial_sum" in plan or "partial_count" in plan
