@@ -8899,6 +8899,56 @@ def q216_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q217_rfm_segments",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), scored AS (
+      SELECT user_id,
+             NTILE(5) OVER (ORDER BY last_ts, user_id) AS r,
+             NTILE(5) OVER (ORDER BY freq, user_id) AS f,
+             NTILE(5) OVER (ORDER BY cents, user_id) AS m
+      FROM per_user
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def q217_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every purchasing user scored 1-5 on Recency
+    (last purchase), Frequency (purchase count), and Monetary (exact
+    cents), each by NTILE with a user-id tiebreak, then counted per
+    (r, f, m) cell — the classic marketing segmentation grid. One
+    grouped aggregate to the per-user table; the three quintile
+    windows run over that user-sized table (at true scale swap them
+    for q172's two-phase equi-depth bins — same arithmetic).
+    """
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("freq"),
+            F.sum(cents).alias("cents"),
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy("last_ts", "user_id")).alias("r"),
+        F.ntile(5).over(Window.orderBy("freq", "user_id")).alias("f"),
+        F.ntile(5).over(Window.orderBy("cents", "user_id")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(F.count("*").alias("n_users"))
+
+
 def _q215_oracle(k: int = 4, rounds: int = 8) -> str:
     chain = []
     prev = "e0"
@@ -9075,7 +9125,7 @@ _PRIORITY = [
     "q207_personalized_pagerank", "q208_media_dedup",
     "q209_grouped_quartiles", "q210_user_growth", "q211_temporal_join",
     "q212_json_schema_census", "q213_seasonality", "q214_target_encoding",
-    "q215_k_core", "q216_one_big_table",
+    "q215_k_core", "q216_one_big_table", "q217_rfm_segments",
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
