@@ -68,6 +68,13 @@ QUERY_SLICE = [
     "q178_cms_heavy_hitters",
     "q181_training_shuffle",
     "q183_pmi_collocations",
+    # r4 final wave
+    "q211_temporal_join",
+    "q213_seasonality",
+    "q214_target_encoding",
+    "q215_k_core",
+    "q216_one_big_table",
+    "q217_rfm_segments",
 ]
 
 
