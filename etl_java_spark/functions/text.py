@@ -157,6 +157,28 @@ def rolling_hash(col, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
     )
 
 
+# ASCII control characters (minus \t \n \r, which are whitespace and
+# handled by the collapse step) plus DEL. Kept as an explicit class so
+# the DuckDB oracle can use the character-identical regex.
+CONTROL_CHAR_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def canonicalize(col, lowercase: bool = True) -> Column:
+    """Canonical text form for fingerprinting/dedup: strip ASCII control
+    characters, collapse whitespace runs to single spaces, trim, and
+    (by default) lowercase.
+
+    Pure Column expression chain — two regexp_replace + trim + lower,
+    all inside whole-stage codegen; a 100 TB corpus pass is map-only
+    with zero Python. Charter §2B text-canonicalization op (no
+    reference counterpart; the reference's only string ops are
+    lower/upper/concat, src/etl/ETLProcess.java).
+    """
+    c = F.regexp_replace(_c(col), CONTROL_CHAR_PATTERN, "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.lower(c) if lowercase else c
+
+
 def fingerprint(col) -> Column:
     """Stable 64-bit-ish document fingerprint: md5 of normalized text.
 

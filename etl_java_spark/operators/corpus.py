@@ -298,3 +298,132 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring spans (character k-gram blocking)
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    every: int = 16,
+) -> DataFrame:
+    """Per-document exact duplicate-substring statistics via
+    CONTENT-DEFINED k-gram sampling (winnowing style): hash every
+    character ``k``-gram, keep the ~1/``every`` whose hash ≡ 0, and
+    count how many of a document's kept spans occur verbatim in at
+    least one OTHER document.
+
+    Content-defined — not position-strided — selection is the load-
+    bearing choice: a duplicated region keeps the same k-grams and
+    therefore the same SELECTED k-grams wherever it lands in the new
+    document, so boilerplate injected at any offset is still caught
+    (a fixed-stride sampler goes blind the moment an insertion shifts
+    alignment). This is the sampled form of exact-substring training-
+    data dedup: any duplicated run of >= k + every·E chars is expected
+    to contribute E shared samples.
+
+    Shapes at 100 TB: the explode is len rows per doc but the hash
+    filter runs map-side in the same stage, so only ~len/every span
+    hashes per doc reach the distinct/shuffle; the duplicated-hash
+    list (only hashes seen in >=2 docs) broadcasts back onto the
+    samples. The grouping key is a 60-bit hash, never the string, so
+    shuffles carry 8-byte keys. Hash = md5-prefix (md5_hash60), which
+    any engine reproduces bit-for-bit — collisions at 2^-60 merge two
+    spans, the standard accepted risk. Returns
+    (id, n_spans, n_dup_spans, dup_frac) for every doc with at least
+    one selected span; dup_frac is one double division of exact counts.
+    """
+    from .dedup import md5_hash60
+
+    base = df.select(F.col(id_col), F.col(text_col).alias("__t")).filter(
+        F.length("__t") >= k
+    )
+    spans = base.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.length("__t") - (k - 1), F.lit(1))
+        ).alias("__pos"),
+        F.col("__t"),
+    ).select(
+        F.col(id_col),
+        md5_hash60(F.expr(f"substring(__t, __pos, {k})")).alias("__h"),
+    ).filter(F.col("__h") % every == 0)
+    # A doc repeating a span internally must not count as cross-doc
+    # duplication: collapse to distinct (doc, span) first.
+    doc_spans = spans.distinct()
+    shared = (
+        doc_spans.groupBy("__h")
+        .agg(F.count("*").alias("__docs"))
+        .filter(F.col("__docs") >= 2)
+        .select("__h")
+    )
+    flagged = doc_spans.join(F.broadcast(shared), "__h", "left_semi").groupBy(
+        id_col
+    ).agg(F.count("*").alias("n_dup_spans"))
+    totals = doc_spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    return (
+        totals.join(flagged, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            (
+                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                / F.col("n_spans").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval split leakage audit
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    shingle_n: int = 1,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+    token_pattern: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs that CROSS split boundaries — the pairs that
+    leak training text into evaluation. A train/test split made before
+    dedup silently inflates eval scores; this audit quantifies it.
+
+    Candidates come from the same inverted-index blocking as
+    ``dedup.ngram_jaccard_pairs`` (hot-shingle cap bounds the quadratic
+    bucket); the split labels are joined on afterwards, so the pair
+    generation cost is identical to a plain near-dup pass and the
+    filter to cross-split pairs is free. Returns
+    (id_a, id_b, split_a, split_b, jaccard) for pairs whose splits
+    differ, jaccard >= threshold.
+    """
+    from . import dedup as DD
+
+    pairs = DD.ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n, threshold, max_shingle_freq, token_pattern
+    )
+    labels = df.select(F.col(id_col), F.col(split_col))
+    out = (
+        pairs.join(
+            labels.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                split_col, "split_a"
+            ),
+            "id_a",
+        )
+        .join(
+            labels.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                split_col, "split_b"
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return out.select("id_a", "id_b", "split_a", "split_b", "jaccard")

@@ -101,6 +101,96 @@ def minhash_signature(
     )
 
 
+def _band_rows(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, band_hash) LSH band rows — the shape shared by the
+    one-shot pair join and the persistable incremental index."""
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("minhash_sig"), b * rows_per_band + 1, rows_per_band
+                    ).cast("string")
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persistable LSH index over a historical corpus: (id, band,
+    band_hash) rows. Write this out partitioned/bucketed by
+    (band, band_hash) and each day's ingest dedups against it WITHOUT
+    re-pairing the historical corpus with itself — the operation that
+    turns O(corpus^2)-per-day into O(batch x bucket).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    return _band_rows(sigs.filter(F.col("minhash_sig").isNotNull()), id_col, bands, rows)
+
+
+def minhash_incremental_pairs(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup: verified pairs touching the NEW batch only
+    (new-vs-index plus new-vs-new) — historical pairs are never
+    re-derived. ``index`` takes a precomputed :func:`minhash_index`
+    (the production path: read it back from its bucketed layout);
+    otherwise it is built from ``old_df`` in-flight.
+
+    The new batch is orders of magnitude smaller than the index, so the
+    bucket join probes with the batch side and the verify stage's text
+    semi-join pulls only the touched historical docs. Returns
+    (id_a, id_b, jaccard) with id_a < id_b, id_b always a new-batch doc
+    when the pair crosses, and exact shingle Jaccard >= threshold.
+    """
+    rows = num_hashes // bands
+    if index is None:
+        index = minhash_index(old_df, text_col, id_col, num_hashes, bands, shingle_n)
+    new_banded = minhash_index(new_df, text_col, id_col, num_hashes, bands, shingle_n)
+    o, n = index.alias("o"), new_banded.alias("n")
+    cross = o.join(
+        n,
+        (F.col("o.band") == F.col("n.band"))
+        & (F.col("o.band_hash") == F.col("n.band_hash")),
+    ).select(
+        F.least(F.col(f"o.{id_col}"), F.col(f"n.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"o.{id_col}"), F.col(f"n.{id_col}")).alias("id_b"),
+    )
+    a, b = new_banded.alias("a"), new_banded.alias("b")
+    within = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    pairs = cross.unionByName(within).filter(F.col("id_a") != F.col("id_b")).distinct()
+    pairs = pairs.localCheckpoint(eager=True)
+    corpus = old_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        new_df.select(F.col(id_col), F.col(text_col))
+    )
+    return jaccard_verify(corpus, pairs, text_col, id_col, shingle_n, threshold)
+
+
 def minhash_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -126,17 +216,7 @@ def minhash_candidate_pairs(
     report how many buckets were capped (costs one aggregate; keep off
     in production pipelines).
     """
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("minhash_sig"), b * rows_per_band + 1, rows_per_band).cast("string")
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = _band_rows(sigs, id_col, bands, rows_per_band)
     if max_bucket_size is not None:
         # Hot-bucket list is tiny (only buckets > cap) -> broadcast anti-join;
         # the count agg is map-side combinable so the extra pass is cheap

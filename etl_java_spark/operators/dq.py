@@ -556,3 +556,61 @@ def profile_strings(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(col_name, n, n_null, n_distinct, min_len, max_len, n_blank)"
     )
+
+
+def discover_keys(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Candidate-key discovery profile: per column, row count, distinct
+    count, null count, and an is_candidate_key flag (distinct == rows,
+    zero nulls). Schema archaeology for undocumented tables — the step
+    before declaring the dq.check_unique / check_foreign_key contracts.
+
+    One aggregation pass over the table (all count-distincts in one
+    agg; Spark expands multi-distinct aggregates into a single
+    partial-agg expand, not one scan per column) + a stack unpivot.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"__n_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+            (F.count("*") - F.count(c)).alias(f"__null_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', __n_{c}, __dist_{c}, __null_{c}" for c in cols)
+    prof = one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_rows, n_distinct, n_null)"
+    )
+    return prof.withColumn(
+        "is_candidate_key",
+        (F.col("n_distinct") == F.col("n_rows")) & (F.col("n_null") == 0),
+    )
+
+
+def fk_containment(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> DataFrame:
+    """Foreign-key containment measurement: what fraction of the child
+    column's DISTINCT non-null values exist in the parent column?
+    1.0 = a clean FK candidate; below 1.0 quantifies orphan keys.
+
+    Distinct-reduce both sides first (map-side combinable), then a
+    left join on the key — when the parent key set is dimension-sized
+    it broadcasts; two fact-sized key sets fall back to one shuffle
+    each on the join key. The division is one double op over exact
+    counts.
+    """
+    ckeys = child.select(F.col(child_col).alias("__k")).filter(
+        F.col("__k").isNotNull()
+    ).distinct()
+    pkeys = parent.select(F.col(parent_col).alias("__k")).distinct()
+    flags = ckeys.join(
+        pkeys.withColumn("__hit", F.lit(1)), "__k", "left"
+    )
+    return flags.agg(
+        F.count("*").alias("n_child_distinct"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_matched"),
+        (
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("containment"),
+    )

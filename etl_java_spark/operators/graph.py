@@ -299,3 +299,71 @@ def k_core(
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row degree summary + degree assortativity of an undirected
+    edge list (each input row = one undirected edge, endpoints in
+    either order): node/edge counts, min/max/avg degree, and the
+    Pearson correlation between the degrees at the two ends of every
+    edge (each edge counted in both directions, the standard Newman
+    definition) — positive means hubs link to hubs.
+
+    Degrees are exact integers, so every correlation moment is summed
+    in DECIMAL (order-independent, no double accumulation drift); the
+    final expression is a handful of IEEE double ops rounded to 12
+    decimals, same discipline as queries.q85_deterministic_corr.
+    Two shuffles total: the degree count and the (broadcastable)
+    degree join back onto edges.
+    """
+    ends = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    both = ends.unionByName(ends.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count("*").alias("deg"))
+    summary = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.min("deg").alias("min_degree"),
+        F.max("deg").alias("max_degree"),
+        (F.sum("deg").cast("double") / F.count("*").cast("double")).alias(
+            "avg_degree"
+        ),
+    )
+    du = deg.select(F.col("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dy"))
+    ed = both.join(du, "u").join(dv, "v")
+    # DECIMAL(18,0) factors: products stay within DECIMAL(36,0), which
+    # BOTH engines can multiply and sum exactly (38x38 overflows DuckDB's
+    # multiply); degrees are < 1e9 on any real graph so 18 digits is slack.
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    mom = ed.agg(
+        F.count("*").alias("m"),
+        F.sum(dec(F.col("dx"))).alias("sx"),
+        F.sum(dec(F.col("dy"))).alias("sy"),
+        F.sum(dec(F.col("dx")) * dec(F.col("dy"))).alias("sxy"),
+        F.sum(dec(F.col("dx")) * dec(F.col("dx"))).alias("sxx"),
+        F.sum(dec(F.col("dy")) * dec(F.col("dy"))).alias("syy"),
+    )
+    m = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    # try_divide: a degree-regular graph has zero degree variance and no
+    # defined assortativity -> NULL, not an ANSI divide-by-zero crash.
+    assort = mom.select(
+        (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            F.try_divide(
+                sxy - sx * sy / m,
+                F.sqrt((sxx - sx * sx / m) * (syy - sy * sy / m)),
+            ),
+            12,
+        ).alias("assortativity"),
+    )
+    return summary.crossJoin(assort).select(
+        "n_nodes", "n_edges", "min_degree", "max_degree",
+        "avg_degree", "assortativity",
+    )

@@ -9097,6 +9097,432 @@ ORACLES["q208_media_dedup"] = _q208_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave: canonicalization, leakage audit, incremental dedup,
+# schema discovery, exact-substring spans, graph degree structure.
+
+from .operators.sampling import key_bucket_sql as _kbsql  # noqa: E402
+
+
+@_q(
+    "q218_text_canonicalize",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, '  ' || UPPER(text) || CHR(9) || CHR(10)
+      FROM documents WHERE doc_id < 100
+    ), canon AS (
+      SELECT source, text,
+             LOWER(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(text,
+               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+               '\s+', ' ', 'g'))) AS ct
+      FROM corpus
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN ct <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_before,
+           CAST(SUM(LENGTH(ct)) AS BIGINT) AS chars_after,
+           COUNT(DISTINCT ct) AS n_distinct_canon
+    FROM canon GROUP BY source
+    """,
+)
+def q218_text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization audit (functions.text.canonicalize): strip
+    control chars, collapse whitespace, lowercase — then measure, per
+    source, how many docs changed and how many distinct canonical forms
+    remain (noisy re-crawls of the same page collapse to one form; the
+    injected UPPER+whitespace variants of the first 100 docs model
+    exactly that). Map-only canonicalization inside codegen + one agg;
+    the regex chain is character-identical on both engines.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    noisy = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat(F.lit("  "), F.upper("text"), F.lit("\t\n")).alias("text"),
+    )
+    corpus = d.unionByName(noisy)
+    canon = corpus.select("source", "text", TX.canonicalize("text").alias("ct"))
+    return canon.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("ct") != F.col("text")).cast("long")).alias("n_changed"),
+        F.sum(F.length("text")).alias("chars_before"),
+        F.sum(F.length("ct")).alias("chars_after"),
+        F.countDistinct("ct").alias("n_distinct_canon"),
+    )
+
+
+_Q219_SHINGLE_CTES = r"""
+    toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^\p{L}\p{N}]+'),
+                         t -> t <> '') AS tk
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+        CASE WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+             ELSE LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        END)) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT c.id_a, c.id_b,
+             CAST(c.n_common AS DOUBLE)
+               / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE) AS jaccard
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(c.n_common AS DOUBLE)
+              / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE) >= 0.5
+    )
+"""
+
+
+@_q(
+    "q219_split_leakage",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+      FROM documents WHERE doc_id < 50
+    ), """
+    + _Q219_SHINGLE_CTES
+    + """
+    , lab AS (
+      SELECT doc_id,
+             CASE WHEN bkt < 8000 THEN 'train'
+                  WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, __BKT_EXPR__ AS bkt FROM corpus)
+    )
+    SELECT p.id_a, p.id_b, la.split AS split_a, lb.split AS split_b, p.jaccard
+    FROM pairs p
+    JOIN lab la ON la.doc_id = p.id_a
+    JOIN lab lb ON lb.doc_id = p.id_b
+    WHERE la.split <> lb.split
+    """.replace("__BKT_EXPR__", _kbsql("doc_id")),
+)
+def q219_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split-leakage audit (corpus.split_leakage): near-dup
+    pairs (exact 3-gram-shingle Jaccard >= 0.5 via inverted-index
+    blocking — recall 1.0 by construction, no LSH involved) whose two
+    docs landed in DIFFERENT splits of the deterministic key-hash
+    split. The injected mutated twins (doc_id+1e6) hash to unrelated
+    buckets, modeling the classic failure: split first, dedup never.
+    """
+    from .operators.sampling import assign_split
+    from .operators.corpus import split_leakage
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+    )
+    corpus = assign_split(d.unionByName(mutated), "doc_id", 0.8, 0.1)
+    return split_leakage(
+        corpus, "text", "doc_id", "split",
+        shingle_n=3, threshold=0.5, max_shingle_freq=10**9,
+    ).orderBy("id_a", "id_b")
+
+
+@_q(
+    "q220_incremental_neardup",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+      FROM documents WHERE doc_id < 60
+    ), """
+    + _Q219_SHINGLE_CTES
+    + """
+    SELECT id_a, id_b, jaccard FROM pairs WHERE id_b >= 1000000
+    """,
+)
+def q220_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (dedup.minhash_incremental_pairs): today's
+    ingest batch (the 60 mutated twins) dedups against the historical
+    corpus via a persistable LSH band index — new-vs-index and
+    new-vs-new pairs only, the historical corpus is never re-paired
+    with itself. Output is exact verify-stage Jaccard, so the DuckDB
+    replay of all pairs touching the batch also asserts index recall
+    = 1.0 on this fixture (same banding as q50, where that recall is a
+    measured fact). Like q50, the recall-1.0 property is a fact of the
+    sf0.01 gate fixture: at sf0.001 one borderline pair sitting exactly
+    at J=0.50 falls outside every band (77 vs 78) — banded LSH is
+    approximate by design.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+    )
+    return DD.minhash_incremental_pairs(
+        d, new, "text", "doc_id",
+        num_hashes=32, bands=8, shingle_n=3, threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+@_q(
+    "q221_fk_discovery",
+    """
+    WITH r1 AS (
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+             COUNT(*) AS n_child_distinct,
+             CAST(SUM(CASE WHEN p.pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             CAST(SUM(CASE WHEN p.pk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS containment
+      FROM (SELECT DISTINCT l_orderkey AS ck FROM lineitem WHERE l_orderkey IS NOT NULL) c
+      LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p ON c.ck = p.pk
+    ), r2 AS (
+      SELECT 'orders.o_custkey->customer.c_custkey' AS relation,
+             COUNT(*),
+             CAST(SUM(CASE WHEN p.pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN p.pk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
+      FROM (SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_custkey IS NOT NULL) c
+      LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p ON c.ck = p.pk
+    ), r3 AS (
+      SELECT 'orders.o_custkey->customer_pruned.c_custkey' AS relation,
+             COUNT(*),
+             CAST(SUM(CASE WHEN p.pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN p.pk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
+      FROM (SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_custkey IS NOT NULL) c
+      LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer
+                 WHERE c_custkey % 7 <> 0) p ON c.ck = p.pk
+    )
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+    """,
+)
+def q221_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key containment measurement (dq.fk_containment): for each
+    candidate relationship, the fraction of distinct child keys present
+    in the parent — 1.0 for the two real TPC-H FKs, and quantified
+    orphan-rate against a deliberately pruned parent (every 7th
+    customer dropped). Distinct-reduce both sides then one
+    (broadcastable) key join per relationship; schema archaeology for
+    inherited tables before declaring dq contracts.
+    """
+    from .operators.dq import fk_containment
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def lbl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("relation"),
+            "n_child_distinct", "n_matched", "containment",
+        )
+
+    r1 = lbl(
+        fk_containment(li, "l_orderkey", o, "o_orderkey"),
+        "lineitem.l_orderkey->orders.o_orderkey",
+    )
+    r2 = lbl(
+        fk_containment(o, "o_custkey", c, "c_custkey"),
+        "orders.o_custkey->customer.c_custkey",
+    )
+    r3 = lbl(
+        fk_containment(
+            o, "o_custkey", c.filter(F.col("c_custkey") % 7 != 0), "c_custkey"
+        ),
+        "orders.o_custkey->customer_pruned.c_custkey",
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+@_q(
+    "q222_key_discovery",
+    """
+    SELECT col_name, n_rows, n_distinct, n_null,
+           (n_distinct = n_rows AND n_null = 0) AS is_candidate_key
+    FROM (
+      SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             COUNT(*) - COUNT(o_orderkey) AS n_null FROM orders
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*), COUNT(DISTINCT o_custkey),
+             COUNT(*) - COUNT(o_custkey) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*), COUNT(DISTINCT o_orderstatus),
+             COUNT(*) - COUNT(o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*), COUNT(DISTINCT o_orderpriority),
+             COUNT(*) - COUNT(o_orderpriority) FROM orders
+    ) t
+    """,
+)
+def q222_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery (dq.discover_keys): one aggregation pass
+    computes rows/distinct/null per column and flags exact unique keys
+    — o_orderkey qualifies, the status/priority enums don't. The
+    multi-distinct agg is a single Expand-based pass, not one scan per
+    column.
+    """
+    from .operators.dq import discover_keys
+
+    o = _t(spark, sf_dir, "orders")
+    return discover_keys(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@_q(
+    "q223_dup_spans",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'prefix boilerplate banner :: ' || text
+      FROM documents WHERE doc_id < 50
+    ), base AS (
+      SELECT doc_id, text FROM corpus WHERE LENGTH(text) >= 64
+    ), pos AS (
+      SELECT doc_id, text,
+             UNNEST(generate_series(1, LENGTH(text) - 63, 1)) AS p
+      FROM base
+    ), ds AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(SUBSTRING(text, p, 64)), 1, 15)) AS BIGINT) AS h
+        FROM pos
+      ) WHERE h % 16 = 0
+    ), shared AS (
+      SELECT h FROM ds GROUP BY h HAVING COUNT(*) >= 2
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_spans FROM ds GROUP BY doc_id
+    ), dup AS (
+      SELECT doc_id, COUNT(*) AS n_dup FROM ds
+      WHERE h IN (SELECT h FROM shared) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_spans,
+           COALESCE(d.n_dup, 0) AS n_dup_spans,
+           CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(t.n_spans AS DOUBLE) AS dup_frac
+    FROM tot t LEFT JOIN dup d USING (doc_id)
+    """,
+)
+def q223_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (corpus.dup_spans): content-
+    defined sampling of character 64-grams (keep hash % 16 == 0) finds
+    verbatim cross-document spans REGARDLESS of where they sit — the
+    injected copies carry a 29-char prefix precisely so a naive
+    position-strided sampler would miss every one of them. Per-doc
+    duplicated-span fraction drives trim/drop decisions in training-
+    data pipelines (repeated boilerplate memorizes).
+    """
+    from .operators.corpus import dup_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("prefix boilerplate banner :: "), F.col("text")).alias("text"),
+    )
+    return dup_spans(
+        d.unionByName(mutated), "text", "doc_id", k=64, every=16
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q224_degree_stats",
+    """
+    WITH cand AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v,
+             ABS(a.p_retailprice - b.p_retailprice) AS d
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+       AND ABS(a.p_retailprice - b.p_retailprice) <= 1.0
+    ), knn AS (
+      SELECT u, v FROM (
+        SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY d, v) AS rn
+        FROM cand) WHERE rn <= 8
+    ), e0 AS (
+      SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM knn
+    ), both_dir AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ), deg AS (
+      SELECT u, COUNT(*) AS deg FROM both_dir GROUP BY u
+    ), summ AS (
+      SELECT COUNT(*) AS n_nodes, MIN(deg) AS min_degree, MAX(deg) AS max_degree,
+             CAST(SUM(deg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_degree
+      FROM deg
+    ), ed AS (
+      SELECT du.deg AS dx, dv.deg AS dy
+      FROM both_dir b JOIN deg du ON du.u = b.u JOIN deg dv ON dv.u = b.v
+    ), mom AS (
+      SELECT COUNT(*) AS m,
+             SUM(CAST(dx AS DECIMAL(18,0))) AS sx,
+             SUM(CAST(dy AS DECIMAL(18,0))) AS sy,
+             SUM(CAST(dx AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0))) AS sxy,
+             SUM(CAST(dx AS DECIMAL(18,0)) * CAST(dx AS DECIMAL(18,0))) AS sxx,
+             SUM(CAST(dy AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0))) AS syy
+      FROM ed
+    )
+    SELECT n_nodes, CAST(m / 2 AS BIGINT) AS n_edges, min_degree, max_degree,
+           avg_degree,
+           ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
+             / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                  * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))), 12)
+             AS assortativity
+    FROM summ, mom
+    """,
+)
+def q224_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree structure of the price-similarity k-NN graph
+    (graph.degree_stats): node/edge counts, degree range/mean, and
+    Newman degree assortativity from exact decimal moments (same edge
+    derivation as q215/q176, same determinism discipline as q85).
+    Assortativity tells you whether the hub-pruning in q176 is load-
+    bearing before you pay for it.
+    """
+    from .operators.graph import degree_stats
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("kk"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+        F.floor(F.col("p_retailprice")).cast("long").alias("bkt"),
+    )
+    probe = p.withColumn(
+        "__off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    ).select(
+        F.col("kk").alias("u"),
+        "brand",
+        F.col("price").alias("pu"),
+        (F.col("bkt") + F.col("__off")).alias("bkt"),
+    )
+    build = p.select(
+        F.col("kk").alias("v"), "brand", F.col("price").alias("pv"), "bkt"
+    )
+    cand = (
+        probe.join(build, ["brand", "bkt"])
+        .filter(
+            (F.col("u") != F.col("v"))
+            & (F.abs(F.col("pu") - F.col("pv")) <= 1.0)
+        )
+        .select("u", "v", F.abs(F.col("pu") - F.col("pv")).alias("d"))
+    )
+    wk = Window.partitionBy("u").orderBy(F.col("d").asc(), F.col("v").asc())
+    knn = (
+        cand.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= 8)
+        .select("u", "v")
+    )
+    edges = knn.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    return degree_stats(edges, "u", "v")
+
+
+# ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
 # round. Strategy (VERDICT r3 #6): newly-oracled queries first (no green
@@ -9107,7 +9533,12 @@ ORACLES["q208_media_dedup"] = _q208_oracle()
 # by the first wave's q154-q169 — together they fill the ~50-row gate.
 
 _PRIORITY = [
-    # 0) brand-new this round (r4) — never registered before
+    # -1) brand-new this round (r5) — never registered before
+    "q218_text_canonicalize", "q219_split_leakage",
+    "q220_incremental_neardup", "q221_fk_discovery",
+    "q222_key_discovery", "q223_dup_spans", "q224_degree_stats",
+    # 0) new in r4 — the r4 gate record was never written, so none of
+    #    these has a recorded row yet; they stay at the head of the line
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",
     "q173_mad_outliers", "q174_weighted_sample", "q175_embedding_quantize",
     "q176_triangle_count", "q177_grid_distance_join", "q178_cms_heavy_hitters",

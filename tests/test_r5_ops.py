@@ -1,0 +1,209 @@
+"""Round-5 operators: canonicalization, duplicate-span sampling, split
+leakage, incremental MinHash index, key/FK discovery, degree stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_java_spark.functions.text import canonicalize
+from etl_java_spark.operators.corpus import dup_spans, split_leakage
+from etl_java_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    minhash_incremental_pairs,
+    minhash_index,
+)
+from etl_java_spark.operators.dq import discover_keys, fk_containment
+from etl_java_spark.operators.graph import degree_stats
+from etl_java_spark.operators.sampling import assign_split
+
+
+# ---------------------------------------------------------------------------
+# canonicalize
+
+
+def test_canonicalize_strips_controls_and_collapses_ws(spark):
+    df = spark.createDataFrame(
+        [("  Hello\x00\x01 WORLD\t\t x\x7f  ",), ("already canonical",), (None,)],
+        ["t"],
+    )
+    out = [r[0] for r in df.select(canonicalize("t")).collect()]
+    assert out[0] == "hello world x"
+    assert out[1] == "already canonical"
+    assert out[2] is None
+
+
+def test_canonicalize_keeps_case_when_asked(spark):
+    df = spark.createDataFrame([("A  B\nC",)], ["t"])
+    assert df.select(canonicalize("t", lowercase=False)).first()[0] == "A B C"
+
+
+def test_canonicalize_idempotent(spark):
+    df = spark.createDataFrame([("  MiXeD \t ca\x07se  text ",)], ["t"])
+    once = df.select(canonicalize("t").alias("c"))
+    twice = once.select(canonicalize("c").alias("c2")).first()[0]
+    assert twice == once.first()[0]
+
+
+# ---------------------------------------------------------------------------
+# dup_spans
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dup_spans_catches_shifted_copy(spark):
+    body = "the quick brown fox jumps over the lazy dog and keeps going " * 4
+    df = _docs(
+        spark,
+        [(1, body), (2, "PREFIX SHIFTS EVERYTHING >> " + body), (3, "z" * 10)],
+    )
+    out = {r["doc_id"]: r for r in dup_spans(df, k=64, every=4).collect()}
+    # doc 3 is shorter than k and absent entirely
+    assert 3 not in out
+    # the copied body shares content-defined samples despite the shift
+    assert out[1]["n_dup_spans"] > 0
+    assert out[2]["n_dup_spans"] > 0
+    assert 0 < out[1]["dup_frac"] <= 1.0
+
+
+def test_dup_spans_unique_docs_have_zero_dup(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "completely unique text that appears nowhere else at all ok " * 3),
+            (2, "a different document with its own words and nothing shared " * 3),
+        ],
+    )
+    out = dup_spans(df, k=64, every=1).collect()
+    assert all(r["n_dup_spans"] == 0 and r["dup_frac"] == 0.0 for r in out)
+
+
+def test_dup_spans_internal_repeat_not_cross_doc(spark):
+    # One doc repeating its own content must not count as duplicated
+    df = _docs(spark, [(1, "self repeating phrase here ok " * 10)])
+    out = dup_spans(df, k=64, every=1).collect()
+    assert len(out) == 1 and out[0]["n_dup_spans"] == 0
+
+
+# ---------------------------------------------------------------------------
+# split_leakage
+
+
+def test_split_leakage_only_cross_split_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = assign_split(
+        _docs(
+            spark,
+            [(i, base) for i in range(20)]  # all near-identical
+            + [(100 + i, f"totally different text number {i} with unique words") for i in range(3)],
+        ),
+        "doc_id",
+    )
+    out = split_leakage(df, shingle_n=3, threshold=0.9)
+    rows = out.collect()
+    assert all(r["split_a"] != r["split_b"] for r in rows)
+    assert all(r["jaccard"] >= 0.9 for r in rows)
+    # the identical docs land in >1 split under the hash, so leaks exist
+    assert len(rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# incremental minhash
+
+
+def test_incremental_pairs_never_repair_history(spark):
+    old = _docs(
+        spark,
+        [(i, f"historical document {i} " + "shared boilerplate phrase " * 5) for i in range(10)],
+    )
+    new = _docs(
+        spark,
+        [(100, "historical document 0 " + "shared boilerplate phrase " * 5 + "tail")],
+    )
+    pairs = minhash_incremental_pairs(
+        old, new, "text", "doc_id", threshold=0.5
+    ).collect()
+    # every returned pair touches the new batch
+    assert all(r["id_a"] == 100 or r["id_b"] == 100 for r in pairs)
+    assert len(pairs) > 0
+
+
+def test_incremental_pairs_match_full_run_restricted(spark):
+    rows_old = [(i, f"doc number {i} with body text " + "common words here " * (i % 4)) for i in range(15)]
+    rows_new = [(100 + i, f"doc number {i} with body text " + "common words here " * (i % 4)) for i in range(5)]
+    old, new = _docs(spark, rows_old), _docs(spark, rows_new)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_incremental_pairs(old, new, "text", "doc_id", threshold=0.8).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            old.unionByName(new), "text", "doc_id", threshold=0.8
+        ).collect()
+        if r["id_b"] >= 100
+    }
+    assert inc == full
+
+
+def test_precomputed_index_path(spark):
+    old = _docs(spark, [(1, "exact same text content for both docs here ok fine")])
+    new = _docs(spark, [(2, "exact same text content for both docs here ok fine")])
+    idx = minhash_index(old, "text", "doc_id")
+    out = minhash_incremental_pairs(
+        old, new, "text", "doc_id", threshold=0.9, index=idx
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    assert out[0]["jaccard"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# discover_keys / fk_containment
+
+
+def test_discover_keys_flags(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5), (3, "b", 6)], ["pk", "enum", "nully"]
+    )
+    out = {r["col_name"]: r for r in discover_keys(df, ["pk", "enum", "nully"]).collect()}
+    assert out["pk"]["is_candidate_key"]
+    assert not out["enum"]["is_candidate_key"]          # duplicates
+    assert not out["nully"]["is_candidate_key"]         # nulls
+    assert out["nully"]["n_null"] == 1
+    assert out["enum"]["n_distinct"] == 2
+
+
+def test_fk_containment_orphans_and_nulls(spark):
+    child = spark.createDataFrame([(1,), (2,), (2,), (9,), (None,)], ["k"])
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    r = fk_containment(child, "k", parent, "pk").first()
+    # distinct non-null child keys: {1, 2, 9}; matched: {1, 2}
+    assert r["n_child_distinct"] == 3
+    assert r["n_matched"] == 2
+    assert abs(r["containment"] - 2 / 3) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# degree_stats
+
+
+def test_degree_stats_path_graph(spark):
+    # P3 path: degrees 1,2,1 -> assortativity exactly -1
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
+    r = degree_stats(edges, "u", "v").first()
+    assert r["n_nodes"] == 3 and r["n_edges"] == 2
+    assert r["min_degree"] == 1 and r["max_degree"] == 2
+    assert abs(r["avg_degree"] - 4 / 3) < 1e-15
+    assert r["assortativity"] == -1.0
+
+
+def test_degree_stats_regular_graph_nan_guard(spark):
+    # 4-cycle: all degrees 2 -> zero variance -> assortativity NULL/NaN
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], ["u", "v"])
+    r = degree_stats(edges, "u", "v").first()
+    assert r["n_nodes"] == 4 and r["n_edges"] == 4
+    assert r["min_degree"] == 2 and r["max_degree"] == 2
+    import math
+
+    assert r["assortativity"] is None or math.isnan(r["assortativity"])
