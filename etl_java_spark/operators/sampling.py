@@ -196,3 +196,63 @@ def shuffle_positions(
         id_col=id_col,
     )
     return out.drop("__h")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (`sampleBy` without the RNG):
+    keep a row iff its key hash-bucket falls under the stratum's
+    fraction. Reproducible on any cluster/partitioning — the same
+    (key, stratum) row is kept everywhere, so downstream joins against
+    the sample are stable across runs and engines.
+
+    A pure map (zero shuffle): the CASE over strata compiles into the
+    scan's codegen stage. Fractions are scaled to 1/10000 granularity
+    with round() (0.7 * 10000 is 6999.999... in binary; truncation
+    would shift the boundary vs a decimal-arithmetic oracle).
+    """
+    b = key_bucket(key_col, 10000)
+    thresh = F.lit(int(round(default_fraction * 10000)))
+    expr = None
+    for stratum, frac in sorted(fractions.items()):
+        t = F.lit(int(round(frac * 10000)))
+        expr = (
+            F.when(F.col(strata_col) == stratum, t)
+            if expr is None
+            else expr.when(F.col(strata_col) == stratum, t)
+        )
+    thresh_col = expr.otherwise(thresh) if expr is not None else thresh
+    return df.filter(b < thresh_col)
+
+
+def mixture_weights_temperature(
+    df: DataFrame, source_col: str, alpha_sqrt: bool = True
+) -> DataFrame:
+    """Temperature-scaled mixture weights per source: w_s ~ n_s^alpha
+    with alpha = 0.5 (the multilingual/multi-source up-sampling rule —
+    damping head sources, boosting tails). share_s = w_s / sum(w).
+
+    Determinism: sqrt is IEEE correctly-rounded (bit-identical on every
+    engine), but SUMMING the resulting doubles is order-sensitive — so
+    each w_s is rounded to a DECIMAL(18,6) first, the total is an exact
+    decimal sum, and the final share is a single double division.
+    One count shuffle + a 1-row broadcast total.
+    """
+    per = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    w = F.round(F.sqrt(F.col("n_docs").cast("double")), 6).cast("decimal(18,6)")
+    per = per.withColumn("w", w)
+    tot = per.agg(F.sum("w").alias("__tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            F.col("w").cast("double").alias("weight"),
+            (F.col("w").cast("double") / F.col("__tot").cast("double")).alias("share"),
+        )
+    )

@@ -275,3 +275,62 @@ def time_weighted_avg(
             ).alias("twap"),
         )
     )
+
+
+def cusum_summary(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    cents_col: str,
+    alarm_num: int = 1,
+    alarm_den: int = 20,
+) -> DataFrame:
+    """Per-key CUSUM level-shift detector over an ordered integer series
+    (amounts in exact cents), bit-reproducible on any engine.
+
+    Textbook CUSUM is the fold s_i = max(0, s_{i-1} + (x_i - mu)) —
+    sequential and float-fragile. Two transformations make it a pure
+    window computation with EXACT arithmetic instead:
+
+    - closed form: s_i = C_i - min(0, min_{j<=i} C_j) where C is the
+      running sum of deviations — so a cumulative sum plus a running
+      min replace the fold (one window pass per key, no recursion);
+    - integer scaling: deviations are scaled by n (d_i = n*x_i - S with
+      S the key's total), keeping every intermediate an exact integer —
+      no mean division, no double accumulation, so cumsum order (Spark
+      running frame vs DuckDB segment tree) cannot matter.
+
+    Alarm when s_i > (alarm_num/alarm_den) * n * S, evaluated as the
+    integer cross-product alarm_den * s_i > alarm_num * n * S.
+
+    Returns one row per key: n_points, total_cents, max_cusum_scaled
+    (units of n*cents), n_alarms, first_alarm (order_col value of the
+    first breach, NULL when none). One shuffle on the key; every
+    aggregate is a window over that partitioning.
+    """
+    w_all = Window.partitionBy(key_col)
+    w_run = Window.partitionBy(key_col).orderBy(order_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731  (headroom at any n)
+    x = dec(F.col(cents_col))
+    n = F.count("*").over(w_all)
+    s_tot = F.sum(x).over(w_all)
+    d = dec(n) * x - s_tot
+    c_run = F.sum(d).over(w_run)
+    m_run = F.least(F.lit(0).cast("decimal(38,0)"), F.min(c_run).over(w_run))
+    s = c_run - m_run
+    alarm = (s * alarm_den) > (F.lit(alarm_num) * dec(n) * s_tot)
+    stepped = df.select(
+        F.col(key_col),
+        F.col(order_col).alias("__ord"),
+        n.alias("__n"),
+        s_tot.alias("__tot"),
+        s.alias("__s"),
+        alarm.alias("__alarm"),
+    )
+    return stepped.groupBy(key_col).agg(
+        F.max("__n").alias("n_points"),
+        F.max("__tot").cast("bigint").alias("total_cents"),
+        F.max("__s").cast("decimal(38,0)").alias("max_cusum_scaled"),
+        F.sum(F.col("__alarm").cast("long")).alias("n_alarms"),
+        F.min(F.when(F.col("__alarm"), F.col("__ord"))).alias("first_alarm"),
+    )

@@ -9522,6 +9522,239 @@ def q224_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_stats(edges, "u", "v")
 
 
+@_q(
+    "q225_leakage_safe_split",
+    r"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+      FROM documents WHERE doc_id < 50
+    ), """
+    + _Q219_SHINGLE_CTES
+    + """
+    , edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+    ), labels AS (
+      SELECT a AS node, LEAST(MIN(b), a) AS lab FROM reach GROUP BY a
+    ), clus AS (
+      SELECT c.doc_id, COALESCE(l.lab, c.doc_id) AS cl
+      FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
+    ), spl AS (
+      SELECT doc_id, cl,
+             CASE WHEN bkt < 8000 THEN 'train'
+                  WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, cl, __BKT_EXPR__ AS bkt FROM clus)
+    ), leaks AS (
+      SELECT COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS nx
+      FROM pairs p
+      JOIN spl a ON a.doc_id = p.id_a
+      JOIN spl b ON b.doc_id = p.id_b
+    )
+    SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+           (SELECT COUNT(DISTINCT cl) FROM clus) AS n_clusters,
+           (SELECT COUNT(*) FROM pairs) AS n_pairs,
+           CAST(leaks.nx AS BIGINT) AS n_cross_split_pairs,
+           (SELECT COUNT(*) FROM spl WHERE split = 'train') AS n_train,
+           (SELECT COUNT(*) FROM spl WHERE split = 'val') AS n_val,
+           (SELECT COUNT(*) FROM spl WHERE split = 'test') AS n_test
+    FROM leaks
+    """.replace("__BKT_EXPR__", _kbsql("cl")),
+)
+def q225_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX for the leakage q219 measures: assign train/val/test by
+    near-dup CLUSTER representative, not by document — both ends of
+    every near-dup pair share a cluster, so they share a split and
+    cross-split leakage is structurally zero (the n_cross_split_pairs
+    column proves it). Pairs are exact inverted-index Jaccard, clusters
+    are the same label propagation as q73, and the split is the same
+    deterministic key hash as q123 keyed on the cluster id.
+    """
+    from .operators.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    pairs = DD.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", shingle_n=3, threshold=0.5,
+        max_shingle_freq=10**9,
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    labels = DD.dedup_clusters(pairs)
+    clus = corpus.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cl")
+    )
+    spl = assign_split(clus, "cl", 0.8, 0.1)
+    lab_a = spl.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    lab_b = spl.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    leaks = (
+        pairs.join(lab_a, "id_a").join(lab_b, "id_b")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("split_a") != F.col("split_b")).cast("long")), F.lit(0)
+            ).alias("n_cross_split_pairs")
+        )
+    )
+    sizes = spl.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cl").alias("n_clusters"),
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+    )
+    n_pairs = pairs.agg(F.count("*").alias("n_pairs"))
+    return (
+        sizes.crossJoin(n_pairs).crossJoin(leaks).select(
+            "n_docs", "n_clusters", "n_pairs", "n_cross_split_pairs",
+            "n_train", "n_val", "n_test",
+        )
+    )
+
+
+@_q(
+    "q226_cusum_changepoints",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents0
+      FROM orders GROUP BY 1, 2
+    ), boosted AS (
+      SELECT prio, day,
+             CAST(CASE WHEN day >= DATE '1997-01-01' THEN cents0 * 2
+                       ELSE cents0 END AS HUGEINT) AS cents
+      FROM daily
+    ), s1 AS (
+      SELECT prio, day, cents,
+             COUNT(*) OVER (PARTITION BY prio) AS n,
+             SUM(cents) OVER (PARTITION BY prio) AS tot
+      FROM boosted
+    ), s2 AS (
+      SELECT prio, day, n, tot,
+             SUM(CAST(n AS HUGEINT) * cents - tot)
+               OVER (PARTITION BY prio ORDER BY day) AS c_run
+      FROM s1
+    ), s3 AS (
+      SELECT prio, day, n, tot,
+             c_run - LEAST(CAST(0 AS HUGEINT),
+                           MIN(c_run) OVER (PARTITION BY prio ORDER BY day)) AS s
+      FROM s2
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_points,
+           CAST(MAX(tot) AS BIGINT) AS total_cents,
+           CAST(MAX(s) AS BIGINT) AS max_cusum_scaled,
+           CAST(SUM(CASE WHEN s * 20 > CAST(n AS HUGEINT) * tot THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+           MIN(CASE WHEN s * 20 > CAST(n AS HUGEINT) * tot THEN day END) AS first_alarm
+    FROM s3 GROUP BY prio
+    """,
+)
+def q226_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on daily revenue per order priority
+    (timeseries.cusum_summary), with a synthetic 2x revenue boost from
+    1997 onward so the detector has a real shift to find. The fold-free
+    closed form (running sum + running min) and integer-scaled exact
+    arithmetic make the alarm sequence bit-reproducible on any engine
+    and any partitioning — no double accumulates anywhere.
+    """
+    from .operators.timeseries import cusum_summary
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority"), F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum((money("o_totalprice") * 100).cast("long")).alias("cents0"))
+    boosted = daily.select(
+        "o_orderpriority",
+        "day",
+        F.when(
+            F.col("day") >= F.lit("1997-01-01").cast("date"),
+            F.col("cents0") * 2,
+        ).otherwise(F.col("cents0")).alias("cents"),
+    )
+    out = cusum_summary(
+        boosted, "o_orderpriority", "day", "cents", alarm_num=1, alarm_den=20
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_points",
+        "total_cents",
+        F.col("max_cusum_scaled").cast("bigint").alias("max_cusum_scaled"),
+        "n_alarms",
+        F.col("first_alarm").cast("date").alias("first_alarm"),
+    )
+
+
+@_q(
+    "q227_stratified_sample",
+    """
+    SELECT source, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN __BKT_EXPR__ <
+                  CASE source WHEN 'src0' THEN 10000
+                              WHEN 'src1' THEN 5000
+                              WHEN 'src2' THEN 2500
+                              ELSE 1000 END
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY source
+    """.replace("__BKT_EXPR__", _kbsql("doc_id")),
+)
+def q227_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (sampling.stratified_sample —
+    `df.sampleBy` without the RNG): per-source keep fractions driven by
+    the same key-hash bucketing as the split assigner, so the selected
+    row SET is identical on any cluster, any partitioning, any engine.
+    Zero-shuffle map filter; the audit aggregates kept-vs-total per
+    stratum.
+    """
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        d, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "doc_id",
+        default_fraction=0.1,
+    )
+    totals = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    kept = sampled.groupBy("source").agg(F.count("*").alias("n_sampled"))
+    return totals.join(kept, "source", "left").select(
+        "source", "n_total", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled")
+    )
+
+
+@_q(
+    "q228_mixture_temperature",
+    """
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(w) AS t FROM per)
+    SELECT source, n_docs, CAST(w AS DOUBLE) AS weight,
+           CAST(w AS DOUBLE) / CAST(t AS DOUBLE) AS share
+    FROM per, tot
+    """,
+)
+def q228_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (sampling.
+    mixture_weights_temperature): w_s = sqrt(n_s), share = w / sum(w) —
+    the alpha=0.5 up-sampling rule that damps head sources and boosts
+    tail ones. sqrt is correctly-rounded IEEE (engine-identical); the
+    sum runs over DECIMAL-rounded weights so no double-accumulation
+    order can leak into the shares.
+    """
+    from .operators.sampling import mixture_weights_temperature
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_weights_temperature(d, "source")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -9537,6 +9770,8 @@ _PRIORITY = [
     "q218_text_canonicalize", "q219_split_leakage",
     "q220_incremental_neardup", "q221_fk_discovery",
     "q222_key_discovery", "q223_dup_spans", "q224_degree_stats",
+    "q225_leakage_safe_split", "q226_cusum_changepoints",
+    "q227_stratified_sample", "q228_mixture_temperature",
     # 0) new in r4 — the r4 gate record was never written, so none of
     #    these has a recorded row yet; they stay at the head of the line
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",
