@@ -75,6 +75,17 @@ QUERY_SLICE = [
     "q215_k_core",
     "q216_one_big_table",
     "q217_rfm_segments",
+    # r5: canonicalize, leakage audit + safe split, incremental minhash,
+    # FK/key discovery, dup spans, degree stats, CUSUM, stratified sample
+    "q218_text_canonicalize",
+    "q219_split_leakage",
+    "q220_incremental_neardup",
+    "q221_fk_discovery",
+    "q223_dup_spans",
+    "q224_degree_stats",
+    "q225_leakage_safe_split",
+    "q226_cusum_changepoints",
+    "q227_stratified_sample",
 ]
 
 
@@ -101,18 +112,23 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfx_scale"
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = sys.argv[3:]  # optional query-name subset (reuses an existing dst)
+    slice_ = [q for q in QUERY_SLICE if not only or q in only] or only
 
     from etl_java_spark import queries as Q
     from etl_java_spark.session import get_session
 
     spark = get_session("scale-test")
-    print(f"replicating {src} x{factor} -> {dst}", file=sys.stderr)
-    replicate(spark, src, dst, factor)
+    if only and os.path.isdir(os.path.join(dst, "region.parquet")):
+        print(f"reusing existing replica at {dst}", file=sys.stderr)
+    else:
+        print(f"replicating {src} x{factor} -> {dst}", file=sys.stderr)
+        replicate(spark, src, dst, factor)
 
     results = {}
     for label, d in [("base", src), (f"x{factor}", dst)]:
         spark.read.parquet(d + "/region.parquet").count()  # warm
-        for name in QUERY_SLICE:
+        for name in slice_:
             t0 = time.time()
             n = Q.QUERIES[name](spark, d).count()
             results.setdefault(name, {})[label] = (round(time.time() - t0, 2), n)
