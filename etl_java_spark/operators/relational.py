@@ -435,3 +435,45 @@ def temporal_join(
     )
     # keep the fact side's key column only — the dim's copy would shadow it
     return facts.join(dim_history, cond, how).drop(dim_history[on])
+
+
+def blocked_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    fuzzy_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: records agreeing on every
+    blocking column are paired and scored with edit distance on the
+    fuzzy column; pairs within ``max_dist`` survive.
+
+    The block join is an equi-join on the blocking key — quadratic only
+    WITHIN a block, so blocking-key design is the scale knob (stable
+    attributes like phone/email/zip make near-singleton blocks; compose
+    several passes with different keys and union the pair lists for
+    recall, the standard multi-pass blocking recipe — fuzzy_join's
+    length-band pass composes here as a name-only pass). Spark's
+    3-arg levenshtein early-exits above the threshold, so the per-pair
+    cost is O(len x max_dist), not O(len^2).
+
+    Returns (id_a, id_b, dist) with id_a < id_b.
+    """
+    cols = [F.col(id_col).alias("__id"), F.col(fuzzy_col).alias("__f")] + [
+        F.col(c) for c in block_cols
+    ]
+    s = df.select(*cols)
+    a, b = s.alias("a"), s.alias("b")
+    cond = (F.col("a.__id") < F.col("b.__id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    dist = F.levenshtein(F.col("a.__f"), F.col("b.__f"), max_dist)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )

@@ -9755,6 +9755,182 @@ def q228_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights_temperature(d, "source")
 
 
+@_q(
+    "q229_copurchase_lift",
+    """
+    WITH it AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ), capped AS (
+      SELECT b, i FROM (
+        SELECT b, i, ROW_NUMBER() OVER (PARTITION BY b ORDER BY i) AS rn FROM it
+      ) WHERE rn <= 64
+    ), nb AS (
+      SELECT COUNT(DISTINCT b) AS n FROM capped
+    ), ic AS (
+      SELECT i, COUNT(*) AS ni FROM capped GROUP BY i
+    ), p AS (
+      SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS n_ab
+      FROM capped a JOIN capped b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT item_a, item_b, n_ab, ca.ni AS n_a, cb.ni AS n_b,
+           CAST(n_ab * nb.n AS DOUBLE) / CAST(ca.ni * cb.ni AS DOUBLE) AS lift
+    FROM p, nb
+    JOIN ic ca ON ca.i = p.item_a
+    JOIN ic cb ON cb.i = p.item_b
+    """,
+)
+def q229_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket item-item affinity (assoc.copurchase_lift): parts
+    co-purchased in >= 3 common orders, scored by lift against
+    independence. The within-basket pair explosion is bounded by the
+    64-items-per-basket cap (deterministic top-N by item id), so pairs
+    are O(baskets x cap^2) under any basket-size skew; lift is one
+    double division over exact counts.
+    """
+    from .operators.assoc import copurchase_lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    return copurchase_lift(
+        li, "l_orderkey", "l_partkey", min_support=3, max_items_per_basket=64
+    )
+
+
+@_q(
+    "q230_entity_resolution",
+    """
+    WITH corpus AS (
+      SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             SUBSTR(c_name, 1, LENGTH(c_name) - 1) || 'X',
+             c_acctbal, c_nationkey
+      FROM customer WHERE c_custkey <= 100
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM corpus a JOIN corpus b
+      ON a.c_acctbal = b.c_acctbal AND a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q230_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by stable-attribute blocking + fuzzy scoring
+    (relational.blocked_match_pairs): records sharing (acctbal, nation)
+    are paired and kept when the names are within edit distance 2 —
+    the injected one-typo variants of the first 100 customers all
+    match their originals. Blocks on a near-unique attribute are
+    near-singletons, so the quadratic stays trivial; multi-pass
+    blocking (e.g. adding fuzzy_join's length-band name pass) is the
+    recall recipe, documented on the operator.
+    """
+    from .operators.relational import blocked_match_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    typo = c.filter(F.col("c_custkey") <= 100).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("c_name"),
+        "c_acctbal",
+        "c_nationkey",
+    )
+    corpus = c.unionByName(typo)
+    return blocked_match_pairs(
+        corpus, "c_custkey", ["c_acctbal", "c_nationkey"], "c_name", max_dist=2
+    )
+
+
+@_q(
+    "q231_digit_quantile_sketch",
+    """
+    WITH c AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM lineitem
+    ), h AS (
+      SELECT LENGTH(CAST(v AS VARCHAR)) AS digits,
+             CAST(SUBSTR(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS fd,
+             COUNT(*) AS n
+      FROM c GROUP BY 1, 2
+    ), hc AS (
+      SELECT digits, fd, n, digits * 10 + fd AS bkey,
+             SUM(n) OVER (ORDER BY digits, fd
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h
+    ), tot AS (
+      SELECT COUNT(*) AS n_total FROM c
+    ), ex AS (
+      SELECT quantile_cont(v, 0.5) AS e50, quantile_cont(v, 0.9) AS e90,
+             quantile_cont(v, 0.99) AS e99
+      FROM c
+    ), qs AS (
+      SELECT UNNEST([0.5, 0.9, 0.99]) AS q
+    ), picked AS (
+      SELECT qs.q, tot.n_total, MIN(hc.bkey) AS bkey
+      FROM qs, tot, hc
+      WHERE hc.cum >= CEIL(qs.q * tot.n_total)
+      GROUP BY qs.q, tot.n_total
+    ), bounds AS (
+      SELECT q, n_total,
+             CAST(CAST(bkey % 10 AS VARCHAR)
+                  || REPEAT('0', CAST(FLOOR(bkey / 10.0) AS BIGINT) - 1) AS BIGINT) AS est_lo,
+             CAST(CAST(bkey % 10 + 1 AS VARCHAR)
+                  || REPEAT('0', CAST(FLOOR(bkey / 10.0) AS BIGINT) - 1) AS BIGINT) AS est_hi
+      FROM picked
+    )
+    SELECT b.q, b.n_total, b.est_lo, b.est_hi,
+           CASE WHEN b.q = 0.5 THEN ex.e50
+                WHEN b.q = 0.9 THEN ex.e90 ELSE ex.e99 END AS exact_q,
+           (b.est_lo <= (CASE WHEN b.q = 0.5 THEN ex.e50
+                              WHEN b.q = 0.9 THEN ex.e90 ELSE ex.e99 END)
+            AND (CASE WHEN b.q = 0.5 THEN ex.e50
+                      WHEN b.q = 0.9 THEN ex.e90 ELSE ex.e99 END) < b.est_hi * 10)
+             AS within_decade
+    FROM bounds b, ex
+    """,
+)
+def q231_digit_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable digit-histogram quantile sketch (sketch.digit_histogram
+    + digit_quantiles) over price cents, exact-companion checked (the
+    q60/q61 sketch pattern): the output carries the sketch's bucket
+    bounds AND the exact interpolated percentile plus a within-decade
+    boolean, so the oracle validates both the bucket arithmetic
+    (bitwise) and the sketch's accuracy claim. The sketch itself is a
+    ~100-cell grouped count — map-side combinable and mergeable by
+    cell-wise addition, the shape that re-aggregates across 100 TB
+    partitions or days without touching raw data again.
+    """
+    from .operators.sketch import digit_histogram, digit_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select((money("l_extendedprice") * 100).cast("long").alias("v"))
+    hist = digit_histogram(c, "v")
+    est = digit_quantiles(hist, [0.5, 0.9, 0.99])
+    ex = c.agg(
+        F.expr("percentile(v, 0.5)").alias("e50"),
+        F.expr("percentile(v, 0.9)").alias("e90"),
+        F.expr("percentile(v, 0.99)").alias("e99"),
+    )
+    exact = (
+        F.when(F.col("q") == 0.5, F.col("e50"))
+        .when(F.col("q") == 0.9, F.col("e90"))
+        .otherwise(F.col("e99"))
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        "q",
+        "n_total",
+        "est_lo",
+        "est_hi",
+        exact.alias("exact_q"),
+        (
+            (F.col("est_lo") <= exact) & (exact < F.col("est_hi") * 10)
+        ).alias("within_decade"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -9772,6 +9948,8 @@ _PRIORITY = [
     "q222_key_discovery", "q223_dup_spans", "q224_degree_stats",
     "q225_leakage_safe_split", "q226_cusum_changepoints",
     "q227_stratified_sample", "q228_mixture_temperature",
+    "q229_copurchase_lift", "q230_entity_resolution",
+    "q231_digit_quantile_sketch",
     # 0) new in r4 — the r4 gate record was never written, so none of
     #    these has a recorded row yet; they stay at the head of the line
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",

@@ -1,0 +1,115 @@
+"""Round-5 wave 3: co-purchase lift, blocked entity matching,
+digit-histogram quantile sketch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_java_spark.operators.assoc import copurchase_lift
+from etl_java_spark.operators.relational import blocked_match_pairs
+from etl_java_spark.operators.sketch import digit_histogram, digit_quantiles
+
+
+# ---------------------------------------------------------------------------
+# copurchase_lift
+
+
+def test_copurchase_lift_values(spark):
+    # 4 baskets: {A,B} x3, {A,C} once -> (A,B) support 3, lift = 3*4/(4*3)=1.0
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "B"), (4, "A"), (4, "C")]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = {(r["item_a"], r["item_b"]): r for r in
+           copurchase_lift(df, "b", "i", min_support=1).collect()}
+    ab = out[("A", "B")]
+    assert ab["n_ab"] == 3 and ab["n_a"] == 4 and ab["n_b"] == 3
+    assert abs(ab["lift"] - 1.0) < 1e-15
+    ac = out[("A", "C")]
+    assert ac["n_ab"] == 1 and abs(ac["lift"] - 1.0) < 1e-15
+
+
+def test_copurchase_min_support_filters(spark):
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "C")]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = copurchase_lift(df, "b", "i", min_support=2).collect()
+    assert out == []
+
+
+def test_copurchase_basket_cap_bounds_pairs(spark):
+    # one giant basket with 100 items, cap 5 -> at most C(5,2)=10 pairs
+    rows = [(1, f"i{j:03d}") for j in range(100)]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = copurchase_lift(df, "b", "i", min_support=1, max_items_per_basket=5)
+    assert out.count() == 10
+
+
+def test_copurchase_duplicate_lines_collapse(spark):
+    # the same (basket, item) line twice must not inflate support
+    rows = [(1, "A"), (1, "A"), (1, "B")]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    r = copurchase_lift(df, "b", "i", min_support=1).first()
+    assert r["n_ab"] == 1 and r["n_a"] == 1
+
+
+# ---------------------------------------------------------------------------
+# blocked_match_pairs
+
+
+def test_blocked_match_pairs_basic(spark):
+    rows = [
+        (1, "alice smith", "z1"),
+        (2, "alice smyth", "z1"),   # dist 1, same block
+        (3, "alice smith", "z2"),   # same name, different block -> no pair
+        (4, "robert jones", "z1"),  # same block, far name -> filtered
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "zip"])
+    out = blocked_match_pairs(df, "id", ["zip"], "name", max_dist=2).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 1)]
+
+
+def test_blocked_match_pairs_multi_block_cols(spark):
+    rows = [(1, "ann", "z", 10), (2, "anne", "z", 10), (3, "ann", "z", 99)]
+    df = spark.createDataFrame(rows, ["id", "name", "zip", "region"])
+    out = blocked_match_pairs(df, "id", ["zip", "region"], "name", max_dist=2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# digit histogram sketch
+
+
+def test_digit_histogram_cells(spark):
+    df = spark.createDataFrame([(v,) for v in [1, 5, 9, 10, 57, 99, 100, 523]], ["v"])
+    cells = {(r["digits"], r["first_digit"]): r["n"]
+             for r in digit_histogram(df, "v").collect()}
+    assert cells[(1, 1)] == 1 and cells[(1, 5)] == 1 and cells[(1, 9)] == 1
+    assert cells[(2, 1)] == 1 and cells[(2, 5)] == 1 and cells[(2, 9)] == 1
+    assert cells[(3, 1)] == 1 and cells[(3, 5)] == 1
+
+
+def test_digit_quantiles_bounds(spark):
+    # 100 values 1..100: p50 element is 50 (bucket digits=2 fd=5 -> [50,60))
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], ["v"])
+    h = digit_histogram(df, "v")
+    out = {r["q"]: r for r in digit_quantiles(h, [0.5, 0.99]).collect()}
+    assert out[0.5]["est_lo"] == 50 and out[0.5]["est_hi"] == 60
+    assert out[0.99]["est_lo"] == 90 and out[0.99]["est_hi"] == 100
+    assert out[0.5]["n_total"] == 100
+
+
+def test_digit_histogram_merge_linearity(spark):
+    # sketch(A union B) == cellwise sum of sketch(A) and sketch(B)
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randint(1, 10**6) for _ in range(500)]
+    a = spark.createDataFrame([(v,) for v in vals[:200]], ["v"])
+    b = spark.createDataFrame([(v,) for v in vals[200:]], ["v"])
+    full = spark.createDataFrame([(v,) for v in vals], ["v"])
+    merged = (
+        digit_histogram(a, "v").unionByName(digit_histogram(b, "v"))
+        .groupBy("digits", "first_digit").agg(F.sum("n").alias("n"))
+    )
+    got = {(r["digits"], r["first_digit"]): r["n"] for r in merged.collect()}
+    want = {(r["digits"], r["first_digit"]): r["n"]
+            for r in digit_histogram(full, "v").collect()}
+    assert got == want
