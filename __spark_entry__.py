@@ -33,6 +33,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (omitted for hash/LSH/stream/
-    multimodal ops -> driver records rows-only check)."""
+    """DuckDB-runnable oracle SQL per query. Every registered query has
+    one (hash/LSH/stream/sketch/multimodal ops included — via
+    engine-reproducible arithmetic, exact-companion outputs, relational
+    replays of drained stream state, or pure-Python replay VALUES
+    literals)."""
     return dict(Q.ORACLES)

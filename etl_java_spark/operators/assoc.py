@@ -45,6 +45,10 @@ def copurchase_lift(
             .filter(F.col("__rn") <= max_items_per_basket)
             .drop("__rn")
         )
+    # Four consumers (basket count, item counts, both pair-join sides):
+    # materialize the deduped/capped fact once instead of re-shuffling it
+    # per consumer.
+    it = it.localCheckpoint(eager=False)
     n_baskets = it.agg(F.countDistinct("__b").alias("__nb"))
     item_counts = it.groupBy("__i").agg(F.count("*").alias("__ni"))
     a, b = it.alias("a"), it.alias("b")

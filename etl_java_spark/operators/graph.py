@@ -318,6 +318,13 @@ def degree_stats(
     Two shuffles total: the degree count and the (broadcastable)
     degree join back onto edges.
     """
+    # The edge list feeds three consumers (degree agg + both sides of
+    # the moment join). Deliberately NOT materialized: AQE exchange
+    # reuse already shares the duplicated subtrees at runtime, and a
+    # localCheckpoint here measured 2-6x SLOWER (it forces the upstream
+    # window through a single narrow materialization and disables the
+    # runtime reuse). Callers with a non-reusable expensive derivation
+    # can checkpoint before calling.
     ends = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     both = ends.unionByName(ends.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count("*").alias("deg"))

@@ -86,6 +86,14 @@ QUERY_SLICE = [
     "q225_leakage_safe_split",
     "q226_cusum_changepoints",
     "q227_stratified_sample",
+    # r5 wave 2: basket lift, blocked ER, digit sketch, rollup shares,
+    # GDPR cascade, perceptual image dedup
+    "q229_copurchase_lift",
+    "q230_entity_resolution",
+    "q231_digit_quantile_sketch",
+    "q232_percent_of_parent",
+    "q233_gdpr_cascade_delete",
+    "q234_image_phash_dedup",
 ]
 
 
