@@ -702,3 +702,43 @@ def ngram_containment_pairs(
             >= threshold
         )
     )
+
+
+def cluster_golden_records(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Survivorship: resolve match pairs into clusters and emit ONE
+    golden record per multi-member cluster — the MDM merge step after
+    entity resolution (relational.blocked_match_pairs -> here).
+
+    Merge policy (deterministic by construction): every attribute comes
+    from the cluster's min-id member (the stable survivor rule used by
+    dedup_keep_cluster_representative), except columns in ``max_cols``
+    which take the cluster-wide MAX (freshness-style fields: balances,
+    timestamps, version counters). Returns cluster_id (= min member
+    id), n_members, the survivor's attributes, and max_<col> for each
+    max_col.
+
+    Scale: label propagation is O(pairs) per round (see
+    dedup_clusters); the survivor join is an equi-join on the min id;
+    the MAX aggregation is map-side combinable on cluster_id.
+    """
+    labels = dedup_clusters(pairs, checkpoint_dir=checkpoint_dir)
+    members = df.join(
+        labels.withColumnRenamed("id", id_col), id_col, "inner"
+    )
+    aggs = [F.count("*").alias("n_members")] + [
+        F.max(c).alias(f"max_{c}") for c in (max_cols or [])
+    ]
+    per_cluster = members.groupBy("cluster_id").agg(*aggs).filter(
+        F.col("n_members") >= 2
+    )
+    survivor_cols = [c for c in df.columns if c != id_col]
+    survivors = df.select(
+        F.col(id_col).alias("cluster_id"), *[F.col(c) for c in survivor_cols]
+    )
+    return per_cluster.join(survivors, "cluster_id", "inner")

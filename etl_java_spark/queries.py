@@ -10126,6 +10126,175 @@ def q234_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@_q(
+    "q235_golden_records",
+    """
+    WITH RECURSIVE corpus AS (
+      SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             SUBSTR(c_name, 1, LENGTH(c_name) - 1) || 'X',
+             c_acctbal, c_nationkey
+      FROM customer WHERE c_custkey <= 100
+    ), pr AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM corpus a JOIN corpus b
+        ON a.c_acctbal = b.c_acctbal AND a.c_nationkey = b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pr
+      UNION ALL SELECT id_b AS u, id_a AS v FROM pr
+    ), reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+    ), labels AS (
+      SELECT a AS node, LEAST(MIN(b), a) AS lab FROM reach GROUP BY a
+    ), members AS (
+      SELECT l.lab AS cluster_id, c.c_acctbal
+      FROM corpus c JOIN labels l ON l.node = c.c_custkey
+    ), agg AS (
+      SELECT cluster_id, COUNT(*) AS n_members,
+             MAX(c_acctbal) AS max_c_acctbal
+      FROM members GROUP BY cluster_id HAVING COUNT(*) >= 2
+    )
+    SELECT a.cluster_id, a.n_members, a.max_c_acctbal,
+           s.c_name, s.c_acctbal, s.c_nationkey
+    FROM agg a JOIN corpus s ON s.c_custkey = a.cluster_id
+    """,
+)
+def q235_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship (dedup.cluster_golden_records): the q230 match
+    pairs resolve into clusters (same label propagation as q73) and
+    each multi-member cluster emits ONE golden record — attributes
+    from the deterministic min-id survivor, plus cluster-wide MAX for
+    the freshness-style balance column. This completes the entity-
+    resolution story: block (q230) -> cluster -> merge.
+    """
+    from .operators.dedup import cluster_golden_records
+    from .operators.relational import blocked_match_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    typo = c.filter(F.col("c_custkey") <= 100).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("c_name"),
+        "c_acctbal",
+        "c_nationkey",
+    )
+    corpus = c.unionByName(typo)
+    pairs = blocked_match_pairs(
+        corpus, "c_custkey", ["c_acctbal", "c_nationkey"], "c_name", max_dist=2
+    ).localCheckpoint(eager=False)
+    return cluster_golden_records(
+        corpus, pairs, "c_custkey", max_cols=["c_acctbal"]
+    )
+
+
+@_q(
+    "q236_user_lifecycle",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ), firstw AS (
+      SELECT user_id, MIN(wk) AS fw FROM uw GROUP BY user_id
+    ), states AS (
+      SELECT a.user_id, a.wk,
+             CASE WHEN a.wk = f.fw THEN 'new'
+                  WHEN p.user_id IS NOT NULL THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM uw a
+      JOIN firstw f ON f.user_id = a.user_id
+      LEFT JOIN uw p ON p.user_id = a.user_id AND p.wk = a.wk - 7
+    ), st AS (
+      SELECT wk,
+             CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM states GROUP BY wk
+    ), ch AS (
+      SELECT a.wk + 7 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM uw a LEFT JOIN uw nx
+        ON nx.user_id = a.user_id AND nx.wk = a.wk + 7
+      WHERE nx.user_id IS NULL
+      GROUP BY a.wk + 7
+    )
+    SELECT COALESCE(st.wk, ch.wk) AS wk,
+           COALESCE(n_new, 0) AS n_new,
+           COALESCE(n_retained, 0) AS n_retained,
+           COALESCE(n_resurrected, 0) AS n_resurrected,
+           COALESCE(n_churned, 0) AS n_churned
+    FROM st FULL OUTER JOIN ch ON ch.wk = st.wk
+    """,
+)
+def q236_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly user-lifecycle accounting: every (user, week) of activity
+    classified as new (first week ever), retained (also active the
+    prior week), or resurrected (returning after a gap), plus churned
+    counts attributed to the week AFTER last activity — the growth-
+    accounting identity behind every DAU/WAU dashboard. One distinct
+    shuffle to (user, week), then self-joins on the SAME user key
+    reuse that partitioning; all counts are exact integers.
+    """
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct().localCheckpoint(eager=False)
+    firstw = uw.groupBy("user_id").agg(F.min("wk").alias("fw"))
+    prev = uw.select(
+        F.col("user_id").alias("p_user"), F.col("wk").alias("pwk")
+    )
+    states = (
+        uw.join(firstw, "user_id")
+        .join(
+            prev,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("pwk") == F.date_sub(F.col("wk"), 7)),
+            "left",
+        )
+        .select(
+            "wk",
+            F.when(F.col("wk") == F.col("fw"), "new")
+            .when(F.col("pwk").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("state"),
+        )
+    )
+    st = states.groupBy("wk").agg(
+        F.sum((F.col("state") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("state") == "retained").cast("long")).alias("n_retained"),
+        F.sum((F.col("state") == "resurrected").cast("long")).alias("n_resurrected"),
+    )
+    nxt = uw.select(
+        F.col("user_id").alias("n_user"), F.col("wk").alias("nwk")
+    )
+    ch = (
+        uw.join(
+            nxt,
+            (F.col("n_user") == F.col("user_id"))
+            & (F.col("nwk") == F.date_add(F.col("wk"), 7)),
+            "left_anti",
+        )
+        .groupBy(F.date_add("wk", 7).alias("wk"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        st.join(ch, "wk", "full_outer")
+        .select(
+            "wk",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -10146,6 +10315,7 @@ _PRIORITY = [
     "q229_copurchase_lift", "q230_entity_resolution",
     "q231_digit_quantile_sketch", "q232_percent_of_parent",
     "q233_gdpr_cascade_delete", "q234_image_phash_dedup",
+    "q235_golden_records", "q236_user_lifecycle",
     # 0) new in r4 — the r4 gate record was never written, so none of
     #    these has a recorded row yet; they stay at the head of the line
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",

@@ -94,6 +94,8 @@ QUERY_SLICE = [
     "q232_percent_of_parent",
     "q233_gdpr_cascade_delete",
     "q234_image_phash_dedup",
+    "q235_golden_records",
+    "q236_user_lifecycle",
 ]
 
 
