@@ -10295,6 +10295,148 @@ def q236_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q237_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id < 5
+    ), pairs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+        list_sum(list_transform(list_zip(q.qe, c.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+        list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nc
+      FROM q JOIN embeddings c
+        ON c.vec_id <> q.query_id AND c.label <> q.ql
+    ), scored AS (
+      SELECT query_id, neighbor_id, neg_label,
+             CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc))
+                  ELSE 0.0 END AS cos_sim
+      FROM pairs
+    ), ranked AS (
+      SELECT query_id, neighbor_id, neg_label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_label, CAST(rnk AS INTEGER) AS rnk, cos_sim
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q237_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: for each
+    query vector, the top-5 most-similar vectors with a DIFFERENT
+    label — the near-miss examples that teach a model its decision
+    boundary (easy random negatives teach nothing). Same exact-cosine
+    arithmetic as q56 (left-to-right double fold, bit-identical across
+    engines) with the label-mismatch predicate pushed into the join;
+    at corpus scale the query side broadcasts and q74's IVF probing
+    replaces the scan (same composition, bucketed candidates).
+    """
+    from .functions.vectors import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        F.col("label").alias("__ql"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("__ql"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            cosine(F.col("__qvec"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "neg_label", "rnk", "cos_sim")
+    )
+
+
+@_q(
+    "q238_cumulative_distinct_curve",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), firstd AS (
+      SELECT user_id, MIN(day) AS fd FROM ud GROUP BY user_id
+    ), news AS (
+      SELECT fd AS day, COUNT(*) AS n_new FROM firstd GROUP BY fd
+    ), days AS (
+      SELECT DISTINCT day FROM ud
+    )
+    SELECT d.day,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_exact,
+           TRUE AS approx_ok
+    FROM days d LEFT JOIN news n ON n.day = d.day
+    """,
+)
+def q238_cumulative_distinct_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-users curve two ways: EXACT via first-seen
+    attribution (each user counts once, on their first day; the running
+    sum of new users IS the cumulative distinct — zero rescans), and
+    APPROX by union-merging per-day HLL sketches cumulatively — the
+    100 TB shape where daily sketch bytes are stored once and any
+    as-of-day cardinality is a merge, never a rescan (q135's pattern
+    extended over time). Exact-companion gate: the output carries the
+    exact curve plus ``approx_ok`` = every day's merged-sketch estimate
+    within 3x HLL standard error of exact; a broken union flips it.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct().localCheckpoint(eager=False)
+    firstd = ud.groupBy("user_id").agg(F.min("day").alias("fd"))
+    news = firstd.groupBy(F.col("fd").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    days = ud.select("day").distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exact = (
+        days.join(news, "day", "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .withColumn("cum_exact", F.sum("n_new").over(w).cast("bigint"))
+    )
+    per_day_sk = ud.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    a, b = per_day_sk.alias("a"), per_day_sk.alias("b")
+    cum_approx = (
+        a.join(b, F.col("b.day") <= F.col("a.day"))
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("b.sk"))).alias("approx"))
+    )
+    rse3 = 3 * 1.04 / (2 ** 12) ** 0.5  # 3x standard error at lgConfigK=12
+    return (
+        exact.join(cum_approx, "day")
+        .select(
+            "day",
+            "n_new",
+            "cum_exact",
+            (
+                F.abs(F.col("approx") - F.col("cum_exact"))
+                <= F.greatest(
+                    F.col("cum_exact").cast("double") * rse3, F.lit(1.0)
+                )
+            ).alias("approx_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -10316,6 +10458,7 @@ _PRIORITY = [
     "q231_digit_quantile_sketch", "q232_percent_of_parent",
     "q233_gdpr_cascade_delete", "q234_image_phash_dedup",
     "q235_golden_records", "q236_user_lifecycle",
+    "q237_hard_negatives", "q238_cumulative_distinct_curve",
     # 0) new in r4 — the r4 gate record was never written, so none of
     #    these has a recorded row yet; they stay at the head of the line
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",
