@@ -307,6 +307,12 @@ def cusum_summary(
     (units of n*cents), n_alarms, first_alarm (order_col value of the
     first breach, NULL when none). One shuffle on the key; every
     aggregate is a window over that partitioning.
+
+    Contract: ``order_col`` must be unique within a key (aggregate to
+    the detection grain first — the running frame is RANGE-peer-based,
+    so duplicate order values would fold together), and the alarm
+    threshold fraction assumes a positive series total (alarming on a
+    net-negative series needs a sign-aware threshold).
     """
     w_all = Window.partitionBy(key_col)
     w_run = Window.partitionBy(key_col).orderBy(order_col)
