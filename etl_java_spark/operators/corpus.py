@@ -392,6 +392,7 @@ def split_leakage(
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
     token_pattern: str | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs that CROSS split boundaries — the pairs that
     leak training text into evaluation. A train/test split made before
@@ -408,7 +409,8 @@ def split_leakage(
     from . import dedup as DD
 
     pairs = DD.ngram_jaccard_pairs(
-        df, text_col, id_col, shingle_n, threshold, max_shingle_freq, token_pattern
+        df, text_col, id_col, shingle_n, threshold, max_shingle_freq,
+        token_pattern, prefix_filter=prefix_filter,
     )
     labels = df.select(F.col(id_col), F.col(split_col))
     out = (
