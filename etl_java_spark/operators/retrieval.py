@@ -302,3 +302,46 @@ def hashed_features(
         F.count("*").cast("long").alias("nnz"),
         F.sum("cnt").alias("l1"),
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel_id",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval-quality metrics for a single-relevant-doc
+    ground truth: rank_of_relevant (NULL if outside top-k), reciprocal
+    rank, and NDCG@k (with one relevant doc, DCG = 1/log2(rank+1) and
+    IDCG = 1, so NDCG == that gain). The eval-harness step of a
+    retrieval pipeline: rank with BM25/ANN (q119/q53), score here.
+
+    One broadcastable join of the (tiny) truth table onto the ranked
+    lists and a per-query aggregate. log2 is the one
+    not-correctly-rounded libm call, so the metrics are rounded to 12
+    decimals — the q85 discipline for cross-engine bit-stability.
+    """
+    hits = ranked.filter(F.col(rank_col) <= k).join(
+        F.broadcast(relevant),
+        (ranked[query_col] == relevant[query_col])
+        & (ranked[doc_col] == relevant[rel_col]),
+        "inner",
+    ).select(ranked[query_col].alias("__q"), F.col(rank_col).alias("__r"))
+    qs = relevant.select(F.col(query_col).alias("__q")).distinct()
+    out = qs.join(hits, "__q", "left")
+    rr = F.when(
+        F.col("__r").isNotNull(), 1.0 / F.col("__r").cast("double")
+    ).otherwise(F.lit(0.0))
+    ndcg = F.when(
+        F.col("__r").isNotNull(),
+        1.0 / F.log2(F.col("__r").cast("double") + 1.0),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("__q").alias(query_col),
+        F.col("__r").cast("int").alias("rank_of_relevant"),
+        F.round(rr, 12).alias("reciprocal_rank"),
+        F.round(ndcg, 12).alias(f"ndcg_at_{k}"),
+    )

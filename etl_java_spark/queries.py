@@ -10437,6 +10437,149 @@ def q238_cumulative_distinct_curve(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_q(
+    "q239_ranking_metrics",
+    r"""
+    WITH q AS (
+      SELECT doc_id + 1000000 AS query_id, doc_id AS rel_id,
+             text || ' extra tail token' AS qtext
+      FROM documents WHERE doc_id < 20
+    ), qtoks AS (
+      SELECT query_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(qtext)), '[^\p{L}\p{N}]+'),
+                         t -> t <> '') AS tk
+      FROM q
+    ), qsh AS (
+      SELECT query_id, UNNEST(LIST_DISTINCT(
+        CASE WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+             ELSE LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        END)) AS s
+      FROM qtoks
+    ), ctoks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^\p{L}\p{N}]+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), csh AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+        CASE WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+             ELSE LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        END)) AS s
+      FROM ctoks
+    ), ov AS (
+      SELECT qsh.query_id, csh.doc_id, COUNT(*) AS overlap
+      FROM qsh JOIN csh USING (s) GROUP BY 1, 2
+    ), rk AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY overlap DESC, doc_id) AS rnk
+      FROM ov
+    ), hit AS (
+      SELECT r.query_id, r.rnk
+      FROM rk r JOIN q ON q.query_id = r.query_id AND q.rel_id = r.doc_id
+      WHERE r.rnk <= 10
+    )
+    SELECT q.query_id,
+           CAST(h.rnk AS INTEGER) AS rank_of_relevant,
+           ROUND(COALESCE(1.0 / h.rnk, 0.0), 12) AS reciprocal_rank,
+           ROUND(COALESCE(1.0 / log2(h.rnk + 1.0), 0.0), 12) AS ndcg_at_10
+    FROM q LEFT JOIN hit h ON h.query_id = q.query_id
+    """,
+)
+def q239_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval harness (retrieval.ranking_metrics): queries are
+    mutated twins of the first 20 docs, candidates are ranked by exact
+    3-gram-shingle overlap (inverted-index join, the q44 shape), and
+    each query scores rank-of-relevant / MRR / NDCG@10 against its
+    known source doc. This is the measurement layer a retrieval
+    pipeline tunes against (swap the ranker for q119's BM25 or q53's
+    ANN and the metrics stay the same). log2 rounded at 12 decimals —
+    the one non-correctly-rounded libm call in the chain.
+    """
+    from .operators.retrieval import ranking_metrics
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("query_id"),
+        F.col("doc_id").alias("rel_id"),
+        F.concat("text", F.lit(" extra tail token")).alias("qtext"),
+    )
+    qsh = q.select(
+        "query_id",
+        F.explode(F.array_distinct(TX.word_shingles("qtext", 3))).alias("s"),
+    )
+    csh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("s"),
+    )
+    ov = qsh.join(csh, "s").groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("overlap")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("overlap").desc(), F.col("doc_id").asc()
+    )
+    ranked = ov.withColumn("rank", F.row_number().over(w))
+    return ranking_metrics(
+        ranked, q.select("query_id", "rel_id"), "query_id", "doc_id", "rank",
+        "rel_id", k=10,
+    )
+
+
+@_q(
+    "q240_segment_overlap",
+    """
+    WITH seg AS (
+      SELECT DISTINCT event_type AS seg, user_id FROM events
+    ), sizes AS (
+      SELECT seg, COUNT(*) AS n FROM seg GROUP BY seg
+    ), inter AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b, COUNT(*) AS n_common
+      FROM seg a JOIN seg b ON a.user_id = b.user_id AND a.seg < b.seg
+      GROUP BY 1, 2
+    )
+    SELECT i.seg_a, i.seg_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.seg = i.seg_a
+    JOIN sizes sb ON sb.seg = i.seg_b
+    """,
+)
+def q240_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience segment overlap: users bucketed by event type, every
+    segment pair scored with exact distinct-user Jaccard — the audience
+    dedup/expansion question every activation platform answers before
+    a campaign. One distinct shuffle on (segment, user); the pair join
+    reuses the user key; Jaccard is one double division of exact
+    counts (at billions of users per segment, swap the exact join for
+    q197's HLL set algebra — same output shape, sketch-merged).
+    """
+    ev = _t(spark, sf_dir, "events")
+    seg = ev.select(F.col("event_type").alias("seg"), "user_id").distinct()
+    sizes = seg.groupBy("seg").agg(F.count("*").alias("n"))
+    a = seg.select(F.col("seg").alias("seg_a"), "user_id")
+    b = seg.select(F.col("seg").alias("seg_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("seg", "seg_a").withColumnRenamed("n", "n_a"), "seg_a")
+        .join(sizes.withColumnRenamed("seg", "seg_b").withColumnRenamed("n", "n_b"), "seg_b")
+        .select(
+            "seg_a", "seg_b", "n_a", "n_b", "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -10459,6 +10602,7 @@ _PRIORITY = [
     "q233_gdpr_cascade_delete", "q234_image_phash_dedup",
     "q235_golden_records", "q236_user_lifecycle",
     "q237_hard_negatives", "q238_cumulative_distinct_curve",
+    "q239_ranking_metrics", "q240_segment_overlap",
     # 0) new in r4 — the r4 gate record was never written, so none of
     #    these has a recorded row yet; they stay at the head of the line
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",

@@ -96,6 +96,8 @@ QUERY_SLICE = [
     "q234_image_phash_dedup",
     "q235_golden_records",
     "q236_user_lifecycle",
+    "q239_ranking_metrics",
+    "q240_segment_overlap",
 ]
 
 
