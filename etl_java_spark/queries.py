@@ -10580,6 +10580,206 @@ def q240_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q241_lorenz_curve",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM per_cust
+    ), dec AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS decile_cents
+      FROM ranked GROUP BY decile
+    ), tot AS (SELECT SUM(CAST(decile_cents AS HUGEINT)) AS t FROM dec)
+    SELECT decile, n_customers, decile_cents,
+           CAST(decile_cents AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+           CAST(SUM(CAST(decile_cents AS HUGEINT)) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(t AS DOUBLE) AS cum_share
+    FROM dec, tot
+    """,
+)
+def q241_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend: customers in exact-cents spend
+    deciles (deterministic NTILE tiebreak on the key), each decile's
+    share and cumulative share of total revenue — the curve behind
+    q187's Gini coefficient, and the 'top decile drives X%' statement
+    every revenue review wants. Integer cents end to end; each share
+    is one double division. At true scale the NTILE swaps for q172's
+    two-phase equi-depth bins (same arithmetic, no global sort).
+    """
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum((money("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+    )
+    tot = dec.agg(F.sum(F.col("decile_cents").cast("decimal(38,0)")).alias("t"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share",
+            F.col("decile_cents").cast("double") / F.col("t").cast("double"),
+        )
+        .withColumn(
+            "cum_share",
+            F.sum(F.col("decile_cents").cast("decimal(38,0)")).over(w).cast("double")
+            / F.col("t").cast("double"),
+        )
+        .select("decile", "n_customers", "decile_cents", "share", "cum_share")
+    )
+
+
+@_q(
+    "q242_time_to_conversion",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT user_id,
+             CAST(date_diff('second', first_click, first_purchase) AS BIGINT) AS secs
+      FROM firsts
+      WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_click
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(secs) AS BIGINT) AS min_secs,
+           CAST(MAX(secs) AS BIGINT) AS max_secs,
+           quantile_cont(secs, 0.5) AS p50_secs,
+           quantile_cont(secs, 0.9) AS p90_secs
+    FROM conv
+    """,
+)
+def q242_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion funnel timing: per user, seconds from first
+    click to first purchase (users whose first purchase precedes any
+    click are excluded — they converted through another door), then
+    the distribution summary product teams watch. One grouped
+    min-aggregate over the event stream (conditional MINs, map-side
+    combinable), integer seconds, interpolated percentiles matching
+    bitwise per q66.
+    """
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_click"))
+    ).select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_click")
+        ).alias("secs")
+    )
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.min("secs").alias("min_secs"),
+        F.max("secs").alias("max_secs"),
+        F.expr("percentile(secs, 0.5)").alias("p50_secs"),
+        F.expr("percentile(secs, 0.9)").alias("p90_secs"),
+    )
+
+
+@_q(
+    "q243_fulfillment_latency",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           quantile_cont(d, 0.5) AS p50_days,
+           quantile_cont(d, 0.9) AS p90_days,
+           quantile_cont(d, 0.99) AS p99_days
+    FROM (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) GROUP BY o_orderpriority
+    """,
+)
+def q243_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per priority class — the
+    operational SLA readout (does URGENT actually ship faster?). One
+    fact-fact equi-join on the order key and a grouped percentile over
+    integer day deltas; at warehouse scale the join is the bucketed
+    co-located shape of q163.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    d = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", d.alias("d")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.expr("percentile(d, 0.5)").alias("p50_days"),
+        F.expr("percentile(d, 0.9)").alias("p90_days"),
+        F.expr("percentile(d, 0.99)").alias("p99_days"),
+    )
+
+
+@_q(
+    "q244_rank_normalize",
+    """
+    WITH r AS (
+      SELECT p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (ORDER BY p_retailprice, p_partkey) AS rk,
+             COUNT(*) OVER () AS n
+      FROM part
+    )
+    SELECT p_partkey,
+           (CAST(rk AS DOUBLE) - 0.5) / CAST(n AS DOUBLE) AS rank_uniform
+    FROM r WHERE p_partkey <= 200
+    """,
+)
+def q244_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank (quantile) normalization of a feature column: map values to
+    (rank - 0.5) / n — the uniform-distribution transform that makes
+    features comparable across sources and robust to outliers (the
+    step before quantile-matching two corpora). Deterministic total
+    order via the id tiebreak; one sort shuffle (two-phase global ids
+    of q171 replace it at extreme scale). Output restricted to a
+    stable key slice to keep the gate row count bounded.
+    """
+    p = _t(spark, sf_dir, "part")
+    w = Window.orderBy("p_retailprice", "p_partkey")
+    r = p.select(
+        "p_partkey",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return r.filter(F.col("p_partkey") <= 200).select(
+        "p_partkey",
+        (
+            (F.col("rk").cast("double") - 0.5) / F.col("n").cast("double")
+        ).alias("rank_uniform"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -10603,6 +10803,8 @@ _PRIORITY = [
     "q235_golden_records", "q236_user_lifecycle",
     "q237_hard_negatives", "q238_cumulative_distinct_curve",
     "q239_ranking_metrics", "q240_segment_overlap",
+    "q241_lorenz_curve", "q242_time_to_conversion",
+    "q243_fulfillment_latency", "q244_rank_normalize",
     # 0) new in r4 — the r4 gate record was never written, so none of
     #    these has a recorded row yet; they stay at the head of the line
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",
