@@ -98,6 +98,10 @@ QUERY_SLICE = [
     "q236_user_lifecycle",
     "q239_ranking_metrics",
     "q240_segment_overlap",
+    "q241_lorenz_curve",
+    "q242_time_to_conversion",
+    "q243_fulfillment_latency",
+    "q244_rank_normalize",
 ]
 
 
