@@ -229,3 +229,40 @@ def test_prefix_filter_jaccard_parity(spark):
             ).collect()
         }
         assert base == pref, f"threshold {t}: {len(base)} vs {len(pref)}"
+
+
+# ---------------------------------------------------------------------------
+# ranking_metrics
+
+
+def test_ranking_metrics_hit_and_miss(spark):
+    from etl_java_spark.operators.retrieval import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2)],
+        ["query_id", "doc_id", "rank"],
+    )
+    relevant = spark.createDataFrame(
+        [(1, 11), (2, 99)], ["query_id", "rel_id"]  # q2's relevant never ranked
+    )
+    out = {r["query_id"]: r for r in
+           ranking_metrics(ranked, relevant, k=10).collect()}
+    assert out[1]["rank_of_relevant"] == 2
+    assert abs(out[1]["reciprocal_rank"] - 0.5) < 1e-12
+    import math
+
+    assert abs(out[1]["ndcg_at_10"] - 1.0 / math.log2(3.0)) < 1e-9
+    assert out[2]["rank_of_relevant"] is None
+    assert out[2]["reciprocal_rank"] == 0.0 and out[2]["ndcg_at_10"] == 0.0
+
+
+def test_ranking_metrics_k_cutoff(spark):
+    from etl_java_spark.operators.retrieval import ranking_metrics
+
+    ranked = spark.createDataFrame([(1, 10, 7)], ["query_id", "doc_id", "rank"])
+    relevant = spark.createDataFrame([(1, 10)], ["query_id", "rel_id"])
+    r5 = ranking_metrics(ranked, relevant, k=5).first()
+    r10 = ranking_metrics(ranked, relevant, k=10).first()
+    assert r5["rank_of_relevant"] is None and r5["reciprocal_rank"] == 0.0
+    assert r10["rank_of_relevant"] == 7
