@@ -10780,6 +10780,109 @@ def q244_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q245_wow_growth",
+    """
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), lagd AS (
+      SELECT wk, cents, LAG(cents) OVER (ORDER BY wk) AS prev_cents
+      FROM wk
+    )
+    SELECT wk, cents, prev_cents,
+           CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+                ELSE ROUND((CAST(cents AS DOUBLE) - CAST(prev_cents AS DOUBLE))
+                           / CAST(prev_cents AS DOUBLE), 12) END AS wow_pct
+    FROM lagd
+    """,
+)
+def q245_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: weekly exact-cents totals with a
+    LAG window and percent change — the default trend report of every
+    revenue dashboard. Map-side-combinable weekly agg; the single lag
+    window runs over the calendar-bounded week table, not the facts;
+    the pct is (a-b)/b on exact integers, rounded at 12 for
+    cross-engine bit-stability.
+    """
+    o = _t(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("wk")
+    ).agg(F.sum((money("o_totalprice") * 100).cast("long")).alias("cents"))
+    lagd = wk.withColumn("prev_cents", F.lag("cents").over(Window.orderBy("wk")))
+    pct = F.when(
+        F.col("prev_cents").isNull() | (F.col("prev_cents") == 0), F.lit(None)
+    ).otherwise(
+        F.round(
+            (F.col("cents").cast("double") - F.col("prev_cents").cast("double"))
+            / F.col("prev_cents").cast("double"),
+            12,
+        )
+    )
+    return lagd.select("wk", "cents", "prev_cents", pct.alias("wow_pct"))
+
+
+@_q(
+    "q246_mixture_token_budget",
+    r"""
+    WITH per AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')))
+               AS BIGINT) AS tokens,
+             CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(w) AS t, SUM(CAST(tokens AS HUGEINT)) AS tok_total FROM per
+    )
+    SELECT source, n_docs, tokens,
+           CAST(tokens AS DOUBLE) / CAST(tok_total AS DOUBLE) AS token_share,
+           CAST(w AS DOUBLE) / CAST(t AS DOUBLE) AS target_share,
+           ROUND((CAST(w AS DOUBLE) / CAST(t AS DOUBLE))
+                 / (CAST(tokens AS DOUBLE) / CAST(tok_total AS DOUBLE)), 12)
+             AS upsample_factor
+    FROM per, tot
+    """,
+)
+def q246_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planning for the q228 temperature mixture: per
+    source, its BPE-ish token supply (q67's engine-reproducible
+    pretokenizer), its share of the corpus token budget, the
+    temperature-scaled TARGET share, and the resulting upsample factor
+    (target/actual) — the number a data-mixing job feeds into
+    source_mixture (q124). One grouped scan; the two share divisions
+    and their ratio mirror op-for-op in the oracle, rounded at 12.
+    """
+    from .functions.text import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(bpe_ish_token_count("text").cast("long")).alias("tokens"),
+    )
+    per = per.withColumn(
+        "w",
+        F.round(F.sqrt(F.col("n_docs").cast("double")), 6).cast("decimal(18,6)"),
+    )
+    tot = per.agg(
+        F.sum("w").alias("t"),
+        F.sum(F.col("tokens").cast("decimal(38,0)")).alias("tok_total"),
+    )
+    token_share = F.col("tokens").cast("double") / F.col("tok_total").cast("double")
+    target_share = F.col("w").cast("double") / F.col("t").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        token_share.alias("token_share"),
+        target_share.alias("target_share"),
+        F.round(target_share / token_share, 12).alias("upsample_factor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -10805,6 +10908,7 @@ _PRIORITY = [
     "q239_ranking_metrics", "q240_segment_overlap",
     "q241_lorenz_curve", "q242_time_to_conversion",
     "q243_fulfillment_latency", "q244_rank_normalize",
+    "q245_wow_growth", "q246_mixture_token_budget",
     # 0) new in r4 — the r4 gate record was never written, so none of
     #    these has a recorded row yet; they stay at the head of the line
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",

@@ -102,6 +102,8 @@ QUERY_SLICE = [
     "q242_time_to_conversion",
     "q243_fulfillment_latency",
     "q244_rank_normalize",
+    "q245_wow_growth",
+    "q246_mixture_token_budget",
 ]
 
 
