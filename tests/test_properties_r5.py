@@ -92,3 +92,45 @@ def test_golden_records_invariants(spark):
     assert r["name"] == "a"              # survivor attributes = min-id row
     assert r["max_bal"] == 30.0          # freshness column takes cluster MAX
     assert r["bal"] == 10.0              # survivor's own value kept too
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_ngram_jaccard_matches_python_reference(spark, docs, t):
+    from etl_java_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def shingles(toks):
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    sets = {i: shingles(toks) for i, toks in enumerate(docs)}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                uni = len(sets[i] | sets[j])
+                jac = inter / uni if uni else 0.0
+                if jac >= t:
+                    want[(i, j)] = jac
+    for pf in (False, True):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df, "text", "doc_id", 3, t, 10**9, prefix_filter=pf
+            ).collect()
+        }
+        assert got.keys() == want.keys(), (pf, got, want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-15
