@@ -10883,6 +10883,183 @@ def q246_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q247_repetitiveness",
+    r"""
+    WITH sh AS (
+      SELECT source, doc_id, UNNEST(
+        LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      FROM (
+        SELECT source, doc_id,
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^\p{L}\p{N}]+'),
+                           t -> t <> '') AS tk
+        FROM documents
+      ) WHERE LEN(tk) >= 3
+    )
+    SELECT source,
+           COUNT(*) AS total_shingles,
+           COUNT(DISTINCT s) AS distinct_shingles,
+           CAST(COUNT(DISTINCT s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS distinct_ratio
+    FROM sh GROUP BY source
+    """,
+)
+def q247_repetitiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus repetitiveness per source: distinct-to-total 3-gram ratio —
+    the compression-ratio proxy that flags template farms and scraped
+    boilerplate (low ratio = the source keeps saying the same thing;
+    Gopher's repetition signals at corpus rather than document grain,
+    complementing q71). One explode + one multi-distinct agg, all
+    map-side-combinable; the ratio is one double division.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", TX.tokens("text").alias("tk")
+    ).filter(F.size("tk") >= 3)
+    sh = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("tk"), i + 1),
+                    F.element_at(F.col("tk"), i + 2),
+                    F.element_at(F.col("tk"), i + 3),
+                ),
+            )
+        ).alias("s"),
+    )
+    return sh.groupBy("source").agg(
+        F.count("*").alias("total_shingles"),
+        F.countDistinct("s").alias("distinct_shingles"),
+        (
+            F.countDistinct("s").cast("double") / F.count("*").cast("double")
+        ).alias("distinct_ratio"),
+    )
+
+
+@_q(
+    "q248_psi_label_shift",
+    """
+    WITH lab AS (
+      SELECT label,
+             CASE WHEN __BKT_EXPR__ < 8000 THEN 'train' ELSE 'eval' END AS split
+      FROM embeddings
+    ), counts AS (
+      SELECT label,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+             SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS n_eval
+      FROM lab GROUP BY label
+    ), tot AS (
+      SELECT SUM(n_train) AS t_train, SUM(n_eval) AS t_eval FROM counts
+    ), props AS (
+      SELECT label,
+             (CAST(n_train AS DOUBLE) + 0.5)
+               / (CAST(t_train AS DOUBLE) + 0.5 * (SELECT COUNT(*) FROM counts)) AS p,
+             (CAST(n_eval AS DOUBLE) + 0.5)
+               / (CAST(t_eval AS DOUBLE) + 0.5 * (SELECT COUNT(*) FROM counts)) AS q
+      FROM counts, tot
+    )
+    SELECT label, ROUND(p, 12) AS p_train, ROUND(q, 12) AS p_eval,
+           ROUND((p - q) * LN(p / q), 12) AS psi_term
+    FROM props
+    """.replace("__BKT_EXPR__", _kbsql("vec_id")),
+)
+def q248_psi_label_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the train and eval halves of
+    the deterministic split: per label, smoothed proportions in each
+    split and the PSI term (p - q) * ln(p / q) — the model-monitoring
+    drift metric that complements chi-square (q180) and KS (q186) with
+    the industry-standard scale (>0.2 = investigate). Laplace-smoothed
+    (+0.5) so empty cells never hit ln(0); ln rounded at 12, the q85
+    discipline for the one libm call.
+    """
+    from .operators.sampling import key_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    lab = e.select(
+        "label",
+        F.when(key_bucket("vec_id", 10000) < 8000, "train")
+        .otherwise("eval")
+        .alias("split"),
+    )
+    counts = lab.groupBy("label").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "eval").cast("long")).alias("n_eval"),
+    )
+    tot = counts.agg(
+        F.sum("n_train").alias("t_train"),
+        F.sum("n_eval").alias("t_eval"),
+        F.count("*").alias("k"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("n_train").cast("double") + 0.5) / (
+        F.col("t_train").cast("double") + 0.5 * F.col("k").cast("double")
+    )
+    q = (F.col("n_eval").cast("double") + 0.5) / (
+        F.col("t_eval").cast("double") + 0.5 * F.col("k").cast("double")
+    )
+    return j.select(
+        "label",
+        F.round(p, 12).alias("p_train"),
+        F.round(q, 12).alias("p_eval"),
+        F.round((p - q) * F.log(p / q), 12).alias("psi_term"),
+    )
+
+
+@_q(
+    "q249_referential_audit",
+    """
+    WITH o_no_li AS (
+      SELECT COUNT(*) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    ), li_no_o AS (
+      SELECT COUNT(*) AS n FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ), c_no_o AS (
+      SELECT COUNT(*) AS n FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    )
+    SELECT 'orders_without_lineitems' AS check_name, CAST(n AS BIGINT) AS n_rows
+    FROM o_no_li
+    UNION ALL
+    SELECT 'lineitems_without_order', CAST(n AS BIGINT) FROM li_no_o
+    UNION ALL
+    SELECT 'customers_without_orders', CAST(n AS BIGINT) FROM c_no_o
+    """,
+)
+def q249_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-consistency audit across the FK graph: childless
+    parents and orphaned children counted in one pass each (anti-join
+    per edge) — the standing health check a warehouse runs after every
+    load, and the complement of q221's containment measurement
+    (containment says 'what fraction matches'; this says 'exactly how
+    many rows violate, in each direction'). Anti-joins broadcast the
+    distinct key side when dimension-sized.
+    """
+    from .operators.relational import anti_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_rows")).select(
+            F.lit(name).alias("check_name"), "n_rows"
+        )
+
+    o_no_li = anti_join(o, li.select("l_orderkey"), o.o_orderkey == F.col("l_orderkey"))
+    li_no_o = anti_join(li, o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+    c_no_o = anti_join(c, o.select("o_custkey"), c.c_custkey == F.col("o_custkey"))
+    return (
+        count_row("orders_without_lineitems", o_no_li)
+        .unionByName(count_row("lineitems_without_order", li_no_o))
+        .unionByName(count_row("customers_without_orders", c_no_o))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = the order the round driver's correctness gate runs
 # queries in. The gate records only the FIRST ~50 registered entries per
@@ -10909,6 +11086,7 @@ _PRIORITY = [
     "q241_lorenz_curve", "q242_time_to_conversion",
     "q243_fulfillment_latency", "q244_rank_normalize",
     "q245_wow_growth", "q246_mixture_token_budget",
+    "q247_repetitiveness", "q248_psi_label_shift", "q249_referential_audit",
     # 0) new in r4 — the r4 gate record was never written, so none of
     #    these has a recorded row yet; they stay at the head of the line
     "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",

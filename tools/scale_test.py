@@ -104,6 +104,9 @@ QUERY_SLICE = [
     "q244_rank_normalize",
     "q245_wow_growth",
     "q246_mixture_token_budget",
+    "q247_repetitiveness",
+    "q248_psi_label_shift",
+    "q249_referential_audit",
 ]
 
 
