@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline query corpus at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a
+per-query detail JSON line followed by a compact (<200 byte) totals line
+{"metric": "corpus_total_sec", "value": total_sec, "unit": "sec", ...} as
+the LAST stdout line, sized to survive the driver's ~2 KB tail capture.
+Full-fidelity per-query timings are also written to bench_full.json.
 
 Each query is executed to completion (count() of the result — forces the
 full plan without driver-side materialization of wide rows).
@@ -85,8 +87,11 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_val = float(sf) if sf else None
     # Full-fidelity record (full query names, ms resolution) for the
-    # judge's per-query comparisons across rounds.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+    # judge's per-query comparisons across rounds. The committed record
+    # is the sf0.1 run; smoke runs at other scale factors write a
+    # side file so they can't clobber it (bit round 5 once).
+    record = "bench_full.json" if sf_val == 0.1 else f"bench_full_sf{sf}.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), record), "w") as f:
         json.dump(
             {
                 "metric": "headline_query_corpus_total_sec",
@@ -98,24 +103,33 @@ def main() -> None:
             f,
             indent=1,
         )
-    # The driver captures only the TAIL (~2 KB) of stdout — BENCH_r03
-    # lost the head of a 4 KB one-liner and recorded parsed:null. Keep
-    # the final line compact: totals first, short query keys ("q94" for
-    # "q94_top_supplier" — prefixes are unique), seconds at 2 decimals.
+    # The driver captures only the TAIL (~2 KB) of stdout and parses the
+    # LAST line — BENCH_r03/r05 lost the head of a ~2.4 KB one-liner and
+    # recorded parsed:null. So: per-query detail line FIRST (may be
+    # head-truncated in the captured tail, full copy lives in
+    # bench_full.json), then a tiny totals-only line (<200 bytes,
+    # guaranteed intact) as the very last stdout line.
     compact = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
-    line = json.dumps(
+    detail = json.dumps(
+        {"metric": "corpus_per_query_sec", "sf": sf_val, "queries": compact},
+        separators=(",", ":"),
+    )
+    print(detail)
+    totals = json.dumps(
         {
             "metric": "corpus_total_sec",
             "value": total,
             "unit": "sec",
             "sf": sf_val,
             "n_queries": len(timings),
-            "queries": compact,
+            # per-query timings live in bench_full.json and the detail
+            # line above; kept out of this line so it stays <200 bytes.
+            "queries": {},
         },
         separators=(",", ":"),
     )
-    print(f"# final JSON line length: {len(line)} bytes", file=sys.stderr)
-    print(line, flush=True)
+    print(f"# totals line length: {len(totals)} bytes", file=sys.stderr)
+    print(totals, flush=True)
 
 
 if __name__ == "__main__":

@@ -11067,63 +11067,46 @@ def q249_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row yet), then queries changed this round, then everything else
 # oldest-green-confirmation-first — so every query's green row stays at
 # most a couple of rounds old as the corpus rotates through the window.
-# Round-4 second wave: q170-q200 (31 brand-new queries) lead, followed
-# by the first wave's q154-q169 — together they fill the ~50-row gate.
+# Round-6 rotation: the 50 never-recorded queries fill the gate head
+# (q188-q217 + q154-q169 + 4 oldies); `tools/gate_ledger.py` audits
+# recorded-vs-never across all CORRECTNESS_r*.json files.
 
 _PRIORITY = [
-    # -1) brand-new this round (r5) — never registered before
-    "q218_text_canonicalize", "q219_split_leakage",
-    "q220_incremental_neardup", "q221_fk_discovery",
-    "q222_key_discovery", "q223_dup_spans", "q224_degree_stats",
-    "q225_leakage_safe_split", "q226_cusum_changepoints",
-    "q227_stratified_sample", "q228_mixture_temperature",
-    "q229_copurchase_lift", "q230_entity_resolution",
-    "q231_digit_quantile_sketch", "q232_percent_of_parent",
-    "q233_gdpr_cascade_delete", "q234_image_phash_dedup",
-    "q235_golden_records", "q236_user_lifecycle",
-    "q237_hard_negatives", "q238_cumulative_distinct_curve",
-    "q239_ranking_metrics", "q240_segment_overlap",
-    "q241_lorenz_curve", "q242_time_to_conversion",
-    "q243_fulfillment_latency", "q244_rank_normalize",
-    "q245_wow_growth", "q246_mixture_token_budget",
-    "q247_repetitiveness", "q248_psi_label_shift", "q249_referential_audit",
-    # 0) new in r4 — the r4 gate record was never written, so none of
-    #    these has a recorded row yet; they stay at the head of the line
-    "q170_interval_merge", "q171_global_row_ids", "q172_equidepth_histogram",
-    "q173_mad_outliers", "q174_weighted_sample", "q175_embedding_quantize",
-    "q176_triangle_count", "q177_grid_distance_join", "q178_cms_heavy_hitters",
-    "q179_ab_welch", "q180_drift_chisq", "q181_training_shuffle",
-    "q182_join_size_estimate", "q183_pmi_collocations",
-    "q184_containment_pairs", "q185_cluster_canonical", "q186_ks_drift",
-    "q187_gini_concentration", "q188_markov_transitions",
-    "q189_dataset_card", "q190_event_rate_anomalies", "q191_twap",
-    "q192_scd2_asof", "q193_join_hints", "q194_prefix_index",
-    "q195_lsh_recall_eval", "q196_feature_hashing",
-    "q197_sketch_set_algebra", "q198_ivf_index_persistence",
-    "q199_attribution", "q200_heavy_hitter_drift", "q201_training_pipeline",
-    "q202_k_anonymity", "q203_string_profile", "q204_duplication_profile",
-    "q205_partitioned_io", "q206_cogroup_balance",
-    "q207_personalized_pagerank", "q208_media_dedup",
+    # 0) HEAD = exactly the 50 queries with no recorded green row
+    #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
+    #    record was lost) ...
+    "q188_markov_transitions", "q189_dataset_card",
+    "q190_event_rate_anomalies", "q191_twap", "q192_scd2_asof",
+    "q193_join_hints", "q194_prefix_index", "q195_lsh_recall_eval",
+    "q196_feature_hashing", "q197_sketch_set_algebra",
+    "q198_ivf_index_persistence", "q199_attribution",
+    "q200_heavy_hitter_drift", "q201_training_pipeline", "q202_k_anonymity",
+    "q203_string_profile", "q204_duplication_profile", "q205_partitioned_io",
+    "q206_cogroup_balance", "q207_personalized_pagerank", "q208_media_dedup",
     "q209_grouped_quartiles", "q210_user_growth", "q211_temporal_join",
     "q212_json_schema_census", "q213_seasonality", "q214_target_encoding",
     "q215_k_core", "q216_one_big_table", "q217_rfm_segments",
+    #    ... the r4 first wave q154-q169 ...
     "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
     "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
     "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
     "q162_corrupt_quarantine", "q163_bucketed_fact_join",
-    "q164_stream_static_enrich", "q165_ewma_smoothing",
-    "q166_asof_tolerance", "q167_median_impute", "q168_dataset_checksum",
-    "q169_group_trend",
-    # 1) newly-oracled this round (r4) — never had a recorded green row
-    "q86_freq_items", "q55_multimodal_features", "q105_real_codec_features",
+    "q164_stream_static_enrich", "q165_ewma_smoothing", "q166_asof_tolerance",
+    "q167_median_impute", "q168_dataset_checksum", "q169_group_trend",
+    #    ... and 4 of the 9 late-oracled oldies (the other 5 follow
+    #    immediately below, head of the r7 rotation).
+    "q153_jdbc_roundtrip", "q86_freq_items", "q55_multimodal_features",
+    "q105_real_codec_features",
+    # 1) remaining never-green oldies (overflow past the ~50-row cap;
+    #    rotate to the head next round if still unrecorded)
     "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",
-    "q135_sketch_union", "q138_video_pipeline", "q153_jdbc_roundtrip",
-    # 2) queries whose body or inputs changed this round (re-confirm)
-    "q146_important_stock", "q94_top_supplier", "q123_split_assign",
-    "q124_source_mixture", "q54_stream_tumbling", "q62_stream_sliding",
-    "q63_stream_sessions", "q68_stateful_stream", "q79_stream_stream_join",
-    "q137_stream_dedup", "q116_semantic_dedup", "q122_source_caps",
-    # 3) oldest green row first: r1 confirmations age out of the 50-cap soonest
+    "q135_sketch_union", "q138_video_pipeline",
+    # 2) queries whose body changed this round (r6): q219 gained the
+    #    minhash candidate strategy, q220's pair-marker semantics were
+    #    hardened (ADVICE r5) -- re-confirm before aged re-greens
+    "q219_split_leakage", "q220_incremental_neardup",
+    # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
+    #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",
     "q06_forecast_revenue", "q10_projection_rename", "q11_scalar_transforms",
     "q12_sql_passthrough", "q13_insert_if_absent", "q14_merge_upsert",
@@ -11138,37 +11121,58 @@ _PRIORITY = [
     "q82_returned_items", "q83_correlated_scalar", "q84_range_frame",
     "q85_deterministic_corr", "q87_order_count_distribution",
     "q88_promo_revenue_share", "q89_having_in_subquery",
-    "q90_not_in_subquery", "q92_rank_functions",
-    # 4) last green r2
-    "q01_pricing_summary", "q100_corpus_prep", "q101_cdc_snapshot",
-    "q102_scd2_history", "q103_gapfill", "q104_fuzzy_join", "q106_zorder_key",
-    "q107_market_share", "q108_product_profit", "q110_dq_checks",
-    "q111_pack_next_fit", "q112_cohort_retention", "q115_line_dedup",
-    "q117_incremental_agg", "q118_token_topk", "q46_quality_scores",
-    "q50_minhash_neardup", "q51_simhash", "q52_embedding_neardup",
-    "q53_ann_topk", "q56_brute_force_knn", "q57_struct_map_columns",
-    "q58_array_functions", "q59_explode_arrays", "q64_unpivot",
-    "q65_deterministic_stats", "q66_exact_percentiles", "q67_token_budget",
-    "q69_salted_join", "q70_two_phase_agg", "q71_repetition_quality",
-    "q72_pii_scrub", "q73_dedup_clusters", "q74_ivf_ann", "q75_collect_list",
-    "q76_pandas_udf", "q78_intersect_except_all", "q80_deterministic_sample",
-    "q91_ordered_collect", "q93_priority_line_counts",
+    "q90_not_in_subquery", "q92_rank_functions", "q01_pricing_summary",
+    "q46_quality_scores", "q50_minhash_neardup", "q51_simhash",
+    "q52_embedding_neardup", "q53_ann_topk", "q56_brute_force_knn",
+    "q57_struct_map_columns", "q58_array_functions", "q59_explode_arrays",
+    "q64_unpivot", "q65_deterministic_stats", "q66_exact_percentiles",
+    "q67_token_budget", "q69_salted_join", "q70_two_phase_agg",
+    "q71_repetition_quality", "q72_pii_scrub", "q73_dedup_clusters",
+    "q74_ivf_ann", "q75_collect_list", "q76_pandas_udf",
+    "q78_intersect_except_all", "q80_deterministic_sample",
+    "q91_ordered_collect", "q93_priority_line_counts", "q94_top_supplier",
     "q95_small_qty_revenue", "q96_large_orders", "q97_disjunctive_predicates",
     "q98_sole_returning_supplier", "q99_idle_rich_customers",
-    # 5) last green r3 (freshest)
+    "q100_corpus_prep", "q101_cdc_snapshot", "q102_scd2_history",
+    "q103_gapfill", "q104_fuzzy_join", "q106_zorder_key", "q107_market_share",
+    "q108_product_profit", "q110_dq_checks", "q111_pack_next_fit",
+    "q112_cohort_retention", "q115_line_dedup", "q116_semantic_dedup",
+    "q117_incremental_agg", "q118_token_topk", "q31_tumbling_window",
+    "q32_sessionize", "q54_stream_tumbling", "q62_stream_sliding",
+    "q63_stream_sessions", "q68_stateful_stream", "q79_stream_stream_join",
     "q109_funnel", "q113_order_priority", "q114_decontaminate",
     "q119_bm25_rank", "q120_tfidf_terms", "q121_chunk_chars",
+    "q122_source_caps", "q123_split_assign", "q124_source_mixture",
     "q125_bigram_fluency", "q126_event_paths", "q127_price_histogram",
     "q128_zscore_outliers", "q129_pagerank", "q130_inverted_index",
     "q131_numeric_profile", "q132_winsorized_stats", "q133_udtf_tokens",
-    "q134_incremental_join", "q136_variant_json", "q139_arrow_features",
-    "q140_try_functions", "q141_observed_metrics", "q142_full_outer_join",
-    "q143_union_missing_cols", "q144_null_safe_join",
-    "q145_min_cost_supplier", "q147_excess_stock_suppliers",
-    "q148_time_range_frame", "q149_python_datasource", "q150_token_chunks",
-    "q151_rag_prep", "q152_char_entropy", "q31_tumbling_window",
-    "q32_sessionize",
+    "q134_incremental_join", "q136_variant_json", "q137_stream_dedup",
+    "q139_arrow_features", "q140_try_functions", "q141_observed_metrics",
+    "q142_full_outer_join", "q143_union_missing_cols", "q144_null_safe_join",
+    "q145_min_cost_supplier", "q146_important_stock",
+    "q147_excess_stock_suppliers", "q148_time_range_frame",
+    "q149_python_datasource", "q150_token_chunks", "q151_rag_prep",
+    "q152_char_entropy", "q170_interval_merge", "q171_global_row_ids",
+    "q172_equidepth_histogram", "q173_mad_outliers", "q174_weighted_sample",
+    "q175_embedding_quantize", "q176_triangle_count",
+    "q177_grid_distance_join", "q178_cms_heavy_hitters", "q179_ab_welch",
+    "q180_drift_chisq", "q181_training_shuffle", "q182_join_size_estimate",
+    "q183_pmi_collocations", "q184_containment_pairs",
+    "q185_cluster_canonical", "q186_ks_drift", "q187_gini_concentration",
+    "q218_text_canonicalize", "q221_fk_discovery", "q222_key_discovery",
+    "q223_dup_spans", "q224_degree_stats", "q225_leakage_safe_split",
+    "q226_cusum_changepoints", "q227_stratified_sample",
+    "q228_mixture_temperature", "q229_copurchase_lift",
+    "q230_entity_resolution", "q231_digit_quantile_sketch",
+    "q232_percent_of_parent", "q233_gdpr_cascade_delete",
+    "q234_image_phash_dedup", "q235_golden_records", "q236_user_lifecycle",
+    "q237_hard_negatives", "q238_cumulative_distinct_curve",
+    "q239_ranking_metrics", "q240_segment_overlap", "q241_lorenz_curve",
+    "q242_time_to_conversion", "q243_fulfillment_latency",
+    "q244_rank_normalize", "q245_wow_growth", "q246_mixture_token_budget",
+    "q247_repetitiveness", "q248_psi_label_shift", "q249_referential_audit",
 ]
+
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, f"priority list names unknown queries: {_missing}"
