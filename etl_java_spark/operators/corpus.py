@@ -393,25 +393,60 @@ def split_leakage(
     max_shingle_freq: int = 1000,
     token_pattern: str | None = None,
     prefix_filter: bool = False,
+    candidate_strategy: str = "exact",
+    minhash_hashes: int = 32,
+    minhash_bands: int = 16,
+    minhash_max_bucket: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate pairs that CROSS split boundaries — the pairs that
     leak training text into evaluation. A train/test split made before
     dedup silently inflates eval scores; this audit quantifies it.
 
-    Candidates come from the same inverted-index blocking as
-    ``dedup.ngram_jaccard_pairs`` (hot-shingle cap bounds the quadratic
-    bucket); the split labels are joined on afterwards, so the pair
-    generation cost is identical to a plain near-dup pass and the
-    filter to cross-split pairs is free. Returns
+    ``candidate_strategy`` picks the pair-generation path:
+
+    - ``"exact"`` (default, the oracle-checkable path): inverted-index
+      blocking from ``dedup.ngram_jaccard_pairs`` — recall 1.0 by
+      construction, but worst-case candidate volume is
+      O(max_shingle_freq x corpus-shingles). Right for audits that must
+      certify "zero leaks" at benchmark scale.
+    - ``"minhash"`` (the 100 TB path): LSH banding over MinHash
+      signatures (``dedup.minhash_candidate_pairs``) followed by exact
+      Jaccard re-scoring of candidates only (``dedup.jaccard_verify``)
+      — candidate volume tracks the true near-dup mass, not the corpus
+      shingle mass. Banding defaults (16 bands x 2 rows from 32 hashes)
+      give P(candidate) ~ 0.99 at J = 0.5; recall is probabilistic, so
+      pairs sitting exactly at the threshold may escape (the same
+      contract as the q50/q220 family). Precision is exact either way
+      (survivors are re-scored on full shingle sets).
+
+    The split labels are joined on AFTER pair generation, so the
+    cross-split filter is free. Returns
     (id_a, id_b, split_a, split_b, jaccard) for pairs whose splits
     differ, jaccard >= threshold.
     """
     from . import dedup as DD
 
-    pairs = DD.ngram_jaccard_pairs(
-        df, text_col, id_col, shingle_n, threshold, max_shingle_freq,
-        token_pattern, prefix_filter=prefix_filter,
-    )
+    if candidate_strategy == "minhash":
+        if token_pattern is not None:
+            raise ValueError(
+                "candidate_strategy='minhash' uses the default token pattern "
+                "(minhash_signature/jaccard_verify do not take token_pattern)"
+            )
+        rows_per_band = max(1, minhash_hashes // minhash_bands)
+        sigs = DD.minhash_signature(df, text_col, id_col, minhash_hashes, shingle_n)
+        cands = DD.minhash_candidate_pairs(
+            sigs, id_col, minhash_bands, rows_per_band, minhash_max_bucket
+        )
+        pairs = DD.jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
+    elif candidate_strategy == "exact":
+        pairs = DD.ngram_jaccard_pairs(
+            df, text_col, id_col, shingle_n, threshold, max_shingle_freq,
+            token_pattern, prefix_filter=prefix_filter,
+        )
+    else:
+        raise ValueError(
+            f"candidate_strategy must be 'exact' or 'minhash', got {candidate_strategy!r}"
+        )
     labels = df.select(F.col(id_col), F.col(split_col))
     out = (
         pairs.join(

@@ -160,8 +160,15 @@ def minhash_incremental_pairs(
     The new batch is orders of magnitude smaller than the index, so the
     bucket join probes with the batch side and the verify stage's text
     semi-join pulls only the touched historical docs. Returns
-    (id_a, id_b, jaccard) with id_a < id_b, id_b always a new-batch doc
-    when the pair crosses, and exact shingle Jaccard >= threshold.
+    (id_a, id_b, jaccard) with id_a < id_b (canonical least/greatest
+    order — NOT old/new order: a cross pair's new-batch doc is id_b only
+    when new-batch ids sort above historical ids, as in ingest schemes
+    with monotonically increasing ids). Consumers that need to know
+    which side is historical should join the ids back against the batch
+    frame rather than relying on position. Exact shingle Jaccard >=
+    threshold. An id present in BOTH frames contributes one text row to
+    the verify corpus (deduped by id; the frames are assumed consistent
+    on shared ids).
     """
     rows = num_hashes // bands
     if index is None:
@@ -185,8 +192,12 @@ def minhash_incremental_pairs(
     ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
     pairs = cross.unionByName(within).filter(F.col("id_a") != F.col("id_b")).distinct()
     pairs = pairs.localCheckpoint(eager=True)
-    corpus = old_df.select(F.col(id_col), F.col(text_col)).unionByName(
-        new_df.select(F.col(id_col), F.col(text_col))
+    corpus = (
+        old_df.select(F.col(id_col), F.col(text_col))
+        .unionByName(new_df.select(F.col(id_col), F.col(text_col)))
+        # an id present in both frames would duplicate its text row and
+        # fan out every verified pair it touches
+        .dropDuplicates([id_col])
     )
     return jaccard_verify(corpus, pairs, text_col, id_col, shingle_n, threshold)
 
@@ -681,11 +692,21 @@ def _ngram_jaccard_prefix(
         )
         .filter(F.size("__set") > 0)
         .withColumn(
-            # canonical order = sorted 64-bit hashes; the prefix property
-            # only needs a consistent total order, and hashing keeps the
-            # sort key 8 bytes instead of the shingle string
+            # canonical order = sorted DISTINCT 64-bit hashes; the prefix
+            # property only needs a consistent total order, and hashing
+            # keeps the sort key 8 bytes instead of the shingle string.
+            # array_distinct matters for exactness: an in-document hash
+            # collision between two distinct shingles would otherwise
+            # shorten the effective distinct prefix and could drop a
+            # qualifying pair. On the distinct hash-set the lemma holds
+            # outright: J_hash >= J_string (collisions only merge
+            # elements), so every pair with string-Jaccard >= t shares a
+            # hash within the prefix, and the full-set re-score below is
+            # exact on the original strings.
             "__hs",
-            F.array_sort(F.transform("__set", lambda s: F.xxhash64(s))),
+            F.array_distinct(
+                F.array_sort(F.transform("__set", lambda s: F.xxhash64(s)))
+            ),
         )
         .localCheckpoint(eager=False)
     )

@@ -143,8 +143,24 @@ def digit_histogram(df: DataFrame, value_col: str) -> DataFrame:
     cell, i.e. within a factor of ~1.11-2x — the right tool for "which
     decade is p99 in" monitoring at 100 TB, not cent-exact accounting
     (q66 does exact percentiles when the full sort is affordable).
+
+    The positive-integer contract is ENFORCED: values <= 0 raise at
+    plan-execution time (ANSI-style) rather than silently producing
+    degenerate cells (0 would land in bucket (1, 0); negatives would
+    yield a NULL first_digit — both would skew digit_quantiles'
+    cumulative order without any error). Callers with signed data must
+    pre-map it (abs/offset) explicitly.
     """
-    s = F.col(value_col).cast("string")
+    v = F.col(value_col)
+    s = (
+        F.when(v <= 0, F.raise_error(
+            F.concat(
+                F.lit(f"digit_histogram: {value_col} must be > 0, got "),
+                v.cast("string"),
+            )
+        ).cast("string"))
+        .otherwise(v.cast("string"))
+    )
     return df.groupBy(
         F.length(s).alias("digits"),
         F.substring(s, 1, 1).cast("long").alias("first_digit"),

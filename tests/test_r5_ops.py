@@ -108,6 +108,42 @@ def test_split_leakage_only_cross_split_pairs(spark):
     assert len(rows) > 0
 
 
+def test_split_leakage_minhash_strategy_parity(spark):
+    """The 100 TB candidate path (LSH banding + exact re-score) finds
+    the same cross-split pairs as the exact inverted-index path on a
+    fixture whose near-dups sit comfortably above the threshold
+    (identical docs, J = 1.0 -> every band collides: recall 1.0 is
+    deterministic, not probabilistic, for this fixture)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = assign_split(
+        _docs(
+            spark,
+            [(i, base) for i in range(20)]
+            + [(100 + i, f"totally different text number {i} with unique words") for i in range(3)],
+        ),
+        "doc_id",
+    )
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    exact = {
+        key(r): r["jaccard"]
+        for r in split_leakage(df, shingle_n=3, threshold=0.9).collect()
+    }
+    mh = {
+        key(r): r["jaccard"]
+        for r in split_leakage(
+            df, shingle_n=3, threshold=0.9, candidate_strategy="minhash"
+        ).collect()
+    }
+    assert set(mh) == set(exact)          # recall 1.0 on this fixture
+    assert mh == exact                    # identical exact re-scored jaccard
+    import pytest
+
+    with pytest.raises(ValueError, match="candidate_strategy"):
+        split_leakage(df, candidate_strategy="nope")
+    with pytest.raises(ValueError, match="token pattern"):
+        split_leakage(df, candidate_strategy="minhash", token_pattern=r"\w+")
+
+
 # ---------------------------------------------------------------------------
 # incremental minhash
 
@@ -127,6 +163,22 @@ def test_incremental_pairs_never_repair_history(spark):
     # every returned pair touches the new batch
     assert all(r["id_a"] == 100 or r["id_b"] == 100 for r in pairs)
     assert len(pairs) > 0
+
+
+def test_incremental_pairs_shared_id_no_fanout(spark):
+    """An id present in BOTH frames (a re-ingested doc) must contribute
+    ONE text row to the verify corpus — a duplicated row would fan out
+    every verified pair it touches (ADVICE r5)."""
+    txt = "shared boilerplate phrase " * 8
+    old = _docs(spark, [(1, txt), (2, txt + "historical tail")])
+    # doc 2 re-appears in the new batch with the same text, plus a true new doc
+    new = _docs(spark, [(2, txt + "historical tail"), (3, txt + "fresh tail")])
+    rows = minhash_incremental_pairs(
+        old, new, "text", "doc_id", threshold=0.5
+    ).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(keys) == len(set(keys)), f"duplicate pair rows: {keys}"
+    assert all(a < b for a, b in keys)
 
 
 def test_incremental_pairs_match_full_run_restricted(spark):

@@ -86,6 +86,18 @@ def test_digit_histogram_cells(spark):
     assert cells[(3, 1)] == 1 and cells[(3, 5)] == 1
 
 
+def test_digit_histogram_rejects_nonpositive(spark):
+    """Contract violations surface as errors instead of silently
+    skewing quantile buckets: 0 would land in cell (1, 0), negatives
+    in a NULL first_digit (ADVICE r5)."""
+    import pytest
+
+    for bad in (0, -7):
+        df = spark.createDataFrame([(5,), (bad,)], ["v"])
+        with pytest.raises(Exception, match="must be > 0"):
+            digit_histogram(df, "v").collect()
+
+
 def test_digit_quantiles_bounds(spark):
     # 100 values 1..100: p50 element is 50 (bucket digits=2 fd=5 -> [50,60))
     df = spark.createDataFrame([(v,) for v in range(1, 101)], ["v"])
