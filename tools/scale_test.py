@@ -134,7 +134,11 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfx_scale"
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = sys.argv[3:]  # optional query-name subset (reuses an existing dst)
-    slice_ = [q for q in QUERY_SLICE if not only or q in only] or only
+    # explicit names run VERBATIM (QUERY_SLICE order when they overlap);
+    # silently dropping an unknown/off-slice name would fake coverage
+    slice_ = [q for q in QUERY_SLICE if q in only] + [
+        q for q in only if q not in QUERY_SLICE
+    ] if only else QUERY_SLICE
 
     from etl_java_spark import queries as Q
     from etl_java_spark.session import get_session
@@ -152,7 +156,9 @@ def main() -> None:
         for name in slice_:
             t0 = time.time()
             n = Q.QUERIES[name](spark, d).count()
-            results.setdefault(name, {})[label] = (round(time.time() - t0, 2), n)
+            dt = round(time.time() - t0, 2)
+            results.setdefault(name, {})[label] = (dt, n)
+            print(f"  [{label}] {name}: {dt}s rows={n}", file=sys.stderr, flush=True)
     for name, r in results.items():
         (a, _), (b, _) = r["base"], r[f"x{factor}"]
         print(f"{name}: base={a}s x{factor}={b}s ratio={b / a:.1f}x")
