@@ -188,3 +188,95 @@ def pmi_bigrams(
         .orderBy(F.col("pmi_ratio").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(topk)
     )
+
+
+def trigram_fluency(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "[^a-z0-9]+",
+    lambda3: float = 0.5,
+    lambda2: float = 0.375,
+    lambda1: float = 0.125,
+) -> DataFrame:
+    """Interpolated trigram fluency per document — the order-3 upgrade
+    of ``bigram_fluency``. Each trigram instance (w1 w2 w3) scores
+
+        p = l3*P(w3|w1 w2) + l2*P(w3|w2) + l1*P(w3)
+
+    with every conditional add-one smoothed against the corpus's own
+    counts — a Jelinek-Mercer interpolation with fixed weights, the
+    same backoff structure KenLM applies (with learned weights) when a
+    trigram context is sparse. Longer context separates fluent prose
+    from bag-of-common-words text far better than order 2; the
+    interpolation keeps unseen trigram contexts from zeroing a doc.
+
+    Determinism contract (same as bigram_fluency): every P() is one
+    correctly-rounded double division of exact integer counts, the
+    default interpolation weights are exact binary fractions (1/2, 3/8,
+    1/8) so the weighted sum is deterministic double arithmetic in a
+    fixed order, and the per-doc mean decimal-sums the per-instance
+    scores (order-independent). ``ln`` is deliberately avoided.
+
+    Scale: one tokenize pass feeds the per-doc trigram-type table
+    (pinned — every model table and the scoring join derive from it),
+    then three map-side-combinable count shuffles (trigram context,
+    bigram context, unigram) sized by the corpus's distinct n-grams,
+    Zipf-pruned naturally by their own sparsity; scoring joins move
+    8-byte-ish keys and AQE skew-split covers the hot heads. Returns
+    (id, n_trigrams, fluency) with fluency rounded to 12.
+    """
+    toks_col = token_array(text_col, pattern)
+    n = F.size(toks_col)
+    sliced = docs.select(
+        F.col(id_col),
+        F.slice(toks_col, 1, F.greatest(n - 2, F.lit(0))).alias("w1s"),
+        F.slice(toks_col, 2, F.greatest(n - 2, F.lit(0))).alias("w2s"),
+        F.slice(toks_col, 3, F.greatest(n - 2, F.lit(0))).alias("w3s"),
+    )
+    tri = sliced.select(
+        F.col(id_col), F.explode(F.arrays_zip("w1s", "w2s", "w3s")).alias("t")
+    ).select(
+        id_col,
+        F.col("t.w1s").alias("w1"),
+        F.col("t.w2s").alias("w2"),
+        F.col("t.w3s").alias("w3"),
+    )
+    doc_tri = (
+        tri.groupBy(id_col, "w1", "w2", "w3")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    c_tri = doc_tri.groupBy("w1", "w2", "w3").agg(F.sum("n").alias("c123"))
+    c_ctx2 = c_tri.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    c_bi = c_tri.groupBy("w2", "w3").agg(F.sum("c123").alias("c23"))
+    c_ctx1 = c_bi.groupBy("w2").agg(F.sum("c23").alias("c2"))
+    c_uni = (
+        docs.select(F.explode(toks_col).alias("w3"))
+        .groupBy("w3")
+        .agg(F.count("*").alias("c3"))
+    )
+    stats = c_uni.agg(
+        F.count("*").cast("double").alias("v"),
+        F.sum("c3").cast("double").alias("tot"),
+    )
+    p3 = (F.col("c123").cast("double") + 1.0) / (F.col("c12").cast("double") + F.col("v"))
+    p2 = (F.col("c23").cast("double") + 1.0) / (F.col("c2").cast("double") + F.col("v"))
+    p1 = (F.col("c3").cast("double") + 1.0) / (F.col("tot") + F.col("v"))
+    p = p3 * F.lit(lambda3) + p2 * F.lit(lambda2) + p1 * F.lit(lambda1)
+    weighted = (F.col("n").cast("double") * p).cast("decimal(38,15)")
+    return (
+        doc_tri.join(c_tri, ["w1", "w2", "w3"])
+        .join(c_ctx2, ["w1", "w2"])
+        .join(c_bi, ["w2", "w3"])
+        .join(c_ctx1, ["w2"])
+        .join(c_uni, ["w3"])
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_trigrams"),
+            F.round(
+                F.sum(weighted).cast("double") / F.sum("n").cast("double"), 12
+            ).alias("fluency"),
+        )
+    )

@@ -464,3 +464,148 @@ def split_leakage(
         .filter(F.col("split_a") != F.col("split_b"))
     )
     return out.select("id_a", "id_b", "split_a", "split_b", "jaccard")
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    shingle_n: int = 3,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Pairwise shingle-set Jaccard BETWEEN corpus groups (sources,
+    crawls, snapshots) — the corpus-level overlap matrix a mixture
+    designer reads before weighting sources: two crawls of the same
+    sites overlap heavily and should not be double-counted in a token
+    budget; a genuinely novel source overlaps nobody.
+
+    Shape: one distinct-reduce to (group, shingle) — the only pass over
+    the text — then per-group set sizes and a self-equi-join on the
+    shingle key for pairwise intersections. A shingle shared by g
+    groups fans out to C(g,2) pairs, bounded by the GROUP count (tens),
+    never the corpus, so the join output is at most
+    #distinct-shingles x C(#groups,2) and in practice tracks the true
+    shared mass. With ``hash_shingles`` the shuffle key is an 8-byte
+    xxhash64 instead of the shingle string (the q156 trick; a cross-
+    group hash collision inflates an intersection with probability
+    ~2^-64 — accept it at scale, disable it for oracle-exact audits).
+
+    Returns (group_a, group_b, inter, size_a, size_b, jaccard) for
+    group_a < group_b, jaccard rounded to 12.
+    """
+    sh = F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("__sh")
+    gs = df.select(F.col(group_col).alias("__g"), sh)
+    if hash_shingles:
+        gs = gs.select("__g", F.xxhash64("__sh").alias("__sh"))
+    gs = gs.distinct().localCheckpoint(eager=True)
+    sizes = gs.groupBy("__g").agg(F.count("*").alias("sz"))
+    inter = (
+        gs.alias("a")
+        .join(gs.alias("b"), "__sh")
+        .filter(F.col("a.__g") < F.col("b.__g"))
+        .groupBy(
+            F.col("a.__g").alias("group_a"), F.col("b.__g").alias("group_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("__g").alias("group_a"), F.col("sz").alias("size_a")),
+            "group_a",
+        )
+        .join(
+            sizes.select(F.col("__g").alias("group_b"), F.col("sz").alias("size_b")),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "inter",
+            "size_a",
+            "size_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                12,
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al.
+    2023, ln-free): score every document by how target-like its token
+    distribution is, so a pipeline can up-sample raw web text that
+    looks like a trusted target domain. ``target_pred`` is a boolean
+    Column marking the TARGET docs; the complement is the raw pool.
+
+    Per token w the importance ratio under add-one smoothing is
+
+        r(w) = P_target(w) / P_raw(w)
+             = ((ct+1) * (Nr+V)) / ((cr+1) * (Nt+V))
+
+    computed as ONE double division of exact integer products (counts
+    stay below 2^53 far past 100 TB of tokens) — the paper's log-ratio
+    sum is replaced by the mean ratio, which induces the same
+    "more-target-like" ordering per instance without libm ln. Per doc:
+    the decimal-exact mean of r over its token INSTANCES (the
+    bigram_fluency contract), rounded to 12.
+
+    ``num_buckets`` hashes tokens into that many buckets first (DSIR's
+    hashed feature space — the production switch when the vocabulary
+    itself is too large to shuffle; counts then aggregate per bucket).
+    Bucketed scores differ from exact ones only through collisions.
+
+    Scale: two map-side-combinable count shuffles over the vocab (or
+    bucket space), a 1-row stat broadcast, one scoring join keyed by
+    token/bucket (AQE skew-split owns the Zipf head), one per-doc
+    decimal aggregate. Returns (id, n_tokens, importance, is_target).
+    """
+    from ..functions.lm import token_array
+
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__t"),
+        F.explode(token_array(text_col)).alias("w"),
+    )
+    if num_buckets is not None:
+        toks = toks.withColumn("w", F.pmod(F.xxhash64("w"), F.lit(num_buckets)))
+    doc_tok = (
+        toks.groupBy(id_col, "__t", "w")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    counts = doc_tok.groupBy("w").agg(
+        F.sum(F.when(F.col("__t"), F.col("n")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~F.col("__t"), F.col("n")).otherwise(F.lit(0))).alias("cr"),
+    )
+    stats = counts.agg(
+        F.count("*").cast("double").alias("v"),
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cr").cast("double").alias("nr"),
+    )
+    ratio = ((F.col("ct") + 1).cast("double") * (F.col("nr") + F.col("v"))) / (
+        (F.col("cr") + 1).cast("double") * (F.col("nt") + F.col("v"))
+    )
+    weighted = (F.col("n").cast("double") * ratio).cast("decimal(38,15)")
+    return (
+        doc_tok.join(counts, "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col, "__t")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.round(
+                F.sum(weighted).cast("double") / F.sum("n").cast("double"), 12
+            ).alias("importance"),
+        )
+        .select(
+            id_col, "n_tokens", "importance", F.col("__t").alias("is_target")
+        )
+    )

@@ -614,3 +614,71 @@ def fk_containment(
             / F.count("*").cast("double")
         ).alias("containment"),
     )
+
+
+#: First-significant-digit expected shares log10(1+1/d), d=1..9, as
+#: fixed 15-decimal literals (public constants) — hardcoded rather than
+#: computed so the operator and any replaying engine agree bitwise
+#: without trusting two libm log10 implementations to round alike.
+BENFORD_SHARES = {
+    1: "0.301029995663981",
+    2: "0.176091259055681",
+    3: "0.124938736608300",
+    4: "0.096910013008056",
+    5: "0.079181246047625",
+    6: "0.066946789630613",
+    7: "0.057991946977687",
+    8: "0.051152522447381",
+    9: "0.045757490560675",
+}
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated/synthetic-numbers screen for a money-like column
+    (amounts spanning several orders of magnitude should follow it;
+    uniform or hand-entered data won't). Values <= 0 are excluded (no
+    first significant digit).
+
+    Returns one row per digit 1..9: (digit, n, obs_share, exp_share,
+    chi_term) where chi_term = (obs_share - exp_share)^2 / exp_share —
+    sum it for the chi-square-style divergence statistic, or read the
+    per-digit rows directly to see WHICH digits deviate.
+
+    The first digit is read from the INTEGER part (floor) — values in
+    (0, 1) are excluded along with <= 0, so callers with sub-unit data
+    must pre-scale (e.g. dollars -> cents), exactly like
+    ``sketch.digit_histogram``. floor is used instead of a rounding
+    decimal cast because engines disagree on .5 rounding modes.
+
+    Determinism: obs_share is one double division of exact longs;
+    exp_share is a fixed decimal literal (see BENFORD_SHARES);
+    chi_term is a fixed-order double expression of the two. Scale: one
+    9-cell grouped count (map-side combinable) — same 100 TB shape as
+    digit_histogram; everything after the count is arithmetic on 9 rows.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    digit = F.substring(F.floor(v).cast("long").cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(v >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    exp_share = F.element_at(
+        F.array(*[F.lit(BENFORD_SHARES[d]).cast("decimal(18,15)") for d in range(1, 10)]),
+        F.col("digit"),
+    ).cast("double")
+    obs = F.col("n").cast("double") / F.col("tot").cast("double")
+    chi = (obs - exp_share) * (obs - exp_share) / exp_share
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 12).alias("obs_share"),
+            exp_share.alias("exp_share"),
+            F.round(chi, 12).alias("chi_term"),
+        )
+        .orderBy("digit")
+    )

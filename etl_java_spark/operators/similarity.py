@@ -466,3 +466,62 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         df.join(F.broadcast(ranges))
         .select(F.col(id_col), codes.alias("codes"))
     )
+
+
+def prefix_dim_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    prefix_dims: int,
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation: how much of the exact
+    full-dimension top-k survives when cosine runs on only the FIRST
+    ``prefix_dims`` coordinates? MRL-trained embeddings front-load
+    information precisely so a pipeline can search at a fraction of the
+    dimension (cheaper index, 1/d the FLOPs and bytes) — this measures
+    what that truncation costs on YOUR vectors before committing the
+    index build to it.
+
+    Both rankings are exact brute-force cosine (``brute_force_topk``;
+    the prefix ranking just slices the arrays first), so the output is
+    a property of the EMBEDDINGS, not of any ANN approximation. Returns
+    one row per query: (query_id, k, prefix_dims, n_overlap, recall)
+    where recall = |topk_full ∩ topk_prefix| / k, rounded to 12.
+
+    Scale: two broadcast-query scans of the corpus (the q56 shape) and
+    a per-query set intersection on k-row groups; corpus is streamed,
+    never collected. At index-build scale you'd run this on a bounded
+    query sample — the estimate converges like any recall measurement.
+    """
+    full = brute_force_topk(corpus, queries, vec_col, id_col, k, query_id_col)
+    sliced_corpus = corpus.withColumn(vec_col, F.slice(F.col(vec_col), 1, prefix_dims))
+    sliced_queries = queries.withColumn(
+        vec_col, F.slice(F.col(vec_col), 1, prefix_dims)
+    )
+    pref = brute_force_topk(
+        sliced_corpus, sliced_queries, vec_col, id_col, k, query_id_col
+    )
+    inter = (
+        full.select("query_id", "neighbor_id")
+        .join(pref.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    base = full.groupBy("query_id").agg(F.count("*").alias("__nk"))
+    return (
+        base.join(inter, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).alias("k"),
+            F.lit(prefix_dims).alias("prefix_dims"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                12,
+            ).alias("recall"),
+        )
+    )

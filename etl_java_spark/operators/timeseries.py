@@ -340,3 +340,61 @@ def cusum_summary(
         F.sum(F.col("__alarm").cast("long")).alias("n_alarms"),
         F.min(F.when(F.col("__alarm"), F.col("__ord"))).alias("first_alarm"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 3,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) per key,
+    folded in event order — the next step up from ``ewma_last`` when the
+    series trends: EWMA lags a ramp forever; Holt tracks it and can
+    extrapolate. Returns (key, n_points, level, trend, forecast) with
+    forecast = level + horizon * trend (the h-step-ahead linear
+    forecast a capacity planner or anomaly band uses).
+
+    Recurrences (standard Holt):
+        l_t = alpha * x_t + (1-alpha) * (l + b)
+        b_t = beta * (l_t - l) + (1-beta) * b
+    initialized l = x1 then (l, b) = (x2, x2 - x1), recurrence from the
+    third point; a 1-point series has trend 0. Like ``ewma_last`` the
+    recurrence is non-commutative, so each key's series is collected
+    into one sorted array and folded with ``F.aggregate`` inside
+    codegen — one shuffle on the key. The defaults are exact binary
+    fractions and every step is fixed-order IEEE double arithmetic, so
+    any engine replaying the same fold (DuckDB recursive CTE) matches
+    bitwise.
+    """
+    struct = F.struct(*[F.col(c) for c in order_cols], F.col(value_col).alias("__v"))
+    arr = F.array_sort(F.collect_list(struct))
+    init = F.struct(
+        F.lit(None).cast("double").alias("l"), F.lit(None).cast("double").alias("b")
+    )
+
+    def step(acc, x):
+        v = x["__v"].cast("double")
+        l_new = v * F.lit(alpha) + (acc["l"] + acc["b"]) * F.lit(1.0 - alpha)
+        b_new = (l_new - acc["l"]) * F.lit(beta) + acc["b"] * F.lit(1.0 - beta)
+        return (
+            F.when(acc["l"].isNull(), F.struct(v.alias("l"), acc["b"].alias("b")))
+            .when(
+                acc["b"].isNull(),
+                F.struct(v.alias("l"), (v - acc["l"]).alias("b")),
+            )
+            .otherwise(F.struct(l_new.alias("l"), b_new.alias("b")))
+        )
+
+    fold = F.aggregate(arr, init, step)
+    return df.groupBy(key_col).agg(
+        F.size(arr).alias("n_points"),
+        fold["l"].alias("level"),
+        F.coalesce(fold["b"], F.lit(0.0)).alias("trend"),
+        (
+            fold["l"] + F.lit(float(horizon)) * F.coalesce(fold["b"], F.lit(0.0))
+        ).alias("forecast"),
+    )

@@ -11107,6 +11107,362 @@ def q249_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (q188-q217 + q154-q169 + 4 oldies); `tools/gate_ledger.py` audits
 # recorded-vs-never across all CORRECTNESS_r*.json files.
 
+# ---------------------------------------------------------------------------
+# 14. Round-6 wave: distribution audits, corpus overlap, importance
+#     weighting, trend forecasting, order-3 fluency, truncation eval
+
+
+@_q(
+    "q250_benford_audit",
+    """
+    WITH vals AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM lineitem
+    ), counts AS (
+      SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM vals WHERE v >= 1 GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts
+    ), expd AS (
+      SELECT * FROM (VALUES
+        (1, CAST('0.301029995663981' AS DECIMAL(18,15))),
+        (2, CAST('0.176091259055681' AS DECIMAL(18,15))),
+        (3, CAST('0.124938736608300' AS DECIMAL(18,15))),
+        (4, CAST('0.096910013008056' AS DECIMAL(18,15))),
+        (5, CAST('0.079181246047625' AS DECIMAL(18,15))),
+        (6, CAST('0.066946789630613' AS DECIMAL(18,15))),
+        (7, CAST('0.057991946977687' AS DECIMAL(18,15))),
+        (8, CAST('0.051152522447381' AS DECIMAL(18,15))),
+        (9, CAST('0.045757490560675' AS DECIMAL(18,15)))
+      ) AS e(digit, s)
+    )
+    SELECT c.digit, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.t, 12) AS obs_share,
+           CAST(e.s AS DOUBLE) AS exp_share,
+           ROUND((CAST(c.n AS DOUBLE) / t.t - CAST(e.s AS DOUBLE))
+                 * (CAST(c.n AS DOUBLE) / t.t - CAST(e.s AS DOUBLE))
+                 / CAST(e.s AS DOUBLE), 12) AS chi_term
+    FROM counts c JOIN expd e ON e.digit = c.digit CROSS JOIN tot t
+    ORDER BY c.digit
+    """,
+)
+def q250_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over extended-price cents
+    (dq.benford_audit): per digit 1..9, observed vs expected share and
+    the chi-square contribution — the fabricated-numbers screen run as
+    a standing DQ check on every money-like column. TPC-H prices are
+    uniform-ish, so the audit correctly reports large chi terms; the
+    point of the oracle is the arithmetic, the point of the operator is
+    the 9-cell map-side-combinable shape that costs one scan at 100 TB.
+    Expected shares are fixed decimal literals (operator and oracle
+    share them), never two engines' log10.
+    """
+    from .operators.dq import benford_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select((money("l_extendedprice") * 100).cast("long").alias("v"))
+    return benford_audit(cents, "v")
+
+
+@_q(
+    "q251_source_overlap",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^\p{L}\p{N}]+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), sh0 AS (
+      SELECT source, UNNEST(LIST_DISTINCT(
+        CASE WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+             ELSE LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        END)) AS s
+      FROM toks
+    ), gs AS (
+      SELECT DISTINCT source, s FROM sh0
+    ), sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM gs GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS group_a, b.source AS group_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM gs a JOIN gs b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.group_a, i.group_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+           ROUND(CAST(i.inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 12) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.group_a
+    JOIN sizes sb ON sb.source = i.group_b
+    """,
+)
+def q251_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram-shingle Jaccard between sources
+    (corpus.source_overlap) — the overlap matrix a mixture designer
+    reads before assigning per-source token budgets (two mirrors of the
+    same crawl must not be double-weighted). One distinct-reduce over
+    the text, per-source set sizes, and a shingle-key self-join whose
+    fanout is bounded by C(#sources, 2) per shingle — never quadratic
+    in the corpus. The shuffle key is an 8-byte xxhash64 of the shingle
+    (q156's trick); the oracle joins the raw strings, so the gate also
+    certifies the hash layer added no collisions at fixture scale.
+    """
+    from .operators.corpus import source_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return source_overlap(d, "text", "source", shingle_n=3)
+
+
+@_q(
+    "q252_dsir_importance",
+    """
+    WITH toks AS (
+      SELECT doc_id, source IN ('src0', 'src1', 'src2') AS t,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), doc_tok AS (
+      SELECT doc_id, t, w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2, 3
+    ), counts AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN t THEN n ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN NOT t THEN n ELSE 0 END) AS BIGINT) AS cr
+      FROM doc_tok GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v,
+             CAST(SUM(ct) AS DOUBLE) AS nt,
+             CAST(SUM(cr) AS DOUBLE) AS nr
+      FROM counts
+    )
+    SELECT d.doc_id, CAST(SUM(d.n) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(
+             CAST(d.n AS DOUBLE)
+             * ((CAST(c.ct + 1 AS DOUBLE) * (s.nr + s.v))
+                / (CAST(c.cr + 1 AS DOUBLE) * (s.nt + s.v)))
+           AS DECIMAL(38,15))) AS DOUBLE) / CAST(SUM(d.n) AS DOUBLE), 12)
+             AS importance,
+           d.t AS is_target
+    FROM doc_tok d JOIN counts c ON c.w = d.w CROSS JOIN stats s
+    GROUP BY d.doc_id, d.t
+    """,
+)
+def q252_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (corpus.dsir_importance, Xie et al. 2023
+    ln-free): every document scored by how target-like its unigram
+    distribution is, with sources src0-src2 standing in for the trusted
+    target domain — the up-sample-what-looks-like-wiki selection signal.
+    Two map-side-combinable vocab count shuffles + a 1-row stat
+    broadcast + one Zipf-aware scoring join; the per-doc mean is
+    decimal-exact (bigram_fluency contract). The hashed-bucket variant
+    (num_buckets=) is the production switch for unbounded vocabularies
+    and is parity-tested in tests/test_r6_ops.py.
+    """
+    from .operators.corpus import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, F.col("source").isin("src0", "src1", "src2"))
+
+
+@_q(
+    "q253_holt_forecast",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), ord AS (
+      SELECT event_type, v,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS INTEGER) AS rn
+      FROM daily
+    ), maxr AS (
+      SELECT event_type, MAX(rn) AS mx FROM ord GROUP BY 1
+    ), rec AS (
+      SELECT event_type, rn, v AS l, CAST(NULL AS DOUBLE) AS b
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.rn,
+             CASE WHEN r.b IS NULL THEN o.v
+                  ELSE o.v * CAST(0.5 AS DOUBLE)
+                       + (r.l + r.b) * CAST(0.5 AS DOUBLE) END,
+             CASE WHEN r.b IS NULL THEN o.v - r.l
+                  ELSE ((o.v * CAST(0.5 AS DOUBLE)
+                         + (r.l + r.b) * CAST(0.5 AS DOUBLE)) - r.l)
+                       * CAST(0.25 AS DOUBLE)
+                       + r.b * CAST(0.75 AS DOUBLE) END
+      FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+    )
+    -- NO rounding: the fold is bit-identical across engines (verified
+    -- pairwise in hex), while ROUND(x, 12) on magnitude-1e3 values asks
+    -- for 16 significant digits -- past double precision, where the two
+    -- engines' rounding implementations disagree in the last ulp.
+    SELECT r.event_type, CAST(m.mx AS INTEGER) AS n_points,
+           r.l AS level,
+           COALESCE(r.b, CAST(0.0 AS DOUBLE)) AS trend,
+           r.l + CAST(3.0 AS DOUBLE)
+                 * COALESCE(r.b, CAST(0.0 AS DOUBLE)) AS forecast
+    FROM rec r JOIN maxr m ON m.event_type = r.event_type AND r.rn = m.mx
+    """,
+)
+def q253_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing over the daily event-value series per
+    event type (timeseries.holt_linear), with the 3-day-ahead linear
+    forecast — the capacity-planning upgrade of q165's EWMA (which lags
+    any ramp forever). The non-commutative recurrence folds inside
+    codegen over each key's sorted daily array (one shuffle); binary-
+    fraction coefficients (1/2, 1/4) keep every step bit-reproducible,
+    and the oracle replays the identical fold as a recursive CTE.
+    """
+    from .operators.timeseries import holt_linear
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(dsum("value").alias("v"))
+    return holt_linear(
+        daily, "event_type", ["day"], "v", alpha=0.5, beta=0.25, horizon=3
+    )
+
+
+@_q(
+    "q254_trigram_fluency",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), tri AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+                                   i -> tk[CAST(i AS INTEGER)])) AS w1,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+                                   i -> tk[CAST(i AS INTEGER) + 1])) AS w2,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(tk) - 1, 1)),
+                                   i -> tk[CAST(i AS INTEGER) + 2])) AS w3
+      FROM tok
+    ), doc_tri AS (
+      SELECT doc_id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tri GROUP BY 1, 2, 3, 4
+    ), c_tri AS (
+      SELECT w1, w2, w3, CAST(SUM(n) AS BIGINT) AS c123 FROM doc_tri GROUP BY 1, 2, 3
+    ), c_ctx2 AS (
+      SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12 FROM c_tri GROUP BY 1, 2
+    ), c_bi AS (
+      SELECT w2, w3, CAST(SUM(c123) AS BIGINT) AS c23 FROM c_tri GROUP BY 1, 2
+    ), c_ctx1 AS (
+      SELECT w2, CAST(SUM(c23) AS BIGINT) AS c2 FROM c_bi GROUP BY 1
+    ), c_uni AS (
+      SELECT t.term AS w3, CAST(COUNT(*) AS BIGINT) AS c3
+      FROM tok, UNNEST(tk) AS t(term) GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v, CAST(SUM(c3) AS DOUBLE) AS tot
+      FROM c_uni
+    )
+    SELECT d.doc_id, CAST(SUM(d.n) AS BIGINT) AS n_trigrams,
+           ROUND(CAST(SUM(CAST(
+             CAST(d.n AS DOUBLE) * (
+               ((CAST(t.c123 AS DOUBLE) + 1.0)
+                / (CAST(x2.c12 AS DOUBLE) + s.v)) * CAST(0.5 AS DOUBLE)
+               + ((CAST(b.c23 AS DOUBLE) + 1.0)
+                  / (CAST(x1.c2 AS DOUBLE) + s.v)) * CAST(0.375 AS DOUBLE)
+               + ((CAST(u.c3 AS DOUBLE) + 1.0)
+                  / (s.tot + s.v)) * CAST(0.125 AS DOUBLE)
+             )
+           AS DECIMAL(38,15))) AS DOUBLE) / CAST(SUM(d.n) AS DOUBLE), 12)
+             AS fluency
+    FROM doc_tri d
+    JOIN c_tri t USING (w1, w2, w3)
+    JOIN c_ctx2 x2 USING (w1, w2)
+    JOIN c_bi b USING (w2, w3)
+    JOIN c_ctx1 x1 USING (w2)
+    JOIN c_uni u USING (w3)
+    CROSS JOIN stats s
+    GROUP BY d.doc_id
+    """,
+)
+def q254_trigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram LM fluency per document (lm.trigram_fluency)
+    — the order-3 upgrade of q125's bigram score: fixed Jelinek-Mercer
+    weights (1/2, 3/8, 1/8) blend trigram, bigram and unigram add-one
+    conditionals so sparse contexts back off instead of zeroing. All
+    counts derive from one pinned per-doc trigram table; ln-free,
+    decimal-exact per-doc mean (the lm.py determinism contract).
+    """
+    from .functions.lm import trigram_fluency
+
+    d = _t(spark, sf_dir, "documents")
+    return trigram_fluency(d)
+
+
+@_q(
+    "q255_matryoshka_recall",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ), fullp AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        list_sum(list_transform(list_zip(q.qe, c.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+        list_sum(list_transform(c.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nc
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), fullr AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc))
+                    ELSE 0.0 END DESC, neighbor_id ASC) AS rank
+      FROM fullp
+    ), pref AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        list_sum(list_transform(list_zip(q.qe[1:16], c.embedding[1:16]),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(q.qe[1:16],
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+        list_sum(list_transform(c.embedding[1:16],
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nc
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), prefr AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc))
+                    ELSE 0.0 END DESC, neighbor_id ASC) AS rank
+      FROM pref
+    ), ov AS (
+      SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM (SELECT query_id, neighbor_id FROM fullr WHERE rank <= 5) f
+      JOIN (SELECT query_id, neighbor_id FROM prefr WHERE rank <= 5) p
+        ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.query_id, CAST(5 AS INTEGER) AS k, CAST(16 AS INTEGER) AS prefix_dims,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+                 / CAST(5.0 AS DOUBLE), 12) AS recall
+    FROM q LEFT JOIN ov o ON o.query_id = q.query_id
+    """,
+)
+def q255_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (similarity.prefix_dim_recall):
+    recall@5 of exact cosine top-k when the 64-dim embeddings are
+    truncated to their first 16 dims — the measurement that decides
+    whether the ANN index can be built at quarter dimension (4x fewer
+    FLOPs and bytes). Both rankings are exact brute force, so the
+    number is a property of the embeddings, not of an ANN
+    approximation; the oracle replays both rankings with the q56
+    sequential-sum cosine and hash-matches end to end.
+    """
+    from .operators.similarity import prefix_dim_recall
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+    return prefix_dim_recall(e, qs, "embedding", "vec_id", prefix_dims=16, k=5)
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
