@@ -525,3 +525,94 @@ def prefix_dim_recall(
             ).alias("recall"),
         )
     )
+
+
+def sq_ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Retrieval cost of int8 scalar quantization: recall@k of exact
+    cosine top-k computed on RECONSTRUCTED vectors (the ``quantize_int8``
+    code book decoded back to doubles) against the float originals —
+    the companion measurement to q175's code builder, answering "can
+    the ANN index run on 1/4 the bytes". Mirrors ``prefix_dim_recall``
+    for the dimension-truncation axis.
+
+    Reconstruction is the midpoint decode
+    x̂ = mn + (code + 0.5) * (mx - mn) / 256 with the same per-dimension
+    global [mn, mx] the coder used (one #dims-row aggregate, broadcast
+    back); code and decode are fixed-order IEEE double arithmetic, so
+    every engine replays x̂ — and therefore the approximate ranking —
+    bitwise. Returns (query_id, k, n_overlap, recall).
+
+    Scale: the range aggregate is map-side combinable; decode is
+    map-only; both rankings are the broadcast-query corpus scan of
+    ``brute_force_topk`` — at index scale you run this on a bounded
+    query sample exactly like any recall estimate.
+    """
+    dims = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    ranges = dims.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("__ranges")
+    )
+
+    def decoded(vec):
+        return F.zip_with(
+            vec,
+            F.col("__ranges"),
+            lambda x, r: F.when(r["mx"] == r["mn"], r["mn"]).otherwise(
+                r["mn"]
+                + (
+                    F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.lit(255),
+                            F.floor(
+                                (x.cast("double") - r["mn"])
+                                * 255.0
+                                / (r["mx"] - r["mn"])
+                            ).cast("int"),
+                        ),
+                    ).cast("double")
+                    + 0.5
+                )
+                * (r["mx"] - r["mn"])
+                / 256.0
+            ),
+        )
+
+    query_id_col = query_id_col or id_col
+    dec_corpus = corpus.join(F.broadcast(ranges)).select(
+        F.col(id_col), decoded(F.col(vec_col)).alias(vec_col)
+    )
+    dec_queries = queries.join(F.broadcast(ranges)).select(
+        F.col(query_id_col), decoded(F.col(vec_col)).alias(vec_col)
+    )
+    approx = brute_force_topk(dec_corpus, dec_queries, vec_col, id_col, k, query_id_col)
+    exact = brute_force_topk(corpus, queries, vec_col, id_col, k, query_id_col)
+    inter = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    base = exact.select("query_id").distinct()
+    return base.join(inter, "query_id", "left").select(
+        "query_id",
+        F.lit(k).alias("k"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.lit(float(k)),
+            12,
+        ).alias("recall"),
+    )

@@ -11463,6 +11463,233 @@ def q255_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dim_recall(e, qs, "embedding", "vec_id", prefix_dims=16, k=5)
 
 
+@_q(
+    "q256_sq_ann_recall",
+    """
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(UNNEST(generate_series(0, LEN(embedding) - 1)) AS INTEGER) AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), dims AS (
+      SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM flat GROUP BY pos
+    ), dec AS (
+      SELECT f.vec_id, f.pos,
+             CASE WHEN d.mx = d.mn THEN d.mn
+                  ELSE d.mn + (CAST(GREATEST(0, LEAST(255,
+                         CAST(FLOOR((f.x - d.mn) * 255.0 / (d.mx - d.mn)) AS INT)))
+                         AS DOUBLE) + 0.5)
+                       * (d.mx - d.mn) / 256.0
+             END AS xd
+      FROM flat f JOIN dims d ON d.pos = f.pos
+    ), vecs AS (
+      SELECT vec_id, list(xd ORDER BY pos) AS e FROM dec GROUP BY vec_id
+    ), aq AS (
+      SELECT vec_id AS query_id, e AS qe FROM vecs WHERE vec_id < 5
+    ), ap AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        list_sum(list_transform(list_zip(q.qe, c.e), p -> p[1] * p[2])) AS dot,
+        list_sum(list_transform(q.qe, x -> x * x)) AS nq,
+        list_sum(list_transform(c.e, x -> x * x)) AS nc
+      FROM aq q JOIN vecs c ON c.vec_id <> q.query_id
+    ), apr AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc))
+                    ELSE 0.0 END DESC, neighbor_id ASC) AS rank
+      FROM ap
+    ), fq AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ), fp AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        list_sum(list_transform(list_zip(q.qe, c.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+        list_sum(list_transform(c.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nc
+      FROM fq q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), fpr AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc))
+                    ELSE 0.0 END DESC, neighbor_id ASC) AS rank
+      FROM fp
+    ), ov AS (
+      SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM (SELECT query_id, neighbor_id FROM fpr WHERE rank <= 5) f
+      JOIN (SELECT query_id, neighbor_id FROM apr WHERE rank <= 5) a
+        ON a.query_id = f.query_id AND a.neighbor_id = f.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.query_id, CAST(5 AS INTEGER) AS k,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+                 / CAST(5.0 AS DOUBLE), 12) AS recall
+    FROM fq q LEFT JOIN ov o ON o.query_id = q.query_id
+    """,
+)
+def q256_sq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval cost of int8 scalar quantization
+    (similarity.sq_ann_recall): recall@5 of exact cosine over midpoint-
+    decoded int8 codes vs the float originals — q175 builds the codes,
+    this measures what they cost, the same way q255 prices dimension
+    truncation. Code/decode are fixed-order IEEE arithmetic, so the
+    approximate ranking itself is engine-bitwise and the oracle
+    hash-matches end to end (no tolerance anywhere).
+    """
+    from .operators.similarity import sq_ann_recall
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+    return sq_ann_recall(e, qs, "embedding", "vec_id", k=5)
+
+
+@_q(
+    "q257_ngram_diversity",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^\p{L}\p{N}]+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), uni AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS distinct_tokens
+      FROM (SELECT source, UNNEST(tk) AS w FROM toks) GROUP BY source
+    ), sh AS (
+      SELECT source, UNNEST(
+        CASE WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+             ELSE LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        END) AS s
+      FROM toks
+    ), tri AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(COUNT(DISTINCT s) AS BIGINT) AS distinct_ngrams
+      FROM sh GROUP BY source
+    ), docs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT d.source, d.n_docs, u.n_tokens, u.distinct_tokens,
+           ROUND(CAST(u.distinct_tokens AS DOUBLE) / CAST(u.n_tokens AS DOUBLE), 12)
+             AS diversity_1,
+           t.n_ngrams, t.distinct_ngrams,
+           ROUND(CAST(t.distinct_ngrams AS DOUBLE) / CAST(t.n_ngrams AS DOUBLE), 12)
+             AS diversity_n
+    FROM docs d JOIN uni u USING (source) JOIN tri t USING (source)
+    """,
+)
+def q257_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (corpus.ngram_diversity) — the
+    self-BLEU-style mode-collapse screen: the share of each source's
+    token and trigram INSTANCES that are distinct TYPES. Low trigram
+    diversity flags templated/looping text that per-doc repetition
+    metrics (q71/q247) miss when the repetition is spread ACROSS
+    documents. One explode pass + per-source count/count-distinct.
+    """
+    from .operators.corpus import ngram_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_diversity(d, "text", "source", shingle_n=3)
+
+
+@_q(
+    "q258_cluster_profile",
+    r"""
+    -- GATE FIXTURE PIN (q50/q219 precedent): the Spark side generates
+    -- candidate pairs by MinHash banding (8 bands x 4 rows) + exact
+    -- re-score; the oracle replays EXACT all-pairs Jaccard. Equality
+    -- relies on measured banding recall = 1.0 at the sf0.01 fixture
+    -- (q50's documented borderline J=0.50 pair at sf0.001 would shift
+    -- one cluster there). Run the hash gate at sf0.01.
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+      FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' extra tail token two' AS text
+      FROM documents WHERE doc_id < 20
+    ), toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^\p{L}\p{N}]+'),
+                         t -> t <> '') AS tk
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+        CASE WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+             ELSE LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        END)) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(c.n_common AS DOUBLE)
+              / CAST(sa.sz + sb.sz - c.n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+    ), labels AS (
+      SELECT a AS node, LEAST(MIN(b), a) AS lab FROM reach GROUP BY a
+    ), lab2 AS (
+      SELECT c.doc_id, COALESCE(l.lab, c.doc_id) AS cl, LEN(t.tk) AS tok
+      FROM corpus c
+      LEFT JOIN labels l ON l.node = c.doc_id
+      JOIN toks t ON t.doc_id = c.doc_id
+    ), per AS (
+      SELECT cl, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             SUM(CASE WHEN doc_id <> cl THEN tok ELSE 0 END) AS lost
+      FROM lab2 GROUP BY cl
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST(SUM(lost) AS BIGINT) AS tokens_lost
+    FROM per GROUP BY cluster_size
+    """,
+)
+def q258_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report (corpus.dedup_cluster_profile): MinHash
+    near-dup pairs over documents + two injected twin generations ->
+    connected-component clusters -> cluster-size histogram with the
+    token mass a keep-min-representative sweep would delete. The
+    release-notes table for a dedup run and the over-merge sanity gate
+    (one giant cluster = banding threshold wrong). Pairs via the q50
+    banding; clusters via label propagation; oracle replays exact pairs
+    + recursive-CTE components end to end.
+    """
+    from .operators import dedup as DD
+    from .operators.corpus import dedup_cluster_profile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m1 = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+    )
+    m2 = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token two")).alias("text"),
+    )
+    corpus = d.unionByName(m1).unionByName(m2)
+    pairs = DD.minhash_dedup_pairs(
+        corpus, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, threshold=0.5
+    )
+    return dedup_cluster_profile(corpus, pairs, "text", "doc_id")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate

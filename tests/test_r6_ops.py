@@ -222,3 +222,78 @@ def test_prefix_recall_degrades_when_info_in_tail(spark):
     ).collect()[0]
     assert res["n_overlap"] == 1
     assert res["recall"] == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# sq_ann_recall
+
+
+def test_sq_recall_lossless_on_coarse_vectors(spark):
+    from etl_java_spark.operators.similarity import sq_ann_recall
+
+    # two groups of EXACT duplicate vectors: copies decode identically,
+    # so both rankings put the query's 5 twins first -> recall must be 1
+    rows = [(i, [5.0, 1.0]) for i in range(6)] + [(10 + i, [-5.0, 3.0]) for i in range(4)]
+    df = _vecs(spark, rows)
+    out = sq_ann_recall(df, df.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=4)
+    for r in out.collect():
+        assert r["recall"] == pytest.approx(1.0) and r["n_overlap"] == 4
+
+
+def test_sq_recall_degenerate_dim_no_nan(spark):
+    from etl_java_spark.operators.similarity import sq_ann_recall
+
+    # dim 1 constant (mx == mn) -> decodes to mn, no division by zero
+    rows = [(i, [float(i), 5.0]) for i in range(6)]
+    df = _vecs(spark, rows)
+    out = sq_ann_recall(df, df.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=3).collect()
+    assert len(out) == 1 and 0.0 <= out[0]["recall"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# ngram_diversity
+
+
+def test_ngram_diversity_hand_counts(spark):
+    from etl_java_spark.operators.corpus import ngram_diversity
+
+    df = _src_docs(
+        spark,
+        [
+            ("A", "a b c a b c"),          # 6 tokens, 3 distinct; 4 trigrams, 3 distinct
+            ("B", "p q r s"),              # 4 tokens, 4 distinct; 2 trigrams, 2 distinct
+        ],
+    )
+    rows = {r["source"]: r for r in ngram_diversity(df).collect()}
+    a = rows["A"]
+    assert a["n_tokens"] == 6 and a["distinct_tokens"] == 3
+    assert a["n_ngrams"] == 4 and a["distinct_ngrams"] == 3
+    assert a["diversity_1"] == pytest.approx(0.5)
+    b = rows["B"]
+    assert b["n_ngrams"] == 2 and b["distinct_ngrams"] == 2
+    assert b["diversity_n"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_profile
+
+
+def test_cluster_profile_partitions_corpus(spark):
+    from etl_java_spark.operators.corpus import dedup_cluster_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three"),
+            (2, "one two three four"),
+            (3, "one two three four five"),
+            (4, "totally unrelated text"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    rows = {r["cluster_size"]: r for r in dedup_cluster_profile(docs, pairs).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[3]["n_clusters"] == 1 and rows[3]["n_docs"] == 3
+    # representative is min id (1); lost = tokens of docs 2 (4) + 3 (5)
+    assert rows[3]["tokens_lost"] == 9
+    assert rows[1]["n_clusters"] == 1 and rows[1]["tokens_lost"] == 0
