@@ -195,11 +195,28 @@ def stream_stream_join(
     ).select("l_id", "user_id", "l_ts", "l_value", "r_id", "r_ts", "r_value")
 
 
-def foreach_batch_merge(spark: SparkSession, stream_df: DataFrame, path: str, pks: list[str], checkpoint: str):
+def foreach_batch_merge(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    path: str,
+    pks: list[str],
+    checkpoint: str,
+    output_mode: str = "append",
+):
     """Streaming upsert sink: per micro-batch MERGE into the parquet table.
 
     foreachBatch is the standard pattern for streaming MERGE (no native
     streaming upsert); with Delta this body becomes deltaTable.merge().
+    Idempotence across retries comes from the MERGE being keyed
+    (re-applying a batch rewrites the same rows) plus the checkpoint's
+    batch tracking — the exactly-once recipe for a streaming table sink.
+
+    ``output_mode="update"`` pairs this with a running streaming
+    aggregation (e.g. latest-row-per-key via max_by): each micro-batch
+    then carries the RUNNING aggregate for the keys it touched, so the
+    merged table converges to the global aggregate regardless of how
+    the source was split into batches — the batching-order-robust way
+    to maintain a "current state" table from a stream.
     """
     from ..sinks.writers import merge_by_pk
 
@@ -208,6 +225,7 @@ def foreach_batch_merge(spark: SparkSession, stream_df: DataFrame, path: str, pk
 
     return (
         stream_df.writeStream.foreachBatch(_merge)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -96,3 +96,49 @@ def test_foreach_batch_merge(spark, sf_small, tmp_path):
     q.stop()
     batch_n = spark.read.parquet(f"{sf_small}/events.parquet").count()
     assert spark.read.parquet(path).count() == batch_n
+
+
+def test_update_mode_merge_batch_order_robust(spark, sf_small, tmp_path):
+    """q259's pattern: a running latest-per-key aggregation merged in
+    update mode must converge to the same state table no matter how the
+    source splits into micro-batches (here: 4 files, one per batch)."""
+    from etl_java_spark.streaming.events import foreach_batch_merge
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+
+    stream = read_events_stream(spark, src, glob="*.parquet")
+    latest = (
+        stream.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_type", "value", "ts"), F.struct("ts", "event_id")
+            ).alias("s")
+        )
+        .select("user_id", "s.event_type", "s.value", "s.ts")
+    )
+    path = str(tmp_path / "state")
+    q = foreach_batch_merge(
+        spark, latest, path, pks=["user_id"],
+        checkpoint=str(tmp_path / "ckpt"), output_mode="update",
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = {
+        (r["user_id"], r["event_type"], r["value"], r["ts"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type", "value", "ts")
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["event_type"], r["value"], r["ts"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == expected
