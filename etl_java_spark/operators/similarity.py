@@ -616,3 +616,133 @@ def sq_ann_recall(
             12,
         ).alias("recall"),
     )
+
+
+def knn_label_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    query_pred=None,
+) -> DataFrame:
+    """Embedding quality scored WITHOUT a model: leave-one-out kNN
+    majority vote on a labeled vector table. Good embeddings cluster by
+    label, so the vote recovers it; a collapsing embedding space shows
+    up here before any downstream model is trained. Returns per label:
+    (label, n_queries, n_correct, accuracy), accuracy rounded to 12.
+
+    Vote = majority label among the k exact cosine neighbors (self
+    excluded), ties broken toward the smaller label for determinism.
+    ``query_pred`` bounds the evaluated query set (a sample at corpus
+    scale — the estimate converges like any accuracy measurement); the
+    corpus side streams via the broadcast-query scan of
+    ``brute_force_topk``. At index scale swap the scan for the IVF
+    probe (q74) — the vote and the report are unchanged.
+    """
+    queries = df.filter(query_pred) if query_pred is not None else df
+    top = brute_force_topk(df, queries, vec_col, id_col, k)
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    nb = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label")
+    )
+    votes = (
+        top.join(nb, "neighbor_id")
+        .groupBy("query_id", "nb_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nb_label").asc()
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("nb_label").alias("pred_label"))
+    )
+    per_q = truth.join(pred, "query_id")
+    return (
+        per_q.groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.count_if(F.col("pred_label") == F.col("true_label")).alias("n_correct"),
+        )
+        .select(
+            F.col("true_label").alias("label"),
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_queries").cast("double"),
+                12,
+            ).alias("accuracy"),
+        )
+    )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) confusion matrix over a labeled
+    embedding table: per-label mean centroids, every vector assigned to
+    its max-cosine centroid, counts grouped by (true_label,
+    pred_label). The 10-minute linear probe that tells you which label
+    pairs the embedding space actually separates — off-diagonal mass is
+    the confusable pairs to fix with data, not architecture.
+
+    Determinism: each per-(label, dim) mean folds the values in vec-id
+    order inside codegen (``F.aggregate`` over a sorted array — the
+    ewma/holt discipline) so the centroid doubles replay bitwise on any
+    engine; assignment reuses the q56 sequential-sum cosine with
+    max-cosine/min-label tie-break. Scale: centroids are #labels x
+    #dims rows from one map-side-combinable explode; assignment is a
+    map-only pass against the broadcast centroid table.
+    """
+    flat = df.select(
+        F.col(id_col), F.col(label_col).alias("__lab"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    cent = (
+        flat.groupBy("__lab", "pos")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col), F.col("x").cast("double").alias("v")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["v"],
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "__lab", "pos", (F.col("s") / F.col("n").cast("double")).alias("m")
+        )
+    )
+    cvec = cent.groupBy("__lab").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("__cvec")
+    )
+    from ..functions.vectors import cosine
+
+    scored = (
+        df.select(F.col(id_col), F.col(label_col).alias("true_label"), F.col(vec_col))
+        .crossJoin(F.broadcast(cvec))
+        .select(
+            id_col,
+            "true_label",
+            F.col("__lab").alias("pred_label"),
+            cosine(F.col(vec_col), F.col("__cvec")).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("pred_label").asc())
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return assigned.groupBy("true_label", "pred_label").agg(
+        F.count("*").alias("n")
+    )

@@ -11754,6 +11754,112 @@ def q259_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "last_event_type", "last_value", "last_ts")
 
 
+@_q(
+    "q260_knn_label_eval",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+      FROM embeddings WHERE vec_id < 50
+    ), pairs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        list_sum(list_transform(list_zip(q.qe, c.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+        list_sum(list_transform(c.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nc
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc))
+                    ELSE 0.0 END DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ), votes AS (
+      SELECT r.query_id, c.label AS nb_label, COUNT(*) AS n_votes
+      FROM ranked r JOIN embeddings c ON c.vec_id = r.neighbor_id
+      WHERE r.rank <= 5
+      GROUP BY 1, 2
+    ), pred AS (
+      SELECT query_id, nb_label AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, nb_label ASC) AS rn
+      FROM votes
+    )
+    SELECT q.true_label AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN p.pred_label = q.true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN p.pred_label = q.true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 12) AS accuracy
+    FROM q JOIN pred p ON p.query_id = q.query_id AND p.rn = 1
+    GROUP BY 1
+    """,
+)
+def q260_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label vote over the embedding table
+    (similarity.knn_label_eval): per label, the accuracy of a 5-NN
+    cosine majority vote — the model-free probe of whether the
+    embedding space clusters by label at all. Exact brute-force
+    neighbors on the 50-query sample (the IVF probe replaces the scan
+    at index scale); vote ties break toward the smaller label, so the
+    whole report replays bitwise in the oracle.
+    """
+    from .operators.similarity import knn_label_eval
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_label_eval(
+        e, "embedding", "vec_id", "label", k=5, query_pred=F.col("vec_id") < 50
+    )
+
+
+@_q(
+    "q261_centroid_confusion",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(UNNEST(generate_series(0, LEN(embedding) - 1)) AS INTEGER) AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS lab, pos,
+             list_sum(list(x ORDER BY vec_id)) / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM flat GROUP BY 1, 2
+    ), cvec AS (
+      SELECT lab, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1
+    ), scored AS (
+      SELECT e.vec_id, e.label AS true_label, c.lab AS pred_label,
+        list_sum(list_transform(list_zip(e.embedding, c.cv),
+          p -> CAST(p[1] AS DOUBLE) * p[2])) AS dot,
+        list_sum(list_transform(e.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv,
+        list_sum(list_transform(c.cv, x -> x * x)) AS ncn
+      FROM embeddings e CROSS JOIN cvec c
+    ), assigned AS (
+      SELECT vec_id, true_label, pred_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+               CASE WHEN nv > 0 AND ncn > 0 THEN dot / (SQRT(nv) * SQRT(ncn))
+                    ELSE 0.0 END DESC, pred_label ASC) AS rn
+      FROM scored
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def q261_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) confusion matrix
+    (similarity.nearest_centroid_confusion): per-label mean centroids,
+    every vector assigned to its max-cosine centroid, counts by
+    (true_label, pred_label) — the 10-minute linear probe showing which
+    label pairs the space separates. Centroid dims fold in vec-id order
+    inside codegen (the ewma/holt fixed-order discipline), so centroids
+    and the full assignment replay bitwise; assignment is map-only
+    against the broadcast #labels x #dims centroid table.
+    """
+    from .operators.similarity import nearest_centroid_confusion
+
+    e = _t(spark, sf_dir, "embeddings")
+    return nearest_centroid_confusion(e, "embedding", "vec_id", "label")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate

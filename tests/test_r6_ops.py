@@ -297,3 +297,35 @@ def test_cluster_profile_partitions_corpus(spark):
     # representative is min id (1); lost = tokens of docs 2 (4) + 3 (5)
     assert rows[3]["tokens_lost"] == 9
     assert rows[1]["n_clusters"] == 1 and rows[1]["tokens_lost"] == 0
+
+
+# ---------------------------------------------------------------------------
+# knn_label_eval / nearest_centroid_confusion
+
+
+def test_knn_label_eval_separable_clusters(spark):
+    from etl_java_spark.operators.similarity import knn_label_eval
+
+    # two tight clusters in orthogonal directions -> 100% leave-one-out
+    rows = [(i, [10.0 + i * 0.01, 0.0], 0) for i in range(6)] + [
+        (10 + i, [0.0, 10.0 + i * 0.01], 1) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["label"]: r for r in knn_label_eval(df, "embedding", "vec_id", "label", k=3).collect()}
+    assert out[0]["accuracy"] == pytest.approx(1.0)
+    assert out[1]["accuracy"] == pytest.approx(1.0)
+    assert out[0]["n_queries"] == 6 and out[0]["n_correct"] == 6
+
+
+def test_centroid_confusion_diagonal_for_separable(spark):
+    from etl_java_spark.operators.similarity import nearest_centroid_confusion
+
+    rows = [(i, [10.0, float(i % 2)], 0) for i in range(5)] + [
+        (10 + i, [float(i % 2), 10.0], 1) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cells = {
+        (r["true_label"], r["pred_label"]): r["n"]
+        for r in nearest_centroid_confusion(df, "embedding", "vec_id", "label").collect()
+    }
+    assert cells == {(0, 0): 5, (1, 1): 5}
