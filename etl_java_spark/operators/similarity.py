@@ -746,3 +746,97 @@ def nearest_centroid_confusion(
     return assigned.groupBy("true_label", "pred_label").agg(
         F.count("*").alias("n")
     )
+
+
+def gram_power_pca(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    iterations: int = 12,
+):
+    """Top principal component of an embedding table by distributed
+    Gram accumulation + power iteration — PCA at corpus scale without
+    ever materializing the data matrix: the executors reduce the
+    d x d Gram matrix C = X^T X (map-only per-vector outer products,
+    one shuffle keyed on the (i, j) cell), and the O(d^2) iteration
+    runs on that metadata-sized table. The standard first step before
+    whitening, decorrelating, or ABSORBING a dominant "rogue dimension"
+    (outlier-dominated axes are a known failure mode of learned
+    embeddings).
+
+    Returns (pos, component, eigenvalue, explained_share): the unit
+    principal eigenvector, its Rayleigh eigenvalue, and
+    eigenvalue / trace(C) — the variance share the first component
+    explains (vectors are used uncentered; center first for classical
+    PCA semantics).
+
+    Determinism: every Gram cell folds its per-vector products in
+    vec-id order inside codegen; the iteration (matvec in j-order,
+    norm in i-order, hardware-exact sqrt) is fixed-order IEEE double
+    arithmetic, so the whole result replays bitwise on any engine —
+    the oracle chains one CTE per iteration. The driver holds only the
+    d x d cell table (d = embedding width, e.g. 64), the same bounded
+    contract as a collected centroid sample.
+    """
+    import math
+
+    c = F.col(vec_col)
+    outer = F.flatten(
+        F.transform(
+            c, lambda xi: F.transform(c, lambda xj: xi.cast("double") * xj.cast("double"))
+        )
+    )
+    prods = df.select(
+        F.col(id_col).alias("__id"), F.size(c).alias("__d"),
+        F.posexplode(outer).alias("p", "v"),
+    )
+    gram_df = (
+        prods.select(
+            F.expr("p div __d").cast("int").alias("i"),
+            F.pmod(F.col("p"), F.col("__d")).cast("int").alias("j"),
+            "__id", "v",
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("__id", "v"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["v"],
+            ).alias("val")
+        )
+    )
+    cells = gram_df.collect()  # d^2 rows — metadata-sized by contract
+    d = max(r["i"] for r in cells) + 1
+    C = [[0.0] * d for _ in range(d)]
+    for r in cells:
+        C[r["i"]][r["j"]] = r["val"]
+    v = [1.0 / math.sqrt(float(d))] * d
+    for _ in range(iterations):
+        w = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):  # j-order fold, mirrored by the oracle
+                acc += C[i][j] * v[j]
+            w.append(acc)
+        nrm_acc = 0.0
+        for i in range(d):
+            nrm_acc += w[i] * w[i]
+        nrm = math.sqrt(nrm_acc)
+        v = [w[i] / nrm for i in range(d)]
+    w = []
+    for i in range(d):
+        acc = 0.0
+        for j in range(d):
+            acc += C[i][j] * v[j]
+        w.append(acc)
+    lam = 0.0
+    for i in range(d):
+        lam += v[i] * w[i]
+    trace = 0.0
+    for i in range(d):
+        trace += C[i][i]
+    spark = df.sparkSession
+    rows = [(i, v[i], lam, lam / trace) for i in range(d)]
+    return spark.createDataFrame(
+        rows, "pos int, component double, eigenvalue double, explained_share double"
+    )

@@ -11860,6 +11860,149 @@ def q261_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nearest_centroid_confusion(e, "embedding", "vec_id", "label")
 
 
+@_q(
+    "q262_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), counts AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rnk FROM counts
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM counts
+    )
+    SELECT k.n AS vocab_size,
+           CAST(COALESCE(s.cov, 0) AS BIGINT) AS covered,
+           t.t AS total_tokens, t.v AS distinct_tokens,
+           ROUND(CAST(COALESCE(s.cov, 0) AS DOUBLE) / CAST(t.t AS DOUBLE), 12)
+             AS coverage
+    FROM (VALUES (100), (1000), (5000)) AS k(n)
+    LEFT JOIN (
+      SELECT k2.n, SUM(r.c) AS cov
+      FROM (VALUES (100), (1000), (5000)) AS k2(n)
+      JOIN ranked r ON r.rnk <= k2.n
+      GROUP BY k2.n
+    ) s ON s.n = k.n
+    CROSS JOIN tot t
+    """,
+)
+def q262_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design table: what
+    share of all token INSTANCES do the top-100/1k/5k token TYPES
+    cover? Decides vocab size before training a tokenizer (the knee of
+    this curve) and flags OOV-heavy corpora. Each cutoff is a
+    TakeOrdered top-N over the count table (short-circuit, never a
+    global sort of the vocabulary) + one 1-row aggregate; the count
+    table itself is the usual map-side-combinable shuffle.
+    """
+    from .functions.lm import token_array
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(token_array("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(
+        F.sum("c").alias("t"), F.count("*").alias("v")
+    )
+    parts = []
+    for n in (100, 1000, 5000):
+        top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(n)
+        parts.append(
+            top.agg(F.sum("c").alias("cov")).select(
+                F.lit(n).alias("vocab_size"),
+                F.coalesce(F.col("cov"), F.lit(0)).cast("long").alias("covered"),
+            )
+        )
+    cov = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return cov.crossJoin(F.broadcast(tot)).select(
+        "vocab_size",
+        "covered",
+        F.col("t").cast("long").alias("total_tokens"),
+        F.col("v").cast("long").alias("distinct_tokens"),
+        F.round(
+            F.col("covered").cast("double") / F.col("t").cast("double"), 12
+        ).alias("coverage"),
+    )
+
+
+def _q263_oracle(iterations: int = 12) -> str:
+    """Chained-CTE replay of gram_power_pca: one matvec+normalize CTE
+    trio per iteration (standard SQL forbids aggregates in recursive
+    terms; the q129 chained-iteration idiom), every sum an ordered
+    list fold so the doubles match the engine bitwise."""
+    its = []
+    prev = "it0"
+    for k in range(1, iterations + 1):
+        its.append(
+            f""", mv{k} AS MATERIALIZED (
+      SELECT g.i AS pos, list_sum(list(g.val * p.val ORDER BY g.j)) AS raw
+      FROM gram g JOIN {prev} p ON p.pos = g.j GROUP BY g.i
+    ), n{k} AS MATERIALIZED (
+      SELECT SQRT(list_sum(list(raw * raw ORDER BY pos))) AS nrm FROM mv{k}
+    ), it{k} AS MATERIALIZED (
+      SELECT pos, raw / n.nrm AS val FROM mv{k}, n{k} n
+    )"""
+        )
+        prev = f"it{k}"
+    return (
+        """
+    WITH flat AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(UNNEST(generate_series(0, LEN(embedding) - 1)) AS INTEGER) AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), gram AS MATERIALIZED (
+      SELECT a.pos AS i, b.pos AS j,
+             list_sum(list(a.x * b.x ORDER BY a.vec_id)) AS val
+      FROM flat a JOIN flat b ON b.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ), dd AS (
+      SELECT CAST(COUNT(DISTINCT pos) AS DOUBLE) AS d FROM flat
+    ), it0 AS (
+      SELECT DISTINCT pos, CAST(1.0 AS DOUBLE) / SQRT(dd.d) AS val
+      FROM flat, dd
+    )"""
+        + "".join(its)
+        + f""", wfin AS (
+      SELECT g.i AS pos, list_sum(list(g.val * p.val ORDER BY g.j)) AS raw
+      FROM gram g JOIN {prev} p ON p.pos = g.j GROUP BY g.i
+    ), lam AS (
+      SELECT list_sum(list(p.val * w.raw ORDER BY p.pos)) AS lam
+      FROM {prev} p JOIN wfin w ON w.pos = p.pos
+    ), tr AS (
+      SELECT list_sum(list(val ORDER BY i)) AS tr FROM gram WHERE i = j
+    )
+    SELECT p.pos, p.val AS component, l.lam AS eigenvalue,
+           l.lam / t.tr AS explained_share
+    FROM {prev} p, lam l, tr t
+    """
+    )
+
+
+@_q("q263_power_pca", _q263_oracle())
+def q263_power_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table
+    (similarity.gram_power_pca): executors reduce the 64x64 Gram
+    matrix (map-only outer products, one cell-keyed shuffle, vec-id-
+    order folds), then 12 power iterations run on the metadata-sized
+    cell table — PCA's first component at corpus scale without ever
+    materializing X. Output is the unit eigenvector with its Rayleigh
+    eigenvalue and explained-variance share (uncentered); every double
+    is bitwise (ordered folds + hardware-exact sqrt), so the oracle
+    replays the full iteration as chained CTEs.
+    """
+    from .operators.similarity import gram_power_pca
+
+    e = _t(spark, sf_dir, "embeddings")
+    return gram_power_pca(e, "embedding", "vec_id", iterations=12)
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate

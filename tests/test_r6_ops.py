@@ -329,3 +329,58 @@ def test_centroid_confusion_diagonal_for_separable(spark):
         for r in nearest_centroid_confusion(df, "embedding", "vec_id", "label").collect()
     }
     assert cells == {(0, 0): 5, (1, 1): 5}
+
+
+# ---------------------------------------------------------------------------
+# vocab coverage / power-iteration PCA
+
+
+def test_vocab_coverage_is_monotone_and_bounded(spark):
+    from etl_java_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["q262_vocab_coverage"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)                      # monotone in cutoff
+    assert all(0.0 < c <= 1.0 for c in covs)
+    assert rows[0]["covered"] <= rows[0]["total_tokens"]
+
+
+def test_gram_power_pca_matches_numpy(spark):
+    import numpy as np
+
+    from etl_java_spark.operators.similarity import gram_power_pca
+
+    rng_rows = [
+        (i, [float(3 * (i % 5) + 1), float(i % 5), float((i * 2) % 3)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rng_rows, ["vec_id", "embedding"])
+    out = sorted(
+        gram_power_pca(df, "embedding", "vec_id", iterations=30).collect(),
+        key=lambda r: r["pos"],
+    )
+    X = np.array([v for _, v in rng_rows])
+    C = X.T @ X
+    wvals, wvecs = np.linalg.eigh(C)
+    top = wvecs[:, -1]
+    got = np.array([r["component"] for r in out])
+    # eigenvector defined up to sign
+    assert min(np.abs(got - top).max(), np.abs(got + top).max()) < 1e-9
+    assert abs(out[0]["eigenvalue"] - wvals[-1]) < 1e-6
+    assert 0.0 < out[0]["explained_share"] <= 1.0
+
+
+def test_gram_power_pca_axis_aligned(spark):
+    from etl_java_spark.operators.similarity import gram_power_pca
+
+    # all variance on dim 1 -> principal component = e_1, share = 1
+    df = spark.createDataFrame(
+        [(i, [0.0, float(i + 1), 0.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    out = {r["pos"]: r for r in gram_power_pca(df, "embedding", "vec_id").collect()}
+    assert abs(abs(out[1]["component"]) - 1.0) < 1e-12
+    assert abs(out[0]["component"]) < 1e-12 and abs(out[2]["component"]) < 1e-12
+    assert abs(out[1]["explained_share"] - 1.0) < 1e-12
