@@ -770,13 +770,16 @@ def gram_power_pca(
     explains (vectors are used uncentered; center first for classical
     PCA semantics).
 
-    Determinism: every Gram cell folds its per-vector products in
-    vec-id order inside codegen; the iteration (matvec in j-order,
-    norm in i-order, hardware-exact sqrt) is fixed-order IEEE double
-    arithmetic, so the whole result replays bitwise on any engine —
-    the oracle chains one CTE per iteration. The driver holds only the
-    d x d cell table (d = embedding width, e.g. 64), the same bounded
-    contract as a collected centroid sample.
+    Determinism: every Gram cell sums its per-vector products as
+    DECIMAL(38,15) — order-independent AND map-side combinable (the
+    numeric.py discipline; an ordered fold would shuffle every product
+    row, measured 3x slower at sf0.1 and unshippable at corpus scale).
+    The iteration (matvec in j-order, norm in i-order, hardware-exact
+    sqrt) is fixed-order IEEE double arithmetic, so the whole result
+    replays bitwise on any engine — the oracle chains one CTE per
+    iteration. The driver holds only the d x d cell table (d =
+    embedding width, e.g. 64), the same bounded contract as a
+    collected centroid sample.
     """
     import math
 
@@ -787,21 +790,31 @@ def gram_power_pca(
         )
     )
     prods = df.select(
-        F.col(id_col).alias("__id"), F.size(c).alias("__d"),
-        F.posexplode(outer).alias("p", "v"),
+        F.size(c).alias("__d"), F.posexplode(outer).alias("p", "v")
     )
     gram_df = (
         prods.select(
             F.expr("p div __d").cast("int").alias("i"),
             F.pmod(F.col("p"), F.col("__d")).cast("int").alias("j"),
-            "__id", "v",
+            "v",
         )
         .groupBy("i", "j")
+        # per-term rounding done with PORTABLE double ops (floor(v*1e15
+        # + 0.5)) before the exact integer-decimal sum: a direct
+        # double->decimal(38,15) cast rounds through BigDecimal on the
+        # JVM but through double math in DuckDB, and the off-diagonal
+        # cells came out one decimal ulp apart (measured). floor's
+        # integer-valued result casts to decimal exactly on every
+        # engine; the sum stays order-independent and map-side
+        # combinable.
         .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("__id", "v"))),
-                F.lit(0.0),
-                lambda acc, s: acc + s["v"],
+            (
+                F.sum(
+                    F.floor(F.col("v") * F.lit(1e15) + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(1e15)
             ).alias("val")
         )
     )

@@ -11958,8 +11958,12 @@ def _q263_oracle(iterations: int = 12) -> str:
              CAST(UNNEST(embedding) AS DOUBLE) AS x
       FROM embeddings
     ), gram AS MATERIALIZED (
+      -- decimal cell sums: order-independent AND map-side combinable
+      -- (matches the engine's numeric.py discipline; an ordered fold
+      -- would move every product row through the shuffle)
       SELECT a.pos AS i, b.pos AS j,
-             list_sum(list(a.x * b.x ORDER BY a.vec_id)) AS val
+             CAST(SUM(CAST(FLOOR(a.x * b.x * 1e15 + 0.5) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1e15 AS val
       FROM flat a JOIN flat b ON b.vec_id = a.vec_id
       GROUP BY 1, 2
     ), dd AS (
