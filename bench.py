@@ -34,6 +34,7 @@ BENCH_EXCLUDE = {
     "q68_stateful_stream",
     "q79_stream_stream_join",
     "q164_stream_static_enrich",
+    "q264_stream_outer_join",
 }
 
 

@@ -12007,6 +12007,49 @@ def q263_power_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_power_pca(e, "embedding", "vec_id", iterations=12)
 
 
+@_q(
+    "q264_stream_outer_join",
+    """
+    WITH l AS (
+      SELECT event_id AS l_id, user_id, ts AS l_ts, CAST(value AS DOUBLE) AS l_value
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT event_id AS r_id, user_id AS r_user_id, ts AS r_ts,
+             CAST(value AS DOUBLE) AS r_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT l.l_id, l.user_id, l.l_ts, l.l_value, r.r_id, r.r_ts, r.r_value
+    FROM l LEFT JOIN r
+      ON r.r_user_id = l.user_id
+     AND r.r_ts >= l.l_ts - INTERVAL 1 HOUR
+     AND r.r_ts <= l.l_ts
+    """,
+)
+def q264_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join, drained to
+    its complete state (streaming/events.stream_stream_join with
+    how="leftOuter" + flush_sentinel): every purchase paired with the
+    same user's clicks in the preceding hour, and NULL-padded when
+    eviction proves no click can ever arrive — the attribution-gap
+    audit as a stream. Outer rows only emit when the watermark passes
+    them (plus an engine-internal margin), so a bounded drain closes
+    the books with far-future sentinel punctuation rows on both sides;
+    the sentinels are filtered AFTER the sink (filtering pre-sink gets
+    predicate-pushed below the watermark operator and silently disables
+    the flush — see the operator docstring). With the flush, the
+    drained state equals the batch LEFT JOIN bitwise, which is exactly
+    what the oracle replays.
+    """
+    from .streaming.events import read_events_stream, run_to_memory, stream_stream_join
+
+    stream = read_events_stream(spark, sf_dir)
+    j = stream_stream_join(stream, how="leftOuter", flush_sentinel=True)
+    got = run_to_memory(j, "q264_out", output_mode="append")
+    return got.filter(F.col("user_id") >= 0).select(
+        "l_id", "user_id", "l_ts", "l_value", "r_id", "r_ts", "r_value"
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate

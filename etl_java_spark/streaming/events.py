@@ -158,41 +158,78 @@ def stream_stream_join(
     right_type: str = "click",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
+    flush_sentinel: bool = False,
 ) -> DataFrame:
-    """Stream-stream inner join: each left event paired with the right
-    events of the same user in the preceding ``within`` interval.
+    """Stream-stream join: each left event paired with the right events
+    of the same user in the preceding ``within`` interval.
 
     Both sides carry watermarks + a time-range join condition, so state
     for each side is evicted once the other side's watermark passes —
     the requirement for bounded state in stream-stream joins.
+
+    ``how="leftOuter"`` additionally emits NULL-padded left rows once
+    eviction proves no right row can ever match — the attribution-gap
+    query ("purchases with no preceding click"). Outer rows only
+    materialize when the watermark passes them, and the engine holds an
+    extra internal margin past the nominal watermark (measured on the
+    drained fixture: the last few hours stay unemitted). For BOUNDED
+    drains that must account for every left row, ``flush_sentinel=True``
+    unions far-future sentinel rows (non-matching negative user ids,
+    ts + 1000 days) into BOTH sides before the watermark operator: the
+    sentinels drive the final watermark past every real row plus any
+    internal margin, so the drained state equals the batch LEFT JOIN
+    exactly. Sentinel rows (negative user ids) APPEAR IN THE OUTPUT and
+    must be filtered by the consumer AFTER the sink: a filter added
+    here looks harmless, but Catalyst pushes a deterministic
+    left-column predicate below the EventTimeWatermark node on the
+    left branch — silently deleting the left sentinels before they can
+    advance the watermark (measured: the flush quietly stops working
+    and the tail rows go missing again). The same punctuation trick
+    closes out a day's outer-join state deterministically in
+    production; it assumes the sentinels arrive with/after the real
+    data (single-batch drains qualify trivially).
     """
-    left = (
-        events.filter(F.col("event_type") == left_type)
-        .select(
-            F.col("event_id").alias("l_id"),
-            F.col("user_id"),
-            F.col("ts").alias("l_ts"),
-            F.col("value").alias("l_value"),
-        )
-        .withWatermark("l_ts", watermark)
+    lraw = events.filter(F.col("event_type") == left_type).select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("value").alias("l_value"),
     )
-    right = (
-        events.filter(F.col("event_type") == right_type)
-        .select(
-            F.col("event_id").alias("r_id"),
-            F.col("user_id").alias("r_user_id"),
-            F.col("ts").alias("r_ts"),
-            F.col("value").alias("r_value"),
-        )
-        .withWatermark("r_ts", watermark)
+    rraw = events.filter(F.col("event_type") == right_type).select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
     )
-    return left.join(
+    if flush_sentinel:
+        bump = F.expr("INTERVAL 1000 DAYS")
+        lraw = lraw.unionByName(
+            lraw.select(
+                (-F.col("l_id") - 1).alias("l_id"),
+                F.lit(-1).cast("long").alias("user_id"),
+                (F.col("l_ts") + bump).alias("l_ts"),
+                "l_value",
+            )
+        )
+        rraw = rraw.unionByName(
+            rraw.select(
+                (-F.col("r_id") - 1).alias("r_id"),
+                F.lit(-2).cast("long").alias("r_user_id"),
+                (F.col("r_ts") + bump).alias("r_ts"),
+                "r_value",
+            )
+        )
+    left = lraw.withWatermark("l_ts", watermark)
+    right = rraw.withWatermark("r_ts", watermark)
+    out = left.join(
         right,
         (F.col("user_id") == F.col("r_user_id"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
         & (F.col("r_ts") <= F.col("l_ts")),
-        "inner",
+        how,
     ).select("l_id", "user_id", "l_ts", "l_value", "r_id", "r_ts", "r_value")
+    return out
 
 
 def foreach_batch_merge(

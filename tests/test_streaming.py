@@ -142,3 +142,45 @@ def test_update_mode_merge_batch_order_robust(spark, sf_small, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert got == expected
+
+
+def test_left_outer_join_sentinel_flush_matches_batch(spark, sf_small):
+    """Without the flush the tail purchases stay unemitted (engine
+    holds an internal margin past the watermark); with it the drained
+    state equals the batch LEFT JOIN exactly."""
+    from etl_java_spark.streaming.events import stream_stream_join
+
+    ev = read_events_stream(spark, sf_small)
+    flushed = run_to_memory(
+        stream_stream_join(ev, how="leftOuter", flush_sentinel=True),
+        "ssoj_flush", output_mode="append",
+    ).filter("user_id >= 0")
+
+    b = spark.read.parquet(f"{sf_small}/events.parquet")
+    from etl_java_spark.sources.readers import normalize_nanos
+
+    b = normalize_nanos(b)
+    bl = b.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS l_id", "user_id", "ts AS l_ts"
+    )
+    br = b.filter("event_type = 'click'").selectExpr(
+        "event_id AS r_id", "user_id AS r_user_id", "ts AS r_ts"
+    )
+    bj = bl.join(
+        br,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+        "left",
+    )
+    got = {(r["l_id"], r["r_id"]) for r in flushed.select("l_id", "r_id").collect()}
+    want = {(r["l_id"], r["r_id"]) for r in bj.select("l_id", "r_id").collect()}
+    assert got == want
+
+    # and the unflushed drain is a strict subset missing only tail rows
+    ev2 = read_events_stream(spark, sf_small)
+    plain = run_to_memory(
+        stream_stream_join(ev2, how="leftOuter"), "ssoj_plain", output_mode="append"
+    )
+    got_plain = {(r["l_id"], r["r_id"]) for r in plain.select("l_id", "r_id").collect()}
+    assert got_plain <= got and len(got_plain) < len(got)
