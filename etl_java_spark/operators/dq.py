@@ -682,3 +682,54 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit — the follow-up k-anonymity misses: a group
+    can be large (k-anonymous) yet still leak the sensitive attribute
+    if every member shares the same value (homogeneity attack). A
+    quasi-identifier group is l-diverse when it contains >= l DISTINCT
+    sensitive values.
+
+    Per-group table, one row per quasi combination: group size,
+    distinct sensitive count, the group's dominant sensitive value and
+    its share (the homogeneity witness), and the violation flag. Two
+    map-side-combinable aggregations over the (quasi, sensitive) tuple
+    — the same shuffle key both times, so Catalyst reuses one exchange;
+    nothing row-quadratic.
+    """
+    qs = [F.col(c) for c in quasi_cols]
+    per_val = df.groupBy(*qs, F.col(sensitive_col).alias("__sv")).agg(
+        F.count("*").alias("__nv")
+    )
+    w = Window.partitionBy(*[c for c in quasi_cols]).orderBy(
+        F.col("__nv").desc(), F.col("__sv").asc()
+    )
+    ranked = per_val.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(*[c for c in quasi_cols])
+        .agg(
+            F.sum("__nv").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_distinct_sensitive"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__sv"))).alias("top_value"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__nv"))).cast("long").alias(
+                "top_count"
+            ),
+        )
+        .select(
+            *quasi_cols,
+            "n_rows",
+            "n_distinct_sensitive",
+            "top_value",
+            F.round(
+                F.col("top_count").cast("double") / F.col("n_rows").cast("double"),
+                12,
+            ).alias("top_share"),
+            (F.col("n_distinct_sensitive") < l).alias("violates_l"),
+        )
+    )

@@ -1,0 +1,341 @@
+"""Model-evaluation and statistical-audit operators.
+
+Charter §2B extensions (no reference counterpart — RoberWaters/ETL-Java,
+src/etl/ETLProcess.java:1-568, has no analytics surface). A training-data
+pipeline does not stop at producing a dataset: it must also *evaluate*
+models and heuristics trained on that data, and those evaluation jobs run
+on the same warehouse at the same scale. This module carries the classic
+evaluation shapes — closed-form OLS, ROC-AUC, calibration/ECE,
+inter-annotator agreement, split-conformal coverage — each expressed as
+aggregates so the only non-exact step is a handful of final IEEE double
+ops over exact (decimal/integer) sums.
+
+Scale stance shared by every operator here:
+
+- The data-sized work is one scan + one map-side-combinable aggregation
+  (or a distinct-value reduction); nothing is quadratic in rows.
+- Rank-based operators (AUC, conformal order statistic) aggregate to
+  per-distinct-score counts FIRST and only then run an ordered window
+  over the distinct scores — the window's input is bounded by score
+  cardinality, not row count, and a ``quantize`` knob caps that
+  cardinality for continuous scores at warehouse scale.
+- Cross-engine determinism: sums are decimal (exact, order-independent),
+  counts are integers, and each final formula is a fixed expression tree
+  of IEEE double ops — bit-identical on any engine given identical
+  inputs (the q253/q263 discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def ols_regression(
+    df: DataFrame,
+    y_col,
+    x1_col,
+    x2_col,
+    scale: int = 2,
+) -> DataFrame:
+    """Closed-form ordinary least squares ``y ~ b0 + b1*x1 + b2*x2`` via
+    the normal equations, solved with Cramer's rule — the distributed
+    regression that needs exactly ONE aggregation pass regardless of
+    data size.
+
+    The normal-equation matrix for two features plus intercept is the
+    3x3 moment matrix [[n, S1, S2], [S1, S11, S12], [S2, S12, S22]];
+    every entry is a sum computable map-side-combinably in a single
+    scan. At 100 TB this is the *only* sane linear-model fit: no
+    gradient iterations, no driver-side data, one shuffle of a 10-cell
+    partial aggregate.
+
+    Determinism: inputs are cast to ``decimal(18, scale)`` so all nine
+    moments are EXACT and order-independent; the 3x3 solve and the R²
+    are a fixed double expression tree over those exact moments, hence
+    bit-reproducible on any partitioning (and replayable by a SQL
+    oracle writing the same expressions).
+
+    Returns one row: (n_rows, beta0, beta1, beta2, r2).
+    """
+    d = f"decimal(18,{scale})"
+    y, x1, x2 = _c(y_col).cast(d), _c(x1_col).cast(d), _c(x2_col).cast(d)
+    agg = df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    # Cramer's rule on the symmetric moment matrix. The oracle SQL must
+    # write these formulas with the identical operation order.
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    return agg.select(
+        "n_rows",
+        b0.alias("beta0"),
+        b1.alias("beta1"),
+        b2.alias("beta2"),
+        (F.lit(1.0) - sse / sst).alias("r2"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col,
+    score_col,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC from per-distinct-score counts — the Mann-Whitney
+    identity, computed WITHOUT ranking individual rows.
+
+    AUC = P(score_pos > score_neg) + P(tie)/2. Aggregating to
+    (score -> n_pos, n_neg) first makes the doubled numerator an exact
+    integer::
+
+        2*U = sum over scores asc of  n_pos * (2 * cum_neg_below + n_neg)
+
+    and AUC = U / (P*N). The ordered window runs over DISTINCT scores
+    (cardinality-bounded, not row-bounded); ``quantize`` optionally
+    floors scores to that many decimal digits to cap cardinality for
+    continuous scores at warehouse scale. Integer arithmetic until the
+    single final division, so the result is exact and engine-portable.
+
+    Returns one row: (n_pos, n_neg, u2, auc) where u2 = 2*U.
+    """
+    s = _c(score_col)
+    if quantize is not None:
+        # floor-quantization: integer arithmetic, no .5-rounding-mode
+        # divergence across engines
+        s = F.floor(s * F.lit(10**quantize)).cast("long")
+    lab = _c(label_col).cast("int")
+    per = df.groupBy(s.alias("__s")).agg(
+        F.sum(lab).cast("long").alias("__p"),
+        F.sum(F.lit(1) - lab).cast("long").alias("__n"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = per.select(
+        "__p",
+        "__n",
+        (
+            F.col("__p")
+            * (F.lit(2) * F.coalesce(F.sum("__n").over(w), F.lit(0)) + F.col("__n"))
+        ).alias("__c"),
+    )
+    return contrib.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__n").cast("long").alias("n_neg"),
+        F.sum("__c").cast("long").alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.round(
+            F.col("u2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            12,
+        ).alias("auc"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    label_col,
+    score_col,
+    n_bins: int = 10,
+    score_scale: int = 6,
+) -> DataFrame:
+    """Reliability table + expected calibration error over a [0, 1]
+    prediction score: equal-width bins, per-bin confidence (mean score)
+    vs accuracy (positive rate), and the |gap| each bin contributes.
+
+    ECE is usually quoted as sum_b (n_b/N) * |acc_b - conf_b|; that is
+    algebraically  sum_b |pos_b - sum_score_b| / N, which keeps the
+    WHOLE computation exact: pos_b is an integer, sum_score_b is an
+    exact decimal sum of the (fixed-scale) scores, and the absolute
+    difference of exact decimals is exact — no float-ordering hazard
+    even across bins. One scan, one n_bins-cell aggregate; scales
+    trivially.
+
+    Scores must be fixed-scale decimals (quantize upstream with integer
+    floor-division, never round-half). Returns per-bin rows
+    (bin, n, n_pos, conf, acc, abs_gap) plus the corpus-constant ece.
+    """
+    d = f"decimal(18,{score_scale})"
+    s = _c(score_col).cast(d)
+    lab = _c(label_col).cast("int")
+    binc = F.least(
+        F.floor(s * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    per = df.select(binc, s.alias("__s"), lab.alias("__l")).groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("__l").cast("long").alias("n_pos"),
+        F.sum("__s").alias("__ssum"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("double").alias("__N"),
+        F.sum(F.abs(F.col("n_pos").cast(f"decimal(38,{score_scale})") - F.col("__ssum")))
+        .alias("__gapsum"),
+    ).select(
+        (F.col("__gapsum").cast("double") / F.col("__N")).alias("__ece")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("__ssum").cast("double") / F.col("n").cast("double")).alias("conf"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias("acc"),
+        F.abs(
+            F.col("n_pos").cast("double") / F.col("n").cast("double")
+            - F.col("__ssum").cast("double") / F.col("n").cast("double")
+        ).alias("abs_gap"),
+        F.round("__ece", 12).alias("ece"),
+    )
+
+
+def cohens_kappa(df: DataFrame, a_col, b_col) -> DataFrame:
+    """Cohen's kappa between two boolean annotators — chance-corrected
+    agreement, THE gate metric before trusting any labeling heuristic
+    (or labeling model) enough to filter 100 TB with it.
+
+    kappa = (po - pe) / (1 - pe) with po the observed agreement rate
+    and pe the rate two independent annotators with the same marginals
+    would agree by chance. Four integer cells from one
+    map-side-combinable aggregate; po/pe/kappa are a fixed double
+    expression over those integers.
+
+    Returns one row: (n_rows, n_both, n_neither, po, pe, kappa).
+    """
+    a = _c(a_col).cast("int")
+    b = _c(b_col).cast("int")
+    agg = df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(a).cast("long").alias("__na"),
+        F.sum(b).cast("long").alias("__nb"),
+        F.sum(a * b).cast("long").alias("n_both"),
+        F.sum((F.lit(1) - a) * (F.lit(1) - b)).cast("long").alias("n_neither"),
+    )
+    n = F.col("n_rows").cast("double")
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    po = (F.col("n_both") + F.col("n_neither")).cast("double") / n
+    pe = (na * nb + (n - na) * (n - nb)) / (n * n)
+    return agg.select(
+        "n_rows",
+        "n_both",
+        "n_neither",
+        F.round(po, 12).alias("po"),
+        F.round(pe, 12).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 12).alias("kappa"),
+    )
+
+
+def conformal_coverage(
+    df: DataFrame,
+    score_col,
+    is_calibration: Column,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal threshold + empirical test coverage: the
+    distribution-free guarantee check behind every "flag the weird 10%"
+    production filter.
+
+    The calibration split's (1-alpha) conformal quantile uses the
+    finite-sample rank k = ceil((n_cal + 1) * (1 - alpha)); the
+    threshold is the k-th smallest calibration score, and coverage is
+    the share of TEST scores <= threshold (guaranteed >= 1-alpha in
+    expectation under exchangeability).
+
+    The order statistic is found per-distinct-score (count + running
+    cumulative over the sorted distinct scores), never by ranking rows
+    — the q66 exact-percentile discipline. The threshold is an actual
+    data value (no arithmetic), so it ports bit-exactly.
+
+    Returns one row:
+    (n_cal, n_test, k, threshold, target, coverage).
+    """
+    s = _c(score_col)
+    tagged = df.select(
+        s.alias("__s"), is_calibration.cast("int").alias("__cal")
+    )
+    per = tagged.groupBy("__s").agg(
+        F.sum("__cal").cast("long").alias("__nc"),
+        F.sum(F.lit(1) - F.col("__cal")).cast("long").alias("__nt"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "__s", "__nc", "__nt", F.sum("__nc").over(w).alias("__cum")
+    )
+    stats = per.agg(
+        F.sum("__nc").cast("long").alias("n_cal"),
+        F.sum("__nt").cast("long").alias("n_test"),
+    ).select(
+        "n_cal",
+        "n_test",
+        F.least(
+            F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha)).cast("long"),
+            F.col("n_cal"),
+        ).alias("k"),
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(stats))
+        .filter(F.col("__cum") >= F.col("k"))
+        .groupBy("n_cal", "n_test", "k")
+        .agg(F.min("__s").alias("threshold"))
+    )
+    covered = (
+        tagged.filter(F.col("__cal") == 0)
+        .crossJoin(F.broadcast(thr.select("threshold")))
+        .agg(
+            F.sum(
+                F.when(F.col("__s") <= F.col("threshold"), 1).otherwise(0)
+            ).cast("long").alias("__nin")
+        )
+    )
+    return thr.crossJoin(F.broadcast(covered)).select(
+        "n_cal",
+        "n_test",
+        "k",
+        "threshold",
+        F.round(F.lit(1.0 - alpha), 12).alias("target"),
+        F.round(
+            F.col("__nin").cast("double") / F.col("n_test").cast("double"), 12
+        ).alias("coverage"),
+    )

@@ -680,6 +680,106 @@ def knn_label_eval(
     )
 
 
+def _fixed_order_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-label mean centroids with bit-reproducible dims: each
+    (label, dim) mean folds its values in id order inside codegen
+    (``F.aggregate`` over a sorted array — the ewma/holt fixed-order
+    discipline), so the centroid doubles replay bitwise on any engine
+    and any partitioning. One map-side-combinable explode; output is
+    #labels rows of (``__lab``, ``__cvec``)."""
+    flat = df.select(
+        F.col(id_col), F.col(label_col).alias("__lab"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    cent = (
+        flat.groupBy("__lab", "pos")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col), F.col("x").cast("double").alias("v")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["v"],
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "__lab", "pos", (F.col("s") / F.col("n").cast("double")).alias("m")
+        )
+    )
+    return cent.groupBy("__lab").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("__cvec")
+    )
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each
+    vector, a = Euclidean distance to its OWN label centroid, b = the
+    nearest OTHER centroid, s = (b - a) / max(a, b); report each
+    label's mean s and the witness counts. The linear-time clustering
+    health check — the classic silhouette is O(n^2) pairwise and dead
+    at corpus scale; against centroids it is one map-only pass over a
+    broadcast #labels x #dims table (Hruschka et al.'s simplified
+    silhouette), and correlates tightly with the exact statistic.
+
+    Determinism: centroids come from the fixed-order per-dim fold
+    (``_fixed_order_centroids``); each distance folds (x-m)^2 in dim
+    order inside codegen; per-label mean s folds in id order. Every
+    step replays bitwise in a SQL oracle (q261 discipline). s is in
+    [-1, 1] so ROUND(., 12) is engine-safe.
+
+    Returns per label: (label, n, n_negative, mean_silhouette).
+    """
+    cvec = _fixed_order_centroids(df, vec_col, id_col, label_col)
+    sq = lambda v, c: F.aggregate(  # noqa: E731 — fold (x-m)^2 in dim order
+        F.zip_with(
+            v, c, lambda x, m: (x.cast("double") - m) * (x.cast("double") - m)
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    scored = (
+        df.select(F.col(id_col).alias("__id"), F.col(label_col).alias("__t"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cvec))
+        .select(
+            "__id",
+            "__t",
+            "__lab",
+            F.sqrt(sq(F.col("__v"), F.col("__cvec"))).alias("__d"),
+        )
+    )
+    per_point = scored.groupBy("__id", "__t").agg(
+        F.max(F.when(F.col("__lab") == F.col("__t"), F.col("__d"))).alias("__a"),
+        F.min(F.when(F.col("__lab") != F.col("__t"), F.col("__d"))).alias("__b"),
+    )
+    s = F.when(
+        F.greatest("__a", "__b") == F.lit(0.0), F.lit(0.0)
+    ).otherwise((F.col("__b") - F.col("__a")) / F.greatest("__a", "__b"))
+    pts = per_point.select("__id", "__t", s.alias("__s"))
+    fold = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("__id", "__s"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["__s"],
+    )
+    return pts.groupBy(F.col("__t").alias("label")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("__s") < 0).cast("int")).cast("long").alias("n_negative"),
+        F.round(fold / F.count("*").cast("double"), 12).alias("mean_silhouette"),
+    )
+
+
 def nearest_centroid_confusion(
     df: DataFrame,
     vec_col: str,
@@ -701,31 +801,7 @@ def nearest_centroid_confusion(
     #dims rows from one map-side-combinable explode; assignment is a
     map-only pass against the broadcast centroid table.
     """
-    flat = df.select(
-        F.col(id_col), F.col(label_col).alias("__lab"),
-        F.posexplode(F.col(vec_col)).alias("pos", "x"),
-    )
-    cent = (
-        flat.groupBy("__lab", "pos")
-        .agg(
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col(id_col), F.col("x").cast("double").alias("v")))
-                ),
-                F.lit(0.0),
-                lambda acc, s: acc + s["v"],
-            ).alias("s"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "__lab", "pos", (F.col("s") / F.col("n").cast("double")).alias("m")
-        )
-    )
-    cvec = cent.groupBy("__lab").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("__cvec")
-    )
+    cvec = _fixed_order_centroids(df, vec_col, id_col, label_col)
     from ..functions.vectors import cosine
 
     scored = (

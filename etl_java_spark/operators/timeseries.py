@@ -398,3 +398,127 @@ def holt_linear(
             fold["l"] + F.lit(float(horizon)) * F.coalesce(fold["b"], F.lit(0.0))
         ).alias("forecast"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over (duration, event) rows —
+    the right-censoring-aware lifetime curve behind churn/retention
+    analytics (a plain "mean lifetime" is biased low the moment any
+    entity is still alive).
+
+    S(t) = prod over event times t' <= t of (1 - d_t' / n_t') where
+    d = events at t' and n = entities still at risk (duration >= t',
+    censored-at-t' included, the standard convention). Returns one row
+    per distinct EVENT time: (t, n_risk, n_event, n_censored,
+    survival).
+
+    Shape: rows reduce to per-distinct-duration (d, c) counts first
+    (map-side combinable); the risk set is a suffix-cumulative window
+    over those distinct times; and the running product folds the
+    per-event-time factors in time order via a prefix ``F.aggregate``
+    over ONE collected array. The array is bounded by the number of
+    distinct event times (calendar-bounded — days of lifetime — not
+    row-bounded), which is what makes collecting it safe at 100 TB.
+    The prefix refold is O(T^2) for T distinct event times, entirely
+    inside codegen; T <= a few thousand for day-granular lifetimes.
+
+    Determinism: d and n are exact integers; each factor and the
+    sequential product are fixed-order IEEE double ops, so a DuckDB
+    recursive CTE multiplying in the same time order replays the curve
+    bitwise (the q253 Holt discipline).
+    """
+    per = df.groupBy(F.col(duration_col).cast("long").alias("t")).agg(
+        F.sum(F.col(event_col).cast("int")).cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col(event_col).cast("int")).cast("long").alias("c"),
+    )
+    w_risk = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    per = per.select(
+        "t", "d", "c", F.sum(F.col("d") + F.col("c")).over(w_risk).alias("n")
+    )
+    ev = per.filter(F.col("d") > 0).select(
+        F.struct(
+            "t",
+            "d",
+            "c",
+            "n",
+            (
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n").cast("double")
+            ).alias("f"),
+        ).alias("__e")
+    )
+    one = ev.agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    expl = one.select("__arr", F.posexplode("__arr").alias("__i", "__s"))
+    surv = F.aggregate(
+        F.slice(F.col("__arr"), F.lit(1), F.col("__i") + 1),
+        F.lit(1.0),
+        lambda acc, x: acc * x["f"],
+    )
+    return expl.select(
+        F.col("__s")["t"].alias("t"),
+        F.col("__s")["n"].alias("n_risk"),
+        F.col("__s")["d"].alias("n_event"),
+        F.col("__s")["c"].alias("n_censored"),
+        surv.alias("survival"),
+    )
+
+
+def acf_lags(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    scale: int = 2,
+) -> DataFrame:
+    """Lag-k Pearson autocorrelation of an ordered series for
+    k = 1..max_lag — the seasonality/momentum fingerprint read off a
+    daily aggregate before choosing forecast features (q253's Holt
+    assumes trend; the ACF says whether a weekly term is missing).
+
+    Uses the paired-Pearson form (each lag correlates the overlapping
+    pair set), not the fixed-global-mean ACF — documented choice; the
+    two agree asymptotically and the paired form is exactly
+    SQL-replayable. Pairs come from ONE equi-join: the lagged side is
+    exploded per k with join key rn + k, so all max_lag lags resolve in
+    a single shuffle rather than max_lag self-joins.
+
+    The row_number over the series order is a single-partition window,
+    bounded by the SERIES length (calendar-bounded for a daily series),
+    never by raw rows — aggregate first, then call this. Sums are exact
+    decimals; each r_k is one fixed double expression; |r| <= 1 so
+    ROUND(., 12) is engine-safe.
+    """
+    d = f"decimal(18,{scale})"
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.row_number().over(w).alias("__rn"), F.col(value_col).cast(d).alias("__v")
+    )
+    lagged = base.select(
+        F.col("__v").alias("__vl"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("lag"),
+        F.col("__rn").alias("__rn0"),
+    ).select("__vl", "lag", (F.col("__rn0") + F.col("lag")).alias("__rn"))
+    pairs = base.join(lagged, "__rn")
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("__v").cast("double").alias("sx"),
+        F.sum("__vl").cast("double").alias("sy"),
+        F.sum(F.col("__v") * F.col("__vl")).cast("double").alias("sxy"),
+        F.sum(F.col("__v") * F.col("__v")).cast("double").alias("sxx"),
+        F.sum(F.col("__vl") * F.col("__vl")).cast("double").alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "lag", "n_pairs", F.round(num / den, 12).alias("acf")
+    ).orderBy("lag")

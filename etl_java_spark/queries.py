@@ -12050,6 +12050,528 @@ def q264_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q265_ols_regression",
+    """
+    WITH f AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT CAST(o.o_totalprice AS DECIMAL(18,2)) AS y,
+             CAST(f.n_items AS DECIMAL(18,2)) AS x1,
+             CAST(f.sum_qty AS DECIMAL(18,2)) AS x2
+      FROM orders o JOIN f ON f.l_orderkey = o.o_orderkey
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM j
+    ), b AS (
+      SELECT n_rows, sy, s1y, s2y, syy, s1, s2,
+             CAST(n_rows AS DOUBLE) AS nd,
+             (CAST(n_rows AS DOUBLE) * (s11 * s22 - s12 * s12)
+              - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2)) AS det,
+             (sy * (s11 * s22 - s12 * s12)
+              - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+             (CAST(n_rows AS DOUBLE) * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2)) AS det1,
+             (CAST(n_rows AS DOUBLE) * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2)) AS det2
+      FROM m
+    )
+    -- NO rounding: every output is a fixed IEEE expression over exact
+    -- decimal moments, bit-identical across engines (q253 discipline);
+    -- ROUND(., 12) on magnitude-1e3 coefficients would ask for > 15
+    -- significant digits.
+    SELECT n_rows, det0 / det AS beta0, det1 / det AS beta1,
+           det2 / det AS beta2,
+           CAST(1.0 AS DOUBLE)
+           - (((syy - (det0 / det) * sy) - (det1 / det) * s1y)
+              - (det2 / det) * s2y)
+             / (syy - sy * sy / nd) AS r2
+    FROM b
+    """,
+)
+def q265_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS (evaluation.ols_regression): o_totalprice
+    regressed on each order's item count and total quantity via the
+    normal equations — the one-aggregation-pass distributed linear fit
+    (nine exact decimal moments + a 3x3 Cramer solve in fixed IEEE
+    arithmetic; no iterations, no driver-side data, bit-reproducible
+    on any partitioning). The regression itself: price is almost
+    exactly linear in quantity, so r2 ~ 1 — the oracle certifies the
+    solver, the scale story is the single map-side-combinable moment
+    shuffle.
+    """
+    from .operators.evaluation import ols_regression
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    feats = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+    )
+    df = o.join(feats, o["o_orderkey"] == feats["l_orderkey"]).select(
+        "o_totalprice", "n_items", "sum_qty"
+    )
+    return ols_regression(df, "o_totalprice", "n_items", "sum_qty")
+
+
+@_q(
+    "q266_roc_auc",
+    """
+    WITH lab AS (
+      SELECT l_orderkey,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT o.o_totalprice AS s, lab.y
+      FROM orders o JOIN lab ON lab.l_orderkey = o.o_orderkey
+    ), per AS (
+      SELECT s, CAST(SUM(y) AS BIGINT) AS p, CAST(SUM(1 - y) AS BIGINT) AS nn
+      FROM j GROUP BY 1
+    ), c AS (
+      SELECT p, nn,
+             p * (2 * COALESCE(SUM(nn) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + nn) AS ct
+      FROM per
+    )
+    SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+           CAST(SUM(ct) AS BIGINT) AS u2,
+           ROUND(CAST(SUM(ct) AS DOUBLE)
+                 / (CAST(2.0 AS DOUBLE) * CAST(SUM(p) AS DOUBLE)
+                    * CAST(SUM(nn) AS DOUBLE)), 12) AS auc
+    FROM c
+    """,
+)
+def q266_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (evaluation.roc_auc) for "order price predicts a
+    return": the Mann-Whitney identity computed from per-distinct-score
+    pos/neg counts, so the doubled numerator is an exact integer and
+    the ordered window runs over DISTINCT scores (cardinality-bounded,
+    with a quantize knob for continuous scores at 100 TB) — never a
+    row-level rank. Integer arithmetic until one final division.
+    """
+    from .operators.evaluation import roc_auc
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lab = li.groupBy("l_orderkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("y")
+    )
+    df = o.join(lab, o["o_orderkey"] == lab["l_orderkey"]).select(
+        "y", "o_totalprice"
+    )
+    return roc_auc(df, "y", "o_totalprice")
+
+
+@_q(
+    "q267_calibration_ece",
+    """
+    WITH per AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_disc,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+      FROM lineitem GROUP BY 1
+    ), sc AS (
+      SELECT CAST(CAST(n_disc * 1000000 // n_items AS DECIMAL(18,0))
+                  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS s,
+             y
+      FROM per
+    ), bins AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS INTEGER), 9) AS bin, s, y FROM sc
+    ), pb AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos, SUM(s) AS ssum
+      FROM bins GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS nd,
+             SUM(ABS(CAST(n_pos AS DECIMAL(38,6)) - ssum)) AS gapsum
+      FROM pb
+    )
+    SELECT bin, n, n_pos,
+           CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) AS conf,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+           ABS(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap,
+           ROUND(CAST(gapsum AS DOUBLE) / nd, 12) AS ece
+    FROM pb CROSS JOIN tot
+    """,
+)
+def q267_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + ECE (evaluation.calibration_report): the
+    discount-heavy-item share of each order read as a "probability of
+    return" score against the actual returned flag. The score is
+    floor-quantized to micro-units with integer division (never
+    round-half — engines disagree on .5), so bins, confidences, and
+    the ECE numerator |pos_b - sum_score_b| are EXACT decimals end to
+    end; ECE needs no float summation across bins at all. One scan,
+    ten cells.
+    """
+    from .operators.evaluation import calibration_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum((F.col("l_discount") > 0.05).cast("int")).cast("long").alias("n_disc"),
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("y"),
+    )
+    score = (
+        F.expr("div(n_disc * 1000000, n_items)").cast("decimal(18,0)")
+        * F.lit("0.000001").cast("decimal(7,6)")
+    ).cast("decimal(18,6)")
+    df = per.select(score.alias("s"), "y")
+    return calibration_report(df, "y", "s", n_bins=10, score_scale=6)
+
+
+@_q(
+    "q268_cohens_kappa",
+    """
+    WITH ann AS (
+      SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS a,
+             CASE WHEN LEN(LIST_FILTER(
+                    STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                    x -> x <> '')) >= 80 THEN 1 ELSE 0 END AS b
+      FROM documents
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb,
+             CAST(SUM(a * b) AS BIGINT) AS n_both,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n_neither
+      FROM ann
+    )
+    SELECT n_rows, n_both, n_neither,
+           ROUND(CAST(n_both + n_neither AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE), 12) AS po,
+           ROUND((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                  + (CAST(n_rows AS DOUBLE) - CAST(na AS DOUBLE))
+                    * (CAST(n_rows AS DOUBLE) - CAST(nb AS DOUBLE)))
+                 / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)),
+                 12) AS pe,
+           ROUND((CAST(n_both + n_neither AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                  - (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                     + (CAST(n_rows AS DOUBLE) - CAST(na AS DOUBLE))
+                       * (CAST(n_rows AS DOUBLE) - CAST(nb AS DOUBLE)))
+                    / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)))
+                 / (CAST(1.0 AS DOUBLE)
+                    - (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                       + (CAST(n_rows AS DOUBLE) - CAST(na AS DOUBLE))
+                         * (CAST(n_rows AS DOUBLE) - CAST(nb AS DOUBLE)))
+                      / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))),
+                 12) AS kappa
+    FROM m
+    """,
+)
+def q268_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (evaluation.cohens_kappa) between two labeling
+    heuristics over the documents table — "long by chars" (n_chars >=
+    500) vs "long by tokens" (>= 80 ASCII tokens). The chance-corrected
+    agreement gate run before trusting any heuristic (or distilled
+    classifier) to filter a 100 TB corpus: raw agreement flatters
+    annotators that both say yes to everything; kappa doesn't. Four
+    integer cells from one map-side-combinable pass.
+    """
+    from .operators.evaluation import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    df = d.select(
+        (F.col("n_chars") >= 500).cast("int").alias("a"),
+        (TX.token_count("text", "[^a-z0-9]+") >= 80).cast("int").alias("b"),
+    )
+    return cohens_kappa(df, "a", "b")
+
+
+@_q(
+    "q269_kaplan_meier",
+    """
+    WITH RECURSIVE per AS (
+      SELECT o_custkey, MIN(o_orderdate) AS fd, MAX(o_orderdate) AS ld
+      FROM orders GROUP BY 1
+    ), mx AS (
+      SELECT MAX(o_orderdate) AS m FROM orders
+    ), d AS (
+      SELECT CAST(DATE_DIFF('day', CAST(fd AS DATE), CAST(ld AS DATE))
+                  AS BIGINT) AS t,
+             CASE WHEN ld < m - INTERVAL 30 DAY THEN 1 ELSE 0 END AS e
+      FROM per CROSS JOIN mx
+    ), pt AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS d, CAST(SUM(1 - e) AS BIGINT) AS c
+      FROM d GROUP BY 1
+    ), risk AS (
+      SELECT t, d, c,
+             SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS n
+      FROM pt
+    ), ev AS (
+      SELECT t, d, c, n,
+             CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS f,
+             ROW_NUMBER() OVER (ORDER BY t) AS rn
+      FROM risk WHERE d > 0
+    ), rec AS (
+      SELECT rn, t, d, c, n, f AS s FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.rn, e.t, e.d, e.c, e.n, r.s * e.f
+      FROM rec r JOIN ev e ON e.rn = r.rn + 1
+    )
+    -- survival is unrounded: the sequential product replays bitwise
+    -- (q253 recursive-CTE fold discipline)
+    SELECT t, n AS n_risk, d AS n_event, c AS n_censored, s AS survival
+    FROM rec
+    """,
+)
+def q269_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (timeseries.kaplan_meier) over
+    customer lifetimes (first to last order day), right-censoring
+    customers still active in the trailing 30 days — the
+    censoring-aware churn curve a plain mean-lifetime report gets
+    wrong. Rows reduce to per-distinct-duration counts, the risk set
+    is one suffix window over distinct times, and the running product
+    folds event-time factors in time order inside codegen; the oracle
+    replays the identical fold as a recursive CTE, bitwise.
+    """
+    from .operators.timeseries import kaplan_meier
+
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("fd"), F.max("o_orderdate").alias("ld")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("m"))
+    df = per.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("ld").cast("date"), F.col("fd").cast("date"))
+        .cast("long")
+        .alias("dur"),
+        (F.col("ld") < F.col("m") - F.expr("INTERVAL 30 DAYS"))
+        .cast("int")
+        .alias("ev"),
+    )
+    return kaplan_meier(df, "dur", "ev")
+
+
+@_q(
+    "q270_acf",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM orders GROUP BY 1
+    ), base AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+             CAST(v AS DECIMAL(18,2)) AS v
+      FROM daily
+    ), pairs AS (
+      SELECT CAST(k.lag AS INTEGER) AS lag, a.v AS x, b.v AS y
+      FROM base a
+      JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) AS k(lag) ON TRUE
+      JOIN base b ON a.rn = b.rn + k.lag
+    ), agg AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY 1
+    )
+    SELECT lag, n_pairs,
+           ROUND((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                 / SQRT((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)),
+                 12) AS acf
+    FROM agg ORDER BY lag
+    """,
+)
+def q270_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1-7
+    (timeseries.acf_lags) — the weekly-seasonality fingerprint read
+    before adding calendar features to any forecast. All seven lags
+    resolve in ONE equi-join (the lagged side is exploded per k), the
+    per-lag Pearson moments are exact decimals, and the row_number
+    window is bounded by the CALENDAR length of the series, not row
+    count — aggregate first, then correlate.
+    """
+    from .operators.timeseries import acf_lags
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(dsum("o_totalprice").alias("v"))
+    return acf_lags(daily, "day", "v", max_lag=7)
+
+
+@_q(
+    "q271_l_diversity",
+    """
+    WITH j AS (
+      SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS sv
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ), pv AS (
+      SELECT c_nationkey, c_mktsegment, sv, CAST(COUNT(*) AS BIGINT) AS nv
+      FROM j GROUP BY 1, 2, 3
+    ), rk AS (
+      SELECT c_nationkey, c_mktsegment, sv, nv,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment
+                                ORDER BY nv DESC, sv ASC) AS rn
+      FROM pv
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(SUM(nv) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive,
+           MAX(CASE WHEN rn = 1 THEN sv END) AS top_value,
+           ROUND(CAST(MAX(CASE WHEN rn = 1 THEN nv END) AS DOUBLE)
+                 / CAST(SUM(nv) AS DOUBLE), 12) AS top_share,
+           (COUNT(*) < 3) AS violates_l
+    FROM rk GROUP BY 1, 2
+    """,
+)
+def q271_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (dq.l_diversity): the homogeneity-attack check
+    k-anonymity (q202) misses — a (nation, market-segment) group can be
+    large yet leak the sensitive attribute (order priority) if nearly
+    every member shares one value. Per-group distinct-sensitive counts
+    plus the dominant value and its share as the witness; both
+    aggregations share one (quasi, sensitive) shuffle key, so Catalyst
+    plans a single exchange.
+    """
+    from .operators.dq import l_diversity
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"]).select(
+        "c_nationkey", "c_mktsegment", "o_orderpriority"
+    )
+    return l_diversity(
+        j, ["c_nationkey", "c_mktsegment"], "o_orderpriority", l=3
+    )
+
+
+@_q(
+    "q272_silhouette",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(UNNEST(generate_series(0, LEN(embedding) - 1)) AS INTEGER) AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS lab, pos,
+             list_sum(list(x ORDER BY vec_id)) / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM flat GROUP BY 1, 2
+    ), cvec AS (
+      SELECT lab, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1
+    ), sc AS (
+      SELECT e.vec_id, e.label AS t, c.lab,
+             SQRT(list_sum(list_transform(list_zip(e.embedding, c.cv),
+               p -> (CAST(p[1] AS DOUBLE) - p[2])
+                    * (CAST(p[1] AS DOUBLE) - p[2])))) AS dd
+      FROM embeddings e CROSS JOIN cvec c
+    ), pp AS (
+      SELECT vec_id, t,
+             MAX(CASE WHEN lab = t THEN dd END) AS a,
+             MIN(CASE WHEN lab <> t THEN dd END) AS b
+      FROM sc GROUP BY 1, 2
+    ), sv AS (
+      SELECT vec_id, t,
+             CASE WHEN GREATEST(a, b) = CAST(0.0 AS DOUBLE)
+                  THEN CAST(0.0 AS DOUBLE)
+                  ELSE (b - a) / GREATEST(a, b) END AS s
+      FROM pp
+    )
+    SELECT t AS label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           ROUND(list_sum(list(s ORDER BY vec_id))
+                 / CAST(COUNT(*) AS DOUBLE), 12) AS mean_silhouette
+    FROM sv GROUP BY 1
+    """,
+)
+def q272_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label (similarity.simplified_silhouette):
+    each vector's distance to its own vs nearest-other label centroid,
+    s = (b-a)/max(a,b) — the linear-time clustering health check (the
+    exact silhouette is O(n^2) pairwise and dead at corpus scale; the
+    centroid form is one map-only pass against a broadcast #labels x
+    #dims table). Centroid dims, distances, and per-label means all
+    fold in fixed order inside codegen, so the whole report replays
+    bitwise in the oracle (q261 discipline).
+    """
+    from .operators.similarity import simplified_silhouette
+
+    e = _t(spark, sf_dir, "embeddings")
+    return simplified_silhouette(e, "embedding", "vec_id", "label")
+
+
+@_q(
+    "q273_conformal_coverage",
+    """
+    WITH t AS (
+      SELECT value AS s,
+             CASE WHEN event_id % 10 < 5 THEN 1 ELSE 0 END AS cal
+      FROM events
+    ), per AS (
+      SELECT s, CAST(SUM(cal) AS BIGINT) AS nc,
+             CAST(SUM(1 - cal) AS BIGINT) AS nt
+      FROM t GROUP BY 1
+    ), cum AS (
+      SELECT s, nc, nt,
+             SUM(nc) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cm
+      FROM per
+    ), st AS (
+      SELECT CAST(SUM(nc) AS BIGINT) AS n_cal,
+             CAST(SUM(nt) AS BIGINT) AS n_test
+      FROM per
+    ), kk AS (
+      SELECT n_cal, n_test,
+             LEAST(CAST(CEIL((n_cal + 1) * CAST(0.9 AS DOUBLE)) AS BIGINT),
+                   n_cal) AS k
+      FROM st
+    ), thr AS (
+      SELECT n_cal, n_test, k, MIN(s) AS threshold
+      FROM cum CROSS JOIN kk WHERE cm >= k GROUP BY 1, 2, 3
+    ), cov AS (
+      SELECT CAST(SUM(CASE WHEN t.s <= thr.threshold THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nin
+      FROM t CROSS JOIN thr WHERE t.cal = 0
+    )
+    SELECT n_cal, n_test, k, threshold,
+           ROUND(CAST(0.9 AS DOUBLE), 12) AS target,
+           ROUND(CAST(nin AS DOUBLE) / CAST(n_test AS DOUBLE), 12)
+             AS coverage
+    FROM thr CROSS JOIN cov
+    """,
+)
+def q273_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal threshold + test coverage
+    (evaluation.conformal_coverage) over the event value stream: the
+    calibration half (deterministic event_id parity split — never a
+    seeded sample) yields the finite-sample 90% conformal quantile
+    k = ceil((n+1)*0.9); coverage on the held-out half certifies the
+    distribution-free guarantee. The order statistic comes from
+    per-distinct-score counts + one cumulative window (q66 exact-
+    percentile discipline), and the threshold is a raw data value, so
+    everything ports bit-exactly.
+    """
+    from .operators.evaluation import conformal_coverage
+
+    ev = _t(spark, sf_dir, "events")
+    return conformal_coverage(
+        ev, "value", F.col("event_id") % 10 < 5, alpha=0.1
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
