@@ -187,3 +187,20 @@ def fingerprint(col) -> Column:
     """
     norm = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
     return F.md5(norm)
+
+
+def sentence_count(col) -> Column:
+    """Sentence count via terminal-punctuation runs ([.!?]+), clamped to
+    >= 1 so ratio features stay defined on fragment-only docs. A
+    heuristic on purpose — full sentence segmentation is model-driven;
+    readability formulas only need the run count."""
+    return F.greatest(F.regexp_count(_c(col), F.lit(r"[.!?]+")), F.lit(1))
+
+
+def syllable_count(col) -> Column:
+    """Syllable estimate: vowel-group runs ([aeiouy]+) over the
+    lowercased text. Token separators break runs, so the global count
+    equals the per-word vowel-run sum — one regexp pass per document,
+    zero explodes. The standard cheap estimator readability formulas
+    were calibrated against."""
+    return F.regexp_count(F.lower(_c(col)), F.lit("[aeiouy]+"))

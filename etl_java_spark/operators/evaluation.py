@@ -339,3 +339,171 @@ def conformal_coverage(
             F.col("__nin").cast("double") / F.col("n_test").cast("double"), 12
         ).alias("coverage"),
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    label_col,
+    score_col,
+) -> DataFrame:
+    """Best binary split (decision stump) of a numeric feature against a
+    binary label by weighted Gini impurity — the single-feature
+    screening pass a feature-selection or shallow-tree job runs over
+    every candidate column.
+
+    Same scaffold as :func:`roc_auc`: rows reduce to per-distinct-score
+    (pos, neg) counts, a cumulative window over the sorted distinct
+    scores yields every candidate split's left-side counts in one pass,
+    and the arithmetic is a fixed double expression over exact integers
+    — no per-row ranking, cardinality-bounded window, quantize upstream
+    for continuous features. Split predicate is ``score <= threshold``;
+    the max score (empty right side) is excluded; ties on impurity
+    break toward the smaller threshold.
+
+    Returns one row: (threshold, n_left, n_right, pos_left, pos_right,
+    gini_split, gini_root, gain).
+    """
+    lab = _c(label_col).cast("int")
+    per = df.groupBy(_c(score_col).alias("__s")).agg(
+        F.sum(lab).cast("long").alias("__p"),
+        F.sum(F.lit(1) - lab).cast("long").alias("__n"),
+    )
+    wc = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "__s",
+        F.sum("__p").over(wc).alias("__cp"),
+        F.sum("__n").over(wc).alias("__cn"),
+        F.sum("__p").over(wall).alias("__P"),
+        F.sum("__n").over(wall).alias("__N"),
+    ).filter(F.col("__cp") + F.col("__cn") < F.col("__P") + F.col("__N"))
+    nl = (F.col("__cp") + F.col("__cn")).cast("double")
+    nr = (
+        F.col("__P") + F.col("__N") - F.col("__cp") - F.col("__cn")
+    ).cast("double")
+    n = (F.col("__P") + F.col("__N")).cast("double")
+    cp, cn = F.col("__cp").cast("double"), F.col("__cn").cast("double")
+    rp = (F.col("__P") - F.col("__cp")).cast("double")
+    rn = (F.col("__N") - F.col("__cn")).cast("double")
+    gini_l = F.lit(1.0) - (cp / nl) * (cp / nl) - (cn / nl) * (cn / nl)
+    gini_r = F.lit(1.0) - (rp / nr) * (rp / nr) - (rn / nr) * (rn / nr)
+    w_gini = (nl / n) * gini_l + (nr / n) * gini_r
+    pd_, nd = F.col("__P").cast("double"), F.col("__N").cast("double")
+    gini_root = F.lit(1.0) - (pd_ / n) * (pd_ / n) - (nd / n) * (nd / n)
+    scored = cum.select(
+        F.col("__s").alias("threshold"),
+        (F.col("__cp") + F.col("__cn")).alias("n_left"),
+        (F.col("__P") + F.col("__N") - F.col("__cp") - F.col("__cn")).alias(
+            "n_right"
+        ),
+        F.col("__cp").alias("pos_left"),
+        (F.col("__P") - F.col("__cp")).alias("pos_right"),
+        w_gini.alias("__g"),
+        gini_root.alias("__groot"),
+    )
+    wbest = Window.orderBy(F.col("__g").asc(), F.col("threshold").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(wbest))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "threshold",
+            "n_left",
+            "n_right",
+            "pos_left",
+            "pos_right",
+            F.round("__g", 12).alias("gini_split"),
+            F.round("__groot", 12).alias("gini_root"),
+            F.round(F.col("__groot") - F.col("__g"), 12).alias("gain"),
+        )
+    )
+
+
+def mutual_information(df: DataFrame, x_col, y_col) -> DataFrame:
+    """Mutual information (and entropies, and NMI) between two
+    categorical columns — the dependence screen behind "is `source`
+    just a proxy for `lang`?" questions in mixture design, and the
+    generic feature-vs-label relevance score.
+
+    MI = sum over cells of p_xy * ln(p_xy / (p_x p_y)); H(X), H(Y)
+    likewise from the margins. All counts are exact integers from one
+    (x, y) grouped aggregate (margins reduce from the cell table, not
+    a second scan); each cell term is a fixed double expression, and
+    the cross-cell sums fold in sorted cell order inside codegen (the
+    ewma/holt fixed-order discipline — float addition is not
+    commutative, so an unordered SUM() of cell terms would not be
+    bit-reproducible; ln itself is portable on this stack, the q248
+    PSI precedent).
+
+    Cell count is |X| x |Y| — categorical-bounded, not row-bounded.
+    Returns one row: (n_rows, n_cells, h_x, h_y, mi, nmi).
+    """
+    x, y = _c(x_col), _c(y_col)
+    cells = df.groupBy(x.alias("__x"), y.alias("__y")).agg(
+        F.count("*").alias("__c")
+    )
+    mx = cells.groupBy("__x").agg(F.sum("__c").alias("__nx"))
+    my = cells.groupBy("__y").agg(F.sum("__c").alias("__ny"))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    j = (
+        cells.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .crossJoin(F.broadcast(tot))
+    )
+    cd = F.col("__c").cast("double")
+    nd = F.col("__n").cast("double")
+    term = (cd / nd) * F.log(
+        (cd * nd) / (F.col("__nx").cast("double") * F.col("__ny").cast("double"))
+    )
+    terms = j.select(
+        "__x", "__y", "__c", "__n", term.alias("__t"),
+        (
+            (F.col("__nx").cast("double") / nd)
+            * F.log(F.col("__nx").cast("double") / nd)
+        ).alias("__tx"),
+        (
+            (F.col("__ny").cast("double") / nd)
+            * F.log(F.col("__ny").cast("double") / nd)
+        ).alias("__ty"),
+    )
+    # entropies fold over DISTINCT margin terms (one per x / per y),
+    # MI over all cells — each in sorted order
+    mi_fold = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("__x", "__y", F.col("__t")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["__t"],
+    )
+    hx_fold = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("__x", "__tx"))),
+        F.lit(0.0),
+        lambda acc, s: acc - s["__tx"],
+    )
+    hy_fold = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("__y", "__ty"))),
+        F.lit(0.0),
+        lambda acc, s: acc - s["__ty"],
+    )
+    hx_terms = terms.select("__x", "__tx").distinct()
+    hy_terms = terms.select("__y", "__ty").distinct()
+    agg_mi = terms.agg(
+        F.max("__n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_cells"),
+        mi_fold.alias("__mi"),
+    )
+    agg_hx = hx_terms.agg(hx_fold.alias("__hx"))
+    agg_hy = hy_terms.agg(hy_fold.alias("__hy"))
+    return (
+        agg_mi.crossJoin(F.broadcast(agg_hx))
+        .crossJoin(F.broadcast(agg_hy))
+        .select(
+            "n_rows",
+            "n_cells",
+            F.round("__hx", 12).alias("h_x"),
+            F.round("__hy", 12).alias("h_y"),
+            F.round("__mi", 12).alias("mi"),
+            F.round(
+                F.col("__mi") / F.sqrt(F.col("__hx") * F.col("__hy")), 12
+            ).alias("nmi"),
+        )
+    )

@@ -102,3 +102,60 @@ def welch_t(
             ).alias("t_welch"),
         )
     )
+
+
+def proportion_ztest(
+    df: DataFrame,
+    unit_col: str,
+    success_col,
+) -> DataFrame:
+    """Two-proportion z-test for an A/B split on ``unit_col``: the
+    conversion-rate readout (``welch_t`` handles continuous metrics;
+    this is its binary-outcome sibling, the single most common
+    experiment decision statistic).
+
+        z = (p_a - p_b) / sqrt(p * (1 - p) * (1/n_a + 1/n_b))
+
+    with p the pooled rate. Variant comes from the same deterministic
+    ``ab_assign`` hash as every experiment operator here (never a
+    seeded sample — assignment must be reproducible row-for-row on any
+    engine). Counts are exact integers from one 2-group aggregate; z is
+    a fixed double expression, so the whole row is bit-reproducible.
+
+    Returns one row: (n_a, n_b, x_a, x_b, p_a, p_b, z).
+    """
+    success = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("int")
+    per = (
+        df.select(ab_assign(unit_col).alias("__v"), success.alias("__s"))
+        .groupBy("__v")
+        .agg(F.count("*").alias("__n"), F.sum("__s").cast("long").alias("__x"))
+    )
+    row = per.agg(
+        F.max(F.when(F.col("__v") == 0, F.col("__n"))).cast("long").alias("n_a"),
+        F.max(F.when(F.col("__v") == 1, F.col("__n"))).cast("long").alias("n_b"),
+        F.max(F.when(F.col("__v") == 0, F.col("__x"))).cast("long").alias("x_a"),
+        F.max(F.when(F.col("__v") == 1, F.col("__x"))).cast("long").alias("x_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    pa, pb = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    z = (pa - pb) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    # degenerate pooled rate (nobody / everybody converts) -> the pooled
+    # variance is 0 and z is undefined; NULL, not an ANSI
+    # divide-by-zero (the CASE guards the division on both engines)
+    z_guarded = F.when(
+        (F.col("x_a") + F.col("x_b") > 0)
+        & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b")),
+        z,
+    )
+    return row.select(
+        "n_a", "n_b", "x_a", "x_b",
+        F.round(pa, 12).alias("p_a"),
+        F.round(pb, 12).alias("p_b"),
+        F.round(z_guarded, 12).alias("z"),
+    )

@@ -345,3 +345,67 @@ def ranking_metrics(
         F.round(rr, 12).alias("reciprocal_rank"),
         F.round(ndcg, 12).alias(f"ndcg_at_{k}"),
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings:
+    score(d) = 1/(k + rank_a(d)) + 1/(k + rank_b(d)), the standard
+    zero-training way to combine lexical and vector retrieval (k=60
+    per Cormack et al.). Documents missing from one list contribute 0
+    from that side — the top-K truncation semantics every production
+    fuser uses.
+
+    Exactly two rankers by design: the fused score is then ONE fixed
+    double expression over a full-outer join (bit-reproducible), not a
+    float SUM whose addend order depends on partitioning. (For n
+    rankers, chain joins — the expression stays fixed-order.) The join
+    keys on (query, doc): per-query candidate lists are top-K bounded,
+    so the shuffle is K-bounded per query regardless of corpus size.
+
+    Returns (query_id, neighbor_id, fused_score, fused_rank) for the
+    ``top`` fused docs per query; ties break toward the smaller doc id.
+    """
+    a = ranked_a.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__d"),
+        F.col(rank_col).alias("__ra"),
+    )
+    b = ranked_b.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__d"),
+        F.col(rank_col).alias("__rb"),
+    )
+    j = a.join(b, ["__q", "__d"], "full_outer")
+    score = F.when(
+        F.col("__ra").isNotNull(),
+        F.lit(1.0) / (F.lit(float(k)) + F.col("__ra").cast("double")),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("__rb").isNotNull(),
+        F.lit(1.0) / (F.lit(float(k)) + F.col("__rb").cast("double")),
+    ).otherwise(F.lit(0.0))
+    scored = j.select(
+        F.col("__q").alias(query_col),
+        F.col("__d").alias(id_col),
+        score.alias("fused_score"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("fused_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top)
+        .select(
+            query_col,
+            id_col,
+            F.round("fused_score", 12).alias("fused_score"),
+            "fused_rank",
+        )
+    )

@@ -929,3 +929,48 @@ def gram_power_pca(
     return spark.createDataFrame(
         rows, "pos int, component double, eigenvalue double, explained_share double"
     )
+
+
+def brute_force_topk_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k EUCLIDEAN neighbors per query — the L2 twin of
+    :func:`brute_force_topk` (cosine ranks by angle, L2 by magnitude-
+    sensitive distance; RRF fusion of the two is the classic cheap
+    ensemble). Distance folds (x-y)^2 in dim order inside codegen
+    (bit-reproducible); ties break toward the smaller neighbor id.
+
+    Result: (query_id, neighbor_id, l2_dist, rank), self-matches
+    excluded. Same scale shape as the cosine variant: a broadcast
+    query-side crossJoin, map-only scoring, per-query top-k — swap in
+    the IVF probe when the query set stops fitting in a broadcast.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("__qvec"),
+            F.col("__cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.sqrt(sq).alias("l2_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

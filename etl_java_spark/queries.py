@@ -12572,6 +12572,358 @@ def q273_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q274_decision_stump",
+    """
+    WITH lab AS (
+      SELECT l_orderkey,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT o.o_totalprice AS s, lab.y
+      FROM orders o JOIN lab ON lab.l_orderkey = o.o_orderkey
+    ), per AS (
+      SELECT s, CAST(SUM(y) AS BIGINT) AS p, CAST(SUM(1 - y) AS BIGINT) AS nn
+      FROM j GROUP BY 1
+    ), cum AS (
+      SELECT s,
+             SUM(p) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cp,
+             SUM(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cn,
+             SUM(p) OVER () AS tp, SUM(nn) OVER () AS tn
+      FROM per
+    ), f AS (
+      SELECT * FROM cum WHERE cp + cn < tp + tn
+    ), g AS (
+      SELECT s AS threshold,
+             CAST(cp + cn AS BIGINT) AS n_left,
+             CAST(tp + tn - cp - cn AS BIGINT) AS n_right,
+             CAST(cp AS BIGINT) AS pos_left,
+             CAST(tp - cp AS BIGINT) AS pos_right,
+             (CAST(cp + cn AS DOUBLE) / CAST(tp + tn AS DOUBLE))
+             * (CAST(1.0 AS DOUBLE)
+                - (CAST(cp AS DOUBLE) / CAST(cp + cn AS DOUBLE))
+                  * (CAST(cp AS DOUBLE) / CAST(cp + cn AS DOUBLE))
+                - (CAST(cn AS DOUBLE) / CAST(cp + cn AS DOUBLE))
+                  * (CAST(cn AS DOUBLE) / CAST(cp + cn AS DOUBLE)))
+             + (CAST(tp + tn - cp - cn AS DOUBLE) / CAST(tp + tn AS DOUBLE))
+               * (CAST(1.0 AS DOUBLE)
+                  - (CAST(tp - cp AS DOUBLE)
+                     / CAST(tp + tn - cp - cn AS DOUBLE))
+                    * (CAST(tp - cp AS DOUBLE)
+                       / CAST(tp + tn - cp - cn AS DOUBLE))
+                  - (CAST(tn - cn AS DOUBLE)
+                     / CAST(tp + tn - cp - cn AS DOUBLE))
+                    * (CAST(tn - cn AS DOUBLE)
+                       / CAST(tp + tn - cp - cn AS DOUBLE))) AS wg,
+             CAST(1.0 AS DOUBLE)
+             - (CAST(tp AS DOUBLE) / CAST(tp + tn AS DOUBLE))
+               * (CAST(tp AS DOUBLE) / CAST(tp + tn AS DOUBLE))
+             - (CAST(tn AS DOUBLE) / CAST(tp + tn AS DOUBLE))
+               * (CAST(tn AS DOUBLE) / CAST(tp + tn AS DOUBLE)) AS groot
+      FROM f
+    ), b AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY wg ASC, threshold ASC) AS rn
+      FROM g
+    )
+    SELECT threshold, n_left, n_right, pos_left, pos_right,
+           ROUND(wg, 12) AS gini_split, ROUND(groot, 12) AS gini_root,
+           ROUND(groot - wg, 12) AS gain
+    FROM b WHERE rn = 1
+    """,
+)
+def q274_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best Gini split of order price against the returned-order label
+    (evaluation.decision_stump) — the single-feature screening pass a
+    shallow-tree / feature-selection job runs per candidate column.
+    Same scaffold as q266's AUC: per-distinct-score counts, one
+    cumulative window over sorted distinct scores evaluates EVERY
+    candidate threshold in one pass, fixed double arithmetic over
+    exact integers picks the argmin (ties toward the smaller
+    threshold). No row-level ranking anywhere.
+    """
+    from .operators.evaluation import decision_stump
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lab = li.groupBy("l_orderkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("y")
+    )
+    df = o.join(lab, o["o_orderkey"] == lab["l_orderkey"]).select(
+        "y", "o_totalprice"
+    )
+    return decision_stump(df, "y", "o_totalprice")
+
+
+@_q(
+    "q275_mutual_information",
+    """
+    WITH cells AS (
+      SELECT source AS x, lang AS y, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ), mx AS (
+      SELECT x, CAST(SUM(c) AS BIGINT) AS nx FROM cells GROUP BY 1
+    ), my AS (
+      SELECT y, CAST(SUM(c) AS BIGINT) AS ny FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), t AS (
+      SELECT cells.x, cells.y, c, n, nx, ny,
+             (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             * LN((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                  / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) AS term,
+             (CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+             * LN(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) AS tx,
+             (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+             * LN(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) AS ty
+      FROM cells
+      JOIN mx ON mx.x = cells.x
+      JOIN my ON my.y = cells.y
+      CROSS JOIN tot
+    ), mi AS (
+      SELECT MAX(n) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_cells,
+             list_sum(list(term ORDER BY x, y)) AS m
+      FROM t
+    ), hx AS (
+      SELECT -(list_sum(list(tx ORDER BY x))) AS v
+      FROM (SELECT DISTINCT x, tx FROM t)
+    ), hy AS (
+      SELECT -(list_sum(list(ty ORDER BY y))) AS v
+      FROM (SELECT DISTINCT y, ty FROM t)
+    )
+    SELECT mi.n_rows, mi.n_cells,
+           ROUND(hx.v, 12) AS h_x, ROUND(hy.v, 12) AS h_y,
+           ROUND(mi.m, 12) AS mi,
+           ROUND(mi.m / SQRT(hx.v * hy.v), 12) AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def q275_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document source and language
+    (evaluation.mutual_information) — "is `source` a proxy for `lang`?"
+    asked before a mixture designer treats them as independent axes.
+    One (x, y) cell aggregate (margins reduce FROM the cell table —
+    no second scan); cell count is categorical-bounded; cross-cell
+    sums fold in sorted cell order so the float additions replay
+    bitwise (ln is portable on this stack — the q248 PSI precedent).
+    """
+    from .operators.evaluation import mutual_information
+
+    d = _t(spark, sf_dir, "documents")
+    return mutual_information(d, "source", "lang")
+
+
+@_q(
+    "q276_readability",
+    """
+    WITH per AS (
+      SELECT source,
+             GREATEST(LEN(LIST_FILTER(
+               STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z0-9]+'),
+               t -> t <> '')), 1) AS w,
+             GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1) AS snt,
+             LEN(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS sy
+      FROM documents
+    )
+    -- flesch is unrounded: identical fixed IEEE expression both sides
+    -- (magnitude ~1e2, where ROUND(., 12) already flirts with the last
+    -- ulp — q253 discipline)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS words,
+           CAST(SUM(snt) AS BIGINT) AS sentences,
+           CAST(SUM(sy) AS BIGINT) AS syllables,
+           CAST(206.835 AS DOUBLE)
+           - CAST(1.015 AS DOUBLE)
+             * (CAST(SUM(w) AS DOUBLE) / CAST(SUM(snt) AS DOUBLE))
+           - CAST(84.6 AS DOUBLE)
+             * (CAST(SUM(sy) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)) AS flesch,
+           CAST(SUM(CASE WHEN
+             CAST(206.835 AS DOUBLE)
+             - CAST(1.015 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(snt AS DOUBLE))
+             - CAST(84.6 AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))
+             < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+    FROM per GROUP BY 1
+    """,
+)
+def q276_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source (functions/text.py:
+    sentence_count/syllable_count): corpus-level readability from
+    per-source word/sentence/syllable totals plus the count of "hard"
+    (score < 30) documents — the quality-mix lens a curriculum or
+    difficulty-bucketing pass reads. Three regexp counters per doc
+    (no explodes), exact integer totals, and ONE fixed double formula
+    per group; the per-doc hard flag evaluates the same IEEE
+    expression both engines, so even the comparison ports exactly.
+    """
+    from .functions.text import sentence_count, syllable_count
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.greatest(TX.token_count("text", "[^a-z0-9]+"), F.lit(1))
+    per = d.select(
+        "source",
+        w.cast("long").alias("w"),
+        sentence_count("text").cast("long").alias("snt"),
+        syllable_count("text").cast("long").alias("sy"),
+    )
+    wd = F.col("w").cast("double")
+    sd = F.col("snt").cast("double")
+    syd = F.col("sy").cast("double")
+    doc_flesch = (
+        F.lit(206.835) - F.lit(1.015) * (wd / sd) - F.lit(84.6) * (syd / wd)
+    )
+    sw = F.sum("w").cast("double")
+    ss = F.sum("snt").cast("double")
+    ssy = F.sum("sy").cast("double")
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("words"),
+        F.sum("snt").cast("long").alias("sentences"),
+        F.sum("sy").cast("long").alias("syllables"),
+        (
+            F.lit(206.835) - F.lit(1.015) * (sw / ss) - F.lit(84.6) * (ssy / sw)
+        ).alias("flesch"),
+        F.sum((doc_flesch < 30).cast("int")).cast("long").alias("n_hard"),
+    )
+
+
+@_q(
+    "q277_rrf_fusion",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < 20
+    ), pairs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        list_sum(list_transform(list_zip(q.qe, c.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(q.qe,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+        list_sum(list_transform(c.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nc,
+        SQRT(list_sum(list_transform(list_zip(q.qe, c.embedding),
+          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS l2
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), cosr AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CASE WHEN nq > 0 AND nc > 0
+                    THEN dot / (SQRT(nq) * SQRT(nc)) ELSE 0.0 END DESC,
+               neighbor_id ASC) AS ra
+      FROM pairs
+    ), l2r AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY l2 ASC, neighbor_id ASC) AS rb
+      FROM pairs
+    ), fused AS (
+      SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+             COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+             (CASE WHEN a.ra IS NOT NULL
+                   THEN CAST(1.0 AS DOUBLE)
+                        / (CAST(60.0 AS DOUBLE) + CAST(a.ra AS DOUBLE))
+                   ELSE CAST(0.0 AS DOUBLE) END
+              + CASE WHEN b.rb IS NOT NULL
+                     THEN CAST(1.0 AS DOUBLE)
+                          / (CAST(60.0 AS DOUBLE) + CAST(b.rb AS DOUBLE))
+                     ELSE CAST(0.0 AS DOUBLE) END) AS fused_score
+      FROM (SELECT * FROM cosr WHERE ra <= 50) a
+      FULL OUTER JOIN (SELECT * FROM l2r WHERE rb <= 50) b
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    ), out AS (
+      SELECT query_id, neighbor_id, fused_score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY fused_score DESC, neighbor_id ASC) AS INTEGER)
+               AS fused_rank
+      FROM fused
+    )
+    SELECT query_id, neighbor_id, ROUND(fused_score, 12) AS fused_score,
+           fused_rank
+    FROM out WHERE fused_rank <= 5
+    """,
+)
+def q277_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (retrieval.rrf_fuse) of the exact cosine
+    and exact L2 top-50 rankings (similarity.brute_force_topk /
+    brute_force_topk_l2) for 20 query vectors — the zero-training
+    lexical+vector ensemble pattern, demonstrated on two metric views
+    of the same index. The fused score is one fixed double expression
+    over a (query, doc) full-outer join of K-bounded candidate lists —
+    never a float SUM with partition-dependent addend order. Both
+    rankings reuse ONE broadcast-query scan shape; at index scale the
+    IVF/LSH probes slot in as the ranking producers.
+    """
+    from .operators.retrieval import rrf_fuse
+    from .operators.similarity import brute_force_topk, brute_force_topk_l2
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 20)
+    a = brute_force_topk(e, qs, "embedding", "vec_id", k=50)
+    b = brute_force_topk_l2(e, qs, "embedding", "vec_id", k=50)
+    return rrf_fuse(a, b, k=60, top=5)
+
+
+@_q(
+    "q278_proportion_ztest",
+    """
+    WITH per AS (
+      SELECT user_id,
+             MAX(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ), v AS (
+      SELECT ((user_id % 1000000007) * 2654435761 % 1000000007 * 524287)
+             % 1000000007 % 10000 % 2 AS var, conv
+      FROM per
+    ), g AS (
+      SELECT var, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS x
+      FROM v GROUP BY 1
+    ), r AS (
+      SELECT MAX(CASE WHEN var = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN var = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN var = 0 THEN x END) AS x_a,
+             MAX(CASE WHEN var = 1 THEN x END) AS x_b
+      FROM g
+    )
+    SELECT n_a, n_b, x_a, x_b,
+           ROUND(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 12) AS p_a,
+           ROUND(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 12) AS p_b,
+           ROUND(CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+                 (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / SQRT(((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                        * (CAST(1.0 AS DOUBLE)
+                           - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                        * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                 END, 12) AS z
+    FROM r
+    """,
+)
+def q278_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (experiments.proportion_ztest) on per-user
+    high-value conversion (any event over 250, a rate that actually
+    varies — every fixture user makes SOME purchase, which would
+    degenerate the pooled variance) under the deterministic ab_assign
+    hash split —
+    the binary-outcome sibling of q179's Welch t. Assignment replays
+    bit-for-bit via the shared key_bucket arithmetic (never a seeded
+    sample); counts are exact integers from one 2-group aggregate; z
+    is a fixed double expression. One scan over events, then
+    metadata-sized math.
+    """
+    from .operators.experiments import proportion_ztest
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max((F.col("value") > 250).cast("int")).alias("conv")
+    )
+    return proportion_ztest(per, "user_id", "conv")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
