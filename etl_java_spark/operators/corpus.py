@@ -715,3 +715,76 @@ def dedup_cluster_profile(
         )
         .orderBy("cluster_size")
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 1000,
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: regress
+    ln(freq) on ln(rank) for the top ``top_n`` token types and report
+    the slope (natural text sits near -1; templated/boilerplate-heavy
+    corpora flatten, spam with exploded vocabularies steepen) — a
+    one-number corpus-health fingerprint next to q262's coverage curve.
+
+    Shapes: one token-count shuffle, then the top-N arrive via
+    orderBy().limit() — Spark plans TakeOrderedAndProject (per-partition
+    heaps + a driver merge of N), never a global vocab sort. The four
+    regression sums fold over the N ranked points in RANK ORDER inside
+    codegen (float sums of ln() terms are order-sensitive; the fixed
+    fold replays bitwise, and ln itself is portable on this stack — the
+    q248 precedent). Slope/intercept are fixed double expressions.
+
+    Returns one row: (n_terms, top_freq, slope, intercept).
+    """
+    toks = df.select(
+        F.explode(
+            F.array_remove(
+                F.split(F.lower(F.trim(F.col(text_col))), pattern), ""
+            )
+        ).alias("__w")
+    )
+    counts = toks.groupBy("__w").agg(F.count("*").alias("__c"))
+    top = counts.orderBy(F.col("__c").desc(), F.col("__w").asc()).limit(top_n)
+    ranked = top.select(
+        "__c",
+        F.row_number()
+        .over(Window.orderBy(F.col("__c").desc(), F.col("__w").asc()))
+        .alias("__r"),
+    ).select(
+        "__r",
+        "__c",
+        F.log(F.col("__r").cast("double")).alias("__x"),
+        F.log(F.col("__c").cast("double")).alias("__y"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("__r", F.col("__x"), F.col("__y")))
+    )
+
+    def fold(term):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, s: acc + term(s))
+
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.max(F.when(F.col("__r") == 1, F.col("__c"))).cast("long").alias(
+            "top_freq"
+        ),
+        fold(lambda s: s["__x"]).alias("sx"),
+        fold(lambda s: s["__y"]).alias("sy"),
+        fold(lambda s: s["__x"] * s["__y"]).alias("sxy"),
+        fold(lambda s: s["__x"] * s["__x"]).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "n_terms",
+        "top_freq",
+        F.round(slope, 12).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 12).alias(
+            "intercept"
+        ),
+    )

@@ -733,3 +733,148 @@ def l_diversity(
             (F.col("n_distinct_sensitive") < l).alias("violates_l"),
         )
     )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    ps: list[float],
+) -> DataFrame:
+    """Exact weighted percentiles per group: the smallest value whose
+    cumulative weight reaches p of the group's total weight — the
+    "token-weighted" quantile a corpus report needs (an unweighted doc
+    median answers "the median DOCUMENT"; the token-weighted median
+    answers "the median TOKEN lives in how long a document?", a very
+    different number under skew).
+
+    Exactness without floats: each p is taken to 4 decimal digits and
+    the defining inequality is evaluated in integers —
+    ``cum_weight * 10000 >= p_ten_thousandths * total_weight`` — so
+    there is no float threshold to disagree on. Rows reduce to
+    per-distinct-value weight sums first (map-side combinable); the
+    cumulative window runs over distinct values per group.
+
+    Returns per group: (group..., total_weight, p_<label> for each p),
+    values reported as the original (long) value type.
+    """
+    labels = []
+    for p in ps:
+        pi = int(round(p * 10000))
+        if not 0 < pi <= 10000:
+            raise ValueError(f"p out of (0, 1]: {p}")
+        labels.append((pi, f"p{pi // 100 if pi % 100 == 0 else pi}"))
+    per = df.groupBy(
+        *[F.col(c) for c in group_cols], F.col(value_col).alias("__v")
+    ).agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+    wc = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in group_cols]).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        *group_cols,
+        "__v",
+        F.sum("__w").over(wc).alias("__cw"),
+        F.sum("__w").over(wall).alias("__tw"),
+    )
+    aggs = [F.max("__tw").alias("total_weight")]
+    for pi, lab in labels:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cw") * 10000 >= F.lit(pi) * F.col("__tw"),
+                    F.col("__v"),
+                )
+            ).alias(lab)
+        )
+    return cum.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit over an ORDINAL sensitive attribute — the third
+    rung of the release ladder (k-anonymity: groups are big;
+    l-diversity: groups are varied; t-closeness: each group's sensitive
+    DISTRIBUTION stays within distance t of the global one, closing the
+    skewness attack l-diversity misses).
+
+    Distance is the standard ordered-EMD:
+    EMD = sum_j |cum_j(p - q)| / (m - 1). The engine computes it with
+    ZERO float accumulation: the per-category deviation rationalizes to
+    (c_gj * n - c_j * n_g) / (n_g * n), so the cumulative and its
+    absolute sum are exact INTEGERS and only the final normalization
+    divides — no float-ordering hazard, no window-sum-of-doubles
+    (engines disagree on windowed double summation order; integers
+    commute).
+
+    Shapes: categories are an m-row broadcast; the group x category
+    grid is n_groups * m rows (categorical-bounded). Returns per
+    group: (quasi..., n_rows, emd, violates_t).
+    """
+    qs = [F.col(c) for c in quasi_cols]
+    sv = F.col(sensitive_col)
+    cats = (
+        df.select(sv.alias("__sv"))
+        .distinct()
+        .select(
+            "__sv",
+            F.row_number().over(Window.orderBy("__sv")).alias("__j"),
+        )
+    )
+    glob = df.groupBy(sv.alias("__sv")).agg(F.count("*").alias("__cj"))
+    n_tot = df.agg(F.count("*").alias("__n"))
+    groups = df.groupBy(*qs).agg(F.count("*").alias("__ng"))
+    cells = df.groupBy(*qs, sv.alias("__sv")).agg(F.count("*").alias("__cgj"))
+    grid = (
+        groups.crossJoin(F.broadcast(cats.join(glob, "__sv")))
+        .join(cells, [*quasi_cols, "__sv"], "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            *quasi_cols,
+            "__j",
+            "__ng",
+            "__n",
+            (
+                F.coalesce(F.col("__cgj"), F.lit(0)) * F.col("__n")
+                - F.col("__cj") * F.col("__ng")
+            ).alias("__num"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(*[F.col(c) for c in quasi_cols])
+        .orderBy("__j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        *quasi_cols,
+        "__ng",
+        "__n",
+        "__j",
+        F.sum("__num").over(wcum).alias("__cum"),
+    )
+    m = cum.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.max("__ng").alias("n_rows"),
+        F.max("__n").alias("__nn"),
+        F.max("__j").alias("__m"),
+        F.sum(F.abs(F.col("__cum"))).alias("__s"),
+    )
+    emd = F.col("__s").cast("double") / (
+        (F.col("__m") - 1).cast("double")
+        * F.col("n_rows").cast("double")
+        * F.col("__nn").cast("double")
+    )
+    return m.select(
+        *quasi_cols,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(emd, 12).alias("emd"),
+        (emd > F.lit(t)).alias("violates_t"),
+    )

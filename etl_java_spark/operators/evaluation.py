@@ -27,6 +27,8 @@ Scale stance shared by every operator here:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -507,3 +509,138 @@ def mutual_information(df: DataFrame, x_col, y_col) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# Cumulative Poisson(1) CDF in micro-units (floor(cdf * 1e6) for
+# k = 0..9; u in [0, 1e6) with u >= all thresholds -> multiplicity 10).
+# HARDCODED decimal literals shared with the SQL oracle — never two
+# engines' exp/factorial (the Benford-shares discipline).
+_POISSON1_CDF_MICRO = [
+    367879, 735758, 919698, 981011, 996340,
+    999405, 999916, 999989, 999998, 999999,
+]
+_HASH_P = 1000000007
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col,
+    id_col,
+    b: int = 50,
+    scale: int = 2,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean — THE
+    distributed bootstrap: instead of resampling n rows with
+    replacement (which needs global coordination), each row enters
+    resample ``j`` with multiplicity ~ Poisson(1), independent per
+    (row, resample). For large n this converges to the multinomial
+    bootstrap, and every resample is computable in the SAME single
+    scan.
+
+    Determinism: the multiplicity comes from an arithmetic hash of
+    (id, j) mapped through the HARDCODED Poisson(1) CDF table
+    (micro-unit integer thresholds — never a seeded RNG, never two
+    engines' exp()); weighted sums are exact decimals; each resample
+    mean is one double division; the CI bounds are order statistics of
+    the ``b`` means (doubles derived identically on any engine, so the
+    selection is bit-reproducible).
+
+    Scale: the explode multiplies rows by ``b`` but the whole job is
+    still one map-side-combinable aggregate to ``b`` cells — at 100 TB
+    run it on pre-aggregated partials the same way. Returns one row:
+    (n_rows, n_resamples, est, ci_lo, ci_hi).
+    """
+    d = f"decimal(18,{scale})"
+    v = _c(value_col).cast(d)
+    k = _c(id_col).cast("long")
+    base = df.select(v.alias("__v"), k.alias("__id"))
+    est = base.agg(
+        F.count("*").alias("n_rows"),
+        (F.sum("__v").cast("double") / F.count("*").cast("double")).alias("est"),
+    )
+    expl = base.select(
+        "__v",
+        "__id",
+        F.explode(F.array(*[F.lit(j) for j in range(b)])).alias("__j"),
+    )
+    mix = (F.col("__id") % _HASH_P) * 53 + F.col("__j")
+    u = (
+        (mix % _HASH_P) * F.lit(2654435761).cast("long")
+    ) % _HASH_P * 524287 % _HASH_P % 1000000
+    m = sum(
+        (u >= F.lit(t)).cast("int") for t in _POISSON1_CDF_MICRO
+    )
+    per = expl.select("__v", "__j", m.alias("__m")).groupBy("__j").agg(
+        F.sum(F.col("__m") * F.col("__v")).alias("__ws"),
+        F.sum("__m").cast("long").alias("__wn"),
+    ).filter(F.col("__wn") > 0).select(
+        "__j",
+        (F.col("__ws").cast("double") / F.col("__wn").cast("double")).alias(
+            "__mean"
+        ),
+    )
+    k_lo = max(1, math.ceil(b * (alpha / 2)))
+    k_hi = math.ceil(b * (1 - alpha / 2))
+    wlo = Window.orderBy(F.col("__mean").asc(), F.col("__j").asc())
+    ranked = per.select(
+        "__mean", F.row_number().over(wlo).alias("__rn")
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("__rn") == k_lo, F.col("__mean"))).alias("ci_lo"),
+        F.max(F.when(F.col("__rn") == k_hi, F.col("__mean"))).alias("ci_hi"),
+        F.count("*").cast("long").alias("n_resamples"),
+    )
+    return est.crossJoin(F.broadcast(ci)).select(
+        "n_rows", "n_resamples", "est", "ci_lo", "ci_hi"
+    )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scale: int = 2,
+) -> DataFrame:
+    """Full Pearson correlation matrix over k numeric columns from ONE
+    aggregation pass — k sums, k sums-of-squares, and k*(k-1)/2
+    cross-moments, all exact decimals, then each pairwise r as a fixed
+    double expression (q85's two-column discipline generalized to the
+    feature-screening matrix). At 100 TB this is the only acceptable
+    shape: one scan, a (k^2+3k)/2-cell partial aggregate, zero
+    row-level reshuffling; built-in corr() would both re-scan per pair
+    and accumulate order-dependent double co-moments.
+
+    Returns the upper triangle as rows: (col_a, col_b, n_rows, corr)
+    with corr rounded to 12 (|r| <= 1, engine-safe).
+    """
+    d = f"decimal(18,{scale})"
+    cs = {c: _c(c).cast(d) for c in cols}
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(cs[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(cs[c] * cs[c]).cast("double").alias(f"ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    for a, b2 in pairs:
+        aggs.append(F.sum(cs[a] * cs[b2]).cast("double").alias(f"sx_{a}_{b2}"))
+    one = df.agg(*aggs)
+    n = F.col("n").cast("double")
+    structs = []
+    for a, b2 in pairs:
+        num = n * F.col(f"sx_{a}_{b2}") - F.col(f"s_{a}") * F.col(f"s_{b2}")
+        den = F.sqrt(
+            (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (n * F.col(f"ss_{b2}") - F.col(f"s_{b2}") * F.col(f"s_{b2}"))
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b2).alias("col_b"),
+                F.col("n").alias("n_rows"),
+                F.round(num / den, 12).alias("corr"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*structs)).alias("__p")
+    ).select("__p.col_a", "__p.col_b", "__p.n_rows", "__p.corr")

@@ -12924,6 +12924,331 @@ def q278_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proportion_ztest(per, "user_id", "conv")
 
 
+@_q(
+    "q279_bootstrap_ci",
+    """
+    WITH base AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v, o_orderkey AS id
+      FROM orders
+    ), est AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS est
+      FROM base
+    ), expl AS (
+      SELECT v, id, CAST(t.j AS BIGINT) AS j
+      FROM base CROSS JOIN (SELECT UNNEST(generate_series(0, 49)) AS j) t
+    ), mu AS (
+      SELECT v, j,
+             ((((id % 1000000007) * 53 + j) % 1000000007)
+              * 2654435761 % 1000000007 * 524287) % 1000000007
+             % 1000000 AS u
+      FROM expl
+    ), mm AS (
+      SELECT v, j,
+             (CASE WHEN u >= 367879 THEN 1 ELSE 0 END)
+             + (CASE WHEN u >= 735758 THEN 1 ELSE 0 END)
+             + (CASE WHEN u >= 919698 THEN 1 ELSE 0 END)
+             + (CASE WHEN u >= 981011 THEN 1 ELSE 0 END)
+             + (CASE WHEN u >= 996340 THEN 1 ELSE 0 END)
+             + (CASE WHEN u >= 999405 THEN 1 ELSE 0 END)
+             + (CASE WHEN u >= 999916 THEN 1 ELSE 0 END)
+             + (CASE WHEN u >= 999989 THEN 1 ELSE 0 END)
+             + (CASE WHEN u >= 999998 THEN 1 ELSE 0 END)
+             + (CASE WHEN u >= 999999 THEN 1 ELSE 0 END) AS m
+      FROM mu
+    ), per AS (
+      SELECT j, SUM(m * v) AS ws, CAST(SUM(m) AS BIGINT) AS wn
+      FROM mm GROUP BY 1 HAVING SUM(m) > 0
+    ), means AS (
+      SELECT j, CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS mn FROM per
+    ), ranked AS (
+      SELECT j, mn, ROW_NUMBER() OVER (ORDER BY mn ASC, j ASC) AS rn
+      FROM means
+    ), ci AS (
+      SELECT MAX(CASE WHEN rn = 2 THEN mn END) AS ci_lo,
+             MAX(CASE WHEN rn = 49 THEN mn END) AS ci_hi,
+             CAST(COUNT(*) AS BIGINT) AS n_resamples
+      FROM ranked
+    )
+    -- est / ci are unrounded: exact decimal sums + identical double
+    -- divisions (q253 discipline)
+    SELECT n_rows, n_resamples, est, ci_lo, ci_hi
+    FROM est CROSS JOIN ci
+    """,
+)
+def q279_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean order value
+    (evaluation.poisson_bootstrap_ci) — THE distributed bootstrap:
+    each row enters resample j with multiplicity ~ Poisson(1) from an
+    arithmetic hash of (id, j) mapped through a HARDCODED micro-unit
+    CDF table (never a seeded RNG, never two engines' exp()), so all
+    50 resamples compute in one scan + one 50-cell decimal aggregate,
+    and the whole interval replays bit-exactly. CI bounds are order
+    statistics of the resample means.
+    """
+    from .operators.evaluation import poisson_bootstrap_ci
+
+    o = _t(spark, sf_dir, "orders")
+    return poisson_bootstrap_ci(
+        o, "o_totalprice", "o_orderkey", b=50, alpha=0.05
+    )
+
+
+@_q(
+    "q280_correlation_matrix",
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ss_q,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ss_p,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS ss_d,
+        CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s_t,
+        CAST(SUM(CAST(l_tax AS DECIMAL(18,2))
+                 * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS ss_t,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS x_qp,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS x_qd,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS x_qt,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS x_pd,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS x_pt,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                 * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS x_dt
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n AS n_rows,
+           ROUND((CAST(n AS DOUBLE) * x_qp - s_q * s_p)
+                 / SQRT((CAST(n AS DOUBLE) * ss_q - s_q * s_q)
+                        * (CAST(n AS DOUBLE) * ss_p - s_p * s_p)), 12) AS corr
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', n,
+           ROUND((CAST(n AS DOUBLE) * x_qd - s_q * s_d)
+                 / SQRT((CAST(n AS DOUBLE) * ss_q - s_q * s_q)
+                        * (CAST(n AS DOUBLE) * ss_d - s_d * s_d)), 12)
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax', n,
+           ROUND((CAST(n AS DOUBLE) * x_qt - s_q * s_t)
+                 / SQRT((CAST(n AS DOUBLE) * ss_q - s_q * s_q)
+                        * (CAST(n AS DOUBLE) * ss_t - s_t * s_t)), 12)
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', n,
+           ROUND((CAST(n AS DOUBLE) * x_pd - s_p * s_d)
+                 / SQRT((CAST(n AS DOUBLE) * ss_p - s_p * s_p)
+                        * (CAST(n AS DOUBLE) * ss_d - s_d * s_d)), 12)
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax', n,
+           ROUND((CAST(n AS DOUBLE) * x_pt - s_p * s_t)
+                 / SQRT((CAST(n AS DOUBLE) * ss_p - s_p * s_p)
+                        * (CAST(n AS DOUBLE) * ss_t - s_t * s_t)), 12)
+    FROM m
+    UNION ALL
+    SELECT 'l_discount', 'l_tax', n,
+           ROUND((CAST(n AS DOUBLE) * x_dt - s_d * s_t)
+                 / SQRT((CAST(n AS DOUBLE) * ss_d - s_d * s_d)
+                        * (CAST(n AS DOUBLE) * ss_t - s_t * s_t)), 12)
+    FROM m
+    """,
+)
+def q280_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Pearson correlation matrix over the four lineitem numerics
+    (evaluation.correlation_matrix) — the feature-screening matrix
+    computed the only way that survives 100 TB: ONE scan producing a
+    14-cell exact decimal moment aggregate (k sums, k squares,
+    C(k,2) cross-moments), then each pairwise r as a fixed double
+    expression (q85's discipline generalized). Built-in corr() would
+    re-scan per pair and accumulate order-dependent co-moments.
+    """
+    from .operators.evaluation import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@_q(
+    "q281_weighted_percentiles",
+    """
+    WITH w AS (
+      SELECT source, n_chars AS v,
+             LEN(LIST_FILTER(
+               STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z0-9]+'),
+               t -> t <> '')) AS wt
+      FROM documents
+    ), per AS (
+      SELECT source, v, CAST(SUM(wt) AS BIGINT) AS w
+      FROM w GROUP BY 1, 2
+    ), cum AS (
+      SELECT source, v,
+             SUM(w) OVER (PARTITION BY source ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY source) AS tw
+      FROM per
+    )
+    SELECT source, CAST(MAX(tw) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN cw * 10000 >= 5000 * tw THEN v END) AS p50,
+           MIN(CASE WHEN cw * 10000 >= 9000 * tw THEN v END) AS p90,
+           MIN(CASE WHEN cw * 10000 >= 9900 * tw THEN v END) AS p99
+    FROM cum GROUP BY 1
+    """,
+)
+def q281_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted document-length percentiles per source
+    (dq.weighted_percentiles): "the median TOKEN lives in how long a
+    document" — under length skew a very different number from the
+    median document (the unweighted q66 family). Exact without
+    floats: the p-threshold inequality is evaluated in integers
+    (cum_weight * 10000 >= p_bp * total_weight); rows reduce to
+    per-distinct-value weight sums before the per-group cumulative
+    window.
+    """
+    from .operators.dq import weighted_percentiles
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "source",
+        F.col("n_chars").alias("v"),
+        TX.token_count("text", "[^a-z0-9]+").cast("long").alias("wt"),
+    )
+    return weighted_percentiles(w, ["source"], "v", "wt", [0.5, 0.9, 0.99])
+
+
+@_q(
+    "q282_t_closeness",
+    """
+    WITH j0 AS (
+      SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS sv
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ), cats AS (
+      SELECT sv, CAST(ROW_NUMBER() OVER (ORDER BY sv) AS INTEGER) AS j
+      FROM (SELECT DISTINCT sv FROM j0)
+    ), gcnt AS (
+      SELECT sv, CAST(COUNT(*) AS BIGINT) AS cj FROM j0 GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j0
+    ), grp AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS ng
+      FROM j0 GROUP BY 1, 2
+    ), cell AS (
+      SELECT c_nationkey, c_mktsegment, sv, CAST(COUNT(*) AS BIGINT) AS cgj
+      FROM j0 GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT g.c_nationkey, g.c_mktsegment, cats.j, g.ng, t.n,
+             COALESCE(cell.cgj, 0) * t.n - gcnt.cj * g.ng AS num
+      FROM grp g
+      CROSS JOIN cats
+      JOIN gcnt ON gcnt.sv = cats.sv
+      LEFT JOIN cell ON cell.c_nationkey = g.c_nationkey
+                    AND cell.c_mktsegment = g.c_mktsegment
+                    AND cell.sv = cats.sv
+      CROSS JOIN tot t
+    ), cum AS (
+      SELECT c_nationkey, c_mktsegment, ng, n, j,
+             SUM(num) OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cm
+      FROM grid
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(MAX(ng) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(ABS(cm)) AS DOUBLE)
+                 / (CAST(MAX(j) - 1 AS DOUBLE) * CAST(MAX(ng) AS DOUBLE)
+                    * CAST(MAX(n) AS DOUBLE)), 12) AS emd,
+           (CAST(SUM(ABS(cm)) AS DOUBLE)
+            / (CAST(MAX(j) - 1 AS DOUBLE) * CAST(MAX(ng) AS DOUBLE)
+               * CAST(MAX(n) AS DOUBLE)) > 0.2) AS violates_t
+    FROM cum GROUP BY 1, 2
+    """,
+)
+def q282_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (dq.t_closeness) over order priority per
+    (nation, market-segment) — the release-ladder rung above q202's
+    k-anonymity and q271's l-diversity: a big, varied group can STILL
+    leak if its sensitive distribution skews far from the global one.
+    The ordered-EMD is computed with zero float accumulation: each
+    deviation rationalizes to (c_gj*n - c_j*n_g)/(n_g*n), so the
+    cumulative and its |.|-sum are exact integers and only the final
+    normalization divides — no windowed double summation (engines
+    don't promise an addend order there; integers commute).
+    """
+    from .operators.dq import t_closeness
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"]).select(
+        "c_nationkey", "c_mktsegment", "o_orderpriority"
+    )
+    return t_closeness(
+        j, ["c_nationkey", "c_mktsegment"], "o_orderpriority", t=0.2
+    )
+
+
+@_q(
+    "q283_zipf_fit",
+    """
+    WITH toks AS (
+      SELECT UNNEST(LIST_FILTER(
+        STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z0-9]+'),
+        x -> x <> '')) AS w
+      FROM documents
+    ), counts AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ), top AS (
+      SELECT c, w FROM counts ORDER BY c DESC, w ASC LIMIT 1000
+    ), ranked AS (
+      SELECT c,
+             CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS INTEGER) AS r
+      FROM top
+    ), pts AS (
+      SELECT r, c, LN(CAST(r AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+      FROM ranked
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+             MAX(CASE WHEN r = 1 THEN c END) AS top_freq,
+             list_sum(list(x ORDER BY r)) AS sx,
+             list_sum(list(y ORDER BY r)) AS sy,
+             list_sum(list(x * y ORDER BY r)) AS sxy,
+             list_sum(list(x * x ORDER BY r)) AS sxx
+      FROM pts
+    )
+    SELECT n_terms, CAST(top_freq AS BIGINT) AS top_freq,
+           ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 12) AS slope,
+           ROUND((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n_terms AS DOUBLE), 12) AS intercept
+    FROM agg
+    """,
+)
+def q283_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit (corpus.zipf_fit): ln(freq) ~ ln(rank) over the
+    top-1000 token types — the one-number corpus-health fingerprint
+    (natural text near slope -1; boilerplate flattens it). Top-N via
+    TakeOrderedAndProject (per-partition heaps, no global vocab sort);
+    the four regression sums fold over the ranked points in rank order
+    inside codegen, so the float additions replay bitwise (ln portable
+    per the q248 precedent).
+    """
+    from .operators.corpus import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, "text", top_n=1000)
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
