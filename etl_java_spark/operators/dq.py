@@ -822,20 +822,29 @@ def t_closeness(
     """
     qs = [F.col(c) for c in quasi_cols]
     sv = F.col(sensitive_col)
-    cats = (
-        df.select(sv.alias("__sv"))
-        .distinct()
+    # ONE raw-data aggregation; every margin (categories, global counts,
+    # total, group sizes) reduces from the categorical-bounded cell
+    # table, materialized once
+    cells = (
+        df.groupBy(*qs, sv.alias("__sv"))
+        .agg(F.count("*").alias("__cgj"))
+        .localCheckpoint(eager=False)
+    )
+    catg = (
+        cells.groupBy("__sv")
+        .agg(F.sum("__cgj").alias("__cj"))
         .select(
             "__sv",
+            "__cj",
             F.row_number().over(Window.orderBy("__sv")).alias("__j"),
         )
     )
-    glob = df.groupBy(sv.alias("__sv")).agg(F.count("*").alias("__cj"))
-    n_tot = df.agg(F.count("*").alias("__n"))
-    groups = df.groupBy(*qs).agg(F.count("*").alias("__ng"))
-    cells = df.groupBy(*qs, sv.alias("__sv")).agg(F.count("*").alias("__cgj"))
+    n_tot = cells.agg(F.sum("__cgj").alias("__n"))
+    groups = cells.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.sum("__cgj").alias("__ng")
+    )
     grid = (
-        groups.crossJoin(F.broadcast(cats.join(glob, "__sv")))
+        groups.crossJoin(F.broadcast(catg))
         .join(cells, [*quasi_cols, "__sv"], "left")
         .crossJoin(F.broadcast(n_tot))
         .select(

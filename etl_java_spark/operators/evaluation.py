@@ -301,6 +301,9 @@ def conformal_coverage(
         F.sum("__cal").cast("long").alias("__nc"),
         F.sum(F.lit(1) - F.col("__cal")).cast("long").alias("__nt"),
     )
+    # three consumers (cumulative, totals, coverage) — materialize the
+    # distinct-score table once instead of re-scanning the raw data
+    per = per.localCheckpoint(eager=False)
     w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
     cum = per.select(
         "__s", "__nc", "__nt", F.sum("__nc").over(w).alias("__cum")
@@ -322,12 +325,15 @@ def conformal_coverage(
         .groupBy("n_cal", "n_test", "k")
         .agg(F.min("__s").alias("threshold"))
     )
+    # coverage from the SAME distinct-score table (sum the per-score
+    # test counts at-or-below the threshold) — never a second raw scan
     covered = (
-        tagged.filter(F.col("__cal") == 0)
-        .crossJoin(F.broadcast(thr.select("threshold")))
+        per.crossJoin(F.broadcast(thr.select("threshold")))
         .agg(
             F.sum(
-                F.when(F.col("__s") <= F.col("threshold"), 1).otherwise(0)
+                F.when(F.col("__s") <= F.col("threshold"), F.col("__nt")).otherwise(
+                    F.lit(0)
+                )
             ).cast("long").alias("__nin")
         )
     )
@@ -445,6 +451,9 @@ def mutual_information(df: DataFrame, x_col, y_col) -> DataFrame:
     cells = df.groupBy(x.alias("__x"), y.alias("__y")).agg(
         F.count("*").alias("__c")
     )
+    # four consumers (margins x2, total, join) over a categorical-
+    # bounded table — materialize once, never re-scan the raw data
+    cells = cells.localCheckpoint(eager=False)
     mx = cells.groupBy("__x").agg(F.sum("__c").alias("__nx"))
     my = cells.groupBy("__y").agg(F.sum("__c").alias("__ny"))
     tot = cells.agg(F.sum("__c").alias("__n"))
@@ -469,6 +478,7 @@ def mutual_information(df: DataFrame, x_col, y_col) -> DataFrame:
             * F.log(F.col("__ny").cast("double") / nd)
         ).alias("__ty"),
     )
+    terms = terms.localCheckpoint(eager=False)  # 3 consumers, cell-bounded
     # entropies fold over DISTINCT margin terms (one per x / per y),
     # MI over all cells — each in sorted order
     mi_fold = F.aggregate(
