@@ -159,3 +159,60 @@ def proportion_ztest(
         F.round(pb, 12).alias("p_b"),
         F.round(z_guarded, 12).alias("z"),
     )
+
+
+# Standard-normal quantiles for the supported (alpha, power) grid —
+# HARDCODED (never two engines' erfinv; the Benford-shares discipline).
+_Z_ALPHA_2 = {0.05: 1.959963984540054, 0.01: 2.5758293035489004}
+_Z_POWER = {0.8: 0.8416212335729143, 0.9: 1.2815515655446004}
+
+
+def required_sample_size(
+    df: DataFrame,
+    unit_col: str,
+    success_col,
+    mde: float = 0.05,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """A/B pre-experiment power analysis: the per-arm sample size needed
+    to detect an absolute lift of ``mde`` over the CURRENT conversion
+    rate (read from the data — the half of power analysis people
+    hand-wave) at the given significance and power:
+
+        n = ceil((z_a + z_b)^2 * (p1(1-p1) + p2(1-p2)) / mde^2)
+
+    z quantiles come from a hardcoded table for the supported
+    (alpha, power) grid — engine-portable by construction. One
+    2-cell aggregate over the units; the rest is O(1) arithmetic.
+
+    Returns one row: (n_units, x_success, p1, p2, n_per_arm).
+    """
+    if alpha not in _Z_ALPHA_2 or power not in _Z_POWER:
+        raise ValueError(
+            f"unsupported (alpha={alpha}, power={power}); "
+            f"supported: {sorted(_Z_ALPHA_2)} x {sorted(_Z_POWER)}"
+        )
+    za, zb = _Z_ALPHA_2[alpha], _Z_POWER[power]
+    success = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("int")
+    agg = df.agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum(success).cast("long").alias("x_success"),
+    )
+    p1 = F.col("x_success").cast("double") / F.col("n_units").cast("double")
+    p2 = p1 + F.lit(mde)
+    n = F.ceil(
+        (F.lit(za) + F.lit(zb))
+        * (F.lit(za) + F.lit(zb))
+        * (p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2))
+        / (F.lit(mde) * F.lit(mde))
+    ).cast("long")
+    return agg.select(
+        "n_units",
+        "x_success",
+        F.round(p1, 12).alias("p1"),
+        F.round(p2, 12).alias("p2"),
+        n.alias("n_per_arm"),
+    )

@@ -974,3 +974,58 @@ def brute_force_topk_l2(
         F.col("l2_dist").asc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_drift(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    is_new: "F.Column",
+) -> DataFrame:
+    """Embedding-space drift monitor: centroid of the NEW slice vs the
+    OLD slice — cosine, Euclidean distance, and the worst per-dimension
+    shift. The scalar drift family (chi-square q180, KS q186, PSI q248)
+    watches distributions of single columns; this is the vector-space
+    analogue an embedding pipeline re-checks after each model or
+    corpus refresh (a silent encoder change moves the centroid long
+    before any scalar stat notices).
+
+    Centroids use the fixed-order per-dim fold (q261 discipline), the
+    comparison is a handful of dim-ordered folds over two #dims
+    arrays, so the whole row replays bitwise. One explode-aggregate
+    over the data + one tiny count aggregate; nothing pairwise.
+
+    Returns one row: (n_old, n_new, cos_sim, l2_dist, max_dim_shift).
+    """
+    tagged = df.select(
+        F.col(id_col), F.col(vec_col), is_new.cast("int").alias("__grp")
+    )
+    cvec = _fixed_order_centroids(tagged, vec_col, id_col, "__grp")
+    co = cvec.filter(F.col("__lab") == 0).select(F.col("__cvec").alias("__co"))
+    cn = cvec.filter(F.col("__lab") == 1).select(F.col("__cvec").alias("__cn"))
+    counts = tagged.groupBy().agg(
+        F.sum(F.lit(1) - F.col("__grp")).cast("long").alias("n_old"),
+        F.sum("__grp").cast("long").alias("n_new"),
+    )
+    from ..functions.vectors import cosine
+
+    a, b = F.col("__co"), F.col("__cn")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    shift = F.array_max(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+    return (
+        counts.crossJoin(F.broadcast(co))
+        .crossJoin(F.broadcast(cn))
+        .select(
+            "n_old",
+            "n_new",
+            F.round(cosine(a, b), 12).alias("cos_sim"),
+            F.round(l2, 12).alias("l2_dist"),
+            F.round(shift, 12).alias("max_dim_shift"),
+        )
+    )

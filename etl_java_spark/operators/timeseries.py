@@ -522,3 +522,43 @@ def acf_lags(
     return agg.select(
         "lag", "n_pairs", F.round(num / den, 12).alias("acf")
     ).orderBy("lag")
+
+
+def sequence_pattern_counts(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    token_col,
+    patterns: dict[str, str],
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence analytics without the clause Spark
+    lacks: each key's event tokens are folded (in event order) into one
+    string, and every pattern is a regex counted over it — "views that
+    eventually convert", "error bursts", any order-sensitive motif a
+    funnel report needs beyond fixed-step windows (q109) or path
+    truncation (q126).
+
+    One shuffle on the key; the per-key string is bounded by that key's
+    history (the same bound any per-entity state store carries — cap
+    upstream for hot keys). Non-overlapping greedy regex counting is
+    identical across engines, and the (order_cols)-sorted fold makes
+    the string itself deterministic, so the whole report replays
+    exactly.
+
+    Returns per key: (key, n_events, <name> per pattern).
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    struct = F.struct(
+        *[F.col(c) for c in order_cols], tok.alias("__tk")
+    )
+    arr = F.array_sort(F.collect_list(struct))
+    seq = F.concat_ws("", F.transform(arr, lambda s: s["__tk"]))
+    per = df.groupBy(key_col).agg(
+        F.size(arr).cast("long").alias("n_events"), seq.alias("__seq")
+    )
+    out = [F.col(key_col), F.col("n_events")]
+    for name, pat in patterns.items():
+        out.append(
+            F.regexp_count(F.col("__seq"), F.lit(pat)).cast("long").alias(name)
+        )
+    return per.select(*out)

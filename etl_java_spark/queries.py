@@ -13249,6 +13249,160 @@ def q283_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(d, "text", top_n=1000)
 
 
+@_q(
+    "q284_event_regex",
+    """
+    WITH seq AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           CAST(LEN(regexp_extract_all(s, 'v[^p]*p')) AS BIGINT)
+             AS view_to_purchase,
+           CAST(LEN(regexp_extract_all(s, 'ee+')) AS BIGINT) AS error_bursts
+    FROM seq
+    """,
+)
+def q284_event_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern counts per user (timeseries.
+    sequence_pattern_counts) — MATCH_RECOGNIZE-style motifs Spark has
+    no clause for: each user's event-type initials fold (in event
+    order) into one string and the motifs are regexes over it —
+    "a view that eventually converts" (v[^p]*p) and "error bursts"
+    (ee+), both out of reach of fixed-step funnels (q109) or top-k
+    paths (q126). One shuffle on the user key; greedy non-overlapping
+    regex counting is engine-identical.
+    """
+    from .operators.timeseries import sequence_pattern_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_pattern_counts(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        F.substring("event_type", 1, 1),
+        {"view_to_purchase": "v[^p]*p", "error_bursts": "ee+"},
+    )
+
+
+@_q(
+    "q285_embedding_drift",
+    """
+    WITH flat AS (
+      SELECT vec_id, CAST(vec_id % 2 AS INTEGER) AS g,
+             CAST(UNNEST(generate_series(0, LEN(embedding) - 1)) AS INTEGER) AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT g, pos,
+             list_sum(list(x ORDER BY vec_id)) / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM flat GROUP BY 1, 2
+    ), cvec AS (
+      SELECT g, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1
+    ), pair AS (
+      SELECT a.cv AS ca, b.cv AS cb
+      FROM cvec a CROSS JOIN cvec b WHERE a.g = 0 AND b.g = 1
+    ), cnt AS (
+      SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old,
+             CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM embeddings
+    ), d AS (
+      SELECT ca, cb,
+             list_sum(list_transform(list_zip(ca, cb),
+               p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(ca, x -> x * x)) AS na,
+             list_sum(list_transform(cb, x -> x * x)) AS nb,
+             SQRT(list_sum(list_transform(list_zip(ca, cb),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))) AS l2,
+             list_max(list_transform(list_zip(ca, cb),
+               p -> ABS(p[1] - p[2]))) AS shift
+      FROM pair
+    )
+    SELECT cnt.n_old, cnt.n_new,
+           ROUND(CASE WHEN na > 0 AND nb > 0
+                      THEN dot / (SQRT(na) * SQRT(nb))
+                      ELSE 0.0 END, 12) AS cos_sim,
+           ROUND(l2, 12) AS l2_dist,
+           ROUND(shift, 12) AS max_dim_shift
+    FROM d CROSS JOIN cnt
+    """,
+)
+def q285_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (similarity.embedding_drift):
+    centroid of the even-id slice vs the odd-id slice — cosine, L2,
+    and the worst per-dimension shift. The vector-space analogue of
+    the scalar drift family (q180 chi-square, q186 KS, q248 PSI): a
+    silent encoder swap moves the centroid long before any scalar
+    stat notices. Fixed-order centroid folds + dim-ordered comparison
+    folds; one explode-aggregate plus a tiny count pass, nothing
+    pairwise.
+    """
+    from .operators.similarity import embedding_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        e, "embedding", "vec_id", F.col("vec_id") % 2 == 1
+    )
+
+
+@_q(
+    "q286_power_analysis",
+    """
+    WITH per AS (
+      SELECT user_id,
+             MAX(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(conv) AS BIGINT) AS x_success
+      FROM per
+    )
+    SELECT n_units, x_success,
+           ROUND(CAST(x_success AS DOUBLE) / CAST(n_units AS DOUBLE), 12)
+             AS p1,
+           ROUND(CAST(x_success AS DOUBLE) / CAST(n_units AS DOUBLE)
+                 + CAST(0.05 AS DOUBLE), 12) AS p2,
+           CAST(CEIL(
+             (CAST(1.959963984540054 AS DOUBLE)
+              + CAST(0.8416212335729143 AS DOUBLE))
+             * (CAST(1.959963984540054 AS DOUBLE)
+                + CAST(0.8416212335729143 AS DOUBLE))
+             * ((CAST(x_success AS DOUBLE) / CAST(n_units AS DOUBLE))
+                * (CAST(1.0 AS DOUBLE)
+                   - CAST(x_success AS DOUBLE) / CAST(n_units AS DOUBLE))
+                + (CAST(x_success AS DOUBLE) / CAST(n_units AS DOUBLE)
+                   + CAST(0.05 AS DOUBLE))
+                  * (CAST(1.0 AS DOUBLE)
+                     - (CAST(x_success AS DOUBLE) / CAST(n_units AS DOUBLE)
+                        + CAST(0.05 AS DOUBLE))))
+             / (CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE))
+           ) AS BIGINT) AS n_per_arm
+    FROM agg
+    """,
+)
+def q286_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis (experiments.required_sample_size): per-arm
+    sample size to detect a +5pt lift over the CURRENT high-value
+    conversion rate at alpha=0.05 / power=0.8 — the pre-experiment
+    readout that pairs with q278's post-experiment z-test. Normal
+    quantiles are hardcoded literals on both engines (never erfinv);
+    one 2-cell aggregate over the units, then O(1) arithmetic.
+    """
+    from .operators.experiments import required_sample_size
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max((F.col("value") > 250).cast("int")).alias("conv")
+    )
+    return required_sample_size(
+        per, "user_id", "conv", mde=0.05, alpha=0.05, power=0.8
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
