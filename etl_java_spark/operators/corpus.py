@@ -788,3 +788,55 @@ def zipf_fit(
             "intercept"
         ),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility report per group (typically language): how
+    many characters and UTF-8 bytes each pretoken carries — the
+    standard readout for spotting languages a tokenizer serves badly
+    (high fertility = more tokens per unit of text = higher training
+    and serving cost for the same content).
+
+    Per group: document/char/byte counts, whitespace-ish word count
+    (DEFAULT_TOKEN_PATTERN splits) and BPE-style pretoken count
+    (functions/text.py:bpe_ish_token_count), then
+
+        chars_per_token  = chars / bpe_tokens
+        bytes_per_char   = bytes / chars
+        tokens_per_word  = bpe_tokens / words
+
+    Counts are exact integers from one grouped aggregate (map-side
+    combined); the three ratios are single double divisions of exact
+    integers — engine-bitwise. Groups with zero tokens/words emit NULL
+    ratios via try-style guards rather than ANSI division errors.
+
+    Scale: one explode-free pass (regexp counters, no token explode) +
+    one small-key shuffle.
+    """
+    from ..functions.text import bpe_ish_token_count, token_count
+
+    t = F.col(text_col)
+    per = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length(t).cast("decimal(28,0)")).cast("long").alias("chars"),
+        F.sum(F.octet_length(t).cast("decimal(28,0)"))
+        .cast("long")
+        .alias("bytes"),
+        F.sum(token_count(t).cast("decimal(28,0)")).cast("long").alias("words"),
+        F.sum(bpe_ish_token_count(t).cast("decimal(28,0)"))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+    safe_div = lambda a, b: F.when(  # noqa: E731
+        F.col(b) > 0, F.col(a).cast("double") / F.col(b).cast("double")
+    )
+    return per.select(
+        group_col, "n_docs", "chars", "bytes", "words", "bpe_tokens",
+        safe_div("chars", "bpe_tokens").alias("chars_per_token"),
+        safe_div("bytes", "chars").alias("bytes_per_char"),
+        safe_div("bpe_tokens", "words").alias("tokens_per_word"),
+    )

@@ -887,3 +887,73 @@ def t_closeness(
         F.round(emd, 12).alias("emd"),
         (emd > F.lit(t)).alias("violates_t"),
     )
+
+
+def embedding_health(
+    df: DataFrame,
+    vec_col: str,
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """Embedding-column QA gate: the one-row health report a vector
+    corpus needs BEFORE any ANN/dedup/clustering run trusts it —
+    null vectors, dimension drift, all-zero rows (cosine is undefined),
+    non-finite values (NaN/Inf poison every distance), and the L2-norm
+    envelope (a collapsed or exploding norm distribution is the
+    classic sign of a bad encoder batch).
+
+    All counts are exact integers from ONE conditional aggregate over a
+    single scan. Per-row norms fold the squares in array index order
+    (double), are rounded to 6 decimals, and aggregate as exact
+    decimals — min/max/avg are engine-bitwise (the q285 fold + round
+    discipline). ``dim_ok`` is NULL when no ``expected_dim`` is given.
+
+    Scale: map-only + one global aggregate; nothing shuffles but the
+    final combine.
+    """
+    v = F.col(vec_col)
+    dim = F.size(v)
+    sq = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.round(F.sqrt(sq), 6).cast("decimal(18,6)")
+    is_null = v.isNull()
+    nonfinite = F.exists(
+        v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    zero = F.forall(v, lambda x: x == 0)
+    rows = df.select(
+        is_null.alias("__nul"),
+        F.when(~is_null, dim).alias("__dim"),
+        F.when(~is_null, nonfinite).alias("__bad"),
+        F.when(~is_null & ~nonfinite, zero).alias("__zero"),
+        F.when(~is_null & ~nonfinite, norm).alias("__norm"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    out = rows.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        one_if(F.col("__nul")).alias("n_null_vec"),
+        F.countDistinct("__dim").cast("long").alias("n_dims_distinct"),
+        F.min("__dim").cast("long").alias("min_dim"),
+        F.max("__dim").cast("long").alias("max_dim"),
+        one_if(F.col("__bad")).alias("n_nonfinite_vec"),
+        one_if(F.col("__zero")).alias("n_zero_vec"),
+        F.min("__norm").cast("double").alias("norm_min"),
+        F.max("__norm").cast("double").alias("norm_max"),
+        (
+            F.sum("__norm").cast("double")
+            / F.sum(F.when(F.col("__norm").isNotNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+        ).alias("norm_avg"),
+    )
+    if expected_dim is not None:
+        out = out.withColumn(
+            "dim_ok",
+            (F.col("n_dims_distinct") == 1)
+            & (F.col("min_dim") == F.lit(expected_dim)),
+        )
+    else:
+        out = out.withColumn("dim_ok", F.lit(None).cast("boolean"))
+    return out

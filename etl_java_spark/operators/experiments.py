@@ -216,3 +216,74 @@ def required_sample_size(
         F.round(p2, 12).alias("p2"),
         n.alias("n_per_arm"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    metric_col: str,
+    cutoff,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Difference-in-differences estimator: the causal readout when a
+    launch has a BEFORE/AFTER boundary as well as a treat/control
+    split. The naive post-period delta confounds the treatment with
+    time trends; DiD removes any trend common to both groups:
+
+        did = (m_treat_post - m_treat_pre) - (m_ctrl_post - m_ctrl_pre)
+
+    Treatment comes from the same deterministic ``ab_assign`` hash as
+    every experiment operator here; period is ``ts >= cutoff``. The
+    metric is scaled to exact integer cents, so the four cell sums
+    aggregate exactly (decimal, order-independent); the four means and
+    the DiD contrast derive in double through one fixed expression tree
+    — the row is bit-reproducible on any engine.
+
+    Returns ONE row: per-cell counts and means (cents) plus ``did``.
+
+    Scale: one 4-group aggregate with map-side combine; nothing else
+    shuffles.
+    """
+    cents = F.round(F.col(metric_col) * cents_scale).cast("long")
+    cells = (
+        df.select(
+            ab_assign(unit_col).alias("__g"),
+            (F.col(ts_col) >= F.lit(cutoff)).cast("int").alias("__p"),
+            cents.alias("__v"),
+        )
+        .groupBy("__g", "__p")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"),
+        )
+    )
+
+    def _cell(g: int, p: int, src: str, alias: str):
+        picked = F.max(
+            F.when((F.col("__g") == g) & (F.col("__p") == p), F.col(src))
+        )
+        if src == "__n":
+            picked = picked.cast("long")
+        return picked.alias(alias)
+
+    tags = {(0, 0): "c_pre", (0, 1): "c_post", (1, 0): "t_pre", (1, 1): "t_post"}
+    row = cells.agg(
+        *[_cell(g, p, "__n", f"n_{t}") for (g, p), t in tags.items()],
+        *[_cell(g, p, "__s", f"__s_{t}") for (g, p), t in tags.items()],
+    )
+
+    def _mean(t: str):
+        return F.col(f"__s_{t}").cast("double") / F.col(f"n_{t}").cast(
+            "double"
+        )
+
+    means = {t: _mean(t) for t in tags.values()}
+    did = (means["t_post"] - means["t_pre"]) - (
+        means["c_post"] - means["c_pre"]
+    )
+    return row.select(
+        "n_c_pre", "n_c_post", "n_t_pre", "n_t_post",
+        *[means[t].alias(f"mean_{t}") for t in tags.values()],
+        did.alias("did"),
+    )

@@ -562,3 +562,66 @@ def sequence_pattern_counts(
             F.regexp_count(F.col("__seq"), F.lit(pat)).cast("long").alias(name)
         )
     return per.select(*out)
+
+
+def max_concurrency(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak concurrent intervals per key — the sweep-line sibling of
+    ``merge_intervals``: instead of consolidating overlaps it COUNTS
+    them, answering "how many intervals were open at once, and when
+    did the pile-up peak?" (capacity planning, connection-pool sizing,
+    concurrent-session audits).
+
+    Intervals are half-open [start, end): an interval ending exactly
+    when another starts does not overlap it. The sweep is relational:
+
+    1. explode each interval into two boundary events, (+1, start) and
+       (-1, end);
+    2. order each key's events by (t, delta) — closes sort before
+       opens at the same instant, enforcing the half-open semantics;
+    3. the running sum of deltas is the number of open intervals just
+       after each boundary; its max is the peak;
+    4. ``peak_at`` is the EARLIEST boundary where the peak is reached.
+
+    Determinism under ties: permuting equal (t, delta) rows permutes
+    which row carries which intermediate running value, but the SET of
+    values traversed at that instant is identical, so both the max and
+    the earliest-peak timestamp are order-independent.
+
+    Scale: one shuffle on the key serves the window and the final
+    aggregate; per-key work is a linear sweep over 2x the interval
+    count. No driver state, no collect.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    kc = [F.col(k) for k in keys]
+    opens = df.select(
+        *kc, F.col(start_col).alias("__t"), F.lit(1).alias("__d")
+    )
+    closes = df.select(
+        *kc, F.col(end_col).alias("__t"), F.lit(-1).alias("__d")
+    )
+    w = Window.partitionBy(*keys).orderBy("__t", "__d")
+    w_all = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    swept = (
+        opens.unionByName(closes)
+        .withColumn(
+            "__open",
+            F.sum("__d").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("__peak", F.max("__open").over(w_all))
+    )
+    return swept.groupBy(*keys).agg(
+        F.sum(F.when(F.col("__d") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_intervals"),
+        F.max("__open").cast("long").alias("peak_concurrency"),
+        F.min(
+            F.when(F.col("__open") == F.col("__peak"), F.col("__t"))
+        ).alias("peak_at"),
+    )

@@ -13403,6 +13403,214 @@ def q286_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q287_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT l_suppkey AS suppkey, l_shipdate AS lo,
+             l_shipdate + (CAST(l_quantity AS INT) % 20 + 1) * INTERVAL 1 DAY AS hi
+      FROM lineitem
+    ), ev AS (
+      SELECT suppkey, lo AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT suppkey, hi AS t, -1 AS d FROM iv
+    ), swept AS (
+      SELECT suppkey, t, d,
+             SUM(d) OVER (PARTITION BY suppkey ORDER BY t, d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+      FROM ev
+    ), pk AS (
+      SELECT suppkey, t, d, open_now,
+             MAX(open_now) OVER (PARTITION BY suppkey) AS peak
+      FROM swept
+    )
+    SELECT suppkey,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals,
+           CAST(MAX(open_now) AS BIGINT) AS peak_concurrency,
+           MIN(CASE WHEN open_now = peak THEN t END) AS peak_at
+    FROM pk GROUP BY suppkey
+    """,
+)
+def q287_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent shipping windows per supplier
+    (timeseries.max_concurrency): the sweep-line COUNTING sibling of
+    q170's interval consolidation — how many of the supplier's
+    [shipdate, shipdate + quantity%20+1 days) windows were open at
+    once, and the earliest instant the pile-up peaked. Half-open
+    semantics (a window closing exactly when another opens does not
+    overlap). One shuffle on the supplier key serves the running-sum
+    window, the partition max, and the final aggregate.
+    """
+    from .operators.timeseries import max_concurrency
+
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_suppkey AS suppkey",
+        "l_shipdate AS lo",
+        "l_shipdate + make_interval(0, 0, 0, CAST(l_quantity AS INT) % 20 + 1) AS hi",
+    )
+    return max_concurrency(li, "suppkey", "lo", "hi")
+
+
+@_q(
+    "q288_did_estimator",
+    """
+    WITH cells AS (
+      SELECT ((user_id % 1000000007) * 2654435761 % 1000000007 * 524287)
+               % 1000000007 % 10000 % 2 AS g,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS p,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ), agg AS (
+      SELECT g, p, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s
+      FROM cells GROUP BY 1, 2
+    ), r AS (
+      SELECT
+        MAX(CASE WHEN g = 0 AND p = 0 THEN n END) AS n_c_pre,
+        MAX(CASE WHEN g = 0 AND p = 1 THEN n END) AS n_c_post,
+        MAX(CASE WHEN g = 1 AND p = 0 THEN n END) AS n_t_pre,
+        MAX(CASE WHEN g = 1 AND p = 1 THEN n END) AS n_t_post,
+        MAX(CASE WHEN g = 0 AND p = 0 THEN s END) AS s_c_pre,
+        MAX(CASE WHEN g = 0 AND p = 1 THEN s END) AS s_c_post,
+        MAX(CASE WHEN g = 1 AND p = 0 THEN s END) AS s_t_pre,
+        MAX(CASE WHEN g = 1 AND p = 1 THEN s END) AS s_t_post
+      FROM agg
+    )
+    SELECT CAST(n_c_pre AS BIGINT) AS n_c_pre,
+           CAST(n_c_post AS BIGINT) AS n_c_post,
+           CAST(n_t_pre AS BIGINT) AS n_t_pre,
+           CAST(n_t_post AS BIGINT) AS n_t_post,
+           CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) AS mean_c_pre,
+           CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) AS mean_c_post,
+           CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) AS mean_t_pre,
+           CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) AS mean_t_post,
+           ((CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+             - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+            - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+               - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))) AS did
+    FROM r
+    """,
+)
+def q288_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences launch readout
+    (experiments.diff_in_diff): the mid-January cutoff splits the
+    events month into pre/post, ab_assign hash-splits users into
+    treat/control, and the DiD contrast removes the time trend common
+    to both groups from the treatment-effect estimate. Cell sums in
+    exact integer cents; the four means and the contrast are one fixed
+    double expression tree — unrounded bitwise. One 4-group aggregate,
+    map-side combined.
+    """
+    from .operators.experiments import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events")
+    return diff_in_diff(
+        ev, "user_id", "ts", "value", "2024-01-16 00:00:00"
+    )
+
+
+@_q(
+    "q289_embedding_health",
+    """
+    WITH per AS (
+      SELECT embedding IS NULL AS nul,
+             CASE WHEN embedding IS NOT NULL
+                  THEN CAST(LEN(embedding) AS BIGINT) END AS dim,
+             CASE WHEN embedding IS NOT NULL
+                  THEN LEN(LIST_FILTER(embedding,
+                           x -> ISNAN(x) OR ISINF(x))) > 0 END AS bad,
+             CASE WHEN embedding IS NOT NULL
+                   AND LEN(LIST_FILTER(embedding,
+                           x -> ISNAN(x) OR ISINF(x))) = 0
+                  THEN LEN(LIST_FILTER(embedding, x -> x <> 0)) = 0 END AS zer,
+             CASE WHEN embedding IS NOT NULL
+                   AND LEN(LIST_FILTER(embedding,
+                           x -> ISNAN(x) OR ISINF(x))) = 0
+                  THEN CAST(ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                       AS DECIMAL(18,6)) END AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN nul THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
+           CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
+           CAST(MIN(dim) AS BIGINT) AS min_dim,
+           CAST(MAX(dim) AS BIGINT) AS max_dim,
+           CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonfinite_vec,
+           CAST(SUM(CASE WHEN zer THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec,
+           CAST(MIN(nrm) AS DOUBLE) AS norm_min,
+           CAST(MAX(nrm) AS DOUBLE) AS norm_max,
+           CAST(SUM(nrm) AS DOUBLE)
+             / CAST(SUM(CASE WHEN nrm IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             AS norm_avg,
+           (COUNT(DISTINCT dim) = 1 AND MIN(dim) = 64) AS dim_ok
+    FROM per
+    """,
+)
+def q289_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column QA gate (dq.embedding_health): null vectors,
+    dimension drift, all-zero rows, non-finite values, and the L2-norm
+    envelope — the one-row health report every ANN/dedup/clustering
+    consumer should gate on before trusting a vector corpus. Norms
+    fold squares in array index order and are rounded to 6 decimals
+    before exact decimal aggregation (the q285 discipline). Map-only +
+    one global combine.
+    """
+    from .operators.dq import embedding_health
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_health(emb, "embedding", expected_dim=64)
+
+
+@_q(
+    "q290_tokenizer_fertility",
+    r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+           CAST(SUM(STRLEN(text)) AS BIGINT) AS bytes,
+           CAST(SUM(LEN(LIST_FILTER(
+                 STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^\p{L}\p{N}]+'),
+                 t -> t <> ''))) AS BIGINT) AS words,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')))
+               AS BIGINT) AS bpe_tokens,
+           CASE WHEN SUM(LEN(REGEXP_EXTRACT_ALL(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) > 0
+                THEN CAST(SUM(LENGTH(text)) AS DOUBLE)
+                     / CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
+                         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')))
+                       AS DOUBLE) END AS chars_per_token,
+           CASE WHEN SUM(LENGTH(text)) > 0
+                THEN CAST(SUM(STRLEN(text)) AS DOUBLE)
+                     / CAST(SUM(LENGTH(text)) AS DOUBLE) END AS bytes_per_char,
+           CASE WHEN SUM(LEN(LIST_FILTER(
+                  STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^\p{L}\p{N}]+'),
+                  t -> t <> ''))) > 0
+                THEN CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')))
+                     AS DOUBLE)
+                     / CAST(SUM(LEN(LIST_FILTER(
+                         STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^\p{L}\p{N}]+'),
+                         t -> t <> ''))) AS DOUBLE) END AS tokens_per_word
+    FROM documents GROUP BY lang
+    """,
+)
+def q290_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (corpus.tokenizer_fertility):
+    chars-per-pretoken, UTF-8 bytes-per-char, and pretokens-per-word by
+    lang — the readout that flags languages the tokenizer serves badly
+    (high fertility = more tokens for the same content). Exact integer
+    counts from explode-free regexp counters; three double divisions at
+    the end. One small-key shuffle.
+    """
+    from .operators.corpus import tokenizer_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs, "lang", "text")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
@@ -13437,6 +13645,24 @@ _PRIORITY = [
     #    minhash candidate strategy, q220's pair-marker semantics were
     #    hardened (ADVICE r5) -- re-confirm before aged re-greens
     "q219_split_leakage", "q220_incremental_neardup",
+    # 2b) the round-6 additions (q250+) -- never recorded yet; kept
+    #     contiguous with the backlog so the r7 rotation reads straight
+    #     off the head once the 50 above land in CORRECTNESS_r06
+    "q250_benford_audit", "q251_source_overlap", "q252_dsir_importance",
+    "q253_holt_forecast", "q254_trigram_fluency", "q255_matryoshka_recall",
+    "q256_sq_ann_recall", "q257_ngram_diversity", "q258_cluster_profile",
+    "q259_stream_upsert", "q260_knn_label_eval", "q261_centroid_confusion",
+    "q262_vocab_coverage", "q263_power_pca", "q264_stream_outer_join",
+    "q265_ols_regression", "q266_roc_auc", "q267_calibration_ece",
+    "q268_cohens_kappa", "q269_kaplan_meier", "q270_acf",
+    "q271_l_diversity", "q272_silhouette", "q273_conformal_coverage",
+    "q274_decision_stump", "q275_mutual_information", "q276_readability",
+    "q277_rrf_fusion", "q278_proportion_ztest", "q279_bootstrap_ci",
+    "q280_correlation_matrix", "q281_weighted_percentiles",
+    "q282_t_closeness", "q283_zipf_fit", "q284_event_regex",
+    "q285_embedding_drift", "q286_power_analysis",
+    "q287_max_concurrency", "q288_did_estimator", "q289_embedding_health",
+    "q290_tokenizer_fertility",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",

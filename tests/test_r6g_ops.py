@@ -1,0 +1,156 @@
+"""Round-6 wave-g operators: sweep-line max concurrency, DiD estimator,
+embedding health gate, tokenizer fertility."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from etl_java_spark.operators.timeseries import max_concurrency
+from etl_java_spark.operators.experiments import ab_assign, diff_in_diff
+from etl_java_spark.operators.dq import embedding_health
+from etl_java_spark.operators.corpus import tokenizer_fertility
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "k string, lo int, hi int")
+
+
+def test_max_concurrency_basic_peak_and_earliest(spark):
+    # [0,10) [5,15) [10,20): at t=10 the first closes BEFORE the third
+    # opens (half-open), so concurrency never exceeds 2; first reached
+    # at t=5.
+    out = max_concurrency(
+        _iv(spark, [("k", 0, 10), ("k", 5, 15), ("k", 10, 20)]),
+        "k", "lo", "hi",
+    ).collect()[0]
+    assert out["n_intervals"] == 3
+    assert out["peak_concurrency"] == 2
+    assert out["peak_at"] == 5
+
+
+def test_max_concurrency_half_open_touching(spark):
+    # back-to-back intervals never overlap
+    out = max_concurrency(
+        _iv(spark, [("k", 0, 5), ("k", 5, 10), ("k", 10, 15)]),
+        "k", "lo", "hi",
+    ).collect()[0]
+    assert out["peak_concurrency"] == 1
+    assert out["peak_at"] == 0
+
+
+def test_max_concurrency_earliest_of_equal_peaks(spark):
+    # two separate pile-ups of 2 -> report the FIRST one's instant
+    out = max_concurrency(
+        _iv(
+            spark,
+            [("k", 0, 10), ("k", 1, 10), ("k", 20, 30), ("k", 21, 31)],
+        ),
+        "k", "lo", "hi",
+    ).collect()[0]
+    assert out["peak_concurrency"] == 2
+    assert out["peak_at"] == 1
+
+
+def test_max_concurrency_per_key_isolation(spark):
+    rows = [("a", 0, 10), ("a", 2, 12), ("a", 4, 14), ("b", 0, 1)]
+    out = {r["k"]: r for r in
+           max_concurrency(_iv(spark, rows), "k", "lo", "hi").collect()}
+    assert out["a"]["peak_concurrency"] == 3
+    assert out["b"]["peak_concurrency"] == 1
+    assert out["b"]["n_intervals"] == 1
+
+
+def test_diff_in_diff_constant_cells(spark):
+    # constant metric within each (group, period) cell -> the DiD
+    # contrast is exact regardless of how the hash splits the units:
+    # treat post-shift 10.00, control post-shift 2.00 -> did 8.00 (800
+    # cents).
+    units = list(range(1, 41))
+    gmap = {
+        r["u"]: r["g"]
+        for r in spark.createDataFrame([(u,) for u in units], "u long")
+        .select("u", ab_assign("u").alias("g"))
+        .collect()
+    }
+    assert set(gmap.values()) == {0, 1}  # both arms populated
+    pre = dt.datetime(2024, 1, 10)
+    post = dt.datetime(2024, 1, 20)
+    rows = []
+    for u in units:
+        rows.append((u, pre, 10.0))
+        rows.append((u, post, 20.0 if gmap[u] == 1 else 12.0))
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    out = diff_in_diff(df, "u", "ts", "v", "2024-01-16 00:00:00").collect()[0]
+    assert out["n_c_pre"] == out["n_c_post"]
+    assert out["n_t_pre"] == out["n_t_post"]
+    assert out["mean_c_pre"] == 1000.0 and out["mean_t_pre"] == 1000.0
+    assert out["mean_c_post"] == 1200.0 and out["mean_t_post"] == 2000.0
+    assert out["did"] == 800.0
+
+
+def test_embedding_health_flags_every_defect(spark):
+    rows = [
+        (1, [3.0, 4.0]),          # healthy, norm 5
+        (2, None),                # null vector
+        (3, [0.0, 0.0]),          # zero vector (norm 0, still finite)
+        (4, [float("nan"), 1.0]),  # non-finite
+        (5, [1.0, 2.0, 2.0]),     # dimension drift, norm 3
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    out = embedding_health(df, "embedding", expected_dim=2).collect()[0]
+    assert out["n_vecs"] == 5
+    assert out["n_null_vec"] == 1
+    assert out["n_dims_distinct"] == 2 and out["min_dim"] == 2
+    assert out["max_dim"] == 3
+    assert out["n_nonfinite_vec"] == 1
+    assert out["n_zero_vec"] == 1
+    assert out["norm_min"] == 0.0 and out["norm_max"] == 5.0
+    assert math.isclose(out["norm_avg"], 8.0 / 3.0, rel_tol=1e-9)
+    assert out["dim_ok"] is False
+
+
+def test_embedding_health_clean_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)], "id long, embedding array<float>"
+    )
+    out = embedding_health(df, "embedding", expected_dim=2).collect()[0]
+    assert out["n_null_vec"] == out["n_zero_vec"] == out["n_nonfinite_vec"] == 0
+    assert out["dim_ok"] is True
+    assert out["norm_min"] == out["norm_max"] == out["norm_avg"] == 1.0
+
+
+def test_tokenizer_fertility_hand_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "ab cd"),   # 5 chars, 5 bytes, 2 words, 2 pretokens
+            ("fr", "héé"),  # 3 chars, 5 bytes, 1 word, 1 pretoken
+            ("en", ""),        # contributes zeros only
+        ],
+        "lang string, text string",
+    )
+    out = {r["lang"]: r for r in
+           tokenizer_fertility(df, "lang", "text").collect()}
+    en, fr = out["en"], out["fr"]
+    assert (en["n_docs"], en["chars"], en["bytes"]) == (2, 5, 5)
+    assert (en["words"], en["bpe_tokens"]) == (2, 2)
+    assert en["chars_per_token"] == 2.5
+    assert en["bytes_per_char"] == 1.0 and en["tokens_per_word"] == 1.0
+    assert (fr["chars"], fr["bytes"], fr["words"], fr["bpe_tokens"]) == (
+        3, 5, 1, 1,
+    )
+    assert fr["bytes_per_char"] == 5.0 / 3.0
+
+
+def test_tokenizer_fertility_zero_guards(spark):
+    # a group with only empty text -> NULL ratios, no division error
+    df = spark.createDataFrame(
+        [("zz", ""), ("zz", "")], "lang string, text string"
+    )
+    out = tokenizer_fertility(df, "lang", "text").collect()[0]
+    assert out["chars"] == 0 and out["bpe_tokens"] == 0
+    assert out["chars_per_token"] is None
+    assert out["bytes_per_char"] is None
+    assert out["tokens_per_word"] is None
