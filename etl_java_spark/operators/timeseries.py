@@ -625,3 +625,188 @@ def max_concurrency(
             F.when(F.col("__open") == F.col("__peak"), F.col("__t"))
         ).alias("peak_at"),
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend slope per key: the median of all pairwise
+    slopes (y_j - y_i) / (x_j - x_i), x_i < x_j. Immune to ~29% outlier
+    contamination where OLS (evaluation.ols_regression) is wrecked by a
+    single bad point — the right trend estimator for dirty telemetry.
+
+    Expects ONE row per (key, x) — pre-aggregate first (slopes are
+    undefined at dx = 0). Exact inputs (integer x, integer-scaled y)
+    make every slope a single double division, bit-identical on any
+    engine; the median is selected by rank (odd n -> middle, even n ->
+    mean of the two middles — one add + one halving, still IEEE-fixed),
+    never interpolated by an engine-specific percentile.
+
+    Returns (key, n_points, n_pairs, slope).
+
+    Scale: pairs are O(d^2) in the DISTINCT x count per key (the
+    series length — e.g. days in the window), independent of the raw
+    row count feeding the pre-aggregation. Keep the window bounded
+    (90 days -> ~4k pairs/key); the self-join and both windows share
+    one key shuffle.
+    """
+    pts = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = a.join(b, on=(F.col("a.__k") == F.col("b.__k")) & (F.col("a.__x") < F.col("b.__x"))).select(
+        F.col("a.__k").alias("__k"),
+        (
+            (F.col("b.__y") - F.col("a.__y")).cast("double")
+            / (F.col("b.__x") - F.col("a.__x")).cast("double")
+        ).alias("__s"),
+    )
+    w = Window.partitionBy("__k").orderBy("__s")
+    w_all = Window.partitionBy("__k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pairs.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__m", F.count("*").over(w_all)
+    )
+    mid = ranked.filter(
+        F.when(
+            F.col("__m") % 2 == 1, F.col("__rn") == (F.col("__m") + 1) / 2
+        ).otherwise(
+            (F.col("__rn") == F.col("__m") / 2)
+            | (F.col("__rn") == F.col("__m") / 2 + 1)
+        )
+    )
+    med = mid.groupBy("__k").agg(
+        F.max("__m").cast("long").alias("n_pairs"),
+        (F.sum("__s") / F.count("*")).alias("slope"),
+    )
+    npts = pts.groupBy("__k").agg(F.count("*").cast("long").alias("n_points"))
+    return (
+        npts.join(med, on="__k", how="left")
+        .select(
+            F.col("__k").alias(key_col), "n_points",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"), "slope",
+        )
+    )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    window_rows: int = 7,
+) -> DataFrame:
+    """Rolling median over the trailing ``window_rows`` observations per
+    key — the robust smoother for monitoring series (a rolling MEAN
+    chases every spike; the median only moves when the level really
+    shifts).
+
+    Exactness: values should be exact integers (scaled cents); the
+    window's values are collected, sorted, and the median selected by
+    position — odd count -> the middle element, even -> the mean of the
+    two middles (one add + one halving in double). No engine
+    percentile interpolation is involved, so the result is
+    bit-reproducible.
+
+    Scale: one key shuffle; each row materializes at most
+    ``window_rows`` values (collect_list over a ROWS frame), so memory
+    per row is O(window), independent of series length.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    vals = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    n = F.size(vals)
+    lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo.cast("double")).otherwise(
+        (lo + hi).cast("double") / F.lit(2.0)
+    )
+    return df.select(
+        key_col, order_col, value_col,
+        n.cast("long").alias("n_in_window"),
+        med.alias("rolling_median"),
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_agg: Column,
+    interval: str = "hour",
+    max_buckets_per_key: int = 100_000,
+) -> DataFrame:
+    """Regular-grid resample with LINEAR interpolation across gaps —
+    the physically-honest sibling of ``resample_gapfill``'s forward
+    fill (a sensor that read 10 then 20 was probably near 15 in
+    between, not 10).
+
+    Same distributed grid as resample_gapfill (sequence + explode per
+    key, never driver-side), then per grid row:
+
+    - prev observed value/time: ``last(ignorenulls)`` over the
+      unbounded-preceding frame;
+    - next observed value/time: ``first(ignorenulls)`` over the
+      current-to-unbounded-following frame;
+    - interior gap -> prev + (next - prev) * elapsed/gap_span (exact
+      integer seconds and scaled values in, one fixed double
+      expression out — engine-bitwise);
+    - leading edge (no prev) -> back-fill from next; trailing edge (no
+      next) -> forward-fill from prev.
+
+    Scale: grid size is span/interval per key, independent of event
+    volume; ONE key shuffle feeds the grid join and both window passes.
+    """
+    buckets = df.groupBy(
+        F.col(key_col), F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+    ).agg(value_agg.alias("observed"))
+    spans = buckets.groupBy(key_col).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode_outer(
+            F.slice(
+                F.sequence(
+                    "__lo", "__hi", F.expr(f"INTERVAL 1 {interval}")
+                ),
+                1,
+                max_buckets_per_key,
+            )
+        ).alias("bucket"),
+    )
+    joined = grid.join(buckets, on=[key_col, "bucket"], how="left")
+    w = Window.partitionBy(key_col).orderBy("bucket")
+    prev_frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    next_frame = w.rowsBetween(0, Window.unboundedFollowing)
+    obs_t = F.when(
+        F.col("observed").isNotNull(), F.col("bucket").cast("long")
+    )
+    pv = F.last("observed", ignorenulls=True).over(prev_frame)
+    pt = F.last(obs_t, ignorenulls=True).over(prev_frame)
+    nv = F.first("observed", ignorenulls=True).over(next_frame)
+    nt = F.first(obs_t, ignorenulls=True).over(next_frame)
+    t = F.col("bucket").cast("long")
+    interp = pv.cast("double") + (nv - pv).cast("double") * (
+        (t - pt).cast("double") / (nt - pt).cast("double")
+    )
+    filled = (
+        F.when(F.col("observed").isNotNull(), F.col("observed").cast("double"))
+        .when(pv.isNull(), nv.cast("double"))
+        .when(nv.isNull(), pv.cast("double"))
+        .otherwise(interp)
+    )
+    return joined.select(
+        key_col, "bucket", "observed",
+        filled.alias("filled"),
+        F.col("observed").isNull().alias("is_gap"),
+    )

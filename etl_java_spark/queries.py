@@ -13611,6 +13611,179 @@ def q290_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(docs, "lang", "text")
 
 
+@_q(
+    "q291_theil_sen",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(DATE_PART('day', ts) AS INT) AS x,
+             CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ), ranked AS (
+      SELECT event_type, s,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM pairs
+    ), mid AS (
+      SELECT event_type, s, m FROM ranked
+      WHERE (m % 2 = 1 AND rn = (m + 1) // 2)
+         OR (m % 2 = 0 AND (rn = m // 2 OR rn = m // 2 + 1))
+    ), np AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM daily GROUP BY 1
+    )
+    SELECT np.event_type, np.n_points,
+           CAST(COALESCE(MAX(mid.m), 0) AS BIGINT) AS n_pairs,
+           SUM(mid.s) / COUNT(mid.s) AS slope
+    FROM np LEFT JOIN mid ON np.event_type = mid.event_type
+    GROUP BY np.event_type, np.n_points
+    """,
+)
+def q291_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-revenue trend per event type
+    (timeseries.theil_sen_slope): the median of all pairwise
+    day-over-day slopes — outlier-immune where q265's OLS is wrecked by
+    one bad day. Exact integer cents and day indexes make every slope a
+    single double division; the median is RANK-selected (never an
+    engine percentile), so the row is bit-reproducible. Pairs are
+    O(days^2) per key — bounded by the calendar window, independent of
+    event volume.
+    """
+    from .operators.timeseries import theil_sen_slope
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("x")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("y")
+    )
+    return theil_sen_slope(daily, "event_type", "x", "y")
+
+
+@_q(
+    "q292_rolling_median",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(DATE_PART('day', ts) AS INT) AS x,
+             CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, x, y,
+             LIST(y) OVER (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vs
+      FROM daily
+    )
+    SELECT event_type, x, y,
+           CAST(LEN(vs) AS BIGINT) AS n_in_window,
+           CASE WHEN LEN(vs) % 2 = 1
+                THEN CAST(LIST_SORT(vs)[(LEN(vs) + 1) // 2] AS DOUBLE)
+                ELSE CAST(LIST_SORT(vs)[LEN(vs) // 2]
+                          + LIST_SORT(vs)[LEN(vs) // 2 + 1] AS DOUBLE) / 2.0
+           END AS rolling_median
+    FROM win
+    """,
+)
+def q292_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day median of daily revenue per event type
+    (timeseries.rolling_median): the robust monitoring smoother — a
+    rolling mean chases every spike; the median only moves on a real
+    level shift. Exact integer cents in; the median is selected by
+    position from the sorted trailing window (odd -> middle, even ->
+    mean of the two middles), never an engine percentile — bitwise on
+    any engine. One key shuffle; O(window) memory per row.
+    """
+    from .operators.timeseries import rolling_median
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("x")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("y")
+    )
+    return rolling_median(daily, "event_type", "x", "y", window_rows=7)
+
+
+@_q(
+    "q293_linear_interp",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT))
+                  AS BIGINT) AS observed
+      FROM events WHERE user_id < 25
+      GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM spans
+    ), j AS (
+      SELECT g.user_id, g.bucket, o.observed
+      FROM grid g LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.bucket = o.bucket
+    ), wv AS (
+      SELECT user_id, bucket, observed,
+             LAST_VALUE(observed IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN observed IS NOT NULL
+                        THEN CAST(epoch(bucket) AS BIGINT) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             FIRST_VALUE(observed IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN observed IS NOT NULL
+                         THEN CAST(epoch(bucket) AS BIGINT) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT user_id, bucket, observed,
+           CASE WHEN observed IS NOT NULL THEN CAST(observed AS DOUBLE)
+                WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+                WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                ELSE CAST(pv AS DOUBLE)
+                     + CAST(nv - pv AS DOUBLE)
+                       * (CAST(CAST(epoch(bucket) AS BIGINT) - pt AS DOUBLE)
+                          / CAST(nt - pt AS DOUBLE))
+           END AS filled,
+           (observed IS NULL) AS is_gap
+    FROM wv
+    """,
+)
+def q293_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation across gaps
+    (timeseries.interpolate_linear): q103's grid, but the physically
+    honest fill — a meter that read 10 then 20 was probably near 15 in
+    between, not 10. Exact integer cents and integer seconds feed one
+    fixed double expression (prev + (next-prev) * elapsed/span);
+    leading/trailing edges back-/forward-fill. One key shuffle serves
+    the grid join and both window passes.
+    """
+    from .operators.timeseries import interpolate_linear
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    return interpolate_linear(
+        ev,
+        "user_id",
+        "ts",
+        F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)"))
+        .cast("long"),
+        "hour",
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
@@ -13662,7 +13835,8 @@ _PRIORITY = [
     "q282_t_closeness", "q283_zipf_fit", "q284_event_regex",
     "q285_embedding_drift", "q286_power_analysis",
     "q287_max_concurrency", "q288_did_estimator", "q289_embedding_health",
-    "q290_tokenizer_fertility",
+    "q290_tokenizer_fertility", "q291_theil_sen", "q292_rolling_median",
+    "q293_linear_interp",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",

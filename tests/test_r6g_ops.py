@@ -154,3 +154,100 @@ def test_tokenizer_fertility_zero_guards(spark):
     assert out["chars_per_token"] is None
     assert out["bytes_per_char"] is None
     assert out["tokens_per_word"] is None
+
+
+from etl_java_spark.operators.timeseries import (  # noqa: E402
+    interpolate_linear,
+    max_concurrency as _mc,  # noqa: F401  (wave-1 import kept above)
+    rolling_median,
+    theil_sen_slope,
+)
+
+
+def test_theil_sen_outlier_immunity(spark):
+    # y = 2x with one wild outlier -> slope still exactly 2
+    pts = spark.createDataFrame(
+        [("k", x, 2 * x if x != 5 else 500) for x in range(10)],
+        "k string, x int, y long",
+    )
+    out = theil_sen_slope(pts, "k", "x", "y").collect()[0]
+    assert out["n_points"] == 10 and out["n_pairs"] == 45
+    assert out["slope"] == 2.0
+
+
+def test_theil_sen_even_pair_median(spark):
+    # 4 points -> 6 pairwise slopes, even count -> mean of the two
+    # middles: sorted slopes [1,1,1,100,149.5,299] -> (1+100)/2
+    pts = spark.createDataFrame(
+        [("k", 0, 0), ("k", 1, 1), ("k", 2, 2), ("k", 3, 300)],
+        "k string, x int, y long",
+    )
+    out = theil_sen_slope(pts, "k", "x", "y").collect()[0]
+    assert out["n_pairs"] == 6
+    assert out["slope"] == (1.0 + 100.0) / 2.0
+
+
+def test_theil_sen_single_point_key(spark):
+    pts = spark.createDataFrame(
+        [("a", 0, 0), ("a", 1, 5), ("b", 3, 7)], "k string, x int, y long"
+    )
+    out = {r["k"]: r for r in theil_sen_slope(pts, "k", "x", "y").collect()}
+    assert out["a"]["slope"] == 5.0
+    assert out["b"]["n_pairs"] == 0 and out["b"]["slope"] is None
+
+
+def test_rolling_median_odd_even_and_warmup(spark):
+    rows = [("k", i, v) for i, v in enumerate([1, 100, 3, 5, 2, 9, 7])]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    out = {
+        r["t"]: r
+        for r in rolling_median(df, "k", "t", "v", window_rows=3).collect()
+    }
+    assert out[0]["rolling_median"] == 1.0          # warm-up n=1
+    assert out[1]["rolling_median"] == 50.5         # n=2 -> (1+100)/2
+    assert out[2]["rolling_median"] == 3.0          # {1,100,3}
+    assert out[4]["rolling_median"] == 3.0          # {3,5,2}
+    assert out[6]["rolling_median"] == 7.0          # {2,9,7}
+    assert out[6]["n_in_window"] == 3
+
+
+def test_interpolate_linear_interior_and_edges(spark):
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            ("k", dt.datetime(2024, 1, 1, 1), 10.0),
+            ("k", dt.datetime(2024, 1, 1, 4), 40.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    agg = F.round(F.sum("v")).cast("long")
+    out = {
+        r["bucket"].hour: r
+        for r in interpolate_linear(ev, "k", "ts", agg, "hour").collect()
+    }
+    assert out[1]["filled"] == 10.0 and out[1]["is_gap"] is False
+    assert out[2]["filled"] == 20.0 and out[2]["is_gap"] is True
+    assert out[3]["filled"] == 30.0
+    assert out[4]["filled"] == 40.0
+
+
+def test_interpolate_linear_uneven_gap_fraction(spark):
+    import datetime as dt
+
+    # observations 4 hours apart, value step 10 -> quarter steps
+    ev = spark.createDataFrame(
+        [
+            ("k", dt.datetime(2024, 1, 1, 0), 0.0),
+            ("k", dt.datetime(2024, 1, 1, 4), 10.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    agg = F.round(F.sum("v")).cast("long")
+    got = [
+        r["filled"]
+        for r in interpolate_linear(ev, "k", "ts", agg, "hour")
+        .orderBy("bucket")
+        .collect()
+    ]
+    assert got == [0.0, 2.5, 5.0, 7.5, 10.0]
