@@ -13784,6 +13784,108 @@ def q293_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q294_xml_roundtrip",
+    """
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def q294_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML connector roundtrip (sources/readers.py:read_xml): the
+    supplier table written as XML (Spark 4 built-in data source, one
+    <supplier> element per row) and read back with schema inference —
+    proving entity escaping, numeric type re-inference (s_acctbal
+    roundtrips bitwise through Java's shortest-roundtrip double
+    formatting), and row framing preserve the relation exactly (the
+    oracle is the original parquet table). Legacy-feed interchange
+    surface alongside CSV/JSON/ORC (q145-q147).
+    """
+    import tempfile
+
+    from .sources.readers import read_xml
+
+    out = tempfile.mkdtemp(prefix="q294_xml_")
+    path = f"{out}/supplier_xml"
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    (
+        sup.coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .save(path)
+    )
+    back = read_xml(spark, path, row_tag="supplier")
+    return back.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("s_name").cast("string").alias("s_name"),
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )
+
+
+@_q(
+    "q295_schema_evolution",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_cust,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_price,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                    THEN o_custkey ELSE 0 END) AS BIGINT) AS custkey_sum,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS price_cents_sum
+    FROM orders
+    """,
+)
+def q295_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution (sources/readers.py:
+    read_parquet_merged): two file generations of the orders table —
+    an old one carrying (o_orderkey, o_custkey) and a new one carrying
+    (o_orderkey, price_cents) — land in the SAME directory and are
+    read back with mergeSchema=true. Columns absent from a generation
+    surface as NULL (never a read failure); the aggregate proves both
+    generations' payloads survived intact. The append-only
+    table-evolution contract every long-lived lake depends on.
+    """
+    import tempfile
+
+    from .sources.readers import read_parquet_merged
+
+    out = tempfile.mkdtemp(prefix="q295_evo_")
+    path = f"{out}/orders_evo"
+    od = _t(spark, sf_dir, "orders")
+    old_gen = od.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    new_gen = od.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    old_gen.write.mode("overwrite").parquet(path)
+    new_gen.write.mode("append").parquet(path)
+    merged = read_parquet_merged(spark, path)
+    return merged.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_cust"),
+        F.sum(F.when(F.col("price_cents").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_price"),
+        F.sum(F.coalesce(F.col("o_custkey"), F.lit(0)).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("custkey_sum"),
+        F.sum(F.coalesce(F.col("price_cents"), F.lit(0)).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("price_cents_sum"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
@@ -13836,7 +13938,7 @@ _PRIORITY = [
     "q285_embedding_drift", "q286_power_analysis",
     "q287_max_concurrency", "q288_did_estimator", "q289_embedding_health",
     "q290_tokenizer_fertility", "q291_theil_sen", "q292_rolling_median",
-    "q293_linear_interp",
+    "q293_linear_interp", "q294_xml_roundtrip", "q295_schema_evolution",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",

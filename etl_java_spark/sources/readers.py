@@ -141,6 +141,32 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """XML scan via Spark 4's built-in XML data source (no external
+    package): one DataFrame row per ``row_tag`` element, schema
+    inferred unless given. XML is the interchange surface legacy ETL
+    feeds still speak; keeping it first-class means those feeds land
+    through the same declarative reader path as CSV/JSON/ORC."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).load(path)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with schema evolution: ``mergeSchema=true`` unions
+    the footers of every file under ``path``, so files written before a
+    column existed surface it as NULL instead of failing the read — the
+    append-only table-evolution contract a long-lived lake needs."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -251,3 +251,39 @@ def test_interpolate_linear_uneven_gap_fraction(spark):
         .collect()
     ]
     assert got == [0.0, 2.5, 5.0, 7.5, 10.0]
+
+
+def test_xml_roundtrip_escapes_and_types(spark, tmp_path):
+    from etl_java_spark.sources.readers import read_xml
+
+    df = spark.createDataFrame(
+        [
+            (1, 'a<b&c>"d"', 1.5),
+            (2, "plain", -0.25),
+            (3, "unicode héé", 1e300),
+        ],
+        "id long, name string, bal double",
+    )
+    path = str(tmp_path / "xmlrt")
+    (
+        df.coalesce(1).write.format("xml")
+        .option("rootTag", "rows").option("rowTag", "row").save(path)
+    )
+    back = {r["id"]: r for r in read_xml(spark, path, row_tag="row").collect()}
+    assert back[1]["name"] == 'a<b&c>"d"'  # entity escaping roundtrips
+    assert back[3]["name"] == "unicode héé"
+    assert back[1]["bal"] == 1.5 and back[3]["bal"] == 1e300  # bitwise
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    from etl_java_spark.sources.readers import read_parquet_merged
+
+    path = str(tmp_path / "evo")
+    old = spark.createDataFrame([(1, 10)], "k long, a long")
+    new = spark.createDataFrame([(2, 20)], "k long, b long")
+    old.write.parquet(path)
+    new.write.mode("append").parquet(path)
+    got = {r["k"]: r for r in read_parquet_merged(spark, path).collect()}
+    assert set(read_parquet_merged(spark, path).columns) == {"k", "a", "b"}
+    assert got[1]["a"] == 10 and got[1]["b"] is None  # old gen: b NULL
+    assert got[2]["b"] == 20 and got[2]["a"] is None  # new gen: a NULL
