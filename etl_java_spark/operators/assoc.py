@@ -75,3 +75,72 @@ def copurchase_lift(
             ).alias("lift"),
         )
     )
+
+
+def linear_attribution(
+    purchases: DataFrame,
+    touches: DataFrame,
+    purchase_id: str = "event_id",
+    user_col: str = "user_id",
+    purchase_ts: str = "ts",
+    touch_ts: str = "touch_ts",
+    cents_col: str = "cents",
+    channel_col: str = "channel",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Linear multi-touch attribution: every touch (click/impression)
+    in the lookback window before a purchase shares the revenue
+    credit EQUALLY — the fairness-first alternative to last-touch
+    (q199), which hands everything to whoever got lucky last.
+
+    Credit is conserved EXACTLY in integer micro-cents: each of the k
+    touches gets floor(cents * 10000 / k); the division remainder goes
+    to the EARLIEST touch (deterministic tie-break by touch time then
+    channel), so per-purchase credits always sum to cents * 10000 —
+    no float credit, no drift, engine-bitwise.
+
+    Returns per-channel rows: (channel, n_touches,
+    attributed_microcents).
+
+    Scale: one equi-join on the user key with a time-range residual
+    (the as-of join family's shape), one per-purchase window for the
+    touch count/rank, one channel aggregate. Touch fan-out is bounded
+    by the lookback window.
+    """
+    p = purchases.select(
+        F.col(user_col).alias("__u"),
+        F.col(purchase_ts).cast("long").alias("__pt"),
+        F.col(cents_col).alias("__c"),
+        F.col(purchase_id).alias("__pid"),
+    )
+    t = touches.select(
+        F.col(user_col).alias("__u"),
+        F.col(touch_ts).cast("long").alias("__tt"),
+        F.col(channel_col).alias("channel"),
+    )
+    joined = p.join(t, on="__u").filter(
+        (F.col("__tt") < F.col("__pt"))
+        & (F.col("__tt") >= F.col("__pt") - window_seconds)
+    )
+    w = Window.partitionBy("__pid")
+    w_rank = w.orderBy("__tt", "channel")
+    ranked = joined.withColumn("__k", F.count("*").over(w)).withColumn(
+        "__rn", F.row_number().over(w_rank)
+    )
+    micro = F.col("__c").cast("long") * 10000
+    # exact integer floor-division: (micro - micro % k) is divisible by
+    # k, so the double division is exact (quotient < 2^53) — no float
+    # floor ties to worry about on any engine
+    rem = micro % F.col("__k")
+    base = ((micro - rem) / F.col("__k")).cast("long")
+    credit = base + F.when(F.col("__rn") == 1, rem).otherwise(0)
+    return (
+        ranked.select("channel", credit.alias("__credit"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum(F.col("__credit").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("attributed_microcents"),
+        )
+    )

@@ -477,3 +477,62 @@ def blocked_match_pairs(
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_col: str,
+    window: int = 4,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking for entity resolution: order the
+    records by a sort key that clusters likely matches (canonicalized
+    name, address, fingerprint), then emit every pair whose ranks fall
+    within ``window`` of each other. The classic complement to
+    equality blocking (``blocked_match_pairs``): it catches near-misses
+    that disagree on every exact block key but sort adjacently.
+
+    Emits (id_a, id_b, rank_distance) with id_a's rank below id_b's;
+    candidate count is <= n * (window - 1) — linear in the corpus, by
+    construction (compare all-pairs O(n^2)).
+
+    Scale: ranks are assigned per ``block_col`` partition, so the
+    ranking window distributes (multi-pass SNM — runs with different
+    (block, sort) keys and unioned candidates — is the standard
+    recall-recovery for cross-block misses in the record-linkage
+    literature). With ``block_col=None`` the rank is a single global
+    window: fine for dimension-sized inputs, wrong for corpus-scale —
+    pass a block. The neighborhood join is ONE equi-join: the probe
+    side is exploded into (its own rank bucket, the previous bucket),
+    buckets of width ``window``, so every qualifying pair shares a
+    bucket tag without any range predicate reaching the shuffle.
+    """
+    parts = [F.col(block_col)] if block_col else []
+    w = Window.partitionBy(*parts).orderBy(sort_col, id_col)
+    blk = F.col(block_col) if block_col else F.lit(0)
+    ranked = df.select(
+        blk.alias("__blk"),
+        F.col(id_col).alias("__id"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    bucket = (F.col("__rn") / window).cast("long")
+    left = ranked.select(
+        "__blk", F.col("__id").alias("id_a"), F.col("__rn").alias("__ra"),
+        bucket.alias("__bkt"),
+    )
+    right = ranked.select(
+        "__blk", F.col("__id").alias("id_b"), F.col("__rn").alias("__rb"),
+        F.explode(F.array(bucket, bucket - 1)).alias("__bkt"),
+    )
+    return (
+        left.join(right, on=["__blk", "__bkt"])
+        .filter(
+            (F.col("__rb") > F.col("__ra"))
+            & (F.col("__rb") - F.col("__ra") < window)
+        )
+        .select(
+            "id_a", "id_b",
+            (F.col("__rb") - F.col("__ra")).cast("long").alias("rank_distance"),
+        )
+    )

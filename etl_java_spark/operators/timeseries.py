@@ -810,3 +810,106 @@ def interpolate_linear(
         filled.alias("filled"),
         F.col("observed").isNull().alias("is_gap"),
     )
+
+
+def running_balance_clamped(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    delta_col: str,
+    floor: int = 0,
+) -> DataFrame:
+    """Floor-clamped running balance per key — the ledger/inventory
+    recurrence bal_t = max(floor, bal_{t-1} + delta_t). The clamp makes
+    it non-linear, so it is NOT a window sum: a stock that hits zero
+    stays zero until replenished, and naive cumulative sums silently
+    go negative and mis-state everything after the first stockout.
+
+    Like ``ewma_last`` (the same non-commutative-recurrence shape),
+    each key's deltas are collected into one sorted array and folded
+    inside codegen. The fold carries (balance, n_clamped, shortfall):
+    every time bal+delta would cross the floor it counts one clamp and
+    accumulates the lost amount — the stockout/overdraft readout.
+
+    All-integer arithmetic (pass exact scaled deltas): bit-identical on
+    any engine; a recursive CTE replays it exactly.
+
+    Returns (key, n_events, final_balance, n_clamped, shortfall).
+
+    Scale: one shuffle on the key; the per-key array is bounded by that
+    key's history (the per-entity state-store bound).
+    """
+    struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(delta_col).alias("__d")
+    )
+    arr = F.array_sort(F.collect_list(struct))
+    zero = F.struct(
+        F.lit(int(floor)).cast("long").alias("bal"),
+        F.lit(0).cast("long").alias("nc"),
+        F.lit(0).cast("long").alias("sh"),
+    )
+    fl = F.lit(int(floor)).cast("long")
+
+    def step(acc, x):
+        raw = acc["bal"] + x["__d"]
+        clamped = raw < fl
+        return F.struct(
+            F.greatest(fl, raw).alias("bal"),
+            (acc["nc"] + F.when(clamped, 1).otherwise(0)).alias("nc"),
+            (acc["sh"] + F.when(clamped, fl - raw).otherwise(0)).alias("sh"),
+        )
+
+    fold = F.aggregate(arr, zero, step)
+    return df.groupBy(key_col).agg(
+        F.size(arr).cast("long").alias("n_events"),
+        fold["bal"].alias("final_balance"),
+        fold["nc"].alias("n_clamped"),
+        fold["sh"].alias("shortfall"),
+    )
+
+
+def longest_streak(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per key — the
+    gaps-and-islands classic behind engagement streaks, SLA
+    uptime runs, and habit metrics.
+
+    Relational islands: distinct active days -> rank them -> day_number
+    minus rank is constant within a consecutive run -> group by that
+    island id. All-integer (epoch days), bit-identical anywhere.
+
+    Returns (key, n_active_days, n_streaks, longest_streak,
+    longest_streak_start) — ties on length broken toward the EARLIEST
+    streak.
+
+    Scale: one distinct shuffle on (key, day) — the day grid per key is
+    calendar-bounded — then a key-local window and aggregate on the
+    same partitioning.
+    """
+    days = df.select(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("__day")
+    ).distinct()
+    w = Window.partitionBy(key_col).orderBy("__day")
+    isl = days.withColumn(
+        "__island",
+        F.datediff(F.col("__day"), F.lit("1970-01-01"))
+        - F.row_number().over(w),
+    )
+    streaks = isl.groupBy(key_col, "__island").agg(
+        F.count("*").alias("__len"), F.min("__day").alias("__start")
+    )
+    w_all = Window.partitionBy(key_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    streaks = streaks.withColumn("__best", F.max("__len").over(w_all))
+    return streaks.groupBy(key_col).agg(
+        F.sum("__len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("__len").cast("long").alias("longest_streak"),
+        F.min(
+            F.when(F.col("__len") == F.col("__best"), F.col("__start"))
+        ).alias("longest_streak_start"),
+    )

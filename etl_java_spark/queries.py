@@ -13886,6 +13886,257 @@ def q295_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q296_sorted_neighborhood",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY text, doc_id) AS rn
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_distance
+    FROM ranked a JOIN ranked b
+      ON a.lang = b.lang AND b.rn > a.rn AND b.rn - a.rn < 3
+    """,
+)
+def q296_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking
+    (relational.sorted_neighborhood_pairs): documents ranked by text
+    within each language block; every pair within a rank window of 3
+    becomes a match candidate — the linear-candidate complement to
+    equality blocking (q230) that catches near-misses sorting
+    adjacently. Candidates are <= 2n by construction; the neighborhood
+    join is ONE equi-join on (block, rank bucket) with the probe side
+    exploded into two bucket tags.
+    """
+    from .operators.relational import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=3, block_col="lang"
+    )
+
+
+@_q(
+    "q297_running_balance",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type = 'purchase'
+                  THEN -CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS d
+      FROM events WHERE user_id < 50
+    ), walk AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS bal,
+             CAST(0 AS BIGINT) AS nc, CAST(0 AS BIGINT) AS sh
+      FROM (SELECT DISTINCT user_id FROM ev)
+      UNION ALL
+      SELECT w.user_id, w.rn + 1,
+             GREATEST(CAST(0 AS BIGINT), w.bal + e.d),
+             w.nc + CASE WHEN w.bal + e.d < 0 THEN 1 ELSE 0 END,
+             w.sh + CASE WHEN w.bal + e.d < 0 THEN -(w.bal + e.d) ELSE 0 END
+      FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT user_id, rn AS n_events, bal AS final_balance,
+           nc AS n_clamped, sh AS shortfall
+    FROM walk w
+    WHERE rn = (SELECT MAX(rn) FROM walk w2 WHERE w2.user_id = w.user_id)
+    """,
+)
+def q297_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance per user
+    (timeseries.running_balance_clamped): purchases draw the account
+    down, every other event tops it up, and the balance can never go
+    below zero — the non-linear ledger recurrence a window sum cannot
+    express (after the first stockout a naive cumsum mis-states
+    everything). Counts clamps and the total shortfall. All-integer
+    codegen fold per user; the oracle replays it with a recursive CTE
+    (WITH RECURSIVE walk: the q253/q269 discipline), bitwise.
+    """
+    from .operators.timeseries import running_balance_clamped
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    cents = F.round(F.col("value") * 100).cast("long")
+    delta = F.when(
+        F.col("event_type") == "purchase", -cents
+    ).otherwise(cents)
+    return running_balance_clamped(
+        ev.select("user_id", "ts", "event_id", delta.alias("delta")),
+        "user_id",
+        ["ts", "event_id"],
+        "delta",
+        floor=0,
+    )
+
+
+@_q(
+    "q298_woe_iv",
+    """
+    WITH per AS (
+      SELECT event_type AS category,
+             CAST(SUM(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(SUM(CASE WHEN value > 250 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_neg
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn, COUNT(*) AS k FROM per
+    ), sc AS (
+      SELECT category, n_pos, n_neg,
+             (CAST(n_pos AS DOUBLE) + 0.5)
+               / (CAST(tp AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS p,
+             (CAST(n_neg AS DOUBLE) + 0.5)
+               / (CAST(tn AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS q
+      FROM per, tot
+    ), terms AS (
+      SELECT category, n_pos, n_neg,
+             ROUND(LN(p / q), 12) AS woe,
+             ROUND((p - q) * LN(p / q), 12) AS iv_term
+      FROM sc
+    )
+    SELECT t.category, t.n_pos, t.n_neg, t.woe, t.iv_term,
+           (SELECT ROUND(CAST(SUM(CAST(iv_term AS DECIMAL(28,12)))
+                          AS DOUBLE), 12)
+            FROM terms) AS iv_total
+    FROM terms t
+    """,
+)
+def q298_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence / Information Value per event type
+    (evaluation.woe_iv): how each event category shifts the odds of a
+    high-value interaction (value > 250), and the feature's total
+    separating power — the credit-scoring-era screen that still rules
+    categorical feature selection. Laplace-smoothed shares; WOE/IV are
+    fixed double expressions rounded to 12 (the q248 ln discipline);
+    the IV total re-aggregates the ROUNDED terms as exact decimals.
+    One category-key shuffle + a 1-row broadcast.
+    """
+    from .operators.evaluation import woe_iv
+
+    ev = _t(spark, sf_dir, "events")
+    return woe_iv(
+        ev, "event_type", (F.col("value") > 250).cast("int"), smoothing=0.5
+    )
+
+
+@_q(
+    "q299_longest_streak",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             DATEDIFF('day', DATE '1970-01-01', day)
+             - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+      FROM days
+    ), st AS (
+      SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start
+      FROM isl GROUP BY 1, 2
+    ), best AS (
+      SELECT user_id, MAX(len) AS best FROM st GROUP BY 1
+    )
+    SELECT st.user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           MIN(CASE WHEN len = best THEN start END) AS longest_streak_start
+    FROM st JOIN best ON st.user_id = best.user_id
+    GROUP BY st.user_id
+    """,
+)
+def q299_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user
+    (timeseries.longest_streak): the gaps-and-islands classic behind
+    engagement streaks and uptime runs — distinct active days, rank
+    them, day-number-minus-rank is constant within a run. All-integer
+    epoch-day arithmetic; length ties break to the earliest streak.
+    One (user, day) distinct shuffle; the window and final aggregate
+    reuse the user partitioning.
+    """
+    from .operators.timeseries import longest_streak
+
+    ev = _t(spark, sf_dir, "events")
+    return longest_streak(ev, "user_id", "ts")
+
+
+@_q(
+    "q300_linear_attribution",
+    """
+    WITH pur AS (
+      SELECT event_id AS pid, user_id, CAST(epoch(ts) AS BIGINT) AS pt,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ), tch AS (
+      SELECT user_id, CAST(epoch(ts) AS BIGINT) AS tt,
+             'ch' || CAST(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)
+                          % 4 AS VARCHAR) AS channel
+      FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT p.pid, p.c, t.tt, t.channel
+      FROM pur p JOIN tch t ON p.user_id = t.user_id
+      WHERE t.tt < p.pt AND t.tt >= p.pt - 3600
+    ), rk AS (
+      SELECT pid, c, channel,
+             COUNT(*) OVER (PARTITION BY pid) AS k,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY tt, channel) AS rn
+      FROM j
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CAST((c * 10000) // k
+                    + CASE WHEN rn = 1 THEN (c * 10000) % k ELSE 0 END
+                    AS HUGEINT)) AS BIGINT) AS attributed_microcents
+    FROM rk GROUP BY channel
+    """,
+)
+def q300_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (assoc.linear_attribution):
+    every click in the hour before a purchase shares the revenue
+    equally — the fairness-first alternative to q199's last-touch.
+    Credit is conserved EXACTLY in integer micro-cents (floor share +
+    remainder to the earliest touch), so per-purchase credits always
+    sum to the purchase — no float drift, engine-bitwise. Channel is
+    the synthetic props-derived bucket. One user-key join with a
+    time-range residual + one per-purchase window + one channel
+    aggregate.
+    """
+    from .operators.assoc import linear_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.concat(
+            F.lit("ch"),
+            (
+                F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast("int")
+                % 4
+            ).cast("string"),
+        ).alias("channel"),
+    )
+    return linear_attribution(
+        purchases,
+        touches,
+        purchase_id="event_id",
+        user_col="user_id",
+        purchase_ts="ts",
+        touch_ts="touch_ts",
+        cents_col="cents",
+        channel_col="channel",
+        window_seconds=3600,
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
@@ -13939,6 +14190,8 @@ _PRIORITY = [
     "q287_max_concurrency", "q288_did_estimator", "q289_embedding_health",
     "q290_tokenizer_fertility", "q291_theil_sen", "q292_rolling_median",
     "q293_linear_interp", "q294_xml_roundtrip", "q295_schema_evolution",
+    "q296_sorted_neighborhood", "q297_running_balance", "q298_woe_iv",
+    "q299_longest_streak", "q300_linear_attribution",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",
