@@ -715,3 +715,93 @@ def woe_iv(
         ).alias("iv_total")
     )
     return scored.crossJoin(F.broadcast(iv))
+
+
+def pvm_bridge(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    qty_col: str,
+    price_cents_col: str,
+    period_a,
+    period_b,
+) -> DataFrame:
+    """Price-Volume-Mix revenue bridge: decompose the revenue change
+    between two periods, per key, into the three classic FP&A effects
+
+        volume = (q1 - q0) * p0        (sold more/less at old price)
+        price  = q0 * (p1 - p0)        (repriced the old volume)
+        cross  = (q1 - q0) * (p1 - p0) (interaction / mix residual)
+
+    which sum EXACTLY to rev1 - rev0 (an algebraic identity — kept
+    exact here because every term is integer quantity x integer cents,
+    aggregated as decimals). Keys present in only one period
+    contribute whole-revenue volume effects via zero-fill.
+
+    Returns per key: (key, rev_a_cents, rev_b_cents, delta_cents,
+    volume_effect_micro, price_effect_micro, cross_effect_micro).
+    Average prices are floor-scaled to exact integer MICRO-cents, the
+    volume/price effects multiply those integers, and the micro-cent
+    rounding residue is folded into the cross term — so on every row
+
+        volume + price + cross == delta_cents * 10000   (exactly).
+
+    Scale: one grouped aggregate per period side + one full-outer
+    equi-join on the key; everything downstream is arithmetic.
+    """
+    d38 = "decimal(38,0)"
+
+    def side(period, q_alias, r_alias):
+        return (
+            df.filter(F.col(period_col) == period)
+            .groupBy(key_col)
+            .agg(
+                F.sum(F.col(qty_col).cast(d38)).alias("__q"),
+                F.sum(
+                    (
+                        F.col(qty_col).cast(d38)
+                        * F.col(price_cents_col).cast(d38)
+                    ).cast(d38)
+                ).alias("__r"),
+            )
+            .select(
+                key_col,
+                F.col("__q").cast("long").alias(q_alias),
+                F.col("__r").cast("long").alias(r_alias),
+            )
+        )
+
+    a = side(period_a, "qty_a", "rev_a_cents")
+    b = side(period_b, "qty_b", "rev_b_cents")
+    j = a.join(b, on=key_col, how="full_outer").select(
+        key_col,
+        F.coalesce("qty_a", F.lit(0)).alias("qty_a"),
+        F.coalesce("qty_b", F.lit(0)).alias("qty_b"),
+        F.coalesce("rev_a_cents", F.lit(0)).alias("rev_a_cents"),
+        F.coalesce("rev_b_cents", F.lit(0)).alias("rev_b_cents"),
+    )
+    # average prices floor-scaled to integer micro-cents; (r - r % q)
+    # is divisible by q, so the double division below is exact
+    q0, q1 = F.col("qty_a"), F.col("qty_b")
+    r0, r1 = (
+        F.col("rev_a_cents") * F.lit(10000),
+        F.col("rev_b_cents") * F.lit(10000),
+    )
+    p0 = F.when(q0 > 0, ((r0 - r0 % q0) / q0).cast("long")).otherwise(
+        F.lit(0)
+    )
+    p1 = F.when(q1 > 0, ((r1 - r1 % q1) / q1).cast("long")).otherwise(
+        F.lit(0)
+    )
+    volume = ((q1 - q0) * p0).cast("long")
+    price = (q0 * (p1 - p0)).cast("long")
+    cross = (r1 - r0).cast("long") - volume - price
+    return j.select(
+        key_col,
+        "rev_a_cents",
+        "rev_b_cents",
+        (F.col("rev_b_cents") - F.col("rev_a_cents")).alias("delta_cents"),
+        volume.alias("volume_effect_micro"),
+        price.alias("price_effect_micro"),
+        cross.alias("cross_effect_micro"),
+    )

@@ -256,3 +256,76 @@ def mixture_weights_temperature(
             (F.col("w").cast("double") / F.col("__tot").cast("double")).alias("share"),
         )
     )
+
+
+def budget_select(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cost_col: str,
+    quality_col: str,
+    budget: int,
+) -> DataFrame:
+    """Budget-constrained greedy selection per group: walk each group's
+    rows best-quality-first and keep rows while the RUNNING cost stays
+    within ``budget`` — the token-budget sibling of ``cap_per_group``
+    (which caps row COUNTS). This is how a training mixture actually
+    fills its per-source quota: "the best documents from this source up
+    to N tokens", not "the first k documents".
+
+    Semantics: a row is kept iff the cumulative cost up to and
+    INCLUDING it is <= budget — strict prefix-sum inclusion, so an
+    oversized row ends its group's selection (everything ranked after
+    it is out too). That is deliberately NOT first-fit bin packing
+    (``packing.py`` owns that): the prefix contract is O(1) per row,
+    deterministic, and exactly replayable by a SQL window oracle.
+    Ordering is (quality DESC, key ASC) — stable under ties.
+
+    Returns the kept rows plus (rank_in_group, cum_cost).
+
+    Scale: one shuffle on the group key; the running sum is a window on
+    the same partitioning. Costs are exact integers.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(quality_col).desc(), F.col(key_col).asc()
+    )
+    ranked = df.withColumn("rank_in_group", F.row_number().over(w)).withColumn(
+        "cum_cost",
+        F.sum(F.col(cost_col).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return ranked.filter(F.col("cum_cost") <= budget)
+
+
+def interleave_order(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Deterministic curriculum interleave: assign every row a GLOBAL
+    training position such that the ``n_buckets`` difficulty/quality
+    buckets alternate round-robin (bucket 0's first row, bucket 1's
+    first row, ..., bucket 0's second row, ...) — a shuffled-feeling
+    curriculum without any RNG and without a global sort.
+
+    position = rank_within_bucket * n_buckets + bucket. Within-bucket
+    rank orders by the arithmetic key hash (uniform, reproducible),
+    key tiebreak. Positions are unique when every bucket id is in
+    [0, n_buckets); gaps appear where buckets differ in size — callers
+    that need dense ids can rank once more downstream.
+
+    Scale: ONE shuffle (window per bucket — at most ``n_buckets``
+    partitions carry rank state); no global ordering pass is ever
+    taken. The position column is a pure expression over
+    (bucket, within-bucket rank).
+    """
+    w = Window.partitionBy(bucket_col).orderBy(
+        key_bucket(key_col).asc(), F.col(key_col).asc()
+    )
+    rk = F.row_number().over(w) - 1
+    return df.withColumn(
+        "position",
+        (rk.cast("long") * n_buckets + F.col(bucket_col).cast("long")),
+    )

@@ -913,3 +913,57 @@ def longest_streak(
             F.when(F.col("__len") == F.col("__best"), F.col("__start"))
         ).alias("longest_streak_start"),
     )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT sliding-window distinct entities per day (e.g. trailing
+    7-day active users) — the metric every growth dashboard wants and
+    every naive implementation gets wrong, because COUNT(DISTINCT)
+    does not merge across window panes.
+
+    Exact distributed shape: reduce to distinct (entity, active day)
+    first, then explode each active day into the ``window_days``
+    window-END days it contributes to, and count distinct entities per
+    window end. The fan-out is x``window_days`` on the already-reduced
+    (entity, day) table — bounded by calendar span, not event volume.
+    Window ends are emitted only within the observed day span.
+
+    Returns (window_end, n_distinct) for every day in the span —
+    each counting entities active in [window_end - days + 1,
+    window_end].
+
+    Scale: one (entity, day) distinct shuffle + one count-distinct
+    shuffle on day keys. For month+ windows at extreme cardinality,
+    swap the exact count for the HLL-sketch union path (q238's
+    discipline) — same frame, mergeable state.
+    """
+    days = df.select(
+        F.col(entity_col).alias("__e"), F.to_date(F.col(ts_col)).alias("__d")
+    ).distinct()
+    span = days.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    fan = days.select(
+        "__e",
+        F.explode(
+            F.sequence(
+                F.col("__d"),
+                F.date_add(F.col("__d"), window_days - 1),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("window_end"),
+    )
+    return (
+        fan.join(
+            F.broadcast(span),
+            (F.col("window_end") >= F.col("__lo"))
+            & (F.col("window_end") <= F.col("__hi")),
+        )
+        .groupBy("window_end")
+        .agg(F.countDistinct("__e").cast("long").alias("n_distinct"))
+    )

@@ -14137,6 +14137,193 @@ def q300_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q301_budget_select",
+    r"""
+    WITH scored AS (
+      SELECT source, doc_id, n_chars,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+               AS BIGINT) AS tokens
+      FROM documents
+    ), ranked AS (
+      SELECT source, doc_id, n_chars, tokens,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank_in_group,
+             CAST(SUM(tokens) OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cost
+      FROM scored
+    )
+    SELECT source, doc_id, n_chars, tokens, rank_in_group, cum_cost
+    FROM ranked WHERE cum_cost <= 5000
+    """,
+)
+def q301_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget greedy selection per source
+    (sampling.budget_select): fill each source's 5,000-token quota
+    with its best documents (longest first, id tiebreak) — how a
+    training mixture actually meets a per-source budget, vs q122's
+    row-count caps. Strict prefix-sum inclusion: deterministic, one
+    window shuffle, exactly replayable by the SQL window oracle.
+    """
+    from .functions.text import bpe_ish_token_count
+    from .operators.sampling import budget_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        bpe_ish_token_count(F.col("text")).cast("long").alias("tokens"),
+    )
+    out = budget_select(docs, "source", "doc_id", "tokens", "n_chars", 5000)
+    return out.select(
+        "source", "doc_id", "n_chars", "tokens",
+        F.col("rank_in_group").cast("long").alias("rank_in_group"),
+        F.col("cum_cost").cast("long").alias("cum_cost"),
+    )
+
+
+@_q(
+    "q302_interleave",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(LEAST(3, n_chars // 250) AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+                  ORDER BY ((doc_id % 1000000007) * 2654435761
+                            % 1000000007 * 524287)
+                           % 1000000007 % 10000 ASC, doc_id ASC) - 1)
+                * 4 + bucket AS BIGINT) AS position
+    FROM b
+    """,
+)
+def q302_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum interleave (sampling.interleave_order):
+    documents bucketed by length quartile-ish bands get global training
+    positions that round-robin the buckets — a shuffled-feeling
+    curriculum with NO RNG and NO global sort (position is pure
+    arithmetic over (bucket, within-bucket hash rank); only the
+    per-bucket rank windows shuffle).
+    """
+    from .operators.sampling import interleave_order
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(F.lit(3), F.floor(F.col("n_chars") / 250))
+        .cast("long")
+        .alias("bucket"),
+    )
+    return interleave_order(docs, "doc_id", "bucket", 4)
+
+
+@_q(
+    "q303_sliding_distinct",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), span AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM days
+    ), fan AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(CAST(d AS TIMESTAMP),
+                    CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                    INTERVAL 1 DAY)) AS DATE) AS window_end
+      FROM days
+    )
+    SELECT window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM fan, span
+    WHERE window_end >= lo AND window_end <= hi
+    GROUP BY window_end
+    """,
+)
+def q303_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day
+    (timeseries.sliding_distinct): EXACT sliding-window distinct — the
+    growth metric COUNT(DISTINCT) cannot pane-merge. Distinct
+    (user, day) first, then each active day fans out to the 7 window
+    ends it serves (x7 on the reduced table, bounded by calendar, not
+    event volume), then one distinct count per window end. HLL-union
+    swappable at extreme cardinality (q238's discipline).
+    """
+    from .operators.timeseries import sliding_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_distinct(ev, "user_id", "ts", window_days=7)
+
+
+@_q(
+    "q304_pvm_bridge",
+    """
+    WITH f AS (
+      SELECT p.p_brand, CAST(YEAR(l.l_shipdate) AS INT) AS yr,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS pc
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE YEAR(l.l_shipdate) IN (1996, 1997)
+    ), s AS (
+      SELECT p_brand, yr,
+             CAST(SUM(CAST(q AS HUGEINT)) AS BIGINT) AS qty,
+             CAST(SUM(CAST(q * pc AS HUGEINT)) AS BIGINT) AS rev
+      FROM f GROUP BY 1, 2
+    ), a AS (SELECT p_brand, qty, rev FROM s WHERE yr = 1996),
+       b AS (SELECT p_brand, qty, rev FROM s WHERE yr = 1997),
+       j AS (
+      SELECT COALESCE(a.p_brand, b.p_brand) AS p_brand,
+             COALESCE(a.qty, 0) AS q0, COALESCE(b.qty, 0) AS q1,
+             COALESCE(a.rev, 0) AS r0, COALESCE(b.rev, 0) AS r1
+      FROM a FULL OUTER JOIN b ON a.p_brand = b.p_brand
+    ), p AS (
+      SELECT p_brand, q0, q1, r0, r1,
+             CASE WHEN q0 > 0
+                  THEN (r0 * 10000 - (r0 * 10000) % q0) // q0
+                  ELSE 0 END AS p0,
+             CASE WHEN q1 > 0
+                  THEN (r1 * 10000 - (r1 * 10000) % q1) // q1
+                  ELSE 0 END AS p1
+      FROM j
+    )
+    SELECT p_brand, r0 AS rev_a_cents, r1 AS rev_b_cents,
+           r1 - r0 AS delta_cents,
+           CAST((q1 - q0) * p0 AS BIGINT) AS volume_effect_micro,
+           CAST(q0 * (p1 - p0) AS BIGINT) AS price_effect_micro,
+           CAST((r1 - r0) * 10000 - (q1 - q0) * p0 - q0 * (p1 - p0)
+                AS BIGINT) AS cross_effect_micro
+    FROM p
+    """,
+)
+def q304_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-Volume-Mix revenue bridge per part brand, 1996 -> 1997
+    (evaluation.pvm_bridge): the FP&A decomposition of a revenue delta
+    into volume, price, and mix/cross effects that sum EXACTLY to the
+    delta — average prices floor-scaled to integer micro-cents, the
+    rounding residue folded into cross, every term exact integer
+    arithmetic. One agg per period side + one full-outer brand join;
+    the part dimension broadcasts.
+    """
+    from .operators.evaluation import pvm_bridge
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    f = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(
+            "p_brand",
+            F.year("l_shipdate").alias("yr"),
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("pc"),
+        )
+        .filter(F.col("yr").isin(1996, 1997))
+    )
+    return pvm_bridge(f, "p_brand", "yr", "q", "pc", 1996, 1997)
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
@@ -14191,7 +14378,8 @@ _PRIORITY = [
     "q290_tokenizer_fertility", "q291_theil_sen", "q292_rolling_median",
     "q293_linear_interp", "q294_xml_roundtrip", "q295_schema_evolution",
     "q296_sorted_neighborhood", "q297_running_balance", "q298_woe_iv",
-    "q299_longest_streak", "q300_linear_attribution",
+    "q299_longest_streak", "q300_linear_attribution", "q301_budget_select",
+    "q302_interleave", "q303_sliding_distinct", "q304_pvm_bridge",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",

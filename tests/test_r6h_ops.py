@@ -150,3 +150,77 @@ def test_linear_attribution_conserves_microcents(spark):
     assert "d" not in out and "e" not in out
     total = sum(r["attributed_microcents"] for r in out.values())
     assert total == 100 * 10000 + 99 * 10000  # exact conservation
+
+
+from etl_java_spark.operators.evaluation import pvm_bridge  # noqa: E402
+from etl_java_spark.operators.sampling import (  # noqa: E402
+    budget_select,
+    interleave_order,
+)
+from etl_java_spark.operators.timeseries import sliding_distinct  # noqa: E402
+
+
+def test_budget_select_prefix_semantics(spark):
+    rows = [
+        ("s", 1, 3, 30), ("s", 2, 3, 20), ("s", 3, 3, 10),  # q desc by qual
+        ("t", 9, 100, 99),  # oversized head blocks its whole group
+        ("t", 8, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, cost long, qual long")
+    out = budget_select(df, "src", "id", "cost", "qual", 7)
+    got = {(r["src"], r["id"]): r["cum_cost"] for r in out.collect()}
+    assert got == {("s", 1): 3, ("s", 2): 6}  # third would hit 9 > 7
+    # oversized first row ends group t immediately (prefix contract)
+    assert not any(k[0] == "t" for k in got)
+
+
+def test_interleave_round_robin_positions(spark):
+    rows = [(i, i % 2) for i in range(1, 9)]  # 4 rows per bucket
+    df = spark.createDataFrame(rows, "id long, bucket int")
+    out = interleave_order(df, "id", "bucket", 2).collect()
+    pos = sorted(r["position"] for r in out)
+    assert pos == list(range(8))  # dense + unique for equal buckets
+    by_pos = {r["position"]: r["bucket"] for r in out}
+    assert all(by_pos[p] == p % 2 for p in range(8))  # buckets alternate
+
+
+def test_sliding_distinct_hand_case(spark):
+    def d(day):
+        return dt.datetime(2024, 1, day, 8, 0)
+
+    rows = [("u1", d(1)), ("u2", d(1)), ("u2", d(3)), ("u2", d(3))]
+    df = spark.createDataFrame(rows, "u string, ts timestamp")
+    out = {
+        r["window_end"]: r["n_distinct"]
+        for r in sliding_distinct(df, "u", "ts", window_days=2).collect()
+    }
+    assert out == {
+        dt.date(2024, 1, 1): 2,  # [Dec 31, Jan 1] -> u1, u2
+        dt.date(2024, 1, 2): 2,  # [Jan 1, Jan 2] -> u1, u2
+        dt.date(2024, 1, 3): 1,  # [Jan 2, Jan 3] -> u2
+    }
+
+
+def test_pvm_bridge_exact_identity(spark):
+    rows = [
+        ("X", "a", 10, 100), ("X", "b", 12, 110),
+        ("Y", "a", 5, 200),                      # disappears in b
+        ("Z", "b", 4, 50),                       # appears in b
+    ]
+    df = spark.createDataFrame(rows, "k string, per string, q long, pc long")
+    out = {r["k"]: r for r in
+           pvm_bridge(df, "k", "per", "q", "pc", "a", "b").collect()}
+    x = out["X"]
+    assert (x["rev_a_cents"], x["rev_b_cents"]) == (1000, 1320)
+    assert x["volume_effect_micro"] == 2 * 1_000_000
+    assert x["price_effect_micro"] == 10 * 100_000
+    assert x["cross_effect_micro"] == 2 * 100_000
+    for r in out.values():  # the identity holds on EVERY row
+        assert (
+            r["volume_effect_micro"]
+            + r["price_effect_micro"]
+            + r["cross_effect_micro"]
+            == r["delta_cents"] * 10000
+        )
+    assert out["Y"]["delta_cents"] == -1000
+    assert out["Z"]["delta_cents"] == 200
