@@ -80,3 +80,57 @@ def scd2_history(
     if op_col is not None:
         out = out.filter(F.col(op_col) != delete_op)
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def restatement_report(
+    df: DataFrame,
+    event_ts_col: str,
+    arrival_ts_col: str,
+    cents_col,
+    grain: str = "day",
+) -> DataFrame:
+    """Bitemporal restatement audit: for each EVENT-time bucket, compare
+    the total as it stood at the bucket's close (only rows that had
+    ARRIVED by then) against the final total once late data landed —
+    the "why did yesterday's revenue change?" report every warehouse
+    with late-arriving facts eventually needs.
+
+    Per event-time bucket:
+    - ``initial_cents``: sum of rows whose arrival fell inside the
+      bucket itself (visible when the day was first reported);
+    - ``final_cents``: sum of all rows for the bucket;
+    - ``restated_cents`` = final - initial (the late mass);
+    - ``n_late`` and ``max_lag_seconds``: how many rows arrived after
+      the bucket closed and how stale the worst one was.
+
+    All exact integers from ONE conditional aggregate over one scan —
+    the bitemporal split is a predicate (arrival < bucket end), not a
+    join. Scale: one shuffle on the bucket key, map-side combined.
+    """
+    bucket = F.date_trunc(grain, F.col(event_ts_col))
+    bucket_end = bucket + F.expr(f"INTERVAL 1 {grain}")
+    on_time = F.col(arrival_ts_col) < bucket_end
+    cents = (
+        F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    ).cast("long")
+    lag = F.col(arrival_ts_col).cast("long") - F.col(event_ts_col).cast(
+        "long"
+    )
+    d38 = "decimal(38,0)"
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(on_time, cents).otherwise(0).cast(d38))
+            .cast("long")
+            .alias("initial_cents"),
+            F.sum(cents.cast(d38)).cast("long").alias("final_cents"),
+            F.sum(F.when(~on_time, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+            F.max(F.when(~on_time, lag)).alias("max_lag_seconds"),
+        )
+        .withColumn(
+            "restated_cents", F.col("final_cents") - F.col("initial_cents")
+        )
+    )

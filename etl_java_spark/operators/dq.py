@@ -957,3 +957,90 @@ def embedding_health(
     else:
         out = out.withColumn("dim_ok", F.lit(None).cast("boolean"))
     return out
+
+
+def pit_drift(
+    df: DataFrame,
+    value_col: str,
+    cohort_col,
+    ref_cohort,
+    cur_cohort,
+    bucket: Column,
+    bins: int = 10,
+) -> DataFrame:
+    """Probability-integral-transform drift check: push the CURRENT
+    cohort's values through the REFERENCE cohort's empirical CDF and
+    histogram the resulting percentiles. If the distribution hasn't
+    moved, the mapped percentiles are uniform; mass piling into the top
+    (bottom) bins means the metric drifted up (down) — strictly more
+    informative than a scalar KS statistic (``ks_statistic``) because
+    it shows WHERE the distribution moved.
+
+    Exact and engine-bitwise: both cohorts collapse to distinct values
+    with per-cohort counts (one shuffle); the reference cumulative
+    count is built with the same bucketed two-phase prefix sum as
+    ``ks_statistic`` (per-bucket subtotals -> metadata-sized offsets ->
+    partition-local running sums — NEVER a single-partition window over
+    the data; ``bucket`` must be order-consistent with the value). A
+    current value at v maps to the count of reference values <= v
+    (ties inclusive); its bin is floor(bins * cum / (n_ref + 1))
+    clamped to bins-1 — values below the reference minimum land in
+    bin 0.
+
+    Returns one row per non-empty bin: (bin, n, share), share the
+    exact double n / n_cur.
+    """
+    coh = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
+    base = df.select(F.col(value_col).alias("v"), coh.alias("__c")).filter(
+        F.col("v").isNotNull()
+    )
+    vals = base.groupBy("v").agg(
+        F.sum(F.when(F.col("__c") == ref_cohort, 1).otherwise(0))
+        .cast("long")
+        .alias("cr"),
+        F.sum(F.when(F.col("__c") == cur_cohort, 1).otherwise(0))
+        .cast("long")
+        .alias("cc"),
+    ).withColumn("__bucket", bucket.cast("long"))
+    per_bucket = vals.groupBy("__bucket").agg(F.sum("cr").alias("br"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "__bucket", F.coalesce(F.sum("br").over(wb), F.lit(0)).alias("orf")
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        vals.join(F.broadcast(offsets), "__bucket")
+        .withColumn("__cum", F.sum("cr").over(w) + F.col("orf"))
+        .filter(F.col("cc") > 0)
+    )
+    n_ref = base.filter(F.col("__c") == ref_cohort).agg(
+        F.count("*").cast("long").alias("__nr")
+    )
+    n_cur = base.filter(F.col("__c") == cur_cohort).agg(
+        F.count("*").cast("long").alias("__nc")
+    )
+    # exact integer floor-division: (a - a % b) is divisible by b, so
+    # the double division is exact — no float floor ties on any engine
+    num = F.lit(bins) * F.col("__cum")
+    den = F.col("__nr") + 1
+    bin_exact = ((num - num % den) / den).cast("long")
+    binned = (
+        cum.crossJoin(F.broadcast(n_ref))
+        .select(
+            F.least(F.lit(bins - 1).cast("long"), bin_exact).alias("bin"),
+            "cc",
+        )
+        .groupBy("bin")
+        .agg(F.sum("cc").cast("long").alias("n"))
+    )
+    return binned.crossJoin(F.broadcast(n_cur)).select(
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+        (F.col("n").cast("double") / F.col("__nc").cast("double")).alias(
+            "share"
+        ),
+    )

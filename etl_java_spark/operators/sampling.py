@@ -329,3 +329,99 @@ def interleave_order(
         "position",
         (rk.cast("long") * n_buckets + F.col(bucket_col).cast("long")),
     )
+
+
+RING_SIZE = 1 << 31
+
+
+def ring_nodes(n_shards: int, ring_points: int = 64) -> list[tuple[int, int]]:
+    """Virtual-node positions for the consistent-hash ring: the same
+    arithmetic hash over (shard, replica) — deterministic and
+    engine-reproducible, so an oracle can inline the identical node
+    table as a VALUES literal. Returns (position, shard) sorted."""
+    rows = []
+    for s in range(n_shards):
+        for r in range(ring_points):
+            h = (
+                (s * 1_000_003 + r * 7_919 + 1) % 1_000_000_007
+                * 2_654_435_761
+            ) % 1_000_000_007 % RING_SIZE
+            rows.append((h, s))
+    rows.sort()
+    return rows
+
+
+def reshard_movement(
+    df: DataFrame,
+    key_col: str,
+    shards_before: int,
+    shards_after: int,
+    ring_points: int = 64,
+) -> DataFrame:
+    """Consistent-hashing reshard audit: how many keys MOVE when the
+    shard count changes? Modulo sharding (``hash % n``) moves almost
+    everything on resize — (n-1)/n of keys — while a consistent hash
+    ring moves only ~1/(n+1): the difference between a cache-warm
+    rolling resize and a full re-replication storm.
+
+    Both schemes are computed deterministically from the arithmetic
+    key hash (no RNG): modulo is ``key_bucket % n``; the ring places
+    ``ring_points`` virtual nodes per shard at hash-derived positions
+    and assigns each key to the first node clockwise (implemented as a
+    pure expression: the key's position is matched against the
+    BROADCAST sorted node table with one array pass — the node table
+    is metadata-sized, shards x ring_points).
+
+    Returns one row per scheme: (scheme, n_keys, n_moved, moved_share).
+
+    Scale: two map-only assignment passes over the keys + one
+    aggregate; the ring is built driver-free from a range DataFrame
+    and folded into an array literal via one broadcast row.
+    """
+    def assign_expr(key_pos, nodes):
+        # first node at or after the key position (wrap to nodes[0])
+        arr = F.array(*[F.lit(h) for h, _ in nodes])
+        shards = F.array(*[F.lit(s) for _, s in nodes])
+        idx = F.aggregate(
+            F.zip_with(arr, F.sequence(F.lit(0), F.lit(len(nodes) - 1)),
+                       lambda h, i: F.when(h >= key_pos, i).otherwise(F.lit(None))),
+            F.lit(None).cast("int"),
+            lambda acc, x: F.coalesce(acc, x),
+        )
+        return F.element_at(shards, F.coalesce(idx, F.lit(0)) + 1)
+
+    pos = (
+        key_bucket(F.col("__k"), 1_000_000_007) * 524_287
+    ) % 1_000_000_007 % RING_SIZE
+    keys = df.select(F.col(key_col).alias("__k")).distinct().withColumn(
+        "__pos", pos
+    )
+    mod_moved = keys.select(
+        (
+            (key_bucket(F.col("__k")) % shards_before)
+            != (key_bucket(F.col("__k")) % shards_after)
+        ).alias("__mv")
+    )
+    ring_moved = keys.select(
+        (
+            assign_expr(F.col("__pos"), ring_nodes(shards_before, ring_points))
+            != assign_expr(F.col("__pos"), ring_nodes(shards_after, ring_points))
+        ).alias("__mv")
+    )
+
+    def summarize(moved, scheme):
+        return moved.agg(
+            F.lit(scheme).alias("scheme"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("__mv"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_moved"),
+        ).select(
+            "scheme", "n_keys", "n_moved",
+            (F.col("n_moved").cast("double") / F.col("n_keys").cast("double"))
+            .alias("moved_share"),
+        )
+
+    return summarize(mod_moved, "modulo").unionByName(
+        summarize(ring_moved, "consistent_ring")
+    )

@@ -14324,6 +14324,189 @@ def q304_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pvm_bridge(f, "p_brand", "yr", "q", "pc", 1996, 1997)
 
 
+@_q(
+    "q305_pit_drift",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 0 ELSE 1 END AS c
+      FROM events WHERE value IS NOT NULL
+    ), vals AS (
+      SELECT v,
+             SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS cr,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS cc
+      FROM base GROUP BY v
+    ), cum AS (
+      SELECT v, cc,
+             SUM(cr) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumr
+      FROM vals
+    ), nn AS (
+      SELECT SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM base
+    )
+    SELECT CAST(LEAST(9, (10 * cumr) // (n_ref + 1)) AS BIGINT) AS bin,
+           CAST(SUM(cc) AS BIGINT) AS n,
+           CAST(SUM(cc) AS DOUBLE) / CAST(n_cur AS DOUBLE) AS share
+    FROM cum, nn WHERE cc > 0
+    GROUP BY 1, n_cur
+    """,
+)
+def q305_pit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-integral-transform drift (dq.pit_drift): the second
+    half of the events month pushed through the first half's empirical
+    CDF, histogrammed into deciles — uniform when nothing moved, mass
+    piling into top/bottom bins shows WHERE the metric drifted
+    (richer than q186's scalar KS). Exact integer CDF via the bucketed
+    two-phase prefix sum (ks_statistic's discipline — never a
+    single-partition window); bins by exact integer floor-division.
+    """
+    from .operators.dq import pit_drift
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.filter(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00"), "ref")
+        .otherwise("cur")
+        .alias("cohort"),
+    )
+    return pit_drift(
+        df,
+        "cents",
+        "cohort",
+        "ref",
+        "cur",
+        bucket=F.floor(F.col("v") / F.lit(5000)),
+        bins=10,
+    )
+
+
+def _ring_values_sql(n_shards: int, ring_points: int) -> str:
+    from .operators.sampling import ring_nodes
+
+    rows = ", ".join(f"({h}, {s})" for h, s in ring_nodes(n_shards, ring_points))
+    return f"(VALUES {rows})"
+
+
+@_q(
+    "q306_reshard_movement",
+    f"""
+    WITH keys AS (SELECT DISTINCT user_id AS k FROM events),
+    pos AS (
+      SELECT k,
+             ((((k % 1000000007) * 2654435761 % 1000000007 * 524287)
+               % 1000000007 % 1000000007) * 524287)
+             % 1000000007 % 2147483648 AS p
+      FROM keys
+    ),
+    nb(h, s) AS {_ring_values_sql(4, 8)},
+    na(h, s) AS {_ring_values_sql(5, 8)},
+    ring AS (
+      SELECT k,
+             COALESCE((SELECT s FROM nb WHERE h >= pos.p
+                       ORDER BY h, s LIMIT 1),
+                      (SELECT s FROM nb ORDER BY h, s LIMIT 1)) AS sb,
+             COALESCE((SELECT s FROM na WHERE h >= pos.p
+                       ORDER BY h, s LIMIT 1),
+                      (SELECT s FROM na ORDER BY h, s LIMIT 1)) AS sa
+      FROM pos
+    ),
+    modu AS (
+      SELECT k,
+             ((k % 1000000007) * 2654435761 % 1000000007 * 524287)
+               % 1000000007 % 10000 % 4 AS sb,
+             ((k % 1000000007) * 2654435761 % 1000000007 * 524287)
+               % 1000000007 % 10000 % 5 AS sa
+      FROM keys
+    )
+    SELECT 'modulo' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN sb <> sa THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           CAST(SUM(CASE WHEN sb <> sa THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS moved_share
+    FROM modu
+    UNION ALL
+    SELECT 'consistent_ring', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN sb <> sa THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN sb <> sa THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)
+    FROM ring
+    """,
+)
+def q306_reshard_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing reshard audit (sampling.reshard_movement):
+    growing the user shard count 4 -> 5, how many keys move? Modulo
+    sharding reshuffles ~4/5 of keys; the virtual-node hash ring moves
+    ~1/5 — the difference between a rolling resize and a
+    re-replication storm. Both schemes are pure arithmetic over the
+    key hash (map-only); the ring's node table is metadata-sized and
+    inlined into the oracle as the identical VALUES literal.
+    """
+    from .operators.sampling import reshard_movement
+
+    ev = _t(spark, sf_dir, "events")
+    return reshard_movement(ev, "user_id", 4, 5, ring_points=8)
+
+
+@_q(
+    "q307_restatement",
+    """
+    WITH ev AS (
+      SELECT date_trunc('day', ts) AS bucket, ts,
+             ts + (event_id % 72) * INTERVAL 1 HOUR AS arr,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN arr < bucket + INTERVAL 1 DAY
+                    THEN CAST(cents AS HUGEINT) ELSE 0 END) AS BIGINT)
+             AS initial_cents,
+           CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS final_cents,
+           CAST(SUM(CASE WHEN arr < bucket + INTERVAL 1 DAY
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_late,
+           CAST(MAX(CASE WHEN arr >= bucket + INTERVAL 1 DAY
+                    THEN CAST(epoch(arr) AS BIGINT)
+                         - CAST(epoch(ts) AS BIGINT) END) AS BIGINT)
+             AS max_lag_seconds,
+           CAST(SUM(CAST(cents AS HUGEINT))
+                - SUM(CASE WHEN arr < bucket + INTERVAL 1 DAY
+                      THEN CAST(cents AS HUGEINT) ELSE 0 END) AS BIGINT)
+             AS restated_cents
+    FROM ev GROUP BY bucket
+    """,
+)
+def q307_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal restatement audit (cdc.restatement_report): each
+    event day's total as first reported (rows arrived by day close —
+    arrival synthesized as ts + (event_id % 72) hours) vs the final
+    total after late data, plus late-row counts and the worst lag —
+    the "why did yesterday's revenue change?" report. One conditional
+    aggregate over one scan; the bitemporal split is a predicate, not
+    a join.
+    """
+    from .operators.cdc import restatement_report
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "arrival",
+        F.col("ts")
+        + F.expr("make_interval(0, 0, 0, 0, CAST(event_id % 72 AS INT))"),
+    )
+    return restatement_report(
+        ev.select(
+            "ts",
+            "arrival",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ),
+        "ts",
+        "arrival",
+        "cents",
+        grain="day",
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
@@ -14380,6 +14563,7 @@ _PRIORITY = [
     "q296_sorted_neighborhood", "q297_running_balance", "q298_woe_iv",
     "q299_longest_streak", "q300_linear_attribution", "q301_budget_select",
     "q302_interleave", "q303_sliding_distinct", "q304_pvm_bridge",
+    "q305_pit_drift", "q306_reshard_movement", "q307_restatement",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",
