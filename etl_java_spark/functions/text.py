@@ -204,3 +204,38 @@ def syllable_count(col) -> Column:
     zero explodes. The standard cheap estimator readability formulas
     were calibrated against."""
     return F.regexp_count(F.lower(_c(col)), F.lit("[aeiouy]+"))
+
+
+# Characters that have no business in a clean training corpus: zero-
+# width/invisible formatting, bidi override controls (Trojan Source),
+# and a pragmatic set of Cyrillic/Greek homoglyphs of Latin letters.
+# Explicit classes so the DuckDB oracle uses character-identical
+# regexes.
+ZERO_WIDTH_PATTERN = (
+    r"[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}]"
+)
+BIDI_CONTROL_PATTERN = r"[\x{202A}-\x{202E}\x{2066}-\x{2069}]"
+HOMOGLYPH_PATTERN = (
+    # а е о р с х у / А Е О Р С Х (Cyrillic)
+    r"[\x{0430}\x{0435}\x{043E}\x{0440}\x{0441}\x{0445}\x{0443}"
+    r"\x{0410}\x{0415}\x{041E}\x{0420}\x{0421}\x{0425}"
+    # Α Β Ε Η Ι Κ Μ Ν Ο Ρ Τ Υ Χ / ο (Greek)
+    r"\x{0391}\x{0392}\x{0395}\x{0397}\x{0399}\x{039A}\x{039C}\x{039D}"
+    r"\x{039F}\x{03A1}\x{03A4}\x{03A5}\x{03A7}\x{03BF}]"
+)
+
+
+def suspicious_char_counts(col) -> tuple[Column, Column, Column]:
+    """Per-document counts of (zero-width, bidi-control, homoglyph)
+    characters — the poisoning/prompt-injection hygiene signals a
+    training corpus should gate on: invisible characters smuggle
+    content past dedup and filters; bidi overrides reorder displayed
+    text (Trojan Source); Latin-lookalike Cyrillic/Greek letters forge
+    identifiers and evade exact matching. Three pure regexp counters,
+    JVM codegen, no explodes."""
+    c = _c(col)
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(ZERO_WIDTH_PATTERN), F.lit(0))),
+        F.size(F.regexp_extract_all(c, F.lit(BIDI_CONTROL_PATTERN), F.lit(0))),
+        F.size(F.regexp_extract_all(c, F.lit(HOMOGLYPH_PATTERN), F.lit(0))),
+    )

@@ -78,12 +78,17 @@ def ols_regression(
         F.sum(x2 * y).cast("double").alias("s2y"),
         F.sum(y * y).cast("double").alias("syy"),
     )
+    return agg.select("n_rows", *_ols_readout())
+
+
+def _ols_readout() -> list[Column]:
+    """Cramer's-rule readout columns over the 10 OLS moment columns
+    (shared by ols_regression and grouped_ols). The oracle SQL must
+    write these formulas with the identical operation order."""
     n = F.col("n_rows").cast("double")
     s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
     s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
     s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
-    # Cramer's rule on the symmetric moment matrix. The oracle SQL must
-    # write these formulas with the identical operation order.
     det = (
         n * (s11 * s22 - s12 * s12)
         - s1 * (s1 * s22 - s12 * s2)
@@ -107,13 +112,47 @@ def ols_regression(
     b0, b1, b2 = det0 / det, det1 / det, det2 / det
     sse = syy - b0 * sy - b1 * s1y - b2 * s2y
     sst = syy - sy * sy / n
-    return agg.select(
-        "n_rows",
+    return [
         b0.alias("beta0"),
         b1.alias("beta1"),
         b2.alias("beta2"),
         (F.lit(1.0) - sse / sst).alias("r2"),
+    ]
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    y_col,
+    x1_col,
+    x2_col,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group closed-form OLS — ``ols_regression`` with a GROUP BY:
+    one fit per fold/cohort/segment from the same single-pass exact
+    decimal moments (cross-validation beta-stability checks, per-
+    segment elasticity fits). One grouped aggregate (map-side
+    combined), then the identical fixed-IEEE Cramer readout per group —
+    bit-reproducible, SQL-replayable.
+
+    Returns one row per group: (group, n_rows, beta0, beta1, beta2,
+    r2).
+    """
+    d = f"decimal(18,{scale})"
+    y, x1, x2 = _c(y_col).cast(d), _c(x1_col).cast(d), _c(x2_col).cast(d)
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
     )
+    return agg.select(group_col, "n_rows", *_ols_readout())
 
 
 def roc_auc(
@@ -804,4 +843,76 @@ def pvm_bridge(
         volume.alias("volume_effect_micro"),
         price.alias("price_effect_micro"),
         cross.alias("cross_effect_micro"),
+    )
+
+
+def pair_eval(
+    predicted: DataFrame,
+    gold: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Pairwise precision / recall / F1 for entity-resolution and
+    dedup candidates: ``predicted`` and ``gold`` are pair tables; a
+    pair matches regardless of orientation. This closes the loop on
+    the blocking/matching family (q50/q230/q296): blocking recall
+    claims become a measured number.
+
+    Pairs are canonicalized to (least, greatest) and deduplicated on
+    BOTH sides first, so double-emitted or flipped pairs cannot
+    inflate any count. tp is one semi-join; the three metrics are
+    fixed double expressions over exact integers (0/0 guards -> NULL).
+
+    Returns ONE row: (n_pred, n_gold, tp, fp, fn, precision, recall,
+    f1).
+
+    Scale: two distinct shuffles + one equi-join on the canonical pair
+    key.
+    """
+
+    def canon(df):
+        a, b = F.col(id_a), F.col(id_b)
+        return df.select(
+            F.least(a, b).alias("__a"), F.greatest(a, b).alias("__b")
+        ).distinct()
+
+    p = canon(predicted)
+    g = canon(gold)
+    # one DAG, no driver-side counts: three 1-row aggregates cross-join
+    row = (
+        p.agg(F.count("*").cast("long").alias("n_pred"))
+        .crossJoin(g.agg(F.count("*").cast("long").alias("n_gold")))
+        .crossJoin(
+            p.join(g, on=["__a", "__b"], how="left_semi").agg(
+                F.count("*").cast("long").alias("tp")
+            )
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0,
+        F.col("tp").cast("double") / F.col("n_pred").cast("double"),
+    )
+    rec = F.when(
+        F.col("n_gold") > 0,
+        F.col("tp").cast("double") / F.col("n_gold").cast("double"),
+    )
+    f1 = F.when(
+        (F.col("n_pred") > 0)
+        & (F.col("n_gold") > 0)
+        & (F.col("tp") > 0),
+        F.lit(2.0)
+        * F.col("tp").cast("double")
+        / (F.col("n_pred") + F.col("n_gold")).cast("double"),
+    ).otherwise(
+        F.when(
+            (F.col("n_pred") > 0) & (F.col("n_gold") > 0), F.lit(0.0)
+        )
+    )
+    return row.select(
+        "n_pred", "n_gold", "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_gold") - F.col("tp")).alias("fn"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
     )

@@ -14507,6 +14507,230 @@ def q307_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q308_corpus_hygiene",
+    r"""
+    WITH t AS (
+      SELECT source,
+             text
+             || CASE WHEN doc_id % 7 = 0 THEN chr(8203) ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN chr(8238) ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN chr(1072) ELSE '' END AS tx
+      FROM documents
+    ), per AS (
+      SELECT source,
+             LEN(REGEXP_EXTRACT_ALL(tx,
+               '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}]')) AS zw,
+             LEN(REGEXP_EXTRACT_ALL(tx,
+               '[\x{202A}-\x{202E}\x{2066}-\x{2069}]')) AS bidi,
+             LEN(REGEXP_EXTRACT_ALL(tx,
+               '[\x{0430}\x{0435}\x{043E}\x{0440}\x{0441}\x{0445}\x{0443}\x{0410}\x{0415}\x{041E}\x{0420}\x{0421}\x{0425}\x{0391}\x{0392}\x{0395}\x{0397}\x{0399}\x{039A}\x{039C}\x{039D}\x{039F}\x{03A1}\x{03A4}\x{03A5}\x{03A7}\x{03BF}]'))
+               AS homo
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(zw) AS BIGINT) AS zero_width_chars,
+           CAST(SUM(bidi) AS BIGINT) AS bidi_chars,
+           CAST(SUM(homo) AS BIGINT) AS homoglyph_chars,
+           CAST(SUM(CASE WHEN zw + bidi + homo > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN zw + bidi + homo > 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS flagged_rate
+    FROM per GROUP BY source
+    """,
+)
+def q308_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hygiene audit (functions/text.py:suspicious_char_counts):
+    zero-width/invisible characters, bidi override controls (Trojan
+    Source), and Latin-lookalike Cyrillic/Greek homoglyphs per source —
+    the poisoning/prompt-injection signals an LLM corpus should gate
+    on (invisible chars smuggle content past dedup; bidi reorders
+    displayed text; homoglyphs evade exact matching). The fixture text
+    is clean ASCII, so known suspects are injected deterministically
+    by doc_id on BOTH engines before counting. Three explode-free
+    regexp counters + one small-key aggregate.
+    """
+    from .functions.text import suspicious_char_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    tx = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, "​").otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, "‮").otherwise(""),
+        F.when(F.col("doc_id") % 13 == 0, "а").otherwise(""),
+    )
+    zw, bidi, homo = suspicious_char_counts(tx)
+    per = docs.select(
+        "source", zw.alias("zw"), bidi.alias("bidi"), homo.alias("homo")
+    )
+    flagged = (F.col("zw") + F.col("bidi") + F.col("homo")) > 0
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("zw").cast("long").alias("zero_width_chars"),
+        F.sum("bidi").cast("long").alias("bidi_chars"),
+        F.sum("homo").cast("long").alias("homoglyph_chars"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias("n_flagged"),
+        (
+            F.sum(F.when(flagged, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("flagged_rate"),
+    )
+
+
+@_q(
+    "q309_blocking_eval",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY text, doc_id) AS rn
+      FROM documents
+    ), pred AS (
+      SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS pa,
+             GREATEST(a.doc_id, b.doc_id) AS pb
+      FROM ranked a JOIN ranked b
+        ON a.lang = b.lang AND b.rn > a.rn AND b.rn - a.rn < 3
+    ), gold AS (
+      SELECT DISTINCT LEAST(x.doc_id, y.doc_id) AS pa,
+             GREATEST(x.doc_id, y.doc_id) AS pb
+      FROM documents x JOIN documents y
+        ON x.text = y.text AND x.doc_id < y.doc_id
+    ), c AS (
+      SELECT (SELECT COUNT(*) FROM pred) AS n_pred,
+             (SELECT COUNT(*) FROM gold) AS n_gold,
+             (SELECT COUNT(*) FROM pred JOIN gold
+               ON pred.pa = gold.pa AND pred.pb = gold.pb) AS tp
+    )
+    SELECT CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(n_gold AS BIGINT) AS n_gold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(n_pred - tp AS BIGINT) AS fp,
+           CAST(n_gold - tp AS BIGINT) AS fn,
+           CASE WHEN n_pred > 0
+                THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END
+             AS precision,
+           CASE WHEN n_gold > 0
+                THEN CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE) END
+             AS recall,
+           CASE WHEN n_pred > 0 AND n_gold > 0 AND tp > 0
+                THEN CAST(2.0 AS DOUBLE) * CAST(tp AS DOUBLE)
+                     / CAST(n_pred + n_gold AS DOUBLE)
+                WHEN n_pred > 0 AND n_gold > 0
+                THEN CAST(0.0 AS DOUBLE) END AS f1
+    FROM c
+    """,
+)
+def q309_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation (evaluation.pair_eval): q296's
+    sorted-neighborhood candidates measured against the exact-duplicate
+    gold pairs (identical text) — pairwise precision / recall / F1,
+    orientation-canonicalized and deduplicated so flipped or re-emitted
+    pairs cannot inflate any count. Closes the loop on the blocking
+    family: recall claims become a measured number. Two distinct
+    shuffles + one semi-join.
+    """
+    from .operators.evaluation import pair_eval
+    from .operators.relational import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=3, block_col="lang"
+    )
+    d2 = docs.select("doc_id", "text")
+    gold = (
+        d2.alias("x")
+        .join(
+            d2.alias("y"),
+            (F.col("x.text") == F.col("y.text"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+    )
+    return pair_eval(pred, gold)
+
+
+@_q(
+    "q310_kfold_ols",
+    """
+    WITH f AS (
+      SELECT l_orderkey,
+             ((l_orderkey % 1000000007) * 2654435761 % 1000000007 * 524287)
+               % 1000000007 % 10000 % 5 AS fold,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem GROUP BY 1, 2
+    ), j AS (
+      SELECT fold,
+             CAST(revenue AS DECIMAL(18,2)) AS y,
+             CAST(n_items AS DECIMAL(18,2)) AS x1,
+             CAST(sum_qty AS DECIMAL(18,2)) AS x2
+      FROM f
+    ), m AS (
+      SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM j GROUP BY fold
+    ), b AS (
+      SELECT fold, n_rows, sy, s1y, s2y, syy, s1, s2,
+             CAST(n_rows AS DOUBLE) AS nd,
+             (CAST(n_rows AS DOUBLE) * (s11 * s22 - s12 * s12)
+              - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2)) AS det,
+             (sy * (s11 * s22 - s12 * s12)
+              - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+             (CAST(n_rows AS DOUBLE) * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2)) AS det1,
+             (CAST(n_rows AS DOUBLE) * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2)) AS det2
+      FROM m
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, n_rows,
+           det0 / det AS beta0, det1 / det AS beta1, det2 / det AS beta2,
+           CAST(1.0 AS DOUBLE)
+           - (((syy - (det0 / det) * sy) - (det1 / det) * s1y)
+              - (det2 / det) * s2y)
+             / (syy - sy * sy / nd) AS r2
+    FROM b
+    """,
+)
+def q310_kfold_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation OLS (evaluation.grouped_ols): the q265
+    revenue model (revenue ~ line count + total quantity per order)
+    fitted independently per hash-assigned fold — the beta-stability
+    readout that says whether a fit generalizes or one fold's outliers
+    drive it. Folds from the deterministic key hash (never a seeded
+    sample); one grouped-moments pass + the fixed-IEEE Cramer readout
+    per fold, unrounded bitwise.
+    """
+    from .operators.evaluation import grouped_ols
+    from .operators.sampling import key_bucket
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    ).withColumn("fold", (key_bucket("l_orderkey") % 5).cast("long"))
+    return grouped_ols(per_order, "fold", "revenue", "n_items", "sum_qty")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
@@ -14564,6 +14788,7 @@ _PRIORITY = [
     "q299_longest_streak", "q300_linear_attribution", "q301_budget_select",
     "q302_interleave", "q303_sliding_distinct", "q304_pvm_bridge",
     "q305_pit_drift", "q306_reshard_movement", "q307_restatement",
+    "q308_corpus_hygiene", "q309_blocking_eval", "q310_kfold_ols",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",

@@ -107,3 +107,71 @@ def test_restatement_boundary_is_exclusive(spark):
     )
     out = restatement_report(ev, "ts", "arr", "cents").collect()[0]
     assert out["initial_cents"] == 0 and out["n_late"] == 1
+
+
+from etl_java_spark.functions.text import suspicious_char_counts  # noqa: E402
+from etl_java_spark.operators.evaluation import (  # noqa: E402
+    grouped_ols,
+    pair_eval,
+)
+
+
+def test_suspicious_char_counts(spark):
+    rows = [
+        (1, "clean ascii text"),
+        (2, "zero​width‌ here"),
+        (3, "bidi ‮ attack ⁦x⁩"),
+        (4, "pаssword with Cyrillic а and Greek Ο"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    zw, bidi, homo = suspicious_char_counts(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", zw.alias("zw"), bidi.alias("bidi"), homo.alias("homo")
+        ).collect()
+    }
+    assert (out[1]["zw"], out[1]["bidi"], out[1]["homo"]) == (0, 0, 0)
+    assert out[2]["zw"] == 2
+    assert out[3]["bidi"] == 3
+    assert out[4]["homo"] == 3
+
+
+def test_pair_eval_canonicalization_and_metrics(spark):
+    pred = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 4), (4, 5)], "id_a long, id_b long"
+    )  # flipped + duplicate forms of (4,5)
+    gold = spark.createDataFrame(
+        [(1, 2), (4, 5), (7, 8)], "id_a long, id_b long"
+    )
+    out = pair_eval(pred, gold).collect()[0]
+    assert (out["n_pred"], out["n_gold"], out["tp"]) == (3, 3, 2)
+    assert (out["fp"], out["fn"]) == (1, 1)
+    assert out["precision"] == out["recall"] == 2.0 / 3.0
+    assert out["f1"] == 2.0 * 2 / 6
+
+
+def test_pair_eval_empty_pred(spark):
+    pred = spark.createDataFrame([], "id_a long, id_b long")
+    gold = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = pair_eval(pred, gold).collect()[0]
+    assert out["tp"] == 0 and out["n_pred"] == 0
+    assert out["precision"] is None
+    assert out["recall"] == 0.0
+    assert out["f1"] is None
+
+
+def test_grouped_ols_recovers_exact_planes(spark):
+    import math
+
+    rows = []
+    for g, (b0, b1, b2) in [("a", (1.0, 2.0, 3.0)), ("b", (5.0, -1.0, 0.5))]:
+        for x1, x2 in [(0, 0), (1, 0), (0, 1), (1, 1), (2, 1), (1, 3)]:
+            rows.append((g, b0 + b1 * x1 + b2 * x2, float(x1), float(x2)))
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    out = {r["g"]: r for r in grouped_ols(df, "g", "y", "x1", "x2").collect()}
+    assert math.isclose(out["a"]["beta0"], 1.0, abs_tol=1e-9)
+    assert math.isclose(out["a"]["beta1"], 2.0, abs_tol=1e-9)
+    assert math.isclose(out["a"]["beta2"], 3.0, abs_tol=1e-9)
+    assert math.isclose(out["b"]["beta1"], -1.0, abs_tol=1e-9)
+    assert math.isclose(out["a"]["r2"], 1.0, abs_tol=1e-9)
