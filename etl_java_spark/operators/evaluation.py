@@ -916,3 +916,64 @@ def pair_eval(
         rec.alias("recall"),
         f1.alias("f1"),
     )
+
+
+def metric_drivers(
+    df: DataFrame,
+    segment_cols: list[str],
+    period_col: str,
+    cents_col,
+    period_a,
+    period_b,
+) -> DataFrame:
+    """KPI driver decomposition: which segments drove the metric's
+    change between two periods? Per segment: the exact delta, its
+    share of the TOTAL delta, and an impact rank by |delta| — the
+    "root-cause the dashboard move" readout that turns "revenue is
+    down 4%" into "two segments did it".
+
+    Exact integer cents per segment-period from one grouped aggregate;
+    segments missing from a period zero-fill via the full-outer join.
+    ``delta_share`` is one double division against the total delta
+    (NULL when the total nets to zero — shares of nothing are
+    undefined, not infinite). Rank ties break by segment for
+    determinism.
+
+    Scale: one grouped aggregate + one full-outer segment join + a
+    window over the SEGMENT table (cardinality-bounded).
+    """
+    cents = (
+        F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    ).cast("decimal(38,0)")
+
+    def side(period, alias):
+        return (
+            df.filter(F.col(period_col) == period)
+            .groupBy(*segment_cols)
+            .agg(F.sum(cents).cast("long").alias(alias))
+        )
+
+    a = side(period_a, "cents_a")
+    b = side(period_b, "cents_b")
+    j = a.join(b, on=segment_cols, how="full_outer").select(
+        *segment_cols,
+        F.coalesce("cents_a", F.lit(0)).alias("cents_a"),
+        F.coalesce("cents_b", F.lit(0)).alias("cents_b"),
+    ).withColumn("delta_cents", F.col("cents_b") - F.col("cents_a"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy(
+        F.abs(F.col("delta_cents")).desc(), *[F.col(c) for c in segment_cols]
+    )
+    out = j.withColumn(
+        "total_delta_cents", F.sum("delta_cents").over(w_all).cast("long")
+    ).withColumn(
+        "delta_share",
+        F.when(
+            F.col("total_delta_cents") != 0,
+            F.col("delta_cents").cast("double")
+            / F.col("total_delta_cents").cast("double"),
+        ),
+    ).withColumn("impact_rank", F.row_number().over(w_rank).cast("long"))
+    return out

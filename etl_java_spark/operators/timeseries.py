@@ -967,3 +967,73 @@ def sliding_distinct(
         .groupBy("window_end")
         .agg(F.countDistinct("__e").cast("long").alias("n_distinct"))
     )
+
+
+def burn_rate(
+    df: DataFrame,
+    ts_col: str,
+    is_error: Column,
+    slo_error_rate_bp: int = 2500,
+    fast_buckets: int = 1,
+    slow_buckets: int = 6,
+    alert_burn_bp: int = 10000,
+) -> DataFrame:
+    """SLO burn-rate monitor (the SRE-book multiwindow alert): hourly
+    error rates over a FAST trailing window and a SLOW trailing
+    window, each expressed as a multiple of the error budget; the
+    alert fires only when BOTH windows burn hot — fast-only spikes are
+    noise, slow-only drifts are stale.
+
+    Exactness: error/total counts per hour are integers; the trailing
+    windows use a RANGE frame over integer epoch-hours (correct even
+    when quiet hours are missing from the grid); the burn comparison
+    is exact integer cross-multiplication in basis points —
+    ``rate > burn * slo`` becomes
+    ``errors * 10000 * 10000 > total * alert_bp * slo_bp`` — so the
+    alert column never touches a float. The two rate/burn readout
+    columns are single double divisions for humans.
+
+    Returns per hour: (hour, n, errors, rate_fast, rate_slow,
+    burn_fast_bp, burn_slow_bp, alert).
+
+    Scale: one hourly aggregate (map-side combined) then ordered
+    windows over the HOURLY table — calendar-bounded input (8,760
+    rows/year), not data-bounded, so the global window is metadata-
+    sized by construction.
+    """
+    hours = df.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(is_error, 1).otherwise(0)).cast("long").alias("errors"),
+    ).withColumn("__h", (F.col("hour").cast("long") / 3600).cast("long"))
+
+    def trailing(buckets: int, col: str):
+        w = (
+            Window.orderBy("__h")
+            .rangeBetween(-(buckets - 1), 0)
+        )
+        return F.sum(col).over(w)
+
+    fast_n, fast_e = trailing(fast_buckets, "n"), trailing(fast_buckets, "errors")
+    slow_n, slow_e = trailing(slow_buckets, "n"), trailing(slow_buckets, "errors")
+    # burn in basis points, exact: burn_bp = 10000 * rate / slo
+    #   = errors * 10000 * 10000 / (total * slo_bp)
+    def burn_bp(e, n):
+        num = e * F.lit(10000) * F.lit(10000)
+        den = n * F.lit(int(slo_error_rate_bp))
+        return ((num - num % den) / den).cast("long")
+
+    hot = lambda e, n: (  # noqa: E731
+        e * F.lit(10000) * F.lit(10000)
+        > n * F.lit(int(alert_burn_bp)) * F.lit(int(slo_error_rate_bp))
+    )
+    out = hours.select(
+        "hour", "n", "errors",
+        (fast_e.cast("double") / fast_n.cast("double")).alias("rate_fast"),
+        (slow_e.cast("double") / slow_n.cast("double")).alias("rate_slow"),
+        burn_bp(fast_e, fast_n).alias("burn_fast_bp"),
+        burn_bp(slow_e, slow_n).alias("burn_slow_bp"),
+        (hot(fast_e, fast_n) & hot(slow_e, slow_n)).alias("alert"),
+    )
+    return out

@@ -14731,6 +14731,171 @@ def q310_kfold_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_ols(per_order, "fold", "revenue", "n_items", "sum_qty")
 
 
+@_q(
+    "q311_burn_rate",
+    """
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errors,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h
+      FROM events GROUP BY 1
+    ), win AS (
+      SELECT hour, n, errors,
+             SUM(n) OVER (ORDER BY h
+               RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS fn,
+             SUM(errors) OVER (ORDER BY h
+               RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS fe,
+             SUM(n) OVER (ORDER BY h
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS sn,
+             SUM(errors) OVER (ORDER BY h
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS se
+      FROM hours
+    )
+    SELECT hour, n, errors,
+           CAST(fe AS DOUBLE) / CAST(fn AS DOUBLE) AS rate_fast,
+           CAST(se AS DOUBLE) / CAST(sn AS DOUBLE) AS rate_slow,
+           CAST((fe * 100000000) // (fn * 2500) AS BIGINT) AS burn_fast_bp,
+           CAST((se * 100000000) // (sn * 2500) AS BIGINT) AS burn_slow_bp,
+           (fe * 100000000 > fn * 10000 * 2500
+            AND se * 100000000 > sn * 10000 * 2500) AS alert
+    FROM win
+    """,
+)
+def q311_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO burn-rate monitor (timeseries.burn_rate): hourly error rate
+    against a 25% error budget over a fast (1h) and slow (6h) trailing
+    window; the multiwindow alert fires only when BOTH burn past 1x —
+    the SRE-book rule that ignores fast-only spikes and slow-only
+    drifts. The alert predicate is exact integer cross-multiplication
+    in basis points (never a float); trailing windows are RANGE frames
+    over integer epoch-hours, correct across quiet-hour gaps. The
+    ordered window runs over the HOURLY table — calendar-bounded.
+    """
+    from .operators.timeseries import burn_rate
+
+    ev = _t(spark, sf_dir, "events")
+    return burn_rate(
+        ev,
+        "ts",
+        F.col("event_type") == "error",
+        slo_error_rate_bp=2500,
+        fast_buckets=1,
+        slow_buckets=6,
+        alert_burn_bp=10000,
+    )
+
+
+@_q(
+    "q312_bfs_layers",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+             'c' || CAST(o_custkey AS VARCHAR) AS d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), und AS (
+      SELECT s, d FROM e UNION SELECT d, s FROM e
+    ), walk AS (
+      SELECT node, 0 AS hops
+      FROM (VALUES ('s1'), ('s2'), ('s3')) t(node)
+      UNION
+      SELECT u.d, w.hops + 1
+      FROM walk w JOIN und u ON u.s = w.node
+      WHERE w.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def q312_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius BFS (graph.bfs_layers): hop distance from three
+    seed suppliers over the undirected supplier<->customer shipment
+    graph (q129's edges), bounded at 3 hops — the fraud-ring /
+    impact-analysis primitive. Frontier rounds are one join + one
+    anti-join each, fixed hop budget (the pagerank discipline),
+    reliable checkpoints cap lineage. The oracle replays it as a
+    set-semantics recursive CTE reduced by MIN(hops).
+    """
+    from .operators.graph import bfs_layers
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([("s1",), ("s2",), ("s3",)], "node string")
+    return bfs_layers(edges, seeds, max_hops=3)
+
+
+@_q(
+    "q313_metric_drivers",
+    """
+    WITH f AS (
+      SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS INT) AS yr,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997)
+    ), a AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS cents_a
+      FROM f WHERE yr = 1996 GROUP BY 1
+    ), b AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS cents_b
+      FROM f WHERE yr = 1997 GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(a.o_orderpriority, b.o_orderpriority)
+               AS o_orderpriority,
+             COALESCE(cents_a, 0) AS cents_a,
+             COALESCE(cents_b, 0) AS cents_b,
+             COALESCE(cents_b, 0) - COALESCE(cents_a, 0) AS delta_cents
+      FROM a FULL OUTER JOIN b ON a.o_orderpriority = b.o_orderpriority
+    ), t AS (
+      SELECT j.*, CAST(SUM(delta_cents) OVER () AS BIGINT)
+               AS total_delta_cents
+      FROM j
+    )
+    SELECT o_orderpriority, cents_a, cents_b, delta_cents,
+           total_delta_cents,
+           CASE WHEN total_delta_cents <> 0
+                THEN CAST(delta_cents AS DOUBLE)
+                     / CAST(total_delta_cents AS DOUBLE) END AS delta_share,
+           CAST(ROW_NUMBER() OVER (ORDER BY ABS(delta_cents) DESC,
+                                   o_orderpriority) AS BIGINT)
+             AS impact_rank
+    FROM t
+    """,
+)
+def q313_metric_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI driver decomposition (evaluation.metric_drivers): which
+    order priorities drove the 1996 -> 1997 revenue change — exact
+    integer-cent deltas per segment, each segment's share of the total
+    move, and an |delta| impact rank with deterministic ties. Turns
+    "revenue moved" into "these segments did it". One grouped
+    aggregate per period + a window over the segment table.
+    """
+    from .operators.evaluation import metric_drivers
+
+    od = _t(spark, sf_dir, "orders")
+    f = od.select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).filter(F.col("yr").isin(1996, 1997))
+    return metric_drivers(
+        f, ["o_orderpriority"], "yr", "cents", 1996, 1997
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
@@ -14789,6 +14954,7 @@ _PRIORITY = [
     "q302_interleave", "q303_sliding_distinct", "q304_pvm_bridge",
     "q305_pit_drift", "q306_reshard_movement", "q307_restatement",
     "q308_corpus_hygiene", "q309_blocking_eval", "q310_kfold_ols",
+    "q311_burn_rate", "q312_bfs_layers", "q313_metric_drivers",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",

@@ -175,3 +175,86 @@ def test_grouped_ols_recovers_exact_planes(spark):
     assert math.isclose(out["a"]["beta2"], 3.0, abs_tol=1e-9)
     assert math.isclose(out["b"]["beta1"], -1.0, abs_tol=1e-9)
     assert math.isclose(out["a"]["r2"], 1.0, abs_tol=1e-9)
+
+
+from etl_java_spark.operators.evaluation import metric_drivers  # noqa: E402
+from etl_java_spark.operators.graph import bfs_layers  # noqa: E402
+from etl_java_spark.operators.timeseries import burn_rate  # noqa: E402
+
+
+def test_burn_rate_multiwindow_alert(spark):
+    # hour 0-4: 1 error / 10 events (under budget); hour 5: 8/10 —
+    # fast window burns hot but the 6h slow window still dilutes it
+    # (0.87x) -> no alert; hours 6-7 keep erroring -> slow burn climbs
+    # 1.33x then 1.8x, crossing the 1.5x threshold -> alert.
+    rows = []
+    eid = 0
+    for h in range(8):
+        n_err = {5: 8, 6: 8, 7: 8}.get(h, 1)
+        for i in range(10):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, h, i),
+                 "error" if i < n_err else "view")
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {
+        r["hour"].hour: r
+        for r in burn_rate(
+            df, "ts", F.col("event_type") == "error",
+            slo_error_rate_bp=2500, alert_burn_bp=15000,
+        ).collect()
+    }
+    assert out[0]["alert"] is False
+    assert out[0]["burn_fast_bp"] == 4000      # 10% of a 25% budget
+    assert out[5]["burn_fast_bp"] == 32000     # 80% rate = 3.2x burn
+    assert out[5]["alert"] is False            # slow window at 0.87x
+    assert out[5]["burn_slow_bp"] == 8666
+    assert out[6]["alert"] is False            # slow window at 1.33x
+    assert out[7]["burn_slow_bp"] == 18000
+    assert out[7]["alert"] is True             # both windows over 1.5x
+
+
+def test_bfs_layers_hop_distances(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["hops"] for r in
+           bfs_layers(edges, seeds, max_hops=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}  # d is 3 hops (cut), x/y apart
+
+
+def test_bfs_layers_min_distance_not_revisited(spark):
+    # diamond: a-b, a-c, b-d, c-d -> d at hop 2 exactly once
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    rows = bfs_layers(edges, seeds, max_hops=3).collect()
+    assert len(rows) == len({r["node"] for r in rows})  # unique nodes
+    out = {r["node"]: r["hops"] for r in rows}
+    assert out["d"] == 2 and out["a"] == 0
+
+
+def test_metric_drivers_shares_and_ranks(spark):
+    rows = [
+        ("big", "a", 100), ("big", "b", 400),     # +300
+        ("down", "a", 500), ("down", "b", 400),   # -100
+        ("gone", "a", 50),                        # -50 (absent in b)
+        ("new", "b", 50),                         # +50 (absent in a)
+    ]
+    df = spark.createDataFrame(rows, "seg string, per string, cents long")
+    out = {r["seg"]: r for r in
+           metric_drivers(df, ["seg"], "per", "cents", "a", "b").collect()}
+    assert out["big"]["delta_cents"] == 300
+    assert out["gone"]["delta_cents"] == -50 and out["gone"]["cents_b"] == 0
+    assert out["new"]["cents_a"] == 0
+    assert all(r["total_delta_cents"] == 200 for r in out.values())
+    assert out["big"]["delta_share"] == 1.5  # overshoot: others offset
+    assert out["big"]["impact_rank"] == 1
+    assert out["down"]["impact_rank"] == 2
+    # deterministic tie-break between gone(-50) and new(+50): by segment
+    assert out["gone"]["impact_rank"] == 3 and out["new"]["impact_rank"] == 4

@@ -107,6 +107,23 @@ QUERY_SLICE = [
     "q247_repetitiveness",
     "q248_psi_label_shift",
     "q249_referential_audit",
+    # r6 late waves: sweep-line, robust trend, interpolation, SNM
+    # blocking, ledger fold, attribution, budget selection, sliding
+    # distinct, PVM bridge, PIT drift, restatement, k-fold OLS
+    "q287_max_concurrency",
+    "q291_theil_sen",
+    "q292_rolling_median",
+    "q293_linear_interp",
+    "q296_sorted_neighborhood",
+    "q297_running_balance",
+    "q299_longest_streak",
+    "q300_linear_attribution",
+    "q301_budget_select",
+    "q303_sliding_distinct",
+    "q304_pvm_bridge",
+    "q305_pit_drift",
+    "q307_restatement",
+    "q310_kfold_ols",
 ]
 
 
