@@ -1044,3 +1044,72 @@ def pit_drift(
             "share"
         ),
     )
+
+
+def consensus_reconcile(
+    sources: list[tuple[str, DataFrame]],
+    key_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Multi-source consensus reconciliation: the same table replicated
+    from N systems (N >= 2), reconciled per key and column by MAJORITY
+    vote — the MDM/replication audit that answers "which copy is
+    right, and where do the copies disagree?".
+
+    Per (key, column): the consensus value is the one a strict
+    majority (> N/2) of PRESENT sources agree on (ties/pluralities
+    below the bar -> NULL + conflict). Output per key: each column's
+    consensus plus ``n_conflicts`` and ``missing_from`` (comma-joined
+    source names lacking the key — deterministic name order).
+
+    Mechanics: union the tagged sources (one scan each), ONE shuffle
+    on the key, then per-key array folds over the collected
+    (source, values) structs — counts computed by expression, no
+    second shuffle, no UDFs.
+    """
+    n = len(sources)
+    tagged = None
+    for name, df in sources:
+        t = df.select(
+            F.col(key_col),
+            F.lit(name).alias("__src"),
+            *[F.col(v) for v in value_cols],
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    rows = tagged.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("__src"), *[F.col(v) for v in value_cols])
+            )
+        ).alias("__rows")
+    )
+
+    def consensus(v: str):
+        vals = F.transform(F.col("__rows"), lambda r: r[v])
+        # majority: some value whose count among non-null entries
+        # exceeds n/2 (absent sources don't vote)
+        def count_of(x):
+            return F.size(F.filter(vals, lambda y: y == x))
+
+        distinct_vals = F.array_distinct(
+            F.filter(vals, lambda y: y.isNotNull())
+        )
+        winner = F.filter(distinct_vals, lambda x: count_of(x) * 2 > n)
+        return F.element_at(F.concat(winner, F.array(F.lit(None))), 1)
+
+    present = F.transform(F.col("__rows"), lambda r: r["__src"])
+    all_names = F.array(*[F.lit(name) for name, _ in sources])
+    missing = F.array_join(
+        F.array_sort(F.array_except(all_names, present)), ","
+    )
+    cons = [consensus(v).alias(f"{v}_consensus") for v in value_cols]
+    conflicts = None
+    for v in value_cols:
+        c = consensus(v).isNull().cast("int")
+        conflicts = c if conflicts is None else conflicts + c
+    return rows.select(
+        key_col,
+        *cons,
+        conflicts.cast("long").alias("n_conflicts"),
+        missing.alias("missing_from"),
+    )

@@ -977,3 +977,69 @@ def metric_drivers(
         ),
     ).withColumn("impact_rank", F.row_number().over(w_rank).cast("long"))
     return out
+
+
+def gains_table(
+    df: DataFrame,
+    score_col,
+    label_col,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table: rank by model score descending,
+    cut into deciles, and report each decile's positive capture and
+    lift over random — the campaign-targeting readout ("mail the top 2
+    deciles, get 60% of responders") that complements ROC-AUC (q266)
+    with an actionable operating table.
+
+    Deciles come from NTILE over (score DESC, id ASC) — deterministic
+    under score ties. Counts are exact integers; capture and lift are
+    double divisions of exact integers against broadcast totals.
+
+    Returns per bucket: (bucket, n, positives, cum_positives,
+    capture_rate, lift).
+
+    Scale: the NTILE window is a global ordering — at warehouse scale
+    feed it ALREADY-aggregated scoring units (users, not events), or
+    swap the exact NTILE for equi-depth score bins (dq.
+    equidepth_histogram) — same table, sketch-bounded.
+    """
+    s = _c(score_col)
+    lab = _c(label_col).cast("int")
+    ranked = df.select(
+        s.alias("__s"), lab.alias("__y"), F.col(id_col).alias("__id")
+    ).withColumn(
+        "bucket",
+        F.ntile(n_buckets).over(
+            Window.orderBy(F.col("__s").desc(), F.col("__id").asc())
+        ),
+    )
+    per = ranked.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("positives"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = per.withColumn(
+        "cum_positives", F.sum("positives").over(w_cum).cast("long")
+    ).withColumn("__tp", F.sum("positives").over(w_all)).withColumn(
+        "__tn", F.sum("n").over(w_all)
+    )
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n",
+        "positives",
+        "cum_positives",
+        (
+            F.col("cum_positives").cast("double")
+            / F.col("__tp").cast("double")
+        ).alias("capture_rate"),
+        (
+            (F.col("positives").cast("double") / F.col("n").cast("double"))
+            / (F.col("__tp").cast("double") / F.col("__tn").cast("double"))
+        ).alias("lift"),
+    )

@@ -287,3 +287,91 @@ def diff_in_diff(
         *[means[t].alias(f"mean_{t}") for t in tags.values()],
         did.alias("did"),
     )
+
+
+def cuped(
+    df: DataFrame,
+    unit_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Controlled-experiment Using
+    Pre-Experiment Data): adjust each unit's experiment metric by its
+    own pre-period behavior,
+
+        y_adj = y - theta * (x - mean(x)),   theta = cov(x, y) / var(x)
+
+    which shrinks metric variance by exactly corr(x, y)^2 — the
+    industry-standard way to make A/B tests decisive on fewer users.
+    Treatment comes from ``ab_assign``; ``pre_col``/``post_col`` are
+    exact integer units per unit (scaled cents).
+
+    One 2-group aggregate of exact decimal moments; theta, the
+    adjusted per-arm means, both deltas, and the variance-reduction
+    fraction derive in one fixed double expression tree — unrounded
+    bitwise.
+
+    Returns ONE row: (n_a, n_b, theta, mean_a, mean_b, adj_mean_a,
+    adj_mean_b, diff, adj_diff, var_reduction).
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(pre_col).cast(d38)
+    y = F.col(post_col).cast(d38)
+    per = (
+        df.select(
+            ab_assign(unit_col).alias("__g"), x.alias("__x"), y.alias("__y")
+        )
+        .groupBy("__g")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum("__x").alias("__sx"),
+            F.sum("__y").alias("__sy"),
+            F.sum((F.col("__x") * F.col("__x")).cast(d38)).alias("__sxx"),
+            F.sum((F.col("__x") * F.col("__y")).cast(d38)).alias("__sxy"),
+            F.sum((F.col("__y") * F.col("__y")).cast(d38)).alias("__syy"),
+        )
+    )
+
+    def pick(g, c, alias):
+        return (
+            F.max(F.when(F.col("__g") == g, F.col(c)))
+            .cast("double")
+            .alias(alias)
+        )
+
+    row = per.agg(
+        *[pick(g, c, f"{c[2:]}_{'ab'[g]}")
+          for g in (0, 1)
+          for c in ("__n", "__sx", "__sy", "__sxx", "__sxy", "__syy")]
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    sx = F.col("sx_a") + F.col("sx_b")
+    sy = F.col("sy_a") + F.col("sy_b")
+    sxx = F.col("sxx_a") + F.col("sxx_b")
+    sxy = F.col("sxy_a") + F.col("sxy_b")
+    syy = F.col("syy_a") + F.col("syy_b")
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    # degenerate inputs (constant covariate / constant metric) -> the
+    # ratio is undefined; NULL, never an ANSI divide-by-zero
+    theta = F.when(varx > 0, cov / varx)
+    mx = sx / n
+    mean_a, mean_b = F.col("sy_a") / na, F.col("sy_b") / nb
+    adj_a = mean_a - theta * (F.col("sx_a") / na - mx)
+    adj_b = mean_b - theta * (F.col("sx_b") / nb - mx)
+    return row.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        theta.alias("theta"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        adj_a.alias("adj_mean_a"),
+        adj_b.alias("adj_mean_b"),
+        (mean_b - mean_a).alias("diff"),
+        (adj_b - adj_a).alias("adj_diff"),
+        F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary)).alias(
+            "var_reduction"
+        ),
+    )

@@ -536,3 +536,62 @@ def sorted_neighborhood_pairs(
             (F.col("__rb") - F.col("__ra")).cast("long").alias("rank_distance"),
         )
     )
+
+
+def fallback_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_levels: list[list[str]],
+    value_cols: list[str],
+) -> DataFrame:
+    """Hierarchical lookup with fallback — the pricing/config join:
+    match the dim at the MOST specific key level; rows that miss fall
+    back to the next coarser level, and so on (e.g. (region, tier) ->
+    (region) -> global default). The dim carries one row per key
+    combination at each level, with the unused level columns NULL.
+
+    One left join per level (dims broadcast — lookup tables are small
+    by nature), then a single COALESCE per value column picks the most
+    specific hit. ``matched_level`` reports which level served each
+    row (-1 = no match anywhere).
+
+    Scale: N broadcast joins over one fact scan — no shuffle of the
+    fact at all when every level broadcasts; the fact is never
+    re-partitioned.
+    """
+    out = fact
+    hit_flags = []
+    for i, keys in enumerate(key_levels):
+        # keep only rows of dim that define exactly this level: the
+        # level's keys are non-null, every other level key is null
+        all_keys = {k for lv in key_levels for k in lv}
+        cond = None
+        for k in all_keys:
+            c = F.col(k).isNotNull() if k in keys else F.col(k).isNull()
+            cond = c if cond is None else (cond & c)
+        lvl = dim.filter(cond) if cond is not None else dim
+        renames = {v: f"__v{i}_{v}" for v in value_cols}
+        sel = [F.col(k) for k in keys] + [
+            F.col(v).alias(renames[v]) for v in value_cols
+        ]
+        lvl = lvl.select(*sel)
+        if keys:
+            out = out.join(F.broadcast(lvl), on=keys, how="left")
+        else:
+            out = out.crossJoin(F.broadcast(lvl))
+        hit_flags.append(F.col(f"__v{i}_{value_cols[0]}").isNotNull())
+    picked = [
+        F.coalesce(
+            *[F.col(f"__v{i}_{v}") for i in range(len(key_levels))]
+        ).alias(v)
+        for v in value_cols
+    ]
+    level = F.lit(-1)
+    for i in reversed(range(len(key_levels))):
+        level = F.when(hit_flags[i], i).otherwise(level)
+    drop = [f"__v{i}_{v}" for i in range(len(key_levels)) for v in value_cols]
+    return out.select(
+        *[c for c in out.columns if c not in drop],
+        *picked,
+        level.cast("long").alias("matched_level"),
+    )

@@ -14896,6 +14896,348 @@ def q313_metric_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q314_cuped",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN CAST(ROUND(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                      THEN CAST(ROUND(value) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT ((user_id % 1000000007) * 2654435761 % 1000000007 * 524287)
+               % 1000000007 % 10000 % 2 AS arm, x, y
+      FROM per
+    ), m AS (
+      SELECT arm, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM g GROUP BY 1
+    ), r AS (
+      SELECT
+        CAST(MAX(CASE WHEN arm = 0 THEN n END) AS DOUBLE) AS n_a,
+        CAST(MAX(CASE WHEN arm = 1 THEN n END) AS DOUBLE) AS n_b,
+        CAST(MAX(CASE WHEN arm = 0 THEN sx END) AS DOUBLE) AS sx_a,
+        CAST(MAX(CASE WHEN arm = 1 THEN sx END) AS DOUBLE) AS sx_b,
+        CAST(MAX(CASE WHEN arm = 0 THEN sy END) AS DOUBLE) AS sy_a,
+        CAST(MAX(CASE WHEN arm = 1 THEN sy END) AS DOUBLE) AS sy_b,
+        CAST(MAX(CASE WHEN arm = 0 THEN sxx END) AS DOUBLE) AS sxx_a,
+        CAST(MAX(CASE WHEN arm = 1 THEN sxx END) AS DOUBLE) AS sxx_b,
+        CAST(MAX(CASE WHEN arm = 0 THEN sxy END) AS DOUBLE) AS sxy_a,
+        CAST(MAX(CASE WHEN arm = 1 THEN sxy END) AS DOUBLE) AS sxy_b,
+        CAST(MAX(CASE WHEN arm = 0 THEN syy END) AS DOUBLE) AS syy_a,
+        CAST(MAX(CASE WHEN arm = 1 THEN syy END) AS DOUBLE) AS syy_b
+      FROM m
+    ), d AS (
+      SELECT n_a, n_b, sx_a, sx_b, sy_a, sy_b,
+             (sxy_a + sxy_b) - (sx_a + sx_b) * (sy_a + sy_b) / (n_a + n_b)
+               AS cov,
+             (sxx_a + sxx_b) - (sx_a + sx_b) * (sx_a + sx_b) / (n_a + n_b)
+               AS varx,
+             (syy_a + syy_b) - (sy_a + sy_b) * (sy_a + sy_b) / (n_a + n_b)
+               AS vary,
+             (sx_a + sx_b) / (n_a + n_b) AS mx
+      FROM r
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           cov / varx AS theta,
+           sy_a / n_a AS mean_a, sy_b / n_b AS mean_b,
+           sy_a / n_a - (cov / varx) * (sx_a / n_a - mx) AS adj_mean_a,
+           sy_b / n_b - (cov / varx) * (sx_b / n_b - mx) AS adj_mean_b,
+           sy_b / n_b - sy_a / n_a AS diff,
+           (sy_b / n_b - (cov / varx) * (sx_b / n_b - mx))
+           - (sy_a / n_a - (cov / varx) * (sx_a / n_a - mx)) AS adj_diff,
+           cov * cov / (varx * vary) AS var_reduction
+    FROM d
+    """,
+)
+def q314_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (experiments.cuped): each
+    user's second-half spend adjusted by their own first-half spend —
+    theta from pooled exact moments, adjusted per-arm means, and the
+    variance-reduction fraction (= corr^2) that says how many fewer
+    users the experiment now needs. Whole-dollar integer units keep
+    every cross-moment below 2^53 (the welch_t discipline) so the
+    double casts are exact on both engines; the readout is one fixed
+    expression tree, unrounded bitwise. One per-user reduce + one
+    2-group aggregate.
+    """
+    from .operators.experiments import cuped
+
+    ev = _t(spark, sf_dir, "events")
+    dollars = F.round(F.col("value")).cast("long")
+    per = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < F.lit("2024-01-16 00:00:00"), dollars)
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("pre"),
+        F.sum(
+            F.when(F.col("ts") >= F.lit("2024-01-16 00:00:00"), dollars)
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("post"),
+    )
+    return cuped(per, "user_id", "pre", "post")
+
+
+@_q(
+    "q315_gains_table",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS score,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 250
+                 THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT score, y, user_id,
+             NTILE(10) OVER (ORDER BY score DESC, user_id ASC) AS bucket
+      FROM per
+    ), per_b AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS positives
+      FROM ranked GROUP BY 1
+    ), cum AS (
+      SELECT bucket, n, positives,
+             CAST(SUM(positives) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_positives,
+             SUM(positives) OVER () AS tp, SUM(n) OVER () AS tn
+      FROM per_b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n, positives, cum_positives,
+           CAST(cum_positives AS DOUBLE) / CAST(tp AS DOUBLE)
+             AS capture_rate,
+           (CAST(positives AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) AS lift
+    FROM cum
+    """,
+)
+def q315_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table (evaluation.gains_table): users
+    ranked by click-spend score, cut into deciles, each decile's
+    capture of high-value converters and its lift over random — the
+    campaign-targeting operating table that complements q266's AUC.
+    Deterministic NTILE (score DESC, id tiebreak); exact integer
+    counts; the window runs over already-aggregated scoring UNITS
+    (users), never raw events.
+    """
+    from .operators.evaluation import gains_table
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 250),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    return gains_table(per, "score", "converted", "user_id", n_buckets=10)
+
+
+@_q(
+    "q316_fallback_join",
+    """
+    WITH cust AS (
+      SELECT c.c_custkey, n.n_name, r.r_name
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), rules AS (
+      SELECT * FROM (VALUES
+        ('AMERICA', 'BRAZIL', 500),
+        ('ASIA', 'JAPAN', 450),
+        (NULL, NULL, NULL)) t(rr, nn, rate)
+      WHERE rate IS NOT NULL
+    ), region_rules AS (
+      SELECT * FROM (VALUES
+        ('AMERICA', 200), ('ASIA', 300)) t(rr, rate)
+    ), j AS (
+      SELECT cust.c_custkey, cust.r_name, cust.n_name,
+             s.rate AS r0, g.rate AS r1
+      FROM cust
+      LEFT JOIN rules s ON s.rr = cust.r_name AND s.nn = cust.n_name
+      LEFT JOIN region_rules g ON g.rr = cust.r_name
+    )
+    SELECT r_name,
+           CAST(CASE WHEN r0 IS NOT NULL THEN 0
+                     WHEN r1 IS NOT NULL THEN 1
+                     ELSE 2 END AS BIGINT) AS matched_level,
+           CAST(COALESCE(r0, r1, 100) AS BIGINT) AS rate_bp,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM j GROUP BY 1, 2, 3
+    """,
+)
+def q316_fallback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical lookup with fallback (relational.fallback_join):
+    a freight-rate rule table defined at (region, nation), (region),
+    and global-default levels; every customer resolves at the most
+    specific level that matches — the pricing/config join every
+    warehouse eventually hand-rolls with nested COALESCEs. N broadcast
+    joins over one fact scan; the fact never re-partitions.
+    ``matched_level`` makes the fallback path auditable.
+    """
+    from .operators.relational import fallback_join
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    dim = spark.createDataFrame(
+        [
+            ("AMERICA", "BRAZIL", 500),
+            ("ASIA", "JAPAN", 450),
+            ("AMERICA", None, 200),
+            ("ASIA", None, 300),
+            (None, None, 100),
+        ],
+        "r_name string, n_name string, rate_bp int",
+    )
+    resolved = fallback_join(
+        cust,
+        dim,
+        key_levels=[["r_name", "n_name"], ["r_name"], []],
+        value_cols=["rate_bp"],
+    )
+    return resolved.groupBy(
+        "r_name",
+        "matched_level",
+        F.col("rate_bp").cast("long").alias("rate_bp"),
+    ).agg(F.count("*").cast("long").alias("n_customers"))
+
+
+@_q(
+    "q317_consensus",
+    """
+    WITH a AS (
+      SELECT c_custkey, 'A' AS src, c_name AS name,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), b AS (
+      SELECT c_custkey, 'B' AS src,
+             CASE WHEN c_custkey % 91 = 0 THEN c_name || '_x'
+                  WHEN c_custkey % 97 = 0 THEN c_name || '_B'
+                  ELSE c_name END AS name,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), c AS (
+      SELECT c_custkey, 'C' AS src,
+             CASE WHEN c_custkey % 91 = 0 THEN c_name || '_y'
+                  ELSE c_name END AS name,
+             CASE WHEN c_custkey % 89 = 0
+                  THEN CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100
+                  ELSE CAST(ROUND(c_acctbal * 100) AS BIGINT) END AS bal
+      FROM customer WHERE c_custkey % 101 <> 0
+    ), u AS (
+      SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+    ), nm AS (
+      SELECT c_custkey,
+             MAX(CASE WHEN cnt * 2 > 3 THEN name END) AS name_consensus
+      FROM (SELECT c_custkey, name, COUNT(*) AS cnt
+            FROM u GROUP BY 1, 2)
+      GROUP BY 1
+    ), bl AS (
+      SELECT c_custkey,
+             MAX(CASE WHEN cnt * 2 > 3 THEN bal END) AS bal_consensus
+      FROM (SELECT c_custkey, bal, COUNT(*) AS cnt
+            FROM u GROUP BY 1, 2)
+      GROUP BY 1
+    ), mk AS (
+      SELECT c_custkey, COUNT(DISTINCT src) AS n_src FROM u GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN name_consensus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_name_conflicts,
+           CAST(SUM(CASE WHEN bal_consensus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bal_conflicts,
+           CAST(SUM(CASE WHEN n_src < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_incomplete_keys,
+           CAST(SUM(CAST(COALESCE(bal_consensus, 0) AS HUGEINT)) AS BIGINT)
+             AS bal_consensus_cents
+    FROM nm JOIN bl USING (c_custkey) JOIN mk USING (c_custkey)
+    """,
+)
+def q317_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source consensus reconciliation (dq.consensus_reconcile):
+    three replicas of the customer table — one clean, one with
+    deterministic name corruptions, one missing rows and drifting
+    balances — reconciled per key by strict-majority vote. Corruptions
+    hit one replica -> the vote recovers the truth; engineered
+    double-corruptions (custkey % 91) leave no majority -> counted as
+    conflicts; the summary proves recovery with an exact consensus
+    balance checksum. One tagged union + ONE key shuffle + per-key
+    array folds.
+    """
+    from .operators.dq import consensus_reconcile
+
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    a = cust.select("c_custkey", F.col("c_name").alias("name"), bal.alias("bal"))
+    b = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 91 == 0, F.concat("c_name", F.lit("_x")))
+        .when(F.col("c_custkey") % 97 == 0, F.concat("c_name", F.lit("_B")))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        bal.alias("bal"),
+    )
+    c = cust.filter(F.col("c_custkey") % 101 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 91 == 0, F.concat("c_name", F.lit("_y")))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 89 == 0, bal + 100)
+        .otherwise(bal)
+        .alias("bal"),
+    )
+    rec = consensus_reconcile(
+        [("A", a), ("B", b), ("C", c)], "c_custkey", ["name", "bal"]
+    )
+    return rec.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("name_consensus").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_name_conflicts"),
+        F.sum(F.when(F.col("bal_consensus").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bal_conflicts"),
+        F.sum(F.when(F.col("missing_from") != "", 1).otherwise(0))
+        .cast("long")
+        .alias("n_incomplete_keys"),
+        F.sum(F.coalesce(F.col("bal_consensus"), F.lit(0)).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("bal_consensus_cents"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
@@ -14955,6 +15297,8 @@ _PRIORITY = [
     "q305_pit_drift", "q306_reshard_movement", "q307_restatement",
     "q308_corpus_hygiene", "q309_blocking_eval", "q310_kfold_ols",
     "q311_burn_rate", "q312_bfs_layers", "q313_metric_drivers",
+    "q314_cuped", "q315_gains_table", "q316_fallback_join",
+    "q317_consensus",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",

@@ -1,0 +1,122 @@
+"""Round-6 wave-j operators: CUPED, gains table, fallback join,
+consensus reconciliation."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_java_spark.operators.dq import consensus_reconcile
+from etl_java_spark.operators.evaluation import gains_table
+from etl_java_spark.operators.experiments import ab_assign, cuped
+from etl_java_spark.operators.relational import fallback_join
+
+
+def test_cuped_perfect_covariate_kills_variance(spark):
+    # y = x exactly -> theta = 1, var_reduction = corr^2 = 1, and the
+    # adjusted means collapse to the grand mean of y.
+    rows = [(u, 10 * u, 10 * u) for u in range(1, 41)]
+    df = spark.createDataFrame(rows, "u long, pre long, post long")
+    out = cuped(df, "u", "pre", "post").collect()[0]
+    assert math.isclose(out["theta"], 1.0, rel_tol=1e-12)
+    assert math.isclose(out["var_reduction"], 1.0, rel_tol=1e-12)
+    assert math.isclose(out["adj_mean_a"], out["adj_mean_b"], rel_tol=1e-9)
+
+
+def test_cuped_uncorrelated_covariate_is_noop(spark):
+    # constant covariate -> theta undefined via varx=0? use a covariate
+    # orthogonal to y instead: x alternates independent of y.
+    rows = []
+    for u in range(1, 41):
+        rows.append((u, 100 if u % 2 == 0 else 200, 50))
+    df = spark.createDataFrame(rows, "u long, pre long, post long")
+    out = cuped(df, "u", "pre", "post").collect()[0]
+    # y constant -> cov = 0 -> theta 0 -> adjusted means = raw means;
+    # var_reduction is NULL (0/0 guarded), never an ANSI error
+    assert out["theta"] == 0.0
+    assert out["adj_mean_a"] == out["mean_a"]
+    assert out["adj_diff"] == out["diff"] == 0.0
+    assert out["var_reduction"] is None
+
+
+def test_cuped_arms_come_from_ab_assign(spark):
+    units = list(range(1, 21))
+    gmap = {
+        r["u"]: r["g"]
+        for r in spark.createDataFrame([(u,) for u in units], "u long")
+        .select("u", ab_assign("u").alias("g"))
+        .collect()
+    }
+    rows = [(u, 0, 100 if gmap[u] == 1 else 50) for u in units]
+    df = spark.createDataFrame(rows, "u long, pre long, post long")
+    out = cuped(df, "u", "pre", "post").collect()[0]
+    assert out["n_a"] == sum(1 for g in gmap.values() if g == 0)
+    assert out["mean_b"] == 100.0 and out["mean_a"] == 50.0
+
+
+def test_gains_table_separable_scores(spark):
+    # top 20 scores are all positive, bottom 80 negative -> the first
+    # two deciles capture everything at lift 5.
+    rows = [(i, 1000 - i, 1 if i <= 20 else 0) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, score long, y int")
+    out = {r["bucket"]: r for r in
+           gains_table(df, "score", "y", "id").collect()}
+    assert out[1]["positives"] == 10 and out[2]["positives"] == 10
+    assert out[2]["cum_positives"] == 20
+    assert out[2]["capture_rate"] == 1.0
+    assert out[1]["lift"] == (10 / 10) / (20 / 100)  # = 5x
+    assert out[10]["positives"] == 0
+
+
+def test_fallback_join_levels(spark):
+    fact = spark.createDataFrame(
+        [(1, "AMERICA", "BRAZIL"), (2, "AMERICA", "PERU"),
+         (3, "EUROPE", "FRANCE")],
+        "id long, r_name string, n_name string",
+    )
+    dim = spark.createDataFrame(
+        [("AMERICA", "BRAZIL", 500), ("AMERICA", None, 200),
+         (None, None, 100)],
+        "r_name string, n_name string, rate int",
+    )
+    out = {
+        r["id"]: r
+        for r in fallback_join(
+            fact, dim, [["r_name", "n_name"], ["r_name"], []], ["rate"]
+        ).collect()
+    }
+    assert (out[1]["rate"], out[1]["matched_level"]) == (500, 0)
+    assert (out[2]["rate"], out[2]["matched_level"]) == (200, 1)
+    assert (out[3]["rate"], out[3]["matched_level"]) == (100, 2)
+
+
+def test_consensus_majority_and_conflicts(spark):
+    a = spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob", 20), (3, "eve", 30)],
+        "k long, name string, bal long",
+    )
+    b = spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob_x", 20), (3, "eve_p", 30)],
+        "k long, name string, bal long",
+    )
+    c = spark.createDataFrame(
+        [(1, "alice", 99), (3, "eve_q", 30)],  # key 2 missing; bal drift
+        "k long, name string, bal long",
+    )
+    out = {
+        r["k"]: r
+        for r in consensus_reconcile(
+            [("A", a), ("B", b), ("C", c)], "k", ["name", "bal"]
+        ).collect()
+    }
+    # key 1: name unanimous; bal 10,10,99 -> majority 10
+    assert out[1]["name_consensus"] == "alice"
+    assert out[1]["bal_consensus"] == 10 and out[1]["n_conflicts"] == 0
+    # key 2: only 2 sources, name split 1-1 -> conflict; bal agrees 2/3
+    assert out[2]["name_consensus"] is None
+    assert out[2]["bal_consensus"] == 20
+    assert out[2]["n_conflicts"] == 1
+    assert out[2]["missing_from"] == "C"
+    # key 3: three distinct names -> conflict
+    assert out[3]["name_consensus"] is None and out[3]["bal_consensus"] == 30
