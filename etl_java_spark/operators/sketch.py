@@ -207,3 +207,100 @@ def digit_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
         F.concat(fd.cast("string"), zeros).cast("bigint").alias("est_lo"),
         F.concat((fd + 1).cast("string"), zeros).cast("bigint").alias("est_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the membership sketch completing the mergeable-sketch
+# triad (HLL = cardinality, CMS = frequency, Bloom = membership).
+# Deterministic double hashing over the arithmetic key hash; bits pack
+# into 32-bit words inside BIGINTs, so every operation is plain integer
+# arithmetic any SQL engine replays exactly (no engine-private hash).
+
+_BLOOM_P = 1_000_000_007
+
+
+def _bloom_pos(key: Column, i: int, m_bits: int) -> Column:
+    k = key.cast("long")
+    h1 = ((k % _BLOOM_P) * 2_654_435_761) % _BLOOM_P
+    h2 = ((k % _BLOOM_P) * 524_287 + 11) % _BLOOM_P
+    return (h1 + F.lit(i) * h2) % _BLOOM_P % m_bits
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a (word_idx, word)
+    relation: each key sets ``k_hashes`` bit positions; bits OR into
+    32-bit words (kept low in a BIGINT so shifts never touch the sign
+    bit on any engine). Mergeable by construction — union two filters'
+    word tables and bit_or again.
+
+    Scale: explode x k_hashes on the key column only, then ONE
+    aggregate onto at most m_bits/32 words — the filter is
+    metadata-sized regardless of input rows.
+    """
+    keys = df.select(F.col(key_col).alias("__k"))
+    pos = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("__k"), i, m_bits)
+                      for i in range(k_hashes)])
+        ).alias("__pos")
+    )
+    return (
+        pos.select(
+            (F.col("__pos") / 32).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))"
+            ).alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """Probe a ``bloom_build`` filter: a key is a (possible) member iff
+    ALL its bit positions are set. Adds ``bloom_member`` to the probe
+    rows. The word table broadcasts (metadata-sized); the probe side
+    never shuffles.
+    """
+    out = probes
+    for i in range(k_hashes):
+        p = _bloom_pos(F.col(key_col), i, m_bits)
+        w = bloom.select(
+            F.col("word_idx").alias(f"__wi{i}"),
+            F.col("word").alias(f"__w{i}"),
+        )
+        out = (
+            out.withColumn(f"__p{i}", p)
+            .withColumn(f"__wi{i}", (F.col(f"__p{i}") / 32).cast("long"))
+            .withColumn(
+                f"__b{i}",
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 32 AS INT))"
+                ),
+            )
+            .join(F.broadcast(w), on=f"__wi{i}", how="left")
+        )
+    member = None
+    for i in range(k_hashes):
+        hit = F.col(f"__w{i}").isNotNull() & (
+            F.col(f"__w{i}").bitwiseAND(F.col(f"__b{i}")) != 0
+        )
+        member = hit if member is None else (member & hit)
+    drop = [
+        c
+        for i in range(k_hashes)
+        for c in (f"__p{i}", f"__wi{i}", f"__w{i}", f"__b{i}")
+    ]
+    out = out.withColumn("bloom_member", member)
+    return out.drop(*drop)

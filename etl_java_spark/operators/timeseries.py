@@ -1037,3 +1037,115 @@ def burn_rate(
         (hot(fast_e, fast_n) & hot(slow_e, slow_n)).alias("alert"),
     )
     return out
+
+
+def window_funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    window_seconds: int,
+) -> DataFrame:
+    """Anchored conversion funnel (the ClickHouse-style windowFunnel):
+    per user, the deepest step prefix completed IN ORDER within
+    ``window_seconds`` of that user's FIRST step-1 event. q109's
+    funnel checks ordering only; this one enforces the time budget —
+    "signup, then click, then purchase, all inside one hour".
+
+    Strict-order conditional-min cascade (k-1 equi-joins, no fold, no
+    window over raw events):
+
+        t1 = min ts of step1
+        t_i = min ts of step_i in (t_{i-1}, t1 + W]
+
+    so a step that misses the window cuts every later step by
+    construction. Returns one row per user with step-1 presence:
+    (user, level, t1) — level in [1, len(steps)].
+
+    Scale: one conditional-min aggregate per step, each an equi-join
+    on the user key against the (tiny) per-user anchor table; the
+    event table is scanned once per step with the step predicate
+    pushed down.
+    """
+    u = F.col(user_col)
+    anchor = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(u.alias("__u"))
+        .agg(F.min(F.col(ts_col).cast("long")).alias("t1"))
+        .withColumn("__dead", (F.col("t1") + window_seconds))
+    )
+    cur = anchor.withColumn("__prev", F.col("t1"))
+    prev_names = ["t1", "__dead", "__prev"]
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.filter(F.col(type_col) == step).select(
+            u.alias("__u"), F.col(ts_col).cast("long").alias("__t")
+        )
+        # conditional min, NOT a filter: a user whose step-i events all
+        # miss the window must stay in the cascade with t_i = NULL
+        hit = F.min(
+            F.when(
+                (F.col("__t") > F.col("__prev"))
+                & (F.col("__t") <= F.col("__dead")),
+                F.col("__t"),
+            )
+        )
+        nxt = (
+            cur.join(ev, on="__u", how="left")
+            .groupBy("__u", *prev_names)
+            .agg(hit.alias(f"__t{i}"))
+        )
+        cur = nxt.withColumn(
+            "__prev", F.coalesce(F.col(f"__t{i}"), F.col("__prev"))
+        )
+        prev_names = [c for c in prev_names if c != "__prev"] + [
+            f"__t{i}", "__prev",
+        ]
+    # a missed step cuts the chain: level counts the CONSECUTIVE prefix
+    chain = None
+    consec = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        step_hit = F.col(f"__t{i}").isNotNull()
+        chain = step_hit if chain is None else (chain & step_hit)
+        consec = consec + F.when(chain, 1).otherwise(0)
+    return cur.select(
+        F.col("__u").alias(user_col),
+        consec.cast("long").alias("level"),
+        F.col("t1"),
+    )
+
+
+def lag_features(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lags: list[int] = [1, 7],
+    rolling_windows: list[int] = [7],
+) -> DataFrame:
+    """ML lag-feature generator over a per-key regular series: for each
+    row, the value ``lag`` steps back and the trailing ``window``-row
+    mean — the features every demand-forecast / anomaly model starts
+    from, generated deterministically in one pass.
+
+    Expects exact integer values (scaled cents) and one row per
+    (key, order) — pre-aggregate first. Rolling means divide an exact
+    decimal window sum by the actual in-window row count (warm-up rows
+    average over what exists). ONE key shuffle serves every lag and
+    window frame.
+
+    Output: input columns plus ``lag_<n>`` (long, NULL in warm-up) and
+    ``rmean_<n>`` (double).
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    out = df
+    for n in lags:
+        out = out.withColumn(f"lag_{n}", F.lag(value_col, n).over(w))
+    for n in rolling_windows:
+        frame = w.rowsBetween(-(n - 1), 0)
+        s = F.sum(F.col(value_col).cast("decimal(38,0)")).over(frame)
+        c = F.count(value_col).over(frame)
+        out = out.withColumn(
+            f"rmean_{n}", s.cast("double") / c.cast("double")
+        )
+    return out

@@ -15238,6 +15238,221 @@ def q317_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q318_window_funnel",
+    """
+    WITH a AS (
+      SELECT user_id, MIN(CAST(epoch(ts) AS BIGINT)) AS t1
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(CAST(epoch(e.ts) AS BIGINT)) AS t2
+      FROM events e JOIN a ON e.user_id = a.user_id
+      WHERE e.event_type = 'click'
+        AND CAST(epoch(e.ts) AS BIGINT) > a.t1
+        AND CAST(epoch(e.ts) AS BIGINT) <= a.t1 + 3600
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(CAST(epoch(e.ts) AS BIGINT)) AS t3
+      FROM events e
+      JOIN a ON e.user_id = a.user_id
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(epoch(e.ts) AS BIGINT) > s2.t2
+        AND CAST(epoch(e.ts) AS BIGINT) <= a.t1 + 3600
+      GROUP BY 1
+    ), lv AS (
+      SELECT a.user_id,
+             CASE WHEN s3.t3 IS NOT NULL THEN 3
+                  WHEN s2.t2 IS NOT NULL THEN 2
+                  ELSE 1 END AS level
+      FROM a
+      LEFT JOIN s2 ON a.user_id = s2.user_id
+      LEFT JOIN s3 ON a.user_id = s3.user_id
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lv GROUP BY 1
+    """,
+)
+def q318_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored window funnel (timeseries.window_funnel): the deepest
+    signup -> click -> purchase prefix each user completes IN ORDER
+    within one hour of their FIRST signup — q109 checks ordering only;
+    this enforces the time budget (the ClickHouse windowFunnel shape).
+    Strict conditional-min cascade: one aggregate per step, each an
+    equi-join on the user key with the step predicate pushed down; a
+    step that misses the window cuts every later step by construction.
+    """
+    from .operators.timeseries import window_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    per = window_funnel(
+        ev, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], 3600,
+    )
+    return per.groupBy(F.col("level").alias("level")).agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+@_q(
+    "q319_bloom_membership",
+    """
+    WITH member_keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+    ), pos AS (
+      SELECT ((k % 1000000007) * 2654435761 % 1000000007
+              + 0 * ((k % 1000000007) * 524287 + 11) % 1000000007)
+             % 1000000007 % 4096 AS p
+      FROM member_keys
+      UNION ALL
+      SELECT ((k % 1000000007) * 2654435761 % 1000000007
+              + 1 * ((k % 1000000007) * 524287 + 11) % 1000000007)
+             % 1000000007 % 4096 AS p
+      FROM member_keys
+    ), words AS (
+      SELECT p // 32 AS wi, BIT_OR(CAST(1 AS BIGINT) << CAST(p % 32 AS INT))
+               AS w
+      FROM pos GROUP BY 1
+    ), probes AS (
+      SELECT c_custkey AS k FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000 FROM customer
+    ), pr AS (
+      SELECT k,
+             ((k % 1000000007) * 2654435761 % 1000000007
+              + 0 * ((k % 1000000007) * 524287 + 11) % 1000000007)
+             % 1000000007 % 4096 AS p0,
+             ((k % 1000000007) * 2654435761 % 1000000007
+              + 1 * ((k % 1000000007) * 524287 + 11) % 1000000007)
+             % 1000000007 % 4096 AS p1
+      FROM probes
+    ), tested AS (
+      SELECT pr.k,
+             (w0.w IS NOT NULL
+              AND (w0.w & (CAST(1 AS BIGINT) << CAST(pr.p0 % 32 AS INT))) <> 0
+              AND w1.w IS NOT NULL
+              AND (w1.w & (CAST(1 AS BIGINT) << CAST(pr.p1 % 32 AS INT))) <> 0)
+               AS bloom_member,
+             EXISTS (SELECT 1 FROM member_keys m WHERE m.k = pr.k)
+               AS true_member
+      FROM pr
+      LEFT JOIN words w0 ON w0.wi = pr.p0 // 32
+      LEFT JOIN words w1 ON w1.wi = pr.p1 // 32
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN true_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_members,
+           CAST(SUM(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_positive,
+           CAST(SUM(CASE WHEN true_member AND NOT bloom_member
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives,
+           CAST(SUM(CASE WHEN bloom_member AND NOT true_member
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN bloom_member AND NOT true_member
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN NOT true_member THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS fp_rate
+    FROM tested
+    """,
+)
+def q319_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch (sketch.bloom_build/bloom_probe):
+    completes the mergeable-sketch triad (HLL cardinality, CMS
+    frequency, Bloom membership). Built over customers-with-orders,
+    probed with every customer PLUS an equal cohort of known
+    non-members: zero false negatives by construction, and the
+    measured false-positive rate is exact because the double-hash bit
+    layout is plain integer arithmetic the oracle replays bit-for-bit.
+    Filter is metadata-sized (4096 bits -> 128 words) and broadcasts.
+    """
+    from .operators.sketch import bloom_build, bloom_probe
+
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    members = od.select(F.col("o_custkey").alias("k")).distinct()
+    bloom = bloom_build(members, "k", m_bits=4096, k_hashes=2)
+    probes = cust.select(F.col("c_custkey").alias("k")).unionByName(
+        cust.select((F.col("c_custkey") + 1000000).alias("k"))
+    )
+    tested = bloom_probe(probes, bloom, "k", m_bits=4096, k_hashes=2).join(
+        members.withColumn("__is_m", F.lit(True)), on="k", how="left"
+    ).withColumn("true_member", F.coalesce("__is_m", F.lit(False)))
+    return tested.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("true_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_members"),
+        F.sum(F.when(F.col("bloom_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_positive"),
+        F.sum(
+            F.when(F.col("true_member") & ~F.col("bloom_member"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_negatives"),
+        F.sum(
+            F.when(F.col("bloom_member") & ~F.col("true_member"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_positives"),
+        (
+            F.sum(
+                F.when(
+                    F.col("bloom_member") & ~F.col("true_member"), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum(F.when(~F.col("true_member"), 1).otherwise(0)).cast(
+                "double"
+            )
+        ).alias("fp_rate"),
+    )
+
+
+@_q(
+    "q320_lag_features",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(DATE_PART('day', ts) AS INT) AS x,
+             CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, x, y,
+           LAG(y, 1) OVER (PARTITION BY event_type ORDER BY x) AS lag_1,
+           LAG(y, 7) OVER (PARTITION BY event_type ORDER BY x) AS lag_7,
+           CAST(SUM(CAST(y AS HUGEINT)) OVER (PARTITION BY event_type
+                  ORDER BY x ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+           / CAST(COUNT(y) OVER (PARTITION BY event_type ORDER BY x
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rmean_7
+    FROM daily
+    """,
+)
+def q320_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML lag-feature generation (timeseries.lag_features): daily
+    revenue per event type with t-1 / t-7 lags and the trailing 7-day
+    mean — the deterministic feature block every demand-forecast model
+    starts from. Exact integer cents; the rolling mean divides an
+    exact decimal window sum by the in-window count (warm-up rows
+    average what exists). ONE key shuffle serves every lag and frame.
+    """
+    from .operators.timeseries import lag_features
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("x")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("y")
+    )
+    return lag_features(
+        daily, "event_type", "x", "y", lags=[1, 7], rolling_windows=[7]
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
@@ -15298,7 +15513,8 @@ _PRIORITY = [
     "q308_corpus_hygiene", "q309_blocking_eval", "q310_kfold_ols",
     "q311_burn_rate", "q312_bfs_layers", "q313_metric_drivers",
     "q314_cuped", "q315_gains_table", "q316_fallback_join",
-    "q317_consensus",
+    "q317_consensus", "q318_window_funnel", "q319_bloom_membership",
+    "q320_lag_features",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",

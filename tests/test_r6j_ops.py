@@ -120,3 +120,106 @@ def test_consensus_majority_and_conflicts(spark):
     assert out[2]["missing_from"] == "C"
     # key 3: three distinct names -> conflict
     assert out[3]["name_consensus"] is None and out[3]["bal_consensus"] == 30
+
+
+import datetime as dt  # noqa: E402
+
+from etl_java_spark.operators.sketch import bloom_build, bloom_probe  # noqa: E402
+from etl_java_spark.operators.timeseries import (  # noqa: E402
+    lag_features,
+    window_funnel,
+)
+
+
+def _funnel_events(spark):
+    base = dt.datetime(2024, 1, 1, 12)
+
+    def s(m):
+        return base + dt.timedelta(minutes=m)
+
+    return spark.createDataFrame(
+        [
+            (1, s(0), "signup"), (1, s(10), "click"), (1, s(20), "purchase"),
+            (2, s(0), "signup"), (2, s(90), "click"),   # click misses 1h
+            (3, s(0), "signup"), (3, s(5), "purchase"),  # step 2 skipped
+            (4, s(0), "click"),                          # never signed up
+            (5, s(0), "signup"), (5, s(30), "click"),
+            (5, s(70), "purchase"),                      # purchase too late
+        ],
+        "u long, ts timestamp, t string",
+    )
+
+
+def test_window_funnel_levels(spark):
+    out = {
+        r["u"]: r["level"]
+        for r in window_funnel(
+            _funnel_events(spark), "u", "ts", "t",
+            ["signup", "click", "purchase"], 3600,
+        ).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 1, 5: 2}
+    # user 4 (no anchor step) is absent entirely
+    assert 4 not in out
+
+
+def test_window_funnel_skipped_step_cuts_chain(spark):
+    # user 3 purchases within the window but never clicked -> level 1,
+    # NOT 2 — the prefix must be consecutive
+    out = {
+        r["u"]: r["level"]
+        for r in window_funnel(
+            _funnel_events(spark), "u", "ts", "t",
+            ["signup", "click", "purchase"], 3600,
+        ).collect()
+    }
+    assert out[3] == 1
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    keys = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    bloom = bloom_build(keys, "k", m_bits=8192, k_hashes=2)
+    probed = bloom_probe(keys, bloom, "k", m_bits=8192, k_hashes=2)
+    assert probed.filter(~F.col("bloom_member")).count() == 0  # no FN
+
+    # mergeability: union of two half-filters == filter of the union
+    lo = bloom_build(keys.filter(F.col("k") < 250), "k", 8192, 2)
+    hi = bloom_build(keys.filter(F.col("k") >= 250), "k", 8192, 2)
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    a = {(r["word_idx"], r["word"]) for r in bloom.collect()}
+    b = {(r["word_idx"], r["word"]) for r in merged.collect()}
+    assert a == b
+
+
+def test_bloom_fp_rate_bounded(spark):
+    keys = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    bloom = bloom_build(keys, "k", m_bits=8192, k_hashes=2)
+    outsiders = spark.createDataFrame(
+        [(i,) for i in range(10_000, 11_000)], "k long"
+    )
+    fp = bloom_probe(outsiders, bloom, "k", 8192, 2).filter(
+        F.col("bloom_member")
+    ).count()
+    # k=2, m/n = 16.4 -> expected fp ~ (1-e^-2n k/m)^k ~ 1.3%; allow slack
+    assert fp < 60
+
+
+def test_lag_features_warmup_and_values(spark):
+    rows = [("k", i, (i + 1) * 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x int, y long")
+    out = {
+        r["x"]: r
+        for r in lag_features(
+            df, "k", "x", "y", lags=[1, 7], rolling_windows=[3]
+        ).collect()
+    }
+    assert out[0]["lag_1"] is None and out[0]["lag_7"] is None
+    assert out[5]["lag_1"] == 50
+    assert out[8]["lag_7"] == 20
+    assert out[0]["rmean_3"] == 10.0          # warm-up: mean of 1 row
+    assert out[2]["rmean_3"] == 20.0          # (10+20+30)/3
+    assert out[9]["rmean_3"] == 90.0          # (80+90+100)/3
