@@ -280,3 +280,77 @@ def trigram_fluency(
             ).alias("fluency"),
         )
     )
+
+
+def bigram_cross_fluency(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Cross-corpus fluency: score documents under a bigram model
+    trained on a DIFFERENT corpus — the domain-mismatch detector
+    (``bigram_fluency`` asks "is this fluent for its own corpus?";
+    this asks "does this read like the reference domain?"), the cheap
+    relational stand-in for cross-perplexity domain filtering.
+
+    Same add-one-smoothed average probability as bigram_fluency, but
+    counts, vocabulary, and V all come from ``train_docs``; bigrams or
+    unigrams unseen in training contribute the smoothed floor
+    1 / (0 + V) via LEFT joins with zero-coalesced counts. Returns
+    (id, n_bigrams, oov_bigrams, fluency) — fluency decimal-summed and
+    rounded to 12 (the bigram_fluency discipline).
+
+    Scale: the model is two map-side-combinable count shuffles over
+    the training corpus; scoring is two LEFT joins on bigram/unigram
+    keys (Zipf head -> AQE skew splitting, same stance as
+    bigram_fluency).
+    """
+    def doc_bigrams(docs):
+        toks_col = token_array(text_col, pattern)
+        sliced = docs.select(
+            F.col(id_col),
+            F.slice(
+                toks_col, 1, F.greatest(F.size(toks_col) - 1, F.lit(0))
+            ).alias("w1s"),
+            F.slice(
+                toks_col, 2, F.greatest(F.size(toks_col) - 1, F.lit(0))
+            ).alias("w2s"),
+        )
+        return sliced.select(
+            F.col(id_col), F.explode(F.arrays_zip("w1s", "w2s")).alias("p")
+        ).select(id_col, F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2"))
+
+    tr_pairs = doc_bigrams(train_docs)
+    c_bigram = tr_pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c12")
+    )
+    c_unigram = (
+        train_docs.select(F.explode(token_array(text_col, pattern)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    vocab = c_unigram.agg(F.count("*").cast("double").alias("v"))
+
+    doc_bg = score_docs.transform(doc_bigrams).groupBy(
+        id_col, "w1", "w2"
+    ).agg(F.count("*").alias("n"))
+    scored = (
+        doc_bg.join(c_bigram, ["w1", "w2"], "left")
+        .join(c_unigram, doc_bg.w1 == F.col("w"), "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    prob = (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + 1.0) / (
+        F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.col("v")
+    )
+    weighted = (F.col("n").cast("double") * prob).cast("decimal(38,15)")
+    return scored.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c12").isNull(), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("oov_bigrams"),
+        F.round(
+            F.sum(weighted).cast("double") / F.sum("n").cast("double"), 12
+        ).alias("fluency"),
+    )

@@ -134,3 +134,43 @@ def restatement_report(
             "restated_cents", F.col("final_cents") - F.col("initial_cents")
         )
     )
+
+
+def latest_nonnull_merge(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Recency survivorship merge: one golden row per key where each
+    column independently takes its value from the LATEST row in which
+    that column was non-null — the standard MDM rule ("newest known
+    phone number, newest known address", even if they arrived on
+    different updates). ``dedup.cluster_golden_records`` picks by
+    column MAX; this picks by column RECENCY.
+
+    One grouped aggregate: per column a ``max_by`` whose ordering key
+    is (ts, seq) and is NULL when the column is NULL — max_by ignores
+    NULL ordering keys, so absent values never steal the slot.
+    Deterministic under ts ties via ``seq_col`` (pass the changelog's
+    sequence/id column; defaults to the timestamp only).
+
+    Returns (key, n_versions, last_ts, <value_cols...>).
+    """
+    order = (
+        F.struct(F.col(ts_col), F.col(seq_col))
+        if seq_col
+        else F.struct(F.col(ts_col))
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_versions"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+    ]
+    for c in value_cols:
+        aggs.append(
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), order)
+            ).alias(c)
+        )
+    return df.groupBy(key_col).agg(*aggs)

@@ -1113,3 +1113,84 @@ def consensus_reconcile(
         conflicts.cast("long").alias("n_conflicts"),
         missing.alias("missing_from"),
     )
+
+
+def quantile_map(
+    df: DataFrame,
+    value_col: str,
+    cohort_col,
+    ref_cohort,
+    cur_cohort,
+) -> DataFrame:
+    """Quantile normalization: map every CURRENT-cohort value onto the
+    REFERENCE cohort's distribution by rank — the score-alignment
+    transform that makes two graders/encoders/vintages comparable
+    ("your 0.83 is their 0.77"). Exact order-statistic arithmetic, no
+    interpolation:
+
+        for a current value v with CDF count cb (current values <= v),
+        k = ceil(cb * n_ref / n_cur), mapped(v) = the k-th smallest
+        reference value.
+
+    Both CDFs collapse to distinct values + cumulative counts first
+    (integer, engine-exact); the k -> order-statistic lookup is a band
+    join against the reference's (cum_prev, cum] ranges. The lookup
+    table is DISTINCT-VALUE-sized — a CDF is metadata relative to the
+    data — so it broadcasts; quantize values upstream if a continuous
+    column's cardinality threatens that.
+
+    Returns one row per distinct current value: (value, n, mapped).
+    """
+    coh = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
+    base = df.select(F.col(value_col).alias("v"), coh.alias("__c")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def cdf(cohort):
+        vals = (
+            base.filter(F.col("__c") == cohort)
+            .groupBy("v")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return vals.withColumn("cum", F.sum("n").over(w))
+
+    ref = cdf(ref_cohort).select(
+        F.col("v").alias("ref_v"),
+        (F.col("cum") - F.col("n")).alias("lo"),
+        F.col("cum").alias("hi"),
+    )
+    cur = cdf(cur_cohort)
+    n_ref = base.filter(F.col("__c") == ref_cohort).agg(
+        F.count("*").cast("long").alias("__nr")
+    )
+    n_cur = base.filter(F.col("__c") == cur_cohort).agg(
+        F.count("*").cast("long").alias("__nc")
+    )
+    with_k = cur.crossJoin(F.broadcast(n_ref)).crossJoin(
+        F.broadcast(n_cur)
+    ).withColumn(
+        "__k",
+        # ceil(cum * nr / nc) via the exact mod trick
+        (
+            (
+                F.col("cum") * F.col("__nr")
+                + F.col("__nc")
+                - 1
+                - (F.col("cum") * F.col("__nr") + F.col("__nc") - 1)
+                % F.col("__nc")
+            )
+            / F.col("__nc")
+        ).cast("long"),
+    )
+    return (
+        with_k.join(
+            F.broadcast(ref),
+            (F.col("__k") > F.col("lo")) & (F.col("__k") <= F.col("hi")),
+        )
+        .select(
+            F.col("v").alias("value"),
+            F.col("n"),
+            F.col("ref_v").alias("mapped"),
+        )
+    )

@@ -409,3 +409,67 @@ def rrf_fuse(
             "fused_rank",
         )
     )
+
+
+def rbo_overlap(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    query_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Rank-biased overlap at depth ``k`` with persistence p = 1/2 —
+    the top-weighted agreement score between two rankings of the same
+    candidate set (complements MRR/NDCG, which need relevance labels;
+    RBO needs only the two rankings):
+
+        RBO@k = sum_{d=1..k} p^(d-1) * |A_1..d ∩ B_1..d| / d
+                / sum_{d=1..k} p^(d-1)
+
+    p = 1/2 is chosen deliberately: every weight is an exact binary
+    fraction, so the per-depth terms are single correctly-rounded
+    doubles and the sum runs through decimals (order-independent) —
+    bit-reproducible, SQL-replayable (the q277 no-float-SUM
+    discipline).
+
+    Relational shape: inner-join the two top-k lists per (query, item)
+    -> each shared item enters the overlap at depth max(rank_a,
+    rank_b); explode the k depths (bounded) and count. One equi-join +
+    one k-bounded aggregate per query.
+
+    Returns (query, rbo).
+    """
+    a = rank_a.select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).alias("__ra"),
+    ).filter(F.col("__ra") <= k)
+    b = rank_b.select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).alias("__rb"),
+    ).filter(F.col("__rb") <= k)
+    shared = a.join(b, on=["__q", "__i"]).select(
+        "__q", F.greatest("__ra", "__rb").alias("__entry")
+    )
+    depths = shared.select(
+        "__q",
+        F.explode(F.sequence(F.col("__entry"), F.lit(k))).alias("__d"),
+    )
+    per_depth = depths.groupBy("__q", "__d").agg(
+        F.count("*").cast("long").alias("__x")
+    )
+    weights = [0.5 ** (d - 1) for d in range(1, k + 1)]
+    denom = sum(weights)
+    w_expr = F.lit(weights[0])
+    for d in range(2, k + 1):
+        w_expr = F.when(F.col("__d") == d, weights[d - 1]).otherwise(w_expr)
+    term = (
+        w_expr * F.col("__x").cast("double") / F.col("__d").cast("double")
+    ).cast("decimal(38,15)")
+    return per_depth.groupBy(F.col("__q").alias(query_col)).agg(
+        F.round(
+            F.sum(term).cast("double") / F.lit(denom), 12
+        ).alias("rbo")
+    )

@@ -14067,11 +14067,12 @@ def q299_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q300_linear_attribution",
     """
     WITH pur AS (
-      SELECT event_id AS pid, user_id, CAST(epoch(ts) AS BIGINT) AS pt,
+      SELECT event_id AS pid, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS pt,
              CAST(ROUND(value * 100) AS BIGINT) AS c
       FROM events WHERE event_type = 'purchase'
     ), tch AS (
-      SELECT user_id, CAST(epoch(ts) AS BIGINT) AS tt,
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tt,
              'ch' || CAST(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)
                           % 4 AS VARCHAR) AS channel
       FROM events WHERE event_type = 'click'
@@ -15242,23 +15243,23 @@ def q317_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q318_window_funnel",
     """
     WITH a AS (
-      SELECT user_id, MIN(CAST(epoch(ts) AS BIGINT)) AS t1
+      SELECT user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t1
       FROM events WHERE event_type = 'signup' GROUP BY 1
     ), s2 AS (
-      SELECT e.user_id, MIN(CAST(epoch(e.ts) AS BIGINT)) AS t2
+      SELECT e.user_id, MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT)) AS t2
       FROM events e JOIN a ON e.user_id = a.user_id
       WHERE e.event_type = 'click'
-        AND CAST(epoch(e.ts) AS BIGINT) > a.t1
-        AND CAST(epoch(e.ts) AS BIGINT) <= a.t1 + 3600
+        AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) > a.t1
+        AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) <= a.t1 + 3600
       GROUP BY 1
     ), s3 AS (
-      SELECT e.user_id, MIN(CAST(epoch(e.ts) AS BIGINT)) AS t3
+      SELECT e.user_id, MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT)) AS t3
       FROM events e
       JOIN a ON e.user_id = a.user_id
       JOIN s2 ON e.user_id = s2.user_id
       WHERE e.event_type = 'purchase'
-        AND CAST(epoch(e.ts) AS BIGINT) > s2.t2
-        AND CAST(epoch(e.ts) AS BIGINT) <= a.t1 + 3600
+        AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) > s2.t2
+        AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) <= a.t1 + 3600
       GROUP BY 1
     ), lv AS (
       SELECT a.user_id,
@@ -15453,6 +15454,248 @@ def q320_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q321_quantile_map",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 0 ELSE 1 END AS c
+      FROM events WHERE value IS NOT NULL
+    ), refv AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM base WHERE c = 0 GROUP BY 1
+    ), refc AS (
+      SELECT v AS ref_v,
+             SUM(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS lo,
+             SUM(n) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM refv
+    ), curv AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM base WHERE c = 1 GROUP BY 1
+    ), curc AS (
+      SELECT v, n, SUM(n) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM curv
+    ), nn AS (
+      SELECT SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS nr,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS nc
+      FROM base
+    ), kk AS (
+      SELECT v, n, (cum * nr + nc - 1) // nc AS k FROM curc, nn
+    )
+    SELECT kk.v AS value, kk.n AS n, r.ref_v AS mapped
+    FROM kk JOIN refc r ON kk.k > r.lo AND kk.k <= r.hi
+    """,
+)
+def q321_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (dq.quantile_map): every second-half
+    event value mapped onto the first half's distribution by exact
+    order statistics — k = ceil(rank * n_ref / n_cur), mapped = k-th
+    smallest reference value, no interpolation — the score-alignment
+    transform that makes two vintages comparable. Distinct-value CDFs
+    (metadata-sized) + one broadcast band join; pure integer rank
+    arithmetic.
+    """
+    from .operators.dq import quantile_map
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.filter(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00"), "ref")
+        .otherwise("cur")
+        .alias("cohort"),
+    )
+    out = quantile_map(df, "cents", "cohort", "ref", "cur")
+    return out.select(
+        F.col("value"), F.col("n"), F.col("mapped")
+    )
+
+
+@_q(
+    "q322_latest_nonnull",
+    r"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000
+               + event_id % 1000000 AS ordkey,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END AS purchase_cents,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)
+             END AS click_k
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           MAX(ordkey) AS last_ts,
+           ARG_MAX(purchase_cents, ordkey)
+             FILTER (WHERE purchase_cents IS NOT NULL) AS purchase_cents,
+           ARG_MAX(click_k, ordkey)
+             FILTER (WHERE click_k IS NOT NULL) AS click_k
+    FROM ev GROUP BY 1
+    """,
+)
+def q322_latest_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency survivorship merge (cdc.latest_nonnull_merge): one
+    golden row per user where each column independently keeps its
+    LATEST non-null value — newest known purchase amount and newest
+    known click payload, even though they arrive on different events
+    (q235's golden records pick by MAX; this picks by recency, the
+    standard MDM rule). One grouped aggregate of max_by's whose
+    ordering key is NULL when the column is — absent values never
+    steal the slot. Tie-safe via the (epoch, event_id) scalar order
+    key.
+    """
+    from .operators.cdc import latest_nonnull_merge
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.col("ts").cast("long") * 1000000
+            + F.col("event_id") % 1000000
+        ).alias("ordkey"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("purchase_cents"),
+        F.when(
+            F.col("event_type") == "click",
+            F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast("int"),
+        ).alias("click_k"),
+    )
+    return latest_nonnull_merge(
+        ev, "user_id", "ordkey", ["purchase_cents", "click_k"]
+    )
+
+
+@_q(
+    "q323_cross_fluency",
+    f"""
+    WITH train AS (
+      SELECT doc_id, text FROM documents
+      WHERE CAST(SUBSTR(source, 4) AS INT) < 10
+    ), score AS (
+      SELECT doc_id, text FROM documents
+      WHERE CAST(SUBSTR(source, 4) AS INT) >= 10
+    ), ttok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM train
+    ), tpairs AS (
+      SELECT toks[CAST(r.i AS INTEGER)] AS w1,
+             toks[CAST(r.i AS INTEGER) + 1] AS w2
+      FROM ttok, UNNEST(range(1, LEN(toks))) AS r(i)
+    ), bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM tpairs GROUP BY 1, 2
+    ), uni AS (
+      SELECT t.term AS w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM ttok, UNNEST(toks) AS t(term) GROUP BY 1
+    ), v AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni
+    ), stok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM score
+    ), spairs AS (
+      SELECT doc_id, toks[CAST(r.i AS INTEGER)] AS w1,
+             toks[CAST(r.i AS INTEGER) + 1] AS w2
+      FROM stok, UNNEST(range(1, LEN(toks))) AS r(i)
+    ), dbg AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS n FROM spairs GROUP BY 1, 2, 3
+    )
+    SELECT d.doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN bi.c12 IS NULL THEN n ELSE 0 END) AS BIGINT)
+             AS oov_bigrams,
+           ROUND(CAST(SUM(CAST(
+             CAST(n AS DOUBLE)
+             * ((CAST(COALESCE(bi.c12, 0) AS DOUBLE) + 1.0)
+                / (CAST(COALESCE(uni.c1, 0) AS DOUBLE) + v.v))
+           AS DECIMAL(38,15))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 12)
+             AS fluency
+    FROM dbg d
+    LEFT JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
+    LEFT JOIN uni ON d.w1 = uni.w
+    CROSS JOIN v
+    GROUP BY d.doc_id
+    """,
+)
+def q323_cross_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fluency (functions/lm.py:bigram_cross_fluency):
+    documents from sources 10+ scored under a bigram model trained
+    ONLY on sources 0-9 — the domain-mismatch detector (q125 asks "is
+    this fluent for its own corpus?"; this asks "does it read like the
+    reference domain?"), with out-of-vocabulary bigram counts
+    surfaced. Unseen bigrams take the smoothed floor via zero-coalesced
+    LEFT joins. Two training count shuffles + two scoring joins.
+    """
+    from .functions.lm import bigram_cross_fluency
+
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    train = docs.filter(src_num < 10)
+    score = docs.filter(src_num >= 10)
+    return bigram_cross_fluency(train, score)
+
+
+@_q(
+    "q324_rbo",
+    """
+    WITH ra AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id ASC) AS r
+      FROM documents
+    ), rb AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) DESC,
+                        doc_id ASC) AS r
+      FROM documents
+    ), shared AS (
+      SELECT ra.lang, GREATEST(ra.r, rb.r) AS entry
+      FROM ra JOIN rb ON ra.lang = rb.lang AND ra.doc_id = rb.doc_id
+      WHERE ra.r <= 10 AND rb.r <= 10
+    ), depths AS (
+      SELECT lang, CAST(UNNEST(range(entry, 11)) AS BIGINT) AS d
+      FROM shared
+    ), per_depth AS (
+      SELECT lang, d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM depths GROUP BY 1, 2
+    )
+    SELECT lang,
+           ROUND(CAST(SUM(CAST(
+             (1.0 / (1 << CAST(d - 1 AS INT)))
+             * CAST(x AS DOUBLE) / CAST(d AS DOUBLE)
+           AS DECIMAL(38,15))) AS DOUBLE) / 1.998046875, 12) AS rbo
+    FROM per_depth GROUP BY lang
+    """,
+)
+def q324_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (retrieval.rbo_overlap): per language, how
+    much the "longest documents" ranking agrees with the "most words"
+    ranking in the top 10 — the label-free ranking-agreement metric
+    complementing MRR/NDCG (q239) and RRF (q277). Persistence p = 1/2
+    keeps every depth weight an exact binary fraction, so terms are
+    single correctly-rounded doubles decimal-summed (never a float
+    SUM) — bit-reproducible. One equi-join + one k-bounded aggregate
+    per language.
+    """
+    from .operators.retrieval import rbo_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    w_chars = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    words = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    w_words = Window.partitionBy("lang").orderBy(
+        words.desc(), F.col("doc_id").asc()
+    )
+    ra = docs.select(
+        "lang", "doc_id", F.row_number().over(w_chars).alias("r")
+    )
+    rb = docs.select(
+        "lang", "doc_id", F.row_number().over(w_words).alias("r")
+    )
+    return rbo_overlap(ra, rb, "lang", "doc_id", "r", k=10)
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
@@ -15514,7 +15757,8 @@ _PRIORITY = [
     "q311_burn_rate", "q312_bfs_layers", "q313_metric_drivers",
     "q314_cuped", "q315_gains_table", "q316_fallback_join",
     "q317_consensus", "q318_window_funnel", "q319_bloom_membership",
-    "q320_lag_features",
+    "q320_lag_features", "q321_quantile_map", "q322_latest_nonnull",
+    "q323_cross_fluency", "q324_rbo",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",

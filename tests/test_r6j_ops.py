@@ -223,3 +223,103 @@ def test_lag_features_warmup_and_values(spark):
     assert out[0]["rmean_3"] == 10.0          # warm-up: mean of 1 row
     assert out[2]["rmean_3"] == 20.0          # (10+20+30)/3
     assert out[9]["rmean_3"] == 90.0          # (80+90+100)/3
+
+
+from etl_java_spark.functions.lm import bigram_cross_fluency  # noqa: E402
+from etl_java_spark.operators.cdc import latest_nonnull_merge  # noqa: E402
+from etl_java_spark.operators.dq import quantile_map  # noqa: E402
+from etl_java_spark.operators.retrieval import rbo_overlap  # noqa: E402
+
+
+def test_quantile_map_exact_order_statistics(spark):
+    # ref = {10,20,30,40}, cur = {1,2,3,4} -> each cur value maps to
+    # the same-rank ref value
+    rows = [(v, "ref") for v in (10, 20, 30, 40)] + [
+        (v, "cur") for v in (1, 2, 3, 4)
+    ]
+    df = spark.createDataFrame(rows, "v long, c string")
+    out = {
+        r["value"]: r["mapped"]
+        for r in quantile_map(df, "v", "c", "ref", "cur").collect()
+    }
+    assert out == {1: 10, 2: 20, 3: 30, 4: 40}
+
+
+def test_quantile_map_uneven_sizes(spark):
+    # 2 cur values over 4 ref values: ranks 1,2 of 2 -> ceil(1*4/2)=2nd
+    # and ceil(2*4/2)=4th smallest ref values
+    rows = [(v, "ref") for v in (10, 20, 30, 40)] + [
+        (5, "cur"), (6, "cur"),
+    ]
+    out = {
+        r["value"]: r["mapped"]
+        for r in quantile_map(
+            spark.createDataFrame(rows, "v long, c string"), "v", "c",
+            "ref", "cur",
+        ).collect()
+    }
+    assert out == {5: 20, 6: 40}
+
+
+def test_latest_nonnull_merge_per_column_recency(spark):
+    rows = [
+        (1, 10, "old@x", None),
+        (1, 20, None, "555"),       # later row knows phone, not email
+        (1, 30, "new@x", None),     # latest email
+        (2, 5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, email string, phone string")
+    out = {
+        r["k"]: r
+        for r in latest_nonnull_merge(df, "k", "ts", ["email", "phone"]).collect()
+    }
+    assert out[1]["email"] == "new@x"
+    assert out[1]["phone"] == "555"     # survives despite later rows
+    assert out[1]["n_versions"] == 3 and out[1]["last_ts"] == 30
+    assert out[2]["email"] is None and out[2]["phone"] is None
+
+
+def test_cross_fluency_oov_and_domain_gap(spark):
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zork blorp quux")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bigram_cross_fluency(train, score).collect()
+    }
+    assert out[10]["oov_bigrams"] == 0
+    assert out[11]["oov_bigrams"] == 2      # both bigrams unseen
+    assert out[10]["fluency"] > out[11]["fluency"]  # in-domain reads better
+
+
+def test_rbo_identical_and_disjoint(spark):
+    a = spark.createDataFrame(
+        [("q", i, i) for i in range(1, 11)], "q string, item long, r int"
+    )
+    out = rbo_overlap(a, a, "q", "item", "r", k=10).collect()[0]
+    assert out["rbo"] == 1.0  # identical rankings
+    b = spark.createDataFrame(
+        [("q", 100 + i, i) for i in range(1, 11)], "q string, item long, r int"
+    )
+    assert rbo_overlap(a, b, "q", "item", "r", k=10).count() == 0  # disjoint
+
+
+def test_rbo_top_weighted(spark):
+    # agreeing at the TOP scores higher than agreeing at the bottom
+    base = [("q", i, i) for i in range(1, 11)]
+    a = spark.createDataFrame(base, "q string, item long, r int")
+    top_agree = spark.createDataFrame(
+        [("q", 1, 1)] + [("q", 100 + i, i) for i in range(2, 11)],
+        "q string, item long, r int",
+    )
+    bot_agree = spark.createDataFrame(
+        [("q", 100 + i, i) for i in range(1, 10)] + [("q", 10, 10)],
+        "q string, item long, r int",
+    )
+    top = rbo_overlap(a, top_agree, "q", "item", "r", 10).collect()[0]["rbo"]
+    bot = rbo_overlap(a, bot_agree, "q", "item", "r", 10).collect()[0]["rbo"]
+    assert top > bot > 0
