@@ -865,3 +865,89 @@ def cluster_golden_records(
         F.col(id_col).alias("cluster_id"), *[F.col(c) for c in survivor_cols]
     )
     return per_cluster.join(survivors, "cluster_id", "inner")
+
+
+def weighted_jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    idf_round: int = 9,
+    pattern: str | None = None,
+) -> DataFrame:
+    """IDF-weighted Jaccard over candidate pairs: shared RARE shingles
+    count more than shared boilerplate —
+
+        wj(A, B) = sum_{s in A∩B} idf(s) / sum_{s in A∪B} idf(s)
+
+    the verification upgrade that separates "same document" from
+    "same template" (plain Jaccard scores two boilerplate-heavy pages
+    as near-dups; weighted Jaccard does not). Use after any candidate
+    generator (``minhash_candidate_pairs``, q296's sorted
+    neighborhood); reports the plain set Jaccard alongside so the two
+    can be compared pair by pair.
+
+    Exactness: idf = ln(N / df) rounded to ``idf_round`` decimals and
+    aggregated as exact decimals (the q248 ln discipline); the final
+    ratios are single double divisions. Shingles explode only for
+    docs REFERENCED by a pair (semi-join pruned); per-pair work is the
+    pair's distinct-shingle union, same bound as ``jaccard_verify``.
+
+    Returns (id_a, id_b, jaccard, weighted_jaccard).
+    """
+    from ..functions.text import DEFAULT_TOKEN_PATTERN, word_shingles
+
+    pat = pattern or DEFAULT_TOKEN_PATTERN
+    needed = pairs.select(F.col("id_a").alias("__id")).unionByName(
+        pairs.select(F.col("id_b").alias("__id"))
+    ).distinct()
+    shingles = F.array_distinct(
+        word_shingles(F.col(text_col), shingle_n, pat)
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles).alias("__sh"),
+        )
+        .join(needed, on="__id", how="left_semi")
+    )
+    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
+    # document frequency over the FULL corpus (weights must not depend
+    # on which pairs are being verified)
+    df_counts = (
+        df.select(F.explode(shingles).alias("__sh"))
+        .groupBy("__sh")
+        .agg(F.count("*").cast("long").alias("__df"))
+    )
+    idf = df_counts.crossJoin(F.broadcast(n_docs)).select(
+        "__sh",
+        F.round(F.log(F.col("__n") / F.col("__df")), idf_round)
+        .cast(f"decimal(28,{idf_round})")
+        .alias("__w"),
+    )
+    ta = pairs.join(toks, pairs.id_a == toks["__id"]).select(
+        "id_a", "id_b", "__sh"
+    )
+    tb = pairs.join(toks, pairs.id_b == toks["__id"]).select(
+        "id_a", "id_b", "__sh"
+    )
+    cells = (
+        ta.unionByName(tb)
+        .groupBy("id_a", "id_b", "__sh")
+        .agg(F.count("*").alias("__cnt"))
+        .join(idf, on="__sh")
+    )
+    return cells.groupBy("id_a", "id_b").agg(
+        (
+            F.sum(F.when(F.col("__cnt") == 2, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("jaccard"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("__cnt") == 2, F.col("__w"))),
+                F.lit(0).cast("decimal(28,9)"),
+            ).cast("double")
+            / F.sum("__w").cast("double")
+        ).alias("weighted_jaccard"),
+    )

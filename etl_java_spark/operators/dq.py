@@ -1194,3 +1194,59 @@ def quantile_map(
             F.col("ref_v").alias("mapped"),
         )
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str,
+    z_threshold: float = 4.0,
+) -> DataFrame:
+    """Per-DIMENSION embedding statistics — the feature-wise companion
+    of ``embedding_health`` (which audits whole vectors): each
+    dimension's mean, standard deviation, and extreme-z-score count.
+    A dimension whose std collapses toward zero is dead weight; one
+    spraying |z| > 4 outliers is an encoder defect or data poisoning.
+
+    Exactness: dimensions explode to (pos, x) rows; values round to 6
+    decimals and aggregate as exact decimals (the q285/q289
+    discipline), squares to 12; mean/std derive in fixed double
+    expressions. The outlier pass re-scans with the per-dim stats
+    broadcast back — two scans total, no window.
+
+    Returns one row per dimension: (pos, n, mean, std, n_outliers).
+    """
+    flat = df.select(
+        F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select("pos", F.col("x").cast("double").alias("x"))
+    stats = flat.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)")).alias("__s"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)")
+        ).alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("n").cast("double")
+    var = F.col("__ss").cast("double") / F.col("n").cast("double") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    with_stats = stats.select(
+        "pos", "n", mean.alias("mean"), std.alias("std")
+    )
+    outliers = (
+        flat.join(F.broadcast(with_stats), on="pos")
+        .filter(
+            (F.col("std") > 0)
+            & (F.abs(F.col("x") - F.col("mean")) > z_threshold * F.col("std"))
+        )
+        .groupBy("pos")
+        .agg(F.count("*").cast("long").alias("n_outliers"))
+    )
+    return (
+        with_stats.join(outliers, on="pos", how="left")
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            "n",
+            F.round("mean", 12).alias("mean"),
+            F.round("std", 12).alias("std"),
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+    )

@@ -473,3 +473,75 @@ def rbo_overlap(
             F.sum(term).cast("double") / F.lit(denom), 12
         ).alias("rbo")
     )
+
+
+def beyond_accuracy(
+    topk: DataFrame,
+    vectors: DataFrame,
+    catalog_n_df: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Beyond-accuracy recommender metrics over a top-k table:
+
+    - catalog coverage@k — what fraction of the catalog ever gets
+      recommended (a recommender that only surfaces 2% of items is a
+      popularity echo chamber however good its precision);
+    - intra-list diversity (ILD) — the mean pairwise cosine DISTANCE
+      inside each query's list, averaged over queries (lists of
+      near-clones score low however relevant they are).
+
+    ``catalog_n_df`` is a 1-row (catalog_n) aggregate (broadcast).
+    Pairwise work is k^2 per query — bounded by the list, never the
+    catalog. Per-pair cosines fold in index order (q260 discipline);
+    pair terms and per-query means pass through decimals so no float
+    SUM depends on ordering. Returns one row: (n_queries, catalog_n,
+    n_recommended, coverage_at_k, ild_mean).
+    """
+    from ..functions.vectors import cosine
+
+    lists = topk.select(
+        F.col(query_col).alias("__q"), F.col(item_col).alias("__i")
+    )
+    v = vectors.select(
+        F.col(vec_id_col).alias("__i"), F.col(vec_col).alias("__v")
+    )
+    with_vec = lists.join(v, on="__i")
+    a = with_vec.select("__q", F.col("__i").alias("__ia"), F.col("__v").alias("__va"))
+    b = with_vec.select("__q", F.col("__i").alias("__ib"), F.col("__v").alias("__vb"))
+    pairs = a.join(b, on="__q").filter(F.col("__ia") < F.col("__ib"))
+    per_q = pairs.select(
+        "__q",
+        (F.lit(1.0) - cosine(F.col("__va"), F.col("__vb")))
+        .cast("decimal(38,15)")
+        .alias("__d"),
+    ).groupBy("__q").agg(
+        (F.sum("__d").cast("double") / F.count("*").cast("double"))
+        .cast("decimal(38,15)")
+        .alias("__ild")
+    )
+    ild = per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(
+            F.sum("__ild").cast("double") / F.count("*").cast("double"), 12
+        ).alias("ild_mean"),
+    )
+    cov = lists.agg(
+        F.countDistinct("__i").cast("long").alias("n_recommended")
+    )
+    return (
+        ild.crossJoin(F.broadcast(cov))
+        .crossJoin(F.broadcast(catalog_n_df))
+        .select(
+            "n_queries",
+            F.col("catalog_n").cast("long").alias("catalog_n"),
+            "n_recommended",
+            (
+                F.col("n_recommended").cast("double")
+                / F.col("catalog_n").cast("double")
+            ).alias("coverage_at_k"),
+            "ild_mean",
+        )
+    )

@@ -15696,6 +15696,199 @@ def q324_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rbo_overlap(ra, rb, "lang", "doc_id", "r", k=10)
 
 
+@_q(
+    "q325_beyond_accuracy",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < 50
+    ), pairs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        list_sum(list_transform(list_zip(q.qe, c.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(q.qe,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+        list_sum(list_transform(c.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nc
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc))
+                    ELSE 0.0 END DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ), lists AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
+    ), lp AS (
+      SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+             ea.embedding AS va, eb.embedding AS vb
+      FROM lists a
+      JOIN lists b ON a.query_id = b.query_id
+                  AND a.neighbor_id < b.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ), dists AS (
+      SELECT query_id,
+        CAST(1.0 - CASE WHEN
+          list_sum(list_transform(va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+          AND list_sum(list_transform(vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+          THEN list_sum(list_transform(list_zip(va, vb),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(va,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(vb,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          ELSE 0.0 END AS DECIMAL(38,15)) AS d
+      FROM lp
+    ), per_q AS (
+      SELECT query_id,
+             CAST(CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  AS DECIMAL(38,15)) AS ild
+      FROM dists GROUP BY 1
+    ), cov AS (
+      SELECT CAST(COUNT(DISTINCT neighbor_id) AS BIGINT) AS n_recommended
+      FROM lists
+    ), cat AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS catalog_n FROM embeddings
+    )
+    SELECT CAST((SELECT COUNT(*) FROM per_q) AS BIGINT) AS n_queries,
+           cat.catalog_n, cov.n_recommended,
+           CAST(cov.n_recommended AS DOUBLE) / CAST(cat.catalog_n AS DOUBLE)
+             AS coverage_at_k,
+           (SELECT ROUND(CAST(SUM(ild) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 12) FROM per_q)
+             AS ild_mean
+    FROM cov, cat
+    """,
+)
+def q325_beyond_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy recommender metrics (retrieval.beyond_accuracy):
+    catalog coverage@5 and intra-list cosine diversity over the exact
+    top-5 neighbor lists of the first 50 query vectors — the metrics
+    that catch a popularity echo chamber (2% coverage) or lists of
+    near-clones (ILD ~ 0) that precision alone rewards. Pairwise work
+    is k^2 per query, list-bounded; per-pair cosines fold in index
+    order and sums pass through decimals (the q260/q277 discipline).
+    """
+    from .operators.retrieval import beyond_accuracy
+    from .operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    topk = brute_force_topk(emb, queries, "embedding", "vec_id", k=5)
+    catalog_n = emb.agg(F.count("*").alias("catalog_n"))
+    return beyond_accuracy(topk, emb, catalog_n)
+
+
+@_q(
+    "q326_dim_stats",
+    """
+    WITH flat AS (
+      SELECT CAST(UNNEST(generate_series(0, LEN(embedding) - 1)) AS BIGINT)
+               AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), stats AS (
+      SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean,
+             SQRT(GREATEST(
+               CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)
+               - (CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE))
+                 * (CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)),
+               0.0)) AS std
+      FROM flat GROUP BY pos
+    ), outl AS (
+      SELECT f.pos, CAST(COUNT(*) AS BIGINT) AS n_outliers
+      FROM flat f JOIN stats s ON f.pos = s.pos
+      WHERE s.std > 0 AND ABS(f.x - s.mean) > 4.0 * s.std
+      GROUP BY 1
+    )
+    SELECT s.pos, s.n, ROUND(s.mean, 12) AS mean, ROUND(s.std, 12) AS std,
+           COALESCE(o.n_outliers, 0) AS n_outliers
+    FROM stats s LEFT JOIN outl o ON s.pos = o.pos
+    """,
+)
+def q326_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (dq.embedding_dim_stats):
+    each of the 64 dimensions' mean, std, and |z| > 4 outlier count —
+    the feature-wise companion of q289's whole-vector health gate
+    (collapsed dimensions are dead weight; outlier-spraying ones are
+    encoder defects or poisoning). Exact decimal sums of rounded
+    values/squares (q285 discipline); two scans, no window.
+    """
+    from .operators.dq import embedding_dim_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb, "embedding", z_threshold=4.0)
+
+
+@_q(
+    "q327_weighted_jaccard",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY text, doc_id) AS rn
+      FROM documents
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ranked a JOIN ranked b
+        ON a.lang = b.lang AND b.rn > a.rn AND b.rn - a.rn < 3
+    ), {_SHINGLE3_SQL.strip()},
+    needed AS (
+      SELECT id_a AS id FROM cand UNION SELECT id_b FROM cand
+    ), toks AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN needed ON sh.doc_id = needed.id
+      WHERE sh.s <> ''
+    ), dfc AS (
+      SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfreq
+      FROM sh WHERE s <> '' GROUP BY 1
+    ), nd AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    ), idf AS (
+      SELECT s, CAST(ROUND(LN(nd.n / CAST(dfreq AS DOUBLE)), 9)
+                     AS DECIMAL(28,9)) AS w
+      FROM dfc, nd
+    ), cells AS (
+      SELECT c.id_a, c.id_b, t.s, COUNT(*) AS cnt
+      FROM cand c
+      JOIN toks t ON t.doc_id = c.id_a OR t.doc_id = c.id_b
+      GROUP BY 1, 2, 3
+    )
+    SELECT cells.id_a, cells.id_b,
+           CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS jaccard,
+           CAST(COALESCE(SUM(CASE WHEN cnt = 2 THEN w END),
+                         CAST(0 AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(SUM(w) AS DOUBLE) AS weighted_jaccard
+    FROM cells JOIN idf ON cells.s = idf.s
+    GROUP BY cells.id_a, cells.id_b
+    """,
+)
+def q327_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard verification (dedup.weighted_jaccard_verify)
+    over q296's sorted-neighborhood candidates: shared RARE shingles
+    count more than shared boilerplate, separating "same document"
+    from "same template" — reported beside the plain set Jaccard so
+    the two disagree visibly on template-heavy pairs. IDF weights come
+    from the FULL corpus (ln rounded to 9, decimal-aggregated);
+    shingles explode only for docs a pair references.
+    """
+    from .operators.dedup import weighted_jaccard_verify
+    from .operators.relational import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=3, block_col="lang"
+    ).select("id_a", "id_b")
+    return weighted_jaccard_verify(
+        docs, cand, "text", "doc_id", shingle_n=3, pattern="[^a-z0-9]+"
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly the 50 queries with no recorded green row
     #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
@@ -15758,7 +15951,8 @@ _PRIORITY = [
     "q314_cuped", "q315_gains_table", "q316_fallback_join",
     "q317_consensus", "q318_window_funnel", "q319_bloom_membership",
     "q320_lag_features", "q321_quantile_map", "q322_latest_nonnull",
-    "q323_cross_fluency", "q324_rbo",
+    "q323_cross_fluency", "q324_rbo", "q325_beyond_accuracy",
+    "q326_dim_stats", "q327_weighted_jaccard",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",

@@ -323,3 +323,84 @@ def test_rbo_top_weighted(spark):
     top = rbo_overlap(a, top_agree, "q", "item", "r", 10).collect()[0]["rbo"]
     bot = rbo_overlap(a, bot_agree, "q", "item", "r", 10).collect()[0]["rbo"]
     assert top > bot > 0
+
+
+from etl_java_spark.operators.dedup import weighted_jaccard_verify  # noqa: E402
+from etl_java_spark.operators.dq import embedding_dim_stats  # noqa: E402
+from etl_java_spark.operators.retrieval import beyond_accuracy  # noqa: E402
+
+
+def test_beyond_accuracy_clone_lists_score_zero_diversity(spark):
+    # both queries recommend the same 2 identical vectors -> ILD 0,
+    # coverage 2/4
+    topk = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q2", 1, 1), ("q2", 2, 2)],
+        "query_id string, neighbor_id long, rank int",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    cat = vecs.agg(F.count("*").alias("catalog_n"))
+    out = beyond_accuracy(topk, vecs, cat).collect()[0]
+    assert out["n_queries"] == 2
+    assert out["coverage_at_k"] == 0.5
+    assert out["ild_mean"] == 0.0
+
+
+def test_beyond_accuracy_orthogonal_lists_are_diverse(spark):
+    topk = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 3, 2)],
+        "query_id string, neighbor_id long, rank int",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cat = vecs.agg(F.count("*").alias("catalog_n"))
+    out = beyond_accuracy(topk, vecs, cat).collect()[0]
+    assert out["ild_mean"] == 1.0  # orthogonal -> cosine 0 -> distance 1
+    assert out["coverage_at_k"] == 1.0
+
+
+def test_embedding_dim_stats_finds_dead_and_outlier_dims(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        # dim0 constant (dead), dim1 unit noise, dim2 has one wild point
+        d2 = 1000.0 if i == 0 else rng.uniform(-1, 1)
+        rows.append((i, [5.0, rng.uniform(-1, 1), d2]))
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    out = {r["pos"]: r for r in embedding_dim_stats(df, "embedding").collect()}
+    assert out[0]["std"] == 0.0 and out[0]["n_outliers"] == 0  # dead dim
+    assert out[1]["n_outliers"] == 0
+    assert out[2]["n_outliers"] == 1  # the planted spike
+
+
+def test_weighted_jaccard_rare_overlap_beats_boilerplate(spark):
+    # shared boilerplate shingles are common across the corpus (low
+    # idf); the rare-content pair must out-score the template pair on
+    # weighted jaccard even when plain jaccard is similar.
+    boiler = "terms of service apply to all users"
+    docs = [
+        (1, boiler + " alpha beta gamma"),
+        (2, boiler + " delta epsilon zeta"),
+        (3, "unique quantum flux capacitor theory alpha"),
+        (4, "unique quantum flux capacitor theory beta"),
+    ] + [(100 + i, boiler + f" filler{i} pad{i} row{i}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in weighted_jaccard_verify(df, pairs, "text", "doc_id").collect()
+    }
+    tmpl, rare = out[(1, 2)], out[(3, 4)]
+    assert rare["weighted_jaccard"] > tmpl["weighted_jaccard"]
+    # and the weighting moved the needle MORE than plain jaccard did
+    assert (rare["weighted_jaccard"] - tmpl["weighted_jaccard"]) > (
+        rare["jaccard"] - tmpl["jaccard"]
+    )
