@@ -15890,42 +15890,11 @@ def q327_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PRIORITY = [
-    # 0) HEAD = exactly the 50 queries with no recorded green row
-    #    (VERDICT r5 #1): the r4 second wave q188-q217 (the r4 gate
-    #    record was lost) ...
-    "q188_markov_transitions", "q189_dataset_card",
-    "q190_event_rate_anomalies", "q191_twap", "q192_scd2_asof",
-    "q193_join_hints", "q194_prefix_index", "q195_lsh_recall_eval",
-    "q196_feature_hashing", "q197_sketch_set_algebra",
-    "q198_ivf_index_persistence", "q199_attribution",
-    "q200_heavy_hitter_drift", "q201_training_pipeline", "q202_k_anonymity",
-    "q203_string_profile", "q204_duplication_profile", "q205_partitioned_io",
-    "q206_cogroup_balance", "q207_personalized_pagerank", "q208_media_dedup",
-    "q209_grouped_quartiles", "q210_user_growth", "q211_temporal_join",
-    "q212_json_schema_census", "q213_seasonality", "q214_target_encoding",
-    "q215_k_core", "q216_one_big_table", "q217_rfm_segments",
-    #    ... the r4 first wave q154-q169 ...
-    "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
-    "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
-    "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
-    "q162_corrupt_quarantine", "q163_bucketed_fact_join",
-    "q164_stream_static_enrich", "q165_ewma_smoothing", "q166_asof_tolerance",
-    "q167_median_impute", "q168_dataset_checksum", "q169_group_trend",
-    #    ... and 4 of the 9 late-oracled oldies (the other 5 follow
-    #    immediately below, head of the r7 rotation).
-    "q153_jdbc_roundtrip", "q86_freq_items", "q55_multimodal_features",
-    "q105_real_codec_features",
-    # 1) remaining never-green oldies (overflow past the ~50-row cap;
-    #    rotate to the head next round if still unrecorded)
-    "q77_pack_sequences", "q60_approx_distinct", "q61_approx_percentiles",
+    # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
+    #    five r03-err stragglers, then the round-6 wave q250-q294.
+    #    "Never recorded" per tools/gate_ledger.py after CORRECTNESS_r06.
+    "q60_approx_distinct", "q61_approx_percentiles", "q77_pack_sequences",
     "q135_sketch_union", "q138_video_pipeline",
-    # 2) queries whose body changed this round (r6): q219 gained the
-    #    minhash candidate strategy, q220's pair-marker semantics were
-    #    hardened (ADVICE r5) -- re-confirm before aged re-greens
-    "q219_split_leakage", "q220_incremental_neardup",
-    # 2b) the round-6 additions (q250+) -- never recorded yet; kept
-    #     contiguous with the backlog so the r7 rotation reads straight
-    #     off the head once the 50 above land in CORRECTNESS_r06
     "q250_benford_audit", "q251_source_overlap", "q252_dsir_importance",
     "q253_holt_forecast", "q254_trigram_fluency", "q255_matryoshka_recall",
     "q256_sq_ann_recall", "q257_ngram_diversity", "q258_cluster_profile",
@@ -15941,7 +15910,11 @@ _PRIORITY = [
     "q285_embedding_drift", "q286_power_analysis",
     "q287_max_concurrency", "q288_did_estimator", "q289_embedding_health",
     "q290_tokenizer_fertility", "q291_theil_sen", "q292_rolling_median",
-    "q293_linear_interp", "q294_xml_roundtrip", "q295_schema_evolution",
+    "q293_linear_interp", "q294_xml_roundtrip",
+    # 1) the remaining never-recorded round-6 wave (33) -- rotate these
+    #    to the head for round 8's gate; new r7 queries slot in after
+    #    them so the never-green backlog drains before anything new.
+    "q295_schema_evolution",
     "q296_sorted_neighborhood", "q297_running_balance", "q298_woe_iv",
     "q299_longest_streak", "q300_linear_attribution", "q301_budget_select",
     "q302_interleave", "q303_sliding_distinct", "q304_pvm_bridge",
@@ -15953,6 +15926,31 @@ _PRIORITY = [
     "q320_lag_features", "q321_quantile_map", "q322_latest_nonnull",
     "q323_cross_fluency", "q324_rbo", "q325_beyond_accuracy",
     "q326_dim_stats", "q327_weighted_jaccard",
+    # 2) queries whose bodies changed in r6/r7 -- re-confirm before
+    #    aged re-greens (q219 minhash candidates, q220 pair markers,
+    #    q244 two-phase rank rewrite, q312 is already in block 1).
+    "q219_split_leakage", "q220_incremental_neardup", "q244_rank_normalize",
+    # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
+    #    oldies) -- newest records, so they age out last.
+    "q188_markov_transitions", "q189_dataset_card",
+    "q190_event_rate_anomalies", "q191_twap", "q192_scd2_asof",
+    "q193_join_hints", "q194_prefix_index", "q195_lsh_recall_eval",
+    "q196_feature_hashing", "q197_sketch_set_algebra",
+    "q198_ivf_index_persistence", "q199_attribution",
+    "q200_heavy_hitter_drift", "q201_training_pipeline", "q202_k_anonymity",
+    "q203_string_profile", "q204_duplication_profile", "q205_partitioned_io",
+    "q206_cogroup_balance", "q207_personalized_pagerank", "q208_media_dedup",
+    "q209_grouped_quartiles", "q210_user_growth", "q211_temporal_join",
+    "q212_json_schema_census", "q213_seasonality", "q214_target_encoding",
+    "q215_k_core", "q216_one_big_table", "q217_rfm_segments",
+    "q154_bloom_pruned_join", "q155_clustered_layout_roundtrip",
+    "q156_crossdoc_ngram_dup", "q157_skew_profile", "q158_dataset_diff",
+    "q159_recursive_cte", "q160_pipe_syntax", "q161_collated_match",
+    "q162_corrupt_quarantine", "q163_bucketed_fact_join",
+    "q164_stream_static_enrich", "q165_ewma_smoothing", "q166_asof_tolerance",
+    "q167_median_impute", "q168_dataset_checksum", "q169_group_trend",
+    "q153_jdbc_roundtrip", "q86_freq_items", "q55_multimodal_features",
+    "q105_real_codec_features",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",
@@ -16017,7 +16015,7 @@ _PRIORITY = [
     "q237_hard_negatives", "q238_cumulative_distinct_curve",
     "q239_ranking_metrics", "q240_segment_overlap", "q241_lorenz_curve",
     "q242_time_to_conversion", "q243_fulfillment_latency",
-    "q244_rank_normalize", "q245_wow_growth", "q246_mixture_token_budget",
+    "q245_wow_growth", "q246_mixture_token_budget",
     "q247_repetitiveness", "q248_psi_label_shift", "q249_referential_audit",
 ]
 
