@@ -408,11 +408,17 @@ def bfs_layers(
     from ..plans.checkpoints import make_checkpointer
 
     ckpt = make_checkpointer(checkpoint_dir)
-    und = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).unionByName(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    ).distinct()
+    # Materialize the doubled edge list ONCE (the pagerank discipline,
+    # see `ed` above): without this, every frontier round re-derives
+    # the caller's edge plan — for a fact-fact join input that is a
+    # full shuffle per hop at 100 TB.
+    und = ckpt(
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d")
+        ).unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        ).distinct()
+    )
     dist = seeds.select(
         F.col(node).alias("n"), F.lit(0).alias("hops")
     ).distinct()
