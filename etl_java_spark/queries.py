@@ -10797,18 +10797,26 @@ def q244_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank - 0.5) / n — the uniform-distribution transform that makes
     features comparable across sources and robust to outliers (the
     step before quantile-matching two corpora). Deterministic total
-    order via the id tiebreak; one sort shuffle (two-phase global ids
-    of q171 replace it at extreme scale). Output restricted to a
-    stable key slice to keep the gate row count bounded.
+    order via the id tiebreak. SCALE PATH IS THE CODE (not a comment):
+    global ranks come from q171's two-phase ``assign_global_ids``
+    (per-bucket partition-local windows + a metadata-sized offset
+    table) — no single-partition WindowExec anywhere in the plan. The
+    bucket is ``floor(p_retailprice)``, an order-consistent prefix of
+    the leading sort key; n is the 1-row broadcast total. Output
+    restricted to a stable key slice to keep the gate row count
+    bounded.
     """
+    from .operators.transforms import assign_global_ids
+
     p = _t(spark, sf_dir, "part")
-    w = Window.orderBy("p_retailprice", "p_partkey")
-    r = p.select(
-        "p_partkey",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    r = assign_global_ids(
+        p.select("p_partkey", "p_retailprice"),
+        ["p_retailprice", "p_partkey"],
+        F.floor(F.col("p_retailprice")),
+        id_col="rk",
     )
-    return r.filter(F.col("p_partkey") <= 200).select(
+    n = p.agg(F.count("*").alias("n"))
+    return r.filter(F.col("p_partkey") <= 200).crossJoin(F.broadcast(n)).select(
         "p_partkey",
         (
             (F.col("rk").cast("double") - 0.5) / F.col("n").cast("double")

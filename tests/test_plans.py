@@ -111,6 +111,25 @@ def test_one_big_table_joins_all_broadcast(spark, sf_small):
     assert "SortMergeJoin" not in plan
 
 
+def test_q244_rank_normalize_no_global_data_sort(spark):
+    """q244's global ranks must come from the two-phase assign_global_ids
+    path: the row_number window over the DATA is partitioned by the
+    price bucket (partition-local), and the only SinglePartition
+    exchanges in the plan sit above aggregates (bucket counts / the
+    1-row total) — never directly above a table scan."""
+    plan = plan_of(spark, "q244_rank_normalize", "simple")
+    assert "row_number() windowspecdefinition(__bucket" in plan, (
+        "data ranks must be bucket-partitioned, not a global window"
+    )
+    assert "hashpartitioning(__bucket" in plan
+    # every SinglePartition exchange is fed by an aggregate, not a scan
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        nxt = seg.split("+-", 1)[1].strip() if "+-" in seg else ""
+        assert nxt.startswith("HashAggregate"), (
+            "SinglePartition exchange over non-aggregate data:\n" + seg[:300]
+        )
+
+
 def test_seasonality_single_data_shuffle(spark, sf_small):
     """q213 aggregates the event table once (map-side combinable to 24
     rows); the only other exchange feeds the 1-row broadcast total."""
