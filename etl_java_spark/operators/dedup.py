@@ -150,6 +150,7 @@ def minhash_incremental_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     index: DataFrame | None = None,
+    side_markers: bool = False,
 ) -> DataFrame:
     """Incremental near-dup: verified pairs touching the NEW batch only
     (new-vs-index plus new-vs-new) — historical pairs are never
@@ -164,11 +165,13 @@ def minhash_incremental_pairs(
     order — NOT old/new order: a cross pair's new-batch doc is id_b only
     when new-batch ids sort above historical ids, as in ingest schemes
     with monotonically increasing ids). Consumers that need to know
-    which side is historical should join the ids back against the batch
-    frame rather than relying on position. Exact shingle Jaccard >=
-    threshold. An id present in BOTH frames contributes one text row to
-    the verify corpus (deduped by id; the frames are assumed consistent
-    on shared ids).
+    which side is historical pass ``side_markers=True``, which appends
+    boolean ``a_is_new`` / ``b_is_new`` columns (broadcast semi-lookup
+    against the batch id set — no reliance on id ordering; an id in
+    both frames marks as new). Exact shingle Jaccard >= threshold. An
+    id present in BOTH frames contributes one text row to the verify
+    corpus (deduped by id; the frames are assumed consistent on shared
+    ids).
     """
     rows = num_hashes // bands
     if index is None:
@@ -199,7 +202,27 @@ def minhash_incremental_pairs(
         # fan out every verified pair it touches
         .dropDuplicates([id_col])
     )
-    return jaccard_verify(corpus, pairs, text_col, id_col, shingle_n, threshold)
+    verified = jaccard_verify(corpus, pairs, text_col, id_col, shingle_n, threshold)
+    if not side_markers:
+        return verified
+    new_ids = new_df.select(F.col(id_col).alias("__nid")).distinct()
+    marked = (
+        verified.join(
+            F.broadcast(new_ids.withColumnRenamed("__nid", "id_a").withColumn(
+                "a_is_new", F.lit(True))),
+            on="id_a", how="left",
+        )
+        .join(
+            F.broadcast(new_ids.withColumnRenamed("__nid", "id_b").withColumn(
+                "b_is_new", F.lit(True))),
+            on="id_b", how="left",
+        )
+    )
+    return marked.select(
+        "id_a", "id_b", *[c for c in verified.columns if c not in ("id_a", "id_b")],
+        F.coalesce("a_is_new", F.lit(False)).alias("a_is_new"),
+        F.coalesce("b_is_new", F.lit(False)).alias("b_is_new"),
+    )
 
 
 def minhash_candidate_pairs(

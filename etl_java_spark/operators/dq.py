@@ -1057,17 +1057,21 @@ def consensus_reconcile(
     right, and where do the copies disagree?".
 
     Per (key, column): the consensus value is the one a strict
-    majority (> N/2) of PRESENT sources agree on (ties/pluralities
-    below the bar -> NULL + conflict). Output per key: each column's
-    consensus plus ``n_conflicts`` and ``missing_from`` (comma-joined
-    source names lacking the key — deterministic name order).
+    majority of VOTING sources agree on, where a source votes iff it
+    has the key AND a non-null value for that column — so a value
+    present in 1 of 1 voting sources IS the consensus even when two
+    other sources lack the key or carry NULL there. Ties/pluralities
+    below the bar -> NULL consensus + conflict; a column with ZERO
+    voters for a key -> NULL consensus but NOT a conflict (nobody
+    disagreed). Output per key: each column's consensus plus
+    ``n_conflicts`` and ``missing_from`` (comma-joined source names
+    lacking the key — deterministic name order).
 
     Mechanics: union the tagged sources (one scan each), ONE shuffle
     on the key, then per-key array folds over the collected
     (source, values) structs — counts computed by expression, no
     second shuffle, no UDFs.
     """
-    n = len(sources)
     tagged = None
     for name, df in sources:
         t = df.select(
@@ -1084,18 +1088,25 @@ def consensus_reconcile(
         ).alias("__rows")
     )
 
-    def consensus(v: str):
+    def votes(v: str):
+        """(consensus_expr, has_voters_expr) for column v: majority is
+        over the key's VOTING sources (non-null entries), not the
+        configured source count — absent sources don't vote."""
         vals = F.transform(F.col("__rows"), lambda r: r[v])
-        # majority: some value whose count among non-null entries
-        # exceeds n/2 (absent sources don't vote)
+        nonnull = F.filter(vals, lambda y: y.isNotNull())
+
         def count_of(x):
             return F.size(F.filter(vals, lambda y: y == x))
 
-        distinct_vals = F.array_distinct(
-            F.filter(vals, lambda y: y.isNotNull())
+        winner = F.filter(
+            F.array_distinct(nonnull),
+            lambda x: count_of(x) * 2 > F.size(nonnull),
         )
-        winner = F.filter(distinct_vals, lambda x: count_of(x) * 2 > n)
-        return F.element_at(F.concat(winner, F.array(F.lit(None))), 1)
+        cons = F.element_at(F.concat(winner, F.array(F.lit(None))), 1)
+        return cons, F.size(nonnull) > 0
+
+    def consensus(v: str):
+        return votes(v)[0]
 
     present = F.transform(F.col("__rows"), lambda r: r["__src"])
     all_names = F.array(*[F.lit(name) for name, _ in sources])
@@ -1105,7 +1116,10 @@ def consensus_reconcile(
     cons = [consensus(v).alias(f"{v}_consensus") for v in value_cols]
     conflicts = None
     for v in value_cols:
-        c = consensus(v).isNull().cast("int")
+        w, has_voters = votes(v)
+        # conflict = voters exist but none reached a majority; a
+        # zero-voter column is merely missing, not disputed
+        c = (w.isNull() & has_voters).cast("int")
         conflicts = c if conflicts is None else conflicts + c
     return rows.select(
         key_col,

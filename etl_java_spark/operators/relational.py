@@ -553,45 +553,83 @@ def fallback_join(
     One left join per level (dims broadcast — lookup tables are small
     by nature), then a single COALESCE per value column picks the most
     specific hit. ``matched_level`` reports which level served each
-    row (-1 = no match anywhere).
+    row (-1 = no match anywhere), detected via a sentinel marker
+    column joined alongside the values — so a dim row whose value
+    columns are legitimately NULL at a level still registers as the
+    match (and its NULLs are served, masking coarser levels, per the
+    most-specific-hit contract: the marker gates each level's values).
+
+    Contract: the dim must carry AT MOST ONE row per key combination
+    per level — duplicates would fan out fact rows (asserted up front
+    with a metadata-sized duplicate check).
 
     Scale: N broadcast joins over one fact scan — no shuffle of the
     fact at all when every level broadcasts; the fact is never
     re-partitioned.
     """
     out = fact
-    hit_flags = []
+    levels = []
+    all_keys = {k for lv in key_levels for k in lv}
     for i, keys in enumerate(key_levels):
         # keep only rows of dim that define exactly this level: the
         # level's keys are non-null, every other level key is null
-        all_keys = {k for lv in key_levels for k in lv}
         cond = None
         for k in all_keys:
             c = F.col(k).isNotNull() if k in keys else F.col(k).isNull()
             cond = c if cond is None else (cond & c)
         lvl = dim.filter(cond) if cond is not None else dim
-        renames = {v: f"__v{i}_{v}" for v in value_cols}
+        levels.append((keys, lvl))
+    # dim uniqueness guard: >1 row per key combination at a level would
+    # fan out fact rows. One metadata-sized job over the (tiny) dim.
+    probe = None
+    for i, (keys, lvl) in enumerate(levels):
+        kexpr = (
+            F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+            if keys
+            else F.lit("")
+        )
+        p = lvl.select(F.lit(i).alias("__lvl"), kexpr.alias("__k"))
+        probe = p if probe is None else probe.unionByName(p)
+    dup = (
+        probe.groupBy("__lvl", "__k")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") > 1)
+        .take(1)
+    )
+    if dup:
+        raise ValueError(
+            f"fallback_join: dim has {dup[0]['__c']} rows for key "
+            f"{dup[0]['__k']!r} at level {dup[0]['__lvl']} — one row per "
+            "key combination per level required"
+        )
+    for i, (keys, lvl) in enumerate(levels):
+        # sentinel marker: detects a level hit independently of the
+        # value columns, which may legitimately be NULL in the dim
         sel = [F.col(k) for k in keys] + [
-            F.col(v).alias(renames[v]) for v in value_cols
-        ]
+            F.col(v).alias(f"__v{i}_{v}") for v in value_cols
+        ] + [F.lit(True).alias(f"__m{i}")]
         lvl = lvl.select(*sel)
         if keys:
             out = out.join(F.broadcast(lvl), on=keys, how="left")
         else:
             out = out.crossJoin(F.broadcast(lvl))
-        hit_flags.append(F.col(f"__v{i}_{value_cols[0]}").isNotNull())
-    picked = [
-        F.coalesce(
-            *[F.col(f"__v{i}_{v}") for i in range(len(key_levels))]
-        ).alias(v)
-        for v in value_cols
-    ]
+    hit_flags = [F.col(f"__m{i}").isNotNull() for i in range(len(key_levels))]
+
+    def pick(v: str):
+        # most specific MATCHED level serves the column — even when its
+        # value is NULL (the marker, not the value, decides the level)
+        expr = F.lit(None)
+        for i in reversed(range(len(key_levels))):
+            expr = F.when(hit_flags[i], F.col(f"__v{i}_{v}")).otherwise(expr)
+        return expr.alias(v)
+
     level = F.lit(-1)
     for i in reversed(range(len(key_levels))):
         level = F.when(hit_flags[i], i).otherwise(level)
     drop = [f"__v{i}_{v}" for i in range(len(key_levels)) for v in value_cols]
+    drop += [f"__m{i}" for i in range(len(key_levels))]
     return out.select(
         *[c for c in out.columns if c not in drop],
-        *picked,
+        *[pick(v) for v in value_cols],
         level.cast("long").alias("matched_level"),
     )

@@ -438,7 +438,10 @@ def rbo_overlap(
     rank_b); explode the k depths (bounded) and count. One equi-join +
     one k-bounded aggregate per query.
 
-    Returns (query, rbo).
+    Returns (query, rbo) for EVERY query appearing in either ranking:
+    a query whose two lists share no items scores rbo = 0.0 (left-join
+    onto the distinct query set) instead of silently vanishing —
+    dropping them would overstate average agreement.
     """
     a = rank_a.select(
         F.col(query_col).alias("__q"),
@@ -468,10 +471,13 @@ def rbo_overlap(
     term = (
         w_expr * F.col("__x").cast("double") / F.col("__d").cast("double")
     ).cast("decimal(38,15)")
-    return per_depth.groupBy(F.col("__q").alias(query_col)).agg(
-        F.round(
-            F.sum(term).cast("double") / F.lit(denom), 12
-        ).alias("rbo")
+    scored = per_depth.groupBy("__q").agg(
+        F.round(F.sum(term).cast("double") / F.lit(denom), 12).alias("rbo")
+    )
+    all_q = a.select("__q").unionByName(b.select("__q")).distinct()
+    return all_q.join(scored, on="__q", how="left").select(
+        F.col("__q").alias(query_col),
+        F.coalesce(F.col("rbo"), F.lit(0.0)).alias("rbo"),
     )
 
 

@@ -219,6 +219,23 @@ def digit_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
 _BLOOM_P = 1_000_000_007
 
 
+_BLOOM_KEY_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_int_key(df: DataFrame, key_col: str, fn: str) -> None:
+    """NON-NEGATIVE-integer key contract (mirrors key_bucket's): a
+    string or other non-numeric key would cast to NULL positions (or
+    raise under ANSI) and silently corrupt the filter — reject loudly
+    at plan-build time instead. Callers with string keys hash them
+    first (e.g. xxhash64 + abs/offset on both engines identically)."""
+    dt = dict(df.dtypes).get(key_col)
+    if dt not in _BLOOM_KEY_TYPES:
+        raise TypeError(
+            f"{fn}: key column {key_col!r} must be an integer type "
+            f"(got {dt}); hash/encode non-integer keys first"
+        )
+
+
 def _bloom_pos(key: Column, i: int, m_bits: int) -> Column:
     k = key.cast("long")
     h1 = ((k % _BLOOM_P) * 2_654_435_761) % _BLOOM_P
@@ -241,7 +258,12 @@ def bloom_build(
     Scale: explode x k_hashes on the key column only, then ONE
     aggregate onto at most m_bits/32 words — the filter is
     metadata-sized regardless of input rows.
+
+    Key contract: NON-NEGATIVE integer keys (enforced at plan-build
+    time for the type half; negatives, as in key_bucket, must be
+    pre-mapped by the caller on both engines identically).
     """
+    _require_int_key(df, key_col, "bloom_build")
     keys = df.select(F.col(key_col).alias("__k"))
     pos = keys.select(
         F.explode(
@@ -271,8 +293,10 @@ def bloom_probe(
     """Probe a ``bloom_build`` filter: a key is a (possible) member iff
     ALL its bit positions are set. Adds ``bloom_member`` to the probe
     rows. The word table broadcasts (metadata-sized); the probe side
-    never shuffles.
+    never shuffles. Same NON-NEGATIVE-integer key contract as
+    :func:`bloom_build` (enforced for type, documented for sign).
     """
+    _require_int_key(probes, key_col, "bloom_probe")
     out = probes
     for i in range(k_hashes):
         p = _bloom_pos(F.col(key_col), i, m_bits)

@@ -933,9 +933,12 @@ def sliding_distinct(
     (entity, day) table — bounded by calendar span, not event volume.
     Window ends are emitted only within the observed day span.
 
-    Returns (window_end, n_distinct) for every day in the span —
-    each counting entities active in [window_end - days + 1,
-    window_end].
+    Returns (window_end, n_distinct) for EVERY day in the observed
+    span — each counting entities active in [window_end - days + 1,
+    window_end]. A day whose trailing window contains no activity at
+    all (a gap longer than the window) still gets a row with
+    n_distinct = 0: the fan-out left-joins onto the full calendar
+    grid, so quiet days read as zeros instead of vanishing.
 
     Scale: one (entity, day) distinct shuffle + one count-distinct
     shuffle on day keys. For month+ windows at extreme cardinality,
@@ -958,7 +961,7 @@ def sliding_distinct(
             )
         ).alias("window_end"),
     )
-    return (
+    counts = (
         fan.join(
             F.broadcast(span),
             (F.col("window_end") >= F.col("__lo"))
@@ -966,6 +969,17 @@ def sliding_distinct(
         )
         .groupBy("window_end")
         .agg(F.countDistinct("__e").cast("long").alias("n_distinct"))
+    )
+    # full calendar grid (metadata-sized: one row per day of span) so
+    # zero-activity windows appear as 0 rather than being omitted
+    grid = span.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("window_end")
+    )
+    return grid.join(counts, on="window_end", how="left").select(
+        "window_end",
+        F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias("n_distinct"),
     )
 
 

@@ -14244,12 +14244,20 @@ def q302_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
                     INTERVAL 1 DAY)) AS DATE) AS window_end
       FROM days
+    ), counts AS (
+      SELECT window_end,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+      FROM fan, span
+      WHERE window_end >= lo AND window_end <= hi
+      GROUP BY window_end
+    ), grid AS (
+      SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+               CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS window_end
+      FROM span
     )
-    SELECT window_end,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
-    FROM fan, span
-    WHERE window_end >= lo AND window_end <= hi
-    GROUP BY window_end
+    SELECT g.window_end,
+           CAST(COALESCE(c.n_distinct, 0) AS BIGINT) AS n_distinct
+    FROM grid g LEFT JOIN counts c USING (window_end)
     """,
 )
 def q303_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15168,16 +15176,20 @@ def q316_fallback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), u AS (
       SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
     ), nm AS (
+      -- majority over the key's VOTING (non-null) sources, mirroring
+      -- consensus_reconcile's present-voter semantics
       SELECT c_custkey,
-             MAX(CASE WHEN cnt * 2 > 3 THEN name END) AS name_consensus
-      FROM (SELECT c_custkey, name, COUNT(*) AS cnt
-            FROM u GROUP BY 1, 2)
+             MAX(CASE WHEN cnt * 2 > nn THEN name END) AS name_consensus
+      FROM (SELECT c_custkey, name, COUNT(*) AS cnt,
+                   SUM(COUNT(*)) OVER (PARTITION BY c_custkey) AS nn
+            FROM u WHERE name IS NOT NULL GROUP BY 1, 2)
       GROUP BY 1
     ), bl AS (
       SELECT c_custkey,
-             MAX(CASE WHEN cnt * 2 > 3 THEN bal END) AS bal_consensus
-      FROM (SELECT c_custkey, bal, COUNT(*) AS cnt
-            FROM u GROUP BY 1, 2)
+             MAX(CASE WHEN cnt * 2 > nn THEN bal END) AS bal_consensus
+      FROM (SELECT c_custkey, bal, COUNT(*) AS cnt,
+                   SUM(COUNT(*)) OVER (PARTITION BY c_custkey) AS nn
+            FROM u WHERE bal IS NOT NULL GROUP BY 1, 2)
       GROUP BY 1
     ), mk AS (
       SELECT c_custkey, COUNT(DISTINCT src) AS n_src FROM u GROUP BY 1
@@ -15666,13 +15678,17 @@ def q323_cross_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per_depth AS (
       SELECT lang, d, CAST(COUNT(*) AS BIGINT) AS x
       FROM depths GROUP BY 1, 2
+    ), scored AS (
+      SELECT lang,
+             ROUND(CAST(SUM(CAST(
+               (1.0 / (1 << CAST(d - 1 AS INT)))
+               * CAST(x AS DOUBLE) / CAST(d AS DOUBLE)
+             AS DECIMAL(38,15))) AS DOUBLE) / 1.998046875, 12) AS rbo
+      FROM per_depth GROUP BY lang
     )
-    SELECT lang,
-           ROUND(CAST(SUM(CAST(
-             (1.0 / (1 << CAST(d - 1 AS INT)))
-             * CAST(x AS DOUBLE) / CAST(d AS DOUBLE)
-           AS DECIMAL(38,15))) AS DOUBLE) / 1.998046875, 12) AS rbo
-    FROM per_depth GROUP BY lang
+    SELECT l.lang, COALESCE(s.rbo, 0.0) AS rbo
+    FROM (SELECT DISTINCT lang FROM documents) l
+    LEFT JOIN scored s USING (lang)
     """,
 )
 def q324_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -199,6 +199,24 @@ def test_incremental_pairs_match_full_run_restricted(spark):
     assert inc == full
 
 
+def test_incremental_pairs_side_markers(spark):
+    """side_markers=True tags each pair side old/new by id-set lookup —
+    no reliance on new ids sorting above historical ids."""
+    txt = "shared boilerplate phrase " * 8
+    # new id 5 sorts BELOW the historical ids: positional old/new would lie
+    old = _docs(spark, [(10, txt), (20, txt + "historical tail")])
+    new = _docs(spark, [(5, txt)])
+    rows = minhash_incremental_pairs(
+        old, new, "text", "doc_id", threshold=0.5, side_markers=True
+    ).collect()
+    marks = {(r["id_a"], r["id_b"]): (r["a_is_new"], r["b_is_new"]) for r in rows}
+    assert marks[(5, 10)] == (True, False)   # id_a is the NEW doc here
+    assert (5, 20) not in marks or marks[(5, 20)] == (True, False)
+    # without the flag the schema is unchanged
+    plain = minhash_incremental_pairs(old, new, "text", "doc_id", threshold=0.5)
+    assert "a_is_new" not in plain.columns
+
+
 def test_precomputed_index_path(spark):
     old = _docs(spark, [(1, "exact same text content for both docs here ok fine")])
     new = _docs(spark, [(2, "exact same text content for both docs here ok fine")])

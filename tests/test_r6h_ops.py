@@ -201,6 +201,29 @@ def test_sliding_distinct_hand_case(spark):
     }
 
 
+def test_sliding_distinct_gap_days_read_zero(spark):
+    """An activity gap longer than the window must produce n_distinct=0
+    rows, not missing rows — averaging the column assumes a full grid."""
+
+    def d(day):
+        return dt.datetime(2024, 1, day, 8, 0)
+
+    df = spark.createDataFrame(
+        [("u1", d(1)), ("u1", d(5))], "u string, ts timestamp"
+    )
+    out = {
+        r["window_end"]: r["n_distinct"]
+        for r in sliding_distinct(df, "u", "ts", window_days=2).collect()
+    }
+    assert out == {
+        dt.date(2024, 1, 1): 1,
+        dt.date(2024, 1, 2): 1,
+        dt.date(2024, 1, 3): 0,  # [Jan 2, Jan 3]: quiet, still a row
+        dt.date(2024, 1, 4): 0,
+        dt.date(2024, 1, 5): 1,
+    }
+
+
 def test_pvm_bridge_exact_identity(spark):
     rows = [
         ("X", "a", 10, 100), ("X", "b", 12, 110),

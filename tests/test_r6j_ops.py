@@ -122,6 +122,71 @@ def test_consensus_majority_and_conflicts(spark):
     assert out[3]["name_consensus"] is None and out[3]["bal_consensus"] == 30
 
 
+def test_consensus_majority_is_over_voting_sources(spark):
+    """Majority is computed over the key's VOTING (present, non-null)
+    sources, not the configured source count — and a zero-voter column
+    is missing, not a conflict."""
+    a = spark.createDataFrame([(1, "solo", None)], "k long, name string, bal long")
+    b = spark.createDataFrame(
+        [(2, "x", 5), (3, None, 7)], "k long, name string, bal long"
+    )
+    c = spark.createDataFrame(
+        [(2, "y", 5), (3, None, 7)], "k long, name string, bal long"
+    )
+    out = {
+        r["k"]: r
+        for r in consensus_reconcile(
+            [("A", a), ("B", b), ("C", c)], "k", ["name", "bal"]
+        ).collect()
+    }
+    # key 1: present only in A -> its lone vote IS the consensus; the
+    # all-null bal column has zero voters -> NULL but NOT a conflict
+    assert out[1]["name_consensus"] == "solo"
+    assert out[1]["bal_consensus"] is None
+    assert out[1]["n_conflicts"] == 0
+    assert out[1]["missing_from"] == "B,C"
+    # key 2: name split 1-1 among the 2 voters -> conflict; bal agrees
+    assert out[2]["name_consensus"] is None and out[2]["n_conflicts"] == 1
+    assert out[2]["bal_consensus"] == 5
+    # key 3: name has zero voters (both NULL) -> missing, not disputed
+    assert out[3]["name_consensus"] is None and out[3]["n_conflicts"] == 0
+    assert out[3]["bal_consensus"] == 7
+
+
+def test_fallback_join_null_value_at_matched_level(spark):
+    """A dim row whose value is legitimately NULL at the matched level
+    still registers the match: the sentinel marker (not the value)
+    decides matched_level, and the NULL is served rather than silently
+    falling back to a coarser level."""
+    fact = spark.createDataFrame(
+        [(1, "AMERICA", "BRAZIL"), (2, "AMERICA", "PERU")],
+        "id long, r_name string, n_name string",
+    )
+    dim = spark.createDataFrame(
+        [("AMERICA", "BRAZIL", None), ("AMERICA", None, 200), (None, None, 100)],
+        "r_name string, n_name string, rate int",
+    )
+    out = {
+        r["id"]: r
+        for r in fallback_join(
+            fact, dim, [["r_name", "n_name"], ["r_name"], []], ["rate"]
+        ).collect()
+    }
+    assert out[1]["matched_level"] == 0 and out[1]["rate"] is None
+    assert out[2]["matched_level"] == 1 and out[2]["rate"] == 200
+
+
+def test_fallback_join_duplicate_dim_rejected(spark):
+    import pytest
+
+    fact = spark.createDataFrame([(1, "A")], "id long, r_name string")
+    dim = spark.createDataFrame(
+        [("A", 1), ("A", 2)], "r_name string, rate int"
+    )
+    with pytest.raises(ValueError, match="one row per key combination"):
+        fallback_join(fact, dim, [["r_name"]], ["rate"])
+
+
 import datetime as dt  # noqa: E402
 
 from etl_java_spark.operators.sketch import bloom_build, bloom_probe  # noqa: E402
@@ -174,6 +239,20 @@ def test_window_funnel_skipped_step_cuts_chain(spark):
         ).collect()
     }
     assert out[3] == 1
+
+
+def test_bloom_rejects_non_integer_keys(spark):
+    """String keys would cast to NULL positions and silently corrupt
+    the filter — both build and probe must reject them loudly."""
+    import pytest
+
+    strs = spark.createDataFrame([("a",), ("b",)], "k string")
+    ints = spark.createDataFrame([(1,), (2,)], "k long")
+    with pytest.raises(TypeError, match="integer type"):
+        bloom_build(strs, "k")
+    bloom = bloom_build(ints, "k")
+    with pytest.raises(TypeError, match="integer type"):
+        bloom_probe(strs, bloom, "k")
 
 
 def test_bloom_no_false_negatives_and_merge(spark):
@@ -305,7 +384,10 @@ def test_rbo_identical_and_disjoint(spark):
     b = spark.createDataFrame(
         [("q", 100 + i, i) for i in range(1, 11)], "q string, item long, r int"
     )
-    assert rbo_overlap(a, b, "q", "item", "r", k=10).count() == 0  # disjoint
+    # disjoint lists: the query still appears, scored 0.0 (dropping it
+    # would overstate average agreement across queries)
+    dis = rbo_overlap(a, b, "q", "item", "r", k=10).collect()
+    assert len(dis) == 1 and dis[0]["rbo"] == 0.0
 
 
 def test_rbo_top_weighted(spark):
