@@ -146,7 +146,7 @@ def minhash_incremental_pairs(
     text_col: str,
     id_col: str,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     shingle_n: int = 3,
     threshold: float = 0.8,
     index: DataFrame | None = None,
@@ -172,7 +172,13 @@ def minhash_incremental_pairs(
     id present in BOTH frames contributes one text row to the verify
     corpus (deduped by id; the frames are assumed consistent on shared
     ids).
+
+    ``bands=None`` auto-sizes from the threshold (lsh_band_sizing). A
+    precomputed ``index`` must have been built with the SAME resolved
+    (num_hashes, bands) — banding is part of the index layout.
     """
+    if bands is None:
+        bands, _ = lsh_band_sizing(threshold, num_hashes)
     rows = num_hashes // bands
     if index is None:
         index = minhash_index(old_df, text_col, id_col, num_hashes, bands, shingle_n)
@@ -321,17 +327,55 @@ def jaccard_verify(
     )
 
 
+def lsh_band_sizing(threshold: float, num_hashes: int = 32) -> tuple[int, int]:
+    """(bands, rows) for MinHash LSH, sized from the VERIFY threshold:
+    pick the largest rows-per-band (fewest/cheapest bands, since bands
+    multiply the shuffle) whose recall at the threshold,
+    ``1 - (1 - t^rows)^bands``, is >= 0.95.
+
+    Why this must depend on the threshold: banding has an implicit
+    s-curve midpoint ``(1/bands)^(1/rows)``; if it sits ABOVE the
+    query's threshold, pairs the verify stage would accept are
+    routinely never proposed. That was a live bug: 8 bands x 4 rows
+    (midpoint 0.595) under a 0.5-threshold query missed a true
+    J = 0.727 pair at the sf0.001 fixture (miss probability
+    (1 - 0.727^4)^8 = 7.3%). For threshold 0.8 this returns the
+    classic (8, 4); for 0.5 it returns (16, 2) — recall-at-0.5 0.990
+    vs 0.404 for (8, 4).
+    """
+    best = None
+    for rows in range(num_hashes, 0, -1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        recall = 1.0 - (1.0 - threshold ** rows) ** bands
+        if recall >= 0.95:
+            best = (bands, rows)
+            break
+    if best is None:  # even 1-row bands miss: caller must raise num_hashes
+        best = (num_hashes, 1)
+    return best
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_bucket_size: int | None = 500,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signature -> bands -> verify."""
+    """Full MinHash-LSH near-dup pipeline: signature -> bands -> verify.
+
+    ``bands=None`` (the default) auto-sizes the banding from the
+    threshold via :func:`lsh_band_sizing` so the s-curve midpoint sits
+    below the verify threshold — an explicit ``bands`` is honored
+    verbatim for callers tuning recall/cost by hand.
+    """
+    if bands is None:
+        bands, _ = lsh_band_sizing(threshold, num_hashes)
     rows = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
     pairs = minhash_candidate_pairs(

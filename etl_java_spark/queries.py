@@ -1766,17 +1766,17 @@ def q50_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-checked: the verify stage outputs EXACT 3-gram-shingle Jaccard
     for every surviving candidate pair, which DuckDB recomputes over all
-    pairs. The comparison therefore also asserts LSH recall = 1.0 on this
-    fixture (measured: 81/81 pairs, min true Jaccard 0.69; xxhash64
-    banding is deterministic, so the result is stable run to run). The
-    shingle sets are identical by construction (same token regex, same
-    space-join, same <3-token whole-text fallback) and the final division
-    is one IEEE double op on exact integers -> bitwise equal.
-    Scale note: the recall-1.0 property is a measured fact of the sf0.01
-    gate fixture, not an LSH guarantee — at sf0.001 one borderline pair
-    (J=0.50 exactly at threshold) falls outside every band and the
-    oracle counts 92 vs Spark's 91; banded LSH is approximate by design
-    and the band/row sizing targets the gate scale.
+    pairs. The comparison therefore also asserts LSH recall = 1.0
+    (xxhash64 banding is deterministic, so the result is stable run to
+    run). The shingle sets are identical by construction (same token
+    regex, same space-join, same <3-token whole-text fallback) and the
+    final division is one IEEE double op on exact integers -> bitwise
+    equal. Banding is auto-sized from the threshold
+    (dedup.lsh_band_sizing: 16 bands x 2 rows for t=0.5, s-curve
+    midpoint 0.25 < t) — the earlier hand-picked 8x4 had its midpoint
+    at 0.595, ABOVE the threshold, and missed a true J=0.727 pair at
+    sf0.001. Recall 1.0 is now measured at BOTH sf0.001 and sf0.01;
+    still probabilistic by design, not a guarantee at arbitrary scale.
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = d.filter(F.col("doc_id") < 50).select(
@@ -1785,7 +1785,7 @@ def q50_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(mutated)
     return DD.minhash_dedup_pairs(
-        corpus, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, threshold=0.5
+        corpus, "text", "doc_id", num_hashes=32, shingle_n=3, threshold=0.5
     ).orderBy("id_a", "id_b")
 
 
@@ -9241,8 +9241,9 @@ def q219_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r6: rides the MinHash banding candidate path (the 100 TB default —
     candidate volume tracks true near-dup mass, not corpus shingle
-    mass) with exact Jaccard re-scoring; measured recall 1.0 vs the
-    exact inverted-index path at the gate fixture (see oracle pin).
+    mass) with exact Jaccard re-scoring; recall 1.0 vs the exact
+    inverted-index path measured at BOTH the sf0.001 and sf0.01 gate
+    fixtures (16x2 threshold-sized banding, dedup.lsh_band_sizing).
     ~3x faster than the exact path at sf0.1 and the gap widens with
     corpus size.
     """
@@ -9264,13 +9265,13 @@ def q219_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q220_incremental_neardup",
     r"""
-    -- GATE FIXTURE PIN: this oracle is an EXACT all-pairs Jaccard
-    -- replay, while the Spark side emits LSH band-collision candidates
-    -- (8 bands x 4 rows) re-scored exactly. Equality therefore relies
-    -- on measured recall = 1.0 at the sf0.01 gate fixture; at sf0.001
-    -- one borderline J=0.50 pair escapes every band (77 vs 78 rows).
-    -- Run the hash gate at sf0.01 only; other SFs are a recall
-    -- measurement, not a correctness failure.
+    -- ORACLE CONTRACT: an EXACT all-pairs Jaccard replay, while the
+    -- Spark side emits LSH band-collision candidates re-scored
+    -- exactly. Banding auto-sizes from the threshold
+    -- (dedup.lsh_band_sizing: 16 bands x 2 rows at t=0.5); recall 1.0
+    -- is MEASURED at both sf0.001 and sf0.01 fixtures. LSH stays
+    -- probabilistic by design: at an untested scale a miss would be a
+    -- recall measurement, not a wrong verified score.
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -9289,11 +9290,9 @@ def q220_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new-vs-new pairs only, the historical corpus is never re-paired
     with itself. Output is exact verify-stage Jaccard, so the DuckDB
     replay of all pairs touching the batch also asserts index recall
-    = 1.0 on this fixture (same banding as q50, where that recall is a
-    measured fact). Like q50, the recall-1.0 property is a fact of the
-    sf0.01 gate fixture: at sf0.001 one borderline pair sitting exactly
-    at J=0.50 falls outside every band (77 vs 78) — banded LSH is
-    approximate by design.
+    = 1.0 (same threshold-sized banding as q50 —
+    dedup.lsh_band_sizing — measured 1.0 at both the sf0.001 and
+    sf0.01 fixtures; banded LSH stays probabilistic by design).
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     new = d.filter(F.col("doc_id") < 60).select(
@@ -9302,7 +9301,7 @@ def q220_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return DD.minhash_incremental_pairs(
         d, new, "text", "doc_id",
-        num_hashes=32, bands=8, shingle_n=3, threshold=0.5,
+        num_hashes=32, shingle_n=3, threshold=0.5,
     ).orderBy("id_a", "id_b")
 
 
@@ -11693,7 +11692,7 @@ def q258_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(m1).unionByName(m2)
     pairs = DD.minhash_dedup_pairs(
-        corpus, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, threshold=0.5
+        corpus, "text", "doc_id", num_hashes=32, shingle_n=3, threshold=0.5
     )
     return dedup_cluster_profile(corpus, pairs, "text", "doc_id")
 
