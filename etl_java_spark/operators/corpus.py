@@ -840,3 +840,131 @@ def tokenizer_fertility(
         safe_div("bytes", "chars").alias("bytes_per_char"),
         safe_div("bpe_tokens", "words").alias("tokens_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS-style local document fingerprinting)
+
+WINNOW_HASH_MOD = (1 << 31) - 1  # Mersenne prime; accumulator < 2^36
+
+
+def _shingle_poly_hash(shingle) -> "F.Column":
+    """Polynomial char hash of one shingle string, engine-reproducible:
+    fold ``(acc * 31 + codepoint) % (2^31 - 1)`` left to right.
+    Implemented as transform-over-positions + aggregate (NOT split on
+    the empty string, whose trailing-element behavior differs across
+    engines); DuckDB replays it with list_transform(range) +
+    list_reduce over the prepended-zero code list."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(shingle)),
+        lambda i: F.ascii(shingle.substr(i, F.lit(1))),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % WINNOW_HASH_MOD,
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    window: int = 4,
+    token_pattern: str = DEFAULT_TOKEN_PATTERN,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, the MOSS fingerprinter):
+    per document, hash every ``shingle_n``-gram, slide a ``window`` over
+    consecutive hashes and keep each window's MINIMUM — the selected
+    hash values (deduplicated) are the document's fingerprints.
+
+    Why this beats full-shingle indexing at corpus scale: winnowing
+    keeps ~2/(window+1) of the shingle hashes while GUARANTEEING that
+    any shared run of ``shingle_n + window - 1`` tokens between two
+    documents contributes at least one shared fingerprint — the
+    detection floor is a parameter, not luck. The inverted index built
+    on fingerprints is ~window/2 x smaller than the full shingle index
+    the exact-Jaccard path uses.
+
+    Everything is higher-order Column expressions (hash fold, window
+    minima) inside whole-stage codegen; one explode + distinct at the
+    end. Documents with fewer than ``shingle_n + window - 1`` tokens
+    yield the minimum over all their shingle hashes (one fingerprint).
+
+    Returns distinct (id_col, fp) rows.
+    """
+    # Each stage is its OWN projection so every lambda references a
+    # materialized attribute, not a computed expression: an outer
+    # expression inside a higher-order lambda is re-evaluated PER
+    # ELEMENT (the word_shingles O(n^2) trap) — referencing `hashes`
+    # from the window-min lambda without this staging re-hashed the
+    # whole document once per window (measured 20s -> 2s at sf0.01).
+    sg = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n, token_pattern).alias("__sg")
+    )
+    hs = sg.select(
+        F.col(id_col), F.transform("__sg", _shingle_poly_hash).alias("__hs")
+    )
+    m = F.size("__hs") - window + 1
+    fps = hs.select(
+        F.col(id_col),
+        F.when(m <= 1, F.array(F.array_min("__hs")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.array_min(F.slice(F.col("__hs"), i, window)),
+            )
+        )
+        .alias("__fps"),
+    )
+    return (
+        fps.select(F.col(id_col), F.explode(F.array_distinct("__fps")).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 1000,
+    token_pattern: str = DEFAULT_TOKEN_PATTERN,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints:
+    inverted index on the (winnowed, ~window/2 x smaller) fingerprint
+    set, pair counting by self-join, keep pairs sharing at least
+    ``min_shared`` fingerprints. ``max_fp_freq`` drops boilerplate
+    fingerprints appearing in more than N docs (the hot-shingle cap of
+    ngram_jaccard_pairs, applied post-winnowing).
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b. Candidates, not a
+    verdict: feed them to jaccard_verify for exact scoring when the
+    pipeline needs a threshold instead of a shared-run floor.
+    """
+    fp = winnow_fingerprints(
+        df, text_col, id_col, shingle_n, window, token_pattern
+    )
+    freq = fp.groupBy("fp").agg(F.count("*").alias("__n")).filter(
+        F.col("__n") <= max_fp_freq
+    )
+    fp = fp.join(F.broadcast(freq.select("fp")), "fp")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    fp = fp.repartition(par, "fp")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -15912,6 +15912,82 @@ def q327_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q328_winnow_dedup",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+      FROM documents WHERE doc_id < 40
+    ), toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                  ELSE LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             END AS sg
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(sg, s -> LIST_REDUCE(
+               LIST_PREPEND(CAST(0 AS BIGINT),
+                 LIST_TRANSFORM(RANGE(1, LENGTH(s) + 1),
+                                i -> CAST(ASCII(s[i]) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+      FROM sh
+    ), fps AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(
+        CASE WHEN LEN(hs) - 3 <= 1 THEN [LIST_AGGREGATE(hs, 'min')]
+             ELSE LIST_TRANSFORM(RANGE(1, LEN(hs) - 2),
+                                 i -> LIST_AGGREGATE(hs[i:i+3], 'min'))
+        END)) AS fp
+      FROM hashed
+    ), kept AS (
+      SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000
+    ), f AS (
+      SELECT fps.doc_id, fps.fp FROM fps JOIN kept USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def q328_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup (corpus.winnow_dup_pairs — the MOSS
+    fingerprinter): every 3-gram shingle is hashed with an
+    engine-reproducible polynomial char fold, a 4-wide window slides
+    over consecutive hashes keeping each window's minimum, and the
+    deduplicated minima are the document's fingerprints — ~2/(w+1) of
+    the shingle mass with a GUARANTEED detection floor (any shared run
+    of shingle_n + window - 1 = 6 tokens yields a shared fingerprint).
+    Candidate pairs = inverted index on fingerprints, >= 2 shared. The
+    oracle replays hash fold, window minima, and pair counting exactly
+    (LIST_REDUCE/LIST_AGGREGATE), so the gate proves the whole
+    selection pipeline bit-for-bit. 100 TB: the fingerprint index is
+    ~3x smaller than the full shingle index the exact-Jaccard path
+    carries, and the hot-fingerprint cap bounds any one bucket.
+    """
+    from .operators.corpus import winnow_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 400).unionByName(
+        d.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+        )
+    )
+    return winnow_dup_pairs(
+        corpus, "text", "doc_id", shingle_n=3, window=4, min_shared=2,
+        max_fp_freq=1000, token_pattern="[^a-z0-9]+",
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
