@@ -1029,3 +1029,79 @@ def embedding_drift(
             F.round(shift, 12).alias("max_dim_shift"),
         )
     )
+
+
+def confident_label_noise(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Confident-learning label-noise matrix (the Cleanlab counting
+    rule, with nearest-centroid cosine standing in for model
+    confidence): a document labeled g is confidently counted into cell
+    (g, j) when its similarity to class j's centroid clears class j's
+    OWN average self-similarity threshold
+
+        t_j = mean over {docs labeled j} of cos(vec, centroid_j)
+
+    and j is the argmax among the classes it clears. Off-diagonal mass
+    C[g][j] is the estimated label-error count "labeled g, looks like
+    j" — the ranked cleanup queue for a labeling pipeline. Docs
+    clearing NO threshold land in suggested_label = NULL (abstain).
+
+    Determinism: centroids fold in id order (_fixed_order_centroids),
+    cosine is the q56 sequential-sum form, thresholds are
+    decimal-summed means of cosine doubles, argmax ties break on the
+    smaller label — every branch replays bitwise in SQL.
+
+    Scale: one centroid pass (#labels x #dims cells), one map-only
+    scoring pass against the broadcast centroid table, one
+    #labels-sized threshold broadcast. No pairwise work anywhere.
+
+    Returns (given_label, suggested_label, n).
+    """
+    cvec = _fixed_order_centroids(df, vec_col, id_col, label_col)
+    scored = (
+        df.select(
+            F.col(id_col), F.col(label_col).alias("given_label"), F.col(vec_col)
+        )
+        .crossJoin(F.broadcast(cvec))
+        .select(
+            id_col,
+            "given_label",
+            F.col("__lab").alias("cand_label"),
+            cosine(F.col(vec_col), F.col("__cvec")).alias("__cos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    thresholds = (
+        scored.filter(F.col("given_label") == F.col("cand_label"))
+        .groupBy("cand_label")
+        .agg(
+            (
+                F.sum(F.col("__cos").cast("decimal(38,15)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("__t")
+        )
+    )
+    confident = scored.join(F.broadcast(thresholds), "cand_label").filter(
+        F.col("__cos") >= F.col("__t")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cos").desc(), F.col("cand_label").asc()
+    )
+    best = confident.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    all_docs = df.select(
+        F.col(id_col), F.col(label_col).alias("given_label")
+    )
+    assigned = all_docs.join(
+        best.select(id_col, F.col("cand_label").alias("suggested_label")),
+        on=id_col,
+        how="left",
+    )
+    return assigned.groupBy("given_label", "suggested_label").agg(
+        F.count("*").cast("long").alias("n")
+    )

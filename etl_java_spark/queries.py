@@ -15988,6 +15988,71 @@ def q328_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q329_label_noise",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(UNNEST(generate_series(0, LEN(embedding) - 1)) AS INTEGER) AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS lab, pos,
+             list_sum(list(x ORDER BY vec_id)) / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM flat GROUP BY 1, 2
+    ), cvec AS (
+      SELECT lab, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1
+    ), raw AS (
+      SELECT e.vec_id, e.label AS given_label, c.lab AS cand_label,
+        list_sum(list_transform(list_zip(e.embedding, c.cv),
+          p -> CAST(p[1] AS DOUBLE) * p[2])) AS dot,
+        list_sum(list_transform(e.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv,
+        list_sum(list_transform(c.cv, x -> x * x)) AS ncn
+      FROM embeddings e CROSS JOIN cvec c
+    ), scored AS (
+      SELECT vec_id, given_label, cand_label,
+             CASE WHEN nv > 0 AND ncn > 0 THEN dot / (SQRT(nv) * SQRT(ncn))
+                  ELSE 0.0 END AS cos
+      FROM raw
+    ), thr AS (
+      SELECT cand_label,
+             CAST(SUM(CAST(cos AS DECIMAL(38,15))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS t
+      FROM scored WHERE given_label = cand_label GROUP BY 1
+    ), best AS (
+      SELECT s.vec_id, s.cand_label,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id
+               ORDER BY s.cos DESC, s.cand_label ASC) AS rn
+      FROM scored s JOIN thr ON thr.cand_label = s.cand_label
+      WHERE s.cos >= thr.t
+    )
+    SELECT a.label AS given_label, b.cand_label AS suggested_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM embeddings a
+    LEFT JOIN (SELECT vec_id, cand_label FROM best WHERE rn = 1) b
+      USING (vec_id)
+    GROUP BY 1, 2
+    """,
+)
+def q329_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning label-noise matrix
+    (similarity.confident_label_noise — the Cleanlab counting rule
+    with nearest-centroid cosine as the confidence): doc labeled g
+    counts into (g, j) when its cosine to centroid j clears class j's
+    own mean self-similarity threshold and j is the argmax among
+    cleared classes; docs clearing nothing abstain (NULL). Off-diagonal
+    mass is the ranked label-cleanup queue. Same bitwise centroid/
+    cosine plane as q261, plus decimal-mean thresholds — the whole
+    decision boundary replays in SQL. One centroid pass + one map-only
+    scoring pass; no pairwise work.
+    """
+    from .operators.similarity import confident_label_noise
+
+    e = _t(spark, sf_dir, "embeddings")
+    return confident_label_noise(e, "embedding", "vec_id", "label")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
