@@ -1043,3 +1043,77 @@ def gains_table(
             / (F.col("__tp").cast("double") / F.col("__tn").cast("double"))
         ).alias("lift"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    label_col,
+    score_col,
+    id_col,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    the ranking-eval companion of :func:`roc_auc` for imbalanced
+    labels) under the deterministic total order (score DESC, id ASC):
+
+        AP = (1/P) * sum over positives j=1..P of  j / rank_j
+
+    where rank_j is the j-th positive's 1-based global rank. NO global
+    row sort: ranks come from the two-phase discipline — per-distinct-
+    score counts, ONE ordered window over the (cardinality-bounded)
+    distinct-score table for offsets, then partition-LOCAL row_number
+    within each score group, tie-broken by the unique id. ``quantize``
+    floor-quantizes continuous scores to cap the distinct-score
+    cardinality at warehouse scale.
+
+    The per-positive terms j/rank are single double divisions summed
+    through decimal(38,15) (order-independent); one final division by
+    P. Returns one row: (n_pos, n_rows, ap).
+    """
+    s = _c(score_col)
+    if quantize is not None:
+        s = F.floor(s * F.lit(10**quantize)).cast("long")
+    lab = _c(label_col).cast("int")
+    rows = df.select(
+        _c(id_col).alias("__id"), lab.alias("__y"), s.alias("__s")
+    )
+    per = rows.groupBy("__s").agg(
+        F.count("*").cast("long").alias("__g"),
+        F.sum("__y").cast("long").alias("__gp"),
+    )
+    # offsets over distinct scores DESC: rows/positives ranked above
+    # this score group (metadata-sized window input)
+    w = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per.select(
+        "__s",
+        F.coalesce(F.sum("__g").over(w), F.lit(0)).alias("__off"),
+        F.coalesce(F.sum("__gp").over(w), F.lit(0)).alias("__offp"),
+    )
+    j = rows.join(F.broadcast(offsets), "__s")
+    wg = Window.partitionBy("__s").orderBy("__id")
+    ranked = j.withColumn("__rank", F.col("__off") + F.row_number().over(wg))
+    wp = Window.partitionBy("__s").orderBy("__id")
+    pos = (
+        ranked.filter(F.col("__y") == 1)
+        .withColumn("__j", F.col("__offp") + F.row_number().over(wp))
+    )
+    terms = pos.select(
+        (
+            F.col("__j").cast("double") / F.col("__rank").cast("double")
+        ).cast("decimal(38,15)").alias("__term")
+    )
+    totals = rows.agg(
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    return terms.agg(F.sum("__term").alias("__sum")).crossJoin(
+        F.broadcast(totals)
+    ).select(
+        "n_pos",
+        "n_rows",
+        F.round(
+            F.col("__sum").cast("double") / F.col("n_pos").cast("double"), 12
+        ).alias("ap"),
+    )

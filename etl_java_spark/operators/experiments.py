@@ -375,3 +375,79 @@ def cuped(
             "var_reduction"
         ),
     )
+
+
+def stratified_ipw(
+    df: DataFrame,
+    stratum_col: str,
+    treated_col: str,
+    outcome_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Stratified inverse-propensity-weighted treatment-effect estimate
+    for OBSERVATIONAL data (no randomized assignment): within each
+    stratum the propensity e_s = n_treated / n is the exact empirical
+    treatment share, and the ATE is the propensity-weighted contrast
+
+        ATE = sum_s [ (Y1_s / e_s) - (Y0_s / (1 - e_s)) ] weighting
+              each stratum by its share — algebraically equal, under
+              within-stratum exchangeability, to
+              sum_s (n_s / N) * (mean_treated_s - mean_control_s),
+
+    the direct-standardization form this implementation uses because
+    it needs NO division by near-zero propensities: per stratum, two
+    exact integer sums and counts; strata where either arm is empty
+    are excluded from the estimate and reported (``n_unsupported`` —
+    the positivity-violation diagnostic every IPW pipeline must
+    surface, not silently zero-weight).
+
+    The outcome is scaled to exact integers (``round(outcome * scale)``
+    as long) so sums aggregate exactly; per-stratum means and the
+    final weighted contrast derive in fixed double order over the
+    (metadata-sized) stratum table.
+
+    Returns ONE row: (n_units, n_strata, n_unsupported, ate_scaled,
+    naive_diff_scaled) — naive = unadjusted treated-minus-control mean
+    gap, so the row shows exactly how much confounding the
+    stratification removed. Scale: one grouped integer aggregate, then
+    arithmetic on #strata rows.
+    """
+    y = F.round(F.col(outcome_col).cast("double") * scale).cast("long")
+    t = F.col(treated_col).cast("int")
+    per = df.groupBy(stratum_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(t).cast("long").alias("n_t"),
+        F.sum(F.when(t == 1, y).otherwise(F.lit(0)).cast("decimal(38,0)")).alias("s_t"),
+        F.sum(F.when(t == 0, y).otherwise(F.lit(0)).cast("decimal(38,0)")).alias("s_c"),
+    )
+    supported = (F.col("n_t") > 0) & (F.col("n_t") < F.col("n"))
+    mean_t = F.col("s_t").cast("double") / F.col("n_t").cast("double")
+    mean_c = F.col("s_c").cast("double") / (F.col("n") - F.col("n_t")).cast("double")
+    contrib = F.when(
+        supported, (mean_t - mean_c) * F.col("n").cast("double")
+    ).otherwise(F.lit(0.0)).cast("decimal(38,6)")
+    agg = per.agg(
+        F.sum("n").cast("long").alias("n_units"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(F.when(supported, 0).otherwise(1)).cast("long").alias("n_unsupported"),
+        F.sum(F.when(supported, F.col("n")).otherwise(0)).cast("long").alias("__n_sup"),
+        F.sum(contrib).alias("__sum_contrib"),
+        F.sum("s_t").alias("__st"), F.sum("n_t").cast("long").alias("__nt"),
+        F.sum("s_c").alias("__sc"),
+        (F.sum("n") - F.sum("n_t")).cast("long").alias("__nc"),
+    )
+    # round at 6, not 12: these are cent-scaled magnitudes (~1e5), so
+    # 12 fractional digits exceeds double precision and the final-ulp
+    # rounding disagrees across engines
+    ate = F.round(
+        F.col("__sum_contrib").cast("double") / F.col("__n_sup").cast("double"), 6
+    )
+    naive = F.round(
+        F.col("__st").cast("double") / F.col("__nt").cast("double")
+        - F.col("__sc").cast("double") / F.col("__nc").cast("double"),
+        6,
+    )
+    return agg.select(
+        "n_units", "n_strata", "n_unsupported",
+        ate.alias("ate_scaled"), naive.alias("naive_diff_scaled"),
+    )

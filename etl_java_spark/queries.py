@@ -16053,6 +16053,126 @@ def q329_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confident_label_noise(e, "embedding", "vec_id", "label")
 
 
+@_q(
+    "q330_ipw_effect",
+    """
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS t,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS n_t,
+             SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(38,0))
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_t,
+             SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(38,0))
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_c
+      FROM base GROUP BY seg
+    ), marked AS (
+      SELECT *, (n_t > 0 AND n_t < n) AS sup,
+             CAST(CASE WHEN n_t > 0 AND n_t < n THEN
+               (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                - CAST(s_c AS DOUBLE) / CAST(n - n_t AS DOUBLE))
+               * CAST(n AS DOUBLE)
+             ELSE 0.0 END AS DECIMAL(38,6)) AS contrib
+      FROM per
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_units,
+           CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(CASE WHEN sup THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_unsupported,
+           ROUND(CAST(SUM(contrib) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN sup THEN n ELSE 0 END) AS DOUBLE), 6)
+             AS ate_scaled,
+           ROUND(CAST(SUM(s_t) AS DOUBLE) / CAST(SUM(n_t) AS DOUBLE)
+                 - CAST(SUM(s_c) AS DOUBLE)
+                   / CAST(SUM(n) - SUM(n_t) AS DOUBLE), 6)
+             AS naive_diff_scaled
+    FROM marked
+    """,
+)
+def q330_ipw_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified IPW / direct-standardization treatment effect
+    (experiments.stratified_ipw): effect of urgent/high order priority
+    on order value, standardized over customer market segments — the
+    observational-causal companion to q179's randomized Welch t and
+    q314's CUPED. Uses the division-free standardization form (share-
+    weighted within-stratum contrasts), surfaces positivity violations
+    as n_unsupported instead of silently zero-weighting, and reports
+    the naive gap beside the adjusted one. Exact integer-cent sums per
+    stratum; final arithmetic on #strata rows.
+    """
+    from .operators.experiments import stratified_ipw
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("t"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return stratified_ipw(base, "seg", "t", "y", scale=100)
+
+
+@_q(
+    "q331_average_precision",
+    """
+    WITH r AS (
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS s
+      FROM orders
+    ), per AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS g, CAST(SUM(y) AS BIGINT) AS gp
+      FROM r GROUP BY s
+    ), off AS (
+      SELECT s,
+             COALESCE(SUM(g) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o_r,
+             COALESCE(SUM(gp) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o_p
+      FROM per
+    ), ranked AS (
+      SELECT r.id, r.y, r.s,
+             o.o_r + ROW_NUMBER() OVER (PARTITION BY r.s ORDER BY r.id) AS rnk,
+             o.o_p
+      FROM r JOIN off o USING (s)
+    ), pos AS (
+      SELECT o_p + ROW_NUMBER() OVER (PARTITION BY s ORDER BY id) AS j, rnk
+      FROM ranked WHERE y = 1
+    ), tot AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS np, CAST(COUNT(*) AS BIGINT) AS nr
+      FROM r
+    )
+    SELECT tot.np AS n_pos, tot.nr AS n_rows,
+           ROUND(CAST(SUM(CAST(CAST(j AS DOUBLE) / CAST(rnk AS DOUBLE)
+                     AS DECIMAL(38,15))) AS DOUBLE)
+                 / CAST(tot.np AS DOUBLE), 12) AS ap
+    FROM pos, tot GROUP BY tot.np, tot.nr
+    """,
+)
+def q331_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision / PR-AUC (evaluation.average_precision):
+    does order value rank urgent orders first? The imbalanced-label
+    ranking eval completing the q266 ROC-AUC / q315 gains family.
+    AP = mean over positives of (positive's index / its global rank)
+    under the deterministic (score DESC, id ASC) total order — ranks
+    from the two-phase discipline (distinct-score offsets + partition-
+    local row_number), NO global row sort; terms decimal-summed.
+    """
+    from .operators.evaluation import average_precision
+
+    o = _t(spark, sf_dir, "orders")
+    rows = o.select(
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("s"),
+    )
+    return average_precision(rows, "y", "s", "o_orderkey")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
