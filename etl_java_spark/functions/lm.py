@@ -354,3 +354,82 @@ def bigram_cross_fluency(
             F.sum(weighted).cast("double") / F.sum("n").cast("double"), 12
         ).alias("fluency"),
     )
+
+
+def kneser_ney_fluency(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount_num: int = 3,
+    discount_den: int = 4,
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram fluency — the smoothing that made
+    KenLM the corpus-quality workhorse: instead of add-one's uniform
+    backoff, the continuation probability asks "how many DISTINCT
+    histories does this word follow?", so boilerplate tokens that
+    appear often but only after one history stop inflating scores.
+
+        P_KN(w2|w1) = (c(w1 w2) - D) / c(w1 .)
+                      + D * N1+(w1 .) / c(w1 .) * N1+(. w2) / T
+
+    with D = discount_num/discount_den (default 3/4 — an exact binary
+    fraction, so every product below is a correctly-rounded double),
+    c(w1 .) = w1's count as a bigram HISTORY, N1+ the distinct-
+    continuation / distinct-history counts, T = total distinct bigram
+    types. Self-scoring (model = scored corpus) keeps every observed
+    c >= 1, so the max(.,0) clip is vacuous and elided. Per-doc score =
+    decimal-exact mean of P_KN over the doc's bigram instances,
+    rounded at 12 — ln-free like bigram_fluency (means, not
+    log-likelihoods, so no transcendental divergence across engines).
+
+    Scale: the same three count shuffles as bigram_fluency plus two
+    distinct-count aggregates over the bigram-TYPE table (already
+    reduced); scoring joins hit model tables keyed on w1 / w2 /
+    (w1, w2). Returns (id, n_bigrams, kn_fluency).
+    """
+    toks_col = token_array(text_col, pattern)
+    sliced = docs.select(
+        F.col(id_col),
+        F.slice(toks_col, 1, F.greatest(F.size(toks_col) - 1, F.lit(0))).alias("w1s"),
+        F.slice(toks_col, 2, F.greatest(F.size(toks_col) - 1, F.lit(0))).alias("w2s"),
+    )
+    pairs = sliced.select(
+        F.col(id_col), F.explode(F.arrays_zip("w1s", "w2s")).alias("p")
+    ).select(id_col, F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2"))
+    doc_bg = (
+        pairs.groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    # bigram TYPE table: c12 per type; every model stat derives from it
+    bi = doc_bg.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    bi = bi.localCheckpoint(eager=True)
+    hist = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1h"),            # c(w1 .)
+        F.count("*").alias("n1f"),            # N1+(w1 .)
+    )
+    cont = bi.groupBy("w2").agg(F.count("*").alias("n1b"))  # N1+(. w2)
+    types = bi.agg(F.count("*").cast("double").alias("t"))
+    d = F.lit(discount_num).cast("double") / F.lit(discount_den).cast("double")
+    p_kn = (
+        (F.col("c12").cast("double") - d) / F.col("c1h").cast("double")
+        + d * F.col("n1f").cast("double") / F.col("c1h").cast("double")
+        * (F.col("n1b").cast("double") / F.col("t"))
+    )
+    scored = (
+        doc_bg.join(bi, ["w1", "w2"])
+        .join(hist, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(
+                (F.col("n").cast("double") * p_kn).cast("decimal(38,15)")
+            ).cast("double")
+            / F.sum("n").cast("double"),
+            12,
+        ).alias("kn_fluency"),
+    )

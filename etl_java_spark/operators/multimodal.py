@@ -285,3 +285,115 @@ def perceptual_hashes(media: DataFrame, hash_fn=None) -> DataFrame:
             )
 
     return media.mapInPandas(batches, "path string, mime string, phash long")
+
+
+# ---------------------------------------------------------------------------
+# Audio activity segmentation (energy-based VAD-lite)
+
+
+def audio_burst_rows(n: int = 24, seed: int = 13) -> list[tuple[str, str, bytearray]]:
+    """Deterministic WAVs with tone BURSTS separated by silence — the
+    segmentation fixture: file i carries (i % 3) + 1 bursts of
+    400 + 40*i samples at amplitude 0.5, with 480-sample silences."""
+    import numpy as np
+
+    from . import codecs as C
+
+    rows = []
+    for i in range(n):
+        bursts = (i % 3) + 1
+        blen = 400 + 40 * i
+        pieces = [np.zeros(480)]
+        for b in range(bursts):
+            t = np.arange(blen) / 8000.0
+            pieces.append(0.5 * np.sin(2 * np.pi * (200.0 + 15 * (seed + i + b)) * t))
+            pieces.append(np.zeros(480))
+        samples = np.concatenate(pieces)
+        rows.append((f"mem://audio/{i}.wav", "audio/wav", bytearray(C.encode_wav(samples))))
+    return rows
+
+
+def synthesize_audio_table(spark: SparkSession, n: int = 24, seed: int = 13) -> DataFrame:
+    """Deterministic table of burst WAVs — see audio_burst_rows."""
+    df = spark.createDataFrame(
+        audio_burst_rows(n, seed), "path string, mime string, content binary"
+    )
+    return attach_media_meta(df, mime_col="mime")
+
+
+def pcm16_energy_profile(content: bytes, frame: int = 160) -> tuple[int, int, int, int, int]:
+    """Pure-Python/NumPy integer energy segmentation of one 16-bit PCM
+    mono WAV: per-frame energy = sum of squared int16 samples (exact
+    int64), a frame is ACTIVE iff 2 * energy * n_frames > total_energy
+    (i.e. above half the mean frame energy — a scale-free threshold),
+    and segments are runs of consecutive active frames. The trailing
+    partial frame is dropped (deterministic framing). ALL integer
+    arithmetic -> the q55/q105 oracle pattern replays it bit-for-bit.
+
+    Returns (n_frames, n_active, n_segments, longest_run, total_energy).
+    """
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    with _wave.open(_io.BytesIO(content), "rb") as w:
+        assert w.getsampwidth() == 2 and w.getnchannels() == 1
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    n_frames = len(x) // frame
+    if n_frames == 0:
+        return (0, 0, 0, 0, 0)
+    sq = x[: n_frames * frame] ** 2
+    energies = sq.reshape(n_frames, frame).sum(axis=1)
+    total = int(energies.sum())
+    active = (2 * energies * n_frames) > total
+    n_active = int(active.sum())
+    n_segments = longest = run = 0
+    for a in active:
+        if a:
+            run += 1
+            if run == 1:
+                n_segments += 1
+            longest = max(longest, run)
+        else:
+            run = 0
+    return (n_frames, n_active, n_segments, longest, total)
+
+
+AUDIO_SEGMENT_SCHEMA = (
+    "uri string, n_frames long, n_active long, n_segments long, "
+    "longest_run long, total_energy long"
+)
+
+
+def audio_energy_segments(
+    df: DataFrame,
+    content_col: str = "content",
+    media_col: str = "media",
+    frame: int = 160,
+) -> DataFrame:
+    """Energy-based activity segmentation over a binary WAV column —
+    the VAD-shaped preprocessing step of every speech-data pipeline
+    (segment, then transcribe/embed only active spans). Arrow-batched
+    mapInPandas (the multimodal plumbing contract: schema, batching,
+    partition advice all identical to extract_features); per-file
+    arithmetic is exact integers, so the sequential oracle replay is
+    bit-equal.
+    """
+
+    def _seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for c, m in zip(pdf[content_col], pdf[media_col]):
+                nf, na, ns, lg, te = pcm16_energy_profile(bytes(c), frame)
+                rows.append((m["uri"], nf, na, ns, lg, te))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "uri", "n_frames", "n_active", "n_segments",
+                    "longest_run", "total_energy",
+                ],
+            )
+
+    return df.select(content_col, media_col).mapInPandas(_seg, AUDIO_SEGMENT_SCHEMA)

@@ -16173,6 +16173,92 @@ def q331_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return average_precision(rows, "y", "s", "o_orderkey")
 
 
+@_q(
+    "q332_kneser_ney",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), pairs AS (
+      SELECT doc_id, toks[CAST(r.i AS INTEGER)] AS w1,
+             toks[CAST(r.i AS INTEGER) + 1] AS w2
+      FROM tok, UNNEST(range(1, LEN(toks))) AS r(i)
+    ), dbg AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2, 3
+    ), bi AS (
+      SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM dbg GROUP BY 1, 2
+    ), hist AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1h,
+             CAST(COUNT(*) AS BIGINT) AS n1f
+      FROM bi GROUP BY 1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bi GROUP BY 1
+    ), ty AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM bi
+    )
+    SELECT d.doc_id, CAST(SUM(d.n) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(
+             CAST(d.n AS DOUBLE) * (
+               (CAST(b.c12 AS DOUBLE) - 0.75) / CAST(h.c1h AS DOUBLE)
+               + 0.75 * CAST(h.n1f AS DOUBLE) / CAST(h.c1h AS DOUBLE)
+                 * (CAST(c.n1b AS DOUBLE) / ty.t)
+             )
+           AS DECIMAL(38,15))) AS DOUBLE) / CAST(SUM(d.n) AS DOUBLE), 12)
+             AS kn_fluency
+    FROM dbg d JOIN bi b USING (w1, w2) JOIN hist h ON d.w1 = h.w1
+    JOIN cont c ON d.w2 = c.w2 CROSS JOIN ty
+    GROUP BY d.doc_id
+    """,
+)
+def q332_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram fluency (lm.kneser_ney_fluency):
+    the KenLM-grade smoothing — continuation probability counts
+    DISTINCT histories, so frequent-but-stereotyped tokens stop
+    inflating scores (the known failure of q125's add-one backoff on
+    boilerplate). D = 3/4 exactly; ln-free decimal-exact per-doc means
+    replay bitwise. Three count shuffles + two aggregates over the
+    already-reduced bigram-type table.
+    """
+    from .functions.lm import kneser_ney_fluency
+
+    d = _t(spark, sf_dir, "documents")
+    return kneser_ney_fluency(d)
+
+
+def _q333_oracle() -> str:
+    from .operators.multimodal import audio_burst_rows, pcm16_energy_profile
+
+    vals = []
+    for path, _mime, content in audio_burst_rows(24, 13):
+        nf, na, ns, lg, te = pcm16_energy_profile(bytes(content), 160)
+        vals.append(
+            f"('{path}', CAST({nf} AS BIGINT), CAST({na} AS BIGINT), "
+            f"CAST({ns} AS BIGINT), CAST({lg} AS BIGINT), CAST({te} AS BIGINT))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(uri, n_frames, n_active, n_segments, longest_run, total_energy)"
+    )
+
+
+@_q("q333_audio_segments", _q333_oracle())
+def q333_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based audio activity segmentation
+    (multimodal.audio_energy_segments): deterministic WAV fixtures with
+    tone bursts -> Arrow-batched mapInPandas -> exact-integer per-frame
+    energies, scale-free activity threshold (2*e*n > total), island
+    runs. The oracle replays the identical integer arithmetic
+    sequentially (VALUES literal — the q55/q105 media pattern), so
+    framing, thresholding, and run-length logic all gate bit-for-bit.
+    The VAD-shaped front door of a speech-data pipeline: segment first,
+    decode/transcribe only active spans.
+    """
+    from .operators.multimodal import audio_energy_segments, synthesize_audio_table
+
+    media = synthesize_audio_table(spark, n=24).coalesce(4)
+    return audio_energy_segments(media, frame=160)
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
