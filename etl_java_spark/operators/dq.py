@@ -1264,3 +1264,51 @@ def embedding_dim_stats(
             F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
         )
     )
+
+
+def functional_dependency_audit(
+    df: DataFrame,
+    fds: list[tuple[list[str], str]],
+) -> DataFrame:
+    """Approximate functional-dependency audit: for each candidate
+    FD ``lhs -> rhs``, the violation count is the minimum number of
+    rows you would have to delete to make the dependency hold exactly
+    (per LHS group: rows outside the group's plurality RHS value — the
+    g3 measure of Kivinen/Mannila). The profiler behind "is this
+    column DERIVED from those?" — sub-1% rates flag denormalized copies
+    and stale backfills; the violating rows are the repair queue.
+
+    Per FD: one (lhs, rhs) count aggregate (map-side combinable), one
+    max-per-lhs reduce — both metadata-bounded by domain cardinality,
+    never row-bounded. NULL handling: NULL rhs values form their own
+    value class (a NULL copy of a non-null source IS a violation);
+    NULL lhs keys group together like any other key.
+
+    Returns one row per FD: (fd, n_groups, n_rows, n_violations,
+    violation_rate).
+    """
+    out = None
+    for lhs, rhs in fds:
+        name = ",".join(lhs) + "->" + rhs
+        pair = df.groupBy(
+            *[F.col(c) for c in lhs], F.col(rhs).alias("__rhs")
+        ).agg(F.count("*").alias("__n"))
+        per_lhs = pair.groupBy(*[F.col(c) for c in lhs]).agg(
+            F.sum("__n").alias("__tot"), F.max("__n").alias("__keep")
+        )
+        row = per_lhs.agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("__tot").cast("long").alias("n_rows"),
+            (F.sum("__tot") - F.sum("__keep")).cast("long").alias("n_violations"),
+        ).select(
+            F.lit(name).alias("fd"),
+            "n_groups",
+            "n_rows",
+            "n_violations",
+            F.round(
+                F.col("n_violations").cast("double") / F.col("n_rows").cast("double"),
+                12,
+            ).alias("violation_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

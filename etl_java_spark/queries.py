@@ -16259,6 +16259,153 @@ def q333_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy_segments(media, frame=160)
 
 
+@_q(
+    "q334_zone_map_audit",
+    """
+    WITH nat_ AS (
+      SELECT l_shipdate,
+             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber)
+                         - 1) / 4096) AS BIGINT) AS chunk
+      FROM lineitem
+    ), sorted_ AS (
+      SELECT l_shipdate,
+             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey,
+                         l_linenumber) - 1) / 4096) AS BIGINT) AS chunk
+      FROM lineitem
+    ), n_chunks AS (
+      SELECT 'natural' AS layout, chunk, COUNT(*) AS n,
+             MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
+      FROM nat_ GROUP BY chunk
+      UNION ALL
+      SELECT 'shipdate', chunk, COUNT(*), MIN(l_shipdate), MAX(l_shipdate)
+      FROM sorted_ GROUP BY chunk
+    )
+    SELECT layout,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN hi >= DATE '1995-06-01'
+                          AND lo <= DATE '1995-08-31' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_chunks_scanned,
+           CAST(SUM(CASE WHEN hi >= DATE '1995-06-01'
+                          AND lo <= DATE '1995-08-31' THEN n ELSE 0 END)
+                AS BIGINT) AS rows_scanned,
+           ROUND(CAST(SUM(CASE WHEN hi >= DATE '1995-06-01'
+                           AND lo <= DATE '1995-08-31' THEN n ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 12) AS scan_fraction
+    FROM n_chunks GROUP BY layout
+    """,
+)
+def q334_zone_map_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (row-group min/max) pruning audit
+    (sinks/clustering.zone_map_audit): how much of lineitem would a
+    summer-1995 shipdate predicate actually SCAN under (a) natural
+    orderkey layout vs (b) shipdate-clustered layout, with 4096-row
+    chunks standing in for parquet row groups — the measurement that
+    justifies (or kills) a 100 TB OPTIMIZE/cluster rewrite before
+    paying for it. Chunk ids come from two-phase assign_global_ids
+    (order-consistent buckets: orderkey prefix / ship month), so the
+    audit itself never global-sorts; the pruning rule is parquet's own
+    stat skip (max < lo OR min > hi).
+    """
+    import datetime as _dt
+
+    from .sinks.clustering import zone_map_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi = _dt.date(1995, 6, 1), _dt.date(1995, 8, 31)
+    nat = zone_map_audit(
+        li, ["l_orderkey", "l_linenumber"], F.floor(F.col("l_orderkey") / 100000),
+        "l_shipdate", lo, hi, chunk_rows=4096, layout="natural",
+    )
+    srt = zone_map_audit(
+        li, ["l_shipdate", "l_orderkey", "l_linenumber"],
+        F.date_trunc("month", F.col("l_shipdate")).cast("date"),
+        "l_shipdate", lo, hi, chunk_rows=4096, layout="shipdate",
+    )
+    return nat.unionByName(srt)
+
+
+@_q(
+    "q335_fd_audit",
+    """
+    WITH base AS (
+      SELECT o.o_custkey, o.o_orderdate, o.o_orderpriority,
+             c.c_mktsegment, c.c_nationkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), fd1 AS (
+      SELECT 'o_custkey->c_mktsegment' AS fd, n_groups, n_rows, n_violations
+      FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(tot) AS BIGINT) AS n_rows,
+               CAST(SUM(tot) - SUM(keep) AS BIGINT) AS n_violations
+        FROM (
+          SELECT o_custkey, SUM(n) AS tot, MAX(n) AS keep
+          FROM (SELECT o_custkey, c_mktsegment, COUNT(*) AS n
+                FROM base GROUP BY 1, 2)
+          GROUP BY o_custkey)
+      )
+    ), fd2 AS (
+      SELECT 'c_nationkey->c_mktsegment' AS fd, n_groups, n_rows, n_violations
+      FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(tot) AS BIGINT) AS n_rows,
+               CAST(SUM(tot) - SUM(keep) AS BIGINT) AS n_violations
+        FROM (
+          SELECT c_nationkey, SUM(n) AS tot, MAX(n) AS keep
+          FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+                FROM base GROUP BY 1, 2)
+          GROUP BY c_nationkey)
+      )
+    ), fd3 AS (
+      SELECT 'o_orderdate->o_orderpriority' AS fd, n_groups, n_rows, n_violations
+      FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(tot) AS BIGINT) AS n_rows,
+               CAST(SUM(tot) - SUM(keep) AS BIGINT) AS n_violations
+        FROM (
+          SELECT o_orderdate, SUM(n) AS tot, MAX(n) AS keep
+          FROM (SELECT o_orderdate, o_orderpriority, COUNT(*) AS n
+                FROM base GROUP BY 1, 2)
+          GROUP BY o_orderdate)
+      )
+    ), u AS (
+      SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3
+    )
+    SELECT fd, n_groups, n_rows, n_violations,
+           ROUND(CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE), 12)
+             AS violation_rate
+    FROM u
+    """,
+)
+def q335_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit
+    (dq.functional_dependency_audit, the g3 measure): minimum row
+    deletions for each candidate FD to hold exactly. The schema
+    profiler behind "is this column derived from that one": the
+    join-propagated o_custkey->c_mktsegment holds at 0 violations by
+    construction (regression tripwire for the join), while
+    c_nationkey->c_mktsegment and o_orderdate->o_orderpriority measure
+    real non-determinism. Per FD: one (lhs, rhs) count + one
+    max-per-lhs reduce, both domain-bounded.
+    """
+    from .operators.dq import functional_dependency_audit
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_custkey", "o_orderdate", "o_orderpriority",
+        "c_mktsegment", "c_nationkey",
+    )
+    return functional_dependency_audit(
+        base,
+        [
+            (["o_custkey"], "c_mktsegment"),
+            (["c_nationkey"], "c_mktsegment"),
+            (["o_orderdate"], "o_orderpriority"),
+        ],
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.

@@ -97,3 +97,65 @@ def write_zorder_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zone_map_audit(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    bucket: Column,
+    stat_col: str,
+    pred_lo,
+    pred_hi,
+    chunk_rows: int = 4096,
+    layout: str = "layout",
+) -> DataFrame:
+    """Quantify data-skipping effectiveness of a LAYOUT before paying
+    to rewrite it: lay the table out in ``order_cols`` order, cut it
+    into storage chunks of ``chunk_rows`` rows (the row-group stand-in),
+    compute each chunk's min/max zone map over ``stat_col``, and count
+    how many chunks a [pred_lo, pred_hi] range predicate would scan —
+    chunk pruned iff ``max < lo OR min > hi``, exactly parquet's
+    row-group stat skip.
+
+    Chunk ids come from the two-phase ``assign_global_ids`` discipline
+    (``bucket`` must be an order-consistent prefix of the leading order
+    column) — no single-partition sort, so the audit itself runs at the
+    scale of the table it is judging. One grouped min/max over chunk
+    ids, then arithmetic on the (metadata-sized) chunk table.
+
+    Returns ONE row: (layout, n_rows, n_chunks, n_chunks_scanned,
+    rows_scanned, scan_fraction).
+    """
+    from ..operators.transforms import assign_global_ids
+
+    ids = assign_global_ids(
+        df.select(*{*order_cols, stat_col}), list(order_cols), bucket
+    )
+    chunks = (
+        ids.select(
+            F.floor((F.col("seq_id") - 1) / chunk_rows).alias("__chunk"),
+            F.col(stat_col),
+        )
+        .groupBy("__chunk")
+        .agg(
+            F.count("*").alias("__n"),
+            F.min(stat_col).alias("__lo"),
+            F.max(stat_col).alias("__hi"),
+        )
+    )
+    scanned = (F.col("__hi") >= F.lit(pred_lo)) & (F.col("__lo") <= F.lit(pred_hi))
+    return chunks.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(scanned.cast("int")).cast("long").alias("n_chunks_scanned"),
+        F.sum(F.when(scanned, F.col("__n")).otherwise(0)).cast("long").alias("rows_scanned"),
+    ).select(
+        F.lit(layout).alias("layout"),
+        "n_rows",
+        "n_chunks",
+        "n_chunks_scanned",
+        "rows_scanned",
+        F.round(
+            F.col("rows_scanned").cast("double") / F.col("n_rows").cast("double"), 12
+        ).alias("scan_fraction"),
+    )
