@@ -1105,3 +1105,128 @@ def confident_label_noise(
     return assigned.groupBy("given_label", "suggested_label").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+def product_quantize(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_blocks: int = 8,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """Product quantization (the IVF-PQ compression step — THE memory
+    trick behind billion-vector ANN): split each d-dim vector into
+    ``n_blocks`` subvectors, learn a ``n_codes``-entry codebook per
+    block, and represent every vector by its per-block nearest-code
+    ids — d floats become n_blocks small ints (64 dims -> 8 bytes at
+    the defaults).
+
+    Codebook training is deterministic end-to-end: seeds are the
+    ``n_codes`` smallest-id vectors' subvectors, refined by
+    ``refine_iters`` Lloyd rounds where each (block, code) centroid is
+    the FIXED-ORDER mean of its assigned subvectors (fold in vec-id
+    order — the _fixed_order_centroids discipline), and assignment is
+    sequential-fold squared-L2 with ties to the smaller code. Every
+    double therefore replays bitwise in SQL.
+
+    Scale: codebooks are n_blocks x n_codes rows (broadcast);
+    assignment is a map-only pass over the exploded (vec, block)
+    table; each Lloyd round is one map-side-combinable centroid
+    aggregate. No pairwise work between data vectors.
+
+    Returns per (block, code): (block, code, n_assigned,
+    distortion) — distortion = decimal-exact sum of per-row rounded
+    squared errors, the compression-quality readout (rising distortion
+    on refresh = drifted corpus needs codebook retraining).
+    """
+    # exploded (vec, block, subvec) table — reused by every round
+    blocks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("block"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "__id",
+        "block",
+        F.expr(
+            f"transform(slice(__v, block * (size(__v) div {n_blocks}) + 1, "
+            f"size(__v) div {n_blocks}), x -> cast(x as double))"
+        ).alias("__sub"),
+    ).localCheckpoint(eager=True)
+
+    seed_ids = df.select(F.col(id_col).alias("__id")).orderBy("__id").limit(n_codes)
+    codebook = (
+        blocks.join(F.broadcast(seed_ids), "__id")
+        .withColumn(
+            "code",
+            F.row_number().over(
+                Window.partitionBy("block").orderBy("__id")
+            ) - 1,
+        )
+        .select("block", "code", F.col("__sub").alias("__cv"))
+    )
+
+    def dist_expr():
+        return F.aggregate(
+            F.zip_with(
+                F.col("__sub"), F.col("__cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cb):
+        scored = blocks.join(F.broadcast(cb), "block").select(
+            "__id", "block", "__sub", "code", dist_expr().alias("__d")
+        )
+        best = scored.groupBy("__id", "block").agg(
+            F.min(F.struct(F.col("__d"), F.col("code"))).alias("__best")
+        )
+        return best.select(
+            "__id", "block",
+            F.col("__best.code").alias("code"),
+            F.col("__best.__d").alias("__d"),
+        )
+
+    for _ in range(refine_iters):
+        assigned = assign(codebook)
+        flat = (
+            blocks.join(assigned.select("__id", "block", "code"), ["__id", "block"])
+            .select(
+                "block", "code", "__id",
+                F.posexplode("__sub").alias("pos", "x"),
+            )
+        )
+        cent = (
+            flat.groupBy("block", "code", "pos")
+            .agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__id"), F.col("x").alias("v")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["v"],
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "block", "code", "pos", (F.col("s") / F.col("n").cast("double")).alias("m")
+            )
+        )
+        codebook = cent.groupBy("block", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("__cv")
+        )
+        # a code that lost every member keeps its previous centroid? No:
+        # seeds guarantee each code has >= 1 member (its own seed may
+        # move, but empty codes simply vanish from the centroid table
+        # and therefore from the next assignment round).
+
+    final = assign(codebook)
+    return final.groupBy("block", "code").agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.sum(F.round(F.col("__d"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("distortion"),
+    )

@@ -1163,3 +1163,72 @@ def lag_features(
             f"rmean_{n}", s.cast("double") / c.cast("double")
         )
     return out
+
+
+def sliding_distinct_hll(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    window_days: int = 7,
+    abs_tol: int = 5,
+    rel_tol_pct: int = 5,
+) -> DataFrame:
+    """Sliding-window distinct entities via MERGEABLE daily HLL
+    sketches — the sketch swap :func:`sliding_distinct` documents for
+    month+ windows at extreme cardinality: sketch each day ONCE
+    (map-side-combinable hll_sketch_agg over raw events), then every
+    window is a UNION OF DAY SKETCHES, so the window fan-out replicates
+    kilobyte sketch blobs instead of (entity, day) rows — per-window
+    cost is O(days) sketch merges regardless of entity cardinality.
+
+    Carries the exact count beside the estimate (the q135
+    exact-companion oracle pattern: HLL bytes are engine-specific, so
+    the gate checks ``approx_ok`` = |est - exact| <= abs_tol +
+    rel_tol_pct% — a broken sketch or merge flips the boolean). Days
+    whose trailing window is empty report 0/0/true via the calendar
+    grid.
+
+    Returns (window_end, n_exact, approx_ok).
+    """
+    daily = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("__d"),
+            F.col(entity_col).alias("__e"),
+        )
+        .groupBy("__d")
+        .agg(F.hll_sketch_agg("__e").alias("__sk"))
+    )
+    span = daily.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    fan = daily.select(
+        "__sk",
+        F.explode(
+            F.sequence(
+                F.col("__d"),
+                F.date_add(F.col("__d"), window_days - 1),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("window_end"),
+    )
+    approx = (
+        fan.join(
+            F.broadcast(span),
+            (F.col("window_end") >= F.col("__lo"))
+            & (F.col("window_end") <= F.col("__hi")),
+        )
+        .groupBy("window_end")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est")
+        )
+    )
+    exact = sliding_distinct(df, entity_col, ts_col, window_days)
+    joined = exact.join(approx, on="window_end", how="left").select(
+        "window_end",
+        F.col("n_distinct").alias("n_exact"),
+        F.coalesce(F.col("__est"), F.lit(0)).alias("__est"),
+    )
+    tol = F.lit(abs_tol) + F.col("n_exact") * rel_tol_pct / F.lit(100.0)
+    return joined.select(
+        "window_end",
+        "n_exact",
+        (F.abs(F.col("__est") - F.col("n_exact")) <= tol).alias("approx_ok"),
+    )

@@ -16406,6 +16406,125 @@ def q335_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q336_sliding_distinct_hll",
+    """
+    -- exact-companion oracle (q135 pattern): DuckDB replays the EXACT
+    -- sliding distinct; the Spark side carries it next to the HLL
+    -- estimate and the gate checks the within-tolerance boolean
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), span AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM days
+    ), fan AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(CAST(d AS TIMESTAMP),
+                    CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                    INTERVAL 1 DAY)) AS DATE) AS window_end
+      FROM days
+    ), counts AS (
+      SELECT window_end,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM fan, span
+      WHERE window_end >= lo AND window_end <= hi
+      GROUP BY window_end
+    ), grid AS (
+      SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+               CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS window_end
+      FROM span
+    )
+    SELECT g.window_end,
+           CAST(COALESCE(c.n_exact, 0) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM grid g LEFT JOIN counts c USING (window_end)
+    """,
+)
+def q336_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct users via MERGEABLE daily HLL sketches
+    (timeseries.sliding_distinct_hll) — the sketch swap q303 documents
+    for month+ windows at extreme cardinality: sketch each day once,
+    union kilobyte sketch blobs per window instead of fanning
+    (entity, day) rows, so per-window cost is O(days) regardless of
+    user cardinality. Exact-companion oracle: estimate within
+    5 + 5% of the exact count or approx_ok flips and the gate fails.
+    """
+    from .operators.timeseries import sliding_distinct_hll
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_distinct_hll(ev, "user_id", "ts", window_days=7)
+
+
+@_q(
+    "q337_product_quantize",
+    """
+    WITH blocks AS (
+      SELECT vec_id, CAST(b.b AS INTEGER) AS block,
+             list_transform(embedding[CAST(b.b AS INTEGER) * 8 + 1 :
+                                      CAST(b.b AS INTEGER) * 8 + 8],
+                            x -> CAST(x AS DOUBLE)) AS sub
+      FROM embeddings, UNNEST(range(0, 8)) AS b(b)
+    ), seeds AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS code
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ), cb0 AS (
+      SELECT bl.block, s.code, bl.sub AS cv
+      FROM blocks bl JOIN seeds s USING (vec_id)
+    ), s0 AS (
+      SELECT bl.vec_id, bl.block, c.code,
+             list_sum(list_transform(list_zip(bl.sub, c.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      FROM blocks bl JOIN cb0 c USING (block)
+    ), a0 AS (
+      SELECT vec_id, block, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
+                   ORDER BY d ASC, code ASC) AS rn
+        FROM s0) WHERE rn = 1
+    ), flat AS (
+      SELECT a.block, a.code, bl.vec_id,
+             CAST(UNNEST(generate_series(0, LEN(bl.sub) - 1)) AS INTEGER) AS pos,
+             CAST(UNNEST(bl.sub) AS DOUBLE) AS x
+      FROM blocks bl JOIN a0 a ON a.vec_id = bl.vec_id AND a.block = bl.block
+    ), cent AS (
+      SELECT block, code, pos,
+             list_sum(list(x ORDER BY vec_id)) / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM flat GROUP BY 1, 2, 3
+    ), cb1 AS (
+      SELECT block, code, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1, 2
+    ), s1 AS (
+      SELECT bl.vec_id, bl.block, c.code,
+             list_sum(list_transform(list_zip(bl.sub, c.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      FROM blocks bl JOIN cb1 c USING (block)
+    ), a1 AS (
+      SELECT vec_id, block, code, d FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, block
+                   ORDER BY d ASC, code ASC) AS rn
+        FROM s1) WHERE rn = 1
+    )
+    SELECT block, code, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(CAST(ROUND(d, 9) AS DECIMAL(38,9))) AS DOUBLE) AS distortion
+    FROM a1 GROUP BY 1, 2
+    """,
+)
+def q337_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (similarity.product_quantize — the IVF-PQ
+    compression step of billion-vector ANN): 64-dim vectors -> 8
+    subvector blocks x 16-entry codebooks -> 8 small ints per vector.
+    Deterministic Lloyd training: smallest-id seeds, fixed-order
+    centroid folds, sequential-fold squared-L2 assignment with ties to
+    the smaller code — the full training round and final assignment
+    replay bitwise in SQL (per-(block, code) member counts AND the
+    decimal distortion sum). At scale: codebooks broadcast, assignment
+    is map-only, each Lloyd round one map-side-combinable aggregate.
+    """
+    from .operators.similarity import product_quantize
+
+    e = _t(spark, sf_dir, "embeddings")
+    return product_quantize(e, "embedding", "vec_id", n_blocks=8, n_codes=16)
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
