@@ -16562,10 +16562,20 @@ _PRIORITY = [
     "q320_lag_features", "q321_quantile_map", "q322_latest_nonnull",
     "q323_cross_fluency", "q324_rbo", "q325_beyond_accuracy",
     "q326_dim_stats", "q327_weighted_jaccard",
-    # 2) queries whose bodies changed in r6/r7 -- re-confirm before
-    #    aged re-greens (q219 minhash candidates, q220 pair markers,
-    #    q244 two-phase rank rewrite, q312 is already in block 1).
+    # 2) queries whose bodies changed in r7 -- re-confirm before aged
+    #    re-greens (q50/q219/q220 threshold-sized LSH banding, q244
+    #    two-phase rank rewrite, q303/q317/q324 semantics fixes; q312
+    #    is already in block 1).
+    #    (q303/q317/q324 also changed but are already never-green rows
+    #    in block 1 above, which outranks this block.)
     "q219_split_leakage", "q220_incremental_neardup", "q244_rank_normalize",
+    "q50_minhash_neardup",
+    # 2c) the round-7 additions -- never recorded; queue behind the
+    #     never-green backlog and the changed bodies
+    "q328_winnow_dedup", "q329_label_noise", "q330_ipw_effect",
+    "q331_average_precision", "q332_kneser_ney", "q333_audio_segments",
+    "q334_zone_map_audit", "q335_fd_audit", "q336_sliding_distinct_hll",
+    "q337_product_quantize",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",
@@ -16604,7 +16614,7 @@ _PRIORITY = [
     "q85_deterministic_corr", "q87_order_count_distribution",
     "q88_promo_revenue_share", "q89_having_in_subquery",
     "q90_not_in_subquery", "q92_rank_functions", "q01_pricing_summary",
-    "q46_quality_scores", "q50_minhash_neardup", "q51_simhash",
+    "q46_quality_scores", "q51_simhash",
     "q52_embedding_neardup", "q53_ann_topk", "q56_brute_force_knn",
     "q57_struct_map_columns", "q58_array_functions", "q59_explode_arrays",
     "q64_unpivot", "q65_deterministic_stats", "q66_exact_percentiles",

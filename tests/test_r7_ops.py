@@ -1,0 +1,305 @@
+"""Round-7 operators: winnowing fingerprints, confident-learning label
+noise, stratified IPW, average precision, Kneser-Ney fluency, audio
+energy segmentation, zone-map audit, FD audit, HLL sliding distinct,
+product quantization."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from etl_java_spark.operators.corpus import winnow_dup_pairs, winnow_fingerprints
+from etl_java_spark.operators.dq import functional_dependency_audit
+from etl_java_spark.operators.evaluation import average_precision
+from etl_java_spark.operators.experiments import stratified_ipw
+from etl_java_spark.functions.lm import kneser_ney_fluency
+from etl_java_spark.operators.similarity import (
+    confident_label_noise,
+    product_quantize,
+)
+from etl_java_spark.operators.timeseries import sliding_distinct_hll
+from etl_java_spark.sinks.clustering import zone_map_audit
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+
+
+def test_winnow_guaranteed_detection_floor(spark):
+    """Any shared run of shingle_n + window - 1 tokens MUST yield at
+    least one shared fingerprint (the winnowing guarantee)."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = 3 + 4 - 1
+    df = spark.createDataFrame(
+        [
+            (1, "unique prefix one two " + shared),
+            (2, shared + " totally different suffix here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_dup_pairs(df, "text", "doc_id", min_shared=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_winnow_density(spark):
+    """Winnowing keeps roughly 2/(w+1) of the shingles — far fewer
+    fingerprints than shingles on a long doc."""
+    text = " ".join(f"tok{i} word{i * 7 % 13}" for i in range(200))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_fp = winnow_fingerprints(df, "text", "doc_id", 3, 4).count()
+    n_shingles = 200 * 2 - 2  # tokens - n + 1
+    assert n_fp < n_shingles * 0.6
+    assert n_fp > 10
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    df = spark.createDataFrame([(1, "just two")], "doc_id long, text string")
+    assert winnow_fingerprints(df, "text", "doc_id", 3, 4).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# confident-learning label noise
+
+
+def test_label_noise_flags_planted_error(spark):
+    """Two tight clusters; one vector labeled into the wrong cluster
+    must be counted (given=b, suggested=a)."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "a", [10.0 + i * 0.01, 0.0]))
+        rows.append((100 + i, "b", [0.0, 10.0 + i * 0.01]))
+    rows.append((999, "b", [10.0, 0.0]))  # mislabeled: lives in cluster a
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = {
+        (r["given_label"], r["suggested_label"]): r["n"]
+        for r in confident_label_noise(df, "embedding", "vec_id", "label").collect()
+    }
+    assert out.get(("b", "a")) == 1          # the planted error, found
+    assert out.get(("a", "a"), 0) == 10      # clean cluster stays diagonal
+
+
+# ---------------------------------------------------------------------------
+# stratified IPW
+
+
+def test_ipw_removes_stratum_confounding(spark):
+    """Outcome = 10 * stratum + 5 * treated; treatment share differs by
+    stratum (confounded). The stratified estimate must recover 5
+    exactly; the naive gap must not."""
+    rows = []
+    u = 0
+    for s, (n_t, n_c) in {"lo": (2, 8), "hi": (8, 2)}.items():
+        base = 10 if s == "lo" else 100
+        for _ in range(n_t):
+            rows.append((u, s, 1, float(base + 5))); u += 1
+        for _ in range(n_c):
+            rows.append((u, s, 0, float(base))); u += 1
+    df = spark.createDataFrame(rows, "u long, s string, t int, y double")
+    out = stratified_ipw(df, "s", "t", "y", scale=1).collect()[0]
+    assert out["n_unsupported"] == 0
+    assert math.isclose(out["ate_scaled"], 5.0, abs_tol=1e-9)
+    assert abs(out["naive_diff_scaled"] - 5.0) > 10  # confounding visible
+
+
+def test_ipw_unsupported_strata_reported(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1, 10.0), (2, "a", 0, 4.0), (3, "b", 1, 9.0)],
+        "u long, s string, t int, y double",
+    )
+    out = stratified_ipw(df, "s", "t", "y", scale=1).collect()[0]
+    assert out["n_unsupported"] == 1       # stratum b has no control arm
+    assert math.isclose(out["ate_scaled"], 6.0, abs_tol=1e-9)  # from a only
+
+
+# ---------------------------------------------------------------------------
+# average precision
+
+
+def test_average_precision_hand_cases(spark):
+    # perfect ranking: positives at ranks 1, 2 -> AP = 1
+    df = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 90), (3, 0, 80), (4, 0, 70)],
+        "id long, y int, s long",
+    )
+    assert average_precision(df, "y", "s", "id").collect()[0]["ap"] == 1.0
+    # positives at ranks 2 and 4: AP = (1/2 + 2/4) / 2 = 0.5
+    df2 = spark.createDataFrame(
+        [(1, 0, 100), (2, 1, 90), (3, 0, 80), (4, 1, 70)],
+        "id long, y int, s long",
+    )
+    assert average_precision(df2, "y", "s", "id").collect()[0]["ap"] == 0.5
+
+
+def test_average_precision_tie_break_by_id(spark):
+    # tied scores: order is (score DESC, id ASC); positive has id 1 so
+    # it ranks first among the tie -> AP = 1
+    df = spark.createDataFrame(
+        [(1, 1, 50), (2, 0, 50), (3, 0, 50)], "id long, y int, s long"
+    )
+    assert average_precision(df, "y", "s", "id").collect()[0]["ap"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney
+
+
+def test_kneser_ney_prefers_productive_continuations(spark):
+    """'san francisco' repeated: 'francisco' has ONE distinct history, so
+    its continuation mass is low; a doc of diverse bigrams scores via
+    discounted ML. Sanity: probabilities in (0, 1], fluent doc of seen
+    bigrams scores higher than one full of rare continuations."""
+    train = [
+        (1, "san francisco san francisco san francisco"),
+        (2, "the cat sat on the mat"),
+        (3, "the dog sat on the rug"),
+    ]
+    df = spark.createDataFrame(train, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in kneser_ney_fluency(df).collect()}
+    for r in out.values():
+        assert 0.0 < r["kn_fluency"] <= 1.0
+    # the repeated-bigram doc is maximally predictable under its own model
+    assert out[1]["kn_fluency"] > out[2]["kn_fluency"]
+
+
+def test_kneser_ney_probability_sums_to_one(spark):
+    """For a fixed history w1, sum over observed w2 of P_KN(w2|w1) plus
+    the backoff mass spread over unseen types must be <= 1 (discount
+    conservation on observed mass)."""
+    df = spark.createDataFrame(
+        [(1, "a b a c a b a d")], "doc_id long, text string"
+    )
+    # histories: a->{b,c,d}, b->{a}, c->{a}, d->(end)
+    # observed mass for history a: sum (c12 - D)/c1h + D*n1f/c1h * ncont
+    out = kneser_ney_fluency(df).collect()[0]
+    assert 0.0 < out["kn_fluency"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# audio segmentation
+
+
+def test_audio_segments_counts_bursts(spark):
+    from etl_java_spark.operators.multimodal import (
+        audio_energy_segments,
+        synthesize_audio_table,
+    )
+
+    media = synthesize_audio_table(spark, n=9).coalesce(2)
+    out = {r["uri"]: r for r in audio_energy_segments(media).collect()}
+    assert len(out) == 9
+    for i in range(9):
+        r = out[f"mem://audio/{i}.wav"]
+        # file i has (i % 3) + 1 tone bursts separated by silence
+        assert r["n_segments"] == (i % 3) + 1, (i, r)
+        assert 0 < r["n_active"] < r["n_frames"]
+        assert r["total_energy"] > 0
+
+
+# ---------------------------------------------------------------------------
+# zone-map audit
+
+
+def test_zone_map_sorted_layout_prunes(spark):
+    rows = [(i, i % 997) for i in range(20000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    nat = zone_map_audit(
+        df, ["k"], F.floor(F.col("k") / 1000), "v", 100, 120,
+        chunk_rows=1000, layout="natural",
+    ).collect()[0]
+    srt = zone_map_audit(
+        df, ["v", "k"], F.floor(F.col("v") / 50), "v", 100, 120,
+        chunk_rows=1000, layout="sorted",
+    ).collect()[0]
+    assert nat["n_rows"] == srt["n_rows"] == 20000
+    assert nat["n_chunks"] == srt["n_chunks"] == 20
+    # v is uniform over k-order -> every natural chunk spans the range
+    assert nat["n_chunks_scanned"] == 20
+    # sorted layout confines [100, 120] to a single chunk
+    assert srt["n_chunks_scanned"] == 1
+    assert srt["scan_fraction"] < nat["scan_fraction"]
+
+
+# ---------------------------------------------------------------------------
+# FD audit
+
+
+def test_fd_audit_g3_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (2, "z"), (2, "z")],
+        "a long, b string",
+    )
+    out = {r["fd"]: r for r in
+           functional_dependency_audit(df, [(["a"], "b")]).collect()}
+    r = out["a->b"]
+    # group a=1: plurality x (2 of 3) -> 1 violation; a=2: clean
+    assert (r["n_groups"], r["n_rows"], r["n_violations"]) == (2, 5, 1)
+    assert math.isclose(r["violation_rate"], 0.2)
+
+
+def test_fd_audit_null_rhs_is_value_class(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, None), (1, None)], "a long, b string"
+    )
+    r = functional_dependency_audit(df, [(["a"], "b")]).collect()[0]
+    # plurality class is NULL (2 of 3): the non-null copy is the violation
+    assert r["n_violations"] == 1
+
+
+# ---------------------------------------------------------------------------
+# HLL sliding distinct
+
+
+def test_sliding_distinct_hll_matches_exact_on_small(spark):
+    def d(day, h):
+        return dt.datetime(2024, 1, day, h, 0)
+
+    rows = [(f"u{i % 7}", d(1 + i % 5, 8 + i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "u string, ts timestamp")
+    out = sliding_distinct_hll(df, "u", "ts", window_days=2).collect()
+    assert len(out) == 5
+    assert all(r["approx_ok"] for r in out)
+    assert {r["window_end"] for r in out} == {
+        dt.date(2024, 1, day) for day in range(1, 6)
+    }
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+
+
+def test_product_quantize_exact_on_seed_vectors(spark):
+    """With exactly n_codes distinct vectors, every vector is its own
+    (refined) codeword -> distortion 0 and one member per code."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [float(rng.randint(-100, 100)) for _ in range(16)])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = product_quantize(df, "embedding", "vec_id", n_blocks=2, n_codes=8)
+    rs = out.collect()
+    assert all(r["distortion"] == 0.0 for r in rs)
+    assert sum(r["n_assigned"] for r in rs) == 8 * 2
+
+
+def test_product_quantize_distortion_drops_with_refinement(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [float(rng.randint(-50, 50)) for _ in range(16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def total(iters):
+        rs = product_quantize(
+            df, "embedding", "vec_id", n_blocks=2, n_codes=8, refine_iters=iters
+        ).collect()
+        assert sum(r["n_assigned"] for r in rs) == 200 * 2
+        return sum(r["distortion"] for r in rs)
+
+    assert total(1) <= total(0) * (1 + 1e-9)  # Lloyd never increases distortion
