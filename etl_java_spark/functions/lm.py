@@ -433,3 +433,74 @@ def kneser_ney_fluency(
             12,
         ).alias("kn_fluency"),
     )
+
+
+def bpe_merge_discovery(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 3,
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Token-level BPE merge discovery — the training loop of a BPE
+    tokenizer, run for ``rounds`` greedy rounds over the corpus: count
+    adjacent token pairs, pick the globally most frequent pair (count
+    DESC, pair ASC tie-break), merge every non-overlapping left-to-right
+    occurrence corpus-wide, repeat. Returns one row per round:
+    (round, w1, w2, pair_count) — the learned merge table.
+
+    The merge step is pure string algebra so BOTH engines replay it
+    identically: each document's state is its tokens joined by TWO
+    spaces; a round pads with one space each side and replaces
+    `` w1  w2 `` with `` w1<US>w2 `` (US = chr(31)). The double-space
+    separator is the trick — a replacement consumes one flanking space
+    on each side and re-emits it, so neighbouring separators stay
+    intact and consecutive occurrences all merge exactly like greedy
+    left-to-right BPE (single-space joining would silently skip every
+    second adjacent occurrence). Tokens contain no spaces by
+    construction, so matches can never cross token boundaries.
+
+    Scale: per round one map-side-combinable pair-count shuffle + a
+    1-row TakeOrdered top pair broadcast into a map-only replace; the
+    sequence table is checkpointed per round (pagerank's lineage
+    discipline). Driver never touches data.
+    """
+    from ..functions.text import tokens as _tokens
+
+    seq = docs.select(
+        F.col(id_col),
+        F.array_join(_tokens(text_col, pattern), "  ").alias("__seq"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for r in range(1, rounds + 1):
+        toks = F.split(F.col("__seq"), "  ")
+        toks = F.when(F.col("__seq") == "", F.array().cast("array<string>")).otherwise(toks)
+        sliced = seq.select(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1s"),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2s"),
+        )
+        pairs = sliced.select(
+            F.explode(F.arrays_zip("w1s", "w2s")).alias("p")
+        ).select(F.col("p.w1s").alias("w1"), F.col("p.w2s").alias("w2"))
+        top = (
+            pairs.groupBy("w1", "w2")
+            .agg(F.count("*").cast("long").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("w1").asc(), F.col("w2").asc())
+            .limit(1)
+            .select(F.lit(r).alias("round"), "w1", "w2", "pair_count")
+            .localCheckpoint(eager=True)
+        )
+        out = top if out is None else out.unionByName(top)
+        seq = (
+            seq.crossJoin(F.broadcast(top.select("w1", "w2")))
+            .select(
+                F.col(id_col),
+                F.trim(
+                    F.expr("replace(' ' || __seq || ' ', "
+                           " concat(' ', w1, '  ', w2, ' '), "
+                           " concat(' ', w1, chr(31), w2, ' '))")
+                ).alias("__seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out

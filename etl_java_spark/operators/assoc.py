@@ -144,3 +144,152 @@ def linear_attribution(
             .alias("attributed_microcents"),
         )
     )
+
+
+def markov_attribution(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    conv_type: str,
+    max_len: int = 8,
+    steps: int = 8,
+) -> DataFrame:
+    """Markov removal-effect attribution (the data-driven alternative
+    to first/last/linear touch, q199/q300): fit a first-order Markov
+    chain over each user's channel path (time order, id tiebreak,
+    truncated at the FIRST conversion or ``max_len`` events; paths
+    without a conversion terminate in the NULL state), then credit
+    each channel by its REMOVAL EFFECT — how much the bounded-step
+    conversion probability drops when visits to that channel fail:
+
+        v_0 = 1 on CONV else 0
+        v_k+1(s) = sum_s' P(s -> s') * v_k(s')      (CONV absorbing)
+        RE(c) = 1 - v_steps^(minus c)(START) / v_steps(START)
+
+    ``steps``-bounded value iteration is the exactness contract: every
+    variant (full + one per removed channel) iterates the SAME
+    metadata-sized transition table (tagged by variant, one join per
+    round for ALL variants), probabilities are exact-count divisions
+    and per-round sums go through decimal — the whole recurrence
+    replays in SQL as unrolled CTEs.
+
+    Scale: paths need one window shuffle over the events; everything
+    after operates on the (#variants x #states^2) transition table —
+    metadata regardless of event volume. Returns per channel:
+    (channel, p_conv_full, p_conv_without, removal_effect, share).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    ranked = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__e"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    conv = ranked.filter(F.col("__e") == conv_type).groupBy("__u").agg(
+        F.min("__rn").alias("__crn")
+    )
+    lim = ranked.join(conv, "__u", "left").withColumn(
+        "__crn", F.coalesce("__crn", F.lit(1 << 30))
+    )
+    kept = lim.filter(
+        F.col("__rn") <= F.least(F.col("__crn"), F.lit(max_len))
+    ).withColumn(
+        "__s",
+        F.when(F.col("__e") == conv_type, F.lit("CONV")).otherwise(F.col("__e")),
+    ).localCheckpoint(eager=True)
+    nxt = kept.select(
+        "__u", (F.col("__rn") - 1).alias("__rn"), F.col("__s").alias("__to")
+    )
+    steps_t = kept.join(nxt, ["__u", "__rn"], "left").select(
+        "__u", "__rn", "__s",
+        F.coalesce(
+            F.col("__to"),
+            F.when(F.col("__s") == "CONV", F.lit(None)).otherwise(F.lit("NULL")),
+        ).alias("__to"),
+    )
+    first = kept.filter(F.col("__rn") == 1).select(
+        "__u", F.lit(0).alias("__rn"), F.lit("START").alias("__s"),
+        F.col("__s").alias("__to"),
+    )
+    trans_rows = steps_t.filter(F.col("__to").isNotNull()).select(
+        "__s", "__to"
+    ).unionByName(first.select("__s", "__to"))
+    counts = trans_rows.groupBy("__s", "__to").agg(F.count("*").alias("__n"))
+    tot = counts.groupBy("__s").agg(F.sum("__n").alias("__tot"))
+    trans = counts.join(tot, "__s").select(
+        "__s", "__to",
+        (F.col("__n").cast("double") / F.col("__tot").cast("double")).alias("__p"),
+    ).localCheckpoint(eager=True)
+    channels = [
+        r["__s"] for r in trans.select("__s").distinct().collect()
+        if r["__s"] not in ("START", "CONV", "NULL")
+    ]
+    channels.sort()
+    variants = trans.sparkSession.createDataFrame(
+        [("full",)] + [(c,) for c in channels], "__var string"
+    )
+    vtrans = (
+        trans.crossJoin(F.broadcast(variants))
+        .filter((F.col("__var") == "full") | (F.col("__s") != F.col("__var")))
+        .localCheckpoint(eager=True)
+    )
+    v = variants.select("__var", F.lit("CONV").alias("__st"), F.lit(1.0).alias("__val"))
+    for _ in range(steps):
+        prop = (
+            vtrans.join(
+                v, (vtrans["__var"] == v["__var"]) & (vtrans["__to"] == v["__st"])
+            )
+            .select(
+                vtrans["__var"].alias("__var"),
+                F.col("__s").alias("__st"),
+                (F.col("__p") * F.col("__val")).alias("__c"),
+            )
+            .groupBy("__var", "__st")
+            .agg(F.sum(F.col("__c").cast("decimal(38,18)")).cast("double").alias("__val"))
+        )
+        v = prop.filter(F.col("__st") != "CONV").unionByName(
+            variants.select(
+                "__var", F.lit("CONV").alias("__st"), F.lit(1.0).alias("__val")
+            )
+        ).localCheckpoint(eager=True)
+    # a variant in which CONV became unreachable has NO START row in v
+    # (the inner join drops it) — that is exactly the removal effect 1.0
+    # case, so left-join from the variant list and read missing as 0.
+    start = variants.join(
+        v.filter(F.col("__st") == "START").select(
+            F.col("__var").alias("__v2"), F.col("__val").alias("__pconv")
+        ),
+        variants["__var"] == F.col("__v2"),
+        "left",
+    ).select("__var", F.coalesce("__pconv", F.lit(0.0)).alias("__pconv"))
+    full = start.filter(F.col("__var") == "full").select(
+        F.col("__pconv").alias("__pfull")
+    )
+    per = (
+        start.filter(F.col("__var") != "full")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("__var").alias("channel"),
+            F.col("__pfull").alias("p_conv_full"),
+            F.col("__pconv").alias("p_conv_without"),
+            F.when(
+                F.col("__pfull") > 0,
+                F.lit(1.0) - F.col("__pconv") / F.col("__pfull"),
+            ).otherwise(F.lit(0.0)).alias("__re"),
+        )
+    )
+    tot_re = per.agg(
+        F.sum(F.col("__re").cast("decimal(38,18)")).cast("double").alias("__tre")
+    )
+    return per.crossJoin(F.broadcast(tot_re)).select(
+        "channel",
+        F.round("p_conv_full", 12).alias("p_conv_full"),
+        F.round("p_conv_without", 12).alias("p_conv_without"),
+        F.round("__re", 12).alias("removal_effect"),
+        F.when(
+            F.col("__tre") > 0, F.round(F.col("__re") / F.col("__tre"), 12)
+        ).alias("share"),
+    )

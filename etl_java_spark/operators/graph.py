@@ -435,3 +435,74 @@ def bfs_layers(
         dist = dist.unionByName(nxt)
         frontier = nxt
     return dist.select(F.col("n").alias(node), F.col("hops").cast("long"))
+
+
+def temporal_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    ts_col: str = "ts",
+    node: str = "node",
+    seed_ts: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """TIME-RESPECTING reachability ("taint spread"): a node is reached
+    at hop k when an edge leaves a hop-(k-1) node with a timestamp
+    STRICTLY GREATER than that node's arrival time — the contagion /
+    data-lineage / fraud-propagation semantics plain BFS (bfs_layers)
+    gets wrong, because an edge that fired BEFORE the infection arrived
+    cannot transmit it.
+
+    Frontier rule (deterministic, hop-ordered): hop k's set is the
+    nodes not yet reached, reachable from a hop-(k-1) node via a
+    qualifying edge; their arrival time is the MIN qualifying edge
+    timestamp over all hop-(k-1) parents. (Hop-ordered first-reach, not
+    global earliest-arrival: a longer path reaching a node earlier in
+    time does NOT revisit it — the hop budget is the audit contract,
+    and the rule replays exactly in SQL.)
+
+    Seeds start at hop 0 with arrival ``seed_ts`` (a column name in
+    ``seeds``) or the epoch floor when None. Directed edges; doubled
+    input gives undirected. Edge list is materialized ONCE (bfs_layers
+    discipline); each round is one join + one anti-join.
+
+    Returns (node, hops, arrival_ts).
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    ed = ckpt(
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"),
+            F.col(ts_col).alias("t"),
+        ).filter(F.col("t").isNotNull())
+    )
+    arr0 = (
+        F.col(seed_ts) if seed_ts
+        else F.lit("1970-01-01").cast(dict(ed.dtypes)["t"])
+    )
+    dist = seeds.select(
+        F.col(node).alias("n"), F.lit(0).alias("hops"), arr0.alias("arrival")
+    ).groupBy("n", "hops").agg(F.min("arrival").alias("arrival"))
+    frontier = dist
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(ed, frontier["n"] == ed["s"])
+            .filter(F.col("t") > F.col("arrival"))
+            .groupBy(F.col("d").alias("__n"))
+            .agg(F.min("t").alias("arrival"))
+            .join(
+                dist.select(F.col("n").alias("__n")), on="__n", how="left_anti"
+            )
+            .select(
+                F.col("__n").alias("n"), F.lit(k).alias("hops"), "arrival"
+            )
+        )
+        nxt = ckpt(nxt)
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist.select(
+        F.col("n").alias(node), F.col("hops").cast("long"), F.col("arrival").alias("arrival_ts")
+    )

@@ -16525,6 +16525,237 @@ def q337_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return product_quantize(e, "embedding", "vec_id", n_blocks=8, n_codes=16)
 
 
+@_q(
+    "q338_bpe_merges",
+    f"""
+    WITH s0 AS (
+      SELECT doc_id, ARRAY_TO_STRING({_TOKS_SQL}, '  ') AS seq FROM documents
+    ), pr1 AS (
+      SELECT tk[CAST(r.i AS INTEGER)] AS w1, tk[CAST(r.i AS INTEGER) + 1] AS w2
+      FROM (SELECT STRING_SPLIT(seq, '  ') AS tk FROM s0),
+           UNNEST(range(1, LEN(tk))) AS r(i)
+    ), t1 AS (
+      SELECT CAST(1 AS BIGINT) AS round, w1, w2,
+             CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM pr1 GROUP BY 2, 3
+      ORDER BY pair_count DESC, w1 ASC, w2 ASC LIMIT 1
+    ), s1 AS (
+      SELECT doc_id, TRIM(REPLACE(' ' || seq || ' ',
+               ' ' || t.w1 || '  ' || t.w2 || ' ',
+               ' ' || t.w1 || CHR(31) || t.w2 || ' ')) AS seq
+      FROM s0, t1 t
+    ), pr2 AS (
+      SELECT tk[CAST(r.i AS INTEGER)] AS w1, tk[CAST(r.i AS INTEGER) + 1] AS w2
+      FROM (SELECT STRING_SPLIT(seq, '  ') AS tk FROM s1),
+           UNNEST(range(1, LEN(tk))) AS r(i)
+    ), t2 AS (
+      SELECT CAST(2 AS BIGINT) AS round, w1, w2,
+             CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM pr2 GROUP BY 2, 3
+      ORDER BY pair_count DESC, w1 ASC, w2 ASC LIMIT 1
+    ), s2 AS (
+      SELECT doc_id, TRIM(REPLACE(' ' || seq || ' ',
+               ' ' || t.w1 || '  ' || t.w2 || ' ',
+               ' ' || t.w1 || CHR(31) || t.w2 || ' ')) AS seq
+      FROM s1, t2 t
+    ), pr3 AS (
+      SELECT tk[CAST(r.i AS INTEGER)] AS w1, tk[CAST(r.i AS INTEGER) + 1] AS w2
+      FROM (SELECT STRING_SPLIT(seq, '  ') AS tk FROM s2),
+           UNNEST(range(1, LEN(tk))) AS r(i)
+    ), t3 AS (
+      SELECT CAST(3 AS BIGINT) AS round, w1, w2,
+             CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM pr3 GROUP BY 2, 3
+      ORDER BY pair_count DESC, w1 ASC, w2 ASC LIMIT 1
+    )
+    SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+    """,
+)
+def q338_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-pair discovery (lm.bpe_merge_discovery): three greedy
+    rounds of the tokenizer-training loop — count adjacent token pairs
+    corpus-wide, merge the top pair everywhere, repeat. The merge is
+    pure string algebra (double-space separators + boundary-padded
+    replace), so greedy left-to-right non-overlapping merging replays
+    IDENTICALLY in DuckDB — the oracle unrolls the same three rounds
+    and hash-matches the learned merge table. Per round: one
+    map-side-combinable pair count + a 1-row TakeOrdered broadcast into
+    a map-only replace; the sequence table is checkpointed per round.
+    """
+    from .functions.lm import bpe_merge_discovery
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merge_discovery(d, rounds=3).withColumn(
+        "round", F.col("round").cast("long")
+    )
+
+
+@_q(
+    "q339_temporal_reach",
+    """
+    WITH e AS (
+      SELECT l_suppkey AS s, l_partkey + 1000000 AS d,
+             CAST(l_shipdate AS DATE) AS t
+      FROM lineitem
+      UNION ALL
+      SELECT l_partkey + 1000000, l_orderkey + 2000000,
+             CAST(l_shipdate AS DATE) + CAST(1 + l_linenumber % 30 AS INTEGER)
+      FROM lineitem
+    ), h0 AS (
+      SELECT s_suppkey AS n, 0 AS hops, DATE '1970-01-01' AS arrival
+      FROM supplier WHERE s_suppkey % 100 = 0
+    ), h1 AS (
+      SELECT e.d AS n, 1 AS hops, MIN(e.t) AS arrival
+      FROM h0 JOIN e ON e.s = h0.n AND e.t > h0.arrival
+      WHERE e.d NOT IN (SELECT n FROM h0)
+      GROUP BY e.d
+    ), h2 AS (
+      SELECT e.d AS n, 2 AS hops, MIN(e.t) AS arrival
+      FROM h1 JOIN e ON e.s = h1.n AND e.t > h1.arrival
+      WHERE e.d NOT IN (SELECT n FROM h0 UNION ALL SELECT n FROM h1)
+      GROUP BY e.d
+    )
+    SELECT n AS node, CAST(hops AS BIGINT) AS hops, arrival AS arrival_ts
+    FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+          UNION ALL SELECT * FROM h2)
+    """,
+)
+def q339_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability (graph.temporal_bfs): taint spread
+    through the supply chain — seed suppliers (s_suppkey % 100 = 0)
+    contaminate the parts they SHIP (edge ts = shipdate), which
+    contaminate the orders that RECEIVE them only via receipts dated
+    AFTER the part's contamination arrival (receipt = shipdate + 1 +
+    linenumber % 30 days, synthesized deterministically — the fixture
+    carries no receiptdate). Plain BFS (q312) would
+    count receipt edges that fired before the taint arrived; the
+    temporal rule replays exactly in SQL (hop-ordered first reach, MIN
+    qualifying timestamp as arrival). Edge list materialized once;
+    each hop one join + one anti-join.
+    """
+    from .operators.graph import temporal_bfs
+
+    li = _t(spark, sf_dir, "lineitem")
+    e1 = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    e2 = li.select(
+        (F.col("l_partkey") + 1000000).alias("src"),
+        (F.col("l_orderkey") + 2000000).alias("dst"),
+        F.date_add(
+            F.col("l_shipdate"), (F.lit(1) + F.col("l_linenumber") % 30).cast("int")
+        ).alias("ts"),
+    )
+    seeds = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 100 == 0
+    ).select(F.col("s_suppkey").alias("node"))
+    return temporal_bfs(
+        e1.unionByName(e2), seeds, max_hops=2, ts_col="ts"
+    )
+
+
+_Q340_ITER = "\n".join(
+    f"""    , v{k} AS (
+      SELECT t.var, t.s AS st,
+             CAST(SUM(CAST(t.p * v.val AS DECIMAL(38,18))) AS DOUBLE) AS val
+      FROM vtrans t JOIN v{k - 1}c v ON v.var = t.var AND v.st = t.dst
+      GROUP BY 1, 2
+    ), v{k}c AS (
+      SELECT var, st, val FROM v{k} WHERE st <> 'CONV'
+      UNION ALL SELECT var, 'CONV', 1.0 FROM variants
+    )"""
+    for k in range(1, 9)
+)
+
+
+@_q(
+    "q340_markov_attribution",
+    """
+    WITH ranked AS (
+      SELECT user_id AS u, event_type AS e,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ), conv AS (
+      SELECT u, MIN(rn) AS crn FROM ranked WHERE e = 'purchase' GROUP BY u
+    ), kept AS (
+      SELECT r.u, r.rn,
+             CASE WHEN r.e = 'purchase' THEN 'CONV' ELSE r.e END AS s
+      FROM ranked r LEFT JOIN conv c USING (u)
+      WHERE r.rn <= LEAST(COALESCE(c.crn, 1073741824), 8)
+    ), steps AS (
+      SELECT a.u, a.s,
+             COALESCE(b.s, CASE WHEN a.s = 'CONV' THEN NULL
+                                ELSE 'NULL' END) AS dst
+      FROM kept a LEFT JOIN kept b ON a.u = b.u AND b.rn = a.rn + 1
+    ), trans_rows AS (
+      SELECT s, dst FROM steps WHERE dst IS NOT NULL
+      UNION ALL
+      SELECT 'START', s FROM kept WHERE rn = 1
+    ), counts AS (
+      SELECT s, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM trans_rows GROUP BY 1, 2
+    ), trans AS (
+      SELECT s, dst,
+             CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY s) AS DOUBLE) AS p
+      FROM counts
+    ), variants AS (
+      SELECT 'full' AS var UNION ALL
+      SELECT DISTINCT s FROM trans
+      WHERE s NOT IN ('START', 'CONV', 'NULL')
+    ), vtrans AS (
+      SELECT v.var, t.s, t.dst, t.p
+      FROM trans t CROSS JOIN variants v
+      WHERE v.var = 'full' OR t.s <> v.var
+    ), v0c AS (
+      SELECT var, 'CONV' AS st, 1.0 AS val FROM variants
+    )
+""" + _Q340_ITER + """
+    , start AS (
+      SELECT vr.var, COALESCE(s.val, 0.0) AS pconv
+      FROM variants vr LEFT JOIN
+        (SELECT var, val FROM v8c WHERE st = 'START') s ON s.var = vr.var
+    ), fullp AS (
+      SELECT pconv AS pfull FROM start WHERE var = 'full'
+    ), per AS (
+      SELECT s.var AS channel, f.pfull, s.pconv,
+             CASE WHEN f.pfull > 0 THEN 1.0 - s.pconv / f.pfull
+                  ELSE 0.0 END AS re
+      FROM start s CROSS JOIN fullp f WHERE s.var <> 'full'
+    ), tre AS (
+      SELECT CAST(SUM(CAST(re AS DECIMAL(38,18))) AS DOUBLE) AS t FROM per
+    )
+    SELECT channel,
+           ROUND(pfull, 12) AS p_conv_full,
+           ROUND(pconv, 12) AS p_conv_without,
+           ROUND(re, 12) AS removal_effect,
+           CASE WHEN tre.t > 0 THEN ROUND(re / tre.t, 12) END AS share
+    FROM per CROSS JOIN tre
+    """,
+)
+def q340_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (assoc.markov_attribution):
+    first-order chain over each user's event path to first purchase
+    (8-event cap), channels credited by how much the 8-step bounded
+    conversion probability drops when visits to them fail — the
+    data-driven attribution model that replaces positional heuristics
+    (q199 first/last, q300 linear). All variants iterate ONE tagged
+    metadata-sized transition table, one join per round; probabilities
+    are exact-count divisions with decimal round sums, and the oracle
+    unrolls the identical 8-step value iteration.
+    """
+    from .operators.assoc import markov_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_attribution(
+        ev, "user_id", "event_type", "ts", "event_id", "purchase",
+        max_len=8, steps=8,
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -16575,7 +16806,8 @@ _PRIORITY = [
     "q328_winnow_dedup", "q329_label_noise", "q330_ipw_effect",
     "q331_average_precision", "q332_kneser_ney", "q333_audio_segments",
     "q334_zone_map_audit", "q335_fd_audit", "q336_sliding_distinct_hll",
-    "q337_product_quantize",
+    "q337_product_quantize", "q338_bpe_merges", "q339_temporal_reach",
+    "q340_markov_attribution",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",

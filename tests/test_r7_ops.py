@@ -303,3 +303,104 @@ def test_product_quantize_distortion_drops_with_refinement(spark):
         return sum(r["distortion"] for r in rs)
 
     assert total(1) <= total(0) * (1 + 1e-9)  # Lloyd never increases distortion
+
+
+# ---------------------------------------------------------------------------
+# BPE merge discovery
+
+
+def test_bpe_greedy_rounds(spark):
+    from etl_java_spark.functions.lm import bpe_merge_discovery
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat ran"),
+         (2, "the cat sat while the cat sat again"),
+         (3, "a b a b a b")],
+        "doc_id long, text string",
+    )
+    out = {r["round"]: r for r in bpe_merge_discovery(df, rounds=3).collect()}
+    assert (out[1]["w1"], out[1]["w2"], out[1]["pair_count"]) == ("the", "cat", 4)
+    # all three consecutive (a, b) occurrences merge (double-space trick)
+    assert (out[2]["w1"], out[2]["w2"], out[2]["pair_count"]) == ("a", "b", 3)
+    # round 3 sees the ROUND-1 merge as a single token
+    assert (out[3]["w1"], out[3]["w2"]) == ("the\x1fcat", "sat")
+    assert out[3]["pair_count"] == 3
+
+
+def test_bpe_consecutive_repeats_merge_left_to_right(spark):
+    from etl_java_spark.functions.lm import bpe_merge_discovery
+
+    # "x x x x": pairs (x,x) x3; greedy left-to-right merges positions
+    # (1,2) and (3,4) -> 2 merges, count reported BEFORE merging = 3
+    df = spark.createDataFrame([(1, "x x x x")], "doc_id long, text string")
+    out = bpe_merge_discovery(df, rounds=2).collect()
+    assert (out[0]["w1"], out[0]["w2"], out[0]["pair_count"]) == ("x", "x", 3)
+    # after round 1 the doc is "xx  xx" -> top pair is (xx, xx) once
+    assert (out[1]["w1"], out[1]["w2"], out[1]["pair_count"]) == (
+        "x\x1fx", "x\x1fx", 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal BFS
+
+
+def test_temporal_bfs_respects_time(spark):
+    from etl_java_spark.operators.graph import temporal_bfs
+
+    import datetime as dtm
+
+    def d(day):
+        return dtm.date(2024, 1, day)
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, d(5)),   # seed -> 2 on day 5
+            (2, 3, d(7)),   # 2 -> 3 AFTER arrival -> transmits
+            (2, 4, d(3)),   # 2 -> 4 BEFORE arrival -> must NOT transmit
+            (1, 5, d(2)),   # seed -> 5 on day 2
+            (5, 4, d(9)),   # 5 -> 4 after arrival -> 4 reached via 5
+        ],
+        "src long, dst long, ts date",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r for r in
+           temporal_bfs(edges, seeds, max_hops=2).collect()}
+    assert out[1]["hops"] == 0
+    assert out[2]["hops"] == 1 and out[2]["arrival_ts"] == d(5)
+    assert out[5]["hops"] == 1 and out[5]["arrival_ts"] == d(2)
+    assert out[3]["hops"] == 2 and out[3]["arrival_ts"] == d(7)
+    # 4 is reached only through 5 (the 2->4 edge pre-dates 2's arrival)
+    assert out[4]["hops"] == 2 and out[4]["arrival_ts"] == d(9)
+
+
+# ---------------------------------------------------------------------------
+# markov attribution
+
+
+def test_markov_attribution_credits_the_gatekeeper(spark):
+    from etl_java_spark.operators.assoc import markov_attribution
+
+    import datetime as dtm
+
+    rows = []
+    eid = 0
+    # every conversion goes through 'gate'; 'noise' appears in paths
+    # that never convert -> removing gate kills all conversions
+    for u in range(20):
+        t0 = dtm.datetime(2024, 1, 1, 8, 0)
+        if u % 2 == 0:
+            seq = ["gate", "purchase"]
+        else:
+            seq = ["noise"]
+        for i, e in enumerate(seq):
+            rows.append((u, e, t0 + dtm.timedelta(minutes=i), eid)); eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    out = {r["channel"]: r for r in markov_attribution(
+        df, "user_id", "event_type", "ts", "event_id", "purchase"
+    ).collect()}
+    assert math.isclose(out["gate"]["p_conv_full"], 0.5, abs_tol=1e-9)
+    assert out["gate"]["p_conv_without"] == 0.0
+    assert math.isclose(out["gate"]["removal_effect"], 1.0, abs_tol=1e-9)
+    assert math.isclose(out["gate"]["share"], 1.0, abs_tol=1e-9)
+    assert out["noise"]["removal_effect"] == 0.0
