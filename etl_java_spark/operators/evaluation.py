@@ -1117,3 +1117,244 @@ def average_precision(
             F.col("__sum").cast("double") / F.col("n_pos").cast("double"), 12
         ).alias("ap"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    label_col,
+    score_col,
+    n_bins: int = 10,
+    score_scale: int = 6,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — the calibration
+    readout that separates WHY a probabilistic score is bad:
+
+        BS          = (1/N) sum (s_i - y_i)^2
+        reliability = (1/N) sum_b n_b (conf_b - acc_b)^2   (miscalibration)
+        resolution  = (1/N) sum_b n_b (acc_b - ybar)^2     (discrimination)
+        uncertainty = ybar (1 - ybar)
+        within_bin  = BS - (rel - res + unc)   (binning residual: 0 when
+                      forecasts are constant within bins)
+
+    Complements ECE (q267: L1 gaps) with the quadratic scoring-rule
+    view. Exactness: scores are fixed-scale decimals, so sum(s),
+    sum(s^2), sum(s*y) are exact decimal aggregates and BS's numerator
+    never touches float summation; per-bin squares are single doubles
+    from exact decimals, decimal-summed across the <= n_bins rows.
+    One scan + one n_bins-cell aggregate. Returns ONE row.
+    """
+    d = f"decimal(18,{score_scale})"
+    s = _c(score_col).cast(d)
+    lab = _c(label_col).cast("int")
+    binc = F.least(
+        F.floor(s * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    per = df.select(binc, s.alias("__s"), lab.alias("__l")).groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__l").cast("long").alias("n_pos"),
+        F.sum("__s").alias("__ssum"),
+        F.sum((F.col("__s") * F.col("__s"))).alias("__s2sum"),
+        F.sum(F.when(F.col("__l") == 1, F.col("__s")).otherwise(
+            F.lit(0).cast(d))).alias("__sysum"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("__N"),
+        F.sum("n_pos").cast("long").alias("__P"),
+        F.sum("__ssum").alias("__S"),
+        F.sum("__s2sum").alias("__S2"),
+        F.sum("__sysum").alias("__SY"),
+    )
+    joined = per.crossJoin(F.broadcast(tot))
+    conf = F.col("__ssum").cast("double") / F.col("n").cast("double")
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    ybar = F.col("__P").cast("double") / F.col("__N").cast("double")
+    rel_term = (F.col("n").cast("double") * (conf - acc) * (conf - acc)).cast(
+        "decimal(38,15)"
+    )
+    res_term = (F.col("n").cast("double") * (acc - ybar) * (acc - ybar)).cast(
+        "decimal(38,15)"
+    )
+    agg = joined.agg(
+        F.max("__N").alias("__N"),
+        F.max("__P").alias("__P"),
+        F.max("__S2").alias("__S2"),
+        F.max("__SY").alias("__SY"),
+        F.sum(rel_term).cast("double").alias("__rel"),
+        F.sum(res_term).cast("double").alias("__res"),
+    )
+    N = F.col("__N").cast("double")
+    ybar2 = F.col("__P").cast("double") / N
+    brier = (
+        F.col("__S2").cast("double")
+        - 2.0 * F.col("__SY").cast("double")
+        + F.col("__P").cast("double")
+    ) / N
+    rel = F.col("__rel") / N
+    res = F.col("__res") / N
+    unc = ybar2 * (F.lit(1.0) - ybar2)
+    return agg.select(
+        F.col("__N").alias("n"),
+        F.round(brier, 12).alias("brier"),
+        F.round(rel, 12).alias("reliability"),
+        F.round(res, 12).alias("resolution"),
+        F.round(unc, 12).alias("uncertainty"),
+        F.round(brier - (rel - res + unc), 12).alias("within_bin_term"),
+    )
+
+
+def loo_ols_influence(
+    df: DataFrame,
+    group_col: str,
+    y_col,
+    x1_col,
+    x2_col,
+    scale: int = 2,
+) -> DataFrame:
+    """Leave-one-GROUP-out OLS influence — data valuation by source:
+    refit the regression with each group (source/supplier/day) REMOVED
+    and report how much the coefficients move. The sketch trick makes
+    every refit free: OLS needs only the 10 sufficient moments, exact
+    decimal sums are SUBTRACTABLE, so LOO moments = total - group is
+    one exact decimal subtraction per group — no second data pass, no
+    per-group refit job. The operator that turns "which upstream feed
+    is bending our elasticity estimate" from N full scans into one.
+
+    One grouped moment aggregate (map-side combined), totals reduced
+    from the group table, the identical fixed-IEEE Cramer readout on
+    the LOO moments. Returns per group: (group, n_rows, beta1_loo,
+    beta2_loo, d_beta1, d_beta2) — deltas vs the full fit, rounded 12.
+    """
+    d = f"decimal(18,{scale})"
+    y, x1, x2 = _c(y_col).cast(d), _c(x1_col).cast(d), _c(x2_col).cast(d)
+    moms = {
+        "s1": x1, "s2": x2, "sy": y,
+        "s11": x1 * x1, "s12": x1 * x2, "s22": x2 * x2,
+        "s1y": x1 * y, "s2y": x2 * y, "syy": y * y,
+    }
+    per = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[F.sum(expr).alias(f"__g_{k}") for k, expr in moms.items()],
+    )
+    tot = per.agg(
+        F.sum("n_rows").cast("long").alias("__t_n"),
+        *[F.sum(f"__g_{k}").alias(f"__t_{k}") for k in moms],
+    )
+    full = tot.select(
+        F.col("__t_n").alias("n_rows"),
+        *[F.col(f"__t_{k}").cast("double").alias(k) for k in moms],
+    ).select(*_ols_readout()).select(
+        F.col("beta1").alias("__full_b1"), F.col("beta2").alias("__full_b2")
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.col("n_rows"),
+        (F.col("__t_n") - F.col("n_rows")).alias("__loo_n"),
+        *[
+            (F.col(f"__t_{k}") - F.col(f"__g_{k}")).cast("double").alias(k)
+            for k in moms
+        ],
+    )
+    fitted = loo.select(
+        group_col,
+        F.col("n_rows"),
+        F.col("__loo_n").alias("n_rows_loo"),
+        *[F.col(k) for k in moms],
+    ).withColumn("__keep_n", F.col("n_rows")).drop("n_rows").withColumnRenamed(
+        "n_rows_loo", "n_rows"
+    )
+    readout = fitted.select(
+        group_col, F.col("__keep_n").alias("n_rows"), *_ols_readout()
+    )
+    # betas can be magnitude 1e2-1e3: round at 6 (12 would ask for
+    # > 15 significant digits — the q265 no-rounding lesson); deltas
+    # are small, 9 collapses cross-engine ulp noise safely
+    return readout.crossJoin(F.broadcast(full)).select(
+        group_col,
+        "n_rows",
+        F.round("beta1", 6).alias("beta1_loo"),
+        F.round("beta2", 6).alias("beta2_loo"),
+        F.round(F.col("beta1") - F.col("__full_b1"), 9).alias("d_beta1"),
+        F.round(F.col("beta2") - F.col("__full_b2"), 9).alias("d_beta2"),
+    )
+
+
+def f1_from_confusion(
+    conf: DataFrame,
+    true_col: str = "true_label",
+    pred_col: str = "pred_label",
+    n_col: str = "n",
+) -> DataFrame:
+    """Per-class precision/recall/F1 plus macro- and micro-F1 from a
+    (true, pred, n) CONFUSION TABLE — metadata-sized input by design,
+    so the expensive part (scoring) happens once upstream (e.g.
+    q261's nearest-centroid assignment) and every evaluation readout
+    is arithmetic on #classes^2 rows.
+
+        TP_c = n(c, c);  FP_c = sum over t != c of n(t, c)
+        FN_c = sum over p != c of n(c, p)
+        micro-F1 = sum TP / total  (single-label: accuracy)
+        macro-F1 = unweighted decimal mean of per-class F1
+
+    Zero-support or never-predicted classes score precision/recall 0
+    by the sklearn zero-division=0 convention (explicit, not NULL —
+    averaging must see them). Returns one row per class appearing as
+    a TRUE label, with the constant macro/micro columns alongside.
+    """
+    t = conf.select(
+        F.col(true_col).alias("__c"),
+        F.col(pred_col).alias("__p"),
+        F.col(n_col).cast("long").alias("__n"),
+    )
+    per_true = t.groupBy("__c").agg(
+        F.sum("__n").alias("support"),
+        F.sum(F.when(F.col("__p") == F.col("__c"), F.col("__n")).otherwise(0))
+        .alias("tp"),
+    )
+    per_pred = t.groupBy(F.col("__p").alias("__c")).agg(
+        F.sum("__n").alias("__pred_n")
+    )
+    per = per_true.join(per_pred, "__c", "left").select(
+        "__c",
+        F.col("support").cast("long").alias("support"),
+        F.col("tp").cast("long").alias("tp"),
+        (F.coalesce(F.col("__pred_n"), F.lit(0)) - F.col("tp"))
+        .cast("long").alias("fp"),
+        (F.col("support") - F.col("tp")).cast("long").alias("fn"),
+    )
+    prec = F.when(
+        (F.col("tp") + F.col("fp")) > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("support") > 0,
+        F.col("tp").cast("double") / F.col("support").cast("double"),
+    ).otherwise(F.lit(0.0))
+    scored = per.select(
+        "__c", "support", "tp", "fp", "fn",
+        prec.alias("precision"), rec.alias("recall"),
+    ).withColumn(
+        "f1",
+        F.when(
+            (F.col("precision") + F.col("recall")) > 0,
+            2.0 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+        ).otherwise(F.lit(0.0)),
+    )
+    summary = scored.agg(
+        (
+            F.sum(F.col("f1").cast("decimal(38,15)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("__macro"),
+        (
+            F.sum("tp").cast("double") / F.sum("support").cast("double")
+        ).alias("__micro"),
+    )
+    return scored.crossJoin(F.broadcast(summary)).select(
+        F.col("__c").alias("label"),
+        "support", "tp", "fp", "fn",
+        F.round("precision", 12).alias("precision"),
+        F.round("recall", 12).alias("recall"),
+        F.round("f1", 12).alias("f1"),
+        F.round("__macro", 12).alias("macro_f1"),
+        F.round("__micro", 12).alias("micro_f1"),
+    )

@@ -16756,6 +16756,285 @@ def q340_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q341_brier_decomposition",
+    """
+    WITH per AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_disc,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+      FROM lineitem GROUP BY 1
+    ), sc AS (
+      SELECT CAST(CAST(n_disc * 1000000 // n_items AS DECIMAL(18,0))
+                  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS s,
+             y
+      FROM per
+    ), bins AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS INTEGER), 9) AS bin, s, y FROM sc
+    ), pb AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             SUM(s) AS ssum, SUM(s * s) AS s2sum,
+             SUM(CASE WHEN y = 1 THEN s ELSE CAST(0 AS DECIMAL(18,6)) END)
+               AS sysum
+      FROM bins GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS N, CAST(SUM(n_pos) AS BIGINT) AS P,
+             SUM(s2sum) AS S2, SUM(sysum) AS SY
+      FROM pb
+    ), terms AS (
+      SELECT t.N, t.P, t.S2, t.SY,
+        CAST(SUM(CAST(CAST(p.n AS DOUBLE)
+          * (CAST(p.ssum AS DOUBLE) / CAST(p.n AS DOUBLE)
+             - CAST(p.n_pos AS DOUBLE) / CAST(p.n AS DOUBLE))
+          * (CAST(p.ssum AS DOUBLE) / CAST(p.n AS DOUBLE)
+             - CAST(p.n_pos AS DOUBLE) / CAST(p.n AS DOUBLE))
+          AS DECIMAL(38,15))) AS DOUBLE) AS rel_sum,
+        CAST(SUM(CAST(CAST(p.n AS DOUBLE)
+          * (CAST(p.n_pos AS DOUBLE) / CAST(p.n AS DOUBLE)
+             - CAST(t.P AS DOUBLE) / CAST(t.N AS DOUBLE))
+          * (CAST(p.n_pos AS DOUBLE) / CAST(p.n AS DOUBLE)
+             - CAST(t.P AS DOUBLE) / CAST(t.N AS DOUBLE))
+          AS DECIMAL(38,15))) AS DOUBLE) AS res_sum
+      FROM pb p CROSS JOIN tot t
+      GROUP BY t.N, t.P, t.S2, t.SY
+    )
+    SELECT N AS n,
+           ROUND((CAST(S2 AS DOUBLE) - 2.0 * CAST(SY AS DOUBLE)
+                  + CAST(P AS DOUBLE)) / CAST(N AS DOUBLE), 12) AS brier,
+           ROUND(rel_sum / CAST(N AS DOUBLE), 12) AS reliability,
+           ROUND(res_sum / CAST(N AS DOUBLE), 12) AS resolution,
+           ROUND((CAST(P AS DOUBLE) / CAST(N AS DOUBLE))
+                 * (1.0 - CAST(P AS DOUBLE) / CAST(N AS DOUBLE)), 12)
+             AS uncertainty,
+           ROUND((CAST(S2 AS DOUBLE) - 2.0 * CAST(SY AS DOUBLE)
+                  + CAST(P AS DOUBLE)) / CAST(N AS DOUBLE)
+                 - (rel_sum / CAST(N AS DOUBLE)
+                    - res_sum / CAST(N AS DOUBLE)
+                    + (CAST(P AS DOUBLE) / CAST(N AS DOUBLE))
+                      * (1.0 - CAST(P AS DOUBLE) / CAST(N AS DOUBLE))), 12)
+             AS within_bin_term
+    FROM terms
+    """,
+)
+def q341_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score
+    (evaluation.brier_decomposition): reliability (miscalibration) /
+    resolution (discrimination) / uncertainty split of the quadratic
+    scoring rule, over the same discount-share "return probability"
+    score as q267's ECE — the pair answers both "is it calibrated"
+    (L1) and "is it informative" (quadratic). Fixed-scale decimal
+    scores keep sum(s), sum(s^2), sum(s*y) exact; per-bin squares are
+    singles doubles decimal-summed across 10 cells. One scan.
+    """
+    from .operators.evaluation import brier_decomposition
+
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum((F.col("l_discount") > 0.05).cast("int")).cast("long").alias("n_disc"),
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("y"),
+    )
+    score = (
+        F.expr("div(n_disc * 1000000, n_items)").cast("decimal(18,0)")
+        * F.lit("0.000001").cast("decimal(7,6)")
+    ).cast("decimal(18,6)")
+    return brier_decomposition(per.select(score.alias("s"), "y"), "y", "s")
+
+
+@_q(
+    "q342_loo_influence",
+    """
+    WITH f AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT o.o_orderpriority AS grp,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS y,
+             CAST(f.n_items AS DECIMAL(18,2)) AS x1,
+             CAST(f.sum_qty AS DECIMAL(18,2)) AS x2
+      FROM orders o JOIN f ON f.l_orderkey = o.o_orderkey
+    ), per AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(x1) AS g_s1, SUM(x2) AS g_s2, SUM(y) AS g_sy,
+             SUM(x1 * x1) AS g_s11, SUM(x1 * x2) AS g_s12,
+             SUM(x2 * x2) AS g_s22, SUM(x1 * y) AS g_s1y,
+             SUM(x2 * y) AS g_s2y, SUM(y * y) AS g_syy
+      FROM j GROUP BY grp
+    ), tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS t_n,
+             SUM(g_s1) AS t_s1, SUM(g_s2) AS t_s2, SUM(g_sy) AS t_sy,
+             SUM(g_s11) AS t_s11, SUM(g_s12) AS t_s12, SUM(g_s22) AS t_s22,
+             SUM(g_s1y) AS t_s1y, SUM(g_s2y) AS t_s2y, SUM(g_syy) AS t_syy
+      FROM per
+    ), fullm AS (
+      SELECT CAST(t_n AS DOUBLE) AS nd,
+             CAST(t_s1 AS DOUBLE) AS s1, CAST(t_s2 AS DOUBLE) AS s2,
+             CAST(t_sy AS DOUBLE) AS sy, CAST(t_s11 AS DOUBLE) AS s11,
+             CAST(t_s12 AS DOUBLE) AS s12, CAST(t_s22 AS DOUBLE) AS s22,
+             CAST(t_s1y AS DOUBLE) AS s1y, CAST(t_s2y AS DOUBLE) AS s2y
+      FROM tot
+    ), fullb AS (
+      SELECT
+        (nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s2y - s1y * s2))
+        / (nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2)) AS fb1,
+        (nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+         + sy * (s1 * s12 - s11 * s2))
+        / (nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2)) AS fb2
+      FROM fullm
+    ), loo AS (
+      SELECT p.grp, p.n_rows,
+             CAST(t.t_n - p.n_rows AS DOUBLE) AS nd,
+             CAST(t.t_s1 - p.g_s1 AS DOUBLE) AS s1,
+             CAST(t.t_s2 - p.g_s2 AS DOUBLE) AS s2,
+             CAST(t.t_sy - p.g_sy AS DOUBLE) AS sy,
+             CAST(t.t_s11 - p.g_s11 AS DOUBLE) AS s11,
+             CAST(t.t_s12 - p.g_s12 AS DOUBLE) AS s12,
+             CAST(t.t_s22 - p.g_s22 AS DOUBLE) AS s22,
+             CAST(t.t_s1y - p.g_s1y AS DOUBLE) AS s1y,
+             CAST(t.t_s2y - p.g_s2y AS DOUBLE) AS s2y
+      FROM per p CROSS JOIN tot t
+    ), lb AS (
+      SELECT grp, n_rows,
+        (nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s2y - s1y * s2))
+        / (nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2)) AS b1,
+        (nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+         + sy * (s1 * s12 - s11 * s2))
+        / (nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2)) AS b2
+      FROM loo
+    )
+    SELECT grp AS o_orderpriority, n_rows,
+           ROUND(b1, 6) AS beta1_loo, ROUND(b2, 6) AS beta2_loo,
+           ROUND(b1 - fb1, 9) AS d_beta1, ROUND(b2 - fb2, 9) AS d_beta2
+    FROM lb CROSS JOIN fullb
+    """,
+)
+def q342_loo_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-group-out OLS influence (evaluation.loo_ols_influence):
+    refit q265's price-on-(items, quantity) regression with each order
+    priority class REMOVED — for free, because exact decimal moment
+    sums are subtractable (LOO moments = total - group; no second data
+    pass, no per-group jobs). The data-valuation primitive: which
+    upstream segment is bending the coefficients. One grouped moment
+    aggregate + Cramer readouts on 5 metadata rows.
+    """
+    from .operators.evaluation import loo_ols_influence
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    feats = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+    )
+    j = o.join(feats, o.o_orderkey == feats.l_orderkey).select(
+        F.col("o_orderpriority"),
+        F.col("o_totalprice").alias("y"),
+        F.col("n_items").alias("x1"),
+        F.col("sum_qty").alias("x2"),
+    )
+    return loo_ols_influence(j, "o_orderpriority", "y", "x1", "x2")
+
+
+@_q(
+    "q343_multiclass_f1",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(UNNEST(generate_series(0, LEN(embedding) - 1)) AS INTEGER) AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS lab, pos,
+             list_sum(list(x ORDER BY vec_id)) / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM flat GROUP BY 1, 2
+    ), cvec AS (
+      SELECT lab, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1
+    ), scored AS (
+      SELECT e.vec_id, e.label AS true_label, c.lab AS pred_label,
+        list_sum(list_transform(list_zip(e.embedding, c.cv),
+          p -> CAST(p[1] AS DOUBLE) * p[2])) AS dot,
+        list_sum(list_transform(e.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv,
+        list_sum(list_transform(c.cv, x -> x * x)) AS ncn
+      FROM embeddings e CROSS JOIN cvec c
+    ), assigned AS (
+      SELECT vec_id, true_label, pred_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+               CASE WHEN nv > 0 AND ncn > 0 THEN dot / (SQRT(nv) * SQRT(ncn))
+                    ELSE 0.0 END DESC, pred_label ASC) AS rn
+      FROM scored
+    ), conf AS (
+      SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assigned WHERE rn = 1 GROUP BY 1, 2
+    ), per_true AS (
+      SELECT true_label AS c, CAST(SUM(n) AS BIGINT) AS support,
+             CAST(SUM(CASE WHEN pred_label = true_label THEN n ELSE 0 END)
+                  AS BIGINT) AS tp
+      FROM conf GROUP BY 1
+    ), per_pred AS (
+      SELECT pred_label AS c, CAST(SUM(n) AS BIGINT) AS pred_n
+      FROM conf GROUP BY 1
+    ), per AS (
+      SELECT t.c, t.support, t.tp,
+             CAST(COALESCE(p.pred_n, 0) - t.tp AS BIGINT) AS fp,
+             CAST(t.support - t.tp AS BIGINT) AS fn
+      FROM per_true t LEFT JOIN per_pred p USING (c)
+    ), sc AS (
+      SELECT *,
+        CASE WHEN tp + fp > 0
+             THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+             ELSE 0.0 END AS precision_,
+        CASE WHEN support > 0
+             THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE)
+             ELSE 0.0 END AS recall_
+      FROM per
+    ), sf AS (
+      SELECT *, CASE WHEN precision_ + recall_ > 0
+                     THEN 2.0 * precision_ * recall_
+                          / (precision_ + recall_)
+                     ELSE 0.0 END AS f1_
+      FROM sc
+    ), summ AS (
+      SELECT CAST(SUM(CAST(f1_ AS DECIMAL(38,15))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS macro_,
+             CAST(SUM(tp) AS DOUBLE) / CAST(SUM(support) AS DOUBLE) AS micro_
+      FROM sf
+    )
+    SELECT c AS label, support, tp, fp, fn,
+           ROUND(precision_, 12) AS precision,
+           ROUND(recall_, 12) AS recall,
+           ROUND(f1_, 12) AS f1,
+           ROUND(macro_, 12) AS macro_f1,
+           ROUND(micro_, 12) AS micro_f1
+    FROM sf CROSS JOIN summ
+    """,
+)
+def q343_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass precision/recall/F1 + macro/micro averages
+    (evaluation.f1_from_confusion) over q261's nearest-centroid
+    confusion table — the evaluation readout is arithmetic on a
+    #classes^2 metadata table, so the expensive scoring pass is shared
+    with the confusion matrix instead of recomputed. sklearn
+    zero-division=0 conventions; decimal-mean macro; single-label
+    micro-F1 = accuracy by identity.
+    """
+    from .operators.evaluation import f1_from_confusion
+    from .operators.similarity import nearest_centroid_confusion
+
+    e = _t(spark, sf_dir, "embeddings")
+    conf = nearest_centroid_confusion(e, "embedding", "vec_id", "label")
+    return f1_from_confusion(conf)
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -16807,7 +17086,8 @@ _PRIORITY = [
     "q331_average_precision", "q332_kneser_ney", "q333_audio_segments",
     "q334_zone_map_audit", "q335_fd_audit", "q336_sliding_distinct_hll",
     "q337_product_quantize", "q338_bpe_merges", "q339_temporal_reach",
-    "q340_markov_attribution",
+    "q340_markov_attribution", "q341_brier_decomposition",
+    "q342_loo_influence", "q343_multiclass_f1",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",

@@ -404,3 +404,88 @@ def test_markov_attribution_credits_the_gatekeeper(spark):
     assert math.isclose(out["gate"]["removal_effect"], 1.0, abs_tol=1e-9)
     assert math.isclose(out["gate"]["share"], 1.0, abs_tol=1e-9)
     assert out["noise"]["removal_effect"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Brier decomposition
+
+
+def test_brier_decomposition_identity_and_perfect_forecast(spark):
+    from etl_java_spark.operators.evaluation import brier_decomposition
+
+    # perfect sharp forecast: s = y exactly -> brier 0, reliability 0,
+    # resolution = uncertainty, within-bin 0
+    rows = [(float(i % 2), i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = brier_decomposition(df, "y", "s").collect()[0]
+    assert out["brier"] == 0.0 and out["reliability"] == 0.0
+    assert math.isclose(out["resolution"], out["uncertainty"], abs_tol=1e-12)
+    assert math.isclose(out["uncertainty"], 0.25, abs_tol=1e-12)
+    assert abs(out["within_bin_term"]) < 1e-9
+
+    # constant climatology forecast: resolution 0, brier = uncertainty
+    rows2 = [(0.5, i % 2) for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "s double, y int")
+    o2 = brier_decomposition(df2, "y", "s").collect()[0]
+    assert o2["resolution"] == 0.0
+    assert math.isclose(o2["brier"], 0.25, abs_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# leave-one-group-out OLS influence
+
+
+def test_loo_influence_finds_the_bending_group(spark):
+    from etl_java_spark.operators.evaluation import loo_ols_influence
+
+    # eight clean groups follow y = 2*x1 + 3*x2; group c is adversarial
+    rows = []
+    specs = {f"a{k}": (2, 3) for k in range(8)}
+    specs["c"] = (10, -5)
+    for g, (b1, b2) in specs.items():
+        for i in range(1, 21):
+            x1, x2 = i, (i * 7) % 13 + 1
+            rows.append((g, float(b1 * x1 + b2 * x2), float(x1), float(x2)))
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    out = {r["g"]: r for r in
+           loo_ols_influence(df, "g", "y", "x1", "x2").collect()}
+    # removing the adversarial group recovers the clean coefficients
+    assert math.isclose(out["c"]["beta1_loo"], 2.0, abs_tol=1e-6)
+    assert math.isclose(out["c"]["beta2_loo"], 3.0, abs_tol=1e-6)
+    # and its |delta| dwarfs any clean group's (removing one of eight
+    # identical clean groups shifts the blend only slightly)
+    assert abs(out["c"]["d_beta1"]) > 5 * abs(out["a0"]["d_beta1"])
+
+
+# ---------------------------------------------------------------------------
+# multiclass F1
+
+
+def test_f1_from_confusion_hand_case(spark):
+    from etl_java_spark.operators.evaluation import f1_from_confusion
+
+    conf = spark.createDataFrame(
+        [("a", "a", 8), ("a", "b", 2), ("b", "b", 5), ("b", "a", 5)],
+        "true_label string, pred_label string, n long",
+    )
+    out = {r["label"]: r for r in f1_from_confusion(conf).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["tp"], a["fp"], a["fn"]) == (8, 5, 2)
+    assert (b["tp"], b["fp"], b["fn"]) == (5, 2, 5)
+    assert math.isclose(a["precision"], 8 / 13, abs_tol=1e-12)
+    assert math.isclose(a["recall"], 0.8, abs_tol=1e-12)
+    assert math.isclose(a["micro_f1"], 13 / 20, abs_tol=1e-12)
+    f1a = 2 * (8 / 13) * 0.8 / (8 / 13 + 0.8)
+    f1b = 2 * (5 / 7) * 0.5 / (5 / 7 + 0.5)
+    assert math.isclose(a["macro_f1"], (f1a + f1b) / 2, abs_tol=1e-9)
+
+
+def test_f1_never_predicted_class_scores_zero(spark):
+    from etl_java_spark.operators.evaluation import f1_from_confusion
+
+    conf = spark.createDataFrame(
+        [("a", "a", 5), ("b", "a", 3)],
+        "true_label string, pred_label string, n long",
+    )
+    out = {r["label"]: r for r in f1_from_confusion(conf).collect()}
+    assert out["b"]["precision"] == 0.0 and out["b"]["f1"] == 0.0
