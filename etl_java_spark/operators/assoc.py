@@ -188,11 +188,19 @@ def markov_attribution(
         F.col(type_col).alias("__e"),
         F.row_number().over(w).alias("__rn"),
     )
-    conv = ranked.filter(F.col("__e") == conv_type).groupBy("__u").agg(
-        F.min("__rn").alias("__crn")
-    )
-    lim = ranked.join(conv, "__u", "left").withColumn(
-        "__crn", F.coalesce("__crn", F.lit(1 << 30))
+    # first-conversion rank via a second window over the SAME user
+    # partitioning (one exchange total) — a ranked-joined-to-ranked
+    # aggregate here recomputed the ranking window twice (measured ~2x
+    # the path stage)
+    wu = Window.partitionBy("__u")
+    lim = ranked.withColumn(
+        "__crn",
+        F.coalesce(
+            F.min(
+                F.when(F.col("__e") == conv_type, F.col("__rn"))
+            ).over(wu),
+            F.lit(1 << 30),
+        ),
     )
     kept = lim.filter(
         F.col("__rn") <= F.least(F.col("__crn"), F.lit(max_len))
@@ -200,13 +208,14 @@ def markov_attribution(
         "__s",
         F.when(F.col("__e") == conv_type, F.lit("CONV")).otherwise(F.col("__e")),
     ).localCheckpoint(eager=True)
-    nxt = kept.select(
-        "__u", (F.col("__rn") - 1).alias("__rn"), F.col("__s").alias("__to")
-    )
-    steps_t = kept.join(nxt, ["__u", "__rn"], "left").select(
+    # successor via lead() over the SAME (user, rn) partitioning — a
+    # (u, rn) self-join here was the hot spot (a full shuffle join of
+    # the path table with itself; measured ~2x the whole query)
+    w2 = Window.partitionBy("__u").orderBy("__rn")
+    steps_t = kept.select(
         "__u", "__rn", "__s",
         F.coalesce(
-            F.col("__to"),
+            F.lead("__s").over(w2),
             F.when(F.col("__s") == "CONV", F.lit(None)).otherwise(F.lit("NULL")),
         ).alias("__to"),
     )
@@ -250,11 +259,15 @@ def markov_attribution(
             .groupBy("__var", "__st")
             .agg(F.sum(F.col("__c").cast("decimal(38,18)")).cast("double").alias("__val"))
         )
+        # NO per-round checkpoint: the value vector is #variants x
+        # #states rows, so an 8-round lazy DAG is cheap to plan and
+        # saves 8 materialization jobs (measured 9.1s -> much less at
+        # sf0.1); the path/transition tables above ARE checkpointed.
         v = prop.filter(F.col("__st") != "CONV").unionByName(
             variants.select(
                 "__var", F.lit("CONV").alias("__st"), F.lit(1.0).alias("__val")
             )
-        ).localCheckpoint(eager=True)
+        )
     # a variant in which CONV became unreachable has NO START row in v
     # (the inner join drops it) — that is exactly the removal effect 1.0
     # case, so left-join from the variant list and read missing as 0.
