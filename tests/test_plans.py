@@ -130,6 +130,22 @@ def test_q244_rank_normalize_no_global_data_sort(spark):
         )
 
 
+def test_q331_average_precision_no_global_row_sort(spark):
+    """q331's ranks come from the two-phase distinct-score path: the
+    row-level windows are partitioned by the score group, and every
+    SinglePartition exchange sits above an aggregate (the distinct-
+    score offset table / 1-row totals), never a raw scan."""
+    plan = plan_of(spark, "q331_average_precision", "simple")
+    assert "windowspecdefinition(__s" in plan, (
+        "row ranks must be score-group-partitioned"
+    )
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        nxt = seg.split("+-", 1)[1].strip() if "+-" in seg else ""
+        assert nxt.startswith("HashAggregate"), (
+            "SinglePartition exchange over non-aggregate data:\n" + seg[:300]
+        )
+
+
 def test_seasonality_single_data_shuffle(spark, sf_small):
     """q213 aggregates the event table once (map-side combinable to 24
     rows); the only other exchange feeds the 1-row broadcast total."""
