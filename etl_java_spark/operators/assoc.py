@@ -247,12 +247,23 @@ def markov_attribution(
     )
     v = variants.select("__var", F.lit("CONV").alias("__st"), F.lit(1.0).alias("__val"))
     for _ in range(steps):
+        # rename the value vector's key columns before the join: from
+        # round 2 on, v derives from vtrans, and same-name column refs
+        # across that lineage trip Spark's trivially-true-predicate
+        # ambiguity warning
+        vj = v.select(
+            F.col("__var").alias("__var2"),
+            F.col("__st").alias("__st2"),
+            F.col("__val"),
+        )
         prop = (
             vtrans.join(
-                v, (vtrans["__var"] == v["__var"]) & (vtrans["__to"] == v["__st"])
+                vj,
+                (F.col("__var") == F.col("__var2"))
+                & (F.col("__to") == F.col("__st2")),
             )
             .select(
-                vtrans["__var"].alias("__var"),
+                F.col("__var"),
                 F.col("__s").alias("__st"),
                 (F.col("__p") * F.col("__val")).alias("__c"),
             )
