@@ -579,35 +579,32 @@ def fallback_join(
             cond = c if cond is None else (cond & c)
         lvl = dim.filter(cond) if cond is not None else dim
         levels.append((keys, lvl))
-    # dim uniqueness guard: >1 row per key combination at a level would
-    # fan out fact rows. One metadata-sized job over the (tiny) dim.
-    probe = None
-    for i, (keys, lvl) in enumerate(levels):
-        kexpr = (
-            F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
-            if keys
-            else F.lit("")
-        )
-        p = lvl.select(F.lit(i).alias("__lvl"), kexpr.alias("__k"))
-        probe = p if probe is None else probe.unionByName(p)
-    dup = (
-        probe.groupBy("__lvl", "__k")
-        .agg(F.count("*").alias("__c"))
-        .filter(F.col("__c") > 1)
-        .take(1)
-    )
-    if dup:
-        raise ValueError(
-            f"fallback_join: dim has {dup[0]['__c']} rows for key "
-            f"{dup[0]['__k']!r} at level {dup[0]['__lvl']} — one row per "
-            "key combination per level required"
-        )
     for i, (keys, lvl) in enumerate(levels):
         # sentinel marker: detects a level hit independently of the
-        # value columns, which may legitimately be NULL in the dim
+        # value columns, which may legitimately be NULL in the dim.
+        # The marker ALSO carries the dim-uniqueness guard IN-PLAN
+        # (assert_true over a per-key count window, the
+        # resample_gapfill discipline): >1 dim row per key at a level
+        # would fan out fact rows, and an eager driver-side probe here
+        # cost an extra job per call (+0.9s at bench). assert_true
+        # must feed a SELECTED expression or pruning drops it.
+        w = Window.partitionBy(*[F.col(k) for k in keys]) if keys else (
+            Window.partitionBy(F.lit(1))
+        )
+        ok = F.assert_true(
+            F.count("*").over(w) == 1,
+            F.concat(
+                F.lit(f"fallback_join: dim has duplicate rows at level {i} "
+                      "(one row per key combination per level required)"),
+            ),
+        )
+        # assert_true returns NULL on success (raises on violation), so
+        # .isNull() is a True marker that genuinely depends on the guard
+        # (a when(ok,True).otherwise(True) would constant-fold ok away)
+        marker = ok.isNull()
         sel = [F.col(k) for k in keys] + [
             F.col(v).alias(f"__v{i}_{v}") for v in value_cols
-        ] + [F.lit(True).alias(f"__m{i}")]
+        ] + [marker.alias(f"__m{i}")]
         lvl = lvl.select(*sel)
         if keys:
             out = out.join(F.broadcast(lvl), on=keys, how="left")

@@ -183,8 +183,8 @@ def test_fallback_join_duplicate_dim_rejected(spark):
     dim = spark.createDataFrame(
         [("A", 1), ("A", 2)], "r_name string, rate int"
     )
-    with pytest.raises(ValueError, match="one row per key combination"):
-        fallback_join(fact, dim, [["r_name"]], ["rate"])
+    with pytest.raises(Exception, match="one row per key combination"):
+        fallback_join(fact, dim, [["r_name"]], ["rate"]).collect()
 
 
 import datetime as dt  # noqa: E402
