@@ -1358,3 +1358,94 @@ def f1_from_confusion(
         F.round("__macro", 12).alias("macro_f1"),
         F.round("__micro", 12).alias("micro_f1"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col,
+    label_col,
+) -> DataFrame:
+    """Isotonic (PAV) calibration curve: the best monotone-non-
+    decreasing fit of P(y=1 | score) — the non-parametric recalibrator
+    that turns a ranking score into a probability, and the diagnostic
+    that shows WHERE a model is miscalibrated without binning bias
+    (the binned companion is calibration_report / q267).
+
+    Computed by the minimax characterization of isotonic regression
+
+        fit(i) = MAX over j <= i of MIN over k >= i of mean(y[j..k])
+
+    (means weighted by per-score counts) — closed-form, no sequential
+    pool-adjacent-violators loop, so it parallelizes and replays in
+    SQL. The pipeline:
+
+    1. ONE data-sized aggregation to per-distinct-score (n, n_pos);
+    2. prefix sums over the distinct scores (ordered window — input
+       bounded by score CARDINALITY, not rows: the roc_auc contract;
+       quantize continuous scores first);
+    3. the k^2 interval means m(j,k) via a range self-join of the
+       distinct-score table, then two windows: a reverse running MIN
+       within start j (giving min over k >= i), and a running MAX
+       within end i (giving max over j <= i).
+
+    Interval means are single double divisions of exact integer sums;
+    MIN/MAX over doubles are exact — bit-reproducible on any engine.
+
+    Returns (score, n, n_pos, empirical_rate, isotonic_rate) per
+    distinct score, isotonic_rate non-decreasing in score.
+    """
+    s = _c(score_col)
+    y = _c(label_col).cast("int")
+    per = (
+        df.select(s.alias("s"), y.alias("y"))
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("y").cast("long").alias("n_pos"))
+    )
+    w_ord = Window.orderBy("s")
+    idx = per.select(
+        "s", "n", "n_pos",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("n").over(w_ord).cast("long").alias("cn"),
+        F.sum("n_pos").over(w_ord).cast("long").alias("cy"),
+    )
+    a = idx.select(
+        F.col("i").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+        (F.col("cy") - F.col("n_pos")).alias("cy0"),
+    )
+    b = idx.select(
+        F.col("i").alias("k"), F.col("cn").alias("cnk"),
+        F.col("cy").alias("cyk"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("j") <= F.col("k")).select(
+        "j", "k",
+        (
+            (F.col("cyk") - F.col("cy0")).cast("double")
+            / (F.col("cnk") - F.col("cn0")).cast("double")
+        ).alias("m"),
+    )
+    w_min = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_max = (
+        Window.partitionBy("k")
+        .orderBy(F.col("j").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fit = (
+        pairs.withColumn("mn", F.min("m").over(w_min))
+        .withColumn("fit", F.max("mn").over(w_max))
+        .filter(F.col("j") == F.col("k"))
+        .select(F.col("k").alias("i"), "fit")
+    )
+    return idx.join(fit, "i").select(
+        F.col("s").alias("score"),
+        "n", "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "empirical_rate"
+        ),
+        F.col("fit").alias("isotonic_rate"),
+    )

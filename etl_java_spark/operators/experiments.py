@@ -451,3 +451,82 @@ def stratified_ipw(
         "n_units", "n_strata", "n_unsupported",
         ate.alias("ate_scaled"), naive.alias("naive_diff_scaled"),
     )
+
+
+def qini_table(
+    df: DataFrame,
+    score_col,
+    treatment_col,
+    label_col,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Qini table: the uplift-model analog of the gains table
+    (evaluation.gains_table) — rank units by a targeting score, cut
+    into deciles, and report the CUMULATIVE incremental responders
+
+        qini(b) = Y_t(b) - Y_c(b) * N_t(b) / N_c(b)
+
+    (treated positives minus control positives scaled to the treated
+    volume) — "how many conversions did targeting the top b deciles
+    actually CAUSE?", the readout a raw response-rate gains table gets
+    wrong whenever the score correlates with baseline propensity.
+
+    Deciles via NTILE over (score DESC, id ASC) — deterministic under
+    ties; same warehouse-scale caveat as gains_table (feed aggregated
+    units; swap NTILE for equi-depth score bins at extreme scale).
+    Counts are exact integers; qini is a fixed double expression over
+    them. A bucket prefix with zero cumulative control units yields
+    NULL qini (explicitly, not a division error).
+
+    Returns per bucket: (bucket, n_treat, n_ctrl, pos_treat, pos_ctrl,
+    uplift_rate, qini).
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    t = (F.col(treatment_col) if isinstance(treatment_col, str)
+         else treatment_col).cast("int")
+    y = (F.col(label_col) if isinstance(label_col, str)
+         else label_col).cast("int")
+    ranked = df.select(
+        s.alias("__s"), t.alias("__t"), y.alias("__y"),
+        F.col(id_col).alias("__id"),
+    ).withColumn(
+        "bucket",
+        F.ntile(n_buckets).over(
+            Window.orderBy(F.col("__s").desc(), F.col("__id").asc())
+        ),
+    )
+    per = ranked.groupBy("bucket").agg(
+        F.sum("__t").cast("long").alias("n_treat"),
+        F.sum(1 - F.col("__t")).cast("long").alias("n_ctrl"),
+        F.sum(F.col("__t") * F.col("__y")).cast("long").alias("pos_treat"),
+        F.sum((1 - F.col("__t")) * F.col("__y")).cast("long").alias("pos_ctrl"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per.withColumn("__cnt", F.sum("n_treat").over(w_cum).cast("long"))
+        .withColumn("__cnc", F.sum("n_ctrl").over(w_cum).cast("long"))
+        .withColumn("__cyt", F.sum("pos_treat").over(w_cum).cast("long"))
+        .withColumn("__cyc", F.sum("pos_ctrl").over(w_cum).cast("long"))
+    )
+    rate_t = F.when(
+        F.col("n_treat") > 0,
+        F.col("pos_treat").cast("double") / F.col("n_treat").cast("double"),
+    )
+    rate_c = F.when(
+        F.col("n_ctrl") > 0,
+        F.col("pos_ctrl").cast("double") / F.col("n_ctrl").cast("double"),
+    )
+    return cum.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_treat", "n_ctrl", "pos_treat", "pos_ctrl",
+        (rate_t - rate_c).alias("uplift_rate"),
+        F.when(
+            F.col("__cnc") > 0,
+            F.col("__cyt").cast("double")
+            - F.col("__cyc").cast("double")
+            * (F.col("__cnt").cast("double") / F.col("__cnc").cast("double")),
+        ).alias("qini"),
+    )

@@ -506,3 +506,317 @@ def temporal_bfs(
     return dist.select(
         F.col("n").alias(node), F.col("hops").cast("long"), F.col("arrival").alias("arrival_ts")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
+    directed edge list — the bipartite-flavored complement to
+    :func:`pagerank`: a HUB points at many good authorities, an
+    AUTHORITY is pointed at by many good hubs (curator/content,
+    buyer/seller, reviewer/product graphs).
+
+    Recurrence (uniform 1.0 init, normalization deferred to the END —
+    mid-iteration L1/L2 normalization only rescales both vectors by a
+    constant, so the final ranking is identical and every intermediate
+    stays an exact INTEGER-valued double, replayable in SQL without
+    float-division drift):
+
+        h0(u)  = 1.0
+        a_k(v) = SUM over in-edges  (u, v) of h_{k-1}(u)
+        h_k(u) = SUM over out-edges (u, v) of a_k(v)
+
+    then hub = h_K / SUM(h_K), auth = a_K / SUM(a_K) — two single
+    correctly-rounded double divisions per node at the very end.
+
+    Each round is two edge joins + two decimal-exact aggregates that
+    reuse the same key partitioning; the edge list is materialized ONCE
+    (pagerank discipline). Fixed iteration count keeps the plan static
+    — at 100 TB you budget rounds, not convergence jobs, and 2 rounds
+    already separate broad hubs from incidental linkers. Returns
+    (node, hub, auth) for every node, 0.0 on the side it never plays.
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    e = ckpt(edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")))
+    nodes = ckpt(
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("h", F.lit(1.0))
+    auth = None
+    for _ in range(iterations):
+        auth = (
+            e.join(hub, e.e_src == hub.node)
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("h").cast("decimal(38,6)")).cast("double").alias("a"))
+        )
+        auth = ckpt(auth)
+        hub = (
+            e.join(auth, e.e_dst == auth.node)
+            .groupBy(F.col("e_src").alias("node"))
+            .agg(F.sum(F.col("a").cast("decimal(38,6)")).cast("double").alias("h"))
+        )
+        # Per-round materialization: AQE re-plans each round against the
+        # real vector size; lineage stays O(1) (pagerank discipline).
+        hub = ckpt(hub)
+    h_tot = hub.agg(
+        F.sum(F.col("h").cast("decimal(38,6)")).cast("double").alias("ht")
+    )
+    a_tot = auth.agg(
+        F.sum(F.col("a").cast("decimal(38,6)")).cast("double").alias("at")
+    )
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .crossJoin(F.broadcast(h_tot))
+        .crossJoin(F.broadcast(a_tot))
+        .select(
+            "node",
+            (F.coalesce(F.col("h"), F.lit(0.0)) / F.col("ht")).alias("hub"),
+            (F.coalesce(F.col("a"), F.lit(0.0)) / F.col("at")).alias("auth"),
+        )
+    )
+
+
+def partition_modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    community: str = "community",
+) -> DataFrame:
+    """Newman modularity of a GIVEN node partition over the undirected
+    graph under ``edges`` — "did this community assignment actually
+    carve the graph at its joints?" (validating a clustering, comparing
+    org charts to collaboration graphs, QA on dedup clusters).
+
+        Q = SUM over communities c of [ e_c/m  -  (d_c / 2m)^2 ]
+
+    with m = #undirected edges, e_c = #edges with BOTH endpoints in c,
+    d_c = sum of degrees of c's nodes. Direction and duplicate edges
+    are ignored; self-loops dropped; nodes missing from ``communities``
+    form an implicit '__unassigned__' community rather than silently
+    losing their degree mass (which would corrupt every other term).
+
+    Pure aggregation — one distinct-edge shuffle, one degree shuffle,
+    two broadcast-sized community joins; the community table is
+    metadata-sized output. Every count is integer-exact; the final
+    contributions are single correctly-rounded double expressions.
+
+    Returns one row per community: (community, n_nodes, n_within_edges,
+    degree_sum, contribution, modularity) — ``modularity`` (the total
+    Q) repeated on every row for one-table readout.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    comm = communities.select(
+        F.col(node).alias("x"), F.col(community).alias("c")
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionByName(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    unassigned = F.lit("__unassigned__")
+    node_c = deg.join(comm, "x", "left").select(
+        "x", "d", F.coalesce(F.col("c"), unassigned).alias("c")
+    )
+    d_c = node_c.groupBy("c").agg(
+        F.sum("d").alias("degree_sum"), F.count("*").alias("n_nodes")
+    )
+    cu = node_c.select(F.col("x").alias("u"), F.col("c").alias("cu"))
+    cv = node_c.select(F.col("x").alias("v"), F.col("c").alias("cv"))
+    within = (
+        und.join(cu, "u")
+        .join(cv, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count("*").alias("n_within_edges"))
+    )
+    m = und.agg(F.count("*").alias("m"))
+    per = (
+        d_c.join(within, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("c").alias("community"),
+            F.col("n_nodes").cast("long"),
+            F.coalesce("n_within_edges", F.lit(0)).cast("long").alias(
+                "n_within_edges"
+            ),
+            F.col("degree_sum").cast("long"),
+            (
+                F.coalesce("n_within_edges", F.lit(0)).cast("double")
+                / F.col("m").cast("double")
+                - (
+                    F.col("degree_sum").cast("double")
+                    / (F.lit(2.0) * F.col("m").cast("double"))
+                )
+                * (
+                    F.col("degree_sum").cast("double")
+                    / (F.lit(2.0) * F.col("m").cast("double"))
+                )
+            ).alias("contribution"),
+        )
+    )
+    q_tot = per.agg(
+        F.sum(F.col("contribution").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("modularity")
+    )
+    return per.crossJoin(F.broadcast(q_tot))
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient of the undirected graph — the
+    Pearson correlation of endpoint degrees over edges (Newman 2002).
+    Positive: hubs attach to hubs (social graphs); negative: hubs
+    attach to leaves (hub-and-spoke infrastructure, bipartite traffic).
+    The one-number "is this graph core-periphery?" readout.
+
+    Every edge contributes its endpoint-degree pair in BOTH
+    orientations (the standard symmetrization, making X and Y
+    identically distributed), so with integer moment sums
+    S1 = SUM(dx), S11 = SUM(dx*dx), Sxy = SUM(dx*dy), n = 2m:
+
+        r = (n*Sxy - S1^2) / (n*S11 - S1^2)
+
+    — no sqrt needed (Var(X) = Var(Y) exactly). All moments are
+    integer-exact decimal sums; the final division is one correctly-
+    rounded double op. Two shuffles (distinct edges, degrees) + two
+    co-partitioned degree joins. Returns one row:
+    (n_edges, n_vertices, assortativity).
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionByName(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    pairs = und.join(du, "u").join(dv, "v")
+    # both orientations: (du,dv) and (dv,du)
+    sym = pairs.select(
+        F.col("du").alias("dx"), F.col("dv").alias("dy")
+    ).unionByName(pairs.select(F.col("dv").alias("dx"), F.col("du").alias("dy")))
+    mo = sym.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("s11"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    nv = deg.agg(F.count("*").alias("n_vertices"))
+    return mo.crossJoin(F.broadcast(nv)).select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.col("n_vertices").cast("long"),
+        (
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+            / (
+                F.col("n").cast("double") * F.col("s11").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+        ).alias("assortativity"),
+    )
+
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Per-node local clustering coefficient — triangles(v) / C(d(v),2),
+    "how much of a clique is each node's neighborhood?" (community-core
+    detection, spam-node triage where LCC ~ 0 on high degree is the
+    signature, per-node graph QA). Extends :func:`triangle_count`'s
+    global readout to the node level with the SAME degree-ordered
+    orientation, so the wedge join stays O(sqrt(E))-bounded per vertex
+    under hub skew.
+
+    Each closed triangle {s, y, z} (found once, from its lowest-degree
+    vertex s) is exploded to its three member vertices and counted per
+    node — one extra map-side 3x fan-out + one count shuffle over the
+    (bounded) triangle set, nothing else beyond the global algorithm.
+
+    Returns (node, degree, triangles, lcc) for every vertex; lcc = 0.0
+    when degree < 2 (no possible wedge) — division is one correctly-
+    rounded double op, SQL-replayable.
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    a, b = F.col(src), F.col(dst)
+    und = ckpt(
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionByName(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    o1 = oriented.select(F.col("s"), F.col("t").alias("y"))
+    o2 = oriented.select(F.col("s"), F.col("t").alias("z"))
+    wedges = o1.join(o2, "s").filter(F.col("y") < F.col("z"))
+    closed = wedges.join(
+        und,
+        (F.col("u") == F.col("y")) & (F.col("v") == F.col("z")),
+        "left_semi",
+    )
+    tri = (
+        closed.select(
+            F.explode(F.array(F.col("s"), F.col("y"), F.col("z"))).alias("x")
+        )
+        .groupBy("x")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return deg.join(tri, "x", "left").select(
+        F.col("x").alias("node"),
+        F.col("d").cast("long").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("d") < 2, F.lit(0.0)
+        ).otherwise(
+            F.coalesce("triangles", F.lit(0)).cast("double")
+            / (F.col("d").cast("double") * (F.col("d").cast("double") - 1.0) / 2.0)
+        ).alias("lcc"),
+    )

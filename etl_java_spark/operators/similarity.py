@@ -1230,3 +1230,56 @@ def product_quantize(
         .cast("double")
         .alias("distortion"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each query vector, the top-k most-similar corpus items with a
+    DIFFERENT label — the near-misses that teach a model the decision
+    boundary (random negatives are trivially easy; same-label neighbors
+    are positives, not negatives).
+
+    Exact brute-force cosine over a BROADCAST-BOUNDED query set (the
+    q260 contract: mine for a curated anchor sample, swap the scan for
+    the IVF probe at index scale — ivf_topk + label anti-filter gives
+    the same output shape). Ties broken by neighbor id.
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label,
+    cos_sim, rank).
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & ~F.col("neighbor_label").eqNullSafe(F.col("query_label"))
+        )
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            cosine(F.col("__qvec"), F.col("__cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

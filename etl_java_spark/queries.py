@@ -17035,6 +17035,661 @@ def q343_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f1_from_confusion(conf)
 
 
+# ---------------------------------------------------------------------------
+# Round-7 wave 2: graph statics — HITS, partition modularity, degree
+# assortativity, per-node clustering (operators/graph.py). Charter §2B
+# extension (no reference counterpart — RoberWaters/ETL-Java,
+# src/etl/ETLProcess.java:1-568).
+
+
+_SHIP_EDGES_SQL = """
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def _ship_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier->customer shipment graph shared by q129/q344-q346."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@_q(
+    "q344_hits",
+    f"""
+    WITH edges AS (
+      {_SHIP_EDGES_SQL}
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), a1 AS (
+      SELECT dst AS node,
+             CAST(SUM(CAST(1.0 AS DECIMAL(38,6))) AS DOUBLE) AS a
+      FROM edges GROUP BY dst
+    ), h1 AS (
+      SELECT e.src AS node,
+             CAST(SUM(CAST(a1.a AS DECIMAL(38,6))) AS DOUBLE) AS h
+      FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY e.src
+    ), a2 AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(h1.h AS DECIMAL(38,6))) AS DOUBLE) AS a
+      FROM edges e JOIN h1 ON h1.node = e.src GROUP BY e.dst
+    ), h2 AS (
+      SELECT e.src AS node,
+             CAST(SUM(CAST(a2.a AS DECIMAL(38,6))) AS DOUBLE) AS h
+      FROM edges e JOIN a2 ON a2.node = e.dst GROUP BY e.src
+    ), htot AS (
+      SELECT CAST(SUM(CAST(h AS DECIMAL(38,6))) AS DOUBLE) AS ht FROM h2
+    ), atot AS (
+      SELECT CAST(SUM(CAST(a AS DECIMAL(38,6))) AS DOUBLE) AS att FROM a2
+    ), sc AS (
+      SELECT n.node,
+             COALESCE(h2.h, 0.0) / htot.ht AS hub,
+             COALESCE(a2.a, 0.0) / atot.att AS auth
+      FROM nodes n
+      LEFT JOIN h2 USING (node) LEFT JOIN a2 USING (node)
+      CROSS JOIN htot CROSS JOIN atot
+    )
+    SELECT * FROM (
+      SELECT 'hub' AS role, node, ROUND(hub, 12) AS score
+      FROM sc ORDER BY score DESC, node LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'auth' AS role, node, ROUND(auth, 12) AS score
+      FROM sc ORDER BY score DESC, node LIMIT 10
+    )
+    """,
+)
+def q344_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration HITS (graph.hits) on the supplier->customer shipment
+    graph: top-10 hubs (suppliers shipping to many well-connected
+    customers) + top-10 authorities (customers served by many broad
+    suppliers). Normalization deferred to the end keeps every
+    intermediate an exact integer-valued double, so the oracle replays
+    the recurrence as chained CTEs bit-for-bit (q129 discipline)."""
+    from .operators.graph import hits
+
+    sc = hits(_ship_edges(spark, sf_dir), iterations=2)
+    hubs = (
+        sc.select(F.lit("hub").alias("role"), "node",
+                  F.round("hub", 12).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("node"))
+        .limit(10)
+    )
+    auths = (
+        sc.select(F.lit("auth").alias("role"), "node",
+                  F.round("auth", 12).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("node"))
+        .limit(10)
+    )
+    return hubs.unionByName(auths)
+
+
+@_q(
+    "q345_modularity",
+    f"""
+    WITH edges AS (
+      {_SHIP_EDGES_SQL}
+    ), und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM edges WHERE src <> dst
+    ), comm AS (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS x, n_name AS c
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'c' || CAST(c_custkey AS VARCHAR), n_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), deg AS (
+      SELECT x, COUNT(*) AS d FROM (
+        SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und
+      ) GROUP BY x
+    ), node_c AS (
+      SELECT deg.x, deg.d, COALESCE(comm.c, '__unassigned__') AS c
+      FROM deg LEFT JOIN comm USING (x)
+    ), dc AS (
+      SELECT c, SUM(d) AS degree_sum, COUNT(*) AS n_nodes
+      FROM node_c GROUP BY c
+    ), w AS (
+      SELECT cu.c, COUNT(*) AS n_within
+      FROM und
+      JOIN node_c cu ON und.u = cu.x
+      JOIN node_c cv ON und.v = cv.x
+      WHERE cu.c = cv.c GROUP BY cu.c
+    ), m AS (
+      SELECT COUNT(*) AS m FROM und
+    ), per AS (
+      SELECT dc.c AS community,
+             CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+             CAST(COALESCE(w.n_within, 0) AS BIGINT) AS n_within_edges,
+             CAST(dc.degree_sum AS BIGINT) AS degree_sum,
+             CAST(COALESCE(w.n_within, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+             - (CAST(dc.degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+               * (CAST(dc.degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+               AS contribution
+      FROM dc LEFT JOIN w ON w.c = dc.c CROSS JOIN m
+    ), qt AS (
+      SELECT CAST(SUM(CAST(contribution AS DECIMAL(38,18))) AS DOUBLE)
+               AS modularity
+      FROM per
+    )
+    SELECT community, n_nodes, n_within_edges, degree_sum,
+           ROUND(contribution, 12) AS contribution,
+           ROUND(modularity, 12) AS modularity
+    FROM per CROSS JOIN qt ORDER BY community
+    """,
+)
+def q345_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (graph.partition_modularity) of the NATION
+    partition over the supplier-customer shipment graph — "does trading
+    follow national lines?" Per-nation within-edge counts and degree
+    mass are integer-exact; contributions are single double expressions
+    and the total is a decimal-exact sum, so the oracle replays the
+    formula directly. Nation-bipartite noise pushes Q toward 0 — the
+    readout IS the audit."""
+    from .operators.graph import partition_modularity
+
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    comm = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"),
+            F.col("n_name").alias("community"),
+        )
+        .unionByName(
+            c.join(n, c.c_nationkey == n.n_nationkey).select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                    "node"
+                ),
+                F.col("n_name").alias("community"),
+            )
+        )
+    )
+    per = partition_modularity(_ship_edges(spark, sf_dir), comm)
+    return per.select(
+        "community", "n_nodes", "n_within_edges", "degree_sum",
+        F.round("contribution", 12).alias("contribution"),
+        F.round("modularity", 12).alias("modularity"),
+    ).orderBy("community")
+
+
+@_q(
+    "q346_assortativity",
+    f"""
+    WITH edges AS (
+      {_SHIP_EDGES_SQL}
+    ), und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM edges WHERE src <> dst
+    ), deg AS (
+      SELECT x, COUNT(*) AS d FROM (
+        SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und
+      ) GROUP BY x
+    ), sym AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM und JOIN deg du ON und.u = du.x JOIN deg dv ON und.v = dv.x
+      UNION ALL
+      SELECT dv.d, du.d
+      FROM und JOIN deg du ON und.u = du.x JOIN deg dv ON und.v = dv.x
+    ), mo AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(dx AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(dx * dx AS DECIMAL(38,0))) AS s11,
+             SUM(CAST(dx * dy AS DECIMAL(38,0))) AS sxy
+      FROM sym
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+           ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 12)
+             AS assortativity
+    FROM mo
+    """,
+)
+def q346_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (graph.degree_assortativity) of the
+    shipment graph: Pearson correlation of endpoint degrees over
+    symmetrized edges — negative = hub-and-spoke trade (big suppliers
+    serve long-tail customers). Integer moment sums + one closed-form
+    double division; no sqrt (symmetrization makes Var(X) = Var(Y)
+    exactly)."""
+    from .operators.graph import degree_assortativity
+
+    out = degree_assortativity(_ship_edges(spark, sf_dir))
+    return out.select(
+        "n_edges", "n_vertices",
+        F.round("assortativity", 12).alias("assortativity"),
+    )
+
+
+@_q(
+    "q347_local_clustering",
+    """
+    WITH cand AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v,
+             ABS(a.p_retailprice - b.p_retailprice) AS d
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+       AND ABS(a.p_retailprice - b.p_retailprice) <= 1.0
+    ), knn AS (
+      SELECT u, v FROM (
+        SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY d, v) AS rn
+        FROM cand) WHERE rn <= 8
+    ), und AS (
+      SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM knn
+    ), nbr AS (
+      SELECT u AS x, v AS y FROM und UNION ALL SELECT v, u FROM und
+    ), deg AS (
+      SELECT x, COUNT(*) AS d FROM nbr GROUP BY x
+    ), tri AS (
+      SELECT n1.x, COUNT(*) AS t
+      FROM nbr n1
+      JOIN nbr n2 ON n1.x = n2.x AND n1.y < n2.y
+      JOIN und e ON e.u = n1.y AND e.v = n2.y
+      GROUP BY n1.x
+    )
+    SELECT x AS node, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+           ROUND(CASE WHEN deg.d < 2 THEN 0.0
+                 ELSE CAST(COALESCE(tri.t, 0) AS DOUBLE)
+                      / (CAST(deg.d AS DOUBLE)
+                         * (CAST(deg.d AS DOUBLE) - 1.0) / 2.0) END, 12)
+             AS lcc
+    FROM deg LEFT JOIN tri USING (x)
+    WHERE deg.d >= 5
+    ORDER BY lcc DESC, node LIMIT 20
+    """,
+)
+def q347_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (graph.local_clustering)
+    on q176's price-similarity k-NN part graph: the top-20 most
+    clique-embedded parts (min degree 5). Same degree-ordered wedge
+    orientation as the global triangle count — each triangle found
+    once, exploded to its 3 members; the oracle recounts per node with
+    the brute-force neighbor-pair join (independent algorithm, exact
+    match)."""
+    from .operators.graph import local_clustering
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+        F.floor(F.col("p_retailprice")).cast("long").alias("bkt"),
+    )
+    probe = p.withColumn(
+        "__off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    ).select(
+        F.col("k").alias("u"),
+        "brand",
+        F.col("price").alias("pu"),
+        (F.col("bkt") + F.col("__off")).alias("bkt"),
+    )
+    build = p.select(
+        F.col("k").alias("v"), "brand", F.col("price").alias("pv"), "bkt"
+    )
+    cand = (
+        probe.join(build, ["brand", "bkt"])
+        .filter(
+            (F.col("u") != F.col("v"))
+            & (F.abs(F.col("pu") - F.col("pv")) <= 1.0)
+        )
+        .select("u", "v", F.abs(F.col("pu") - F.col("pv")).alias("d"))
+    )
+    wk = Window.partitionBy("u").orderBy(F.col("d").asc(), F.col("v").asc())
+    knn = (
+        cand.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= 8)
+        .select("u", "v")
+    )
+    out = local_clustering(knn, src="u", dst="v")
+    return (
+        out.filter(F.col("degree") >= 5)
+        .select("node", "degree", "triangles", F.round("lcc", 12).alias("lcc"))
+        .orderBy(F.col("lcc").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q348_isotonic_calibration",
+    """
+    WITH per0 AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_disc,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+      FROM lineitem GROUP BY 1
+    ), sc AS (
+      SELECT CAST(CAST(n_disc * 1000000 // n_items AS DECIMAL(18,0))
+                  * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS s,
+             y
+      FROM per0
+    ), per AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM sc GROUP BY s
+    ), idx AS (
+      SELECT s, n, n_pos,
+             ROW_NUMBER() OVER (ORDER BY s) AS i,
+             SUM(n) OVER (ORDER BY s) AS cn,
+             SUM(n_pos) OVER (ORDER BY s) AS cy
+      FROM per
+    ), pairs AS (
+      SELECT a.i AS j, b.i AS k,
+             CAST(b.cy - (a.cy - a.n_pos) AS DOUBLE)
+             / CAST(b.cn - (a.cn - a.n) AS DOUBLE) AS m
+      FROM idx a JOIN idx b ON a.i <= b.i
+    ), mn AS (
+      SELECT j, k,
+             MIN(m) OVER (PARTITION BY j ORDER BY k DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS mn
+      FROM pairs
+    ), ft AS (
+      SELECT j, k,
+             MAX(mn) OVER (PARTITION BY k ORDER BY j ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS fit
+      FROM mn
+    )
+    SELECT CAST(idx.s AS DOUBLE) AS score, idx.n, idx.n_pos,
+           ROUND(CAST(idx.n_pos AS DOUBLE) / CAST(idx.n AS DOUBLE), 12)
+             AS empirical_rate,
+           ROUND(ft.fit, 12) AS isotonic_rate
+    FROM idx JOIN ft ON ft.k = idx.i AND ft.j = ft.k
+    ORDER BY score
+    """,
+)
+def q348_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration curve (evaluation.isotonic_calibration)
+    of the discount-share "return probability" score — the unbinned
+    companion to q267's ECE and q341's Brier split: the best monotone
+    fit of P(return | score), computed by the minimax characterization
+    (no sequential PAV loop; a k^2 range self-join over the ~29
+    DISTINCT scores after one data-sized aggregation). The oracle
+    replays the same windows exactly."""
+    from .operators.evaluation import isotonic_calibration
+
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum((F.col("l_discount") > 0.05).cast("int")).cast("long").alias(
+            "n_disc"
+        ),
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("y"),
+    )
+    score = (
+        F.expr("div(n_disc * 1000000, n_items)").cast("decimal(18,0)")
+        * F.lit("0.000001").cast("decimal(7,6)")
+    ).cast("decimal(18,6)")
+    out = isotonic_calibration(per.select(score.alias("s"), "y"), "s", "y")
+    return out.select(
+        F.col("score").cast("double").alias("score"), "n", "n_pos",
+        F.round("empirical_rate", 12).alias("empirical_rate"),
+        F.round("isotonic_rate", 12).alias("isotonic_rate"),
+    ).orderBy("score")
+
+
+def _q349_oracle() -> str:
+    from .operators.sampling import key_bucket_sql
+
+    t = f"CAST({key_bucket_sql('c_custkey', 10000)} % 2 AS INT)"
+    return f"""
+    WITH resp AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS y
+      FROM orders GROUP BY 1
+    ), units AS (
+      SELECT c_custkey AS id, c_acctbal AS s, {t} AS t,
+             COALESCE(resp.y, 0) AS y
+      FROM customer LEFT JOIN resp ON o_custkey = c_custkey
+    ), ranked AS (
+      SELECT *, NTILE(10) OVER (ORDER BY s DESC, id ASC) AS bucket
+      FROM units
+    ), per AS (
+      SELECT bucket,
+             CAST(SUM(t) AS BIGINT) AS n_treat,
+             CAST(SUM(1 - t) AS BIGINT) AS n_ctrl,
+             CAST(SUM(t * y) AS BIGINT) AS pos_treat,
+             CAST(SUM((1 - t) * y) AS BIGINT) AS pos_ctrl
+      FROM ranked GROUP BY bucket
+    ), cum AS (
+      SELECT *,
+             SUM(n_treat) OVER (ORDER BY bucket) AS cnt,
+             SUM(n_ctrl) OVER (ORDER BY bucket) AS cnc,
+             SUM(pos_treat) OVER (ORDER BY bucket) AS cyt,
+             SUM(pos_ctrl) OVER (ORDER BY bucket) AS cyc
+      FROM per
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           n_treat, n_ctrl, pos_treat, pos_ctrl,
+           ROUND(CASE WHEN n_treat > 0 THEN CAST(pos_treat AS DOUBLE)
+                        / CAST(n_treat AS DOUBLE) END
+                 - CASE WHEN n_ctrl > 0 THEN CAST(pos_ctrl AS DOUBLE)
+                          / CAST(n_ctrl AS DOUBLE) END, 12) AS uplift_rate,
+           ROUND(CASE WHEN cnc > 0 THEN
+                   CAST(cyt AS DOUBLE)
+                   - CAST(cyc AS DOUBLE)
+                     * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)) END, 12)
+             AS qini
+    FROM cum ORDER BY bucket
+    """
+
+
+@_q("q349_qini_uplift", None)
+def q349_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift table (experiments.qini_table): customers ranked by
+    account balance, deterministically hash-split into treat/control
+    (experiments.ab_assign = the arithmetic key_bucket both engines
+    replay), outcome = placed an URGENT order. Cumulative incremental
+    responders per decile — the uplift analog of q315's gains table.
+    Null-effect data by construction: qini hugs 0, which is the
+    correct readout and the correctness check."""
+    from .operators.experiments import ab_assign, qini_table
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    resp = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("y")
+    )
+    units = c.join(resp, c.c_custkey == resp.o_custkey, "left").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("s"),
+        ab_assign("c_custkey").cast("int").alias("t"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    out = qini_table(units, "s", "t", "y", "id", n_buckets=10)
+    return out.select(
+        "bucket", "n_treat", "n_ctrl", "pos_treat", "pos_ctrl",
+        F.round("uplift_rate", 12).alias("uplift_rate"),
+        F.round("qini", 12).alias("qini"),
+    ).orderBy("bucket")
+
+
+ORACLES["q349_qini_uplift"] = _q349_oracle()
+
+
+@_q(
+    "q350_cdc_tombstones",
+    """
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS seq, event_type AS last_event_type,
+           CAST(value AS DOUBLE) AS last_value, ts AS last_ts
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q350_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply with DELETE tombstones (streaming/events.
+    foreach_batch_cdc_apply -> sinks/writers.apply_cdc_by_pk): the
+    event stream read as an I/U/D changelog (op = D when event_type =
+    'error', seq = event_id, key = user_id) reconciled into a parquet
+    state table — seq-conditioned last-writer-wins, so out-of-order
+    and re-split batches converge to the same state, and soft-delete
+    tombstones keep absorbing late stale updates instead of letting
+    them resurrect the key. The oracle replays the drained changelog
+    as last-op-per-key, live rows only."""
+    import shutil
+    import tempfile
+
+    from .sinks.writers import read_cdc_state
+    from .streaming.events import foreach_batch_cdc_apply, read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    changes = stream.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+    workdir = tempfile.mkdtemp(prefix="q350_cdc_")
+    try:
+        path = f"{workdir}/state"
+        q = foreach_batch_cdc_apply(
+            spark, changes, path, pks=["user_id"],
+            checkpoint=f"{workdir}/ckpt",
+        )
+        q.awaitTermination()
+        out = read_cdc_state(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out.select(
+        "user_id", "seq", "last_event_type", "last_value", "last_ts"
+    )
+
+
+@_q(
+    "q351_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS query_label
+      FROM embeddings WHERE vec_id < 30
+    ), pairs AS (
+      SELECT q.query_id, q.query_label,
+        c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        list_sum(list_transform(list_zip(q.qe, c.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        list_sum(list_transform(q.qe,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+        list_sum(list_transform(c.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nc
+      FROM q JOIN embeddings c
+        ON c.vec_id <> q.query_id AND c.label <> q.query_label
+    ), ranked AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+             ROUND(CASE WHEN nq > 0 AND nc > 0
+                        THEN dot / (SQRT(nq) * SQRT(nc))
+                        ELSE 0.0 END, 9) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CASE WHEN nq > 0 AND nc > 0 THEN dot / (SQRT(nq) * SQRT(nc))
+                    ELSE 0.0 END DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q351_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): for each of 30
+    anchor embeddings, the 5 most-cosine-similar vectors with a
+    DIFFERENT label — the near-miss negatives contrastive/retrieval
+    training wants. Broadcast-bounded anchor set over the exact scan
+    (IVF probe swap at index scale, q260 contract)."""
+    from .operators.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = hard_negatives(
+        e, e.filter(F.col("vec_id") < 30), "embedding", "vec_id", "label", k=5
+    )
+    return out.select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        F.round("cos_sim", 9).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@_q(
+    "q352_fixed_width",
+    """
+    SELECT SUBSTRING(c_mktsegment, 1, 8) AS seg8,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key,
+           CAST(SUM(c_nationkey) AS BIGINT) AS nation_sum
+    FROM customer GROUP BY 1 ORDER BY 1
+    """,
+)
+def q352_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width flat-file connector roundtrip (sources/readers.
+    write_fixed_width / read_fixed_width): the customer table rendered
+    to COBOL-copybook-style fixed columns (c_mktsegment TRUNCATED to
+    its 8-byte field — the lossy convention the reader must surface,
+    not hide), read back by byte offsets, and aggregated; the oracle
+    computes the same truncation directly on the source table. The
+    parse is all JVM substring/trim/cast — no Python in the scan path.
+    """
+    import shutil
+    import tempfile
+
+    from .sources.readers import read_fixed_width, write_fixed_width
+
+    c = _t(spark, sf_dir, "customer")
+    workdir = tempfile.mkdtemp(prefix="q352_fw_")
+    try:
+        path = f"{workdir}/customer_fw"
+        write_fixed_width(
+            c,
+            path,
+            [("c_custkey", 12), ("c_nationkey", 4), ("c_mktsegment", 8)],
+        )
+        back = read_fixed_width(
+            spark,
+            path,
+            [
+                ("c_custkey", 12, "long"),
+                ("c_nationkey", 4, "long"),
+                ("seg8", 8, "string"),
+            ],
+        )
+        out = (
+            back.groupBy("seg8")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.min("c_custkey").cast("long").alias("min_key"),
+                F.max("c_custkey").cast("long").alias("max_key"),
+                F.sum("c_nationkey").cast("long").alias("nation_sum"),
+            )
+            .orderBy("seg8")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out.select("seg8", "n", "min_key", "max_key", "nation_sum")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -17088,6 +17743,10 @@ _PRIORITY = [
     "q337_product_quantize", "q338_bpe_merges", "q339_temporal_reach",
     "q340_markov_attribution", "q341_brier_decomposition",
     "q342_loo_influence", "q343_multiclass_f1",
+    "q344_hits", "q345_modularity", "q346_assortativity",
+    "q347_local_clustering", "q348_isotonic_calibration",
+    "q349_qini_uplift", "q350_cdc_tombstones", "q351_hard_negatives",
+    "q352_fixed_width",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",

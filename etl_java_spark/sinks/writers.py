@@ -388,3 +388,110 @@ def checked_columns(existing_cols: Iterable[str], incoming: DataFrame) -> None:
     missing = [c for c in existing_cols if c not in incoming.columns]
     if missing:
         raise ValueError(f"incoming frame missing destination columns: {missing}")
+
+
+def apply_cdc_dataframes(
+    state: DataFrame | None,
+    changes: DataFrame,
+    pks: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    deleted_col: str = "__deleted",
+) -> DataFrame:
+    """Merge a CDC change batch (I/U/D ops) into a state table with
+    SEQUENCE-CONDITIONED last-writer-wins and SOFT-DELETE tombstones —
+    the Debezium-style apply step that a plain upsert (merge_by_pk)
+    gets wrong twice over: a delete must remove the row, and an
+    out-of-order change (older ``seq`` arriving in a later batch) must
+    NOT regress the stored row or resurrect a deleted key.
+
+    Batch reduction first: the latest change per PK within ``changes``
+    (max_by over ``seq_col`` — ids, log offsets, commit timestamps).
+    Then a full-outer reconcile against ``state``: the side with the
+    HIGHER seq wins (incoming wins ties, making a retried batch
+    idempotent); a winning op of 'D'/'d'/'delete' marks the tombstone
+    flag rather than dropping the row, so the tombstone keeps absorbing
+    late stale updates. Readers filter ``NOT __deleted`` (see
+    read_cdc_state); tombstone GC past the late-data horizon is a
+    retention sweep, not this operator's job.
+
+    ``state`` None/empty means cold start. State schema = changes minus
+    ``op_col`` plus the boolean tombstone column. One key-hash shuffle
+    per batch; batching-order-robust by the seq condition (property-
+    tested under shuffled splits in tests/test_r7b_streaming.py).
+    """
+    pks = list(pks)
+    data_cols = [
+        c for c in changes.columns if c != op_col and c not in pks
+    ]
+    is_del = F.upper(F.col(op_col)).isin("D", "DELETE")
+    latest = (
+        changes.groupBy(*pks)
+        .agg(
+            F.max_by(
+                F.struct(*data_cols, is_del.alias(deleted_col)),
+                F.col(seq_col),
+            ).alias("__s")
+        )
+        .select(*pks, "__s.*")
+    )
+    if state is None:
+        return latest
+    new_side = F.struct(*data_cols, F.col(deleted_col))
+    incoming = latest.select(
+        *pks, new_side.alias("__new")
+    )
+    stored = state.select(
+        *[F.col(k).alias(f"__k_{k}") for k in pks],
+        F.struct(*data_cols, F.col(deleted_col)).alias("__old"),
+    )
+    cond = None
+    for k in pks:
+        t = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = t if cond is None else cond & t
+    joined = incoming.join(stored, cond, "full_outer")
+    winner = (
+        F.when(F.col("__new").isNull(), F.col("__old"))
+        .when(F.col("__old").isNull(), F.col("__new"))
+        .when(
+            F.col(f"__new.{seq_col}") >= F.col(f"__old.{seq_col}"),
+            F.col("__new"),
+        )
+        .otherwise(F.col("__old"))
+    )
+    keys = [
+        F.coalesce(F.col(k), F.col(f"__k_{k}")).alias(k) for k in pks
+    ]
+    return joined.select(*keys, winner.alias("__w")).select(*pks, "__w.*")
+
+
+def apply_cdc_by_pk(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    pks: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    fmt: str = "parquet",
+) -> None:
+    """Apply a CDC batch to the table at ``path`` (apply_cdc_dataframes
+    + read-modify-atomic-rewrite, merge_by_pk's storage discipline).
+    At warehouse scale the same reconcile runs partition-pruned or as a
+    native Delta MERGE with whenMatchedDelete — this keeps the parquet
+    emulation exact."""
+    pks = list(pks)
+    _check_idents(*pks)
+    try:
+        state = spark.read.format(fmt).load(path)
+    except Exception:
+        state = None
+    merged = apply_cdc_dataframes(state, changes, pks, op_col, seq_col)
+    merged_local = merged.localCheckpoint(eager=True)
+    merged_local.write.format(fmt).mode("overwrite").save(path)
+    spark.catalog.refreshByPath(path)
+
+
+def read_cdc_state(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Live rows of a CDC state table: tombstones filtered, flag dropped."""
+    df = spark.read.format(fmt).load(path)
+    return df.filter(~F.col("__deleted")).drop("__deleted")

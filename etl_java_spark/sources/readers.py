@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 STAR_TABLES = (
     "region",
@@ -249,3 +250,56 @@ def list_tables(spark: SparkSession) -> list[str]:
 def list_columns(spark: SparkSession, table: str) -> list[str]:
     """Reference #5 (ETLProcess.java:104-111,302-311): enumerate columns."""
     return [c.name for c in spark.catalog.listColumns(table)]
+
+
+def write_fixed_width(
+    df: DataFrame,
+    path: str,
+    colspecs: list[tuple[str, int]],
+) -> None:
+    """Fixed-width flat-file sink: each column rendered into its
+    ``width`` byte field — left-justified space-padded, TRUNCATED at
+    width (the mainframe/COBOL copybook convention legacy ETL feeds
+    speak; the reference's JDBC world ships such extracts nightly).
+    NULL renders as all spaces. All JVM-side (concat/rpad/substr); one
+    text file per partition — a plain distributed text write.
+
+    ``colspecs``: ordered (column, width) pairs.
+    """
+    line = F.concat(
+        *[
+            F.rpad(
+                F.substring(
+                    F.coalesce(F.col(c).cast("string"), F.lit("")), 1, w
+                ),
+                w,
+                " ",
+            )
+            for c, w in colspecs
+        ]
+    )
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, str]],
+) -> DataFrame:
+    """Fixed-width flat-file source: slice each line by byte offsets
+    and cast — the inverse of write_fixed_width. Empty (all-space)
+    fields read as NULL. ``colspecs``: ordered (column, width, type)
+    triples; offsets are cumulative. substring/trim/cast are all
+    whole-stage-codegen JVM expressions — the parse adds no Python to
+    the scan path, and column pruning still reaches the text scan.
+    """
+    raw = spark.read.text(path)
+    out = []
+    pos = 1
+    for name, width, typ in colspecs:
+        field = F.trim(F.substring(F.col("value"), pos, width))
+        out.append(
+            F.when(field == "", None).otherwise(field).cast(typ).alias(name)
+        )
+        pos += width
+    return raw.select(*out)

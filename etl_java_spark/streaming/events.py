@@ -267,3 +267,38 @@ def foreach_batch_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_cdc_apply(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    path: str,
+    pks: list[str],
+    checkpoint: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+):
+    """Streaming CDC-apply sink: per micro-batch, reconcile an I/U/D
+    changelog into the parquet state table (sinks/writers.
+    apply_cdc_by_pk) — last-writer-wins by ``seq_col``, soft-delete
+    tombstones, late/out-of-order changes absorbed by the seq condition
+    rather than regressing state. foreachBatch + checkpointed batch
+    tracking + the apply's retry idempotence (an incoming equal seq
+    rewrites the same row) is the exactly-once recipe; with Delta the
+    body becomes MERGE ... whenMatchedDelete. The final table is
+    identical however the source splits into micro-batches — the same
+    batching-order robustness contract as foreach_batch_merge's update
+    mode, here guaranteed by the per-key seq total order.
+    """
+    from ..sinks.writers import apply_cdc_by_pk
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_cdc_by_pk(spark, batch_df, path, pks, op_col, seq_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
