@@ -968,3 +968,96 @@ def winnow_dup_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Pairwise distribution distance between each pair of corpus
+    sources' unigram token distributions — the "are these slices the
+    same language/domain?" readout behind mixture design and drift
+    triage. Two EXACTLY-replayable metrics per pair (no logs — the
+    KL/JSD twin is one ln away but engine-dependent at the last ulp):
+
+        total variation  TV(p, q) = 1/2 SUM |p_t - q_t|
+        Hellinger        H(p, q)  = sqrt(1/2 SUM (sqrt(p_t)-sqrt(q_t))^2)
+
+    Both in [0, 1]; sqrt is IEEE-correctly-rounded, per-term doubles
+    are fixed expression trees, and the cross-term sums run through
+    decimal casts (order-independent) — bit-reproducible on any engine.
+
+    Relational shape: one token-explode scan -> (source, token, c)
+    counts + (source, n) totals; the pair grid is sources x sources
+    (metadata-sized — sources are domains, not rows); each pair's term
+    table is built by unioning the two sides' token sets (no full-outer
+    gymnastics) and left-joining both count columns, 0-coalesced.
+
+    Returns (source_a, source_b, n_terms, tv, hellinger) per unordered
+    pair.
+    """
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
+    )
+    tf = (
+        df.select(F.col(group_col).alias("g"), F.explode(toks).alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tf.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    srcs = tot.select(F.col("g").alias("a"))
+    pairs = srcs.crossJoin(tot.select(F.col("g").alias("b"))).filter(
+        F.col("a") < F.col("b")
+    )
+    grid = (
+        pairs.join(tf.select(F.col("g").alias("a"), "t"), "a")
+        .select("a", "b", "t")
+        .unionByName(
+            pairs.join(tf.select(F.col("g").alias("b"), "t"), "b").select(
+                "a", "b", "t"
+            )
+        )
+        .distinct()
+    )
+    ca = tf.select(F.col("g").alias("a"), "t", F.col("c").alias("ca"))
+    cb = tf.select(F.col("g").alias("b"), "t", F.col("c").alias("cb"))
+    na = tot.select(F.col("g").alias("a"), F.col("n").alias("na"))
+    nb = tot.select(F.col("g").alias("b"), F.col("n").alias("nb"))
+    terms = (
+        grid.join(ca, ["a", "t"], "left")
+        .join(cb, ["b", "t"], "left")
+        .join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a", "b",
+            (
+                F.coalesce("ca", F.lit(0)).cast("double")
+                / F.col("na").cast("double")
+            ).alias("p"),
+            (
+                F.coalesce("cb", F.lit(0)).cast("double")
+                / F.col("nb").cast("double")
+            ).alias("q"),
+        )
+    )
+    return terms.groupBy(
+        F.col("a").alias("source_a"), F.col("b").alias("source_b")
+    ).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        (
+            F.lit(0.5)
+            * F.sum(F.abs(F.col("p") - F.col("q")).cast("decimal(38,18)"))
+            .cast("double")
+        ).alias("tv"),
+        F.sqrt(
+            F.lit(0.5)
+            * F.sum(
+                (
+                    (F.sqrt("p") - F.sqrt("q"))
+                    * (F.sqrt("p") - F.sqrt("q"))
+                ).cast("decimal(38,18)")
+            ).cast("double")
+        ).alias("hellinger"),
+    )

@@ -530,3 +530,54 @@ def qini_table(
             * (F.col("__cnt").cast("double") / F.col("__cnc").cast("double")),
         ).alias("qini"),
     )
+
+
+def ips_policy_value(
+    df: DataFrame,
+    action_col,
+    reward_col,
+    target_col,
+    propensity_col,
+) -> DataFrame:
+    """Off-policy evaluation by inverse-propensity scoring: the value a
+    NEW deterministic policy would have earned, estimated from logged
+    RANDOMIZED decisions — "would the new targeting rule beat what we
+    shipped?" answered without an experiment (the logged bandit replay
+    that complements stratified_ipw's observational ATE).
+
+        IPS   = (1/n) SUM  y * 1[target == action] / propensity
+        SNIPS =        SUM  y * w / SUM w      (self-normalized —
+                 trades IPS's unbiasedness for much lower variance)
+
+    Requirements are the caller's contract: ``propensity_col`` is the
+    TRUE logging probability of the logged action (> 0 wherever the
+    target policy acts — else the estimate is undefined and those rows
+    raise via ANSI division rather than silently skew).
+
+    One scan, one aggregate: per-row weights are single double
+    divisions, sums run through decimal casts. Returns one row:
+    (n, n_matched, logged_value, ips_value, snips_value).
+    """
+    a = F.col(action_col) if isinstance(action_col, str) else action_col
+    y = (F.col(reward_col) if isinstance(reward_col, str)
+         else reward_col).cast("double")
+    t = F.col(target_col) if isinstance(target_col, str) else target_col
+    p = (F.col(propensity_col) if isinstance(propensity_col, str)
+         else propensity_col).cast("double")
+    match = t.eqNullSafe(a)
+    w = F.when(match, F.lit(1.0) / p).otherwise(F.lit(0.0))
+    agg = df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(match.cast("int")).cast("long").alias("n_matched"),
+        F.sum(y.cast("decimal(38,6)")).cast("double").alias("__sy"),
+        F.sum((y * w).cast("decimal(38,18)")).cast("double").alias("__syw"),
+        F.sum(w.cast("decimal(38,18)")).cast("double").alias("__sw"),
+    )
+    return agg.select(
+        "n", "n_matched",
+        (F.col("__sy") / F.col("n").cast("double")).alias("logged_value"),
+        (F.col("__syw") / F.col("n").cast("double")).alias("ips_value"),
+        F.when(
+            F.col("__sw") > 0.0, F.col("__syw") / F.col("__sw")
+        ).alias("snips_value"),
+    )

@@ -328,3 +328,60 @@ def bloom_probe(
     ]
     out = out.withColumn("bloom_member", member)
     return out.drop(*drop)
+
+
+def misra_gries_summary(
+    df: DataFrame,
+    key_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Misra-Gries heavy-hitter summary — the third mergeable frequency
+    sketch alongside CMS (over-estimates, random) and Bloom
+    (membership): k counters per partition, DETERMINISTIC one-sided
+    bounds with no hash functions at all:
+
+        est(key) <= true(key) <= est(key) + n/(k+1)
+
+    so any key with true frequency > n/(k+1) is GUARANTEED present in
+    the summary — the contract a "top sellers" / hot-key / skew-probe
+    readout can be audited against, which a sampled top-k cannot.
+
+    Distributed shape: each partition runs the batched MG reduction in
+    bounded memory (a k-entry dict inside an Arrow-batched mapInPandas
+    generator — state carries across batches within the partition),
+    emitting <= k (key, est) rows; the global summary is one metadata-
+    sized SUM per key (<= k * n_partitions rows). Summing per-partition
+    underestimates keeps est <= true, and the per-partition decrements
+    total <= n_p/(k+1), so the global error bound is the sum = n/(k+1).
+    Per-partition estimates depend on the partitioning — only the
+    BOUNDS are deterministic, which is what callers must consume (the
+    q60/q135 sketch-family oracle pattern).
+
+    Returns (key, est) — the merged summary, NOT truncated to k, so
+    the caller applies its own threshold against the bound.
+    """
+    import pandas as pd
+
+    key_t = dict(df.dtypes)[key_col]
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest from everyone, drop <= 0
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: v - sub for key, v in counters.items() if v > sub
+                }
+        yield pd.DataFrame(
+            {key_col: list(counters.keys()), "est": list(counters.values())}
+        )
+
+    per_part = df.select(key_col).mapInPandas(
+        mg, schema=f"{key_col} {key_t}, est long"
+    )
+    return per_part.groupBy(key_col).agg(
+        F.sum("est").cast("long").alias("est")
+    )

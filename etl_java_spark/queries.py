@@ -17690,6 +17690,186 @@ def q352_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("seg8", "n", "min_key", "max_key", "nation_sum")
 
 
+@_q(
+    "q353_misra_gries",
+    """
+    WITH keyed AS (
+      SELECT CASE l_orderkey % 8
+               WHEN 0 THEN 100 WHEN 1 THEN 101 WHEN 2 THEN 102
+               ELSE 200 + l_orderkey % 1000 END AS key
+      FROM lineitem
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM keyed
+    ), ex AS (
+      SELECT key, COUNT(*) AS c FROM keyed GROUP BY key
+    )
+    SELECT CAST(key AS BIGINT) AS key, CAST(c AS BIGINT) AS exact_freq,
+           TRUE AS caught, TRUE AS within_bound
+    FROM ex CROSS JOIN tot WHERE c * 17 > n ORDER BY key
+    """,
+)
+def q353_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (sketch.misra_gries_summary, k=16)
+    over a deliberately skewed key (three keys own 12.5% of rows each)
+    — completing the mergeable-sketch family with the DETERMINISTIC-
+    bound frequency summary: any key above n/(k+1) is guaranteed
+    caught, with est <= true <= est + n/(k+1). Per-partition estimates
+    depend on partitioning, so the output is the guaranteed-caught set
+    with its bound booleans (integer arithmetic, partition-independent)
+    — the q60/q135 sketch-oracle pattern."""
+    from .operators.sketch import misra_gries_summary
+
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.when(F.col("l_orderkey") % 8 == 0, F.lit(100))
+        .when(F.col("l_orderkey") % 8 == 1, F.lit(101))
+        .when(F.col("l_orderkey") % 8 == 2, F.lit(102))
+        .otherwise(F.lit(200) + F.col("l_orderkey") % 1000)
+        .cast("long")
+        .alias("key")
+    )
+    mg = misra_gries_summary(keyed, "key", k=16)
+    exact = keyed.groupBy("key").agg(F.count("*").cast("long").alias("exact_freq"))
+    n = keyed.agg(F.count("*").alias("n"))
+    return (
+        exact.crossJoin(F.broadcast(n))
+        .filter(F.col("exact_freq") * 17 > F.col("n"))
+        .join(mg, "key", "left")
+        .select(
+            "key",
+            "exact_freq",
+            F.col("est").isNotNull().alias("caught"),
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_freq"))
+                & ((F.col("exact_freq") - F.col("est")) * 17 <= F.col("n"))
+            ).alias("within_bound"),
+        )
+        .orderBy("key")
+    )
+
+
+@_q(
+    "q354_source_divergence",
+    f"""
+    WITH tf AS (
+      SELECT source AS g, t.t AS t, COUNT(*) AS c
+      FROM (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+           UNNEST(toks) AS t(t)
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY g
+    ), pairs AS (
+      SELECT a.g AS a, b.g AS b FROM tot a JOIN tot b ON a.g < b.g
+    ), grid AS (
+      SELECT DISTINCT p.a, p.b, tf.t FROM pairs p JOIN tf ON tf.g = p.a
+      UNION
+      SELECT DISTINCT p.a, p.b, tf.t FROM pairs p JOIN tf ON tf.g = p.b
+    ), terms AS (
+      SELECT g.a, g.b,
+             CAST(COALESCE(ca.c, 0) AS DOUBLE) / CAST(na.n AS DOUBLE) AS p,
+             CAST(COALESCE(cb.c, 0) AS DOUBLE) / CAST(nb.n AS DOUBLE) AS q
+      FROM grid g
+      LEFT JOIN tf ca ON ca.g = g.a AND ca.t = g.t
+      LEFT JOIN tf cb ON cb.g = g.b AND cb.t = g.t
+      JOIN tot na ON na.g = g.a
+      JOIN tot nb ON nb.g = g.b
+    )
+    SELECT a AS source_a, b AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(0.5 * CAST(SUM(CAST(ABS(p - q) AS DECIMAL(38,18)))
+                            AS DOUBLE), 12) AS tv,
+           ROUND(SQRT(0.5 * CAST(SUM(CAST(
+                   (SQRT(p) - SQRT(q)) * (SQRT(p) - SQRT(q))
+                 AS DECIMAL(38,18))) AS DOUBLE)), 12) AS hellinger
+    FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q354_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise unigram-distribution distance between document sources
+    (corpus.source_divergence): total variation + Hellinger per source
+    pair — the mixture-design / drift readout, in the two metrics that
+    replay bitwise (sqrt is IEEE-exact; the KL/JSD twin is one
+    engine-dependent ln away). One token-explode scan; the pair grid
+    is metadata-sized (sources are domains, not rows)."""
+    from .operators.corpus import source_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    out = source_divergence(d, "text", "source")
+    return out.select(
+        "source_a", "source_b", "n_terms",
+        F.round("tv", 12).alias("tv"),
+        F.round("hellinger", 12).alias("hellinger"),
+    ).orderBy("source_a", "source_b")
+
+
+def _q355_oracle() -> str:
+    from .operators.sampling import key_bucket_sql
+
+    act = f"CAST({key_bucket_sql('c_custkey', 10000)} % 2 AS INT)"
+    return f"""
+    WITH resp AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS y
+      FROM orders GROUP BY 1
+    ), units AS (
+      SELECT c_custkey AS id, {act} AS action,
+             CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS target,
+             COALESCE(resp.y, 0) AS y
+      FROM customer LEFT JOIN resp ON o_custkey = c_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN action = target THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 12) AS logged_value,
+           ROUND(CAST(SUM(CAST(CASE WHEN action = target THEN y * 2.0
+                                    ELSE 0.0 END AS DECIMAL(38,18)))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 12) AS ips_value,
+           ROUND(CAST(SUM(CAST(CASE WHEN action = target THEN y * 2.0
+                                    ELSE 0.0 END AS DECIMAL(38,18)))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(CASE WHEN action = target THEN 2.0
+                                      ELSE 0.0 END AS DECIMAL(38,18)))
+                        AS DOUBLE), 12) AS snips_value
+    FROM units
+    """
+
+
+@_q("q355_ips_replay", None)
+def q355_ips_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy replay evaluation (experiments.ips_policy_value):
+    logged 50/50 hash-randomized action (ab_assign, propensity 0.5
+    exact), reward = placed an URGENT order; target policy = "act on
+    high-balance customers". IPS + self-normalized SNIPS from one
+    aggregate — the counterfactual "would the new rule beat shipped?"
+    readout, no experiment needed."""
+    from .operators.experiments import ab_assign, ips_policy_value
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    resp = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("y")
+    )
+    units = c.join(resp, c.c_custkey == resp.o_custkey, "left").select(
+        ab_assign("c_custkey").cast("int").alias("action"),
+        (F.col("c_acctbal") > 5000).cast("int").alias("target"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+        F.lit(0.5).alias("prop"),
+    )
+    out = ips_policy_value(units, "action", "y", "target", "prop")
+    return out.select(
+        "n", "n_matched",
+        F.round("logged_value", 12).alias("logged_value"),
+        F.round("ips_value", 12).alias("ips_value"),
+        F.round("snips_value", 12).alias("snips_value"),
+    )
+
+
+ORACLES["q355_ips_replay"] = _q355_oracle()
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -17746,7 +17926,8 @@ _PRIORITY = [
     "q344_hits", "q345_modularity", "q346_assortativity",
     "q347_local_clustering", "q348_isotonic_calibration",
     "q349_qini_uplift", "q350_cdc_tombstones", "q351_hard_negatives",
-    "q352_fixed_width",
+    "q352_fixed_width", "q353_misra_gries", "q354_source_divergence",
+    "q355_ips_replay",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",
