@@ -552,20 +552,24 @@ def hits(
     )
     hub = nodes.withColumn("h", F.lit(1.0))
     auth = None
-    for _ in range(iterations):
+    for it in range(iterations):
         auth = (
             e.join(hub, e.e_src == hub.node)
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.col("h").cast("decimal(38,6)")).cast("double").alias("a"))
         )
-        auth = ckpt(auth)
+        if it == iterations - 1:
+            # the FINAL auth is read twice (total + output join); the
+            # intermediate ones feed exactly one hub join — no ckpt
+            auth = ckpt(auth)
         hub = (
             e.join(auth, e.e_dst == auth.node)
             .groupBy(F.col("e_src").alias("node"))
             .agg(F.sum(F.col("a").cast("decimal(38,6)")).cast("double").alias("h"))
         )
-        # Per-round materialization: AQE re-plans each round against the
-        # real vector size; lineage stays O(1) (pagerank discipline).
+        # Per-round materialization of the recurrence carrier: AQE
+        # re-plans each round against the real vector size; lineage
+        # stays O(1) (pagerank discipline).
         hub = ckpt(hub)
     h_tot = hub.agg(
         F.sum(F.col("h").cast("decimal(38,6)")).cast("double").alias("ht")

@@ -17613,11 +17613,14 @@ def q350_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q351_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining (similarity.hard_negatives): for each of 30
-    anchor embeddings, the 5 most-cosine-similar vectors with a
-    DIFFERENT label — the near-miss negatives contrastive/retrieval
-    training wants. Broadcast-bounded anchor set over the exact scan
-    (IVF probe swap at index scale, q260 contract)."""
+    """Hard-negative mining via the reusable operator
+    (similarity.hard_negatives): for each of 30 anchor embeddings, the
+    5 most-cosine-similar vectors with a DIFFERENT label — the
+    near-miss negatives contrastive/retrieval training wants.
+    Generalizes q237's inline 5-anchor demo into the parameterized
+    operator surface (labels carried in the output for curation
+    joins); broadcast-bounded anchor set over the exact scan, IVF
+    probe swap at index scale (q260 contract)."""
     from .operators.similarity import hard_negatives
 
     e = _t(spark, sf_dir, "embeddings")

@@ -43,7 +43,15 @@ def _ts_stored_as_long(dir_path: str, glob_pat: str) -> bool:
     matches = sorted(_glob.glob(os.path.join(dir_path, glob_pat)))
     if not matches:
         return False
-    field = pq.ParquetFile(matches[0]).schema_arrow.field("ts")
+    probe = matches[0]
+    if os.path.isdir(probe):
+        # Spark-written "file": a directory of part files (the normal
+        # production layout). Footer-peek one part instead.
+        parts = sorted(_glob.glob(os.path.join(probe, "*.parquet")))
+        if not parts:
+            return False
+        probe = parts[0]
+    field = pq.ParquetFile(probe).schema_arrow.field("ts")
     return pa.types.is_int64(field.type)
 
 
