@@ -1232,3 +1232,56 @@ def sliding_distinct_hll(
         "n_exact",
         (F.abs(F.col("__est") - F.col("n_exact")) <= tol).alias("approx_ok"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 7,
+) -> DataFrame:
+    """Rolling Pearson correlation of two ALIGNED series over a
+    trailing ``window_rows`` frame — the co-movement monitor behind
+    pair dashboards ("are clicks still driving purchases this week?"),
+    regime-change triage, and feature drift.
+
+    Input contract: one row per tick with both series' values (the
+    ALREADY-AGGREGATED calendar table — build it with a grouped daily
+    aggregate first). The single ordered window is therefore bounded
+    by calendar span, not event volume — the post-aggregate
+    global-window contract shared by the trend/ACF family.
+
+    Moments inside the frame are decimal-exact sums of 2-dp inputs;
+    the correlation is a fixed double expression (sqrt is IEEE-exact),
+    NULL until the frame is full (n < window_rows) or when either
+    series is constant within the frame (zero variance — reported as
+    NULL, not a division error).
+
+    Returns (time, x, y, corr).
+    """
+    w = (
+        Window.orderBy(time_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    x = F.col(x_col).cast("decimal(28,6)")
+    y = F.col(y_col).cast("decimal(28,6)")
+    dd = lambda c: F.sum(c).over(w).cast("double")  # noqa: E731
+    n = F.count(time_col).over(w).cast("double")
+    sx, sy = dd(x), dd(y)
+    sxx = dd((x * x).cast("decimal(38,12)"))
+    syy = dd((y * y).cast("decimal(38,12)"))
+    sxy = dd((x * y).cast("decimal(38,12)"))
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (n >= float(window_rows)) & (vx > 0.0) & (vy > 0.0),
+        cov / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return df.select(
+        F.col(time_col),
+        F.col(x_col),
+        F.col(y_col),
+        corr.alias("corr"),
+    )

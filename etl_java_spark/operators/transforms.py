@@ -196,3 +196,109 @@ def assign_global_ids(
         .withColumn(id_col, (F.col("__offset") + F.row_number().over(w)).cast("long"))
         .drop("__bucket", "__offset")
     )
+
+
+def prorate_integer(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    total: int,
+    id_col: str,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) integer allocation: split an
+    integer ``total`` across each group's rows proportionally to
+    ``weight_col`` so the per-row allocations are INTEGERS that sum to
+    EXACTLY ``total`` per group — the budget-spread / seat-apportion /
+    cost-allocation transform where naive round(total * w/W) silently
+    over- or under-allocates and reconciliation fails by pennies.
+
+        base_i  = floor(total * w_i / W)
+        rem_i   = (total * w_i) mod W
+        deficit = total - SUM(base_i)  ( = SUM(rem_i) / W, an integer)
+
+    the ``deficit`` rows with the largest remainders get +1, ties
+    broken by ``id_col`` ascending — fully deterministic, pure 64-bit
+    integer arithmetic, SQL-replayable. Overflow contract: total * w_i
+    must fit int64 (guard your units; at warehouse scale allocate in
+    cents-of-thousands, not atoms).
+
+    A group whose weight sum W is 0 (or with NULL weights only)
+    allocates 0 to every row — documented degenerate case, no division
+    error. One window per group (rows-per-group-bounded, the
+    cost-allocation contract: groups are orgs/regions, not events).
+
+    Returns the input plus ``alloc`` (long).
+    """
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    gw = Window.partitionBy(*group_cols)
+    tot_w = F.sum(w).over(gw)
+    prod = F.lit(total) * w
+    # exact integer floor-div for any int64: (a - a%b) is an exact
+    # multiple of b, and decimal/decimal division of exact multiples
+    # has no rounding (a bare double division would drift past 2^53)
+    exact_div = (
+        (prod - prod % tot_w).cast("decimal(38,0)")
+        / tot_w.cast("decimal(38,0)")
+    ).cast("long")
+    base = F.when(tot_w > 0, exact_div).otherwise(F.lit(0))
+    rem = F.when(tot_w > 0, prod % tot_w).otherwise(F.lit(0))
+    staged = df.withColumn("__base", base).withColumn("__rem", rem)
+    deficit = F.lit(total) - F.sum("__base").over(gw)
+    rk = F.row_number().over(
+        Window.partitionBy(*group_cols).orderBy(
+            F.col("__rem").desc(), F.col(id_col).asc()
+        )
+    )
+    out = staged.withColumn("__deficit", deficit).withColumn("__rk", rk)
+    # all-zero-weight group: deficit equals total but nothing to give —
+    # keep alloc 0 (the documented degenerate case; NULL weights count 0)
+    zero_grp = tot_w <= 0
+    alloc = F.when(zero_grp, F.lit(0)).otherwise(
+        F.col("__base")
+        + F.when(F.col("__rk") <= F.col("__deficit"), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    )
+    return out.withColumn("alloc", alloc.cast("long")).drop(
+        "__base", "__rem", "__deficit", "__rk"
+    )
+
+
+#: Modulus of the bijective pseudonym permutation (prime).
+PSEUDONYM_P = 1_000_000_007
+
+
+def pseudonymize_key(key, salt: int = 0) -> Column:
+    """Format-preserving, referentially-consistent pseudonymization of
+    a non-negative int64 key: a BIJECTIVE permutation of [0, p)
+    (p = 1e9+7 prime; the multipliers are coprime with p), so distinct
+    keys NEVER collide and every foreign-key join still lands — the
+    GDPR-pipeline masking transform where a truncating hash would
+    silently merge customers. Same arithmetic family as
+    sampling.key_bucket, replayable in any SQL engine:
+
+        pseudo = ((key + salt) % p) * 2654435761 % p * 524287 % p
+
+    NOT cryptographic: it hides casual identity (ids no longer sort by
+    signup order, no format leak), but an adversary with the formula
+    inverts it — for hostile-party releases swap in keyed FPE; the
+    relational plumbing (bijectivity, FK consistency) is what this
+    operator contracts. Keys must already be < p (ids, surrogate
+    keys); larger keys alias by the initial mod and lose bijectivity.
+    """
+    k = (F.col(key) if isinstance(key, str) else key).cast("long")
+    return (
+        ((k + F.lit(salt)) % PSEUDONYM_P)
+        * F.lit(2654435761).cast("long")
+        % PSEUDONYM_P
+        * 524287
+        % PSEUDONYM_P
+    )
+
+
+def pseudonymize_key_sql(key: str, salt: int = 0) -> str:
+    """DuckDB twin of :func:`pseudonymize_key` (keep in lockstep)."""
+    return (
+        f"((({key} + {salt}) % 1000000007) * 2654435761 % 1000000007 "
+        f"* 524287) % 1000000007"
+    )

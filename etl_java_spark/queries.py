@@ -17873,6 +17873,237 @@ def q355_ips_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q355_ips_replay"] = _q355_oracle()
 
 
+@_q(
+    "q356_prorate",
+    """
+    WITH w AS (
+      SELECT r_name, n_name,
+             CAST(COUNT(c_custkey) AS BIGINT) AS n_cust
+      FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      LEFT JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY r_name, n_name
+    ), t AS (
+      SELECT *, SUM(n_cust) OVER (PARTITION BY r_name) AS tw FROM w
+    ), s AS (
+      SELECT r_name, n_name, n_cust, tw,
+             CASE WHEN tw > 0 THEN (10000 * n_cust) // tw ELSE 0 END AS base,
+             CASE WHEN tw > 0 THEN (10000 * n_cust) % tw ELSE 0 END AS rem
+      FROM t
+    ), r AS (
+      SELECT *,
+             10000 - SUM(base) OVER (PARTITION BY r_name) AS deficit,
+             ROW_NUMBER() OVER (PARTITION BY r_name
+                                ORDER BY rem DESC, n_name ASC) AS rk
+      FROM s
+    )
+    SELECT r_name, n_name, n_cust,
+           CAST(CASE WHEN tw <= 0 THEN 0
+                ELSE base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END END
+                AS BIGINT) AS alloc
+    FROM r ORDER BY r_name, n_name
+    """,
+)
+def q356_prorate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder integer proration (transforms.prorate_integer):
+    a 10000-unit budget per region split across its nations by customer
+    count — integral allocations that sum to EXACTLY 10000 per region
+    (naive rounding drifts by pennies and reconciliation fails). Pure
+    int64 arithmetic + one exact decimal division, replayed verbatim
+    by the oracle; nations with zero customers allocate 0."""
+    from .operators.transforms import prorate_integer
+
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    w = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("r_name", "n_name")
+        .agg(F.count("c_custkey").cast("long").alias("n_cust"))
+    )
+    out = prorate_integer(w, ["r_name"], "n_cust", 10000, "n_name")
+    return out.select("r_name", "n_name", "n_cust", "alloc").orderBy(
+        "r_name", "n_name"
+    )
+
+
+def _q357_oracle() -> str:
+    from .operators.transforms import pseudonymize_key_sql
+
+    pc = pseudonymize_key_sql("c_custkey", 42)
+    po = pseudonymize_key_sql("o_custkey", 42)
+    return f"""
+    WITH pcust AS (
+      SELECT {pc} AS pid, c_mktsegment FROM customer
+    ), pord AS (
+      SELECT {po} AS pid FROM orders
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT pc.pid) AS BIGINT) AS n_customers,
+           CAST(MIN(pc.pid) AS BIGINT) AS min_pseudonym,
+           CAST(MAX(pc.pid) AS BIGINT) AS max_pseudonym
+    FROM pcust pc JOIN pord po ON po.pid = pc.pid
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+@_q("q357_pseudonymize", None)
+def q357_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referentially-consistent pseudonymization (transforms.
+    pseudonymize_key): customer and order keys independently mapped
+    through the BIJECTIVE mod-p permutation (zero collisions by
+    construction — a truncating hash would merge customers), then
+    joined ON THE PSEUDONYMS — per-segment order counts match the
+    plaintext join exactly, proving FK consistency survives masking.
+    The oracle replays the permutation arithmetic."""
+    from .operators.transforms import pseudonymize_key
+
+    c = _t(spark, sf_dir, "customer").select(
+        pseudonymize_key("c_custkey", 42).alias("pid"), "c_mktsegment"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        pseudonymize_key("o_custkey", 42).alias("pid")
+    )
+    return (
+        o.join(c, "pid")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.countDistinct("pid").cast("long").alias("n_customers"),
+            F.min("pid").cast("long").alias("min_pseudonym"),
+            F.max("pid").cast("long").alias("max_pseudonym"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLES["q357_pseudonymize"] = _q357_oracle()
+
+
+@_q(
+    "q358_inferred_members",
+    """
+    WITH dim AS (
+      SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 50 <> 0
+    ), miss AS (
+      SELECT DISTINCT l.l_suppkey AS s_suppkey
+      FROM lineitem l LEFT JOIN dim d ON d.s_suppkey = l.l_suppkey
+      WHERE d.s_suppkey IS NULL
+    ), unioned AS (
+      SELECT s_suppkey, s_name, FALSE AS inferred FROM dim
+      UNION ALL
+      SELECT s_suppkey, 'Unknown', TRUE FROM miss
+    )
+    SELECT inferred, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN s_name = 'Unknown' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unknown_name,
+           CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
+           CAST(MAX(s_suppkey) AS BIGINT) AS max_key
+    FROM unioned GROUP BY inferred ORDER BY inferred
+    """,
+)
+def q358_inferred_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handling (sinks/writers.
+    inferred_dim_members): a supplier feed missing every 50th key gets
+    Kimball placeholder rows inferred from the lineitem fact — joins
+    land, placeholders carry 'Unknown' + the __inferred audit flag,
+    and the real row later overwrites via merge_by_pk on the same key.
+    One fact-key distinct + one broadcast anti-join; the fact is never
+    rewritten."""
+    from .sinks.writers import inferred_dim_members
+
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 50 != 0)
+        .select("s_suppkey", "s_name")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dim = inferred_dim_members(
+        sup, li, "s_suppkey", "l_suppkey", defaults={"s_name": "Unknown"}
+    )
+    return (
+        dim.groupBy(F.col("__inferred").alias("inferred"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("s_name") == "Unknown").cast("int"))
+            .cast("long")
+            .alias("n_unknown_name"),
+            F.min("s_suppkey").cast("long").alias("min_key"),
+            F.max("s_suppkey").cast("long").alias("max_key"),
+        )
+        .orderBy("inferred")
+    )
+
+
+@_q(
+    "q359_rolling_corr",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(ROUND(value, 6) AS DECIMAL(28,6))
+                  ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value, 6) AS DECIMAL(28,6))
+                  ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ), rolled AS (
+      SELECT day, x, y,
+        COUNT(*) OVER w AS n,
+        CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sy,
+        CAST(SUM(CAST(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))
+             AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+             AS DECIMAL(38,12))) OVER w AS DOUBLE) AS syy,
+        CAST(SUM(CAST(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+             AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, x, y,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 12) AS corr
+    FROM rolled
+    WHERE n >= 7
+      AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+      AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+    ORDER BY day
+    """,
+)
+def q359_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation (timeseries.rolling_corr)
+    between daily click value and purchase value — the co-movement
+    monitor. The daily pivot is the data-sized pass; the single
+    ordered window runs over the calendar-bounded series (the
+    trend/ACF-family contract). Decimal-exact frame moments; NULL
+    (filtered) until the frame fills or when variance is zero."""
+    from .operators.timeseries import rolling_corr
+
+    ev = _t(spark, sf_dir, "events")
+    v6 = F.round(F.col("value"), 6).cast("decimal(28,6)")
+    zero = F.lit(0).cast("decimal(28,6)")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", v6).otherwise(zero))
+        .cast("double")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", v6).otherwise(zero))
+        .cast("double")
+        .alias("y"),
+    )
+    out = rolling_corr(daily, "day", "x", "y", window_rows=7)
+    return (
+        out.filter(F.col("corr").isNotNull())
+        .select("day", "x", "y", F.round("corr", 12).alias("corr"))
+        .orderBy("day")
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -17930,7 +18161,8 @@ _PRIORITY = [
     "q347_local_clustering", "q348_isotonic_calibration",
     "q349_qini_uplift", "q350_cdc_tombstones", "q351_hard_negatives",
     "q352_fixed_width", "q353_misra_gries", "q354_source_divergence",
-    "q355_ips_replay",
+    "q355_ips_replay", "q356_prorate", "q357_pseudonymize",
+    "q358_inferred_members", "q359_rolling_corr",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",

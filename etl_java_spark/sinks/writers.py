@@ -495,3 +495,49 @@ def read_cdc_state(spark: SparkSession, path: str, fmt: str = "parquet") -> Data
     """Live rows of a CDC state table: tombstones filtered, flag dropped."""
     df = spark.read.format(fmt).load(path)
     return df.filter(~F.col("__deleted")).drop("__deleted")
+
+
+def inferred_dim_members(
+    dim: DataFrame,
+    fact: DataFrame,
+    dim_key: str,
+    fact_key: str,
+    defaults: Mapping[str, object] | None = None,
+) -> DataFrame:
+    """Late-arriving-dimension handling (Kimball "inferred members"):
+    fact rows sometimes reference dimension keys the dim feed hasn't
+    delivered yet (out-of-order sources, cross-system lag). Dropping
+    them loses facts; failing the load blocks the warehouse. The
+    standard fix is to INSERT a placeholder dim row per unknown key —
+    joins land, reports show 'Unknown', and the real attributes
+    overwrite the placeholder when the late dim row finally arrives
+    (merge_by_pk on the same key does exactly that).
+
+    Returns ``dim`` plus one placeholder row per DISTINCT fact key
+    absent from the dim: key column set, every other column NULL
+    unless given in ``defaults`` (literal values, e.g. name='Unknown'),
+    and an ``__inferred`` boolean marking placeholders (existing rows
+    read false) so downstream can audit/backfill them.
+
+    Scale: one distinct on the fact's key column + one anti-join
+    against the dim (broadcast — dims are small by definition). The
+    fact is never rewritten.
+    """
+    defaults = dict(defaults or {})
+    missing = (
+        fact.select(F.col(fact_key).alias(dim_key))
+        .distinct()
+        .join(dim.select(dim_key), dim_key, "left_anti")
+    )
+    cols = []
+    for c in dim.columns:
+        if c == dim_key:
+            cols.append(F.col(dim_key))
+        elif c in defaults:
+            cols.append(F.lit(defaults[c]).cast(dict(dim.dtypes)[c]).alias(c))
+        else:
+            cols.append(F.lit(None).cast(dict(dim.dtypes)[c]).alias(c))
+    placeholders = missing.select(*cols).withColumn(
+        "__inferred", F.lit(True)
+    )
+    return dim.withColumn("__inferred", F.lit(False)).unionByName(placeholders)
