@@ -630,3 +630,99 @@ def fallback_join(
         *[pick(v) for v in value_cols],
         level.cast("long").alias("matched_level"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    minimize_x: bool = True,
+    maximize_y: bool = True,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the rows NOT dominated by any
+    other row — dominance = at-least-as-good on both objectives and
+    strictly better on one (defaults: minimize x, maximize y — the
+    price/quality tradeoff readout behind vendor selection, config
+    tuning, offer design).
+
+    Sort-based, not the O(n^2) dominance self-join: order by
+    (x "better" first, then y "better" first); a row survives iff its
+    y STRICTLY beats the running best y over all rows sorted before
+    it. Ties on both coordinates: all co-located optimal rows survive
+    (handled by comparing against the PREVIOUS-x running best, so a
+    duplicate point doesn't eliminate its twin). One ordered window;
+    at warehouse scale pre-shrink per x-bucket first (keep each
+    bucket's best y — map-side, then the global pass runs over bucket
+    winners: the two-phase discipline).
+
+    Returns the frontier rows (original columns), sorted by x.
+    """
+    sx = F.col(x_col).asc() if minimize_x else F.col(x_col).desc()
+    ybetter = (lambda a, b: a > b) if maximize_y else (lambda a, b: a < b)
+    # strictly-better-x running best: exclude SAME-x rows from the
+    # comparison so equal points can co-survive — track the best y over
+    # rows with strictly better x via a per-x-group pre-aggregate
+    gx = df.groupBy(x_col).agg(
+        (F.max(y_col) if maximize_y else F.min(y_col)).alias("__gy")
+    )
+    w_x = (
+        Window.orderBy(sx).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gbest = gx.withColumn(
+        "__best_before",
+        F.max("__gy").over(w_x) if maximize_y else F.min("__gy").over(w_x),
+    )
+    joined = df.join(gbest.select(x_col, "__gy", "__best_before"), x_col)
+    survives = (
+        F.col("__best_before").isNull()
+        | ybetter(F.col(y_col), F.col("__best_before"))
+    ) & (F.col(y_col) == F.col("__gy"))
+    return (
+        joined.filter(survives)
+        .drop("__gy", "__best_before")
+        .orderBy(F.col(x_col).asc() if minimize_x else F.col(x_col).desc(),
+                 F.col(id_col).asc())
+    )
+
+
+def topn_with_other(
+    df: DataFrame,
+    key_col: str,
+    measure,
+    n: int = 10,
+    other_label: str = "OTHER",
+) -> DataFrame:
+    """Top-N groups by a measure plus one consolidated ``OTHER`` row —
+    the cardinality-capped report table every dashboard wants (a
+    10,000-brand legend is unreadable; dropping the tail misstates the
+    total). Ranking ties break by key ascending for determinism.
+
+    Two map-side-combinable aggregations (per-key, then the OTHER
+    consolidation); the rank window runs over the already-aggregated
+    key table (bounded by key cardinality — the post-aggregate window
+    contract). Total mass is conserved exactly: SUM(measure) over the
+    output equals the input (decimal aggregation).
+
+    Returns (key, measure, rank) with OTHER ranked n+1 (absent when
+    the key cardinality is <= n).
+    """
+    m = measure if isinstance(measure, Column) else F.col(measure)
+    per = df.groupBy(F.col(key_col).alias("key")).agg(m.alias("measure"))
+    w = Window.orderBy(F.col("measure").desc(), F.col("key").asc())
+    ranked = per.withColumn("rank", F.row_number().over(w))
+    top = ranked.filter(F.col("rank") <= n)
+    other = (
+        ranked.filter(F.col("rank") > n)
+        .agg(F.sum(F.col("measure").cast("decimal(38,6)")).alias("__s"),
+             F.count("*").alias("__c"))
+        .filter(F.col("__c") > 0)
+        .select(
+            F.lit(other_label).alias("key"),
+            F.col("__s").cast(dict(top.dtypes)["measure"]).alias("measure"),
+            F.lit(n + 1).alias("rank"),
+        )
+    )
+    return top.select("key", "measure", F.col("rank").cast("long")).unionByName(
+        other.select("key", "measure", F.col("rank").cast("long"))
+    )

@@ -18104,6 +18104,89 @@ def q359_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q360_pareto_frontier",
+    """
+    SELECT a.p_partkey, a.p_retailprice, CAST(a.p_size AS BIGINT) AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY a.p_retailprice, a.p_partkey
+    """,
+)
+def q360_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (relational.pareto_frontier_2d): the parts
+    no other part beats on BOTH price (min) and size (max) — the
+    skyline/vendor-shortlist readout. Sort-based running-best pass
+    (one ordered window over per-x group winners), NOT the O(n^2)
+    dominance join; the oracle recomputes with the brute-force
+    NOT-EXISTS dominance test — an independent algorithm confirming
+    the frontier exactly, co-located duplicate points included."""
+    from .operators.relational import pareto_frontier_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    out = pareto_frontier_2d(
+        p, "p_retailprice", "p_size", "p_partkey",
+        minimize_x=True, maximize_y=True,
+    )
+    return out.select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("long")
+    ).orderBy("p_retailprice", "p_partkey")
+
+
+@_q(
+    "q361_topn_other",
+    """
+    WITH per AS (
+      SELECT p_brand AS key,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(38,6))) AS m
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1
+    ), ranked AS (
+      SELECT key, m, ROW_NUMBER() OVER (ORDER BY m DESC, key ASC) AS rank
+      FROM per
+    )
+    SELECT key AS brand, CAST(m AS DOUBLE) AS revenue,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    UNION ALL
+    SELECT 'OTHER', CAST(SUM(m) AS DOUBLE), CAST(11 AS BIGINT)
+    FROM ranked WHERE rank > 10 HAVING COUNT(*) > 0
+    ORDER BY rank
+    """,
+)
+def q361_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 brands by discounted revenue plus the consolidated OTHER
+    row (relational.topn_with_other) — the cardinality-capped report
+    table that conserves total mass exactly (decimal aggregation; the
+    tail is summed, not dropped). Rank window runs over the
+    already-aggregated brand table (post-aggregate window contract)."""
+    from .operators.relational import topn_with_other
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(p, p.p_partkey == li.l_partkey).select(
+        "p_brand",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).cast("decimal(38,6)").alias("rev"),
+    )
+    out = topn_with_other(joined, "p_brand", F.sum("rev"), n=10)
+    return out.select(
+        F.col("key").alias("brand"),
+        F.col("measure").cast("double").alias("revenue"),
+        "rank",
+    ).orderBy("rank")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -18162,7 +18245,8 @@ _PRIORITY = [
     "q349_qini_uplift", "q350_cdc_tombstones", "q351_hard_negatives",
     "q352_fixed_width", "q353_misra_gries", "q354_source_divergence",
     "q355_ips_replay", "q356_prorate", "q357_pseudonymize",
-    "q358_inferred_members", "q359_rolling_corr",
+    "q358_inferred_members", "q359_rolling_corr", "q360_pareto_frontier",
+    "q361_topn_other",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",
