@@ -159,3 +159,49 @@ def test_seasonality_single_data_shuffle(spark, sf_small):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # partial aggregation present -> the event scan combines map-side
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_q361_topn_other_partial_agg_and_bounded_window(spark):
+    """q361's brand aggregate is map-side combinable (partial_ before
+    the exchange) and its rank window runs over the aggregated brand
+    table — the window input is an aggregate, never the joined fact."""
+    plan = plan_of(spark, "q361_topn_other", "simple")
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    # every Window node must sit above an Aggregate in its subtree
+    for seg in plan.split("Window")[1:]:
+        head = seg[:600]
+        assert "Aggregate" in head or "Sort" in head, (
+            "window over non-aggregated input:\n" + head
+        )
+
+
+def test_q356_prorate_pushes_count_before_windows(spark):
+    """q356's per-nation weights come from ONE data-sized aggregate;
+    the proration windows run over the 25-row nation table (every
+    window input is post-aggregate)."""
+    plan = plan_of(spark, "q356_prorate", "simple")
+    # the customer scan feeds an aggregate before any Window node
+    first_window = plan.find("Window")
+    assert first_window != -1
+    assert "HashAggregate" in plan[first_window:] or "SortAggregate" in plan[
+        first_window:
+    ], "weights must be aggregated below the proration windows"
+
+
+def test_q360_pareto_prefilters_per_x_winners(spark):
+    """q360 shrinks to per-price group winners (an aggregate) before
+    the single ordered frontier pass — the ordered window's input is
+    the per-x winner table, not the raw part scan."""
+    plan = plan_of(spark, "q360_pareto_frontier", "simple")
+    gx = plan.find("HashAggregate")
+    assert gx != -1, "missing per-x winner aggregate"
+
+
+def test_q351_hard_negatives_broadcasts_anchors(spark):
+    """q351's 30-anchor query side must broadcast (never shuffle the
+    corpus against it)."""
+    plan = plan_of(spark, "q351_hard_negatives", "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan.split("Window")[0], (
+        "anchor join must not sort-merge the corpus"
+    )
