@@ -18187,6 +18187,110 @@ def q361_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+@_q(
+    "q362_merge_evolve",
+    """
+    SELECT (o_orderkey % 3 = 0) AS has_status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q362_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-EVOLVING MERGE roundtrip (sinks/writers.merge_by_pk_evolve):
+    the stored orders table is upserted with a batch carrying a column
+    it has never seen (o_status) — the column joins the table schema,
+    untouched rows read it as NULL (Delta autoMerge semantics emulated
+    on parquet; same-name type conflicts raise instead of casting).
+    The oracle states the end condition directly on the source."""
+    import shutil
+    import tempfile
+
+    from .sinks.writers import merge_by_pk_evolve
+
+    o = _t(spark, sf_dir, "orders")
+    workdir = tempfile.mkdtemp(prefix="q362_evolve_")
+    try:
+        path = f"{workdir}/orders_t"
+        o.select("o_orderkey", "o_totalprice").write.parquet(path)
+        updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_totalprice", F.lit("X").alias("o_status")
+        )
+        merge_by_pk_evolve(spark, updates, path, ["o_orderkey"])
+        back = spark.read.parquet(path)
+        out = (
+            back.groupBy(F.col("o_status").isNotNull().alias("has_status"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .orderBy("has_status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out.select("has_status", "n", "sum_price")
+
+
+_Q363_HOLIDAYS = ["1994-07-04", "1995-12-25", "1996-01-01"]
+
+
+def _q363_oracle() -> str:
+    from .functions.dates import business_days_between_sql
+
+    bd = business_days_between_sql(
+        "CAST(o_orderdate AS DATE)", "CAST(max_ship AS DATE)", _Q363_HOLIDAYS
+    )
+    return f"""
+    WITH per AS (
+      SELECT o_orderkey, o_orderdate,
+             MAX(l_shipdate) AS max_ship
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderdate
+    )
+    SELECT {bd} AS business_days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per GROUP BY 1 ORDER BY 1
+    """
+
+
+@_q("q363_business_days", None)
+def q363_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-shipment SLA latency in BUSINESS days
+    (functions/dates.business_days_between): closed-form integer
+    weekday-prefix arithmetic — no dayofweek() (engine week-start
+    conventions differ), no calendar explode — minus a literal company
+    holiday list folded into the same codegen expression. Histogram of
+    the latency distribution; naive DATEDIFF overstates every
+    weekend-spanning SLA."""
+    from .functions.dates import business_days_between
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
+    bd = business_days_between(
+        F.col("o_orderdate").cast("date"),
+        F.col("max_ship").cast("date"),
+        _Q363_HOLIDAYS,
+    )
+    return (
+        per.select(bd.alias("business_days"))
+        .groupBy("business_days")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("business_days")
+    )
+
+
+ORACLES["q363_business_days"] = _q363_oracle()
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -18246,7 +18350,7 @@ _PRIORITY = [
     "q352_fixed_width", "q353_misra_gries", "q354_source_divergence",
     "q355_ips_replay", "q356_prorate", "q357_pseudonymize",
     "q358_inferred_members", "q359_rolling_corr", "q360_pareto_frontier",
-    "q361_topn_other",
+    "q361_topn_other", "q362_merge_evolve", "q363_business_days",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",

@@ -541,3 +541,64 @@ def inferred_dim_members(
         "__inferred", F.lit(True)
     )
     return dim.withColumn("__inferred", F.lit(False)).unionByName(placeholders)
+
+
+def align_schemas_evolve(
+    existing: DataFrame, updates: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Widen both sides to the UNION of their columns (missing columns
+    become typed NULLs, types taken from whichever side has the
+    column) — the schema-evolution half of an evolving MERGE. Column
+    type conflicts raise loudly: silent casts are how a lake corrupts."""
+    ex_t, up_t = dict(existing.dtypes), dict(updates.dtypes)
+    for c in set(ex_t) & set(up_t):
+        if ex_t[c] != up_t[c]:
+            raise TypeError(
+                f"schema evolution type conflict on {c!r}: "
+                f"existing {ex_t[c]} vs updates {up_t[c]}"
+            )
+    all_cols = list(existing.columns) + [
+        c for c in updates.columns if c not in ex_t
+    ]
+    def widen(df, have):
+        return df.select(
+            *[
+                F.col(c) if c in have
+                else F.lit(None).cast((ex_t | up_t)[c]).alias(c)
+                for c in all_cols
+            ]
+        )
+    return widen(existing, ex_t), widen(updates, up_t)
+
+
+def merge_by_pk_evolve(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    pks: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """Schema-EVOLVING upsert: like merge_by_pk, but an update batch
+    may carry columns the stored table has never seen (and vice
+    versa) — the new columns are appended to the table schema and read
+    as NULL on untouched rows, exactly Delta's
+    ``mergeSchema``/autoMerge contract, emulated on parquet. Same-name
+    type conflicts raise rather than cast silently.
+
+    The evolving half is align_schemas_evolve; storage discipline
+    (read-modify-atomic-rewrite + cache refresh) is merge_by_pk's.
+    """
+    pks = list(pks)
+    _check_idents(*pks)
+    try:
+        existing = spark.read.format(fmt).load(path)
+    except Exception:
+        updates.dropDuplicates(pks).write.format(fmt).mode(
+            "overwrite"
+        ).save(path)
+        return
+    ex_w, up_w = align_schemas_evolve(existing, updates)
+    merged = merge_dataframes(ex_w, up_w, pks)
+    merged_local = merged.localCheckpoint(eager=True)
+    merged_local.write.format(fmt).mode("overwrite").save(path)
+    spark.catalog.refreshByPath(path)
