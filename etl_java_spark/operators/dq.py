@@ -1312,3 +1312,60 @@ def functional_dependency_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    group_key_col: str,
+    epsilon: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Differentially-private group counts via the Laplace mechanism —
+    the release-side companion to the audit trio (k-anonymity,
+    l-diversity, t-closeness): true counts get Laplace(1/epsilon)
+    noise, satisfying epsilon-DP for the COUNT query (sensitivity 1
+    per individual-per-group).
+
+    The noise is PSEUDO-random: a uniform is derived from the
+    arithmetic key hash of (group key + salt), then inverse-CDF'd —
+    so a retried job, a different partitioning, or the SQL oracle all
+    reproduce the identical release (auditability beats secrecy here;
+    for a hostile-party release swap in a sealed seed — the mechanism
+    and calibration are what this operator contracts, and epsilon
+    accounting is unchanged).
+
+        u     = (hash(key + salt) % 10^6 + 0.5) / 10^6      in (0, 1)
+        noise = -(1/eps) * sign(u - 1/2) * ln(1 - 2|u - 1/2|)
+
+    ln is the one non-correctly-rounded libm op in the engine; callers
+    round the released value (the query layer does ROUND 6), which
+    absorbs the <= few-ulp cross-engine drift — the q180/PSI precedent.
+
+    Returns (group, n_true, n_noisy). Ship only n_noisy downstream;
+    n_true is returned for calibration tests and must not leave the
+    trust boundary.
+    """
+    from .sampling import key_bucket
+
+    per = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(group_key_col).cast("long").alias("__k"),
+    ).agg(F.count("*").cast("long").alias("n_true"))
+    u = (
+        (key_bucket(F.col("__k") + F.lit(salt), 1_000_000).cast("double")
+         + F.lit(0.5))
+        / F.lit(1_000_000.0)
+    )
+    centered = u - F.lit(0.5)
+    sign = F.when(centered >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * sign
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_true",
+        (F.col("n_true").cast("double") + noise).alias("n_noisy"),
+    )

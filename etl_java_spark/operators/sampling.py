@@ -425,3 +425,83 @@ def reshard_movement(
     return summarize(mod_moved, "modulo").unionByName(
         summarize(ring_moved, "consistent_ring")
     )
+
+
+def negative_samples(
+    interactions: DataFrame,
+    items: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 5,
+    oversample: int = 3,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    for each user, ``k`` items they did NOT interact with, drawn
+    pseudo-uniformly by the replayable arithmetic hash (key_bucket's
+    family) — the (user, positive, negative) triple generator behind
+    BPR / contrastive recommenders, with no RNG state to desync
+    distributed retries.
+
+    Shape: number the catalog 1..N with the two-phase gap-free index
+    (transforms.assign_global_ids — per-bucket local windows, the only
+    GLOBAL ordering is over the metadata-sized bucket table, so no
+    whole-catalog single-partition window); explode ``oversample * k``
+    candidate slots per user; map slot -> index by hashing (user,
+    slot) mod N (gap-free, so EVERY draw lands — a raw key-range draw
+    would miss almost always on a sparse id space); join the indexed
+    catalog, ANTI-join the user's positives, keep the first ``k``
+    survivors in slot order. All joins are key-hash shuffles; the
+    per-user window orders <= oversample*k rows. Heavy users
+    (positives > ~(1 - 1/oversample) of the catalog) may yield fewer
+    than k negatives, reported as-is.
+
+    Returns (user, item, slot) with slot the 1-based draw order.
+    """
+    from .transforms import assign_global_ids
+
+    u = F.col(user_col).cast("long")
+    users = interactions.select(u.alias("user")).distinct()
+    slots = users.select(
+        "user",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(k * oversample)))
+        ).alias("slot"),
+    )
+    ik = F.col(item_col).cast("long")
+    idx = assign_global_ids(
+        items.select(ik.alias("item")),
+        ["item"],
+        F.floor(F.col("item") / F.lit(100000)),
+        id_col="cand_idx",
+    )
+    n_items = items.count()  # 1 metadata job (catalog cardinality)
+    # key_bucket alone is AFFINE mod p, so consecutive slots would map
+    # to a fixed arithmetic stride of indexes (measured: one user's
+    # draws all 5 apart) — a quadratic round breaks the stride while
+    # staying exact int64 (h < p ~ 1e9+7, so h*h + h < 2^63) and
+    # SQL-replayable.
+    h = key_bucket(
+        (F.col("user") * 1000003 + F.col("slot") + F.lit(salt)),
+        1_000_000_007,
+    )
+    mixed = (h * h + h) % 1_000_000_007 % n_items
+    cand = slots.select("user", "slot", (mixed + 1).alias("cand_idx"))
+    pos = interactions.select(
+        u.alias("user"), F.col(item_col).cast("long").alias("item")
+    ).distinct()
+    neg = (
+        cand.join(idx, "cand_idx")
+        .join(pos, ["user", "item"], "left_anti")
+        # duplicate slot->item draws: keep the EARLIEST slot (a grouped
+        # min, not dropDuplicates — whose survivor is partition-order-
+        # dependent and would break replay determinism)
+        .groupBy("user", "item")
+        .agg(F.min("slot").alias("slot"))
+    )
+    w = Window.partitionBy("user").orderBy(F.col("slot").asc())
+    return (
+        neg.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("user", "item", F.col("slot").cast("long"))
+    )

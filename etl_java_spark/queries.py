@@ -18291,6 +18291,131 @@ def q363_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q363_business_days"] = _q363_oracle()
 
 
+def _q364_oracle() -> str:
+    from .operators.sampling import key_bucket_sql
+
+    h = key_bucket_sql("(usr * 1000003 + slot + 7)", 1000000007)
+    return f"""
+    WITH pos AS (
+      SELECT DISTINCT o_custkey AS usr, l_partkey AS item
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_custkey < 200
+    ), users AS (
+      SELECT DISTINCT usr FROM pos
+    ), nn AS (
+      SELECT COUNT(*) AS n_items FROM part
+    ), idx AS (
+      SELECT p_partkey AS item,
+             ROW_NUMBER() OVER (ORDER BY p_partkey) AS cand_idx
+      FROM part
+    ), slots AS (
+      SELECT usr, slot
+      FROM users CROSS JOIN (
+        SELECT UNNEST(generate_series(1, 15)) AS slot
+      )
+    ), hs AS (
+      SELECT usr, slot, ({h}) AS h FROM slots
+    ), cand AS (
+      SELECT usr, slot,
+             ((h * h + h) % 1000000007) % nn.n_items + 1 AS cand_idx
+      FROM hs CROSS JOIN nn
+    ), valid AS (
+      SELECT c.usr, i.item, c.slot
+      FROM cand c JOIN idx i ON i.cand_idx = c.cand_idx
+    ), neg AS (
+      SELECT usr, item, MIN(slot) AS slot
+      FROM valid v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos WHERE pos.usr = v.usr AND pos.item = v.item
+      )
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT usr, item, slot,
+             ROW_NUMBER() OVER (PARTITION BY usr ORDER BY slot) AS rk
+      FROM neg
+    )
+    SELECT CAST(usr AS BIGINT) AS user_id, CAST(item AS BIGINT) AS item_id,
+           CAST(slot AS BIGINT) AS slot
+    FROM ranked WHERE rk <= 5 ORDER BY user_id, slot
+    """
+
+
+@_q("q364_negative_sampling", None)
+def q364_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (sampling.negative_samples) for
+    implicit-feedback training: 5 never-purchased parts per customer
+    (bounded probe set), drawn by the replayable arithmetic hash onto
+    the item-key range — no RNG state, so distributed retries and the
+    SQL oracle reproduce the identical draws. No whole-catalog ordered
+    window anywhere (candidates join the item table on its key)."""
+    from .operators.sampling import negative_samples
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    li = _t(spark, sf_dir, "lineitem")
+    # item_col is read from BOTH frames — align interaction names to
+    # the item table's key column
+    inter = o.join(li, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("p_partkey"),
+    )
+    p = _t(spark, sf_dir, "part")
+    out = negative_samples(
+        inter, p, "user_id", "p_partkey", k=5, oversample=3, salt=7
+    )
+    return out.select(
+        F.col("user").alias("user_id"),
+        F.col("item").alias("item_id"),
+        "slot",
+    ).orderBy("user_id", "slot")
+
+
+ORACLES["q364_negative_sampling"] = _q364_oracle()
+
+
+def _q365_oracle() -> str:
+    from .operators.sampling import key_bucket_sql
+
+    u = f"(CAST({key_bucket_sql('(n_nationkey + 11)', 1000000)} AS DOUBLE) + 0.5) / 1000000.0"
+    return f"""
+    WITH per AS (
+      SELECT n_name, n_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, n_true,
+           ROUND(CAST(n_true AS DOUBLE)
+                 + (-1.0 / 0.5)
+                   * (CASE WHEN {u} - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+                   * LN(1.0 - 2.0 * ABS({u} - 0.5)), 6) AS n_noisy
+    FROM per ORDER BY n_name
+    """
+
+
+@_q("q365_dp_counts", None)
+def q365_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon-DP released counts (dq.dp_noisy_counts, Laplace
+    mechanism, eps = 0.5): per-nation customer counts with
+    inverse-CDF Laplace noise from the replayable arithmetic hash —
+    the release-side companion to the k-anonymity/l-diversity/
+    t-closeness audit trio; a retried job or the oracle reproduces the
+    identical release. ROUND 6 absorbs the ln ulp drift (q180/PSI
+    precedent)."""
+    from .operators.dq import dp_noisy_counts
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = c.join(n, n.n_nationkey == c.c_nationkey)
+    out = dp_noisy_counts(joined, "n_name", "n_nationkey",
+                          epsilon=0.5, salt=11)
+    return out.select(
+        "n_name", "n_true", F.round("n_noisy", 6).alias("n_noisy")
+    ).orderBy("n_name")
+
+
+ORACLES["q365_dp_counts"] = _q365_oracle()
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -18351,6 +18476,7 @@ _PRIORITY = [
     "q355_ips_replay", "q356_prorate", "q357_pseudonymize",
     "q358_inferred_members", "q359_rolling_corr", "q360_pareto_frontier",
     "q361_topn_other", "q362_merge_evolve", "q363_business_days",
+    "q364_negative_sampling", "q365_dp_counts",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",

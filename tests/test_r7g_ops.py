@@ -1,0 +1,125 @@
+"""Round-7 wave-7: deterministic negative sampling, DP noisy counts."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_java_spark.operators.dq import dp_noisy_counts
+from etl_java_spark.operators.sampling import key_bucket, negative_samples
+
+
+def _frames(spark):
+    inter = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 12)], "u long, item long"
+    )
+    items = spark.createDataFrame(
+        [(i,) for i in range(10, 30)], "item long"
+    )
+    return inter, items
+
+
+def test_negatives_never_sample_positives(spark):
+    inter, items = _frames(spark)
+    out = negative_samples(inter, items, "u", "item", k=4).collect()
+    pos = {(1, 10), (1, 11), (2, 10), (3, 12)}
+    assert all((r["user"], r["item"]) not in pos for r in out)
+
+
+def test_negatives_k_per_user_and_items_exist(spark):
+    inter, items = _frames(spark)
+    out = negative_samples(inter, items, "u", "item", k=4).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user"], []).append(r["item"])
+        assert 10 <= r["item"] < 30
+    assert all(len(v) == 4 for v in by_user.values())
+    assert set(by_user) == {1, 2, 3}
+
+
+def test_negatives_deterministic_under_repartition(spark):
+    inter, items = _frames(spark)
+    a = sorted(
+        map(tuple, negative_samples(inter, items, "u", "item", k=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            negative_samples(
+                inter.repartition(7), items.repartition(3), "u", "item", k=4
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_negatives_salt_changes_draws(spark):
+    inter, items = _frames(spark)
+    a = sorted(
+        (r["user"], r["item"])
+        for r in negative_samples(inter, items, "u", "item", k=4).collect()
+    )
+    b = sorted(
+        (r["user"], r["item"])
+        for r in negative_samples(
+            inter, items, "u", "item", k=4, salt=99
+        ).collect()
+    )
+    assert a != b
+
+
+def test_negatives_id_gaps_tolerated(spark):
+    inter = spark.createDataFrame([(1, 100)], "u long, item long")
+    items = spark.createDataFrame(
+        [(i,) for i in range(100, 140, 4)], "item long"  # 75% gaps
+    )
+    out = negative_samples(inter, items, "u", "item", k=3, oversample=10)
+    rows = out.collect()
+    assert all(r["item"] % 4 == 0 for r in rows)
+    assert len(rows) <= 3
+
+
+# ---------------------------------------------------------------------------
+# DP noisy counts
+
+
+def _py_laplace(key: int, salt: int, eps: float) -> float:
+    p = 1_000_000_007
+    h = ((key + salt) % p) * 2654435761 % p * 524287 % p % 1_000_000
+    u = (h + 0.5) / 1_000_000.0
+    c = u - 0.5
+    return -(1.0 / eps) * math.copysign(1.0, c) * math.log(1.0 - 2.0 * abs(c))
+
+
+def test_dp_noise_matches_python_inverse_cdf(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 1, 2), ("b", 2, 3)], "g string, k long, x long"
+    )
+    rows = {r["g"]: r for r in
+            dp_noisy_counts(df, "g", "k", epsilon=0.5, salt=11).collect()}
+    assert rows["a"]["n_true"] == 2 and rows["b"]["n_true"] == 1
+    for g, key in [("a", 1), ("b", 2)]:
+        want = rows[g]["n_true"] + _py_laplace(key, 11, 0.5)
+        assert abs(rows[g]["n_noisy"] - want) < 1e-9, g
+
+
+def test_dp_noise_scales_with_epsilon(spark):
+    df = spark.createDataFrame([("a", 1, 1)], "g string, k long, x long")
+    n1 = dp_noisy_counts(df, "g", "k", epsilon=1.0).collect()[0]
+    n2 = dp_noisy_counts(df, "g", "k", epsilon=2.0).collect()[0]
+    noise1 = n1["n_noisy"] - n1["n_true"]
+    noise2 = n2["n_noisy"] - n2["n_true"]
+    assert abs(noise1 - 2.0 * noise2) < 1e-12  # b = 1/eps halves
+
+
+def test_dp_noise_distribution_is_centered(spark):
+    """Mean noise over many groups is near 0 and both signs occur —
+    the calibration smoke test for the inverse-CDF mapping."""
+    df = spark.createDataFrame(
+        [(f"g{k}", k, 0) for k in range(500)], "g string, k long, x long"
+    )
+    rows = dp_noisy_counts(df, "g", "k", epsilon=1.0).collect()
+    noises = [r["n_noisy"] - r["n_true"] for r in rows]
+    assert min(noises) < 0 < max(noises)
+    assert abs(sum(noises) / len(noises)) < 0.3
