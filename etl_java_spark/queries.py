@@ -18416,6 +18416,61 @@ def q365_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q365_dp_counts"] = _q365_oracle()
 
 
+@_q(
+    "q366_high_water_mark",
+    """
+    WITH bm AS (
+      SELECT MAX(ts) AS b FROM events WHERE ts < TIMESTAMP '2024-01-15'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_new,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+           CAST(SUM(CAST(event_id AS DECIMAL(38,0))) AS DOUBLE)
+             AS id_checksum
+    FROM events CROSS JOIN bm WHERE ts > bm.b
+    """,
+)
+def q366_high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-water-mark incremental ingest (sources/readers.
+    read_incremental): load 1 extracts the pre-Jan-15 slice and
+    persists its max ts as the bookmark; load 2 over the FULL table
+    returns exactly the strictly-newer tail (and a third zero-new
+    re-run is a clean no-op, asserted in-plan via the checksum). The
+    nightly JDBC/file tail-pickup the reference's console drives by
+    hand — late sub-bookmark rows are CDC's job (q350), this is the
+    cheap append-only path."""
+    import shutil
+    import tempfile
+
+    from .sources.readers import read_incremental
+
+    ev = _t(spark, sf_dir, "events")
+    workdir = tempfile.mkdtemp(prefix="q366_hwm_")
+    try:
+        bmdir = f"{workdir}/bookmark"
+        first = ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        read_incremental(spark, first, bmdir, "ts")
+        second = read_incremental(spark, ev, bmdir, "ts")
+        third = read_incremental(spark, ev, bmdir, "ts")
+        out = (
+            second.agg(
+                F.count("*").cast("long").alias("n_new"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+                (
+                    F.sum(F.col("event_id").cast("decimal(38,0)"))
+                    .cast("double")
+                    # a non-empty third load would poison the checksum
+                    # loudly instead of silently passing
+                    + F.lit(third.count() * 1e15)
+                ).alias("id_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out.select("n_new", "min_ts", "max_ts", "id_checksum")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -18476,7 +18531,7 @@ _PRIORITY = [
     "q355_ips_replay", "q356_prorate", "q357_pseudonymize",
     "q358_inferred_members", "q359_rolling_corr", "q360_pareto_frontier",
     "q361_topn_other", "q362_merge_evolve", "q363_business_days",
-    "q364_negative_sampling", "q365_dp_counts",
+    "q364_negative_sampling", "q365_dp_counts", "q366_high_water_mark",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",

@@ -303,3 +303,42 @@ def read_fixed_width(
         )
         pos += width
     return raw.select(*out)
+
+
+def read_incremental(
+    spark: SparkSession,
+    df: DataFrame,
+    bookmark_dir: str,
+    ts_col: str,
+) -> DataFrame:
+    """High-water-mark incremental extract: return only rows with
+    ``ts_col`` STRICTLY ABOVE the persisted bookmark, then advance the
+    bookmark to the new maximum — the classic ETL tail-pickup every
+    nightly JDBC/file ingest runs (the reference's domain: repeated
+    extracts from a live source without re-reading history).
+
+    The bookmark is a 1-row parquet table at ``bookmark_dir`` (absent =
+    cold start = everything qualifies). Correctness contract shared by
+    every watermark extract: ``ts_col`` must be monotonic-at-source
+    for committed rows (late rows BELOW the bookmark are invisible —
+    that's what CDC (q350) is for; this operator is the cheap path for
+    append-only sources). Strictly-above semantics make a re-run with
+    no new data a clean zero-row no-op, and the bookmark only advances
+    when new rows exist.
+
+    One filter scan + one 1-row max aggregate; the returned frame is
+    localCheckpoint-pinned so callers can read it after the next
+    bookmark write.
+    """
+    try:
+        bm = spark.read.parquet(bookmark_dir).collect()[0]["bookmark"]
+    except Exception:
+        bm = None
+    new = df.filter(F.col(ts_col) > F.lit(bm)) if bm is not None else df
+    new = new.localCheckpoint(eager=True)
+    hi = new.agg(F.max(ts_col).alias("bookmark")).collect()[0]["bookmark"]
+    if hi is not None:
+        spark.createDataFrame(
+            [(hi,)], schema=new.select(F.col(ts_col).alias("bookmark")).schema
+        ).write.mode("overwrite").parquet(bookmark_dir)
+    return new
