@@ -1285,3 +1285,45 @@ def rolling_corr(
         F.col(y_col),
         corr.alias("corr"),
     )
+
+
+def date_spine(
+    spark,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Calendar dimension generator: one row per day in [start, end]
+    with the attributes every warehouse date spine carries — year,
+    month, day, ISO-style week fields, weekday index, weekend flag,
+    quarter, and a running business-day sequence. The spine is what
+    gap-filling, cohort grids, and fiscal reporting join against.
+
+    Weekday arithmetic is the engine-agnostic epoch-shift form shared
+    with functions/dates (Monday = 0; no dayofweek(), whose numbering
+    differs across engines). Generated with one ``sequence`` explode —
+    a calendar is metadata-sized by nature (100 years = 36.5k rows),
+    broadcast-joined everywhere it is used.
+    """
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+            )
+        ).alias("day")
+    )
+    e = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    s = e + F.lit(3)  # 1970-01-01 was a Thursday; +3 => Monday-0 index
+    dow = (s % 7).cast("int")
+    return days.select(
+        "day",
+        F.year("day").alias("year"),
+        F.month("day").alias("month"),
+        F.dayofmonth("day").alias("day_of_month"),
+        F.quarter("day").alias("quarter"),
+        dow.alias("weekday"),  # 0=Mon .. 6=Sun
+        (dow >= 5).alias("is_weekend"),
+        (
+            F.lit(5) * ((s - s % 7) / 7) + F.least(s % 7 + 1, F.lit(5))
+        ).cast("long").alias("busday_seq"),
+    )

@@ -302,3 +302,47 @@ def pseudonymize_key_sql(key: str, salt: int = 0) -> str:
         f"((({key} + {salt}) % 1000000007) * 2654435761 % 1000000007 "
         f"* 524287) % 1000000007"
     )
+
+
+def nest_children(
+    parent: DataFrame,
+    children: DataFrame,
+    key: str,
+    child_cols: list[str],
+    order_cols: list[str],
+    nested_name: str = "items",
+) -> DataFrame:
+    """Assemble a parent-child pair into ONE nested row per parent —
+    ``parent.* + array<struct<child_cols>>`` — the denormalized export
+    shape document stores, feature stores, and JSONL training corpora
+    want (a flat join exports N copies of every parent attribute and
+    loses the grouping).
+
+    The child array is sorted by ``order_cols`` (sort_array over a
+    struct whose FIRST fields are the order columns), making the
+    assembly deterministic under any partitioning — an unordered
+    collect_list is partition-order-dependent and would break
+    replay/diff-based testing. Parents with no children get an empty
+    array (left join), not a dropped row.
+
+    One child shuffle on the key + one broadcast-eligible parent join.
+    At export scale the array is bounded by the parent's fan-out (an
+    order's lineitems), never by table size.
+    """
+    struct_cols = [c for c in order_cols if c in child_cols] + [
+        c for c in child_cols if c not in order_cols
+    ]
+    assembled = (
+        children.groupBy(F.col(key))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(*struct_cols))
+            ).alias(nested_name)
+        )
+    )
+    empty = F.array().cast(
+        dict(assembled.dtypes)[nested_name]
+    )
+    return parent.join(assembled, key, "left").withColumn(
+        nested_name, F.coalesce(F.col(nested_name), empty)
+    )

@@ -18471,6 +18471,107 @@ def q366_high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_new", "min_ts", "max_ts", "id_checksum")
 
 
+@_q(
+    "q367_nested_export",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_quantity, l_shipdate
+             ) AS rn
+      FROM lineitem
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items,
+           CASE WHEN COUNT(l.l_orderkey) > 0
+                THEN CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                          AS DOUBLE) END AS qty_sum,
+           MIN(CASE WHEN l.rn = 1 THEN l.l_shipdate END) AS first_ship,
+           CAST(MAX(l.l_linenumber) AS BIGINT) AS last_line
+    FROM orders o LEFT JOIN li l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 40 = 0
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q367_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested document-export assembly (transforms.nest_children): each
+    order becomes ONE row carrying a deterministically-ordered
+    array<struct> of its lineitems — the JSONL/document-store/training-
+    corpus export shape a flat join cannot produce. The readout derives
+    every output from INSIDE the nested array (size, decimal-exact
+    element fold, first-element field, last line number), so the oracle
+    — plain grouped SQL — confirms the assembly end-to-end, childless
+    parents (empty array, not dropped) included."""
+    from .operators.transforms import nest_children
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber", "l_quantity", "l_shipdate",
+    )
+    nested = nest_children(
+        o, li, "o_orderkey",
+        child_cols=["l_linenumber", "l_quantity", "l_shipdate"],
+        order_cols=["l_linenumber"],
+    )
+    items = F.col("items")
+    qty = F.aggregate(
+        items,
+        F.lit(0).cast("decimal(38,2)"),
+        lambda a, x: a + x["l_quantity"].cast("decimal(18,2)"),
+    )
+    return nested.select(
+        "o_orderkey", "o_custkey",
+        F.size(items).cast("long").alias("n_items"),
+        F.when(F.size(items) > 0, qty.cast("double")).alias("qty_sum"),
+        F.try_element_at(items, F.lit(1))["l_shipdate"].alias("first_ship"),
+        F.try_element_at(items, F.lit(-1))["l_linenumber"].cast("long").alias(
+            "last_line"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "q368_date_spine",
+    """
+    WITH d AS (
+      SELECT CAST(UNNEST(generate_series(DATE '2024-01-01',
+                                         DATE '2024-03-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ), s AS (
+      SELECT day, date_diff('day', DATE '1970-01-01', day) + 3 AS sh
+      FROM d
+    )
+    SELECT day,
+           CAST(EXTRACT(year FROM day) AS INTEGER) AS year,
+           CAST(EXTRACT(month FROM day) AS INTEGER) AS month,
+           CAST(EXTRACT(day FROM day) AS INTEGER) AS day_of_month,
+           CAST(EXTRACT(quarter FROM day) AS INTEGER) AS quarter,
+           CAST(sh % 7 AS INTEGER) AS weekday,
+           (sh % 7 >= 5) AS is_weekend,
+           CAST(5 * ((sh - sh % 7) / 7) + LEAST(sh % 7 + 1, 5) AS BIGINT)
+             AS busday_seq
+    FROM s ORDER BY day
+    """,
+)
+def q368_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generator (timeseries.date_spine): the Q1-2024
+    date spine with warehouse attributes — weekday by the engine-
+    agnostic epoch-shift arithmetic (no dayofweek(); numbering
+    conventions differ across engines), weekend flag, and the running
+    business-day sequence shared with functions/dates. Metadata-sized
+    by nature; broadcast against facts for gap-filling and fiscal
+    grouping."""
+    from .operators.timeseries import date_spine
+
+    return date_spine(spark, "2024-01-01", "2024-03-31").orderBy("day")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -18532,6 +18633,7 @@ _PRIORITY = [
     "q358_inferred_members", "q359_rolling_corr", "q360_pareto_frontier",
     "q361_topn_other", "q362_merge_evolve", "q363_business_days",
     "q364_negative_sampling", "q365_dp_counts", "q366_high_water_mark",
+    "q367_nested_export", "q368_date_spine",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",
