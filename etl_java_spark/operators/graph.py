@@ -597,6 +597,7 @@ def partition_modularity(
     dst: str = "dst",
     node: str = "node",
     community: str = "community",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Newman modularity of a GIVEN node partition over the undirected
     graph under ``edges`` — "did this community assignment actually
@@ -620,8 +621,14 @@ def partition_modularity(
     degree_sum, contribution, modularity) — ``modularity`` (the total
     Q) repeated on every row for one-table readout.
     """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
     a, b = F.col(src), F.col(dst)
-    und = (
+    # degrees, the within-edge join AND the edge total all re-read the
+    # canonical edge set — materialize the caller's (possibly join-tree)
+    # edge plan ONCE (triangle_count discipline)
+    und = ckpt(
         edges.filter(a != b)
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
@@ -688,6 +695,7 @@ def degree_assortativity(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Degree assortativity coefficient of the undirected graph — the
     Pearson correlation of endpoint degrees over edges (Newman 2002).
@@ -708,8 +716,13 @@ def degree_assortativity(
     co-partitioned degree joins. Returns one row:
     (n_edges, n_vertices, assortativity).
     """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
     a, b = F.col(src), F.col(dst)
-    und = (
+    # the edge set feeds degrees AND the pair join — materialize the
+    # caller's edge plan once (triangle_count discipline)
+    und = ckpt(
         edges.filter(a != b)
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
