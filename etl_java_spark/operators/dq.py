@@ -1342,6 +1342,13 @@ def dp_noisy_counts(
     round the released value (the query layer does ROUND 6), which
     absorbs the <= few-ulp cross-engine drift — the q180/PSI precedent.
 
+    ``group_key_col`` must be 1:1 with ``group_col`` (it seeds the
+    per-group noise; a many:1 key would split one group's count into
+    duplicate rows) — signed keys are fine: the seed is floor-modded
+    into the hash's non-negative domain first (a sign-following input
+    would push the inverse CDF out of ln's domain and ship NULL
+    counts; found by review).
+
     Returns (group, n_true, n_noisy). Ship only n_noisy downstream;
     n_true is returned for calibration tests and must not leave the
     trust boundary.
@@ -1352,9 +1359,10 @@ def dp_noisy_counts(
         F.col(group_col).alias("grp"),
         F.col(group_key_col).cast("long").alias("__k"),
     ).agg(F.count("*").cast("long").alias("n_true"))
+    p = 1_000_000_007
+    seed = ((F.col("__k") + F.lit(salt)) % p + p) % p
     u = (
-        (key_bucket(F.col("__k") + F.lit(salt), 1_000_000).cast("double")
-         + F.lit(0.5))
+        (key_bucket(seed, 1_000_000).cast("double") + F.lit(0.5))
         / F.lit(1_000_000.0)
     )
     centered = u - F.lit(0.5)

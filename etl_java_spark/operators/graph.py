@@ -33,6 +33,31 @@ def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
     return edges.groupBy(src).agg(F.count("*").alias("outdeg"))
 
 
+def _canonical_und(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected edge set (u < v): direction and duplicate
+    edges collapsed, self-loops dropped — the shared first step of
+    every undirected operator here (triangle_count, modularity,
+    assortativity, local clustering). Callers materialize the result
+    ONCE (ckpt) when they read it more than once."""
+    a, b = F.col(src), F.col(dst)
+    return (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+
+
+def _und_degrees(und: DataFrame) -> DataFrame:
+    """(x, d) undirected degrees of a canonical edge set — one
+    map-side-combinable count shuffle over the doubled endpoints."""
+    return (
+        und.select(F.col("u").alias("x"))
+        .unionByName(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
@@ -134,22 +159,12 @@ def triangle_count(
     from ..plans.checkpoints import make_checkpointer
 
     ckpt = make_checkpointer(checkpoint_dir)
-    a, b = F.col(src), F.col(dst)
     # The canonical edge set feeds degrees (twice), the orientation join
     # AND the closing-edge probe — materialize it once instead of
     # re-running the caller's (possibly expensive) edge-derivation plan
     # four times.
-    und = ckpt(
-        edges.filter(a != b)
-        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("u").alias("x"))
-        .unionAll(und.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count("*").alias("d"))
-    )
+    und = ckpt(_canonical_und(edges, src, dst))
+    deg = _und_degrees(und)
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
     ranked = und.join(du, "u").join(dv, "v")
@@ -543,6 +558,8 @@ def hits(
     """
     from ..plans.checkpoints import make_checkpointer
 
+    if iterations < 1:
+        raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
     ckpt = make_checkpointer(checkpoint_dir)
     e = ckpt(edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")))
     nodes = ckpt(
@@ -624,24 +641,14 @@ def partition_modularity(
     from ..plans.checkpoints import make_checkpointer
 
     ckpt = make_checkpointer(checkpoint_dir)
-    a, b = F.col(src), F.col(dst)
     # degrees, the within-edge join AND the edge total all re-read the
     # canonical edge set — materialize the caller's (possibly join-tree)
     # edge plan ONCE (triangle_count discipline)
-    und = ckpt(
-        edges.filter(a != b)
-        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-        .distinct()
-    )
+    und = ckpt(_canonical_und(edges, src, dst))
     comm = communities.select(
         F.col(node).alias("x"), F.col(community).alias("c")
     )
-    deg = (
-        und.select(F.col("u").alias("x"))
-        .unionByName(und.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count("*").alias("d"))
-    )
+    deg = _und_degrees(und)
     unassigned = F.lit("__unassigned__")
     node_c = deg.join(comm, "x", "left").select(
         "x", "d", F.coalesce(F.col("c"), unassigned).alias("c")
@@ -719,20 +726,10 @@ def degree_assortativity(
     from ..plans.checkpoints import make_checkpointer
 
     ckpt = make_checkpointer(checkpoint_dir)
-    a, b = F.col(src), F.col(dst)
     # the edge set feeds degrees AND the pair join — materialize the
     # caller's edge plan once (triangle_count discipline)
-    und = ckpt(
-        edges.filter(a != b)
-        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("u").alias("x"))
-        .unionByName(und.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count("*").alias("d"))
-    )
+    und = ckpt(_canonical_und(edges, src, dst))
+    deg = _und_degrees(und)
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
     pairs = und.join(du, "u").join(dv, "v")
@@ -789,18 +786,8 @@ def local_clustering(
     from ..plans.checkpoints import make_checkpointer
 
     ckpt = make_checkpointer(checkpoint_dir)
-    a, b = F.col(src), F.col(dst)
-    und = ckpt(
-        edges.filter(a != b)
-        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("u").alias("x"))
-        .unionByName(und.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count("*").alias("d"))
-    )
+    und = ckpt(_canonical_und(edges, src, dst))
+    deg = _und_degrees(und)
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
     ranked = und.join(du, "u").join(dv, "v")

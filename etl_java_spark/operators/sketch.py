@@ -357,11 +357,19 @@ def misra_gries_summary(
     BOUNDS are deterministic, which is what callers must consume (the
     q60/q135 sketch-family oracle pattern).
 
+    NULL keys are EXCLUDED up front (filtered Spark-side, so ``n`` in
+    the bound is the non-null row count and the guarantee holds over
+    non-null keys exactly) — callers tracking a NULL-heavy column
+    coalesce to a sentinel first. The pre-filter also keeps Arrow
+    batches null-free, so pandas preserves int64 keys instead of
+    widening to float64 (which would corrupt keys above 2^53).
+
     Returns (key, est) — the merged summary, NOT truncated to k, so
     the caller applies its own threshold against the bound.
     """
     import pandas as pd
 
+    df = df.filter(F.col(key_col).isNotNull())
     key_t = dict(df.dtypes)[key_col]
 
     def mg(batches):

@@ -1298,12 +1298,15 @@ def date_spine(
     quarter, and a running business-day sequence. The spine is what
     gap-filling, cohort grids, and fiscal reporting join against.
 
-    Weekday arithmetic is the engine-agnostic epoch-shift form shared
-    with functions/dates (Monday = 0; no dayofweek(), whose numbering
-    differs across engines). Generated with one ``sequence`` explode —
+    Weekday arithmetic is IMPORTED from functions/dates (Monday = 0,
+    floor-mod — correct pre-1970 too; no dayofweek(), whose numbering
+    differs across engines) so the spine can never diverge from
+    business_days_between. Generated with one ``sequence`` explode —
     a calendar is metadata-sized by nature (100 years = 36.5k rows),
     broadcast-joined everywhere it is used.
     """
+    from ..functions.dates import _weekdays_up_to, weekday_monday0
+
     days = spark.range(1).select(
         F.explode(
             F.sequence(
@@ -1312,9 +1315,7 @@ def date_spine(
             )
         ).alias("day")
     )
-    e = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
-    s = e + F.lit(3)  # 1970-01-01 was a Thursday; +3 => Monday-0 index
-    dow = (s % 7).cast("int")
+    dow = weekday_monday0("day").cast("int")
     return days.select(
         "day",
         F.year("day").alias("year"),
@@ -1323,7 +1324,5 @@ def date_spine(
         F.quarter("day").alias("quarter"),
         dow.alias("weekday"),  # 0=Mon .. 6=Sun
         (dow >= 5).alias("is_weekend"),
-        (
-            F.lit(5) * ((s - s % 7) / 7) + F.least(s % 7 + 1, F.lit(5))
-        ).cast("long").alias("busday_seq"),
+        _weekdays_up_to("day").cast("long").alias("busday_seq"),
     )

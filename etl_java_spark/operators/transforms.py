@@ -319,26 +319,30 @@ def nest_children(
     loses the grouping).
 
     The child array is sorted by ``order_cols`` (sort_array over a
-    struct whose FIRST fields are the order columns), making the
-    assembly deterministic under any partitioning — an unordered
-    collect_list is partition-order-dependent and would break
-    replay/diff-based testing. Parents with no children get an empty
-    array (left join), not a dropped row.
+    struct whose FIRST fields are the order columns — ALL of them,
+    including ones not exported in ``child_cols``; sort-only fields
+    are stripped after the sort, so the requested order always
+    applies), making the assembly deterministic under any partitioning
+    — an unordered collect_list is partition-order-dependent and would
+    break replay/diff-based testing. Parents with no children get an
+    empty array (left join), not a dropped row.
 
     One child shuffle on the key + one broadcast-eligible parent join.
     At export scale the array is bounded by the parent's fan-out (an
     order's lineitems), never by table size.
     """
-    struct_cols = [c for c in order_cols if c in child_cols] + [
+    struct_cols = list(order_cols) + [
         c for c in child_cols if c not in order_cols
     ]
-    assembled = (
-        children.groupBy(F.col(key))
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(*struct_cols))
-            ).alias(nested_name)
+    sorted_arr = F.sort_array(F.collect_list(F.struct(*struct_cols)))
+    keep = [c for c in struct_cols if c in child_cols]
+    if keep != struct_cols:
+        # strip sort-only fields, preserving the sorted order
+        sorted_arr = F.transform(
+            sorted_arr, lambda s: F.struct(*[s[c].alias(c) for c in keep])
         )
+    assembled = children.groupBy(F.col(key)).agg(
+        sorted_arr.alias(nested_name)
     )
     empty = F.array().cast(
         dict(assembled.dtypes)[nested_name]

@@ -14715,10 +14715,10 @@ def q309_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(fold AS BIGINT) AS fold, n_rows,
            det0 / det AS beta0, det1 / det AS beta1, det2 / det AS beta2,
-           CAST(1.0 AS DOUBLE)
+           ROUND(CAST(1.0 AS DOUBLE)
            - (((syy - (det0 / det) * sy) - (det1 / det) * s1y)
               - (det2 / det) * s2y)
-             / (syy - sy * sy / nd) AS r2
+             / (syy - sy * sy / nd), 10) AS r2
     FROM b
     """,
 )
@@ -14744,7 +14744,11 @@ def q310_kfold_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     ).withColumn("fold", (key_bucket("l_orderkey") % 5).cast("long"))
-    return grouped_ols(per_order, "fold", "revenue", "n_items", "sum_qty")
+    out = grouped_ols(per_order, "fold", "revenue", "n_items", "sum_qty")
+    # r2's expression tree is one division deeper than the betas and
+    # measured a 1-ulp cross-engine split at the sf0.001 fixture —
+    # ROUND absorbs it (betas stay unrounded bitwise).
+    return out.withColumn("r2", F.round("r2", 10))
 
 
 @_q(
@@ -18546,17 +18550,19 @@ def q367_nested_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
       SELECT day, date_diff('day', DATE '1970-01-01', day) + 3 AS sh
       FROM d
+    ), m AS (
+      SELECT day, sh, ((sh % 7) + 7) % 7 AS dw FROM s
     )
     SELECT day,
            CAST(EXTRACT(year FROM day) AS INTEGER) AS year,
            CAST(EXTRACT(month FROM day) AS INTEGER) AS month,
            CAST(EXTRACT(day FROM day) AS INTEGER) AS day_of_month,
            CAST(EXTRACT(quarter FROM day) AS INTEGER) AS quarter,
-           CAST(sh % 7 AS INTEGER) AS weekday,
-           (sh % 7 >= 5) AS is_weekend,
-           CAST(5 * ((sh - sh % 7) / 7) + LEAST(sh % 7 + 1, 5) AS BIGINT)
+           CAST(dw AS INTEGER) AS weekday,
+           (dw >= 5) AS is_weekend,
+           CAST(5 * ((sh - dw) / 7) + LEAST(dw + 1, 5) AS BIGINT)
              AS busday_seq
-    FROM s ORDER BY day
+    FROM m ORDER BY day
     """,
 )
 def q368_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -524,8 +524,12 @@ def inferred_dim_members(
     fact is never rewritten.
     """
     defaults = dict(defaults or {})
+    # NULL foreign keys mean "no parent", not "late parent": a NULL
+    # placeholder row could never be joined to or backfilled (NULL
+    # never equi-matches), so it would pollute the dim forever.
     missing = (
         fact.select(F.col(fact_key).alias(dim_key))
+        .filter(F.col(dim_key).isNotNull())
         .distinct()
         .join(dim.select(dim_key), dim_key, "left_anti")
     )

@@ -258,11 +258,18 @@ def write_fixed_width(
     colspecs: list[tuple[str, int]],
 ) -> None:
     """Fixed-width flat-file sink: each column rendered into its
-    ``width`` byte field — left-justified space-padded, TRUNCATED at
-    width (the mainframe/COBOL copybook convention legacy ETL feeds
-    speak; the reference's JDBC world ships such extracts nightly).
-    NULL renders as all spaces. All JVM-side (concat/rpad/substr); one
-    text file per partition — a plain distributed text write.
+    ``width``-CHARACTER field — left-justified space-padded, TRUNCATED
+    at width (the copybook convention legacy ETL feeds speak; the
+    reference's JDBC world ships such extracts nightly). NULL renders
+    as all spaces. All JVM-side (concat/rpad/substr); one text file
+    per partition — a plain distributed text write.
+
+    Two sharp edges of the format itself, not hidden by this writer:
+    widths count CHARACTERS — for byte-positioned (EBCDIC/mainframe)
+    consumers keep the data ASCII, since a multibyte UTF-8 value
+    shifts every later field's byte offset; and a NUMERIC value wider
+    than its field truncates into a DIFFERENT number (size numeric
+    fields to the domain's max width — the copybook author's job).
 
     ``colspecs``: ordered (column, width) pairs.
     """
@@ -310,35 +317,66 @@ def read_incremental(
     df: DataFrame,
     bookmark_dir: str,
     ts_col: str,
+    advance: bool = True,
 ) -> DataFrame:
     """High-water-mark incremental extract: return only rows with
-    ``ts_col`` STRICTLY ABOVE the persisted bookmark, then advance the
-    bookmark to the new maximum — the classic ETL tail-pickup every
-    nightly JDBC/file ingest runs (the reference's domain: repeated
-    extracts from a live source without re-reading history).
+    ``ts_col`` STRICTLY ABOVE the persisted bookmark — the classic ETL
+    tail-pickup every nightly JDBC/file ingest runs (the reference's
+    domain: repeated extracts from a live source without re-reading
+    history).
 
     The bookmark is a 1-row parquet table at ``bookmark_dir`` (absent =
-    cold start = everything qualifies). Correctness contract shared by
-    every watermark extract: ``ts_col`` must be monotonic-at-source
-    for committed rows (late rows BELOW the bookmark are invisible —
-    that's what CDC (q350) is for; this operator is the cheap path for
-    append-only sources). Strictly-above semantics make a re-run with
-    no new data a clean zero-row no-op, and the bookmark only advances
-    when new rows exist.
+    cold start = everything qualifies; any OTHER read failure raises —
+    swallowing it would silently re-extract all of history).
+    Correctness contract shared by every watermark extract: ``ts_col``
+    must be monotonic-at-source for committed rows (late rows BELOW
+    the bookmark are invisible — that's what CDC (q350) is for; this
+    operator is the cheap path for append-only sources).
+    Strictly-above semantics make a re-run with no new data a clean
+    zero-row no-op, and the bookmark only advances when new rows exist.
+
+    Delivery semantics — pick per pipeline:
+    - ``advance=True`` (default): bookmark advances IN THIS CALL,
+      before the caller lands the batch — AT-MOST-ONCE. A downstream
+      failure after this call skips the batch on retry. Use when the
+      downstream sink is fire-and-forget or dedups anyway.
+    - ``advance=False``: extract only; call :func:`advance_bookmark`
+      AFTER the downstream commit — AT-LEAST-ONCE (a crash between
+      commit and advance re-delivers the batch; pair with an
+      idempotent/keyed sink such as merge_by_pk for exactly-once).
 
     One filter scan + one 1-row max aggregate; the returned frame is
     localCheckpoint-pinned so callers can read it after the next
     bookmark write.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         bm = spark.read.parquet(bookmark_dir).collect()[0]["bookmark"]
-    except Exception:
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
         bm = None
     new = df.filter(F.col(ts_col) > F.lit(bm)) if bm is not None else df
     new = new.localCheckpoint(eager=True)
-    hi = new.agg(F.max(ts_col).alias("bookmark")).collect()[0]["bookmark"]
+    if advance:
+        advance_bookmark(spark, new, bookmark_dir, ts_col)
+    return new
+
+
+def advance_bookmark(
+    spark: SparkSession,
+    batch: DataFrame,
+    bookmark_dir: str,
+    ts_col: str,
+) -> None:
+    """Persist max(``ts_col``) of ``batch`` as the new bookmark (no-op
+    on an empty batch — the bookmark never regresses or vanishes).
+    The commit half of the two-phase ``read_incremental(advance=False)``
+    pattern: call it only after the batch has landed downstream."""
+    hi = batch.agg(F.max(ts_col).alias("bookmark")).collect()[0]["bookmark"]
     if hi is not None:
         spark.createDataFrame(
-            [(hi,)], schema=new.select(F.col(ts_col).alias("bookmark")).schema
+            [(hi,)],
+            schema=batch.select(F.col(ts_col).alias("bookmark")).schema,
         ).write.mode("overwrite").parquet(bookmark_dir)
-    return new

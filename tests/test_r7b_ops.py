@@ -312,3 +312,11 @@ def test_qini_no_control_prefix_is_null(spark):
     ).collect()
     assert rows[0]["qini"] is None  # no control units seen yet
     assert rows[1]["qini"] is not None
+
+
+def test_hits_zero_iterations_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iterations"):
+        hits(df, iterations=0)

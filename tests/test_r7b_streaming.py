@@ -167,3 +167,13 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
     assert 2 not in ids and 1 not in ids
     assert ids == [3, 5]  # cosine order among different-label rows
     assert all(r["rank"] == i + 1 for i, r in enumerate(out))
+
+
+def test_inferred_members_null_fk_not_inferred(spark):
+    from etl_java_spark.sinks.writers import inferred_dim_members
+
+    dim = spark.createDataFrame([(1, "a")], "k long, name string")
+    fact = spark.createDataFrame([(1,), (None,), (7,)], "fk long")
+    out = inferred_dim_members(dim, fact, "k", "fk").collect()
+    keys = [r["k"] for r in out]
+    assert None not in keys and sorted(keys) == [1, 7]

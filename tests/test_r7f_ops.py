@@ -125,3 +125,38 @@ def test_merge_by_pk_evolve_cold_start(spark, tmp_path):
     updates = spark.createDataFrame([(1, "a")], "k long, s string")
     merge_by_pk_evolve(spark, updates, path, ["k"])
     assert spark.read.parquet(path).collect()[0]["s"] == "a"
+
+
+def test_business_days_pre_1970_floor_mod(spark):
+    """Sign-following % would return 7 here; floor-mod returns 5
+    (review finding — both engines shared the flaw)."""
+    df = spark.createDataFrame([("1969-12-26", "1970-01-02")], "a string, b string")
+    got = df.select(business_days_between(
+        F.col("a").cast("date"), F.col("b").cast("date")).alias("bd")
+    ).collect()[0]["bd"]
+    assert got == _py_busdays(dt.date(1969, 12, 26), dt.date(1970, 1, 2))
+    assert got == 5
+
+
+def test_business_days_pre_1970_weekend_holiday(spark):
+    """1969-12-27 was a Saturday: listing it must not change the count
+    (the sign-following form misclassified pre-1970 weekends)."""
+    df = spark.createDataFrame([("1969-12-22", "1969-12-31")], "a string, b string")
+    plain = df.select(business_days_between(
+        F.col("a").cast("date"), F.col("b").cast("date")).alias("bd")
+    ).collect()[0]["bd"]
+    with_sat = df.select(business_days_between(
+        F.col("a").cast("date"), F.col("b").cast("date"), ["1969-12-27"]
+    ).alias("bd")).collect()[0]["bd"]
+    assert plain == with_sat == _py_busdays(
+        dt.date(1969, 12, 22), dt.date(1969, 12, 31)
+    )
+
+
+def test_business_days_sql_twin_pre_1970():
+    import duckdb
+
+    from etl_java_spark.functions.dates import business_days_between_sql
+
+    expr = business_days_between_sql("DATE '1969-12-26'", "DATE '1970-01-02'")
+    assert duckdb.sql(f"SELECT {expr} AS bd").fetchone()[0] == 5

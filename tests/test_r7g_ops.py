@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from etl_java_spark.operators.dq import dp_noisy_counts
 from etl_java_spark.operators.sampling import key_bucket, negative_samples
+from etl_java_spark.operators.sketch import misra_gries_summary
 
 
 def _frames(spark):
@@ -123,3 +124,22 @@ def test_dp_noise_distribution_is_centered(spark):
     noises = [r["n_noisy"] - r["n_true"] for r in rows]
     assert min(noises) < 0 < max(noises)
     assert abs(sum(noises) / len(noises)) < 0.3
+
+
+def test_dp_negative_group_key_still_releases(spark):
+    """Signed surrogate keys must not ship NULL counts (review
+    finding: the sign-following hash input escaped ln's domain)."""
+    df = spark.createDataFrame([("a", -5, 1)], "g string, k long, x long")
+    r = dp_noisy_counts(df, "g", "k", epsilon=1.0).collect()[0]
+    assert r["n_noisy"] is not None
+
+
+def test_mg_null_keys_excluded_and_bound_over_nonnull(spark):
+    rows = [(None,)] * 40 + [(1,)] * 30 + [(int(i),) for i in range(100, 130)]
+    df = spark.createDataFrame(rows, "key long").repartition(5)
+    est = {r["key"]: r["est"]
+           for r in misra_gries_summary(df, "key", k=8).collect()}
+    assert None not in est
+    n_nonnull = 60
+    assert 1 in est  # 30 > 60/9: guaranteed over the non-null stream
+    assert est[1] <= 30 and 30 - est[1] <= n_nonnull / 9 + 1e-9

@@ -52,3 +52,22 @@ def test_hwm_equal_timestamp_rows_not_repeated(spark, tmp_path):
     )
     out = read_incremental(spark, df, bm, "ts")
     assert [r["k"] for r in out.collect()] == [3]
+
+
+def test_hwm_two_phase_advance(spark, tmp_path):
+    """advance=False leaves the bookmark untouched until the explicit
+    commit — the at-least-once half of the delivery contract."""
+    from etl_java_spark.sources.readers import advance_bookmark
+
+    bm = str(tmp_path / "bm")
+    read_incremental(spark, _df(spark, [1, 2]), bm, "ts")
+    batch = read_incremental(spark, _df(spark, [1, 2, 3]), bm, "ts",
+                             advance=False)
+    assert [r["k"] for r in batch.collect()] == [3]
+    # not advanced: a re-extract re-delivers the same batch
+    again = read_incremental(spark, _df(spark, [1, 2, 3]), bm, "ts",
+                             advance=False)
+    assert [r["k"] for r in again.collect()] == [3]
+    advance_bookmark(spark, batch, bm, "ts")
+    done = read_incremental(spark, _df(spark, [1, 2, 3]), bm, "ts")
+    assert done.count() == 0

@@ -54,3 +54,29 @@ def test_date_spine_busday_seq_increments_on_weekdays_only(spark):
     for prev, cur in zip(rows, rows[1:]):
         step = cur["busday_seq"] - prev["busday_seq"]
         assert step == (0 if cur["is_weekend"] else 1), cur["day"]
+
+
+def test_nest_children_sort_only_order_col(spark):
+    """An order column NOT exported in child_cols must still drive the
+    sort (review finding: it was silently dropped)."""
+    parent = spark.createDataFrame([(1,)], "k long")
+    child = spark.createDataFrame(
+        [(1, 1, "z"), (1, 2, "a")], "k long, line long, sku string"
+    )
+    out = nest_children(parent, child, "k", ["sku"], ["line"]).collect()[0]
+    assert [x["sku"] for x in out["items"]] == ["z", "a"]  # line order
+    assert list(out["items"][0].asDict()) == ["sku"]  # sort field stripped
+
+
+def test_date_spine_pre_1970(spark):
+    rows = {r["day"]: r for r in
+            date_spine(spark, "1969-12-26", "1970-01-02").collect()}
+    # 1969-12-26 was a Friday; 1969-12-28 a Sunday
+    assert rows[dt.date(1969, 12, 26)]["weekday"] == 4
+    assert rows[dt.date(1969, 12, 28)]["weekday"] == 6
+    assert rows[dt.date(1969, 12, 28)]["is_weekend"]
+    # busday_seq still increments only on weekdays across the epoch
+    days = sorted(rows)
+    for a, b in zip(days, days[1:]):
+        step = rows[b]["busday_seq"] - rows[a]["busday_seq"]
+        assert step == (0 if rows[b]["is_weekend"] else 1), b
