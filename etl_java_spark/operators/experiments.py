@@ -581,3 +581,54 @@ def ips_policy_value(
             F.col("__sw") > 0.0, F.col("__syw") / F.col("__sw")
         ).alias("snips_value"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_samples: int,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split a sampling
+    budget across strata proportionally to N_h * sigma_h (stratum size
+    x population std) — the survey-design classic that minimizes the
+    estimator's variance for a fixed budget; proportional-to-size
+    allocation over-samples homogeneous strata and starves volatile
+    ones.
+
+    One grouped pass computes exact decimal (n, sum, sum-of-squares)
+    per stratum; sigma_h = sqrt((S2 - S1^2/N)/N) is IEEE-exact over
+    those; the weights are fixed-point-scaled (ROUND(N_h * sigma_h *
+    weight_scale) — integers, so the largest-remainder split in
+    transforms.prorate_integer applies and the allocations are
+    INTEGERS that sum to EXACTLY ``total_samples``). Zero-variance
+    strata weigh 0 (one sample tells you everything about a constant
+    stratum — the textbook behavior; guard with a floor upstream if
+    operational coverage demands it).
+
+    Returns (stratum, n_rows, sigma, alloc).
+    """
+    from .transforms import prorate_integer
+
+    v = F.col(value_col).cast("decimal(28,4)")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(v).alias("__s1"),
+        F.sum((v * v).cast("decimal(38,8)")).alias("__s2"),
+    )
+    var = (
+        F.col("__s2").cast("double")
+        - F.col("__s1").cast("double") * F.col("__s1").cast("double")
+        / F.col("n_rows").cast("double")
+    ) / F.col("n_rows").cast("double")
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    weighted = per.select(
+        "stratum", "n_rows", sigma.alias("sigma"),
+        F.round(F.col("n_rows").cast("double") * sigma * F.lit(weight_scale))
+        .cast("long")
+        .alias("__w"),
+        F.lit("all").alias("__g"),
+    )
+    out = prorate_integer(weighted, ["__g"], "__w", total_samples, "stratum")
+    return out.select("stratum", "n_rows", "sigma", "alloc")

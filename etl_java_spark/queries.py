@@ -18578,6 +18578,70 @@ def q368_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return date_spine(spark, "2024-01-01", "2024-03-31").orderBy("day")
 
 
+@_q(
+    "q369_neyman_allocation",
+    """
+    WITH per AS (
+      SELECT c_mktsegment AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS s1,
+             SUM(CAST(CAST(c_acctbal AS DECIMAL(28,4))
+                      * CAST(c_acctbal AS DECIMAL(28,4))
+                      AS DECIMAL(38,8))) AS s2
+      FROM customer GROUP BY 1
+    ), sg AS (
+      SELECT stratum, n_rows,
+             SQRT(GREATEST(
+               (CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  / CAST(n_rows AS DOUBLE)) / CAST(n_rows AS DOUBLE),
+               0.0)) AS sigma
+      FROM per
+    ), w AS (
+      SELECT stratum, n_rows, sigma,
+             CAST(ROUND(CAST(n_rows AS DOUBLE) * sigma * 1000000.0)
+                  AS BIGINT) AS wt
+      FROM sg
+    ), t AS (
+      SELECT *, SUM(wt) OVER () AS tw FROM w
+    ), s AS (
+      SELECT stratum, n_rows, sigma, wt, tw,
+             CASE WHEN tw > 0 THEN (1000 * wt) // tw ELSE 0 END AS base,
+             CASE WHEN tw > 0 THEN (1000 * wt) % tw ELSE 0 END AS rem
+      FROM t
+    ), r AS (
+      SELECT *,
+             1000 - SUM(base) OVER () AS deficit,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+      FROM s
+    )
+    SELECT stratum, n_rows, ROUND(sigma, 8) AS sigma,
+           CAST(CASE WHEN tw <= 0 THEN 0
+                ELSE base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END END
+                AS BIGINT) AS alloc
+    FROM r ORDER BY stratum
+    """,
+)
+def q369_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling design (experiments.
+    neyman_allocation): a 1000-sample budget split across market
+    segments proportionally to N_h x sigma_h — variance-minimizing
+    survey allocation, with the largest-remainder split
+    (transforms.prorate_integer) making the integer allocations sum
+    to EXACTLY 1000. Exact decimal moments; sigma is one IEEE sqrt;
+    fixed-point weights keep the proration pure int64."""
+    from .operators.experiments import neyman_allocation
+
+    c = _t(spark, sf_dir, "customer")
+    out = neyman_allocation(c, "c_mktsegment", "c_acctbal", 1000)
+    return out.select(
+        # 8 dp: sigma is sqrt of a deep double tree and measured a
+        # 1-ulp cross-engine split at sf0.01 (the fixed-point WEIGHTS
+        # absorb it before proration; only the display needs rounding)
+        "stratum", "n_rows", F.round("sigma", 8).alias("sigma"), "alloc"
+    ).orderBy("stratum")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -18639,7 +18703,7 @@ _PRIORITY = [
     "q358_inferred_members", "q359_rolling_corr", "q360_pareto_frontier",
     "q361_topn_other", "q362_merge_evolve", "q363_business_days",
     "q364_negative_sampling", "q365_dp_counts", "q366_high_water_mark",
-    "q367_nested_export", "q368_date_spine",
+    "q367_nested_export", "q368_date_spine", "q369_neyman_allocation",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",

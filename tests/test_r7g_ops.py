@@ -143,3 +143,46 @@ def test_mg_null_keys_excluded_and_bound_over_nonnull(spark):
     n_nonnull = 60
     assert 1 in est  # 30 > 60/9: guaranteed over the non-null stream
     assert est[1] <= 30 and 30 - est[1] <= n_nonnull / 9 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation
+
+
+def test_neyman_matches_python_and_sums_exactly(spark):
+    import math as _m
+
+    from etl_java_spark.operators.experiments import neyman_allocation
+
+    rows = (
+        [("tight", 100.0 + (i % 3) * 0.5) for i in range(50)]
+        + [("wide", 100.0 + (i % 20) * 25.0) for i in range(50)]
+        + [("const", 42.0) for _ in range(30)]
+    )
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "s", "v", 200).collect()}
+    assert sum(r["alloc"] for r in out.values()) == 200
+    # python reference sigmas
+    def sigma(vals):
+        n = len(vals)
+        m = sum(vals) / n
+        return _m.sqrt(sum((x - m) ** 2 for x in vals) / n)
+    by = {}
+    for s, v in rows:
+        by.setdefault(s, []).append(v)
+    for s, vals in by.items():
+        assert abs(out[s]["sigma"] - sigma(vals)) < 1e-9, s
+    # zero-variance stratum gets nothing; the volatile one dominates
+    assert out["const"]["alloc"] == 0
+    assert out["wide"]["alloc"] > out["tight"]["alloc"]
+    # weights prop to N*sigma: check the split against the reference
+    ws = {s: round(len(v) * sigma(v) * 1e6) for s, v in by.items()}
+    tw = sum(ws.values())
+    base = {s: (200 * w) // tw for s, w in ws.items()}
+    rem = sorted(((200 * ws[s]) % tw, s) for s in ws)
+    deficit = 200 - sum(base.values())
+    want = dict(base)
+    for _, s in sorted(rem, key=lambda t: (-t[0], t[1]))[:deficit]:
+        want[s] += 1
+    assert {s: out[s]["alloc"] for s in want} == want
