@@ -975,6 +975,7 @@ def source_divergence(
     text_col: str,
     group_col: str,
     token_pattern: str = "[^a-z0-9]+",
+    min_count: int = 1,
 ) -> DataFrame:
     """Pairwise distribution distance between each pair of corpus
     sources' unigram token distributions — the "are these slices the
@@ -995,18 +996,28 @@ def source_divergence(
     table is built by unioning the two sides' token sets (no full-outer
     gymnastics) and left-joining both count columns, 0-coalesced.
 
+    Scale knob: the pair-term table is O(pairs x union vocabulary) —
+    at web scale (1e8-term vocab x hundreds of source pairs) raise
+    ``min_count`` to floor the per-source vocabulary (the standard
+    head-vocabulary truncation; totals are computed BEFORE the floor,
+    so the retained probabilities stay exact and the dropped tail
+    biases both metrics DOWN by at most the tail mass, symmetric
+    across the pair — a deterministic, documented truncation, not a
+    silent one).
+
     Returns (source_a, source_b, n_terms, tv, hellinger) per unordered
     pair.
     """
     toks = F.array_remove(
         F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
     )
-    tf = (
+    tf_all = (
         df.select(F.col(group_col).alias("g"), F.explode(toks).alias("t"))
         .groupBy("g", "t")
         .agg(F.count("*").alias("c"))
     )
-    tot = tf.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    tf = tf_all.filter(F.col("c") >= min_count)
+    tot = tf_all.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
     srcs = tot.select(F.col("g").alias("a"))
     pairs = srcs.crossJoin(tot.select(F.col("g").alias("b"))).filter(
         F.col("a") < F.col("b")

@@ -165,3 +165,23 @@ def test_ips_never_matched_snips_null(spark):
     r = ips_policy_value(df, "action", "y", "target", "p").collect()[0]
     assert r["ips_value"] == 0.0
     assert r["snips_value"] is None
+
+
+def test_source_divergence_min_count_floor(spark):
+    """The vocabulary floor drops tail terms symmetrically; retained
+    probabilities stay exact (totals pre-floor), so identical sources
+    still read 0 and the floored TV never exceeds the unfloored."""
+    a = ["x x x y", "x z"]
+    b = ["x x w w", "x z"]
+    rows = [("A", d) for d in a] + [("B", d) for d in b]
+    df = spark.createDataFrame(rows, "source string, text string")
+    full = source_divergence(df, "text", "source").collect()[0]
+    floored = source_divergence(df, "text", "source", min_count=2).collect()[0]
+    assert floored["n_terms"] < full["n_terms"]
+    assert floored["tv"] <= full["tv"] + 1e-15
+    same = spark.createDataFrame(
+        [("A", d) for d in a] + [("B", d) for d in a],
+        "source string, text string",
+    )
+    r = source_divergence(same, "text", "source", min_count=2).collect()[0]
+    assert r["tv"] == 0.0
