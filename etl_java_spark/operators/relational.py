@@ -639,6 +639,7 @@ def pareto_frontier_2d(
     id_col: str,
     minimize_x: bool = True,
     maximize_y: bool = True,
+    x_bucket: Column | None = None,
 ) -> DataFrame:
     """2-D Pareto frontier (skyline): the rows NOT dominated by any
     other row — dominance = at-least-as-good on both objectives and
@@ -646,33 +647,66 @@ def pareto_frontier_2d(
     price/quality tradeoff readout behind vendor selection, config
     tuning, offer design).
 
-    Sort-based, not the O(n^2) dominance self-join: order by
-    (x "better" first, then y "better" first); a row survives iff its
-    y STRICTLY beats the running best y over all rows sorted before
-    it. Ties on both coordinates: all co-located optimal rows survive
-    (handled by comparing against the PREVIOUS-x running best, so a
-    duplicate point doesn't eliminate its twin). One ordered window;
-    at warehouse scale pre-shrink per x-bucket first (keep each
-    bucket's best y — map-side, then the global pass runs over bucket
-    winners: the two-phase discipline).
+    Sort-based, not the O(n^2) dominance self-join: a row survives iff
+    its y STRICTLY beats the best y over all STRICTLY-better-x rows
+    (computed from a per-distinct-x winner table, so co-located
+    duplicate points co-survive) AND it achieves its own x's best y.
+
+    The running best over distinct x values is two-phase when
+    ``x_bucket`` is given (an order-consistent coarse prefix of x,
+    e.g. ``F.floor(F.col("price") / 100)`` — the assign_global_ids
+    bucket contract): per-bucket bests reduce map-side, the ONLY
+    global ordered window runs over the metadata-sized bucket table,
+    and each x's strictly-before best combines the previous buckets'
+    running best with a bucket-local window. Without ``x_bucket`` the
+    window runs over the distinct-x table directly — fine when x has
+    a bounded domain (prices, grades), not for continuous x at
+    warehouse scale.
 
     Returns the frontier rows (original columns), sorted by x.
     """
     sx = F.col(x_col).asc() if minimize_x else F.col(x_col).desc()
     ybetter = (lambda a, b: a > b) if maximize_y else (lambda a, b: a < b)
+    besty = (lambda c: F.max(c)) if maximize_y else (lambda c: F.min(c))
     # strictly-better-x running best: exclude SAME-x rows from the
     # comparison so equal points can co-survive — track the best y over
     # rows with strictly better x via a per-x-group pre-aggregate
-    gx = df.groupBy(x_col).agg(
-        (F.max(y_col) if maximize_y else F.min(y_col)).alias("__gy")
-    )
-    w_x = (
-        Window.orderBy(sx).rowsBetween(Window.unboundedPreceding, -1)
-    )
-    gbest = gx.withColumn(
-        "__best_before",
-        F.max("__gy").over(w_x) if maximize_y else F.min("__gy").over(w_x),
-    )
+    gx = df.groupBy(x_col).agg(besty(F.col(y_col)).alias("__gy"))
+    if x_bucket is None:
+        w_x = Window.orderBy(sx).rowsBetween(Window.unboundedPreceding, -1)
+        gbest = gx.withColumn("__best_before", besty(F.col("__gy")).over(w_x))
+    else:
+        bx = gx.withColumn("__bkt", x_bucket)
+        sb = F.col("__bkt").asc() if minimize_x else F.col("__bkt").desc()
+        per_bkt = bx.groupBy("__bkt").agg(besty(F.col("__gy")).alias("__by"))
+        w_b = Window.orderBy(sb).rowsBetween(Window.unboundedPreceding, -1)
+        # best over all STRICTLY-EARLIER buckets — a window on the
+        # metadata-sized bucket table only
+        prev_bkts = per_bkt.withColumn(
+            "__prev", besty(F.col("__by")).over(w_b)
+        ).select("__bkt", "__prev")
+        w_in = (
+            Window.partitionBy("__bkt")
+            .orderBy(sx)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        gbest = (
+            bx.join(F.broadcast(prev_bkts), "__bkt")
+            .withColumn("__in", besty(F.col("__gy")).over(w_in))
+            .withColumn(
+                "__best_before",
+                F.when(
+                    F.col("__prev").isNull(), F.col("__in")
+                ).when(
+                    F.col("__in").isNull(), F.col("__prev")
+                ).otherwise(
+                    F.greatest("__prev", "__in")
+                    if maximize_y
+                    else F.least("__prev", "__in")
+                ),
+            )
+            .drop("__bkt", "__prev", "__in")
+        )
     joined = df.join(gbest.select(x_col, "__gy", "__best_before"), x_col)
     survives = (
         F.col("__best_before").isNull()

@@ -18137,6 +18137,10 @@ def q360_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pareto_frontier_2d(
         p, "p_retailprice", "p_size", "p_partkey",
         minimize_x=True, maximize_y=True,
+        # two-phase running best: the only global ordered window runs
+        # over ~price/100 buckets (metadata), never the distinct-price
+        # table (q244 discipline: the scale path IS the code)
+        x_bucket=F.floor(F.col("p_retailprice") / F.lit(100.0)),
     )
     return out.select(
         "p_partkey", "p_retailprice", F.col("p_size").cast("long")

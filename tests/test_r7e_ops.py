@@ -94,3 +94,22 @@ def test_topn_other_tie_break_by_key(spark):
     out = topn_with_other(df, "k", F.sum("v"), n=2).collect()
     ranks = {r["key"]: r["rank"] for r in out}
     assert ranks == {"a": 1, "m": 2, "OTHER": 3}
+
+
+def test_pareto_bucketed_matches_unbucketed(spark):
+    """The two-phase bucketed running best is result-identical to the
+    global-window path on every direction combination."""
+    import random
+
+    rnd = random.Random(7)
+    pts = [(i, float(rnd.randint(0, 300)), rnd.randint(0, 50))
+           for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, x double, y long")
+    for mx in (True, False):
+        for my in (True, False):
+            a = sorted(r["id"] for r in pareto_frontier_2d(
+                df, "x", "y", "id", minimize_x=mx, maximize_y=my).collect())
+            b = sorted(r["id"] for r in pareto_frontier_2d(
+                df, "x", "y", "id", minimize_x=mx, maximize_y=my,
+                x_bucket=F.floor(F.col("x") / 40)).collect())
+            assert a == b, (mx, my)
