@@ -1377,3 +1377,54 @@ def dp_noisy_counts(
         "n_true",
         (F.col("n_true").cast("double") + noise).alias("n_noisy"),
     )
+
+
+def duplicate_transactions(
+    df: DataFrame,
+    key_cols: list[str],
+    amount,
+    ts_col: str,
+    id_col: str,
+    window_days: int = 30,
+) -> DataFrame:
+    """Duplicate-transaction audit: pairs of records with the SAME
+    match key (entity + amount — pass a banded/rounded ``amount``
+    expression for near-amount matching) whose timestamps fall within
+    ``window_days`` of each other — the finance-controls classic
+    behind duplicate-invoice/double-charge detection, where an exact
+    PK dedup finds nothing because the ids legitimately differ.
+
+    Sorted-neighborhood in time, expressed as one LAG window per match
+    key: each record is paired with its immediate predecessor in
+    (ts, id) order within the (key, amount) group — duplicates are
+    overwhelmingly time-adjacent, and a chain of k duplicates emits
+    its k-1 adjacent pairs (enough to flag the chain; the full
+    transitive set is a groupBy away). One shuffle on the match key;
+    no self-join, no time-range explosion. Deterministic: total
+    (ts, id) order.
+
+    Returns (key_cols..., match_amount, id_a, id_b, ts_a, ts_b,
+    gap_days) with id_a the earlier record.
+    """
+    amt = amount if isinstance(amount, Column) else F.col(amount)
+    grp = [F.col(c) for c in key_cols] + [amt.alias("match_amount")]
+    # the window runs over the RENAMED projection below
+    w = Window.partitionBy(*key_cols, "match_amount").orderBy(
+        F.col("ts_b").asc(), F.col("id_b").asc()
+    )
+    staged = df.select(
+        *grp,
+        F.col(ts_col).alias("ts_b"),
+        F.col(id_col).alias("id_b"),
+    ).withColumn("id_a", F.lag("id_b").over(w)).withColumn(
+        "ts_a", F.lag("ts_b").over(w)
+    )
+    return staged.filter(
+        F.col("id_a").isNotNull()
+        & (F.datediff(F.col("ts_b"), F.col("ts_a")) <= window_days)
+    ).select(
+        *key_cols, "match_amount", "id_a", "id_b", "ts_a", "ts_b",
+        F.datediff(F.col("ts_b"), F.col("ts_a")).cast("long").alias(
+            "gap_days"
+        ),
+    )

@@ -18646,6 +18646,49 @@ def q369_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stratum")
 
 
+@_q(
+    "q370_duplicate_transactions",
+    """
+    WITH l AS (
+      SELECT o_custkey,
+             CAST(FLOOR(o_totalprice / 500) AS BIGINT) AS match_amount,
+             o_orderdate AS ts_b, o_orderkey AS id_b,
+             LAG(o_orderkey) OVER w AS id_a,
+             LAG(o_orderdate) OVER w AS ts_a
+      FROM orders
+      WINDOW w AS (
+        PARTITION BY o_custkey, CAST(FLOOR(o_totalprice / 500) AS BIGINT)
+        ORDER BY o_orderdate, o_orderkey
+      )
+    )
+    SELECT o_custkey, match_amount, id_a, id_b, ts_a, ts_b,
+           CAST(date_diff('day', ts_a, ts_b) AS BIGINT) AS gap_days
+    FROM l
+    WHERE id_a IS NOT NULL AND date_diff('day', ts_a, ts_b) <= 90
+    ORDER BY id_b
+    """,
+)
+def q370_duplicate_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-transaction audit (dq.duplicate_transactions): orders
+    from the same customer in the same $500 price band within 90 days
+    — the duplicate-invoice/double-charge control where exact-PK dedup
+    finds nothing (ids legitimately differ). Sorted-neighborhood in
+    time: one LAG window per match key, no self-join, no time-range
+    explosion."""
+    from .operators.dq import duplicate_transactions
+
+    o = _t(spark, sf_dir, "orders")
+    out = duplicate_transactions(
+        o,
+        ["o_custkey"],
+        F.floor(F.col("o_totalprice") / 500).cast("long"),
+        "o_orderdate",
+        "o_orderkey",
+        window_days=90,
+    )
+    return out.orderBy("id_b")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -18708,6 +18751,7 @@ _PRIORITY = [
     "q361_topn_other", "q362_merge_evolve", "q363_business_days",
     "q364_negative_sampling", "q365_dp_counts", "q366_high_water_mark",
     "q367_nested_export", "q368_date_spine", "q369_neyman_allocation",
+    "q370_duplicate_transactions",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",

@@ -14,7 +14,7 @@ SMOKE = [n for n in Q.QUERIES if not n.startswith(("q50", "q54", "q55"))]
 
 # legitimately empty at sf0.001 (still oracle-checked for exact
 # agreement): the 200-part price k-NN graph has no 4-core.
-MAY_BE_EMPTY_AT_SMOKE = {"q215_k_core", "q347_local_clustering"}
+MAY_BE_EMPTY_AT_SMOKE = {"q215_k_core", "q347_local_clustering", "q370_duplicate_transactions"}
 
 
 @pytest.mark.parametrize("name", SMOKE)

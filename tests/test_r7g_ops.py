@@ -186,3 +186,33 @@ def test_neyman_matches_python_and_sums_exactly(spark):
     for _, s in sorted(rem, key=lambda t: (-t[0], t[1]))[:deficit]:
         want[s] += 1
     assert {s: out[s]["alloc"] for s in want} == want
+
+
+# ---------------------------------------------------------------------------
+# duplicate transactions
+
+
+def test_duplicate_transactions_pairs_and_chain(spark):
+    import datetime as _dt
+
+    from etl_java_spark.operators.dq import duplicate_transactions
+
+    d = lambda day: _dt.datetime(2024, 1, day)  # noqa: E731
+    rows = [
+        # chain of three same-amount charges within the window
+        ("c1", 100.0, d(1), 1), ("c1", 100.0, d(5), 2), ("c1", 100.0, d(8), 3),
+        # same amount but outside the window
+        ("c1", 100.0, d(25), 4),
+        # different amount: never paired
+        ("c1", 999.0, d(2), 5),
+        # different customer, same amount/date: never paired
+        ("c2", 100.0, d(1), 6),
+    ]
+    df = spark.createDataFrame(rows, "cust string, amt double, ts timestamp, id long")
+    out = duplicate_transactions(
+        df, ["cust"], "amt", "ts", "id", window_days=10
+    ).collect()
+    pairs = sorted((r["id_a"], r["id_b"]) for r in out)
+    assert pairs == [(1, 2), (2, 3)]  # chain emits adjacent pairs only
+    gaps = {(r["id_a"], r["id_b"]): r["gap_days"] for r in out}
+    assert gaps == {(1, 2): 4, (2, 3): 3}
