@@ -41,16 +41,18 @@ def weekday_monday0(date_col) -> Column:
     return ((s % 7) + 7) % 7
 
 
-def _weekdays_up_to(date_col) -> Column:
+def weekdays_up_to(date_col) -> Column:
     """Number of weekdays (Mon-Fri) in [1970-01-01, date] inclusive
     (negative prefix count for pre-1970 dates — differences stay
     correct): 5 per completed Monday-started week plus
     min(partial-week position + 1, 5). Pure int64 arithmetic; the
     floor-div is exact because (s - floormod(s, 7)) is a multiple
-    of 7."""
+    of 7. Public (paired with weekdays_up_to_sql) — date_spine's
+    busday_seq shares it."""
     s = _shifted_epoch(date_col)
     m = ((s % 7) + 7) % 7
     return F.lit(5) * (s - m) / 7 + F.least(m + 1, F.lit(5))
+
 
 
 def business_days_between(
@@ -69,7 +71,7 @@ def business_days_between(
     pre-1970 included (floor-mod weekday arithmetic).
     """
     d1, d2 = _c(start_col), _c(end_col)
-    out = (_weekdays_up_to(d2) - _weekdays_up_to(d1)).cast("long")
+    out = (weekdays_up_to(d2) - weekdays_up_to(d1)).cast("long")
     for h in holidays or []:
         hd = F.lit(h).cast("date")
         is_weekday = weekday_monday0(hd) < 5

@@ -1053,7 +1053,7 @@ def source_divergence(
             ).alias("q"),
         )
     )
-    return terms.groupBy(
+    per_pair = terms.groupBy(
         F.col("a").alias("source_a"), F.col("b").alias("source_b")
     ).agg(
         F.count("*").cast("long").alias("n_terms"),
@@ -1071,4 +1071,20 @@ def source_divergence(
                 ).cast("decimal(38,18)")
             ).cast("double")
         ).alias("hellinger"),
+    )
+    # a pair whose EVERY term fell below the floor must still appear
+    # (n_terms = 0, metrics 0.0 over the empty retained support) — the
+    # "one row per unordered pair" contract; dropping it would lose
+    # rows from downstream joins on the pair table
+    return (
+        pairs.select(
+            F.col("a").alias("source_a"), F.col("b").alias("source_b")
+        )
+        .join(per_pair, ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b",
+            F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+            F.coalesce("tv", F.lit(0.0)).alias("tv"),
+            F.coalesce("hellinger", F.lit(0.0)).alias("hellinger"),
+        )
     )

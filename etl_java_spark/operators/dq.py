@@ -1407,6 +1407,15 @@ def duplicate_transactions(
     gap_days) with id_a the earlier record.
     """
     amt = amount if isinstance(amount, Column) else F.col(amount)
+    # NULL keys/amounts are EXCLUDED: PARTITION BY groups NULLs
+    # together (both engines), which would pair unrelated NULL-amount
+    # rows as false duplicates — the same null-key contract as
+    # misra_gries_summary / inferred_dim_members. Coalesce upstream if
+    # NULL should mean something.
+    nn = amt.isNotNull()
+    for c in key_cols:
+        nn = nn & F.col(c).isNotNull()
+    df = df.filter(nn)
     grp = [F.col(c) for c in key_cols] + [amt.alias("match_amount")]
     # the window runs over the RENAMED projection below
     w = Window.partitionBy(*key_cols, "match_amount").orderBy(

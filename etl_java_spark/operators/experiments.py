@@ -623,11 +623,28 @@ def neyman_allocation(
         / F.col("n_rows").cast("double")
     ) / F.col("n_rows").cast("double")
     sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    raw_w = F.round(
+        F.col("n_rows").cast("double") * sigma * F.lit(weight_scale)
+    ).cast("long")
+    # prorate_integer multiplies total * w — guard its int64 contract
+    # IN-PLAN (the resample_gapfill assert pattern: the guard must feed
+    # the selected expression or pruning drops it). Trips only on a
+    # genuinely overflowing stratum; lower weight_scale to proceed.
+    w_cap = (2**63 - 1) // max(total_samples, 1)
+    ok = F.assert_true(
+        raw_w <= F.lit(w_cap),
+        F.concat(
+            F.lit("neyman_allocation: stratum "),
+            F.col("stratum").cast("string"),
+            F.lit(
+                f" weight exceeds int64/total_samples ({w_cap}); "
+                "lower weight_scale"
+            ),
+        ),
+    )
     weighted = per.select(
         "stratum", "n_rows", sigma.alias("sigma"),
-        F.round(F.col("n_rows").cast("double") * sigma * F.lit(weight_scale))
-        .cast("long")
-        .alias("__w"),
+        F.when(ok.isNull(), raw_w).alias("__w"),
         F.lit("all").alias("__g"),
     )
     out = prorate_integer(weighted, ["__g"], "__w", total_samples, "stratum")

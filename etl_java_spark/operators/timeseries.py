@@ -1305,7 +1305,7 @@ def date_spine(
     a calendar is metadata-sized by nature (100 years = 36.5k rows),
     broadcast-joined everywhere it is used.
     """
-    from ..functions.dates import _weekdays_up_to, weekday_monday0
+    from ..functions.dates import weekday_monday0, weekdays_up_to
 
     days = spark.range(1).select(
         F.explode(
@@ -1324,5 +1324,5 @@ def date_spine(
         F.quarter("day").alias("quarter"),
         dow.alias("weekday"),  # 0=Mon .. 6=Sun
         (dow >= 5).alias("is_weekend"),
-        _weekdays_up_to("day").cast("long").alias("busday_seq"),
+        weekdays_up_to("day").cast("long").alias("busday_seq"),
     )

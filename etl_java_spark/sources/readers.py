@@ -354,7 +354,13 @@ def read_incremental(
     try:
         bm = spark.read.parquet(bookmark_dir).collect()[0]["bookmark"]
     except AnalysisException as ex:
-        if "PATH_NOT_FOUND" not in str(ex):
+        # compare the error CLASS, not message text — a wrapped error
+        # whose chained message merely mentions the token must not be
+        # misread as cold start (it would re-deliver all of history)
+        getter = getattr(ex, "getCondition", None) or getattr(
+            ex, "getErrorClass", None
+        )
+        if (getter() if getter else None) != "PATH_NOT_FOUND":
             raise
         bm = None
     new = df.filter(F.col(ts_col) > F.lit(bm)) if bm is not None else df

@@ -185,3 +185,14 @@ def test_source_divergence_min_count_floor(spark):
     )
     r = source_divergence(same, "text", "source", min_count=2).collect()[0]
     assert r["tv"] == 0.0
+
+
+def test_source_divergence_floored_out_pair_still_emitted(spark):
+    """A pair whose every term falls below the floor keeps its row
+    (n_terms = 0, metrics 0.0) — the one-row-per-pair contract."""
+    rows = [("A", "aa bb"), ("B", "cc dd")]  # all counts are 1
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = source_divergence(df, "text", "source", min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_terms"] == 0 and r["tv"] == 0.0 and r["hellinger"] == 0.0

@@ -216,3 +216,36 @@ def test_duplicate_transactions_pairs_and_chain(spark):
     assert pairs == [(1, 2), (2, 3)]  # chain emits adjacent pairs only
     gaps = {(r["id_a"], r["id_b"]): r["gap_days"] for r in out}
     assert gaps == {(1, 2): 4, (2, 3): 3}
+
+
+def test_duplicate_transactions_null_keys_excluded(spark):
+    import datetime as _dt
+
+    from etl_java_spark.operators.dq import duplicate_transactions
+
+    rows = [
+        ("c1", None, _dt.datetime(2024, 1, 1), 1),
+        ("c1", None, _dt.datetime(2024, 1, 2), 2),   # NULL amounts: no pair
+        (None, 5.0, _dt.datetime(2024, 1, 1), 3),
+        (None, 5.0, _dt.datetime(2024, 1, 2), 4),    # NULL key: no pair
+    ]
+    df = spark.createDataFrame(rows, "cust string, amt double, ts timestamp, id long")
+    assert duplicate_transactions(df, ["cust"], "amt", "ts", "id").count() == 0
+
+
+def test_neyman_weight_overflow_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from etl_java_spark.operators.experiments import neyman_allocation
+
+    df = spark.createDataFrame(
+        [("s", float(i % 2) * 1e9) for i in range(4)], "g string, v double"
+    )
+    with pytest.raises(Exception) as ei:
+        # weight_scale large enough that total * w overflows int64
+        neyman_allocation(df, "g", "v", 10**6, weight_scale=10**12).collect()
+    # either the in-plan guard (w <= int64/total) or ANSI's own
+    # CAST_OVERFLOW on the weight column — both are LOUD, never silent
+    msg = str(ei.value)
+    assert "weight exceeds" in msg or "OVERFLOW" in msg.upper()
