@@ -17,7 +17,7 @@ correctly-rounded). No resampling, no approximation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampling import key_bucket
@@ -482,8 +482,6 @@ def qini_table(
     Returns per bucket: (bucket, n_treat, n_ctrl, pos_treat, pos_ctrl,
     uplift_rate, qini).
     """
-    from pyspark.sql import Window
-
     s = F.col(score_col) if isinstance(score_col, str) else score_col
     t = (F.col(treatment_col) if isinstance(treatment_col, str)
          else treatment_col).cast("int")
@@ -649,3 +647,135 @@ def neyman_allocation(
     )
     out = prorate_integer(weighted, ["__g"], "__w", total_samples, "stratum")
     return out.select("stratum", "n_rows", "sigma", "alloc")
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    flag_col,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-group Wilson score interval for a binary rate — the
+    proportion CI every segment dashboard should use instead of the
+    Wald interval (which collapses to width 0 at p-hat 0/1 and
+    undercovers small n; Wilson stays calibrated at the extremes).
+
+        center = (p + z^2/2n) / (1 + z^2/n)
+        half   = z * sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n)
+
+    One grouped integer aggregate (k, n) per group; the interval is a
+    fixed IEEE double expression over exact integers (sqrt is
+    correctly rounded) — deterministic and SQL-replayable. Default z
+    is the two-sided 95% normal quantile.
+
+    Returns (group, n, hits, rate, ci_lo, ci_hi), bounds clamped to
+    [0, 1].
+    """
+    flag = (F.col(flag_col) if isinstance(flag_col, str) else flag_col).cast(
+        "int"
+    )
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(flag).cast("long").alias("hits"),
+    )
+    nn = F.col("n").cast("double")
+    p = F.col("hits").cast("double") / nn
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / nn
+    center = (p + z2 / (F.lit(2.0) * nn)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (F.lit(1.0) - p) / nn + z2 / (F.lit(4.0) * nn * nn))
+        / denom
+    )
+    return per.select(
+        "group", "n", "hits", p.alias("rate"),
+        F.greatest(center - half, F.lit(0.0)).alias("ci_lo"),
+        F.least(center + half, F.lit(1.0)).alias("ci_hi"),
+    )
+
+
+#: Zelen & Severo 26.2.17 coefficients for the normal CDF tail.
+_PHI_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_PHI_P = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def normal_sf(x: Column) -> Column:
+    """Upper-tail normal probability P(Z > x) for x >= 0 — the
+    Zelen-Severo polynomial approximation (|error| < 7.5e-8), built
+    from one exp and a fixed-degree Horner polynomial so BOTH engines
+    evaluate the identical expression tree (no engine erf, which
+    DuckDB lacks and Spark never exposed). Callers ROUND the derived
+    p-values (q180/PSI ln precedent) to absorb exp's last-ulp drift.
+    """
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_PHI_P) * x)
+    poly = F.lit(0.0)
+    for b in reversed(_PHI_B):
+        poly = poly * t + F.lit(b)
+    poly = poly * t
+    pdf = F.lit(_INV_SQRT_2PI) * F.exp(F.lit(-0.5) * x * x)
+    return pdf * poly
+
+
+def normal_sf_sql(x_expr: str) -> str:
+    """DuckDB twin of :func:`normal_sf` (keep in lockstep)."""
+    t = f"(1.0 / (1.0 + {_PHI_P} * ({x_expr})))"
+    poly = "0.0"
+    for b in reversed(_PHI_B):
+        poly = f"(({poly}) * {t} + {b!r})"
+    return (
+        f"({_INV_SQRT_2PI} * EXP(-0.5 * ({x_expr}) * ({x_expr})) "
+        f"* (({poly}) * {t}))"
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    key_cols: list[str],
+    p_col: str,
+    q: float = 0.05,
+    p_round: int = 9,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a table of
+    p-values — the multiple-testing correction a segment-sweep A/B
+    readout needs (testing 25 segments at alpha=0.05 uncorrected
+    expects a false positive per sweep; BH caps the expected FALSE
+    DISCOVERY share at q among whatever it flags).
+
+    Procedure (exactly the 1995 step-up rule): sort p ascending (key
+    tiebreak), rank i of m, find the LARGEST i with p_(i) <= i*q/m,
+    flag ranks up to it. P-values are ROUNDED to ``p_round`` BEFORE
+    the comparison on both engines, so a last-ulp cross-engine p
+    difference can never flip a boundary discovery.
+
+    The ordered windows run over the TEST table (one row per
+    hypothesis — segments, metrics; metadata-sized by nature, the
+    post-aggregate window contract). Returns the input keys plus
+    (p_value, bh_rank, bh_threshold, discovery).
+    """
+    pr = F.round(F.col(p_col), p_round)
+    w = Window.orderBy(pr.asc(), *[F.col(k).asc() for k in key_cols])
+    m = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = df.select(
+        *key_cols, pr.alias("p_value")
+    ).withColumn("bh_rank", F.row_number().over(
+        Window.orderBy(F.col("p_value").asc(),
+                       *[F.col(k).asc() for k in key_cols])
+    )).withColumn("__m", F.count("*").over(m))
+    thresh = (
+        F.col("bh_rank").cast("double") * F.lit(q) / F.col("__m").cast("double")
+    )
+    flagged = ranked.withColumn("__ok", F.col("p_value") <= thresh)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cutoff = F.max(F.when(F.col("__ok"), F.col("bh_rank"))).over(w_all)
+    return flagged.select(
+        *key_cols, "p_value",
+        F.col("bh_rank").cast("long").alias("bh_rank"),
+        thresh.alias("bh_threshold"),
+        F.coalesce(F.col("bh_rank") <= cutoff, F.lit(False)).alias(
+            "discovery"
+        ),
+    )

@@ -18689,6 +18689,168 @@ def q370_duplicate_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_b")
 
 
+def _q371_oracle() -> str:
+    z = 1.959963984540054
+    return f"""
+    WITH resp AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS y
+      FROM orders GROUP BY 1
+    ), per AS (
+      SELECT c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COALESCE(resp.y, 0)) AS BIGINT) AS hits
+      FROM customer LEFT JOIN resp ON o_custkey = c_custkey
+      GROUP BY 1
+    ), s AS (
+      SELECT segment, n, hits,
+             CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(n AS DOUBLE) AS nd
+      FROM per
+    ), w AS (
+      SELECT segment, n, hits, p,
+             (p + {z!r} * {z!r} / (2.0 * nd)) / (1.0 + {z!r} * {z!r} / nd)
+               AS center,
+             {z!r} * SQRT(p * (1.0 - p) / nd
+                          + {z!r} * {z!r} / (4.0 * nd * nd))
+               / (1.0 + {z!r} * {z!r} / nd) AS half
+      FROM s
+    )
+    SELECT segment, n, hits, ROUND(p, 12) AS rate,
+           ROUND(GREATEST(center - half, 0.0), 12) AS ci_lo,
+           ROUND(LEAST(center + half, 1.0), 12) AS ci_hi
+    FROM w ORDER BY segment
+    """
+
+
+@_q("q371_wilson_ci", None)
+def q371_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Wilson score intervals (experiments.wilson_ci) for
+    the urgent-order conversion rate — the proportion CI that stays
+    calibrated at extreme rates and tiny segments, where the Wald
+    interval collapses to zero width. One grouped integer aggregate +
+    a fixed IEEE expression; the oracle replays the same z literal."""
+    from .operators.experiments import wilson_ci
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    resp = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("y")
+    )
+    units = c.join(resp, c.c_custkey == resp.o_custkey, "left").select(
+        "c_mktsegment", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    out = wilson_ci(units, "c_mktsegment", "y")
+    return out.select(
+        F.col("group").alias("segment"), "n", "hits",
+        F.round("rate", 12).alias("rate"),
+        F.round("ci_lo", 12).alias("ci_lo"),
+        F.round("ci_hi", 12).alias("ci_hi"),
+    ).orderBy("segment")
+
+
+ORACLES["q371_wilson_ci"] = _q371_oracle()
+
+
+def _q372_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    sf_abs = normal_sf_sql("ABS(z)")
+    return f"""
+    WITH resp AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS y
+      FROM orders GROUP BY 1
+    ), per AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COALESCE(resp.y, 0)) AS BIGINT) AS hits
+      FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      LEFT JOIN resp ON o_custkey = c_custkey
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS tn, CAST(SUM(hits) AS DOUBLE) AS th
+      FROM per
+    ), zs AS (
+      SELECT n_name,
+             (CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) - th / tn)
+             / SQRT((th / tn) * (1.0 - th / tn) / CAST(n AS DOUBLE)) AS z
+      FROM per CROSS JOIN tot
+    ), ps AS (
+      SELECT n_name, ROUND(2.0 * {sf_abs}, 9) AS p_value FROM zs
+    ), ranked AS (
+      SELECT n_name, p_value,
+             ROW_NUMBER() OVER (ORDER BY p_value ASC, n_name ASC) AS bh_rank,
+             COUNT(*) OVER () AS m
+      FROM ps
+    ), flags AS (
+      SELECT *,
+             (p_value <= CAST(bh_rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE))
+               AS ok
+      FROM ranked
+    ), cut AS (
+      SELECT MAX(CASE WHEN ok THEN bh_rank END) AS cutoff FROM flags
+    )
+    SELECT n_name, p_value, CAST(bh_rank AS BIGINT) AS bh_rank,
+           ROUND(CAST(bh_rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE), 12)
+             AS bh_threshold,
+           COALESCE(bh_rank <= cutoff, FALSE) AS discovery
+    FROM flags CROSS JOIN cut ORDER BY bh_rank
+    """
+
+
+@_q("q372_bh_fdr", None)
+def q372_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (experiments.bh_fdr) over a
+    25-nation sweep of urgent-share z-tests: p-values from the
+    engine-portable Zelen-Severo normal tail (experiments.normal_sf —
+    no erf builtin exists on both engines), rounded BEFORE the step-up
+    comparison so a last-ulp exp drift can never flip a boundary
+    discovery. The uncorrected sweep expects a false positive per 25
+    tests; BH caps the expected false-discovery share at 5%."""
+    from .operators.experiments import bh_fdr, normal_sf
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    resp = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("y")
+    )
+    per = (
+        c.join(n, n.n_nationkey == c.c_nationkey)
+        .join(resp, resp.o_custkey == c.c_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.coalesce("y", F.lit(0))).cast("long").alias("hits"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("double").alias("tn"),
+        F.sum("hits").cast("double").alias("th"),
+    )
+    p0 = F.col("th") / F.col("tn")
+    z = (
+        F.col("hits").cast("double") / F.col("n").cast("double") - p0
+    ) / F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n").cast("double"))
+    ps = per.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_raw"),
+    )
+    out = bh_fdr(ps, ["n_name"], "p_raw", q=0.05, p_round=9)
+    return out.select(
+        "n_name", "p_value", "bh_rank",
+        F.round("bh_threshold", 12).alias("bh_threshold"),
+        "discovery",
+    ).orderBy("bh_rank")
+
+
+ORACLES["q372_bh_fdr"] = _q372_oracle()
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
     #    five r03-err stragglers, then the round-6 wave q250-q294.
@@ -18751,7 +18913,7 @@ _PRIORITY = [
     "q361_topn_other", "q362_merge_evolve", "q363_business_days",
     "q364_negative_sampling", "q365_dp_counts", "q366_high_water_mark",
     "q367_nested_export", "q368_date_spine", "q369_neyman_allocation",
-    "q370_duplicate_transactions",
+    "q370_duplicate_transactions", "q371_wilson_ci", "q372_bh_fdr",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",

@@ -249,3 +249,83 @@ def test_neyman_weight_overflow_raises(spark):
     # CAST_OVERFLOW on the weight column — both are LOUD, never silent
     msg = str(ei.value)
     assert "weight exceeds" in msg or "OVERFLOW" in msg.upper()
+
+
+# ---------------------------------------------------------------------------
+# Wilson CI + BH-FDR
+
+
+def test_wilson_matches_python(spark):
+    import math as _m
+
+    from etl_java_spark.operators.experiments import wilson_ci
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 1 + [("b", 0)] * 9
+    df = spark.createDataFrame(rows, "g string, y int")
+    out = {r["group"]: r for r in wilson_ci(df, "g", "y").collect()}
+
+    def py_wilson(k, n, z=1.959963984540054):
+        p = k / n
+        denom = 1 + z * z / n
+        c = (p + z * z / (2 * n)) / denom
+        h = z * _m.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        return max(c - h, 0.0), min(c + h, 1.0)
+
+    for g, k, n in [("a", 8, 10), ("b", 1, 10)]:
+        lo, hi = py_wilson(k, n)
+        assert abs(out[g]["ci_lo"] - lo) < 1e-12
+        assert abs(out[g]["ci_hi"] - hi) < 1e-12
+        assert out[g]["ci_lo"] <= out[g]["rate"] <= out[g]["ci_hi"]
+
+
+def test_wilson_extreme_rates_nonzero_width(spark):
+    """At p-hat = 0 or 1 the Wald interval is width 0; Wilson is not."""
+    from etl_java_spark.operators.experiments import wilson_ci
+
+    df = spark.createDataFrame([("g", 1)] * 20, "g string, y int")
+    r = wilson_ci(df, "g", "y").collect()[0]
+    assert r["rate"] == 1.0
+    assert r["ci_lo"] < 1.0 and r["ci_hi"] == 1.0
+
+
+def test_normal_sf_accuracy():
+    import math as _m
+
+    from etl_java_spark.operators.experiments import _INV_SQRT_2PI, _PHI_B, _PHI_P
+
+    def py_sf(x):
+        t = 1.0 / (1.0 + _PHI_P * x)
+        poly = 0.0
+        for b in reversed(_PHI_B):
+            poly = poly * t + b
+        poly *= t
+        return _INV_SQRT_2PI * _m.exp(-0.5 * x * x) * poly
+
+    # vs the exact normal tail via erfc
+    for x in [0.0, 0.5, 1.0, 1.645, 1.96, 2.58, 3.5]:
+        exact = 0.5 * _m.erfc(x / _m.sqrt(2.0))
+        assert abs(py_sf(x) - exact) < 7.5e-8, x
+
+
+def test_bh_fdr_step_up_rule(spark):
+    from etl_java_spark.operators.experiments import bh_fdr
+
+    # classic example: m=5, q=0.25 -> thresholds .05,.10,.15,.20,.25
+    rows = [("t1", 0.01), ("t2", 0.04), ("t3", 0.16), ("t4", 0.18), ("t5", 0.9)]
+    df = spark.createDataFrame(rows, "k string, p double")
+    out = {r["k"]: r for r in bh_fdr(df, ["k"], "p", q=0.25).collect()}
+    # largest i with p(i) <= i*q/m is i=4 (0.18 <= 0.20): t1-t4 flagged
+    # even though t3 (0.16 > 0.15) fails its OWN threshold — step-up
+    assert [out[k]["discovery"] for k in ["t1", "t2", "t3", "t4", "t5"]] == [
+        True, True, True, True, False
+    ]
+
+
+def test_bh_fdr_nothing_significant(spark):
+    from etl_java_spark.operators.experiments import bh_fdr
+
+    df = spark.createDataFrame(
+        [(f"t{i}", 0.5 + i / 100) for i in range(5)], "k string, p double"
+    )
+    out = bh_fdr(df, ["k"], "p", q=0.05).collect()
+    assert all(not r["discovery"] for r in out)
