@@ -243,8 +243,11 @@ def calibration_report(
     d = f"decimal(18,{score_scale})"
     s = _c(score_col).cast(d)
     lab = _c(label_col).cast("int")
+    # int64 bin id: the DuckDB oracle emits BIGINT for the same floor
+    # expression; pin the engine side to long so a dtype-strict gate
+    # canonicalizer never sees int32-vs-int64 here (r8 hardening).
     binc = F.least(
-        F.floor(s * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+        F.floor(s * F.lit(n_bins)).cast("long"), F.lit(n_bins - 1).cast("long")
     ).alias("bin")
     per = df.select(binc, s.alias("__s"), lab.alias("__l")).groupBy("bin").agg(
         F.count("*").alias("n"),

@@ -10654,7 +10654,10 @@ def q241_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = per_cust.select(
         "cents",
-        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+        # cast: ntile emits int32; oracle NTILE is int64 — pin both to
+        # int64 so a dtype-strict driver canonicalizer can't flip this red
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey"))
+        .cast("bigint").alias("decile"),
     )
     dec = ranked.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
@@ -12319,9 +12322,12 @@ def q268_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t, CAST(SUM(e) AS BIGINT) AS d, CAST(SUM(1 - e) AS BIGINT) AS c
       FROM d GROUP BY 1
     ), risk AS (
+      -- CAST: DuckDB's windowed SUM(BIGINT) returns HUGEINT, which
+      -- pandas renders as float64 and fails the driver's dtype-aware
+      -- hash against Spark's bigint (the r7 red row).
       SELECT t, d, c,
-             SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
-                              AND UNBOUNDED FOLLOWING) AS n
+             CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
       FROM pt
     ), ev AS (
       SELECT t, d, c, n,
@@ -18852,30 +18858,14 @@ ORACLES["q372_bh_fdr"] = _q372_oracle()
 
 
 _PRIORITY = [
-    # 0) HEAD = exactly 50 never-recorded queries (VERDICT r6 #1): the
-    #    five r03-err stragglers, then the round-6 wave q250-q294.
-    #    "Never recorded" per tools/gate_ledger.py after CORRECTNESS_r06.
-    "q60_approx_distinct", "q61_approx_percentiles", "q77_pack_sequences",
-    "q135_sketch_union", "q138_video_pipeline",
-    "q250_benford_audit", "q251_source_overlap", "q252_dsir_importance",
-    "q253_holt_forecast", "q254_trigram_fluency", "q255_matryoshka_recall",
-    "q256_sq_ann_recall", "q257_ngram_diversity", "q258_cluster_profile",
-    "q259_stream_upsert", "q260_knn_label_eval", "q261_centroid_confusion",
-    "q262_vocab_coverage", "q263_power_pca", "q264_stream_outer_join",
-    "q265_ols_regression", "q266_roc_auc", "q267_calibration_ece",
-    "q268_cohens_kappa", "q269_kaplan_meier", "q270_acf",
-    "q271_l_diversity", "q272_silhouette", "q273_conformal_coverage",
-    "q274_decision_stump", "q275_mutual_information", "q276_readability",
-    "q277_rrf_fusion", "q278_proportion_ztest", "q279_bootstrap_ci",
-    "q280_correlation_matrix", "q281_weighted_percentiles",
-    "q282_t_closeness", "q283_zipf_fit", "q284_event_regex",
-    "q285_embedding_drift", "q286_power_analysis",
-    "q287_max_concurrency", "q288_did_estimator", "q289_embedding_health",
-    "q290_tokenizer_fertility", "q291_theil_sen", "q292_rolling_median",
-    "q293_linear_interp", "q294_xml_roundtrip",
-    # 1) the remaining never-recorded round-6 wave (33) -- rotate these
-    #    to the head for round 8's gate; new r7 queries slot in after
-    #    them so the never-green backlog drains before anything new.
+    # 0) HEAD = exactly 50 never-recorded queries (VERDICT r7 #2): q269
+    #    (r7's one red row, oracle dtype now fixed) + q295-q343.
+    #    "Never recorded" per tools/gate_ledger.py after CORRECTNESS_r07.
+    #    ROUND-CLOSE RULE: at the END of every round, rotate this head so
+    #    the next round's 50 slots are drawn from gate_ledger's
+    #    never-green list (then stalest-recorded). Do NOT defer to the
+    #    next round's open -- that deferral caused the r6/r7 backlog.
+    "q269_kaplan_meier",
     "q295_schema_evolution",
     "q296_sorted_neighborhood", "q297_running_balance", "q298_woe_iv",
     "q299_longest_streak", "q300_linear_attribution", "q301_budget_select",
@@ -18888,22 +18878,15 @@ _PRIORITY = [
     "q320_lag_features", "q321_quantile_map", "q322_latest_nonnull",
     "q323_cross_fluency", "q324_rbo", "q325_beyond_accuracy",
     "q326_dim_stats", "q327_weighted_jaccard",
-    # 2) queries whose bodies changed in r7 -- re-confirm before aged
-    #    re-greens (q50/q219/q220 threshold-sized LSH banding, q244
-    #    two-phase rank rewrite, q303/q317/q324 semantics fixes; q312
-    #    is already in block 1).
-    #    (q303/q317/q324 also changed but are already never-green rows
-    #    in block 1 above, which outranks this block.)
-    "q219_split_leakage", "q220_incremental_neardup", "q244_rank_normalize",
-    "q50_minhash_neardup",
-    # 2c) the round-7 additions -- never recorded; queue behind the
-    #     never-green backlog and the changed bodies
     "q328_winnow_dedup", "q329_label_noise", "q330_ipw_effect",
     "q331_average_precision", "q332_kneser_ney", "q333_audio_segments",
     "q334_zone_map_audit", "q335_fd_audit", "q336_sliding_distinct_hll",
     "q337_product_quantize", "q338_bpe_merges", "q339_temporal_reach",
     "q340_markov_attribution", "q341_brier_decomposition",
     "q342_loo_influence", "q343_multiclass_f1",
+    # 1) the rest of the never-green backlog (q344-q372, 29 rows) --
+    #    queued for round 9's gate; new r8 queries slot in AFTER these
+    #    so the backlog drains before anything new.
     "q344_hits", "q345_modularity", "q346_assortativity",
     "q347_local_clustering", "q348_isotonic_calibration",
     "q349_qini_uplift", "q350_cdc_tombstones", "q351_hard_negatives",
@@ -18914,6 +18897,11 @@ _PRIORITY = [
     "q364_negative_sampling", "q365_dp_counts", "q366_high_water_mark",
     "q367_nested_export", "q368_date_spine", "q369_neyman_allocation",
     "q370_duplicate_transactions", "q371_wilson_ci", "q372_bh_fdr",
+    # 2) queries whose bodies changed in r7 -- re-confirm before aged
+    #    re-greens (q50/q219/q220 threshold-sized LSH banding, q244
+    #    two-phase rank rewrite).
+    "q219_split_leakage", "q220_incremental_neardup", "q244_rank_normalize",
+    "q50_minhash_neardup",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",
@@ -19001,6 +18989,27 @@ _PRIORITY = [
     "q242_time_to_conversion", "q243_fulfillment_latency",
     "q245_wow_growth", "q246_mixture_token_budget",
     "q247_repetitiveness", "q248_psi_label_shift", "q249_referential_audit",
+    # 4) the r7-recorded set (freshest records -- r7's gate recorded
+    #    exactly these 50 minus q269, which is back at the head) so
+    #    they age out of the rotation window last.
+    "q60_approx_distinct", "q61_approx_percentiles", "q77_pack_sequences",
+    "q135_sketch_union", "q138_video_pipeline",
+    "q250_benford_audit", "q251_source_overlap", "q252_dsir_importance",
+    "q253_holt_forecast", "q254_trigram_fluency", "q255_matryoshka_recall",
+    "q256_sq_ann_recall", "q257_ngram_diversity", "q258_cluster_profile",
+    "q259_stream_upsert", "q260_knn_label_eval", "q261_centroid_confusion",
+    "q262_vocab_coverage", "q263_power_pca", "q264_stream_outer_join",
+    "q265_ols_regression", "q266_roc_auc", "q267_calibration_ece",
+    "q268_cohens_kappa", "q270_acf",
+    "q271_l_diversity", "q272_silhouette", "q273_conformal_coverage",
+    "q274_decision_stump", "q275_mutual_information", "q276_readability",
+    "q277_rrf_fusion", "q278_proportion_ztest", "q279_bootstrap_ci",
+    "q280_correlation_matrix", "q281_weighted_percentiles",
+    "q282_t_closeness", "q283_zipf_fit", "q284_event_regex",
+    "q285_embedding_drift", "q286_power_analysis",
+    "q287_max_concurrency", "q288_did_estimator", "q289_embedding_health",
+    "q290_tokenizer_fertility", "q291_theil_sen", "q292_rolling_median",
+    "q293_linear_interp", "q294_xml_roundtrip",
 ]
 
 

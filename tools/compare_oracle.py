@@ -92,13 +92,31 @@ def main() -> int:
             continue
         s, o = canon(sdf), canon(odf)
         status = []
+
+        def _kind(dt: str) -> str:
+            dt = dt.lower()
+            if dt.startswith(("int", "uint")):
+                return "int"
+            if dt.startswith("float"):
+                return "float"
+            return dt
+
         dt_mismatch = [
             (c, str(s[c].dtype), str(o[c].dtype))
             for c in s.columns
             if c in o.columns and str(s[c].dtype) != str(o[c].dtype)
         ]
-        if dt_mismatch:
-            print(f"  DTYPE-WARN {name}: {dt_mismatch}")
+        # int<->float mismatches are a HARD failure: the driver's hash is
+        # dtype-sensitive across numeric kinds (the r7 q269 red row, where
+        # DuckDB's HUGEINT window sum landed as float64 vs Spark bigint).
+        # Int-width widenings (int32 vs int64) stay warnings — the driver
+        # demonstrably tolerates those (q241/q267/q294 passed with warns).
+        dt_hard = [m for m in dt_mismatch if _kind(m[1]) != _kind(m[2])]
+        dt_soft = [m for m in dt_mismatch if _kind(m[1]) == _kind(m[2])]
+        if dt_soft:
+            print(f"  DTYPE-WARN {name}: {dt_soft}")
+        if dt_hard:
+            status.append(f"dtype kind mismatch (driver hash-fails these): {dt_hard}")
         if len(s) != len(o):
             status.append(f"rowcount {len(s)} != {len(o)}")
         if list(s.columns) != list(o.columns):
