@@ -18858,13 +18858,37 @@ ORACLES["q372_bh_fdr"] = _q372_oracle()
 
 
 _PRIORITY = [
-    # 0) HEAD = exactly 50 never-recorded queries (VERDICT r7 #2): q269
-    #    (r7's one red row, oracle dtype now fixed) + q295-q343.
-    #    "Never recorded" per tools/gate_ledger.py after CORRECTNESS_r07.
+    # 0) HEAD = exactly 50 slots for round 9's gate (VERDICT r8 #1):
+    #    the 29 never-recorded queries (q344-q372, per
+    #    tools/gate_ledger.py after CORRECTNESS_r08) + the 4
+    #    changed-body re-confirms (q219/q220/q244/q50) + the 17
+    #    stalest r1-recorded rows (q02..q27 in ledger order).
     #    ROUND-CLOSE RULE: at the END of every round, rotate this head so
     #    the next round's 50 slots are drawn from gate_ledger's
     #    never-green list (then stalest-recorded). Do NOT defer to the
     #    next round's open -- that deferral caused the r6/r7 backlog.
+    "q344_hits", "q345_modularity", "q346_assortativity",
+    "q347_local_clustering", "q348_isotonic_calibration",
+    "q349_qini_uplift", "q350_cdc_tombstones", "q351_hard_negatives",
+    "q352_fixed_width", "q353_misra_gries", "q354_source_divergence",
+    "q355_ips_replay", "q356_prorate", "q357_pseudonymize",
+    "q358_inferred_members", "q359_rolling_corr", "q360_pareto_frontier",
+    "q361_topn_other", "q362_merge_evolve", "q363_business_days",
+    "q364_negative_sampling", "q365_dp_counts", "q366_high_water_mark",
+    "q367_nested_export", "q368_date_spine", "q369_neyman_allocation",
+    "q370_duplicate_transactions", "q371_wilson_ci", "q372_bh_fdr",
+    # changed-body re-confirms (q50/q219/q220 threshold-sized LSH
+    # banding, q244 two-phase rank rewrite)
+    "q219_split_leakage", "q220_incremental_neardup", "q244_rank_normalize",
+    "q50_minhash_neardup",
+    # 17 stalest r1-recorded rows
+    "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",
+    "q06_forecast_revenue", "q10_projection_rename", "q11_scalar_transforms",
+    "q12_sql_passthrough", "q13_insert_if_absent", "q14_merge_upsert",
+    "q20_topk_per_group", "q21_window_running", "q22_rollup", "q23_cube",
+    "q24_set_ops", "q25_semi_anti", "q26_distinct_agg", "q27_sort_limit",
+    # 1) the r8-recorded set (q269 + q295-q343) -- newest records, age
+    #    out last among the recorded blocks below r6/r7.
     "q269_kaplan_meier",
     "q295_schema_evolution",
     "q296_sorted_neighborhood", "q297_running_balance", "q298_woe_iv",
@@ -18884,24 +18908,6 @@ _PRIORITY = [
     "q337_product_quantize", "q338_bpe_merges", "q339_temporal_reach",
     "q340_markov_attribution", "q341_brier_decomposition",
     "q342_loo_influence", "q343_multiclass_f1",
-    # 1) the rest of the never-green backlog (q344-q372, 29 rows) --
-    #    queued for round 9's gate; new r8 queries slot in AFTER these
-    #    so the backlog drains before anything new.
-    "q344_hits", "q345_modularity", "q346_assortativity",
-    "q347_local_clustering", "q348_isotonic_calibration",
-    "q349_qini_uplift", "q350_cdc_tombstones", "q351_hard_negatives",
-    "q352_fixed_width", "q353_misra_gries", "q354_source_divergence",
-    "q355_ips_replay", "q356_prorate", "q357_pseudonymize",
-    "q358_inferred_members", "q359_rolling_corr", "q360_pareto_frontier",
-    "q361_topn_other", "q362_merge_evolve", "q363_business_days",
-    "q364_negative_sampling", "q365_dp_counts", "q366_high_water_mark",
-    "q367_nested_export", "q368_date_spine", "q369_neyman_allocation",
-    "q370_duplicate_transactions", "q371_wilson_ci", "q372_bh_fdr",
-    # 2) queries whose bodies changed in r7 -- re-confirm before aged
-    #    re-greens (q50/q219/q220 threshold-sized LSH banding, q244
-    #    two-phase rank rewrite).
-    "q219_split_leakage", "q220_incremental_neardup", "q244_rank_normalize",
-    "q50_minhash_neardup",
     # 3) the r6-recorded set (q188-q217, q154-q169, late-oracled
     #    oldies) -- newest records, so they age out last.
     "q188_markov_transitions", "q189_dataset_card",
@@ -18925,11 +18931,7 @@ _PRIORITY = [
     "q105_real_codec_features",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
-    "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",
-    "q06_forecast_revenue", "q10_projection_rename", "q11_scalar_transforms",
-    "q12_sql_passthrough", "q13_insert_if_absent", "q14_merge_upsert",
-    "q20_topk_per_group", "q21_window_running", "q22_rollup", "q23_cube",
-    "q24_set_ops", "q25_semi_anti", "q26_distinct_agg", "q27_sort_limit",
+    #    (the 17 stalest r1 rows q02..q27 moved to the head this round)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",
     "q35_exists_subquery", "q36_string_functions", "q37_math_functions",
     "q38_conditional_functions", "q39_json_extraction", "q40_doc_stats",
