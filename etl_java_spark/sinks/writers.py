@@ -32,6 +32,30 @@ from pyspark.sql import functions as F
 REFERENCE_BATCH_SIZE = 1000  # ETLProcess.java:210
 
 
+def _read_state_or_cold_start(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame | None:
+    """Read a writer's persisted state table; ``None`` ONLY on a true
+    cold start (PATH_NOT_FOUND error class). Any other read failure —
+    transient IO, permissions, corruption — re-raises: the caller is
+    about to ``mode("overwrite")`` the path, and misreading such an
+    error as cold start would silently destroy all prior state
+    (tombstones, merged history). Mirrors ``read_incremental``'s
+    bookmark discipline (sources/readers.py), comparing the error
+    CLASS, not message text."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.format(fmt).load(path)
+    except AnalysisException as ex:
+        getter = getattr(ex, "getCondition", None) or getattr(
+            ex, "getErrorClass", None
+        )
+        if (getter() if getter else None) != "PATH_NOT_FOUND":
+            raise
+        return None
+
+
 def append(df: DataFrame, path: str, fmt: str = "parquet", partition_by: Sequence[str] | None = None) -> None:
     w = df.write.mode("append").format(fmt)
     if partition_by:
@@ -182,9 +206,8 @@ def merge_by_pk(
             .execute()
         )
         return
-    try:
-        existing = spark.read.format(fmt).load(path)
-    except Exception:
+    existing = _read_state_or_cold_start(spark, path, fmt)
+    if existing is None:
         w = updates.dropDuplicates(pks).write.format(fmt).mode("overwrite")
         if partition_by:
             w = w.partitionBy(*list(partition_by))
@@ -237,9 +260,8 @@ def insert_if_absent_dataframes(existing: DataFrame, new: DataFrame) -> DataFram
 def insert_if_absent(
     spark: SparkSession, new: DataFrame, path: str, fmt: str = "parquet"
 ) -> None:
-    try:
-        existing = spark.read.format(fmt).load(path)
-    except Exception:
+    existing = _read_state_or_cold_start(spark, path, fmt)
+    if existing is None:
         new.dropDuplicates().write.format(fmt).mode("overwrite").save(path)
         return
     to_add = insert_if_absent_dataframes(existing, new).localCheckpoint(eager=True)
@@ -481,10 +503,7 @@ def apply_cdc_by_pk(
     emulation exact."""
     pks = list(pks)
     _check_idents(*pks)
-    try:
-        state = spark.read.format(fmt).load(path)
-    except Exception:
-        state = None
+    state = _read_state_or_cold_start(spark, path, fmt)
     merged = apply_cdc_dataframes(state, changes, pks, op_col, seq_col)
     merged_local = merged.localCheckpoint(eager=True)
     merged_local.write.format(fmt).mode("overwrite").save(path)
@@ -594,9 +613,8 @@ def merge_by_pk_evolve(
     """
     pks = list(pks)
     _check_idents(*pks)
-    try:
-        existing = spark.read.format(fmt).load(path)
-    except Exception:
+    existing = _read_state_or_cold_start(spark, path, fmt)
+    if existing is None:
         updates.dropDuplicates(pks).write.format(fmt).mode(
             "overwrite"
         ).save(path)

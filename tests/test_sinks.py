@@ -111,3 +111,45 @@ def test_insert_if_absent_path(spark, tmp_path):
     b = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
     insert_if_absent(spark, b, path)
     assert _rows(spark.read.parquet(path)) == [(1, "a"), (2, "b")]
+
+
+def test_stateful_writers_raise_on_unreadable_state(spark, tmp_path):
+    # VERDICT r8 #2: a read failure that is NOT a cold start
+    # (PATH_NOT_FOUND) must raise, not silently overwrite prior state.
+    # Injection: an empty directory fails schema inference with
+    # AnalysisException/UNABLE_TO_INFER_SCHEMA — exactly the "transient
+    # or corrupt, but the path exists" class.
+    import os
+
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from etl_java_spark.sinks.writers import apply_cdc_by_pk, merge_by_pk_evolve
+
+    upd = spark.createDataFrame([(1, "a")], "id int, v string")
+    cdc = spark.createDataFrame([(1, "U", 1, "a")], "id int, op string, seq long, v string")
+    cases = [
+        ("merge", lambda p: merge_by_pk(spark, upd, p, ["id"])),
+        ("evolve", lambda p: merge_by_pk_evolve(spark, upd, p, ["id"])),
+        ("absent", lambda p: insert_if_absent(spark, upd, p)),
+        ("cdc", lambda p: apply_cdc_by_pk(spark, cdc, p, ["id"])),
+    ]
+    for name, fn in cases:
+        bad = str(tmp_path / name)
+        os.makedirs(bad)
+        with pytest.raises(AnalysisException):
+            fn(bad)
+        assert os.listdir(bad) == [], f"{name} overwrote unreadable state"
+
+
+def test_stateful_writers_cold_start_bootstrap(spark, tmp_path):
+    # The true cold start (path absent -> PATH_NOT_FOUND) still
+    # bootstraps the table instead of raising.
+    from etl_java_spark.sinks.writers import apply_cdc_by_pk, read_cdc_state
+
+    cdc = spark.createDataFrame(
+        [(1, "U", 1, "a")], "id int, op string, seq long, v string"
+    )
+    path = str(tmp_path / "cdc_cold")
+    apply_cdc_by_pk(spark, cdc, path, ["id"])
+    assert _rows(read_cdc_state(spark, path)) == [(1, 1, "a")]
