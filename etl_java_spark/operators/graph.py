@@ -494,10 +494,23 @@ def temporal_bfs(
             F.col(ts_col).alias("t"),
         ).filter(F.col("t").isNotNull())
     )
-    arr0 = (
-        F.col(seed_ts) if seed_ts
-        else F.lit("1970-01-01").cast(dict(ed.dtypes)["t"])
-    )
+    if seed_ts:
+        arr0 = F.col(seed_ts)
+    else:
+        # epoch floor in the edge column's own dtype. A blanket
+        # string-literal cast yields NULL for integral epoch columns
+        # (then t > arrival is never true and the BFS silently stops
+        # at hop 0), so branch on the resolved dtype.
+        t_dtype = dict(ed.dtypes)["t"]
+        if t_dtype in ("timestamp", "timestamp_ntz", "date"):
+            arr0 = F.lit("1970-01-01").cast(t_dtype)
+        elif t_dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or t_dtype.startswith("decimal"):
+            arr0 = F.lit(0).cast(t_dtype)
+        else:
+            raise TypeError(
+                f"temporal_bfs: unsupported timestamp dtype {t_dtype!r} for "
+                f"{ts_col!r}; pass seed_ts explicitly"
+            )
     dist = seeds.select(
         F.col(node).alias("n"), F.lit(0).alias("hops"), arr0.alias("arrival")
     ).groupBy("n", "hops").agg(F.min("arrival").alias("arrival"))

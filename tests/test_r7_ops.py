@@ -489,3 +489,36 @@ def test_f1_never_predicted_class_scores_zero(spark):
     )
     out = {r["label"]: r for r in f1_from_confusion(conf).collect()}
     assert out["b"]["precision"] == 0.0 and out["b"]["f1"] == 0.0
+
+
+def test_temporal_bfs_integer_epoch_timestamps(spark):
+    # VERDICT r8 #3: seed_ts=None over an epoch-long ts column must use
+    # F.lit(0), not a NULL-casting date literal (which silently stopped
+    # the BFS at hop 0).
+    from etl_java_spark.operators.graph import temporal_bfs
+
+    edges = spark.createDataFrame(
+        [(1, 2, 100), (2, 3, 200), (2, 4, 50)],
+        "src long, dst long, ts long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r for r in
+           temporal_bfs(edges, seeds, max_hops=2).collect()}
+    assert out[1]["hops"] == 0 and out[1]["arrival_ts"] == 0
+    assert out[2]["hops"] == 1 and out[2]["arrival_ts"] == 100
+    # 2->3 at 200 > 100 transmits; 2->4 at 50 <= 100 must not
+    assert out[3]["hops"] == 2 and out[3]["arrival_ts"] == 200
+    assert 4 not in out
+
+
+def test_temporal_bfs_unsupported_ts_dtype_raises(spark):
+    import pytest
+
+    from etl_java_spark.operators.graph import temporal_bfs
+
+    edges = spark.createDataFrame(
+        [(1, 2, "2024-01-05")], "src long, dst long, ts string"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(TypeError, match="unsupported timestamp dtype"):
+        temporal_bfs(edges, seeds, max_hops=1)
