@@ -948,10 +948,14 @@ def winnow_dup_pairs(
     fp = winnow_fingerprints(
         df, text_col, id_col, shingle_n, window, token_pattern
     )
-    freq = fp.groupBy("fp").agg(F.count("*").alias("__n")).filter(
-        F.col("__n") <= max_fp_freq
+    # anti-join against the OVER-frequency blacklist: boilerplate
+    # fingerprints in >max_fp_freq docs are few (metadata-sized), so
+    # that side broadcasts safely; broadcasting the SURVIVING set would
+    # ship ~2/(window+1) of the corpus vocabulary to every executor.
+    hot = fp.groupBy("fp").agg(F.count("*").alias("__n")).filter(
+        F.col("__n") > max_fp_freq
     )
-    fp = fp.join(F.broadcast(freq.select("fp")), "fp")
+    fp = fp.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
     par = df.sparkSession.sparkContext.defaultParallelism
     fp = fp.repartition(par, "fp")
     a, b = fp.alias("a"), fp.alias("b")

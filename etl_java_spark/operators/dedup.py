@@ -721,8 +721,11 @@ def ngram_jaccard_pairs(
     ).filter(F.size("__set") > 0).localCheckpoint(eager=False)
     par = df.sparkSession.sparkContext.defaultParallelism
     inv = sets_df.select(F.col(id_col), F.explode("__set").alias("__sh"))
-    freq = inv.groupBy("__sh").agg(F.count("*").alias("__n")).filter(F.col("__n") <= max_shingle_freq)
-    inv = inv.join(F.broadcast(freq.select("__sh")), "__sh").repartition(par, "__sh")
+    # drop hot shingles by anti-joining the OVER-frequency blacklist
+    # (few, broadcast-safe); broadcasting the surviving set would ship
+    # the corpus vocabulary to every executor
+    hot = inv.groupBy("__sh").agg(F.count("*").alias("__n")).filter(F.col("__n") > max_shingle_freq)
+    inv = inv.join(F.broadcast(hot.select("__sh")), "__sh", "left_anti").repartition(par, "__sh")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -788,12 +791,12 @@ def _ngram_jaccard_prefix(
         F.col(id_col), F.explode(F.slice("__hs", F.lit(1), plen)).alias("__sh")
     )
     if max_shingle_freq < 2**62:
-        freq = (
+        hot = (
             pref.groupBy("__sh")
             .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") <= max_shingle_freq)
+            .filter(F.col("__n") > max_shingle_freq)
         )
-        pref = pref.join(F.broadcast(freq.select("__sh")), "__sh")
+        pref = pref.join(F.broadcast(hot.select("__sh")), "__sh", "left_anti")
     pref = pref.repartition(par, "__sh")
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
@@ -852,12 +855,12 @@ def ngram_containment_pairs(
         F.array_distinct(word_shingles(text_col, shingle_n, pat)).alias("__set"),
     ).filter(F.size("__set") > 0)
     inv = sets_df.select(F.col(id_col), F.explode("__set").alias("__sh"))
-    freq = (
+    hot = (
         inv.groupBy("__sh")
         .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") <= max_shingle_freq)
+        .filter(F.col("__n") > max_shingle_freq)
     )
-    inv = inv.join(F.broadcast(freq.select("__sh")), "__sh")
+    inv = inv.join(F.broadcast(hot.select("__sh")), "__sh", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(

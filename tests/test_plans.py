@@ -205,3 +205,25 @@ def test_q351_hard_negatives_broadcasts_anchors(spark):
     assert "SortMergeJoin" not in plan.split("Window")[0], (
         "anchor join must not sort-merge the corpus"
     )
+
+
+def test_no_broadcast_of_surviving_frequency_sets():
+    """VERDICT r8 #4 grep-gate: a frequency-capped shingle/fingerprint
+    SURVIVING set is corpus-vocabulary-sized — broadcasting it inner-join
+    style OOMs at web scale. The audited pattern is the inverse: broadcast
+    the small OVER-frequency blacklist and anti-join it. Any F.broadcast
+    whose argument is a freq/hot-derived frame must be a left_anti join."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "etl_java_spark"
+    bad = []
+    for py in root.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if "F.broadcast(" not in line:
+                continue
+            if re.search(r"F\.broadcast\((freq|surviv)", line) and "left_anti" not in line:
+                bad.append(f"{py.name}:{i}: {line.strip()}")
+            if re.search(r"F\.broadcast\(hot", line) and "left_anti" not in line:
+                bad.append(f"{py.name}:{i}: {line.strip()}")
+    assert not bad, "corpus-sized broadcast (use left_anti blacklist):\n" + "\n".join(bad)
