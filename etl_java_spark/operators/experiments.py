@@ -755,14 +755,15 @@ def bh_fdr(
     (p_value, bh_rank, bh_threshold, discovery).
     """
     pr = F.round(F.col(p_col), p_round)
-    w = Window.orderBy(pr.asc(), *[F.col(k).asc() for k in key_cols])
+    w = Window.orderBy(
+        F.col("p_value").asc(), *[F.col(k).asc() for k in key_cols]
+    )
     m = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = df.select(
         *key_cols, pr.alias("p_value")
-    ).withColumn("bh_rank", F.row_number().over(
-        Window.orderBy(F.col("p_value").asc(),
-                       *[F.col(k).asc() for k in key_cols])
-    )).withColumn("__m", F.count("*").over(m))
+    ).withColumn("bh_rank", F.row_number().over(w)).withColumn(
+        "__m", F.count("*").over(m)
+    )
     thresh = (
         F.col("bh_rank").cast("double") * F.lit(q) / F.col("__m").cast("double")
     )

@@ -469,13 +469,18 @@ def negative_samples(
         ).alias("slot"),
     )
     ik = F.col(item_col).cast("long")
+    # distinct first: a non-unique catalog would inflate the index
+    # cardinality and skew draw uniformity toward duplicated items
+    items_d = items.select(ik.alias("item")).distinct()
     idx = assign_global_ids(
-        items.select(ik.alias("item")),
+        items_d,
         ["item"],
         F.floor(F.col("item") / F.lit(100000)),
         id_col="cand_idx",
     )
-    n_items = items.count()  # 1 metadata job (catalog cardinality)
+    # catalog cardinality as a broadcast 1-row aggregate (no eager
+    # driver-side count job)
+    n_tab = items_d.agg(F.count("*").cast("long").alias("__n_items"))
     # key_bucket alone is AFFINE mod p, so consecutive slots would map
     # to a fixed arithmetic stride of indexes (measured: one user's
     # draws all 5 apart) — a quadratic round breaks the stride while
@@ -485,8 +490,10 @@ def negative_samples(
         (F.col("user") * 1000003 + F.col("slot") + F.lit(salt)),
         1_000_000_007,
     )
-    mixed = (h * h + h) % 1_000_000_007 % n_items
-    cand = slots.select("user", "slot", (mixed + 1).alias("cand_idx"))
+    mixed = (h * h + h) % 1_000_000_007 % F.col("__n_items")
+    cand = slots.crossJoin(F.broadcast(n_tab)).select(
+        "user", "slot", (mixed + 1).alias("cand_idx")
+    )
     pos = interactions.select(
         u.alias("user"), F.col(item_col).cast("long").alias("item")
     ).distinct()

@@ -329,3 +329,20 @@ def test_bh_fdr_nothing_significant(spark):
     )
     out = bh_fdr(df, ["k"], "p", q=0.05).collect()
     assert all(not r["discovery"] for r in out)
+
+
+def test_negatives_invariant_to_duplicate_catalog_rows(spark):
+    # ADVICE r8: a non-unique item frame must not inflate the catalog
+    # cardinality or skew draws — the projection is distinct'd in-plan.
+    inter, items = _frames(spark)
+    dup_items = items.unionAll(items).unionAll(items.limit(3))
+    a = sorted(
+        map(tuple, negative_samples(inter, items, "u", "item", k=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            negative_samples(inter, dup_items, "u", "item", k=4).collect(),
+        )
+    )
+    assert a == b
