@@ -1421,7 +1421,7 @@ def q38_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q47_window_analytics",
     """
     SELECT o_custkey, o_orderkey, o_totalprice,
-           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
            PERCENT_RANK() OVER w AS pct_rank,
            CUME_DIST() OVER w AS cume,
            FIRST_VALUE(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
@@ -1439,7 +1439,7 @@ def q47_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
         F.first("o_totalprice").over(wf).alias("first_price"),
@@ -8544,7 +8544,7 @@ def q207_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ORDER BY c_acctbal, c_custkey) AS quartile
       FROM customer
     )
-    SELECT seg, CAST(quartile AS INT) AS quartile,
+    SELECT seg, CAST(quartile AS BIGINT) AS quartile,
            CAST(COUNT(*) AS BIGINT) AS n,
            MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
     FROM ranked GROUP BY seg, quartile
@@ -8561,7 +8561,7 @@ def q209_grouped_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return (
-        c.withColumn("quartile", F.ntile(4).over(w))
+        c.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
         .groupBy(F.col("c_mktsegment").alias("seg"), "quartile")
         .agg(
             F.count("*").alias("n"),
@@ -8931,7 +8931,7 @@ def q216_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
              NTILE(5) OVER (ORDER BY cents, user_id) AS m
       FROM per_user
     )
-    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM scored GROUP BY r, f, m
     """,
@@ -8958,9 +8958,9 @@ def q217_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = per_user.select(
         "user_id",
-        F.ntile(5).over(Window.orderBy("last_ts", "user_id")).alias("r"),
-        F.ntile(5).over(Window.orderBy("freq", "user_id")).alias("f"),
-        F.ntile(5).over(Window.orderBy("cents", "user_id")).alias("m"),
+        F.ntile(5).over(Window.orderBy("last_ts", "user_id")).cast("bigint").alias("r"),
+        F.ntile(5).over(Window.orderBy("freq", "user_id")).cast("bigint").alias("f"),
+        F.ntile(5).over(Window.orderBy("cents", "user_id")).cast("bigint").alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(F.count("*").alias("n_users"))
 
@@ -13800,7 +13800,9 @@ def q293_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q294_xml_roundtrip",
     """
-    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+    FROM supplier
     """,
 )
 def q294_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,6 +52,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _kind(dt: str) -> str:
+    """Numeric KIND of a pandas dtype string — exact int/uint/float
+    prefixes only (``interval[int64]`` etc. must NOT classify as int,
+    or a real kind mismatch would downgrade to a soft warning)."""
+    import re as _re
+
+    dt = dt.lower()
+    if _re.match(r"u?int\d+$", dt):
+        return "int"
+    if _re.match(r"float\d+$", dt):
+        return "float"
+    return dt
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -92,14 +106,6 @@ def main() -> int:
             continue
         s, o = canon(sdf), canon(odf)
         status = []
-
-        def _kind(dt: str) -> str:
-            dt = dt.lower()
-            if dt.startswith(("int", "uint")):
-                return "int"
-            if dt.startswith("float"):
-                return "float"
-            return dt
 
         dt_mismatch = [
             (c, str(s[c].dtype), str(o[c].dtype))
