@@ -227,3 +227,39 @@ def test_no_broadcast_of_surviving_frequency_sets():
             if re.search(r"F\.broadcast\(hot", line) and "left_anti" not in line:
                 bad.append(f"{py.name}:{i}: {line.strip()}")
     assert not bad, "corpus-sized broadcast (use left_anti blacklist):\n" + "\n".join(bad)
+
+
+def test_q348_isotonic_windows_over_aggregated_scores(spark):
+    """q348's PAV windows and range self-join run over the DISTINCT-score
+    table (~tens of rows after the per-order aggregate) — every Window
+    node's input subtree must contain an Aggregate, never the raw
+    lineitem scan."""
+    plan = plan_of(spark, "q348_isotonic_calibration", "simple")
+    first_window = plan.find("Window")
+    assert first_window != -1
+    assert "HashAggregate" in plan[first_window:] or "SortAggregate" in plan[
+        first_window:
+    ], "isotonic windows must consume the aggregated score table"
+
+
+def test_q369_neyman_windows_over_strata(spark):
+    """q369's largest-remainder proration windows run over the stratum
+    table (5 rows after the grouped moment pass), not raw customer."""
+    plan = plan_of(spark, "q369_neyman_allocation", "simple")
+    first_window = plan.find("Window")
+    assert first_window != -1
+    assert "HashAggregate" in plan[first_window:] or "SortAggregate" in plan[
+        first_window:
+    ], "proration windows must consume the aggregated stratum table"
+
+
+def test_q372_bh_windows_over_hypothesis_table(spark):
+    """q372's BH step-up windows run over the 25-row hypothesis table
+    (post per-nation aggregate), the documented post-aggregate global
+    window contract."""
+    plan = plan_of(spark, "q372_bh_fdr", "simple")
+    first_window = plan.find("Window")
+    assert first_window != -1
+    assert "HashAggregate" in plan[first_window:] or "SortAggregate" in plan[
+        first_window:
+    ], "BH windows must consume the aggregated hypothesis table"
