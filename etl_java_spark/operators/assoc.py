@@ -317,3 +317,104 @@ def markov_attribution(
             F.col("__tre") > 0, F.round(F.col("__re") / F.col("__tre"), 12)
         ).alias("share"),
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    conv_type: str,
+    channels: list[str],
+) -> DataFrame:
+    """Exact Shapley-value channel attribution — the game-theoretic
+    alternative to Markov removal effects (:func:`markov_attribution`):
+    each channel's credit is its average marginal contribution over all
+    orderings of the channel coalition,
+
+        phi_i = sum over S subset of C minus {i} of
+                |S|! (c-|S|-1)! / c! * [v(S + i) - v(S)]
+
+    with coalition value v(S) = number of CONVERTING users whose
+    touched-channel set is contained in S (the "these channels alone
+    could have served the journey" convention; untouched channels never
+    dilute credit).
+
+    Exactness and scale: users reduce to a (channel-set bitmask,
+    converted) pair in ONE aggregate pass; masks collapse to at most
+    2^c count cells; v over all 2^c coalitions is a bounded
+    mask-containment join (2^c x 2^c — ``channels`` must be the SMALL
+    curated channel list, 1..12); the factorial weights are exact
+    integer numerators over the common denominator c!, so each phi is
+    ONE double division of an exact decimal — bit-identical on any
+    engine. Returns per channel: (channel, phi, share), rounded to 12.
+    """
+    import math as _m
+
+    c = len(channels)
+    if not 1 <= c <= 12:
+        raise ValueError("channels must list 1..12 curated channels")
+    fact = [_m.factorial(i) for i in range(c + 1)]
+    bit = {ch: 1 << i for i, ch in enumerate(channels)}
+    aggs = [
+        F.max(
+            F.when(F.col(type_col) == ch, F.lit(b)).otherwise(F.lit(0))
+        ).alias(f"__b{b}")
+        for ch, b in bit.items()
+    ]
+    aggs.append(
+        F.max((F.col(type_col) == conv_type).cast("int")).alias("__conv")
+    )
+    per_user = events.groupBy(F.col(user_col).alias("__u")).agg(*aggs)
+    mask = sum((F.col(f"__b{b}") for b in bit.values()), F.lit(0))
+    cells = (
+        per_user.select(mask.cast("long").alias("mask"), F.col("__conv").alias("conv"))
+        .groupBy("mask")
+        .agg(F.sum("conv").cast("long").alias("n_conv"))
+    )
+    spark = events.sparkSession
+    coal = spark.range(0, 2 ** c).select(F.col("id").alias("s"))
+    v = (
+        coal.join(
+            F.broadcast(cells),
+            F.col("mask").bitwiseAND(F.col("s")) == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v0"))
+    )
+
+    def phi_for(ch: str, b: int) -> DataFrame:
+        # weight |S|! (c-|S|-1)! selected by popcount of the S mask
+        wgt = F.element_at(
+            F.array(*[F.lit(fact[k] * fact[c - k - 1]) for k in range(c)]),
+            F.bit_count(F.col("s")).cast("int") + 1,
+        )
+        base = v.filter(F.col("s").bitwiseAND(F.lit(b)) == 0)
+        plus = v.select(
+            (F.col("s").bitwiseXOR(F.lit(b))).alias("s"),
+            F.col("v0").alias("v1"),
+        )
+        return (
+            base.join(plus, "s")
+            .agg(
+                F.sum(
+                    (F.col("v1") - F.col("v0")).cast("decimal(38,0)") * wgt
+                ).alias("num")
+            )
+            .select(
+                F.lit(ch).alias("channel"),
+                (F.col("num").cast("double") / F.lit(float(fact[c]))).alias(
+                    "phi"
+                ),
+            )
+        )
+
+    out = phi_for(channels[0], bit[channels[0]])
+    for ch in channels[1:]:
+        out = out.unionByName(phi_for(ch, bit[ch]))
+    tot = out.agg(F.sum("phi").alias("tot"))
+    return out.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round("phi", 12).alias("phi"),
+        F.round(F.col("phi") / F.col("tot"), 12).alias("share"),
+    )

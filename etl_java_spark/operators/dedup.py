@@ -1021,3 +1021,71 @@ def weighted_jaccard_verify(
             / F.sum("__w").cast("double")
         ).alias("weighted_jaccard"),
     )
+
+
+def chunk_hash_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str | None = None,
+    chunk_chars: int = 64,
+) -> DataFrame:
+    """Fixed-size chunk-hash duplication profile — the storage-side
+    dedup readout (content chunking a la backup/dedup systems, the
+    cheap precursor to content-defined chunking): split each document
+    into ``chunk_chars``-character chunks, MD5 each, and measure what
+    share of chunks are bit-identical copies of a chunk seen in ANOTHER
+    document. Catches templated boilerplate and partial mirrors that
+    whole-doc hashing (exact_dedup) misses, with zero tokenization cost
+    — at 100 TB this is the first-pass scan that decides whether the
+    expensive shingle pipelines are worth running per source.
+
+    Shape: map-side explode of ceil(len/chunk)-many (chunk_hash, doc)
+    rows; ONE count-distinct-docs aggregate per chunk hash; one
+    semi-joinable flag back per chunk. MD5 is bitwise-stable across
+    engines (unlike engine hash builtins), so the whole profile
+    replays in SQL. Returns per group (or one __all__ row):
+    (grp, n_docs, n_chunks, n_dup_chunks, dup_chunk_share) where a
+    chunk is dup if its hash occurs in >= 2 distinct docs.
+    """
+    grp = F.col(group_col) if group_col else F.lit("__all__")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        grp.alias("__g"),
+        F.col(text_col).alias("__t"),
+    ).filter(F.col("__t").isNotNull() & (F.length("__t") > 0))
+    n = F.ceil(F.length("__t") / F.lit(chunk_chars)).cast("int")
+    chunks = base.select(
+        "__id", "__g",
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("__i"),
+        "__t",
+    ).select(
+        "__id", "__g",
+        F.md5(
+            F.substring(
+                F.col("__t"), F.col("__i") * chunk_chars + 1, chunk_chars
+            ).cast("binary")
+        ).alias("__h"),
+    )
+    per_hash = chunks.groupBy("__h").agg(
+        F.countDistinct("__id").cast("long").alias("__docs")
+    )
+    flagged = chunks.join(per_hash, "__h").select(
+        "__id", "__g", (F.col("__docs") >= 2).cast("int").alias("__dup")
+    )
+    return (
+        flagged.groupBy(F.col("__g").alias("grp"))
+        .agg(
+            F.countDistinct("__id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("__dup").cast("long").alias("n_dup_chunks"),
+        )
+        .select(
+            "grp", "n_docs", "n_chunks", "n_dup_chunks",
+            F.round(
+                F.col("n_dup_chunks").cast("double")
+                / F.col("n_chunks").cast("double"),
+                12,
+            ).alias("dup_chunk_share"),
+        )
+    )

@@ -1437,3 +1437,78 @@ def duplicate_transactions(
             "gap_days"
         ),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col,
+    value_col,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    scale: int = 100,
+) -> DataFrame:
+    """Winsorized robust location/scale per group: clamp the metric at
+    the group's interpolated [p_lo, p_hi] percentiles, then report
+    exact moments of the clamped values — the outlier-resistant mean a
+    revenue/latency dashboard should show instead of the raw mean one
+    fat-finger order can move, while (unlike trimming) keeping n
+    constant.
+
+    Shape: one grouped percentile pass (both engines share the same
+    linear-interpolation definition — the q66 contract), a broadcast
+    join of the per-group bounds back onto the rows, and one grouped
+    exact-integer moment aggregate of the clamped, ``scale``-scaled
+    values (clamp bounds are rounded to the same integer grid first, so
+    the clamped sum is pure int64-decimal). Returns per group:
+    (grp, n, lo_bound, hi_bound, winsorized_mean, winsorized_var),
+    mean/var as exact-decimal-derived doubles rounded to 12.
+    """
+    if not isinstance(value_col, str):
+        raise TypeError("winsorized_stats needs a column NAME for value_col")
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    bounds = df.groupBy(g.alias("grp")).agg(
+        F.expr(
+            f"percentile({value_col}, {p_lo!r})"
+        ).alias("lo_bound"),
+        F.expr(
+            f"percentile({value_col}, {p_hi!r})"
+        ).alias("hi_bound"),
+    )
+    d38 = "decimal(38,0)"
+    u = F.round(v * scale).cast("long")
+    lo_u = F.round(F.col("lo_bound") * scale).cast("long")
+    hi_u = F.round(F.col("hi_bound") * scale).cast("long")
+    clamped = (
+        df.select(g.alias("grp"), u.alias("__u"))
+        .join(F.broadcast(bounds), "grp")
+        .select(
+            "grp", "lo_bound", "hi_bound",
+            F.greatest(lo_u, F.least(hi_u, F.col("__u"))).alias("__w"),
+        )
+    )
+    per = clamped.groupBy("grp", "lo_bound", "hi_bound").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("__w").cast(d38)).alias("s"),
+        F.sum((F.col("__w").cast(d38) * F.col("__w")).cast(d38)).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    sc = float(scale)
+    mean = F.col("s").cast("double") / n / F.lit(sc)
+    var = (
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / n
+        )
+        / (n - F.lit(1.0))
+        / F.lit(sc * sc)
+    )
+    # UNROUNDED: the caller picks a rounding that fits the metric's
+    # magnitude (ROUND(x, 12) on a ~1e5-magnitude mean asks for more
+    # significant digits than a double holds, and engines disagree in
+    # the last ulp of that no-op rounding — measured on q378)
+    return per.select(
+        "grp", "n", "lo_bound", "hi_bound",
+        mean.alias("winsorized_mean"),
+        var.alias("winsorized_var"),
+    )

@@ -1452,3 +1452,62 @@ def isotonic_calibration(
         ),
         F.col("fit").alias("isotonic_rate"),
     )
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation with tie midranks — the monotone-
+    association readout robust to outliers and nonlinearity that
+    Pearson (:func:`correlation_matrix`) misses; the standard screen
+    for "does quality score track engagement" style questions.
+
+    rho = Pearson correlation of the midranks. Scalable shape: each
+    column reduces to per-DISTINCT-VALUE counts, midranks come from a
+    prefix window over that distinct-value table (post-aggregate-window
+    contract), rows join their ranks back by value (two key-hash
+    shuffles), and the correlation collapses to ONE exact-decimal
+    moment aggregate. Midranks are kept DOUBLED (2*midrank is integer)
+    so every moment is exact int-decimal; rho is scale-invariant so
+    the doubling cancels. Returns one row: (n_rows, rho) with rho
+    rounded to 12.
+    """
+    base = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y")).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        d = base.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return d.select(
+            col,
+            (
+                F.lit(2) * (F.sum("c").over(w) - F.col("c"))
+                + F.col("c")
+                + F.lit(1)
+            ).alias(out),
+        )
+
+    d38 = "decimal(38,0)"
+    j = base.join(rank_map("x", "rx"), "x").join(rank_map("y", "ry"), "y")
+    one = j.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("rx").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("rx").cast(d38) * F.col("rx")).cast(d38))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ry").cast(d38) * F.col("ry")).cast(d38))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("rx").cast(d38) * F.col("ry")).cast(d38))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return one.select("n_rows", F.round(num / den, 12).alias("rho"))

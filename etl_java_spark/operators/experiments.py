@@ -780,3 +780,80 @@ def bh_fdr(
             "discovery"
         ),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test — the
+    nonparametric complement of :func:`welch_t` for metrics whose
+    distributions are skewed or heavy-tailed (revenue, latency): does
+    group A stochastically dominate group B, without assuming
+    normality?
+
+    Scalable shape (no global window over data rows): values reduce to
+    per-DISTINCT-VALUE counts per group first (map-side combinable);
+    midranks come from a prefix window over the distinct-value table
+    (the documented post-aggregate-window contract — for continuous
+    metrics, quantize upstream to bound the distinct count, exactly
+    how rank statistics are computed at scale). Ties get the standard
+    midrank and the normal approximation carries the tie correction:
+
+        U  = R_a - n_a (n_a + 1) / 2
+        mu = n_a n_b / 2
+        s2 = n_a n_b / 12 * ((N + 1) - sum(t^3 - t) / (N (N - 1)))
+        z  = (U - mu) / sqrt(s2),   p = 2 * normal_sf(|z|)
+
+    Rank sums are exact integer-and-half arithmetic (kept in doubled
+    units — 2*rank is integer — until the final division), so both
+    engines agree bitwise; the p-value is rounded by callers per the
+    normal_sf contract. Returns one row: (n_a, n_b, u_stat, z, p_value).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    g = F.col(group_col)
+    per = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(v.alias("val"))
+        .agg(
+            F.sum((g == F.lit(group_a)).cast("int")).cast("long").alias("na"),
+            F.sum((g == F.lit(group_b)).cast("int")).cast("long").alias("nb"),
+        )
+    )
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = F.col("na") + F.col("nb")
+    # doubled midrank: 2*midrank = 2*(cum_before) + t + 1 — pure int64
+    ranked = per.select(
+        "val", "na", "nb", t.alias("t"),
+        (F.lit(2) * (F.sum(t).over(w) - t) + t + F.lit(1)).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(F.col("na") * F.col("r2")).cast("long").alias("ra2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u = (
+        F.col("ra2").cast("double") / F.lit(2.0)
+        - na * (na + F.lit(1.0)) / F.lit(2.0)
+    )
+    mu = na * nb / F.lit(2.0)
+    s2 = (
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("tie3").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    z = (u - mu) / F.sqrt(s2)
+    return agg.select(
+        "n_a", "n_b", u.alias("u_stat"), z.alias("z"),
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
+    )

@@ -1326,3 +1326,126 @@ def date_spine(
         (dow >= 5).alias("is_weekend"),
         weekdays_up_to("day").cast("long").alias("busday_seq"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — :func:`kaplan_meier`'s
+    additive twin: H(t) = sum over event times t' <= t of d_t'/n_t'.
+    Preferred when hazards are the modeling target (H is unbiased where
+    the KM product is biased low in small risk sets) and the standard
+    input to proportional-hazards diagnostics.
+
+    Same scalable shape as kaplan_meier: rows reduce to per-distinct-
+    duration (d, c) counts, the risk set is a suffix window over the
+    distinct-time table, and the cumulative sum folds the per-event-time
+    hazards in time order via the SAME prefix ``F.aggregate`` refold KM
+    uses (a windowed float SUM is not guaranteed to add sequentially on
+    every engine — DuckDB's segment-tree window sums associate
+    differently — so the explicit fold is the determinism contract,
+    replayed by a recursive CTE in SQL). Returns one row per distinct
+    event time: (t, n_risk, n_event, n_censored, cum_hazard).
+    """
+    per = df.groupBy(F.col(duration_col).cast("long").alias("t")).agg(
+        F.sum(F.col(event_col).cast("int")).cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col(event_col).cast("int")).cast("long").alias("c"),
+    )
+    w_risk = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    per = per.select(
+        "t", "d", "c", F.sum(F.col("d") + F.col("c")).over(w_risk).alias("n")
+    )
+    ev = per.filter(F.col("d") > 0).select(
+        F.struct(
+            "t",
+            "d",
+            "c",
+            "n",
+            (F.col("d").cast("double") / F.col("n").cast("double")).alias(
+                "h"
+            ),
+        ).alias("__e")
+    )
+    one = ev.agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    expl = one.select("__arr", F.posexplode("__arr").alias("__i", "__s"))
+    cum = F.aggregate(
+        F.slice(F.col("__arr"), F.lit(1), F.col("__i") + 1),
+        F.lit(0.0),
+        lambda acc, x: acc + x["h"],
+    )
+    return expl.select(
+        F.col("__s")["t"].alias("t"),
+        F.col("__s")["n"].alias("n_risk"),
+        F.col("__s")["d"].alias("n_event"),
+        F.col("__s")["c"].alias("n_censored"),
+        cum.alias("cum_hazard"),
+    )
+
+
+def cusum_shift(
+    df: DataFrame,
+    bucket_col,
+    value_col,
+    scale: int = 1,
+    threshold_num: int = 5,
+    threshold_den: int = 1,
+) -> DataFrame:
+    """One-sided CUSUM drift detector over a bucketed series — the
+    change-point readout for "did daily volume/revenue shift upward,
+    and when?" that a plain threshold misses (CUSUM accumulates small
+    persistent shifts that never individually alarm).
+
+    Exact-integer formulation (no running-recursion float drift):
+    with x_t the per-bucket integer total (pre-scaled by ``scale``),
+    T buckets and S = sum(x), the classic recursion
+    C_t = max(0, C_{t-1} + (x_t - mean)) equals the prefix-sum
+    identity C_t = P_t - min(P_0..P_t) where P_t = sum_{i<=t}
+    (x_i*T - S) — all int64*decimal exact, computed as one prefix sum
+    and one prefix min over the BUCKET table (post-aggregate windows).
+    The alarm compares the natural-unit CUSUM C_t/T against the
+    rational threshold (num/den) * mean = (num/den) * S/T — cleared of
+    denominators to the all-integer test C_t * den > num * S.
+    Returns one row per bucket:
+    (bucket, x, cusum_scaled, alarm) where cusum_scaled = C_t (in
+    x*T units — divide by T for natural units downstream).
+    """
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    # per-ROW integer scaling before the sum (order-independent; a
+    # float sum-then-round would be engine/order-dependent)
+    per = df.groupBy(b.alias("bucket")).agg(
+        F.sum(F.round(v * scale).cast("long")).cast("long").alias("x")
+    )
+    d38 = "decimal(38,0)"
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per = per.select(
+        "bucket", "x",
+        F.count("*").over(w_all).alias("tt"),
+        F.sum(F.col("x").cast(d38)).over(w_all).alias("s"),
+    )
+    p = F.sum(
+        (F.col("x").cast(d38) * F.col("tt")).cast(d38) - F.col("s")
+    ).over(w_cum)
+    per = per.select(
+        "bucket", "x", "tt", "s", p.alias("p")
+    ).select(
+        "bucket", "x", "tt", "s", "p",
+        F.least(F.min("p").over(w_cum), F.lit(0).cast(d38)).alias("pmin"),
+    )
+    cus = (F.col("p") - F.col("pmin")).cast(d38)
+    alarm = (
+        cus * F.lit(threshold_den)
+        > F.col("s").cast(d38) * F.lit(threshold_num)
+    )
+    return per.select(
+        "bucket", "x",
+        cus.cast("long").alias("cusum_scaled"),
+        F.coalesce(alarm, F.lit(False)).alias("alarm"),
+    )

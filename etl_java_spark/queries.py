@@ -18859,6 +18859,533 @@ def q372_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q372_bh_fdr"] = _q372_oracle()
 
 
+# --------------------------------------------------------------------------
+# round-9 wave: rank/robust statistics, linkage, chunk dedup, Shapley
+
+
+def _q373_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    z = "(u - mu) / SQRT(s2)"
+    return f"""
+    WITH vals AS (
+      SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS val,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+      FROM orders
+    ), per AS (
+      SELECT val, CAST(SUM(ia) AS BIGINT) AS na,
+             CAST(SUM(1 - ia) AS BIGINT) AS nb
+      FROM vals GROUP BY 1
+    ), r AS (
+      SELECT val, na, nb, na + nb AS t,
+             CAST(2 * (SUM(na + nb) OVER (ORDER BY val) - (na + nb))
+                  + (na + nb) + 1 AS BIGINT) AS r2
+      FROM per
+    ), agg AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
+             CAST(SUM(na * r2) AS BIGINT) AS ra2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+      FROM r
+    ), d AS (
+      SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+             CAST(ra2 AS DOUBLE) / 2.0
+               - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0
+               AS u,
+             CAST(tie3 AS DOUBLE) AS t3
+      FROM agg
+    ), e AS (
+      SELECT n_a, n_b, u,
+             na * nb / 2.0 AS mu,
+             na * nb / 12.0 * ((n + 1.0) - t3 / (n * (n - 1.0))) AS s2
+      FROM d
+    )
+    SELECT n_a, n_b, u AS u_stat,
+           ROUND({z}, 12) AS z,
+           ROUND(2.0 * {normal_sf_sql(f'ABS({z})')}, 9) AS p_value
+    FROM e
+    """
+
+
+@_q("q373_mann_whitney", None)
+def q373_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (experiments.mann_whitney_u):
+    do URGENT orders stochastically dominate the rest on order value?
+    The nonparametric complement of the Welch t (q130-family) for
+    skewed revenue distributions. The metric is floored to whole
+    currency units first — the quantization that bounds the
+    distinct-value table rank statistics are computed over at scale
+    (and creates real ties, exercising the midrank + tie-corrected
+    variance path). p-value from the engine-portable Zelen-Severo
+    normal tail, rounded before comparison per the normal_sf contract.
+    """
+    from .operators.experiments import mann_whitney_u
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("urgent"))
+        .otherwise(F.lit("other"))
+        .alias("grp"),
+        F.floor("o_totalprice").cast("long").alias("usd"),
+    )
+    out = mann_whitney_u(df, "grp", "usd", "urgent", "other")
+    return out.select(
+        "n_a", "n_b", "u_stat",
+        F.round("z", 12).alias("z"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q373_mann_whitney"] = _q373_oracle()
+
+
+@_q(
+    "q374_spearman",
+    """
+    WITH cnt AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), base AS (
+      SELECT c_acctbal AS x, COALESCE(n_orders, 0) AS y
+      FROM customer LEFT JOIN cnt ON o_custkey = c_custkey
+    ), dx AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1
+    ), rx AS (
+      SELECT x, CAST(2 * (SUM(c) OVER (ORDER BY x) - c) + c + 1
+                  AS BIGINT) AS rx
+      FROM dx
+    ), dy AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1
+    ), ry AS (
+      SELECT y, CAST(2 * (SUM(c) OVER (ORDER BY y) - c) + c + 1
+                  AS BIGINT) AS ry
+      FROM dy
+    ), j AS (
+      SELECT rx, ry FROM base JOIN rx USING (x) JOIN ry USING (y)
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+             CAST(SUM(ry * ry) AS BIGINT) AS syy,
+             CAST(SUM(rx * ry) AS BIGINT) AS sxy
+      FROM j
+    )
+    SELECT n_rows,
+           ROUND((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 12) AS rho
+    FROM m
+    """,
+)
+def q374_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (evaluation.spearman_corr) between a
+    customer's account balance and their order count — the monotone-
+    association screen Pearson (q85/q280) gets wrong under skew.
+    Midranks per column come from prefix windows over DISTINCT-value
+    tables (doubled so every moment is exact integer decimal); the
+    oracle replays the identical doubled-midrank construction."""
+    from .operators.evaluation import spearman_corr
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    df = c.join(cnt, c.c_custkey == F.col("o_custkey"), "left").select(
+        F.col("c_acctbal").alias("bal"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+    return spearman_corr(df, "bal", "n_orders")
+
+
+@_q(
+    "q375_fellegi_sunter",
+    """
+    WITH c AS (
+      SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+             c_acctbal AS bal, SUBSTR(c_name, LENGTH(c_name), 1) AS sfx
+      FROM customer
+    ), lagged AS (
+      SELECT k, seg, bal, sfx,
+             LAG(k, 1) OVER w AS k1, LAG(seg, 1) OVER w AS seg1,
+             LAG(bal, 1) OVER w AS bal1, LAG(sfx, 1) OVER w AS sfx1,
+             LAG(k, 2) OVER w AS k2, LAG(seg, 2) OVER w AS seg2,
+             LAG(bal, 2) OVER w AS bal2, LAG(sfx, 2) OVER w AS sfx2,
+             LAG(k, 3) OVER w AS k3, LAG(seg, 3) OVER w AS seg3,
+             LAG(bal, 3) OVER w AS bal3, LAG(sfx, 3) OVER w AS sfx3
+      FROM c WINDOW w AS (PARTITION BY nat ORDER BY bal, k)
+    ), pairs AS (
+      SELECT CASE WHEN seg = s2 THEN 1 ELSE 0 END AS g_seg,
+             CASE WHEN ABS(bal - b2) < 10 THEN 1 ELSE 0 END AS g_bal,
+             CASE WHEN sfx = x2 THEN 1 ELSE 0 END AS g_sfx,
+             CASE WHEN (k + kk) % 17 = 0 THEN 1 ELSE 0 END AS lab
+      FROM (
+        SELECT k, seg, bal, sfx, k1 AS kk, seg1 AS s2, bal1 AS b2,
+               sfx1 AS x2 FROM lagged WHERE k1 IS NOT NULL
+        UNION ALL
+        SELECT k, seg, bal, sfx, k2, seg2, bal2, sfx2 FROM lagged
+        WHERE k2 IS NOT NULL
+        UNION ALL
+        SELECT k, seg, bal, sfx, k3, seg3, bal3, sfx3 FROM lagged
+        WHERE k3 IS NOT NULL
+      )
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(lab) AS BIGINT) AS nm,
+             CAST(SUM(g_seg * lab) AS BIGINT) AS am_seg,
+             CAST(SUM(g_seg * (1 - lab)) AS BIGINT) AS au_seg,
+             CAST(SUM(g_bal * lab) AS BIGINT) AS am_bal,
+             CAST(SUM(g_bal * (1 - lab)) AS BIGINT) AS au_bal,
+             CAST(SUM(g_sfx * lab) AS BIGINT) AS am_sfx,
+             CAST(SUM(g_sfx * (1 - lab)) AS BIGINT) AS au_sfx
+      FROM pairs
+    ), pat AS (
+      SELECT CAST(g_seg AS VARCHAR) || CAST(g_bal AS VARCHAR)
+               || CAST(g_sfx AS VARCHAR) AS pattern,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(lab) AS BIGINT) AS n_match
+      FROM pairs GROUP BY 1
+    )
+    SELECT pattern, n_pairs, n_match,
+           ROUND(
+             ((1.0 *
+               CASE WHEN SUBSTR(pattern, 1, 1) = '1'
+                 THEN (CAST(am_seg AS DOUBLE) / CAST(nm AS DOUBLE))
+                      / (CAST(au_seg AS DOUBLE) / CAST(n - nm AS DOUBLE))
+                 ELSE (1.0 - CAST(am_seg AS DOUBLE) / CAST(nm AS DOUBLE))
+                      / (1.0 - CAST(au_seg AS DOUBLE)
+                               / CAST(n - nm AS DOUBLE)) END)
+              * CASE WHEN SUBSTR(pattern, 2, 1) = '1'
+                 THEN (CAST(am_bal AS DOUBLE) / CAST(nm AS DOUBLE))
+                      / (CAST(au_bal AS DOUBLE) / CAST(n - nm AS DOUBLE))
+                 ELSE (1.0 - CAST(am_bal AS DOUBLE) / CAST(nm AS DOUBLE))
+                      / (1.0 - CAST(au_bal AS DOUBLE)
+                               / CAST(n - nm AS DOUBLE)) END)
+             * CASE WHEN SUBSTR(pattern, 3, 1) = '1'
+                 THEN (CAST(am_sfx AS DOUBLE) / CAST(nm AS DOUBLE))
+                      / (CAST(au_sfx AS DOUBLE) / CAST(n - nm AS DOUBLE))
+                 ELSE (1.0 - CAST(am_sfx AS DOUBLE) / CAST(nm AS DOUBLE))
+                      / (1.0 - CAST(au_sfx AS DOUBLE)
+                               / CAST(n - nm AS DOUBLE)) END,
+             9) AS ratio
+    FROM pat CROSS JOIN tot
+    ORDER BY pattern
+    """,
+)
+def q375_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights (linkage.
+    fellegi_sunter_weights) over sorted-neighborhood candidate pairs
+    (each customer vs its 3 balance-order neighbors within the nation —
+    the q296 blocking family, O(N) pairs from ONE window shuffle, never
+    a quadratic block join); agreement fields are market segment, close
+    balance (<10), and name-suffix; the match label is a deterministic
+    synthetic stand-in ((k_a+k_b) % 17 == 0 — the fixtures carry no
+    true duplicate entities, so the gate exercises the exact m/u
+    estimation and composite-ratio arithmetic, not label quality).
+    Patterns, not pairs, are the output — the scale contract for
+    scoring 100 TB of candidates."""
+    from .operators.linkage import fellegi_sunter_weights
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+        F.substring(F.col("c_name"), F.length("c_name"), F.lit(1)).alias(
+            "sfx"
+        ),
+    )
+    w = Window.partitionBy("nat").orderBy(F.col("bal").asc(), F.col("k").asc())
+    lagged = c.select(
+        "k", "seg", "bal", "sfx",
+        *[
+            F.lag(col, d).over(w).alias(f"{col}{d}")
+            for d in (1, 2, 3)
+            for col in ("k", "seg", "bal", "sfx")
+        ],
+    )
+    parts = [
+        lagged.filter(F.col(f"k{d}").isNotNull()).select(
+            "k", "seg", "bal", "sfx",
+            F.col(f"k{d}").alias("kk"), F.col(f"seg{d}").alias("s2"),
+            F.col(f"bal{d}").alias("b2"), F.col(f"sfx{d}").alias("x2"),
+        )
+        for d in (1, 2, 3)
+    ]
+    un = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    pairs = un.select(
+        (F.col("seg") == F.col("s2")).alias("g_seg"),
+        (F.abs(F.col("bal") - F.col("b2")) < 10).alias("g_bal"),
+        (F.col("sfx") == F.col("x2")).alias("g_sfx"),
+        ((F.col("k") + F.col("kk")) % 17 == 0).alias("lab"),
+    )
+    out = fellegi_sunter_weights(pairs, ["g_seg", "g_bal", "g_sfx"], "lab")
+    return out.orderBy("pattern")
+
+
+@_q(
+    "q376_chunk_dedup",
+    """
+    WITH base AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE text IS NOT NULL AND LENGTH(text) > 0
+    ), chunks AS (
+      SELECT doc_id, source,
+             MD5(SUBSTR(text, i * 64 + 1, 64)) AS h
+      FROM base,
+           LATERAL (SELECT UNNEST(generate_series(
+             0, CAST(CEIL(LENGTH(text) / 64.0) AS INT) - 1)) AS i)
+    ), per_hash AS (
+      SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+      FROM chunks GROUP BY 1
+    ), flagged AS (
+      SELECT doc_id, source,
+             CASE WHEN docs >= 2 THEN 1 ELSE 0 END AS dup
+      FROM chunks JOIN per_hash USING (h)
+    )
+    SELECT source AS grp,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(dup) AS BIGINT) AS n_dup_chunks,
+           ROUND(CAST(SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 12)
+             AS dup_chunk_share
+    FROM flagged GROUP BY 1 ORDER BY 1
+    """,
+)
+def q376_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunk-hash duplication profile (dedup.
+    chunk_hash_profile) of the documents table per source — the
+    storage-style dedup first-pass that decides whether the shingle
+    pipelines are worth running per source. MD5 chunk hashes are
+    bitwise-stable across engines, so the whole profile (including the
+    dup-share ratio) replays in SQL exactly."""
+    from .operators.dedup import chunk_hash_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_hash_profile(d, "text", "doc_id", "source", 64).orderBy(
+        "grp"
+    )
+
+
+@_q(
+    "q377_shapley_attribution",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b1,
+             MAX(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END) AS b2,
+             MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS b4,
+             MAX(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS b8,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ), cells AS (
+      SELECT b1 + b2 + b4 + b8 AS mask, CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM per_user GROUP BY 1
+    ), coal AS (
+      SELECT UNNEST(generate_series(0, 15)) AS s
+    ), v AS (
+      SELECT s, CAST(COALESCE(SUM(n_conv), 0) AS BIGINT) AS v0
+      FROM coal LEFT JOIN cells ON (mask & s) = mask
+      GROUP BY 1
+    ), phis AS (
+      SELECT ch AS channel,
+             CAST(SUM((v1.v0 - v.v0)
+                      * CASE bit_count(v.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                             WHEN 2 THEN 2 ELSE 6 END) AS BIGINT) AS num
+      FROM (VALUES ('click', 1), ('view', 2), ('signup', 4), ('error', 8))
+           AS chan(ch, b)
+      JOIN v ON (v.s & chan.b) = 0
+      JOIN v v1 ON v1.s = xor(v.s, chan.b)
+      GROUP BY 1
+    ), p AS (
+      SELECT channel, CAST(num AS DOUBLE) / 24.0 AS phi FROM phis
+    ), tot AS (
+      SELECT SUM(phi) AS t FROM p
+    )
+    SELECT channel, ROUND(phi, 12) AS phi, ROUND(phi / t, 12) AS share
+    FROM p CROSS JOIN tot ORDER BY channel
+    """,
+)
+def q377_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution (assoc.
+    shapley_attribution) over the four non-conversion event channels,
+    purchase as conversion — the axiomatic credit split next to
+    Markov removal effects (q340) and linear touch (q300). Coalition
+    values collapse to <= 16 mask cells; the factorial weights enter as
+    exact integers over 4!, so both engines derive identical doubles."""
+    from .operators.assoc import shapley_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    out = shapley_attribution(
+        ev, "user_id", "event_type", "purchase",
+        ["click", "view", "signup", "error"],
+    )
+    return out.orderBy("channel")
+
+
+@_q(
+    "q378_winsorized_stats",
+    """
+    WITH bounds AS (
+      SELECT o_orderpriority AS grp,
+             quantile_cont(o_totalprice, 0.05) AS lo_bound,
+             quantile_cont(o_totalprice, 0.95) AS hi_bound
+      FROM orders GROUP BY 1
+    ), clamped AS (
+      SELECT grp, lo_bound, hi_bound,
+             GREATEST(CAST(ROUND(lo_bound * 1) AS BIGINT),
+               LEAST(CAST(ROUND(hi_bound * 1) AS BIGINT),
+                     CAST(ROUND(o_totalprice * 1) AS BIGINT))) AS w
+      FROM orders JOIN bounds ON o_orderpriority = grp
+    ), per AS (
+      SELECT grp, lo_bound, hi_bound,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(w) AS BIGINT) AS s,
+             CAST(SUM(w * w) AS BIGINT) AS ss
+      FROM clamped GROUP BY 1, 2, 3
+    )
+    SELECT grp, n, lo_bound, hi_bound,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1.0, 6)
+             AS winsorized_mean,
+           ROUND((CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) / 1.0, 2) AS winsorized_var
+    FROM per ORDER BY grp
+    """,
+)
+def q378_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean/variance (dq.winsorized_stats) of order
+    value per priority class, clamped at the per-class interpolated
+    [p05, p95] — the outlier-resistant revenue readout. scale=1 (whole
+    currency units) keeps the exact sum-of-squares within the range
+    where DuckDB's integer-to-double conversion is correctly rounded
+    at the gate SFs (the welch_t 2^53 contract)."""
+    from .operators.dq import winsorized_stats
+
+    o = _t(spark, sf_dir, "orders")
+    out = winsorized_stats(o, "o_orderpriority", "o_totalprice", scale=1)
+    return out.select(
+        "grp", "n", "lo_bound", "hi_bound",
+        # magnitude-aware rounding: ~1e5 mean at 6 dp / ~1e10 var at
+        # 2 dp stay within double's 15-16 significant digits
+        F.round("winsorized_mean", 6).alias("winsorized_mean"),
+        F.round("winsorized_var", 2).alias("winsorized_var"),
+    ).orderBy("grp")
+
+
+@_q(
+    "q379_nelson_aalen",
+    """
+    WITH RECURSIVE per AS (
+      SELECT o_custkey, MIN(o_orderdate) AS fd, MAX(o_orderdate) AS ld
+      FROM orders GROUP BY 1
+    ), mx AS (
+      SELECT MAX(o_orderdate) AS m FROM orders
+    ), d AS (
+      SELECT CAST(DATE_DIFF('day', CAST(fd AS DATE), CAST(ld AS DATE))
+                  AS BIGINT) AS t,
+             CASE WHEN ld < m - INTERVAL 30 DAY THEN 1 ELSE 0 END AS e
+      FROM per CROSS JOIN mx
+    ), pt AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS d, CAST(SUM(1 - e) AS BIGINT) AS c
+      FROM d GROUP BY 1
+    ), risk AS (
+      SELECT t, d, c,
+             CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+      FROM pt
+    ), ev AS (
+      SELECT t, d, c, n,
+             CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS h,
+             ROW_NUMBER() OVER (ORDER BY t) AS rn
+      FROM risk WHERE d > 0
+    ), rec AS (
+      SELECT rn, t, d, c, n, 0.0 + h AS s FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.rn, e.t, e.d, e.c, e.n, r.s + e.h
+      FROM rec r JOIN ev e ON e.rn = r.rn + 1
+    )
+    SELECT t, n AS n_risk, d AS n_event, c AS n_censored, s AS cum_hazard
+    FROM rec
+    """,
+)
+def q379_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (timeseries.nelson_aalen) over
+    the same censored customer lifetimes as q269's Kaplan-Meier — the
+    additive estimator hazard models consume. The cumulative sum folds
+    hazards in time order via the KM prefix-refold (a windowed float
+    SUM would associate differently on DuckDB's segment-tree windows);
+    the oracle replays the identical fold as a recursive CTE, bitwise
+    unrounded."""
+    from .operators.timeseries import nelson_aalen
+
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("fd"), F.max("o_orderdate").alias("ld")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("m"))
+    df = per.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("ld").cast("date"), F.col("fd").cast("date"))
+        .cast("long")
+        .alias("dur"),
+        (F.col("ld") < F.col("m") - F.expr("INTERVAL 30 DAYS"))
+        .cast("int")
+        .alias("ev"),
+    )
+    return nelson_aalen(df, "dur", "ev")
+
+
+@_q(
+    "q380_cusum_shift",
+    """
+    WITH per AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ), w AS (
+      SELECT day, x, CAST(COUNT(*) OVER () AS BIGINT) AS tt,
+             CAST(SUM(x) OVER () AS BIGINT) AS s
+      FROM per
+    ), p AS (
+      SELECT day, x, s,
+             CAST(SUM(x * tt - s) OVER (ORDER BY day) AS BIGINT) AS pv
+      FROM w
+    ), q AS (
+      SELECT day, x, s, pv,
+             LEAST(CAST(MIN(pv) OVER (ORDER BY day) AS BIGINT),
+                   CAST(0 AS BIGINT)) AS pmin
+      FROM p
+    )
+    SELECT day, x, CAST(pv - pmin AS BIGINT) AS cusum_scaled,
+           COALESCE((pv - pmin) * 10 > s * 1, FALSE) AS alarm
+    FROM q ORDER BY day
+    """,
+)
+def q380_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection (timeseries.cusum_shift) on the
+    daily error-event count: the prefix-sum identity C_t = P_t -
+    min(P_0..P_t) replaces the running-max recursion with two exact
+    integer windows over the DAY table (post-aggregate contract), and
+    the alarm threshold (1/10 of total volume) is compared all-integer
+    — no float drift anywhere, both engines replay bitwise."""
+    from .operators.timeseries import cusum_shift
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    df = ev.select(F.to_date("ts").alias("day"), F.lit(1).alias("one"))
+    out = cusum_shift(
+        df, "day", "one", scale=1, threshold_num=1, threshold_den=10
+    )
+    return out.select(
+        F.col("bucket").alias("day"), "x", "cusum_scaled", "alarm"
+    ).orderBy("day")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for round 9's gate (VERDICT r8 #1):
     #    the 29 never-recorded queries (q344-q372, per
@@ -18889,6 +19416,11 @@ _PRIORITY = [
     "q12_sql_passthrough", "q13_insert_if_absent", "q14_merge_upsert",
     "q20_topk_per_group", "q21_window_running", "q22_rollup", "q23_cube",
     "q24_set_ops", "q25_semi_anti", "q26_distinct_agg", "q27_sort_limit",
+    # round-9 additions (never recorded yet -- next round's head per
+    # the ROUND-CLOSE RULE; outside this round's 50 gate slots)
+    "q373_mann_whitney", "q374_spearman", "q375_fellegi_sunter",
+    "q376_chunk_dedup", "q377_shapley_attribution",
+    "q378_winsorized_stats", "q379_nelson_aalen", "q380_cusum_shift",
     # 1) the r8-recorded set (q269 + q295-q343) -- newest records, age
     #    out last among the recorded blocks below r6/r7.
     "q269_kaplan_meier",

@@ -1,0 +1,338 @@
+"""Round-9 operators: rank/robust stats, linkage, chunk dedup, Shapley,
+Nelson-Aalen, CUSUM — each checked against a small pure-Python reference."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U
+
+
+def _mw_reference(xs, ys):
+    pooled = sorted([(v, 0) for v in xs] + [(v, 1) for v in ys])
+    # midranks
+    ranks = {}
+    i = 0
+    vals = [v for v, _ in pooled]
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        ranks[vals[i]] = mid
+        i = j
+    ra = sum(ranks[v] for v in xs)
+    na, nb = len(xs), len(ys)
+    u = ra - na * (na + 1) / 2.0
+    n = na + nb
+    ties = {}
+    for v in vals:
+        ties[v] = ties.get(v, 0) + 1
+    tie3 = sum(t ** 3 - t for t in ties.values())
+    mu = na * nb / 2.0
+    s2 = na * nb / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u - mu) / math.sqrt(s2)
+    return u, z
+
+
+def test_mann_whitney_matches_reference(spark):
+    from etl_java_spark.operators.experiments import mann_whitney_u
+
+    xs = [5, 7, 7, 9, 12, 12, 12, 15]
+    ys = [3, 5, 6, 7, 8, 10]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = mann_whitney_u(df, "grp", "v", "a", "b").collect()[0]
+    u_ref, z_ref = _mw_reference(xs, ys)
+    assert out["n_a"] == len(xs) and out["n_b"] == len(ys)
+    assert out["u_stat"] == pytest.approx(u_ref, abs=1e-12)
+    assert out["z"] == pytest.approx(z_ref, rel=1e-12)
+    assert 0.0 < out["p_value"] < 1.0
+
+
+def test_mann_whitney_symmetry(spark):
+    # swapping the groups flips the sign of z
+    from etl_java_spark.operators.experiments import mann_whitney_u
+
+    rows = [("a", v) for v in [1, 4, 6]] + [("b", v) for v in [2, 3, 9]]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    z1 = mann_whitney_u(df, "grp", "v", "a", "b").collect()[0]["z"]
+    z2 = mann_whitney_u(df, "grp", "v", "b", "a").collect()[0]["z"]
+    assert z1 == pytest.approx(-z2, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Spearman
+
+
+def _midranks(vals):
+    out = {}
+    s = sorted(vals)
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        out[s[i]] = (i + 1 + j) / 2.0
+        i = j
+    return [out[v] for v in vals]
+
+
+def test_spearman_matches_reference(spark):
+    from etl_java_spark.operators.evaluation import spearman_corr
+
+    xs = [1.0, 2.0, 2.0, 4.0, 7.0, 9.0]
+    ys = [3, 1, 4, 4, 8, 9]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y long")
+    rho = spearman_corr(df, "x", "y").collect()[0]["rho"]
+    rx, ry = _midranks(xs), _midranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    )
+    assert rho == pytest.approx(num / den, abs=1e-9)
+
+
+def test_spearman_perfect_monotone(spark):
+    from etl_java_spark.operators.evaluation import spearman_corr
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, 20), (3.0, 400)], "x double, y long"
+    )
+    assert spearman_corr(df, "x", "y").collect()[0]["rho"] == pytest.approx(
+        1.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter
+
+
+def test_fellegi_sunter_matches_reference(spark):
+    from etl_java_spark.operators.linkage import fellegi_sunter_weights
+
+    # (g1, g2, label)
+    rows = [
+        (True, True, True), (True, False, True), (True, True, True),
+        (False, True, False), (True, False, False), (False, False, False),
+        (True, True, False), (False, False, False),
+    ]
+    df = spark.createDataFrame(rows, "g1 boolean, g2 boolean, lab boolean")
+    out = {
+        r["pattern"]: r
+        for r in fellegi_sunter_weights(df, ["g1", "g2"], "lab").collect()
+    }
+    nm = 3
+    nu = 5
+    m1, u1 = 3 / nm, 2 / nu
+    m2, u2 = 2 / nm, 2 / nu
+    # pattern '11': agree on both
+    exp_11 = (m1 / u1) * (m2 / u2)
+    assert out["11"]["ratio"] == pytest.approx(exp_11, rel=1e-6)
+    exp_00 = ((1 - m1) / (1 - u1)) * ((1 - m2) / (1 - u2))
+    assert out["00"]["ratio"] == pytest.approx(exp_00, rel=1e-6)
+    assert out["11"]["n_pairs"] == 3 and out["11"]["n_match"] == 2
+
+
+# ---------------------------------------------------------------------------
+# chunk-hash profile
+
+
+def test_chunk_hash_profile_counts(spark):
+    from etl_java_spark.operators.dedup import chunk_hash_profile
+
+    shared = "A" * 64
+    rows = [
+        (1, "s1", shared + "B" * 64),   # chunk1 shared, chunk2 unique
+        (2, "s1", shared + "C" * 10),   # chunk1 shared, short tail unique
+        (3, "s2", "D" * 100),           # both chunks unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["grp"]: r
+        for r in chunk_hash_profile(df, "text", "doc_id", "source").collect()
+    }
+    assert out["s1"]["n_docs"] == 2
+    assert out["s1"]["n_chunks"] == 4
+    assert out["s1"]["n_dup_chunks"] == 2  # the shared 64-A chunk, twice
+    assert out["s2"]["n_dup_chunks"] == 0
+    # md5 parity with hashlib on the same chunk bytes
+    h = hashlib.md5(shared.encode()).hexdigest()
+    assert h  # sanity that the reference hash exists
+
+
+def test_chunk_hash_profile_empty_text_dropped(spark):
+    from etl_java_spark.operators.dedup import chunk_hash_profile
+
+    df = spark.createDataFrame(
+        [(1, "s", ""), (2, "s", None), (3, "s", "xyz")],
+        "doc_id long, source string, text string",
+    )
+    out = chunk_hash_profile(df, "text", "doc_id", "source").collect()
+    assert len(out) == 1 and out[0]["n_docs"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Shapley attribution
+
+
+def _shapley_reference(user_masks_conv, channels):
+    c = len(channels)
+
+    def v(s_bits):
+        return sum(
+            conv for mask, conv in user_masks_conv if mask & s_bits == mask
+        )
+
+    phis = {}
+    for i, ch in enumerate(channels):
+        b = 1 << i
+        total = 0.0
+        others = [j for j in range(c) if j != i]
+        for r in range(c):
+            for sub in itertools.combinations(others, r):
+                s = sum(1 << j for j in sub)
+                w = (
+                    math.factorial(r)
+                    * math.factorial(c - r - 1)
+                    / math.factorial(c)
+                )
+                total += w * (v(s | b) - v(s))
+        phis[ch] = total
+    return phis
+
+
+def test_shapley_matches_bruteforce(spark):
+    from etl_java_spark.operators.assoc import shapley_attribution
+
+    channels = ["c1", "c2", "c3"]
+    # user -> events
+    events = []
+    journeys = [
+        (1, ["c1", "c2", "buy"]),
+        (2, ["c1", "buy"]),
+        (3, ["c2", "c3"]),
+        (4, ["c3", "buy"]),
+        (5, ["c1", "c2", "c3", "buy"]),
+        (6, ["c2", "buy"]),
+    ]
+    for uid, evs in journeys:
+        events += [(uid, e) for e in evs]
+    df = spark.createDataFrame(events, "u long, t string")
+    out = {
+        r["channel"]: r["phi"]
+        for r in shapley_attribution(df, "u", "t", "buy", channels).collect()
+    }
+    masks = []
+    for uid, evs in journeys:
+        mask = sum(
+            1 << channels.index(ch) for ch in set(evs) if ch in channels
+        )
+        masks.append((mask, 1 if "buy" in evs else 0))
+    ref = _shapley_reference(masks, channels)
+    for ch in channels:
+        assert out[ch] == pytest.approx(ref[ch], abs=1e-9), ch
+    # efficiency axiom: sum(phi) = v(C) - v(empty)
+    v_all = sum(c for _, c in masks)
+    v_none = sum(c for m, c in masks if m == 0)
+    assert sum(out.values()) == pytest.approx(v_all - v_none, abs=1e-9)
+
+
+def test_shapley_rejects_oversized_coalition(spark):
+    from etl_java_spark.operators.assoc import shapley_attribution
+
+    df = spark.createDataFrame([(1, "a")], "u long, t string")
+    with pytest.raises(ValueError):
+        shapley_attribution(df, "u", "t", "x", [f"c{i}" for i in range(13)])
+
+
+# ---------------------------------------------------------------------------
+# winsorized stats
+
+
+def test_winsorized_stats_clamps(spark):
+    from etl_java_spark.operators.dq import winsorized_stats
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    out = winsorized_stats(df, "g", "v", p_lo=0.1, p_hi=0.9, scale=1).collect()[
+        0
+    ]
+    # interpolated p10/p90 of the 10 values: 1.9 and 9*... numpy-style
+    import numpy as np
+
+    lo = float(np.percentile(vals, 10))
+    hi = float(np.percentile(vals, 90))
+    assert out["lo_bound"] == pytest.approx(lo, rel=1e-9)
+    assert out["hi_bound"] == pytest.approx(hi, rel=1e-9)
+    clamped = [min(max(round(v), round(lo)), round(hi)) for v in vals]
+    assert out["winsorized_mean"] == pytest.approx(
+        sum(clamped) / len(clamped), rel=1e-9
+    )
+    assert out["n"] == 10
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen
+
+
+def test_nelson_aalen_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import nelson_aalen
+
+    # (duration, event): 5 subjects, one censored at 3
+    rows = [(1, 1), (2, 1), (3, 0), (4, 1), (4, 1)]
+    df = spark.createDataFrame(rows, "dur long, ev int")
+    out = {r["t"]: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    # risk sets: t=1 ->5, t=2 ->4, t=4 ->2 (censor at 3 drops one)
+    assert out[1]["n_risk"] == 5 and out[1]["cum_hazard"] == pytest.approx(
+        1 / 5
+    )
+    assert out[2]["cum_hazard"] == pytest.approx(1 / 5 + 1 / 4)
+    assert out[4]["n_risk"] == 2 and out[4]["n_event"] == 2
+    assert out[4]["cum_hazard"] == pytest.approx(1 / 5 + 1 / 4 + 2 / 2)
+    assert 3 not in out  # censoring-only time emits no row
+
+
+# ---------------------------------------------------------------------------
+# CUSUM
+
+
+def test_cusum_prefix_identity_matches_recursion(spark):
+    from etl_java_spark.operators.timeseries import cusum_shift
+
+    xs = [10, 10, 10, 25, 30, 10, 10]
+    rows = [(i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "b long, x long")
+    out = {
+        r["bucket"]: r
+        for r in cusum_shift(
+            df, "b", "x", threshold_num=1, threshold_den=10
+        ).collect()
+    }
+    # classic recursion in T-scaled units: C_t = max(0, C_{t-1} + x*T - S)
+    T, S = len(xs), sum(xs)
+    c = 0
+    for i, x in enumerate(xs):
+        c = max(0, c + x * T - S)
+        assert out[i]["cusum_scaled"] == c, i
+    # the 25/30 burst must alarm at threshold 1/10 of total
+    assert any(r["alarm"] for r in out.values())
+    assert not out[0]["alarm"]
+
+
+def test_cusum_flat_series_never_alarms(spark):
+    from etl_java_spark.operators.timeseries import cusum_shift
+
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(5)], "b long, x long"
+    )
+    out = cusum_shift(df, "b", "x").collect()
+    assert all(r["cusum_scaled"] == 0 and not r["alarm"] for r in out)
