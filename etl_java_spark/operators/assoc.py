@@ -382,6 +382,10 @@ def shapley_attribution(
         .groupBy("s")
         .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v0"))
     )
+    # v is <= 2^c rows but every per-channel phi branch references it
+    # twice — pin it so the events scan and user aggregate run ONCE,
+    # not 2c times (plan audit measured 16 scans without this)
+    v = v.localCheckpoint(eager=True)
 
     def phi_for(ch: str, b: int) -> DataFrame:
         # weight |S|! (c-|S|-1)! selected by popcount of the S mask

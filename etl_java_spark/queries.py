@@ -19100,23 +19100,29 @@ def q375_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy("nat").orderBy(F.col("bal").asc(), F.col("k").asc())
-    lagged = c.select(
-        "k", "seg", "bal", "sfx",
+    # ONE window pass + one explode (a union of three filtered
+    # projections would recompute the window and rescan customer 3x)
+    lag_structs = F.array(
         *[
-            F.lag(col, d).over(w).alias(f"{col}{d}")
+            F.struct(
+                F.lag("k", d).over(w).alias("kk"),
+                F.lag("seg", d).over(w).alias("s2"),
+                F.lag("bal", d).over(w).alias("b2"),
+                F.lag("sfx", d).over(w).alias("x2"),
+            )
             for d in (1, 2, 3)
-            for col in ("k", "seg", "bal", "sfx")
-        ],
+        ]
     )
-    parts = [
-        lagged.filter(F.col(f"k{d}").isNotNull()).select(
+    un = (
+        c.select("k", "seg", "bal", "sfx", lag_structs.alias("ps"))
+        .select("k", "seg", "bal", "sfx", F.explode("ps").alias("p"))
+        .filter(F.col("p.kk").isNotNull())
+        .select(
             "k", "seg", "bal", "sfx",
-            F.col(f"k{d}").alias("kk"), F.col(f"seg{d}").alias("s2"),
-            F.col(f"bal{d}").alias("b2"), F.col(f"sfx{d}").alias("x2"),
+            F.col("p.kk").alias("kk"), F.col("p.s2").alias("s2"),
+            F.col("p.b2").alias("b2"), F.col("p.x2").alias("x2"),
         )
-        for d in (1, 2, 3)
-    ]
-    un = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    )
     pairs = un.select(
         (F.col("seg") == F.col("s2")).alias("g_seg"),
         (F.abs(F.col("bal") - F.col("b2")) < 10).alias("g_bal"),
