@@ -1511,3 +1511,145 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         * (n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return one.select("n_rows", F.round(num / den, 12).alias("rho"))
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall tau-b rank correlation over QUANTIZED columns — the
+    concordant-vs-discordant-pair statistic with the standard tie
+    normalization:
+
+        tau_b = (P - Q) / sqrt((n0 - Tx) (n0 - Ty)),
+        n0 = n(n-1)/2, Tx/Ty = within-tie pair counts
+
+    Scalable shape: rows collapse to the (x, y) CELL table first; P and
+    Q are a cell-grid self-join (strictly-greater / opposite-order cell
+    pairs, weighted by count products) — O(C^2) for C distinct cells,
+    which is why the inputs must be quantized/ordinal (the knob that
+    bounds the grid; continuous metrics get banded upstream, exactly
+    how tau is computed at scale). All pair counts are exact integers
+    in decimal; one double division + sqrt at the end. Returns one row:
+    (n_rows, n_concordant, n_discordant, tau_b) with tau rounded 12.
+    """
+    d38 = "decimal(38,0)"
+    cells = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    prod = (F.col("a.c").cast(d38) * F.col("b.c")).cast(d38)
+    pq = (
+        a.join(
+            b,
+            (F.col("a.x") < F.col("b.x"))
+            & (F.col("a.y") != F.col("b.y")),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a.y") < F.col("b.y"), prod).otherwise(
+                    F.lit(0).cast(d38)
+                )
+            ).alias("p"),
+            F.sum(
+                F.when(F.col("a.y") > F.col("b.y"), prod).otherwise(
+                    F.lit(0).cast(d38)
+                )
+            ).alias("q"),
+        )
+    )
+    n_tot = cells.agg(
+        F.sum(F.col("c").cast(d38)).alias("n"),
+        F.sum((F.col("c").cast(d38) * (F.col("c") - 1)).cast(d38)).alias(
+            "tpair2"
+        ),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum(F.col("c").cast(d38)).alias("cx"))
+        .agg(
+            F.sum((F.col("cx") * (F.col("cx") - 1)).cast(d38)).alias("tx2")
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum(F.col("c").cast(d38)).alias("cy"))
+        .agg(
+            F.sum((F.col("cy") * (F.col("cy") - 1)).cast(d38)).alias("ty2")
+        )
+    )
+    j = (
+        pq.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    # doubled pair counts keep everything integer: 2*n0 = n(n-1),
+    # 2*Tx = sum cx(cx-1), ... ; the doubling cancels in the ratio
+    n0_2 = (F.col("n") * (F.col("n") - 1)).cast(d38)
+    num = (F.col("p") - F.col("q")).cast("double") * F.lit(2.0)
+    den = F.sqrt(
+        (n0_2 - F.col("tx2")).cast("double")
+        * (n0_2 - F.col("ty2")).cast("double")
+    )
+    return j.select(
+        (F.col("n").cast("long")).alias("n_rows"),
+        F.col("p").cast("long").alias("n_concordant"),
+        F.col("q").cast("long").alias("n_discordant"),
+        F.round(num / den, 12).alias("tau_b"),
+    )
+
+
+def spiegelhalter_z(
+    df: DataFrame,
+    p_col,
+    label_col,
+    p_scale: int = 6,
+) -> DataFrame:
+    """Spiegelhalter's calibration z-test — "are these predicted
+    probabilities calibrated?", the single-number hypothesis test
+    complementing the binned ECE (q267) and the Brier decomposition
+    (q341), sensitive to miscalibration the Brier score alone hides:
+
+        z = sum (y_i - p_i)(1 - 2 p_i)
+            / sqrt(sum (1 - 2 p_i)^2 p_i (1 - p_i))
+
+    Determinism: p is quantized to ``p_scale`` decimal places and every
+    per-row term is computed in EXACT fixed-point decimal, so both the
+    numerator and variance sums are order-independent — no float
+    accumulation anywhere until the final division/sqrt (the one ln/exp
+    -free calibration test, which is why it replays bitwise in SQL).
+    One map-side-combinable aggregate pass. Returns one row:
+    (n_rows, z, p_value) with the two-sided engine-portable p.
+    """
+    from .experiments import normal_sf
+
+    dp = f"decimal(12,{p_scale})"
+    p = (F.col(p_col) if isinstance(p_col, str) else p_col).cast(dp)
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("int")
+    one_m_2p = (F.lit(1).cast(dp) - (p + p)).cast("decimal(13,6)")
+    num_t = ((y.cast(dp) - p).cast("decimal(13,6)") * one_m_2p).cast(
+        "decimal(26,12)"
+    )
+    var_t = (
+        (one_m_2p * one_m_2p).cast("decimal(26,12)")
+        * (p * (F.lit(1).cast(dp) - p)).cast("decimal(26,12)")
+    ).cast("decimal(38,24)")
+    one = df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(num_t).cast("decimal(38,12)").alias("s_num"),
+        F.sum(var_t).cast("decimal(38,24)").alias("s_var"),
+    )
+    zst = F.col("s_num").cast("double") / F.sqrt(
+        F.col("s_var").cast("double")
+    )
+    return one.select(
+        "n_rows",
+        zst.alias("z"),
+        (F.lit(2.0) * normal_sf(F.abs(zst))).alias("p_value"),
+    )

@@ -857,3 +857,121 @@ def mann_whitney_u(
         "n_a", "n_b", u.alias("u_stat"), z.alias("z"),
         (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
     )
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    group_col,
+    num_col,
+    den_col,
+    scale: int = 1_000_000,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Delta-method CI for a RATIO metric per group — revenue per
+    order, clicks per session: the mean of a ratio of per-unit sums,
+    whose naive "variance of y/x" is simply wrong. With r = Y-bar /
+    X-bar over n units,
+
+        var(r) ~= (s_yy - 2 r s_xy + r^2 s_xx) / (n * xbar^2)
+
+    (s_* the sample (co)variances). Both metric columns are scaled to
+    exact integer micro-units so all five moments aggregate exactly
+    (decimal, order-independent — the welch_t discipline, same 2^53
+    conversion contract); r, var, and the interval derive through one
+    fixed double expression. Returns per group:
+    (grp, n, ratio, se, ci_lo, ci_hi) in natural units (the scaling
+    cancels in every output).
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y = F.round(
+        (F.col(num_col) if isinstance(num_col, str) else num_col) * scale
+    ).cast("long")
+    x = F.round(
+        (F.col(den_col) if isinstance(den_col, str) else den_col) * scale
+    ).cast("long")
+    d38 = "decimal(38,0)"
+    per = df.select(g.alias("grp"), y.alias("y"), x.alias("x")).groupBy(
+        "grp"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("y").cast(d38)).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(d38)).cast("double").alias("sx"),
+        F.sum((F.col("y").cast(d38) * F.col("y")).cast(d38))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x").cast(d38) * F.col("x")).cast(d38))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y").cast(d38) * F.col("x")).cast(d38))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    xbar = F.col("sx") / n
+    r = F.col("sy") / F.col("sx")
+    vyy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - F.lit(1.0))
+    vxx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+    vxy = (F.col("sxy") - F.col("sy") * F.col("sx") / n) / (n - F.lit(1.0))
+    var_r = (vyy - F.lit(2.0) * r * vxy + r * r * vxx) / (n * xbar * xbar)
+    se = F.sqrt(var_r)
+    return per.select(
+        "grp", "n",
+        r.alias("ratio"),
+        se.alias("se"),
+        (r - F.lit(z) * se).alias("ci_lo"),
+        (r + F.lit(z) * se).alias("ci_hi"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col,
+    success_col,
+) -> DataFrame:
+    """Cochran-Armitage trend test: is a binary outcome MONOTONICALLY
+    associated with an ordered exposure (dose, tier, bucket)? The
+    correct test where a plain chi-square ignores the ordering and a
+    pairwise z-test sweep burns alpha.
+
+    With integer scores s_i per level, n_i units and x_i successes:
+
+        T = sum s_i x_i - pbar * sum s_i n_i
+        V = pbar (1 - pbar) * (sum s_i^2 n_i - (sum s_i n_i)^2 / N)
+        z = T / sqrt(V),   p = 2 * normal_sf(|z|)
+
+    Every sum is an exact integer (scores must be integral — enforce
+    upstream); pbar and the statistic are one fixed double tree.
+    One grouped aggregate over the units (levels are metadata-sized).
+    Returns one row: (n_units, n_success, z, p_value).
+    """
+    s = (
+        F.col(score_col) if isinstance(score_col, str) else score_col
+    ).cast("long")
+    x = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("long")
+    one = df.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum(x).cast("long").alias("xx"),
+        F.sum(s * x).cast("long").alias("sx"),
+        F.sum(s).cast("long").alias("sn"),
+        F.sum(s * s).cast("long").alias("ssn"),
+    )
+    nn = F.col("nn").cast("double")
+    pbar = F.col("xx").cast("double") / nn
+    t = F.col("sx").cast("double") - pbar * F.col("sn").cast("double")
+    v = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (
+            F.col("ssn").cast("double")
+            - F.col("sn").cast("double") * F.col("sn").cast("double") / nn
+        )
+    )
+    zst = t / F.sqrt(v)
+    return one.select(
+        F.col("nn").alias("n_units"),
+        F.col("xx").alias("n_success"),
+        zst.alias("z"),
+        (F.lit(2.0) * normal_sf(F.abs(zst))).alias("p_value"),
+    )

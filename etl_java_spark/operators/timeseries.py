@@ -1449,3 +1449,96 @@ def cusum_shift(
         cus.cast("long").alias("cusum_scaled"),
         F.coalesce(alarm, F.lit(False)).alias("alarm"),
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col,
+    group_a,
+) -> DataFrame:
+    """Two-group log-rank test — "are these two survival curves the
+    same?", the hypothesis-test companion to :func:`kaplan_meier` /
+    :func:`nelson_aalen` (eyeballing two KM curves is not a test).
+    Group A's observed events are compared with their expectation under
+    the null at every distinct event time:
+
+        E_a(t) = d_t * n_a(t) / n(t)
+        V(t)   = d_t * (n_a/n) * (1 - n_a/n) * (n - d) / (n - 1)
+        chi2   = (sum_t (d_a - E_a))^2 / sum_t V,   p = 2*normal_sf(sqrt)
+
+    (chi-square with 1 df; its tail is exactly 2 * the normal tail of
+    the square root, so the p-value reuses the engine-portable
+    Zelen-Severo polynomial.)
+
+    Shape: per-distinct-time counts for both groups in ONE aggregate
+    pass; risk sets are two suffix windows over the distinct-time
+    table; the E and V totals fold in time order through the KM prefix
+    refold (float sums, so the fold order IS the determinism contract —
+    an unordered SUM would differ across engines in the last ulp).
+    Returns one row: (n_a, n_b, o_a, e_a, v, chi2, p_value).
+    """
+    from .experiments import normal_sf
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    ia = (g == F.lit(group_a)).cast("int")
+    per = df.groupBy(F.col(duration_col).cast("long").alias("t")).agg(
+        F.sum(F.col(event_col).cast("int") * ia).cast("long").alias("da"),
+        F.sum(F.col(event_col).cast("int")).cast("long").alias("d"),
+        F.sum(ia).cast("long").alias("ca"),
+        F.count("*").cast("long").alias("call"),
+    )
+    w_risk = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    per = per.select(
+        "t", "da", "d",
+        F.sum("ca").over(w_risk).alias("na"),
+        F.sum("call").over(w_risk).alias("n"),
+    ).filter((F.col("d") > 0) & (F.col("n") > 1))
+    frac = F.col("na").cast("double") / F.col("n").cast("double")
+    ev = per.select(
+        F.struct(
+            "t", "da",
+            (F.col("d").cast("double") * frac).alias("e"),
+            (
+                F.col("d").cast("double")
+                * frac
+                * (F.lit(1.0) - frac)
+                * (F.col("n") - F.col("d")).cast("double")
+                / (F.col("n") - F.lit(1)).cast("double")
+            ).alias("v"),
+        ).alias("__e")
+    )
+    tots = df.agg(
+        F.sum(ia).cast("long").alias("n_a"),
+        F.sum(F.lit(1) - ia).cast("long").alias("n_b"),
+    )
+    one = ev.agg(
+        F.array_sort(F.collect_list("__e")).alias("__arr")
+    ).crossJoin(F.broadcast(tots))
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("oa"),
+        F.lit(0.0).alias("se"),
+        F.lit(0.0).alias("sv"),
+    )
+    fold = F.aggregate(
+        F.col("__arr"),
+        acc0,
+        lambda acc, x: F.struct(
+            (acc["oa"] + x["da"]).alias("oa"),
+            (acc["se"] + x["e"]).alias("se"),
+            (acc["sv"] + x["v"]).alias("sv"),
+        ),
+    )
+    out = one.select("n_a", "n_b", fold.alias("__f"))
+    oa = F.col("__f")["oa"]
+    diff = oa.cast("double") - F.col("__f")["se"]
+    chi2 = diff * diff / F.col("__f")["sv"]
+    return out.select(
+        "n_a", "n_b",
+        oa.alias("o_a"),
+        F.col("__f")["se"].alias("e_a"),
+        F.col("__f")["sv"].alias("v"),
+        chi2.alias("chi2"),
+        (F.lit(2.0) * normal_sf(F.sqrt(chi2))).alias("p_value"),
+    )

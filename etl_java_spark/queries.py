@@ -19392,6 +19392,376 @@ def q380_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+# --------------------------------------------------------------------------
+# round-9 second wave: survival comparison, ratio CIs, ordered-trend,
+# tau-b, calibration test
+
+
+def _q381_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    chi2 = "(CAST(oa AS DOUBLE) - se) * (CAST(oa AS DOUBLE) - se) / sv"
+    return f"""
+    WITH RECURSIVE per AS (
+      SELECT o_custkey, MIN(o_orderdate) AS fd, MAX(o_orderdate) AS ld
+      FROM orders GROUP BY 1
+    ), mx AS (
+      SELECT MAX(o_orderdate) AS m FROM orders
+    ), units AS (
+      SELECT CAST(DATE_DIFF('day', CAST(fd AS DATE), CAST(ld AS DATE))
+                  AS BIGINT) AS t,
+             CASE WHEN ld < m - INTERVAL 30 DAY THEN 1 ELSE 0 END AS e,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia
+      FROM per CROSS JOIN mx JOIN customer ON c_custkey = o_custkey
+    ), tots AS (
+      SELECT CAST(SUM(ia) AS BIGINT) AS n_a,
+             CAST(SUM(1 - ia) AS BIGINT) AS n_b
+      FROM units
+    ), pt AS (
+      SELECT t, CAST(SUM(e * ia) AS BIGINT) AS da,
+             CAST(SUM(e) AS BIGINT) AS d,
+             CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(COUNT(*) AS BIGINT) AS call
+      FROM units GROUP BY 1
+    ), risk AS (
+      SELECT t, da, d,
+             CAST(SUM(ca) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS BIGINT) AS na,
+             CAST(SUM(call) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+      FROM pt
+    ), ev AS (
+      SELECT t, da,
+             CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+               AS e,
+             CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+               * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (ORDER BY t) AS rn
+      FROM risk WHERE d > 0 AND n > 1
+    ), rec AS (
+      SELECT rn, CAST(0 AS BIGINT) + da AS oa, 0.0 + e AS se, 0.0 + v AS sv
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e2.rn, r.oa + e2.da, r.se + e2.e, r.sv + e2.v
+      FROM rec r JOIN ev e2 ON e2.rn = r.rn + 1
+    ), last AS (
+      SELECT oa, se, sv FROM rec
+      WHERE rn = (SELECT MAX(rn) FROM ev)
+    )
+    SELECT n_a, n_b, oa AS o_a,
+           ROUND(se, 9) AS e_a, ROUND(sv, 9) AS v,
+           ROUND({chi2}, 9) AS chi2,
+           ROUND(2.0 * {normal_sf_sql(f'SQRT({chi2})')}, 9) AS p_value
+    FROM last CROSS JOIN tots
+    """
+
+
+@_q("q381_log_rank", None)
+def q381_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank survival test (timeseries.log_rank_test): do
+    BUILDING-segment customers churn on a different schedule than
+    everyone else? Same censored lifetime construction as q269/q379;
+    the E/V totals fold in event-time order through the KM prefix
+    refold and the oracle replays the fold as a recursive CTE — the
+    chi-square(1) p reuses the Zelen-Severo tail via p = 2*phi-bar of
+    the root."""
+    from .operators.timeseries import log_rank_test
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("fd"), F.max("o_orderdate").alias("ld")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("m"))
+    units = (
+        per.crossJoin(F.broadcast(mx))
+        .join(c, c.c_custkey == F.col("o_custkey"))
+        .select(
+            F.datediff(F.col("ld").cast("date"), F.col("fd").cast("date"))
+            .cast("long")
+            .alias("dur"),
+            (F.col("ld") < F.col("m") - F.expr("INTERVAL 30 DAYS"))
+            .cast("int")
+            .alias("ev"),
+            (F.col("c_mktsegment") == "BUILDING").alias("grp"),
+        )
+    )
+    out = log_rank_test(units, "dur", "ev", "grp", True)
+    return out.select(
+        "n_a", "n_b", "o_a",
+        F.round("e_a", 9).alias("e_a"),
+        F.round("v", 9).alias("v"),
+        F.round("chi2", 9).alias("chi2"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q381_log_rank"] = _q381_oracle()
+
+
+@_q(
+    "q382_ratio_metric_ci",
+    """
+    WITH per_cust AS (
+      SELECT c_mktsegment AS grp, c_custkey,
+             CAST(ROUND(COALESCE(SUM(CAST(o_totalprice
+                                          AS DECIMAL(18,2))), 0) * 1)
+                  AS BIGINT) AS y,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS x
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * x) AS BIGINT) AS sxy
+      FROM per_cust GROUP BY 1
+    ), d AS (
+      SELECT grp, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(syy AS DOUBLE) AS syyd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd
+      FROM m
+    ), e AS (
+      SELECT grp, n,
+             sxd / nd AS xbar,
+             syd / sxd AS r,
+             (syyd - syd * syd / nd) / (nd - 1.0) AS vyy,
+             (sxxd - sxd * sxd / nd) / (nd - 1.0) AS vxx,
+             (sxyd - syd * sxd / nd) / (nd - 1.0) AS vxy,
+             nd
+      FROM d
+    ), f AS (
+      SELECT grp, n, r,
+             SQRT((vyy - 2.0 * r * vxy + r * r * vxx) / (nd * xbar * xbar))
+               AS se
+      FROM e
+    )
+    SELECT grp, n, ROUND(r, 6) AS ratio, ROUND(se, 6) AS se,
+           ROUND(r - 1.959963984540054 * se, 6) AS ci_lo,
+           ROUND(r + 1.959963984540054 * se, 6) AS ci_hi
+    FROM f ORDER BY grp
+    """,
+)
+def q382_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for revenue-per-order by market segment
+    (experiments.ratio_metric_ci): units are CUSTOMERS (zero-order
+    customers included at y=x=0), the metric is the ratio of their
+    spend and order-count sums — the correct variance for the ratio
+    metric every per-user-normalized dashboard reports. Whole-dollar
+    scaling keeps the exact sum-of-squares inside the bigint-to-double
+    correctly-rounded range at the gate SFs."""
+    from .operators.experiments import ratio_metric_ci
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("grp"), "c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            ).alias("spend"),
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+    out = ratio_metric_ci(per, "grp", "spend", "n_orders", scale=1)
+    return out.select(
+        "grp", "n",
+        F.round("ratio", 6).alias("ratio"),
+        F.round("se", 6).alias("se"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    ).orderBy("grp")
+
+
+@_q(
+    "q383_cochran_armitage",
+    None,
+)
+def q383_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (experiments.cochran_armitage): does
+    the share of large orders (>200k) fall monotonically across the
+    ordered priority tiers 1-URGENT .. 5-LOW? The ordered-exposure
+    test a plain chi-square (which ignores the ordering) and a
+    pairwise z sweep (which burns alpha) both get wrong. Scores are
+    the tier's leading digit — exact integers end to end."""
+    from .operators.experiments import cochran_armitage
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("score"),
+        (F.col("o_totalprice") > 200000).cast("int").alias("big"),
+    )
+    out = cochran_armitage(df, "score", "big")
+    return out.select(
+        "n_units", "n_success",
+        F.round("z", 9).alias("z"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+def _q383_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    z = (
+        "(CAST(sx AS DOUBLE) - (CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))"
+        " * CAST(sn AS DOUBLE))"
+        " / SQRT((CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))"
+        " * (1.0 - CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))"
+        " * (CAST(ssn AS DOUBLE)"
+        "    - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)"
+        "      / CAST(nn AS DOUBLE)))"
+    )
+    return f"""
+    WITH u AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS s,
+             CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS x
+      FROM orders
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS xx,
+             CAST(SUM(s * x) AS BIGINT) AS sx,
+             CAST(SUM(s) AS BIGINT) AS sn,
+             CAST(SUM(s * s) AS BIGINT) AS ssn
+      FROM u
+    )
+    SELECT nn AS n_units, xx AS n_success,
+           ROUND({z}, 9) AS z,
+           ROUND(2.0 * {normal_sf_sql(f'ABS({z})')}, 9) AS p_value
+    FROM m
+    """
+
+
+ORACLES["q383_cochran_armitage"] = _q383_oracle()
+
+
+@_q(
+    "q384_kendall_tau",
+    """
+    WITH u AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS x,
+             CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS y
+      FROM orders
+    ), cells AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1, 2
+    ), pq AS (
+      SELECT CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS q
+      FROM cells a JOIN cells b ON a.x < b.x AND a.y <> b.y
+    ), nt AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), tx AS (
+      SELECT CAST(SUM(cx * (cx - 1)) AS BIGINT) AS tx2
+      FROM (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY x)
+    ), ty AS (
+      SELECT CAST(SUM(cy * (cy - 1)) AS BIGINT) AS ty2
+      FROM (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY y)
+    )
+    SELECT n AS n_rows, p AS n_concordant, q AS n_discordant,
+           ROUND(CAST(p - q AS DOUBLE) * 2.0
+                 / SQRT(CAST(n * (n - 1) - tx2 AS DOUBLE)
+                        * CAST(n * (n - 1) - ty2 AS DOUBLE)), 12) AS tau_b
+    FROM pq CROSS JOIN nt CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def q384_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (evaluation.kendall_tau_b) between the ordered
+    priority tier and the 50k order-value band — the concordance
+    readout alongside Spearman (q374), computed over the quantized
+    CELL grid (<= 5 x ~10 cells) so the pair counting is metadata-
+    sized regardless of order volume."""
+    from .operators.evaluation import kendall_tau_b
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("y"),
+    )
+    return kendall_tau_b(df, "x", "y")
+
+
+def _q385_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    z = "(CAST(s_num AS DOUBLE) / SQRT(CAST(s_var AS DOUBLE)))"
+    return f"""
+    WITH rate AS (
+      SELECT c_nationkey AS nk,
+             CAST(ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END)
+                        / (1.0 * COUNT(*)), 6) AS DECIMAL(12,6)) AS p
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1
+    ), scored AS (
+      SELECT p,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      JOIN rate ON nk = c_nationkey
+    ), terms AS (
+      SELECT CAST((CAST(1 AS DECIMAL(12,6)) - (p + p))
+                  AS DECIMAL(13,6)) AS omp,
+             CAST(CAST(y AS DECIMAL(12,6)) - p AS DECIMAL(13,6)) AS ymp,
+             p
+      FROM scored
+    ), t2 AS (
+      SELECT CAST(ymp * omp AS DECIMAL(26,12)) AS num_t,
+             CAST(CAST(omp * omp AS DECIMAL(26,12))
+                  * CAST(p * (CAST(1 AS DECIMAL(12,6)) - p)
+                         AS DECIMAL(26,12))
+                  AS DECIMAL(38,24)) AS var_t
+      FROM terms
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(num_t) AS DECIMAL(38,12)) AS s_num,
+             CAST(SUM(var_t) AS DECIMAL(38,24)) AS s_var
+      FROM t2
+    )
+    SELECT n_rows, ROUND({z}, 12) AS z,
+           ROUND(2.0 * {normal_sf_sql(f'ABS({z})')}, 9) AS p_value
+    FROM m
+    """
+
+
+@_q("q385_spiegelhalter", None)
+def q385_spiegelhalter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter calibration z-test (evaluation.spiegelhalter_z) of
+    the nation-level urgent-rate predictor against per-order outcomes —
+    the single-number calibration hypothesis test next to binned ECE
+    (q267) and the Brier decomposition (q341). Predictions are
+    quantized to 6 decimals and every per-row term accumulates in
+    EXACT fixed-point decimal, so the sums are order-independent and
+    the oracle replays them bitwise; only the final z division is
+    float (rounded 12)."""
+    from .operators.evaluation import spiegelhalter_z
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, c.c_custkey == o.o_custkey).select(
+        F.col("c_nationkey").alias("nk"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    rate = j.groupBy("nk").agg(
+        F.round(
+            F.sum("y") / (F.lit(1.0) * F.count("*")), 6
+        ).cast("decimal(12,6)").alias("p")
+    )
+    scored = j.join(F.broadcast(rate), "nk").select("p", "y")
+    out = spiegelhalter_z(scored, "p", "y")
+    return out.select(
+        "n_rows",
+        F.round("z", 12).alias("z"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q385_spiegelhalter"] = _q385_oracle()
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for round 9's gate (VERDICT r8 #1):
     #    the 29 never-recorded queries (q344-q372, per
@@ -19427,6 +19797,8 @@ _PRIORITY = [
     "q373_mann_whitney", "q374_spearman", "q375_fellegi_sunter",
     "q376_chunk_dedup", "q377_shapley_attribution",
     "q378_winsorized_stats", "q379_nelson_aalen", "q380_cusum_shift",
+    "q381_log_rank", "q382_ratio_metric_ci", "q383_cochran_armitage",
+    "q384_kendall_tau", "q385_spiegelhalter",
     # 1) the r8-recorded set (q269 + q295-q343) -- newest records, age
     #    out last among the recorded blocks below r6/r7.
     "q269_kaplan_meier",

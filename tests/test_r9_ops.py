@@ -336,3 +336,194 @@ def test_cusum_flat_series_never_alarms(spark):
     )
     out = cusum_shift(df, "b", "x").collect()
     assert all(r["cusum_scaled"] == 0 and not r["alarm"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# log-rank
+
+
+def test_log_rank_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import log_rank_test
+
+    # (dur, event, in group A)
+    rows = [
+        (1, 1, 1), (2, 1, 1), (3, 0, 1), (5, 1, 1),
+        (2, 1, 0), (4, 1, 0), (5, 0, 0), (6, 1, 0), (6, 1, 0),
+    ]
+    df = spark.createDataFrame(rows, "dur long, ev int, ga int")
+    out = log_rank_test(df, "dur", "ev", "ga", 1).collect()[0]
+    # manual O/E/V over event times
+    import math
+
+    subjects = [(d, e, g) for d, e, g in rows]
+    times = sorted({d for d, e, _ in subjects if e == 1})
+    oa = ea = vv = 0.0
+    for t in times:
+        at_risk = [(d, e, g) for d, e, g in subjects if d >= t]
+        n = len(at_risk)
+        na = sum(1 for _, _, g in at_risk if g == 1)
+        d_t = sum(1 for d, e, _ in at_risk if d == t and e == 1)
+        da = sum(1 for d, e, g in at_risk if d == t and e == 1 and g == 1)
+        if d_t == 0 or n <= 1:
+            continue
+        oa += da
+        ea += d_t * na / n
+        vv += d_t * (na / n) * (1 - na / n) * (n - d_t) / (n - 1)
+    chi2 = (oa - ea) ** 2 / vv
+    assert out["o_a"] == int(oa)
+    assert out["e_a"] == pytest.approx(ea, rel=1e-12)
+    assert out["v"] == pytest.approx(vv, rel=1e-12)
+    assert out["chi2"] == pytest.approx(chi2, rel=1e-12)
+    assert 0 < out["p_value"] <= 1.0
+    assert out["n_a"] == 4 and out["n_b"] == 5
+
+
+# ---------------------------------------------------------------------------
+# ratio-metric CI
+
+
+def test_ratio_metric_ci_matches_reference(spark):
+    from etl_java_spark.operators.experiments import ratio_metric_ci
+
+    ys = [10.0, 20.0, 0.0, 40.0, 30.0]
+    xs = [1.0, 2.0, 0.0, 3.0, 2.0]
+    df = spark.createDataFrame(
+        [("g", y, x) for y, x in zip(ys, xs)], "g string, y double, x double"
+    )
+    out = ratio_metric_ci(df, "g", "y", "x", scale=1).collect()[0]
+    import statistics
+
+    n = len(ys)
+    r = sum(ys) / sum(xs)
+    xbar = sum(xs) / n
+    vyy = statistics.variance(ys)
+    vxx = statistics.variance(xs)
+    mean_y, mean_x = sum(ys) / n, xbar
+    vxy = sum((y - mean_y) * (x - mean_x) for y, x in zip(ys, xs)) / (n - 1)
+    import math
+
+    se = math.sqrt((vyy - 2 * r * vxy + r * r * vxx) / (n * xbar * xbar))
+    assert out["ratio"] == pytest.approx(r, rel=1e-12)
+    assert out["se"] == pytest.approx(se, rel=1e-9)
+    assert out["ci_lo"] < r < out["ci_hi"]
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage
+
+
+def test_cochran_armitage_detects_trend(spark):
+    from etl_java_spark.operators.experiments import cochran_armitage
+
+    rows = []
+    # success rate rises with score 1 -> 3: a clear positive trend
+    for s, k, n in [(1, 1, 10), (2, 5, 10), (3, 9, 10)]:
+        rows += [(s, 1)] * k + [(s, 0)] * (n - k)
+    df = spark.createDataFrame(rows, "s long, x int")
+    out = cochran_armitage(df, "s", "x").collect()[0]
+    # reference
+    import math
+
+    N = 30
+    xx = 15
+    sx = 1 * 1 + 2 * 5 + 3 * 9
+    sn = 10 * (1 + 2 + 3)
+    ssn = 10 * (1 + 4 + 9)
+    pbar = xx / N
+    t = sx - pbar * sn
+    v = pbar * (1 - pbar) * (ssn - sn * sn / N)
+    z = t / math.sqrt(v)
+    assert out["z"] == pytest.approx(z, rel=1e-12)
+    assert out["p_value"] < 0.01  # strong trend
+
+
+def test_cochran_armitage_null_flat(spark):
+    from etl_java_spark.operators.experiments import cochran_armitage
+
+    rows = []
+    for s in (1, 2, 3):
+        rows += [(s, 1)] * 5 + [(s, 0)] * 5
+    df = spark.createDataFrame(rows, "s long, x int")
+    out = cochran_armitage(df, "s", "x").collect()[0]
+    assert out["z"] == pytest.approx(0.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b
+
+
+def test_kendall_tau_b_matches_bruteforce(spark):
+    from etl_java_spark.operators.evaluation import kendall_tau_b
+
+    xs = [1, 1, 2, 2, 3, 3, 1, 2]
+    ys = [0, 1, 1, 2, 2, 0, 0, 1]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    out = kendall_tau_b(df, "x", "y").collect()[0]
+    import math
+
+    n = len(xs)
+    p = q = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            if xs[i] != xs[j] and ys[i] != ys[j]:
+                if dx > 0:
+                    p += 1
+                else:
+                    q += 1
+    n0 = n * (n - 1) // 2
+    from collections import Counter
+
+    tx = sum(c * (c - 1) // 2 for c in Counter(xs).values())
+    ty = sum(c * (c - 1) // 2 for c in Counter(ys).values())
+    tau = (p - q) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert out["n_concordant"] == p and out["n_discordant"] == q
+    assert out["tau_b"] == pytest.approx(tau, abs=1e-9)
+
+
+def test_kendall_tau_b_perfect_order(spark):
+    from etl_java_spark.operators.evaluation import kendall_tau_b
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "x long, y long"
+    )
+    assert kendall_tau_b(df, "x", "y").collect()[0]["tau_b"] == pytest.approx(
+        1.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spiegelhalter z
+
+
+def test_spiegelhalter_z_matches_reference(spark):
+    from etl_java_spark.operators.evaluation import spiegelhalter_z
+
+    rows = [
+        (0.25, 0), (0.25, 1), (0.25, 0), (0.25, 0),
+        (0.75, 1), (0.75, 1), (0.75, 0), (0.75, 1),
+        (0.5, 1), (0.5, 0),
+    ]
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = spiegelhalter_z(df, "p", "y").collect()[0]
+    import math
+
+    num = sum((y - p) * (1 - 2 * p) for p, y in rows)
+    var = sum(((1 - 2 * p) ** 2) * p * (1 - p) for p, y in rows)
+    z = num / math.sqrt(var)
+    assert out["n_rows"] == 10
+    assert out["z"] == pytest.approx(z, rel=1e-9)
+
+
+def test_spiegelhalter_perfectly_calibrated_large_sample(spark):
+    # calibrated predictor: z should be modest (not a tail value)
+    from etl_java_spark.operators.evaluation import spiegelhalter_z
+
+    rows = []
+    for i in range(200):
+        p = 0.3
+        rows.append((p, 1 if (i * 7) % 10 < 3 else 0))  # exact 30% hit rate
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = spiegelhalter_z(df, "p", "y").collect()[0]
+    assert abs(out["z"]) < 1.0
+    assert out["p_value"] > 0.3
