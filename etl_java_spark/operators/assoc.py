@@ -420,5 +420,7 @@ def shapley_attribution(
     return out.crossJoin(F.broadcast(tot)).select(
         "channel",
         F.round("phi", 12).alias("phi"),
-        F.round(F.col("phi") / F.col("tot"), 12).alias("share"),
+        # try_divide: zero total credit (no channel ever moves v) gives
+        # NULL shares, not an ANSI divide-by-zero raise
+        F.round(F.try_divide(F.col("phi"), F.col("tot")), 12).alias("share"),
     )

@@ -1040,14 +1040,18 @@ def chunk_hash_profile(
     — at 100 TB this is the first-pass scan that decides whether the
     expensive shingle pipelines are worth running per source.
 
-    Shape: map-side explode of ceil(len/chunk)-many (chunk_hash, doc)
-    rows; ONE count-distinct-docs aggregate per chunk hash; one
-    semi-joinable flag back per chunk. MD5 is bitwise-stable across
-    engines (unlike engine hash builtins), so the whole profile
-    replays in SQL. Returns per group (or one __all__ row):
-    (grp, n_docs, n_chunks, n_dup_chunks, dup_chunk_share) where a
-    chunk is dup if its hash occurs in >= 2 distinct docs.
+    Shape: ONE scan — map-side explode of ceil(len/chunk)-many
+    (chunk_hash, doc) rows, a (hash, doc) pre-aggregate carrying the
+    instance count, then a window over the hash partition counts
+    distinct docs per hash without re-reading the corpus (the naive
+    aggregate-then-join-back formulation scans the text twice). MD5 is
+    bitwise-stable across engines (unlike engine hash builtins), so
+    the whole profile replays in SQL. Returns per group (or one
+    __all__ row): (grp, n_docs, n_chunks, n_dup_chunks,
+    dup_chunk_share) where a chunk is dup if its hash occurs in >= 2
+    distinct docs.
     """
+    from pyspark.sql import Window
     grp = F.col(group_col) if group_col else F.lit("__all__")
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -1067,18 +1071,22 @@ def chunk_hash_profile(
             ).cast("binary")
         ).alias("__h"),
     )
-    per_hash = chunks.groupBy("__h").agg(
-        F.countDistinct("__id").cast("long").alias("__docs")
+    per_doc_hash = chunks.groupBy("__h", "__id", "__g").agg(
+        F.count("*").cast("long").alias("__inst")
     )
-    flagged = chunks.join(per_hash, "__h").select(
-        "__id", "__g", (F.col("__docs") >= 2).cast("int").alias("__dup")
+    w_hash = Window.partitionBy("__h")
+    flagged = per_doc_hash.select(
+        "__id", "__g", "__inst",
+        (F.count("*").over(w_hash) >= 2).cast("int").alias("__dup"),
     )
     return (
         flagged.groupBy(F.col("__g").alias("grp"))
         .agg(
             F.countDistinct("__id").cast("long").alias("n_docs"),
-            F.count("*").cast("long").alias("n_chunks"),
-            F.sum("__dup").cast("long").alias("n_dup_chunks"),
+            F.sum("__inst").cast("long").alias("n_chunks"),
+            F.sum(F.col("__dup") * F.col("__inst")).cast("long").alias(
+                "n_dup_chunks"
+            ),
         )
         .select(
             "grp", "n_docs", "n_chunks", "n_dup_chunks",

@@ -1467,6 +1467,10 @@ def winsorized_stats(
         raise TypeError("winsorized_stats needs a column NAME for value_col")
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(value_col)
+    # drop NULL metric rows up front: least/greatest skip NULLs, so an
+    # unfiltered NULL would silently clamp to the HIGH bound and count
+    # in n — an imputation nobody asked for
+    df = df.filter(v.isNotNull())
     bounds = df.groupBy(g.alias("grp")).agg(
         F.expr(
             f"percentile({value_col}, {p_lo!r})"
@@ -1495,12 +1499,14 @@ def winsorized_stats(
     n = F.col("n").cast("double")
     sc = float(scale)
     mean = F.col("s").cast("double") / n / F.lit(sc)
+    # try_divide: a single-row group has no sample variance — NULL,
+    # matching SQL x/0 semantics, not an ANSI raise
     var = (
-        (
+        F.try_divide(
             F.col("ss").cast("double")
-            - F.col("s").cast("double") * F.col("s").cast("double") / n
+            - F.col("s").cast("double") * F.col("s").cast("double") / n,
+            n - F.lit(1.0),
         )
-        / (n - F.lit(1.0))
         / F.lit(sc * sc)
     )
     # UNROUNDED: the caller picks a rounding that fits the metric's

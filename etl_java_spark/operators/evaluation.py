@@ -1470,8 +1470,12 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     the doubling cancels. Returns one row: (n_rows, rho) with rho
     rounded to 12.
     """
-    base = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y")).filter(
-        F.col("x").isNotNull() & F.col("y").isNotNull()
+    # pinned: base feeds both rank maps AND the join-back — without the
+    # checkpoint the source scans three times
+    base = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .localCheckpoint(eager=False)
     )
 
     def rank_map(col: str, out: str) -> DataFrame:
@@ -1510,7 +1514,11 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         (n * F.col("sxx") - F.col("sx") * F.col("sx"))
         * (n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
-    return one.select("n_rows", F.round(num / den, 12).alias("rho"))
+    # try_divide: a constant column has zero rank variance — rho is
+    # NULL (undefined), matching SQL x/0, not an ANSI raise
+    return one.select(
+        "n_rows", F.round(F.try_divide(num, den), 12).alias("rho")
+    )
 
 
 def kendall_tau_b(
@@ -1535,11 +1543,15 @@ def kendall_tau_b(
     (n_rows, n_concordant, n_discordant, tau_b) with tau rounded 12.
     """
     d38 = "decimal(38,0)"
+    # pinned eagerly: the cell grid is metadata-sized but feeds four
+    # consumers (self-join both sides, totals, tie counts) — without
+    # the checkpoint each derives its own scan of the source
     cells = (
         df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
         .groupBy("x", "y")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     a, b = cells.alias("a"), cells.alias("b")
     prod = (F.col("a.c").cast(d38) * F.col("b.c")).cast(d38)
@@ -1562,12 +1574,7 @@ def kendall_tau_b(
             ).alias("q"),
         )
     )
-    n_tot = cells.agg(
-        F.sum(F.col("c").cast(d38)).alias("n"),
-        F.sum((F.col("c").cast(d38) * (F.col("c") - 1)).cast(d38)).alias(
-            "tpair2"
-        ),
-    )
+    n_tot = cells.agg(F.sum(F.col("c").cast(d38)).alias("n"))
     tx = (
         cells.groupBy("x")
         .agg(F.sum(F.col("c").cast(d38)).alias("cx"))
@@ -1595,11 +1602,12 @@ def kendall_tau_b(
         (n0_2 - F.col("tx2")).cast("double")
         * (n0_2 - F.col("ty2")).cast("double")
     )
+    # try_divide: a constant column ties every pair — tau undefined
     return j.select(
         (F.col("n").cast("long")).alias("n_rows"),
         F.col("p").cast("long").alias("n_concordant"),
         F.col("q").cast("long").alias("n_discordant"),
-        F.round(num / den, 12).alias("tau_b"),
+        F.round(F.try_divide(num, den), 12).alias("tau_b"),
     )
 
 
@@ -1645,8 +1653,9 @@ def spiegelhalter_z(
         F.sum(num_t).cast("decimal(38,12)").alias("s_num"),
         F.sum(var_t).cast("decimal(38,24)").alias("s_var"),
     )
-    zst = F.col("s_num").cast("double") / F.sqrt(
-        F.col("s_var").cast("double")
+    # try_divide: predictions all in {0, 1} carry zero variance — NULL
+    zst = F.try_divide(
+        F.col("s_num").cast("double"), F.sqrt(F.col("s_var").cast("double"))
     )
     return one.select(
         "n_rows",

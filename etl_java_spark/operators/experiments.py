@@ -816,7 +816,10 @@ def mann_whitney_u(
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     g = F.col(group_col)
     per = (
-        df.filter(g.isin([group_a, group_b]))
+        # NULL metric rows are dropped, not ranked: engines disagree on
+        # NULL sort placement (Spark NULLS FIRST vs DuckDB NULLS LAST),
+        # and "NULL is the smallest value" is not a rank semantics
+        df.filter(g.isin([group_a, group_b]) & v.isNotNull())
         .groupBy(v.alias("val"))
         .agg(
             F.sum((g == F.lit(group_a)).cast("int")).cast("long").alias("na"),
@@ -852,7 +855,9 @@ def mann_whitney_u(
         na * nb / F.lit(12.0)
         * ((n + F.lit(1.0)) - F.col("tie3").cast("double") / (n * (n - F.lit(1.0))))
     )
-    z = (u - mu) / F.sqrt(s2)
+    # try_divide: an all-tied pooled sample has zero rank variance —
+    # z/p are NULL (undefined), not an ANSI divide-by-zero raise
+    z = F.try_divide(u - mu, F.sqrt(s2))
     return agg.select(
         "n_a", "n_b", u.alias("u_stat"), z.alias("z"),
         (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
@@ -908,11 +913,21 @@ def ratio_metric_ci(
     )
     n = F.col("n").cast("double")
     xbar = F.col("sx") / n
-    r = F.col("sy") / F.col("sx")
-    vyy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - F.lit(1.0))
-    vxx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
-    vxy = (F.col("sxy") - F.col("sy") * F.col("sx") / n) / (n - F.lit(1.0))
-    var_r = (vyy - F.lit(2.0) * r * vxy + r * r * vxx) / (n * xbar * xbar)
+    # try_divide: a zero-denominator-sum group (r) or single-unit group
+    # (the variances) yields NULL, matching SQL x/0, not an ANSI raise
+    r = F.try_divide(F.col("sy"), F.col("sx"))
+    vyy = F.try_divide(
+        F.col("syy") - F.col("sy") * F.col("sy") / n, n - F.lit(1.0)
+    )
+    vxx = F.try_divide(
+        F.col("sxx") - F.col("sx") * F.col("sx") / n, n - F.lit(1.0)
+    )
+    vxy = F.try_divide(
+        F.col("sxy") - F.col("sy") * F.col("sx") / n, n - F.lit(1.0)
+    )
+    var_r = F.try_divide(
+        vyy - F.lit(2.0) * r * vxy + r * r * vxx, n * xbar * xbar
+    )
     se = F.sqrt(var_r)
     return per.select(
         "grp", "n",
@@ -968,7 +983,9 @@ def cochran_armitage(
             - F.col("sn").cast("double") * F.col("sn").cast("double") / nn
         )
     )
-    zst = t / F.sqrt(v)
+    # try_divide: a constant score or an all/none success column has
+    # zero trend variance — NULL z/p, not an ANSI raise
+    zst = F.try_divide(t, F.sqrt(v))
     return one.select(
         F.col("nn").alias("n_units"),
         F.col("xx").alias("n_success"),

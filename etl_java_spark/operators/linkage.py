@@ -59,14 +59,20 @@ def fellegi_sunter_weights(
         F.count("*").cast("long").alias("n"),
         F.sum(lab).cast("long").alias("nm"),
     ]
+    # NULL agreement (the comparison itself was impossible — a missing
+    # field) is treated as DISAGREE consistently in BOTH the m/u counts
+    # and the pattern string; without the coalesce the NULL would
+    # null-propagate the pattern into one opaque bucket while silently
+    # dropping the pair from am/au, biasing every field's weights
+    agr = {c: F.coalesce(F.col(c).cast("int"), F.lit(0)) for c in agreement_cols}
     for c in agreement_cols:
-        a = F.col(c).cast("int")
+        a = agr[c]
         aggs.append(F.sum(a * lab).cast("long").alias(f"am_{c}"))
         aggs.append(F.sum(a * (1 - lab)).cast("long").alias(f"au_{c}"))
     tot = pairs.agg(*aggs)
 
     pattern = F.concat(
-        *[F.col(c).cast("int").cast("string") for c in agreement_cols]
+        *[agr[c].cast("string") for c in agreement_cols]
     )
     per_pat = pairs.groupBy(pattern.alias("pattern")).agg(
         F.count("*").cast("long").alias("n_pairs"),

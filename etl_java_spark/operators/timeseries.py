@@ -1483,18 +1483,22 @@ def log_rank_test(
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     ia = (g == F.lit(group_a)).cast("int")
-    per = df.groupBy(F.col(duration_col).cast("long").alias("t")).agg(
+    per0 = df.groupBy(F.col(duration_col).cast("long").alias("t")).agg(
         F.sum(F.col(event_col).cast("int") * ia).cast("long").alias("da"),
         F.sum(F.col(event_col).cast("int")).cast("long").alias("d"),
         F.sum(ia).cast("long").alias("ca"),
         F.count("*").cast("long").alias("call"),
     )
     w_risk = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
-    per = per.select(
+    # pinned: the distinct-time table feeds both the E/V fold and the
+    # group totals (suffix-cumulative maximum = the value at the
+    # earliest time = everyone) — one scan of df, not two
+    per0 = per0.select(
         "t", "da", "d",
         F.sum("ca").over(w_risk).alias("na"),
         F.sum("call").over(w_risk).alias("n"),
-    ).filter((F.col("d") > 0) & (F.col("n") > 1))
+    ).localCheckpoint(eager=True)
+    per = per0.filter((F.col("d") > 0) & (F.col("n") > 1))
     frac = F.col("na").cast("double") / F.col("n").cast("double")
     ev = per.select(
         F.struct(
@@ -1509,9 +1513,9 @@ def log_rank_test(
             ).alias("v"),
         ).alias("__e")
     )
-    tots = df.agg(
-        F.sum(ia).cast("long").alias("n_a"),
-        F.sum(F.lit(1) - ia).cast("long").alias("n_b"),
+    tots = per0.agg(
+        F.max("na").cast("long").alias("n_a"),
+        (F.max("n") - F.max("na")).cast("long").alias("n_b"),
     )
     one = ev.agg(
         F.array_sort(F.collect_list("__e")).alias("__arr")
@@ -1533,7 +1537,8 @@ def log_rank_test(
     out = one.select("n_a", "n_b", fold.alias("__f"))
     oa = F.col("__f")["oa"]
     diff = oa.cast("double") - F.col("__f")["se"]
-    chi2 = diff * diff / F.col("__f")["sv"]
+    # try_divide: zero pooled variance (e.g. one group empty) -> NULL
+    chi2 = F.try_divide(diff * diff, F.col("__f")["sv"])
     return out.select(
         "n_a", "n_b",
         oa.alias("o_a"),

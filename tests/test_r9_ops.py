@@ -527,3 +527,109 @@ def test_spiegelhalter_perfectly_calibrated_large_sample(spark):
     out = spiegelhalter_z(df, "p", "y").collect()[0]
     assert abs(out["z"]) < 1.0
     assert out["p_value"] > 0.3
+
+
+# ---------------------------------------------------------------------------
+# degenerate-input guards (code-review round 9): NULL metrics dropped,
+# zero-variance denominators yield NULL instead of an ANSI raise
+
+
+def test_winsorized_stats_drops_null_metric_rows(spark):
+    from etl_java_spark.operators.dq import winsorized_stats
+
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 20.0), ("g", None), ("g", 30.0)],
+        "g string, v double",
+    )
+    out = winsorized_stats(df, "g", "v", p_lo=0.0, p_hi=1.0, scale=1).collect()[0]
+    assert out["n"] == 3
+    assert out["winsorized_mean"] == pytest.approx(20.0)
+
+
+def test_mann_whitney_drops_nulls_and_handles_all_ties(spark):
+    from etl_java_spark.operators.experiments import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", None), ("b", 3), ("b", 7)], "grp string, v long"
+    )
+    out = mann_whitney_u(df, "grp", "v", "a", "b").collect()[0]
+    assert out["n_a"] == 1 and out["n_b"] == 2
+    tied = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5)], "grp string, v long"
+    )
+    r = mann_whitney_u(tied, "grp", "v", "a", "b").collect()[0]
+    assert r["z"] is None and r["p_value"] is None
+
+
+def test_spearman_constant_column_null_rho(spark):
+    from etl_java_spark.operators.evaluation import spearman_corr
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (1.0, 2), (1.0, 3)], "x double, y long"
+    )
+    assert spearman_corr(df, "x", "y").collect()[0]["rho"] is None
+
+
+def test_kendall_constant_column_null_tau(spark):
+    from etl_java_spark.operators.evaluation import kendall_tau_b
+
+    df = spark.createDataFrame([(1, 5), (1, 6), (1, 7)], "x long, y long")
+    assert kendall_tau_b(df, "x", "y").collect()[0]["tau_b"] is None
+
+
+def test_shapley_zero_total_credit_null_shares(spark):
+    from etl_java_spark.operators.assoc import shapley_attribution
+
+    # the only converter touched no listed channel -> all phi = 0
+    df = spark.createDataFrame(
+        [(1, "other"), (1, "buy"), (2, "c1")], "u long, t string"
+    )
+    out = shapley_attribution(df, "u", "t", "buy", ["c1", "c2"]).collect()
+    assert all(r["phi"] == 0.0 and r["share"] is None for r in out)
+
+
+def test_fellegi_sunter_null_agreement_is_disagree(spark):
+    from etl_java_spark.operators.linkage import fellegi_sunter_weights
+
+    rows = [
+        (True, None, True), (True, False, True), (False, True, False),
+        (True, True, False), (False, False, False),
+    ]
+    df = spark.createDataFrame(rows, "g1 boolean, g2 boolean, lab boolean")
+    out = {
+        r["pattern"]: r
+        for r in fellegi_sunter_weights(df, ["g1", "g2"], "lab").collect()
+    }
+    # the NULL-g2 pair lands in pattern '10', not a NULL bucket
+    assert "10" in out and out["10"]["n_pairs"] == 2
+    assert None not in out
+    assert sum(r["n_pairs"] for r in out.values()) == 5
+
+
+def test_ratio_metric_ci_single_unit_null_se(spark):
+    from etl_java_spark.operators.experiments import ratio_metric_ci
+
+    df = spark.createDataFrame([("g", 10.0, 2.0)], "g string, y double, x double")
+    out = ratio_metric_ci(df, "g", "y", "x", scale=1).collect()[0]
+    assert out["ratio"] == pytest.approx(5.0)
+    assert out["se"] is None
+
+
+def test_cochran_armitage_constant_score_null_z(spark):
+    from etl_java_spark.operators.experiments import cochran_armitage
+
+    df = spark.createDataFrame(
+        [(2, 1), (2, 0), (2, 1)], "s long, x int"
+    )
+    out = cochran_armitage(df, "s", "x").collect()[0]
+    assert out["z"] is None and out["p_value"] is None
+
+
+def test_spiegelhalter_degenerate_predictions_null_z(spark):
+    from etl_java_spark.operators.evaluation import spiegelhalter_z
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (0.0, 0), (1.0, 1)], "p double, y int"
+    )
+    out = spiegelhalter_z(df, "p", "y").collect()[0]
+    assert out["z"] is None
