@@ -174,3 +174,38 @@ def latest_nonnull_merge(
             ).alias(c)
         )
     return df.groupBy(key_col).agg(*aggs)
+
+
+def bitemporal_snapshot(
+    versions: DataFrame,
+    key_cols: list[str] | str,
+    valid_from_col: str,
+    tx_from_col: str,
+    as_of_valid,
+    as_of_tx,
+) -> DataFrame:
+    """Bitemporal as-of query: "what did we BELIEVE as of transaction
+    time T about the state VALID at time V?" — the two-clock lookup
+    behind restatement-safe reporting (a late correction recorded
+    yesterday must not rewrite last month's published report, yet
+    today's report must see it). The SCD2 history (:func:`scd2_history`)
+    tracks one clock; this adds the second.
+
+    Per key, among versions with tx_from <= T (known by then) and
+    valid_from <= V (in effect at V), the winner is the one with the
+    LATEST valid_from, ties broken by latest tx_from (the most recent
+    correction of the effective version). One filter + one window over
+    the key — the same single-shuffle shape as every SCD lookup here,
+    and both the filter predicates and the (valid_from, tx_from)
+    ordering are exact comparisons, so the snapshot replays in SQL.
+    Returns the winning version rows (all original columns).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vf, tf = F.col(valid_from_col), F.col(tx_from_col)
+    w = Window.partitionBy(*keys).orderBy(vf.desc(), tf.desc())
+    return (
+        versions.filter((tf <= F.lit(as_of_tx)) & (vf <= F.lit(as_of_valid)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1518,3 +1518,45 @@ def winsorized_stats(
         mean.alias("winsorized_mean"),
         var.alias("winsorized_var"),
     )
+
+
+def repair_foreign_keys(
+    fact: DataFrame,
+    dim: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    sentinel=-1,
+) -> DataFrame:
+    """Foreign-key orphan repair: fact rows whose ``fk_col`` has no
+    match in the dimension are remapped to the ``sentinel`` member (the
+    Kimball "unknown member" row) instead of being dropped or left to
+    break downstream joins — the load-side REPAIR companion to the
+    read-side audit (:func:`referential_audit`) and the late-arriving
+    inferred members (:func:`~..sinks.writers.inferred_dim_members`,
+    which is the other policy: manufacture the member instead of
+    remapping). NULL FKs also map to the sentinel (a NULL key matches
+    nothing in any equi-join).
+
+    One broadcast-able left-semi-shaped join against the DISTINCT
+    dimension keys (metadata-vs-fact sized), no second fact pass: the
+    repair column and the per-row status flag derive from the same
+    join. Returns the fact with ``fk_col`` repaired in place plus a
+    ``__fk_status`` column ('ok' | 'orphan' | 'null') for the audit
+    aggregate the caller runs.
+    """
+    keys = dim.select(F.col(pk_col).alias("__pk")).distinct()
+    j = fact.join(keys, fact[fk_col] == F.col("__pk"), "left")
+    status = (
+        F.when(fact[fk_col].isNull(), F.lit("null"))
+        .when(F.col("__pk").isNull(), F.lit("orphan"))
+        .otherwise(F.lit("ok"))
+    )
+    repaired = F.when(
+        F.col("__pk").isNull(), F.lit(sentinel).cast(j.schema[fk_col].dataType)
+    ).otherwise(fact[fk_col])
+    others = [c for c in fact.columns if c != fk_col]
+    return j.select(
+        *[fact[c] for c in others],
+        repaired.alias(fk_col),
+        status.alias("__fk_status"),
+    )

@@ -24,7 +24,7 @@ partitioning and replayable by the DuckDB oracle as chained CTEs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -837,3 +837,61 @@ def local_clustering(
             / (F.col("d").cast("double") * (F.col("d").cast("double") - 1.0) / 2.0)
         ).alias("lcc"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection with a
+    DETERMINISTIC update rule: every node starts labeled with its own
+    id; each round it adopts the MOST FREQUENT label among its
+    neighbors, ties broken by the smallest label (plain LPA's random
+    tie-break makes runs irreproducible — the min-label rule makes the
+    whole fixed-point replayable, at the known cost of a bias toward
+    small ids). Fixed ``rounds`` sweeps, the bfs_layers/pagerank
+    iteration contract: results are exact after any number of rounds,
+    and bounded rounds are what replays as unrolled SQL.
+
+    Input edges are treated as DIRECTED adoption sources (double the
+    input for undirected semantics, the bfs convention here). Per
+    round: one join of the edge list against the label table + one
+    (node, label) count + one top-1 window — all shuffles on node/label
+    keys; the edge list is materialized once. Nodes with no in-edges
+    keep their current label. Returns (node, label).
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    ed = ckpt(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    )
+    nodes = (
+        ed.select(F.col("s").alias("node"))
+        .unionByName(ed.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        votes = (
+            ed.join(labels, ed["s"] == labels["node"])
+            .groupBy(F.col("d").alias("__n"), F.col("label").alias("__l"))
+            .agg(F.count("*").alias("__c"))
+        )
+        w = Window.partitionBy("__n").orderBy(
+            F.col("__c").desc(), F.col("__l").asc()
+        )
+        winners = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__n").alias("node"), F.col("__l").alias("__new"))
+        )
+        labels = ckpt(
+            labels.join(winners, "node", "left").select(
+                "node", F.coalesce("__new", "label").alias("label")
+            )
+        )
+    return labels

@@ -551,3 +551,91 @@ def beyond_accuracy(
             "ild_mean",
         )
     )
+
+
+RAKE_STOPWORDS = (
+    "the a an and or of to in is are was for on with as by at it this "
+    "that be from have has not but they we you i he she its their our"
+).split()
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    topk: int = 20,
+    max_phrase_words: int = 4,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.) over the corpus — the
+    unsupervised key-phrase miner next to TF-IDF terms
+    (:func:`tfidf_top_terms`): candidate phrases are maximal stopword-
+    free token runs; each word scores degree/frequency (degree = total
+    length of phrases it appears in), a phrase scores the sum of its
+    word scores, and the corpus readout is the top-k phrases by
+    (score, phrase) with their occurrence counts.
+
+    All string work is JVM regex (lowercase -> strip non-alnum ->
+    stopwords become '|' separators -> split), both score tables are
+    map-side-combinable count aggregates over exploded words, and the
+    phrase score is one join + sum — no Python anywhere. Degree and
+    frequency are exact integers; each word score is ONE double
+    division and the phrase score sums <= max_phrase_words of them in
+    array order (fixed fold), so the ranking replays in SQL. Returns
+    (phrase, n_docs, n_occur, score) with score rounded to 9.
+    """
+    stops = stopwords if stopwords is not None else RAKE_STOPWORDS
+    stop_re = r"\b(" + "|".join(stops) + r")\b"
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "),
+        stop_re,
+        "|",
+    )
+    phrases = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(cleaned, r"\|")).alias("__raw"),
+    ).select(
+        "__id",
+        F.regexp_replace(F.trim("__raw"), r"\s+", " ").alias("phrase"),
+    ).filter(
+        (F.col("phrase") != "")
+        & (F.size(F.split(F.col("phrase"), " ")) <= max_phrase_words)
+    )
+    words = phrases.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("word"),
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+    )
+    word_stats = words.groupBy("word").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    wscore = F.col("deg").cast("double") / F.col("freq").cast("double")
+    per_phrase = phrases.groupBy("phrase").agg(
+        F.countDistinct("__id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_occur"),
+    )
+    # phrase score: sum of word scores in word order (fixed fold over
+    # the split array after joining scores back per distinct word)
+    pw = (
+        per_phrase.select("phrase")
+        .select("phrase", F.posexplode(F.split("phrase", " ")).alias("i", "word"))
+        .join(word_stats, "word")
+        .groupBy("phrase")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), wscore.alias("ws")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["ws"],
+            ).alias("score")
+        )
+    )
+    return (
+        per_phrase.join(pw, "phrase")
+        .select(
+            "phrase", "n_docs", "n_occur", F.round("score", 9).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(topk)
+    )

@@ -1547,3 +1547,52 @@ def log_rank_test(
         chi2.alias("chi2"),
         (F.lit(2.0) * normal_sf(F.sqrt(chi2))).alias("p_value"),
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    bucket_col,
+    value_col,
+    period: int = 7,
+    k: int = 5,
+    scale: int = 1,
+) -> DataFrame:
+    """Seasonal-naive anomaly detection over a bucketed series: the
+    residual is x_t - x_{t-period} (same weekday last week), and a
+    bucket alarms when |residual| exceeds ``k`` times the MAD of all
+    residuals — the robust changepoint screen that survives both trend
+    (differenced away) and weekly shape (lagged away), with breakdown
+    point 50% where a z-score threshold dies to one outlier.
+
+    Exactness: per-bucket totals are per-row-scaled exact integers, the
+    LAG residual is integer subtraction, the MAD is the exact
+    interpolated median of |residuals| (the q66 percentile contract on
+    integers), and the alarm comparison is cleared of the 0.5 grid to
+    all-integer: |r| * 2 > k * (2 * MAD) where 2*MAD is integral on the
+    half-grid. One bucket aggregate + one LAG window + one broadcast
+    1-row MAD join. Returns (bucket, x, residual, alarm) for buckets
+    with a defined residual.
+    """
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = df.groupBy(b.alias("bucket")).agg(
+        F.sum(F.round(v * scale).cast("long")).cast("long").alias("x")
+    )
+    w = Window.orderBy("bucket")
+    res = per.select(
+        "bucket", "x",
+        (F.col("x") - F.lag("x", period).over(w)).alias("residual"),
+    ).filter(F.col("residual").isNotNull())
+    # 2*median of |r| is integral or half-integral*2 -> exact on both
+    # engines via the shared interpolated-percentile definition
+    mad2 = res.agg(
+        F.round(F.expr("percentile(abs(residual), 0.5)") * 2)
+        .cast("long")
+        .alias("mad2")
+    )
+    out = res.crossJoin(F.broadcast(mad2))
+    alarm = F.abs(F.col("residual")) * 2 > F.lit(k) * F.col("mad2")
+    return out.select(
+        "bucket", "x", "residual",
+        F.coalesce(alarm, F.lit(False)).alias("alarm"),
+    )

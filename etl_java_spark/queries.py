@@ -19762,6 +19762,272 @@ def q385_spiegelhalter(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q385_spiegelhalter"] = _q385_oracle()
 
 
+# --------------------------------------------------------------------------
+# round-9 third wave: RAKE keywords, bitemporal as-of, seasonal anomaly,
+# label-propagation communities, FK orphan repair
+
+
+@_q(
+    "q386_rake_keywords",
+    """
+    WITH cleaned AS (
+      SELECT doc_id,
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+               '\\b(the|a|an|and|or|of|to|in|is|are|was|for|on|with|as|by|at|it|this|that|be|from|have|has|not|but|they|we|you|i|he|she|its|their|our)\\b',
+               '|', 'g') AS t
+      FROM documents
+    ), phrases0 AS (
+      SELECT doc_id,
+             REGEXP_REPLACE(TRIM(p), '\\s+', ' ', 'g') AS phrase
+      FROM cleaned, UNNEST(STRING_SPLIT(t, '|')) AS u(p)
+    ), phrases AS (
+      SELECT doc_id, phrase FROM phrases0
+      WHERE phrase <> '' AND LEN(STRING_SPLIT(phrase, ' ')) <= 4
+    ), words AS (
+      SELECT phrase, u.w AS word, LEN(STRING_SPLIT(phrase, ' ')) AS plen
+      FROM phrases, UNNEST(STRING_SPLIT(phrase, ' ')) AS u(w)
+    ), word_stats AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM words GROUP BY 1
+    ), per_phrase AS (
+      SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occur
+      FROM phrases GROUP BY 1
+    ), pw AS (
+      SELECT p.phrase, g.i,
+             CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE) AS wsc
+      FROM (SELECT DISTINCT phrase FROM per_phrase) p,
+           UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(p.phrase, ' '))))
+             AS g(i)
+      JOIN word_stats ws
+        ON ws.word = STRING_SPLIT(p.phrase, ' ')[g.i]
+    ), scored AS (
+      SELECT phrase,
+             ((COALESCE(MAX(CASE WHEN i = 1 THEN wsc END), 0.0)
+               + COALESCE(MAX(CASE WHEN i = 2 THEN wsc END), 0.0))
+              + COALESCE(MAX(CASE WHEN i = 3 THEN wsc END), 0.0))
+             + COALESCE(MAX(CASE WHEN i = 4 THEN wsc END), 0.0) AS score
+      FROM pw GROUP BY 1
+    )
+    SELECT p.phrase, p.n_docs, p.n_occur, ROUND(s.score, 9) AS score
+    FROM per_phrase p JOIN scored s ON s.phrase = p.phrase
+    ORDER BY s.score DESC, p.phrase ASC LIMIT 20
+    """,
+)
+def q386_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (retrieval.rake_keywords) over the
+    documents corpus: top-20 stopword-delimited phrases by summed
+    degree/frequency word scores — the unsupervised key-phrase miner
+    next to TF-IDF top terms (q106-family). Phrase scores add at most
+    4 word scores in POSITION order on both engines (identical fixed
+    fold), so the ranking replays bitwise."""
+    from .operators.retrieval import rake_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return rake_keywords(d, "text", "doc_id", topk=20, max_phrase_words=4)
+
+
+@_q(
+    "q387_bitemporal_asof",
+    """
+    WITH versions AS (
+      SELECT o_custkey AS entity, o_orderkey, o_totalprice,
+             CAST(o_orderdate AS DATE) AS valid_from,
+             CAST(o_orderdate AS DATE)
+               + CAST(CAST(SUBSTR(o_orderpriority, 1, 1) AS INT)
+                      AS BIGINT) * INTERVAL 1 DAY AS tx_from
+      FROM orders
+    ), eligible AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY entity
+               ORDER BY valid_from DESC, tx_from DESC) AS rn
+      FROM versions
+      WHERE tx_from <= DATE '1999-07-15' AND valid_from <= DATE '1999-06-30'
+    )
+    SELECT entity, o_orderkey, o_totalprice, valid_from,
+           CAST(tx_from AS DATE) AS tx_from
+    FROM eligible WHERE rn = 1 ORDER BY entity
+    """,
+)
+def q387_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of lookup (cdc.bitemporal_snapshot): what did we
+    BELIEVE on 1999-07-15 (transaction clock — orders become known
+    priority-score days after their order date) about each customer's
+    latest order VALID by 1999-06-30 (valid clock)? The two-clock
+    restatement-safe query the SCD2 history (q102/q192) cannot answer
+    with one timeline."""
+    from .operators.cdc import bitemporal_snapshot
+
+    o = _t(spark, sf_dir, "orders")
+    versions = o.select(
+        F.col("o_custkey").alias("entity"),
+        "o_orderkey", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            F.substring("o_orderpriority", 1, 1).cast("int"),
+        ).alias("tx_from"),
+    )
+    out = bitemporal_snapshot(
+        versions, "entity", "valid_from", "tx_from",
+        "1999-06-30", "1999-07-15",
+    )
+    return out.select(
+        "entity", "o_orderkey", "o_totalprice", "valid_from", "tx_from"
+    ).orderBy("entity")
+
+
+@_q(
+    "q388_seasonal_anomaly",
+    """
+    WITH per AS (
+      SELECT CAST(ts AS DATE) AS bucket, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), res AS (
+      SELECT bucket, x,
+             x - LAG(x, 7) OVER (ORDER BY bucket) AS residual
+      FROM per
+    ), r2 AS (
+      SELECT * FROM res WHERE residual IS NOT NULL
+    ), mad AS (
+      SELECT CAST(ROUND(QUANTILE_CONT(ABS(residual), 0.5) * 2) AS BIGINT)
+               AS mad2
+      FROM r2
+    )
+    SELECT bucket, x, residual,
+           COALESCE(ABS(residual) * 2 > 3 * mad2, FALSE) AS alarm
+    FROM r2 CROSS JOIN mad ORDER BY bucket
+    """,
+)
+def q388_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection (timeseries.seasonal_anomalies)
+    on daily view-event volume: residual vs the same weekday last week,
+    alarmed at 3x the exact residual MAD — trend and weekly shape both
+    cancel before the robust threshold, and the comparison is cleared
+    to all-integer on the half-grid (no float drift)."""
+    from .operators.timeseries import seasonal_anomalies
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    df = ev.select(F.to_date("ts").alias("day"), F.lit(1).alias("one"))
+    out = seasonal_anomalies(df, "day", "one", period=7, k=3, scale=1)
+    return out.select(
+        F.col("bucket"), "x", "residual", "alarm"
+    ).orderBy("bucket")
+
+
+def _q389_oracle(rounds: int = 3) -> str:
+    prev = "l0"
+    cte = """
+    WITH ed AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000000 AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION
+      SELECT DISTINCT o_custkey + 1000000000 AS s, l_suppkey AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), nodes AS (
+      SELECT DISTINCT s AS node FROM ed
+      UNION SELECT DISTINCT d FROM ed
+    ), l0 AS (
+      SELECT node, node AS label FROM nodes
+    )"""
+    for r in range(1, rounds + 1):
+        cte += f""", v{r} AS (
+      SELECT ed.d AS n, {prev}.label AS l, COUNT(*) AS c
+      FROM ed JOIN {prev} ON ed.s = {prev}.node
+      GROUP BY 1, 2
+    ), w{r} AS (
+      SELECT n, l, ROW_NUMBER() OVER (
+        PARTITION BY n ORDER BY c DESC, l ASC) AS rn
+      FROM v{r}
+    ), l{r} AS (
+      SELECT {prev}.node,
+             COALESCE(w{r}.l, {prev}.label) AS label
+      FROM {prev} LEFT JOIN w{r} ON w{r}.n = {prev}.node AND w{r}.rn = 1
+    )"""
+        prev = f"l{r}"
+    return cte + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM {prev} ORDER BY node
+    """
+
+
+@_q("q389_label_propagation", None)
+def q389_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities (graph.
+    label_propagation) over the undirected supplier-customer trade
+    graph (customer ids offset by 1e9 to disjoin the key spaces):
+    3 synchronous sweeps, most-frequent-neighbor label with min-label
+    tie-break — the reproducible LPA variant whose every round replays
+    as an unrolled SQL CTE. Complements modularity (q345) and k-core
+    (q215) on the same graph family."""
+    from .operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("a"),
+        (F.col("o_custkey") + F.lit(1000000000)).alias("b"),
+    )
+    edges = base.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    out = label_propagation(edges, rounds=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    ).orderBy("node")
+
+
+ORACLES["q389_label_propagation"] = _q389_oracle()
+
+
+@_q(
+    "q390_fk_repair",
+    """
+    WITH dim AS (
+      SELECT p_partkey FROM part WHERE p_partkey % 10 <> 0
+    ), j AS (
+      SELECT l_partkey, l_quantity,
+             CASE WHEN l_partkey IS NULL THEN 'null'
+                  WHEN p_partkey IS NULL THEN 'orphan'
+                  ELSE 'ok' END AS status,
+             CASE WHEN p_partkey IS NULL THEN -1 ELSE l_partkey END
+               AS repaired_key
+      FROM lineitem LEFT JOIN dim ON l_partkey = p_partkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT repaired_key) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def q390_fk_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan repair audit (dq.repair_foreign_keys): the
+    part dimension with every 10th key dropped (synthetic orphans)
+    repaired against lineitem — orphaned FKs remap to the -1 unknown
+    member (the Kimball policy; inferred_dim_members q358 is the
+    manufacture-the-member alternative). Output is the per-status
+    audit: row counts, distinct repaired keys, quantity mass."""
+    from .operators.dq import repair_foreign_keys
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 != 0)
+    rep = repair_foreign_keys(li, p, "l_partkey", "p_partkey", sentinel=-1)
+    return (
+        rep.groupBy(F.col("__fk_status").alias("status"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("l_partkey").cast("long").alias("n_keys"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias(
+                "total_qty"
+            ),
+        )
+        .orderBy("status")
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for round 9's gate (VERDICT r8 #1):
     #    the 29 never-recorded queries (q344-q372, per
@@ -19798,7 +20064,9 @@ _PRIORITY = [
     "q376_chunk_dedup", "q377_shapley_attribution",
     "q378_winsorized_stats", "q379_nelson_aalen", "q380_cusum_shift",
     "q381_log_rank", "q382_ratio_metric_ci", "q383_cochran_armitage",
-    "q384_kendall_tau", "q385_spiegelhalter",
+    "q384_kendall_tau", "q385_spiegelhalter", "q386_rake_keywords",
+    "q387_bitemporal_asof", "q388_seasonal_anomaly",
+    "q389_label_propagation", "q390_fk_repair",
     # 1) the r8-recorded set (q269 + q295-q343) -- newest records, age
     #    out last among the recorded blocks below r6/r7.
     "q269_kaplan_meier",

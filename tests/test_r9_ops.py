@@ -633,3 +633,155 @@ def test_spiegelhalter_degenerate_predictions_null_z(spark):
     )
     out = spiegelhalter_z(df, "p", "y").collect()[0]
     assert out["z"] is None
+
+
+# ---------------------------------------------------------------------------
+# RAKE
+
+
+def test_rake_keywords_scores(spark):
+    from etl_java_spark.operators.retrieval import rake_keywords
+
+    docs = [
+        (1, "deep learning models and deep learning systems"),
+        (2, "learning systems of the future"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["phrase"]: r
+        for r in rake_keywords(df, "text", "doc_id", topk=10).collect()
+    }
+    # phrases: "deep learning models", "deep learning systems",
+    # "learning systems", "future"
+    # word stats: deep f2 d6; learning f3 d8; models f1 d3; systems f2 d5;
+    # future f1 d1
+    ws = {"deep": 6 / 2, "learning": 8 / 3, "models": 3 / 1,
+          "systems": 5 / 2, "future": 1 / 1}
+    assert out["deep learning models"]["score"] == pytest.approx(
+        ws["deep"] + ws["learning"] + ws["models"], abs=1e-8
+    )
+    assert out["deep learning systems"]["n_occur"] == 1
+    assert out["learning systems"]["n_docs"] == 1
+    assert out["future"]["score"] == pytest.approx(1.0)
+
+
+def test_rake_stopwords_never_in_phrases(spark):
+    from etl_java_spark.operators.retrieval import (
+        RAKE_STOPWORDS, rake_keywords,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(df, "text", "doc_id").collect()
+    for r in out:
+        assert not set(r["phrase"].split()) & set(RAKE_STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# bitemporal
+
+
+def test_bitemporal_snapshot_two_clocks(spark):
+    import datetime as dtm
+
+    from etl_java_spark.operators.cdc import bitemporal_snapshot
+
+    d = dtm.date
+    # entity 1: v1 valid Jan1 recorded Jan2; correction of v1 recorded
+    # Feb1 (same valid); v2 valid Mar1 recorded Mar2
+    rows = [
+        (1, "v1", d(2024, 1, 1), d(2024, 1, 2)),
+        (1, "v1fix", d(2024, 1, 1), d(2024, 2, 1)),
+        (1, "v2", d(2024, 3, 1), d(2024, 3, 2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "e long, payload string, vf date, tf date"
+    )
+    # as-of valid Feb15, tx Jan15: only the ORIGINAL v1 was known
+    out = bitemporal_snapshot(
+        df, "e", "vf", "tf", "2024-02-15", "2024-01-15"
+    ).collect()
+    assert len(out) == 1 and out[0]["payload"] == "v1"
+    # same valid date, but tx Feb15: the correction is now known
+    out = bitemporal_snapshot(
+        df, "e", "vf", "tf", "2024-02-15", "2024-02-15"
+    ).collect()
+    assert out[0]["payload"] == "v1fix"
+    # valid Apr1, tx Apr1: v2 wins
+    out = bitemporal_snapshot(
+        df, "e", "vf", "tf", "2024-04-01", "2024-04-01"
+    ).collect()
+    assert out[0]["payload"] == "v2"
+
+
+# ---------------------------------------------------------------------------
+# seasonal anomalies
+
+
+def test_seasonal_anomalies_flags_burst(spark):
+    from etl_java_spark.operators.timeseries import seasonal_anomalies
+
+    # two flat weeks then a burst on day 15
+    rows = [(i, 10) for i in range(14)] + [(14, 100), (15, 10)]
+    df = spark.createDataFrame(rows, "b long, v long")
+    out = {r["bucket"]: r for r in
+           seasonal_anomalies(df, "b", "v", period=7, k=3).collect()}
+    assert 0 not in out  # first week has no lag-7
+    assert out[14]["residual"] == 90 and out[14]["alarm"]
+    assert not out[7]["alarm"] and out[7]["residual"] == 0
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+
+
+def test_label_propagation_two_cliques(spark):
+    from etl_java_spark.operators.graph import label_propagation
+
+    # two triangles {1,2,3} and {10,11,12} joined by nothing
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    und = tri1 + [(b, a) for a, b in tri1] + tri2 + [
+        (b, a) for a, b in tri2
+    ]
+    df = spark.createDataFrame(und, "src long, dst long")
+    out = {r["node"]: r["label"] for r in
+           label_propagation(df, rounds=3).collect()}
+    assert len({out[1], out[2], out[3]}) == 1
+    assert len({out[10], out[11], out[12]}) == 1
+    assert out[1] != out[10]
+    assert out[1] in (1, 2, 3) and out[10] in (10, 11, 12)
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from etl_java_spark.operators.graph import label_propagation
+
+    # node 5 hears labels {1, 2} once each -> min label 1 wins, every run
+    df = spark.createDataFrame(
+        [(1, 5), (2, 5)], "src long, dst long"
+    )
+    for _ in range(2):
+        out = {r["node"]: r["label"] for r in
+               label_propagation(df, rounds=1).collect()}
+        assert out[5] == 1
+
+
+# ---------------------------------------------------------------------------
+# FK repair
+
+
+def test_repair_foreign_keys_statuses(spark):
+    from etl_java_spark.operators.dq import repair_foreign_keys
+
+    fact = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, None), (4, 999)],
+        "id long, fk long",
+    )
+    dim = spark.createDataFrame([(100,), (200,)], "pk long")
+    out = {r["id"]: r for r in
+           repair_foreign_keys(fact, dim, "fk", "pk").collect()}
+    assert out[1]["__fk_status"] == "ok" and out[1]["fk"] == 100
+    assert out[3]["__fk_status"] == "null" and out[3]["fk"] == -1
+    assert out[4]["__fk_status"] == "orphan" and out[4]["fk"] == -1
