@@ -1560,3 +1560,55 @@ def repair_foreign_keys(
         repaired.alias(fk_col),
         status.alias("__fk_status"),
     )
+
+
+def randomized_response_counts(
+    df: DataFrame,
+    key_col,
+    flag_col,
+    group_col,
+    f_num: int = 250,
+    f_den: int = 1000,
+    salt: int = 0,
+) -> DataFrame:
+    """Local-DP randomized response with REPLAYABLE perturbation — the
+    collection-side privacy mechanism next to the release-side Laplace
+    counts (:func:`dp_noisy_counts`): each unit reports its true binary
+    flag with probability 1-f, otherwise a fair coin, and the server
+    debiases the aggregate:
+
+        estimate = (reported - n * f/2) / (1 - f)
+
+    Both "randomize?" and the coin come from the arithmetic key hash
+    (key_bucket's family) — no RNG state, so retries/engines reproduce
+    every report bit-for-bit and the whole mechanism replays in SQL
+    (the q365 DP discipline; a production rollout swaps the hash for a
+    client-side RNG — the estimator is unchanged). f is the rational
+    f_num/f_den so the perturbation decision is an exact integer
+    comparison. Returns per group: (grp, n, n_reported, estimate,
+    n_true) — n_true included for the calibration readout this
+    operator exists to demonstrate; a real deployment never sees it.
+    """
+    from .sampling import key_draw
+
+    k = (F.col(key_col) if isinstance(key_col, str) else key_col).cast("long")
+    y = (F.col(flag_col) if isinstance(flag_col, str) else flag_col).cast("int")
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    # quadratic-mixed draws: raw key_bucket is affine, so the coin would
+    # alternate with key parity instead of looking independent
+    randomize = key_draw(k * 2 + F.lit(salt), f_den) < f_num
+    coin = key_draw(k * 2 + 1 + F.lit(salt), 2)
+    reported = F.when(randomize, coin).otherwise(y)
+    per = df.select(
+        g.alias("grp"), y.alias("__y"), reported.alias("__r")
+    ).groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__r").cast("long").alias("n_reported"),
+        F.sum("__y").cast("long").alias("n_true"),
+    )
+    f = float(f_num) / float(f_den)
+    est = (
+        F.col("n_reported").cast("double")
+        - F.col("n").cast("double") * F.lit(f / 2.0)
+    ) / F.lit(1.0 - f)
+    return per.select("grp", "n", "n_reported", est.alias("estimate"), "n_true")

@@ -895,3 +895,69 @@ def label_propagation(
             )
         )
     return labels
+
+
+def link_prediction(
+    edges: DataFrame,
+    topk: int = 50,
+    max_degree: int = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected graph:
+    for node pairs NOT already connected, count shared neighbors and
+    score the Jaccard overlap cn / (deg_u + deg_v - cn) — the classic
+    "who should connect next" / missing-edge-QA readout. (Jaccard and
+    raw counts only — Adamic-Adar's 1/log(deg) weights are one ln away
+    but engine-dependent at the last ulp, the source_divergence rule.)
+
+    Shape: canonical undirected edges materialize once; candidate
+    pairs are the 2-hop wedges (self-join on the shared neighbor) with
+    the wedge's center capped at ``max_degree`` — the knob bounding the
+    sum(deg^2) blow-up a hub would cause (the hot-shingle cap's graph
+    twin; capped-out hubs are logged by the caller via the degree
+    table, never silently sampled). Existing edges leave by left-anti
+    against the edge set; cn is exact integer; Jaccard is one double
+    division. Returns (node_u, node_v, cn, jaccard) top-k by
+    (cn desc, jaccard desc, pair).
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    und = ckpt(_canonical_und(edges, src, dst))
+    deg = _und_degrees(und)
+    ok_centers = deg.filter(F.col("d") <= max_degree).select(
+        F.col("x").alias("c")
+    )
+    # adjacency doubled: (center, leaf)
+    adj = (
+        und.select(F.col("u").alias("c"), F.col("v").alias("l"))
+        .unionByName(und.select(F.col("v").alias("c"), F.col("u").alias("l")))
+        .join(ok_centers, "c", "left_semi")
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.c") == F.col("b.c")) & (F.col("a.l") < F.col("b.l")),
+    ).select(F.col("a.l").alias("u"), F.col("b.l").alias("v"))
+    cand = (
+        wedges.groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("cn"))
+        .join(und, ["u", "v"], "left_anti")
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    scored = cand.join(du, "u").join(dv, "v").select(
+        F.col("u").alias("node_u"),
+        F.col("v").alias("node_v"),
+        "cn",
+        (
+            F.col("cn").cast("double")
+            / (F.col("du") + F.col("dv") - F.col("cn")).cast("double")
+        ).alias("jaccard"),
+    )
+    return scored.orderBy(
+        F.col("cn").desc(), F.col("jaccard").desc(),
+        F.col("node_u").asc(), F.col("node_v").asc(),
+    ).limit(topk)

@@ -397,3 +397,113 @@ def audio_energy_segments(
             )
 
     return df.select(content_col, media_col).mapInPandas(_seg, AUDIO_SEGMENT_SCHEMA)
+
+
+def near_dup_image_rows(
+    n_base: int = 8, seed: int = 42
+) -> list[tuple[str, str, bytearray]]:
+    """Deterministic BMP set with PLANTED near-duplicates: ``n_base``
+    distinct 16x16 gradient images, each with one copy whose corner
+    pixel block is perturbed (same perceptual content, different
+    bytes) — the fixture shape perceptual-hash dedup exists to catch.
+    """
+    import numpy as np
+
+    from . import codecs as C
+
+    rows = []
+    for i in range(n_base):
+        rng = (seed * 1000003 + i * 7919) % 251
+        base = np.fromfunction(
+            lambda y, x, c: (x * 13 + y * 29 + c * 47 + rng) % 256,
+            (16, 16, 3),
+        ).astype(np.uint8)
+        rows.append((f"img_{i}", "image/bmp", bytearray(C.encode_bmp(base))))
+        pert = base.copy()
+        pert[:2, :2, :] = 255 - pert[:2, :2, :]
+        rows.append(
+            (f"img_{i}_copy", "image/bmp", bytearray(C.encode_bmp(pert)))
+        )
+    return rows
+
+
+def perceptual_hash_table(
+    df: DataFrame,
+    content_col: str = "content",
+    mime_col: str = "mime",
+    path_col: str = "path",
+    batch_size: int = 64,
+) -> DataFrame:
+    """(path, phash) via Arrow-batched mapInPandas over binary media —
+    the hash stage of perceptual image dedup (codecs.ahash64; all
+    integer, engine-stable). The downstream pairing is pure JVM:
+    :func:`phash_near_pairs`."""
+    import pandas as pd
+
+    from .codecs import ahash64
+
+    schema = "path string, phash long"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "path": b[path_col],
+                    "phash": [
+                        ahash64(bytes(c), m)
+                        for c, m in zip(b[content_col], b[mime_col])
+                    ],
+                }
+            )
+
+    return df.select(path_col, content_col, mime_col).mapInPandas(
+        _hash, schema
+    )
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "path",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash hamming distance,
+    banded so no all-pairs join ever runs: the 64-bit hash splits into
+    ``max_hamming + 1`` bit-bands — two hashes within ``max_hamming``
+    MUST agree exactly on at least one band (pigeonhole), so the only
+    join is a band-key equi-join, verified by bit_count(xor) — the
+    simhash_near_pairs discipline on a perceptual key. Returns
+    (id_a, id_b, hamming) with id_a < id_b, deduped across bands.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(hash_col), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1) if b < n_bands - 1 else F.lit((1 << (64 - b * width)) - 1))
+            .alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = hashes.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"),
+        F.explode(F.array(*bands)).alias("__b"),
+    ).select("__id", "__h", F.col("__b.band").alias("band"), F.col("__b.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -59,6 +59,24 @@ def key_bucket_sql(key: str, buckets: int = 10000) -> str:
     )
 
 
+def key_draw(key, m: int) -> Column:
+    """Quadratic-mixed deterministic draw in [0, m) — key_bucket plus
+    the (h^2 + h) mod p round that breaks its AFFINE stride: raw
+    key_bucket maps consecutive keys to an arithmetic progression, so
+    draws indexed by a counter (permutation flips, per-slot samples)
+    come out correlated; the quadratic round decorrelates them while
+    staying exact int64 (h < p ~ 1e9+7 so h^2 + h < 2^63) and
+    SQL-replayable (the negative_samples discipline, factored out)."""
+    h = key_bucket(key, 1_000_000_007)
+    return (h * h + h) % 1_000_000_007 % m
+
+
+def key_draw_sql(key: str, m: int) -> str:
+    """The DuckDB-side twin of :func:`key_draw` (keep in lockstep)."""
+    h = key_bucket_sql(key, 1_000_000_007)
+    return f"((({h}) * (({h}) + 1)) % 1000000007 % {m})"
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -20028,6 +20028,317 @@ def q390_fk_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-9 fourth wave: local-DP collection, sequential monitoring,
+# permutation inference, link prediction, perceptual image dedup
+
+
+def _q391_oracle() -> str:
+    from .operators.sampling import key_draw_sql
+
+    rnd = key_draw_sql("(c_custkey * 2)", 1000)
+    coin = key_draw_sql("(c_custkey * 2 + 1)", 2)
+    return f"""
+    WITH resp AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS y
+      FROM orders GROUP BY 1
+    ), units AS (
+      SELECT c_mktsegment AS grp, c_custkey,
+             COALESCE(resp.y, 0) AS y,
+             CASE WHEN ({rnd}) < 250 THEN ({coin})
+                  ELSE COALESCE(resp.y, 0) END AS r
+      FROM customer LEFT JOIN resp ON o_custkey = c_custkey
+    ), per AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r) AS BIGINT) AS n_reported,
+             CAST(SUM(y) AS BIGINT) AS n_true
+      FROM units GROUP BY 1
+    )
+    SELECT grp, n, n_reported,
+           ROUND((CAST(n_reported AS DOUBLE) - CAST(n AS DOUBLE) * 0.125)
+                 / 0.75, 9) AS estimate,
+           n_true
+    FROM per ORDER BY grp
+    """
+
+
+@_q("q391_randomized_response", None)
+def q391_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP randomized response (dq.randomized_response_counts)
+    over the has-an-urgent-order flag per customer, f = 1/4: each
+    customer's report flips to a hash-coin with probability f and the
+    per-segment estimate debiases the aggregate — the collection-side
+    privacy mechanism next to the release-side Laplace counts (q365),
+    with n_true kept for the calibration readout. Perturbation is the
+    arithmetic key hash, so both engines replay every report."""
+    from .operators.dq import randomized_response_counts
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    resp = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias(
+            "y"
+        )
+    )
+    units = c.join(resp, resp.o_custkey == c.c_custkey, "left").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("k"),
+        F.coalesce("y", F.lit(0)).alias("flag"),
+    )
+    out = randomized_response_counts(
+        units, "k", "flag", "seg", f_num=250, f_den=1000
+    )
+    return out.select(
+        "grp", "n", "n_reported",
+        F.round("estimate", 9).alias("estimate"),
+        "n_true",
+    ).orderBy("grp")
+
+
+ORACLES["q391_randomized_response"] = _q391_oracle()
+
+
+def _q392_oracle() -> str:
+    from .operators.experiments import _POCOCK_C
+    from .operators.sampling import key_bucket_sql
+
+    v = f"({key_bucket_sql('o_orderkey', 10000)}) % 2"
+    c = _POCOCK_C[5]
+    z = (
+        "((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        " - (CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)))"
+        " / SQRT((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    )
+    return f"""
+    WITH u AS (
+      SELECT CAST(LEAST(CAST(YEAR(o_orderdate) AS INT) - 1994, 5) AS BIGINT) AS look,
+             {v} AS v,
+             CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS s
+      FROM orders
+    ), per AS (
+      SELECT look,
+             CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+             CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS db,
+             CAST(SUM(CASE WHEN v = 0 THEN s ELSE 0 END) AS BIGINT) AS xa,
+             CAST(SUM(CASE WHEN v = 1 THEN s ELSE 0 END) AS BIGINT) AS xb
+      FROM u GROUP BY 1
+    ), cum AS (
+      SELECT look,
+             CAST(SUM(da) OVER w AS BIGINT) AS n_a,
+             CAST(SUM(db) OVER w AS BIGINT) AS n_b,
+             CAST(SUM(xa) OVER w AS BIGINT) AS x_a,
+             CAST(SUM(xb) OVER w AS BIGINT) AS x_b
+      FROM per
+      WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT look, n_a, n_b, x_a, x_b,
+           ROUND({z}, 12) AS z,
+           {c!r} AS boundary,
+           COALESCE(ABS({z}) > {c!r}, FALSE) AS reject
+    FROM cum ORDER BY look
+    """
+
+
+@_q("q392_group_sequential", None)
+def q392_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential monitoring (experiments.group_sequential_looks):
+    the big-order conversion z at five yearly interim looks of a
+    hash-assigned A/B split, against the Pocock 5-look boundary — the
+    peek-K-times-without-alpha-inflation readout that complements the
+    single-look z-test (q-family) and power analysis (q286)."""
+    from .operators.experiments import group_sequential_looks
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.col("o_orderkey"),
+        F.least(
+            F.year("o_orderdate").cast("int") - 1994, F.lit(5)
+        ).alias("look"),
+        (F.col("o_totalprice") > 250000).cast("int").alias("big"),
+    )
+    out = group_sequential_looks(df, "o_orderkey", "big", "look", n_looks=5)
+    return out.select(
+        F.col("look").cast("long").alias("look"),
+        "n_a", "n_b", "x_a", "x_b",
+        F.round("z", 12).alias("z"),
+        "boundary", "reject",
+    ).orderBy("look")
+
+
+ORACLES["q392_group_sequential"] = _q392_oracle()
+
+
+def _q393_oracle(n_perms: int = 200) -> str:
+    from .operators.sampling import key_draw_sql
+
+    sign = f"(({key_draw_sql(f'(o_custkey * {n_perms} + b)', 2)}) * 2 - 1)"
+    return f"""
+    WITH d AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+                  - SUM(CASE WHEN YEAR(o_orderdate) = 1996 THEN 1 ELSE 0
+                        END) AS BIGINT) AS diff
+      FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997)
+      GROUP BY 1
+    ), obs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(diff) AS BIGINT) AS t_obs
+      FROM d
+    ), perms AS (
+      SELECT b, CAST(SUM({sign} * diff) AS BIGINT) AS t
+      FROM d, UNNEST(GENERATE_SERIES(1, {n_perms})) AS g(b)
+      GROUP BY 1
+    ), ext AS (
+      SELECT CAST(SUM(CASE WHEN ABS(t) >= ABS(t_obs) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_extreme,
+             MAX(n_units) AS n_units, MAX(t_obs) AS t_obs
+      FROM perms CROSS JOIN obs
+    )
+    SELECT n_units, t_obs, n_extreme,
+           ROUND((CAST(n_extreme AS DOUBLE) + 1.0) / {float(n_perms + 1)!r},
+                 9) AS p_value
+    FROM ext
+    """
+
+
+@_q("q393_permutation_test", None)
+def q393_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test (experiments.
+    sign_flip_permutation_test): did per-customer order volume change
+    from 1996 to 1997? 200 hash-deterministic sign flips of the exact
+    integer differences — the resampling-based inference pattern
+    (bootstrap q279's hypothesis-test sibling) with zero RNG state and
+    an all-integer replay."""
+    from .operators.experiments import sign_flip_permutation_test
+
+    o = _t(spark, sf_dir, "orders")
+    d = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.sum((F.year("o_orderdate") == 1997).cast("int"))
+                - F.sum((F.year("o_orderdate") == 1996).cast("int"))
+            )
+            .cast("long")
+            .alias("diff")
+        )
+    )
+    out = sign_flip_permutation_test(d, "o_custkey", "diff", n_perms=200)
+    return out.select(
+        "n_units", "t_obs", "n_extreme",
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q393_permutation_test"] = _q393_oracle()
+
+
+@_q(
+    "q394_link_prediction",
+    """
+    WITH base AS (
+      SELECT DISTINCT l_suppkey AS a, o_custkey + 1000000000 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), und AS (
+      SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM base
+    ), deg AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+      GROUP BY 1
+    ), adj AS (
+      SELECT u AS c, v AS l FROM und UNION ALL SELECT v, u FROM und
+    ), cand AS (
+      SELECT a.l AS u, b.l AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM adj a JOIN adj b ON a.c = b.c AND a.l < b.l
+      GROUP BY 1, 2
+    ), new_pairs AS (
+      SELECT cand.u, cand.v, cand.cn
+      FROM cand ANTI JOIN und ON cand.u = und.u AND cand.v = und.v
+    )
+    SELECT p.u AS node_u, p.v AS node_v, p.cn,
+           ROUND(CAST(p.cn AS DOUBLE)
+                 / CAST(du.d + dv.d - p.cn AS DOUBLE), 12) AS jaccard
+    FROM new_pairs p
+    JOIN deg du ON du.x = p.u JOIN deg dv ON dv.x = p.v
+    ORDER BY p.cn DESC,
+             CAST(p.cn AS DOUBLE) / CAST(du.d + dv.d - p.cn AS DOUBLE) DESC,
+             node_u ASC, node_v ASC
+    LIMIT 50
+    """,
+)
+def q394_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (graph.link_prediction) on the
+    supplier-customer trade graph: top-50 unconnected pairs by shared
+    partners and Jaccard overlap — missing-edge QA / "who should trade
+    next" alongside the structural metrics (q345-q347) on the same
+    graph. Hub centers are degree-capped (the sum-deg^2 knob);
+    everything is exact counts plus one double division."""
+    from .operators.graph import link_prediction
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(1000000000)).alias("dst"),
+    )
+    out = link_prediction(edges, topk=50)
+    return out.select(
+        "node_u", "node_v", "cn", F.round("jaccard", 12).alias("jaccard")
+    )
+
+
+def _q395_oracle() -> str:
+    from .operators.codecs import ahash64
+    from .operators.multimodal import near_dup_image_rows
+
+    rows = near_dup_image_rows(8, seed=42)
+    vals = ", ".join(
+        f"('{p}', CAST({ahash64(bytes(c), m)} AS BIGINT))"
+        for p, m, c in rows
+    )
+    return f"""
+    WITH h(path, phash) AS (VALUES {vals})
+    SELECT a.path AS id_a, b.path AS id_b,
+           CAST(BIT_COUNT(XOR(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.path < b.path
+    WHERE BIT_COUNT(XOR(a.phash, b.phash)) <= 4
+    ORDER BY id_a, id_b
+    """
+
+
+@_q("q395_phash_neardup", None)
+def q395_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (codecs.ahash64 +
+    multimodal.perceptual_hash_table + phash_near_pairs): REAL BMP
+    bytes with planted perturbed copies, hashed by the all-integer
+    64-bit aHash in Arrow-batched Python, paired by a pigeonhole
+    band join + exact hamming verify — no all-pairs join. The oracle
+    replays the identical hash arithmetic in Python (VALUES literal —
+    DuckDB cannot decode BMP; the q105 codec-oracle discipline) and
+    pairs by the same XOR/bit_count."""
+    from .operators.multimodal import (
+        near_dup_image_rows,
+        perceptual_hash_table,
+        phash_near_pairs,
+    )
+
+    media = spark.createDataFrame(
+        near_dup_image_rows(8, seed=42),
+        "path string, mime string, content binary",
+    ).coalesce(2)
+    hashes = perceptual_hash_table(media)
+    return phash_near_pairs(hashes, max_hamming=4).orderBy("id_a", "id_b")
+
+
+ORACLES["q395_phash_neardup"] = _q395_oracle()
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for round 9's gate (VERDICT r8 #1):
     #    the 29 never-recorded queries (q344-q372, per
@@ -20067,6 +20378,8 @@ _PRIORITY = [
     "q384_kendall_tau", "q385_spiegelhalter", "q386_rake_keywords",
     "q387_bitemporal_asof", "q388_seasonal_anomaly",
     "q389_label_propagation", "q390_fk_repair",
+    "q391_randomized_response", "q392_group_sequential",
+    "q393_permutation_test", "q394_link_prediction", "q395_phash_neardup",
     # 1) the r8-recorded set (q269 + q295-q343) -- newest records, age
     #    out last among the recorded blocks below r6/r7.
     "q269_kaplan_meier",

@@ -785,3 +785,180 @@ def test_repair_foreign_keys_statuses(spark):
     assert out[1]["__fk_status"] == "ok" and out[1]["fk"] == 100
     assert out[3]["__fk_status"] == "null" and out[3]["fk"] == -1
     assert out[4]["__fk_status"] == "orphan" and out[4]["fk"] == -1
+
+
+# ---------------------------------------------------------------------------
+# randomized response
+
+
+def test_randomized_response_debias_unbiased_on_unperturbed(spark):
+    from etl_java_spark.operators.dq import randomized_response_counts
+
+    # f = 0 -> reports are truth and the estimate equals the true count
+    df = spark.createDataFrame(
+        [("g", i, i % 3 == 0) for i in range(30)],
+        "g string, k long, y boolean",
+    )
+    out = randomized_response_counts(
+        df, "k", "y", "g", f_num=0, f_den=1000
+    ).collect()[0]
+    assert out["n_reported"] == out["n_true"]
+    assert out["estimate"] == pytest.approx(out["n_true"])
+
+
+def test_randomized_response_estimate_formula(spark):
+    from etl_java_spark.operators.dq import randomized_response_counts
+
+    df = spark.createDataFrame(
+        [("g", i, i < 40) for i in range(100)], "g string, k long, y boolean"
+    )
+    out = randomized_response_counts(
+        df, "k", "y", "g", f_num=500, f_den=1000
+    ).collect()[0]
+    f = 0.5
+    expect = (out["n_reported"] - out["n"] * f / 2) / (1 - f)
+    assert out["estimate"] == pytest.approx(expect)
+    # perturbed counts differ from truth but the estimate stays in range
+    assert 0 <= out["n_reported"] <= out["n"]
+
+
+# ---------------------------------------------------------------------------
+# group-sequential
+
+
+def test_group_sequential_cumulates_and_bounds(spark):
+    from etl_java_spark.operators.experiments import (
+        _POCOCK_C, group_sequential_looks,
+    )
+
+    rows = [(i, 1 + (i % 3), int(i % 5 == 0)) for i in range(300)]
+    df = spark.createDataFrame(rows, "u long, look int, s int")
+    out = {r["look"]: r for r in
+           group_sequential_looks(df, "u", "s", "look", 3).collect()}
+    assert len(out) == 3
+    # cumulative: look-3 totals = all units
+    assert out[3]["n_a"] + out[3]["n_b"] == 300
+    assert all(r["boundary"] == _POCOCK_C[3] for r in out.values())
+    # a null-ish split should not reject at the Pocock boundary
+    assert not any(r["reject"] for r in out.values())
+
+
+def test_group_sequential_rejects_big_effect(spark):
+    from etl_java_spark.operators.experiments import (
+        ab_assign, group_sequential_looks,
+    )
+
+    # construct success correlated with the hash variant -> huge z
+    rows = [(i, 1 + (i % 2)) for i in range(400)]
+    df = spark.createDataFrame(rows, "u long, look int")
+    df = df.withColumn("s", (ab_assign("u") == 0).cast("int"))
+    out = group_sequential_looks(df, "u", "s", "look", 2).collect()
+    assert all(r["reject"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# permutation test
+
+
+def test_permutation_test_null_and_shifted(spark):
+    from etl_java_spark.operators.experiments import (
+        sign_flip_permutation_test,
+    )
+
+    # symmetric null: big p
+    null_rows = [(i, (-1) ** i * (1 + i % 4)) for i in range(60)]
+    df = spark.createDataFrame(null_rows, "u long, d long")
+    p_null = sign_flip_permutation_test(df, "u", "d", n_perms=99).collect()[
+        0
+    ]["p_value"]
+    assert p_null > 0.05
+    # strong positive shift: tiny p
+    shift_rows = [(i, 3 + (i % 2)) for i in range(60)]
+    df2 = spark.createDataFrame(shift_rows, "u long, d long")
+    out = sign_flip_permutation_test(df2, "u", "d", n_perms=99).collect()[0]
+    assert out["p_value"] == pytest.approx(1 / 100)
+    assert out["t_obs"] == sum(d for _, d in shift_rows)
+
+
+def test_permutation_test_deterministic(spark):
+    from etl_java_spark.operators.experiments import (
+        sign_flip_permutation_test,
+    )
+
+    rows = [(i, i % 7 - 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "u long, d long")
+    a = sign_flip_permutation_test(df, "u", "d", n_perms=50).collect()[0]
+    b = sign_flip_permutation_test(
+        df.repartition(8), "u", "d", n_perms=50
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+# ---------------------------------------------------------------------------
+# link prediction
+
+
+def test_link_prediction_square_diagonals(spark):
+    from etl_java_spark.operators.graph import link_prediction
+
+    # 4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    # predicted links, each with cn=2 and jaccard 2/(2+2-2)=1.0
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = sorted(
+        (r["node_u"], r["node_v"], r["cn"], r["jaccard"])
+        for r in link_prediction(df).collect()
+    )
+    assert out == [(1, 3, 2, 1.0), (2, 4, 2, 1.0)]
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from etl_java_spark.operators.graph import link_prediction
+
+    # triangle: every pair already connected -> no predictions
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    assert link_prediction(df).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash
+
+
+def test_ahash_stable_and_sensitive():
+    import numpy as np
+
+    from etl_java_spark.operators.codecs import ahash64, encode_bmp
+
+    base = np.fromfunction(
+        lambda y, x, c: (x * 11 + y * 3 + c) % 256, (16, 16, 3)
+    ).astype(np.uint8)
+    h1 = ahash64(encode_bmp(base), "image/bmp")
+    h2 = ahash64(encode_bmp(base), "image/bmp")
+    assert h1 == h2
+    inverted = (255 - base).astype(np.uint8)
+    h3 = ahash64(encode_bmp(inverted), "image/bmp")
+    assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") > 16
+
+
+def test_phash_near_pairs_finds_planted_copies(spark):
+    from etl_java_spark.operators.multimodal import (
+        near_dup_image_rows,
+        perceptual_hash_table,
+        phash_near_pairs,
+    )
+
+    media = spark.createDataFrame(
+        near_dup_image_rows(4, seed=7),
+        "path string, mime string, content binary",
+    )
+    hashes = perceptual_hash_table(media)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_pairs(hashes, max_hamming=4).collect()
+    }
+    # every planted copy pairs with its base within the radius
+    for i in range(4):
+        assert (f"img_{i}", f"img_{i}_copy") in pairs
+    assert all(h <= 4 for h in pairs.values())
