@@ -1146,3 +1146,218 @@ def sign_flip_permutation_test(
         float(n_perms) + 1.0
     )
     return extreme.select("n_units", "t_obs", "n_extreme", p.alias("p_value"))
+
+
+def chi2_sf_even(x: Column, df: int) -> Column:
+    """Upper-tail chi-square probability for EVEN degrees of freedom —
+    the closed elementary form P(X > x) = exp(-x/2) * sum_{i<df/2}
+    (x/2)^i / i!, which needs one exp and a fixed Horner-style loop, so
+    both engines evaluate the identical expression tree (the normal_sf
+    discipline; odd df would need erf and is not offered — callers with
+    odd df report the statistic and NULL p). Callers ROUND derived
+    p-values to absorb exp's last-ulp drift.
+    """
+    if df < 2 or df % 2:
+        raise ValueError("chi2_sf_even requires even df >= 2")
+    half = x * F.lit(0.5)
+    term = F.lit(1.0)
+    acc = F.lit(1.0)
+    for i in range(1, df // 2):
+        term = term * half / F.lit(float(i))
+        acc = acc + term
+    return F.exp(-half) * acc
+
+
+def chi2_sf_even_sql(x_expr: str, df: int) -> str:
+    """DuckDB twin of :func:`chi2_sf_even` (keep in lockstep)."""
+    if df < 2 or df % 2:
+        raise ValueError("chi2_sf_even requires even df >= 2")
+    half = f"(({x_expr}) * 0.5)"
+    term = "1.0"
+    acc = "1.0"
+    for i in range(1, df // 2):
+        term = f"(({term}) * {half} / {float(i)!r})"
+        acc = f"(({acc}) + {term})"
+    return f"(EXP(-{half}) * ({acc}))"
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col,
+    value_col,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group extension of Mann-Whitney
+    (:func:`mann_whitney_u`): do ANY of the groups' distributions
+    differ, without assuming normality?
+
+        H = [12 / (N (N+1)) * sum_g R_g^2 / n_g - 3 (N+1)]
+            / (1 - sum(t^3 - t) / (N^3 - N))          (tie correction)
+
+    Same scalable shape as MW: per-DISTINCT-VALUE counts per group,
+    midranks from one prefix window over the distinct-value table
+    (doubled, so every rank sum is exact int64), then the k per-group
+    terms fold in GROUP-NAME order (R_g^2/n_g are doubles — the fold
+    order is the determinism contract, replayed by a recursive CTE).
+    NULL values drop; p-value is the even-df closed form (NULL for odd
+    k-1). Returns one row: (n_rows, k_groups, h_stat, p_value).
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = (
+        df.filter(v.isNotNull() & g.isNotNull())
+        .groupBy(v.alias("val"), g.alias("grp"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per_val = per.groupBy("val").agg(F.sum("c").cast("long").alias("t"))
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranks = per_val.select(
+        "val", "t",
+        (
+            F.lit(2) * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1
+        ).alias("r2"),
+    )
+    by_grp = (
+        per.join(ranks, "val")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("r2")).cast("long").alias("rg2"),
+        )
+    )
+    tots = per_val.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    ev = by_grp.select(
+        F.struct(
+            "grp",
+            (
+                F.col("rg2").cast("double")
+                * F.col("rg2").cast("double")
+                / F.col("n_g").cast("double")
+            ).alias("term"),
+        ).alias("__e")
+    )
+    one = ev.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.array_sort(F.collect_list("__e")).alias("__arr"),
+    ).crossJoin(F.broadcast(tots))
+    ssum = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["term"]
+    )
+    n = F.col("n").cast("double")
+    # doubled ranks: R_g^2 = rg2^2 / 4 folds into the 12 -> 3 factor
+    h_raw = F.lit(3.0) / (n * (n + F.lit(1.0))) * ssum - F.lit(3.0) * (
+        n + F.lit(1.0)
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (n * n * n - n)
+    h = F.try_divide(h_raw, corr)
+    out = one.select(
+        F.col("n").alias("n_rows"), "k_groups", h.alias("h_stat")
+    )
+    return out.select(
+        "n_rows", "k_groups", "h_stat",
+        F.when(
+            F.col("k_groups") % 2 == 1,  # df = k-1 even
+            _chi2_sf_even_dyn(F.col("h_stat"), F.col("k_groups") - 1),
+        ).alias("p_value"),
+    )
+
+
+def _chi2_sf_even_dyn(x: Column, df_col: Column, max_half: int = 8) -> Column:
+    """chi2_sf_even with a RUNTIME (column) even df <= 2*max_half:
+    the fixed Horner loop runs to max_half terms and each term gates on
+    i < df/2 — same expression tree on both engines for any df."""
+    half = x * F.lit(0.5)
+    term = F.lit(1.0)
+    acc = F.lit(1.0)
+    for i in range(1, max_half):
+        term = term * half / F.lit(float(i))
+        acc = acc + F.when(F.lit(i) < df_col / 2, term).otherwise(F.lit(0.0))
+    return F.exp(-half) * acc
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col,
+    treatment_col,
+    value_col,
+) -> DataFrame:
+    """Friedman test over a (block x treatment) metric table — "do the
+    k treatments rank consistently differently across n matched
+    blocks?", the nonparametric repeated-measures ANOVA (the blocked
+    sibling of :func:`kruskal_wallis`). Input is the PRE-AGGREGATED
+    cell table (one row per block-treatment; post-aggregate contract —
+    blocks/treatments are metadata-sized).
+
+    Tie-corrected statistic, all-integer with doubled midranks:
+
+        Q = (k-1) * sum_j (R2_j - n (k+1))^2 / (4A - n k (k+1)^2)
+
+    where R2_j sums the doubled within-block midranks of treatment j
+    and 4A sums their squares — both exact int64, so Q is ONE double
+    division; p is the even-df closed form (NULL for odd k-1).
+    Returns one row: (n_blocks, k_treatments, q_stat, p_value).
+    """
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    t = F.col(treatment_col) if isinstance(treatment_col, str) else treatment_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(b.alias("blk"), t.alias("trt"), v.alias("val")).filter(
+        F.col("val").isNotNull()
+    )
+    # doubled midrank within block: 2*(#smaller) + (#tied incl self) + 1,
+    # from a within-block self-join (k rows per block -> k^2 per block,
+    # metadata-sized by the post-aggregate contract)
+    a, c = base.alias("a"), base.alias("c")
+    cmp_ = a.join(c, F.col("a.blk") == F.col("c.blk")).groupBy(
+        F.col("a.blk").alias("blk"), F.col("a.trt").alias("trt")
+    ).agg(
+        (
+            F.lit(2)
+            * F.sum((F.col("c.val") < F.col("a.val")).cast("int"))
+            + F.sum((F.col("c.val") == F.col("a.val")).cast("int"))
+            + 1
+        )
+        .cast("long")
+        .alias("r2")
+    )
+    nk = base.agg(
+        F.countDistinct("blk").cast("long").alias("n"),
+        F.countDistinct("trt").cast("long").alias("k"),
+    )
+    per_t = cmp_.groupBy("trt").agg(
+        F.sum("r2").cast("long").alias("r2j")
+    )
+    a4 = cmp_.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("a4")
+    )
+    j = per_t.crossJoin(F.broadcast(nk))
+    num_term = (
+        (F.col("r2j") - F.col("n") * (F.col("k") + 1))
+        * (F.col("r2j") - F.col("n") * (F.col("k") + 1))
+    ).cast("long")
+    num = j.agg(
+        F.sum(num_term).cast("long").alias("num"),
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+    ).crossJoin(F.broadcast(a4))
+    den = (
+        F.col("a4")
+        - F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+    ).cast("double")
+    q = F.try_divide(
+        (F.col("k") - 1).cast("double") * F.col("num").cast("double"), den
+    )
+    return num.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        q.alias("q_stat"),
+        F.when(
+            F.col("k") % 2 == 1,  # df = k-1 even
+            _chi2_sf_even_dyn(q, (F.col("k") - 1).cast("int")),
+        ).alias("p_value"),
+    )

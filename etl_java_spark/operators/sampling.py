@@ -530,3 +530,51 @@ def negative_samples(
         .filter(F.col("__rk") <= k)
         .select("user", "item", F.col("slot").cast("long"))
     )
+
+
+def rebalance_classes(
+    df: DataFrame,
+    label_col,
+    id_col,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic class rebalancing by replication: every label is
+    oversampled to EXACTLY the majority class's count — each row
+    repeats floor(T/n_c) times and the ``T mod n_c`` extra slots go to
+    the rows with the smallest (key_draw, id) — a hash order, so
+    retries, engines, and partitionings pick the identical extras (no
+    sample(), no RNG; the training-set equivalent of the gap-free
+    two-phase id discipline).
+
+    Shape: one per-label count (broadcast back), one explode by the
+    per-row repeat factor (bounded by T/n_c — the imbalance ratio IS
+    the blow-up, as in any oversampling), one per-label window for the
+    extra-slot ranks. Returns the input columns plus ``__rep`` (1-based
+    copy index per source row). Empty input returns empty.
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    k = (F.col(id_col) if isinstance(id_col, str) else id_col).cast("long")
+    base = df.withColumn("__lab", lab).withColumn("__k", k)
+    counts = base.groupBy("__lab").agg(F.count("*").cast("long").alias("__n"))
+    target = counts.agg(F.max("__n").alias("__t"))
+    ranked = base.join(F.broadcast(counts), "__lab").crossJoin(
+        F.broadcast(target)
+    )
+    w = Window.partitionBy("__lab").orderBy(
+        key_draw(F.col("__k") + F.lit(salt), 1_000_000_007).asc(),
+        F.col("__k").asc(),
+    )
+    ranked = ranked.withColumn("__rk", F.row_number().over(w))
+    rep = (
+        (F.col("__t") - F.col("__t") % F.col("__n")) / F.col("__n")
+    ).cast("long") + (
+        F.col("__rk") <= F.col("__t") % F.col("__n")
+    ).cast("long")
+    out_cols = [c for c in df.columns]
+    return (
+        ranked.withColumn("__reps", rep)
+        .select(
+            *out_cols,
+            F.explode(F.sequence(F.lit(1), F.col("__reps"))).alias("__rep"),
+        )
+    )

@@ -1596,3 +1596,111 @@ def seasonal_anomalies(
         "bucket", "x", "residual",
         F.coalesce(alarm, F.lit(False)).alias("alarm"),
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    bucket_col,
+    value_col,
+    period: int = 7,
+    horizon: int = 7,
+    scale: int = 1,
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + seasonal) over a bucketed
+    series with DYADIC smoothing weights (alpha=1/2, beta=1/4,
+    gamma=1/2) — the seasonal upgrade of q253's Holt: a weekly-shaped
+    series forecast with plain Holt lags the shape forever. Binary-
+    fraction weights make every update an exact halving/quartering, so
+    the fold is bit-reproducible and replays as a recursive CTE (the
+    q253 contract, extended with a rotating seasonal register).
+
+        l_t = (x_t - s_{t-m})/2 + (l + b)/2
+        b_t = (l_t - l)/4 + 3 b/4
+        s_t = (x_t - l_t)/2 + s_{t-m}/2
+
+    Init (standard): l0 = mean of season 1, b0 = (mean of season 2 -
+    mean of season 1)/m, s_i = x_i - l0; the fold starts at t = m.
+    Seasonal state is ``period`` named struct fields updated by a
+    when-chain on t mod m — no arrays in the accumulator, so the
+    recursive-CTE twin carries the same flat columns. Requires at
+    least 2*period buckets. Returns ``horizon`` rows:
+    (h, forecast) plus (level, trend) on each — forecast_h =
+    level + h*trend + s_{(n+h-1) mod m}.
+
+    Scale: the data pass is ONE per-bucket integer aggregate; the fold
+    runs over the calendar-bounded bucket array inside codegen.
+    """
+    if period < 2 or period > 16:
+        raise ValueError("period must be in [2, 16]")
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = df.groupBy(b.alias("bucket")).agg(
+        F.sum(F.round(v * scale).cast("long")).cast("long").alias("x")
+    )
+    one = per.agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", F.col("x").cast("double")))
+        ).alias("__arr")
+    )
+    m = period
+    xs = F.transform(F.col("__arr"), lambda s: s["x"])
+    mean1 = (
+        F.aggregate(F.slice(xs, 1, m), F.lit(0.0), lambda a, x: a + x)
+        / F.lit(float(m))
+    )
+    mean2 = (
+        F.aggregate(F.slice(xs, m + 1, m), F.lit(0.0), lambda a, x: a + x)
+        / F.lit(float(m))
+    )
+    sfields = [F.lit(None).cast("double").alias(f"s{i}") for i in range(m)]
+    acc0 = F.struct(
+        F.lit(0).alias("t"),
+        mean1.alias("l"),
+        ((mean2 - mean1) / F.lit(float(m))).alias("b"),
+        *sfields,
+    )
+
+    def step(acc, x):
+        t = acc["t"]
+        idx = t % m
+        init_phase = t < m
+        s_old = F.lit(None).cast("double")
+        for i in range(m):
+            s_old = F.when(idx == i, acc[f"s{i}"]).otherwise(s_old)
+        l_new = F.when(init_phase, acc["l"]).otherwise(
+            (x - s_old) * F.lit(0.5) + (acc["l"] + acc["b"]) * F.lit(0.5)
+        )
+        b_new = F.when(init_phase, acc["b"]).otherwise(
+            (l_new - acc["l"]) * F.lit(0.25) + acc["b"] * F.lit(0.75)
+        )
+        s_new = F.when(init_phase, x - acc["l"]).otherwise(
+            (x - l_new) * F.lit(0.5) + s_old * F.lit(0.5)
+        )
+        fields = [(t + 1).alias("t"), l_new.alias("l"), b_new.alias("b")]
+        for i in range(m):
+            fields.append(
+                F.when(idx == i, s_new).otherwise(acc[f"s{i}"]).alias(f"s{i}")
+            )
+        return F.struct(*fields)
+
+    fold = F.aggregate(xs, acc0, step)
+    st = one.select(fold.alias("__f"))
+    hs = st.select(
+        "__f", F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("h")
+    )
+    season_at = F.lit(None).cast("double")
+    for i in range(m):
+        season_at = F.when(
+            (F.col("__f")["t"] + F.col("h") - 1) % m == i,
+            F.col("__f")[f"s{i}"],
+        ).otherwise(season_at)
+    sc = float(scale)
+    return hs.select(
+        F.col("h").cast("long").alias("h"),
+        (F.col("__f")["l"] / F.lit(sc)).alias("level"),
+        (F.col("__f")["b"] / F.lit(sc)).alias("trend"),
+        (
+            (F.col("__f")["l"] + F.col("h") * F.col("__f")["b"] + season_at)
+            / F.lit(sc)
+        ).alias("forecast"),
+    )
