@@ -866,9 +866,22 @@ def label_propagation(
     from ..plans.checkpoints import make_checkpointer
 
     ckpt = make_checkpointer(checkpoint_dir)
-    ed = ckpt(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    # The (large) edge list is hash-partitioned on the per-round join
+    # key ONCE and persisted: InMemoryTableScan keeps the cached plan's
+    # outputPartitioning, so every sweep's edge-vs-label sort-merge
+    # join reads it exchange-free — one edge shuffle total across all
+    # ``rounds`` sweeps instead of one per sweep. (A checkpoint would
+    # NOT work here: LogicalRDD surfaces UnknownPartitioning under AQE,
+    # re-exchanging per round. Fault tolerance is lineage recompute —
+    # fine for this once-built table; only the per-round labels need
+    # lineage capping, which keeps the ckpt treatment below.)
+    ed = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .repartition("s")
+        .persist()
     )
+    ed.count()  # eager: materialize the one edge shuffle up front
     nodes = (
         ed.select(F.col("s").alias("node"))
         .unionByName(ed.select(F.col("d").alias("node")))
@@ -876,25 +889,30 @@ def label_propagation(
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(rounds):
-        votes = (
-            ed.join(labels, ed["s"] == labels["node"])
-            .groupBy(F.col("d").alias("__n"), F.col("label").alias("__l"))
-            .agg(F.count("*").alias("__c"))
-        )
-        w = Window.partitionBy("__n").orderBy(
-            F.col("__c").desc(), F.col("__l").asc()
-        )
-        winners = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(F.col("__n").alias("node"), F.col("__l").alias("__new"))
-        )
         labels = ckpt(
-            labels.join(winners, "node", "left").select(
+            labels.join(_lpa_sweep(ed, labels), "node", "left").select(
                 "node", F.coalesce("__new", "label").alias("label")
             )
         )
+    ed.unpersist()  # final labels ckpt is eager; the cache is done
     return labels
+
+
+def _lpa_sweep(ed: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA sweep: (node, __new) winners table.
+
+    mode(label, deterministic=True) = most-frequent with
+    smallest-value tie-break — the exact update rule — in ONE
+    aggregation shuffled on the node key only (map-side partial count
+    maps), replacing the former (node,label)-count + top-1-window pair
+    and its extra exchange + sort per sweep. The edge side arrives
+    pre-partitioned on the join key ``s`` (cached), so the join adds no
+    edge exchange (plan-gated in tests/test_plans.py)."""
+    return (
+        ed.join(labels, ed["s"] == labels["node"])
+        .groupBy(F.col("d").alias("node"))
+        .agg(F.mode("label", True).alias("__new"))
+    )
 
 
 def link_prediction(

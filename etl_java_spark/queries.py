@@ -20354,15 +20354,38 @@ ORACLES["q395_phash_neardup"] = _q395_oracle()
 
 
 _PRIORITY = [
-    # 0) HEAD = exactly 50 slots for round 9's gate (VERDICT r8 #1):
-    #    the 29 never-recorded queries (q344-q372, per
-    #    tools/gate_ledger.py after CORRECTNESS_r08) + the 4
-    #    changed-body re-confirms (q219/q220/q244/q50) + the 17
-    #    stalest r1-recorded rows (q02..q27 in ledger order).
+    # 0) HEAD = exactly 50 slots for round 10's gate (VERDICT r9 #1):
+    #    the 23 never-recorded round-9 queries (q373-q395, per
+    #    tools/gate_ledger.py after CORRECTNESS_r09) + the 27 stalest
+    #    r1-recorded rows (ledger order; q92 stays below for r11).
     #    ROUND-CLOSE RULE: at the END of every round, rotate this head so
     #    the next round's 50 slots are drawn from gate_ledger's
     #    never-green list (then stalest-recorded). Do NOT defer to the
     #    next round's open -- that deferral caused the r6/r7 backlog.
+    "q373_mann_whitney", "q374_spearman", "q375_fellegi_sunter",
+    "q376_chunk_dedup", "q377_shapley_attribution",
+    "q378_winsorized_stats", "q379_nelson_aalen", "q380_cusum_shift",
+    "q381_log_rank", "q382_ratio_metric_ci", "q383_cochran_armitage",
+    "q384_kendall_tau", "q385_spiegelhalter", "q386_rake_keywords",
+    "q387_bitemporal_asof", "q388_seasonal_anomaly",
+    "q389_label_propagation", "q390_fk_repair",
+    "q391_randomized_response", "q392_group_sequential",
+    "q393_permutation_test", "q394_link_prediction", "q395_phash_neardup",
+    # 27 stalest r1-recorded rows (q92_rank_functions is the 28th,
+    # left below as the first stale row for r11)
+    "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",
+    "q35_exists_subquery", "q36_string_functions", "q37_math_functions",
+    "q38_conditional_functions", "q39_json_extraction", "q40_doc_stats",
+    "q41_lang_distribution", "q42_dedup_exact", "q43_fingerprint",
+    "q44_ngram_jaccard", "q45_lang_guess", "q47_window_analytics",
+    "q48_date_functions", "q49_regexp_functions", "q81_nation_volume",
+    "q82_returned_items", "q83_correlated_scalar", "q84_range_frame",
+    "q85_deterministic_corr", "q87_order_count_distribution",
+    "q88_promo_revenue_share", "q89_having_in_subquery",
+    "q90_not_in_subquery",
+    # 1) the r9-recorded head (q344-q372 + the four re-confirms + the
+    #    17 r1 rows re-recorded in CORRECTNESS_r09) -- freshest
+    #    records, age out of the rotation window last.
     "q344_hits", "q345_modularity", "q346_assortativity",
     "q347_local_clustering", "q348_isotonic_calibration",
     "q349_qini_uplift", "q350_cdc_tombstones", "q351_hard_negatives",
@@ -20373,28 +20396,14 @@ _PRIORITY = [
     "q364_negative_sampling", "q365_dp_counts", "q366_high_water_mark",
     "q367_nested_export", "q368_date_spine", "q369_neyman_allocation",
     "q370_duplicate_transactions", "q371_wilson_ci", "q372_bh_fdr",
-    # changed-body re-confirms (q50/q219/q220 threshold-sized LSH
-    # banding, q244 two-phase rank rewrite)
     "q219_split_leakage", "q220_incremental_neardup", "q244_rank_normalize",
     "q50_minhash_neardup",
-    # 17 stalest r1-recorded rows
     "q02_top_customers", "q03_shipping_priority", "q05_regional_revenue",
     "q06_forecast_revenue", "q10_projection_rename", "q11_scalar_transforms",
     "q12_sql_passthrough", "q13_insert_if_absent", "q14_merge_upsert",
     "q20_topk_per_group", "q21_window_running", "q22_rollup", "q23_cube",
     "q24_set_ops", "q25_semi_anti", "q26_distinct_agg", "q27_sort_limit",
-    # round-9 additions (never recorded yet -- next round's head per
-    # the ROUND-CLOSE RULE; outside this round's 50 gate slots)
-    "q373_mann_whitney", "q374_spearman", "q375_fellegi_sunter",
-    "q376_chunk_dedup", "q377_shapley_attribution",
-    "q378_winsorized_stats", "q379_nelson_aalen", "q380_cusum_shift",
-    "q381_log_rank", "q382_ratio_metric_ci", "q383_cochran_armitage",
-    "q384_kendall_tau", "q385_spiegelhalter", "q386_rake_keywords",
-    "q387_bitemporal_asof", "q388_seasonal_anomaly",
-    "q389_label_propagation", "q390_fk_repair",
-    "q391_randomized_response", "q392_group_sequential",
-    "q393_permutation_test", "q394_link_prediction", "q395_phash_neardup",
-    # 1) the r8-recorded set (q269 + q295-q343) -- newest records, age
+    # 2) the r8-recorded set (q269 + q295-q343) -- newest records, age
     #    out last among the recorded blocks below r6/r7.
     "q269_kaplan_meier",
     "q295_schema_evolution",
@@ -20438,17 +20447,9 @@ _PRIORITY = [
     "q105_real_codec_features",
     # 3) everything else, oldest recorded green first (r1 -> r2 -> r3
     #    -> r5) so confirmations age out of the cap window soonest
-    #    (the 17 stalest r1 rows q02..q27 moved to the head this round)
-    "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",
-    "q35_exists_subquery", "q36_string_functions", "q37_math_functions",
-    "q38_conditional_functions", "q39_json_extraction", "q40_doc_stats",
-    "q41_lang_distribution", "q42_dedup_exact", "q43_fingerprint",
-    "q44_ngram_jaccard", "q45_lang_guess", "q47_window_analytics",
-    "q48_date_functions", "q49_regexp_functions", "q81_nation_volume",
-    "q82_returned_items", "q83_correlated_scalar", "q84_range_frame",
-    "q85_deterministic_corr", "q87_order_count_distribution",
-    "q88_promo_revenue_share", "q89_having_in_subquery",
-    "q90_not_in_subquery", "q92_rank_functions", "q01_pricing_summary",
+    #    (the 27 stale r1 rows q28..q90 moved to the head this round;
+    #    q92 is the stalest remaining and leads r11's stale block)
+    "q92_rank_functions", "q01_pricing_summary",
     "q46_quality_scores", "q51_simhash",
     "q52_embedding_neardup", "q53_ann_topk", "q56_brute_force_knn",
     "q57_struct_map_columns", "q58_array_functions", "q59_explode_arrays",

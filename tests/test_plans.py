@@ -263,3 +263,66 @@ def test_q372_bh_windows_over_hypothesis_table(spark):
     assert "HashAggregate" in plan[first_window:] or "SortAggregate" in plan[
         first_window:
     ], "BH windows must consume the aggregated hypothesis table"
+
+
+def test_q389_lpa_sweep_single_mode_aggregate(spark):
+    """VERDICT r9 #7a: one LPA sweep = one mode aggregate shuffled on
+    the destination-node key ONLY, reading the once-materialized
+    (cached, pre-partitioned-on-s) edge list with no re-exchange — no
+    per-(node,label) count shuffle, no top-1 window, and no
+    ENSURE_REQUIREMENTS exchange of the edge side per sweep."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_java_spark.operators.graph import _lpa_sweep
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)],
+        "src long, dst long",
+    )
+    ed = (
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .distinct()
+        .repartition("s")
+        .persist()
+    )
+    try:
+        ed.count()
+        labels = (
+            ed.select(F.col("s").alias("node"))
+            .unionByName(ed.select(F.col("d").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        plan = (
+            _lpa_sweep(ed, labels)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        )
+    finally:
+        ed.unpersist()
+    assert "InMemoryTableScan" in plan, "edge list must read the one cache"
+    assert "partial_mode" in plan, "mode must partial-aggregate map-side"
+    assert "Window" not in plan, "sweep must not use a top-1 window"
+    # exactly one live shuffle: the mode aggregate on the d key; the
+    # only s-exchange is the REPARTITION_BY_COL inside the cached build
+    assert len(re.findall(r"Exchange hashpartitioning\(d#\d+L", plan)) == 1
+    assert not re.search(
+        r"Exchange hashpartitioning\(s#\d+L, \d+\), ENSURE_REQUIREMENTS", plan
+    ), "edge side re-exchanged per sweep (cache partitioning lost)"
+
+
+def test_q394_wedge_centers_degree_capped(spark):
+    """VERDICT r9 #7b: q394's wedge self-join must take its adjacency
+    through the degree-capped ok_centers semi-join (the sum(deg^2)
+    bound), and existing edges must leave via an anti-join — both
+    visible in the physical plan."""
+    plan = plan_of(spark, "q394_link_prediction", "simple")
+    assert "LeftSemi" in plan, "degree cap (ok_centers semi-join) missing"
+    assert "LeftAnti" in plan, "existing-edge anti-join missing"
