@@ -1454,11 +1454,26 @@ def isotonic_calibration(
     )
 
 
-def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_distinct: int | None = 100_000,
+) -> DataFrame:
     """Spearman rank correlation with tie midranks — the monotone-
     association readout robust to outliers and nonlinearity that
     Pearson (:func:`correlation_matrix`) misses; the standard screen
     for "does quality score track engagement" style questions.
+
+    QUANTIZED-INPUT CONTRACT (the :func:`kendall_tau_b` rule): the
+    midrank windows run over each column's DISTINCT-VALUE table, which
+    is single-partition by design (post-aggregate-window contract) —
+    valid only when the columns are quantized/ordinal so that table is
+    metadata-sized. A continuous column would silently funnel n rows
+    into one window partition; ``max_distinct`` guards it: the plan
+    raises (executor-side assert, no extra job) when either column
+    exceeds it — band/quantize upstream instead of raising the knob.
+    ``None`` disables the guard for callers that pre-checked.
 
     rho = Pearson correlation of the midranks. Scalable shape: each
     column reduces to per-DISTINCT-VALUE counts, midranks come from a
@@ -1483,14 +1498,31 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         w = Window.orderBy(col).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        return d.select(
-            col,
-            (
-                F.lit(2) * (F.sum("c").over(w) - F.col("c"))
-                + F.col("c")
-                + F.lit(1)
-            ).alias(out),
+        midrank = (
+            F.lit(2) * (F.sum("c").over(w) - F.col("c"))
+            + F.col("c")
+            + F.lit(1)
         )
+        if max_distinct is not None:
+            # same window sort, whole-frame count: trips when the
+            # distinct-value table outgrows the quantized contract.
+            # assert_true must FEED the selected expression or Catalyst
+            # prunes it (the resample_gapfill pattern).
+            n_distinct = F.count("*").over(
+                Window.orderBy(col).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            guard = F.assert_true(
+                n_distinct <= F.lit(max_distinct),
+                F.lit(
+                    f"spearman_corr: column {col!r} exceeds max_distinct="
+                    f"{max_distinct} distinct values — band/quantize the "
+                    "column upstream (quantized-input contract)"
+                ),
+            )
+            midrank = F.when(guard.isNull(), midrank)
+        return d.select(col, midrank.alias(out))
 
     d38 = "decimal(38,0)"
     j = base.join(rank_map("x", "rx"), "x").join(rank_map("y", "ry"), "y")

@@ -962,3 +962,25 @@ def test_phash_near_pairs_finds_planted_copies(spark):
     for i in range(4):
         assert (f"img_{i}", f"img_{i}_copy") in pairs
     assert all(h <= 4 for h in pairs.values())
+
+
+def test_spearman_max_distinct_guard_trips(spark):
+    """VERDICT r9 #6: a continuous column (every value distinct) must
+    raise through the max_distinct guard instead of silently funneling
+    an n-row distinct table into one window partition."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    from etl_java_spark.operators.evaluation import spearman_corr
+
+    df = spark.range(50).selectExpr("id * 1.0 AS x", "id * 2.0 AS y")
+    with pytest.raises(
+        (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException),
+        match="max_distinct",
+    ):
+        spearman_corr(df, "x", "y", max_distinct=10).collect()
+    # at or under the cap (and with the guard disabled) it still runs
+    row = spearman_corr(df, "x", "y", max_distinct=50).collect()[0]
+    assert row["rho"] == pytest.approx(1.0)
+    row = spearman_corr(df, "x", "y", max_distinct=None).collect()[0]
+    assert row["rho"] == pytest.approx(1.0)
