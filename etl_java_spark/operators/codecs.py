@@ -456,28 +456,13 @@ def image_ahash(content: bytes, mime: str, grid: int = 8) -> int:
 
 
 def ahash64(content: bytes, mime: str) -> int:
-    """64-bit average perceptual hash (aHash) of a decodable image:
-    integer grayscale (floor of the channel mean), nearest-neighbor
-    8x8 subsample, each cell's bit set when its gray level is at or
-    above the integer mean of the 64 cells. Every step is integer
-    arithmetic on decoded bytes — the same hash on any engine, worker,
-    or retry, which is what makes the hash a JOIN KEY for near-dup
-    image detection rather than a per-run artifact.
-
-    Bit i (row-major cell i) is bit position i of the returned int —
-    stored in a signed int64 by the callers (bit 63 may set the sign;
-    XOR/bit_count treat it as raw bits, so hamming stays correct).
+    """64-bit average perceptual hash — :func:`image_ahash` at its
+    default 8x8 grid. ONE bit contract for the whole repo (this used
+    to carry a subtly different variant — >= threshold, pre-resize
+    grayscale, no decode guard — two hash dialects for the same name
+    is how cross-table joins silently miss): resize-then-channel-sum
+    grayscale, strict > integer-mean threshold, bit i = row-major cell
+    i, two's-complement signed int64; undecodable content raises
+    ValueError (never an opaque numpy error downstream).
     """
-    arr = decode_any(content, mime)
-    a = np.asarray(arr, dtype=np.int64)
-    if a.ndim == 3:
-        a = a[:, :, : min(3, a.shape[2])].sum(axis=2) // min(3, a.shape[2])
-    small = resize_nearest(a.astype(np.uint8), 8, 8).astype(np.int64)
-    mean = int(small.sum()) // 64
-    bits = (small >= mean).astype(np.int64).reshape(64)
-    h = 0
-    for i in range(64):
-        if bits[i]:
-            h |= 1 << i
-    # two's-complement into signed int64 range
-    return h - (1 << 64) if h >= (1 << 63) else h
+    return image_ahash(content, mime, grid=8)

@@ -1471,13 +1471,13 @@ def winsorized_stats(
     # unfiltered NULL would silently clamp to the HIGH bound and count
     # in n — an imputation nobody asked for
     df = df.filter(v.isNotNull())
+    # F.percentile (not an F.expr f-string): the column name stays a
+    # resolved identifier — backtick-needing names work and the
+    # writers' _check_idents discipline isn't bypassed by SQL-string
+    # interpolation
     bounds = df.groupBy(g.alias("grp")).agg(
-        F.expr(
-            f"percentile({value_col}, {p_lo!r})"
-        ).alias("lo_bound"),
-        F.expr(
-            f"percentile({value_col}, {p_hi!r})"
-        ).alias("hi_bound"),
+        F.percentile(v, F.lit(p_lo)).alias("lo_bound"),
+        F.percentile(v, F.lit(p_hi)).alias("hi_bound"),
     )
     d38 = "decimal(38,0)"
     u = F.round(v * scale).cast("long")

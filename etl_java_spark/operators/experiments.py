@@ -1199,7 +1199,9 @@ def kruskal_wallis(
     terms fold in GROUP-NAME order (R_g^2/n_g are doubles — the fold
     order is the determinism contract, replayed by a recursive CTE).
     NULL values drop; p-value is the even-df closed form (NULL for odd
-    k-1). Returns one row: (n_rows, k_groups, h_stat, p_value).
+    k-1, and NULL for k-1 > 16 — beyond the dynamic series' reach; the
+    statistic itself is exact at any k). Returns one row: (n_rows,
+    k_groups, h_stat, p_value).
     """
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(value_col) if isinstance(value_col, str) else value_col
@@ -1271,14 +1273,21 @@ def kruskal_wallis(
 def _chi2_sf_even_dyn(x: Column, df_col: Column, max_half: int = 8) -> Column:
     """chi2_sf_even with a RUNTIME (column) even df <= 2*max_half:
     the fixed Horner loop runs to max_half terms and each term gates on
-    i < df/2 — same expression tree on both engines for any df."""
+    i < df/2 — same expression tree on both engines for any df.
+
+    df beyond the loop's reach returns NULL (the static
+    :func:`chi2_sf_even` raises for unsupported df; a runtime column
+    can't raise per-row without poisoning the whole plan, so the
+    out-of-range contract is NULL-p, matching the odd-df convention) —
+    a silently truncated series would report a too-small p instead.
+    """
     half = x * F.lit(0.5)
     term = F.lit(1.0)
     acc = F.lit(1.0)
     for i in range(1, max_half):
         term = term * half / F.lit(float(i))
         acc = acc + F.when(F.lit(i) < df_col / 2, term).otherwise(F.lit(0.0))
-    return F.exp(-half) * acc
+    return F.when(df_col <= F.lit(2 * max_half), F.exp(-half) * acc)
 
 
 def friedman_test(
@@ -1300,7 +1309,8 @@ def friedman_test(
 
     where R2_j sums the doubled within-block midranks of treatment j
     and 4A sums their squares — both exact int64, so Q is ONE double
-    division; p is the even-df closed form (NULL for odd k-1).
+    division; p is the even-df closed form (NULL for odd k-1, and NULL
+    for k-1 > 16, past the dynamic series' reach).
     Returns one row: (n_blocks, k_treatments, q_stat, p_value).
     """
     b = F.col(block_col) if isinstance(block_col, str) else block_col

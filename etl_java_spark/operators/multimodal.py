@@ -111,14 +111,15 @@ def extract_features(
     content_col: str = "content",
     media_col: str = "media",
     codec: Callable[[bytes, str], list[float]] = _fake_codec,
-    batch_size: int = 64,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary media via mapInPandas.
 
     mapInPandas streams partition-sized record batches through Python —
     the right shape for heavy per-item decode at scale (no per-row UDF
-    overhead, bounded memory via batch iteration). Partitioning advice:
-    media rows are large; repartition so partitions stay < ~256 MB.
+    overhead, bounded memory via batch iteration). Batch size is the
+    session-level ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    knob, not a per-call parameter. Partitioning advice: media rows
+    are large; repartition so partitions stay < ~256 MB.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -432,11 +433,13 @@ def perceptual_hash_table(
     content_col: str = "content",
     mime_col: str = "mime",
     path_col: str = "path",
-    batch_size: int = 64,
 ) -> DataFrame:
     """(path, phash) via Arrow-batched mapInPandas over binary media —
     the hash stage of perceptual image dedup (codecs.ahash64; all
-    integer, engine-stable). The downstream pairing is pure JVM:
+    integer, engine-stable). Arrow batch sizing is the session-level
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` knob (a per-call
+    parameter here would imply batch control mapInPandas doesn't
+    provide). The downstream pairing is pure JVM:
     :func:`phash_near_pairs`."""
     import pandas as pd
 

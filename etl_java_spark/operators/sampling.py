@@ -551,10 +551,19 @@ def rebalance_classes(
     the blow-up, as in any oversampling), one per-label window for the
     extra-slot ranks. Returns the input columns plus ``__rep`` (1-based
     copy index per source row). Empty input returns empty.
+
+    Rows with a NULL label are EXCLUDED (explicitly, up front): an
+    unlabeled row belongs to no class, so it has no target count to
+    replicate toward — filter or impute labels upstream if those rows
+    must survive. (Without the explicit filter they would silently
+    vanish in the per-label count join — same result, invisible
+    contract.)
     """
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
     k = (F.col(id_col) if isinstance(id_col, str) else id_col).cast("long")
-    base = df.withColumn("__lab", lab).withColumn("__k", k)
+    base = df.filter(lab.isNotNull()).withColumn("__lab", lab).withColumn(
+        "__k", k
+    )
     counts = base.groupBy("__lab").agg(F.count("*").cast("long").alias("__n"))
     target = counts.agg(F.max("__n").alias("__t"))
     ranked = base.join(F.broadcast(counts), "__lab").crossJoin(

@@ -984,3 +984,64 @@ def test_spearman_max_distinct_guard_trips(spark):
     assert row["rho"] == pytest.approx(1.0)
     row = spearman_corr(df, "x", "y", max_distinct=None).collect()[0]
     assert row["rho"] == pytest.approx(1.0)
+
+
+def test_kruskal_large_k_null_p(spark):
+    """ADVICE r9: df beyond the dynamic chi-square series (k-1 > 16)
+    must yield NULL p, never a silently truncated (too-small) value."""
+    from etl_java_spark.operators.experiments import kruskal_wallis
+
+    rows = [(f"g{i:02d}", float(i * 7 % 23 + j)) for i in range(19) for j in range(4)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = kruskal_wallis(df, "grp", "v").collect()[0]
+    assert out["k_groups"] == 19  # df = 18, even but out of reach
+    assert out["h_stat"] is not None
+    assert out["p_value"] is None
+
+
+def test_kruskal_small_k_matches_reference(spark):
+    """3 groups (df=2): closed form sf = exp(-h/2); exact check."""
+    import math
+
+    from etl_java_spark.operators.experiments import kruskal_wallis
+
+    rows = (
+        [("a", v) for v in [1.0, 2.0, 3.0, 4.0]]
+        + [("b", v) for v in [3.0, 5.0, 6.0, 7.0]]
+        + [("c", v) for v in [6.0, 8.0, 9.0, 10.0]]
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = kruskal_wallis(df, "grp", "v").collect()[0]
+    assert out["p_value"] == pytest.approx(math.exp(-out["h_stat"] / 2), rel=1e-12)
+
+
+def test_rebalance_classes_counts_and_null_labels(spark):
+    """ADVICE r9: rebalance_classes — every class oversampled to the
+    majority count, deterministic extras, NULL labels explicitly
+    excluded (documented contract, not a silent join drop)."""
+    from etl_java_spark.operators.sampling import rebalance_classes
+
+    rows = (
+        [(i, "maj") for i in range(10)]
+        + [(100 + i, "min") for i in range(3)]
+        + [(200, None)]
+    )
+    df = spark.createDataFrame(rows, "id long, label string")
+    out = rebalance_classes(df, "label", "id")
+    per = {
+        r["label"]: r["n"]
+        for r in out.groupBy("label").count().withColumnRenamed("count", "n").collect()
+    }
+    # both classes land exactly on the majority count; NULL label gone
+    assert per == {"maj": 10, "min": 10}
+    # deterministic: same extras on a re-run
+    a = sorted((r["id"], r["__rep"]) for r in out.collect())
+    b = sorted((r["id"], r["__rep"]) for r in rebalance_classes(df, "label", "id").collect())
+    assert a == b
+    # each minority row repeats floor(10/3)=3 times, one row gets the
+    # 10 mod 3 = 1 extra slot
+    reps = sorted(
+        r["n"] for r in out.filter("label = 'min'").groupBy("id").count()
+        .withColumnRenamed("count", "n").collect()
+    )
+    assert reps == [3, 3, 4]
