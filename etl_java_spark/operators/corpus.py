@@ -974,6 +974,143 @@ def winnow_dup_pairs(
     )
 
 
+def dup_span_intervals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    window: int = 4,
+    min_tokens: int = 20,
+    max_fp_freq: int = 200,
+    max_gap: int | None = None,
+    token_pattern: str = DEFAULT_TOKEN_PATTERN,
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated token intervals — the
+    exact-substring decontamination/dedup readout ("remove duplicated
+    substrings of >= N tokens", the Lee-et-al training-data dedup
+    policy) built as a fingerprint-chain islands-and-gaps merge over
+    the winnowing index, instead of the suffix array a single machine
+    would use:
+
+    1. POSITIONED winnowing fingerprints: per doc, each ``window`` of
+       consecutive ``shingle_n``-gram hashes selects its (leftmost)
+       minimum — kept as (shingle position, hash), distinct. Same
+       guarantee as :func:`winnow_fingerprints` (any shared run of
+       shingle_n + window - 1 tokens contributes a shared
+       fingerprint), with the position kept.
+    2. Matching fingerprints across doc pairs align on a DIAGONAL
+       (pos_a - pos_b constant for a contiguous shared run — the
+       banded-alignment trick); a prefix insertion just shifts the
+       diagonal, it never hides the run.
+    3. Islands-and-gaps: per (pair, diagonal), consecutive matched
+       positions <= ``max_gap`` apart (default shingle_n + window - 1,
+       the winnowing selection pitch) merge into one maximal interval
+       via a single lag + running-sum window over the MATCH table —
+       which the ``max_fp_freq`` cap keeps bounded, never the corpus.
+
+    Boundary precision: interval EDGES are approximate by up to
+    ~(shingle_n + window) tokens per side (edge windows select minima
+    influenced by out-of-run hashes), so size ``min_tokens`` with that
+    slack; the suffix-array method recovers exact edges at the cost of
+    not distributing. Spans shorter than ``min_tokens`` drop
+    (single-fingerprint coincidences and short boilerplate die here).
+    Output:
+    (id_a, id_b, a_start, a_end, b_start, b_end, n_tokens) with
+    id_a < id_b, 1-based inclusive TOKEN positions, one row per
+    maximal interval (overlapping intervals on different diagonals —
+    internal repetition — stay separate rows). All-integer, so the
+    whole pipeline hash-replays on any engine.
+
+    100 TB shape: the explode keeps ~2/(window+1) of shingle positions;
+    the only quadratic term (per-fingerprint pair fan-out) is capped by
+    ``max_fp_freq``; the island window partitions by (pair, diagonal) —
+    match-table-sized, never document-count-sized.
+    """
+    if max_gap is None:
+        max_gap = shingle_n + window - 1
+    sg = df.select(
+        F.col(id_col),
+        word_shingles(text_col, shingle_n, token_pattern).alias("__sg"),
+    )
+    hs = sg.select(
+        F.col(id_col), F.transform("__sg", _shingle_poly_hash).alias("__hs")
+    )
+    m = F.size("__hs") - window + 1
+    # staged projections (the winnow_fingerprints discipline): each
+    # lambda references a materialized attribute
+    pos = hs.select(
+        F.col(id_col),
+        F.col("__hs"),
+        F.when(
+            m <= 1,
+            F.array(F.array_position("__hs", F.array_min("__hs"))),
+        )
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: i.cast("long")
+                - 1
+                + F.array_position(
+                    F.slice(F.col("__hs"), i, window),
+                    F.array_min(F.slice(F.col("__hs"), i, window)),
+                ),
+            )
+        )
+        .alias("__ps"),
+    )
+    fp = pos.select(
+        F.col(id_col),
+        F.explode(F.array_distinct("__ps")).alias("__p"),
+        F.col("__hs"),
+    ).select(
+        F.col(id_col),
+        F.col("__p").cast("long").alias("p"),
+        F.element_at("__hs", F.col("__p").cast("int")).alias("fp"),
+    )
+    # hot-fingerprint cap: the blacklist side is metadata-sized, the
+    # surviving set is corpus-sized — broadcast the former, anti-join
+    hot = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_fp_freq)
+    )
+    kept = fp.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    a = kept.select(F.col(id_col).alias("id_a"), F.col("p").alias("pa"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), F.col("p").alias("pb"), "fp")
+    matches = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "pa", "pb",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    isl = matches.withColumn(
+        "__brk",
+        F.when(F.col("pa") - F.lag("pa").over(w) > max_gap, 1).otherwise(0),
+    ).withColumn(
+        "__g",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("id_a", "id_b", "diag", "__g").agg(
+        F.min("pa").alias("__a0"), F.max("pa").alias("__a1")
+    )
+    return spans.select(
+        "id_a",
+        "id_b",
+        F.col("__a0").cast("long").alias("a_start"),
+        (F.col("__a1") + shingle_n - 1).cast("long").alias("a_end"),
+        (F.col("__a0") - F.col("diag")).cast("long").alias("b_start"),
+        (F.col("__a1") - F.col("diag") + shingle_n - 1)
+        .cast("long")
+        .alias("b_end"),
+        (F.col("__a1") - F.col("__a0") + shingle_n).cast("long").alias(
+            "n_tokens"
+        ),
+    ).filter(F.col("n_tokens") >= min_tokens)
+
+
 def source_divergence(
     df: DataFrame,
     text_col: str,

@@ -20353,6 +20353,120 @@ def q395_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q395_phash_neardup"] = _q395_oracle()
 
 
+@_q(
+    "q396_dup_intervals",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+      FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             'prefix boilerplate banner one two three :: ' || text AS text
+      FROM documents WHERE doc_id < 40
+    ), toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                  ELSE LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             END AS sg
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(sg, s -> LIST_REDUCE(
+               LIST_PREPEND(CAST(0 AS BIGINT),
+                 LIST_TRANSFORM(RANGE(1, LENGTH(s) + 1),
+                                i -> CAST(ASCII(s[i]) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+      FROM sh
+    ), plist AS (
+      SELECT doc_id, hs, LIST_DISTINCT(
+        CASE WHEN LEN(hs) - 3 <= 1
+             THEN [CAST(LIST_POSITION(hs, LIST_AGGREGATE(hs, 'min'))
+                        AS BIGINT)]
+             ELSE LIST_TRANSFORM(RANGE(1, LEN(hs) - 2),
+                  i -> CAST(i - 1 + LIST_POSITION(hs[i:i+3],
+                            LIST_AGGREGATE(hs[i:i+3], 'min')) AS BIGINT))
+        END) AS ps
+      FROM hashed
+    ), fp0 AS (
+      SELECT doc_id, UNNEST(ps) AS p, hs FROM plist
+    ), fp AS (
+      SELECT doc_id, p, hs[p] AS fp FROM fp0
+    ), kept AS (
+      SELECT * FROM fp
+      WHERE fp NOT IN (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 200)
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa,
+             a.p - b.p AS diag
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ), brk AS (
+      SELECT *, CASE WHEN pa - LAG(pa) OVER
+                       (PARTITION BY id_a, id_b, diag ORDER BY pa) > 6
+                     THEN 1 ELSE 0 END AS br
+      FROM m
+    ), isl AS (
+      SELECT *, SUM(br) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa
+                              ROWS UNBOUNDED PRECEDING) AS g
+      FROM brk
+    ), spans AS (
+      SELECT id_a, id_b, diag, MIN(pa) AS a0, MAX(pa) AS a1
+      FROM isl GROUP BY id_a, id_b, diag, g
+    )
+    SELECT id_a, id_b,
+           CAST(a0 AS BIGINT) AS a_start,
+           CAST(a1 + 2 AS BIGINT) AS a_end,
+           CAST(a0 - diag AS BIGINT) AS b_start,
+           CAST(a1 - diag + 2 AS BIGINT) AS b_end,
+           CAST(a1 - a0 + 3 AS BIGINT) AS n_tokens
+    FROM spans WHERE a1 - a0 + 3 >= 20
+    ORDER BY id_a, id_b, a_start
+    """,
+)
+def q396_dup_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token intervals (corpus.
+    dup_span_intervals): the "dedup exact substrings >= N tokens"
+    decontamination policy as a distributed fingerprint-chain —
+    positioned winnowing minima, diagonal (pos_a - pos_b) alignment,
+    one lag + running-sum window merging consecutive matches into
+    islands. Planted tail copies (diagonal 0) AND prefix-shifted
+    copies (diagonal -6 — the case a position-strided method misses)
+    both surface as full-document spans. The oracle replays the whole
+    pipeline — poly hash, per-window leftmost argmin, hot cap,
+    islands-and-gaps — so the gate proves every selected position
+    bit-for-bit. VERDICT r9 #8."""
+    from .operators.corpus import dup_span_intervals
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        d.filter(F.col("doc_id") < 300)
+        .unionByName(
+            d.filter(F.col("doc_id") < 40).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat("text", F.lit(" extra tail token")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 40).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.lit("prefix boilerplate banner one two three :: "),
+                    F.col("text"),
+                ).alias("text"),
+            )
+        )
+    )
+    return dup_span_intervals(
+        corpus, "text", "doc_id", min_tokens=20
+    ).orderBy("id_a", "id_b", "a_start")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for round 10's gate (VERDICT r9 #1):
     #    the 23 never-recorded round-9 queries (q373-q395, per
@@ -20383,6 +20497,9 @@ _PRIORITY = [
     "q85_deterministic_corr", "q87_order_count_distribution",
     "q88_promo_revenue_share", "q89_having_in_subquery",
     "q90_not_in_subquery",
+    # round-10 additions (never recorded yet -- next round's head per
+    # the ROUND-CLOSE RULE; outside this round's 50 gate slots)
+    "q396_dup_intervals",
     # 1) the r9-recorded head (q344-q372 + the four re-confirms + the
     #    17 r1 rows re-recorded in CORRECTNESS_r09) -- freshest
     #    records, age out of the rotation window last.
