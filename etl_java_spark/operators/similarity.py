@@ -1283,3 +1283,112 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def mmr_topk(
+    codes: DataFrame,
+    query_codes: DataFrame,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    k: int = 5,
+    pool: int = 16,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell/Goldstein) diversified
+    top-k over QUANTIZED vectors — the RAG retrieval step that stops
+    five near-identical chunks from filling the context window: greedy
+    rounds pick argmax of
+
+        lam * rel(d, q) - (1 - lam) * max_{s in selected} sim(d, s)
+
+    ALL-INTEGER: similarities are int64 dot products of int8 codes
+    (:func:`quantize_int8` upstream) and lambda is the rational
+    lam_num/lam_den, so every round's score is
+    ``lam_num * rel - (lam_den - lam_num) * maxsim`` exactly — the
+    greedy argmax (ties -> smallest id) replays bit-for-bit on any
+    engine, which float cosines cannot promise.
+
+    Scalable shape: ONE distributed pass scores the corpus against the
+    (broadcast, 1-row) query and keeps a ``pool``-sized candidate set
+    (top-rel, the standard MMR re-rank window); the k greedy rounds
+    then run over pool-sized tables (pool^2 pairwise sims, materialized
+    once) — metadata-sized by construction, never the corpus. Returns
+    (rank, id, rel, maxsim, score), rank 1..k.
+    """
+    if not 0 < k <= pool:
+        raise ValueError("mmr_topk needs 0 < k <= pool")
+    q = F.broadcast(
+        query_codes.select(F.col(codes_col).alias("__qc")).limit(1)
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = codes.crossJoin(q).select(
+        F.col(id_col).alias("id"),
+        F.col(codes_col).alias("__c"),
+        dot(F.col(codes_col), F.col("__qc")).alias("rel"),
+    )
+    cand = (
+        scored.orderBy(F.col("rel").desc(), F.col("id").asc())
+        .limit(pool)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(F.col("id").alias("ia"), F.col("__c").alias("__ca"))
+    b = cand.select(F.col("id").alias("ib"), F.col("__c").alias("__cb"))
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", dot(F.col("__ca"), F.col("__cb")).alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    base = cand.select("id", "rel")
+    penalty = F.lit(lam_den - lam_num)
+    picks: list[DataFrame] = []
+    selected: DataFrame | None = None
+    for r in range(1, k + 1):
+        if selected is None:
+            remaining = base
+            maxsim = F.lit(0).cast("long")
+            scored_r = remaining.select(
+                "id", "rel", maxsim.alias("maxsim")
+            )
+        else:
+            remaining = base.join(selected.select("id"), "id", "left_anti")
+            ms = (
+                sims.join(
+                    selected.select(F.col("id").alias("ib")), "ib"
+                )
+                .groupBy(F.col("ia").alias("id"))
+                .agg(F.max("sim").alias("maxsim"))
+            )
+            scored_r = remaining.join(ms, "id")
+        pick = (
+            scored_r.select(
+                F.lit(r).alias("rank"),
+                "id", "rel", "maxsim",
+                (
+                    F.lit(lam_num) * F.col("rel")
+                    - penalty * F.col("maxsim")
+                ).cast("long").alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(pick)
+        selected = pick if selected is None else selected.unionByName(pick)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("rank").cast("long"), "id",
+        F.col("rel").cast("long"),
+        F.col("maxsim").cast("long"),
+        F.col("score").cast("long"),
+    )

@@ -20467,6 +20467,350 @@ def q396_dup_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b", "a_start")
 
 
+def _q397_oracle() -> str:
+    from .operators.experiments import chi2_sf_even_sql
+
+    return f"""
+    WITH base AS (
+      SELECT r.r_name AS grp, CAST(FLOOR(c.c_acctbal) AS BIGINT) AS val
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), per AS (
+      SELECT val, grp, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+    ), per_val AS (
+      SELECT val, CAST(SUM(c) AS BIGINT) AS t FROM per GROUP BY 1
+    ), ranks AS (
+      SELECT val, t,
+             CAST(2 * (SUM(t) OVER (ORDER BY val) - t) + t + 1 AS BIGINT)
+               AS r2
+      FROM per_val
+    ), by_grp AS (
+      SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g,
+             CAST(SUM(c * r2) AS BIGINT) AS rg2
+      FROM per JOIN ranks USING (val) GROUP BY 1
+    ), tots AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+      FROM per_val
+    ), folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) ORDER BY grp)),
+               (a, b) -> a + b) AS ssum
+      FROM by_grp
+    ), hh AS (
+      SELECT CAST(n AS BIGINT) AS n_rows, k_groups,
+             (3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * ssum
+              - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tie3 AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) AS h
+      FROM folded, tots
+    )
+    SELECT n_rows, k_groups, ROUND(h, 9) AS h_stat,
+           ROUND({chi2_sf_even_sql("h", 4)}, 9) AS p_value
+    FROM hh
+    """
+
+
+@_q("q397_kruskal_wallis", None)
+def q397_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (experiments.kruskal_wallis): do the five
+    regions' customer balances differ in distribution? The k-group
+    nonparametric ANOVA over the floored-dollar quantized metric (the
+    q373 banding discipline — the distinct-value table the midranks
+    come from is balance-range-bounded, not row-bounded). 5 groups ->
+    df=4 (even), so p replays through the elementary chi-square series;
+    the oracle folds the per-group terms in the SAME group-name order
+    (LIST ORDER BY + LIST_REDUCE vs array_sort + aggregate) — the fold
+    order IS the determinism contract for the double sum."""
+    from .operators.experiments import kruskal_wallis
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    df = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("grp"),
+            F.floor("c_acctbal").cast("long").alias("bal"),
+        )
+    )
+    out = kruskal_wallis(df, "grp", "bal")
+    return out.select(
+        "n_rows", "k_groups",
+        F.round("h_stat", 9).alias("h_stat"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q397_kruskal_wallis"] = _q397_oracle()
+
+
+def _q398_oracle() -> str:
+    from .operators.experiments import chi2_sf_even_sql
+
+    return f"""
+    WITH cells AS (
+      SELECT n_name AS blk, o_orderpriority AS trt,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS val
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), cmp AS (
+      SELECT a.blk, a.trt,
+             CAST(2 * SUM(CASE WHEN c.val < a.val THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN c.val = a.val THEN 1 ELSE 0 END)
+                  + 1 AS BIGINT) AS r2
+      FROM cells a JOIN cells c ON a.blk = c.blk
+      GROUP BY 1, 2
+    ), nk AS (
+      SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
+      FROM cells
+    ), per_t AS (
+      SELECT trt, CAST(SUM(r2) AS BIGINT) AS r2j FROM cmp GROUP BY 1
+    ), a4 AS (
+      SELECT CAST(SUM(r2 * r2) AS BIGINT) AS a4 FROM cmp
+    ), num AS (
+      SELECT CAST(SUM((r2j - n * (k + 1)) * (r2j - n * (k + 1)))
+                  AS BIGINT) AS num,
+             MAX(n) AS n, MAX(k) AS k
+      FROM per_t, nk
+    ), qq AS (
+      SELECT n AS n_blocks, k AS k_treatments,
+             CAST(k - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+             / CAST(a4 - n * k * (k + 1) * (k + 1) AS DOUBLE) AS q
+      FROM num, a4
+    )
+    SELECT n_blocks, k_treatments, ROUND(q, 12) AS q_stat,
+           ROUND({chi2_sf_even_sql("q", 4)}, 9) AS p_value
+    FROM qq
+    """
+
+
+@_q("q398_friedman", None)
+def q398_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (experiments.friedman_test): do the five order
+    priorities rank consistently differently across the 25 nation
+    blocks on total order value? The blocked repeated-measures
+    companion of q397 over the PRE-AGGREGATED 25x5 cell table (exact
+    integer cell metric: sum of floored prices, so within-block
+    comparisons are engine-exact). k=5 -> df=4 (even); Q is one double
+    division of exact int64 sums, p the elementary chi-square series
+    on both engines."""
+    from .operators.experiments import friedman_test
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            F.sum(F.floor("o_totalprice").cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    out = friedman_test(cells, "blk", "trt", "v")
+    return out.select(
+        "n_blocks", "k_treatments",
+        F.round("q_stat", 12).alias("q_stat"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q398_friedman"] = _q398_oracle()
+
+
+def _q399_oracle() -> str:
+    from .operators.sampling import key_draw_sql
+
+    draw = key_draw_sql("(b.k + 7)", 1_000_000_007)
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_totalprice >= 450000 THEN 'whale'
+                  WHEN o_totalprice >= 250000 THEN 'mid'
+                  ELSE 'base' END AS lab
+      FROM orders
+    ), counts AS (
+      SELECT lab, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1
+    ), t AS (
+      SELECT MAX(n) AS tt FROM counts
+    ), ranked AS (
+      SELECT b.k, b.lab, c.n, t.tt,
+             ROW_NUMBER() OVER (PARTITION BY b.lab
+                                ORDER BY {draw} ASC, b.k ASC) AS rk
+      FROM base b JOIN counts c USING (lab) CROSS JOIN t
+    ), reps AS (
+      SELECT k, lab,
+             CAST((tt - tt % n) / n AS BIGINT)
+             + CASE WHEN rk <= tt % n THEN 1 ELSE 0 END AS nreps
+      FROM ranked
+    ), expl AS (
+      SELECT k, lab, UNNEST(RANGE(1, nreps + 1)) AS rep FROM reps
+    )
+    SELECT lab AS label, CAST(rep AS BIGINT) AS rep,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM expl GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@_q("q399_rebalance", None)
+def q399_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing (sampling.rebalance_classes):
+    the 5:4:1-imbalanced price-band labels oversample to exactly the
+    majority count — floor(T/n_c) copies per row plus T mod n_c extra
+    slots to the smallest (key_draw, id) rows, so retries and engines
+    replicate the identical rows. Readout is per (label, copy-index):
+    row count + key checksum — the checksum pins WHICH rows got the
+    extra slot, proving the hash order end to end. ADVICE r9: the
+    operator now has the oracle-backed gate it landed without."""
+    from .operators.sampling import rebalance_classes
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 450000, F.lit("whale"))
+        .when(F.col("o_totalprice") >= 250000, F.lit("mid"))
+        .otherwise(F.lit("base"))
+        .alias("lab"),
+    )
+    out = rebalance_classes(o, "lab", "o_orderkey", salt=7)
+    return (
+        out.groupBy(
+            F.col("lab").alias("label"), F.col("__rep").alias("rep")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("label", "rep")
+    )
+
+
+ORACLES["q399_rebalance"] = _q399_oracle()
+
+
+@_q(
+    "q400_mmr_diversify",
+    """
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(UNNEST(generate_series(0, LEN(embedding) - 1)) AS INTEGER)
+               AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), dims AS (
+      SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM flat GROUP BY pos
+    ), codes AS (
+      SELECT f.vec_id, f.pos,
+             CASE WHEN d.mx = d.mn THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                       CAST(FLOOR((f.x - d.mn) * 255.0 / (d.mx - d.mn))
+                            AS INT)))
+             END AS code
+      FROM flat f JOIN dims d ON d.pos = f.pos
+    ), qdot AS (
+      SELECT c.vec_id AS id, CAST(SUM(c.code * q.code) AS BIGINT) AS rel
+      FROM codes c JOIN codes q ON q.vec_id = 0 AND q.pos = c.pos
+      WHERE c.vec_id > 0
+      GROUP BY 1
+    ), pool AS (
+      SELECT id, rel FROM qdot ORDER BY rel DESC, id ASC LIMIT 16
+    ), psim AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(SUM(a.code * b.code) AS BIGINT) AS sim
+      FROM codes a JOIN codes b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+      WHERE a.vec_id IN (SELECT id FROM pool)
+        AND b.vec_id IN (SELECT id FROM pool)
+      GROUP BY 1, 2
+    ), s1 AS (
+      SELECT id, rel, CAST(0 AS BIGINT) AS maxsim,
+             CAST(7 * rel AS BIGINT) AS score
+      FROM pool ORDER BY 7 * rel DESC, id ASC LIMIT 1
+    ), r2 AS (
+      SELECT p.id, p.rel, MAX(ps.sim) AS maxsim
+      FROM pool p JOIN psim ps ON ps.ia = p.id
+      WHERE ps.ib IN (SELECT id FROM s1)
+        AND p.id NOT IN (SELECT id FROM s1)
+      GROUP BY 1, 2
+    ), s2 AS (
+      SELECT id, rel, maxsim, CAST(7 * rel - 3 * maxsim AS BIGINT) AS score
+      FROM r2 ORDER BY 7 * rel - 3 * maxsim DESC, id ASC LIMIT 1
+    ), sel2 AS (
+      SELECT id FROM s1 UNION SELECT id FROM s2
+    ), r3 AS (
+      SELECT p.id, p.rel, MAX(ps.sim) AS maxsim
+      FROM pool p JOIN psim ps ON ps.ia = p.id
+      WHERE ps.ib IN (SELECT id FROM sel2)
+        AND p.id NOT IN (SELECT id FROM sel2)
+      GROUP BY 1, 2
+    ), s3 AS (
+      SELECT id, rel, maxsim, CAST(7 * rel - 3 * maxsim AS BIGINT) AS score
+      FROM r3 ORDER BY 7 * rel - 3 * maxsim DESC, id ASC LIMIT 1
+    ), sel3 AS (
+      SELECT id FROM sel2 UNION SELECT id FROM s3
+    ), r4 AS (
+      SELECT p.id, p.rel, MAX(ps.sim) AS maxsim
+      FROM pool p JOIN psim ps ON ps.ia = p.id
+      WHERE ps.ib IN (SELECT id FROM sel3)
+        AND p.id NOT IN (SELECT id FROM sel3)
+      GROUP BY 1, 2
+    ), s4 AS (
+      SELECT id, rel, maxsim, CAST(7 * rel - 3 * maxsim AS BIGINT) AS score
+      FROM r4 ORDER BY 7 * rel - 3 * maxsim DESC, id ASC LIMIT 1
+    ), sel4 AS (
+      SELECT id FROM sel3 UNION SELECT id FROM s4
+    ), r5 AS (
+      SELECT p.id, p.rel, MAX(ps.sim) AS maxsim
+      FROM pool p JOIN psim ps ON ps.ia = p.id
+      WHERE ps.ib IN (SELECT id FROM sel4)
+        AND p.id NOT IN (SELECT id FROM sel4)
+      GROUP BY 1, 2
+    ), s5 AS (
+      SELECT id, rel, maxsim, CAST(7 * rel - 3 * maxsim AS BIGINT) AS score
+      FROM r5 ORDER BY 7 * rel - 3 * maxsim DESC, id ASC LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS rank, * FROM s1
+    UNION ALL SELECT CAST(2 AS BIGINT), * FROM s2
+    UNION ALL SELECT CAST(3 AS BIGINT), * FROM s3
+    UNION ALL SELECT CAST(4 AS BIGINT), * FROM s4
+    UNION ALL SELECT CAST(5 AS BIGINT), * FROM s5
+    ORDER BY rank
+    """,
+)
+def q400_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (similarity.mmr_topk over
+    similarity.quantize_int8 codes): query = vector 0, a 16-candidate
+    top-relevance pool, five greedy rounds of
+    7/10*rel - 3/10*max-sim-to-selected — all int64 dot products of
+    int8 codes, so the greedy argmax (ties -> smallest id) replays
+    bit-for-bit. The oracle unrolls the five rounds as CTEs over the
+    SAME quantization block as q175, pinning every pick, its relevance,
+    and its diversity penalty."""
+    from .operators.similarity import mmr_topk, quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    codes = quantize_int8(e, "vec_id", "embedding")
+    qc = codes.filter(F.col("vec_id") == 0).select("codes")
+    rest = codes.filter(F.col("vec_id") > 0)
+    return mmr_topk(
+        rest, qc, id_col="vec_id", codes_col="codes",
+        k=5, pool=16, lam_num=7, lam_den=10,
+    ).orderBy("rank")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for round 10's gate (VERDICT r9 #1):
     #    the 23 never-recorded round-9 queries (q373-q395, per
@@ -20499,7 +20843,8 @@ _PRIORITY = [
     "q90_not_in_subquery",
     # round-10 additions (never recorded yet -- next round's head per
     # the ROUND-CLOSE RULE; outside this round's 50 gate slots)
-    "q396_dup_intervals",
+    "q396_dup_intervals", "q397_kruskal_wallis", "q398_friedman",
+    "q399_rebalance", "q400_mmr_diversify",
     # 1) the r9-recorded head (q344-q372 + the four re-confirms + the
     #    17 r1 rows re-recorded in CORRECTNESS_r09) -- freshest
     #    records, age out of the rotation window last.

@@ -152,3 +152,135 @@ def test_dup_span_intervals_min_tokens_filters(spark):
     assert (
         dup_span_intervals(df, "text", "doc_id", min_tokens=20).count() == 0
     )
+
+
+def _py_friedman(cells: dict[tuple[str, str], int]) -> tuple:
+    """Reference replay of experiments.friedman_test (doubled midranks,
+    tie-corrected Q)."""
+    from collections import defaultdict
+
+    by_blk: dict[str, list[tuple[str, int]]] = defaultdict(list)
+    for (blk, trt), v in cells.items():
+        by_blk[blk].append((trt, v))
+    r2: dict[tuple[str, str], int] = {}
+    for blk, rows in by_blk.items():
+        for trt, v in rows:
+            smaller = sum(1 for _, u in rows if u < v)
+            tied = sum(1 for _, u in rows if u == v)
+            r2[(blk, trt)] = 2 * smaller + tied + 1
+    n = len(by_blk)
+    k = len({t for _, t in cells})
+    r2j: dict[str, int] = defaultdict(int)
+    for (blk, trt), r in r2.items():
+        r2j[trt] += r
+    a4 = sum(r * r for r in r2.values())
+    num = sum((rj - n * (k + 1)) ** 2 for rj in r2j.values())
+    q = (k - 1) * num / (a4 - n * k * (k + 1) ** 2)
+    return n, k, q
+
+
+def test_friedman_matches_reference(spark):
+    from etl_java_spark.operators.experiments import friedman_test
+
+    cells = {
+        (b, t): ((i * 31 + j * 17) % 23) + (5 if t == "t1" else 0)
+        for i, b in enumerate(["b1", "b2", "b3", "b4", "b5", "b6"])
+        for j, t in enumerate(["t0", "t1", "t2"])
+    }
+    df = spark.createDataFrame(
+        [(b, t, v) for (b, t), v in cells.items()],
+        "blk string, trt string, v long",
+    )
+    out = friedman_test(df, "blk", "trt", "v").collect()[0]
+    n, k, q = _py_friedman(cells)
+    assert (out["n_blocks"], out["k_treatments"]) == (n, k)
+    assert out["q_stat"] == pytest.approx(q, rel=1e-12)
+    # k=3 -> df=2: closed form sf = exp(-q/2)
+    import math
+
+    assert out["p_value"] == pytest.approx(math.exp(-q / 2), rel=1e-12)
+
+
+def test_friedman_large_k_null_p(spark):
+    """df = k-1 > 16 must yield NULL p (dynamic-series reach), with the
+    exact Q still reported."""
+    from etl_java_spark.operators.experiments import friedman_test
+
+    rows = [
+        (f"b{i}", f"t{j:02d}", (i * 7 + j * 13) % 29)
+        for i in range(4)
+        for j in range(19)
+    ]
+    df = spark.createDataFrame(rows, "blk string, trt string, v long")
+    out = friedman_test(df, "blk", "trt", "v").collect()[0]
+    assert out["k_treatments"] == 19 and out["q_stat"] is not None
+    assert out["p_value"] is None
+
+
+def _py_mmr(codes: dict[int, list[int]], qc: list[int], k=3, pool=8,
+            lam_num=7, lam_den=10) -> list[tuple]:
+    """Reference replay of similarity.mmr_topk."""
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    rel = {i: dot(c, qc) for i, c in codes.items()}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:pool]
+    sel: list[int] = []
+    out = []
+    for r in range(1, k + 1):
+        best = None
+        for i in cand:
+            if i in sel:
+                continue
+            ms = max((dot(codes[i], codes[j]) for j in sel), default=0)
+            sc = lam_num * rel[i] - (lam_den - lam_num) * ms
+            key = (-sc, i)
+            if best is None or key < best[0]:
+                best = (key, i, rel[i], ms, sc)
+        _, i, rl, ms, sc = best
+        sel.append(i)
+        out.append((r, i, rl, ms, sc))
+    return out
+
+
+def test_mmr_topk_matches_reference(spark):
+    from etl_java_spark.operators.similarity import mmr_topk
+
+    codes = {
+        1: [10, 0, 0, 5],
+        2: [10, 0, 0, 4],   # near-duplicate of 1 -> penalized
+        3: [0, 10, 0, 5],
+        4: [0, 0, 10, 5],
+        5: [9, 1, 0, 5],
+        6: [0, 0, 0, 1],
+    }
+    qc = [8, 4, 2, 6]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in codes.items()], "vec_id long, codes array<int>"
+    )
+    q = spark.createDataFrame([(qc,)], "codes array<int>")
+    got = [
+        tuple(r)
+        for r in mmr_topk(df, q, k=3, pool=8).orderBy("rank").collect()
+    ]
+    assert got == _py_mmr(codes, qc, k=3, pool=8)
+    # diversity: the near-duplicate of pick 1 must NOT be pick 2
+    first, second = got[0][1], got[1][1]
+    assert first == 1 and second != 2
+
+
+def test_mmr_topk_lambda_one_is_pure_relevance(spark):
+    """lam = lam_den/lam_den disables the penalty: picks = top-k rel."""
+    from etl_java_spark.operators.similarity import mmr_topk
+
+    codes = {i: [i, 2 * i, 3] for i in range(1, 7)}
+    df = spark.createDataFrame(
+        [(i, c) for i, c in codes.items()], "vec_id long, codes array<int>"
+    )
+    q = spark.createDataFrame([([5, 5, 5],)], "codes array<int>")
+    got = [
+        r["id"]
+        for r in mmr_topk(df, q, k=3, pool=6, lam_num=10, lam_den=10)
+        .orderBy("rank").collect()
+    ]
+    assert got == [6, 5, 4]
