@@ -1111,6 +1111,84 @@ def dup_span_intervals(
     ).filter(F.col("n_tokens") >= min_tokens)
 
 
+def dup_token_fraction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    window: int = 4,
+    min_tokens: int = 20,
+    max_fp_freq: int = 200,
+    max_gap: int | None = None,
+    token_pattern: str = DEFAULT_TOKEN_PATTERN,
+) -> DataFrame:
+    """Per-document duplicated-token FRACTION at interval precision —
+    the trim/drop readout on top of :func:`dup_span_intervals`: every
+    document's matched intervals (from BOTH sides of every pair) merge
+    into disjoint coverage islands (sort by start, split where a span
+    starts past the running max end — one window pass), and the
+    covered-token total over the document's token count is the
+    fraction a dedup policy would trim. Compare :func:`dup_spans`
+    (sampled per-span counts, no positions): this one says WHERE and
+    HOW MUCH, not just how many samples matched.
+
+    Returns (id, n_islands, dup_tokens, total_tokens, dup_frac) for
+    documents with at least one qualifying span; dup_frac is one
+    double division, rounded 12. Same knobs and 100 TB shape as
+    dup_span_intervals — the merge window partitions per document over
+    its own span list (pairs x spans sized, capped upstream).
+    """
+    from ..functions.text import tokens as _tokens
+
+    spans = dup_span_intervals(
+        df, text_col, id_col, shingle_n, window, min_tokens,
+        max_fp_freq, max_gap, token_pattern,
+    )
+    per = spans.select(
+        F.col("id_a").alias("id"),
+        F.col("a_start").alias("s"),
+        F.col("a_end").alias("e"),
+    ).unionByName(
+        spans.select(
+            F.col("id_b").alias("id"),
+            F.col("b_start").alias("s"),
+            F.col("b_end").alias("e"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = per.withColumn(
+        "__brk", F.when(F.col("s") > prev_max, 1).otherwise(0)
+    ).withColumn(
+        "__g", F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy("id", "__g").agg(
+        F.min("s").alias("__s"), F.max("e").alias("__e")
+    )
+    dup = merged.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum(F.col("__e") - F.col("__s") + 1).cast("long").alias(
+            "dup_tokens"
+        ),
+    )
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.size(_tokens(text_col, token_pattern)).cast("long").alias(
+            "total_tokens"
+        ),
+    )
+    return dup.join(tok, "id").select(
+        "id", "n_islands", "dup_tokens", "total_tokens",
+        F.round(
+            F.col("dup_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            12,
+        ).alias("dup_frac"),
+    )
+
+
 def source_divergence(
     df: DataFrame,
     text_col: str,

@@ -1371,3 +1371,243 @@ def friedman_test(
             _chi2_sf_even_dyn(q, (F.col("k") - 1).cast("int")),
         ).alias("p_value"),
     )
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col,
+    value_col,
+) -> DataFrame:
+    """Mood's median test — the coarsest k-group location test: split
+    every observation at the POOLED lower median and chi-square the
+    resulting above/not-above x group contingency table. Blunter than
+    Kruskal-Wallis (it only looks at one cut point) but robust to any
+    monotone transform and trivially exact: the median is the smallest
+    distinct value whose cumulative count reaches ceil(N/2) — an
+    integer-order statistic, never an interpolation — and every cell
+    count is an exact int64.
+
+    X^2 folds the per-group (O-E)^2/E terms in GROUP-NAME order (the
+    kruskal_wallis determinism contract); p is the even-df chi-square
+    series (NULL for odd k-1 or k-1 > 16). Returns one row:
+    (n_rows, k_groups, grand_median, chi2, p_value).
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = (
+        df.filter(v.isNotNull() & g.isNotNull())
+        .groupBy(v.alias("val"), g.alias("grp"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per_val = per.groupBy("val").agg(F.sum("c").cast("long").alias("t"))
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        "val", F.sum("t").over(w).cast("long").alias("cum")
+    )
+    tots = per_val.agg(F.sum("t").cast("long").alias("n"))
+    half = (
+        (F.col("n") + 1) - (F.col("n") + 1) % 2
+    ) / 2  # ceil(N/2) as exact double of an even numerator
+    med = (
+        cum.crossJoin(F.broadcast(tots))
+        .filter(F.col("cum").cast("double") >= half)
+        .agg(F.min("val").alias("med"))
+    )
+    by_grp = (
+        per.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(
+                F.when(F.col("val") > F.col("med"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("a_g"),
+        )
+    )
+    marg = by_grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("a_g").cast("long").alias("a_tot"),
+        F.count("*").cast("long").alias("k_groups"),
+    )
+    ev = by_grp.crossJoin(F.broadcast(marg)).select(
+        "n", "k_groups",
+        F.struct(
+            "grp",
+            (
+                (
+                    F.col("a_g").cast("double")
+                    - F.col("a_tot").cast("double")
+                    * F.col("n_g").cast("double")
+                    / F.col("n").cast("double")
+                )
+                * (
+                    F.col("a_g").cast("double")
+                    - F.col("a_tot").cast("double")
+                    * F.col("n_g").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / (
+                    F.col("a_tot").cast("double")
+                    * F.col("n_g").cast("double")
+                    / F.col("n").cast("double")
+                )
+                + (
+                    (F.col("n_g") - F.col("a_g")).cast("double")
+                    - (F.col("n") - F.col("a_tot")).cast("double")
+                    * F.col("n_g").cast("double")
+                    / F.col("n").cast("double")
+                )
+                * (
+                    (F.col("n_g") - F.col("a_g")).cast("double")
+                    - (F.col("n") - F.col("a_tot")).cast("double")
+                    * F.col("n_g").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / (
+                    (F.col("n") - F.col("a_tot")).cast("double")
+                    * F.col("n_g").cast("double")
+                    / F.col("n").cast("double")
+                )
+            ).alias("term"),
+        ).alias("__e"),
+    )
+    one = ev.groupBy("n", "k_groups").agg(
+        F.array_sort(F.collect_list("__e")).alias("__arr")
+    )
+    chi2 = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["term"]
+    )
+    out = one.crossJoin(F.broadcast(med)).select(
+        F.col("n").alias("n_rows"),
+        "k_groups",
+        F.col("med").alias("grand_median"),
+        chi2.alias("chi2"),
+    )
+    return out.select(
+        "n_rows", "k_groups", "grand_median", "chi2",
+        F.when(
+            F.col("k_groups") % 2 == 1,  # df = k-1 even
+            _chi2_sf_even_dyn(F.col("chi2"), F.col("k_groups") - 1),
+        ).alias("p_value"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col,
+    value_col,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test — "does the
+    metric INCREASE across the ordered groups?" (dose-response, e.g.
+    order priority vs value). Strictly more powerful than
+    Kruskal-Wallis when the alternative is monotone, because it sums
+    the Mann-Whitney counts over ORDERED group pairs only:
+
+        J = sum_{i<j} U_ij,   U_ij = #{x in g_i, y in g_j : x < y} + ties/2
+
+    ``group_col`` must be ORDINAL (ints encode the order — callers map
+    labels to ranks); values follow the quantized-input contract (the
+    kendall/spearman rule: band continuous metrics upstream). Doubled
+    counting keeps 2J exact int64: 2U_ij = sum_v c_j(v) * (2*lt_i(v) +
+    c_i(v)) over the (distinct value x group) GRID, whose per-group
+    prefix sums come from one window over that metadata-sized table.
+    z uses the standard tie-corrected normal approximation; the B
+    variance term multiplies two exact int sums IN DOUBLE (identical
+    IEEE product on any engine; the int product can overflow int64 at
+    scale). Returns one row:
+    (n_rows, k_groups, j_stat, z, p_value), p two-sided.
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = (
+        df.filter(v.isNotNull() & g.isNotNull())
+        .groupBy(g.alias("grp"), v.alias("val"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    vals = per.select("val").distinct()
+    grps = per.select("grp").distinct()
+    grid = (
+        vals.crossJoin(grps)
+        .join(per, ["val", "grp"], "left")
+        .select(
+            "val", "grp", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+        )
+    )
+    wg = Window.partitionBy("grp").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cumlt = grid.select(
+        "grp", "val", "c",
+        F.coalesce(F.sum("c").over(wg), F.lit(0)).cast("long").alias("lt"),
+    )
+    a = cumlt.select(
+        F.col("grp").alias("gi"), "val",
+        F.col("c").alias("ci"), F.col("lt").alias("lti"),
+    )
+    b = cumlt.select(
+        F.col("grp").alias("gj"), F.col("val").alias("valj"),
+        F.col("c").alias("cj"),
+    )
+    j2 = (
+        a.join(b, (F.col("val") == F.col("valj")) & (F.col("gi") < F.col("gj")))
+        .agg(
+            F.sum(
+                F.col("cj") * (F.lit(2) * F.col("lti") + F.col("ci"))
+            )
+            .cast("long")
+            .alias("j2")
+        )
+    )
+    by_g = per.groupBy("grp").agg(F.sum("c").cast("long").alias("ng"))
+    gsums = by_g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum(F.col("ng") * F.col("ng")).cast("long").alias("sn2"),
+        F.sum(
+            F.col("ng") * (F.col("ng") - 1) * (2 * F.col("ng") + 5)
+        ).cast("long").alias("sn25"),
+        F.sum(
+            F.col("ng") * (F.col("ng") - 1) * (F.col("ng") - 2)
+        ).cast("long").alias("sn3"),
+        F.sum(F.col("ng") * (F.col("ng") - 1)).cast("long").alias("sn2m"),
+    )
+    by_v = per.groupBy("val").agg(F.sum("c").cast("long").alias("t"))
+    tsums = by_v.agg(
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).cast("long").alias("st25"),
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (F.col("t") - 2)
+        ).cast("long").alias("st3"),
+        F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("st2m"),
+    )
+    one = j2.crossJoin(F.broadcast(gsums)).crossJoin(F.broadcast(tsums))
+    nd = F.col("n").cast("double")
+    a_term = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("sn25")
+        - F.col("st25")
+    ).cast("double")
+    b_term = F.col("sn3").cast("double") * F.col("st3").cast("double")
+    c_term = F.col("sn2m").cast("double") * F.col("st2m").cast("double")
+    var = (
+        a_term / F.lit(72.0)
+        + b_term / (F.lit(36.0) * nd * (nd - 1.0) * (nd - 2.0))
+        + c_term / (F.lit(8.0) * nd * (nd - 1.0))
+    )
+    num2 = (2 * F.col("j2") - (F.col("n") * F.col("n") - F.col("sn2"))).cast(
+        "double"
+    )
+    z = F.try_divide(num2, F.lit(4.0) * F.sqrt(var))
+    return one.select(
+        F.col("n").alias("n_rows"),
+        "k_groups",
+        (F.col("j2").cast("double") / 2.0).alias("j_stat"),
+        z.alias("z"),
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
+    )

@@ -20353,10 +20353,11 @@ def q395_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q395_phash_neardup"] = _q395_oracle()
 
 
-@_q(
-    "q396_dup_intervals",
-    r"""
-    WITH corpus AS (
+# shared between q396 (interval list) and q401 (per-doc coverage):
+# the full winnow-span replay — tokens, poly hash, per-window leftmost
+# argmin positions, hot cap, diagonal islands — ending in `qual`, the
+# min_tokens-filtered interval table.
+_Q396_SPAN_CTES = r"""corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id < 300
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
@@ -20418,14 +20419,23 @@ ORACLES["q395_phash_neardup"] = _q395_oracle()
     ), spans AS (
       SELECT id_a, id_b, diag, MIN(pa) AS a0, MAX(pa) AS a1
       FROM isl GROUP BY id_a, id_b, diag, g
-    )
-    SELECT id_a, id_b,
-           CAST(a0 AS BIGINT) AS a_start,
-           CAST(a1 + 2 AS BIGINT) AS a_end,
-           CAST(a0 - diag AS BIGINT) AS b_start,
-           CAST(a1 - diag + 2 AS BIGINT) AS b_end,
-           CAST(a1 - a0 + 3 AS BIGINT) AS n_tokens
-    FROM spans WHERE a1 - a0 + 3 >= 20
+    ), qual AS (
+      SELECT id_a, id_b,
+             CAST(a0 AS BIGINT) AS a_start,
+             CAST(a1 + 2 AS BIGINT) AS a_end,
+             CAST(a0 - diag AS BIGINT) AS b_start,
+             CAST(a1 - diag + 2 AS BIGINT) AS b_end,
+             CAST(a1 - a0 + 3 AS BIGINT) AS n_tokens
+      FROM spans WHERE a1 - a0 + 3 >= 20
+    )"""
+
+
+@_q(
+    "q396_dup_intervals",
+    f"""
+    WITH {_Q396_SPAN_CTES}
+    SELECT id_a, id_b, a_start, a_end, b_start, b_end, n_tokens
+    FROM qual
     ORDER BY id_a, id_b, a_start
     """,
 )
@@ -20811,6 +20821,248 @@ def q400_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+@_q(
+    "q401_dup_fraction",
+    f"""
+    WITH {_Q396_SPAN_CTES}, per AS (
+      SELECT id_a AS id, a_start AS s, a_end AS e FROM qual
+      UNION ALL
+      SELECT id_b AS id, b_start AS s, b_end AS e FROM qual
+    ), flagged AS (
+      SELECT *, CASE WHEN s > MAX(e) OVER
+                       (PARTITION BY id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS br
+      FROM per
+    ), grouped AS (
+      SELECT *, SUM(br) OVER (PARTITION BY id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS g
+      FROM flagged
+    ), merged AS (
+      SELECT id, g, MIN(s) AS ms, MAX(e) AS me FROM grouped GROUP BY 1, 2
+    ), dup AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+             CAST(SUM(me - ms + 1) AS BIGINT) AS dup_tokens
+      FROM merged GROUP BY 1
+    ), tot AS (
+      SELECT doc_id AS id,
+             CAST(LEN(LIST_FILTER(
+               STRING_SPLIT_REGEX(LOWER(TRIM(text)), '[^a-z0-9]+'),
+               t -> t <> '')) AS BIGINT) AS total_tokens
+      FROM corpus
+    )
+    SELECT d.id, d.n_islands, d.dup_tokens, t.total_tokens,
+           ROUND(CAST(d.dup_tokens AS DOUBLE)
+                 / CAST(t.total_tokens AS DOUBLE), 12) AS dup_frac
+    FROM dup d JOIN tot t ON d.id = t.id
+    ORDER BY d.id
+    """,
+)
+def q401_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token fraction (corpus.
+    dup_token_fraction): q396's matched intervals — both sides of
+    every pair — merged into disjoint coverage islands per document
+    (one running-max window), covered tokens over the document's token
+    count. The trim/drop readout a training-data pipeline acts on:
+    planted full-document copies score ~1.0, the prefix-shifted copies
+    slightly below (the prefix itself is unique), untouched documents
+    are absent. Same planted corpus and oracle machinery as q396, plus
+    the SQL replay of the island merge."""
+    from .operators.corpus import dup_token_fraction
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        d.filter(F.col("doc_id") < 300)
+        .unionByName(
+            d.filter(F.col("doc_id") < 40).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat("text", F.lit(" extra tail token")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 40).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.lit("prefix boilerplate banner one two three :: "),
+                    F.col("text"),
+                ).alias("text"),
+            )
+        )
+    )
+    return dup_token_fraction(
+        corpus, "text", "doc_id", min_tokens=20
+    ).orderBy("id")
+
+
+def _q402_oracle() -> str:
+    from .operators.experiments import chi2_sf_even_sql
+
+    ea = "(CAST(a_tot AS DOUBLE) * CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE))"
+    eb = (
+        "(CAST(n - a_tot AS DOUBLE) * CAST(n_g AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+    )
+    ta = f"(CAST(a_g AS DOUBLE) - {ea})"
+    tb = f"(CAST(n_g - a_g AS DOUBLE) - {eb})"
+    term = f"({ta} * {ta} / {ea} + {tb} * {tb} / {eb})"
+    return f"""
+    WITH base AS (
+      SELECT c_mktsegment AS grp, CAST(FLOOR(c_acctbal) AS BIGINT) AS val
+      FROM customer
+    ), per AS (
+      SELECT val, grp, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+    ), per_val AS (
+      SELECT val, CAST(SUM(c) AS BIGINT) AS t FROM per GROUP BY 1
+    ), cum AS (
+      SELECT val, CAST(SUM(t) OVER (ORDER BY val
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM per_val
+    ), tots AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n FROM per_val
+    ), med AS (
+      SELECT MIN(val) AS med FROM cum, tots
+      WHERE CAST(cum AS DOUBLE) >= ((n + 1) - (n + 1) % 2) / 2
+    ), by_grp AS (
+      SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g,
+             CAST(SUM(CASE WHEN val > med THEN c ELSE 0 END) AS BIGINT)
+               AS a_g
+      FROM per, med GROUP BY 1
+    ), marg AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(a_g) AS BIGINT) AS a_tot,
+             CAST(COUNT(*) AS BIGINT) AS k_groups
+      FROM by_grp
+    ), folded AS (
+      SELECT n, k_groups,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST({term} ORDER BY grp)), (x, y) -> x + y) AS chi2
+      FROM by_grp, marg GROUP BY 1, 2
+    )
+    SELECT n AS n_rows, k_groups, med AS grand_median,
+           ROUND(chi2, 9) AS chi2,
+           ROUND({chi2_sf_even_sql("chi2", 4)}, 9) AS p_value
+    FROM folded, med
+    """
+
+
+@_q("q402_mood_median", None)
+def q402_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test (experiments.mood_median_test): do the five
+    market segments' customer balances sit differently around the
+    POOLED median? The coarsest k-group location readout — one
+    integer-order-statistic cut (the lower median, never an
+    interpolation) and a 2 x k chi-square of exact counts, terms
+    folded in segment-name order (the kruskal determinism contract);
+    k=5 -> df=4 even-df series p."""
+    from .operators.experiments import mood_median_test
+
+    c = _t(spark, sf_dir, "customer")
+    df = c.select(
+        F.col("c_mktsegment").alias("grp"),
+        F.floor("c_acctbal").cast("long").alias("bal"),
+    )
+    out = mood_median_test(df, "grp", "bal")
+    return out.select(
+        "n_rows", "k_groups", "grand_median",
+        F.round("chi2", 9).alias("chi2"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q402_mood_median"] = _q402_oracle()
+
+
+def _q403_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    z = "(num2 / (4.0 * SQRT(var)))"
+    return f"""
+    WITH base AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS grp,
+             CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS val
+      FROM orders
+    ), per AS (
+      SELECT grp, val, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+    ), grid AS (
+      SELECT v.val, g.grp, CAST(COALESCE(p.c, 0) AS BIGINT) AS c
+      FROM (SELECT DISTINCT val FROM per) v
+      CROSS JOIN (SELECT DISTINCT grp FROM per) g
+      LEFT JOIN per p ON p.val = v.val AND p.grp = g.grp
+    ), cumlt AS (
+      SELECT grp, val, c,
+             CAST(COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY val
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS lt
+      FROM grid
+    ), j AS (
+      SELECT CAST(SUM(b.c * (2 * a.lt + a.c)) AS BIGINT) AS j2
+      FROM cumlt a JOIN cumlt b ON a.val = b.val AND a.grp < b.grp
+    ), by_g AS (
+      SELECT grp, CAST(SUM(c) AS BIGINT) AS ng FROM per GROUP BY 1
+    ), gsums AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k_groups,
+             CAST(SUM(ng * ng) AS BIGINT) AS sn2,
+             CAST(SUM(ng * (ng - 1) * (2 * ng + 5)) AS BIGINT) AS sn25,
+             CAST(SUM(ng * (ng - 1) * (ng - 2)) AS BIGINT) AS sn3,
+             CAST(SUM(ng * (ng - 1)) AS BIGINT) AS sn2m
+      FROM by_g
+    ), by_v AS (
+      SELECT val, CAST(SUM(c) AS BIGINT) AS t FROM per GROUP BY 1
+    ), tsums AS (
+      SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS st25,
+             CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS st3,
+             CAST(SUM(t * (t - 1)) AS BIGINT) AS st2m
+      FROM by_v
+    ), d AS (
+      SELECT j2, n, k_groups, sn2,
+             CAST(n * (n - 1) * (2 * n + 5) - sn25 - st25 AS DOUBLE)
+               / 72.0
+             + CAST(sn3 AS DOUBLE) * CAST(st3 AS DOUBLE)
+               / (36.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                  * (CAST(n AS DOUBLE) - 2.0))
+             + CAST(sn2m AS DOUBLE) * CAST(st2m AS DOUBLE)
+               / (8.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+               AS var,
+             CAST(2 * j2 - (n * n - sn2) AS DOUBLE) AS num2
+      FROM j, gsums, tsums
+    )
+    SELECT n AS n_rows, k_groups,
+           CAST(j2 AS DOUBLE) / 2.0 AS j_stat,
+           ROUND({z}, 12) AS z,
+           ROUND(2.0 * {normal_sf_sql(f"ABS({z})")}, 9) AS p_value
+    FROM d
+    """
+
+
+@_q("q403_jonckheere", None)
+def q403_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered trend (experiments.
+    jonckheere_terpstra): does order value trend monotonically across
+    the 1-URGENT..5-LOW priority scale? Priorities map to their digit
+    (an ordinal, the contract), order values band to thousand-dollar
+    units (the quantized-value contract). 2J is an exact int64 from
+    the value x group grid; the tie-corrected variance's B term
+    multiplies two exact int sums in double (identical IEEE product
+    both engines). z rounded 12, two-sided p rounded 9."""
+    from .operators.experiments import jonckheere_terpstra
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("grp"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("val"),
+    )
+    out = jonckheere_terpstra(df, "grp", "val")
+    return out.select(
+        "n_rows", "k_groups", "j_stat",
+        F.round("z", 12).alias("z"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q403_jonckheere"] = _q403_oracle()
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for round 10's gate (VERDICT r9 #1):
     #    the 23 never-recorded round-9 queries (q373-q395, per
@@ -20844,7 +21096,8 @@ _PRIORITY = [
     # round-10 additions (never recorded yet -- next round's head per
     # the ROUND-CLOSE RULE; outside this round's 50 gate slots)
     "q396_dup_intervals", "q397_kruskal_wallis", "q398_friedman",
-    "q399_rebalance", "q400_mmr_diversify",
+    "q399_rebalance", "q400_mmr_diversify", "q401_dup_fraction",
+    "q402_mood_median", "q403_jonckheere",
     # 1) the r9-recorded head (q344-q372 + the four re-confirms + the
     #    17 r1 rows re-recorded in CORRECTNESS_r09) -- freshest
     #    records, age out of the rotation window last.

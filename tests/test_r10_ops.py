@@ -284,3 +284,111 @@ def test_mmr_topk_lambda_one_is_pure_relevance(spark):
         .orderBy("rank").collect()
     ]
     assert got == [6, 5, 4]
+
+
+def test_dup_token_fraction_full_copy_near_one(spark):
+    """A full copy covers ~the whole document (edge slack only); the
+    merge must not double-count the overlapping two-pair coverage."""
+    from etl_java_spark.operators.corpus import dup_token_fraction
+
+    docs = _fixture_docs()
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    rows = {r["id"]: r for r in dup_token_fraction(
+        df, "text", "doc_id", min_tokens=20).collect()}
+    # doc 6 is wholly contained in 1 AND 2: one merged island, frac
+    # near 1 (boundary slack ~ shingle+window tokens per side on a
+    # 35-token doc); doc 3 = exact prefix of doc 4 -> exactly 1.0
+    assert rows[6]["n_islands"] == 1
+    assert rows[6]["dup_frac"] > 0.8
+    assert rows[3]["dup_frac"] == 1.0
+    assert rows[6]["dup_tokens"] <= rows[6]["total_tokens"]
+    # doc 5 shares nothing: absent
+    assert 5 not in rows
+    # every fraction is a valid proportion
+    assert all(0 < r["dup_frac"] <= 1.0 for r in rows.values())
+
+
+def test_mood_median_matches_reference(spark):
+    from collections import Counter
+
+    from etl_java_spark.operators.experiments import mood_median_test
+
+    data = (
+        [("a", v) for v in [1, 2, 2, 3, 9, 10]]
+        + [("b", v) for v in [4, 5, 6, 7, 8, 8]]
+        + [("c", v) for v in [1, 1, 2, 9, 9, 9]]
+    )
+    vals = sorted(v for _, v in data)
+    n = len(vals)
+    med = vals[(n + 1) // 2 - 1]  # lower median
+    per = Counter(g for g, _ in data)
+    above = Counter(g for g, v in data if v > med)
+    a_tot = sum(above.values())
+    chi2 = 0.0
+    for g in sorted(per):  # group-name fold order
+        ng, ag = per[g], above.get(g, 0)
+        ea = a_tot * ng / n
+        eb = (n - a_tot) * ng / n
+        chi2 += (ag - ea) ** 2 / ea + ((ng - ag) - eb) ** 2 / eb
+    df = spark.createDataFrame(data, "grp string, v long")
+    out = mood_median_test(df, "grp", "v").collect()[0]
+    assert out["grand_median"] == med
+    assert out["chi2"] == pytest.approx(chi2, rel=1e-12)
+    import math
+
+    # k=3 -> df=2 closed form
+    assert out["p_value"] == pytest.approx(math.exp(-chi2 / 2), rel=1e-12)
+
+
+def test_jonckheere_matches_brute_force(spark):
+    import math
+    from collections import Counter
+
+    from etl_java_spark.operators.experiments import jonckheere_terpstra
+
+    data = (
+        [(1, v) for v in [1, 3, 3, 5, 7]]
+        + [(2, v) for v in [2, 3, 6, 8, 8, 9]]
+        + [(3, v) for v in [5, 8, 9, 9, 12]]
+    )
+    groups = sorted({g for g, _ in data})
+    j2 = 0
+    for i, gi in enumerate(groups):
+        for gj in groups[i + 1 :]:
+            for x in (v for g, v in data if g == gi):
+                for y in (v for g, v in data if g == gj):
+                    j2 += 2 if x < y else (1 if x == y else 0)
+    n = len(data)
+    ns = [sum(1 for g, _ in data if g == gg) for gg in groups]
+    ts = list(Counter(v for _, v in data).values())
+    a = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(x * (x - 1) * (2 * x + 5) for x in ns)
+        - sum(t * (t - 1) * (2 * t + 5) for t in ts)
+    )
+    b = sum(x * (x - 1) * (x - 2) for x in ns) * sum(
+        t * (t - 1) * (t - 2) for t in ts
+    )
+    c = sum(x * (x - 1) for x in ns) * sum(t * (t - 1) for t in ts)
+    var = a / 72.0 + b / (36.0 * n * (n - 1) * (n - 2)) + c / (
+        8.0 * n * (n - 1)
+    )
+    zref = (2 * j2 - (n * n - sum(x * x for x in ns))) / (4.0 * math.sqrt(var))
+    df = spark.createDataFrame(data, "grp int, val int")
+    out = jonckheere_terpstra(df, "grp", "val").collect()[0]
+    assert out["j_stat"] == j2 / 2
+    assert out["z"] == pytest.approx(zref, rel=1e-12)
+    # monotone upward trend in the fixture -> positive z
+    assert out["z"] > 2
+
+
+def test_jonckheere_null_when_single_group(spark):
+    from etl_java_spark.operators.experiments import jonckheere_terpstra
+
+    df = spark.createDataFrame(
+        [(1, v) for v in range(10)], "grp int, val int"
+    )
+    out = jonckheere_terpstra(df, "grp", "val").collect()[0]
+    # no ordered pair exists: J2 sum over empty set -> j_stat NULL-ish 0
+    assert out["k_groups"] == 1
+    assert out["z"] is None or out["z"] != out["z"] or out["z"] == 0
