@@ -1611,3 +1611,74 @@ def jonckheere_terpstra(
         z.alias("z"),
         (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
     )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col,
+    treatment_col,
+    value_col,
+) -> DataFrame:
+    """Page's L trend test — Friedman's ordered-alternative sibling
+    (:func:`jonckheere_terpstra`'s blocked twin): "does the metric
+    INCREASE along the ordered treatments, consistently across
+    blocks?". ``treatment_col`` must be ORDINAL; weights are the dense
+    rank of the distinct treatment values (1..k on both engines).
+
+        L = sum_j j * R_j   (R_j = within-block rank sums)
+
+    Doubled within-block midranks keep 2L exact int64 (the friedman
+    cell self-join); mean n k (k+1)^2 / 4 and variance
+    n k^2 (k+1)^2 (k-1) / 144 are the classical no-tie moments
+    (MC-verified; heavy within-block ties bias p — use exact-integer
+    cell metrics so ties are structural, not float accidents). Returns
+    one row: (n_blocks, k_treatments, l_stat, z, p_value) with the
+    one-sided increasing-trend p.
+    """
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    t = F.col(treatment_col) if isinstance(treatment_col, str) else treatment_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(b.alias("blk"), t.alias("trt"), v.alias("val")).filter(
+        F.col("val").isNotNull()
+    )
+    a, c = base.alias("a"), base.alias("c")
+    cmp_ = a.join(c, F.col("a.blk") == F.col("c.blk")).groupBy(
+        F.col("a.blk").alias("blk"), F.col("a.trt").alias("trt")
+    ).agg(
+        (
+            F.lit(2)
+            * F.sum((F.col("c.val") < F.col("a.val")).cast("int"))
+            + F.sum((F.col("c.val") == F.col("a.val")).cast("int"))
+            + 1
+        )
+        .cast("long")
+        .alias("r2")
+    )
+    wts = base.select("trt").distinct().select(
+        "trt",
+        F.dense_rank().over(Window.orderBy("trt")).cast("long").alias("w"),
+    )
+    per_t = cmp_.groupBy("trt").agg(F.sum("r2").cast("long").alias("r2j"))
+    l2 = per_t.join(F.broadcast(wts), "trt").agg(
+        F.sum(F.col("w") * F.col("r2j")).cast("long").alias("l2")
+    )
+    nk = base.agg(
+        F.countDistinct("blk").cast("long").alias("n"),
+        F.countDistinct("trt").cast("long").alias("k"),
+    )
+    one = l2.crossJoin(F.broadcast(nk))
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    mean = nd * kd * (kd + 1.0) * (kd + 1.0) / F.lit(4.0)
+    var = (
+        nd * kd * kd * (kd + 1.0) * (kd + 1.0) * (kd - 1.0) / F.lit(144.0)
+    )
+    z = F.try_divide(
+        F.col("l2").cast("double") / F.lit(2.0) - mean, F.sqrt(var)
+    )
+    return one.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        (F.col("l2").cast("double") / 2.0).alias("l_stat"),
+        z.alias("z"),
+        normal_sf(z).alias("p_value"),
+    )

@@ -1704,3 +1704,91 @@ def holt_winters_additive(
             / F.lit(sc)
         ).alias("forecast"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 6,
+    scale: int = 2,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test over an ordered series —
+    "is anything autocorrelated in the first ``max_lag`` lags?", the
+    standard residual/KPI diagnostic before trusting an i.i.d. model:
+
+        Q = N (N+2) sum_{k=1..h} rho_k^2 / (N - k)
+
+    Unlike :func:`acf_lags` (paired-Pearson per lag), rho_k here is
+    the STANDARD fixed-global-mean estimator Q expects:
+    rho_k = [S_xy(k) - mean (S_x(k)+S_y(k)) + n_k mean^2] / (Sxx - N mean^2),
+    every raw sum an exact decimal (one lag-exploded equi-join = one
+    shuffle for all lags), mean/rho one fixed double expression. The
+    rho^2/(N-k) terms fold in LAG order (the kruskal determinism
+    contract); p is the elementary even-df chi-square series, so
+    ``max_lag`` must be EVEN (ValueError otherwise — the caller picks
+    the lag window). Returns one row: (n_rows, lags, q_stat, p_value).
+    Post-aggregate contract: call on the aggregated series (daily
+    KPI), never raw rows — the row_number window is series-length.
+    """
+    from .experiments import chi2_sf_even
+
+    if max_lag < 2 or max_lag % 2:
+        raise ValueError("ljung_box needs an even max_lag >= 2")
+    d = f"decimal(18,{scale})"
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.row_number().over(w).alias("__rn"),
+        F.col(value_col).cast(d).alias("__v"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("__v").cast("double").alias("s"),
+        F.sum(F.col("__v") * F.col("__v")).cast("double").alias("sxx"),
+    )
+    lagged = base.select(
+        F.col("__v").alias("__vl"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("lag"),
+        (F.col("__rn") + F.col("lag")).alias("__rn2"),
+    ).select("__vl", "lag", F.col("__rn2").alias("__rn"))
+    agg = (
+        base.join(lagged, "__rn")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_k"),
+            F.sum(F.col("__v") * F.col("__vl")).cast("double").alias("sxy"),
+            F.sum("__v").cast("double").alias("sx"),
+            F.sum("__vl").cast("double").alias("sy"),
+        )
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    nn = F.col("n_rows").cast("double")
+    m = F.col("s") / nn
+    rho = (
+        F.col("sxy")
+        - m * (F.col("sx") + F.col("sy"))
+        + F.col("n_k").cast("double") * m * m
+    ) / (F.col("sxx") - nn * m * m)
+    terms = j.select(
+        "n_rows",
+        F.struct(
+            "lag",
+            (rho * rho / (nn - F.col("lag").cast("double"))).alias("term"),
+        ).alias("__e"),
+    )
+    one = terms.groupBy("n_rows").agg(
+        F.array_sort(F.collect_list("__e")).alias("__arr")
+    )
+    ssum = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["term"]
+    )
+    nn2 = F.col("n_rows").cast("double")
+    q = nn2 * (nn2 + F.lit(2.0)) * ssum
+    return one.select(
+        "n_rows",
+        F.lit(max_lag).cast("long").alias("lags"),
+        q.alias("q_stat"),
+        chi2_sf_even(q, max_lag).alias("p_value"),
+    )

@@ -21063,6 +21063,179 @@ def q403_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q403_jonckheere"] = _q403_oracle()
 
 
+def _q404_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    z = "((CAST(l2 AS DOUBLE) / 2.0 - mean) / SQRT(var))"
+    return f"""
+    WITH cells AS (
+      SELECT n_name AS blk,
+             CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS trt,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS val
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), cmp AS (
+      SELECT a.blk, a.trt,
+             CAST(2 * SUM(CASE WHEN c.val < a.val THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN c.val = a.val THEN 1 ELSE 0 END)
+                  + 1 AS BIGINT) AS r2
+      FROM cells a JOIN cells c ON a.blk = c.blk
+      GROUP BY 1, 2
+    ), wts AS (
+      SELECT trt, CAST(DENSE_RANK() OVER (ORDER BY trt) AS BIGINT) AS w
+      FROM (SELECT DISTINCT trt FROM cells)
+    ), per_t AS (
+      SELECT trt, CAST(SUM(r2) AS BIGINT) AS r2j FROM cmp GROUP BY 1
+    ), lsum AS (
+      SELECT CAST(SUM(w * r2j) AS BIGINT) AS l2
+      FROM per_t JOIN wts USING (trt)
+    ), nk AS (
+      SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
+      FROM cells
+    ), d AS (
+      SELECT l2, n, k,
+             CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0)
+               / 4.0 AS mean,
+             CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0)
+               * (CAST(k AS DOUBLE) - 1.0) / 144.0 AS var
+      FROM lsum, nk
+    )
+    SELECT n AS n_blocks, k AS k_treatments,
+           CAST(l2 AS DOUBLE) / 2.0 AS l_stat,
+           ROUND({z}, 12) AS z,
+           ROUND({normal_sf_sql(z)}, 9) AS p_value
+    FROM d
+    """
+
+
+@_q("q404_page_trend", None)
+def q404_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test (experiments.page_trend_test): does order
+    value increase along the 1-URGENT..5-LOW priority scale
+    CONSISTENTLY across the 25 nation blocks? The ordered-alternative
+    companion of q398's Friedman on the same exact-integer cell table
+    (and q403's blocked twin). 2L is exact int64; mean/variance are
+    the classical no-tie moments (MC-verified in the operator's
+    docstring contract); one-sided increasing-trend p."""
+    from .operators.experiments import page_trend_test
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("blk"),
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("trt"),
+        )
+        .agg(
+            F.sum(F.floor("o_totalprice").cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    out = page_trend_test(cells, "blk", "trt", "v")
+    return out.select(
+        "n_blocks", "k_treatments", "l_stat",
+        F.round("z", 12).alias("z"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q404_page_trend"] = _q404_oracle()
+
+
+def _q405_oracle() -> str:
+    from .operators.experiments import chi2_sf_even_sql
+
+    rho = (
+        "((sxy - m * (sx + sy) + CAST(n_k AS DOUBLE) * m * m)"
+        " / (sxx - nn * m * m))"
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS v
+      FROM orders GROUP BY 1
+    ), base AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn, v
+      FROM daily
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(v) AS DOUBLE) AS s,
+             CAST(SUM(v * v) AS DOUBLE) AS sxx
+      FROM base
+    ), pairs AS (
+      SELECT CAST(k.lag AS INTEGER) AS lag, a.v AS x, b.v AS y
+      FROM base a
+      JOIN (VALUES (1), (2), (3), (4), (5), (6)) AS k(lag) ON TRUE
+      JOIN base b ON a.rn = b.rn + k.lag
+    ), agg AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_k,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy
+      FROM pairs GROUP BY 1
+    ), terms AS (
+      SELECT n_rows,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST({rho} * {rho} / (nn - CAST(lag AS DOUBLE))
+                    ORDER BY lag)),
+               (x, y) -> x + y) AS ssum
+      FROM (SELECT agg.*, tot.*, CAST(tot.n_rows AS DOUBLE) AS nn,
+                   tot.s / CAST(tot.n_rows AS DOUBLE) AS m
+            FROM agg, tot)
+      GROUP BY 1
+    ), d AS (
+      SELECT n_rows,
+             CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) + 2.0) * ssum
+               AS q
+      FROM terms
+    )
+    SELECT n_rows, CAST(6 AS BIGINT) AS lags,
+           ROUND(q, 9) AS q_stat,
+           ROUND({chi2_sf_even_sql("q", 6)}, 9) AS p_value
+    FROM d
+    """
+
+
+@_q("q405_ljung_box", None)
+def q405_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness test (timeseries.ljung_box) on the daily
+    revenue series: is there autocorrelation in the first 6 lags, or
+    can the KPI be modeled i.i.d.? The portmanteau companion of q270's
+    per-lag ACF — one chi-square number instead of 7 eyeballed
+    coefficients. Standard fixed-global-mean rho_k from exact decimal
+    sums (one lag-exploded join = one shuffle for all lags), terms
+    folded in lag order, even-df series p (h=6)."""
+    from .operators.timeseries import ljung_box
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    out = ljung_box(daily, "day", "v", max_lag=6)
+    return out.select(
+        "n_rows", "lags",
+        F.round("q_stat", 9).alias("q_stat"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q405_ljung_box"] = _q405_oracle()
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for round 10's gate (VERDICT r9 #1):
     #    the 23 never-recorded round-9 queries (q373-q395, per
@@ -21097,7 +21270,8 @@ _PRIORITY = [
     # the ROUND-CLOSE RULE; outside this round's 50 gate slots)
     "q396_dup_intervals", "q397_kruskal_wallis", "q398_friedman",
     "q399_rebalance", "q400_mmr_diversify", "q401_dup_fraction",
-    "q402_mood_median", "q403_jonckheere",
+    "q402_mood_median", "q403_jonckheere", "q404_page_trend",
+    "q405_ljung_box",
     # 1) the r9-recorded head (q344-q372 + the four re-confirms + the
     #    17 r1 rows re-recorded in CORRECTNESS_r09) -- freshest
     #    records, age out of the rotation window last.

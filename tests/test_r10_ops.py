@@ -392,3 +392,78 @@ def test_jonckheere_null_when_single_group(spark):
     # no ordered pair exists: J2 sum over empty set -> j_stat NULL-ish 0
     assert out["k_groups"] == 1
     assert out["z"] is None or out["z"] != out["z"] or out["z"] == 0
+
+
+def test_page_trend_matches_reference(spark):
+    import math
+
+    from etl_java_spark.operators.experiments import page_trend_test
+
+    # strictly increasing in trt within every block -> maximal L
+    cells = [
+        (f"b{i}", j, 10 * j + i) for i in range(6) for j in range(1, 5)
+    ]
+    n, k = 6, 4
+    l_max = n * sum(j * j for j in range(1, k + 1))  # perfect agreement
+    mean = n * k * (k + 1) ** 2 / 4
+    var = n * k * k * (k + 1) ** 2 * (k - 1) / 144
+    zref = (l_max - mean) / math.sqrt(var)
+    df = spark.createDataFrame(cells, "blk string, trt int, v long")
+    out = page_trend_test(df, "blk", "trt", "v").collect()[0]
+    assert (out["n_blocks"], out["k_treatments"]) == (n, k)
+    assert out["l_stat"] == l_max
+    assert out["z"] == pytest.approx(zref, rel=1e-12)
+    assert out["p_value"] < 0.001  # strong increasing trend
+
+
+def test_page_trend_null_center(spark):
+    """A flat (all-tied) table lands exactly on the null mean: L =
+    n*k*(k+1)^2/4 via midranks, z = 0."""
+    from etl_java_spark.operators.experiments import page_trend_test
+
+    cells = [(f"b{i}", j, 5) for i in range(4) for j in range(1, 6)]
+    out = page_trend_test(
+        spark.createDataFrame(cells, "blk string, trt int, v long"),
+        "blk", "trt", "v",
+    ).collect()[0]
+    assert out["z"] == 0.0
+    # Zelen-Severo normal tail is a ~7.5e-8 approximation
+    assert out["p_value"] == pytest.approx(0.5, abs=1e-7)
+
+
+def _py_ljung_box(xs: list[float], h: int) -> tuple:
+    n = len(xs)
+    m = sum(xs) / n
+    den = sum((x - m) ** 2 for x in xs)
+    q = 0.0
+    for k in range(1, h + 1):
+        num = sum((xs[t] - m) * (xs[t - k] - m) for t in range(k, n))
+        rho = num / den
+        q += rho * rho / (n - k)
+    return n * (n + 2) * q
+
+
+def test_ljung_box_matches_reference(spark):
+    import math
+
+    from etl_java_spark.operators.timeseries import ljung_box
+
+    xs = [float((i * 7) % 13 + (i % 4)) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t int, v double"
+    )
+    out = ljung_box(df, "t", "v", max_lag=4).collect()[0]
+    qref = _py_ljung_box(xs, 4)
+    assert out["q_stat"] == pytest.approx(qref, rel=1e-9)
+    # df=4 closed form: exp(-q/2) * (1 + q/2)
+    assert out["p_value"] == pytest.approx(
+        math.exp(-qref / 2) * (1 + qref / 2), rel=1e-9
+    )
+
+
+def test_ljung_box_odd_lag_rejected(spark):
+    from etl_java_spark.operators.timeseries import ljung_box
+
+    df = spark.createDataFrame([(1, 1.0)], "t int, v double")
+    with pytest.raises(ValueError, match="even"):
+        ljung_box(df, "t", "v", max_lag=5)
