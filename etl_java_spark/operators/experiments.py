@@ -1682,3 +1682,57 @@ def page_trend_test(
         z.alias("z"),
         normal_sf(z).alias("p_value"),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col,
+    treatment_col,
+    success_col,
+) -> DataFrame:
+    """Cochran's Q test — "do the k treatments' SUCCESS RATES differ
+    across matched blocks?", the binary-outcome Friedman (and McNemar's
+    k-way generalization): one flag per (block, treatment) cell.
+
+        Q = (k-1) * [k * sum_j C_j^2 - N^2] / [k * N - sum_i R_i^2]
+
+    (C_j column-success counts, R_i row-success counts, N total) — the
+    cross-multiplied form keeps EVERY term exact int64, so Q is ONE
+    double division; p is the even-df chi-square series (NULL for odd
+    k-1 or k-1 > 16). Blocks with all-equal flags contribute nothing
+    (the classical property — they cancel in both sums). Returns one
+    row: (n_blocks, k_treatments, q_stat, p_value).
+    """
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    t = F.col(treatment_col) if isinstance(treatment_col, str) else treatment_col
+    s = F.col(success_col) if isinstance(success_col, str) else success_col
+    base = df.select(
+        b.alias("blk"), t.alias("trt"), s.cast("long").alias("x")
+    ).filter(F.col("x").isNotNull())
+    by_t = base.groupBy("trt").agg(F.sum("x").cast("long").alias("cj"))
+    by_b = base.groupBy("blk").agg(F.sum("x").cast("long").alias("ri"))
+    tsum = by_t.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("cj").cast("long").alias("n_succ"),
+        F.sum(F.col("cj") * F.col("cj")).cast("long").alias("sc2"),
+    )
+    bsum = by_b.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.col("ri") * F.col("ri")).cast("long").alias("sr2"),
+    )
+    one = tsum.crossJoin(F.broadcast(bsum))
+    num = (
+        (F.col("k") - 1)
+        * (F.col("k") * F.col("sc2") - F.col("n_succ") * F.col("n_succ"))
+    ).cast("double")
+    den = (F.col("k") * F.col("n_succ") - F.col("sr2")).cast("double")
+    q = F.try_divide(num, den)
+    return one.select(
+        F.col("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        q.alias("q_stat"),
+        F.when(
+            F.col("k") % 2 == 1,  # df = k-1 even
+            _chi2_sf_even_dyn(q, (F.col("k") - 1).cast("int")),
+        ).alias("p_value"),
+    )

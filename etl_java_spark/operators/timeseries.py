@@ -1792,3 +1792,135 @@ def ljung_box(
         q.alias("q_stat"),
         chi2_sf_even(q, max_lag).alias("p_value"),
     )
+
+
+def ccf_lags(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 5,
+    scale: int = 2,
+) -> DataFrame:
+    """Lagged cross-correlation (CCF) between two aligned series —
+    "does X LEAD Y?" (marketing spend vs revenue, orders vs shipments):
+    r_k = paired Pearson of (x_t, y_{t-k}) for k = -max_lag..max_lag,
+    so POSITIVE lags mean x correlates with EARLIER y (x lags y) and
+    negative lags mean x leads. Lag 0 is the plain correlation.
+
+    Same engine-exact shape as :func:`acf_lags`: the y side explodes
+    once per lag (one equi-join = one shuffle for all 2*max_lag+1
+    lags), sums are exact decimals, each r_k one fixed double
+    expression rounded 12. Post-aggregate contract: feed the
+    AGGREGATED (e.g. daily) series. Returns (lag, n_pairs, ccf).
+    """
+    d = f"decimal(18,{scale})"
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.row_number().over(w).alias("__rn"),
+        F.col(x_col).cast(d).alias("__x"),
+        F.col(y_col).cast(d).alias("__y"),
+    )
+    lags = list(range(-max_lag, max_lag + 1))
+    lagged = base.select(
+        F.col("__y").alias("__yl"),
+        F.explode(F.array(*[F.lit(k) for k in lags])).alias("lag"),
+        F.col("__rn").alias("__rn0"),
+    ).select("__yl", "lag", (F.col("__rn0") + F.col("lag")).alias("__rn"))
+    pairs = base.join(lagged, "__rn")
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("__x").cast("double").alias("sx"),
+        F.sum("__yl").cast("double").alias("sy"),
+        F.sum(F.col("__x") * F.col("__yl")).cast("double").alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("double").alias("sxx"),
+        F.sum(F.col("__yl") * F.col("__yl")).cast("double").alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "lag", "n_pairs", F.round(F.try_divide(num, den), 12).alias("ccf")
+    ).orderBy("lag")
+
+
+def durbin_watson(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Durbin-Watson statistic of the residuals from the simple OLS
+    trend fit y ~ a + b*t over an ordered series — the classic "did my
+    trend model leave autocorrelated residuals?" diagnostic (DW ~ 2
+    white, -> 0 positively autocorrelated, -> 4 negatively):
+
+        DW = sum_t (e_t - e_{t-1})^2 / sum_t e_t^2
+
+    EVERY moment is an exact int64 in ``10^scale`` fixed-point units
+    (t = the series row_number, y scaled to integer "cents"): int64 ->
+    double casts are the SAME IEEE conversion on any engine, where a
+    scale>0 decimal -> double cast is a two-step (int/10^s) rounding
+    whose path differs between engines at the last ulp (measured on
+    this operator at sf0.01 — the reason for the fixed-point detour).
+    The whole fit runs in the scaled units: DW is a ratio (scale
+    cancels exactly); slope/intercept divide back by 10^scale once at
+    the end. One LAG window over the aggregated series (post-aggregate
+    contract). No p-value: the DW null distribution depends on the
+    design matrix (the classical dL/dU table lookup) — callers compare
+    against 2. Returns one row: (n_rows, slope, intercept, dw) with
+    slope rounded 9, intercept 6 (magnitude-appropriate — ROUND(.,12)
+    on a 1e6-magnitude intercept over-asks a double), dw 12.
+    """
+    d = f"decimal(18,{scale})"
+    mult = 10 ** scale
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.row_number().over(w).cast("long").alias("__t"),
+        (F.col(value_col).cast(d) * mult).cast("long").alias("__yc"),
+    )
+    mom = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__t").cast("long").cast("double").alias("st"),
+        F.sum(F.col("__t") * F.col("__t"))
+        .cast("long")
+        .cast("double")
+        .alias("stt"),
+        F.sum("__yc").cast("long").cast("double").alias("sy"),
+        F.sum(F.col("__t") * F.col("__yc"))
+        .cast("long")
+        .cast("double")
+        .alias("sty"),
+    )
+    nd = F.col("n").cast("double")
+    slope_c = (nd * F.col("sty") - F.col("st") * F.col("sy")) / (
+        nd * F.col("stt") - F.col("st") * F.col("st")
+    )
+    intercept_c = (F.col("sy") - slope_c * F.col("st")) / nd
+    fitted = base.crossJoin(F.broadcast(mom)).select(
+        "__t",
+        (
+            F.col("__yc").cast("double")
+            - slope_c * F.col("__t").cast("double")
+            - intercept_c
+        ).alias("__e"),
+    )
+    wl = Window.orderBy("__t")
+    dd = fitted.select(
+        "__e", (F.col("__e") - F.lag("__e").over(wl)).alias("__de")
+    )
+    out = dd.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("__de") * F.col("__de")).alias("sdd"),
+        F.sum(F.col("__e") * F.col("__e")).alias("see"),
+    )
+    md = float(mult)
+    return out.crossJoin(F.broadcast(mom)).select(
+        "n_rows",
+        F.round(slope_c / F.lit(md), 9).alias("slope"),
+        F.round(intercept_c / F.lit(md), 6).alias("intercept"),
+        F.round(F.try_divide(F.col("sdd"), F.col("see")), 12).alias("dw"),
+    )

@@ -21236,6 +21236,223 @@ def q405_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q405_ljung_box"] = _q405_oracle()
 
 
+def _q406_oracle() -> str:
+    from .operators.experiments import chi2_sf_even_sql
+
+    return f"""
+    WITH cells AS (
+      SELECT n_name AS blk,
+             CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS trt,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), nat AS (
+      SELECT blk, CAST(SUM(s) AS BIGINT) AS st,
+             CAST(SUM(c) AS BIGINT) AS ct
+      FROM cells GROUP BY 1
+    ), flags AS (
+      SELECT cells.blk, cells.trt,
+             CASE WHEN cells.s * nat.ct > nat.st * cells.c
+                  THEN 1 ELSE 0 END AS x
+      FROM cells JOIN nat USING (blk)
+    ), by_t AS (
+      SELECT trt, CAST(SUM(x) AS BIGINT) AS cj FROM flags GROUP BY 1
+    ), by_b AS (
+      SELECT blk, CAST(SUM(x) AS BIGINT) AS ri FROM flags GROUP BY 1
+    ), tsum AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(cj) AS BIGINT) AS n_succ,
+             CAST(SUM(cj * cj) AS BIGINT) AS sc2
+      FROM by_t
+    ), bsum AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(ri * ri) AS BIGINT) AS sr2
+      FROM by_b
+    ), d AS (
+      SELECT n_blocks, k,
+             CAST((k - 1) * (k * sc2 - n_succ * n_succ) AS DOUBLE)
+               / CAST(k * n_succ - sr2 AS DOUBLE) AS q
+      FROM tsum, bsum
+    )
+    SELECT n_blocks, k AS k_treatments,
+           ROUND(q, 9) AS q_stat,
+           ROUND({chi2_sf_even_sql("q", 4)}, 9) AS p_value
+    FROM d
+    """
+
+
+@_q("q406_cochran_q", None)
+def q406_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (experiments.cochran_q): across the 25 nation
+    blocks, do the five priorities differ in how often their average
+    order value beats the nation's average? The binary flag is the
+    CROSS-MULTIPLIED integer comparison s_cell * n_nation >
+    s_nation * n_cell — no double division anywhere near the flag, so
+    both engines derive the identical 25x5 indicator table, and Q is
+    exact-int sums with one double division (k=5 -> df=4 series p).
+    The binary-outcome Friedman, completing the blocked-test family
+    (q398 ranks, q404 ordered trend, q406 flags)."""
+    from .operators.experiments import cochran_q
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("blk"),
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("trt"),
+        )
+        .agg(
+            F.sum(F.floor("o_totalprice").cast("long"))
+            .cast("long")
+            .alias("s"),
+            F.count("*").cast("long").alias("c"),
+        )
+    )
+    nat = cells.groupBy("blk").agg(
+        F.sum("s").cast("long").alias("st"),
+        F.sum("c").cast("long").alias("ct"),
+    )
+    flags = cells.join(nat, "blk").select(
+        "blk", "trt",
+        (F.col("s") * F.col("ct") > F.col("st") * F.col("c")).alias("x"),
+    )
+    out = cochran_q(flags, "blk", "trt", "x")
+    return out.select(
+        "n_blocks", "k_treatments",
+        F.round("q_stat", 9).alias("q_stat"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q406_cochran_q"] = _q406_oracle()
+
+
+@_q(
+    "q407_ccf",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS x,
+             CAST(COUNT(*) AS DECIMAL(18,2)) AS y
+      FROM orders GROUP BY 1
+    ), base AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn, x, y
+      FROM daily
+    ), pairs AS (
+      SELECT CAST(k.lag AS INTEGER) AS lag, a.x AS x, b.y AS y
+      FROM base a
+      JOIN (VALUES (-5), (-4), (-3), (-2), (-1), (0),
+                   (1), (2), (3), (4), (5)) AS k(lag) ON TRUE
+      JOIN base b ON a.rn = b.rn + k.lag
+    ), agg AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY 1
+    )
+    SELECT lag, n_pairs,
+           ROUND((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                 / SQRT((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)),
+                 12) AS ccf
+    FROM agg ORDER BY lag
+    """,
+)
+def q407_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation (timeseries.ccf_lags) between daily
+    revenue and daily order count: does volume lead value, or do they
+    co-move? Lag 0 is the plain correlation; +/-5 day window (q270's
+    ACF generalized to two series; one lag-exploded join resolves all
+    11 lags in one shuffle). Decimal-exact sums, r rounded 12."""
+    from .operators.timeseries import ccf_lags
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x"),
+        F.count("*").cast("decimal(18,2)").alias("y"),
+    )
+    return ccf_lags(daily, "day", "x", "y", max_lag=5)
+
+
+@_q(
+    "q408_durbin_watson",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS v
+      FROM orders GROUP BY 1
+    ), base AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(v * 100 AS BIGINT) AS yc
+      FROM daily
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) AS st,
+             CAST(CAST(SUM(t * t) AS BIGINT) AS DOUBLE) AS stt,
+             CAST(CAST(SUM(yc) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(t * yc) AS BIGINT) AS DOUBLE) AS sty
+      FROM base
+    ), fit AS (
+      SELECT n, st, stt, sy, sty,
+             (CAST(n AS DOUBLE) * sty - st * sy)
+               / (CAST(n AS DOUBLE) * stt - st * st) AS slope
+      FROM mom
+    ), resid AS (
+      SELECT base.t,
+             CAST(base.yc AS DOUBLE)
+               - fit.slope * CAST(base.t AS DOUBLE)
+               - (fit.sy - fit.slope * fit.st) / CAST(fit.n AS DOUBLE) AS e
+      FROM base, fit
+    ), diffs AS (
+      SELECT e, e - LAG(e) OVER (ORDER BY t) AS de FROM resid
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(de * de) AS sdd, SUM(e * e) AS see
+      FROM diffs
+    )
+    SELECT n_rows,
+           ROUND(fit.slope / 100.0, 9) AS slope,
+           ROUND((fit.sy - fit.slope * fit.st) / CAST(fit.n AS DOUBLE)
+                 / 100.0, 6) AS intercept,
+           ROUND(sdd / see, 12) AS dw
+    FROM agg, fit
+    """,
+)
+def q408_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson residual-autocorrelation diagnostic
+    (timeseries.durbin_watson) for the daily-revenue linear trend fit:
+    DW ~ 2 means the trend model left white residuals, DW -> 0 means
+    momentum the model misses (reach for q253's Holt or a seasonal
+    term). OLS moments are exact decimals; slope/intercept/residuals
+    are fixed double expressions both engines replay bit-for-bit; one
+    LAG window over the calendar-bounded series."""
+    from .operators.timeseries import durbin_watson
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    return durbin_watson(daily, "day", "v")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for round 10's gate (VERDICT r9 #1):
     #    the 23 never-recorded round-9 queries (q373-q395, per
@@ -21271,7 +21488,7 @@ _PRIORITY = [
     "q396_dup_intervals", "q397_kruskal_wallis", "q398_friedman",
     "q399_rebalance", "q400_mmr_diversify", "q401_dup_fraction",
     "q402_mood_median", "q403_jonckheere", "q404_page_trend",
-    "q405_ljung_box",
+    "q405_ljung_box", "q406_cochran_q", "q407_ccf", "q408_durbin_watson",
     # 1) the r9-recorded head (q344-q372 + the four re-confirms + the
     #    17 r1 rows re-recorded in CORRECTNESS_r09) -- freshest
     #    records, age out of the rotation window last.

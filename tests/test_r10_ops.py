@@ -467,3 +467,71 @@ def test_ljung_box_odd_lag_rejected(spark):
     df = spark.createDataFrame([(1, 1.0)], "t int, v double")
     with pytest.raises(ValueError, match="even"):
         ljung_box(df, "t", "v", max_lag=5)
+
+
+def test_cochran_q_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    from etl_java_spark.operators.experiments import cochran_q
+
+    rows = [
+        (f"b{i}", f"t{j}", (i * j + i + j) % 3 == 0)
+        for i in range(8)
+        for j in range(3)
+    ]
+    cc, rr, n = Counter(), Counter(), 0
+    for b, t, x in rows:
+        if x:
+            cc[t] += 1
+            rr[b] += 1
+            n += 1
+    k = 3
+    qref = (k - 1) * (k * sum(c * c for c in cc.values()) - n * n) / (
+        k * n - sum(r * r for r in rr.values())
+    )
+    df = spark.createDataFrame(rows, "blk string, trt string, x boolean")
+    out = cochran_q(df, "blk", "trt", "x").collect()[0]
+    assert out["q_stat"] == pytest.approx(qref, rel=1e-12)
+    # k=3 -> df=2 closed form
+    assert out["p_value"] == pytest.approx(math.exp(-qref / 2), rel=1e-12)
+
+
+def test_ccf_detects_lead(spark):
+    """y_t = x_{t-2} (x LEADS y by 2): the CCF peaks exactly at
+    lag -2 with r = 1 on the overlap."""
+    from etl_java_spark.operators.timeseries import ccf_lags
+
+    xs = [float((i * 7) % 13) for i in range(30)]
+    ys = [0.0, 0.0] + xs[:-2]
+    df = spark.createDataFrame(
+        [(i, xs[i], ys[i]) for i in range(30)], "t int, x double, y double"
+    )
+    cc = {r["lag"]: r["ccf"] for r in ccf_lags(df, "t", "x", "y", 3).collect()}
+    assert cc[-2] == pytest.approx(1.0, abs=1e-12)
+    assert all(v < 0.99 for lag, v in cc.items() if lag != -2)
+
+
+def test_durbin_watson_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import durbin_watson
+
+    data = [(i, 2.0 * i + ((i * 13) % 7 - 3)) for i in range(50)]
+    n = 50
+    ts = list(range(1, n + 1))
+    ys = [v for _, v in data]
+    st, stt = sum(ts), sum(t * t for t in ts)
+    sy, sty = sum(ys), sum(t * v for t, v in zip(ts, ys))
+    b = (n * sty - st * sy) / (n * stt - st * st)
+    a = (sy - b * st) / n
+    es = [v - b * t - a for t, v in zip(ts, ys)]
+    dwref = sum((es[i] - es[i - 1]) ** 2 for i in range(1, n)) / sum(
+        e * e for e in es
+    )
+    df = spark.createDataFrame(data, "t int, v double")
+    out = durbin_watson(df, "t", "v").collect()[0]
+    assert out["slope"] == pytest.approx(b, abs=1e-9)  # slope rounds to 9
+    assert out["dw"] == pytest.approx(dwref, rel=1e-9)
+    # the sawtooth around a clean trend is strongly negatively
+    # autocorrelated at lag 1 -> DW well below 2 is NOT expected here;
+    # it alternates -> DW above 1 at least, sanity band only
+    assert 0.0 < out["dw"] < 4.0
