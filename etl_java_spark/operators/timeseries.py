@@ -1924,3 +1924,222 @@ def durbin_watson(
         F.round(intercept_c / F.lit(md), 6).alias("intercept"),
         F.round(F.try_divide(F.col("sdd"), F.col("see")), 12).alias("dw"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test over an ordered series — "is
+    the KPI drifting, without assuming linearity?" (the hypothesis-test
+    companion of :func:`theil_sen_slope`, and q403's single-series
+    sibling):
+
+        S = sum_{i<j} sign(x_j - x_i),   tie-corrected var,
+        z with the +/-1 continuity correction.
+
+    Values go to exact int64 fixed-point (10^scale), so S is an exact
+    integer from ONE time-pair self-join — O(n^2) pairs in the SERIES
+    length, which is calendar-bounded under the post-aggregate
+    contract (feed the daily aggregate, never raw rows; 2400 days =
+    5.8M integer comparisons, one shuffle). Returns one row:
+    (n_rows, s_stat, z, p_value), p two-sided.
+    """
+    from .experiments import normal_sf
+
+    d = f"decimal(18,{scale})"
+    mult = 10 ** scale
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.row_number().over(w).cast("long").alias("__t"),
+        (F.col(value_col).cast(d) * mult).cast("long").alias("__yc"),
+    )
+    a = base.select(F.col("__t").alias("ti"), F.col("__yc").alias("xi"))
+    b = base.select(F.col("__t").alias("tj"), F.col("__yc").alias("xj"))
+    s = (
+        a.join(b, F.col("ti") < F.col("tj"))
+        .agg(
+            F.sum(F.signum((F.col("xj") - F.col("xi")).cast("double")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = base.groupBy("__yc").agg(F.count("*").cast("long").alias("t"))
+    tot = ties.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .cast("long")
+        .alias("st25"),
+    )
+    one = s.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    var = (
+        nd * (nd - 1.0) * (2.0 * nd + 5.0) - F.col("st25").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    z = F.when(F.col("s_stat") > 0, (sd - 1.0) / F.sqrt(var)).when(
+        F.col("s_stat") < 0, (sd + 1.0) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return one.select(
+        F.col("n").alias("n_rows"),
+        "s_stat",
+        z.alias("z"),
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness around the median —
+    "does the KPI alternate like noise, or cluster in regimes?": flag
+    each point above/below the pooled LOWER median (an integer order
+    statistic on the fixed-point values; exact ties with the median
+    drop, the classical convention), count sign RUNS with one LAG
+    window, and compare against the exact run-count moments
+
+        mu = 1 + 2 n1 n2 / n,
+        var = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n-1)).
+
+    Everything before z is exact int64. Returns one row:
+    (n_above, n_below, n_runs, z, p_value), p two-sided.
+    """
+    from .experiments import normal_sf
+
+    d = f"decimal(18,{scale})"
+    mult = 10 ** scale
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.row_number().over(w).cast("long").alias("__t"),
+        (F.col(value_col).cast(d) * mult).cast("long").alias("__yc"),
+    )
+    per_val = base.groupBy("__yc").agg(F.count("*").cast("long").alias("t"))
+    wv = Window.orderBy("__yc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        "__yc", F.sum("t").over(wv).cast("long").alias("cum")
+    )
+    tots = per_val.agg(F.sum("t").cast("long").alias("nn"))
+    half = ((F.col("nn") + 1) - (F.col("nn") + 1) % 2) / 2
+    med = (
+        cum.crossJoin(F.broadcast(tots))
+        .filter(F.col("cum").cast("double") >= half)
+        .agg(F.min("__yc").alias("med"))
+    )
+    flagged = base.crossJoin(F.broadcast(med)).filter(
+        F.col("__yc") != F.col("med")
+    ).select(
+        "__t", (F.col("__yc") > F.col("med")).cast("int").alias("__b")
+    )
+    wl = Window.orderBy("__t")
+    runs = flagged.select(
+        "__b",
+        F.when(
+            F.lag("__b").over(wl).isNull()
+            | (F.col("__b") != F.lag("__b").over(wl)),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new"),
+    )
+    agg = runs.agg(
+        F.sum("__b").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("__b")).cast("long").alias("n2"),
+        F.sum("__new").cast("long").alias("n_runs"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    n = n1 + n2
+    mu = 1.0 + 2.0 * n1 * n2 / n
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    )
+    z = F.try_divide(F.col("n_runs").cast("double") - mu, F.sqrt(var))
+    return agg.select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        "n_runs",
+        z.alias("z"),
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
+    )
+
+
+def seasonal_decompose_ma(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    scale: int = 2,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method): trend = centered ``period``-point MA, seasonal index =
+    phase mean of the detrended series re-centered to sum ~0 — the
+    decomposition a dashboard shows as "weekday effect" and a forecast
+    subtracts before trending (q213's profile WITH the trend removed
+    first, so a drifting level cannot masquerade as seasonality).
+    ``period`` must be ODD here (the even case needs a 2x(period) MA;
+    callers with weekly data pass 7).
+
+    Exactness: values go to int64 fixed-point; the detrended value is
+    kept as the EXACT integer period*y - window_sum (never a double
+    mean per row), each phase mean is ONE division of exact int sums,
+    and the re-centering fold runs in phase order (the kruskal
+    contract). Full windows only (edge rows have no trend estimate).
+    Returns (phase, n_obs, seasonal) with phase = (t-1) mod period,
+    seasonal in original units rounded 9.
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError("seasonal_decompose_ma needs an odd period >= 3")
+    d = f"decimal(18,{scale})"
+    mult = 10 ** scale
+    half = period // 2
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.row_number().over(w).cast("long").alias("__t"),
+        (F.col(value_col).cast(d) * mult).cast("long").alias("__yc"),
+    )
+    ww = Window.orderBy("__t").rowsBetween(-half, half)
+    centered = base.select(
+        "__t", "__yc",
+        F.count("*").over(ww).alias("__cnt"),
+        F.sum("__yc").over(ww).cast("long").alias("__ws"),
+    ).filter(F.col("__cnt") == period)
+    # exact integer detrended*period: period*y - window_sum
+    det = centered.select(
+        ((F.col("__t") - 1) % period).cast("long").alias("phase"),
+        (F.lit(period) * F.col("__yc") - F.col("__ws")).alias("__d"),
+    )
+    per_phase = det.groupBy("phase").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("__d").cast("long").alias("__sd"),
+    )
+    # phase mean of detrended, in original units: sd / (period*mult*n)
+    mean_expr = F.col("__sd").cast("double") / (
+        F.col("n_obs").cast("double") * F.lit(float(period * mult))
+    )
+    ev = per_phase.select(
+        "phase", "n_obs", F.struct("phase", mean_expr.alias("m")).alias("__e")
+    )
+    folded = ev.groupBy().agg(
+        F.array_sort(F.collect_list("__e")).alias("__arr"),
+        F.count("*").cast("double").alias("__k"),
+    )
+    center = (
+        F.aggregate(
+            F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["m"]
+        )
+        / F.col("__k")
+    )
+    return (
+        per_phase.crossJoin(F.broadcast(folded.select(center.alias("__c"))))
+        .select(
+            "phase", "n_obs",
+            F.round(mean_expr - F.col("__c"), 9).alias("seasonal"),
+        )
+        .orderBy("phase")
+    )

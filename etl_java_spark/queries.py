@@ -21453,6 +21453,208 @@ def q408_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return durbin_watson(daily, "day", "v")
 
 
+_DAILY_CENTS_SQL = """daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS v
+      FROM orders GROUP BY 1
+    ), base AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(v * 100 AS BIGINT) AS yc
+      FROM daily
+    )"""
+
+
+def _q409_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    z = (
+        "(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)"
+        " / SQRT(var) WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)"
+        " / SQRT(var) ELSE 0.0 END)"
+    )
+    return f"""
+    WITH {_DAILY_CENTS_SQL}, s AS (
+      SELECT CAST(SUM(SIGN(b.yc - a.yc)) AS BIGINT) AS s_stat
+      FROM base a JOIN base b ON a.t < b.t
+    ), ties AS (
+      SELECT yc, CAST(COUNT(*) AS BIGINT) AS tc FROM base GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(tc) AS BIGINT) AS n,
+             CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS st25
+      FROM ties
+    ), d AS (
+      SELECT s_stat, n,
+             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+              * (2.0 * CAST(n AS DOUBLE) + 5.0)
+              - CAST(st25 AS DOUBLE)) / 18.0 AS var
+      FROM s, tot
+    )
+    SELECT n AS n_rows, s_stat,
+           ROUND({z}, 12) AS z,
+           ROUND(2.0 * {normal_sf_sql(f"ABS({z})")}, 9) AS p_value
+    FROM d
+    """
+
+
+@_q("q409_mann_kendall", None)
+def q409_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic trend test (timeseries.mann_kendall) on
+    the daily revenue series — is revenue drifting, with no linearity
+    assumption? The hypothesis-test companion of q291's Theil-Sen
+    slope and q403's single-series sibling. S is an exact integer from
+    the time-pair self-join over the calendar-bounded series; variance
+    is tie-corrected; z carries the classical continuity correction."""
+    from .operators.timeseries import mann_kendall
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    out = mann_kendall(daily, "day", "v")
+    return out.select(
+        "n_rows", "s_stat",
+        F.round("z", 12).alias("z"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q409_mann_kendall"] = _q409_oracle()
+
+
+def _q410_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    z = (
+        "((CAST(n_runs AS DOUBLE) - (1.0 + 2.0 * n1d * n2d / nd))"
+        " / SQRT(2.0 * n1d * n2d * (2.0 * n1d * n2d - nd)"
+        " / (nd * nd * (nd - 1.0))))"
+    )
+    return f"""
+    WITH {_DAILY_CENTS_SQL}, per_val AS (
+      SELECT yc, CAST(COUNT(*) AS BIGINT) AS tc FROM base GROUP BY 1
+    ), cum AS (
+      SELECT yc, CAST(SUM(tc) OVER (ORDER BY yc
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM per_val
+    ), tots AS (
+      SELECT CAST(SUM(tc) AS BIGINT) AS nn FROM per_val
+    ), med AS (
+      SELECT MIN(yc) AS med FROM cum, tots
+      WHERE CAST(cum AS DOUBLE) >= ((nn + 1) - (nn + 1) % 2) / 2
+    ), flagged AS (
+      SELECT t, CASE WHEN yc > med THEN 1 ELSE 0 END AS b
+      FROM base, med WHERE yc <> med
+    ), runs AS (
+      SELECT b, CASE WHEN LAG(b) OVER (ORDER BY t) IS NULL
+                       OR b <> LAG(b) OVER (ORDER BY t)
+                     THEN 1 ELSE 0 END AS nw
+      FROM flagged
+    ), agg AS (
+      SELECT CAST(SUM(b) AS BIGINT) AS n1,
+             CAST(SUM(1 - b) AS BIGINT) AS n2,
+             CAST(SUM(nw) AS BIGINT) AS n_runs
+      FROM runs
+    ), d AS (
+      SELECT n1, n2, n_runs,
+             CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+             CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd
+      FROM agg
+    )
+    SELECT n1 AS n_above, n2 AS n_below, n_runs,
+           ROUND({z}, 12) AS z,
+           ROUND(2.0 * {normal_sf_sql(f"ABS({z})")}, 9) AS p_value
+    FROM d
+    """
+
+
+@_q("q410_runs_test", None)
+def q410_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (timeseries.runs_test) on daily
+    revenue around its pooled lower median: does the KPI alternate
+    like noise or cluster in above/below-median regimes? Exact-int
+    flags and run counts (one LAG window over the calendar-bounded
+    series), exact run-count moments, two-sided normal p — the
+    regime-clustering companion of q408's lag-1 Durbin-Watson."""
+    from .operators.timeseries import runs_test
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    out = runs_test(daily, "day", "v")
+    return out.select(
+        "n_above", "n_below", "n_runs",
+        F.round("z", 12).alias("z"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q410_runs_test"] = _q410_oracle()
+
+
+@_q(
+    "q411_seasonal_decompose",
+    f"""
+    WITH {_DAILY_CENTS_SQL}, centered AS (
+      SELECT t, yc,
+             COUNT(*) OVER w AS cnt,
+             CAST(SUM(yc) OVER w AS BIGINT) AS ws
+      FROM base
+      WINDOW w AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT CAST((t - 1) % 7 AS BIGINT) AS phase,
+             7 * yc - ws AS d
+      FROM centered WHERE cnt = 7
+    ), per_phase AS (
+      SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(d) AS BIGINT) AS sd
+      FROM det GROUP BY 1
+    ), folded AS (
+      SELECT LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(CAST(sd AS DOUBLE)
+                    / (CAST(n_obs AS DOUBLE) * 700.0) ORDER BY phase)),
+               (x, y) -> x + y)
+             / CAST(COUNT(*) AS DOUBLE) AS c
+      FROM per_phase
+    )
+    SELECT phase, n_obs,
+           ROUND(CAST(sd AS DOUBLE) / (CAST(n_obs AS DOUBLE) * 700.0)
+                 - folded.c, 9) AS seasonal
+    FROM per_phase, folded
+    ORDER BY phase
+    """,
+)
+def q411_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive weekly decomposition (timeseries.
+    seasonal_decompose_ma) of daily revenue: centered 7-day moving
+    average removes the trend FIRST, then each weekday phase's mean
+    detrended value (re-centered to sum ~0) is the seasonal index — a
+    drifting level cannot masquerade as weekday effect, unlike q213's
+    raw profile. Detrended values stay exact integers
+    (7*y - window_sum in cents); each index is one division of exact
+    sums; the re-centering folds in phase order."""
+    from .operators.timeseries import seasonal_decompose_ma
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    return seasonal_decompose_ma(daily, "day", "v", period=7)
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for round 10's gate (VERDICT r9 #1):
     #    the 23 never-recorded round-9 queries (q373-q395, per
@@ -21489,6 +21691,7 @@ _PRIORITY = [
     "q399_rebalance", "q400_mmr_diversify", "q401_dup_fraction",
     "q402_mood_median", "q403_jonckheere", "q404_page_trend",
     "q405_ljung_box", "q406_cochran_q", "q407_ccf", "q408_durbin_watson",
+    "q409_mann_kendall", "q410_runs_test", "q411_seasonal_decompose",
     # 1) the r9-recorded head (q344-q372 + the four re-confirms + the
     #    17 r1 rows re-recorded in CORRECTNESS_r09) -- freshest
     #    records, age out of the rotation window last.

@@ -535,3 +535,83 @@ def test_durbin_watson_matches_reference(spark):
     # autocorrelated at lag 1 -> DW well below 2 is NOT expected here;
     # it alternates -> DW above 1 at least, sanity band only
     assert 0.0 < out["dw"] < 4.0
+
+
+def test_mann_kendall_matches_brute_force(spark):
+    import math
+    from collections import Counter
+
+    from etl_java_spark.operators.timeseries import mann_kendall
+
+    xs = [float(2 * i + ((i * 13) % 7)) for i in range(40)]
+    n = 40
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    t = Counter(xs)
+    var = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(c * (c - 1) * (2 * c + 5) for c in t.values())
+    ) / 18
+    zref = (s - 1) / math.sqrt(var)
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t int, v double"
+    )
+    out = mann_kendall(df, "t", "v").collect()[0]
+    assert out["s_stat"] == s
+    assert out["z"] == pytest.approx(zref, rel=1e-12)
+    assert out["p_value"] < 1e-6  # strong upward trend
+
+
+def test_runs_test_matches_reference(spark):
+    import math
+
+    from etl_java_spark.operators.timeseries import runs_test
+
+    xs = [float(2 * i + ((i * 13) % 7)) for i in range(40)]
+    vals = sorted(xs)
+    med = vals[(40 + 1) // 2 - 1]
+    b = [1 if x > med else 0 for x in xs if x != med]
+    r = 1 + sum(1 for i in range(1, len(b)) if b[i] != b[i - 1])
+    n1, n2 = sum(b), len(b) - sum(b)
+    nn = n1 + n2
+    mu = 1 + 2 * n1 * n2 / nn
+    var = 2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn * nn * (nn - 1))
+    zref = (r - mu) / math.sqrt(var)
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t int, v double"
+    )
+    out = runs_test(df, "t", "v").collect()[0]
+    assert (out["n_above"], out["n_below"], out["n_runs"]) == (n1, n2, r)
+    assert out["z"] == pytest.approx(zref, rel=1e-12)
+    # a monotone series has exactly 2 runs -> extreme clustering
+    assert r == 2 and out["p_value"] < 1e-6
+
+
+def test_seasonal_decompose_finds_planted_phase(spark):
+    from etl_java_spark.operators.timeseries import seasonal_decompose_ma
+
+    ys = [10.0 * ((i % 7) == 2) + 0.5 * i for i in range(35)]
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(ys)], "t int, v double"
+    )
+    out = {
+        r["phase"]: r["seasonal"]
+        for r in seasonal_decompose_ma(df, "t", "v", 7).collect()
+    }
+    # spike planted on phase 2 (t=i, rn=i+1, phase=(rn-1)%7=i%7)
+    assert out[2] == pytest.approx(10.0 * 6 / 7, abs=1e-6)
+    assert all(v == pytest.approx(-10.0 / 7, abs=1e-6)
+               for p, v in out.items() if p != 2)
+    # indices re-center to ~0
+    assert sum(out.values()) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_seasonal_decompose_even_period_rejected(spark):
+    from etl_java_spark.operators.timeseries import seasonal_decompose_ma
+
+    df = spark.createDataFrame([(1, 1.0)], "t int, v double")
+    with pytest.raises(ValueError, match="odd"):
+        seasonal_decompose_ma(df, "t", "v", period=6)
