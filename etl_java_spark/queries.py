@@ -21656,14 +21656,18 @@ def q411_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PRIORITY = [
-    # 0) HEAD = exactly 50 slots for round 10's gate (VERDICT r9 #1):
-    #    the 23 never-recorded round-9 queries (q373-q395, per
-    #    tools/gate_ledger.py after CORRECTNESS_r09) + the 27 stalest
-    #    r1-recorded rows (ledger order; q92 stays below for r11).
-    #    ROUND-CLOSE RULE: at the END of every round, rotate this head so
-    #    the next round's 50 slots are drawn from gate_ledger's
-    #    never-green list (then stalest-recorded). Do NOT defer to the
-    #    next round's open -- that deferral caused the r6/r7 backlog.
+    # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
+    #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
+    #    the close-time head is what CORRECTNESS_r10 records): ALL 39
+    #    never-recorded queries -- the 23 round-9 additions q373-q395
+    #    plus the 16 round-10 additions q396-q411 -- and the 11
+    #    stalest r1-recorded rows (ledger order).
+    #    ROUND-CLOSE RULE: at the END of every round, rotate this head
+    #    so the gate's 50 slots are drawn from gate_ledger's
+    #    never-green list FIRST (including the round's own additions),
+    #    then stalest-recorded fill. A close head that omits the
+    #    round's new queries recreates the r6-r9 never-recorded
+    #    backlog.
     "q373_mann_whitney", "q374_spearman", "q375_fellegi_sunter",
     "q376_chunk_dedup", "q377_shapley_attribution",
     "q378_winsorized_stats", "q379_nelson_aalen", "q380_cusum_shift",
@@ -21673,25 +21677,27 @@ _PRIORITY = [
     "q389_label_propagation", "q390_fk_repair",
     "q391_randomized_response", "q392_group_sequential",
     "q393_permutation_test", "q394_link_prediction", "q395_phash_neardup",
-    # 27 stalest r1-recorded rows (q92_rank_functions is the 28th,
-    # left below as the first stale row for r11)
+    "q396_dup_intervals", "q397_kruskal_wallis", "q398_friedman",
+    "q399_rebalance", "q400_mmr_diversify", "q401_dup_fraction",
+    "q402_mood_median", "q403_jonckheere", "q404_page_trend",
+    "q405_ljung_box", "q406_cochran_q", "q407_ccf", "q408_durbin_watson",
+    "q409_mann_kendall", "q410_runs_test", "q411_seasonal_decompose",
+    # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
+    # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",
     "q35_exists_subquery", "q36_string_functions", "q37_math_functions",
     "q38_conditional_functions", "q39_json_extraction", "q40_doc_stats",
-    "q41_lang_distribution", "q42_dedup_exact", "q43_fingerprint",
+    "q41_lang_distribution",
+    # stale r1 rows that were in the round-10 OPEN head but yielded
+    # their slots to the round's 16 new queries at close -- they stay
+    # r1-recorded and lead r11's stale fill
+    "q42_dedup_exact", "q43_fingerprint",
     "q44_ngram_jaccard", "q45_lang_guess", "q47_window_analytics",
     "q48_date_functions", "q49_regexp_functions", "q81_nation_volume",
     "q82_returned_items", "q83_correlated_scalar", "q84_range_frame",
     "q85_deterministic_corr", "q87_order_count_distribution",
     "q88_promo_revenue_share", "q89_having_in_subquery",
     "q90_not_in_subquery",
-    # round-10 additions (never recorded yet -- next round's head per
-    # the ROUND-CLOSE RULE; outside this round's 50 gate slots)
-    "q396_dup_intervals", "q397_kruskal_wallis", "q398_friedman",
-    "q399_rebalance", "q400_mmr_diversify", "q401_dup_fraction",
-    "q402_mood_median", "q403_jonckheere", "q404_page_trend",
-    "q405_ljung_box", "q406_cochran_q", "q407_ccf", "q408_durbin_watson",
-    "q409_mann_kendall", "q410_runs_test", "q411_seasonal_decompose",
     # 1) the r9-recorded head (q344-q372 + the four re-confirms + the
     #    17 r1 rows re-recorded in CORRECTNESS_r09) -- freshest
     #    records, age out of the rotation window last.
