@@ -1736,3 +1736,90 @@ def cochran_q(
             _chi2_sf_even_dyn(q, (F.col("k") - 1).cast("int")),
         ).alias("p_value"),
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col,
+    b_col,
+) -> DataFrame:
+    """Cramér's V association strength between two categorical columns
+    — the [0,1]-normalized chi-square ("how strongly does segment
+    determine priority?"), the effect-size companion the raw chi-square
+    tests (q180/q402) lack:
+
+        V = sqrt(X^2 / (N * min(r-1, c-1)))
+
+    Shape: ONE grouped count to the r x c contingency cells, margins
+    from two metadata-sized re-aggregations, X^2 folded over the cells
+    in (a, b) order (the kruskal determinism contract — includes
+    structurally-empty cells via the margin grid, whose observed count
+    is 0 but expected is not). Returns one row:
+    (n_rows, r_levels, c_levels, chi2, v).
+    """
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("a"), b.alias("b"))
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").cast("long").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("cb"))
+    # full margin grid so empty cells contribute their expected mass
+    grid = (
+        ra.crossJoin(cb)
+        .join(cells, ["a", "b"], "left")
+        .select(
+            "a", "b", "ra", "cb",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    ev = grid.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.struct(
+            "a", "b",
+            (
+                (
+                    F.col("o").cast("double")
+                    - F.col("ra").cast("double")
+                    * F.col("cb").cast("double")
+                    / F.col("n").cast("double")
+                )
+                * (
+                    F.col("o").cast("double")
+                    - F.col("ra").cast("double")
+                    * F.col("cb").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / (
+                    F.col("ra").cast("double")
+                    * F.col("cb").cast("double")
+                    / F.col("n").cast("double")
+                )
+            ).alias("term"),
+        ).alias("__e"),
+    )
+    one = ev.groupBy("n").agg(
+        F.array_sort(F.collect_list("__e")).alias("__arr")
+    )
+    chi2 = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["term"]
+    )
+    dims = ra.agg(F.count("*").cast("long").alias("r")).crossJoin(
+        cb.agg(F.count("*").cast("long").alias("c"))
+    )
+    return one.crossJoin(F.broadcast(dims)).select(
+        F.col("n").alias("n_rows"),
+        F.col("r").alias("r_levels"),
+        F.col("c").alias("c_levels"),
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+            )
+        ).alias("v"),
+    )

@@ -2143,3 +2143,161 @@ def seasonal_decompose_ma(
         )
         .orderBy("phase")
     )
+
+
+def pacf_lags(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 4,
+    scale: int = 2,
+) -> DataFrame:
+    """Partial autocorrelation (PACF) of an ordered series for lags
+    1..max_lag via the Durbin-Levinson recursion — the ACF's partner
+    in ARIMA order identification (ACF tails off + PACF cuts at p =>
+    AR(p); q270/q405 read the ACF side, this reads the AR side).
+
+    rho_k is the same fixed-global-mean estimator as
+    :func:`ljung_box` (exact decimal sums, one lag-exploded join); the
+    recursion is UNROLLED into one fixed double expression tree per
+    lag — both engines evaluate the identical arithmetic, so the
+    oracle replays it bit-for-bit (the dynamic-loop alternative would
+    not be SQL-expressible). Returns (lag, pacf) rounded 12,
+    post-aggregate contract as usual.
+    """
+    d = f"decimal(18,{scale})"
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.row_number().over(w).alias("__rn"),
+        F.col(value_col).cast(d).alias("__v"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("__v").cast("double").alias("s"),
+        F.sum(F.col("__v") * F.col("__v")).cast("double").alias("sxx"),
+    )
+    lagged = base.select(
+        F.col("__v").alias("__vl"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("lag"),
+        (F.col("__rn") + F.col("lag")).alias("__rn2"),
+    ).select("__vl", "lag", F.col("__rn2").alias("__rn"))
+    agg = (
+        base.join(lagged, "__rn")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_k"),
+            F.sum(F.col("__v") * F.col("__vl")).cast("double").alias("sxy"),
+            F.sum("__v").cast("double").alias("sx"),
+            F.sum("__vl").cast("double").alias("sy"),
+        )
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    nn = F.col("n_rows").cast("double")
+    m = F.col("s") / nn
+    rho_expr = (
+        F.col("sxy")
+        - m * (F.col("sx") + F.col("sy"))
+        + F.col("n_k").cast("double") * m * m
+    ) / (F.col("sxx") - nn * m * m)
+    one = j.groupBy().agg(
+        *[
+            F.max(F.when(F.col("lag") == k, rho_expr)).alias(f"r{k}")
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    # Durbin-Levinson unrolled over Column expressions: phi[k][j]
+    r = {k: F.col(f"r{k}") for k in range(1, max_lag + 1)}
+    phi: dict[int, dict[int, "F.Column"]] = {1: {1: r[1]}}
+    for k in range(2, max_lag + 1):
+        num = r[k]
+        den = F.lit(1.0)
+        for jx in range(1, k):
+            num = num - phi[k - 1][jx] * r[k - jx]
+            den = den - phi[k - 1][jx] * r[jx]
+        kk = num / den
+        phi[k] = {k: kk}
+        for jx in range(1, k):
+            phi[k][jx] = phi[k - 1][jx] - kk * phi[k - 1][k - jx]
+    out = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.round(phi[k][k], 12).alias("pacf"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("__e")
+    )
+    return out.select("__e.lag", "__e.pacf").orderBy("lag")
+
+
+def pacf_sql(
+    series_cte: str,
+    max_lag: int = 4,
+) -> str:
+    """DuckDB twin of :func:`pacf_lags` (keep in lockstep): builds the
+    SAME unrolled Durbin-Levinson expression tree over rho columns, so
+    the two engines share every arithmetic step. ``series_cte`` must
+    define base(rn BIGINT, v DECIMAL(18,2)) ordered — the identical
+    decimal-sum rho machinery the q405 Ljung-Box gate already proved
+    engine-exact."""
+    rho = (
+        "((sxy - m * (sx + sy) + CAST(n_k AS DOUBLE) * m * m)"
+        " / (sxx - nn * m * m))"
+    )
+    lags_values = ", ".join(f"({k})" for k in range(1, max_lag + 1))
+    # build phi expressions as SQL strings with the same loop as the
+    # Column construction in pacf_lags
+    r = {k: f"r{k}" for k in range(1, max_lag + 1)}
+    phi: dict[int, dict[int, str]] = {1: {1: r[1]}}
+    for k in range(2, max_lag + 1):
+        num = r[k]
+        den = "1.0"
+        for jx in range(1, k):
+            num = f"({num} - {phi[k - 1][jx]} * {r[k - jx]})"
+            den = f"({den} - {phi[k - 1][jx]} * {r[jx]})"
+        kk = f"({num} / {den})"
+        phi[k] = {k: kk}
+        for jx in range(1, k):
+            phi[k][jx] = f"({phi[k - 1][jx]} - {kk} * {phi[k - 1][k - jx]})"
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, ROUND({phi[k][k]}, 12) AS pacf"
+        f" FROM rhos"
+        for k in range(1, max_lag + 1)
+    )
+    rcols = ", ".join(
+        f"MAX(CASE WHEN lag = {k} THEN rho END) AS r{k}"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH {series_cte}, tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(v) AS DOUBLE) AS s,
+             CAST(SUM(v * v) AS DOUBLE) AS sxx
+      FROM base
+    ), pairs AS (
+      SELECT CAST(k.lag AS INTEGER) AS lag, a.v AS x, b.v AS y
+      FROM base a
+      JOIN (VALUES {lags_values}) AS k(lag) ON TRUE
+      JOIN base b ON a.rn = b.rn + k.lag
+    ), agg AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_k,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy
+      FROM pairs GROUP BY 1
+    ), withm AS (
+      SELECT agg.*, CAST(tot.n_rows AS DOUBLE) AS nn,
+             tot.s / CAST(tot.n_rows AS DOUBLE) AS m, tot.sxx
+      FROM agg, tot
+    ), rhos AS (
+      SELECT {rcols} FROM (SELECT lag, {rho} AS rho FROM withm)
+    )
+    {selects}
+    ORDER BY lag
+    """

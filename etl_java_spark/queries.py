@@ -21655,6 +21655,112 @@ def q411_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose_ma(daily, "day", "v", period=7)
 
 
+def _q412_oracle() -> str:
+    from .operators.timeseries import pacf_sql
+
+    series = """daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS v
+      FROM orders GROUP BY 1
+    ), base AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn, v
+      FROM daily
+    )"""
+    return pacf_sql(series, max_lag=4)
+
+
+@_q("q412_pacf", None)
+def q412_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (timeseries.pacf_lags) of daily revenue
+    for lags 1..4 via the UNROLLED Durbin-Levinson recursion — the
+    ACF's partner in ARIMA order identification (q270 reads the MA
+    side, this the AR side; q405 summarizes, this localizes). Both
+    engines build the identical expression tree from the same
+    generator loop, so every phi_kk replays bit-for-bit."""
+    from .operators.timeseries import pacf_lags
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    return pacf_lags(daily, "day", "v", max_lag=4)
+
+
+ORACLES["q412_pacf"] = _q412_oracle()
+
+
+@_q(
+    "q413_cramers_v",
+    """
+    WITH base AS (
+      SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cells AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY 1, 2
+    ), ra AS (
+      SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1
+    ), cb AS (
+      SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1
+    ), grid AS (
+      SELECT ra.a, cb.b, ra.ra, cb.cb,
+             CAST(COALESCE(cells.o, 0) AS BIGINT) AS o
+      FROM ra CROSS JOIN cb
+      LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+    ), tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+    ), folded AS (
+      SELECT n,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(
+                 (CAST(o AS DOUBLE)
+                  - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 * (CAST(o AS DOUBLE)
+                    - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                 / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 ORDER BY a, b)),
+               (x, y) -> x + y) AS chi2
+      FROM grid, tot GROUP BY 1
+    ), dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS r,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS c
+    )
+    SELECT n AS n_rows, r AS r_levels, c AS c_levels,
+           ROUND(chi2, 9) AS chi2,
+           ROUND(SQRT(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 12) AS v
+    FROM folded, dims
+    """,
+)
+def q413_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (experiments.cramers_v) between customer market
+    segment and order priority — the normalized association strength
+    ([0,1]) the raw chi-square drift tests don't report. One grouped
+    count to the 5x5 contingency; X^2 folds over the full margin grid
+    in (segment, priority) order; V is one sqrt."""
+    from .operators.experiments import cramers_v
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    df = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("a"),
+        F.col("o_orderpriority").alias("b"),
+    )
+    out = cramers_v(df, "a", "b")
+    return out.select(
+        "n_rows", "r_levels", "c_levels",
+        F.round("chi2", 9).alias("chi2"),
+        F.round("v", 12).alias("v"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
@@ -21682,6 +21788,7 @@ _PRIORITY = [
     "q402_mood_median", "q403_jonckheere", "q404_page_trend",
     "q405_ljung_box", "q406_cochran_q", "q407_ccf", "q408_durbin_watson",
     "q409_mann_kendall", "q410_runs_test", "q411_seasonal_decompose",
+    "q412_pacf", "q413_cramers_v",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

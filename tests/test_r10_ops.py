@@ -615,3 +615,67 @@ def test_seasonal_decompose_even_period_rejected(spark):
     df = spark.createDataFrame([(1, 1.0)], "t int, v double")
     with pytest.raises(ValueError, match="odd"):
         seasonal_decompose_ma(df, "t", "v", period=6)
+
+
+def test_pacf_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import pacf_lags
+
+    xs = [float((i * 7) % 13 + 3 * ((i * 5) % 4)) for i in range(60)]
+    n = len(xs)
+    m = sum(xs) / n
+    den = sum((x - m) ** 2 for x in xs)
+    rho = {}
+    for k in range(1, 5):
+        rho[k] = sum(
+            (xs[t] - m) * (xs[t - k] - m) for t in range(k, n)
+        ) / den
+    # Durbin-Levinson reference
+    phi = {1: {1: rho[1]}}
+    for k in range(2, 5):
+        num = rho[k] - sum(phi[k - 1][j] * rho[k - j] for j in range(1, k))
+        dnm = 1.0 - sum(phi[k - 1][j] * rho[j] for j in range(1, k))
+        kk = num / dnm
+        phi[k] = {k: kk}
+        for j in range(1, k):
+            phi[k][j] = phi[k - 1][j] - kk * phi[k - 1][k - j]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t int, v double"
+    )
+    out = {r["lag"]: r["pacf"] for r in pacf_lags(df, "t", "v", 4).collect()}
+    for k in range(1, 5):
+        assert out[k] == pytest.approx(phi[k][k], rel=1e-9), k
+    # PACF lag 1 equals ACF lag 1 by construction
+    assert out[1] == pytest.approx(rho[1], rel=1e-9)
+
+
+def test_cramers_v_matches_reference_and_bounds(spark):
+    from collections import Counter
+
+    from etl_java_spark.operators.experiments import cramers_v
+
+    rows = [(f"a{i % 3}", f"b{(i * 2 + i // 5) % 4}") for i in range(60)]
+    cells = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    chi2 = 0.0
+    for a in sorted(ra):
+        for b in sorted(cb):
+            e = ra[a] * cb[b] / n
+            o = cells.get((a, b), 0)
+            chi2 += (o - e) ** 2 / e
+    import math
+
+    vref = math.sqrt(chi2 / (n * min(len(ra) - 1, len(cb) - 1)))
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = cramers_v(df, "a", "b").collect()[0]
+    assert (out["r_levels"], out["c_levels"]) == (3, 4)
+    assert out["chi2"] == pytest.approx(chi2, rel=1e-12)
+    assert out["v"] == pytest.approx(vref, rel=1e-12)
+    # perfect association -> V = 1
+    perfect = spark.createDataFrame(
+        [(f"x{i % 3}", f"y{i % 3}") for i in range(30)], "a string, b string"
+    )
+    assert cramers_v(perfect, "a", "b").collect()[0]["v"] == pytest.approx(
+        1.0, rel=1e-12
+    )
