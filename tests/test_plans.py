@@ -326,3 +326,26 @@ def test_q394_wedge_centers_degree_capped(spark):
     plan = plan_of(spark, "q394_link_prediction", "simple")
     assert "LeftSemi" in plan, "degree cap (ok_centers semi-join) missing"
     assert "LeftAnti" in plan, "existing-edge anti-join missing"
+
+
+def test_q396_dup_intervals_cap_and_no_cartesian(spark):
+    """q396's fingerprint match join must be an equi-join on fp (never
+    a cartesian), with the hot-fingerprint blacklist applied as a
+    broadcast anti-join (the inverse-broadcast rule: the OVER-frequency
+    set is metadata-sized, the surviving set is corpus-sized)."""
+    plan = plan_of(spark, "q396_dup_intervals", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan, "hot-fp blacklist anti-join missing"
+
+
+def test_q400_mmr_rounds_never_rescan_corpus(spark):
+    """q400's five greedy rounds must read the materialized candidate
+    pool / pick checkpoints, not re-scan the embeddings parquet: the
+    final plan is a union over checkpointed RDD scans with ZERO file
+    scans (the corpus was touched exactly once, before the rounds)."""
+    plan = plan_of(spark, "q400_mmr_diversify", "simple")
+    assert "Scan ExistingRDD" in plan, "picks must be checkpointed"
+    assert "FileScan" not in plan and "BatchScan" not in plan, (
+        "greedy rounds re-scan the corpus"
+    )
