@@ -21764,10 +21764,11 @@ def q413_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
-    #    the close-time head is what CORRECTNESS_r10 records): ALL 39
+    #    the close-time head is what CORRECTNESS_r10 records): ALL 41
     #    never-recorded queries -- the 23 round-9 additions q373-q395
-    #    plus the 16 round-10 additions q396-q411 -- and the 11
-    #    stalest r1-recorded rows (ledger order).
+    #    plus the 18 round-10 additions q396-q413 -- and the 9
+    #    stalest r1-recorded rows (ledger order; q40/q41 fall just
+    #    outside the 50-slot window and lead r11's stale fill).
     #    ROUND-CLOSE RULE: at the END of every round, rotate this head
     #    so the gate's 50 slots are drawn from gate_ledger's
     #    never-green list FIRST (including the round's own additions),
