@@ -1307,3 +1307,88 @@ def source_divergence(
             F.coalesce("hellinger", F.lit(0.0)).alias("hellinger"),
         )
     )
+
+
+def jsd_vs_rest(
+    df: DataFrame,
+    part_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence of each partition's categorical
+    distribution against the REST of the corpus — the log-based twin
+    source_divergence deliberately leaves out of its pairwise report
+    (its TV/Hellinger are log-free; JSD weighs surprise, saturating at
+    ln 2 when supports are disjoint). "Which source's language mix is
+    most unlike everything else?" is the mixture-design triage query.
+
+        JSD(p, q) = 1/2 SUM_c [ p_c ln(2 p_c / (p_c + q_c))
+                              + q_c ln(2 q_c / (p_c + q_c)) ]
+
+    with 0 ln 0 = 0; p = the partition's distribution, q = the rest's
+    (disjoint by construction, so no self-comparison bias). Engine
+    portability: every count is exact, the per-category log terms fold
+    in category order (the cramers_v determinism contract), and
+    callers round to <= 9 decimals per the PMI/zipf log contract (ln
+    itself is the one non-correctly-rounded step).
+
+    Shape: ONE (partition, category) grouped count is the only pass
+    over the data; category margins, partition totals, and the
+    partition x category grid are all metadata-sized (domains, not
+    rows). Partitions that ARE the whole corpus (n_rest = 0) are
+    dropped — "vs rest" is undefined; a single-partition corpus
+    returns 0 rows. Returns (part, n_rows, n_rest, jsd, jsd_norm) per
+    partition, jsd_norm = jsd / ln 2 in [0, 1].
+    """
+    cells = (
+        df.filter(F.col(part_col).isNotNull() & F.col(cat_col).isNotNull())
+        .groupBy(F.col(part_col).alias("g"), F.col(cat_col).alias("c"))
+        .agg(F.count("*").cast("long").alias("a"))
+    )
+    cat_tot = cells.groupBy("c").agg(F.sum("a").cast("long").alias("ct"))
+    part_tot = cells.groupBy("g").agg(F.sum("a").cast("long").alias("ng"))
+    grand = cells.agg(F.sum("a").cast("long").alias("gt"))
+    grid = (
+        part_tot.crossJoin(cat_tot)
+        .join(cells, ["g", "c"], "left")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "g", "c", "ng",
+            (F.col("gt") - F.col("ng")).cast("long").alias("nr"),
+            F.coalesce("a", F.lit(0)).cast("long").alias("a"),
+            (F.col("ct") - F.coalesce("a", F.lit(0)))
+            .cast("long")
+            .alias("r"),
+        )
+        .filter(F.col("nr") > 0)
+    )
+    p = F.col("a").cast("double") / F.col("ng").cast("double")
+    q = F.col("r").cast("double") / F.col("nr").cast("double")
+    term = F.lit(0.5) * (
+        F.when(
+            F.col("a") > 0,
+            p * F.log(F.lit(2.0) * p / (p + q)),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("r") > 0,
+            q * F.log(F.lit(2.0) * q / (p + q)),
+        ).otherwise(F.lit(0.0))
+    )
+    folded = (
+        grid.select(
+            "g", "ng", "nr", F.struct("c", term.alias("t")).alias("__e")
+        )
+        .groupBy("g", "ng", "nr")
+        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    )
+    jsd = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["t"]
+    )
+    import math
+
+    return folded.select(
+        F.col("g").alias("part"),
+        F.col("ng").alias("n_rows"),
+        F.col("nr").alias("n_rest"),
+        jsd.alias("jsd"),
+        (jsd / F.lit(math.log(2.0))).alias("jsd_norm"),
+    )

@@ -1823,3 +1823,156 @@ def cramers_v(
             )
         ).alias("v"),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cohen's d and Hedges' g standardized mean difference between two
+    groups on an integer-quantized metric — the effect-size readout the
+    hypothesis tests (welch_t, mann_whitney_u) deliberately omit: "the
+    difference is 0.3 pooled standard deviations" survives any sample
+    size, a p-value does not.
+
+        d = (mean_a - mean_b) / s_pooled
+        s_pooled^2 = (ss_a + ss_b) / (n_a + n_b - 2)
+        g = d * J,  J = 1 - 3 / (4 (n_a + n_b) - 9)   (Hedges 1981)
+
+    Shape: ONE grouped aggregate over the scan — per-group count /
+    sum(x) / sum(x^2) in exact decimal (order-independent, so the
+    100 TB shuffle cannot perturb the result) — then a single fixed
+    double expression tree per the welch_t determinism contract.
+    Returns one row: (n_a, n_b, mean_a, mean_b, s_pooled, d, g).
+    """
+    v = F.col(value_col).cast("decimal(38,0)")
+    per = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(v).cast("decimal(38,0)").alias("sx"),
+            F.sum(v * v).cast("decimal(38,0)").alias("sxx"),
+        )
+    )
+    a = per.filter(F.col(group_col) == group_a).select(
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    b = per.filter(F.col(group_col) == group_b).select(
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("sx_a").cast("double") / na
+    mb = F.col("sx_b").cast("double") / nb
+    ss_a = F.col("sxx_a").cast("double") - (
+        F.col("sx_a").cast("double") * F.col("sx_a").cast("double") / na
+    )
+    ss_b = F.col("sxx_b").cast("double") - (
+        F.col("sx_b").cast("double") * F.col("sx_b").cast("double") / nb
+    )
+    sp = F.sqrt((ss_a + ss_b) / (na + nb - F.lit(2.0)))
+    d = (ma - mb) / sp
+    corr = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (na + nb) - F.lit(9.0)
+    )
+    return j.select(
+        "n_a", "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        sp.alias("s_pooled"),
+        d.alias("d"),
+        (d * corr).alias("g"),
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """EXACT 1-D Wasserstein distance (earth mover's distance) between
+    two groups' empirical distributions of an integer-quantized metric
+    — the drift measure that, unlike KS (max CDF gap, q186) or PSI
+    (binned, q248), weighs HOW FAR mass moved:
+
+        W1 = integral |F_a(v) - F_b(v)| dv
+           = SUM_i |cum_a(v_i) * n_b - cum_b(v_i) * n_a| * (v_{i+1} - v_i)
+             / (n_a * n_b)
+
+    The cross-multiplied form keeps every term an exact integer (no
+    per-row division): the numerator sums in decimal(38,0) — order
+    independent — and the ONE division at the end is the only double
+    step, so the result is engine-exact to the last bit before its
+    round.
+
+    Shape: one (value, group) grouped count is the only pass over the
+    data; the prefix-sum window runs over the DISTINCT-VALUE table in
+    value order — the mann_whitney_u quantized-input contract (callers
+    band/floor continuous metrics first; the distinct table, not the
+    row count, is what one partition must hold). Returns one row:
+    (n_a, n_b, n_values, w1).
+    """
+    per = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(value_col).cast("long").alias("val"),
+            F.when(F.col(group_col) == group_a, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ia"),
+        )
+        .groupBy("val")
+        .agg(
+            F.sum("ia").cast("long").alias("na"),
+            F.sum(F.lit(1) - F.col("ia")).cast("long").alias("nb"),
+        )
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "val",
+        F.sum("na").over(w).cast("long").alias("ca"),
+        F.sum("nb").over(w).cast("long").alias("cb"),
+        (F.lead("val").over(Window.orderBy("val")) - F.col("val"))
+        .cast("long")
+        .alias("gap"),
+    )
+    tot = per.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("n_values"),
+    )
+    num = cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.first("n_values").alias("n_values"),
+        F.sum(
+            F.when(
+                F.col("gap").isNotNull(),
+                F.abs(
+                    F.col("ca").cast("decimal(19,0)")
+                    * F.col("n_b").cast("decimal(19,0)")
+                    - F.col("cb").cast("decimal(19,0)")
+                    * F.col("n_a").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+                * F.col("gap").cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("num"),
+    )
+    return num.select(
+        "n_a", "n_b", "n_values",
+        (
+            F.col("num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("w1"),
+    )

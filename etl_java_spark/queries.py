@@ -21761,6 +21761,204 @@ def q413_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 fifth wave: effect sizes and distribution distances
+
+
+@_q(
+    "q414_cohens_d",
+    """
+    WITH vals AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                  ELSE 'other' END AS grp,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+      FROM orders
+    ), per AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS sx,
+             CAST(SUM(v * v) AS BIGINT) AS sxx
+      FROM vals GROUP BY 1
+    ), j AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb,
+             CAST(a.sx AS DOUBLE) AS sxa, CAST(a.sxx AS DOUBLE) AS sxxa,
+             CAST(b.sx AS DOUBLE) AS sxb, CAST(b.sxx AS DOUBLE) AS sxxb
+      FROM (SELECT * FROM per WHERE grp = 'urgent') a,
+           (SELECT * FROM per WHERE grp = 'other') b
+    ), e AS (
+      SELECT n_a, n_b, na, nb,
+             sxa / na AS ma, sxb / nb AS mb,
+             SQRT(((sxxa - sxa * sxa / na) + (sxxb - sxb * sxb / nb))
+                  / (na + nb - 2.0)) AS sp
+      FROM j
+    )
+    SELECT n_a, n_b,
+           ROUND(ma, 9) AS mean_a, ROUND(mb, 9) AS mean_b,
+           ROUND(sp, 9) AS s_pooled,
+           ROUND((ma - mb) / sp, 12) AS d,
+           ROUND((ma - mb) / sp
+                 * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)), 12) AS g
+    FROM e
+    """,
+)
+def q414_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g effect size (experiments.cohens_d) of
+    URGENT vs other orders on floored order value — the magnitude
+    readout for the q373 Mann-Whitney fixture (that test says WHETHER
+    the distributions differ; this says by HOW MANY pooled standard
+    deviations). One grouped pass of exact integer moments; the double
+    tree replays per the welch_t determinism contract."""
+    from .operators.experiments import cohens_d
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("urgent"))
+        .otherwise(F.lit("other"))
+        .alias("grp"),
+        F.floor("o_totalprice").cast("long").alias("usd"),
+    )
+    out = cohens_d(df, "grp", "usd", "urgent", "other")
+    return out.select(
+        "n_a", "n_b",
+        F.round("mean_a", 9).alias("mean_a"),
+        F.round("mean_b", 9).alias("mean_b"),
+        F.round("s_pooled", 9).alias("s_pooled"),
+        F.round("d", 12).alias("d"),
+        F.round("g", 12).alias("g"),
+    )
+
+
+@_q(
+    "q415_wasserstein",
+    """
+    WITH vals AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS val
+      FROM orders
+    ), per AS (
+      SELECT val, CAST(SUM(ia) AS BIGINT) AS na,
+             CAST(SUM(1 - ia) AS BIGINT) AS nb
+      FROM vals GROUP BY 1
+    ), cum AS (
+      SELECT val,
+             CAST(SUM(na) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS ca,
+             CAST(SUM(nb) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cb,
+             LEAD(val) OVER (ORDER BY val) - val AS gap
+      FROM per
+    ), tot AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+             CAST(SUM(nb) AS BIGINT) AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_values
+      FROM per
+    ), num AS (
+      SELECT n_a, n_b, n_values,
+             SUM(CASE WHEN gap IS NOT NULL THEN
+                   ABS(CAST(ca AS HUGEINT) * n_b
+                       - CAST(cb AS HUGEINT) * n_a) * gap
+                 ELSE CAST(0 AS HUGEINT) END) AS num
+      FROM cum, tot GROUP BY 1, 2, 3
+    )
+    SELECT n_a, n_b, n_values,
+           ROUND(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS w1
+    FROM num
+    """,
+)
+def q415_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 1-D Wasserstein distance (experiments.wasserstein_1d)
+    between the URGENT and non-urgent order-value distributions — the
+    drift measure that weighs how FAR mass moved, where KS (q186) only
+    sees the max CDF gap and PSI (q248) bins first. The
+    cross-multiplied integer form keeps every term exact (decimal
+    sums, order-independent); the single end division is the only
+    double step."""
+    from .operators.experiments import wasserstein_1d
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("urgent"))
+        .otherwise(F.lit("other"))
+        .alias("grp"),
+        F.floor("o_totalprice").cast("long").alias("usd"),
+    )
+    out = wasserstein_1d(df, "grp", "usd", "urgent", "other")
+    return out.select(
+        "n_a", "n_b", "n_values",
+        F.round("w1", 6).alias("w1"),
+    )
+
+
+@_q(
+    "q416_jsd_sources",
+    """
+    WITH cells AS (
+      SELECT source AS g, lang AS c, CAST(COUNT(*) AS BIGINT) AS a
+      FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ), ct AS (
+      SELECT c, CAST(SUM(a) AS BIGINT) AS ct FROM cells GROUP BY 1
+    ), pt AS (
+      SELECT g, CAST(SUM(a) AS BIGINT) AS ng FROM cells GROUP BY 1
+    ), gt AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS gt FROM cells
+    ), grid AS (
+      SELECT pt.g, ct.c, pt.ng,
+             CAST(gt.gt - pt.ng AS BIGINT) AS nr,
+             CAST(COALESCE(cells.a, 0) AS BIGINT) AS a,
+             CAST(ct.ct - COALESCE(cells.a, 0) AS BIGINT) AS r
+      FROM pt CROSS JOIN ct
+      LEFT JOIN cells ON cells.g = pt.g AND cells.c = ct.c, gt
+      WHERE gt.gt - pt.ng > 0
+    ), terms AS (
+      SELECT g, ng, nr, c,
+             0.5 * (
+               CASE WHEN a > 0 THEN
+                 (CAST(a AS DOUBLE) / CAST(ng AS DOUBLE))
+                 * LN(2.0 * (CAST(a AS DOUBLE) / CAST(ng AS DOUBLE))
+                      / ((CAST(a AS DOUBLE) / CAST(ng AS DOUBLE))
+                         + (CAST(r AS DOUBLE) / CAST(nr AS DOUBLE))))
+               ELSE 0.0 END
+               + CASE WHEN r > 0 THEN
+                 (CAST(r AS DOUBLE) / CAST(nr AS DOUBLE))
+                 * LN(2.0 * (CAST(r AS DOUBLE) / CAST(nr AS DOUBLE))
+                      / ((CAST(a AS DOUBLE) / CAST(ng AS DOUBLE))
+                         + (CAST(r AS DOUBLE) / CAST(nr AS DOUBLE))))
+               ELSE 0.0 END
+             ) AS t
+      FROM grid
+    ), folded AS (
+      SELECT g AS part, ng AS n_rows, nr AS n_rest,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(t ORDER BY c)), (x, y) -> x + y) AS jsd
+      FROM terms GROUP BY 1, 2, 3
+    )
+    SELECT part, n_rows, n_rest,
+           ROUND(jsd, 9) AS jsd,
+           ROUND(jsd / LN(2.0), 9) AS jsd_norm
+    FROM folded ORDER BY part
+    """,
+)
+def q416_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence (corpus.jsd_vs_rest) of
+    each source's language distribution against the rest of the corpus
+    — "whose mix is most unlike everything else?", the log-based
+    mixture-triage twin q354's TV/Hellinger report deliberately skips.
+    One (source, lang) grouped count; the log terms fold in language
+    order and round to 9 per the PMI/zipf log contract."""
+    from .operators.corpus import jsd_vs_rest
+
+    d = _t(spark, sf_dir, "documents")
+    out = jsd_vs_rest(d, "source", "lang")
+    return out.select(
+        "part", "n_rows", "n_rest",
+        F.round("jsd", 9).alias("jsd"),
+        F.round("jsd_norm", 9).alias("jsd_norm"),
+    ).orderBy("part")
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
@@ -21790,6 +21988,7 @@ _PRIORITY = [
     "q405_ljung_box", "q406_cochran_q", "q407_ccf", "q408_durbin_watson",
     "q409_mann_kendall", "q410_runs_test", "q411_seasonal_decompose",
     "q412_pacf", "q413_cramers_v",
+    "q414_cohens_d", "q415_wasserstein", "q416_jsd_sources",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

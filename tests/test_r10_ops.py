@@ -679,3 +679,116 @@ def test_cramers_v_matches_reference_and_bounds(spark):
     assert cramers_v(perfect, "a", "b").collect()[0]["v"] == pytest.approx(
         1.0, rel=1e-12
     )
+
+
+def test_cohens_d_matches_reference(spark):
+    import math
+
+    rows = [("a", 10), ("a", 12), ("a", 14), ("a", 16),
+            ("b", 9), ("b", 11), ("b", 10), ("b", 13), ("b", 12)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    from etl_java_spark.operators.experiments import cohens_d
+
+    out = cohens_d(df, "grp", "v", "a", "b").collect()[0]
+    xa = [v for g, v in rows if g == "a"]
+    xb = [v for g, v in rows if g == "b"]
+    na, nb = len(xa), len(xb)
+    ma, mb = sum(xa) / na, sum(xb) / nb
+    ssa = sum(v * v for v in xa) - sum(xa) ** 2 / na
+    ssb = sum(v * v for v in xb) - sum(xb) ** 2 / nb
+    sp = math.sqrt((ssa + ssb) / (na + nb - 2))
+    d = (ma - mb) / sp
+    g = d * (1 - 3 / (4 * (na + nb) - 9))
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert out["mean_a"] == pytest.approx(ma, rel=1e-12)
+    assert out["s_pooled"] == pytest.approx(sp, rel=1e-12)
+    assert out["d"] == pytest.approx(d, rel=1e-12)
+    assert out["g"] == pytest.approx(g, rel=1e-12)
+
+
+def test_wasserstein_matches_reference_and_properties(spark):
+    rows = [("a", 1), ("a", 3), ("a", 3), ("a", 7),
+            ("b", 2), ("b", 3), ("b", 9)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    from etl_java_spark.operators.experiments import wasserstein_1d
+
+    out = wasserstein_1d(df, "grp", "v", "a", "b").collect()[0]
+
+    def w1(xa, xb):
+        vals = sorted(set(xa) | set(xb))
+        na, nb = len(xa), len(xb)
+        ca = cb = 0
+        tot = 0
+        for i, v in enumerate(vals[:-1]):
+            ca += sum(1 for x in xa if x == v)
+            cb += sum(1 for x in xb if x == v)
+            tot += abs(ca * nb - cb * na) * (vals[i + 1] - v)
+        return tot / (na * nb)
+
+    xa = [v for g, v in rows if g == "a"]
+    xb = [v for g, v in rows if g == "b"]
+    assert out["n_values"] == 5
+    assert out["w1"] == pytest.approx(w1(xa, xb), rel=1e-12)
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [("a", 5), ("a", 8), ("b", 5), ("b", 8)], "grp string, v long"
+    )
+    assert wasserstein_1d(same, "grp", "v", "a", "b").collect()[0][
+        "w1"
+    ] == 0.0
+    # point masses at 2 and 10 -> exactly the gap
+    pts = spark.createDataFrame(
+        [("a", 2), ("a", 2), ("b", 10)], "grp string, v long"
+    )
+    assert wasserstein_1d(pts, "grp", "v", "a", "b").collect()[0][
+        "w1"
+    ] == 8.0
+
+
+def test_jsd_vs_rest_matches_reference_and_bounds(spark):
+    import math
+
+    rows = (
+        [("s1", "en")] * 6 + [("s1", "de")] * 2
+        + [("s2", "en")] * 3 + [("s2", "de")] * 5
+        + [("s3", "fr")] * 4
+    )
+    df = spark.createDataFrame(rows, "src string, lang string")
+    from etl_java_spark.operators.corpus import jsd_vs_rest
+
+    out = {r["part"]: r for r in jsd_vs_rest(df, "src", "lang").collect()}
+
+    def jsd(p_counts, q_counts):
+        cats = sorted(set(p_counts) | set(q_counts))
+        np_, nq = sum(p_counts.values()), sum(q_counts.values())
+        tot = 0.0
+        for c in cats:
+            p = p_counts.get(c, 0) / np_
+            q = q_counts.get(c, 0) / nq
+            t = 0.0
+            if p > 0:
+                t += p * math.log(2 * p / (p + q))
+            if q > 0:
+                t += q * math.log(2 * q / (p + q))
+            tot += 0.5 * t
+        return tot
+
+    from collections import Counter
+
+    per = {s: Counter(l for g, l in rows if g == s) for s in ("s1", "s2", "s3")}
+    for s in per:
+        rest = Counter()
+        for o, c in per.items():
+            if o != s:
+                rest += c
+        assert out[s]["jsd"] == pytest.approx(jsd(per[s], rest), rel=1e-12)
+    # s3's support (fr) is disjoint from the rest -> saturates at ln 2
+    assert out["s3"]["jsd"] == pytest.approx(math.log(2.0), rel=1e-12)
+    assert out["s3"]["jsd_norm"] == pytest.approx(1.0, rel=1e-12)
+    # an identical-mix partition scores ~0
+    bal = spark.createDataFrame(
+        [("x", "en"), ("x", "de"), ("y", "en"), ("y", "de")],
+        "src string, lang string",
+    )
+    for r in jsd_vs_rest(bal, "src", "lang").collect():
+        assert abs(r["jsd"]) < 1e-15
