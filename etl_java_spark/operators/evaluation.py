@@ -1694,3 +1694,200 @@ def spiegelhalter_z(
         zst.alias("z"),
         (F.lit(2.0) * normal_sf(F.abs(zst))).alias("p_value"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    cat_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED number
+    of raters per item, the many-annotator generalization of
+    cohens_kappa (two annotators) for label-quality gates on
+    crowd/ensemble-labeled corpora:
+
+        P_i   = (SUM_j n_ij^2 - n) / (n (n - 1))      per item
+        P_bar = (SA - N n) / (N n (n - 1)),  SA = SUM_ij n_ij^2
+        P_e   = SUM_j c_j^2 / (N n)^2
+        kappa = (P_bar - P_e) / (1 - P_e)
+
+    Items whose rating count differs from ``n_raters`` are DROPPED
+    (Fleiss' statistic is undefined for ragged panels — the
+    krippendorff_alpha sibling handles those); the kept count is
+    reported so silent attrition is visible. Every moment (SA, c_j,
+    N) is an exact integer from ONE (item, category) grouped count —
+    map-side combinable, order-independent — and the kappa tree is
+    fixed doubles. Returns one row:
+    (n_items, n_raters, n_categories, p_bar, p_e, kappa).
+    """
+    cells = (
+        df.filter(F.col(item_col).isNotNull() & F.col(cat_col).isNotNull())
+        .groupBy(F.col(item_col).alias("i"), F.col(cat_col).alias("c"))
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    mi = cells.groupBy("i").agg(F.sum("k").cast("long").alias("m"))
+    kept = mi.filter(F.col("m") == n_raters).select("i")
+    kc = cells.join(kept, "i")
+    sa = kc.agg(
+        F.sum(
+            F.col("k").cast("decimal(19,0)") * F.col("k").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sa")
+    )
+    ni = kept.agg(F.count("*").cast("long").alias("n_items"))
+    cj = kc.groupBy("c").agg(F.sum("k").cast("long").alias("cj"))
+    sc = cj.agg(
+        F.sum(
+            F.col("cj").cast("decimal(19,0)")
+            * F.col("cj").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sc"),
+        F.count("*").cast("long").alias("n_categories"),
+    )
+    j = ni.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sc))
+    nd = F.col("n_items").cast("double")
+    rn = F.lit(float(n_raters))
+    rn1 = F.lit(float(n_raters - 1))
+    pbar = (F.col("sa").cast("double") - nd * rn) / (nd * rn * rn1)
+    pe = F.col("sc").cast("double") / ((nd * rn) * (nd * rn))
+    return j.select(
+        "n_items",
+        F.lit(n_raters).cast("long").alias("n_raters"),
+        "n_categories",
+        pbar.alias("p_bar"),
+        pe.alias("p_e"),
+        ((pbar - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) — the agreement
+    coefficient that, unlike fleiss_kappa, accepts RAGGED panels
+    (any number >= 2 of ratings per item; items with one rating are
+    excluded by definition):
+
+        D_o = (1/n) SUM_i (m_i^2 - SUM_c n_ic^2) / (m_i - 1)
+        D_e = (n^2 - SUM_c c_c^2) / (n (n - 1))
+        alpha = 1 - D_o / D_e
+
+    with m_i the item's rating count and n = SUM m_i over kept items.
+    Every count is exact from ONE (item, category) grouped pass; the
+    per-item disagreement terms are doubles cast to decimal(38,18)
+    before the sum (the source_divergence order-independence trick —
+    a 100 TB shuffle cannot perturb the total). Returns one row:
+    (n_items, n_ratings, d_o, d_e, alpha).
+    """
+    cells = (
+        df.filter(F.col(item_col).isNotNull() & F.col(cat_col).isNotNull())
+        .groupBy(F.col(item_col).alias("i"), F.col(cat_col).alias("c"))
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    per = cells.groupBy("i").agg(
+        F.sum("k").cast("long").alias("m"),
+        F.sum(
+            F.col("k").cast("decimal(19,0)") * F.col("k").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    kept = per.filter(F.col("m") >= 2)
+    md = F.col("m").cast("double")
+    term = (md * md - F.col("s2").cast("double")) / (md - F.lit(1.0))
+    s = kept.agg(
+        F.sum(term.cast("decimal(38,18)")).cast("decimal(38,18)").alias("s"),
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("m").cast("long").alias("n"),
+    )
+    ck = cells.join(kept.select("i"), "i").groupBy("c").agg(
+        F.sum("k").cast("long").alias("ck")
+    )
+    sc = ck.agg(
+        F.sum(
+            F.col("ck").cast("decimal(19,0)")
+            * F.col("ck").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sc")
+    )
+    j = s.crossJoin(F.broadcast(sc))
+    nd = F.col("n").cast("double")
+    d_o = F.col("s").cast("double") / nd
+    d_e = (nd * nd - F.col("sc").cast("double")) / (nd * (nd - F.lit(1.0)))
+    return j.select(
+        "n_items",
+        F.col("n").alias("n_ratings"),
+        d_o.alias("d_o"),
+        d_e.alias("d_e"),
+        (F.lit(1.0) - d_o / d_e).alias("alpha"),
+    )
+
+
+def mcc_from_confusion(
+    conf: DataFrame,
+    true_col: str = "true_label",
+    pred_col: str = "pred_label",
+    n_col: str = "n",
+) -> DataFrame:
+    """Multiclass Matthews correlation coefficient from a (true, pred,
+    n) CONFUSION TABLE — the single-number classifier summary that,
+    unlike accuracy or micro-F1, stays honest under class imbalance
+    (Gorodkin's R_K generalization):
+
+        MCC = (c s - SUM_k p_k t_k)
+              / sqrt((s^2 - SUM p_k^2) (s^2 - SUM t_k^2))
+
+    with s total, c correct, t_k/p_k the actual/predicted class
+    totals. Metadata-sized input by design (share the scoring pass
+    with f1_from_confusion, q343). Every moment is an exact integer
+    in decimal (overflow-safe at any scale); MCC is one fixed double
+    tree. Returns one row: (n_rows, n_correct, n_classes, mcc).
+    """
+    t = F.col(true_col)
+    p = F.col(pred_col)
+    n = F.col(n_col).cast("long")
+    tots = conf.agg(
+        F.sum(n).cast("long").alias("s"),
+        F.sum(F.when(t == p, n).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c"),
+    )
+    tk = conf.groupBy(t.alias("cl")).agg(F.sum(n).cast("long").alias("tn"))
+    pk = conf.groupBy(p.alias("cl")).agg(F.sum(n).cast("long").alias("pn"))
+    cls = (
+        tk.join(pk, "cl", "full_outer")
+        .select(
+            F.coalesce("tn", F.lit(0)).cast("decimal(19,0)").alias("tn"),
+            F.coalesce("pn", F.lit(0)).cast("decimal(19,0)").alias("pn"),
+        )
+    )
+    mom = cls.agg(
+        F.sum(F.col("tn") * F.col("pn")).cast("decimal(38,0)").alias("stp"),
+        F.sum(F.col("tn") * F.col("tn")).cast("decimal(38,0)").alias("st2"),
+        F.sum(F.col("pn") * F.col("pn")).cast("decimal(38,0)").alias("sp2"),
+        F.count("*").cast("long").alias("n_classes"),
+    )
+    j = tots.crossJoin(F.broadcast(mom))
+    sd = F.col("s").cast("double")
+    denom2 = (sd * sd - F.col("sp2").cast("double")) * (
+        sd * sd - F.col("st2").cast("double")
+    )
+    # sklearn convention: a degenerate margin (one class never
+    # predicted, or single-class truth) zeroes the denominator -> 0
+    mcc = F.when(
+        denom2 > 0,
+        (F.col("c").cast("double") * sd - F.col("stp").cast("double"))
+        / F.sqrt(denom2),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("s").alias("n_rows"),
+        F.col("c").alias("n_correct"),
+        "n_classes",
+        mcc.alias("mcc"),
+    )

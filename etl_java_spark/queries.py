@@ -21959,6 +21959,227 @@ def q416_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("part")
 
 
+# --------------------------------------------------------------------------
+# round-10 sixth wave: inter-rater agreement and imbalance-honest scores
+
+
+@_q(
+    "q417_fleiss_kappa",
+    """
+    WITH cells AS (
+      SELECT l_orderkey AS i, l_returnflag AS c,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM lineitem GROUP BY 1, 2
+    ), mi AS (
+      SELECT i, CAST(SUM(k) AS BIGINT) AS m FROM cells GROUP BY 1
+    ), kept AS (
+      SELECT i FROM mi WHERE m = 4
+    ), kc AS (
+      SELECT cells.* FROM cells JOIN kept USING (i)
+    ), ni AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM kept
+    ), sa AS (
+      SELECT CAST(SUM(k * k) AS BIGINT) AS sa FROM kc
+    ), cj AS (
+      SELECT c, CAST(SUM(k) AS BIGINT) AS cj FROM kc GROUP BY 1
+    ), sc AS (
+      SELECT CAST(SUM(cj * cj) AS BIGINT) AS sc,
+             CAST(COUNT(*) AS BIGINT) AS n_categories
+      FROM cj
+    ), e AS (
+      SELECT n_items, n_categories,
+             (CAST(sa AS DOUBLE) - CAST(n_items AS DOUBLE) * 4.0)
+               / (CAST(n_items AS DOUBLE) * 4.0 * 3.0) AS pbar,
+             CAST(sc AS DOUBLE)
+               / ((CAST(n_items AS DOUBLE) * 4.0)
+                  * (CAST(n_items AS DOUBLE) * 4.0)) AS pe
+      FROM ni, sa, sc
+    )
+    SELECT n_items, CAST(4 AS BIGINT) AS n_raters, n_categories,
+           ROUND(pbar, 12) AS p_bar, ROUND(pe, 12) AS p_e,
+           ROUND((pbar - pe) / (1.0 - pe), 12) AS kappa
+    FROM e
+    """,
+)
+def q417_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (evaluation.fleiss_kappa) treating each 4-line
+    order as an item rated by 4 "annotators" (its lineitems) on the
+    return-flag category — the many-rater generalization of q268's
+    two-annotator Cohen's kappa. Near-zero by construction (line flags
+    within an order are nearly independent), which is exactly the
+    chance-corrected honesty the raw within-order agreement rate
+    hides. One (item, category) grouped count; exact integer moments;
+    fixed double tree."""
+    from .operators.evaluation import fleiss_kappa
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = fleiss_kappa(
+        li.select(
+            F.col("l_orderkey").alias("i"), F.col("l_returnflag").alias("c")
+        ),
+        "i", "c", n_raters=4,
+    )
+    return out.select(
+        "n_items", "n_raters", "n_categories",
+        F.round("p_bar", 12).alias("p_bar"),
+        F.round("p_e", 12).alias("p_e"),
+        F.round("kappa", 12).alias("kappa"),
+    )
+
+
+@_q(
+    "q418_krippendorff",
+    """
+    WITH cells AS (
+      SELECT l_orderkey AS i, l_returnflag AS c,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM lineitem GROUP BY 1, 2
+    ), per AS (
+      SELECT i, CAST(SUM(k) AS BIGINT) AS m,
+             CAST(SUM(k * k) AS BIGINT) AS s2
+      FROM cells GROUP BY 1
+    ), kept AS (
+      SELECT * FROM per WHERE m >= 2
+    ), s AS (
+      SELECT CAST(SUM(CAST(
+               (CAST(m AS DOUBLE) * CAST(m AS DOUBLE) - CAST(s2 AS DOUBLE))
+               / (CAST(m AS DOUBLE) - 1.0)
+             AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(m) AS BIGINT) AS n
+      FROM kept
+    ), ck AS (
+      SELECT c, CAST(SUM(k) AS BIGINT) AS ck
+      FROM cells JOIN (SELECT i FROM kept) USING (i) GROUP BY 1
+    ), sc AS (
+      SELECT CAST(SUM(ck * ck) AS BIGINT) AS sc FROM ck
+    ), e AS (
+      SELECT n_items, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS d_o,
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sc AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS d_e
+      FROM s, sc
+    )
+    SELECT n_items, n AS n_ratings,
+           ROUND(d_o, 12) AS d_o, ROUND(d_e, 12) AS d_e,
+           ROUND(1.0 - d_o / d_e, 12) AS alpha
+    FROM e
+    """,
+)
+def q418_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (evaluation.
+    krippendorff_alpha) over the same order/lineitem "panel" as q417
+    but WITHOUT the equal-raters restriction — every order with >= 2
+    lineitems contributes, weighted 1/(m_i - 1) per Krippendorff's
+    coincidence construction. The per-item disagreement terms sum
+    through decimal(38,18) casts (order-independent); D_e is exact
+    integer arithmetic."""
+    from .operators.evaluation import krippendorff_alpha
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = krippendorff_alpha(
+        li.select(
+            F.col("l_orderkey").alias("i"), F.col("l_returnflag").alias("c")
+        ),
+        "i", "c",
+    )
+    return out.select(
+        "n_items", "n_ratings",
+        F.round("d_o", 12).alias("d_o"),
+        F.round("d_e", 12).alias("d_e"),
+        F.round("alpha", 12).alias("alpha"),
+    )
+
+
+@_q(
+    "q419_mcc",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             CAST(UNNEST(generate_series(0, LEN(embedding) - 1)) AS INTEGER) AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS lab, pos,
+             list_sum(list(x ORDER BY vec_id)) / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM flat GROUP BY 1, 2
+    ), cvec AS (
+      SELECT lab, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1
+    ), scored AS (
+      SELECT e.vec_id, e.label AS true_label, c.lab AS pred_label,
+        list_sum(list_transform(list_zip(e.embedding, c.cv),
+          p -> CAST(p[1] AS DOUBLE) * p[2])) AS dot,
+        list_sum(list_transform(e.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv,
+        list_sum(list_transform(c.cv, x -> x * x)) AS ncn
+      FROM embeddings e CROSS JOIN cvec c
+    ), assigned AS (
+      SELECT vec_id, true_label, pred_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+               CASE WHEN nv > 0 AND ncn > 0 THEN dot / (SQRT(nv) * SQRT(ncn))
+                    ELSE 0.0 END DESC, pred_label ASC) AS rn
+      FROM scored
+    ), conf AS (
+      SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assigned WHERE rn = 1 GROUP BY 1, 2
+    ), tots AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN true_label = pred_label THEN n ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM conf
+    ), tk AS (
+      SELECT true_label AS cl, CAST(SUM(n) AS BIGINT) AS tn
+      FROM conf GROUP BY 1
+    ), pk AS (
+      SELECT pred_label AS cl, CAST(SUM(n) AS BIGINT) AS pn
+      FROM conf GROUP BY 1
+    ), cls AS (
+      SELECT CAST(COALESCE(tn, 0) AS BIGINT) AS tn,
+             CAST(COALESCE(pn, 0) AS BIGINT) AS pn
+      FROM tk FULL OUTER JOIN pk ON tk.cl = pk.cl
+    ), mom AS (
+      SELECT CAST(SUM(tn * pn) AS BIGINT) AS stp,
+             CAST(SUM(tn * tn) AS BIGINT) AS st2,
+             CAST(SUM(pn * pn) AS BIGINT) AS sp2,
+             CAST(COUNT(*) AS BIGINT) AS n_classes
+      FROM cls
+    ), e AS (
+      SELECT s, c, n_classes,
+             CASE WHEN (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        - CAST(sp2 AS DOUBLE))
+                       * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          - CAST(st2 AS DOUBLE)) > 0 THEN
+               (CAST(c AS DOUBLE) * CAST(s AS DOUBLE) - CAST(stp AS DOUBLE))
+               / SQRT((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       - CAST(sp2 AS DOUBLE))
+                      * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         - CAST(st2 AS DOUBLE)))
+             ELSE 0.0 END AS mcc
+      FROM tots, mom
+    )
+    SELECT s AS n_rows, c AS n_correct, n_classes, ROUND(mcc, 12) AS mcc
+    FROM e
+    """,
+)
+def q419_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass Matthews correlation (evaluation.mcc_from_confusion)
+    over q261's nearest-centroid confusion table — the
+    imbalance-honest single number beside q343's per-class F1 sheet,
+    from the SAME shared scoring pass (the readout is arithmetic on a
+    #classes^2 metadata table). Gorodkin R_K; exact integer moments;
+    one sqrt."""
+    from .operators.evaluation import mcc_from_confusion
+    from .operators.similarity import nearest_centroid_confusion
+
+    e = _t(spark, sf_dir, "embeddings")
+    conf = nearest_centroid_confusion(e, "embedding", "vec_id", "label")
+    out = mcc_from_confusion(conf)
+    return out.select(
+        "n_rows", "n_correct", "n_classes",
+        F.round("mcc", 12).alias("mcc"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
@@ -21989,6 +22210,7 @@ _PRIORITY = [
     "q409_mann_kendall", "q410_runs_test", "q411_seasonal_decompose",
     "q412_pacf", "q413_cramers_v",
     "q414_cohens_d", "q415_wasserstein", "q416_jsd_sources",
+    "q417_fleiss_kappa", "q418_krippendorff", "q419_mcc",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

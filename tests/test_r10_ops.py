@@ -792,3 +792,108 @@ def test_jsd_vs_rest_matches_reference_and_bounds(spark):
     )
     for r in jsd_vs_rest(bal, "src", "lang").collect():
         assert abs(r["jsd"]) < 1e-15
+
+
+def test_fleiss_kappa_matches_reference(spark):
+    # 6 items x 3 raters over categories x/y/z (+ one ragged item
+    # that must be dropped)
+    panel = {
+        1: ["x", "x", "x"], 2: ["x", "x", "y"], 3: ["y", "y", "z"],
+        4: ["z", "z", "z"], 5: ["x", "y", "z"], 6: ["y", "y", "y"],
+        7: ["x", "x"],  # ragged -> dropped
+    }
+    rows = [(i, c) for i, cs in panel.items() for c in cs]
+    df = spark.createDataFrame(rows, "i long, c string")
+    from etl_java_spark.operators.evaluation import fleiss_kappa
+
+    out = fleiss_kappa(df, "i", "c", n_raters=3).collect()[0]
+    kept = {i: cs for i, cs in panel.items() if len(cs) == 3}
+    N, n = len(kept), 3
+    from collections import Counter
+
+    sa = sum(
+        sum(v * v for v in Counter(cs).values()) for cs in kept.values()
+    )
+    cj = Counter(c for cs in kept.values() for c in cs)
+    p_bar = (sa - N * n) / (N * n * (n - 1))
+    p_e = sum(v * v for v in cj.values()) / (N * n) ** 2
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert out["n_items"] == N and out["n_raters"] == 3
+    assert out["n_categories"] == 3
+    assert out["p_bar"] == pytest.approx(p_bar, rel=1e-12)
+    assert out["p_e"] == pytest.approx(p_e, rel=1e-12)
+    assert out["kappa"] == pytest.approx(kappa, rel=1e-12)
+    # unanimous panel -> kappa = 1
+    uni = spark.createDataFrame(
+        [(1, "x")] * 3 + [(2, "y")] * 3, "i long, c string"
+    )
+    assert fleiss_kappa(uni, "i", "c", 3).collect()[0]["kappa"] == 1.0
+
+
+def test_krippendorff_alpha_matches_reference(spark):
+    # ragged panel: items rated by 2-4 raters; singleton dropped
+    panel = {
+        1: ["a", "a"], 2: ["a", "b", "a"], 3: ["b", "b", "b", "b"],
+        4: ["a", "b"], 5: ["b"],  # singleton -> excluded
+    }
+    rows = [(i, c) for i, cs in panel.items() for c in cs]
+    df = spark.createDataFrame(rows, "i long, c string")
+    from etl_java_spark.operators.evaluation import krippendorff_alpha
+
+    out = krippendorff_alpha(df, "i", "c").collect()[0]
+    kept = {i: cs for i, cs in panel.items() if len(cs) >= 2}
+    from collections import Counter
+
+    n = sum(len(cs) for cs in kept.values())
+    s = sum(
+        (len(cs) ** 2 - sum(v * v for v in Counter(cs).values()))
+        / (len(cs) - 1)
+        for cs in kept.values()
+    )
+    ck = Counter(c for cs in kept.values() for c in cs)
+    d_o = s / n
+    d_e = (n * n - sum(v * v for v in ck.values())) / (n * (n - 1))
+    assert out["n_items"] == len(kept) and out["n_ratings"] == n
+    assert out["d_o"] == pytest.approx(d_o, rel=1e-12)
+    assert out["d_e"] == pytest.approx(d_e, rel=1e-12)
+    assert out["alpha"] == pytest.approx(1 - d_o / d_e, rel=1e-12)
+    # perfect agreement -> alpha = 1
+    perf = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b")], "i long, c string"
+    )
+    assert krippendorff_alpha(perf, "i", "c").collect()[0]["alpha"] == 1.0
+
+
+def test_mcc_matches_binary_closed_form(spark):
+    import math
+
+    # binary confusion: tp=50 fn=10 fp=5 tn=35
+    conf = spark.createDataFrame(
+        [("p", "p", 50), ("p", "n", 10), ("n", "p", 5), ("n", "n", 35)],
+        "true_label string, pred_label string, n long",
+    )
+    from etl_java_spark.operators.evaluation import mcc_from_confusion
+
+    out = mcc_from_confusion(conf).collect()[0]
+    tp, fn, fp, tn = 50, 10, 5, 35
+    want = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert out["n_rows"] == 100 and out["n_correct"] == 85
+    assert out["n_classes"] == 2
+    assert out["mcc"] == pytest.approx(want, rel=1e-12)
+    # perfect multiclass prediction -> 1; a class never predicted
+    # still counts via the full-outer class union
+    perf = spark.createDataFrame(
+        [("a", "a", 7), ("b", "b", 3), ("c", "c", 1)],
+        "true_label string, pred_label string, n long",
+    )
+    assert mcc_from_confusion(perf).collect()[0]["mcc"] == pytest.approx(
+        1.0, rel=1e-12
+    )
+    skew = spark.createDataFrame(
+        [("a", "a", 9), ("b", "a", 1)],
+        "true_label string, pred_label string, n long",
+    )
+    r = mcc_from_confusion(skew).collect()[0]
+    assert r["n_classes"] == 2 and r["mcc"] == 0.0
