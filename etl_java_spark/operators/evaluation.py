@@ -1574,6 +1574,33 @@ def kendall_tau_b(
     in decimal; one double division + sqrt at the end. Returns one row:
     (n_rows, n_concordant, n_discordant, tau_b) with tau rounded 12.
     """
+    j = _ordinal_pair_counts(df, x_col, y_col)
+    d38 = "decimal(38,0)"
+    # doubled pair counts keep everything integer: 2*n0 = n(n-1),
+    # 2*Tx = sum cx(cx-1), ... ; the doubling cancels in the ratio
+    n0_2 = (F.col("n") * (F.col("n") - 1)).cast(d38)
+    num = (F.col("p") - F.col("q")).cast("double") * F.lit(2.0)
+    den = F.sqrt(
+        (n0_2 - F.col("tx2")).cast("double")
+        * (n0_2 - F.col("ty2")).cast("double")
+    )
+    # try_divide: a constant column ties every pair — tau undefined
+    return j.select(
+        (F.col("n").cast("long")).alias("n_rows"),
+        F.col("p").cast("long").alias("n_concordant"),
+        F.col("q").cast("long").alias("n_discordant"),
+        F.round(F.try_divide(num, den), 12).alias("tau_b"),
+    )
+
+
+def _ordinal_pair_counts(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Shared concordant/discordant pair machinery for the ordinal
+    association family (kendall_tau_b, somers_d): collapse rows to the
+    QUANTIZED (x, y) cell table, self-join strictly-ordered cell pairs,
+    and return ONE row of exact decimal pair moments:
+    (n, p, q, tx2, ty2) = (row count, concordant pairs, discordant
+    pairs, 2*x-tie pairs, 2*y-tie pairs).
+    """
     d38 = "decimal(38,0)"
     # pinned eagerly: the cell grid is metadata-sized but feeds four
     # consumers (self-join both sides, totals, tie counts) — without
@@ -1621,25 +1648,139 @@ def kendall_tau_b(
             F.sum((F.col("cy") * (F.col("cy") - 1)).cast(d38)).alias("ty2")
         )
     )
-    j = (
+    return (
         pq.crossJoin(F.broadcast(n_tot))
         .crossJoin(F.broadcast(tx))
         .crossJoin(F.broadcast(ty))
     )
-    # doubled pair counts keep everything integer: 2*n0 = n(n-1),
-    # 2*Tx = sum cx(cx-1), ... ; the doubling cancels in the ratio
+
+
+def somers_d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Somers' D and Goodman-Kruskal gamma over QUANTIZED columns —
+    the ASYMMETRIC cousins of kendall_tau_b from the same exact pair
+    counts (x the predictor, y the response):
+
+        gamma = (P - Q) / (P + Q)
+        D_yx  = (P - Q) / (n0 - Tx)   (y given x: x-ties excluded)
+        D_xy  = (P - Q) / (n0 - Ty)
+
+    D_yx is the ordinal-model quality readout (it equals 2*AUC - 1
+    when x is binary), gamma the tie-ignoring association. Shares
+    _ordinal_pair_counts' quantized-input contract: rows collapse to
+    the (x, y) cell table first, so callers band continuous metrics
+    upstream — the knob that bounds the O(C^2) cell grid. All pair
+    counts exact integers in decimal; one double division per
+    statistic. Returns one row:
+    (n_rows, n_concordant, n_discordant, gamma, d_yx, d_xy).
+    """
+    j = _ordinal_pair_counts(df, x_col, y_col)
+    d38 = "decimal(38,0)"
     n0_2 = (F.col("n") * (F.col("n") - 1)).cast(d38)
-    num = (F.col("p") - F.col("q")).cast("double") * F.lit(2.0)
-    den = F.sqrt(
-        (n0_2 - F.col("tx2")).cast("double")
-        * (n0_2 - F.col("ty2")).cast("double")
-    )
-    # try_divide: a constant column ties every pair — tau undefined
+    num = (F.col("p") - F.col("q")).cast("double")
+    num2 = num * F.lit(2.0)
     return j.select(
         (F.col("n").cast("long")).alias("n_rows"),
         F.col("p").cast("long").alias("n_concordant"),
         F.col("q").cast("long").alias("n_discordant"),
-        F.round(F.try_divide(num, den), 12).alias("tau_b"),
+        F.round(
+            F.try_divide(num, (F.col("p") + F.col("q")).cast("double")), 12
+        ).alias("gamma"),
+        F.round(
+            F.try_divide(num2, (n0_2 - F.col("tx2")).cast("double")), 12
+        ).alias("d_yx"),
+        F.round(
+            F.try_divide(num2, (n0_2 - F.col("ty2")).cast("double")), 12
+        ).alias("d_xy"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+    n_items: int,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability over a
+    (subject, item, score) long table — "do these k item scores
+    measure one underlying trait?", the scale-reliability gate before
+    averaging rubric scores into a single label:
+
+        alpha = k/(k-1) * (1 - SUM_i var_i / var_total)
+
+    with var_i the across-subject variance of item i and var_total the
+    variance of subject score totals (sample variances, n-1). Subjects
+    whose item count differs from ``n_items`` are DROPPED (alpha needs
+    a complete panel; the kept count is reported). Exactness: both
+    variance terms reduce to EXACT integer moment sums —
+    SUM_i var_i = (SUM_i sxx_i - SUM_i sx_i^2 / N) / (N - 1) — so the
+    whole statistic is a fixed double tree over decimals. Two grouped
+    aggregates over one scan (per-item and per-subject moments).
+    Returns one row:
+    (n_subjects, k_items, item_var_sum, total_var, alpha).
+    """
+    d38 = "decimal(38,0)"
+    base = (
+        df.select(
+            F.col(subject_col).alias("s"),
+            F.col(item_col).alias("it"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .filter(
+            F.col("s").isNotNull()
+            & F.col("it").isNotNull()
+            & F.col("v").isNotNull()
+        )
+    )
+    per_subj = base.groupBy("s").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.col("v").cast(d38)).cast(d38).alias("t"),
+    )
+    kept = per_subj.filter(F.col("cnt") == n_items)
+    subj = kept.agg(
+        F.count("*").cast("long").alias("n_subjects"),
+        F.sum("t").cast(d38).alias("st"),
+        F.sum((F.col("t") * F.col("t")).cast(d38)).cast(d38).alias("stt"),
+    )
+    items = (
+        base.join(kept.select("s"), "s")
+        .groupBy("it")
+        .agg(
+            F.sum(F.col("v").cast(d38)).cast(d38).alias("sx"),
+            F.sum((F.col("v").cast(d38) * F.col("v")).cast(d38))
+            .cast(d38)
+            .alias("sxx"),
+        )
+        .agg(
+            F.sum("sxx").cast(d38).alias("sxx_all"),
+            F.sum((F.col("sx") * F.col("sx")).cast(d38))
+            .cast(d38)
+            .alias("sx2_all"),
+        )
+    )
+    j = subj.crossJoin(F.broadcast(items))
+    nd = F.col("n_subjects").cast("double")
+    ivs = (
+        F.col("sxx_all").cast("double")
+        - F.col("sx2_all").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    tv = (
+        F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    k = F.lit(float(n_items))
+    return j.select(
+        "n_subjects",
+        F.lit(n_items).cast("long").alias("k_items"),
+        ivs.alias("item_var_sum"),
+        tv.alias("total_var"),
+        (
+            k / (k - F.lit(1.0)) * (F.lit(1.0) - F.try_divide(ivs, tv))
+        ).alias("alpha"),
     )
 
 

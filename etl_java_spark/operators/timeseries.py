@@ -2301,3 +2301,70 @@ def pacf_sql(
     {selects}
     ORDER BY lag
     """
+
+
+def c_index(
+    df: DataFrame,
+    dur_col: str,
+    event_col: str,
+    risk_col: str,
+) -> DataFrame:
+    """Harrell's concordance index for censored survival data — "does
+    the risk score rank subjects in the order they actually fail?",
+    the discrimination readout beside the KM/Nelson-Aalen curves
+    (q269/q379) and the log-rank test (q381):
+
+        comparable pairs: dur_i < dur_j AND event_i = 1
+        C = (concordant + 0.5 * risk-ties) / comparable,
+        concordant = risk_i > risk_j (higher risk fails earlier)
+
+    Scalable shape (the kendall_tau_b cell-grid discipline): rows
+    collapse to the (dur, risk, event) CELL table first, and the pair
+    counting is a cell self-join on dur_a < dur_b with the event-side
+    filter — O(C^2) for C distinct cells, which is why BOTH duration
+    and risk must be quantized/banded upstream (the knob that bounds
+    the grid; q420 bands lifetimes to weeks). Same-time pairs are
+    excluded (the standard Harrell usable-pair definition). All pair
+    counts exact integers in decimal; C = (2*conc + ties) / (2*comp)
+    is one double division. Returns one row:
+    (n_comparable, n_concordant, n_tied_risk, c_index).
+    """
+    d38 = "decimal(38,0)"
+    cells = (
+        df.select(
+            F.col(dur_col).cast("long").alias("t"),
+            F.col(event_col).cast("int").alias("e"),
+            F.col(risk_col).cast("long").alias("r"),
+        )
+        .filter(
+            F.col("t").isNotNull()
+            & F.col("e").isNotNull()
+            & F.col("r").isNotNull()
+        )
+        .groupBy("t", "e", "r")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.filter(F.col("e") == 1).alias("a")
+    b = cells.alias("b")
+    prod = (F.col("a.c").cast(d38) * F.col("b.c")).cast(d38)
+    z = F.lit(0).cast(d38)
+    pq = a.join(b, F.col("a.t") < F.col("b.t")).agg(
+        F.sum(prod).alias("comp"),
+        F.sum(
+            F.when(F.col("a.r") > F.col("b.r"), prod).otherwise(z)
+        ).alias("conc"),
+        F.sum(
+            F.when(F.col("a.r") == F.col("b.r"), prod).otherwise(z)
+        ).alias("tied"),
+    )
+    num = (
+        F.lit(2).cast(d38) * F.col("conc") + F.col("tied")
+    ).cast("double")
+    den = (F.lit(2).cast(d38) * F.col("comp")).cast("double")
+    return pq.select(
+        F.col("comp").cast("long").alias("n_comparable"),
+        F.col("conc").cast("long").alias("n_concordant"),
+        F.col("tied").cast("long").alias("n_tied_risk"),
+        F.try_divide(num, den).alias("c_index"),
+    )

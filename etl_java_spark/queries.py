@@ -22180,6 +22180,205 @@ def q419_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 seventh wave: survival discrimination, ordinal association,
+# scale reliability
+
+
+@_q(
+    "q420_c_index",
+    """
+    WITH per AS (
+      SELECT o_custkey, MIN(o_orderdate) AS fd, MAX(o_orderdate) AS ld,
+             CAST(COUNT(*) AS BIGINT) AS risk
+      FROM orders GROUP BY 1
+    ), mx AS (
+      SELECT MAX(o_orderdate) AS m FROM orders
+    ), base AS (
+      SELECT CAST(FLOOR(DATE_DIFF('day', CAST(fd AS DATE), CAST(ld AS DATE))
+                        / 7) AS BIGINT) AS t,
+             CASE WHEN ld < m - INTERVAL 30 DAY THEN 1 ELSE 0 END AS e,
+             risk AS r
+      FROM per CROSS JOIN mx
+    ), cells AS (
+      SELECT t, e, r, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2, 3
+    ), pq AS (
+      SELECT SUM(CAST(a.c AS HUGEINT) * b.c) AS comp,
+             SUM(CASE WHEN a.r > b.r THEN CAST(a.c AS HUGEINT) * b.c
+                 ELSE CAST(0 AS HUGEINT) END) AS conc,
+             SUM(CASE WHEN a.r = b.r THEN CAST(a.c AS HUGEINT) * b.c
+                 ELSE CAST(0 AS HUGEINT) END) AS tied
+      FROM cells a JOIN cells b ON a.t < b.t WHERE a.e = 1
+    )
+    SELECT CAST(comp AS BIGINT) AS n_comparable,
+           CAST(conc AS BIGINT) AS n_concordant,
+           CAST(tied AS BIGINT) AS n_tied_risk,
+           ROUND(CAST(2 * conc + tied AS DOUBLE)
+                 / CAST(2 * comp AS DOUBLE), 12) AS c_index
+    FROM pq
+    """,
+)
+def q420_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's C-index (timeseries.c_index) over the q269/q379
+    censored customer lifetimes, banded to WEEKS (the quantized-input
+    contract that bounds the cell grid), with the customer's order
+    count as the "risk" score — does ordering frequency rank churn
+    time? Cell-grid pair counting, exact integer pair counts, one
+    division."""
+    from .operators.timeseries import c_index
+
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("fd"),
+        F.max("o_orderdate").alias("ld"),
+        F.count("*").cast("long").alias("risk"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("m"))
+    df = per.crossJoin(F.broadcast(mx)).select(
+        F.floor(
+            F.datediff(F.col("ld").cast("date"), F.col("fd").cast("date"))
+            / F.lit(7)
+        )
+        .cast("long")
+        .alias("t"),
+        (F.col("ld") < F.col("m") - F.expr("INTERVAL 30 DAYS"))
+        .cast("int")
+        .alias("e"),
+        F.col("risk").alias("r"),
+    )
+    out = c_index(df, "t", "e", "r")
+    return out.select(
+        "n_comparable", "n_concordant", "n_tied_risk",
+        F.round("c_index", 12).alias("c_index"),
+    )
+
+
+@_q(
+    "q421_somers_d",
+    """
+    WITH u AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS y
+      FROM lineitem
+    ), cells AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1, 2
+    ), pq AS (
+      SELECT SUM(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c
+                 ELSE CAST(0 AS HUGEINT) END) AS p,
+             SUM(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c
+                 ELSE CAST(0 AS HUGEINT) END) AS q
+      FROM cells a JOIN cells b ON a.x < b.x AND a.y <> b.y
+    ), nt AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), tx AS (
+      SELECT SUM(CAST(cx AS HUGEINT) * (cx - 1)) AS tx2
+      FROM (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY x)
+    ), ty AS (
+      SELECT SUM(CAST(cy AS HUGEINT) * (cy - 1)) AS ty2
+      FROM (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY y)
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(p AS BIGINT) AS n_concordant,
+           CAST(q AS BIGINT) AS n_discordant,
+           ROUND(CAST(p - q AS DOUBLE) / CAST(p + q AS DOUBLE), 12) AS gamma,
+           ROUND(CAST(p - q AS DOUBLE) * 2.0
+                 / CAST(CAST(n AS HUGEINT) * (n - 1) - tx2 AS DOUBLE),
+                 12) AS d_yx,
+           ROUND(CAST(p - q AS DOUBLE) * 2.0
+                 / CAST(CAST(n AS HUGEINT) * (n - 1) - ty2 AS DOUBLE),
+                 12) AS d_xy
+    FROM pq CROSS JOIN nt CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def q421_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D + Goodman-Kruskal gamma (evaluation.somers_d) of the
+    10k extended-price band on ordered quantity — the ASYMMETRIC
+    concordance readouts beside q384's symmetric tau-b, from the same
+    exact cell-grid pair counts (quantity x is the predictor, price
+    band y the response; D_yx excludes x-ties from the denominator)."""
+    from .operators.evaluation import somers_d
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("y"),
+    )
+    out = somers_d(df, "x", "y")
+    return out.select(
+        "n_rows", "n_concordant", "n_discordant",
+        F.round("gamma", 12).alias("gamma"),
+        F.round("d_yx", 12).alias("d_yx"),
+        F.round("d_xy", 12).alias("d_xy"),
+    )
+
+
+@_q(
+    "q422_cronbach",
+    """
+    WITH kept AS (
+      SELECT l_orderkey AS s, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS t
+      FROM lineitem GROUP BY 1 HAVING COUNT(*) = 4
+    ), subj AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS stt
+      FROM kept
+    ), items AS (
+      SELECT l_linenumber AS it,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS sxx
+      FROM lineitem JOIN (SELECT s FROM kept) k ON l_orderkey = k.s
+      GROUP BY 1
+    ), im AS (
+      SELECT CAST(SUM(sxx) AS BIGINT) AS sxx_all,
+             CAST(SUM(sx * sx) AS BIGINT) AS sx2_all
+      FROM items
+    ), e AS (
+      SELECT n_subjects,
+             (CAST(sxx_all AS DOUBLE)
+              - CAST(sx2_all AS DOUBLE) / CAST(n_subjects AS DOUBLE))
+               / (CAST(n_subjects AS DOUBLE) - 1.0) AS ivs,
+             (CAST(stt AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                / CAST(n_subjects AS DOUBLE))
+               / (CAST(n_subjects AS DOUBLE) - 1.0) AS tv
+      FROM subj, im
+    )
+    SELECT n_subjects, CAST(4 AS BIGINT) AS k_items,
+           ROUND(ivs, 9) AS item_var_sum,
+           ROUND(tv, 9) AS total_var,
+           ROUND(4.0 / (4.0 - 1.0) * (1.0 - ivs / tv), 12) AS alpha
+    FROM e
+    """,
+)
+def q422_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (evaluation.cronbach_alpha) treating each
+    4-line order as a "subject" scored by its 4 line positions on
+    quantity — near-zero by construction (line quantities are
+    independent draws), the honest reliability readout a naive
+    "orders look consistent" claim would miss. Exact integer moment
+    identities; two grouped aggregates over one scan."""
+    from .operators.evaluation import cronbach_alpha
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = cronbach_alpha(
+        li.select(
+            F.col("l_orderkey").alias("s"),
+            F.col("l_linenumber").alias("it"),
+            F.col("l_quantity").alias("v"),
+        ),
+        "s", "it", "v", n_items=4,
+    )
+    return out.select(
+        "n_subjects", "k_items",
+        F.round("item_var_sum", 9).alias("item_var_sum"),
+        F.round("total_var", 9).alias("total_var"),
+        F.round("alpha", 12).alias("alpha"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
@@ -22211,6 +22410,7 @@ _PRIORITY = [
     "q412_pacf", "q413_cramers_v",
     "q414_cohens_d", "q415_wasserstein", "q416_jsd_sources",
     "q417_fleiss_kappa", "q418_krippendorff", "q419_mcc",
+    "q420_c_index", "q421_somers_d", "q422_cronbach",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

@@ -897,3 +897,102 @@ def test_mcc_matches_binary_closed_form(spark):
     )
     r = mcc_from_confusion(skew).collect()[0]
     assert r["n_classes"] == 2 and r["mcc"] == 0.0
+
+
+def test_c_index_matches_brute_force(spark):
+    # (dur, event, risk): brute-force Harrell over rows
+    rows = [(2, 1, 9), (2, 1, 9), (4, 1, 7), (4, 0, 3), (6, 1, 5),
+            (8, 0, 5), (8, 1, 2), (9, 0, 8)]
+    df = spark.createDataFrame(rows, "t long, e int, r long")
+    from etl_java_spark.operators.timeseries import c_index
+
+    out = c_index(df, "t", "e", "r").collect()[0]
+    comp = conc = tied = 0
+    for ta, ea, ra in rows:
+        for tb, eb, rb in rows:
+            if ta < tb and ea == 1:
+                comp += 1
+                if ra > rb:
+                    conc += 1
+                elif ra == rb:
+                    tied += 1
+    assert out["n_comparable"] == comp
+    assert out["n_concordant"] == conc
+    assert out["n_tied_risk"] == tied
+    assert out["c_index"] == pytest.approx(
+        (2 * conc + tied) / (2 * comp), rel=1e-12
+    )
+    # a risk score that IS (negated) survival time ranks perfectly
+    perf = spark.createDataFrame(
+        [(t, 1, 10 - t) for t in range(1, 6)], "t long, e int, r long"
+    )
+    assert c_index(perf, "t", "e", "r").collect()[0]["c_index"] == 1.0
+
+
+def test_somers_d_matches_brute_force(spark):
+    rows = [(1, 1), (1, 2), (2, 1), (2, 3), (3, 3), (3, 3), (4, 2)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    from etl_java_spark.operators.evaluation import somers_d
+
+    out = somers_d(df, "x", "y").collect()[0]
+    P = Q = tx = ty = 0
+    n = len(rows)
+    for i in range(n):
+        for j in range(n):
+            if i < j:
+                xa, ya = rows[i]
+                xb, yb = rows[j]
+                if xa == xb:
+                    tx += 1
+                if ya == yb:
+                    ty += 1
+                if xa != xb and ya != yb:
+                    if (xa < xb) == (ya < yb):
+                        P += 1
+                    else:
+                        Q += 1
+    n0 = n * (n - 1) // 2
+    assert out["n_concordant"] == P and out["n_discordant"] == Q
+    assert out["gamma"] == pytest.approx((P - Q) / (P + Q), rel=1e-12)
+    assert out["d_yx"] == pytest.approx((P - Q) / (n0 - tx), rel=1e-12)
+    assert out["d_xy"] == pytest.approx((P - Q) / (n0 - ty), rel=1e-12)
+    # binary x: d_yx == 2*AUC - 1 (here x=0/1 groups, y the score)
+    bx = [(0, 1), (0, 2), (0, 2), (1, 3), (1, 2), (1, 5)]
+    bdf = spark.createDataFrame(bx, "x long, y long")
+    r = somers_d(bdf, "x", "y").collect()[0]
+    # AUC by brute force (ties count 1/2)
+    pos = [y for x, y in bx if x == 1]
+    neg = [y for x, y in bx if x == 0]
+    auc = sum(
+        1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg
+    ) / (len(pos) * len(neg))
+    assert r["d_yx"] == pytest.approx(2 * auc - 1, rel=1e-12)
+
+
+def test_cronbach_alpha_matches_reference(spark):
+    # 5 subjects x 3 items; a 2-item subject must be dropped
+    scores = {
+        1: [4, 5, 4], 2: [2, 3, 3], 3: [5, 5, 4], 4: [1, 2, 2],
+        5: [3, 3, 4], 6: [9, 9],  # ragged -> dropped
+    }
+    rows = [
+        (s, i + 1, v) for s, vs in scores.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "s long, it long, v long")
+    from etl_java_spark.operators.evaluation import cronbach_alpha
+
+    out = cronbach_alpha(df, "s", "it", "v", n_items=3).collect()[0]
+    kept = {s: vs for s, vs in scores.items() if len(vs) == 3}
+    N, k = len(kept), 3
+
+    def svar(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    ivs = sum(svar([vs[i] for vs in kept.values()]) for i in range(k))
+    tv = svar([sum(vs) for vs in kept.values()])
+    alpha = k / (k - 1) * (1 - ivs / tv)
+    assert out["n_subjects"] == N and out["k_items"] == k
+    assert out["item_var_sum"] == pytest.approx(ivs, rel=1e-12)
+    assert out["total_var"] == pytest.approx(tv, rel=1e-12)
+    assert out["alpha"] == pytest.approx(alpha, rel=1e-12)
