@@ -2032,3 +2032,64 @@ def mcc_from_confusion(
         "n_classes",
         mcc.alias("mcc"),
     )
+
+
+def icc_oneway(
+    df: DataFrame,
+    subject_col: str,
+    value_col: str,
+    n_items: int,
+) -> DataFrame:
+    """ICC(1,1) — one-way random-effects intraclass correlation: "how
+    much of a score's variance is the subject rather than the
+    measurement?", the continuous-score reliability companion to
+    cronbach_alpha (consistency) and fleiss_kappa (categorical):
+
+        MSB = k * var(subject means),  MSW = within-subject mean square
+        ICC(1,1) = (MSB - MSW) / (MSB + (k - 1) MSW)
+
+    Subjects with a measurement count other than ``n_items`` are
+    DROPPED (the balanced one-way layout; kept count reported). Both
+    mean squares reduce to exact integer moment identities —
+    MSB = (SUM T_s^2/k - T^2/(N k)) / (N - 1),
+    MSW = (SUM x^2 - SUM T_s^2/k) / (N (k - 1)) — so the whole readout
+    is one grouped aggregate + a fixed double tree. Returns one row:
+    (n_subjects, k_items, ms_between, ms_within, icc).
+    """
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(subject_col).alias("s"),
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("s").isNotNull() & F.col("v").isNotNull())
+    per = base.groupBy("s").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.col("v").cast(d38)).cast(d38).alias("t"),
+        F.sum((F.col("v").cast(d38) * F.col("v")).cast(d38))
+        .cast(d38)
+        .alias("xx"),
+    )
+    kept = per.filter(F.col("cnt") == n_items)
+    agg = kept.agg(
+        F.count("*").cast("long").alias("n_subjects"),
+        F.sum("t").cast(d38).alias("st"),
+        F.sum((F.col("t") * F.col("t")).cast(d38)).cast(d38).alias("stt"),
+        F.sum("xx").cast(d38).alias("sxx"),
+    )
+    nd = F.col("n_subjects").cast("double")
+    kd = F.lit(float(n_items))
+    msb = (
+        F.col("stt").cast("double") / kd
+        - F.col("st").cast("double") * F.col("st").cast("double") / (nd * kd)
+    ) / (nd - F.lit(1.0))
+    msw = (
+        F.col("sxx").cast("double") - F.col("stt").cast("double") / kd
+    ) / (nd * (kd - F.lit(1.0)))
+    return agg.select(
+        "n_subjects",
+        F.lit(n_items).cast("long").alias("k_items"),
+        msb.alias("ms_between"),
+        msw.alias("ms_within"),
+        F.try_divide(
+            msb - msw, msb + (kd - F.lit(1.0)) * msw
+        ).alias("icc"),
+    )

@@ -1976,3 +1976,141 @@ def wasserstein_1d(
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("w1"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe test statistic for equality of group variances —
+    Levene's W computed on absolute deviations from each group's
+    MEDIAN (the robust centering that keeps the test honest under the
+    skewed distributions revenue metrics actually have). The
+    homoscedasticity gate before trusting a pooled-variance readout
+    (cohens_d, welch_t's equal-variance cousin):
+
+        z_ij = |x_ij - median_i|
+        W = ((N - k) / (k - 1))
+            * SUM_i n_i (zbar_i - zbar)^2 / SUM_ij (z_ij - zbar_i)^2
+
+    The statistic is reported WITHOUT a p-value (its null is
+    F(k-1, N-k); the repo's engine-portable special-function kit has
+    no incomplete beta — the Durbin-Watson statistic-only precedent).
+
+    Exactness: the per-group LOWER median (rank ceil(n/2) over the
+    distinct-value table — the runs_test convention) is an actual data
+    value, so every z is an exact integer; group moments are exact
+    decimal sums; the two quadratic forms reduce to
+    SUM_i S_i^2/n_i - S^2/N and SS - SUM_i S_i^2/n_i with the k
+    group terms folded in group order (the kruskal determinism
+    contract). Quantized-input contract: the median cut runs over the
+    per-group distinct-value table. Returns one row:
+    (n_rows, k_groups, w_stat).
+    """
+    cells = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ng = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "g", "v", F.sum("c").over(wcum).cast("long").alias("cum")
+    )
+    med = (
+        cum.join(ng, "g")
+        .filter(
+            F.col("cum")
+            >= F.floor((F.col("n") + F.lit(1)) / F.lit(2)).cast("long")
+        )
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+    )
+    d38 = "decimal(38,0)"
+    z = F.abs(F.col("v") - F.col("med")).cast(d38)
+    per = (
+        cells.join(med, "g")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_i"),
+            F.sum(F.col("c").cast(d38) * z).cast(d38).alias("s_i"),
+            F.sum(F.col("c").cast(d38) * (z * z).cast(d38))
+            .cast(d38)
+            .alias("ss_i"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("s_i").cast(d38).alias("s"),
+        F.sum("ss_i").cast(d38).alias("ss"),
+    )
+    folded = per.select(
+        F.struct(
+            "g",
+            (
+                F.col("s_i").cast("double")
+                * F.col("s_i").cast("double")
+                / F.col("n_i").cast("double")
+            ).alias("t"),
+        ).alias("__e")
+    ).agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    sfold = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["t"]
+    )
+    j = tot.crossJoin(F.broadcast(folded))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    num = sfold - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    den = F.col("ss").cast("double") - sfold
+    return j.select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("k_groups"),
+        (((nd - kd) / (kd - F.lit(1.0))) * F.try_divide(num, den)).alias(
+            "w_stat"
+        ),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col,
+    b_col,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — "did the flag flip
+    between condition A and condition B on the same units?", the
+    within-subject counterpart of the two-proportion z (q278); only
+    the discordant pairs carry information:
+
+        z = (|b - c| - 1) / sqrt(b + c)     (continuity-corrected)
+
+    with b = #(A=1, B=0), c = #(A=0, B=1). ONE map-side-combinable
+    conditional aggregate over the scan; p from the engine-portable
+    normal tail (normal_sf contract; the chi-square-df-1 form is this
+    z squared). Returns one row: (n_pairs, n_b, n_c, z, p_value).
+    """
+    a = (F.col(a_col) if isinstance(a_col, str) else a_col).cast("int")
+    b = (F.col(b_col) if isinstance(b_col, str) else b_col).cast("int")
+    agg = df.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(a * (F.lit(1) - b)).cast("long").alias("n_b"),
+        F.sum((F.lit(1) - a) * b).cast("long").alias("n_c"),
+    )
+    z = (
+        F.abs(F.col("n_b") - F.col("n_c")).cast("double") - F.lit(1.0)
+    ) / F.sqrt((F.col("n_b") + F.col("n_c")).cast("double"))
+    return agg.select(
+        "n_pairs", "n_b", "n_c",
+        z.alias("z"),
+        (F.lit(2.0) * normal_sf(z)).alias("p_value"),
+    )

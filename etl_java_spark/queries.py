@@ -22379,6 +22379,199 @@ def q422_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 eighth wave: variance homogeneity, paired flips, continuous
+# reliability
+
+
+@_q(
+    "q423_brown_forsythe",
+    """
+    WITH u AS (
+      SELECT o_orderpriority AS g, CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+      FROM orders
+    ), cells AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1, 2
+    ), ng AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1
+    ), cum AS (
+      SELECT g, v,
+             CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM cells
+    ), med AS (
+      SELECT cum.g, MIN(v) AS med
+      FROM cum JOIN ng ON cum.g = ng.g
+      WHERE cum >= CAST(FLOOR((n + 1) / 2) AS BIGINT)
+      GROUP BY 1
+    ), per AS (
+      SELECT cells.g, CAST(SUM(c) AS BIGINT) AS n_i,
+             CAST(SUM(c * ABS(v - med)) AS BIGINT) AS s_i,
+             SUM(CAST(c AS HUGEINT)
+                 * (CAST(ABS(v - med) AS HUGEINT) * ABS(v - med))) AS ss_i
+      FROM cells JOIN med ON cells.g = med.g GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s_i) AS BIGINT) AS s, SUM(ss_i) AS ss
+      FROM per
+    ), folded AS (
+      SELECT LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+                    / CAST(n_i AS DOUBLE) ORDER BY g)),
+               (x, y) -> x + y) AS sfold
+      FROM per
+    )
+    SELECT n AS n_rows, k AS k_groups,
+           ROUND(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                  / (CAST(k AS DOUBLE) - 1.0))
+                 * ((sfold - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                    / (CAST(ss AS DOUBLE) - sfold)), 12) AS w_stat
+    FROM tot, folded
+    """,
+)
+def q423_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homoscedasticity statistic (experiments.
+    brown_forsythe) across the five order-priority groups on floored
+    order value — the robust variance-equality gate before q414's
+    pooled-variance effect size. Per-group exact lower medians over the
+    distinct-value table; exact integer deviation moments; the k group
+    terms fold in group order."""
+    from .operators.experiments import brown_forsythe
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor("o_totalprice").cast("long").alias("v"),
+    )
+    out = brown_forsythe(df, "g", "v")
+    return out.select(
+        "n_rows", "k_groups",
+        F.round("w_stat", 12).alias("w_stat"),
+    )
+
+
+def _q424_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    z = ("(CAST(ABS(n_b - n_c) AS DOUBLE) - 1.0)"
+         " / SQRT(CAST(n_b + n_c AS DOUBLE))")
+    return f"""
+    WITH ua AS (
+      SELECT o_custkey AS k,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS a
+      FROM orders GROUP BY 1
+    ), ub AS (
+      SELECT o_custkey AS k,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1
+    ), p AS (
+      SELECT ua.k, a, COALESCE(b, 0) AS b FROM ua LEFT JOIN ub ON ua.k = ub.k
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n_b,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n_c
+      FROM p
+    )
+    SELECT n_pairs, n_b, n_c,
+           ROUND({z}, 12) AS z,
+           ROUND(2.0 * {normal_sf_sql(z)}, 9) AS p_value
+    FROM agg
+    """
+
+
+@_q("q424_mcnemar", None)
+def q424_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (experiments.mcnemar_test): per customer,
+    does "ever placed an URGENT order" flip against "ever had a
+    returned item"? The within-unit flip test q278's independent-sample
+    z cannot answer — only the discordant customers carry information.
+    Continuity-corrected z; engine-portable normal tail."""
+    from .operators.experiments import mcnemar_test
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ua = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("a")
+    )
+    ub = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("b"))
+    )
+    p = ua.join(ub, "k", "left").select(
+        "a", F.coalesce("b", F.lit(0)).alias("b")
+    )
+    out = mcnemar_test(p, "a", "b")
+    return out.select(
+        "n_pairs", "n_b", "n_c",
+        F.round("z", 12).alias("z"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q424_mcnemar"] = _q424_oracle()
+
+
+@_q(
+    "q425_icc",
+    """
+    WITH per AS (
+      SELECT l_orderkey AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS t,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS xx
+      FROM lineitem GROUP BY 1
+    ), kept AS (
+      SELECT * FROM per WHERE cnt = 4
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(xx) AS BIGINT) AS sxx
+      FROM kept
+    ), e AS (
+      SELECT n_subjects,
+             (CAST(stt AS DOUBLE) / 4.0
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                / (CAST(n_subjects AS DOUBLE) * 4.0))
+               / (CAST(n_subjects AS DOUBLE) - 1.0) AS msb,
+             (CAST(sxx AS DOUBLE) - CAST(stt AS DOUBLE) / 4.0)
+               / (CAST(n_subjects AS DOUBLE) * (4.0 - 1.0)) AS msw
+      FROM agg
+    )
+    SELECT n_subjects, CAST(4 AS BIGINT) AS k_items,
+           ROUND(msb, 9) AS ms_between,
+           ROUND(msw, 9) AS ms_within,
+           ROUND((msb - msw) / (msb + (4.0 - 1.0) * msw), 12) AS icc
+    FROM e
+    """,
+)
+def q425_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1,1) intraclass correlation (evaluation.icc_oneway) over the
+    q422 panel (4-line orders scored by line quantity) — the one-way
+    random-effects reliability twin: near-zero MSB-vs-MSW ratio because
+    line quantities within an order share no "subject effect", exactly
+    what the estimator should report. Exact integer moment identities;
+    one grouped aggregate."""
+    from .operators.evaluation import icc_oneway
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = icc_oneway(
+        li.select(
+            F.col("l_orderkey").alias("s"), F.col("l_quantity").alias("v")
+        ),
+        "s", "v", n_items=4,
+    )
+    return out.select(
+        "n_subjects", "k_items",
+        F.round("ms_between", 9).alias("ms_between"),
+        F.round("ms_within", 9).alias("ms_within"),
+        F.round("icc", 12).alias("icc"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
@@ -22411,6 +22604,7 @@ _PRIORITY = [
     "q414_cohens_d", "q415_wasserstein", "q416_jsd_sources",
     "q417_fleiss_kappa", "q418_krippendorff", "q419_mcc",
     "q420_c_index", "q421_somers_d", "q422_cronbach",
+    "q423_brown_forsythe", "q424_mcnemar", "q425_icc",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

@@ -996,3 +996,91 @@ def test_cronbach_alpha_matches_reference(spark):
     assert out["item_var_sum"] == pytest.approx(ivs, rel=1e-12)
     assert out["total_var"] == pytest.approx(tv, rel=1e-12)
     assert out["alpha"] == pytest.approx(alpha, rel=1e-12)
+
+
+def test_brown_forsythe_matches_reference(spark):
+    rows = [("a", v) for v in [1, 2, 2, 3, 9]] + [
+        ("b", v) for v in [4, 4, 5, 6]
+    ] + [("c", v) for v in [1, 5, 9, 13, 17, 21]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from etl_java_spark.operators.experiments import brown_forsythe
+
+    out = brown_forsythe(df, "g", "v").collect()[0]
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    zs = {
+        g: [abs(v - lower_median(vs)) for v in vs]
+        for g, vs in groups.items()
+    }
+    N = sum(len(v) for v in zs.values())
+    k = len(zs)
+    zbar = sum(sum(v) for v in zs.values()) / N
+    num = sum(
+        len(v) * (sum(v) / len(v) - zbar) ** 2 for v in zs.values()
+    )
+    den = sum(
+        (x - sum(v) / len(v)) ** 2 for v in zs.values() for x in v
+    )
+    w = (N - k) / (k - 1) * num / den
+    assert out["n_rows"] == N and out["k_groups"] == k
+    assert out["w_stat"] == pytest.approx(w, rel=1e-12)
+    # identical spreads -> W == 0 exactly
+    same = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 11), ("b", 13)], "g string, v long"
+    )
+    assert brown_forsythe(same, "g", "v").collect()[0]["w_stat"] == 0.0
+
+
+def test_mcnemar_matches_reference(spark):
+    import math
+
+    # 3 concordant(1,1), 2 concordant(0,0), b=5 (1,0), c=2 (0,1)
+    rows = (
+        [(1, 1)] * 3 + [(0, 0)] * 2 + [(1, 0)] * 5 + [(0, 1)] * 2
+    )
+    df = spark.createDataFrame(rows, "a int, b int")
+    from etl_java_spark.operators.experiments import mcnemar_test
+
+    out = mcnemar_test(df, "a", "b").collect()[0]
+    z = (abs(5 - 2) - 1) / math.sqrt(5 + 2)
+    assert (out["n_pairs"], out["n_b"], out["n_c"]) == (12, 5, 2)
+    assert out["z"] == pytest.approx(z, rel=1e-12)
+    # concordant-only shifts never move the statistic
+    more = spark.createDataFrame(
+        rows + [(1, 1)] * 50, "a int, b int"
+    )
+    assert mcnemar_test(more, "a", "b").collect()[0]["z"] == out["z"]
+
+
+def test_icc_oneway_matches_reference(spark):
+    # strong subject effect: scores cluster tightly per subject
+    scores = {
+        1: [10, 11, 10], 2: [20, 19, 21], 3: [30, 31, 29], 4: [40, 40, 41],
+        5: [99, 1],  # ragged -> dropped
+    }
+    rows = [(s, v) for s, vs in scores.items() for v in vs]
+    df = spark.createDataFrame(rows, "s long, v long")
+    from etl_java_spark.operators.evaluation import icc_oneway
+
+    out = icc_oneway(df, "s", "v", n_items=3).collect()[0]
+    kept = {s: vs for s, vs in scores.items() if len(vs) == 3}
+    N, k = len(kept), 3
+    grand = sum(sum(vs) for vs in kept.values()) / (N * k)
+    msb = k * sum(
+        (sum(vs) / k - grand) ** 2 for vs in kept.values()
+    ) / (N - 1)
+    msw = sum(
+        (v - sum(vs) / k) ** 2 for vs in kept.values() for v in vs
+    ) / (N * (k - 1))
+    icc = (msb - msw) / (msb + (k - 1) * msw)
+    assert out["n_subjects"] == N and out["k_items"] == k
+    assert out["ms_between"] == pytest.approx(msb, rel=1e-12)
+    assert out["ms_within"] == pytest.approx(msw, rel=1e-12)
+    assert out["icc"] == pytest.approx(icc, rel=1e-12)
+    assert out["icc"] > 0.9  # the planted subject effect dominates
