@@ -639,3 +639,75 @@ def rake_keywords(
         .orderBy(F.col("score").desc(), F.col("phrase").asc())
         .limit(topk)
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    top_k: int = 10,
+    token_pattern: str = "[^a-z0-9]+",
+    min_len: int = 4,
+) -> DataFrame:
+    """TextRank keyword extraction — PageRank over the corpus-level
+    word co-occurrence graph (Mihalcea & Tarau 2004), the graph-based
+    complement of RAKE (degree/frequency heuristic) and TF-IDF
+    (distinctiveness): a word matters if it co-occurs with words that
+    matter.
+
+    Graph construction: tokens shorter than ``min_len`` are dropped
+    (the stopword-free stand-in), the survivors re-close into an
+    adjacency sequence per document, and each adjacent pair becomes an
+    UNDIRECTED edge (both directions, self-pairs dropped, DISTINCT
+    corpus-wide). Scoring delegates to graph.pagerank's fixed-sweep,
+    decimal-exact recurrence — same 100 TB design: a budgeted number
+    of rounds over a once-materialized edge list, never a convergence
+    probe. Ranking ties break on the word.
+
+    Scale knobs: ``min_len`` bounds the vocabulary (the node count);
+    the DISTINCT edge list is vocabulary-pair-bounded, not
+    token-bounded. Returns top_k rows: (word, score).
+    """
+    from .graph import pagerank
+
+    toks = F.filter(
+        F.array_remove(
+            F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
+        ),
+        lambda t: F.length(t) >= min_len,
+    )
+    # guard: sequence(2, n) DESCENDS for n < 2 — short docs get an
+    # explicit empty pair list instead of an element_at(0) error
+    pairs = (
+        df.select(toks.alias("tk"))
+        .select(
+            F.explode(
+                F.when(
+                    F.size("tk") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(2), F.size("tk")),
+                        lambda i: F.struct(
+                            F.element_at(F.col("tk"), i - 1).alias("a"),
+                            F.element_at(F.col("tk"), i).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("pr")
+        )
+        .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=iterations, damping=damping)
+    return (
+        ranks.select(F.col("node").alias("word"), F.col("rank").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("word"))
+        .limit(top_k)
+    )

@@ -2368,3 +2368,131 @@ def c_index(
         F.col("tied").cast("long").alias("n_tied_risk"),
         F.try_divide(num, den).alias("c_index"),
     )
+
+
+def hurst_rs(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    window_sizes: tuple = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis — long-range
+    dependence of a series ("do busy days clump?"): H = 0.5 for a
+    random walk's increments, H > 0.5 for persistent (trending)
+    series, H < 0.5 for mean-reverting ones. The memory diagnostic
+    beside ACF (q270, fixed lags) and CUSUM (q380, one shift):
+
+        per block of length w: R = range of mean-adjusted cumulative
+        deviations, S = population std; H = slope of
+        ln(avg R/S) on ln(w) over the window-size ladder.
+
+    Exactness: with integer-quantized values, w * prefix_j - j * S_blk
+    keeps every cumulative deviation an EXACT integer (the q411
+    multiply-through trick), so R/S = R_scaled / sqrt(w*SS - S^2) is
+    one sqrt+division per block; block averages fold in block order
+    and the 4-point log-log OLS folds in window order. Zero-variance
+    blocks are excluded (R/S undefined; n_blocks reports the kept
+    count).
+
+    Shape: the series is an upstream AGGREGATE (calendar-bounded —
+    the post-aggregate window contract); one explode over the
+    window-size ladder, one prefix window per (w, block), metadata
+    folds after. Returns one row per window size:
+    (w, n_blocks, rs_avg, hurst) with the shared slope repeated.
+    """
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.row_number()
+        .over(Window.orderBy(time_col))
+        .cast("long")
+        .alias("rn"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    ws = F.array(*[F.lit(int(w)) for w in window_sizes])
+    g = base.select(
+        F.explode(ws).alias("w0"), "rn", "v"
+    ).select(
+        F.col("w0").cast("long").alias("w"), "rn", "v"
+    ).select(
+        "w", "v",
+        F.floor((F.col("rn") - 1) / F.col("w")).cast("long").alias("blk"),
+        (
+            F.col("rn")
+            - F.floor((F.col("rn") - 1) / F.col("w")).cast("long")
+            * F.col("w")
+        ).cast("long").alias("j"),
+    )
+    wseq = Window.partitionBy("w", "blk").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("w", "blk")
+    p = g.select(
+        "w", "blk", "j", "v",
+        F.sum("v").over(wseq).cast("long").alias("pre"),
+        F.count("*").over(wall).cast("long").alias("cnt"),
+        F.sum("v").over(wall).cast("long").alias("s"),
+        F.sum((F.col("v").cast(d38) * F.col("v")).cast(d38))
+        .over(wall)
+        .cast(d38)
+        .alias("ss"),
+    ).filter(F.col("cnt") == F.col("w"))
+    dev = (
+        F.col("w").cast(d38) * F.col("pre").cast(d38)
+        - F.col("j").cast(d38) * F.col("s").cast(d38)
+    ).cast(d38)
+    rb = p.groupBy("w", "blk").agg(
+        (F.max(dev) - F.min(dev)).cast(d38).alias("rsc"),
+        F.first("s").alias("s"),
+        F.first("ss").alias("ss"),
+    )
+    var2 = (
+        F.col("w").cast(d38) * F.col("ss")
+        - (F.col("s").cast(d38) * F.col("s").cast(d38)).cast(d38)
+    ).cast(d38)
+    rs = rb.select(
+        "w", "blk",
+        (F.col("rsc").cast("double") / F.sqrt(var2.cast("double"))).alias(
+            "rs"
+        ),
+        var2.alias("v2"),
+    ).filter(F.col("v2") > 0)
+    perw = (
+        rs.select("w", F.struct("blk", "rs").alias("__e"))
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.array_sort(F.collect_list("__e")).alias("__arr"),
+        )
+        .select(
+            "w", "n_blocks",
+            (
+                F.aggregate(
+                    F.col("__arr"), F.lit(0.0), lambda a, x: a + x["rs"]
+                )
+                / F.col("n_blocks").cast("double")
+            ).alias("rs_avg"),
+        )
+    )
+    pts = perw.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "w",
+                    F.log(F.col("w").cast("double")).alias("x"),
+                    F.log("rs_avg").alias("y"),
+                )
+            )
+        ).alias("__p")
+    )
+    arr = F.col("__p")
+    n = F.size(arr).cast("double")
+    sx = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["x"])
+    sy = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["y"])
+    sxy = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["x"] * x["y"])
+    sxx = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["x"] * x["x"])
+    slope = pts.select(
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("hurst")
+    )
+    return perw.crossJoin(F.broadcast(slope)).select(
+        "w", "n_blocks", "rs_avg", "hurst"
+    ).orderBy("w")

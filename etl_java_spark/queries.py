@@ -22572,6 +22572,168 @@ def q425_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 ninth wave: long-range dependence, graph keyword extraction
+
+
+@_q(
+    "q426_hurst",
+    f"""
+    WITH {_DAILY_CENTS_SQL}, g AS (
+      SELECT w, yc AS v,
+             CAST((t - 1) // w AS BIGINT) AS blk,
+             CAST(t - ((t - 1) // w) * w AS BIGINT) AS j
+      FROM base, (SELECT UNNEST([8, 16, 32, 64]) AS w) ws
+    ), p AS (
+      SELECT w, blk, j, v,
+             CAST(SUM(v) OVER (PARTITION BY w, blk ORDER BY j
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
+             CAST(COUNT(*) OVER (PARTITION BY w, blk) AS BIGINT) AS cnt,
+             CAST(SUM(v) OVER (PARTITION BY w, blk) AS BIGINT) AS s,
+             SUM(CAST(v AS HUGEINT) * v) OVER (PARTITION BY w, blk) AS ss
+      FROM g
+    ), d AS (
+      SELECT w, blk, s, ss,
+             CAST(w AS HUGEINT) * pre - CAST(j AS HUGEINT) * s AS dev
+      FROM p WHERE cnt = w
+    ), rb AS (
+      SELECT w, blk, MAX(dev) - MIN(dev) AS rsc,
+             ANY_VALUE(s) AS s, ANY_VALUE(ss) AS ss
+      FROM d GROUP BY 1, 2
+    ), rs AS (
+      SELECT w, blk,
+             CAST(rsc AS DOUBLE)
+               / SQRT(CAST(CAST(w AS HUGEINT) * ss
+                           - CAST(s AS HUGEINT) * s AS DOUBLE)) AS rs
+      FROM rb
+      WHERE CAST(w AS HUGEINT) * ss - CAST(s AS HUGEINT) * s > 0
+    ), perw AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(rs ORDER BY blk)), (x, y) -> x + y)
+               / CAST(COUNT(*) AS DOUBLE) AS rs_avg
+      FROM rs GROUP BY 1
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(LN(CAST(w AS DOUBLE)) ORDER BY w)),
+               (x, y) -> x + y) AS sx,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(LN(rs_avg) ORDER BY w)),
+               (x, y) -> x + y) AS sy,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(LN(CAST(w AS DOUBLE)) * LN(rs_avg) ORDER BY w)),
+               (x, y) -> x + y) AS sxy,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(LN(CAST(w AS DOUBLE)) * LN(CAST(w AS DOUBLE))
+                    ORDER BY w)),
+               (x, y) -> x + y) AS sxx
+      FROM perw
+    ), sl AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS hurst FROM mom
+    )
+    SELECT w, n_blocks, ROUND(rs_avg, 9) AS rs_avg,
+           ROUND(hurst, 9) AS hurst
+    FROM perw, sl ORDER BY w
+    """,
+)
+def q426_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by R/S analysis (timeseries.hurst_rs) of daily
+    revenue in cents over the dyadic window ladder 8..64 — long-range
+    dependence beside q270's fixed-lag ACF. Exact-integer cumulative
+    deviations (the q411 multiply-through trick), block-ordered R/S
+    folds, and a 4-point log-log OLS slope folded in window order."""
+    from .operators.timeseries import hurst_rs
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            * 100
+        )
+        .cast("long")
+        .alias("yc")
+    )
+    out = hurst_rs(daily, "day", "yc", window_sizes=(8, 16, 32, 64))
+    return out.select(
+        "w", "n_blocks",
+        F.round("rs_avg", 9).alias("rs_avg"),
+        F.round("hurst", 9).alias("hurst"),
+    )
+
+
+@_q(
+    "q427_textrank",
+    f"""
+    WITH toksf AS (
+      SELECT LIST_FILTER({_TOKS_SQL}, t -> LEN(t) >= 4) AS tk
+      FROM documents
+    ), pr0 AS (
+      SELECT tk[i - 1] AS a, tk[i] AS b
+      FROM toksf, UNNEST(generate_series(2, LEN(tk))) AS g(i)
+    ), pairs AS (
+      SELECT a, b FROM pr0 WHERE a <> b
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b AS src, a AS dst FROM pairs
+      )
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), ed AS (
+      SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)
+    ), r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes
+    ), r1 AS (
+      SELECT n.node,
+             (1.0 - CAST(0.85 AS DOUBLE))
+             + CAST(0.85 AS DOUBLE) * COALESCE(s.s, 0.0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, {_PR_SUM} AS s
+        FROM ed JOIN r0 r ON ed.src = r.node GROUP BY ed.dst
+      ) s USING (node)
+    ), r2 AS (
+      SELECT n.node,
+             (1.0 - CAST(0.85 AS DOUBLE))
+             + CAST(0.85 AS DOUBLE) * COALESCE(s.s, 0.0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, {_PR_SUM} AS s
+        FROM ed JOIN r1 r ON ed.src = r.node GROUP BY ed.dst
+      ) s USING (node)
+    ), r3 AS (
+      SELECT n.node,
+             (1.0 - CAST(0.85 AS DOUBLE))
+             + CAST(0.85 AS DOUBLE) * COALESCE(s.s, 0.0) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, {_PR_SUM} AS s
+        FROM ed JOIN r2 r ON ed.src = r.node GROUP BY ed.dst
+      ) s USING (node)
+    )
+    SELECT node AS word, ROUND(pr, 9) AS score
+    FROM r3 ORDER BY pr DESC, node LIMIT 10
+    """,
+)
+def q427_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (retrieval.textrank_keywords): 3-sweep
+    PageRank over the corpus-wide adjacent-word co-occurrence graph
+    (words >= 4 chars), top-10 — the graph-based keyword extractor
+    beside q386's RAKE heuristic, riding q129's decimal-exact
+    fixed-sweep recurrence. The oracle replays graph construction and
+    all three sweeps as chained CTEs."""
+    from .operators.retrieval import textrank_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    out = textrank_keywords(
+        d, "text", iterations=3, damping=0.85, top_k=10, min_len=4
+    )
+    return out.select("word", F.round("score", 9).alias("score"))
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
@@ -22605,6 +22767,7 @@ _PRIORITY = [
     "q417_fleiss_kappa", "q418_krippendorff", "q419_mcc",
     "q420_c_index", "q421_somers_d", "q422_cronbach",
     "q423_brown_forsythe", "q424_mcnemar", "q425_icc",
+    "q426_hurst", "q427_textrank",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

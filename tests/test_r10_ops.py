@@ -1084,3 +1084,100 @@ def test_icc_oneway_matches_reference(spark):
     assert out["ms_within"] == pytest.approx(msw, rel=1e-12)
     assert out["icc"] == pytest.approx(icc, rel=1e-12)
     assert out["icc"] > 0.9  # the planted subject effect dominates
+
+
+def test_hurst_rs_matches_reference(spark):
+    import math
+
+    # deterministic "seasonal-ish" integer series, long enough for
+    # full blocks at w=4 and w=8
+    vals = [((i * 37) % 11) * 3 + (i % 5) * 7 + 10 for i in range(40)]
+    rows = [(i + 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    from etl_java_spark.operators.timeseries import hurst_rs
+
+    out = {
+        r["w"]: r
+        for r in hurst_rs(df, "t", "v", window_sizes=(4, 8)).collect()
+    }
+
+    def rs_stats(w):
+        rss = []
+        for b in range(len(vals) // w):
+            blk = vals[b * w : (b + 1) * w]
+            s, ss = sum(blk), sum(x * x for x in blk)
+            if w * ss - s * s <= 0:
+                continue
+            devs = []
+            pre = 0
+            for j, x in enumerate(blk, start=1):
+                pre += x
+                devs.append(w * pre - j * s)
+            rss.append((max(devs) - min(devs)) / math.sqrt(w * ss - s * s))
+        return rss
+
+    pts = []
+    for w in (4, 8):
+        rss = rs_stats(w)
+        avg = sum(rss) / len(rss)
+        assert out[w]["n_blocks"] == len(rss)
+        assert out[w]["rs_avg"] == pytest.approx(avg, rel=1e-12)
+        pts.append((math.log(w), math.log(avg)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert out[4]["hurst"] == pytest.approx(slope, rel=1e-12)
+    assert out[4]["hurst"] == out[8]["hurst"]
+
+
+def test_textrank_matches_reference(spark):
+    docs = [
+        ("alpha beta gamma alpha beta",),
+        ("gamma delta alpha",),
+        ("beta gamma beta gamma",),
+        ("xx",),  # short tokens dropped entirely at min_len=4
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    from etl_java_spark.operators.retrieval import textrank_keywords
+
+    out = {
+        r["word"]: r["score"]
+        for r in textrank_keywords(
+            df, "text", iterations=3, top_k=10, min_len=4
+        ).collect()
+    }
+
+    # reference replay
+    import re
+    from collections import defaultdict
+
+    edges = set()
+    for (t,) in docs:
+        tk = [
+            x
+            for x in re.split("[^a-z0-9]+", t.strip().lower())
+            if x and len(x) >= 4
+        ]
+        for a, b in zip(tk, tk[1:]):
+            if a != b:
+                edges.add((a, b))
+                edges.add((b, a))
+    nodes = {n for e in edges for n in e}
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        nxt = {}
+        for v in nodes:
+            acc = sum(
+                r[u] / outdeg[u] for (u, w) in edges if w == v
+            )
+            nxt[v] = 0.15 + 0.85 * acc
+        r = nxt
+    assert set(out) == nodes  # "xx" never enters the graph
+    for w_, sc in r.items():
+        assert out[w_] == pytest.approx(sc, rel=1e-9)
