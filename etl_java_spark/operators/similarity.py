@@ -1392,3 +1392,72 @@ def mmr_topk(
         F.col("maxsim").cast("long"),
         F.col("score").cast("long"),
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez's farthest-first
+    2-approximation) over an embedding column — pick k points such
+    that every vector is close to some pick: the deterministic
+    diversity-seeding primitive behind coverage sampling, IVF seeding,
+    and "label these k most-different examples first" loops.
+
+        s_0 = the smallest id (deterministic seed)
+        s_r = argmax over remaining points of min_{s in S} ||x - s||^2
+              (ties broken by id)
+
+    Shape: k - 1 FIXED rounds (budgeted, like pagerank's sweeps); each
+    round is one broadcast of the <= k selected vectors against the
+    corpus — a map-side min + one global top-1, no quadratic pair
+    table ever materializes. ``dist2`` folds per-dimension in array
+    order (engine-exact doubles). The selected set is localCheckpoint-
+    pinned per round so round r+1 does not replay rounds 1..r.
+
+    Returns k rows: (sel_round, id, dist2) — dist2 is the point's
+    min squared distance to the earlier picks at selection time (the
+    nonincreasing coverage-radius sequence; 0.0 for the seed).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    seed = (
+        base.orderBy("id")
+        .limit(1)
+        .select(
+            F.lit(0).alias("sel_round"), "id", "v",
+            F.lit(0.0).alias("dist2"),
+        )
+    )
+    selected = seed.localCheckpoint(eager=True)
+    for r in range(1, k):
+        sel = selected.select(
+            F.col("id").alias("sid"), F.col("v").alias("sv")
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.col("sv"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cand = (
+            base.join(selected.select("id"), "id", "left_anti")
+            .crossJoin(F.broadcast(sel))
+            .select("id", "v", d2.alias("__d2"))
+            .groupBy("id")
+            .agg(F.min("__d2").alias("dist2"), F.first("v").alias("v"))
+        )
+        pick = (
+            cand.orderBy(F.col("dist2").desc(), F.col("id"))
+            .limit(1)
+            .select(F.lit(r).alias("sel_round"), "id", "v", "dist2")
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select("sel_round", "id", "dist2").orderBy("sel_round")
