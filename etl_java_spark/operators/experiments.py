@@ -2114,3 +2114,165 @@ def mcnemar_test(
         z.alias("z"),
         (F.lit(2.0) * normal_sf(z)).alias("p_value"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cliff's delta and the Vargha-Delaney A measure — the ORDINAL
+    effect sizes companion to cohens_d (which assumes interval scale)
+    and the magnitude readout behind mann_whitney_u's p-value:
+
+        delta = (#{x > y} - #{x < y}) / (n_a n_b)        in [-1, 1]
+        A     = (#{x > y} + 0.5 #{x = y}) / (n_a n_b)    = P(X > Y) + tie/2
+
+    Exactness: rows collapse to the distinct-value table with per-group
+    counts; the three pair counts come from ONE prefix window over it
+    (value order — the mann_whitney quantized-input contract), each a
+    sum of exact decimal count products; two divisions at the end.
+    Returns one row: (n_a, n_b, n_gt, n_lt, n_eq, delta, a_measure).
+    """
+    d38 = "decimal(38,0)"
+    per = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(value_col).cast("long").alias("val"),
+            F.when(F.col(group_col) == group_a, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ia"),
+        )
+        .groupBy("val")
+        .agg(
+            F.sum("ia").cast("long").alias("na"),
+            F.sum(F.lit(1) - F.col("ia")).cast("long").alias("nb"),
+        )
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "na", "nb",
+        (F.sum("na").over(w) - F.col("na")).cast("long").alias("ca_lt"),
+        (F.sum("nb").over(w) - F.col("nb")).cast("long").alias("cb_lt"),
+    )
+    agg = cum.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum((F.col("na").cast(d38) * F.col("cb_lt")).cast(d38))
+        .cast(d38)
+        .alias("gt"),
+        F.sum((F.col("nb").cast(d38) * F.col("ca_lt")).cast(d38))
+        .cast(d38)
+        .alias("lt"),
+        F.sum((F.col("na").cast(d38) * F.col("nb")).cast(d38))
+        .cast(d38)
+        .alias("eq"),
+    )
+    nn = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    return agg.select(
+        "n_a", "n_b",
+        F.col("gt").cast("long").alias("n_gt"),
+        F.col("lt").cast("long").alias("n_lt"),
+        F.col("eq").cast("long").alias("n_eq"),
+        ((F.col("gt") - F.col("lt")).cast("double") / nn).alias("delta"),
+        (
+            (F.col("gt").cast("double") + F.lit(0.5) * F.col("eq").cast("double"))
+            / nn
+        ).alias("a_measure"),
+    )
+
+
+def energy_distance(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """EXACT univariate energy distance between two groups — the drift
+    statistic that is zero IFF the distributions are identical
+    (Székely-Rizzo), strictly stronger than any single-summary test
+    and the metric twin of wasserstein_1d (W1 integrates one CDF gap;
+    energy distance weighs all pairwise gaps):
+
+        E = 2 E|X - Y| - E|X - X'| - E|X - Y'... - E|Y - Y'|
+
+    Exactness: on integer-quantized values each expected absolute
+    difference reduces to prefix-sum identities over the distinct-value
+    table — SUM_i SUM_j |x_i - y_j| = SUM_v n_v * (v c(v) - s(v) +
+    (S - s(v)) - v (N - c(v))) with c/s cumulative counts/sums — so all
+    three double divisions consume exact decimal integers. ONE grouped
+    count + one prefix window (the mann_whitney quantized-input
+    contract). Returns one row: (n_a, n_b, e_xy, e_xx, e_yy, energy).
+    """
+    d38 = "decimal(38,0)"
+    per = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(value_col).cast("long").alias("val"),
+            F.when(F.col(group_col) == group_a, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ia"),
+        )
+        .groupBy("val")
+        .agg(
+            F.sum("ia").cast("long").alias("na"),
+            F.sum(F.lit(1) - F.col("ia")).cast("long").alias("nb"),
+        )
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    v = F.col("val").cast(d38)
+    cum = per.select(
+        "val", "na", "nb",
+        F.sum("na").over(w).cast("long").alias("ca"),
+        F.sum("nb").over(w).cast("long").alias("cb"),
+        F.sum((F.col("na").cast(d38) * v).cast(d38)).over(w)
+        .cast(d38)
+        .alias("sa"),
+        F.sum((F.col("nb").cast(d38) * v).cast(d38)).over(w)
+        .cast(d38)
+        .alias("sb"),
+    )
+    tot = per.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum((F.col("na").cast(d38) * F.col("val").cast(d38)).cast(d38))
+        .cast(d38)
+        .alias("s_a"),
+        F.sum((F.col("nb").cast(d38) * F.col("val").cast(d38)).cast(d38))
+        .cast(d38)
+        .alias("s_b"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+
+    def absdiff_sum(n_col, c, s, n_tot, s_tot):
+        # SUM_v n_v * sum_j |v - y_j| against the (c, s, N, S) side
+        g = (
+            v * F.col(c).cast(d38)
+            - F.col(s)
+            + (F.col(s_tot) - F.col(s))
+            - v * (F.col(n_tot).cast(d38) - F.col(c).cast(d38))
+        ).cast(d38)
+        return F.sum((F.col(n_col).cast(d38) * g).cast(d38)).cast(d38)
+
+    agg = j.agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        absdiff_sum("na", "cb", "sb", "n_b", "s_b").alias("sab"),
+        absdiff_sum("na", "ca", "sa", "n_a", "s_a").alias("saa"),
+        absdiff_sum("nb", "cb", "sb", "n_b", "s_b").alias("sbb"),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    e_xy = F.col("sab").cast("double") / (nad * nbd)
+    e_xx = F.col("saa").cast("double") / (nad * nad)
+    e_yy = F.col("sbb").cast("double") / (nbd * nbd)
+    return agg.select(
+        "n_a", "n_b",
+        e_xy.alias("e_xy"),
+        e_xx.alias("e_xx"),
+        e_yy.alias("e_yy"),
+        (F.lit(2.0) * e_xy - e_xx - e_yy).alias("energy"),
+    )

@@ -22734,6 +22734,216 @@ def q427_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("word", F.round("score", 9).alias("score"))
 
 
+# --------------------------------------------------------------------------
+# round-10 tenth wave: coverage coresets, ordinal effect sizes, energy
+# distance
+
+
+def _q428_oracle() -> str:
+    dist = (
+        "LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), "
+        "LIST_TRANSFORM(LIST_ZIP(e.embedding, s.embedding), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
+        "(x, y) -> x + y)"
+    )
+    parts = [
+        """
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+    ), all0 AS (
+      SELECT 0 AS r, vec_id, embedding, CAST(0.0 AS DOUBLE) AS dist2
+      FROM e ORDER BY vec_id LIMIT 1
+    )"""
+    ]
+    for r in range(1, 4):
+        prev = f"all{r - 1}"
+        parts.append(
+            f""", cand{r} AS (
+      SELECT e.vec_id, e.embedding, MIN({dist}) AS d2
+      FROM e JOIN {prev} s ON TRUE
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY 1, 2
+    ), all{r} AS (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT {r} AS r, vec_id, embedding, d2 AS dist2
+      FROM cand{r} ORDER BY r, d2 DESC, vec_id LIMIT {r + 1}
+    )"""
+        )
+    parts.append(
+        """
+    SELECT CAST(r AS BIGINT) AS sel_round, vec_id AS id,
+           ROUND(dist2, 9) AS dist2
+    FROM all3 ORDER BY sel_round
+    """
+    )
+    return "".join(parts)
+
+
+@_q("q428_kcenter", None)
+def q428_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-first k-center coreset (similarity.
+    kcenter_coreset), k=4 over the embedding table — the
+    coverage-sampling / IVF-seeding primitive: each round broadcasts
+    the <= k picks against the corpus (map-side min + one top-1), no
+    pair table. The oracle unrolls the three rounds as chained
+    LIMIT-1 CTEs with the identical dimension-ordered distance fold."""
+    from .operators.similarity import kcenter_coreset
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = kcenter_coreset(e, "embedding", "vec_id", k=4)
+    return out.select(
+        F.col("sel_round").cast("long").alias("sel_round"),
+        "id",
+        F.round("dist2", 9).alias("dist2"),
+    ).orderBy("sel_round")
+
+
+ORACLES["q428_kcenter"] = _q428_oracle()
+
+
+@_q(
+    "q429_cliffs_delta",
+    """
+    WITH vals AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS val
+      FROM orders
+    ), per AS (
+      SELECT val, CAST(SUM(ia) AS BIGINT) AS na,
+             CAST(SUM(1 - ia) AS BIGINT) AS nb
+      FROM vals GROUP BY 1
+    ), cum AS (
+      SELECT na, nb,
+             CAST(SUM(na) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING)
+                  - na AS BIGINT) AS ca_lt,
+             CAST(SUM(nb) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING)
+                  - nb AS BIGINT) AS cb_lt
+      FROM per
+    ), agg AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+             CAST(SUM(nb) AS BIGINT) AS n_b,
+             SUM(CAST(na AS HUGEINT) * cb_lt) AS gt,
+             SUM(CAST(nb AS HUGEINT) * ca_lt) AS lt,
+             SUM(CAST(na AS HUGEINT) * nb) AS eq
+      FROM cum
+    )
+    SELECT n_a, n_b,
+           CAST(gt AS BIGINT) AS n_gt,
+           CAST(lt AS BIGINT) AS n_lt,
+           CAST(eq AS BIGINT) AS n_eq,
+           ROUND(CAST(gt - lt AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 12)
+             AS delta,
+           ROUND((CAST(gt AS DOUBLE) + 0.5 * CAST(eq AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 12)
+             AS a_measure
+    FROM agg
+    """,
+)
+def q429_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta + Vargha-Delaney A (experiments.cliffs_delta) for
+    URGENT vs other order values — the ordinal effect-size pair behind
+    q373's Mann-Whitney p and beside q414's interval-scale d. One
+    grouped count + one prefix window over the floored-USD
+    distinct-value table; exact integer pair counts."""
+    from .operators.experiments import cliffs_delta
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("urgent"))
+        .otherwise(F.lit("other"))
+        .alias("grp"),
+        F.floor("o_totalprice").cast("long").alias("usd"),
+    )
+    out = cliffs_delta(df, "grp", "usd", "urgent", "other")
+    return out.select(
+        "n_a", "n_b", "n_gt", "n_lt", "n_eq",
+        F.round("delta", 12).alias("delta"),
+        F.round("a_measure", 12).alias("a_measure"),
+    )
+
+
+@_q(
+    "q430_energy_distance",
+    """
+    WITH vals AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS val
+      FROM orders
+    ), per AS (
+      SELECT val, CAST(SUM(ia) AS BIGINT) AS na,
+             CAST(SUM(1 - ia) AS BIGINT) AS nb
+      FROM vals GROUP BY 1
+    ), cum AS (
+      SELECT val, na, nb,
+             CAST(SUM(na) OVER w AS BIGINT) AS ca,
+             CAST(SUM(nb) OVER w AS BIGINT) AS cb,
+             SUM(CAST(na AS HUGEINT) * val) OVER w AS sa,
+             SUM(CAST(nb AS HUGEINT) * val) OVER w AS sb
+      FROM per WINDOW w AS (ORDER BY val ROWS UNBOUNDED PRECEDING)
+    ), tot AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+             CAST(SUM(nb) AS BIGINT) AS n_b,
+             SUM(CAST(na AS HUGEINT) * val) AS s_a,
+             SUM(CAST(nb AS HUGEINT) * val) AS s_b
+      FROM per
+    ), agg AS (
+      SELECT n_a, n_b,
+             SUM(CAST(na AS HUGEINT)
+                 * (CAST(val AS HUGEINT) * cb - sb + (s_b - sb)
+                    - CAST(val AS HUGEINT) * (n_b - cb))) AS sab,
+             SUM(CAST(na AS HUGEINT)
+                 * (CAST(val AS HUGEINT) * ca - sa + (s_a - sa)
+                    - CAST(val AS HUGEINT) * (n_a - ca))) AS saa,
+             SUM(CAST(nb AS HUGEINT)
+                 * (CAST(val AS HUGEINT) * cb - sb + (s_b - sb)
+                    - CAST(val AS HUGEINT) * (n_b - cb))) AS sbb
+      FROM cum, tot GROUP BY 1, 2
+    ), e AS (
+      SELECT n_a, n_b,
+             CAST(sab AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS e_xy,
+             CAST(saa AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)) AS e_xx,
+             CAST(sbb AS DOUBLE)
+               / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)) AS e_yy
+      FROM agg
+    )
+    SELECT n_a, n_b,
+           ROUND(e_xy, 6) AS e_xy, ROUND(e_xx, 6) AS e_xx,
+           ROUND(e_yy, 6) AS e_yy,
+           ROUND(2.0 * e_xy - e_xx - e_yy, 6) AS energy
+    FROM e
+    """,
+)
+def q430_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact univariate energy distance (experiments.energy_distance)
+    between URGENT and other order-value distributions — zero iff the
+    distributions match (Székely-Rizzo), completing the drift ladder
+    KS (max gap, q186) -> W1 (one integral, q415) -> energy (all
+    pairwise gaps). Prefix-sum identities keep every expected absolute
+    difference an exact integer; three divisions at the end."""
+    from .operators.experiments import energy_distance
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("urgent"))
+        .otherwise(F.lit("other"))
+        .alias("grp"),
+        F.floor("o_totalprice").cast("long").alias("usd"),
+    )
+    out = energy_distance(df, "grp", "usd", "urgent", "other")
+    return out.select(
+        "n_a", "n_b",
+        F.round("e_xy", 6).alias("e_xy"),
+        F.round("e_xx", 6).alias("e_xx"),
+        F.round("e_yy", 6).alias("e_yy"),
+        F.round("energy", 6).alias("energy"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
@@ -22768,6 +22978,7 @@ _PRIORITY = [
     "q420_c_index", "q421_somers_d", "q422_cronbach",
     "q423_brown_forsythe", "q424_mcnemar", "q425_icc",
     "q426_hurst", "q427_textrank",
+    "q428_kcenter", "q429_cliffs_delta", "q430_energy_distance",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

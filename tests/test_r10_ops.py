@@ -1181,3 +1181,101 @@ def test_textrank_matches_reference(spark):
     assert set(out) == nodes  # "xx" never enters the graph
     for w_, sc in r.items():
         assert out[w_] == pytest.approx(sc, rel=1e-9)
+
+
+def test_kcenter_coreset_matches_reference(spark):
+    pts = {
+        1: [0.0, 0.0], 2: [0.1, 0.0], 3: [10.0, 0.0], 4: [10.0, 0.2],
+        5: [0.0, 9.0], 6: [5.0, 5.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<double>"
+    )
+    from etl_java_spark.operators.similarity import kcenter_coreset
+
+    got = [
+        (r["sel_round"], r["id"], r["dist2"])
+        for r in kcenter_coreset(df, "embedding", "vec_id", k=4).collect()
+    ]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    sel = [min(pts)]  # seed = smallest id
+    rows = [(0, sel[0], 0.0)]
+    for r in range(1, 4):
+        best = None
+        for i, v in sorted(pts.items()):
+            if i in sel:
+                continue
+            dd = min(d2(v, pts[s]) for s in sel)
+            if best is None or dd > best[1]:
+                best = (i, dd)
+        sel.append(best[0])
+        rows.append((r, best[0], best[1]))
+    assert got == rows
+    # farthest-first: the coverage-radius sequence never increases
+    dists = [d for _, _, d in got[1:]]
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_cliffs_delta_matches_brute_force(spark):
+    rows = [("a", v) for v in [3, 5, 5, 9]] + [
+        ("b", v) for v in [1, 5, 6, 6, 2]
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    from etl_java_spark.operators.experiments import cliffs_delta
+
+    out = cliffs_delta(df, "grp", "v", "a", "b").collect()[0]
+    xa = [v for g, v in rows if g == "a"]
+    xb = [v for g, v in rows if g == "b"]
+    gt = sum(1 for x in xa for y in xb if x > y)
+    lt = sum(1 for x in xa for y in xb if x < y)
+    eq = sum(1 for x in xa for y in xb if x == y)
+    assert (out["n_gt"], out["n_lt"], out["n_eq"]) == (gt, lt, eq)
+    assert out["delta"] == pytest.approx(
+        (gt - lt) / (len(xa) * len(xb)), rel=1e-12
+    )
+    assert out["a_measure"] == pytest.approx(
+        (gt + 0.5 * eq) / (len(xa) * len(xb)), rel=1e-12
+    )
+    # complete dominance -> delta = 1, A = 1
+    dom = spark.createDataFrame(
+        [("a", 10), ("a", 11), ("b", 1), ("b", 2)], "grp string, v long"
+    )
+    r = cliffs_delta(dom, "grp", "v", "a", "b").collect()[0]
+    assert r["delta"] == 1.0 and r["a_measure"] == 1.0
+
+
+def test_energy_distance_matches_brute_force(spark):
+    rows = [("a", v) for v in [1, 4, 4, 7]] + [
+        ("b", v) for v in [2, 2, 9]
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    from etl_java_spark.operators.experiments import energy_distance
+
+    out = energy_distance(df, "grp", "v", "a", "b").collect()[0]
+    xa = [v for g, v in rows if g == "a"]
+    xb = [v for g, v in rows if g == "b"]
+
+    def mean_abs(xs, ys):
+        return sum(abs(x - y) for x in xs for y in ys) / (
+            len(xs) * len(ys)
+        )
+
+    e_xy, e_xx, e_yy = (
+        mean_abs(xa, xb), mean_abs(xa, xa), mean_abs(xb, xb)
+    )
+    assert out["e_xy"] == pytest.approx(e_xy, rel=1e-12)
+    assert out["e_xx"] == pytest.approx(e_xx, rel=1e-12)
+    assert out["e_yy"] == pytest.approx(e_yy, rel=1e-12)
+    assert out["energy"] == pytest.approx(
+        2 * e_xy - e_xx - e_yy, rel=1e-12
+    )
+    # identical distributions -> exactly 0
+    same = spark.createDataFrame(
+        [("a", 3), ("a", 8), ("b", 3), ("b", 8)], "grp string, v long"
+    )
+    assert energy_distance(same, "grp", "v", "a", "b").collect()[0][
+        "energy"
+    ] == 0.0
