@@ -1392,3 +1392,101 @@ def jsd_vs_rest(
         jsd.alias("jsd"),
         (jsd / F.lit(math.log(2.0))).alias("jsd_norm"),
     )
+
+
+def vocab_richness(
+    df: DataFrame,
+    text_col: str,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate + Good-Turing unseen mass —
+    "how many distinct tokens does this corpus REALLY have, and what
+    is the chance the next token is new?" The coverage planning
+    readout behind vocabulary sizing and dedup-threshold choices,
+    from the frequency-of-frequencies table (the zipf_fit sibling):
+
+        Chao1-bc = D + f1 (f1 - 1) / (2 (f2 + 1))
+        P_unseen = f1 / N        (Good-Turing missing mass)
+
+    with D distinct tokens, f1/f2 singleton/doubleton counts, N total
+    tokens. One token-explode scan -> (token, count) -> the
+    frequency-of-frequencies aggregate (two shuffles, both map-side
+    combinable; the bias-corrected Chao1 form never divides by zero).
+    Returns one row: (n_tokens, n_distinct, f1, f2, chao1, p_unseen).
+    """
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
+    )
+    tf = (
+        df.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = tf.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("long").alias("f2"),
+    )
+    f1d = F.col("f1").cast("double")
+    chao1 = F.col("n_distinct").cast("double") + f1d * (
+        f1d - F.lit(1.0)
+    ) / (F.lit(2.0) * (F.col("f2").cast("double") + F.lit(1.0)))
+    return agg.select(
+        "n_tokens", "n_distinct", "f1", "f2",
+        chao1.alias("chao1"),
+        (f1d / F.col("n_tokens").cast("double")).alias("p_unseen"),
+    )
+
+
+def capture_recapture(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Lincoln-Petersen / Chapman capture-recapture estimate of the
+    SHARED vocabulary two corpus slices draw from — treat slice A's
+    distinct tokens as the marked sample and slice B's as the
+    recapture; the overlap estimates the unseen common-vocabulary
+    size (the abundance twin of source_overlap's observed-only
+    Jaccard):
+
+        Lincoln-Petersen  N = n_a n_b / m
+        Chapman (bias-corrected)  N = (n_a+1)(n_b+1)/(m+1) - 1
+
+    Two distinct-vocabulary sets + one inner join on token (all
+    map-side combinable counts). Lincoln-Petersen is NULL when the
+    overlap is empty (try_divide); Chapman never divides by zero.
+    Returns one row: (n_a, n_b, n_overlap, lincoln, chapman).
+    """
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
+    )
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.when(F.col(group_col) == group_a, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("g"),
+        F.explode(toks).alias("t"),
+    ).distinct()
+    va = base.filter(F.col("g") == "a").select("t")
+    vb = base.filter(F.col("g") == "b").select("t")
+    na = va.agg(F.count("*").cast("long").alias("n_a"))
+    nb = vb.agg(F.count("*").cast("long").alias("n_b"))
+    m = va.join(vb, "t").agg(F.count("*").cast("long").alias("n_overlap"))
+    j = na.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(m))
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    md = F.col("n_overlap").cast("double")
+    return j.select(
+        "n_a", "n_b", "n_overlap",
+        F.try_divide(nad * nbd, md).alias("lincoln"),
+        (
+            (nad + F.lit(1.0)) * (nbd + F.lit(1.0)) / (md + F.lit(1.0))
+            - F.lit(1.0)
+        ).alias("chapman"),
+    )

@@ -2276,3 +2276,112 @@ def energy_distance(
         e_yy.alias("e_yy"),
         (F.lit(2.0) * e_xy - e_xx - e_yy).alias("energy"),
     )
+
+
+def quade_test(
+    df: DataFrame,
+    block_col,
+    treatment_col,
+    value_col,
+) -> DataFrame:
+    """Quade test over a (block x treatment) metric table — the
+    blocked rank test that, unlike friedman_test, WEIGHTS each block
+    by the rank of its within-block range, so blocks where treatments
+    actually differ count more (the more powerful choice for small k):
+
+        S_ij = Q_i (r_ij - (k+1)/2);  T3 = (n-1) B / (A - B),
+        A = SUM S_ij^2,  B = (1/n) SUM_j (SUM_i S_ij)^2
+
+    All-integer with doubled midranks: U_ij = q2_i (r2_ij - (k+1))
+    = 4 S_ij, and the 16 cancels in T3 = (n-1) B16 / (n A16 - B16) —
+    ONE double division of exact decimal sums. The statistic is
+    reported WITHOUT a p-value (null F(k-1,(n-1)(k-1)); the
+    Brown-Forsythe statistic-only precedent). Input is the
+    PRE-AGGREGATED cell table (post-aggregate contract). Returns one
+    row: (n_blocks, k_treatments, t_stat).
+    """
+    d38 = "decimal(38,0)"
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    t = (
+        F.col(treatment_col)
+        if isinstance(treatment_col, str)
+        else treatment_col
+    )
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    # pinned eagerly: the cell table is metadata-sized (post-aggregate
+    # contract) but feeds SIX consumers (two rank self-join sides, the
+    # range table twice, nk, and the U build) — without the checkpoint
+    # each consumer replays the caller's aggregation join tree and the
+    # lineage compounds through r2 x q2 x nk
+    base = (
+        df.select(b.alias("blk"), t.alias("trt"), v.alias("val"))
+        .filter(F.col("val").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    a, c = base.alias("a"), base.alias("c")
+    r2 = a.join(c, F.col("a.blk") == F.col("c.blk")).groupBy(
+        F.col("a.blk").alias("blk"), F.col("a.trt").alias("trt")
+    ).agg(
+        (
+            F.lit(2) * F.sum((F.col("c.val") < F.col("a.val")).cast("int"))
+            + F.sum((F.col("c.val") == F.col("a.val")).cast("int"))
+            + 1
+        )
+        .cast("long")
+        .alias("r2")
+    )
+    rng = base.groupBy("blk").agg(
+        (F.max("val") - F.min("val")).cast("long").alias("rng")
+    )
+    ra, rc = rng.alias("ra"), rng.alias("rc")
+    q2 = ra.crossJoin(rc).groupBy(F.col("ra.blk").alias("blk")).agg(
+        (
+            F.lit(2) * F.sum((F.col("rc.rng") < F.col("ra.rng")).cast("int"))
+            + F.sum((F.col("rc.rng") == F.col("ra.rng")).cast("int"))
+            + 1
+        )
+        .cast("long")
+        .alias("q2")
+    )
+    nk = base.agg(
+        F.countDistinct("blk").cast("long").alias("n"),
+        F.countDistinct("trt").cast("long").alias("k"),
+    )
+    u = (
+        r2.join(q2, "blk")
+        .crossJoin(F.broadcast(nk))
+        .select(
+            "trt", "n", "k",
+            (
+                F.col("q2").cast(d38)
+                * (F.col("r2") - (F.col("k") + 1)).cast(d38)
+            ).cast(d38).alias("u"),
+        )
+        .localCheckpoint(eager=True)  # feeds both A and B sums
+    )
+    a16 = u.agg(
+        F.sum((F.col("u") * F.col("u")).cast(d38)).cast(d38).alias("a16"),
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+    )
+    b16 = (
+        u.groupBy("trt")
+        .agg(F.sum("u").cast(d38).alias("sj"))
+        .agg(
+            F.sum((F.col("sj") * F.col("sj")).cast(d38))
+            .cast(d38)
+            .alias("b16")
+        )
+    )
+    j = a16.crossJoin(F.broadcast(b16))
+    t3 = F.try_divide(
+        (F.col("n") - 1).cast("double") * F.col("b16").cast("double"),
+        (
+            F.col("n").cast(d38) * F.col("a16") - F.col("b16")
+        ).cast("double"),
+    )
+    return j.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        t3.alias("t_stat"),
+    )

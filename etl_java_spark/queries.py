@@ -22944,6 +22944,170 @@ def q430_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 eleventh wave: weighted blocked ranks, vocabulary abundance
+
+
+@_q(
+    "q431_quade",
+    """
+    WITH cells AS (
+      SELECT n_name AS blk, o_orderpriority AS trt,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS val
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), r2 AS (
+      SELECT a.blk, a.trt,
+             CAST(2 * SUM(CASE WHEN c.val < a.val THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN c.val = a.val THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS r2
+      FROM cells a JOIN cells c ON a.blk = c.blk GROUP BY 1, 2
+    ), rng AS (
+      SELECT blk, CAST(MAX(val) - MIN(val) AS BIGINT) AS rng
+      FROM cells GROUP BY 1
+    ), q2 AS (
+      SELECT a.blk,
+             CAST(2 * SUM(CASE WHEN c.rng < a.rng THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN c.rng = a.rng THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS q2
+      FROM rng a CROSS JOIN rng c GROUP BY 1
+    ), nk AS (
+      SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
+      FROM cells
+    ), u AS (
+      SELECT r2.trt, CAST(q2.q2 * (r2.r2 - (nk.k + 1)) AS HUGEINT) AS u
+      FROM r2 JOIN q2 ON r2.blk = q2.blk, nk
+    ), a16 AS (
+      SELECT SUM(u * u) AS a16 FROM u
+    ), b16 AS (
+      SELECT SUM(sj * sj) AS b16
+      FROM (SELECT SUM(u) AS sj FROM u GROUP BY trt)
+    )
+    SELECT n AS n_blocks, k AS k_treatments,
+           ROUND(CAST(n - 1 AS DOUBLE) * CAST(b16 AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * a16 - b16 AS DOUBLE), 12)
+             AS t_stat
+    FROM nk, a16, b16
+    """,
+)
+def q431_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test (experiments.quade_test) over q398's 25-nation x
+    5-priority cell table — the range-weighted blocked rank test:
+    nations where priorities genuinely separate count more than flat
+    ones, the power upgrade over Friedman at small k. All-integer
+    doubled midranks; the 16x scaling cancels in one division."""
+    from .operators.experiments import quade_test
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            F.sum(F.floor("o_totalprice").cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    out = quade_test(cells, "blk", "trt", "v")
+    return out.select(
+        "n_blocks", "k_treatments",
+        F.round("t_stat", 12).alias("t_stat"),
+    )
+
+
+@_q(
+    "q432_vocab_richness",
+    f"""
+    WITH tf AS (
+      SELECT t.tok AS t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT {_TOKS_SQL} AS toks FROM documents),
+           UNNEST(toks) AS t(tok)
+      GROUP BY 1
+    ), agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM tf
+    )
+    SELECT n_tokens, n_distinct, f1, f2,
+           ROUND(CAST(n_distinct AS DOUBLE)
+                 + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                   / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 9) AS chao1,
+           ROUND(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 12)
+             AS p_unseen
+    FROM agg
+    """,
+)
+def q432_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness + Good-Turing unseen mass
+    (corpus.vocab_richness) over the documents corpus — "how much
+    vocabulary is still unseen?", the coverage-planning readout from
+    the frequency-of-frequencies table beside q283's Zipf fit. One
+    explode scan + two map-side-combinable aggregates."""
+    from .operators.corpus import vocab_richness
+
+    d = _t(spark, sf_dir, "documents")
+    out = vocab_richness(d, "text")
+    return out.select(
+        "n_tokens", "n_distinct", "f1", "f2",
+        F.round("chao1", 9).alias("chao1"),
+        F.round("p_unseen", 12).alias("p_unseen"),
+    )
+
+
+@_q(
+    "q433_capture_recapture",
+    f"""
+    WITH base AS (
+      SELECT DISTINCT CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS g,
+             t.tok AS t
+      FROM (SELECT source, {_TOKS_SQL} AS toks FROM documents
+            WHERE source IN ('src0', 'src1')),
+           UNNEST(toks) AS t(tok)
+    ), na AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM base WHERE g = 'a'
+    ), nb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM base WHERE g = 'b'
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM (SELECT t FROM base WHERE g = 'a') a
+      JOIN (SELECT t FROM base WHERE g = 'b') b USING (t)
+    )
+    SELECT n_a, n_b, n_overlap,
+           ROUND(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 / CAST(n_overlap AS DOUBLE), 9) AS lincoln,
+           ROUND((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+                 / (CAST(n_overlap AS DOUBLE) + 1.0) - 1.0, 9) AS chapman
+    FROM na, nb, m
+    """,
+)
+def q433_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen / Chapman capture-recapture
+    (corpus.capture_recapture): estimate the shared vocabulary src0
+    and src1 draw from, treating src0's distinct tokens as the marked
+    sample — the abundance estimate q251's observed-overlap report
+    cannot give. Two distinct-vocab sets + one token join."""
+    from .operators.corpus import capture_recapture
+
+    d = _t(spark, sf_dir, "documents")
+    out = capture_recapture(d, "text", "source", "src0", "src1")
+    return out.select(
+        "n_a", "n_b", "n_overlap",
+        F.round("lincoln", 9).alias("lincoln"),
+        F.round("chapman", 9).alias("chapman"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
@@ -22979,6 +23143,7 @@ _PRIORITY = [
     "q423_brown_forsythe", "q424_mcnemar", "q425_icc",
     "q426_hurst", "q427_textrank",
     "q428_kcenter", "q429_cliffs_delta", "q430_energy_distance",
+    "q431_quade", "q432_vocab_richness", "q433_capture_recapture",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

@@ -1279,3 +1279,96 @@ def test_energy_distance_matches_brute_force(spark):
     assert energy_distance(same, "grp", "v", "a", "b").collect()[0][
         "energy"
     ] == 0.0
+
+
+def test_quade_matches_reference(spark):
+    # 4 blocks x 3 treatments, distinct ranges so weights matter
+    cells = {
+        ("b1", "t0"): 1, ("b1", "t1"): 5, ("b1", "t2"): 9,
+        ("b2", "t0"): 2, ("b2", "t1"): 3, ("b2", "t2"): 4,
+        ("b3", "t0"): 7, ("b3", "t1"): 7, ("b3", "t2"): 8,
+        ("b4", "t0"): 10, ("b4", "t1"): 2, ("b4", "t2"): 6,
+    }
+    df = spark.createDataFrame(
+        [(b, t, v) for (b, t), v in cells.items()],
+        "blk string, trt string, v long",
+    )
+    from etl_java_spark.operators.experiments import quade_test
+
+    out = quade_test(df, "blk", "trt", "v").collect()[0]
+
+    from collections import defaultdict
+
+    blocks = sorted({b for b, _ in cells})
+    trts = sorted({t for _, t in cells})
+    n, k = len(blocks), len(trts)
+
+    def midrank(vals, x):
+        return sum(1 for u in vals if u < x) + (
+            sum(1 for u in vals if u == x) + 1
+        ) / 2
+
+    rng = {
+        b: max(cells[(b, t)] for t in trts)
+        - min(cells[(b, t)] for t in trts)
+        for b in blocks
+    }
+    q = {b: midrank(list(rng.values()), rng[b]) for b in blocks}
+    s = defaultdict(float)
+    a_sum = 0.0
+    for b in blocks:
+        vals = [cells[(b, t)] for t in trts]
+        for t in trts:
+            sij = q[b] * (midrank(vals, cells[(b, t)]) - (k + 1) / 2)
+            s[t] += sij
+            a_sum += sij * sij
+    b_sum = sum(x * x for x in s.values()) / n
+    t3 = (n - 1) * b_sum / (a_sum - b_sum)
+    assert out["n_blocks"] == n and out["k_treatments"] == k
+    assert out["t_stat"] == pytest.approx(t3, rel=1e-12)
+
+
+def test_vocab_richness_matches_reference(spark):
+    docs = [
+        ("apple banana apple cherry",),
+        ("banana date egg egg fig",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    from etl_java_spark.operators.corpus import vocab_richness
+
+    out = vocab_richness(df, "text").collect()[0]
+    # counts: apple 2, banana 2, cherry 1, date 1, egg 2, fig 1
+    assert out["n_tokens"] == 9 and out["n_distinct"] == 6
+    assert (out["f1"], out["f2"]) == (3, 3)
+    assert out["chao1"] == pytest.approx(6 + 3 * 2 / (2 * 4), rel=1e-12)
+    assert out["p_unseen"] == pytest.approx(3 / 9, rel=1e-12)
+    # every token unique -> huge chao1, p_unseen = 1
+    uni = spark.createDataFrame([("aa bb cc",)], "text string")
+    r = vocab_richness(uni, "text").collect()[0]
+    assert r["p_unseen"] == 1.0 and r["chao1"] == pytest.approx(
+        3 + 3 * 2 / 2, rel=1e-12
+    )
+
+
+def test_capture_recapture_matches_reference(spark):
+    docs = [
+        ("s1", "tok1 tok2 tok3 tok4"),
+        ("s1", "tok2 tok5"),
+        ("s2", "tok2 tok3 tok9"),
+        ("s3", "never counted words"),
+    ]
+    df = spark.createDataFrame(docs, "src string, text string")
+    from etl_java_spark.operators.corpus import capture_recapture
+
+    out = capture_recapture(df, "text", "src", "s1", "s2").collect()[0]
+    # vocab(s1) = 5, vocab(s2) = 3, overlap = {tok2, tok3} = 2
+    assert (out["n_a"], out["n_b"], out["n_overlap"]) == (5, 3, 2)
+    assert out["lincoln"] == pytest.approx(5 * 3 / 2, rel=1e-12)
+    assert out["chapman"] == pytest.approx(6 * 4 / 3 - 1, rel=1e-12)
+    # disjoint vocabularies: lincoln NULL, chapman finite
+    dj = spark.createDataFrame(
+        [("s1", "aaa bbb"), ("s2", "ccc ddd")], "src string, text string"
+    )
+    r = capture_recapture(dj, "text", "src", "s1", "s2").collect()[0]
+    assert r["lincoln"] is None
+    assert r["chapman"] == pytest.approx(3 * 3 / 1 - 1, rel=1e-12)
