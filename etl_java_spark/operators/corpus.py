@@ -1490,3 +1490,146 @@ def capture_recapture(
             - F.lit(1.0)
         ).alias("chapman"),
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 16,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Heaps' law fit V(N) = K N^beta — how fast vocabulary grows with
+    corpus size, the planning curve behind "how much more data until
+    the tokenizer saturates?" (the growth-law companion of Chao1's
+    point estimate, q432):
+
+    100 TB design: the cumulative curve is sampled at ``n_buckets``
+    ID-RANGE checkpoints (bucket = floor(B (id - min)/(max - min + 1))
+    from one min/max broadcast — NO global row window over the
+    document table), so the only per-row work is the token explode;
+    cumulative tokens and cumulative first-occurrence vocabulary are
+    prefix sums over the B-row bucket table, and the log-log OLS folds
+    over those B points in bucket order (the hurst_rs discipline).
+
+    Returns one row per non-empty bucket:
+    (bucket, n_cum, v_cum, beta, k_coef) with the shared fit repeated.
+    """
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
+    )
+    base = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    rng = df.agg(
+        F.min(id_col).cast("long").alias("mn"),
+        F.max(id_col).cast("long").alias("mx"),
+    )
+    bucket = F.floor(
+        F.lit(n_buckets).cast("double")
+        * (F.col("id").cast("long") - F.col("mn")).cast("double")
+        / (F.col("mx") - F.col("mn") + 1).cast("double")
+    ).cast("long")
+    bt = base.crossJoin(F.broadcast(rng)).select(bucket.alias("b"), "t")
+    nb = bt.groupBy("b").agg(F.count("*").cast("long").alias("nt"))
+    vb = (
+        bt.groupBy("t")
+        .agg(F.min("b").cast("long").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count("*").cast("long").alias("nv"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        nb.join(vb, nb.b == vb.fb, "left")
+        .select(
+            "b", "nt", F.coalesce("nv", F.lit(0)).cast("long").alias("nv")
+        )
+        .select(
+            "b",
+            F.sum("nt").over(w).cast("long").alias("n_cum"),
+            F.sum("nv").over(w).cast("long").alias("v_cum"),
+        )
+        .filter((F.col("n_cum") > 0) & (F.col("v_cum") > 0))
+    )
+    pts = curve.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "b",
+                    F.log(F.col("n_cum").cast("double")).alias("x"),
+                    F.log(F.col("v_cum").cast("double")).alias("y"),
+                )
+            )
+        ).alias("__p")
+    )
+    arr = F.col("__p")
+    n = F.size(arr).cast("double")
+    sx = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["x"])
+    sy = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["y"])
+    sxy = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["x"] * x["y"])
+    sxx = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["x"] * x["x"])
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit = pts.select(
+        beta.alias("beta"),
+        F.exp((sy - beta * sx) / n).alias("k_coef"),
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        F.col("b").alias("bucket"), "n_cum", "v_cum", "beta", "k_coef"
+    ).orderBy("bucket")
+
+
+def term_burstiness(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 15,
+    min_df: int = 5,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Church-Gale term burstiness — the variance-to-mean ratio (index
+    of dispersion) of each term's per-document counts: VMR = 1 for a
+    Poisson "background" word, >> 1 for topical terms that CLUMP into
+    few documents. The topicality signal TF-IDF approximates and
+    quality filters use to separate content words from boilerplate:
+
+        VMR_t = var_t / mean_t = (SUM_d c_td^2 - tf_t^2 / D) / tf_t
+
+    (population variance over ALL D documents — absent docs contribute
+    zeros, which the identity handles without materializing them).
+    Every moment is an exact integer from one (doc, term) grouped
+    count; one division per term. ``min_df`` floors the document
+    frequency (singleton terms are degenerate bursts); ties break on
+    the term. Returns top_k rows: (term, df, tf, vmr).
+    """
+    d38 = "decimal(38,0)"
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
+    )
+    dt = (
+        df.select(F.col(id_col).alias("__d"), toks.alias("tk"))
+        .select("__d", F.explode("tk").alias("t"))
+        .groupBy("__d", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ndocs = df.agg(F.count("*").cast("long").alias("d"))
+    per = dt.groupBy("t").agg(
+        F.count("*").cast("long").alias("df_"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum((F.col("c").cast(d38) * F.col("c")).cast(d38))
+        .cast(d38)
+        .alias("c2"),
+    )
+    j = per.filter(F.col("df_") >= min_df).crossJoin(F.broadcast(ndocs))
+    vmr = (
+        F.col("c2").cast("double")
+        - F.col("tf").cast("double") * F.col("tf").cast("double")
+        / F.col("d").cast("double")
+    ) / F.col("tf").cast("double")
+    return (
+        j.select(
+            F.col("t").alias("term"),
+            F.col("df_").alias("df"),
+            "tf",
+            vmr.alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), F.col("term"))
+        .limit(top_k)
+    )

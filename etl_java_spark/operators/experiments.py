@@ -2385,3 +2385,52 @@ def quade_test(
         F.col("k").alias("k_treatments"),
         t3.alias("t_stat"),
     )
+
+
+def holm_bonferroni(
+    df: DataFrame,
+    key_cols: list,
+    p_col: str,
+    alpha: float = 0.05,
+    p_round: int = 9,
+) -> DataFrame:
+    """Holm-Bonferroni step-down correction — familywise-error control
+    (the STRICTER guarantee next to bh_fdr's false-discovery-share):
+    uniformly more powerful than plain Bonferroni at the same FWER,
+    valid under arbitrary dependence.
+
+    Step-down rule (Holm 1979): sort p ascending (key tiebreak); rank
+    i of m tests against alpha / (m - i + 1); reject ranks strictly
+    BEFORE the first failure (once one test survives, everything after
+    it survives too — unlike BH's step-up scan from the other end).
+    P-values round to ``p_round`` before the comparison on both
+    engines (the bh_fdr boundary-stability contract). The ordered
+    window runs over the hypothesis table (metadata-sized; the
+    post-aggregate window contract). Returns the input keys plus
+    (p_value, holm_rank, holm_threshold, reject).
+    """
+    pr = F.round(F.col(p_col), p_round)
+    w = Window.orderBy(
+        F.col("p_value").asc(), *[F.col(k).asc() for k in key_cols]
+    )
+    m = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.select(*key_cols, pr.alias("p_value")).withColumn(
+        "holm_rank", F.row_number().over(w)
+    ).withColumn("__m", F.count("*").over(m))
+    thresh = F.lit(alpha) / (
+        F.col("__m") - F.col("holm_rank") + 1
+    ).cast("double")
+    flagged = ranked.withColumn("__ok", F.col("p_value") <= thresh)
+    first_fail = F.min(
+        F.when(~F.col("__ok"), F.col("holm_rank"))
+    ).over(m)
+    return flagged.select(
+        *key_cols, "p_value",
+        F.col("holm_rank").cast("long").alias("holm_rank"),
+        thresh.alias("holm_threshold"),
+        F.coalesce(
+            F.col("holm_rank") < first_fail, F.col("__ok")
+        ).alias("reject"),
+    )

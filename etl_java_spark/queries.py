@@ -23108,6 +23108,224 @@ def q433_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 twelfth wave: vocabulary growth law, burstiness, FWER control
+
+
+@_q(
+    "q434_heaps_fit",
+    f"""
+    WITH rngg AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS mn,
+             CAST(MAX(doc_id) AS BIGINT) AS mx
+      FROM documents
+    ), bt AS (
+      SELECT CAST(FLOOR(16.0 * CAST(doc_id - mn AS DOUBLE)
+                        / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT) AS b,
+             t.tok AS t
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), rngg,
+           UNNEST(toks) AS t(tok)
+    ), nb AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS nt FROM bt GROUP BY 1
+    ), vb AS (
+      SELECT fb, CAST(COUNT(*) AS BIGINT) AS nv
+      FROM (SELECT t, CAST(MIN(b) AS BIGINT) AS fb FROM bt GROUP BY 1)
+      GROUP BY 1
+    ), curve0 AS (
+      SELECT b,
+             CAST(SUM(nt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS n_cum,
+             CAST(SUM(COALESCE(nv, 0)) OVER (ORDER BY b
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v_cum
+      FROM nb LEFT JOIN vb ON nb.b = vb.fb
+    ), curve AS (
+      SELECT * FROM curve0 WHERE n_cum > 0 AND v_cum > 0
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(LN(CAST(n_cum AS DOUBLE)) ORDER BY b)),
+               (x, y) -> x + y) AS sx,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(LN(CAST(v_cum AS DOUBLE)) ORDER BY b)),
+               (x, y) -> x + y) AS sy,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(LN(CAST(n_cum AS DOUBLE)) * LN(CAST(v_cum AS DOUBLE))
+                    ORDER BY b)),
+               (x, y) -> x + y) AS sxy,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(LN(CAST(n_cum AS DOUBLE)) * LN(CAST(n_cum AS DOUBLE))
+                    ORDER BY b)),
+               (x, y) -> x + y) AS sxx
+      FROM curve
+    ), fit AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+             EXP((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n) AS k_coef
+      FROM mom
+    )
+    SELECT b AS bucket, n_cum, v_cum,
+           ROUND(beta, 9) AS beta, ROUND(k_coef, 9) AS k_coef
+    FROM curve, fit ORDER BY bucket
+    """,
+)
+def q434_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit (corpus.heaps_fit): vocabulary-growth exponent
+    V(N) = K N^beta over the documents corpus, sampled at 16 ID-range
+    checkpoints — the growth-law companion of q432's Chao1 point
+    estimate. No global row window: bucketing is one min/max
+    broadcast; the curve and OLS fold over 16 bucket rows."""
+    from .operators.corpus import heaps_fit
+
+    d = _t(spark, sf_dir, "documents")
+    out = heaps_fit(d, "doc_id", "text", n_buckets=16)
+    return out.select(
+        "bucket", "n_cum", "v_cum",
+        F.round("beta", 9).alias("beta"),
+        F.round("k_coef", 9).alias("k_coef"),
+    )
+
+
+@_q(
+    "q435_burstiness",
+    f"""
+    WITH dt AS (
+      SELECT doc_id AS d, t.tok AS t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+           UNNEST(toks) AS t(tok)
+      GROUP BY 1, 2
+    ), nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents
+    ), per AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS df_,
+             CAST(SUM(c) AS BIGINT) AS tf,
+             SUM(CAST(c AS HUGEINT) * c) AS c2
+      FROM dt GROUP BY 1
+    )
+    SELECT t AS term, df_ AS df, tf,
+           ROUND((CAST(c2 AS DOUBLE)
+                  - CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE)
+                    / CAST(d AS DOUBLE)) / CAST(tf AS DOUBLE), 9) AS vmr
+    FROM per, nd WHERE df_ >= 5
+    ORDER BY (CAST(c2 AS DOUBLE)
+              - CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE)
+                / CAST(d AS DOUBLE)) / CAST(tf AS DOUBLE) DESC, t
+    LIMIT 15
+    """,
+)
+def q435_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness (corpus.term_burstiness): top-15
+    terms by variance-to-mean ratio of per-document counts — topical
+    terms clump (VMR >> 1), boilerplate stays Poisson-flat (VMR ~ 1),
+    the content-word signal behind quality filters. Exact integer
+    moments; the zero-count documents enter through the identity, not
+    a dense matrix."""
+    from .operators.corpus import term_burstiness
+
+    d = _t(spark, sf_dir, "documents")
+    out = term_burstiness(d, "doc_id", "text", top_k=15, min_df=5)
+    return out.select(
+        "term", "df", "tf",
+        F.round("vmr", 9).alias("vmr"),
+    )
+
+
+def _q436_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    sf_abs = normal_sf_sql("ABS(z)")
+    return f"""
+    WITH resp AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS y
+      FROM orders GROUP BY 1
+    ), per AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COALESCE(resp.y, 0)) AS BIGINT) AS hits
+      FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      LEFT JOIN resp ON o_custkey = c_custkey
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS tn, CAST(SUM(hits) AS DOUBLE) AS th
+      FROM per
+    ), zs AS (
+      SELECT n_name,
+             (CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) - th / tn)
+             / SQRT((th / tn) * (1.0 - th / tn) / CAST(n AS DOUBLE)) AS z
+      FROM per CROSS JOIN tot
+    ), ps AS (
+      SELECT n_name, ROUND(2.0 * {sf_abs}, 9) AS p_value FROM zs
+    ), ranked AS (
+      SELECT n_name, p_value,
+             ROW_NUMBER() OVER (ORDER BY p_value ASC, n_name ASC)
+               AS holm_rank,
+             COUNT(*) OVER () AS m
+      FROM ps
+    ), flags AS (
+      SELECT *,
+             (p_value <= 0.05 / CAST(m - holm_rank + 1 AS DOUBLE)) AS ok
+      FROM ranked
+    ), cut AS (
+      SELECT MIN(CASE WHEN NOT ok THEN holm_rank END) AS first_fail
+      FROM flags
+    )
+    SELECT n_name, p_value, CAST(holm_rank AS BIGINT) AS holm_rank,
+           ROUND(0.05 / CAST(m - holm_rank + 1 AS DOUBLE), 12)
+             AS holm_threshold,
+           COALESCE(holm_rank < first_fail, ok) AS reject
+    FROM flags CROSS JOIN cut ORDER BY holm_rank
+    """
+
+
+@_q("q436_holm", None)
+def q436_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-down (experiments.holm_bonferroni) over
+    the same 25-nation urgent-share z sweep as q372 — the familywise
+    guarantee beside BH's false-discovery share, valid under arbitrary
+    dependence. P-values round before the step-down comparison (the
+    boundary-stability contract)."""
+    from .operators.experiments import holm_bonferroni, normal_sf
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    resp = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("y")
+    )
+    per = (
+        c.join(n, n.n_nationkey == c.c_nationkey)
+        .join(resp, resp.o_custkey == c.c_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.coalesce("y", F.lit(0))).cast("long").alias("hits"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("double").alias("tn"),
+        F.sum("hits").cast("double").alias("th"),
+    )
+    p0 = F.col("th") / F.col("tn")
+    z = (
+        F.col("hits").cast("double") / F.col("n").cast("double") - p0
+    ) / F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n").cast("double"))
+    ps = per.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_raw"),
+    )
+    out = holm_bonferroni(ps, ["n_name"], "p_raw", alpha=0.05, p_round=9)
+    return out.select(
+        "n_name", "p_value", "holm_rank",
+        F.round("holm_threshold", 12).alias("holm_threshold"),
+        "reject",
+    ).orderBy("holm_rank")
+
+
+ORACLES["q436_holm"] = _q436_oracle()
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
@@ -23144,6 +23362,7 @@ _PRIORITY = [
     "q426_hurst", "q427_textrank",
     "q428_kcenter", "q429_cliffs_delta", "q430_energy_distance",
     "q431_quade", "q432_vocab_richness", "q433_capture_recapture",
+    "q434_heaps_fit", "q435_burstiness", "q436_holm",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

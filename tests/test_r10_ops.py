@@ -1372,3 +1372,103 @@ def test_capture_recapture_matches_reference(spark):
     r = capture_recapture(dj, "text", "src", "s1", "s2").collect()[0]
     assert r["lincoln"] is None
     assert r["chapman"] == pytest.approx(3 * 3 / 1 - 1, rel=1e-12)
+
+
+def test_heaps_fit_matches_reference(spark):
+    import math
+
+    docs = [
+        (i, " ".join(f"w{(i * 7 + j) % 19}" for j in range(6)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from etl_java_spark.operators.corpus import heaps_fit
+
+    B = 4
+    rows = heaps_fit(df, "doc_id", "text", n_buckets=B).collect()
+
+    # reference replay: id-range buckets, cumulative tokens/vocab
+    mn, mx = 0, 11
+    from collections import defaultdict
+
+    per_b_tokens = defaultdict(list)
+    for i, t in docs:
+        b = int(B * (i - mn) / (mx - mn + 1))
+        per_b_tokens[b].extend(t.split())
+    seen, pts = set(), []
+    n_cum = 0
+    for b in sorted(per_b_tokens):
+        toks = per_b_tokens[b]
+        n_cum += len(toks)
+        seen |= set(toks)
+        pts.append((b, n_cum, len(seen)))
+    got = [(r["bucket"], r["n_cum"], r["v_cum"]) for r in rows]
+    assert got == pts
+    xs = [math.log(n) for _, n, _ in pts]
+    ys = [math.log(v) for _, _, v in pts]
+    n = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    k = math.exp((sy - beta * sx) / n)
+    assert rows[0]["beta"] == pytest.approx(beta, rel=1e-12)
+    assert rows[0]["k_coef"] == pytest.approx(k, rel=1e-12)
+    # vocabulary growth is sublinear on a reused vocab: beta < 1
+    assert 0 < rows[0]["beta"] < 1
+
+
+def test_term_burstiness_matches_reference(spark):
+    # "bursty" appears 9x in one doc; "flat" once in each of 3 docs
+    docs = [
+        (1, "bursty " * 9 + "flat pad1 pad2"),
+        (2, "flat pad1 pad3 pad4"),
+        (3, "flat pad2 pad3 pad5"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from etl_java_spark.operators.corpus import term_burstiness
+
+    out = {
+        r["term"]: r
+        for r in term_burstiness(
+            df, "doc_id", "text", top_k=10, min_df=1
+        ).collect()
+    }
+    D = 3
+    # bursty: counts (9,0,0): tf=9, c2=81 -> vmr=(81-27)/9=6
+    assert out["bursty"]["df"] == 1 and out["bursty"]["tf"] == 9
+    assert out["bursty"]["vmr"] == pytest.approx(
+        (81 - 81 / D) / 9, rel=1e-12
+    )
+    # flat: (1,1,1): vmr = (3 - 3)/3 = 0 (perfectly even)
+    assert out["flat"]["vmr"] == 0.0
+    assert out["bursty"]["vmr"] > out["flat"]["vmr"]
+
+
+def test_holm_bonferroni_matches_reference(spark):
+    ps = [("h1", 0.001), ("h2", 0.01), ("h3", 0.03), ("h4", 0.04),
+          ("h5", 0.9)]
+    df = spark.createDataFrame(ps, "h string, p double")
+    from etl_java_spark.operators.experiments import holm_bonferroni
+
+    out = {
+        r["h"]: r
+        for r in holm_bonferroni(df, ["h"], "p", alpha=0.05).collect()
+    }
+    # m=5: thresholds 0.01, 0.0125, 1/60, 0.025, 0.05
+    # h1: 0.001<=0.01 ok; h2: 0.01<=0.0125 ok; h3: 0.03>1/60 FAIL
+    # -> reject exactly h1, h2 (step-down stops at first failure,
+    #    even though h4 0.04 <= 0.025 is false and h5 fails too)
+    assert out["h1"]["reject"] and out["h2"]["reject"]
+    assert not out["h3"]["reject"] and not out["h4"]["reject"]
+    assert not out["h5"]["reject"]
+    assert out["h3"]["holm_rank"] == 3
+    assert out["h2"]["holm_threshold"] == pytest.approx(0.05 / 4)
+    # everything significant -> all rejected (first_fail NULL path)
+    allp = spark.createDataFrame(
+        [("a", 0.0001), ("b", 0.0002)], "h string, p double"
+    )
+    assert all(
+        r["reject"]
+        for r in holm_bonferroni(allp, ["h"], "p", alpha=0.05).collect()
+    )
