@@ -1612,3 +1612,65 @@ def randomized_response_counts(
         - F.col("n").cast("double") * F.lit(f / 2.0)
     ) / F.lit(1.0 - f)
     return per.select("grp", "n", "n_reported", est.alias("estimate"), "n_true")
+
+
+def skew_kurtosis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group skewness and excess kurtosis from EXACT integer power
+    sums — the distribution-shape profile beside the location/spread
+    stats (numeric_profile, winsorized_stats): "is this metric
+    right-tailed, and how heavy?" drives binning and outlier-threshold
+    choices before any model sees it.
+
+        g1 = m3 / m2^1.5,   g2 = m4 / m2^2 - 3      (population moments)
+
+    Central moments come from the raw power sums via the standard
+    identities — S1..S4 accumulate in decimal(38,0) (order-independent,
+    overflow-safe: a 6-digit metric's 4th power is ~1e23, and 1e15 rows
+    of those still fit 38 digits), and the m2..m4 / g1 / g2 tree is
+    fixed doubles. ONE grouped aggregate over the scan; quantize the
+    metric upstream (floor/cents) per the exact-moment contract.
+    Returns one row per group:
+    (grp, n, mean, m2, skewness, kurtosis_excess).
+    """
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast(d38)
+    per = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(v).cast(d38).alias("s1"),
+            F.sum((v * v).cast(d38)).cast(d38).alias("s2"),
+            F.sum(((v * v).cast(d38) * v).cast(d38)).cast(d38).alias("s3"),
+            F.sum(((v * v).cast(d38) * (v * v).cast(d38)).cast(d38))
+            .cast(d38)
+            .alias("s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd - mean * mean
+    m3 = (
+        F.col("s3").cast("double") / nd
+        - F.lit(3.0) * mean * (F.col("s2").cast("double") / nd)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4").cast("double") / nd
+        - F.lit(4.0) * mean * (F.col("s3").cast("double") / nd)
+        + F.lit(6.0) * mean * mean * (F.col("s2").cast("double") / nd)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return per.select(
+        "grp", "n",
+        mean.alias("mean"),
+        m2.alias("m2"),
+        F.try_divide(m3, F.sqrt(m2 * m2 * m2)).alias("skewness"),
+        (F.try_divide(m4, m2 * m2) - F.lit(3.0)).alias("kurtosis_excess"),
+    )

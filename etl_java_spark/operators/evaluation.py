@@ -2093,3 +2093,77 @@ def icc_oneway(
             msb - msw, msb + (kd - F.lit(1.0)) * msw
         ).alias("icc"),
     )
+
+
+def optimal_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    cost_fp: float = 1.0,
+    cost_fn: float = 1.0,
+) -> DataFrame:
+    """Cost-optimal decision threshold over a QUANTIZED score — "where
+    should the filter cut, given that a false positive costs X and a
+    false negative Y?", the business-rule readout the threshold-free
+    curves (ROC q266, gains q315) leave to the reader.
+
+    Candidate cuts are the distinct score values (predict positive at
+    score >= t) plus the degenerate predict-nothing cut; for each,
+    FP(t) = negatives >= t and FN(t) = positives < t come from ONE
+    prefix window over the distinct-score table (the q66
+    exact-percentile discipline — band continuous scores upstream).
+    Cost = cost_fp * FP + cost_fn * FN in exact integer counts times
+    literal costs; the argmin tie-breaks toward the HIGHER threshold
+    (fewer flagged). Returns one row:
+    (n_pos, n_neg, best_threshold, fp, fn, cost) — best_threshold is
+    NULL when predicting nothing is optimal.
+    """
+    per = (
+        df.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("long").alias("np"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("nn"),
+        )
+    )
+    tot = per.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cand = per.crossJoin(F.broadcast(tot)).select(
+        "s",
+        (F.col("n_neg") - F.coalesce(F.sum("nn").over(w), F.lit(0)))
+        .cast("long")
+        .alias("fp"),
+        F.coalesce(F.sum("np").over(w), F.lit(0)).cast("long").alias("fn"),
+        "n_pos", "n_neg",
+    )
+    # the predict-nothing cut: fp = 0, fn = all positives
+    nothing = tot.select(
+        F.lit(None).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("fp"),
+        F.col("n_pos").alias("fn"),
+        "n_pos", "n_neg",
+    )
+    all_c = cand.unionByName(nothing)
+    cost = (
+        F.lit(float(cost_fp)) * F.col("fp").cast("double")
+        + F.lit(float(cost_fn)) * F.col("fn").cast("double")
+    )
+    return (
+        all_c.select(
+            "n_pos", "n_neg",
+            F.col("s").alias("best_threshold"),
+            "fp", "fn",
+            cost.alias("cost"),
+        )
+        .orderBy(
+            F.col("cost").asc(), F.col("best_threshold").desc_nulls_last()
+        )
+        .limit(1)
+    )

@@ -979,3 +979,72 @@ def link_prediction(
         F.col("cn").desc(), F.col("jaccard").desc(),
         F.col("node_u").asc(), F.col("node_v").asc(),
     ).limit(topk)
+
+
+def adamic_adar(
+    edges: DataFrame,
+    topk: int = 50,
+    max_degree: int = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction — link_prediction's weighted
+    sibling: each shared neighbor contributes 1/ln(deg) instead of 1,
+    so a rare mutual partner counts far more than a popular one (the
+    standard fix for common-neighbor's hub bias):
+
+        AA(u, v) = SUM over shared neighbors c of 1 / ln(deg_c)
+
+    The per-center weights are doubles, so the per-pair sum runs
+    through decimal(38,18) casts (order-independent — the
+    source_divergence trick that lifts the "one ln away" caveat in
+    link_prediction's docstring); callers round per the PMI/zipf log
+    contract. A wedge center always has degree >= 2, so ln never hits
+    zero. Same scale shape as link_prediction: canonical undirected
+    edges once, ``max_degree``-capped wedge centers (the sum-deg^2
+    knob), anti-join against existing edges. Returns
+    (node_u, node_v, cn, aa) top-k by (aa desc, pair).
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    und = ckpt(_canonical_und(edges, src, dst))
+    deg = _und_degrees(und)
+    ok = deg.filter(F.col("d") <= max_degree).select(
+        F.col("x").alias("c"), F.col("d").alias("dc")
+    )
+    adj = (
+        und.select(F.col("u").alias("c"), F.col("v").alias("l"))
+        .unionByName(und.select(F.col("v").alias("c"), F.col("u").alias("l")))
+        .join(ok, "c")
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.c") == F.col("b.c")) & (F.col("a.l") < F.col("b.l")),
+    ).select(
+        F.col("a.l").alias("u"),
+        F.col("b.l").alias("v"),
+        (F.lit(1.0) / F.log(F.col("a.dc").cast("double"))).alias("w"),
+    )
+    cand = (
+        wedges.groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            F.sum(F.col("w").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("aa"),
+        )
+        .join(und, ["u", "v"], "left_anti")
+    )
+    return (
+        cand.select(
+            F.col("u").alias("node_u"), F.col("v").alias("node_v"),
+            "cn", "aa",
+        )
+        .orderBy(
+            F.col("aa").desc(), F.col("node_u").asc(), F.col("node_v").asc()
+        )
+        .limit(topk)
+    )

@@ -23326,6 +23326,187 @@ def q436_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q436_holm"] = _q436_oracle()
 
 
+# --------------------------------------------------------------------------
+# round-10 thirteenth wave: shape moments, weighted link prediction,
+# decision thresholds
+
+
+@_q(
+    "q437_skew_kurtosis",
+    """
+    WITH per AS (
+      SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(o_totalprice) AS HUGEINT)) AS s1,
+             SUM(CAST(FLOOR(o_totalprice) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice) AS HUGEINT)) AS s2,
+             SUM(CAST(FLOOR(o_totalprice) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice) AS HUGEINT)) AS s3,
+             SUM(CAST(FLOOR(o_totalprice) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice) AS HUGEINT)
+                 * CAST(FLOOR(o_totalprice) AS HUGEINT)) AS s4
+      FROM orders GROUP BY 1
+    ), e AS (
+      SELECT grp, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM per
+    ), m AS (
+      SELECT grp, n, mean,
+             r2 - mean * mean AS m2,
+             r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+             r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+               - 3.0 * mean * mean * mean * mean AS m4
+      FROM e
+    )
+    SELECT grp, n, ROUND(mean, 9) AS mean, ROUND(m2, 6) AS m2,
+           ROUND(m3 / SQRT(m2 * m2 * m2), 12) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 12) AS kurtosis_excess
+    FROM m ORDER BY grp
+    """,
+)
+def q437_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority skewness/kurtosis (dq.skew_kurtosis) of floored
+    order value — the shape profile beside q131's location/spread
+    numbers: revenue is right-tailed, and the exact decimal power sums
+    prove by how much, engine-exactly. One grouped aggregate."""
+    from .operators.dq import skew_kurtosis
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor("o_totalprice").cast("long").alias("v"),
+    )
+    out = skew_kurtosis(df, "g", "v")
+    return out.select(
+        "grp", "n",
+        F.round("mean", 9).alias("mean"),
+        F.round("m2", 6).alias("m2"),
+        F.round("skewness", 12).alias("skewness"),
+        F.round("kurtosis_excess", 12).alias("kurtosis_excess"),
+    ).orderBy("grp")
+
+
+@_q(
+    "q438_adamic_adar",
+    """
+    WITH base AS (
+      SELECT DISTINCT l_suppkey AS a, o_custkey + 1000000000 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      WHERE c_nationkey = 0
+    ), und AS (
+      SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM base
+    ), deg AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+      GROUP BY 1
+    ), adj AS (
+      SELECT c, l, d AS dc FROM (
+        SELECT u AS c, v AS l FROM und UNION ALL SELECT v, u FROM und
+      ) JOIN deg ON x = c
+      WHERE d <= 64
+    ), cand AS (
+      SELECT a.l AS u, b.l AS v, CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(CAST(1.0 / LN(CAST(a.dc AS DOUBLE))
+                           AS DECIMAL(38,18))) AS DOUBLE) AS aa
+      FROM adj a JOIN adj b ON a.c = b.c AND a.l < b.l
+      GROUP BY 1, 2
+    ), new_pairs AS (
+      SELECT cand.u, cand.v, cand.cn, cand.aa
+      FROM cand ANTI JOIN und ON cand.u = und.u AND cand.v = und.v
+    )
+    SELECT u AS node_u, v AS node_v, cn, ROUND(aa, 9) AS aa
+    FROM new_pairs
+    ORDER BY aa DESC, node_u ASC, node_v ASC
+    LIMIT 50
+    """,
+)
+def q438_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (graph.adamic_adar) on q394's
+    nation-0 trade subgraph — rare mutual partners outweigh popular
+    ones via the 1/ln(deg) wedge weights, summed through decimal casts
+    (order-independent; the rounding contract lifts q394's "one ln
+    away" deferral). Same degree-64 wedge cap, same anti-join."""
+    from .operators.graph import adamic_adar
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 0)
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1000000000)).alias("dst"),
+        )
+    )
+    out = adamic_adar(edges, topk=50, max_degree=64)
+    return out.select(
+        "node_u", "node_v", "cn", F.round("aa", 9).alias("aa")
+    )
+
+
+@_q(
+    "q439_optimal_threshold",
+    """
+    WITH base AS (
+      SELECT CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS s,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), per AS (
+      SELECT s, CAST(SUM(y) AS BIGINT) AS np,
+             CAST(SUM(1 - y) AS BIGINT) AS nn
+      FROM base GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(nn) AS BIGINT) AS n_neg
+      FROM per
+    ), cand AS (
+      SELECT s,
+             CAST(n_neg - COALESCE(SUM(nn) OVER (ORDER BY s ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS fp,
+             CAST(COALESCE(SUM(np) OVER (ORDER BY s ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS fn,
+             n_pos, n_neg
+      FROM per, tot
+    ), allc AS (
+      SELECT * FROM cand
+      UNION ALL
+      SELECT NULL, CAST(0 AS BIGINT), n_pos, n_pos, n_neg FROM tot
+    )
+    SELECT n_pos, n_neg, s AS best_threshold, fp, fn,
+           ROUND(1.0 * CAST(fp AS DOUBLE) + 5.0 * CAST(fn AS DOUBLE), 6)
+             AS cost
+    FROM allc
+    ORDER BY 1.0 * CAST(fp AS DOUBLE) + 5.0 * CAST(fn AS DOUBLE) ASC,
+             s DESC NULLS LAST
+    LIMIT 1
+    """,
+)
+def q439_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-optimal decision threshold (evaluation.optimal_threshold):
+    where should a 10k-band order-value filter cut to flag URGENT
+    orders when a false negative costs 5x a false positive? One prefix
+    window over the distinct-score table; exact counts; argmin ties
+    break toward the higher (cheaper) cut."""
+    from .operators.evaluation import optimal_threshold
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.floor(F.col("o_totalprice") / 10000).cast("long").alias("s"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    out = optimal_threshold(df, "s", "y", cost_fp=1.0, cost_fn=5.0)
+    return out.select(
+        "n_pos", "n_neg", "best_threshold", "fp", "fn",
+        F.round("cost", 6).alias("cost"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
@@ -23363,6 +23544,7 @@ _PRIORITY = [
     "q428_kcenter", "q429_cliffs_delta", "q430_energy_distance",
     "q431_quade", "q432_vocab_richness", "q433_capture_recapture",
     "q434_heaps_fit", "q435_burstiness", "q436_holm",
+    "q437_skew_kurtosis", "q438_adamic_adar", "q439_optimal_threshold",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

@@ -1472,3 +1472,90 @@ def test_holm_bonferroni_matches_reference(spark):
         r["reject"]
         for r in holm_bonferroni(allp, ["h"], "p", alpha=0.05).collect()
     )
+
+
+def test_skew_kurtosis_matches_reference(spark):
+    import math
+
+    vals = {"a": [1, 2, 2, 3, 14], "b": [5, 5, 5, 5]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from etl_java_spark.operators.dq import skew_kurtosis
+
+    out = {r["grp"]: r for r in skew_kurtosis(df, "g", "v").collect()}
+    xs = vals["a"]
+    n = len(xs)
+    mean = sum(xs) / n
+    m2 = sum((x - mean) ** 2 for x in xs) / n
+    m3 = sum((x - mean) ** 3 for x in xs) / n
+    m4 = sum((x - mean) ** 4 for x in xs) / n
+    assert out["a"]["mean"] == pytest.approx(mean, rel=1e-12)
+    assert out["a"]["m2"] == pytest.approx(m2, rel=1e-12)
+    assert out["a"]["skewness"] == pytest.approx(
+        m3 / math.sqrt(m2**3), rel=1e-12
+    )
+    assert out["a"]["kurtosis_excess"] == pytest.approx(
+        m4 / m2**2 - 3, rel=1e-12
+    )
+    assert out["a"]["skewness"] > 0  # planted right tail
+    # constant column: m2 = 0 -> NULL shape stats, never a crash
+    assert out["b"]["m2"] == 0.0
+    assert out["b"]["skewness"] is None
+
+
+def test_adamic_adar_matches_reference(spark):
+    import math
+
+    # path graph 1-2-3 plus hub 9 connected to 1,3,4,5:
+    # pair (1,3) has shared neighbors 2 (deg 2) and 9 (deg 4)
+    edges = [(1, 2), (2, 3), (9, 1), (9, 3), (9, 4), (9, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from etl_java_spark.operators.graph import adamic_adar
+
+    rows = {
+        (r["node_u"], r["node_v"]): r
+        for r in adamic_adar(df, topk=50).collect()
+    }
+    r13 = rows[(1, 3)]
+    assert r13["cn"] == 2
+    assert r13["aa"] == pytest.approx(
+        1 / math.log(2) + 1 / math.log(4), rel=1e-12
+    )
+    # wedge through the hub only: weight 1/ln(4) each
+    assert rows[(1, 4)]["aa"] == pytest.approx(1 / math.log(4), rel=1e-12)
+    # existing edges never appear
+    assert (1, 2) not in rows and (2, 3) not in rows
+    # rare-neighbor weighting: (1,3) outranks every hub-only pair
+    assert r13["aa"] > rows[(1, 4)]["aa"]
+
+
+def test_optimal_threshold_matches_brute_force(spark):
+    rows = [(1, 0)] * 10 + [(2, 0)] * 5 + [(2, 1)] * 2 + [(3, 1)] * 6 + [
+        (4, 1)
+    ] * 3 + [(4, 0)] * 1
+    df = spark.createDataFrame(rows, "s long, y int")
+    from etl_java_spark.operators.evaluation import optimal_threshold
+
+    out = optimal_threshold(df, "s", "y", cost_fp=1.0, cost_fn=5.0).collect()[
+        0
+    ]
+
+    def cost_at(t):
+        fp = sum(1 for s, y in rows if y == 0 and s >= t)
+        fn = sum(1 for s, y in rows if y == 1 and s < t)
+        return fp + 5.0 * fn, fp, fn
+
+    cands = sorted({s for s, _ in rows})
+    best = min(
+        [(cost_at(t)[0], -t, t) for t in cands]
+        + [(5.0 * sum(y for _, y in rows), float("inf"), None)]
+    )
+    want_cost, _, want_t = best
+    assert out["best_threshold"] == want_t
+    assert out["cost"] == pytest.approx(want_cost, rel=1e-12)
+    _, fp, fn = cost_at(want_t)
+    assert (out["fp"], out["fn"]) == (fp, fn)
+    # all-negative labels: predicting nothing is free and optimal
+    neg = spark.createDataFrame([(1, 0), (5, 0)], "s long, y int")
+    r = optimal_threshold(neg, "s", "y").collect()[0]
+    assert r["best_threshold"] is None and r["cost"] == 0.0
