@@ -2434,3 +2434,186 @@ def holm_bonferroni(
             F.col("holm_rank") < first_fail, F.col("__ok")
         ).alias("reject"),
     )
+
+
+def g_test(
+    df: DataFrame,
+    a_col,
+    b_col,
+    expected_df: int | None = None,
+) -> DataFrame:
+    """G-test of independence (log-likelihood ratio) between two
+    categorical columns — the information-theoretic twin of the
+    Pearson chi-square behind cramers_v, additive across partitions
+    (G values SUM across data slices; X^2 does not — the property that
+    matters when drift checks run per-shard and fold):
+
+        G = 2 SUM over observed cells o ln(o / e),  e = r_a c_b / N
+
+    Empty cells contribute 0 (o ln o -> 0), so only OBSERVED cells are
+    touched — no margin-grid fill. The log terms fold in (a, b) cell
+    order (the cramers_v determinism contract; round per the PMI/zipf
+    log contract). ``expected_df``: pass the design's (r-1)(c-1) when
+    EVEN to get the elementary closed-form p (chi2_sf_even); default
+    None reports the statistic with a NULL p (odd-df discipline). The
+    declared df is cross-checked against the observed level counts —
+    a mismatch raises downstream analysis confusion, so it NULLs the
+    p rather than reporting a wrong tail. Returns one row:
+    (n_rows, r_levels, c_levels, g_stat, p_value).
+    """
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("a"), b.alias("b"))
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").cast("long").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("cb"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    term = F.col("o").cast("double") * F.log(
+        F.col("o").cast("double")
+        / (
+            F.col("ra").cast("double")
+            * F.col("cb").cast("double")
+            / F.col("n").cast("double")
+        )
+    )
+    folded = (
+        cells.join(ra, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select("n", F.struct("a", "b", term.alias("t")).alias("__e"))
+        .groupBy("n")
+        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    )
+    g = F.lit(2.0) * F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["t"]
+    )
+    dims = ra.agg(F.count("*").cast("long").alias("r")).crossJoin(
+        cb.agg(F.count("*").cast("long").alias("c"))
+    )
+    out = folded.crossJoin(F.broadcast(dims))
+    if expected_df is not None and expected_df >= 2 and expected_df % 2 == 0:
+        p = F.when(
+            (F.col("r") - 1) * (F.col("c") - 1) == expected_df,
+            chi2_sf_even(g, expected_df),
+        )
+    else:
+        p = F.lit(None).cast("double")
+    return out.select(
+        F.col("n").alias("n_rows"),
+        F.col("r").alias("r_levels"),
+        F.col("c").alias("c_levels"),
+        g.alias("g_stat"),
+        p.alias("p_value"),
+    )
+
+
+def poisson_two_rate(
+    df: DataFrame,
+    period_col,
+    count_col,
+    period_a,
+    period_b,
+    exposure_a: int,
+    exposure_b: int,
+) -> DataFrame:
+    """Two-sample Poisson rate comparison by the CONDITIONAL binomial
+    test — "did the error rate change between these two windows?", the
+    count-data sibling of proportion_ztest (exposures replace
+    denominators): given the total X = x_a + x_b, under equal rates
+    x_a ~ Bin(X, t_a / (t_a + t_b)), so
+
+        z = (x_a - X p0) / sqrt(X p0 (1 - p0)),  p0 = t_a/(t_a + t_b)
+
+    One conditional aggregate over the pre-counted period table;
+    exposures are caller-declared design constants (days, hosts,
+    requests). p from the engine-portable normal tail. Returns one
+    row: (x_a, x_b, t_a, t_b, z, p_value).
+    """
+    per = F.col(period_col) if isinstance(period_col, str) else period_col
+    cnt = F.col(count_col) if isinstance(count_col, str) else count_col
+    agg = df.agg(
+        F.sum(F.when(per == period_a, cnt).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(per == period_b, cnt).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x_b"),
+    )
+    p0 = F.lit(float(exposure_a) / (exposure_a + exposure_b))
+    x = (F.col("x_a") + F.col("x_b")).cast("double")
+    z = (F.col("x_a").cast("double") - x * p0) / F.sqrt(
+        x * p0 * (F.lit(1.0) - p0)
+    )
+    return agg.select(
+        "x_a", "x_b",
+        F.lit(exposure_a).cast("long").alias("t_a"),
+        F.lit(exposure_b).cast("long").alias("t_b"),
+        z.alias("z"),
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
+    )
+
+
+def risk_odds_ratio(
+    df: DataFrame,
+    group_col,
+    outcome_col,
+    group_a,
+    group_b,
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Risk ratio (Katz) and odds ratio (Woolf) with log-scale
+    confidence intervals — the epidemiology-style effect readout for a
+    binary outcome across two cohorts, the RATIO companions of the
+    difference-based proportion_ztest:
+
+        RR = (x_a/n_a) / (x_b/n_b)
+        CI: exp(ln RR +/- z sqrt(1/x_a - 1/n_a + 1/x_b - 1/n_b))
+        OR = x_a (n_b - x_b) / (x_b (n_a - x_a))
+        CI: exp(ln OR +/- z sqrt(1/x_a + 1/(n_a-x_a) + 1/x_b + 1/(n_b-x_b)))
+
+    ONE conditional aggregate; all four cells exact integers; the
+    log/exp CI tree is fixed doubles (round per the log contract).
+    Degenerate cells (zero numerator/denominator) yield NULLs via
+    try_divide semantics rather than infinities. Returns one row:
+    (n_a, x_a, n_b, x_b, rr, rr_lo, rr_hi, or_, or_lo, or_hi).
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y = (
+        F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    ).cast("int")
+    agg = df.filter(g.isin([group_a, group_b])).agg(
+        F.sum((g == group_a).cast("int")).cast("long").alias("n_a"),
+        F.sum(F.when(g == group_a, y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x_a"),
+        F.sum((g == group_b).cast("int")).cast("long").alias("n_b"),
+        F.sum(F.when(g == group_b, y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x_b"),
+    )
+    na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    rr = F.try_divide(xa / na, xb / nb)
+    se_rr = F.sqrt(
+        F.lit(1.0) / xa - F.lit(1.0) / na + F.lit(1.0) / xb - F.lit(1.0) / nb
+    )
+    orr = F.try_divide(xa * (nb - xb), xb * (na - xa))
+    se_or = F.sqrt(
+        F.lit(1.0) / xa
+        + F.lit(1.0) / (na - xa)
+        + F.lit(1.0) / xb
+        + F.lit(1.0) / (nb - xb)
+    )
+    zc = F.lit(float(z_crit))
+    return agg.select(
+        "n_a", "x_a", "n_b", "x_b",
+        rr.alias("rr"),
+        F.exp(F.log(rr) - zc * se_rr).alias("rr_lo"),
+        F.exp(F.log(rr) + zc * se_rr).alias("rr_hi"),
+        orr.alias("or_"),
+        F.exp(F.log(orr) - zc * se_or).alias("or_lo"),
+        F.exp(F.log(orr) + zc * se_or).alias("or_hi"),
+    )

@@ -23507,6 +23507,204 @@ def q439_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 fourteenth wave: G-test, rate comparison, ratio effect CIs
+
+
+def _q440_oracle() -> str:
+    from .operators.experiments import chi2_sf_even_sql
+
+    return f"""
+    WITH base AS (
+      SELECT c_mktsegment AS a, o_orderpriority AS b
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), cells AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY 1, 2
+    ), ra AS (
+      SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1
+    ), cb AS (
+      SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+    ), folded AS (
+      SELECT n,
+             2.0 * LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(CAST(o AS DOUBLE)
+                    * LN(CAST(o AS DOUBLE)
+                         / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                            / CAST(n AS DOUBLE)))
+                    ORDER BY a, b)),
+               (x, y) -> x + y) AS g
+      FROM cells JOIN ra USING (a) JOIN cb USING (b), tot
+      GROUP BY n
+    ), dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS r,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS c
+    )
+    SELECT n AS n_rows, r AS r_levels, c AS c_levels,
+           ROUND(g, 9) AS g_stat,
+           ROUND(CASE WHEN (r - 1) * (c - 1) = 16
+                 THEN {chi2_sf_even_sql('g', 16)} END, 9) AS p_value
+    FROM folded, dims
+    """
+
+
+@_q("q440_g_test", None)
+def q440_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence (experiments.g_test) between market
+    segment and order priority — the log-likelihood twin of q413's
+    Pearson chi-square, additive across shards (per-slice G values sum;
+    X^2 does not). Observed cells only, (a, b)-ordered log fold; the
+    5x5 design's even df=16 takes the elementary closed-form tail."""
+    from .operators.experiments import g_test
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    df = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("a"),
+        F.col("o_orderpriority").alias("b"),
+    )
+    out = g_test(df, "a", "b", expected_df=16)
+    return out.select(
+        "n_rows", "r_levels", "c_levels",
+        F.round("g_stat", 9).alias("g_stat"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q440_g_test"] = _q440_oracle()
+
+
+def _q441_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    z = ("(CAST(x_a AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) * 0.5)"
+         " / SQRT(CAST(x_a + x_b AS DOUBLE) * 0.5 * (1.0 - 0.5))")
+    return f"""
+    WITH per AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 'h1' ELSE 'h2' END AS half,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN half = 'h1' THEN x ELSE 0 END) AS BIGINT)
+               AS x_a,
+             CAST(SUM(CASE WHEN half = 'h2' THEN x ELSE 0 END) AS BIGINT)
+               AS x_b
+      FROM per
+    )
+    SELECT x_a, x_b, CAST(15 AS BIGINT) AS t_a, CAST(15 AS BIGINT) AS t_b,
+           ROUND({z}, 12) AS z,
+           ROUND(2.0 * {normal_sf_sql(f'ABS({z})')}, 9) AS p_value
+    FROM agg
+    """
+
+
+@_q("q441_poisson_rates", None)
+def q441_poisson_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-window Poisson rate comparison (experiments.
+    poisson_two_rate): did the error-event rate change between the
+    first and second half of the fixture month (15-day exposures)?
+    The conditional binomial form — exact counts, engine-portable
+    normal tail — the ops-monitoring sibling of q278's proportion z."""
+    from .operators.experiments import poisson_two_rate
+
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.when(
+                F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+                F.lit("h1"),
+            )
+            .otherwise(F.lit("h2"))
+            .alias("half")
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    out = poisson_two_rate(per, "half", "x", "h1", "h2", 15, 15)
+    return out.select(
+        "x_a", "x_b", "t_a", "t_b",
+        F.round("z", 12).alias("z"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q441_poisson_rates"] = _q441_oracle()
+
+
+@_q(
+    "q442_risk_odds",
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS g,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN g = 'BUILDING' THEN y ELSE 0 END)
+                  AS BIGINT) AS x_a,
+             CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN g = 'MACHINERY' THEN y ELSE 0 END)
+                  AS BIGINT) AS x_b
+      FROM base
+    ), e AS (
+      SELECT n_a, x_a, n_b, x_b,
+             (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+               / (CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS rr,
+             SQRT(1.0 / CAST(x_a AS DOUBLE) - 1.0 / CAST(n_a AS DOUBLE)
+                  + 1.0 / CAST(x_b AS DOUBLE)
+                  - 1.0 / CAST(n_b AS DOUBLE)) AS se_rr,
+             (CAST(x_a AS DOUBLE) * (CAST(n_b AS DOUBLE)
+                                     - CAST(x_b AS DOUBLE)))
+               / (CAST(x_b AS DOUBLE) * (CAST(n_a AS DOUBLE)
+                                         - CAST(x_a AS DOUBLE))) AS orr,
+             SQRT(1.0 / CAST(x_a AS DOUBLE)
+                  + 1.0 / (CAST(n_a AS DOUBLE) - CAST(x_a AS DOUBLE))
+                  + 1.0 / CAST(x_b AS DOUBLE)
+                  + 1.0 / (CAST(n_b AS DOUBLE) - CAST(x_b AS DOUBLE)))
+               AS se_or
+      FROM agg
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           ROUND(rr, 9) AS rr,
+           ROUND(EXP(LN(rr) - 1.959963984540054 * se_rr), 9) AS rr_lo,
+           ROUND(EXP(LN(rr) + 1.959963984540054 * se_rr), 9) AS rr_hi,
+           ROUND(orr, 9) AS or_,
+           ROUND(EXP(LN(orr) - 1.959963984540054 * se_or), 9) AS or_lo,
+           ROUND(EXP(LN(orr) + 1.959963984540054 * se_or), 9) AS or_hi
+    FROM e
+    """,
+)
+def q442_risk_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk ratio + odds ratio with Katz/Woolf log CIs (experiments.
+    risk_odds_ratio): urgency "risk" of BUILDING vs MACHINERY
+    customers' orders — the ratio-scale effect readout beside q278's
+    difference test and q414's standardized difference. Exact 2x2
+    cells; fixed log/exp CI tree under the rounding contract."""
+    from .operators.experiments import risk_odds_ratio
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    df = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("g"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    out = risk_odds_ratio(df, "g", "y", "BUILDING", "MACHINERY")
+    return out.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.round("rr", 9).alias("rr"),
+        F.round("rr_lo", 9).alias("rr_lo"),
+        F.round("rr_hi", 9).alias("rr_hi"),
+        F.round("or_", 9).alias("or_"),
+        F.round("or_lo", 9).alias("or_lo"),
+        F.round("or_hi", 9).alias("or_hi"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
@@ -23545,6 +23743,7 @@ _PRIORITY = [
     "q431_quade", "q432_vocab_richness", "q433_capture_recapture",
     "q434_heaps_fit", "q435_burstiness", "q436_holm",
     "q437_skew_kurtosis", "q438_adamic_adar", "q439_optimal_threshold",
+    "q440_g_test", "q441_poisson_rates", "q442_risk_odds",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

@@ -1559,3 +1559,97 @@ def test_optimal_threshold_matches_brute_force(spark):
     neg = spark.createDataFrame([(1, 0), (5, 0)], "s long, y int")
     r = optimal_threshold(neg, "s", "y").collect()[0]
     assert r["best_threshold"] is None and r["cost"] == 0.0
+
+
+def test_g_test_matches_reference(spark):
+    import math
+
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 2
+        + [("y", "p")] * 3 + [("y", "q")] * 9
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    from etl_java_spark.operators.experiments import g_test
+
+    out = g_test(df, "a", "b").collect()[0]
+    from collections import Counter
+
+    cells = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    g = 2 * sum(
+        o * math.log(o / (ra[a] * cb[b] / n))
+        for (a, b), o in cells.items()
+    )
+    assert out["n_rows"] == n
+    assert out["g_stat"] == pytest.approx(g, rel=1e-12)
+    assert out["p_value"] is None  # df=1 (odd) -> statistic only
+    # even declared df with matching design: 3x3 -> df=4
+    r9 = [
+        (a, b)
+        for a in "abc"
+        for b in "pqr"
+        for _ in range((ord(a) + ord(b)) % 5 + 1)
+    ]
+    d9 = spark.createDataFrame(r9, "a string, b string")
+    r = g_test(d9, "a", "b", expected_df=4).collect()[0]
+    assert r["p_value"] is not None and 0 <= r["p_value"] <= 1
+    # declared df mismatching the observed design NULLs the p
+    r = g_test(d9, "a", "b", expected_df=6).collect()[0]
+    assert r["p_value"] is None
+
+
+def test_poisson_two_rate_matches_reference(spark):
+    import math
+
+    per = spark.createDataFrame(
+        [("h1", 30), ("h2", 18)], "half string, x long"
+    )
+    from etl_java_spark.operators.experiments import poisson_two_rate
+
+    out = poisson_two_rate(per, "half", "x", "h1", "h2", 10, 10).collect()[
+        0
+    ]
+    X, p0 = 48, 0.5
+    z = (30 - X * p0) / math.sqrt(X * p0 * (1 - p0))
+    assert (out["x_a"], out["x_b"], out["t_a"], out["t_b"]) == (
+        30, 18, 10, 10,
+    )
+    assert out["z"] == pytest.approx(z, rel=1e-12)
+    # unequal exposures shift the null proportion
+    out2 = poisson_two_rate(per, "half", "x", "h1", "h2", 30, 10).collect()[
+        0
+    ]
+    p0 = 0.75
+    z2 = (30 - X * p0) / math.sqrt(X * p0 * (1 - p0))
+    assert out2["z"] == pytest.approx(z2, rel=1e-12)
+
+
+def test_risk_odds_ratio_matches_reference(spark):
+    import math
+
+    rows = [("a", 1)] * 12 + [("a", 0)] * 28 + [("b", 1)] * 5 + [
+        ("b", 0)
+    ] * 35
+    df = spark.createDataFrame(rows, "g string, y int")
+    from etl_java_spark.operators.experiments import risk_odds_ratio
+
+    out = risk_odds_ratio(df, "g", "y", "a", "b").collect()[0]
+    na, xa, nb, xb = 40, 12, 40, 5
+    rr = (xa / na) / (xb / nb)
+    se_rr = math.sqrt(1 / xa - 1 / na + 1 / xb - 1 / nb)
+    orr = xa * (nb - xb) / (xb * (na - xa))
+    se_or = math.sqrt(1 / xa + 1 / (na - xa) + 1 / xb + 1 / (nb - xb))
+    zc = 1.959963984540054
+    assert out["rr"] == pytest.approx(rr, rel=1e-12)
+    assert out["rr_lo"] == pytest.approx(
+        math.exp(math.log(rr) - zc * se_rr), rel=1e-12
+    )
+    assert out["or_"] == pytest.approx(orr, rel=1e-12)
+    assert out["or_hi"] == pytest.approx(
+        math.exp(math.log(orr) + zc * se_or), rel=1e-12
+    )
+    # a CI that includes 1 iff the effect is compatible with null:
+    # here rr > 1 with a wide but positive CI
+    assert out["rr_lo"] < rr < out["rr_hi"]
