@@ -2617,3 +2617,207 @@ def risk_odds_ratio(
         F.exp(F.log(orr) - zc * se_or).alias("or_lo"),
         F.exp(F.log(orr) + zc * se_or).alias("or_hi"),
     )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col,
+    group_col,
+    outcome_col,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 test + the
+    Mantel-Haenszel pooled odds ratio — "does the effect hold WITHIN
+    strata?", the confounding-aware readout a marginal 2x2
+    (risk_odds_ratio) cannot give; Simpson's-paradox insurance for
+    segment-stratified experiments:
+
+        z = (SUM a_i - SUM E_i) / sqrt(SUM V_i),
+        E_i = n1_i m1_i / n_i,
+        V_i = n1_i n0_i m1_i m0_i / (n_i^2 (n_i - 1))
+        OR_MH = SUM(a_i d_i / n_i) / SUM(b_i c_i / n_i)
+
+    ONE grouped conditional aggregate builds every stratum's exact 2x2
+    cells; the per-stratum double terms (E, V, and both OR sums) pass
+    through decimal(38,18) casts so the stratum-sum order cannot
+    perturb the result. Degenerate strata (n_i <= 1) contribute
+    nothing (their V is undefined); p from the engine-portable normal
+    tail, z-form without continuity correction (documented choice —
+    square it for the classic CMH chi-square). Returns one row:
+    (n_strata, sum_a, sum_e, z, p_value, or_mh).
+    """
+    s = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y = (
+        F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    ).cast("int")
+    per = (
+        df.filter(g.isin([group_a, group_b]) & s.isNotNull())
+        .groupBy(s.alias("st"))
+        .agg(
+            F.sum(F.when(g == group_a, y).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(g == group_a, 1 - y).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("b"),
+            F.sum(F.when(g == group_b, y).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.when(g == group_b, 1 - y).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("d"),
+        )
+        .filter(F.col("a") + F.col("b") + F.col("c") + F.col("d") > 1)
+    )
+    d18 = "decimal(38,18)"
+    ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
+    cd, dd = F.col("c").cast("double"), F.col("d").cast("double")
+    nd = ad + bd + cd + dd
+    n1, n0 = ad + bd, cd + dd
+    m1, m0 = ad + cd, bd + dd
+    e = n1 * m1 / nd
+    v = n1 * n0 * m1 * m0 / (nd * nd * (nd - F.lit(1.0)))
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+        F.sum(e.cast(d18)).cast("double").alias("sum_e"),
+        F.sum(v.cast(d18)).cast("double").alias("sum_v"),
+        F.sum((ad * dd / nd).cast(d18)).cast("double").alias("s_ad"),
+        F.sum((bd * cd / nd).cast(d18)).cast("double").alias("s_bc"),
+    )
+    z = (F.col("sum_a").cast("double") - F.col("sum_e")) / F.sqrt(
+        F.col("sum_v")
+    )
+    return agg.select(
+        "n_strata", "sum_a",
+        F.col("sum_e").alias("sum_e"),
+        z.alias("z"),
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
+        F.try_divide(F.col("s_ad"), F.col("s_bc")).alias("or_mh"),
+    )
+
+
+def covariate_balance(
+    df: DataFrame,
+    group_col,
+    group_t,
+    group_c,
+    covariates: list,
+) -> DataFrame:
+    """Standardized-mean-difference balance table — the pre-analysis
+    diagnostic every observational comparison (ipw_effect, cuped, did)
+    should print first: |SMD| > 0.1 on a covariate means the "control"
+    group differs before any treatment effect:
+
+        SMD_x = (mean_t - mean_c) / sqrt((var_t + var_c) / 2)
+
+    (sample variances). ONE conditional aggregate computes every
+    covariate's per-arm exact decimal moments in a single scan —
+    adding covariates adds columns, not passes (the run_checks
+    shape) — and the k output rows are unioned plan-time selects.
+    Covariates follow the exact-moment contract (integer-quantized
+    upstream). Returns one row per covariate:
+    (covariate, n_t, n_c, mean_t, mean_c, smd).
+    """
+    d38 = "decimal(38,0)"
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    base = df.filter(g.isin([group_t, group_c]))
+    aggs = [
+        F.sum((g == group_t).cast("int")).cast("long").alias("n_t"),
+        F.sum((g == group_c).cast("int")).cast("long").alias("n_c"),
+    ]
+    for x in covariates:
+        v = F.col(x).cast(d38)
+        for arm, cond in (("t", g == group_t), ("c", g == group_c)):
+            aggs.append(
+                F.sum(F.when(cond, v).otherwise(F.lit(0).cast(d38)))
+                .cast(d38)
+                .alias(f"s1_{x}_{arm}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(cond, (v * v).cast(d38)).otherwise(
+                        F.lit(0).cast(d38)
+                    )
+                )
+                .cast(d38)
+                .alias(f"s2_{x}_{arm}")
+            )
+    wide = base.agg(*aggs)
+    outs = []
+    for x in covariates:
+        nt, nc = F.col("n_t").cast("double"), F.col("n_c").cast("double")
+        mt = F.col(f"s1_{x}_t").cast("double") / nt
+        mc = F.col(f"s1_{x}_c").cast("double") / nc
+        vt = (
+            F.col(f"s2_{x}_t").cast("double")
+            - F.col(f"s1_{x}_t").cast("double")
+            * F.col(f"s1_{x}_t").cast("double")
+            / nt
+        ) / (nt - F.lit(1.0))
+        vc = (
+            F.col(f"s2_{x}_c").cast("double")
+            - F.col(f"s1_{x}_c").cast("double")
+            * F.col(f"s1_{x}_c").cast("double")
+            / nc
+        ) / (nc - F.lit(1.0))
+        outs.append(
+            wide.select(
+                F.lit(x).alias("covariate"),
+                "n_t", "n_c",
+                mt.alias("mean_t"),
+                mc.alias("mean_c"),
+                F.try_divide(
+                    mt - mc, F.sqrt((vt + vc) / F.lit(2.0))
+                ).alias("smd"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def paired_t(
+    df: DataFrame,
+    a_col,
+    b_col,
+) -> DataFrame:
+    """Paired t statistic on integer-quantized pairs — the
+    within-unit difference test (each unit is its own control), the
+    continuous-outcome sibling of mcnemar_test:
+
+        t = mean(d) / sqrt(var(d) / n),   d = a - b
+
+    Differences are exact integers; one aggregate of exact decimal
+    moments; the large-n normal tail prices the p (the repo has no
+    t-distribution — for the corpus-scale n where this runs, t and z
+    are indistinguishable; documented approximation, same rounding
+    contract). Returns one row: (n_pairs, mean_diff, t_stat, p_value).
+    """
+    d38 = "decimal(38,0)"
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    d = (a.cast("long") - b.cast("long")).cast(d38)
+    agg = df.filter(a.isNotNull() & b.isNotNull()).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(d).cast(d38).alias("s1"),
+        F.sum((d * d).cast(d38)).cast(d38).alias("s2"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    # try_divide: a single pair has no variance estimate -> NULL t/p
+    var = F.try_divide(
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / nd,
+        nd - F.lit(1.0),
+    )
+    t = F.try_divide(mean, F.sqrt(var / nd))
+    return agg.select(
+        "n_pairs",
+        mean.alias("mean_diff"),
+        t.alias("t_stat"),
+        (F.lit(2.0) * normal_sf(F.abs(t))).alias("p_value"),
+    )

@@ -23705,6 +23705,281 @@ def q442_risk_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 fifteenth wave: stratified effects, balance diagnostics,
+# paired differences
+
+
+def _q443_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    z = "((CAST(sum_a AS DOUBLE) - sum_e) / SQRT(sum_v))"
+    return f"""
+    WITH base AS (
+      SELECT r_name AS st, c_mktsegment AS g,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), per AS (
+      SELECT st,
+             CAST(SUM(CASE WHEN g = 'BUILDING' THEN y ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 - y ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN g = 'MACHINERY' THEN y ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 - y ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM base GROUP BY 1
+      HAVING SUM(CASE WHEN g = 'BUILDING' THEN y ELSE 0 END)
+             + SUM(CASE WHEN g = 'BUILDING' THEN 1 - y ELSE 0 END)
+             + SUM(CASE WHEN g = 'MACHINERY' THEN y ELSE 0 END)
+             + SUM(CASE WHEN g = 'MACHINERY' THEN 1 - y ELSE 0 END) > 1
+    ), terms AS (
+      SELECT a,
+             (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+               * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+               / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                  + CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) AS e,
+             (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+               * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+               * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+               * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))
+               / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                   + CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                  * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                     + CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                  * ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                      + CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) - 1.0))
+               AS v,
+             CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+               / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                  + CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) AS t_ad,
+             CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+               / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                  + CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) AS t_bc
+      FROM per
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(a) AS BIGINT) AS sum_a,
+             CAST(SUM(CAST(e AS DECIMAL(38,18))) AS DOUBLE) AS sum_e,
+             CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS sum_v,
+             CAST(SUM(CAST(t_ad AS DECIMAL(38,18))) AS DOUBLE) AS s_ad,
+             CAST(SUM(CAST(t_bc AS DECIMAL(38,18))) AS DOUBLE) AS s_bc
+      FROM terms
+    )
+    SELECT n_strata, sum_a, ROUND(sum_e, 9) AS sum_e,
+           ROUND({z}, 12) AS z,
+           ROUND(2.0 * {normal_sf_sql(f'ABS({z})')}, 9) AS p_value,
+           ROUND(s_ad / s_bc, 12) AS or_mh
+    FROM agg
+    """
+
+
+@_q("q443_cmh", None)
+def q443_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test + MH pooled odds ratio
+    (experiments.cmh_test): does BUILDING's urgency edge over
+    MACHINERY hold WITHIN each of the five regions? The
+    Simpson's-paradox-proof version of q442's marginal 2x2. Exact
+    per-stratum cells; decimal-cast stratum sums."""
+    from .operators.experiments import cmh_test
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    df = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("st"),
+            F.col("c_mktsegment").alias("g"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+        )
+    )
+    out = cmh_test(df, "st", "g", "y", "BUILDING", "MACHINERY")
+    return out.select(
+        "n_strata", "sum_a",
+        F.round("sum_e", 9).alias("sum_e"),
+        F.round("z", 12).alias("z"),
+        F.round("p_value", 9).alias("p_value"),
+        F.round("or_mh", 12).alias("or_mh"),
+    )
+
+
+ORACLES["q443_cmh"] = _q443_oracle()
+
+
+@_q(
+    "q444_balance",
+    """
+    WITH feats AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY 1
+    ), base AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 't' ELSE 'c' END
+               AS g,
+             COALESCE(n_items, 0) AS x1,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS x2
+      FROM orders LEFT JOIN feats ON orders.o_orderkey = feats.l_orderkey
+    ), wide AS (
+      SELECT CAST(SUM(CASE WHEN g = 't' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(SUM(CASE WHEN g = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(SUM(CASE WHEN g = 't' THEN x1 ELSE 0 END) AS BIGINT)
+               AS s1_x1_t,
+             CAST(SUM(CASE WHEN g = 't' THEN x1 * x1 ELSE 0 END) AS BIGINT)
+               AS s2_x1_t,
+             CAST(SUM(CASE WHEN g = 'c' THEN x1 ELSE 0 END) AS BIGINT)
+               AS s1_x1_c,
+             CAST(SUM(CASE WHEN g = 'c' THEN x1 * x1 ELSE 0 END) AS BIGINT)
+               AS s2_x1_c,
+             CAST(SUM(CASE WHEN g = 't' THEN x2 ELSE 0 END) AS BIGINT)
+               AS s1_x2_t,
+             SUM(CASE WHEN g = 't' THEN CAST(x2 AS HUGEINT) * x2
+                 ELSE CAST(0 AS HUGEINT) END) AS s2_x2_t,
+             CAST(SUM(CASE WHEN g = 'c' THEN x2 ELSE 0 END) AS BIGINT)
+               AS s1_x2_c,
+             SUM(CASE WHEN g = 'c' THEN CAST(x2 AS HUGEINT) * x2
+                 ELSE CAST(0 AS HUGEINT) END) AS s2_x2_c
+      FROM base
+    )
+    SELECT 'x1' AS covariate, n_t, n_c,
+           ROUND(CAST(s1_x1_t AS DOUBLE) / CAST(n_t AS DOUBLE), 9)
+             AS mean_t,
+           ROUND(CAST(s1_x1_c AS DOUBLE) / CAST(n_c AS DOUBLE), 9)
+             AS mean_c,
+           ROUND((CAST(s1_x1_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                  - CAST(s1_x1_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                 / SQRT(((CAST(s2_x1_t AS DOUBLE)
+                          - CAST(s1_x1_t AS DOUBLE)
+                            * CAST(s1_x1_t AS DOUBLE)
+                            / CAST(n_t AS DOUBLE))
+                         / (CAST(n_t AS DOUBLE) - 1.0)
+                         + (CAST(s2_x1_c AS DOUBLE)
+                            - CAST(s1_x1_c AS DOUBLE)
+                              * CAST(s1_x1_c AS DOUBLE)
+                              / CAST(n_c AS DOUBLE))
+                           / (CAST(n_c AS DOUBLE) - 1.0)) / 2.0), 12)
+             AS smd
+    FROM wide
+    UNION ALL
+    SELECT 'x2', n_t, n_c,
+           ROUND(CAST(s1_x2_t AS DOUBLE) / CAST(n_t AS DOUBLE), 9),
+           ROUND(CAST(s1_x2_c AS DOUBLE) / CAST(n_c AS DOUBLE), 9),
+           ROUND((CAST(s1_x2_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                  - CAST(s1_x2_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                 / SQRT(((CAST(s2_x2_t AS DOUBLE)
+                          - CAST(s1_x2_t AS DOUBLE)
+                            * CAST(s1_x2_t AS DOUBLE)
+                            / CAST(n_t AS DOUBLE))
+                         / (CAST(n_t AS DOUBLE) - 1.0)
+                         + (CAST(s2_x2_c AS DOUBLE)
+                            - CAST(s1_x2_c AS DOUBLE)
+                              * CAST(s1_x2_c AS DOUBLE)
+                              / CAST(n_c AS DOUBLE))
+                           / (CAST(n_c AS DOUBLE) - 1.0)) / 2.0), 12)
+    FROM wide
+    ORDER BY covariate
+    """,
+)
+def q444_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-balance SMD table (experiments.covariate_balance):
+    before reading q442/q443's effects, are urgent and non-urgent
+    orders comparable on line count (x1) and floored value (x2)?
+    Near-zero SMDs by construction — the diagnostic confirming the
+    fixture randomizes cleanly. One conditional-moment scan; k
+    plan-time rows."""
+    from .operators.experiments import covariate_balance
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_items")
+    )
+    df = o.join(feats, o.o_orderkey == feats.l_orderkey, "left").select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("t"))
+        .otherwise(F.lit("c"))
+        .alias("g"),
+        F.coalesce("n_items", F.lit(0)).cast("long").alias("x1"),
+        F.floor("o_totalprice").cast("long").alias("x2"),
+    )
+    out = covariate_balance(df, "g", "t", "c", ["x1", "x2"])
+    return out.select(
+        "covariate", "n_t", "n_c",
+        F.round("mean_t", 9).alias("mean_t"),
+        F.round("mean_c", 9).alias("mean_c"),
+        F.round("smd", 12).alias("smd"),
+    ).orderBy("covariate")
+
+
+def _q445_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    t = ("(CAST(s1 AS DOUBLE) / CAST(n_pairs AS DOUBLE)"
+         " / SQRT(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)"
+         " * CAST(s1 AS DOUBLE) / CAST(n_pairs AS DOUBLE))"
+         " / (CAST(n_pairs AS DOUBLE) - 1.0))"
+         " / CAST(n_pairs AS DOUBLE)))")
+    return f"""
+    WITH pairs AS (
+      SELECT o.l_orderkey,
+             MAX(CASE WHEN l_linenumber = 1 THEN CAST(l_quantity AS BIGINT)
+                 END) AS a,
+             MAX(CASE WHEN l_linenumber = 2 THEN CAST(l_quantity AS BIGINT)
+                 END) AS b
+      FROM lineitem o GROUP BY 1
+    ), d AS (
+      SELECT a - b AS d FROM pairs WHERE a IS NOT NULL AND b IS NOT NULL
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(d) AS BIGINT) AS s1,
+             CAST(SUM(d * d) AS BIGINT) AS s2
+      FROM d
+    )
+    SELECT n_pairs,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(n_pairs AS DOUBLE), 9)
+             AS mean_diff,
+           ROUND({t}, 12) AS t_stat,
+           ROUND(2.0 * {normal_sf_sql(f'ABS({t})')}, 9) AS p_value
+    FROM agg
+    """
+
+
+@_q("q445_paired_t", None)
+def q445_paired_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t (experiments.paired_t): within each multi-line order,
+    does line 1's quantity differ from line 2's? Each order is its own
+    control — the continuous sibling of q424's McNemar flips. Exact
+    integer differences; large-n normal tail (documented)."""
+    from .operators.experiments import paired_t
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_linenumber") == 1, F.col("l_quantity"))
+        ).cast("long").alias("a"),
+        F.max(
+            F.when(F.col("l_linenumber") == 2, F.col("l_quantity"))
+        ).cast("long").alias("b"),
+    )
+    out = paired_t(pairs, "a", "b")
+    return out.select(
+        "n_pairs",
+        F.round("mean_diff", 9).alias("mean_diff"),
+        F.round("t_stat", 12).alias("t_stat"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q445_paired_t"] = _q445_oracle()
+
+
 _PRIORITY = [
     # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
     #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
@@ -23744,6 +24019,7 @@ _PRIORITY = [
     "q434_heaps_fit", "q435_burstiness", "q436_holm",
     "q437_skew_kurtosis", "q438_adamic_adar", "q439_optimal_threshold",
     "q440_g_test", "q441_poisson_rates", "q442_risk_odds",
+    "q443_cmh", "q444_balance", "q445_paired_t",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

@@ -1653,3 +1653,96 @@ def test_risk_odds_ratio_matches_reference(spark):
     # a CI that includes 1 iff the effect is compatible with null:
     # here rr > 1 with a wide but positive CI
     assert out["rr_lo"] < rr < out["rr_hi"]
+
+
+def test_cmh_matches_reference(spark):
+    import math
+
+    # two strata with opposite marginal sizes (Simpson-style setup)
+    rows = []
+    for st, cells in {
+        "s1": {("t", 1): 8, ("t", 0): 2, ("c", 1): 5, ("c", 0): 5},
+        "s2": {("t", 1): 3, ("t", 0): 7, ("c", 1): 1, ("c", 0): 9},
+    }.items():
+        for (g, y), k in cells.items():
+            rows += [(st, g, y)] * k
+    df = spark.createDataFrame(rows, "st string, g string, y int")
+    from etl_java_spark.operators.experiments import cmh_test
+
+    out = cmh_test(df, "st", "g", "y", "t", "c").collect()[0]
+    sa = se = sv = s_ad = s_bc = 0.0
+    for st in ("s1", "s2"):
+        a = sum(1 for s, g, y in rows if s == st and g == "t" and y == 1)
+        b = sum(1 for s, g, y in rows if s == st and g == "t" and y == 0)
+        c = sum(1 for s, g, y in rows if s == st and g == "c" and y == 1)
+        d = sum(1 for s, g, y in rows if s == st and g == "c" and y == 0)
+        n = a + b + c + d
+        sa += a
+        se += (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        s_ad += a * d / n
+        s_bc += b * c / n
+    z = (sa - se) / math.sqrt(sv)
+    assert out["n_strata"] == 2 and out["sum_a"] == sa
+    assert out["sum_e"] == pytest.approx(se, rel=1e-12)
+    assert out["z"] == pytest.approx(z, rel=1e-12)
+    assert out["or_mh"] == pytest.approx(s_ad / s_bc, rel=1e-12)
+
+
+def test_covariate_balance_matches_reference(spark):
+    import math
+
+    rows = [("t", 10, 100), ("t", 12, 110), ("t", 14, 120),
+            ("c", 9, 101), ("c", 11, 99), ("c", 13, 130), ("c", 15, 90)]
+    df = spark.createDataFrame(rows, "g string, x1 long, x2 long")
+    from etl_java_spark.operators.experiments import covariate_balance
+
+    out = {
+        r["covariate"]: r
+        for r in covariate_balance(df, "g", "t", "c", ["x1", "x2"]).collect()
+    }
+
+    def svar(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    for i, cov in ((1, "x1"), (2, "x2")):
+        xt = [r[i] for r in rows if r[0] == "t"]
+        xc = [r[i] for r in rows if r[0] == "c"]
+        smd = (sum(xt) / len(xt) - sum(xc) / len(xc)) / math.sqrt(
+            (svar(xt) + svar(xc)) / 2
+        )
+        assert out[cov]["smd"] == pytest.approx(smd, rel=1e-12)
+        assert out[cov]["n_t"] == 3 and out[cov]["n_c"] == 4
+    # identical arms balance exactly to 0
+    same = spark.createDataFrame(
+        [("t", 5), ("t", 7), ("c", 5), ("c", 7)], "g string, x1 long"
+    )
+    assert covariate_balance(same, "g", "t", "c", ["x1"]).collect()[0][
+        "smd"
+    ] == 0.0
+
+
+def test_paired_t_matches_reference(spark):
+    import math
+
+    pairs = [(10, 8), (12, 11), (9, 9), (14, 10), (7, 8)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    from etl_java_spark.operators.experiments import paired_t
+
+    out = paired_t(df, "a", "b").collect()[0]
+    ds = [a - b for a, b in pairs]
+    n = len(ds)
+    mean = sum(ds) / n
+    var = sum((d - mean) ** 2 for d in ds) / (n - 1)
+    t = mean / math.sqrt(var / n)
+    assert out["n_pairs"] == n
+    assert out["mean_diff"] == pytest.approx(mean, rel=1e-12)
+    assert out["t_stat"] == pytest.approx(t, rel=1e-12)
+    # NULL-sided pairs are excluded before differencing
+    withnull = spark.createDataFrame(
+        [(10, 8), (None, 5), (12, None)], "a long, b long"
+    )
+    r = paired_t(withnull, "a", "b").collect()[0]
+    assert r["n_pairs"] == 1
+    assert r["t_stat"] is None  # a single pair has no variance
