@@ -1011,22 +1011,27 @@ def adamic_adar(
     ckpt = make_checkpointer(checkpoint_dir)
     und = ckpt(_canonical_und(edges, src, dst))
     deg = _und_degrees(und)
+    # per-center weight computed ONCE on the degree table; the b-side
+    # wedge input stays (c, l)-narrow via a semi join — carrying the
+    # weight through both join sides measured ~1.6x slower at 10x
     ok = deg.filter(F.col("d") <= max_degree).select(
-        F.col("x").alias("c"), F.col("d").alias("dc")
+        F.col("x").alias("c"),
+        (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("w"),
     )
-    adj = (
-        und.select(F.col("u").alias("c"), F.col("v").alias("l"))
-        .unionByName(und.select(F.col("v").alias("c"), F.col("u").alias("l")))
-        .join(ok, "c")
+    doubled = und.select(
+        F.col("u").alias("c"), F.col("v").alias("l")
+    ).unionByName(
+        und.select(F.col("v").alias("c"), F.col("u").alias("l"))
     )
-    a, b = adj.alias("a"), adj.alias("b")
+    a = doubled.join(ok, "c").alias("a")
+    b = doubled.join(ok.select("c"), "c", "left_semi").alias("b")
     wedges = a.join(
         b,
         (F.col("a.c") == F.col("b.c")) & (F.col("a.l") < F.col("b.l")),
     ).select(
         F.col("a.l").alias("u"),
         F.col("b.l").alias("v"),
-        (F.lit(1.0) / F.log(F.col("a.dc").cast("double"))).alias("w"),
+        F.col("a.w").alias("w"),
     )
     cand = (
         wedges.groupBy("u", "v")
