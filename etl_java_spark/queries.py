@@ -23981,13 +23981,12 @@ ORACLES["q445_paired_t"] = _q445_oracle()
 
 
 _PRIORITY = [
-    # 0) HEAD = exactly 50 slots for the round-10 driver gate, set at
-    #    ROUND CLOSE (the gate runs AFTER the round's last commit, so
-    #    the close-time head is what CORRECTNESS_r10 records): ALL 41
-    #    never-recorded queries -- the 23 round-9 additions q373-q395
-    #    plus the 18 round-10 additions q396-q413 -- and the 9
-    #    stalest r1-recorded rows (ledger order; q40/q41 fall just
-    #    outside the 50-slot window and lead r11's stale fill).
+    # 0) HEAD for the round-10 driver gate (the gate reads the FIRST
+    #    50 names): the never-recorded queue now exceeds the 50-slot
+    #    window (23 r9 additions q373-q395 + 50 r10 additions
+    #    q396-q445 = 73), so the gate records the OLDEST 50
+    #    never-recorded (q373-q422) and the remaining 23 (q423-q445)
+    #    plus the stale r1 rows lead r11's head.
     #    ROUND-CLOSE RULE: at the END of every round, rotate this head
     #    so the gate's 50 slots are drawn from gate_ledger's
     #    never-green list FIRST (including the round's own additions),
