@@ -2167,3 +2167,77 @@ def optimal_threshold(
         )
         .limit(1)
     )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    a_col,
+    b_col,
+    weights: str = "quadratic",
+) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL paired labels — near-misses
+    on an ordered scale (priority tiers, quality grades) count less
+    against agreement than distant ones, which plain cohens_kappa
+    (q268) cannot express:
+
+        kappa_w = 1 - SUM w_ij o_ij / (SUM w_ij r_i c_j / n)
+        w_ij = (i - j)^2 (quadratic, default) or |i - j| (linear)
+
+    Categories are indexed by SORTED order; with integer weights every
+    sum is an exact integer, so kappa_w = 1 - n * SUM(w o) / SUM(w r c)
+    is ONE double division of exact decimals. One grouped count + two
+    metadata margins. Returns one row: (n_pairs, k_levels, kappa_w).
+    """
+    if weights not in ("quadratic", "linear"):
+        raise ValueError("weights must be 'quadratic' or 'linear'")
+    d38 = "decimal(38,0)"
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("ca"), b.alias("cb"))
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    cats = (
+        cells.select(F.col("ca").alias("cat"))
+        .unionByName(cells.select(F.col("cb").alias("cat")))
+        .distinct()
+        .select(
+            "cat", F.row_number().over(Window.orderBy("cat")).alias("ix")
+        )
+    )
+    ia = cats.select(F.col("cat").alias("ca"), F.col("ix").alias("i"))
+    ib = cats.select(F.col("cat").alias("cb"), F.col("ix").alias("j"))
+    idx = cells.join(ia, "ca").join(ib, "cb")
+    dij = F.abs(F.col("i") - F.col("j")).cast("long")
+    wexp = dij * dij if weights == "quadratic" else dij
+    ri = idx.groupBy("i").agg(F.sum("o").cast("long").alias("r"))
+    cj = idx.groupBy("j").agg(F.sum("o").cast("long").alias("c"))
+    wo = idx.agg(
+        F.sum("o").cast("long").alias("n_pairs"),
+        F.sum((wexp.cast(d38) * F.col("o")).cast(d38))
+        .cast(d38)
+        .alias("swo"),
+    )
+    grid = ri.crossJoin(cj)
+    gd = F.abs(F.col("i") - F.col("j")).cast("long")
+    gw = gd * gd if weights == "quadratic" else gd
+    we = grid.agg(
+        F.sum(
+            (gw.cast(d38) * (F.col("r").cast(d38) * F.col("c")).cast(d38))
+            .cast(d38)
+        )
+        .cast(d38)
+        .alias("swrc"),
+        F.count("*").cast("long").alias("k2"),
+    )
+    j = wo.crossJoin(F.broadcast(we)).crossJoin(
+        F.broadcast(cats.agg(F.count("*").cast("long").alias("k_levels")))
+    )
+    kw = F.lit(1.0) - F.try_divide(
+        F.col("n_pairs").cast(d38).cast("double")
+        * F.col("swo").cast("double"),
+        F.col("swrc").cast("double"),
+    )
+    return j.select("n_pairs", "k_levels", kw.alias("kappa_w"))

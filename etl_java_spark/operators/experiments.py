@@ -2821,3 +2821,208 @@ def paired_t(
         t.alias("t_stat"),
         (F.lit(2.0) * normal_sf(F.abs(t))).alias("p_value"),
     )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    group_col,
+    value_col,
+) -> DataFrame:
+    """Dunn's post-hoc test — WHICH groups differ, after
+    kruskal_wallis says SOME do: pairwise z statistics on pooled
+    midranks with the KW tie correction, Bonferroni-adjusted:
+
+        z_ij = (rbar_i - rbar_j)
+               / sqrt((N(N+1)/12 - T/(12(N-1))) (1/n_i + 1/n_j))
+
+    Same scalable shape as the omnibus test: ONE (value, group)
+    grouped count, doubled midranks from one prefix window over the
+    distinct-value table (quantized-input contract), exact integer
+    rank sums; the k^2/2 pair grid is metadata-sized. Returns one row
+    per unordered group pair:
+    (grp_a, grp_b, z, p_raw, p_bonf) ordered by (grp_a, grp_b).
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = (
+        df.select(g.alias("g"), v.cast("long").alias("val"))
+        .filter(F.col("g").isNotNull() & F.col("val").isNotNull())
+        .groupBy("val", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    vt = per.groupBy("val").agg(F.sum("c").cast("long").alias("t"))
+    w = Window.orderBy("val")
+    r2 = vt.select(
+        "val", "t",
+        (
+            F.lit(2)
+            * (
+                F.coalesce(
+                    F.sum("t").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            )
+            + F.col("t")
+            + 1
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    grp = (
+        per.join(r2, "val")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(
+                (F.col("c").cast("decimal(38,0)") * F.col("r2")).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("rs2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = r2.agg(
+        F.sum("t").cast("long").alias("nn"),
+        F.sum(
+            (
+                F.col("t").cast("decimal(38,0)")
+                * F.col("t")
+                * F.col("t")
+                - F.col("t")
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("t3"),
+    )
+    a, b = grp.alias("a"), grp.alias("b")
+    pairs = a.join(b, F.col("a.g") < F.col("b.g")).crossJoin(
+        F.broadcast(tot)
+    )
+    nd = F.col("nn").cast("double")
+    mba = F.col("a.rs2").cast("double") / (
+        F.lit(2.0) * F.col("a.n").cast("double")
+    )
+    mbb = F.col("b.rs2").cast("double") / (
+        F.lit(2.0) * F.col("b.n").cast("double")
+    )
+    var = (
+        nd * (nd + F.lit(1.0)) / F.lit(12.0)
+        - F.col("t3").cast("double")
+        / (F.lit(12.0) * (nd - F.lit(1.0)))
+    ) * (
+        F.lit(1.0) / F.col("a.n").cast("double")
+        + F.lit(1.0) / F.col("b.n").cast("double")
+    )
+    z = (mba - mbb) / F.sqrt(var)
+    p_raw = F.lit(2.0) * normal_sf(F.abs(z))
+    out = pairs.select(
+        F.col("a.g").alias("grp_a"),
+        F.col("b.g").alias("grp_b"),
+        z.alias("z"),
+        p_raw.alias("p_raw"),
+    )
+    cnt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return out.select(
+        "grp_a", "grp_b", "z", "p_raw",
+        F.least(
+            F.lit(1.0), F.col("p_raw") * F.count("*").over(cnt).cast("double")
+        ).alias("p_bonf"),
+    ).orderBy("grp_a", "grp_b")
+
+
+def stuart_maxwell_3(
+    df: DataFrame,
+    a_col,
+    b_col,
+) -> DataFrame:
+    """Stuart-Maxwell marginal-homogeneity test for PAIRED 3-category
+    labels — "did the label DISTRIBUTION drift between two annotation
+    passes?", the k=3 generalization of McNemar (which only sees 2x2
+    flips). The k=3 closed form avoids any matrix inverse and, with
+    m_jk = n_jk + n_kj and d_i = row_i - col_i, reduces to ONE
+    all-integer ratio (the 1/2 factors cancel):
+
+        chi2 = (m_23 d_1^2 + m_13 d_2^2 + m_12 d_3^2)
+               / (m_12 m_13 + m_12 m_23 + m_13 m_23),   df = 2
+
+    Categories are indexed by their SORTED order (deterministic on
+    both engines). Exactly 3 observed categories are required — more
+    raise, fewer make the test degenerate (use mcnemar_test for 2).
+    One grouped count + one metadata aggregate; df=2 is even, so the
+    elementary closed-form tail prices the p. Returns one row:
+    (n_pairs, chi2, p_value).
+    """
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("ca"), b.alias("cb"))
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    cats = (
+        cells.select(F.col("ca").alias("cat"))
+        .unionByName(cells.select(F.col("cb").alias("cat")))
+        .distinct()
+        .select(
+            "cat",
+            F.row_number().over(Window.orderBy("cat")).alias("ix"),
+        )
+    )
+    idx = (
+        cells.join(cats.select(F.col("cat").alias("ca"), F.col("ix").alias("i")), "ca")
+        .join(cats.select(F.col("cat").alias("cb"), F.col("ix").alias("j")), "cb")
+    )
+
+    def cell(i, j):
+        return (
+            F.sum(
+                F.when(
+                    (F.col("i") == i) & (F.col("j") == j), F.col("o")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+        )
+
+    wide = idx.agg(
+        F.sum("o").cast("long").alias("n_pairs"),
+        F.max("i").alias("mi"),
+        F.max("j").alias("mj"),
+        *[
+            cell(i, j).alias(f"n{i}{j}")
+            for i in (1, 2, 3)
+            for j in (1, 2, 3)
+        ],
+    )
+    # guard: the closed form is k=3 only
+    wide = wide.filter((F.col("mi") <= 3) & (F.col("mj") <= 3))
+    d1 = (
+        F.col("n11") + F.col("n12") + F.col("n13")
+        - F.col("n11") - F.col("n21") - F.col("n31")
+    ).cast("double")
+    d2 = (
+        F.col("n21") + F.col("n22") + F.col("n23")
+        - F.col("n12") - F.col("n22") - F.col("n32")
+    ).cast("double")
+    d3 = (
+        F.col("n31") + F.col("n32") + F.col("n33")
+        - F.col("n13") - F.col("n23") - F.col("n33")
+    ).cast("double")
+    m12 = (F.col("n12") + F.col("n21")).cast("double")
+    m13 = (F.col("n13") + F.col("n31")).cast("double")
+    m23 = (F.col("n23") + F.col("n32")).cast("double")
+    chi2 = F.try_divide(
+        m23 * d1 * d1 + m13 * d2 * d2 + m12 * d3 * d3,
+        m12 * m13 + m12 * m23 + m13 * m23,
+    )
+    return wide.select(
+        "n_pairs",
+        chi2.alias("chi2"),
+        chi2_sf_even(chi2, 2).alias("p_value"),
+    )

@@ -23980,6 +23980,219 @@ def q445_paired_t(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q445_paired_t"] = _q445_oracle()
 
 
+# --------------------------------------------------------------------------
+# round-10 sixteenth wave: post-hoc pairs, marginal drift, ordinal kappa
+
+
+def _q446_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    z = ("(CAST(a_rs2 AS DOUBLE) / (2.0 * CAST(a_n AS DOUBLE))"
+         " - CAST(b_rs2 AS DOUBLE) / (2.0 * CAST(b_n AS DOUBLE)))"
+         " / SQRT((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 12.0"
+         " - CAST(t3 AS DOUBLE) / (12.0 * (CAST(nn AS DOUBLE) - 1.0)))"
+         " * (1.0 / CAST(a_n AS DOUBLE) + 1.0 / CAST(b_n AS DOUBLE)))")
+    p_raw = f"(2.0 * {normal_sf_sql(f'ABS({z})')})"
+    return f"""
+    WITH vals AS (
+      SELECT o_orderpriority AS g, CAST(FLOOR(o_totalprice) AS BIGINT)
+               AS val
+      FROM orders
+    ), per AS (
+      SELECT val, g, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2
+    ), vt AS (
+      SELECT val, CAST(SUM(c) AS BIGINT) AS t FROM per GROUP BY 1
+    ), r2 AS (
+      SELECT val, t,
+             CAST(2 * COALESCE(SUM(t) OVER (ORDER BY val ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+                  AS BIGINT) AS r2
+      FROM vt
+    ), grp AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT) * r2.r2) AS rs2
+      FROM per JOIN r2 USING (val) GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS nn,
+             SUM(CAST(t AS HUGEINT) * t * t - t) AS t3
+      FROM r2
+    ), pairs AS (
+      SELECT a.g AS grp_a, b.g AS grp_b,
+             a.n AS a_n, CAST(a.rs2 AS BIGINT) AS a_rs2,
+             b.n AS b_n, CAST(b.rs2 AS BIGINT) AS b_rs2,
+             nn, CAST(t3 AS BIGINT) AS t3
+      FROM grp a JOIN grp b ON a.g < b.g CROSS JOIN tot
+    )
+    SELECT grp_a, grp_b,
+           ROUND({z}, 12) AS z,
+           ROUND({p_raw}, 9) AS p_raw,
+           ROUND(LEAST(1.0, {p_raw}
+                 * CAST(COUNT(*) OVER () AS DOUBLE)), 9) AS p_bonf
+    FROM pairs ORDER BY grp_a, grp_b
+    """
+
+
+@_q("q446_dunn", None)
+def q446_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise test (experiments.dunn_posthoc) over
+    the five order priorities on floored value — WHICH priorities
+    differ after q397's Kruskal-Wallis omnibus. Pooled doubled
+    midranks from one prefix window; exact rank sums; Bonferroni over
+    the 10 pairs."""
+    from .operators.experiments import dunn_posthoc
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor("o_totalprice").cast("long").alias("v"),
+    )
+    out = dunn_posthoc(df, "g", "v")
+    return out.select(
+        "grp_a", "grp_b",
+        F.round("z", 12).alias("z"),
+        F.round("p_raw", 9).alias("p_raw"),
+        F.round("p_bonf", 9).alias("p_bonf"),
+    ).orderBy("grp_a", "grp_b")
+
+
+ORACLES["q446_dunn"] = _q446_oracle()
+
+
+_PAIRED_FLAGS_SQL = """pairs AS (
+      SELECT l_orderkey,
+             MAX(CASE WHEN l_linenumber = 1 THEN l_returnflag END) AS a,
+             MAX(CASE WHEN l_linenumber = 2 THEN l_returnflag END) AS b
+      FROM lineitem GROUP BY 1
+    ), pp AS (
+      SELECT a, b FROM pairs WHERE a IS NOT NULL AND b IS NOT NULL
+    ), cells AS (
+      SELECT a AS ca, b AS cb, CAST(COUNT(*) AS BIGINT) AS o
+      FROM pp GROUP BY 1, 2
+    ), cats AS (
+      SELECT cat, CAST(ROW_NUMBER() OVER (ORDER BY cat) AS BIGINT) AS ix
+      FROM (SELECT ca AS cat FROM cells UNION SELECT cb FROM cells)
+    ), idx AS (
+      SELECT i.ix AS i, j.ix AS j, o
+      FROM cells JOIN cats i ON ca = i.cat JOIN cats j ON cb = j.cat
+    )"""
+
+
+@_q(
+    "q447_stuart_maxwell",
+    f"""
+    WITH {_PAIRED_FLAGS_SQL}, wide AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN i = 1 AND j = 1 THEN o ELSE 0 END)
+                  AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN i = 1 AND j = 2 THEN o ELSE 0 END)
+                  AS BIGINT) AS n12,
+             CAST(SUM(CASE WHEN i = 1 AND j = 3 THEN o ELSE 0 END)
+                  AS BIGINT) AS n13,
+             CAST(SUM(CASE WHEN i = 2 AND j = 1 THEN o ELSE 0 END)
+                  AS BIGINT) AS n21,
+             CAST(SUM(CASE WHEN i = 2 AND j = 2 THEN o ELSE 0 END)
+                  AS BIGINT) AS n22,
+             CAST(SUM(CASE WHEN i = 2 AND j = 3 THEN o ELSE 0 END)
+                  AS BIGINT) AS n23,
+             CAST(SUM(CASE WHEN i = 3 AND j = 1 THEN o ELSE 0 END)
+                  AS BIGINT) AS n31,
+             CAST(SUM(CASE WHEN i = 3 AND j = 2 THEN o ELSE 0 END)
+                  AS BIGINT) AS n32,
+             CAST(SUM(CASE WHEN i = 3 AND j = 3 THEN o ELSE 0 END)
+                  AS BIGINT) AS n33
+      FROM idx
+    ), e AS (
+      SELECT n_pairs,
+             CAST(n11 + n12 + n13 - n11 - n21 - n31 AS DOUBLE) AS d1,
+             CAST(n21 + n22 + n23 - n12 - n22 - n32 AS DOUBLE) AS d2,
+             CAST(n31 + n32 + n33 - n13 - n23 - n33 AS DOUBLE) AS d3,
+             CAST(n12 + n21 AS DOUBLE) AS m12,
+             CAST(n13 + n31 AS DOUBLE) AS m13,
+             CAST(n23 + n32 AS DOUBLE) AS m23
+      FROM wide
+    ), c AS (
+      SELECT n_pairs,
+             (m23 * d1 * d1 + m13 * d2 * d2 + m12 * d3 * d3)
+               / (m12 * m13 + m12 * m23 + m13 * m23) AS chi2
+      FROM e
+    )
+    SELECT n_pairs, ROUND(chi2, 12) AS chi2,
+           ROUND(EXP(-((chi2) * 0.5)) * 1.0, 9) AS p_value
+    FROM c
+    """,
+)
+def q447_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuart-Maxwell marginal-homogeneity test (experiments.
+    stuart_maxwell_3): does the return-flag DISTRIBUTION drift between
+    each order's line 1 and line 2? The 3-category McNemar — all-
+    integer k=3 closed form, even df=2 elementary tail."""
+    from .operators.experiments import stuart_maxwell_3
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_linenumber") == 1, F.col("l_returnflag"))
+        ).alias("a"),
+        F.max(
+            F.when(F.col("l_linenumber") == 2, F.col("l_returnflag"))
+        ).alias("b"),
+    )
+    out = stuart_maxwell_3(pairs, "a", "b")
+    return out.select(
+        "n_pairs",
+        F.round("chi2", 12).alias("chi2"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+@_q(
+    "q448_weighted_kappa",
+    f"""
+    WITH {_PAIRED_FLAGS_SQL}, ri AS (
+      SELECT i, CAST(SUM(o) AS BIGINT) AS r FROM idx GROUP BY 1
+    ), cj AS (
+      SELECT j, CAST(SUM(o) AS BIGINT) AS c FROM idx GROUP BY 1
+    ), wo AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n_pairs,
+             SUM(CAST(ABS(i - j) * ABS(i - j) AS HUGEINT) * o) AS swo
+      FROM idx
+    ), we AS (
+      SELECT SUM(CAST(ABS(ri.i - cj.j) * ABS(ri.i - cj.j) AS HUGEINT)
+                 * (CAST(r AS HUGEINT) * c)) AS swrc
+      FROM ri CROSS JOIN cj
+    ), k AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_levels FROM cats
+    )
+    SELECT n_pairs, k_levels,
+           ROUND(1.0 - CAST(n_pairs AS DOUBLE) * CAST(swo AS DOUBLE)
+                 / CAST(swrc AS DOUBLE), 12) AS kappa_w
+    FROM wo, we, k
+    """,
+)
+def q448_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa (evaluation.weighted_kappa)
+    between line 1 and line 2 return flags — near-miss-tolerant
+    chance-corrected agreement on the ordered scale, beside q268's
+    binary kappa and q447's marginal drift. All-integer weighted sums;
+    one division."""
+    from .operators.evaluation import weighted_kappa
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_linenumber") == 1, F.col("l_returnflag"))
+        ).alias("a"),
+        F.max(
+            F.when(F.col("l_linenumber") == 2, F.col("l_returnflag"))
+        ).alias("b"),
+    )
+    out = weighted_kappa(pairs, "a", "b", weights="quadratic")
+    return out.select(
+        "n_pairs", "k_levels",
+        F.round("kappa_w", 12).alias("kappa_w"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD for the round-10 driver gate (the gate reads the FIRST
     #    50 names): the never-recorded queue now exceeds the 50-slot
@@ -24019,6 +24232,7 @@ _PRIORITY = [
     "q437_skew_kurtosis", "q438_adamic_adar", "q439_optimal_threshold",
     "q440_g_test", "q441_poisson_rates", "q442_risk_odds",
     "q443_cmh", "q444_balance", "q445_paired_t",
+    "q446_dunn", "q447_stuart_maxwell", "q448_weighted_kappa",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

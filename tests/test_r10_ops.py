@@ -1746,3 +1746,106 @@ def test_paired_t_matches_reference(spark):
     r = paired_t(withnull, "a", "b").collect()[0]
     assert r["n_pairs"] == 1
     assert r["t_stat"] is None  # a single pair has no variance
+
+
+def test_dunn_posthoc_matches_reference(spark):
+    import math
+
+    vals = {"a": [1, 2, 2, 5], "b": [3, 3, 4], "c": [6, 7, 7, 8, 9]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from etl_java_spark.operators.experiments import dunn_posthoc
+
+    out = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in dunn_posthoc(df, "g", "v").collect()
+    }
+    pooled = sorted(v for vs in vals.values() for v in vs)
+    N = len(pooled)
+
+    def midrank(x):
+        return sum(1 for u in pooled if u < x) + (
+            sum(1 for u in pooled if u == x) + 1
+        ) / 2
+
+    from collections import Counter
+
+    ties = Counter(pooled)
+    T = sum(t**3 - t for t in ties.values())
+    mb = {g: sum(midrank(v) for v in vs) / len(vs) for g, vs in vals.items()}
+    m = 3  # pairs
+    for ga, gb in (("a", "b"), ("a", "c"), ("b", "c")):
+        var = (N * (N + 1) / 12 - T / (12 * (N - 1))) * (
+            1 / len(vals[ga]) + 1 / len(vals[gb])
+        )
+        z = (mb[ga] - mb[gb]) / math.sqrt(var)
+        assert out[(ga, gb)]["z"] == pytest.approx(z, rel=1e-12)
+        # bonferroni caps at 1
+        assert out[(ga, gb)]["p_bonf"] <= 1.0
+
+
+def test_stuart_maxwell_matches_reference(spark):
+    # planted marginal drift: a leans to 'x', b leans to 'z'
+    cells = {("x", "x"): 20, ("x", "y"): 10, ("x", "z"): 14,
+             ("y", "x"): 4, ("y", "y"): 12, ("y", "z"): 9,
+             ("z", "x"): 2, ("z", "y"): 3, ("z", "z"): 16}
+    rows = [(a, b) for (a, b), k in cells.items() for _ in range(k)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    from etl_java_spark.operators.experiments import stuart_maxwell_3
+
+    out = stuart_maxwell_3(df, "a", "b").collect()[0]
+    import math
+
+    n = {}
+    for i, ca in enumerate("xyz", 1):
+        for j, cb in enumerate("xyz", 1):
+            n[(i, j)] = cells.get((ca, cb), 0)
+    d = [
+        sum(n[(i, j)] for j in (1, 2, 3))
+        - sum(n[(j, i)] for j in (1, 2, 3))
+        for i in (1, 2, 3)
+    ]
+    m12 = n[(1, 2)] + n[(2, 1)]
+    m13 = n[(1, 3)] + n[(3, 1)]
+    m23 = n[(2, 3)] + n[(3, 2)]
+    chi2 = (m23 * d[0] ** 2 + m13 * d[1] ** 2 + m12 * d[2] ** 2) / (
+        m12 * m13 + m12 * m23 + m13 * m23
+    )
+    assert out["n_pairs"] == sum(cells.values())
+    assert out["chi2"] == pytest.approx(chi2, rel=1e-12)
+    assert out["p_value"] == pytest.approx(math.exp(-chi2 / 2), rel=1e-12)
+    assert out["p_value"] < 0.01  # the planted drift is detected
+
+
+def test_weighted_kappa_matches_reference(spark):
+    cells = {("1", "1"): 8, ("1", "2"): 3, ("2", "2"): 7, ("2", "3"): 2,
+             ("3", "3"): 6, ("3", "1"): 1}
+    rows = [(a, b) for (a, b), k in cells.items() for _ in range(k)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    from etl_java_spark.operators.evaluation import weighted_kappa
+
+    out = weighted_kappa(df, "a", "b", weights="quadratic").collect()[0]
+    cats = sorted({c for ab in cells for c in ab})
+    ix = {c: i + 1 for i, c in enumerate(cats)}
+    n = sum(cells.values())
+    swo = sum(
+        (ix[a] - ix[b]) ** 2 * k for (a, b), k in cells.items()
+    )
+    from collections import Counter
+
+    ri = Counter()
+    cj = Counter()
+    for (a, b), k in cells.items():
+        ri[ix[a]] += k
+        cj[ix[b]] += k
+    swrc = sum(
+        (i - j) ** 2 * ri[i] * cj[j] for i in ri for j in cj
+    )
+    kw = 1 - n * swo / swrc
+    assert out["n_pairs"] == n and out["k_levels"] == 3
+    assert out["kappa_w"] == pytest.approx(kw, rel=1e-12)
+    # perfect agreement -> 1 exactly
+    perf = spark.createDataFrame(
+        [("1", "1"), ("2", "2"), ("3", "3")] * 3, "a string, b string"
+    )
+    assert weighted_kappa(perf, "a", "b").collect()[0]["kappa_w"] == 1.0
