@@ -3026,3 +3026,205 @@ def stuart_maxwell_3(
         chi2.alias("chi2"),
         chi2_sf_even(chi2, 2).alias("p_value"),
     )
+
+
+def kendalls_w(
+    df: DataFrame,
+    block_col,
+    treatment_col,
+    value_col,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W — HOW MUCH the m blocks
+    agree on the ranking of the k treatments ([0, 1]; the effect-size
+    companion to friedman_test's yes/no Q, related by Q = m (k-1) W):
+
+        W = 3 (SUM_j R2_j^2 - m^2 k (k+1)^2)
+            / (m^2 (k^3 - k) - m SUM_i T_i)
+
+    in the doubled-midrank integer form (R2_j = doubled rank sums,
+    T_i = within-block tie correction sum(t^3 - t)) — every term an
+    exact integer, ONE double division. Input is the PRE-AGGREGATED
+    cell table (post-aggregate contract). Returns one row:
+    (n_blocks, k_treatments, w_coef).
+    """
+    d38 = "decimal(38,0)"
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    t = (
+        F.col(treatment_col)
+        if isinstance(treatment_col, str)
+        else treatment_col
+    )
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = (
+        df.select(b.alias("blk"), t.alias("trt"), v.alias("val"))
+        .filter(F.col("val").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    a, c = base.alias("a"), base.alias("c")
+    r2 = a.join(c, F.col("a.blk") == F.col("c.blk")).groupBy(
+        F.col("a.blk").alias("blk"), F.col("a.trt").alias("trt")
+    ).agg(
+        (
+            F.lit(2) * F.sum((F.col("c.val") < F.col("a.val")).cast("int"))
+            + F.sum((F.col("c.val") == F.col("a.val")).cast("int"))
+            + 1
+        )
+        .cast("long")
+        .alias("r2")
+    )
+    rj = r2.groupBy("trt").agg(F.sum("r2").cast("long").alias("r2j"))
+    s4 = rj.agg(
+        F.sum((F.col("r2j").cast(d38) * F.col("r2j")).cast(d38))
+        .cast(d38)
+        .alias("sr2"),
+    )
+    # within-block tie sums: group cell values per block
+    ties = (
+        base.groupBy("blk", "val")
+        .agg(F.count("*").cast("long").alias("tt"))
+        .agg(
+            F.sum(
+                (
+                    F.col("tt").cast(d38) * F.col("tt") * F.col("tt")
+                    - F.col("tt")
+                ).cast(d38)
+            )
+            .cast(d38)
+            .alias("t3")
+        )
+    )
+    nk = base.agg(
+        F.countDistinct("blk").cast("long").alias("m"),
+        F.countDistinct("trt").cast("long").alias("k"),
+    )
+    j = (
+        nk.crossJoin(F.broadcast(s4))
+        .crossJoin(F.broadcast(ties))
+    )
+    md = F.col("m").cast("double")
+    kd = F.col("k").cast("double")
+    num = F.lit(3.0) * (
+        F.col("sr2").cast("double")
+        - md * md * kd * (kd + F.lit(1.0)) * (kd + F.lit(1.0))
+    )
+    den = md * md * (kd * kd * kd - kd) - md * F.col("t3").cast("double")
+    return j.select(
+        F.col("m").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.try_divide(num, den).alias("w_coef"),
+    )
+
+
+def lins_ccc(
+    df: DataFrame,
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient — "do predictions
+    agree with the truth along the 45-degree line?", the single number
+    combining precision (Pearson r) AND accuracy (scale/location
+    shift) that r alone misses (a model that predicts 2x the truth has
+    r = 1 but CCC << 1):
+
+        CCC = 2 s_xy / (s_x^2 + s_y^2 + (mean_x - mean_y)^2)
+
+    (population moments, Lin 1989). ONE aggregate of exact decimal
+    moments over integer-quantized pairs; the CCC and the Pearson r it
+    decomposes against are fixed double trees. Returns one row:
+    (n_pairs, mean_x, mean_y, pearson_r, ccc).
+    """
+    d38 = "decimal(38,0)"
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("long")
+    xd, yd = x.cast(d38), y.cast(d38)
+    agg = df.filter(x.isNotNull() & y.isNotNull()).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(xd).cast(d38).alias("sx"),
+        F.sum(yd).cast(d38).alias("sy"),
+        F.sum((xd * xd).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((yd * yd).cast(d38)).cast(d38).alias("syy"),
+        F.sum((xd * yd).cast(d38)).cast(d38).alias("sxy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    vy = F.col("syy").cast("double") / nd - my * my
+    cxy = F.col("sxy").cast("double") / nd - mx * my
+    return agg.select(
+        "n_pairs",
+        mx.alias("mean_x"),
+        my.alias("mean_y"),
+        F.try_divide(cxy, F.sqrt(vx * vy)).alias("pearson_r"),
+        F.try_divide(
+            F.lit(2.0) * cxy, vx + vy + (mx - my) * (mx - my)
+        ).alias("ccc"),
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    a_col,
+    b_col,
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Bland-Altman limits of agreement for paired integer-quantized
+    measurements — "within what band do two measurement methods
+    disagree?", the interval the paired_t p-value does not give:
+
+        bias = mean(a - b);  LoA = bias +/- z * sd(a - b)
+        pct_within = share of pairs inside the band
+
+    One exact-decimal moment pass sets the band; one second pass over
+    the (already grouped upstream) pair table counts coverage — the
+    band constants broadcast, so no extra shuffle of the pairs.
+    Returns one row:
+    (n_pairs, bias, sd_diff, loa_lo, loa_hi, pct_within).
+    """
+    d38 = "decimal(38,0)"
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    pairs = df.filter(a.isNotNull() & b.isNotNull()).select(
+        (a.cast("long") - b.cast("long")).alias("d")
+    )
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("d").cast(d38)).cast(d38).alias("s1"),
+        F.sum((F.col("d").cast(d38) * F.col("d")).cast(d38))
+        .cast(d38)
+        .alias("s2"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    bias = F.col("s1").cast("double") / nd
+    sd = F.sqrt(
+        F.try_divide(
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / nd,
+            nd - F.lit(1.0),
+        )
+    )
+    zc = F.lit(float(z_crit))
+    band = agg.select(
+        "n_pairs",
+        bias.alias("bias"),
+        sd.alias("sd_diff"),
+        (bias - zc * sd).alias("loa_lo"),
+        (bias + zc * sd).alias("loa_hi"),
+    )
+    within = pairs.crossJoin(F.broadcast(band)).agg(
+        F.sum(
+            (
+                (F.col("d").cast("double") >= F.col("loa_lo"))
+                & (F.col("d").cast("double") <= F.col("loa_hi"))
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_within")
+    )
+    return band.crossJoin(F.broadcast(within)).select(
+        "n_pairs", "bias", "sd_diff", "loa_lo", "loa_hi",
+        (
+            F.col("n_within").cast("double")
+            / F.col("n_pairs").cast("double")
+        ).alias("pct_within"),
+    )

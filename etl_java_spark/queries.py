@@ -24193,6 +24193,217 @@ def q448_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 seventeenth wave: concordance coefficients, agreement bands
+
+
+@_q(
+    "q449_kendalls_w",
+    """
+    WITH cells AS (
+      SELECT n_name AS blk, o_orderpriority AS trt,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS val
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), r2 AS (
+      SELECT a.blk, a.trt,
+             CAST(2 * SUM(CASE WHEN c.val < a.val THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN c.val = a.val THEN 1 ELSE 0 END) + 1
+                  AS BIGINT) AS r2
+      FROM cells a JOIN cells c ON a.blk = c.blk GROUP BY 1, 2
+    ), rj AS (
+      SELECT trt, CAST(SUM(r2) AS BIGINT) AS r2j FROM r2 GROUP BY 1
+    ), s4 AS (
+      SELECT SUM(CAST(r2j AS HUGEINT) * r2j) AS sr2 FROM rj
+    ), ties AS (
+      SELECT SUM(CAST(tt AS HUGEINT) * tt * tt - tt) AS t3
+      FROM (SELECT blk, val, CAST(COUNT(*) AS BIGINT) AS tt
+            FROM cells GROUP BY 1, 2)
+    ), nk AS (
+      SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS m,
+             CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
+      FROM cells
+    )
+    SELECT m AS n_blocks, k AS k_treatments,
+           ROUND(3.0 * (CAST(sr2 AS DOUBLE)
+                        - CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                          * CAST(k AS DOUBLE)
+                          * (CAST(k AS DOUBLE) + 1.0)
+                          * (CAST(k AS DOUBLE) + 1.0))
+                 / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                    * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                       * CAST(k AS DOUBLE) - CAST(k AS DOUBLE))
+                    - CAST(m AS DOUBLE) * CAST(t3 AS DOUBLE)), 12)
+             AS w_coef
+    FROM nk, s4, ties
+    """,
+)
+def q449_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W concordance (experiments.kendalls_w) over q398's
+    25-nation x 5-priority cells — HOW STRONGLY the nations agree on
+    the priority ranking, the [0,1] effect size behind Friedman's Q
+    (Q = m(k-1)W, cross-checked in the unit tests). All-integer
+    doubled midranks; one division."""
+    from .operators.experiments import kendalls_w
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            F.sum(F.floor("o_totalprice").cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    out = kendalls_w(cells, "blk", "trt", "v")
+    return out.select(
+        "n_blocks", "k_treatments",
+        F.round("w_coef", 12).alias("w_coef"),
+    )
+
+
+@_q(
+    "q450_lins_ccc",
+    """
+    WITH ly AS (
+      SELECT l_orderkey, CAST(FLOOR(SUM(l_extendedprice)) AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ), p AS (
+      SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS x, y
+      FROM orders JOIN ly ON o_orderkey = l_orderkey
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM p
+    ), e AS (
+      SELECT n_pairs,
+             CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS my,
+             CAST(sxx AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE)) AS vx,
+             CAST(syy AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+               - (CAST(sy AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n_pairs AS DOUBLE)) AS vy,
+             CAST(sxy AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n_pairs AS DOUBLE)) AS cxy
+      FROM agg
+    )
+    SELECT n_pairs, ROUND(mx, 9) AS mean_x, ROUND(my, 9) AS mean_y,
+           ROUND(cxy / SQRT(vx * vy), 12) AS pearson_r,
+           ROUND(2.0 * cxy / (vx + vy + (mx - my) * (mx - my)), 12) AS ccc
+    FROM e
+    """,
+)
+def q450_lins_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation (experiments.lins_ccc) between an
+    order's total price and its pre-tax/discount line sum — near-1
+    Pearson r but a systematically shifted scale, exactly the
+    accuracy-vs-precision split CCC quantifies and r hides. One exact
+    decimal moment pass."""
+    from .operators.experiments import lins_ccc
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ly = li.groupBy("l_orderkey").agg(
+        F.floor(F.sum("l_extendedprice")).cast("long").alias("y")
+    )
+    p = o.join(ly, o.o_orderkey == ly.l_orderkey).select(
+        F.floor("o_totalprice").cast("long").alias("x"), "y"
+    )
+    out = lins_ccc(p, "x", "y")
+    return out.select(
+        "n_pairs",
+        F.round("mean_x", 9).alias("mean_x"),
+        F.round("mean_y", 9).alias("mean_y"),
+        F.round("pearson_r", 12).alias("pearson_r"),
+        F.round("ccc", 12).alias("ccc"),
+    )
+
+
+@_q(
+    "q451_bland_altman",
+    """
+    WITH pr AS (
+      SELECT l_orderkey,
+             MAX(CASE WHEN l_linenumber = 1 THEN CAST(l_quantity AS BIGINT)
+                 END) AS a,
+             MAX(CASE WHEN l_linenumber = 2 THEN CAST(l_quantity AS BIGINT)
+                 END) AS b
+      FROM lineitem GROUP BY 1
+    ), d AS (
+      SELECT a - b AS d FROM pr WHERE a IS NOT NULL AND b IS NOT NULL
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(d) AS BIGINT) AS s1,
+             CAST(SUM(d * d) AS BIGINT) AS s2
+      FROM d
+    ), band AS (
+      SELECT n_pairs,
+             CAST(s1 AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS bias,
+             SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n_pairs AS DOUBLE))
+                  / (CAST(n_pairs AS DOUBLE) - 1.0)) AS sd
+      FROM agg
+    ), w AS (
+      SELECT CAST(SUM(CASE WHEN CAST(d AS DOUBLE)
+                                >= bias - 1.959963984540054 * sd
+                            AND CAST(d AS DOUBLE)
+                                <= bias + 1.959963984540054 * sd
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+      FROM d, band
+    )
+    SELECT n_pairs, ROUND(bias, 9) AS bias, ROUND(sd, 9) AS sd_diff,
+           ROUND(bias - 1.959963984540054 * sd, 9) AS loa_lo,
+           ROUND(bias + 1.959963984540054 * sd, 9) AS loa_hi,
+           ROUND(CAST(n_within AS DOUBLE) / CAST(n_pairs AS DOUBLE), 12)
+             AS pct_within
+    FROM band, w
+    """,
+)
+def q451_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman limits of agreement (experiments.bland_altman) for
+    line-1 vs line-2 quantities — the agreement BAND (and its empirical
+    coverage) behind q445's paired t: how far apart can two "parallel
+    measurements" drift before it's signal? One moment pass + one
+    broadcast-band coverage count."""
+    from .operators.experiments import bland_altman
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_linenumber") == 1, F.col("l_quantity"))
+        ).cast("long").alias("a"),
+        F.max(
+            F.when(F.col("l_linenumber") == 2, F.col("l_quantity"))
+        ).cast("long").alias("b"),
+    )
+    out = bland_altman(pairs, "a", "b")
+    return out.select(
+        "n_pairs",
+        F.round("bias", 9).alias("bias"),
+        F.round("sd_diff", 9).alias("sd_diff"),
+        F.round("loa_lo", 9).alias("loa_lo"),
+        F.round("loa_hi", 9).alias("loa_hi"),
+        F.round("pct_within", 12).alias("pct_within"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD for the round-10 driver gate (the gate reads the FIRST
     #    50 names): the never-recorded queue now exceeds the 50-slot
@@ -24233,6 +24444,7 @@ _PRIORITY = [
     "q440_g_test", "q441_poisson_rates", "q442_risk_odds",
     "q443_cmh", "q444_balance", "q445_paired_t",
     "q446_dunn", "q447_stuart_maxwell", "q448_weighted_kappa",
+    "q449_kendalls_w", "q450_lins_ccc", "q451_bland_altman",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

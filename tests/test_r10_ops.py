@@ -1849,3 +1849,112 @@ def test_weighted_kappa_matches_reference(spark):
         [("1", "1"), ("2", "2"), ("3", "3")] * 3, "a string, b string"
     )
     assert weighted_kappa(perf, "a", "b").collect()[0]["kappa_w"] == 1.0
+
+
+def test_kendalls_w_matches_reference_and_friedman_identity(spark):
+    cells = {
+        (b, t): ((i * 31 + j * 17) % 23) + (5 if t == "t1" else 0)
+        for i, b in enumerate(["b1", "b2", "b3", "b4", "b5", "b6"])
+        for j, t in enumerate(["t0", "t1", "t2"])
+    }
+    df = spark.createDataFrame(
+        [(b, t, v) for (b, t), v in cells.items()],
+        "blk string, trt string, v long",
+    )
+    from etl_java_spark.operators.experiments import (
+        friedman_test,
+        kendalls_w,
+    )
+
+    w = kendalls_w(df, "blk", "trt", "v").collect()[0]
+    q = friedman_test(df, "blk", "trt", "v").collect()[0]
+    m, k = w["n_blocks"], w["k_treatments"]
+    assert (m, k) == (6, 3)
+    # hand formula (doubled midranks)
+    from collections import defaultdict, Counter
+
+    by_blk = defaultdict(dict)
+    for (b, t), v in cells.items():
+        by_blk[b][t] = v
+    r2j = defaultdict(int)
+    t3 = 0
+    for b, row in by_blk.items():
+        vals = list(row.values())
+        for t, v in row.items():
+            r2j[t] += (
+                2 * sum(1 for u in vals if u < v)
+                + sum(1 for u in vals if u == v)
+                + 1
+            )
+        t3 += sum(c**3 - c for c in Counter(vals).values())
+    sr2 = sum(r * r for r in r2j.values())
+    want = (
+        3 * (sr2 - m * m * k * (k + 1) ** 2)
+        / (m * m * (k**3 - k) - m * t3)
+    )
+    assert w["w_coef"] == pytest.approx(want, rel=1e-12)
+    assert 0 <= w["w_coef"] <= 1
+    # Friedman identity: Q = m (k-1) W (tie-corrected forms agree)
+    assert q["q_stat"] == pytest.approx(
+        m * (k - 1) * w["w_coef"], rel=1e-12
+    )
+
+
+def test_lins_ccc_matches_reference(spark):
+    pairs = [(10, 12), (20, 24), (30, 33), (40, 45), (50, 52)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    from etl_java_spark.operators.experiments import lins_ccc
+
+    out = lins_ccc(df, "x", "y").collect()[0]
+    n = len(pairs)
+    mx = sum(x for x, _ in pairs) / n
+    my = sum(y for _, y in pairs) / n
+    vx = sum((x - mx) ** 2 for x, _ in pairs) / n
+    vy = sum((y - my) ** 2 for _, y in pairs) / n
+    cxy = sum((x - mx) * (y - my) for x, y in pairs) / n
+    import math
+
+    assert out["pearson_r"] == pytest.approx(
+        cxy / math.sqrt(vx * vy), rel=1e-12
+    )
+    assert out["ccc"] == pytest.approx(
+        2 * cxy / (vx + vy + (mx - my) ** 2), rel=1e-12
+    )
+    # scale-shifted but perfectly correlated: r = 1, CCC < 1
+    shift = spark.createDataFrame(
+        [(v, 2 * v) for v in (1, 2, 3, 4)], "x long, y long"
+    )
+    r = lins_ccc(shift, "x", "y").collect()[0]
+    assert r["pearson_r"] == pytest.approx(1.0, rel=1e-12)
+    assert r["ccc"] < 0.7
+    # identity -> CCC = 1
+    ident = spark.createDataFrame(
+        [(v, v) for v in (1, 5, 9)], "x long, y long"
+    )
+    assert lins_ccc(ident, "x", "y").collect()[0]["ccc"] == pytest.approx(
+        1.0, rel=1e-12
+    )
+
+
+def test_bland_altman_matches_reference(spark):
+    import math
+
+    pairs = [(10, 8), (12, 11), (9, 10), (14, 10), (7, 8), (11, 11),
+             (30, 10)]  # one wild outlier outside the band
+    df = spark.createDataFrame(pairs, "a long, b long")
+    from etl_java_spark.operators.experiments import bland_altman
+
+    out = bland_altman(df, "a", "b").collect()[0]
+    ds = [a - b for a, b in pairs]
+    n = len(ds)
+    bias = sum(ds) / n
+    sd = math.sqrt(sum((d - bias) ** 2 for d in ds) / (n - 1))
+    zc = 1.959963984540054
+    assert out["bias"] == pytest.approx(bias, rel=1e-12)
+    assert out["sd_diff"] == pytest.approx(sd, rel=1e-12)
+    assert out["loa_lo"] == pytest.approx(bias - zc * sd, rel=1e-12)
+    within = sum(
+        1 for d in ds if bias - zc * sd <= d <= bias + zc * sd
+    )
+    assert out["pct_within"] == pytest.approx(within / n, rel=1e-12)
+    assert out["pct_within"] < 1.0  # the outlier escapes the band
