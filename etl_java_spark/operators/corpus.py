@@ -1633,3 +1633,147 @@ def term_burstiness(
         .orderBy(F.col("vmr").desc(), F.col("term"))
         .limit(top_k)
     )
+
+
+def yules_k(
+    df: DataFrame,
+    text_col: str,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Yule's characteristic K — the classic lexical-repetitiveness
+    constant (stylometry's burstiness-of-vocabulary): K is ~invariant
+    to corpus LENGTH, so it compares repetitiveness across differently
+    sized slices where raw type-token ratios cannot:
+
+        K = 10^4 * (SUM_m m^2 f_m - N) / N^2
+
+    with f_m the number of tokens occurring exactly m times and N the
+    total token count — everything from the same frequency-of-
+    frequencies table as Chao1 (vocab_richness). All-integer moments,
+    one division. Returns one row: (n_tokens, n_distinct, yules_k).
+    """
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
+    )
+    tf = (
+        df.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = tf.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(
+            (F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sc2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    k = (
+        F.lit(10000.0)
+        * (F.col("sc2").cast("double") - nd)
+        / (nd * nd)
+    )
+    return agg.select("n_tokens", "n_distinct", k.alias("yules_k"))
+
+
+def conditional_entropy(
+    df: DataFrame,
+    text_col: str,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Bigram conditional entropy H(next | current) in bits — the
+    corpus PREDICTABILITY readout (the entropy-rate estimate behind
+    "is this slice boilerplate or prose?"), complementing the
+    unconditional char entropy (q152) and the bigram fluency scores
+    (q125):
+
+        H(Y|X) = - SUM_xy p(x,y) log2(p(y|x))
+               = (SUM_x c_x log2 c_x - SUM_xy c_xy log2 c_xy) / N
+
+    computed entirely from bigram/unigram COUNTS (both identities
+    exact-integer inputs to the logs). The two log folds run in
+    token/bigram order (the cramers_v determinism contract; round per
+    the log contract). Adjacent within-document pairs only — documents
+    never chain into each other. Returns one row:
+    (n_bigrams, n_contexts, h_cond_bits).
+    """
+    toks = F.filter(
+        F.array_remove(
+            F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
+        ),
+        lambda t: F.length(t) >= 1,
+    )
+    pairs = (
+        df.select(toks.alias("tk"))
+        .select(
+            F.explode(
+                F.when(
+                    F.size("tk") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(2), F.size("tk")),
+                        lambda i: F.struct(
+                            F.element_at(F.col("tk"), i - 1).alias("x"),
+                            F.element_at(F.col("tk"), i).alias("y"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("pr")
+        )
+        .select(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
+    )
+    big = pairs.groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("cxy")
+    ).localCheckpoint(eager=True)
+    uni = big.groupBy("x").agg(F.sum("cxy").cast("long").alias("cx"))
+    n = big.agg(F.sum("cxy").cast("long").alias("n"))
+    ln2 = 0.6931471805599453
+    bfold = (
+        big.select(
+            F.struct(
+                "x", "y",
+                (
+                    F.col("cxy").cast("double")
+                    * F.log(F.col("cxy").cast("double"))
+                ).alias("t"),
+            ).alias("__e")
+        )
+        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+        .select(
+            F.aggregate(
+                F.col("__arr"), F.lit(0.0), lambda a, e: a + e["t"]
+            ).alias("sxy"),
+        )
+    )
+    ufold = (
+        uni.select(
+            F.struct(
+                "x",
+                (
+                    F.col("cx").cast("double")
+                    * F.log(F.col("cx").cast("double"))
+                ).alias("t"),
+            ).alias("__e")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_contexts"),
+            F.array_sort(F.collect_list("__e")).alias("__arr"),
+        )
+        .select(
+            "n_contexts",
+            F.aggregate(
+                F.col("__arr"), F.lit(0.0), lambda a, e: a + e["t"]
+            ).alias("sx"),
+        )
+    )
+    j = n.crossJoin(F.broadcast(bfold)).crossJoin(F.broadcast(ufold))
+    h = (F.col("sx") - F.col("sxy")) / (
+        F.col("n").cast("double") * F.lit(ln2)
+    )
+    return j.select(
+        F.col("n").alias("n_bigrams"),
+        "n_contexts",
+        h.alias("h_cond_bits"),
+    )

@@ -2241,3 +2241,77 @@ def weighted_kappa(
         F.col("swrc").cast("double"),
     )
     return j.select("n_pairs", "k_levels", kw.alias("kappa_w"))
+
+
+def gwets_ac1(
+    df: DataFrame,
+    a_col,
+    b_col,
+) -> DataFrame:
+    """Gwet's AC1 — the chance-corrected agreement that stays STABLE
+    under skewed label prevalence, where Cohen's kappa famously
+    collapses (two annotators agreeing 95% on a 95/5 label split can
+    get near-zero kappa; AC1 reports the agreement honestly):
+
+        AC1 = (p_o - p_e) / (1 - p_e),
+        p_e = (1/(k-1)) SUM_c pi_c (1 - pi_c),
+        pi_c = (row_c + col_c) / (2n)
+
+    One grouped count to the k x k cells; margins are metadata-sized;
+    the per-category chance terms fold in category order (the
+    cramers_v determinism contract). Returns one row:
+    (n_pairs, k_levels, p_o, p_e, ac1).
+    """
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("ca"), b.alias("cb"))
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    n = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), F.col("o")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    ri = cells.groupBy(F.col("ca").alias("cat")).agg(
+        F.sum("o").cast("long").alias("r")
+    )
+    cj = cells.groupBy(F.col("cb").alias("cat")).agg(
+        F.sum("o").cast("long").alias("c")
+    )
+    marg = ri.join(cj, "cat", "full_outer").select(
+        "cat",
+        F.coalesce("r", F.lit(0)).cast("long").alias("r"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    )
+    k = marg.agg(F.count("*").cast("long").alias("k_levels"))
+    pi = (F.col("r") + F.col("c")).cast("double") / (
+        F.lit(2.0) * F.col("n").cast("double")
+    )
+    folded = (
+        marg.crossJoin(F.broadcast(n))
+        .select(
+            "n", "diag",
+            F.struct("cat", (pi * (F.lit(1.0) - pi)).alias("t")).alias(
+                "__e"
+            ),
+        )
+        .groupBy("n", "diag")
+        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    )
+    sfold = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["t"]
+    )
+    j = folded.crossJoin(F.broadcast(k))
+    po = F.col("diag").cast("double") / F.col("n").cast("double")
+    pe = sfold / (F.col("k_levels") - 1).cast("double")
+    return j.select(
+        F.col("n").alias("n_pairs"),
+        "k_levels",
+        po.alias("p_o"),
+        pe.alias("p_e"),
+        F.try_divide(po - pe, F.lit(1.0) - pe).alias("ac1"),
+    )

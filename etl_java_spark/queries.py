@@ -24404,6 +24404,163 @@ def q451_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 eighteenth wave: stylometry constants, predictability,
+# prevalence-stable agreement
+
+
+@_q(
+    "q452_yules_k",
+    f"""
+    WITH tf AS (
+      SELECT t.tok AS t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT {_TOKS_SQL} AS toks FROM documents),
+           UNNEST(toks) AS t(tok)
+      GROUP BY 1
+    ), agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             SUM(CAST(c AS HUGEINT) * c) AS sc2
+      FROM tf
+    )
+    SELECT n_tokens, n_distinct,
+           ROUND(10000.0 * (CAST(sc2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+                 9) AS yules_k
+    FROM agg
+    """,
+)
+def q452_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K (corpus.yules_k) over the documents
+    corpus — the length-invariant lexical-repetitiveness constant from
+    the same frequency-of-frequencies table as q432's Chao1. One
+    explode + two aggregates; all-integer moments."""
+    from .operators.corpus import yules_k
+
+    d = _t(spark, sf_dir, "documents")
+    out = yules_k(d, "text")
+    return out.select(
+        "n_tokens", "n_distinct",
+        F.round("yules_k", 9).alias("yules_k"),
+    )
+
+
+@_q(
+    "q453_cond_entropy",
+    f"""
+    WITH toksf AS (
+      SELECT {_TOKS_SQL} AS tk FROM documents
+    ), pr AS (
+      SELECT tk[i - 1] AS x, tk[i] AS y
+      FROM toksf, UNNEST(generate_series(2, LEN(tk))) AS g(i)
+    ), big AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy FROM pr GROUP BY 1, 2
+    ), uni AS (
+      SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM big GROUP BY 1
+    ), nn AS (
+      SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM big
+    ), bf AS (
+      SELECT LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(CAST(cxy AS DOUBLE) * LN(CAST(cxy AS DOUBLE))
+                    ORDER BY x, y)),
+               (a, b) -> a + b) AS sxy
+      FROM big
+    ), uf AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_contexts,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(CAST(cx AS DOUBLE) * LN(CAST(cx AS DOUBLE))
+                    ORDER BY x)),
+               (a, b) -> a + b) AS sx
+      FROM uni
+    )
+    SELECT n AS n_bigrams, n_contexts,
+           ROUND((sx - sxy)
+                 / (CAST(n AS DOUBLE) * 0.6931471805599453), 9)
+             AS h_cond_bits
+    FROM nn, bf, uf
+    """,
+)
+def q453_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy H(next|current) in bits
+    (corpus.conditional_entropy) over the documents corpus — the
+    predictability / entropy-rate readout beside q152's unconditional
+    char entropy; boilerplate slices score near 0, prose higher. Two
+    count tables, two ordered log folds, one division."""
+    from .operators.corpus import conditional_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    out = conditional_entropy(d, "text")
+    return out.select(
+        "n_bigrams", "n_contexts",
+        F.round("h_cond_bits", 9).alias("h_cond_bits"),
+    )
+
+
+@_q(
+    "q454_gwets_ac1",
+    f"""
+    WITH {_PAIRED_FLAGS_SQL}, nn AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ca = cb THEN o ELSE 0 END) AS BIGINT)
+               AS diag
+      FROM cells
+    ), ri AS (
+      SELECT ca AS cat, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1
+    ), cj AS (
+      SELECT cb AS cat, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1
+    ), marg AS (
+      SELECT COALESCE(ri.cat, cj.cat) AS cat,
+             CAST(COALESCE(r, 0) AS BIGINT) AS r,
+             CAST(COALESCE(c, 0) AS BIGINT) AS c
+      FROM ri FULL OUTER JOIN cj ON ri.cat = cj.cat
+    ), k AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_levels FROM marg
+    ), folded AS (
+      SELECT n, diag,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(
+                 (CAST(r + c AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)))
+                 * (1.0 - CAST(r + c AS DOUBLE)
+                          / (2.0 * CAST(n AS DOUBLE)))
+                 ORDER BY cat)),
+               (a, b) -> a + b) AS sf
+      FROM marg, nn GROUP BY 1, 2
+    )
+    SELECT n AS n_pairs, k_levels,
+           ROUND(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 12) AS p_o,
+           ROUND(sf / CAST(k_levels - 1 AS DOUBLE), 12) AS p_e,
+           ROUND((CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+                  - sf / CAST(k_levels - 1 AS DOUBLE))
+                 / (1.0 - sf / CAST(k_levels - 1 AS DOUBLE)), 12) AS ac1
+    FROM folded, k
+    """,
+)
+def q454_gwets_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 (evaluation.gwets_ac1) on the line-1 vs line-2
+    return-flag panel — the prevalence-stable agreement coefficient
+    beside kappa (q268/q448): skewed flag distributions cannot crater
+    it the way they crater kappa. One grouped count; category-ordered
+    chance fold."""
+    from .operators.evaluation import gwets_ac1
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("l_linenumber") == 1, F.col("l_returnflag"))
+        ).alias("a"),
+        F.max(
+            F.when(F.col("l_linenumber") == 2, F.col("l_returnflag"))
+        ).alias("b"),
+    )
+    out = gwets_ac1(pairs, "a", "b")
+    return out.select(
+        "n_pairs", "k_levels",
+        F.round("p_o", 12).alias("p_o"),
+        F.round("p_e", 12).alias("p_e"),
+        F.round("ac1", 12).alias("ac1"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD for the round-10 driver gate (the gate reads the FIRST
     #    50 names): the never-recorded queue now exceeds the 50-slot
@@ -24445,6 +24602,7 @@ _PRIORITY = [
     "q443_cmh", "q444_balance", "q445_paired_t",
     "q446_dunn", "q447_stuart_maxwell", "q448_weighted_kappa",
     "q449_kendalls_w", "q450_lins_ccc", "q451_bland_altman",
+    "q452_yules_k", "q453_cond_entropy", "q454_gwets_ac1",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

@@ -1958,3 +1958,87 @@ def test_bland_altman_matches_reference(spark):
     )
     assert out["pct_within"] == pytest.approx(within / n, rel=1e-12)
     assert out["pct_within"] < 1.0  # the outlier escapes the band
+
+
+def test_yules_k_matches_reference(spark):
+    docs = [("aa bb aa cc aa bb dd",), ("aa ee",)]
+    df = spark.createDataFrame(docs, "text string")
+    from etl_java_spark.operators.corpus import yules_k
+
+    out = yules_k(df, "text").collect()[0]
+    from collections import Counter
+
+    cnt = Counter(w for t, in docs for w in t.split())
+    N = sum(cnt.values())
+    sc2 = sum(c * c for c in cnt.values())
+    assert out["n_tokens"] == N and out["n_distinct"] == len(cnt)
+    assert out["yules_k"] == pytest.approx(
+        1e4 * (sc2 - N) / (N * N), rel=1e-12
+    )
+    # all-unique vocabulary -> K = 0 exactly
+    uni = spark.createDataFrame([("a1 b2 c3 d4",)], "text string")
+    assert yules_k(uni, "text").collect()[0]["yules_k"] == 0.0
+
+
+def test_conditional_entropy_matches_reference(spark):
+    import math
+
+    docs = [("a b a b a c",), ("b a b",), ("zz",)]
+    df = spark.createDataFrame(docs, "text string")
+    from etl_java_spark.operators.corpus import conditional_entropy
+
+    out = conditional_entropy(df, "text").collect()[0]
+    from collections import Counter
+
+    big = Counter()
+    for t, in docs:
+        tk = t.split()
+        big.update(zip(tk, tk[1:]))
+    uni = Counter()
+    for (x, _), c in big.items():
+        uni[x] += c
+    n = sum(big.values())
+    h = (
+        sum(c * math.log(c) for c in uni.values())
+        - sum(c * math.log(c) for c in big.values())
+    ) / (n * math.log(2))
+    assert out["n_bigrams"] == n
+    assert out["n_contexts"] == len(uni)
+    assert out["h_cond_bits"] == pytest.approx(h, rel=1e-12)
+    # fully deterministic chain -> 0 bits
+    det = spark.createDataFrame([("x y x y x y",)], "text string")
+    assert conditional_entropy(det, "text").collect()[0][
+        "h_cond_bits"
+    ] == pytest.approx(0.0, abs=1e-15)
+
+
+def test_gwets_ac1_matches_reference_and_prevalence(spark):
+    cells = {("p", "p"): 90, ("p", "n"): 4, ("n", "p"): 3, ("n", "n"): 3}
+    rows = [(a, b) for (a, b), k in cells.items() for _ in range(k)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    from etl_java_spark.operators.evaluation import (
+        cohens_kappa,
+        gwets_ac1,
+    )
+
+    out = gwets_ac1(df, "a", "b").collect()[0]
+    n = sum(cells.values())
+    po = (cells[("p", "p")] + cells[("n", "n")]) / n
+    pi_p = (94 + 93) / (2 * n)
+    pi_n = (6 + 7) / (2 * n)
+    pe = (pi_p * (1 - pi_p) + pi_n * (1 - pi_n)) / (2 - 1)
+    assert out["p_o"] == pytest.approx(po, rel=1e-12)
+    assert out["p_e"] == pytest.approx(pe, rel=1e-12)
+    assert out["ac1"] == pytest.approx((po - pe) / (1 - pe), rel=1e-12)
+    # the prevalence paradox: kappa craters on the skewed panel,
+    # AC1 stays near the raw agreement
+    kap = cohens_kappa(
+        df.select(
+            (F_col("a") == "p").alias("pa"), (F_col("b") == "p").alias("pb")
+        ),
+        "pa", "pb",
+    ).collect()[0]["kappa"]
+    assert out["ac1"] > 0.85 and kap < 0.5
+
+
+from pyspark.sql.functions import col as F_col  # noqa: E402
