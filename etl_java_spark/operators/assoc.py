@@ -424,3 +424,62 @@ def shapley_attribution(
         # NULL shares, not an ANSI divide-by-zero raise
         F.round(F.try_divide(F.col("phi"), F.col("tot")), 12).alias("share"),
     )
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    prev_col: str = "prev_type",
+    next_col: str = "next_type",
+    p_col: str = "p",
+    sweeps: int = 3,
+) -> DataFrame:
+    """Stationary distribution of a first-order Markov chain by FIXED
+    power sweeps — "where does user behavior settle?", the long-run
+    summary of the transition matrix (markov_attribution walks
+    conversions; this walks the chain itself):
+
+        v_0 = uniform;  v_{k+1}(s) = SUM_prev v_k(prev) p(prev -> s)
+
+    Input is the (prev, next, p) row-normalized TRANSITION table
+    (metadata-sized — states, not rows; the expensive counting pass
+    is upstream, e.g. q188). A budgeted sweep count keeps the plan
+    static (the pagerank discipline); per-state sums pass through
+    decimal(38,18) casts so shuffle order cannot perturb the result.
+    States with no outgoing rows leak mass (documented pagerank
+    simplification — row-normalized inputs from a closed event
+    alphabet don't have them). Returns (state, prob) after ``sweeps``
+    sweeps, one row per state that appears in either column.
+    """
+    t = transitions.select(
+        F.col(prev_col).alias("pv"),
+        F.col(next_col).alias("nx"),
+        F.col(p_col).cast("double").alias("p"),
+    ).localCheckpoint(eager=True)
+    states = (
+        t.select(F.col("pv").alias("state"))
+        .unionByName(t.select(F.col("nx").alias("state")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    k = states.count()
+    v = states.withColumn("prob", F.lit(1.0 / k))
+    for _ in range(sweeps):
+        nxt = (
+            t.join(v, t.pv == v.state)
+            .select("nx", (F.col("prob") * F.col("p")).alias("m"))
+            .groupBy("nx")
+            .agg(
+                F.sum(F.col("m").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("prob")
+            )
+            .select(F.col("nx").alias("state"), "prob")
+        )
+        v = (
+            states.join(nxt, "state", "left")
+            .select(
+                "state", F.coalesce("prob", F.lit(0.0)).alias("prob")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v

@@ -2496,3 +2496,55 @@ def hurst_rs(
     return perw.crossJoin(F.broadcast(slope)).select(
         "w", "n_blocks", "rs_avg", "hurst"
     ).orderBy("w")
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: int,
+) -> DataFrame:
+    """Restricted mean survival time — the area under the Kaplan-Meier
+    curve up to the horizon ``tau``: "average lifetime within the
+    first tau days", the single-number churn summary that stays valid
+    under censoring where a raw mean lifetime does not (and unlike the
+    median survival, always exists):
+
+        RMST(tau) = integral_0^tau S(t) dt
+                  = min(t_1, tau) + SUM_i S(t_i) (min(t_{i+1}, tau)
+                                                  - min(t_i, tau))
+
+    Composes :func:`kaplan_meier` (shared counting pass and fold
+    contract); the step-area terms are one LEAD window + a time-ordered
+    fold over the event-time table (calendar-bounded — the
+    post-aggregate window contract). Returns one row:
+    (tau, n_event_times, rmst).
+    """
+    km = kaplan_meier(df, duration_col, event_col)
+    taud = F.lit(float(tau))
+    wl = Window.orderBy("t")
+    seg = km.select(
+        "t", "survival",
+        F.lead("t").over(wl).cast("double").alias("nt"),
+    )
+    width = F.greatest(
+        F.least(F.coalesce(F.col("nt"), taud), taud)
+        - F.least(F.col("t").cast("double"), taud),
+        F.lit(0.0),
+    )
+    folded = seg.select(
+        F.struct("t", (F.col("survival") * width).alias("a")).alias("__e"),
+        F.col("t"),
+    ).agg(
+        F.count("*").cast("long").alias("n_event_times"),
+        F.min("t").cast("double").alias("t1"),
+        F.array_sort(F.collect_list("__e")).alias("__arr"),
+    )
+    area = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["a"]
+    )
+    return folded.select(
+        F.lit(tau).cast("long").alias("tau"),
+        "n_event_times",
+        (F.least(F.col("t1"), taud) + area).alias("rmst"),
+    )

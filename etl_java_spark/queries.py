@@ -24561,6 +24561,165 @@ def q454_gwets_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 nineteenth wave: chain equilibria, restricted survival means
+
+
+@_q(
+    "q455_markov_stationary",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type AS prev_type, next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT prev_type, SUM(n) AS tot FROM trans GROUP BY prev_type
+    ), tp AS (
+      SELECT t.prev_type AS pv, t.next_type AS nx,
+             CAST(t.n AS DOUBLE) / CAST(ttl.tot AS DOUBLE) AS p
+      FROM trans t JOIN totals ttl ON ttl.prev_type = t.prev_type
+    ), states AS (
+      SELECT pv AS state FROM tp UNION SELECT nx FROM tp
+    ), kk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states
+    ), v0 AS (
+      SELECT state, 1.0 / CAST(k AS DOUBLE) AS prob FROM states, kk
+    ), v1 AS (
+      SELECT s.state, COALESCE(m.s, 0.0) AS prob FROM states s
+      LEFT JOIN (
+        SELECT nx AS state,
+               CAST(SUM(CAST(prob * p AS DECIMAL(38,18))) AS DOUBLE) AS s
+        FROM tp JOIN v0 ON tp.pv = v0.state GROUP BY nx
+      ) m USING (state)
+    ), v2 AS (
+      SELECT s.state, COALESCE(m.s, 0.0) AS prob FROM states s
+      LEFT JOIN (
+        SELECT nx AS state,
+               CAST(SUM(CAST(prob * p AS DECIMAL(38,18))) AS DOUBLE) AS s
+        FROM tp JOIN v1 ON tp.pv = v1.state GROUP BY nx
+      ) m USING (state)
+    ), v3 AS (
+      SELECT s.state, COALESCE(m.s, 0.0) AS prob FROM states s
+      LEFT JOIN (
+        SELECT nx AS state,
+               CAST(SUM(CAST(prob * p AS DECIMAL(38,18))) AS DOUBLE) AS s
+        FROM tp JOIN v2 ON tp.pv = v2.state GROUP BY nx
+      ) m USING (state)
+    )
+    SELECT state, ROUND(prob, 12) AS prob FROM v3 ORDER BY state
+    """,
+)
+def q455_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution (assoc.markov_stationary) of q188's
+    user-event transition chain after three budgeted power sweeps —
+    where behavior settles long-run. The oracle unrolls the identical
+    decimal-exact sweeps as chained CTEs (the pagerank discipline)."""
+    from .operators.assoc import markov_stationary
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    tp = trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type", "next_type",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )
+    out = markov_stationary(tp, "prev_type", "next_type", "p", sweeps=3)
+    return out.select(
+        "state", F.round("prob", 12).alias("prob")
+    ).orderBy("state")
+
+
+@_q(
+    "q456_rmst",
+    """
+    WITH RECURSIVE per AS (
+      SELECT o_custkey, MIN(o_orderdate) AS fd, MAX(o_orderdate) AS ld
+      FROM orders GROUP BY 1
+    ), mx AS (
+      SELECT MAX(o_orderdate) AS m FROM orders
+    ), d AS (
+      SELECT CAST(DATE_DIFF('day', CAST(fd AS DATE), CAST(ld AS DATE))
+                  AS BIGINT) AS t,
+             CASE WHEN ld < m - INTERVAL 30 DAY THEN 1 ELSE 0 END AS e
+      FROM per CROSS JOIN mx
+    ), pt AS (
+      SELECT t, CAST(SUM(e) AS BIGINT) AS d, CAST(SUM(1 - e) AS BIGINT) AS c
+      FROM d GROUP BY 1
+    ), risk AS (
+      SELECT t, d, c,
+             CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+      FROM pt
+    ), ev AS (
+      SELECT t, d, n,
+             CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+               AS f,
+             ROW_NUMBER() OVER (ORDER BY t) AS rn
+      FROM risk WHERE d > 0
+    ), rec AS (
+      SELECT rn, t, f AS s FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.rn, e.t, r.s * e.f
+      FROM rec r JOIN ev e ON e.rn = r.rn + 1
+    ), seg AS (
+      SELECT t, s, CAST(LEAD(t) OVER (ORDER BY t) AS DOUBLE) AS nt
+      FROM rec
+    ), folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+             CAST(MIN(t) AS DOUBLE) AS t1,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(s * GREATEST(LEAST(COALESCE(nt, 365.0), 365.0)
+                                 - LEAST(CAST(t AS DOUBLE), 365.0), 0.0)
+                    ORDER BY t)),
+               (a, b) -> a + b) AS area
+      FROM seg
+    )
+    SELECT CAST(365 AS BIGINT) AS tau, n_event_times,
+           ROUND(LEAST(t1, 365.0) + area, 9) AS rmst
+    FROM folded
+    """,
+)
+def q456_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (timeseries.rmst) at a one-year
+    horizon over q269's censored customer lifetimes — "average
+    lifetime within the first 365 days", the censoring-valid scalar
+    the KM curve summarizes to. Shared KM fold; one LEAD window +
+    time-ordered area fold."""
+    from .operators.timeseries import rmst
+
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("fd"), F.max("o_orderdate").alias("ld")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("m"))
+    df = per.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("ld").cast("date"), F.col("fd").cast("date"))
+        .cast("long")
+        .alias("dur"),
+        (F.col("ld") < F.col("m") - F.expr("INTERVAL 30 DAYS"))
+        .cast("int")
+        .alias("ev"),
+    )
+    out = rmst(df, "dur", "ev", tau=365)
+    return out.select(
+        "tau", "n_event_times",
+        F.round("rmst", 9).alias("rmst"),
+    )
+
+
 _PRIORITY = [
     # 0) HEAD for the round-10 driver gate (the gate reads the FIRST
     #    50 names): the never-recorded queue now exceeds the 50-slot
@@ -24603,6 +24762,7 @@ _PRIORITY = [
     "q446_dunn", "q447_stuart_maxwell", "q448_weighted_kappa",
     "q449_kendalls_w", "q450_lins_ccc", "q451_bland_altman",
     "q452_yules_k", "q453_cond_entropy", "q454_gwets_ac1",
+    "q455_markov_stationary", "q456_rmst",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

@@ -2042,3 +2042,55 @@ def test_gwets_ac1_matches_reference_and_prevalence(spark):
 
 
 from pyspark.sql.functions import col as F_col  # noqa: E402
+
+
+def test_markov_stationary_matches_reference(spark):
+    # simple 3-state chain, row-normalized by construction
+    tp = [("a", "b", 0.5), ("a", "c", 0.5), ("b", "a", 1.0),
+          ("c", "c", 0.25), ("c", "a", 0.75)]
+    df = spark.createDataFrame(tp, "prev_type string, next_type string, p double")
+    from etl_java_spark.operators.assoc import markov_stationary
+
+    out = {
+        r["state"]: r["prob"]
+        for r in markov_stationary(df, sweeps=3).collect()
+    }
+    v = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    for _ in range(3):
+        nxt = {s: 0.0 for s in v}
+        for pv, nx, p in tp:
+            nxt[nx] += v[pv] * p
+        v = nxt
+    for s in v:
+        assert out[s] == pytest.approx(v[s], rel=1e-12)
+    # probability mass is conserved (closed alphabet)
+    assert sum(out.values()) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_rmst_matches_reference(spark):
+    import math
+
+    # durations with events and censoring
+    rows = [(2, 1), (2, 1), (4, 0), (6, 1), (9, 0), (12, 1), (15, 0)]
+    df = spark.createDataFrame(rows, "dur long, ev int")
+    from etl_java_spark.operators.timeseries import kaplan_meier, rmst
+
+    km = sorted(
+        (r["t"], r["survival"])
+        for r in kaplan_meier(df, "dur", "ev").collect()
+    )
+    for tau in (5, 10, 100):
+        out = rmst(df, "dur", "ev", tau=tau).collect()[0]
+        # step-curve area replay
+        area = min(km[0][0], tau)  # S=1 before the first event time
+        for i, (t, s) in enumerate(km):
+            nt = km[i + 1][0] if i + 1 < len(km) else tau
+            area += s * max(min(nt, tau) - min(t, tau), 0)
+        assert out["tau"] == tau
+        assert out["rmst"] == pytest.approx(area, rel=1e-12)
+    # no censoring + huge tau -> plain mean lifetime
+    pure = spark.createDataFrame(
+        [(3, 1), (5, 1), (10, 1)], "dur long, ev int"
+    )
+    out = rmst(pure, "dur", "ev", tau=1000).collect()[0]
+    assert out["rmst"] == pytest.approx((3 + 5 + 10) / 3, rel=1e-12)
