@@ -1674,3 +1674,125 @@ def skew_kurtosis(
         F.try_divide(m3, F.sqrt(m2 * m2 * m2)).alias("skewness"),
         (F.try_divide(m4, m2 * m2) - F.lit(3.0)).alias("kurtosis_excess"),
     )
+
+
+def topk_stability(
+    df: DataFrame,
+    period_col: str,
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k membership churn between CONSECUTIVE periods — "is the
+    head of this distribution stable month to month?", the
+    rank-stability drift monitor (PSI and chi-square see mass move;
+    this sees the LEADERBOARD move, which is what breaks cached
+    assumptions and hot-key optimizations):
+
+        jaccard = |A n B| / (|A| + |B| - |A n B|)
+        overlap = |A n B| / min(|A|, |B|)
+
+    One (period, key) grouped count; per-period top-k by one
+    partitioned rank window (count desc, key tiebreak); consecutive
+    periods pair via one LEAD over the period table (metadata-sized);
+    the membership join touches only 2k rows per pair. Returns one row
+    per consecutive pair:
+    (period, next_period, n_a, n_b, n_common, jaccard, overlap_coef).
+    """
+    per = (
+        df.filter(F.col(period_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(F.col(period_col).alias("p"), F.col(key_col).alias("key"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wr = Window.partitionBy("p").orderBy(
+        F.col("c").desc(), F.col("key").asc()
+    )
+    tk = (
+        per.withColumn("__r", F.row_number().over(wr))
+        .filter(F.col("__r") <= k)
+        .select("p", "key")
+        .localCheckpoint(eager=True)
+    )
+    periods = (
+        tk.select("p")
+        .distinct()
+        .select(
+            "p", F.lead("p").over(Window.orderBy("p")).alias("np")
+        )
+        .filter(F.col("np").isNotNull())
+    )
+    sizes = tk.groupBy("p").agg(F.count("*").cast("long").alias("sz"))
+    common = (
+        periods.join(tk.select(F.col("p"), F.col("key")), "p")
+        .join(
+            tk.select(F.col("p").alias("np"), F.col("key")),
+            ["np", "key"],
+        )
+        .groupBy("p", "np")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    j = (
+        periods.join(common, ["p", "np"], "left")
+        .join(sizes.select(F.col("p"), F.col("sz").alias("n_a")), "p")
+        .join(
+            sizes.select(F.col("p").alias("np"), F.col("sz").alias("n_b")),
+            "np",
+        )
+        .select(
+            F.col("p").alias("period"),
+            F.col("np").alias("next_period"),
+            "n_a", "n_b",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        )
+    )
+    com = F.col("n_common").cast("double")
+    return j.select(
+        "period", "next_period", "n_a", "n_b", "n_common",
+        (
+            com
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                "double"
+            )
+        ).alias("jaccard"),
+        (com / F.least("n_a", "n_b").cast("double")).alias("overlap_coef"),
+    ).orderBy("period")
+
+
+def group_central_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Arithmetic, geometric, and harmonic means per group — the
+    profiling trio for strictly-positive metrics (latencies, prices,
+    rates), where the arithmetic mean alone overstates the center the
+    moment the tail is heavy (AM >= GM >= HM, gaps = skew signal).
+
+    Zero/negative/NULL values are EXCLUDED (GM/HM are undefined
+    there); n reports the kept count so the exclusion is visible.
+    Determinism: the arithmetic sum is exact decimal; the log and
+    reciprocal sums pass through decimal(38,18) casts per row
+    (order-independent — the pagerank contribution discipline); GM
+    rounds per the log contract. ONE grouped pass. Returns one row
+    per group: (grp, n, mean_arith, mean_geo, mean_harm).
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.filter(g.isNotNull() & (F.col(value_col) > 0)).select(
+        g.alias("grp"),
+        F.col(value_col).cast("decimal(38,0)").alias("vi"),
+        F.log(v).cast("decimal(38,18)").alias("lv"),
+        (F.lit(1.0) / v).cast("decimal(38,18)").alias("rv"),
+    )
+    per = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vi").cast("decimal(38,0)").alias("s1"),
+        F.sum("lv").cast("decimal(38,18)").alias("sl"),
+        F.sum("rv").cast("decimal(38,18)").alias("sr"),
+    )
+    nd = F.col("n").cast("double")
+    return per.select(
+        "grp", "n",
+        (F.col("s1").cast("double") / nd).alias("mean_arith"),
+        F.exp(F.col("sl").cast("double") / nd).alias("mean_geo"),
+        (nd / F.col("sr").cast("double")).alias("mean_harm"),
+    )

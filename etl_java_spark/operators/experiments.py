@@ -3228,3 +3228,130 @@ def bland_altman(
             / F.col("n_pairs").cast("double")
         ).alias("pct_within"),
     )
+
+
+def yuen_t(
+    df: DataFrame,
+    group_col,
+    value_col,
+    group_a,
+    group_b,
+    trim: float = 0.2,
+) -> DataFrame:
+    """Yuen's trimmed-mean test — the robust two-sample comparison
+    that survives the heavy tails welch_t chokes on: compare
+    ``trim``-trimmed means with winsorized variances:
+
+        t = (xt_a - xt_b) / sqrt(d_a + d_b),
+        d_i = (n_i - 1) s2w_i / (h_i (h_i - 1)),  h_i = n_i - 2 g_i,
+        g_i = floor(trim * n_i)
+
+    EXACT trimming at scale: per group, the g-th/(n-g)-th order
+    statistics come from the distinct-value cumulative table (the q66
+    exact-percentile discipline — quantized-input contract), the kept
+    mass per value is pure rank arithmetic (min(cum, hi) - max(prior,
+    lo), clamped), and the winsorized tails add g copies of the exact
+    boundary VALUES — every sum an exact integer, no row ever sorted.
+    p from the large-n normal tail (documented; Yuen's
+    Welch-Satterthwaite df is fractional and the repo's portable kit
+    has no t tail). Returns one row:
+    (n_a, n_b, h_a, h_b, tmean_a, tmean_b, t_stat, p_value).
+    """
+    d38 = "decimal(38,0)"
+
+    def side(tag, grp):
+        per = (
+            df.filter(F.col(group_col) == grp)
+            .select(F.col(value_col).cast("long").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = per.select(
+            "v", "c", F.sum("c").over(w).cast("long").alias("cum")
+        ).localCheckpoint(eager=True)
+        tot = cum.agg(F.max("cum").cast("long").alias("n"))
+        # g = floor(trim * n); kept ranks (g, n - g]
+        g = F.floor(F.lit(float(trim)) * F.col("n").cast("double")).cast(
+            "long"
+        )
+        bounds = tot.select(
+            F.col("n"), g.alias("g"), (F.col("n") - g).alias("hi")
+        )
+        b = cum.crossJoin(F.broadcast(bounds))
+        kept = F.greatest(
+            F.least(F.col("cum"), F.col("hi"))
+            - F.greatest(F.col("cum") - F.col("c"), F.col("g")),
+            F.lit(0).cast("long"),
+        )
+        sums = b.agg(
+            F.first("n").alias("n"),
+            F.first("g").alias("g"),
+            F.first("hi").alias("hi"),
+            F.sum((kept.cast(d38) * F.col("v")).cast(d38))
+            .cast(d38)
+            .alias("ts"),
+            F.sum(
+                (kept.cast(d38) * (F.col("v").cast(d38) * F.col("v")).cast(d38))
+                .cast(d38)
+            )
+            .cast(d38)
+            .alias("tss"),
+            F.min(
+                F.when(F.col("cum") >= F.col("g") + 1, F.col("v"))
+            ).alias("v_lo"),
+            F.min(F.when(F.col("cum") >= F.col("hi"), F.col("v"))).alias(
+                "v_hi"
+            ),
+        )
+        # winsorized moments: add g copies of each boundary value
+        ws = (
+            F.col("ts")
+            + (F.col("g").cast(d38) * F.col("v_lo")).cast(d38)
+            + (F.col("g").cast(d38) * F.col("v_hi")).cast(d38)
+        ).cast(d38)
+        wss = (
+            F.col("tss")
+            + (
+                F.col("g").cast(d38)
+                * (F.col("v_lo").cast(d38) * F.col("v_lo")).cast(d38)
+            ).cast(d38)
+            + (
+                F.col("g").cast(d38)
+                * (F.col("v_hi").cast(d38) * F.col("v_hi")).cast(d38)
+            ).cast(d38)
+        ).cast(d38)
+        return sums.select(
+            F.col("n").alias(f"n_{tag}"),
+            (F.col("hi") - F.col("g")).cast("long").alias(f"h_{tag}"),
+            F.col("ts").alias(f"ts_{tag}"),
+            ws.alias(f"ws_{tag}"),
+            wss.alias(f"wss_{tag}"),
+        )
+
+    j = side("a", group_a).crossJoin(F.broadcast(side("b", group_b)))
+
+    def stats(tag):
+        nd = F.col(f"n_{tag}").cast("double")
+        hd = F.col(f"h_{tag}").cast("double")
+        tm = F.col(f"ts_{tag}").cast("double") / hd
+        s2w = (
+            F.col(f"wss_{tag}").cast("double")
+            - F.col(f"ws_{tag}").cast("double")
+            * F.col(f"ws_{tag}").cast("double")
+            / nd
+        ) / (nd - F.lit(1.0))
+        d = (nd - F.lit(1.0)) * s2w / (hd * (hd - F.lit(1.0)))
+        return tm, d
+
+    tma, da = stats("a")
+    tmb, db = stats("b")
+    t = (tma - tmb) / F.sqrt(da + db)
+    return j.select(
+        "n_a", "n_b", "h_a", "h_b",
+        tma.alias("tmean_a"),
+        tmb.alias("tmean_b"),
+        t.alias("t_stat"),
+        (F.lit(2.0) * normal_sf(F.abs(t))).alias("p_value"),
+    )

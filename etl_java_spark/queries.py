@@ -24720,6 +24720,218 @@ def q456_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 twentieth wave: leaderboard churn, robust comparison, mean trio
+
+
+@_q(
+    "q457_topk_churn",
+    """
+    WITH per AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS p,
+             p_brand AS kk, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), tk AS (
+      SELECT p, kk FROM (
+        SELECT p, kk,
+               ROW_NUMBER() OVER (PARTITION BY p
+                                  ORDER BY c DESC, kk ASC) AS r
+        FROM per
+      ) WHERE r <= 10
+    ), periods AS (
+      SELECT p, np FROM (
+        SELECT p, LEAD(p) OVER (ORDER BY p) AS np
+        FROM (SELECT DISTINCT p FROM tk)
+      ) WHERE np IS NOT NULL
+    ), sizes AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS sz FROM tk GROUP BY 1
+    ), common AS (
+      SELECT periods.p, periods.np, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM periods
+      JOIN tk a ON a.p = periods.p
+      JOIN tk b ON b.p = periods.np AND b.kk = a.kk
+      GROUP BY 1, 2
+    )
+    SELECT periods.p AS period, periods.np AS next_period,
+           sa.sz AS n_a, sb.sz AS n_b,
+           CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+           ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - COALESCE(n_common, 0) AS DOUBLE),
+                 12) AS jaccard,
+           ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE)
+                 / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 12)
+             AS overlap_coef
+    FROM periods
+    LEFT JOIN common ON common.p = periods.p AND common.np = periods.np
+    JOIN sizes sa ON sa.p = periods.p
+    JOIN sizes sb ON sb.p = periods.np
+    ORDER BY period
+    """,
+)
+def q457_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly top-10-brand membership churn (dq.topk_stability) on
+    shipped lineitems — does the brand leaderboard hold month over
+    month? The rank-stability drift monitor beside PSI/chi-square's
+    mass-drift view. One grouped count + one partitioned rank window;
+    consecutive months pair via one metadata LEAD."""
+    from .operators.dq import topk_stability
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    df = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("p"),
+        F.col("p_brand").alias("kk"),
+    )
+    out = topk_stability(df, "p", "kk", k=10)
+    return out.select(
+        "period", "next_period", "n_a", "n_b", "n_common",
+        F.round("jaccard", 12).alias("jaccard"),
+        F.round("overlap_coef", 12).alias("overlap_coef"),
+    ).orderBy("period")
+
+
+def _q458_oracle() -> str:
+    from .operators.experiments import normal_sf_sql
+
+    def side(tag, cond):
+        return f"""{tag}_cum AS (
+      SELECT v, c,
+             CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders WHERE {cond} GROUP BY 1)
+    ), {tag}_b AS (
+      SELECT MAX(cum) AS n,
+             CAST(FLOOR(0.2 * CAST(MAX(cum) AS DOUBLE)) AS BIGINT) AS g,
+             MAX(cum) - CAST(FLOOR(0.2 * CAST(MAX(cum) AS DOUBLE))
+                             AS BIGINT) AS hi
+      FROM {tag}_cum
+    ), {tag}_s AS (
+      SELECT ANY_VALUE(n) AS n, ANY_VALUE(g) AS g, ANY_VALUE(hi) AS hi,
+             SUM(CAST(GREATEST(LEAST(cum, hi)
+                               - GREATEST(cum - c, g), 0) AS HUGEINT)
+                 * v) AS ts,
+             SUM(CAST(GREATEST(LEAST(cum, hi)
+                               - GREATEST(cum - c, g), 0) AS HUGEINT)
+                 * (CAST(v AS HUGEINT) * v)) AS tss,
+             MIN(CASE WHEN cum >= g + 1 THEN v END) AS v_lo,
+             MIN(CASE WHEN cum >= hi THEN v END) AS v_hi
+      FROM {tag}_cum CROSS JOIN {tag}_b
+    ), {tag}_w AS (
+      SELECT n, g, hi, ts,
+             CAST(hi - g AS BIGINT) AS h,
+             ts + CAST(g AS HUGEINT) * v_lo + CAST(g AS HUGEINT) * v_hi
+               AS ws,
+             tss + CAST(g AS HUGEINT) * (CAST(v_lo AS HUGEINT) * v_lo)
+                 + CAST(g AS HUGEINT) * (CAST(v_hi AS HUGEINT) * v_hi)
+               AS wss
+      FROM {tag}_s
+    )"""
+
+    def stats(tag):
+        nd = f"CAST({tag}_w.n AS DOUBLE)"
+        hd = f"CAST({tag}_w.h AS DOUBLE)"
+        tm = f"(CAST({tag}_w.ts AS DOUBLE) / {hd})"
+        s2w = (
+            f"((CAST({tag}_w.wss AS DOUBLE)"
+            f" - CAST({tag}_w.ws AS DOUBLE) * CAST({tag}_w.ws AS DOUBLE)"
+            f" / {nd}) / ({nd} - 1.0))"
+        )
+        d = f"(({nd} - 1.0) * {s2w} / ({hd} * ({hd} - 1.0)))"
+        return tm, d
+
+    tma, da = stats("a")
+    tmb, db = stats("b")
+    t = f"(({tma} - {tmb}) / SQRT({da} + {db}))"
+    return f"""
+    WITH {side('a', "o_orderpriority = '1-URGENT'")},
+    {side('b', "o_orderpriority <> '1-URGENT'")}
+    SELECT a_w.n AS n_a, b_w.n AS n_b,
+           a_w.h AS h_a, b_w.h AS h_b,
+           ROUND({tma}, 9) AS tmean_a,
+           ROUND({tmb}, 9) AS tmean_b,
+           ROUND({t}, 12) AS t_stat,
+           ROUND(2.0 * {normal_sf_sql(f'ABS({t})')}, 9) AS p_value
+    FROM a_w, b_w
+    """
+
+
+@_q("q458_yuen_t", None)
+def q458_yuen_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's 20%-trimmed-mean test (experiments.yuen_t) for URGENT vs
+    other order values — the robust complement of q414's Cohen's d and
+    q373's Mann-Whitney: heavy revenue tails cannot drag the
+    comparison. Exact order-statistic trimming over the distinct-value
+    cumulative table; winsorized variances; large-n normal tail."""
+    from .operators.experiments import yuen_t
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("urgent"))
+        .otherwise(F.lit("other"))
+        .alias("grp"),
+        F.floor("o_totalprice").cast("long").alias("usd"),
+    )
+    out = yuen_t(df, "grp", "usd", "urgent", "other", trim=0.2)
+    return out.select(
+        "n_a", "n_b", "h_a", "h_b",
+        F.round("tmean_a", 9).alias("tmean_a"),
+        F.round("tmean_b", 9).alias("tmean_b"),
+        F.round("t_stat", 12).alias("t_stat"),
+        F.round("p_value", 9).alias("p_value"),
+    )
+
+
+ORACLES["q458_yuen_t"] = _q458_oracle()
+
+
+@_q(
+    "q459_central_means",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+      FROM orders WHERE FLOOR(o_totalprice) > 0
+    ), per AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             CAST(SUM(CAST(LN(CAST(v AS DOUBLE)) AS DECIMAL(38,18)))
+                  AS DECIMAL(38,18)) AS sl,
+             CAST(SUM(CAST(1.0 / CAST(v AS DOUBLE) AS DECIMAL(38,18)))
+                  AS DECIMAL(38,18)) AS sr
+      FROM base GROUP BY 1
+    )
+    SELECT grp, n,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean_arith,
+           ROUND(EXP(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             AS mean_geo,
+           ROUND(CAST(n AS DOUBLE) / CAST(sr AS DOUBLE), 9) AS mean_harm
+    FROM per ORDER BY grp
+    """,
+)
+def q459_central_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic/geometric/harmonic mean trio (dq.group_central_means)
+    of floored order value per priority — the AM >= GM >= HM profile
+    whose gaps measure tail heaviness beside q437's shape moments.
+    One grouped pass; log/reciprocal sums through decimal casts."""
+    from .operators.dq import group_central_means
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor("o_totalprice").cast("long").alias("v"),
+    )
+    out = group_central_means(df, "g", "v")
+    return out.select(
+        "grp", "n",
+        F.round("mean_arith", 9).alias("mean_arith"),
+        F.round("mean_geo", 9).alias("mean_geo"),
+        F.round("mean_harm", 9).alias("mean_harm"),
+    ).orderBy("grp")
+
+
 _PRIORITY = [
     # 0) HEAD for the round-10 driver gate (the gate reads the FIRST
     #    50 names): the never-recorded queue now exceeds the 50-slot
@@ -24763,6 +24975,7 @@ _PRIORITY = [
     "q449_kendalls_w", "q450_lins_ccc", "q451_bland_altman",
     "q452_yules_k", "q453_cond_entropy", "q454_gwets_ac1",
     "q455_markov_stationary", "q456_rmst",
+    "q457_topk_churn", "q458_yuen_t", "q459_central_means",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

@@ -2094,3 +2094,89 @@ def test_rmst_matches_reference(spark):
     )
     out = rmst(pure, "dur", "ev", tau=1000).collect()[0]
     assert out["rmst"] == pytest.approx((3 + 5 + 10) / 3, rel=1e-12)
+
+
+def test_topk_stability_matches_reference(spark):
+    rows = (
+        [(1, "a")] * 5 + [(1, "b")] * 3 + [(1, "c")] * 2 + [(1, "d")]
+        + [(2, "a")] * 4 + [(2, "c")] * 3 + [(2, "e")] * 2 + [(2, "f")]
+        + [(3, "e")] * 9
+    )
+    df = spark.createDataFrame(rows, "p long, kk string")
+    from etl_java_spark.operators.dq import topk_stability
+
+    out = {
+        (r["period"], r["next_period"]): r
+        for r in topk_stability(df, "p", "kk", k=3).collect()
+    }
+    # period 1 top-3: a,b,c; period 2 top-3: a,c,e -> common {a,c}
+    r12 = out[(1, 2)]
+    assert (r12["n_a"], r12["n_b"], r12["n_common"]) == (3, 3, 2)
+    assert r12["jaccard"] == pytest.approx(2 / 4, rel=1e-12)
+    assert r12["overlap_coef"] == pytest.approx(2 / 3, rel=1e-12)
+    # period 3 has a single key, disjoint from period 2? e is shared
+    r23 = out[(2, 3)]
+    assert r23["n_b"] == 1 and r23["n_common"] == 1
+    assert r23["overlap_coef"] == 1.0
+
+
+def test_yuen_t_matches_reference(spark):
+    import math
+
+    xa = [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]   # heavy tail
+    xb = [2, 3, 3, 4, 5, 6, 7, 8, 9, 10]
+    rows = [("a", v) for v in xa] + [("b", v) for v in xb]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    from etl_java_spark.operators.experiments import yuen_t
+
+    out = yuen_t(df, "grp", "v", "a", "b", trim=0.2).collect()[0]
+
+    def yuen_side(xs, trim=0.2):
+        xs = sorted(xs)
+        n = len(xs)
+        g = int(trim * n)
+        kept = xs[g: n - g]
+        h = len(kept)
+        tm = sum(kept) / h
+        wins = [xs[g]] * g + kept + [xs[n - g - 1]] * g
+        mw = sum(wins) / n
+        s2w = sum((x - mw) ** 2 for x in wins) / (n - 1)
+        d = (n - 1) * s2w / (h * (h - 1))
+        return n, h, tm, d
+
+    na, ha, tma, da = yuen_side(xa)
+    nb, hb, tmb, db = yuen_side(xb)
+    assert (out["n_a"], out["h_a"], out["n_b"], out["h_b"]) == (
+        na, ha, nb, hb,
+    )
+    assert out["tmean_a"] == pytest.approx(tma, rel=1e-12)
+    assert out["tmean_b"] == pytest.approx(tmb, rel=1e-12)
+    assert out["t_stat"] == pytest.approx(
+        (tma - tmb) / math.sqrt(da + db), rel=1e-12
+    )
+    # the outlier 100 is trimmed away: |t| stays small
+    assert abs(out["t_stat"]) < 2
+
+
+def test_group_central_means_matches_reference(spark):
+    import math
+
+    rows = [("g", v) for v in [1, 2, 4, 8]] + [("z", 0), ("z", 5)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    from etl_java_spark.operators.dq import group_central_means
+
+    out = {
+        r["grp"]: r for r in group_central_means(df, "grp", "v").collect()
+    }
+    xs = [1, 2, 4, 8]
+    am = sum(xs) / 4
+    gm = math.exp(sum(math.log(x) for x in xs) / 4)
+    hm = 4 / sum(1 / x for x in xs)
+    assert out["g"]["mean_arith"] == pytest.approx(am, rel=1e-12)
+    assert out["g"]["mean_geo"] == pytest.approx(gm, rel=1e-12)
+    assert out["g"]["mean_harm"] == pytest.approx(hm, rel=1e-12)
+    assert am >= gm >= hm
+    # zero excluded, n reports the kept count
+    assert out["z"]["n"] == 1 and out["z"]["mean_geo"] == pytest.approx(
+        5.0, rel=1e-12
+    )
