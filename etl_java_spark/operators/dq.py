@@ -1796,3 +1796,175 @@ def group_central_means(
         F.exp(F.col("sl").cast("double") / nd).alias("mean_geo"),
         (nd / F.col("sr").cast("double")).alias("mean_harm"),
     )
+
+
+def mahalanobis_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    chi2_q: float = 7.377758908227871,
+) -> DataFrame:
+    """Bivariate Mahalanobis outlier count — multivariate outliers the
+    per-column z-score/MAD screens (q128/q173) CANNOT see: a point can
+    be unremarkable on each axis yet wildly off the joint correlation
+    ellipse. The 2-d case closes the covariance inverse by hand:
+
+        d^2 = (dx^2 v_y - 2 dx dy c_xy + dy^2 v_x) / det,
+        det = v_x v_y - c_xy^2
+
+    flagged when d^2 > ``chi2_q`` (default the chi-square(2) 0.975
+    quantile, which is exactly -2 ln 0.025 — closed form, no table).
+    ONE exact-decimal moment pass sets the ellipse; one second scan
+    scores rows against broadcast constants (no shuffle). Returns one
+    row: (n_rows, n_outliers, outlier_share).
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y")
+    )
+    xd, yd = F.col("x").cast(d38), F.col("y").cast(d38)
+    mom = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(xd).cast(d38).alias("sx"),
+        F.sum(yd).cast(d38).alias("sy"),
+        F.sum((xd * xd).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((yd * yd).cast(d38)).cast(d38).alias("syy"),
+        F.sum((xd * yd).cast(d38)).cast(d38).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    vy = F.col("syy").cast("double") / nd - my * my
+    cxy = F.col("sxy").cast("double") / nd - mx * my
+    ell = mom.select(
+        "n", mx.alias("mx"), my.alias("my"),
+        vx.alias("vx"), vy.alias("vy"), cxy.alias("cxy"),
+        (vx * vy - cxy * cxy).alias("det"),
+    )
+    j = base.crossJoin(F.broadcast(ell))
+    dx = F.col("x").cast("double") - F.col("mx")
+    dy = F.col("y").cast("double") - F.col("my")
+    d2 = (
+        dx * dx * F.col("vy")
+        - F.lit(2.0) * dx * dy * F.col("cxy")
+        + dy * dy * F.col("vx")
+    ) / F.col("det")
+    out = j.agg(
+        F.first("n").alias("n_rows"),
+        F.sum((d2 > F.lit(float(chi2_q))).cast("int"))
+        .cast("long")
+        .alias("n_outliers"),
+    )
+    return out.select(
+        "n_rows", "n_outliers",
+        (
+            F.col("n_outliers").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("outlier_share"),
+    )
+
+
+def bin_width_rules(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Histogram bin-count recommendations — Freedman-Diaconis (IQR),
+    Sturges (log2 n), and Doane (Sturges + a skewness correction) from
+    one profile pass: the principled answer to "how many buckets?"
+    before q127-style histograms get built with a magic 20.
+
+        FD bins      = ceil(range / (2 IQR / n^(1/3)))
+        Sturges bins = ceil(log2 n) + 1
+        Doane bins   = 1 + ceil(log2 n + log2(1 + |g1| / sigma_g1))
+
+    Quartiles are exact LOWER order statistics from the distinct-value
+    cumulative table (rank ceil(q n) — the q66 discipline, quantized-
+    input contract); g1 reuses the exact power sums of skew_kurtosis.
+    Returns one row:
+    (n, x_min, x_max, iqr, fd_bins, sturges_bins, doane_bins).
+    """
+    d38 = "decimal(38,0)"
+    per = (
+        df.select(F.col(value_col).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "v", "c", F.sum("c").over(w).cast("long").alias("cum")
+    ).localCheckpoint(eager=True)
+    vd = F.col("v").cast(d38)
+    mom = cum.agg(
+        F.max("cum").cast("long").alias("n"),
+        F.min("v").cast("long").alias("x_min"),
+        F.max("v").cast("long").alias("x_max"),
+        F.sum((F.col("c").cast(d38) * vd).cast(d38)).cast(d38).alias("s1"),
+        F.sum((F.col("c").cast(d38) * (vd * vd).cast(d38)).cast(d38))
+        .cast(d38)
+        .alias("s2"),
+        F.sum(
+            (F.col("c").cast(d38) * ((vd * vd).cast(d38) * vd).cast(d38))
+            .cast(d38)
+        )
+        .cast(d38)
+        .alias("s3"),
+    )
+    q = cum.crossJoin(F.broadcast(mom.select("n"))).agg(
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.lit(0.25) * F.col("n").cast("double")).cast(
+                    "long"
+                ),
+                F.col("v"),
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.lit(0.75) * F.col("n").cast("double")).cast(
+                    "long"
+                ),
+                F.col("v"),
+            )
+        ).alias("q3"),
+    )
+    j = mom.crossJoin(F.broadcast(q))
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd - mean * mean
+    m3 = (
+        F.col("s3").cast("double") / nd
+        - F.lit(3.0) * mean * (F.col("s2").cast("double") / nd)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    sig_g1 = F.sqrt(
+        F.lit(6.0)
+        * (nd - F.lit(2.0))
+        / ((nd + F.lit(1.0)) * (nd + F.lit(3.0)))
+    )
+    iqr = (F.col("q3") - F.col("q1")).cast("long")
+    rng = (F.col("x_max") - F.col("x_min")).cast("double")
+    fd_w = F.lit(2.0) * iqr.cast("double") / F.pow(nd, F.lit(1.0 / 3.0))
+    log2n = F.log(nd) / F.lit(0.6931471805599453)
+    return j.select(
+        "n", "x_min", "x_max",
+        iqr.alias("iqr"),
+        F.ceil(rng / fd_w).cast("long").alias("fd_bins"),
+        (F.ceil(log2n) + 1).cast("long").alias("sturges_bins"),
+        (
+            F.lit(1)
+            + F.ceil(
+                log2n
+                + F.log(F.lit(1.0) + F.abs(g1) / sig_g1)
+                / F.lit(0.6931471805599453)
+            )
+        )
+        .cast("long")
+        .alias("doane_bins"),
+    )

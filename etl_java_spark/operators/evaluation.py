@@ -2315,3 +2315,67 @@ def gwets_ac1(
         pe.alias("p_e"),
         F.try_divide(po - pe, F.lit(1.0) - pe).alias("ac1"),
     )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation r_xy.z — the x-y association
+    with the confounder z "held constant", the one-line causal sanity
+    check before reading a raw correlation (q280's matrix reports
+    marginals only):
+
+        r_xy.z = (r_xy - r_xz r_yz) / sqrt((1 - r_xz^2)(1 - r_yz^2))
+
+    ONE aggregate of exact decimal moments over integer-quantized
+    triples; all three Pearson r's and the partial come out of the
+    same fixed double tree. Returns one row:
+    (n_rows, r_xy, r_xz, r_yz, r_xy_z).
+    """
+    d38 = "decimal(38,0)"
+    cols = {
+        "x": F.col(x_col).cast("long"),
+        "y": F.col(y_col).cast("long"),
+        "z": F.col(z_col).cast("long"),
+    }
+    base = df.filter(
+        cols["x"].isNotNull() & cols["y"].isNotNull() & cols["z"].isNotNull()
+    ).select(*[v.alias(k) for k, v in cols.items()])
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in ("x", "y", "z"):
+        aggs.append(F.sum(F.col(c).cast(d38)).cast(d38).alias(f"s{c}"))
+    for a, b in (("x", "x"), ("y", "y"), ("z", "z"),
+                 ("x", "y"), ("x", "z"), ("y", "z")):
+        aggs.append(
+            F.sum((F.col(a).cast(d38) * F.col(b).cast(d38)).cast(d38))
+            .cast(d38)
+            .alias(f"s{a}{b}")
+        )
+    mom = base.agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def mean(c):
+        return F.col(f"s{c}").cast("double") / nd
+
+    def cov(a, b):
+        return F.col(f"s{a}{b}").cast("double") / nd - mean(a) * mean(b)
+
+    def r(a, b):
+        return F.try_divide(
+            cov(a, b), F.sqrt(cov(a, a) * cov(b, b))
+        )
+
+    rxy, rxz, ryz = r("x", "y"), r("x", "z"), r("y", "z")
+    return mom.select(
+        F.col("n").alias("n_rows"),
+        rxy.alias("r_xy"),
+        rxz.alias("r_xz"),
+        ryz.alias("r_yz"),
+        F.try_divide(
+            rxy - rxz * ryz,
+            F.sqrt((F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)),
+        ).alias("r_xy_z"),
+    )

@@ -24932,6 +24932,253 @@ def q459_central_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grp")
 
 
+# --------------------------------------------------------------------------
+# round-10 twenty-first wave: joint outliers, partialled correlation,
+# binning rules
+
+
+@_q(
+    "q460_mahalanobis",
+    """
+    WITH feats AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ), base AS (
+      SELECT COALESCE(x, 0) AS x, CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+      FROM orders LEFT JOIN feats ON orders.o_orderkey = feats.l_orderkey
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM base
+    ), ell AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+             CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vx,
+             CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vy,
+             CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cxy
+      FROM mom
+    ), ell2 AS (
+      SELECT n, mx, my, vx, vy, cxy, vx * vy - cxy * cxy AS det FROM ell
+    ), scored AS (
+      SELECT n,
+             ((CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx) * vy
+              - 2.0 * (CAST(x AS DOUBLE) - mx) * (CAST(y AS DOUBLE) - my)
+                * cxy
+              + (CAST(y AS DOUBLE) - my) * (CAST(y AS DOUBLE) - my) * vx)
+             / det AS d2
+      FROM base, ell2
+    )
+    SELECT ANY_VALUE(n) AS n_rows,
+           CAST(SUM(CASE WHEN d2 > 7.377758908227871 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(CAST(SUM(CASE WHEN d2 > 7.377758908227871 THEN 1 ELSE 0
+                          END) AS DOUBLE)
+                 / CAST(ANY_VALUE(n) AS DOUBLE), 12) AS outlier_share
+    FROM scored
+    """,
+)
+def q460_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outlier screen (dq.mahalanobis_2d) over
+    (line count, floored value) per order — joint outliers the
+    per-column z/MAD screens miss (few lines but huge value, or the
+    reverse). Closed-form 2x2 inverse; one moment pass + one broadcast
+    scoring scan; threshold = the exact chi2(2) 0.975 quantile."""
+    from .operators.dq import mahalanobis_2d
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    df = o.join(feats, o.o_orderkey == feats.l_orderkey, "left").select(
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    )
+    out = mahalanobis_2d(df, "x", "y")
+    return out.select(
+        "n_rows", "n_outliers",
+        F.round("outlier_share", 12).alias("outlier_share"),
+    )
+
+
+@_q(
+    "q461_partial_corr",
+    """
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice) AS BIGINT) AS y,
+             CAST(FLOOR(l_extendedprice * 100 / l_quantity)
+                  AS BIGINT) AS z
+      FROM lineitem
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(z) AS BIGINT) AS sz,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(z AS HUGEINT) * z) AS szz,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * z) AS sxz,
+             SUM(CAST(y AS HUGEINT) * z) AS syz
+      FROM base
+    ), r AS (
+      SELECT n,
+             (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+             / SQRT((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+               AS rxy,
+             (CAST(sxz AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)))
+             / SQRT((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * (CAST(szz AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))))
+               AS rxz,
+             (CAST(syz AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)))
+             / SQRT((CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * (CAST(szz AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))))
+               AS ryz
+      FROM mom
+    )
+    SELECT n AS n_rows,
+           ROUND(rxy, 12) AS r_xy, ROUND(rxz, 12) AS r_xz,
+           ROUND(ryz, 12) AS r_yz,
+           ROUND((rxy - rxz * ryz)
+                 / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 12)
+             AS r_xy_z
+    FROM r
+    """,
+)
+def q461_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation r_xy.z (evaluation.partial_correlation):
+    quantity vs extended price CONTROLLING for unit price (cents per
+    unit) — the partialled association rises toward 1 because unit
+    price is exactly the confounder blurring the marginal r. One exact
+    moment pass; fixed double tree."""
+    from .operators.evaluation import partial_correlation
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor("l_extendedprice").cast("long").alias("y"),
+        F.floor(
+            F.col("l_extendedprice") * 100 / F.col("l_quantity")
+        )
+        .cast("long")
+        .alias("z"),
+    )
+    out = partial_correlation(df, "x", "y", "z")
+    return out.select(
+        "n_rows",
+        F.round("r_xy", 12).alias("r_xy"),
+        F.round("r_xz", 12).alias("r_xz"),
+        F.round("r_yz", 12).alias("r_yz"),
+        F.round("r_xy_z", 12).alias("r_xy_z"),
+    )
+
+
+@_q(
+    "q462_bin_rules",
+    """
+    WITH per AS (
+      SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT v, c,
+             CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM per
+    ), mom AS (
+      SELECT MAX(cum) AS n,
+             CAST(MIN(v) AS BIGINT) AS x_min,
+             CAST(MAX(v) AS BIGINT) AS x_max,
+             SUM(CAST(c AS HUGEINT) * v) AS s1,
+             SUM(CAST(c AS HUGEINT) * (CAST(v AS HUGEINT) * v)) AS s2,
+             SUM(CAST(c AS HUGEINT)
+                 * ((CAST(v AS HUGEINT) * v) * v)) AS s3
+      FROM cum
+    ), q AS (
+      SELECT MIN(CASE WHEN cum >= CAST(CEIL(0.25 * CAST(n AS DOUBLE))
+                                       AS BIGINT) THEN v END) AS q1,
+             MIN(CASE WHEN cum >= CAST(CEIL(0.75 * CAST(n AS DOUBLE))
+                                       AS BIGINT) THEN v END) AS q3
+      FROM cum, mom
+    ), e AS (
+      SELECT n, x_min, x_max, q1, q3,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3
+      FROM mom, q
+    ), m AS (
+      SELECT n, x_min, x_max, q1, q3,
+             r2 - mean * mean AS m2,
+             r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3
+      FROM e
+    ), f AS (
+      SELECT n, x_min, x_max,
+             CAST(q3 - q1 AS BIGINT) AS iqr,
+             CAST(x_max - x_min AS DOUBLE) AS rng,
+             m3 / SQRT(m2 * m2 * m2) AS g1,
+             SQRT(6.0 * (CAST(n AS DOUBLE) - 2.0)
+                  / ((CAST(n AS DOUBLE) + 1.0)
+                     * (CAST(n AS DOUBLE) + 3.0))) AS sig_g1,
+             LN(CAST(n AS DOUBLE)) / 0.6931471805599453 AS log2n
+      FROM m
+    )
+    SELECT n, x_min, x_max, iqr,
+           CAST(CEIL(rng / (2.0 * CAST(iqr AS DOUBLE)
+                            / POW(CAST(n AS DOUBLE), 0.3333333333333333)))
+                AS BIGINT) AS fd_bins,
+           CAST(CEIL(log2n) + 1 AS BIGINT) AS sturges_bins,
+           CAST(1 + CEIL(log2n + LN(1.0 + ABS(g1) / sig_g1)
+                         / 0.6931471805599453) AS BIGINT) AS doane_bins
+    FROM f
+    """,
+)
+def q462_bin_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram bin-count rules (dq.bin_width_rules) for floored
+    order value — Freedman-Diaconis / Sturges / Doane from one profile
+    pass (exact lower-order-statistic quartiles, exact power sums for
+    Doane's skewness term). The principled replacement for q127's
+    magic bucket count."""
+    from .operators.dq import bin_width_rules
+
+    o = _t(spark, sf_dir, "orders")
+    out = bin_width_rules(
+        o.select(F.floor("o_totalprice").cast("long").alias("v")), "v"
+    )
+    return out.select(
+        "n", "x_min", "x_max", "iqr",
+        "fd_bins", "sturges_bins", "doane_bins",
+    )
+
+
 _PRIORITY = [
     # 0) HEAD for the round-10 driver gate (the gate reads the FIRST
     #    50 names): the never-recorded queue now exceeds the 50-slot
@@ -24976,6 +25223,7 @@ _PRIORITY = [
     "q452_yules_k", "q453_cond_entropy", "q454_gwets_ac1",
     "q455_markov_stationary", "q456_rmst",
     "q457_topk_churn", "q458_yuen_t", "q459_central_means",
+    "q460_mahalanobis", "q461_partial_corr", "q462_bin_rules",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

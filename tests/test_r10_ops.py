@@ -2180,3 +2180,97 @@ def test_group_central_means_matches_reference(spark):
     assert out["z"]["n"] == 1 and out["z"]["mean_geo"] == pytest.approx(
         5.0, rel=1e-12
     )
+
+
+def test_mahalanobis_2d_matches_reference(spark):
+    import math
+
+    # correlated cloud + one joint outlier that is per-axis ordinary
+    pts = [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50), (6, 60),
+           (2, 21), (3, 29), (4, 41), (5, 49), (6, 58), (1, 12),
+           (6, 10)]  # off the diagonal -> joint outlier
+    df = spark.createDataFrame(pts, "x long, y long")
+    from etl_java_spark.operators.dq import mahalanobis_2d
+
+    out = mahalanobis_2d(df, "x", "y").collect()[0]
+    n = len(pts)
+    mx = sum(x for x, _ in pts) / n
+    my = sum(y for _, y in pts) / n
+    vx = sum((x - mx) ** 2 for x, _ in pts) / n
+    vy = sum((y - my) ** 2 for _, y in pts) / n
+    cxy = sum((x - mx) * (y - my) for x, y in pts) / n
+    det = vx * vy - cxy * cxy
+    thr = 7.377758908227871
+    cnt = sum(
+        1
+        for x, y in pts
+        if ((x - mx) ** 2 * vy - 2 * (x - mx) * (y - my) * cxy
+            + (y - my) ** 2 * vx) / det > thr
+    )
+    assert out["n_rows"] == n and out["n_outliers"] == cnt
+    assert cnt >= 1  # the planted joint outlier is caught
+    # sanity: the threshold is the exact chi2(2) upper quantile
+    assert thr == pytest.approx(-2 * math.log(0.025), rel=1e-12)
+
+
+def test_partial_correlation_matches_reference(spark):
+    # y = x + z exactly: controlling z should strengthen r_xy
+    rows = [
+        (x, x + z, z)
+        for x in range(1, 8)
+        for z in (0, 5, 10, 20)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    from etl_java_spark.operators.evaluation import partial_correlation
+
+    out = partial_correlation(df, "x", "y", "z").collect()[0]
+    import math
+
+    n = len(rows)
+
+    def r(i, j):
+        mi = sum(r_[i] for r_ in rows) / n
+        mj = sum(r_[j] for r_ in rows) / n
+        ci = sum((r_[i] - mi) ** 2 for r_ in rows) / n
+        cj = sum((r_[j] - mj) ** 2 for r_ in rows) / n
+        cij = sum((r_[i] - mi) * (r_[j] - mj) for r_ in rows) / n
+        return cij / math.sqrt(ci * cj)
+
+    rxy, rxz, ryz = r(0, 1), r(0, 2), r(1, 2)
+    want = (rxy - rxz * ryz) / math.sqrt(
+        (1 - rxz**2) * (1 - ryz**2)
+    )
+    assert out["r_xy"] == pytest.approx(rxy, rel=1e-12)
+    assert out["r_xy_z"] == pytest.approx(want, rel=1e-12)
+    # x and z are independent by construction; partialling out z
+    # recovers the deterministic x -> y link
+    assert out["r_xy_z"] == pytest.approx(1.0, rel=1e-9)
+    assert out["r_xy"] < 0.9
+
+
+def test_bin_width_rules_matches_reference(spark):
+    import math
+
+    vals = [1, 2, 2, 3, 3, 3, 4, 4, 5, 6, 7, 8, 9, 10, 20, 40]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    from etl_java_spark.operators.dq import bin_width_rules
+
+    out = bin_width_rules(df, "v").collect()[0]
+    n = len(vals)
+    s = sorted(vals)
+    q1 = s[math.ceil(0.25 * n) - 1]
+    q3 = s[math.ceil(0.75 * n) - 1]
+    iqr = q3 - q1
+    rng = max(vals) - min(vals)
+    fd = math.ceil(rng / (2 * iqr / n ** (1 / 3)))
+    sturges = math.ceil(math.log2(n)) + 1
+    mean = sum(vals) / n
+    m2 = sum((v - mean) ** 2 for v in vals) / n
+    m3 = sum((v - mean) ** 3 for v in vals) / n
+    g1 = m3 / m2**1.5
+    sig = math.sqrt(6 * (n - 2) / ((n + 1) * (n + 3)))
+    doane = 1 + math.ceil(math.log2(n) + math.log2(1 + abs(g1) / sig))
+    assert (out["n"], out["iqr"]) == (n, iqr)
+    assert out["fd_bins"] == fd
+    assert out["sturges_bins"] == sturges
+    assert out["doane_bins"] == doane
