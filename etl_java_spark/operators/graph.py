@@ -1014,7 +1014,11 @@ def adamic_adar(
     # per-center weight computed ONCE on the degree table; the b-side
     # wedge input stays (c, l)-narrow via a semi join — carrying the
     # weight through both join sides measured ~1.6x slower at 10x
-    ok = deg.filter(F.col("d") <= max_degree).select(
+    # d >= 2: a degree-1 node can never center a wedge, and excluding
+    # it up front keeps 1/ln(d) away from ln(1) = 0 (ANSI divide)
+    ok = deg.filter(
+        (F.col("d") <= max_degree) & (F.col("d") >= 2)
+    ).select(
         F.col("x").alias("c"),
         (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("w"),
     )
