@@ -1968,3 +1968,128 @@ def bin_width_rules(
         .cast("long")
         .alias("doane_bins"),
     )
+
+
+def theil_decomposition(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index with its between/within-group
+    decomposition — the inequality measure that, unlike Gini
+    (q187/q241), DECOMPOSES exactly: how much revenue concentration
+    lives between segments vs inside them:
+
+        T_g     = (SUM x ln x - ln(mu_g) SUM x) / (n_g mu_g)
+        T_betw  = SUM_g s_g ln(mu_g / mu)        (s_g = value share)
+        T_total = T_betw + SUM_g s_g T_g          (exact identity)
+
+    Positive values only (ln; zero/negative rows are excluded and the
+    kept count reported). SUM x ln x accumulates via per-row
+    decimal(38,18) casts (order-independent); Sx/n are exact decimal.
+    ONE grouped pass + a one-row global rollup. Returns one row per
+    group: (grp, n, mean, value_share, t_within, t_between, t_total)
+    with the two global columns repeated (ordered fold over groups).
+    """
+    d38 = "decimal(38,0)"
+    g = F.col(group_col)
+    base = df.filter(g.isNotNull() & (F.col(value_col) > 0)).select(
+        g.alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    xlx = (
+        F.col("v").cast("double") * F.log(F.col("v").cast("double"))
+    ).cast("decimal(38,18)")
+    per = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast(d38)).cast(d38).alias("sx"),
+        F.sum(xlx).cast("decimal(38,18)").alias("sxl"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sx").cast(d38).alias("sxx"),
+        F.sum("sxl").cast("decimal(38,18)").alias("sxxl"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ng = F.col("n").cast("double")
+    mu_g = F.col("sx").cast("double") / ng
+    nt = F.col("nn").cast("double")
+    mu = F.col("sxx").cast("double") / nt
+    t_g = (
+        F.col("sxl").cast("double") - F.log(mu_g) * F.col("sx").cast("double")
+    ) / (ng * mu_g)
+    share = F.col("sx").cast("double") / F.col("sxx").cast("double")
+    withg = j.select(
+        "grp", "n",
+        mu_g.alias("mean"),
+        share.alias("value_share"),
+        t_g.alias("t_within"),
+        (share * F.log(mu_g / mu)).alias("bterm"),
+        (share * t_g).alias("wterm"),
+    )
+    glob = (
+        withg.select(
+            F.struct(
+                "grp", F.col("bterm").alias("b"), F.col("wterm").alias("w")
+            ).alias("__e")
+        )
+        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+        .select(
+            F.aggregate(
+                F.col("__arr"), F.lit(0.0), lambda a, x: a + x["b"]
+            ).alias("t_between"),
+            F.aggregate(
+                F.col("__arr"), F.lit(0.0), lambda a, x: a + x["w"]
+            ).alias("t_wsum"),
+        )
+    )
+    return withg.crossJoin(F.broadcast(glob)).select(
+        "grp", "n", "mean", "value_share", "t_within",
+        "t_between",
+        (F.col("t_between") + F.col("t_wsum")).alias("t_total"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration per group — how concentrated
+    is each group's categorical mix, with the "effective number of
+    categories" (1/HHI) and the min-max-normalized index:
+
+        HHI = SUM_c s_c^2 = SUM c_i^2 / total^2    (exact integers!)
+        eff = 1 / HHI;  HHI_norm = (HHI - 1/k) / (1 - 1/k)
+
+    One (group, category) grouped count; everything downstream is
+    integer arithmetic plus two divisions per group. Returns one row
+    per group: (grp, n_rows, k_cats, hhi, eff_categories, hhi_norm)
+    — hhi_norm is NULL for single-category groups (undefined).
+    """
+    cells = (
+        df.filter(F.col(group_col).isNotNull() & F.col(cat_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(cat_col).alias("c"))
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    per = cells.groupBy("grp").agg(
+        F.sum("o").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("k_cats"),
+        F.sum(
+            (F.col("o").cast("decimal(19,0)") * F.col("o").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("so2"),
+    )
+    nd = F.col("n_rows").cast("double")
+    hhi = F.col("so2").cast("double") / (nd * nd)
+    kd = F.col("k_cats").cast("double")
+    return per.select(
+        "grp", "n_rows", "k_cats",
+        hhi.alias("hhi"),
+        (F.lit(1.0) / hhi).alias("eff_categories"),
+        F.try_divide(
+            hhi - F.lit(1.0) / kd, F.lit(1.0) - F.lit(1.0) / kd
+        ).alias("hhi_norm"),
+    )

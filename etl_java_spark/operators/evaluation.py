@@ -2379,3 +2379,72 @@ def partial_correlation(
             F.sqrt((F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)),
         ).alias("r_xy_z"),
     )
+
+
+def krippendorff_interval(
+    df: DataFrame,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha with the INTERVAL metric — agreement for
+    NUMERIC paired/panel ratings where the nominal variant
+    (krippendorff_alpha) would call 4-vs-5 as wrong as 1-vs-5:
+
+        D_o = (1/n) SUM_i 2 (m_i SUM v^2 - (SUM v)^2) / (m_i - 1)
+        D_e = 2 (n SUM V^2 - (SUM V)^2) / (n (n - 1))
+        alpha = 1 - D_o / D_e
+
+    (squared-difference distances reduce to exact integer moment
+    identities per item and globally — no pair table). Items with one
+    rating are excluded by definition. Per-item rationals pass through
+    decimal(38,18) sums (order-independent). Returns one row:
+    (n_items, n_ratings, d_o, d_e, alpha).
+    """
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(item_col).alias("i"),
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("i").isNotNull() & F.col("v").isNotNull())
+    per = base.groupBy("i").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("v").cast(d38)).cast(d38).alias("sv"),
+        F.sum((F.col("v").cast(d38) * F.col("v")).cast(d38))
+        .cast(d38)
+        .alias("sv2"),
+    )
+    kept = per.filter(F.col("m") >= 2)
+    md = F.col("m").cast("double")
+    term = (
+        F.lit(2.0)
+        * (
+            md * F.col("sv2").cast("double")
+            - F.col("sv").cast("double") * F.col("sv").cast("double")
+        )
+        / (md - F.lit(1.0))
+    )
+    agg = kept.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum("sv").cast(d38).alias("svv"),
+        F.sum("sv2").cast(d38).alias("svv2"),
+        F.sum(term.cast("decimal(38,18)"))
+        .cast("decimal(38,18)")
+        .alias("s"),
+    )
+    nd = F.col("n").cast("double")
+    d_o = F.col("s").cast("double") / nd
+    d_e = (
+        F.lit(2.0)
+        * (
+            nd * F.col("svv2").cast("double")
+            - F.col("svv").cast("double") * F.col("svv").cast("double")
+        )
+        / (nd * (nd - F.lit(1.0)))
+    )
+    return agg.select(
+        "n_items",
+        F.col("n").alias("n_ratings"),
+        d_o.alias("d_o"),
+        d_e.alias("d_e"),
+        (F.lit(1.0) - F.try_divide(d_o, d_e)).alias("alpha"),
+    )

@@ -25179,6 +25179,207 @@ def q462_bin_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 twenty-second wave: decomposable inequality, interval
+# agreement, market concentration
+
+
+@_q(
+    "q463_theil",
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS grp, CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE FLOOR(o_totalprice) > 0
+    ), per AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS sx,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) * LN(CAST(v AS DOUBLE))
+                           AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxl
+      FROM base GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(sx) AS BIGINT) AS sxx
+      FROM per
+    ), withg AS (
+      SELECT grp, n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(sx AS DOUBLE) / CAST(sxx AS DOUBLE) AS value_share,
+             (CAST(sxl AS DOUBLE)
+              - LN(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE)
+                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS t_within,
+             (CAST(sx AS DOUBLE) / CAST(sxx AS DOUBLE))
+               * LN((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(sxx AS DOUBLE) / CAST(nn AS DOUBLE)))
+               AS bterm,
+             (CAST(sx AS DOUBLE) / CAST(sxx AS DOUBLE))
+               * ((CAST(sxl AS DOUBLE)
+                   - LN(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE)
+                     * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) AS wterm
+      FROM per, tot
+    ), gl AS (
+      SELECT LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(bterm ORDER BY grp)), (a, b) -> a + b) AS t_between,
+             LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+               LIST(wterm ORDER BY grp)), (a, b) -> a + b) AS t_wsum
+      FROM withg
+    )
+    SELECT grp, n, ROUND(mean, 9) AS mean,
+           ROUND(value_share, 12) AS value_share,
+           ROUND(t_within, 12) AS t_within,
+           ROUND(t_between, 12) AS t_between,
+           ROUND(t_between + t_wsum, 12) AS t_total
+    FROM withg, gl ORDER BY grp
+    """,
+)
+def q463_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality with exact between/within decomposition
+    (dq.theil_decomposition) of order value across market segments —
+    the decomposable concentration measure beside Gini (q187):
+    near-zero between-segment share means the inequality lives INSIDE
+    segments. Per-row x ln x through decimal casts; group terms fold
+    in segment order."""
+    from .operators.dq import theil_decomposition
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    df = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("g"),
+        F.floor("o_totalprice").cast("long").alias("v"),
+    )
+    out = theil_decomposition(df, "g", "v")
+    return out.select(
+        "grp", "n",
+        F.round("mean", 9).alias("mean"),
+        F.round("value_share", 12).alias("value_share"),
+        F.round("t_within", 12).alias("t_within"),
+        F.round("t_between", 12).alias("t_between"),
+        F.round("t_total", 12).alias("t_total"),
+    ).orderBy("grp")
+
+
+@_q(
+    "q464_krippendorff_interval",
+    """
+    WITH per AS (
+      SELECT l_orderkey AS i, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sv,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS sv2
+      FROM lineitem GROUP BY 1
+    ), kept AS (
+      SELECT * FROM per WHERE m >= 2
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(sv) AS BIGINT) AS svv,
+             CAST(SUM(sv2) AS BIGINT) AS svv2,
+             CAST(SUM(CAST(
+               2.0 * (CAST(m AS DOUBLE) * CAST(sv2 AS DOUBLE)
+                      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+               / (CAST(m AS DOUBLE) - 1.0)
+             AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS s
+      FROM kept
+    ), e AS (
+      SELECT n_items, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS d_o,
+             2.0 * (CAST(n AS DOUBLE) * CAST(svv2 AS DOUBLE)
+                    - CAST(svv AS DOUBLE) * CAST(svv AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS d_e
+      FROM agg
+    )
+    SELECT n_items, n AS n_ratings,
+           ROUND(d_o, 9) AS d_o, ROUND(d_e, 9) AS d_e,
+           ROUND(1.0 - d_o / d_e, 12) AS alpha
+    FROM e
+    """,
+)
+def q464_krippendorff_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Krippendorff's alpha, INTERVAL metric (evaluation.
+    krippendorff_interval) over the order/line-quantity panel — the
+    numeric-rating agreement where q418's nominal variant would call
+    near-misses total disagreements. Squared-difference coincidences
+    reduce to exact moment identities; no pair table."""
+    from .operators.evaluation import krippendorff_interval
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = krippendorff_interval(
+        li.select(
+            F.col("l_orderkey").alias("i"), F.col("l_quantity").alias("v")
+        ),
+        "i", "v",
+    )
+    return out.select(
+        "n_items", "n_ratings",
+        F.round("d_o", 9).alias("d_o"),
+        F.round("d_e", 9).alias("d_e"),
+        F.round("alpha", 12).alias("alpha"),
+    )
+
+
+@_q(
+    "q465_hhi",
+    """
+    WITH cells AS (
+      SELECT n_name AS grp, s_suppkey AS c, CAST(COUNT(*) AS BIGINT) AS o
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), per AS (
+      SELECT grp, CAST(SUM(o) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS k_cats,
+             SUM(CAST(o AS HUGEINT) * o) AS so2
+      FROM cells GROUP BY 1
+    )
+    SELECT grp, n_rows, k_cats,
+           ROUND(CAST(so2 AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)),
+                 12) AS hhi,
+           ROUND(1.0 / (CAST(so2 AS DOUBLE)
+                        / (CAST(n_rows AS DOUBLE)
+                           * CAST(n_rows AS DOUBLE))), 9)
+             AS eff_categories,
+           ROUND((CAST(so2 AS DOUBLE)
+                  / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))
+                  - 1.0 / CAST(k_cats AS DOUBLE))
+                 / (1.0 - 1.0 / CAST(k_cats AS DOUBLE)), 12) AS hhi_norm
+    FROM per ORDER BY grp
+    """,
+)
+def q465_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-market concentration per nation (dq.hhi_concentration):
+    Herfindahl index, effective supplier count, and normalized HHI of
+    each nation's lineitem supply — the "how many suppliers REALLY
+    serve this market" readout beside q187's Gini. Exact integer share
+    sums; two divisions per nation."""
+    from .operators.dq import hhi_concentration
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    df = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("g"), F.col("s_suppkey").alias("c")
+        )
+    )
+    out = hhi_concentration(df, "g", "c")
+    return out.select(
+        "grp", "n_rows", "k_cats",
+        F.round("hhi", 12).alias("hhi"),
+        F.round("eff_categories", 9).alias("eff_categories"),
+        F.round("hhi_norm", 12).alias("hhi_norm"),
+    ).orderBy("grp")
+
+
 _PRIORITY = [
     # 0) HEAD for the round-10 driver gate (the gate reads the FIRST
     #    50 names): the never-recorded queue now exceeds the 50-slot
@@ -25224,6 +25425,7 @@ _PRIORITY = [
     "q455_markov_stationary", "q456_rmst",
     "q457_topk_churn", "q458_yuen_t", "q459_central_means",
     "q460_mahalanobis", "q461_partial_corr", "q462_bin_rules",
+    "q463_theil", "q464_krippendorff_interval", "q465_hhi",
     # 11 stalest r1-recorded rows (ledger order; q42..q92 remain below
     # as the stale queue for r11)
     "q28_range_join", "q30_asof_join", "q33_grouping_sets", "q34_pivot",

@@ -2274,3 +2274,100 @@ def test_bin_width_rules_matches_reference(spark):
     assert out["fd_bins"] == fd
     assert out["sturges_bins"] == sturges
     assert out["doane_bins"] == doane
+
+
+def test_theil_decomposition_matches_reference(spark):
+    import math
+
+    vals = {"a": [10, 10, 10], "b": [1, 5, 100, 200]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from etl_java_spark.operators.dq import theil_decomposition
+
+    out = {r["grp"]: r for r in theil_decomposition(df, "g", "v").collect()}
+    allv = [v for vs in vals.values() for v in vs]
+    mu = sum(allv) / len(allv)
+
+    def theil(xs):
+        m = sum(xs) / len(xs)
+        return sum(x / m * math.log(x / m) for x in xs) / len(xs)
+
+    t_total = theil(allv)
+    tb = sum(
+        sum(vs) / sum(allv) * math.log((sum(vs) / len(vs)) / mu)
+        for vs in vals.values()
+    )
+    for g, vs in vals.items():
+        assert out[g]["t_within"] == pytest.approx(theil(vs), rel=1e-12)
+        assert out[g]["value_share"] == pytest.approx(
+            sum(vs) / sum(allv), rel=1e-12
+        )
+    assert out["a"]["t_between"] == pytest.approx(tb, rel=1e-12)
+    # the exact decomposition identity
+    assert out["a"]["t_total"] == pytest.approx(t_total, rel=1e-12)
+    # group a is perfectly equal -> within term exactly 0
+    assert out["a"]["t_within"] == pytest.approx(0.0, abs=1e-15)
+
+
+def test_krippendorff_interval_matches_reference(spark):
+    panel = {1: [4, 5], 2: [2, 2, 3], 3: [9, 1], 4: [7]}
+    rows = [(i, v) for i, vs in panel.items() for v in vs]
+    df = spark.createDataFrame(rows, "i long, v long")
+    from etl_java_spark.operators.evaluation import krippendorff_interval
+
+    out = krippendorff_interval(df, "i", "v").collect()[0]
+    kept = {i: vs for i, vs in panel.items() if len(vs) >= 2}
+    n = sum(len(vs) for vs in kept.values())
+    d_o = (
+        sum(
+            2
+            * (len(vs) * sum(v * v for v in vs) - sum(vs) ** 2)
+            / (len(vs) - 1)
+            for vs in kept.values()
+        )
+        / n
+    )
+    allv = [v for vs in kept.values() for v in vs]
+    d_e = (
+        2
+        * (n * sum(v * v for v in allv) - sum(allv) ** 2)
+        / (n * (n - 1))
+    )
+    assert out["n_items"] == len(kept) and out["n_ratings"] == n
+    assert out["d_o"] == pytest.approx(d_o, rel=1e-12)
+    assert out["d_e"] == pytest.approx(d_e, rel=1e-12)
+    assert out["alpha"] == pytest.approx(1 - d_o / d_e, rel=1e-12)
+    # identical ratings within each item -> alpha = 1
+    perf = spark.createDataFrame(
+        [(1, 4), (1, 4), (2, 9), (2, 9)], "i long, v long"
+    )
+    assert krippendorff_interval(perf, "i", "v").collect()[0][
+        "alpha"
+    ] == 1.0
+
+
+def test_hhi_concentration_matches_reference(spark):
+    rows = (
+        [("m1", "s1")] * 8 + [("m1", "s2")] * 1 + [("m1", "s3")] * 1
+        + [("m2", "x")] * 5 + [("m2", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, c string")
+    from etl_java_spark.operators.dq import hhi_concentration
+
+    out = {r["grp"]: r for r in hhi_concentration(df, "g", "c").collect()}
+    # m1: shares .8/.1/.1 -> hhi = .66; m2: .5/.5 -> .5
+    assert out["m1"]["hhi"] == pytest.approx(0.66, rel=1e-12)
+    assert out["m2"]["hhi"] == pytest.approx(0.5, rel=1e-12)
+    assert out["m1"]["eff_categories"] == pytest.approx(
+        1 / 0.66, rel=1e-12
+    )
+    k = 3
+    assert out["m1"]["hhi_norm"] == pytest.approx(
+        (0.66 - 1 / k) / (1 - 1 / k), rel=1e-12
+    )
+    # concentrated market reads higher on every axis
+    assert out["m1"]["hhi"] > out["m2"]["hhi"]
+    # single-category group: hhi = 1, norm undefined
+    solo = spark.createDataFrame([("z", "only")] * 4, "g string, c string")
+    r = hhi_concentration(solo, "g", "c").collect()[0]
+    assert r["hhi"] == 1.0 and r["hhi_norm"] is None
