@@ -2093,3 +2093,161 @@ def hhi_concentration(
             hhi - F.lit(1.0) / kd, F.lit(1.0) - F.lit(1.0) / kd
         ).alias("hhi_norm"),
     )
+
+
+def inequality_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Hoover index + Atkinson indices (eps = 1, 2) per group — the
+    inequality panel beside Gini (q187) and Theil (q463), each with a
+    distinct reading: Hoover = the share of total value that would
+    have to MOVE to equalize; Atkinson = the share society would give
+    up for equality under log / reciprocal welfare:
+
+        Hoover = SUM_i |x_i n - X| / (2 n X)      (exact integers!)
+        A(1)   = 1 - GM / AM
+        A(2)   = 1 - HM / AM
+
+    Positive values only (GM/HM; excluded rows visible via n). The
+    Hoover numerator folds per DISTINCT value (c_v |v n - X| — one
+    grouped pass, quantized-input contract); GM/HM reuse the decimal
+    log/reciprocal row sums of group_central_means. Returns one row
+    per group: (grp, n, hoover, atkinson_1, atkinson_2).
+    """
+    d38 = "decimal(38,0)"
+    g = F.col(group_col)
+    base = df.filter(g.isNotNull() & (F.col(value_col) > 0)).select(
+        g.alias("grp"), F.col(value_col).cast("long").alias("v")
+    )
+    per = base.groupBy("grp", "v").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = per.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum((F.col("c").cast(d38) * F.col("v")).cast(d38))
+        .cast(d38)
+        .alias("x"),
+    )
+    hnum = (
+        per.join(tot, "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                (
+                    F.col("c").cast(d38)
+                    * F.abs(
+                        (F.col("v").cast(d38) * F.col("n")).cast(d38)
+                        - F.col("x")
+                    ).cast(d38)
+                ).cast(d38)
+            )
+            .cast(d38)
+            .alias("hn")
+        )
+    )
+    moments = base.groupBy("grp").agg(
+        F.sum(
+            F.log(F.col("v").cast("double")).cast("decimal(38,18)")
+        )
+        .cast("decimal(38,18)")
+        .alias("sl"),
+        F.sum(
+            (F.lit(1.0) / F.col("v").cast("double")).cast("decimal(38,18)")
+        )
+        .cast("decimal(38,18)")
+        .alias("sr"),
+    )
+    j = tot.join(hnum, "grp").join(moments, "grp")
+    nd = F.col("n").cast("double")
+    am = F.col("x").cast("double") / nd
+    gm = F.exp(F.col("sl").cast("double") / nd)
+    hm = nd / F.col("sr").cast("double")
+    hoover = F.col("hn").cast("double") / (
+        F.lit(2.0) * nd * F.col("x").cast("double")
+    )
+    return j.select(
+        "grp", "n",
+        hoover.alias("hoover"),
+        (F.lit(1.0) - gm / am).alias("atkinson_1"),
+        (F.lit(1.0) - hm / am).alias("atkinson_2"),
+    )
+
+
+def quantile_share_ratio(
+    df: DataFrame,
+    value_col: str,
+    bottom_q: float = 0.4,
+    top_q: float = 0.1,
+) -> DataFrame:
+    """Palma-style quantile share ratio — what share of total value
+    the bottom 40% vs the top 10% of units hold, and their ratio (the
+    distribution summary policy analyses quote where a single Gini
+    hides WHERE the concentration sits):
+
+        bottom_share = sum of the floor(bottom_q n) smallest values / X
+        top_share    = sum of the (n - floor((1-top_q) n)) largest / X
+        palma        = top_sum / bottom_sum
+
+    EXACT at scale: unit counts come from rank arithmetic over the
+    distinct-value cumulative table (partial mass at the boundary
+    value splits exactly — the yuen_t trimming discipline; quantized-
+    input contract), so every sum is an exact integer and the three
+    ratios are single divisions. Returns one row:
+    (n, total, bottom_units, top_units, bottom_share, top_share,
+    palma).
+    """
+    d38 = "decimal(38,0)"
+    per = (
+        df.select(F.col(value_col).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "v", "c", F.sum("c").over(w).cast("long").alias("cum")
+    ).localCheckpoint(eager=True)
+    tot = cum.agg(
+        F.max("cum").cast("long").alias("n"),
+        F.sum((F.col("c").cast(d38) * F.col("v")).cast(d38))
+        .cast(d38)
+        .alias("x"),
+    )
+    b = F.floor(
+        F.lit(float(bottom_q)) * F.col("n").cast("double")
+    ).cast("long")
+    u = F.floor(
+        F.lit(1.0 - float(top_q)) * F.col("n").cast("double")
+    ).cast("long")
+    jt = cum.crossJoin(F.broadcast(tot.select("n", "x", b.alias("b"), u.alias("u"))))
+
+    def partial_sum(bound):
+        # units of this value whose global rank falls inside [1, bound]
+        kept = F.greatest(
+            F.least(F.col("cum"), bound) - (F.col("cum") - F.col("c")),
+            F.lit(0).cast("long"),
+        )
+        return F.sum((kept.cast(d38) * F.col("v")).cast(d38)).cast(d38)
+
+    agg = jt.agg(
+        F.first("n").alias("n"),
+        F.first("x").alias("x"),
+        F.first("b").alias("b"),
+        F.first("u").alias("u"),
+        partial_sum(F.col("b")).alias("bsum"),
+        partial_sum(F.col("u")).alias("usum"),
+    )
+    xd = F.col("x").cast("double")
+    bsum = F.col("bsum").cast("double")
+    tsum = F.col("x").cast("double") - F.col("usum").cast("double")
+    return agg.select(
+        "n",
+        F.col("x").cast("double").alias("total"),
+        F.col("b").alias("bottom_units"),
+        (F.col("n") - F.col("u")).cast("long").alias("top_units"),
+        (bsum / xd).alias("bottom_share"),
+        (tsum / xd).alias("top_share"),
+        F.try_divide(tsum, bsum).alias("palma"),
+    )

@@ -3355,3 +3355,48 @@ def yuen_t(
         t.alias("t_stat"),
         (F.lit(2.0) * normal_sf(F.abs(t))).alias("p_value"),
     )
+
+
+def cohens_h(
+    df: DataFrame,
+    group_col,
+    outcome_col,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cohen's h — the effect size for two PROPORTIONS via the
+    arcsine-sqrt variance-stabilizing transform (the companion to
+    cohens_d for binary outcomes; a 5pp difference near 50% is a much
+    smaller h than 5pp near 1%):
+
+        h = 2 asin(sqrt(p_a)) - 2 asin(sqrt(p_b))
+
+    ONE conditional aggregate to the exact 2x2 cells; asin follows the
+    PMI/zipf rounding contract (callers round <= 12). Returns one row:
+    (n_a, x_a, n_b, x_b, p_a, p_b, h).
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    y = (
+        F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    ).cast("int")
+    agg = df.filter(g.isin([group_a, group_b])).agg(
+        F.sum((g == group_a).cast("int")).cast("long").alias("n_a"),
+        F.sum(F.when(g == group_a, y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x_a"),
+        F.sum((g == group_b).cast("int")).cast("long").alias("n_b"),
+        F.sum(F.when(g == group_b, y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x_b"),
+    )
+    pa = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    return agg.select(
+        "n_a", "x_a", "n_b", "x_b",
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        (
+            F.lit(2.0) * F.asin(F.sqrt(pa))
+            - F.lit(2.0) * F.asin(F.sqrt(pb))
+        ).alias("h"),
+    )

@@ -2371,3 +2371,82 @@ def test_hhi_concentration_matches_reference(spark):
     solo = spark.createDataFrame([("z", "only")] * 4, "g string, c string")
     r = hhi_concentration(solo, "g", "c").collect()[0]
     assert r["hhi"] == 1.0 and r["hhi_norm"] is None
+
+
+def test_inequality_profile_matches_reference(spark):
+    import math
+
+    vals = {"eq": [5, 5, 5, 5], "sk": [1, 1, 2, 16]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    from etl_java_spark.operators.dq import inequality_profile
+
+    out = {r["grp"]: r for r in inequality_profile(df, "g", "v").collect()}
+    for g, xs in vals.items():
+        n, X = len(xs), sum(xs)
+        hoover = sum(abs(x * n - X) for x in xs) / (2 * n * X)
+        am = X / n
+        gm = math.exp(sum(math.log(x) for x in xs) / n)
+        hm = n / sum(1 / x for x in xs)
+        assert out[g]["hoover"] == pytest.approx(hoover, rel=1e-12)
+        assert out[g]["atkinson_1"] == pytest.approx(1 - gm / am, rel=1e-12)
+        assert out[g]["atkinson_2"] == pytest.approx(1 - hm / am, rel=1e-12)
+    # perfectly equal group scores exactly 0 on all three
+    assert out["eq"]["hoover"] == 0.0
+    assert out["eq"]["atkinson_1"] == pytest.approx(0.0, abs=1e-15)
+    assert out["sk"]["hoover"] > 0.3
+
+
+def test_quantile_share_ratio_matches_reference(spark):
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    from etl_java_spark.operators.dq import quantile_share_ratio
+
+    out = quantile_share_ratio(df, "v", bottom_q=0.4, top_q=0.1).collect()[
+        0
+    ]
+    s = sorted(vals)
+    X = sum(s)
+    bsum = sum(s[:4])          # bottom 40% of 10 units
+    tsum = sum(s[9:])          # top 10% = 1 unit (the 100)
+    assert out["bottom_units"] == 4 and out["top_units"] == 1
+    assert out["bottom_share"] == pytest.approx(bsum / X, rel=1e-12)
+    assert out["top_share"] == pytest.approx(tsum / X, rel=1e-12)
+    assert out["palma"] == pytest.approx(tsum / bsum, rel=1e-12)
+    # boundary mass splits exactly: 5 copies of one value, bottom 40%
+    # of n=5 -> 2 units of that same value
+    ties = spark.createDataFrame([(7,)] * 5, "v long")
+    r = quantile_share_ratio(ties, "v").collect()[0]
+    assert r["bottom_units"] == 2
+    assert r["bottom_share"] == pytest.approx(14 / 35, rel=1e-12)
+
+
+def test_cohens_h_matches_reference(spark):
+    import math
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 10 + [
+        ("b", 0)
+    ] * 90
+    df = spark.createDataFrame(rows, "g string, y int")
+    from etl_java_spark.operators.experiments import cohens_h
+
+    out = cohens_h(df, "g", "y", "a", "b").collect()[0]
+    want = 2 * math.asin(math.sqrt(0.3)) - 2 * math.asin(math.sqrt(0.1))
+    assert (out["n_a"], out["x_a"], out["n_b"], out["x_b"]) == (
+        100, 30, 100, 10,
+    )
+    assert out["h"] == pytest.approx(want, rel=1e-12)
+    # variance stabilization: the same 5pp gap is a LARGER h near 0
+    near0 = [("a", 1)] * 6 + [("a", 0)] * 94 + [("b", 1)] * 1 + [
+        ("b", 0)
+    ] * 99
+    near50 = [("a", 1)] * 55 + [("a", 0)] * 45 + [("b", 1)] * 50 + [
+        ("b", 0)
+    ] * 50
+    h0 = cohens_h(
+        spark.createDataFrame(near0, "g string, y int"), "g", "y", "a", "b"
+    ).collect()[0]["h"]
+    h50 = cohens_h(
+        spark.createDataFrame(near50, "g string, y int"), "g", "y", "a", "b"
+    ).collect()[0]["h"]
+    assert h0 > h50
