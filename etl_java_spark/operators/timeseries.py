@@ -2548,3 +2548,159 @@ def rmst(
         "n_event_times",
         (F.least(F.col("t1"), taud) + area).alias("rmst"),
     )
+
+
+def gumbel_block_maxima(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    block_days: int = 7,
+    return_period: int = 52,
+) -> DataFrame:
+    """Gumbel extreme-value fit on block maxima (method of moments) —
+    "how bad can a week get?", the tail-risk readout beside the
+    bulk-shape stats (q437): fit block maxima to Gumbel(loc, scale)
+    and report the T-block return level:
+
+        scale = sqrt(6) s / pi,  loc = m - gamma scale
+        x_T = loc - scale ln(-ln(1 - 1/T))
+
+    (gamma = Euler-Mascheroni). Block maxima come from one grouped MAX
+    over ID-ranged day blocks (no global window); moments are exact
+    decimal sums over the block table; the fit is a fixed double tree
+    under the log contract. Returns one row:
+    (n_blocks, max_mean, max_sd, loc, scale, return_level).
+    """
+    d38 = "decimal(38,0)"
+    w = Window.orderBy(time_col)
+    base = df.select(
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    blocks = (
+        base.select(
+            F.floor((F.col("rn") - 1) / F.lit(block_days))
+            .cast("long")
+            .alias("blk"),
+            "v",
+        )
+        .groupBy("blk")
+        .agg(F.max("v").cast("long").alias("m"), F.count("*").alias("cnt"))
+        .filter(F.col("cnt") == block_days)
+    )
+    agg = blocks.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.col("m").cast(d38)).cast(d38).alias("s1"),
+        F.sum((F.col("m").cast(d38) * F.col("m")).cast(d38))
+        .cast(d38)
+        .alias("s2"),
+    )
+    nd = F.col("n_blocks").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
+        )
+        / (nd - F.lit(1.0))
+    )
+    scale = F.lit(2.449489742783178) * sd / F.lit(3.141592653589793)
+    loc = mean - F.lit(0.5772156649015329) * scale
+    t = float(return_period)
+    rl = loc - scale * F.log(-F.log(F.lit(1.0 - 1.0 / t)))
+    return agg.select(
+        "n_blocks",
+        mean.alias("max_mean"),
+        sd.alias("max_sd"),
+        loc.alias("loc"),
+        scale.alias("scale"),
+        rl.alias("return_level"),
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal-strength index — ONE number for "how seasonal is this
+    series?": the share of detrended variance explained by the
+    seasonal phase (eta-squared of the one-way phase ANOVA over the
+    q411 centered-MA detrended values):
+
+        strength = max(0, 1 - SS_within / SS_total)
+
+    Exactness: detrended values stay exact integers (period*y - window
+    sum — the q411 multiply-through trick; the period^2 scaling
+    cancels in the ratio), so SS identities are exact decimal sums;
+    the per-phase (sum^2 / n) terms fold in phase order. The centered
+    window runs over the calendar-bounded series (post-aggregate
+    contract); ``period`` must be odd for a symmetric window (q411's
+    contract). Returns one row:
+    (period, n_obs, ss_within, ss_total, strength).
+    """
+    if period % 2 == 0:
+        raise ValueError("seasonal_strength requires an odd period")
+    d38 = "decimal(38,0)"
+    half = period // 2
+    w = Window.orderBy(time_col)
+    base = df.select(
+        F.row_number().over(w).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("y"),
+    )
+    wc = Window.orderBy("t").rowsBetween(-half, half)
+    cent = base.select(
+        "t", "y",
+        F.count("*").over(wc).cast("long").alias("cnt"),
+        F.sum("y").over(wc).cast("long").alias("ws"),
+    ).filter(F.col("cnt") == period)
+    det = cent.select(
+        ((F.col("t") - 1) % period).cast("long").alias("phase"),
+        (F.lit(period) * F.col("y") - F.col("ws")).cast("long").alias("d"),
+    )
+    per = det.groupBy("phase").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("d").cast(d38)).cast(d38).alias("sd"),
+        F.sum((F.col("d").cast(d38) * F.col("d")).cast(d38))
+        .cast(d38)
+        .alias("sd2"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sd").cast(d38).alias("sdd"),
+        F.sum("sd2").cast(d38).alias("sdd2"),
+    )
+    folded = (
+        per.select(
+            F.struct(
+                "phase",
+                (
+                    F.col("sd").cast("double")
+                    * F.col("sd").cast("double")
+                    / F.col("n").cast("double")
+                ).alias("t"),
+            ).alias("__e")
+        )
+        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    )
+    sfold = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda a, x: a + x["t"]
+    )
+    j = tot.crossJoin(F.broadcast(folded))
+    ssw = F.col("sdd2").cast("double") - sfold
+    sst = (
+        F.col("sdd2").cast("double")
+        - F.col("sdd").cast("double")
+        * F.col("sdd").cast("double")
+        / F.col("nn").cast("double")
+    )
+    return j.select(
+        F.lit(period).cast("long").alias("period"),
+        F.col("nn").alias("n_obs"),
+        ssw.alias("ss_within"),
+        sst.alias("ss_total"),
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.try_divide(ssw, sst)
+        ).alias("strength"),
+    )

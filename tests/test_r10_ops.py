@@ -2450,3 +2450,71 @@ def test_cohens_h_matches_reference(spark):
         spark.createDataFrame(near50, "g string, y int"), "g", "y", "a", "b"
     ).collect()[0]["h"]
     assert h0 > h50
+
+
+def test_gumbel_block_maxima_matches_reference(spark):
+    import math
+
+    vals = [((i * 13) % 29) * 3 + (i % 7) + 10 for i in range(30)]
+    rows = [(i + 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    from etl_java_spark.operators.timeseries import gumbel_block_maxima
+
+    out = gumbel_block_maxima(
+        df, "t", "v", block_days=7, return_period=52
+    ).collect()[0]
+    maxima = [
+        max(vals[b * 7: (b + 1) * 7]) for b in range(len(vals) // 7)
+    ]
+    n = len(maxima)
+    mean = sum(maxima) / n
+    sd = math.sqrt(sum((m - mean) ** 2 for m in maxima) / (n - 1))
+    scale = math.sqrt(6) * sd / math.pi
+    loc = mean - 0.5772156649015329 * scale
+    rl = loc - scale * math.log(-math.log(1.0 - 1.0 / 52.0))
+    assert out["n_blocks"] == n
+    assert out["max_mean"] == pytest.approx(mean, rel=1e-12)
+    assert out["max_sd"] == pytest.approx(sd, rel=1e-12)
+    assert out["loc"] == pytest.approx(loc, rel=1e-12)
+    assert out["return_level"] == pytest.approx(rl, rel=1e-9)
+    # the return level dominates every observed block maximum's loc
+    assert out["return_level"] > out["loc"]
+
+
+def test_seasonal_strength_matches_reference(spark):
+    # planted weekday effect on a linear trend: high strength
+    rows = [
+        (i + 1, 1000 + 3 * i + [0, 50, 0, 0, 0, 0, 0][i % 7])
+        for i in range(35)
+    ]
+    df = spark.createDataFrame(rows, "t long, y long")
+    from etl_java_spark.operators.timeseries import seasonal_strength
+
+    out = seasonal_strength(df, "t", "y", period=7).collect()[0]
+    # replay: centered MA of width 7, detrended d = 7y - window sum
+    ys = [y for _, y in rows]
+    det = []
+    for i in range(3, len(ys) - 3):
+        det.append(((i) % 7, 7 * ys[i] - sum(ys[i - 3: i + 4])))
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for ph, d in det:
+        per[ph].append(d)
+    alld = [d for _, d in det]
+    sst = sum(d * d for d in alld) - sum(alld) ** 2 / len(alld)
+    ssw = sum(d * d for d in alld) - sum(
+        sum(ds) ** 2 / len(ds) for ds in per.values()
+    )
+    want = max(0.0, 1 - ssw / sst)
+    assert out["n_obs"] == len(det)
+    assert out["ss_within"] == pytest.approx(ssw, rel=1e-12)
+    assert out["ss_total"] == pytest.approx(sst, rel=1e-12)
+    assert out["strength"] == pytest.approx(want, rel=1e-12)
+    assert out["strength"] > 0.8  # the planted effect dominates
+    # pure trend, no seasonality -> strength near 0
+    flat = spark.createDataFrame(
+        [(i + 1, 100 + 5 * i) for i in range(28)], "t long, y long"
+    )
+    r = seasonal_strength(flat, "t", "y", period=7).collect()[0]
+    assert r["strength"] == pytest.approx(0.0, abs=1e-9)
