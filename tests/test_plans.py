@@ -349,3 +349,27 @@ def test_q400_mmr_rounds_never_rescan_corpus(spark):
     assert "FileScan" not in plan and "BatchScan" not in plan, (
         "greedy rounds re-scan the corpus"
     )
+
+
+def test_q438_adamic_adar_capped_and_anti_joined(spark):
+    """q438's wedge join must mirror q394's plan gates: the b side goes
+    through the degree-cap SEMI-join (kept (c, l)-narrow — no weight
+    column on that side), and existing edges leave via an anti-join."""
+    plan = plan_of(spark, "q438_adamic_adar", "simple")
+    assert "LeftSemi" in plan, "degree-cap semi-join missing on the b side"
+    assert "LeftAnti" in plan, "existing-edge anti-join missing"
+    assert "CartesianProduct" not in plan
+
+
+def test_q428_kcenter_rounds_never_rescan_corpus(spark):
+    """q428's greedy rounds must read the checkpointed selected set and
+    broadcast it against the corpus — the final plan contains no
+    cartesian product and at most the initial parquet scans (rounds
+    reuse checkpoints, the q400 discipline)."""
+    plan = plan_of(spark, "q428_kcenter", "simple")
+    assert "CartesianProduct" not in plan
+    # the rounds ran eagerly against checkpoints during the build; the
+    # final plan must read ONLY the pinned selected set — zero parquet
+    # scans (the corpus was touched once per round, never re-derived)
+    assert "Scan ExistingRDD" in plan, "checkpointed selected set missing"
+    assert "Scan parquet" not in plan, "final plan re-scans the corpus"
