@@ -2704,3 +2704,223 @@ def seasonal_strength(
             F.lit(0.0), F.lit(1.0) - F.try_divide(ssw, sst)
         ).alias("strength"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    bar_col: str,
+    seq_cols: list[str],
+    price_col: str,
+    qty_col: str,
+) -> DataFrame:
+    """OHLC + VWAP bar aggregation of a trade tape — the candlestick /
+    market-data rollup (one bar per ``bar_col`` bucket): open = price
+    of the first trade in sequence order, close = last, high/low =
+    extremes, volume = total quantity, vwap = sum(price*qty) /
+    sum(qty). Charter §2B extension (the reference,
+    src/etl/ETLProcess.java:1-568, has no time-series surface).
+
+    Scale design: ONE map-side-combinable groupBy on the bar key —
+    open/close ride along as lexicographic min/max over
+    (seq..., price) structs, so no window, no second shuffle, and bars
+    parallelize across the full tape. ``seq_cols`` must totally order
+    trades within a bar (e.g. orderkey + linenumber) or open/close
+    would be nondeterministic under Spark's partition-order ties.
+
+    Determinism: prices/quantities are exact integers; vwap is the one
+    double, an exact-integer ratio fixed tree — callers ROUND it (<= 6
+    decimals) to absorb the engines' wide-int -> double conversion ulp
+    (the chi2_sf_even exp-rounding convention). Returns one row per
+    bar: (bar, open_c, high_c, low_c, close_c, volume_q, pv, n_trades,
+    vwap_c).
+    """
+    d38 = "decimal(38,0)"
+    seq = [F.col(c).cast("long") for c in seq_cols]
+    p = F.col(price_col).cast("long")
+    q = F.col(qty_col).cast("long")
+    base = df.select(
+        F.col(bar_col).alias("bar"),
+        F.struct(*seq, p.alias("p")).alias("__s"),
+        p.alias("p"),
+        q.alias("q"),
+        (p.cast(d38) * q).cast(d38).alias("pv"),
+    )
+    out = base.groupBy("bar").agg(
+        F.min("__s").alias("__first"),
+        F.max("__s").alias("__last"),
+        F.max("p").cast("long").alias("high_c"),
+        F.min("p").cast("long").alias("low_c"),
+        F.sum("q").cast("long").alias("volume_q"),
+        F.sum("pv").cast(d38).alias("pv"),
+        F.count("*").cast("long").alias("n_trades"),
+    )
+    return out.select(
+        "bar",
+        F.col("__first.p").alias("open_c"),
+        "high_c",
+        "low_c",
+        F.col("__last.p").alias("close_c"),
+        "volume_q",
+        "pv",
+        "n_trades",
+        (F.col("pv").cast("double") / F.col("volume_q").cast("double")).alias(
+            "vwap_c"
+        ),
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Maximum drawdown of the cumulative-sum equity curve built from
+    per-period integer flows — "the worst peak-to-trough loss an
+    investor in this stream ever saw", the tail-risk readout P&L and
+    SLA-burndown dashboards share. Drawdown at t = max(equity[..t]) -
+    equity[t]; the reported trough is the EARLIEST period attaining
+    the maximum drawdown.
+
+    Scale design: one ordered prefix-sum window over the PERIOD table
+    (calendar-bounded — days, not rows; everything upstream is a
+    map-side-combinable groupBy), then a single argmin-struct global
+    aggregate. All quantities are exact integers; the one double
+    (drawdown as a fraction of the standing peak) is a fixed ratio
+    tree.
+
+    Returns one row: (n_periods, final_equity_c, peak_equity_c,
+    max_drawdown_c, trough_t, peak_at_trough_c, drawdown_frac).
+    """
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    curve = base.select(
+        "t",
+        F.sum("v").over(w).cast("long").alias("eq"),
+    ).select(
+        "t",
+        "eq",
+        F.max("eq")
+        .over(
+            Window.orderBy("t").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("runpeak"),
+    )
+    scored = curve.select(
+        "t",
+        "eq",
+        "runpeak",
+        (F.col("runpeak") - F.col("eq")).cast("long").alias("dd"),
+    )
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n_periods"),
+        F.max(F.struct(F.col("t").alias("tt"), F.col("eq").alias("e")))
+        .alias("__fin"),
+        F.max("eq").cast("long").alias("peak_equity_c"),
+        F.min(
+            F.struct(
+                (-F.col("dd")).alias("ndd"),
+                F.col("t").alias("tt"),
+                F.col("runpeak").alias("rp"),
+            )
+        ).alias("__tr"),
+    )
+    dd = -F.col("__tr.ndd")
+    return agg.select(
+        "n_periods",
+        F.col("__fin.e").alias("final_equity_c"),
+        "peak_equity_c",
+        dd.cast("long").alias("max_drawdown_c"),
+        F.col("__tr.tt").alias("trough_t"),
+        F.col("__tr.rp").alias("peak_at_trough_c"),
+        (dd.cast("double") / F.col("__tr.rp").cast("double")).alias(
+            "drawdown_frac"
+        ),
+    )
+
+
+def rolling_band_breaches(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    window: int = 7,
+    k_sigma: float = 2.0,
+) -> DataFrame:
+    """Bollinger-band breach detection: flag periods whose value exits
+    the trailing ``window``-period mean +/- ``k_sigma`` population
+    sigmas — the volatility-scaled outlier screen (vs q128's global
+    z-score: the band adapts to local level and spread). Only FULL
+    windows emit (the first window-1 periods are warm-up).
+
+    Scale design: one trailing window over the period table
+    (calendar-bounded rows), integer prefix sums; no second shuffle.
+    mid/sd/bands are fixed double trees over exact integer window
+    sums (sd via the n*ss - ws^2 identity, IEEE-exact sqrt), so the
+    breach PREDICATE itself is bitwise reproducible — both engines
+    flag the identical row set.
+
+    Returns breach rows only: (t, v, mid, lower, upper, pct_b,
+    direction) with direction 1 = above, -1 = below.
+    """
+    d38 = "decimal(38,0)"
+    n = int(window)
+    k = float(k_sigma)
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    w = Window.orderBy("t").rowsBetween(-(n - 1), 0)
+    roll = base.select(
+        "t",
+        "v",
+        F.count("*").over(w).alias("cnt"),
+        F.sum("v").over(w).cast("long").alias("ws"),
+        F.sum((F.col("v").cast(d38) * F.col("v")).cast(d38))
+        .over(w)
+        .cast(d38)
+        .alias("ss"),
+    ).filter(F.col("cnt") == n)
+    nd = F.lit(float(n))
+    mid = F.col("ws").cast("double") / nd
+    sd = (
+        F.sqrt(
+            (
+                nd * F.col("ss").cast("double")
+                - F.col("ws").cast("double") * F.col("ws").cast("double")
+            )
+        )
+        / nd
+    )
+    lower = mid - F.lit(k) * sd
+    upper = mid + F.lit(k) * sd
+    vd = F.col("v").cast("double")
+    scored = roll.select(
+        "t",
+        "v",
+        mid.alias("mid"),
+        lower.alias("lower"),
+        upper.alias("upper"),
+        ((vd - lower) / (upper - lower)).alias("pct_b"),
+    )
+    return scored.filter(
+        (F.col("v").cast("double") > F.col("upper"))
+        | (F.col("v").cast("double") < F.col("lower"))
+    ).select(
+        "t",
+        "v",
+        "mid",
+        "lower",
+        "upper",
+        "pct_b",
+        F.when(F.col("v").cast("double") > F.col("upper"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("direction"),
+    )

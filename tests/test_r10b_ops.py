@@ -168,3 +168,118 @@ def test_nearest_neighbor_join_tiebreak_smallest_fid(spark):
         pdf, fdf, "pid", "px", "py", "fid", "fx", "fy", cell=25
     ).collect()[0]
     assert (row["fid"], row["dist2"]) == (3, 4)
+
+
+# ---------------------------------------------------------------------------
+# market-data analytics
+
+
+def test_ohlc_bars_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import ohlc_bars
+
+    trades = [
+        # (bar, okey, lnum, price, qty)
+        (1, 10, 1, 500, 3), (1, 10, 2, 700, 1), (1, 2, 1, 650, 2),
+        (2, 11, 1, 400, 5), (2, 11, 2, 900, 1),
+        (3, 12, 1, 800, 4),
+    ]
+    df = spark.createDataFrame(
+        trades, "bar long, okey long, lnum long, p long, q long"
+    )
+    got = {
+        r["bar"]: (
+            r["open_c"], r["high_c"], r["low_c"], r["close_c"],
+            r["volume_q"], r["n_trades"], r["vwap_c"],
+        )
+        for r in ohlc_bars(df, "bar", ["okey", "lnum"], "p", "q").collect()
+    }
+    by_bar: dict[int, list] = {}
+    for bar, okey, lnum, p, q in trades:
+        by_bar.setdefault(bar, []).append((okey, lnum, p, q))
+    for bar, rows in by_bar.items():
+        rows.sort()
+        o, c = rows[0][2], rows[-1][2]
+        hi = max(r[2] for r in rows)
+        lo = min(r[2] for r in rows)
+        vol = sum(r[3] for r in rows)
+        pv = sum(r[2] * r[3] for r in rows)
+        exp = (o, hi, lo, c, vol, len(rows), pv / vol)
+        assert got[bar][:6] == exp[:6]
+        assert got[bar][6] == pytest.approx(exp[6], abs=1e-12)
+
+
+def test_max_drawdown_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import max_drawdown
+
+    flows = [(t, v) for t, v in enumerate(
+        [5, 3, -4, -2, 6, -7, -1, 8, 2, -3], start=1
+    )]
+    df = spark.createDataFrame(flows, "t long, v long")
+    row = max_drawdown(df, "t", "v").collect()[0]
+    eq = peak = 0
+    best = (-1, None, None)  # (dd, trough_t, peak_at_trough)
+    curve = []
+    for t, v in flows:
+        eq += v
+        peak = max(peak if curve else eq, eq)
+        curve.append(eq)
+        dd = peak - eq
+        if dd > best[0]:
+            best = (dd, t, peak)
+    assert row["n_periods"] == len(flows)
+    assert row["final_equity_c"] == curve[-1]
+    assert row["peak_equity_c"] == max(curve)
+    assert row["max_drawdown_c"] == best[0]
+    assert row["trough_t"] == best[1]
+    assert row["peak_at_trough_c"] == best[2]
+    assert row["drawdown_frac"] == pytest.approx(
+        best[0] / best[2], abs=1e-12
+    )
+
+
+def test_max_drawdown_trough_is_earliest(spark):
+    from etl_java_spark.operators.timeseries import max_drawdown
+
+    # two troughs with the same drawdown (3): t=3 and t=5 -> report t=3
+    df = spark.createDataFrame(
+        [(1, 5), (2, -3), (3, 0), (4, 3), (5, -3)], "t long, v long"
+    )
+    row = max_drawdown(df, "t", "v").collect()[0]
+    assert row["max_drawdown_c"] == 3
+    assert row["trough_t"] == 2  # eq dips to 2 at t=2 and stays: dd=3 first at t=2
+    assert row["peak_at_trough_c"] == 5
+
+
+def test_rolling_band_breaches_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.timeseries import rolling_band_breaches
+
+    vals = [10, 11, 9, 10, 12, 10, 11, 30, 10, 9, 11, 10, 1, 10]
+    rows = [(t, v) for t, v in enumerate(vals, start=1)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    got = {
+        r["t"]: (r["v"], r["mid"], r["lower"], r["upper"], r["pct_b"],
+                 r["direction"])
+        for r in rolling_band_breaches(
+            df, "t", "v", window=3, k_sigma=2.0
+        ).collect()
+    }
+    exp = {}
+    for i in range(2, len(vals)):
+        w = vals[i - 2 : i + 1]
+        ws, ss = sum(w), sum(x * x for x in w)
+        mid = ws / 3.0
+        sd = m.sqrt(3.0 * ss - ws * ws) / 3.0
+        lo, hi = mid - 2.0 * sd, mid + 2.0 * sd
+        v = float(vals[i])
+        if v > hi or v < lo:
+            exp[i + 1] = (
+                vals[i], mid, lo, hi, (v - lo) / (hi - lo),
+                1 if v > hi else -1,
+            )
+    assert set(got) == set(exp)
+    for t, e in exp.items():
+        g = got[t]
+        assert g[0] == e[0] and g[5] == e[5]
+        for a, b in zip(g[1:5], e[1:5]):
+            assert a == pytest.approx(b, abs=1e-12)
