@@ -2251,3 +2251,42 @@ def quantile_share_ratio(
         (tsum / xd).alias("top_share"),
         F.try_divide(tsum, bsum).alias("palma"),
     )
+
+
+def jarque_bera(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Jarque-Bera normality test per group — the standard "is this
+    metric even close to Gaussian?" gate run before any z-score/sigma
+    rule (q128, q476) is trusted:
+
+        JB = n * (g1^2 / 6 + g2^2 / 24),    p = chi2_sf(JB, df=2)
+
+    over :func:`skew_kurtosis`'s population skewness g1 and excess
+    kurtosis g2. df=2 is EVEN, so the p-value uses the closed
+    elementary chi2_sf_even form (= exp(-JB/2)) — no erf, identical
+    expression tree on both engines; callers ROUND p per the exp
+    contract.
+
+    Scale: inherits skew_kurtosis's shape — ONE grouped exact-decimal
+    power-sum aggregate; the JB/p readout is per-group scalar algebra.
+    Returns one row per group:
+    (grp, n, skewness, kurtosis_excess, jb, p_value).
+    """
+    from .experiments import chi2_sf_even
+
+    base = skew_kurtosis(df, group_col, value_col)
+    nd = F.col("n").cast("double")
+    sk = F.col("skewness")
+    ku = F.col("kurtosis_excess")
+    jb = nd * (sk * sk / F.lit(6.0) + ku * ku / F.lit(24.0))
+    return base.select(
+        "grp",
+        "n",
+        "skewness",
+        "kurtosis_excess",
+        jb.alias("jb"),
+        chi2_sf_even(jb, 2).alias("p_value"),
+    )

@@ -2448,3 +2448,174 @@ def krippendorff_interval(
         d_e.alias("d_e"),
         (F.lit(1.0) - F.try_divide(d_o, d_e)).alias("alpha"),
     )
+
+
+def goldfeld_quandt(
+    df: DataFrame,
+    y_col,
+    x1_col,
+    x2_col,
+    split_col: str,
+    low_max,
+    high_min,
+    scale: int = 2,
+) -> DataFrame:
+    """Goldfeld-Quandt heteroscedasticity screen for the 2-feature OLS
+    (:func:`ols_regression`): fit the SAME model on a low regime
+    (``split_col <= low_max``) and a high regime (``>= high_min``,
+    the middle band excluded as the classic GQ buffer) and compare
+    residual variances:
+
+        GQ = (SSE_high / (n_high - 3)) / (SSE_low / (n_low - 3))
+
+    GQ >> 1 means the error variance grows with the regressor — the
+    constant-sigma assumption behind the fit's standard errors is
+    broken. Regimes split by fixed VALUE thresholds (the knobs), not
+    by global rank: a rank split needs a total sort; a value split
+    keeps the whole test ONE map-side-combinable conditional-moment
+    aggregate at any scale.
+
+    Determinism: all 20 regime moments are exact decimals; both
+    Cramer solves and the variance ratio are fixed double trees
+    (q265's no-rounding discipline).
+
+    Returns one row: (n_low, n_high, sse_low, sse_high, gq_ratio).
+    """
+    d = f"decimal(18,{scale})"
+    y, x1, x2 = _c(y_col).cast(d), _c(x1_col).cast(d), _c(x2_col).cast(d)
+    sp = _c(split_col)
+    lo = sp <= F.lit(low_max)
+    hi = sp >= F.lit(high_min)
+
+    def moments(cond, tag: str) -> list[Column]:
+        def s(e, name):
+            return (
+                F.sum(F.when(cond, e)).cast("double").alias(f"{tag}{name}")
+            )
+
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("long").alias(f"{tag}n"),
+            s(x1, "s1"), s(x2, "s2"), s(y, "sy"),
+            s(x1 * x1, "s11"), s(x1 * x2, "s12"), s(x2 * x2, "s22"),
+            s(x1 * y, "s1y"), s(x2 * y, "s2y"), s(y * y, "syy"),
+        ]
+
+    agg = df.agg(*moments(lo, "l_"), *moments(hi, "h_"))
+
+    def sse(tag: str) -> Column:
+        n = F.col(f"{tag}n").cast("double")
+        s1, s2, sy = (
+            F.col(f"{tag}s1"), F.col(f"{tag}s2"), F.col(f"{tag}sy"),
+        )
+        s11, s12, s22 = (
+            F.col(f"{tag}s11"), F.col(f"{tag}s12"), F.col(f"{tag}s22"),
+        )
+        s1y, s2y, syy = (
+            F.col(f"{tag}s1y"), F.col(f"{tag}s2y"), F.col(f"{tag}syy"),
+        )
+        det = (
+            n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)
+        )
+        det0 = (
+            sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)
+        )
+        det1 = (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)
+        )
+        det2 = (
+            n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2)
+        )
+        return (
+            syy
+            - (det0 / det) * sy
+            - (det1 / det) * s1y
+            - (det2 / det) * s2y
+        )
+
+    sse_l, sse_h = sse("l_"), sse("h_")
+    nl = F.col("l_n").cast("double")
+    nh = F.col("h_n").cast("double")
+    gq = (sse_h / (nh - F.lit(3.0))) / (sse_l / (nl - F.lit(3.0)))
+    return agg.select(
+        F.col("l_n").alias("n_low"),
+        F.col("h_n").alias("n_high"),
+        sse_l.alias("sse_low"),
+        sse_h.alias("sse_high"),
+        gq.alias("gq_ratio"),
+    )
+
+
+def cooks_distance(
+    df: DataFrame,
+    id_col: str,
+    x_col,
+    y_col,
+    top_k: int = 15,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-observation Cook's distance for the simple regression
+    y ~ b0 + b1 x — "which single rows are bending the fit?", the
+    row-grain influence readout beside the group-grain LOO refit
+    (loo_ols_influence):
+
+        h_i = 1/n + (x_i - xbar)^2 / Sxx
+        D_i = e_i^2 h_i / (2 s^2 (1 - h_i)^2)
+
+    with e from the closed-form fit and s^2 = SSE/(n-2).
+
+    Scale design: ONE exact-decimal moment aggregate (broadcast back
+    as constants), then a per-row fixed double tree and a global
+    top-k (TakeOrdered — no total sort). Ties break on id.
+
+    Returns the top_k rows by D: (id, x_val, y_val, resid, leverage,
+    cooks_d).
+    """
+    d = f"decimal(18,{scale})"
+    base = df.select(
+        _c(id_col).alias("id"),
+        _c(x_col).cast(d).alias("x"),
+        _c(y_col).cast(d).alias("y"),
+    )
+    m = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    j = base.crossJoin(F.broadcast(m))
+    nd = F.col("n").cast("double")
+    b1 = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    b0 = (F.col("sy") - b1 * F.col("sx")) / nd
+    sse = F.col("syy") - b0 * F.col("sy") - b1 * F.col("sxy")
+    s2 = sse / (nd - F.lit(2.0))
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    e = yd - b0 - b1 * xd
+    xbar = F.col("sx") / nd
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / nd
+    h = F.lit(1.0) / nd + (xd - xbar) * (xd - xbar) / sxx_c
+    cd = (
+        e * e * h
+        / (F.lit(2.0) * s2 * (F.lit(1.0) - h) * (F.lit(1.0) - h))
+    )
+    scored = j.select(
+        "id",
+        xd.alias("x_val"),
+        yd.alias("y_val"),
+        e.alias("resid"),
+        h.alias("leverage"),
+        cd.alias("cooks_d"),
+    )
+    return scored.orderBy(F.desc("cooks_d"), "id").limit(int(top_k))

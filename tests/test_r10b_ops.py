@@ -283,3 +283,123 @@ def test_rolling_band_breaches_matches_reference(spark):
         assert g[0] == e[0] and g[5] == e[5]
         for a, b in zip(g[1:5], e[1:5]):
             assert a == pytest.approx(b, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# regression / distribution diagnostics
+
+
+def test_jarque_bera_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.dq import jarque_bera
+
+    vals = {"a": [1, 2, 2, 3, 3, 3, 4, 4, 5, 9],
+            "b": [10, 10, 11, 12, 30, 30, 31, 32]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["grp"]: (r["n"], r["skewness"], r["kurtosis_excess"], r["jb"],
+                   r["p_value"])
+        for r in jarque_bera(df, "g", "v").collect()
+    }
+    for g, vs in vals.items():
+        n = len(vs)
+        mean = sum(vs) / n
+        m2 = sum(v * v for v in vs) / n - mean * mean
+        m3 = (sum(v ** 3 for v in vs) / n - 3 * mean * sum(v * v for v in vs) / n
+              + 2 * mean ** 3)
+        m4 = (sum(v ** 4 for v in vs) / n - 4 * mean * sum(v ** 3 for v in vs) / n
+              + 6 * mean * mean * sum(v * v for v in vs) / n - 3 * mean ** 4)
+        sk = m3 / m2 ** 1.5
+        ku = m4 / (m2 * m2) - 3.0
+        jb = n * (sk * sk / 6.0 + ku * ku / 24.0)
+        p = m.exp(-jb / 2.0)
+        gn, gsk, gku, gjb, gp = got[g]
+        assert gn == n
+        assert gsk == pytest.approx(sk, abs=1e-12)
+        assert gku == pytest.approx(ku, abs=1e-12)
+        assert gjb == pytest.approx(jb, rel=1e-12)
+        assert gp == pytest.approx(p, rel=1e-12)
+
+
+def _py_ols2_sse(rows):
+    """SSE of y ~ b0 + b1 x1 + b2 x2 via the normal equations."""
+    n = len(rows)
+    s1 = sum(r[0] for r in rows); s2 = sum(r[1] for r in rows)
+    sy = sum(r[2] for r in rows)
+    s11 = sum(r[0] * r[0] for r in rows); s12 = sum(r[0] * r[1] for r in rows)
+    s22 = sum(r[1] * r[1] for r in rows)
+    s1y = sum(r[0] * r[2] for r in rows); s2y = sum(r[1] * r[2] for r in rows)
+    syy = sum(r[2] * r[2] for r in rows)
+    det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    det0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+    det1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+    det2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    return n, syy - b0 * sy - b1 * s1y - b2 * s2y
+
+
+def test_goldfeld_quandt_matches_reference(spark):
+    from etl_java_spark.operators.evaluation import goldfeld_quandt
+
+    # low regime (sp<=2): tight residuals; high (sp>=5): noisy
+    data = []
+    for i in range(1, 13):
+        sp = 1 + (i % 2)
+        x1, x2 = sp, i % 4 + 1
+        y = 10 + 2 * x1 + 3 * x2 + (i % 3 - 1)  # small noise
+        data.append((sp, x1, x2, y))
+    for i in range(1, 13):
+        sp = 5 + (i % 3)
+        x1, x2 = sp, i % 5 + 1
+        y = 10 + 2 * x1 + 3 * x2 + 7 * ((i * 3) % 7 - 3)  # big noise
+        data.append((sp, x1, x2, y))
+    df = spark.createDataFrame(data, "sp long, x1 long, x2 long, y long")
+    row = goldfeld_quandt(
+        df, "y", "x1", "x2", split_col="sp", low_max=2, high_min=5
+    ).collect()[0]
+    lo = [(x1, x2, y) for sp, x1, x2, y in data if sp <= 2]
+    hi = [(x1, x2, y) for sp, x1, x2, y in data if sp >= 5]
+    nl, sse_l = _py_ols2_sse(lo)
+    nh, sse_h = _py_ols2_sse(hi)
+    assert (row["n_low"], row["n_high"]) == (nl, nh)
+    assert row["sse_low"] == pytest.approx(sse_l, rel=1e-9)
+    assert row["sse_high"] == pytest.approx(sse_h, rel=1e-9)
+    gq = (sse_h / (nh - 3.0)) / (sse_l / (nl - 3.0))
+    assert row["gq_ratio"] == pytest.approx(gq, rel=1e-9)
+    assert row["gq_ratio"] > 1.0  # planted: high regime noisier
+
+
+def test_cooks_distance_matches_reference(spark):
+    from etl_java_spark.operators.evaluation import cooks_distance
+
+    pts = [(i, i % 5 + 1, 3 * (i % 5 + 1) + (i % 7) - 3 + (20 if i == 13 else 0))
+           for i in range(1, 31)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = cooks_distance(df, "id", "x", "y", top_k=5).collect()
+    n = len(pts)
+    sx = sum(p[1] for p in pts); sy = sum(p[2] for p in pts)
+    sxx = sum(p[1] ** 2 for p in pts); sxy = sum(p[1] * p[2] for p in pts)
+    syy = sum(p[2] ** 2 for p in pts)
+    b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b0 = (sy - b1 * sx) / n
+    s2 = (syy - b0 * sy - b1 * sxy) / (n - 2.0)
+    sxx_c = sxx - sx * sx / n
+    scored = []
+    for i, x, y in pts:
+        e = y - b0 - b1 * x
+        h = 1.0 / n + (x - sx / n) ** 2 / sxx_c
+        cd = e * e * h / (2.0 * s2 * (1 - h) * (1 - h))
+        scored.append((cd, i, x, y, e, h))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    for r, (cd, i, x, y, e, h) in zip(got, scored[:5]):
+        assert r["id"] == i
+        assert r["cooks_d"] == pytest.approx(cd, rel=1e-12)
+        assert r["resid"] == pytest.approx(e, rel=1e-9)
+        assert r["leverage"] == pytest.approx(h, rel=1e-12)
+    # the planted outlier (id=13) is the most influential row
+    assert got[0]["id"] == 13
