@@ -483,3 +483,121 @@ def markov_stationary(
             .localCheckpoint(eager=True)
         )
     return v
+
+
+def gk_lambda(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Goodman-Kruskal lambda — proportional-reduction-in-error
+    association for two CATEGORICAL columns: "how much better do I
+    predict Y once I know X?" (0 = knowing X never changes the modal
+    guess, 1 = X determines Y). The modal-prediction counterpart of
+    the chi-square family (q413 Cramer's V measures departure from
+    independence; lambda measures usable predictive value):
+
+        lambda(Y|X) = (SUM_x max_y c_xy - max_y c_y) / (N - max_y c_y)
+
+    plus the symmetric average-of-both-directions form.
+
+    Scale: one (x, y) grouped count (map-side combinable); everything
+    downstream runs on the contingency TABLE (bounded by the category
+    domain, not the data). All numerators/denominators exact integers;
+    the three ratios are fixed double trees.
+
+    Returns one row: (n, sum_rowmax, sum_colmax, max_row_total,
+    max_col_total, lambda_y_given_x, lambda_x_given_y, lambda_sym).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    rowmax = cells.groupBy("x").agg(F.max("c").cast("long").alias("m"))
+    colmax = cells.groupBy("y").agg(F.max("c").cast("long").alias("m"))
+    rowtot = cells.groupBy("x").agg(F.sum("c").cast("long").alias("t"))
+    coltot = cells.groupBy("y").agg(F.sum("c").cast("long").alias("t"))
+    a = cells.agg(F.sum("c").cast("long").alias("n"))
+    b = rowmax.agg(F.sum("m").cast("long").alias("sum_rowmax"))
+    c = colmax.agg(F.sum("m").cast("long").alias("sum_colmax"))
+    d = rowtot.agg(F.max("t").cast("long").alias("max_row_total"))
+    e = coltot.agg(F.max("t").cast("long").alias("max_col_total"))
+    one = a.crossJoin(b).crossJoin(c).crossJoin(d).crossJoin(e)
+    nd = F.col("n").cast("double")
+    srm = F.col("sum_rowmax").cast("double")
+    scm = F.col("sum_colmax").cast("double")
+    mrt = F.col("max_row_total").cast("double")
+    mct = F.col("max_col_total").cast("double")
+    lam_yx = (srm - mct) / (nd - mct)
+    lam_xy = (scm - mrt) / (nd - mrt)
+    lam_s = (srm + scm - mrt - mct) / (F.lit(2.0) * nd - mrt - mct)
+    return one.select(
+        "n", "sum_rowmax", "sum_colmax", "max_row_total", "max_col_total",
+        lam_yx.alias("lambda_y_given_x"),
+        lam_xy.alias("lambda_x_given_y"),
+        lam_s.alias("lambda_sym"),
+    )
+
+
+def theils_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Theil's U (uncertainty coefficient) — the ASYMMETRIC entropy
+    association U(Y|X) = (H(Y) - H(Y|X)) / H(Y): the fraction of Y's
+    entropy that knowing X removes. The information-theoretic sibling
+    of :func:`gk_lambda` (lambda sees only modal mass; U sees the
+    whole distribution), built on the same count identities as
+    corpus.conditional_entropy:
+
+        H(Y)   = ln N - (SUM_y c_y ln c_y) / N
+        H(Y|X) = (SUM_x c_x ln c_x - SUM_xy c_xy ln c_xy) / N
+
+    Scale: one (x, y) grouped count; marginals derive FROM the cell
+    table (no second data pass). The contingency table must be
+    category-bounded (metadata-sized) — the three c*ln(c) folds run in
+    key order over collected arrays (the conditional_entropy
+    determinism contract; callers round per the log contract).
+
+    Returns one row: (n, n_cells, h_y_bits, h_y_given_x_bits, theil_u).
+    """
+    ln2 = 0.6931471805599453
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).cast("string").alias("x"),
+            F.col(y_col).cast("string").alias("y"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("c"))
+    cy = cells.groupBy("y").agg(F.sum("c").cast("long").alias("c"))
+
+    def fold(t: DataFrame, keys: list[str], alias: str) -> DataFrame:
+        term = (
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        ).alias("t")
+        return (
+            t.select(F.struct(*keys, term).alias("__e"))
+            .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+            .select(
+                F.aggregate(
+                    F.col("__arr"), F.lit(0.0), lambda a, e: a + e["t"]
+                ).alias(alias)
+            )
+        )
+
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    one = (
+        tot.crossJoin(fold(cy, ["y"], "syf"))
+        .crossJoin(fold(cx, ["x"], "sxf"))
+        .crossJoin(fold(cells, ["x", "y"], "sxyf"))
+    )
+    nd = F.col("n").cast("double")
+    hy = (F.log(nd) - F.col("syf") / nd) / F.lit(ln2)
+    hcond = ((F.col("sxf") - F.col("sxyf")) / nd) / F.lit(ln2)
+    return one.select(
+        "n",
+        "n_cells",
+        hy.alias("h_y_bits"),
+        hcond.alias("h_y_given_x_bits"),
+        ((hy - hcond) / hy).alias("theil_u"),
+    )

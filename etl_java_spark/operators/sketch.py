@@ -393,3 +393,85 @@ def misra_gries_summary(
     return per_part.groupBy(key_col).agg(
         F.sum("est").cast("long").alias("est")
     )
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    n_estimators: int = 16,
+    seed_base: int = 100,
+) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) tug-of-war sketch of the second
+    frequency moment F2 = SUM_k c_k^2 — the join-size / self-join-size
+    estimator the CMS family can't give (CMS answers point queries;
+    F2 is the whole-distribution skew number that predicts shuffle-join
+    blow-up, cf. q182's join-size estimate from exact counts):
+
+        Z_r = SUM_k s_r(k) * c_k   with s_r(k) in {-1, +1}
+        F2_hat = mean_r(Z_r^2)     (unbiased; var drops as 1/R)
+
+    Signs come from :func:`cms_bucket` (md5, width 2) so both engines
+    draw the IDENTICAL pseudo-random signs — the estimate itself is
+    oracle-checkable, not just the exact value. In production the R
+    sign-sums stream in one pass over raw rows (no count table); here
+    they fold over the grouped counts so the exact F2 shares the scan.
+
+    Scale: one grouped count (map-side combinable), an R-way explode
+    over the COUNT table, and an R-row aggregate. Everything is exact
+    integers until the final mean/relative-error ratios.
+
+    Returns one row: (n_keys, f2_exact, f2_est, rel_err).
+    """
+    d38 = "decimal(38,0)"
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    exact = counts.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum((F.col("c").cast(d38) * F.col("c")).cast(d38))
+        .cast(d38)
+        .alias("f2x"),
+    )
+    rs = F.array(*[F.lit(int(seed_base) + r) for r in range(n_estimators)])
+    signed = counts.withColumn("r", F.explode(rs)).select(
+        "r",
+        (
+            (F.lit(1) - F.lit(2) * _ams_sign_bucket(F.col("k"), F.col("r")))
+            * F.col("c")
+        )
+        .cast("long")
+        .alias("sc"),
+    )
+    z = signed.groupBy("r").agg(F.sum("sc").cast("long").alias("z"))
+    est = z.agg(
+        F.sum((F.col("z").cast(d38) * F.col("z")).cast(d38))
+        .cast(d38)
+        .alias("zz")
+    )
+    one = exact.crossJoin(est)
+    f2d = F.col("f2x").cast("double")
+    estd = F.col("zz").cast("double") / F.lit(float(n_estimators))
+    return one.select(
+        "n_keys",
+        F.col("f2x").cast("long").alias("f2_exact"),
+        estd.alias("f2_est"),
+        ((estd - f2d) / f2d).alias("rel_err"),
+    )
+
+
+def _ams_sign_bucket(key: Column, row: Column) -> Column:
+    """cms_bucket with a COLUMN row id (the explode-side variant):
+    first 48 bits of md5('<row>:<key>') mod 2. Keep in lockstep with
+    cms_bucket / cms_bucket_sql."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", row.cast("string"), key.cast("string"))
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % 2

@@ -403,3 +403,118 @@ def test_cooks_distance_matches_reference(spark):
         assert r["leverage"] == pytest.approx(h, rel=1e-12)
     # the planted outlier (id=13) is the most influential row
     assert got[0]["id"] == 13
+
+
+# ---------------------------------------------------------------------------
+# categorical association + frequency-moment sketch
+
+
+def test_gk_lambda_matches_reference(spark):
+    from etl_java_spark.operators.assoc import gk_lambda
+
+    rows = [("a", "p")] * 8 + [("a", "q")] * 2 + [("b", "q")] * 6 + \
+           [("b", "p")] * 1 + [("c", "r")] * 5 + [("c", "p")] * 3
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = gk_lambda(df, "x", "y").collect()[0]
+    from collections import Counter
+    cells = Counter(rows)
+    n = len(rows)
+    xs = {x for x, _ in cells}
+    ys = {y for _, y in cells}
+    srm = sum(max(cells.get((x, y), 0) for y in ys) for x in xs)
+    scm = sum(max(cells.get((x, y), 0) for x in xs) for y in ys)
+    mrt = max(sum(c for (x, _), c in cells.items() if x == x0) for x0 in xs)
+    mct = max(sum(c for (_, y), c in cells.items() if y == y0) for y0 in ys)
+    assert (r["n"], r["sum_rowmax"], r["sum_colmax"]) == (n, srm, scm)
+    assert (r["max_row_total"], r["max_col_total"]) == (mrt, mct)
+    assert r["lambda_y_given_x"] == pytest.approx(
+        (srm - mct) / (n - mct), abs=1e-12
+    )
+    assert r["lambda_x_given_y"] == pytest.approx(
+        (scm - mrt) / (n - mrt), abs=1e-12
+    )
+    assert r["lambda_sym"] == pytest.approx(
+        (srm + scm - mrt - mct) / (2.0 * n - mrt - mct), abs=1e-12
+    )
+
+
+def test_gk_lambda_perfect_and_null_association(spark):
+    from etl_java_spark.operators.assoc import gk_lambda
+
+    # X determines Y -> lambda(Y|X) = 1
+    det = [("a", "p")] * 5 + [("b", "q")] * 5
+    r = gk_lambda(
+        spark.createDataFrame(det, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert r["lambda_y_given_x"] == pytest.approx(1.0, abs=1e-12)
+    # identical conditional distributions -> lambda = 0
+    null = [("a", "p")] * 6 + [("a", "q")] * 2 + \
+           [("b", "p")] * 3 + [("b", "q")] * 1
+    r = gk_lambda(
+        spark.createDataFrame(null, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert r["lambda_y_given_x"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_theils_u_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.assoc import theils_u
+
+    rows = [("a", "p")] * 8 + [("a", "q")] * 2 + [("b", "q")] * 6 + \
+           [("b", "p")] * 4 + [("c", "q")] * 5
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = theils_u(df, "x", "y").collect()[0]
+    from collections import Counter
+    cxy = Counter(rows)
+    cx = Counter(x for x, _ in rows)
+    cy = Counter(y for _, y in rows)
+    n = len(rows)
+    hy = m.log(n) - sum(c * m.log(c) for c in cy.values()) / n
+    hcond = (
+        sum(c * m.log(c) for c in cx.values())
+        - sum(c * m.log(c) for c in cxy.values())
+    ) / n
+    ln2 = m.log(2.0)
+    assert r["n"] == n and r["n_cells"] == len(cxy)
+    assert r["h_y_bits"] == pytest.approx(hy / ln2, abs=1e-12)
+    assert r["h_y_given_x_bits"] == pytest.approx(hcond / ln2, abs=1e-12)
+    assert r["theil_u"] == pytest.approx(
+        (hy - hcond) / hy, abs=1e-12
+    )
+
+
+def test_theils_u_determined_is_one(spark):
+    from etl_java_spark.operators.assoc import theils_u
+
+    det = [("a", "p")] * 5 + [("b", "q")] * 3 + [("c", "r")] * 2
+    r = theils_u(
+        spark.createDataFrame(det, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert r["theil_u"] == pytest.approx(1.0, abs=1e-12)
+    assert r["h_y_given_x_bits"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_ams_f2_matches_reference(spark):
+    import hashlib
+    from etl_java_spark.operators.sketch import ams_f2
+
+    keys = [i % 7 + 1 for i in range(50)] + [3] * 30  # skewed
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    r = ams_f2(df, "k", n_estimators=16, seed_base=100).collect()[0]
+    from collections import Counter
+    c = Counter(keys)
+    f2 = sum(v * v for v in c.values())
+
+    def sign(row, k):
+        h = int(hashlib.md5(f"{row}:{k}".encode()).hexdigest()[:12], 16)
+        return 1 - 2 * (h % 2)
+
+    zz = 0
+    for rr in range(100, 116):
+        z = sum(sign(rr, k) * v for k, v in c.items())
+        zz += z * z
+    est = zz / 16.0
+    assert r["n_keys"] == len(c)
+    assert r["f2_exact"] == f2
+    assert r["f2_est"] == pytest.approx(est, rel=1e-12)
+    assert r["rel_err"] == pytest.approx((est - f2) / f2, abs=1e-12)
