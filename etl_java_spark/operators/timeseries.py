@@ -2924,3 +2924,83 @@ def rolling_band_breaches(
         .cast("int")
         .alias("direction"),
     )
+
+
+def aalen_johansen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under COMPETING risks —
+    what :func:`kaplan_meier` gets wrong when there are two ways to
+    exit (1 - KM per cause overstates both): event_col is 0 =
+    censored, 1 = cause one, 2 = cause two, and
+
+        CIF_k(t) = SUM_{t' <= t} S(t'-) * d_k(t') / n(t')
+
+    with S the ALL-cause KM survival. CIF_1 + CIF_2 + S = 1 at every
+    event time (the mass-conservation check the tests pin).
+
+    Shape: identical scale story to kaplan_meier — per-distinct-time
+    (d1, d2, c) counts, a suffix-cumulative risk window, ONE collected
+    calendar-bounded array, and a prefix refold whose accumulator
+    carries (S, CIF1, CIF2); each CIF increment uses the PRE-update S
+    (the left limit), then S multiplies its factor. A DuckDB recursive
+    CTE replays the same (s, c1, c2) recursion bitwise.
+
+    Returns one row per event time: (t, n_risk, d_cause1, d_cause2,
+    n_censored, survival, cif_1, cif_2).
+    """
+    per = df.groupBy(F.col(duration_col).cast("long").alias("t")).agg(
+        F.sum((F.col(event_col) == 1).cast("int")).cast("long").alias("d1"),
+        F.sum((F.col(event_col) == 2).cast("int")).cast("long").alias("d2"),
+        F.sum((F.col(event_col) == 0).cast("int")).cast("long").alias("c"),
+    )
+    w_risk = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    per = per.select(
+        "t", "d1", "d2", "c",
+        F.sum(F.col("d1") + F.col("d2") + F.col("c"))
+        .over(w_risk)
+        .cast("long")
+        .alias("n"),
+    )
+    ev = per.filter((F.col("d1") + F.col("d2")) > 0).select(
+        F.struct(
+            "t", "d1", "d2", "c", "n",
+            (
+                F.lit(1.0)
+                - (F.col("d1") + F.col("d2")).cast("double")
+                / F.col("n").cast("double")
+            ).alias("f"),
+            (F.col("d1").cast("double") / F.col("n").cast("double")).alias(
+                "r1"
+            ),
+            (F.col("d2").cast("double") / F.col("n").cast("double")).alias(
+                "r2"
+            ),
+        ).alias("__e")
+    )
+    one = ev.agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    expl = one.select("__arr", F.posexplode("__arr").alias("__i", "__s"))
+    acc0 = F.struct(
+        F.lit(1.0).alias("s"), F.lit(0.0).alias("c1"), F.lit(0.0).alias("c2")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("__arr"), F.lit(1), F.col("__i") + 1),
+        acc0,
+        lambda a, x: F.struct(
+            (a["s"] * x["f"]).alias("s"),
+            (a["c1"] + a["s"] * x["r1"]).alias("c1"),
+            (a["c2"] + a["s"] * x["r2"]).alias("c2"),
+        ),
+    )
+    return expl.select(
+        F.col("__s")["t"].alias("t"),
+        F.col("__s")["n"].alias("n_risk"),
+        F.col("__s")["d1"].alias("d_cause1"),
+        F.col("__s")["d2"].alias("d_cause2"),
+        F.col("__s")["c"].alias("n_censored"),
+        fold["s"].alias("survival"),
+        fold["c1"].alias("cif_1"),
+        fold["c2"].alias("cif_2"),
+    )
