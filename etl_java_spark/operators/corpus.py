@@ -1777,3 +1777,125 @@ def conditional_entropy(
         "n_contexts",
         h.alias("h_cond_bits"),
     )
+
+
+_FUNNEL_RULES = (
+    "word_count",
+    "mean_word_len",
+    "symbol_ratio",
+    "stopword_floor",
+    "alpha_fraction",
+    "distinct_fraction",
+)
+
+
+def quality_rule_funnel(
+    df: DataFrame,
+    text_col: str,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Gopher-style quality-rule FUNNEL over a document corpus: apply
+    the rule chain IN ORDER and report, per rule, how many documents
+    reached it, how many it eliminated, and the attrition rate — the
+    per-rule accounting a flat pass/fail score (q46) can't give, and
+    the first report a training-data curation run reads (which rule
+    is doing the killing, and is it the one you meant?).
+
+    Rules (all INTEGER comparisons — no float thresholds anywhere, so
+    the per-document verdicts are trivially engine-exact):
+
+        1 word_count:        10 <= n_tok <= 100000
+        2 mean_word_len:     3 * n_tok <= word_chars <= 10 * n_tok
+        3 symbol_ratio:      10 * n_punct <= n_chars
+        4 stopword_floor:    20 * n_stop >= n_tok
+        5 alpha_fraction:    10 * n_alpha >= 7 * n_tok
+        6 distinct_fraction: 5 * n_distinct >= n_tok
+
+    Scale: one projection computes every per-document counter from a
+    single tokenization (no joins, no windows), then ONE aggregate
+    with 12 conditional sums; the funnel rows are built from that
+    1-row aggregate. Embarrassingly parallel at any corpus size.
+
+    Returns 6 rows: (rule_id, rule, n_in, n_fail, n_out, fail_rate).
+    """
+    from ..functions.text import _STOPWORDS
+
+    stops = _STOPWORDS[0].split()
+    toks = F.filter(
+        F.array_remove(
+            F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
+        ),
+        lambda t: F.length(t) >= 1,
+    )
+    base = df.select(
+        toks.alias("tk"),
+        F.length(text_col).alias("n_chars"),
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(text_col, r"\p{Punct}", ""))
+        ).alias("n_punct"),
+    ).select(
+        F.size("tk").cast("long").alias("n_tok"),
+        F.aggregate(
+            F.transform(F.col("tk"), lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("word_chars"),
+        F.size(
+            F.filter(F.col("tk"), lambda t: t.rlike("[a-z]"))
+        ).cast("long").alias("n_alpha"),
+        F.size(
+            F.filter(
+                F.col("tk"),
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(s) for s in stops]), t
+                ),
+            )
+        ).cast("long").alias("n_stop"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_distinct"),
+        F.col("n_chars").cast("long"),
+        F.col("n_punct").cast("long"),
+    )
+    r1 = (F.col("n_tok") >= 10) & (F.col("n_tok") <= 100000)
+    r2 = (F.lit(3) * F.col("n_tok") <= F.col("word_chars")) & (
+        F.col("word_chars") <= F.lit(10) * F.col("n_tok")
+    )
+    r3 = F.lit(10) * F.col("n_punct") <= F.col("n_chars")
+    r4 = F.lit(20) * F.col("n_stop") >= F.col("n_tok")
+    r5 = F.lit(10) * F.col("n_alpha") >= F.lit(7) * F.col("n_tok")
+    r6 = F.lit(5) * F.col("n_distinct") >= F.col("n_tok")
+    rules = [r1, r2, r3, r4, r5, r6]
+    aggs = []
+    alive = F.lit(True)
+    for i, r in enumerate(rules, start=1):
+        aggs.append(
+            F.sum(alive.cast("int")).cast("long").alias(f"i{i}")
+        )
+        aggs.append(
+            F.sum((alive & ~r).cast("int")).cast("long").alias(f"f{i}")
+        )
+        alive = alive & r
+    agg = base.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("rule_id"),
+                F.lit(name).alias("rule"),
+                F.col(f"i{i}").alias("n_in"),
+                F.col(f"f{i}").alias("n_fail"),
+            )
+            for i, name in enumerate(_FUNNEL_RULES, start=1)
+        ]
+    )
+    out = agg.select(F.explode(entries).alias("e")).select(
+        F.col("e.rule_id").alias("rule_id"),
+        F.col("e.rule").alias("rule"),
+        F.col("e.n_in").alias("n_in"),
+        F.col("e.n_fail").alias("n_fail"),
+        (F.col("e.n_in") - F.col("e.n_fail")).cast("long").alias("n_out"),
+        F.when(
+            F.col("e.n_in") > 0,
+            F.col("e.n_fail").cast("double") / F.col("e.n_in").cast("double"),
+        ).alias("fail_rate"),
+    )
+    return out

@@ -3400,3 +3400,76 @@ def cohens_h(
             - F.lit(2.0) * F.asin(F.sqrt(pb))
         ).alias("h"),
     )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    group_col: str,
+    num_col: str,
+    den_col: str,
+) -> DataFrame:
+    """Delete-one-BLOCK jackknife for the ratio metric
+    R = sum(num) / sum(den) — bias correction + standard error for
+    the per-unit KPI family (revenue per order, clicks per session)
+    whose plug-in estimator is biased and whose rows are correlated
+    within blocks. Deleting BLOCKS (days, cohorts), not rows, keeps
+    the replicate count calendar-bounded and respects within-block
+    correlation (the block-bootstrap rationale, without resampling):
+
+        r_g     = (S_num - num_g) / (S_den - den_g)
+        R_jack  = n R - (n-1) mean(r_g)
+        bias^   = (n-1) (mean(r_g) - R)
+        SE^2    = (n-1)/n * sum (r_g - mean)^2
+
+    Scale: one grouped integer aggregate (the only data pass), a
+    broadcast total, and two ordered folds over the block table
+    (calendar-bounded — the kaplan_meier array contract). Group sums
+    are exact integers; each r_g and the fold sums are fixed-order
+    IEEE doubles a SQL oracle replays via ordered LIST folds.
+
+    Returns one row:
+    (n_blocks, ratio_full, ratio_jack, bias_est, se_jack).
+    """
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.sum(F.col(num_col).cast("long")).cast("long").alias("y"),
+        F.sum(F.col(den_col).cast("long")).cast("long").alias("x"),
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    reps = per.crossJoin(F.broadcast(tot)).select(
+        F.struct(
+            "g",
+            (
+                (F.col("sy") - F.col("y")).cast("double")
+                / (F.col("sx") - F.col("x")).cast("double")
+            ).alias("r"),
+        ).alias("__e"),
+        "n",
+        "sy",
+        "sx",
+    )
+    one = reps.groupBy("n", "sy", "sx").agg(
+        F.array_sort(F.collect_list("__e")).alias("__arr")
+    )
+    sr = F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, e: a + e["r"])
+    sr2 = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda a, e: a + e["r"] * e["r"]
+    )
+    nd = F.col("n").cast("double")
+    rf = F.col("sy").cast("double") / F.col("sx").cast("double")
+    mean = sr / nd
+    rj = nd * rf - (nd - F.lit(1.0)) * mean
+    bias = (nd - F.lit(1.0)) * (mean - rf)
+    se = F.sqrt(
+        (nd - F.lit(1.0)) / nd * (sr2 - sr * sr / nd)
+    )
+    return one.select(
+        F.col("n").alias("n_blocks"),
+        rf.alias("ratio_full"),
+        rj.alias("ratio_jack"),
+        bias.alias("bias_est"),
+        se.alias("se_jack"),
+    )

@@ -518,3 +518,100 @@ def test_ams_f2_matches_reference(spark):
     assert r["f2_exact"] == f2
     assert r["f2_est"] == pytest.approx(est, rel=1e-12)
     assert r["rel_err"] == pytest.approx((est - f2) / f2, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# competing risks, block jackknife, quality funnel
+
+
+def test_aalen_johansen_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import aalen_johansen
+
+    # (duration, event): 0 censored, 1 cause-1, 2 cause-2
+    data = [(2, 1), (2, 2), (3, 0), (4, 1), (4, 1), (5, 2), (6, 0),
+            (7, 1), (8, 0), (8, 2)]
+    df = spark.createDataFrame(data, "dur long, ev int")
+    got = {
+        r["t"]: (r["n_risk"], r["d_cause1"], r["d_cause2"],
+                 r["n_censored"], r["survival"], r["cif_1"], r["cif_2"])
+        for r in aalen_johansen(df, "dur", "ev").collect()
+    }
+    from collections import Counter
+    per = {}
+    for t, e in data:
+        d1, d2, c = per.get(t, (0, 0, 0))
+        per[t] = (d1 + (e == 1), d2 + (e == 2), c + (e == 0))
+    times = sorted(per)
+    s, c1, c2 = 1.0, 0.0, 0.0
+    exp = {}
+    for t in times:
+        d1, d2, c = per[t]
+        n = sum(dd1 + dd2 + cc for tt, (dd1, dd2, cc) in per.items()
+                if tt >= t)
+        if d1 + d2 > 0:
+            c1 = c1 + s * (d1 / n)
+            c2 = c2 + s * (d2 / n)
+            s = s * (1.0 - (d1 + d2) / n)
+            exp[t] = (n, d1, d2, c, s, c1, c2)
+    assert set(got) == set(exp)
+    for t, e in exp.items():
+        g = got[t]
+        assert g[:4] == e[:4]
+        for a, b in zip(g[4:], e[4:]):
+            assert a == pytest.approx(b, abs=1e-12)
+    # mass conservation at the last event time
+    last = max(exp)
+    s, c1, c2 = exp[last][4], exp[last][5], exp[last][6]
+    assert s + c1 + c2 == pytest.approx(1.0, abs=1e-12)
+
+
+def test_jackknife_ratio_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.experiments import jackknife_ratio
+
+    rows = [(g, 10 * g + (g % 3), 2 + (g % 2)) for g in range(1, 9)]
+    df = spark.createDataFrame(rows, "g long, y long, x long")
+    r = jackknife_ratio(df, "g", "y", "x").collect()[0]
+    sy = sum(y for _, y, _ in rows)
+    sx = sum(x for _, _, x in rows)
+    n = len(rows)
+    reps = [(sy - y) / (sx - x) for _, y, x in rows]
+    rf = sy / sx
+    mean = sum(reps) / n
+    rj = n * rf - (n - 1) * mean
+    bias = (n - 1) * (mean - rf)
+    se = m.sqrt((n - 1) / n * sum((x - mean) ** 2 for x in reps))
+    assert r["n_blocks"] == n
+    assert r["ratio_full"] == pytest.approx(rf, abs=1e-12)
+    assert r["ratio_jack"] == pytest.approx(rj, abs=1e-12)
+    assert r["bias_est"] == pytest.approx(bias, abs=1e-12)
+    assert r["se_jack"] == pytest.approx(se, abs=1e-12)
+
+
+def test_quality_rule_funnel_matches_reference(spark):
+    from etl_java_spark.operators.corpus import quality_rule_funnel
+
+    docs = [
+        # passes everything
+        ("the quick brown fox jumps over the lazy dog and it runs to "
+         "this big field with many other animals that are very happy",),
+        # too short -> dies at rule 1
+        ("tiny text here",),
+        # no stopwords -> dies at rule 4
+        ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "mu nu xi omicron rho sigma tau upsilon phi chi psi omega",),
+        # heavy repetition -> dies at rule 6
+        ("spam " * 60 + "the of to in is are was for on with",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    rows = {r["rule"]: (r["n_in"], r["n_fail"], r["n_out"])
+            for r in quality_rule_funnel(df, "text").collect()}
+    assert rows["word_count"] == (4, 1, 3)
+    assert rows["stopword_floor"][1] == 1  # the no-stopword doc dies here
+    assert rows["distinct_fraction"][1] == 1  # the spam doc dies here
+    # funnel consistency: n_out of rule k == n_in of rule k+1
+    order = ["word_count", "mean_word_len", "symbol_ratio",
+             "stopword_floor", "alpha_fraction", "distinct_fraction"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a][2] == rows[b][0]
+    assert rows["distinct_fraction"][2] == 1  # only the good doc survives
