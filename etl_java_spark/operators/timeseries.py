@@ -1639,7 +1639,9 @@ def holt_winters_additive(
     )
     one = per.agg(
         F.array_sort(
-            F.collect_list(F.struct("bucket", F.col("x").cast("double")))
+            F.collect_list(
+                F.struct("bucket", F.col("x").cast("double").alias("x"))
+            )
         ).alias("__arr")
     )
     m = period
@@ -3003,4 +3005,163 @@ def aalen_johansen(
         fold["s"].alias("survival"),
         fold["c1"].alias("cif_1"),
         fold["c2"].alias("cif_2"),
+    )
+
+
+def croston_forecast(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand — the forecast SES and
+    Holt get wrong when most periods are zero (they decay toward zero
+    between demands; Croston separates "how much when it happens"
+    from "how often it happens"):
+
+        on each nonzero-demand period: z' = q/2 + z/2 (size EWMA)
+                                       p' = I/2 + p/2 (interval EWMA)
+        demand rate = z / p   per period
+
+    with I the inter-demand interval in periods. Dyadic alpha = 1/2
+    (the holt_winters_additive exact-halving contract). Init
+    convention: z = first demand size, p = first demand's period
+    index (the interval from the series start; documented, pinned by
+    test).
+
+    Scale: the data pass is one per-period aggregate; nonzero-demand
+    events fold in period order over ONE collected calendar-bounded
+    array (the kaplan_meier contract); a recursive CTE replays (z, p)
+    bitwise.
+
+    Returns one row: (n_periods, n_demands, size_ewma, interval_ewma,
+    demand_rate).
+    """
+    per = df.groupBy(F.col(time_col).cast("long").alias("t")).agg(
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("q")
+    )
+    tot = per.agg(F.count("*").cast("long").alias("n_periods"))
+    ev = per.filter(F.col("q") > 0).select(
+        F.struct(
+            F.col("t").alias("t"), F.col("q").cast("double").alias("q")
+        ).alias("__e")
+    )
+    one = ev.agg(
+        F.array_sort(F.collect_list("__e")).alias("__arr"),
+        F.count("*").cast("long").alias("n_demands"),
+    )
+    acc0 = F.struct(
+        F.lit(None).cast("double").alias("z"),
+        F.lit(None).cast("double").alias("p"),
+        F.lit(0).cast("long").alias("last"),
+    )
+
+    def step(acc, x):
+        inter = (x["t"] - acc["last"]).cast("double")
+        return F.when(
+            acc["z"].isNull(),
+            F.struct(
+                x["q"].alias("z"),
+                x["t"].cast("double").alias("p"),
+                x["t"].alias("last"),
+            ),
+        ).otherwise(
+            F.struct(
+                (x["q"] * F.lit(0.5) + acc["z"] * F.lit(0.5)).alias("z"),
+                (inter * F.lit(0.5) + acc["p"] * F.lit(0.5)).alias("p"),
+                x["t"].alias("last"),
+            )
+        )
+
+    fold = F.aggregate(F.col("__arr"), acc0, step)
+    return one.crossJoin(F.broadcast(tot)).select(
+        "n_periods",
+        "n_demands",
+        fold["z"].alias("size_ewma"),
+        fold["p"].alias("interval_ewma"),
+        (fold["z"] / fold["p"]).alias("demand_rate"),
+    )
+
+
+def theta_forecast(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    horizon: int = 7,
+) -> DataFrame:
+    """Theta-method forecast (classic theta = 2, the M3 benchmark
+    winner): average a linear-trend extrapolation with the SES of the
+    theta-2 line (2 y_t minus the trend), which doubles local
+    curvature so SES reacts while the trend half keeps the long-run
+    drift:
+
+        trend: a + b t (closed-form OLS on the period index)
+        d_t   = 2 y_t - (a + b t)
+        SES(d) with dyadic alpha = 1/2, init = d_1
+        forecast_h = 0.5 (a + b (n + h)) + 0.5 SES
+
+    Scale: one per-period integer aggregate; Sigma t / t^2 / t*y are
+    exact integers from the same pass; the SES fold runs in period
+    order over one calendar-bounded array (LIST_REDUCE-replayable —
+    first element is the init, the fold covers the rest).
+
+    Returns ``horizon`` rows: (h, trend_part, ses_level, forecast).
+    """
+    d38 = "decimal(38,0)"
+    per = df.groupBy(F.col(time_col).alias("b")).agg(
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("y")
+    )
+    w = Window.orderBy("b")
+    idx = per.select(
+        F.row_number().over(w).cast("long").alias("t"), "y"
+    )
+    one = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("t").cast(d38) * F.col("t")).cast(d38))
+        .cast(d38)
+        .alias("stt"),
+        F.sum((F.col("t").cast(d38) * F.col("y")).cast(d38))
+        .cast(d38)
+        .alias("sty"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("t", F.col("y").cast("double").alias("y"))
+            )
+        ).alias("__arr"),
+    )
+    nd = F.col("n").cast("double")
+    b1 = (
+        nd * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double")
+    )
+    a0 = (F.col("sy").cast("double") - b1 * F.col("st").cast("double")) / nd
+    darr = F.transform(
+        F.col("__arr"),
+        lambda s: F.lit(2.0) * s["y"] - (a0 + b1 * s["t"].cast("double")),
+    )
+    ses = F.aggregate(
+        F.slice(darr, 2, F.greatest(F.size(darr) - 1, F.lit(0))),
+        F.element_at(darr, 1),
+        lambda acc, x: x * F.lit(0.5) + acc * F.lit(0.5),
+    )
+    st = one.select(
+        "n", a0.alias("a"), b1.alias("bb"), ses.alias("ses_level")
+    )
+    hs = st.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h")
+    )
+    trend_part = F.col("a") + F.col("bb") * (
+        F.col("n").cast("double") + F.col("h").cast("double")
+    )
+    return hs.select(
+        F.col("h").cast("long").alias("h"),
+        trend_part.alias("trend_part"),
+        F.col("ses_level"),
+        (
+            F.lit(0.5) * trend_part + F.lit(0.5) * F.col("ses_level")
+        ).alias("forecast"),
     )

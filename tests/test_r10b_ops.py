@@ -615,3 +615,92 @@ def test_quality_rule_funnel_matches_reference(spark):
     for a, b in zip(order, order[1:]):
         assert rows[a][2] == rows[b][0]
     assert rows["distinct_fraction"][2] == 1  # only the good doc survives
+
+
+# ---------------------------------------------------------------------------
+# forecasting
+
+
+def test_holt_winters_additive_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import holt_winters_additive
+
+    m = 3
+    vals = [10, 20, 30, 14, 25, 37, 18, 30, 44, 23, 36, 52]
+    rows = [(t, v) for t, v in enumerate(vals, start=1)]
+    df = spark.createDataFrame(rows, "b long, v long")
+    got = {
+        r["h"]: (r["level"], r["trend"], r["forecast"])
+        for r in holt_winters_additive(
+            df, "b", "v", period=m, horizon=m, scale=1
+        ).collect()
+    }
+    mean1 = sum(vals[:m]) / m
+    mean2 = sum(vals[m : 2 * m]) / m
+    l, b = mean1, (mean2 - mean1) / m
+    s = [None] * m
+    for t, x in enumerate(vals):
+        idx = t % m
+        if t < m:
+            s[idx] = x - l
+        else:
+            s_old = s[idx]
+            l_new = (x - s_old) * 0.5 + (l + b) * 0.5
+            b = (l_new - l) * 0.25 + b * 0.75
+            s[idx] = (x - l_new) * 0.5 + s_old * 0.5
+            l = l_new
+    n = len(vals)
+    for h in range(1, m + 1):
+        fc = l + h * b + s[(n + h - 1) % m]
+        gl, gb, gf = got[h]
+        assert gl == pytest.approx(l, abs=1e-12)
+        assert gb == pytest.approx(b, abs=1e-12)
+        assert gf == pytest.approx(fc, abs=1e-12)
+    # seasonal register learned the planted weekly shape: the forecast
+    # for the high phase exceeds the low phase
+    assert got[3][2] > got[1][2]
+
+
+def test_croston_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import croston_forecast
+
+    # demands at periods 2, 5, 6, 10 in a 12-period window
+    rows = [(2, 4), (5, 6), (6, 2), (10, 8), (3, 0), (7, 0), (12, 0)]
+    df = spark.createDataFrame(rows, "t long, q long")
+    r = croston_forecast(df, "t", "q").collect()[0]
+    z, p, last = 4.0, 2.0, 2
+    for t, q in [(5, 6), (6, 2), (10, 8)]:
+        z = q * 0.5 + z * 0.5
+        p = (t - last) * 0.5 + p * 0.5
+        last = t
+    assert r["n_periods"] == 7 and r["n_demands"] == 4
+    assert r["size_ewma"] == pytest.approx(z, abs=1e-12)
+    assert r["interval_ewma"] == pytest.approx(p, abs=1e-12)
+    assert r["demand_rate"] == pytest.approx(z / p, abs=1e-12)
+
+
+def test_theta_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import theta_forecast
+
+    vals = [12, 15, 13, 18, 20, 19, 24, 26]
+    rows = [(t, v) for t, v in enumerate(vals, start=1)]
+    df = spark.createDataFrame(rows, "b long, v long")
+    got = {
+        r["h"]: (r["trend_part"], r["ses_level"], r["forecast"])
+        for r in theta_forecast(df, "b", "v", horizon=3).collect()
+    }
+    n = len(vals)
+    st = sum(range(1, n + 1)); sy = sum(vals)
+    stt = sum(t * t for t in range(1, n + 1))
+    sty = sum(t * v for t, v in rows)
+    b1 = (n * sty - st * sy) / (n * stt - st * st)
+    a0 = (sy - b1 * st) / n
+    d = [2.0 * v - (a0 + b1 * t) for t, v in rows]
+    ses = d[0]
+    for x in d[1:]:
+        ses = x * 0.5 + ses * 0.5
+    for h in range(1, 4):
+        tp = a0 + b1 * (n + h)
+        g = got[h]
+        assert g[0] == pytest.approx(tp, abs=1e-12)
+        assert g[1] == pytest.approx(ses, abs=1e-12)
+        assert g[2] == pytest.approx(0.5 * tp + 0.5 * ses, abs=1e-12)
