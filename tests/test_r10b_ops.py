@@ -704,3 +704,17 @@ def test_theta_matches_reference(spark):
         assert g[0] == pytest.approx(tp, abs=1e-12)
         assert g[1] == pytest.approx(ses, abs=1e-12)
         assert g[2] == pytest.approx(0.5 * tp + 0.5 * ses, abs=1e-12)
+
+
+def test_read_binary_files_roundtrip(spark, tmp_path):
+    from etl_java_spark.operators.multimodal import read_binary_files
+
+    p = tmp_path / "media"
+    p.mkdir()
+    (p / "a.bin").write_bytes(b"\x00\x01\x02payload")
+    (p / "b.txt").write_bytes(b"nope")
+    rows = read_binary_files(spark, str(p), glob="*.bin").collect()
+    assert len(rows) == 1
+    assert rows[0]["content"] == b"\x00\x01\x02payload"
+    assert rows[0]["path"].endswith("a.bin")
+    assert rows[0]["length"] == 10
