@@ -3473,3 +3473,157 @@ def jackknife_ratio(
         bias.alias("bias_est"),
         se.alias("se_jack"),
     )
+
+
+def kuiper_test(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kuiper statistic V = D+ + D- over the pooled ECDF —
+    the rotation-invariant KS (q186): KS sees only the single largest
+    gap, so a distribution shifted in BOTH tails (or cyclically) can
+    slip under it; Kuiper adds the largest gap in each direction.
+
+    Same shape and contracts as mann_whitney_u: one grouped count on
+    the QUANTIZED value grid (band upstream — the distinct-value table
+    is the scale bound), one cumulative window over that grid, exact
+    integer cumulative counts, and the two ECDF gaps as fixed double
+    ratios whose maxima both engines take over identical doubles.
+
+    Returns one row: (n_a, n_b, d_plus, d_minus, kuiper_v).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    g = F.col(group_col)
+    per = (
+        df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+        .groupBy(v.alias("val"))
+        .agg(
+            F.sum((g == F.lit(group_a)).cast("int")).cast("long").alias("na"),
+            F.sum((g == F.lit(group_b)).cast("int")).cast("long").alias("nb"),
+        )
+    )
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        F.sum("na").over(w).cast("long").alias("ca"),
+        F.sum("nb").over(w).cast("long").alias("cb"),
+    )
+    tot = per.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    diff = F.col("ca").cast("double") / F.col("n_a").cast("double") - F.col(
+        "cb"
+    ).cast("double") / F.col("n_b").cast("double")
+    agg = j.groupBy("n_a", "n_b").agg(
+        F.max(diff).alias("d_plus"),
+        F.max(-diff).alias("d_minus"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.greatest(F.col("d_plus"), F.lit(0.0)).alias("d_plus"),
+        F.greatest(F.col("d_minus"), F.lit(0.0)).alias("d_minus"),
+        (
+            F.greatest(F.col("d_plus"), F.lit(0.0))
+            + F.greatest(F.col("d_minus"), F.lit(0.0))
+        ).alias("kuiper_v"),
+    )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Ansari-Bradley rank test for SCALE (dispersion) — "same center,
+    different spread?", the nonparametric Goldfeld-Quandt sibling
+    (mann_whitney_u tests location; AB scores distance from the rank
+    EDGES, so tightly-bunched samples score high):
+
+        score a_i = min(r_i, N + 1 - r_i)    (midranks under ties)
+        AB = sum of scores over sample A
+
+    Exact-moments-under-ties normal approximation (tie-robust — no
+    tabulated constants):
+
+        E[AB]   = m/N * SUM a
+        Var[AB] = m n (N SUM a^2 - (SUM a)^2) / (N^2 (N-1))
+
+    Doubled-unit discipline throughout (2*midrank and 2*score are
+    pure int64 — the mann_whitney determinism contract; the doubling
+    cancels inside z). One grouped count on the quantized value grid,
+    one cumulative window, one aggregate. Callers round p per the
+    normal_sf contract.
+
+    Returns one row: (n_a, n_b, ab_stat, z, p_value).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    g = F.col(group_col)
+    per = (
+        df.filter(g.isin([group_a, group_b]) & v.isNotNull())
+        .groupBy(v.alias("val"))
+        .agg(
+            F.sum((g == F.lit(group_a)).cast("int")).cast("long").alias("na"),
+            F.sum((g == F.lit(group_b)).cast("int")).cast("long").alias("nb"),
+        )
+    )
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = F.col("na") + F.col("nb")
+    ranked = per.select(
+        "na",
+        "nb",
+        t.alias("t"),
+        (F.lit(2) * (F.sum(t).over(w) - t) + t + F.lit(1)).alias("r2"),
+    )
+    tot = ranked.agg(
+        F.sum(F.col("na") + F.col("nb")).cast("long").alias("nn")
+    )
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        "t",
+        "nn",
+        F.least(
+            F.col("r2"), F.lit(2) * (F.col("nn") + 1) - F.col("r2")
+        ).alias("a2"),
+    )
+    agg = scored.groupBy("nn").agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(F.col("na") * F.col("a2")).cast("long").alias("ab2"),
+        F.sum(F.col("t") * F.col("a2")).cast("long").alias("sa2"),
+        F.sum(F.col("t") * F.col("a2") * F.col("a2"))
+        .cast("long")
+        .alias("sa2sq"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = F.col("nn").cast("double")
+    e2 = na / n * F.col("sa2").cast("double")
+    var2 = (
+        na
+        * nb
+        * (
+            n * F.col("sa2sq").cast("double")
+            - F.col("sa2").cast("double") * F.col("sa2").cast("double")
+        )
+        / (n * n * (n - F.lit(1.0)))
+    )
+    z = F.try_divide(F.col("ab2").cast("double") - e2, F.sqrt(var2))
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.col("ab2").cast("double") / F.lit(2.0)).alias("ab_stat"),
+        z.alias("z"),
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
+    )

@@ -1057,3 +1057,65 @@ def adamic_adar(
         )
         .limit(topk)
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    iterations: int = 3,
+    alpha: float = 0.05,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Katz centrality with a fixed iteration budget — influence that
+    counts ALL incoming walks (attenuated by alpha per hop), the
+    prestige measure pagerank's degree normalization deliberately
+    removes (a node pointed at by one mega-hub scores high under
+    Katz, low under pagerank):
+
+        x_0(v)   = 1.0
+        x_k+1(v) = 1 + alpha * SUM over in-edges (u, v) of x_k(u)
+
+    Same scale contract as :func:`pagerank`: fixed rounds (budgeted
+    plans, no convergence probing), edge list materialized once, each
+    round ONE join + ONE per-node aggregate + a left join back for
+    in-degree-0 nodes. Per-node contribution sums go through
+    decimal(38,18) (the pagerank order-independence trick), so every
+    round is bit-reproducible on any partitioning and unrolls to SQL.
+    alpha must stay below 1/lambda_max for the fixed point to mean
+    anything; with a rounds budget the iterates are exact regardless.
+
+    Returns (node, katz) for every node appearing as src or dst.
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    e = ckpt(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    )
+    nodes = ckpt(
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    xs = nodes.withColumn("x", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            e.join(xs, e.e_src == xs.node)
+            .select(F.col("e_dst").alias("node"), F.col("x"))
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        xs = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0)
+                + F.lit(float(alpha)) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("x"),
+        )
+        xs = ckpt(xs)
+    return xs.select("node", F.col("x").alias("katz"))

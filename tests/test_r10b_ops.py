@@ -718,3 +718,90 @@ def test_read_binary_files_roundtrip(spark, tmp_path):
     assert rows[0]["content"] == b"\x00\x01\x02payload"
     assert rows[0]["path"].endswith("a.bin")
     assert rows[0]["length"] == 10
+
+
+# ---------------------------------------------------------------------------
+# Katz, Kuiper, Ansari-Bradley
+
+
+def test_katz_centrality_matches_reference(spark):
+    from etl_java_spark.operators.graph import katz_centrality
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (5, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["katz"]
+        for r in katz_centrality(df, iterations=3, alpha=0.1).collect()
+    }
+    nodes = {n for e in edges for n in e}
+    x = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        s = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            s[v] += x[u]
+        x = {n: 1.0 + 0.1 * s[n] for n in nodes}
+    assert set(got) == nodes
+    for n in nodes:
+        assert got[n] == pytest.approx(x[n], abs=1e-9)
+    # node 3 has the most in-walks -> highest katz
+    assert max(got, key=got.get) == 3
+
+
+def test_kuiper_matches_reference(spark):
+    from etl_java_spark.operators.experiments import kuiper_test
+
+    a = [1, 2, 2, 3, 5, 8, 9]        # low-shifted
+    b = [2, 4, 5, 6, 6, 7, 9, 10]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kuiper_test(df, "g", "v", "a", "b").collect()[0]
+    vals = sorted(set(a + b))
+    dp = max(
+        sum(x <= t for x in a) / len(a) - sum(x <= t for x in b) / len(b)
+        for t in vals
+    )
+    dm = max(
+        sum(x <= t for x in b) / len(b) - sum(x <= t for x in a) / len(a)
+        for t in vals
+    )
+    dp, dm = max(dp, 0.0), max(dm, 0.0)
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert r["d_plus"] == pytest.approx(dp, abs=1e-12)
+    assert r["d_minus"] == pytest.approx(dm, abs=1e-12)
+    assert r["kuiper_v"] == pytest.approx(dp + dm, abs=1e-12)
+
+
+def test_ansari_bradley_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.experiments import ansari_bradley
+
+    a = [5, 6, 7, 8, 9]              # tight around 7
+    b = [1, 3, 7, 11, 13, 7]         # spread around 7
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ansari_bradley(df, "g", "v", "a", "b").collect()[0]
+    pooled = sorted(a + b)
+    n = len(pooled)
+    # midranks with ties
+    from collections import Counter
+    cnt = Counter(pooled)
+    vals = sorted(cnt)
+    rank = {}
+    c = 0
+    for v in vals:
+        t = cnt[v]
+        rank[v] = c + (t + 1) / 2
+        c += t
+    score = {v: min(rank[v], n + 1 - rank[v]) for v in vals}
+    ab = sum(score[v] for v in a)
+    sa = sum(score[v] * cnt[v] for v in vals)
+    sasq = sum(score[v] ** 2 * cnt[v] for v in vals)
+    m_, n_ = len(a), len(b)
+    e = m_ / n * sa
+    var = m_ * n_ * (n * sasq - sa * sa) / (n * n * (n - 1))
+    z = (ab - e) / m.sqrt(var)
+    assert (r["n_a"], r["n_b"]) == (m_, n_)
+    assert r["ab_stat"] == pytest.approx(ab, abs=1e-12)
+    assert r["z"] == pytest.approx(z, abs=1e-12)
+    # tight sample scores high -> positive z (A less dispersed)
+    assert r["z"] > 0
