@@ -3165,3 +3165,258 @@ def theta_forecast(
             F.lit(0.5) * trend_part + F.lit(0.5) * F.col("ses_level")
         ).alias("forecast"),
     )
+
+
+def granger_1lag(
+    df: DataFrame,
+    time_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """One-lag Granger predictive-causality screen: does yesterday's X
+    help predict today's Y beyond yesterday's Y? Restricted model
+    y_t ~ y_{t-1} vs unrestricted y_t ~ y_{t-1} + x_{t-1}:
+
+        F = (SSE_r - SSE_u) / (SSE_u / (n - 3))
+
+    The F STATISTIC and both R²s are reported; no p-value (the F
+    distribution has no elementary closed form — the even-df chi2 /
+    normal_sf conventions don't reach it; judge the statistic against
+    the caller's critical value).
+
+    Scale: one LAG window over the period table (calendar-bounded)
+    builds (y, y1, x1) rows; one exact-decimal moment aggregate feeds
+    both fits (the restricted model reuses the same moments), so the
+    whole test is two fixed Cramer trees over one pass.
+
+    Returns one row: (n_rows, sse_r, sse_u, r2_r, r2_u, f_stat).
+    """
+    w = Window.orderBy("t")
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.col(y_col).cast("long").alias("yv"),
+        F.col(x_col).cast("long").alias("xv"),
+    )
+    lagged = base.select(
+        F.col("yv").alias("y"),
+        F.lag("yv", 1).over(w).alias("y1"),
+        F.lag("xv", 1).over(w).alias("x1"),
+    ).filter(F.col("y1").isNotNull() & F.col("x1").isNotNull())
+    d18 = "decimal(18,0)"
+    y = F.col("y").cast(d18)
+    x1 = F.col("y1").cast(d18)
+    x2 = F.col("x1").cast(d18)
+    m = lagged.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x1 * x1).cast("decimal(38,0)")).cast("double").alias("s11"),
+        F.sum((x1 * x2).cast("decimal(38,0)")).cast("double").alias("s12"),
+        F.sum((x2 * x2).cast("decimal(38,0)")).cast("double").alias("s22"),
+        F.sum((x1 * y).cast("decimal(38,0)")).cast("double").alias("s1y"),
+        F.sum((x2 * y).cast("decimal(38,0)")).cast("double").alias("s2y"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    # restricted: y ~ a + b*y1 (simple OLS)
+    br = (n * s1y - s1 * sy) / (n * s11 - s1 * s1)
+    ar = (sy - br * s1) / n
+    sse_r = syy - ar * sy - br * s1y
+    # unrestricted: y ~ a + b1*y1 + b2*x1 (Cramer, the q265 tree)
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    sse_u = (
+        syy
+        - (det0 / det) * sy
+        - (det1 / det) * s1y
+        - (det2 / det) * s2y
+    )
+    sst = syy - sy * sy / n
+    f_stat = (sse_r - sse_u) / (sse_u / (n - F.lit(3.0)))
+    return m.select(
+        "n_rows",
+        sse_r.alias("sse_r"),
+        sse_u.alias("sse_u"),
+        (F.lit(1.0) - sse_r / sst).alias("r2_r"),
+        (F.lit(1.0) - sse_u / sst).alias("r2_u"),
+        f_stat.alias("f_stat"),
+    )
+
+
+def turning_points_test(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Turning-point randomness test over an ordered series — "does
+    this KPI wiggle like noise or drift like a trend?": count strict
+    local extrema (peaks + troughs) among interior points; for an
+    i.i.d. series
+
+        E[T] = 2(n-2)/3,  Var[T] = (16n - 29)/90,
+        z = (T - E) / sqrt(Var),  p = 2 normal_sf(|z|)
+
+    (too FEW turning points = trending, too many = oscillating — the
+    complement of q410's runs test, which sees signs, not extrema).
+    Tied neighbors are not extrema (strict inequalities; pinned by
+    test).
+
+    Scale: one lag/lead window over the period table; exact integer
+    count; fixed double z tree; p rounds per the normal_sf contract.
+
+    Returns one row: (n_obs, n_turning, expected, z, p_value).
+    """
+    from .experiments import normal_sf
+
+    w = Window.orderBy("t")
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    tri = base.select(
+        F.lag("v", 1).over(w).alias("a"),
+        F.col("v").alias("b"),
+        F.lead("v", 1).over(w).alias("c"),
+    ).filter(F.col("a").isNotNull() & F.col("c").isNotNull())
+    turn = (
+        (F.col("b") > F.col("a")) & (F.col("b") > F.col("c"))
+    ) | ((F.col("b") < F.col("a")) & (F.col("b") < F.col("c")))
+    agg = tri.agg(
+        (F.count("*") + F.lit(2)).cast("long").alias("n_obs"),
+        F.sum(turn.cast("int")).cast("long").alias("n_turning"),
+    )
+    n = F.col("n_obs").cast("double")
+    e = F.lit(2.0) * (n - F.lit(2.0)) / F.lit(3.0)
+    var = (F.lit(16.0) * n - F.lit(29.0)) / F.lit(90.0)
+    z = (F.col("n_turning").cast("double") - e) / F.sqrt(var)
+    return agg.select(
+        "n_obs",
+        "n_turning",
+        e.alias("expected"),
+        z.alias("z"),
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
+    )
+
+
+def chow_test(
+    df: DataFrame,
+    y_col,
+    x1_col,
+    x2_col,
+    split_cond: Column,
+    scale: int = 2,
+) -> DataFrame:
+    """Chow structural-break test for the 2-feature OLS: did the
+    COEFFICIENTS change across a known break (``split_cond`` rows vs
+    the rest)? Pooled fit vs separate fits:
+
+        F = ((SSE_p - SSE_1 - SSE_2) / k) / ((SSE_1 + SSE_2) / (n - 2k))
+
+    with k = 3 parameters. Statistic-only (no elementary F-dist — the
+    granger_1lag convention). Distinct from goldfeld_quandt: GQ
+    compares residual VARIANCE between regimes under one set of
+    coefficients; Chow asks whether one set of coefficients even fits
+    both regimes.
+
+    Scale: ONE conditional exact-moment aggregate (20 sums — pooled
+    moments are the regime sums added, no third pass); three Cramer
+    trees.
+
+    Returns one row: (n_1, n_2, sse_pooled, sse_1, sse_2, f_stat).
+    """
+    d = f"decimal(18,{scale})"
+    y, x1, x2 = _c2(y_col).cast(d), _c2(x1_col).cast(d), _c2(x2_col).cast(d)
+
+    def moments(cond, tag: str) -> list[Column]:
+        def s(e, name):
+            return (
+                F.sum(F.when(cond, e)).cast("double").alias(f"{tag}{name}")
+            )
+
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("long").alias(f"{tag}n"),
+            s(x1, "s1"), s(x2, "s2"), s(y, "sy"),
+            s(x1 * x1, "s11"), s(x1 * x2, "s12"), s(x2 * x2, "s22"),
+            s(x1 * y, "s1y"), s(x2 * y, "s2y"), s(y * y, "syy"),
+        ]
+
+    agg = df.agg(*moments(split_cond, "a_"), *moments(~split_cond, "b_"))
+
+    def sse(nc, cols) -> Column:
+        n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy = cols
+        det = (
+            n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)
+        )
+        det0 = (
+            sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)
+        )
+        det1 = (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)
+        )
+        det2 = (
+            n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2)
+        )
+        return (
+            syy
+            - (det0 / det) * sy
+            - (det1 / det) * s1y
+            - (det2 / det) * s2y
+        )
+
+    def cols(tag: str):
+        return [
+            F.col(f"{tag}n").cast("double"),
+            F.col(f"{tag}s1"), F.col(f"{tag}s2"), F.col(f"{tag}sy"),
+            F.col(f"{tag}s11"), F.col(f"{tag}s12"), F.col(f"{tag}s22"),
+            F.col(f"{tag}s1y"), F.col(f"{tag}s2y"), F.col(f"{tag}syy"),
+        ]
+
+    a, b = cols("a_"), cols("b_")
+    pooled = [a[0] + b[0]] + [ax + bx for ax, bx in zip(a[1:], b[1:])]
+    sse_1, sse_2, sse_p = sse(a[0], a), sse(b[0], b), sse(pooled[0], pooled)
+    n = a[0] + b[0]
+    f_stat = ((sse_p - sse_1 - sse_2) / F.lit(3.0)) / (
+        (sse_1 + sse_2) / (n - F.lit(6.0))
+    )
+    return agg.select(
+        F.col("a_n").alias("n_1"),
+        F.col("b_n").alias("n_2"),
+        sse_p.alias("sse_pooled"),
+        sse_1.alias("sse_1"),
+        sse_2.alias("sse_2"),
+        f_stat.alias("f_stat"),
+    )
+
+
+def _c2(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
