@@ -805,3 +805,122 @@ def test_ansari_bradley_matches_reference(spark):
     assert r["z"] == pytest.approx(z, abs=1e-12)
     # tight sample scores high -> positive z (A less dispersed)
     assert r["z"] > 0
+
+
+# ---------------------------------------------------------------------------
+# predictive causality, randomness, structural break
+
+
+def test_granger_1lag_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import granger_1lag
+
+    ys = [10, 12, 11, 15, 14, 18, 17, 21, 20, 24]
+    xs = [1, 5, 2, 6, 3, 7, 4, 8, 5, 9]
+    rows = [(t, y, x) for t, (y, x) in enumerate(zip(ys, xs), start=1)]
+    df = spark.createDataFrame(rows, "t long, y long, x long")
+    r = granger_1lag(df, "t", "y", "x").collect()[0]
+    trip = [(ys[i], ys[i - 1], xs[i - 1]) for i in range(1, len(ys))]
+    n = len(trip)
+    s1 = sum(t[1] for t in trip); s2 = sum(t[2] for t in trip)
+    sy = sum(t[0] for t in trip)
+    s11 = sum(t[1] ** 2 for t in trip); s12 = sum(t[1] * t[2] for t in trip)
+    s22 = sum(t[2] ** 2 for t in trip)
+    s1y = sum(t[1] * t[0] for t in trip); s2y = sum(t[2] * t[0] for t in trip)
+    syy = sum(t[0] ** 2 for t in trip)
+    br = (n * s1y - s1 * sy) / (n * s11 - s1 * s1)
+    ar = (sy - br * s1) / n
+    sse_r = syy - ar * sy - br * s1y
+    det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    det0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+    det1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+    det2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    sse_u = (syy - (det0 / det) * sy - (det1 / det) * s1y
+             - (det2 / det) * s2y)
+    f = (sse_r - sse_u) / (sse_u / (n - 3.0))
+    assert r["n_rows"] == n
+    assert r["sse_r"] == pytest.approx(sse_r, rel=1e-9)
+    assert r["sse_u"] == pytest.approx(sse_u, rel=1e-9)
+    assert r["f_stat"] == pytest.approx(f, rel=1e-9)
+    # planted: x alternates with next-day y jumps -> x1 helps
+    assert r["sse_u"] < r["sse_r"]
+
+
+def test_turning_points_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.timeseries import turning_points_test
+
+    vals = [3, 7, 4, 4, 9, 2, 5, 5, 8, 1, 6]
+    rows = [(t, v) for t, v in enumerate(vals, start=1)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    r = turning_points_test(df, "t", "v").collect()[0]
+    turns = sum(
+        1
+        for i in range(1, len(vals) - 1)
+        if (vals[i] > vals[i - 1] and vals[i] > vals[i + 1])
+        or (vals[i] < vals[i - 1] and vals[i] < vals[i + 1])
+    )
+    n = len(vals)
+    e = 2.0 * (n - 2) / 3.0
+    z = (turns - e) / m.sqrt((16.0 * n - 29.0) / 90.0)
+    assert (r["n_obs"], r["n_turning"]) == (n, turns)
+    assert r["expected"] == pytest.approx(e, abs=1e-12)
+    assert r["z"] == pytest.approx(z, abs=1e-12)
+    # ties (4,4) and (5,5) are NOT extrema — pinned by construction:
+    assert turns == 5
+
+
+def test_chow_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import chow_test
+    from pyspark.sql import functions as SF
+
+    # regime 1: y = 2x1 + x2; regime 2: y = 5x1 - x2 (+noise)
+    data = []
+    for i in range(1, 16):
+        x1, x2 = i % 4 + 1, (i * 3) % 5 + 1
+        data.append((0, x1, x2, 2 * x1 + x2 + (i % 3)))
+    for i in range(1, 16):
+        x1, x2 = i % 5 + 1, (i * 7) % 4 + 1
+        data.append((1, x1, x2, 5 * x1 - x2 + ((i * 2) % 3)))
+    df = spark.createDataFrame(data, "reg long, x1 long, x2 long, y long")
+    r = chow_test(
+        df, "y", "x1", "x2", split_cond=SF.col("reg") == 0, scale=0
+    ).collect()[0]
+
+    def sse(rows):
+        n = len(rows)
+        s1 = sum(r[0] for r in rows); s2 = sum(r[1] for r in rows)
+        sy = sum(r[2] for r in rows)
+        s11 = sum(r[0] * r[0] for r in rows)
+        s12 = sum(r[0] * r[1] for r in rows)
+        s22 = sum(r[1] * r[1] for r in rows)
+        s1y = sum(r[0] * r[2] for r in rows)
+        s2y = sum(r[1] * r[2] for r in rows)
+        syy = sum(r[2] * r[2] for r in rows)
+        det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2))
+        det0 = (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y))
+        det1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2))
+        det2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2))
+        return (syy - (det0 / det) * sy - (det1 / det) * s1y
+                - (det2 / det) * s2y)
+
+    r1 = [(x1, x2, y) for g, x1, x2, y in data if g == 0]
+    r2 = [(x1, x2, y) for g, x1, x2, y in data if g == 1]
+    sse_1, sse_2 = sse(r1), sse(r2)
+    sse_p = sse([(x1, x2, y) for _, x1, x2, y in data])
+    n = len(data)
+    f = ((sse_p - sse_1 - sse_2) / 3.0) / ((sse_1 + sse_2) / (n - 6.0))
+    assert (r["n_1"], r["n_2"]) == (len(r1), len(r2))
+    assert r["sse_pooled"] == pytest.approx(sse_p, rel=1e-9)
+    assert r["sse_1"] == pytest.approx(sse_1, rel=1e-9)
+    assert r["sse_2"] == pytest.approx(sse_2, rel=1e-9)
+    assert r["f_stat"] == pytest.approx(f, rel=1e-9)
+    assert r["f_stat"] > 10.0  # planted regime shift is loud
