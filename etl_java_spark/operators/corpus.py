@@ -1899,3 +1899,68 @@ def quality_rule_funnel(
         ).alias("fail_rate"),
     )
     return out
+
+
+def hill_tail_index(
+    df: DataFrame,
+    text_col: str,
+    k: int = 100,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Hill estimator of the token-frequency tail index — "how heavy
+    is this corpus's head?", the order-statistics complement of the
+    full-histogram Zipf OLS fit (q283): using only the k+1 largest
+    frequencies,
+
+        alpha_hill = k / SUM_{i=1..k} ln(c_(i) / c_(k+1))
+
+    (alpha near 1 = Zipfian natural text; larger = head-lighter,
+    boilerplate-dominated corpora distort it first, which is what
+    makes it a drift monitor for training mixes).
+
+    Scale: one token-count groupBy (map-side combinable), ONE top-k
+    (count desc, token asc — deterministic under count ties) via
+    TakeOrdered, and a k-bounded ordered log fold (log contract —
+    callers round).
+
+    Returns one row: (k, c_tail, hill_alpha).
+    """
+    toks = F.filter(
+        F.array_remove(
+            F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
+        ),
+        lambda t: F.length(t) >= 1,
+    )
+    counts = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), "tok").limit(int(k) + 1)
+    w = Window.orderBy(F.desc("c"), "tok")
+    ranked = top.select(F.row_number().over(w).alias("rk"), "c")
+    tail = ranked.filter(F.col("rk") == int(k) + 1).select(
+        F.col("c").alias("c_tail")
+    )
+    folded = (
+        ranked.filter(F.col("rk") <= int(k))
+        .crossJoin(F.broadcast(tail))
+        .select(
+            F.struct(
+                "rk",
+                F.log(
+                    F.col("c").cast("double")
+                    / F.col("c_tail").cast("double")
+                ).alias("lr"),
+            ).alias("__e"),
+            "c_tail",
+        )
+        .groupBy("c_tail")
+        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    )
+    s = F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, e: a + e["lr"])
+    return folded.select(
+        F.lit(int(k)).cast("long").alias("k"),
+        "c_tail",
+        (F.lit(float(k)) / s).alias("hill_alpha"),
+    )

@@ -3420,3 +3420,148 @@ def chow_test(
 
 def _c2(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def rsi_state(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Relative Strength Index terminal state — Wilder's
+    smoothed-gain/loss momentum oscillator over an integer series:
+
+        g_t = max(v_t - v_{t-1}, 0),  l_t = max(v_{t-1} - v_t, 0)
+        AG' = alpha g + (1-alpha) AG,  AL' = alpha l + (1-alpha) AL
+        RSI = 100 AG / (AG + AL)
+
+    (alpha = 1/period in Wilder's formulation). Init: AG/AL = first
+    delta's gain/loss (pinned by test). RSI > 70-ish = overbought
+    run-up, < 30 = washed out — the mean-reversion screen beside
+    q476's Bollinger bands.
+
+    Scale: one lag window over the period table, integer deltas, one
+    (AG, AL) ordered fold (recursive-CTE replayable).
+
+    Returns one row: (n_deltas, avg_gain, avg_loss, rsi).
+    """
+    w = Window.orderBy("t")
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    deltas = base.select(
+        "t", (F.col("v") - F.lag("v", 1).over(w)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    ev = deltas.select(
+        F.struct(
+            "t",
+            F.greatest(F.col("d"), F.lit(0)).cast("double").alias("g"),
+            F.greatest(-F.col("d"), F.lit(0)).cast("double").alias("l"),
+        ).alias("__e")
+    )
+    one = ev.agg(
+        F.array_sort(F.collect_list("__e")).alias("__arr"),
+        F.count("*").cast("long").alias("n_deltas"),
+    )
+    a = float(alpha)
+    acc0 = F.struct(
+        F.lit(None).cast("double").alias("ag"),
+        F.lit(None).cast("double").alias("al"),
+    )
+
+    def step(acc, x):
+        return F.when(
+            acc["ag"].isNull(),
+            F.struct(x["g"].alias("ag"), x["l"].alias("al")),
+        ).otherwise(
+            F.struct(
+                (x["g"] * F.lit(a) + acc["ag"] * F.lit(1.0 - a)).alias("ag"),
+                (x["l"] * F.lit(a) + acc["al"] * F.lit(1.0 - a)).alias("al"),
+            )
+        )
+
+    fold = F.aggregate(F.col("__arr"), acc0, step)
+    return one.select(
+        "n_deltas",
+        fold["ag"].alias("avg_gain"),
+        fold["al"].alias("avg_loss"),
+        (
+            F.lit(100.0) * fold["ag"] / (fold["ag"] + fold["al"])
+        ).alias("rsi"),
+    )
+
+
+def macd_state(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """MACD terminal state — the fast-minus-slow EMA momentum spread
+    plus its signal EMA:
+
+        alpha_k = 2 / (k + 1)
+        e_f' = v a_f + e_f (1 - a_f);  e_s' = v a_s + e_s (1 - a_s)
+        macd = e_f' - e_s';  sig' = macd a_g + sig (1 - a_g)
+
+    Init: both EMAs = first value (macd_1 = 0, signal_1 = 0 — pinned
+    by test). histogram = macd - signal: positive and rising = upward
+    momentum building; sign flips are the classic crossover signal.
+
+    Scale: ONE ordered fold carrying (e_f, e_s, sig) over the
+    calendar-bounded period array; recursive-CTE replayable.
+
+    Returns one row: (n_periods, ema_fast, ema_slow, macd,
+    signal_line, histogram).
+    """
+    af = 2.0 / (float(fast) + 1.0)
+    asl = 2.0 / (float(slow) + 1.0)
+    ag = 2.0 / (float(signal) + 1.0)
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    one = base.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", F.col("v").alias("v")))
+        ).alias("__arr"),
+        F.count("*").cast("long").alias("n_periods"),
+    )
+    acc0 = F.struct(
+        F.lit(None).cast("double").alias("ef"),
+        F.lit(None).cast("double").alias("es"),
+        F.lit(None).cast("double").alias("sig"),
+    )
+
+    def step(acc, x):
+        ef = x["v"] * F.lit(af) + acc["ef"] * F.lit(1.0 - af)
+        es = x["v"] * F.lit(asl) + acc["es"] * F.lit(1.0 - asl)
+        m = ef - es
+        return F.when(
+            acc["ef"].isNull(),
+            F.struct(
+                x["v"].alias("ef"),
+                x["v"].alias("es"),
+                F.lit(0.0).alias("sig"),
+            ),
+        ).otherwise(
+            F.struct(
+                ef.alias("ef"),
+                es.alias("es"),
+                (m * F.lit(ag) + acc["sig"] * F.lit(1.0 - ag)).alias("sig"),
+            )
+        )
+
+    fold = F.aggregate(F.col("__arr"), acc0, step)
+    macd = fold["ef"] - fold["es"]
+    return one.select(
+        "n_periods",
+        fold["ef"].alias("ema_fast"),
+        fold["es"].alias("ema_slow"),
+        macd.alias("macd"),
+        fold["sig"].alias("signal_line"),
+        (macd - fold["sig"]).alias("histogram"),
+    )

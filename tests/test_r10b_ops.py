@@ -924,3 +924,75 @@ def test_chow_matches_reference(spark):
     assert r["sse_2"] == pytest.approx(sse_2, rel=1e-9)
     assert r["f_stat"] == pytest.approx(f, rel=1e-9)
     assert r["f_stat"] > 10.0  # planted regime shift is loud
+
+
+# ---------------------------------------------------------------------------
+# momentum oscillators + tail index
+
+
+def test_rsi_state_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import rsi_state
+
+    vals = [100, 104, 101, 107, 103, 110, 108, 115]
+    rows = [(t, v) for t, v in enumerate(vals, start=1)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    r = rsi_state(df, "t", "v", alpha=0.25).collect()[0]
+    deltas = [vals[i] - vals[i - 1] for i in range(1, len(vals))]
+    ag, al = max(deltas[0], 0), max(-deltas[0], 0)
+    for d in deltas[1:]:
+        ag = max(d, 0) * 0.25 + ag * 0.75
+        al = max(-d, 0) * 0.25 + al * 0.75
+    assert r["n_deltas"] == len(deltas)
+    assert r["avg_gain"] == pytest.approx(ag, abs=1e-12)
+    assert r["avg_loss"] == pytest.approx(al, abs=1e-12)
+    assert r["rsi"] == pytest.approx(100.0 * ag / (ag + al), abs=1e-12)
+    assert r["rsi"] > 50.0  # uptrending fixture
+
+
+def test_macd_state_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import macd_state
+
+    vals = [10.0, 12, 11, 15, 14, 18, 17, 21, 20, 24, 23, 27]
+    rows = [(t, float(v)) for t, v in enumerate(vals, start=1)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    r = macd_state(df, "t", "v", fast=3, slow=5, signal=2).collect()[0]
+    af, asl, ag = 2.0 / 4.0, 2.0 / 6.0, 2.0 / 3.0
+    ef = es = vals[0]
+    sig = 0.0
+    for v in vals[1:]:
+        ef = v * af + ef * (1 - af)
+        es = v * asl + es * (1 - asl)
+        sig = (ef - es) * ag + sig * (1 - ag)
+    assert r["n_periods"] == len(vals)
+    assert r["ema_fast"] == pytest.approx(ef, abs=1e-12)
+    assert r["ema_slow"] == pytest.approx(es, abs=1e-12)
+    assert r["macd"] == pytest.approx(ef - es, abs=1e-12)
+    assert r["signal_line"] == pytest.approx(sig, abs=1e-12)
+    assert r["macd"] > 0  # uptrend: fast above slow
+
+
+def test_hill_tail_index_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.corpus import hill_tail_index
+
+    # zipf-ish corpus: token w{i} appears ~ 60/i times
+    words = []
+    for i in range(1, 13):
+        words += [f"w{i}"] * (60 // i)
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    k = 5
+    r = hill_tail_index(df, "text", k=k).collect()[0]
+    from collections import Counter
+    cnt = Counter(words)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: k + 1]
+    c_tail = top[k][1]
+    s = sum(m.log(c / c_tail) for _, c in top[:k])
+    assert r["k"] == k and r["c_tail"] == c_tail
+    assert r["hill_alpha"] == pytest.approx(k / s, abs=1e-9)
+
+
+def test_hill_tail_index_empty_when_vocab_small(spark):
+    from etl_java_spark.operators.corpus import hill_tail_index
+
+    df = spark.createDataFrame([("a b c a b a",)], "text string")
+    assert hill_tail_index(df, "text", k=5).count() == 0
