@@ -373,3 +373,30 @@ def test_q428_kcenter_rounds_never_rescan_corpus(spark):
     # scans (the corpus was touched once per round, never re-derived)
     assert "Scan ExistingRDD" in plan, "checkpointed selected set missing"
     assert "Scan parquet" not in plan, "final plan re-scans the corpus"
+
+
+def test_q473_nearest_facility_equi_join_only(spark):
+    """The spatial argmin join must be a grid-blocked EQUI join — a
+    cartesian/nested-loop fallback is exactly the N x M blow-up the
+    macro-cell blocking exists to prevent (SCALE.md q473 row)."""
+    plan = plan_of(spark, "q473_nearest_facility")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q474_ohlc_single_aggregate_no_window(spark):
+    """OHLC bars must stay ONE map-side-combinable groupBy: open/close
+    ride as struct extremes, so no window node and partial_min/max
+    appear before the single exchange."""
+    plan = plan_of(spark, "q474_ohlc_vwap")
+    assert "Window" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_q485_funnel_single_exchange(spark):
+    """The quality funnel is one projection + ONE global aggregate —
+    any second exchange means a join/window snuck into the rule
+    chain."""
+    plan = plan_of(spark, "q485_quality_funnel", "simple")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
