@@ -2619,3 +2619,57 @@ def cooks_distance(
         cd.alias("cooks_d"),
     )
     return scored.orderBy(F.desc("cooks_d"), "id").limit(int(top_k))
+
+
+def log_log_elasticity(
+    df: DataFrame,
+    unit_num_col: str,
+    unit_den_col: str,
+    qty_col: str,
+) -> DataFrame:
+    """Log-log demand elasticity across units: regress ln(quantity) on
+    ln(unit price) over per-unit aggregates —
+
+        ln q_i = b0 + e * ln p_i,    e = the price elasticity
+
+    with p_i = num_i / den_i (e.g. revenue cents over quantity
+    hundredths). The cross-sectional price-sensitivity readout.
+
+    Determinism: per-unit p and the two logs are fixed double trees;
+    the six regression moments are sums of DOUBLES, so each term is
+    cast to decimal(38,18) before summing (the pagerank
+    order-independence trick) — partitioning can't reorder them. The
+    engines' ln may drift a last ulp, so callers ROUND outputs (<= 9,
+    log contract).
+
+    Returns one row: (n_units, beta0, elasticity, r2).
+    """
+    d = "decimal(38,18)"
+    base = df.select(
+        F.log(
+            F.col(unit_num_col).cast("double")
+            / F.col(unit_den_col).cast("double")
+        ).alias("lp"),
+        F.log(F.col(qty_col).cast("double")).alias("lq"),
+    ).filter(F.col("lp").isNotNull() & F.col("lq").isNotNull())
+    m = base.agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum(F.col("lp").cast(d)).cast("double").alias("sx"),
+        F.sum(F.col("lq").cast(d)).cast("double").alias("sy"),
+        F.sum((F.col("lp") * F.col("lp")).cast(d)).cast("double").alias("sxx"),
+        F.sum((F.col("lp") * F.col("lq")).cast(d)).cast("double").alias("sxy"),
+        F.sum((F.col("lq") * F.col("lq")).cast(d)).cast("double").alias("syy"),
+    )
+    n = F.col("n_units").cast("double")
+    b1 = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    b0 = (F.col("sy") - b1 * F.col("sx")) / n
+    sse = F.col("syy") - b0 * F.col("sy") - b1 * F.col("sxy")
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return m.select(
+        "n_units",
+        b0.alias("beta0"),
+        b1.alias("elasticity"),
+        (F.lit(1.0) - sse / sst).alias("r2"),
+    )

@@ -3565,3 +3565,61 @@ def macd_state(
         fold["sig"].alias("signal_line"),
         (macd - fold["sig"]).alias("histogram"),
     )
+
+
+def safety_stock(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    demand_col: str,
+    lead_time: int = 7,
+    z: float = 1.645,
+) -> DataFrame:
+    """Per-group safety stock + reorder point from demand-day
+    statistics — the classic inventory-control readout:
+
+        sigma_d = sample sd of per-period demand
+        safety  = z * sigma_d * sqrt(L)
+        reorder = mu_d * L + safety
+
+    (z = 1.645 for a 95% cycle service level; L in periods.) Stats
+    run over OBSERVED demand periods — zero-demand periods are not
+    imputed (demand-day convention, documented; join a date spine
+    upstream for calendar-day semantics).
+
+    Scale: one (group, period) integer aggregate then one grouped
+    exact-moment pass — both map-side combinable; the readout is a
+    fixed +,-,*,/,sqrt tree per group.
+
+    Returns one row per group: (grp, n_periods, mu, sigma,
+    safety_stock, reorder_point).
+    """
+    d38 = "decimal(38,0)"
+    per = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(time_col).alias("t")
+    ).agg(F.sum(F.col(demand_col).cast("long")).cast("long").alias("q"))
+    m = per.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_periods"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum((F.col("q").cast(d38) * F.col("q")).cast(d38))
+        .cast(d38)
+        .alias("ss"),
+    )
+    nd = F.col("n_periods").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sigma = F.sqrt(
+        (
+            nd * F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / (nd * (nd - F.lit(1.0)))
+    )
+    saf = F.lit(float(z)) * sigma * F.sqrt(F.lit(float(lead_time)))
+    return m.select(
+        "grp",
+        "n_periods",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        saf.alias("safety_stock"),
+        (mu * F.lit(float(lead_time)) + saf).alias("reorder_point"),
+    )

@@ -996,3 +996,72 @@ def test_hill_tail_index_empty_when_vocab_small(spark):
 
     df = spark.createDataFrame([("a b c a b a",)], "text string")
     assert hill_tail_index(df, "text", k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# inventory control + demand elasticity
+
+
+def test_safety_stock_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.timeseries import safety_stock
+
+    rows = [
+        ("a", 1, 10), ("a", 1, 5), ("a", 2, 20), ("a", 3, 12),
+        ("a", 5, 9),
+        ("b", 1, 100), ("b", 2, 100), ("b", 4, 100),
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, q long")
+    got = {
+        r["grp"]: (r["n_periods"], r["mu"], r["sigma"],
+                   r["safety_stock"], r["reorder_point"])
+        for r in safety_stock(df, "g", "t", "q", lead_time=4,
+                              z=2.0).collect()
+    }
+    from collections import defaultdict
+    per = defaultdict(lambda: defaultdict(int))
+    for g, t, q in rows:
+        per[g][t] += q
+    for g, days in per.items():
+        qs = list(days.values())
+        n = len(qs)
+        mu = sum(qs) / n
+        sig = m.sqrt((n * sum(q * q for q in qs) - sum(qs) ** 2)
+                     / (n * (n - 1)))
+        saf = 2.0 * sig * m.sqrt(4.0)
+        gn, gmu, gsig, gsaf, grop = got[g]
+        assert gn == n
+        assert gmu == pytest.approx(mu, abs=1e-12)
+        assert gsig == pytest.approx(sig, abs=1e-12)
+        assert gsaf == pytest.approx(saf, abs=1e-12)
+        assert grop == pytest.approx(mu * 4.0 + saf, abs=1e-12)
+    # constant demand -> zero safety stock
+    assert got["b"][3] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_log_log_elasticity_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.evaluation import log_log_elasticity
+
+    # plant q = 1000 * p^-2 exactly in logs
+    units = []
+    for i in range(1, 11):
+        p = i  # unit price
+        q = round(1000.0 / (p * p) * 100) or 1
+        units.append((p * q, q, q))  # (num = p*q, den = q) -> p
+    df = spark.createDataFrame(units, "num long, den long, qty long")
+    r = log_log_elasticity(df, "num", "den", "qty").collect()[0]
+    lps = [m.log(n / d) for n, d, _ in units]
+    lqs = [m.log(q) for _, _, q in units]
+    n = len(units)
+    sx, sy = sum(lps), sum(lqs)
+    sxx = sum(x * x for x in lps); sxy = sum(x * y for x, y in zip(lps, lqs))
+    syy = sum(y * y for y in lqs)
+    b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b0 = (sy - b1 * sx) / n
+    r2 = 1.0 - (syy - b0 * sy - b1 * sxy) / (syy - sy * sy / n)
+    assert r["n_units"] == n
+    assert r["elasticity"] == pytest.approx(b1, abs=1e-9)
+    assert r["beta0"] == pytest.approx(b0, abs=1e-9)
+    assert r["r2"] == pytest.approx(r2, abs=1e-9)
+    assert -2.1 < r["elasticity"] < -1.9  # planted slope ~ -2
