@@ -1779,6 +1779,74 @@ def conditional_entropy(
     )
 
 
+
+def _doc_quality_counters(
+    df: DataFrame,
+    text_col: str,
+    token_pattern: str = "[^a-z0-9]+",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document quality counters shared by quality_rule_funnel and
+    curation_pipeline (ONE tokenization; keep the expressions in
+    lockstep with the oracle SQL of q485/q500): n_tok, word_chars,
+    n_alpha, n_stop, n_distinct, n_chars, n_punct (+ ``keep_cols``
+    passed through)."""
+    from ..functions.text import _STOPWORDS
+
+    stops = _STOPWORDS[0].split()
+    keep = keep_cols or []
+    toks = F.filter(
+        F.array_remove(
+            F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
+        ),
+        lambda t: F.length(t) >= 1,
+    )
+    return df.select(
+        *keep,
+        toks.alias("tk"),
+        F.length(text_col).alias("n_chars"),
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(text_col, r"\p{Punct}", ""))
+        ).alias("n_punct"),
+    ).select(
+        *keep,
+        F.size("tk").cast("long").alias("n_tok"),
+        F.aggregate(
+            F.transform(F.col("tk"), lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("word_chars"),
+        F.size(
+            F.filter(F.col("tk"), lambda t: t.rlike("[a-z]"))
+        ).cast("long").alias("n_alpha"),
+        F.size(
+            F.filter(
+                F.col("tk"),
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(s) for s in stops]), t
+                ),
+            )
+        ).cast("long").alias("n_stop"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_distinct"),
+        F.col("n_chars").cast("long"),
+        F.col("n_punct").cast("long"),
+    )
+
+
+def _funnel_rules() -> list:
+    """The 6 all-integer rule predicates over _doc_quality_counters
+    columns, in funnel order (lockstep with q485/q500 oracle SQL)."""
+    r1 = (F.col("n_tok") >= 10) & (F.col("n_tok") <= 100000)
+    r2 = (F.lit(3) * F.col("n_tok") <= F.col("word_chars")) & (
+        F.col("word_chars") <= F.lit(10) * F.col("n_tok")
+    )
+    r3 = F.lit(10) * F.col("n_punct") <= F.col("n_chars")
+    r4 = F.lit(20) * F.col("n_stop") >= F.col("n_tok")
+    r5 = F.lit(10) * F.col("n_alpha") >= F.lit(7) * F.col("n_tok")
+    r6 = F.lit(5) * F.col("n_distinct") >= F.col("n_tok")
+    return [r1, r2, r3, r4, r5, r6]
+
 _FUNNEL_RULES = (
     "word_count",
     "mean_word_len",
@@ -1818,53 +1886,8 @@ def quality_rule_funnel(
 
     Returns 6 rows: (rule_id, rule, n_in, n_fail, n_out, fail_rate).
     """
-    from ..functions.text import _STOPWORDS
-
-    stops = _STOPWORDS[0].split()
-    toks = F.filter(
-        F.array_remove(
-            F.split(F.lower(F.trim(F.col(text_col))), token_pattern), ""
-        ),
-        lambda t: F.length(t) >= 1,
-    )
-    base = df.select(
-        toks.alias("tk"),
-        F.length(text_col).alias("n_chars"),
-        (
-            F.length(text_col)
-            - F.length(F.regexp_replace(text_col, r"\p{Punct}", ""))
-        ).alias("n_punct"),
-    ).select(
-        F.size("tk").cast("long").alias("n_tok"),
-        F.aggregate(
-            F.transform(F.col("tk"), lambda t: F.length(t).cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).alias("word_chars"),
-        F.size(
-            F.filter(F.col("tk"), lambda t: t.rlike("[a-z]"))
-        ).cast("long").alias("n_alpha"),
-        F.size(
-            F.filter(
-                F.col("tk"),
-                lambda t: F.array_contains(
-                    F.array(*[F.lit(s) for s in stops]), t
-                ),
-            )
-        ).cast("long").alias("n_stop"),
-        F.size(F.array_distinct("tk")).cast("long").alias("n_distinct"),
-        F.col("n_chars").cast("long"),
-        F.col("n_punct").cast("long"),
-    )
-    r1 = (F.col("n_tok") >= 10) & (F.col("n_tok") <= 100000)
-    r2 = (F.lit(3) * F.col("n_tok") <= F.col("word_chars")) & (
-        F.col("word_chars") <= F.lit(10) * F.col("n_tok")
-    )
-    r3 = F.lit(10) * F.col("n_punct") <= F.col("n_chars")
-    r4 = F.lit(20) * F.col("n_stop") >= F.col("n_tok")
-    r5 = F.lit(10) * F.col("n_alpha") >= F.lit(7) * F.col("n_tok")
-    r6 = F.lit(5) * F.col("n_distinct") >= F.col("n_tok")
-    rules = [r1, r2, r3, r4, r5, r6]
+    base = _doc_quality_counters(df, text_col, token_pattern)
+    rules = _funnel_rules()
     aggs = []
     alive = F.lit(True)
     for i, r in enumerate(rules, start=1):
@@ -1964,3 +1987,105 @@ def hill_tail_index(
         "c_tail",
         (F.lit(float(k)) / s).alias("hill_alpha"),
     )
+
+
+_PIPELINE_STAGES = (
+    "raw",
+    "lang_filter",
+    "quality_rules",
+    "exact_dedup",
+    "source_cap",
+    "token_budget",
+)
+
+
+def curation_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    source_col: str,
+    lang: str = "en",
+    source_cap: int = 200,
+    token_budget: int = 10_000,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """END-TO-END training-data curation pipeline with per-stage
+    accounting — the flagship composition of the corpus toolchain:
+
+        raw -> lang filter -> 6-rule quality funnel (q485's chain)
+            -> exact dedup (md5 of normalized text, keep smallest id)
+            -> per-source cap (first ``source_cap`` docs by id)
+            -> global token budget (docs in id order while the
+               RUNNING total BEFORE the doc is under ``token_budget``)
+
+    and one row per stage: how many documents and tokens survived.
+    This is the report a curation run is judged by: which stage ate
+    the corpus, and what the final token mix costs.
+
+    Scale: ONE tokenization pass (shared counters with
+    quality_rule_funnel), then filters and two partitioned windows
+    (dedup key, source). The budget window is an ordered running sum
+    over the post-cap table (curation-output-sized by construction —
+    caps run first); production splits the budget per source when
+    even that is too wide (``source_cap``/``token_budget`` are the
+    knobs). All counters integers.
+
+    Returns 6 rows: (stage_id, stage, n_docs, n_tokens).
+    """
+    keyed = df.withColumn(
+        "__key", F.md5(F.lower(F.trim(F.col(text_col))))
+    )
+    base = _doc_quality_counters(
+        keyed,
+        text_col,
+        token_pattern,
+        keep_cols=[id_col, lang_col, source_col, "__key"],
+    )
+    s0 = base
+    s1 = s0.filter(F.col(lang_col) == F.lit(lang))
+    rules = _funnel_rules()
+    alive = rules[0]
+    for r in rules[1:]:
+        alive = alive & r
+    s2 = s1.filter(alive)
+    w_dup = Window.partitionBy("__key").orderBy(id_col)
+    s3 = (
+        s2.withColumn("__rdup", F.row_number().over(w_dup))
+        .filter(F.col("__rdup") == 1)
+        .drop("__rdup")
+    )
+    w_src = Window.partitionBy(source_col).orderBy(id_col)
+    s4 = (
+        s3.withColumn("__rsrc", F.row_number().over(w_src))
+        .filter(F.col("__rsrc") <= int(source_cap))
+        .drop("__rsrc")
+    )
+    w_bud = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    s5 = (
+        s4.withColumn(
+            "__cum", F.coalesce(F.sum("n_tok").over(w_bud), F.lit(0))
+        )
+        .filter(F.col("__cum") < int(token_budget))
+        .drop("__cum")
+    )
+    outs = []
+    for i, (name, s) in enumerate(
+        zip(_PIPELINE_STAGES, [s0, s1, s2, s3, s4, s5])
+    ):
+        outs.append(
+            s.agg(
+                F.lit(i).cast("long").alias("stage_id"),
+                F.lit(name).alias("stage"),
+                F.count("*").cast("long").alias("n_docs"),
+                F.coalesce(F.sum("n_tok"), F.lit(0))
+                .cast("long")
+                .alias("n_tokens"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

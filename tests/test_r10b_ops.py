@@ -1065,3 +1065,83 @@ def test_log_log_elasticity_matches_reference(spark):
     assert r["beta0"] == pytest.approx(b0, abs=1e-9)
     assert r["r2"] == pytest.approx(r2, abs=1e-9)
     assert -2.1 < r["elasticity"] < -1.9  # planted slope ~ -2
+
+
+def test_curation_pipeline_matches_reference(spark):
+    import hashlib
+    import re
+    from etl_java_spark.operators.corpus import curation_pipeline
+
+    stops = set("the a an and or of to in is are was for on with as by "
+                "at it this that".split())
+    good = ("the quick brown fox jumps over the lazy dog and it runs to "
+            "this big field with many other animals that are very happy")
+    docs = [
+        (1, good, "en", "s1"),
+        (2, good, "en", "s1"),            # exact dup of 1 -> dropped
+        (3, good + " extra tail", "en", "s1"),
+        (4, good, "fr", "s1"),            # lang-filtered
+        (5, "tiny", "en", "s2"),          # quality-filtered
+        (6, good + " six", "en", "s1"),   # source cap 2 kills this
+        (7, good + " seven", "en", "s2"),
+        (8, good + " eight", "en", "s2"), # token budget kills this
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, "
+                                     "lang string, source string")
+    rows = {r["stage"]: (r["n_docs"], r["n_tokens"])
+            for r in curation_pipeline(
+                df, "doc_id", "text", "lang", "source",
+                lang="en", source_cap=2, token_budget=70,
+            ).collect()}
+
+    def ntok(t):
+        return len([x for x in re.split("[^a-z0-9]+", t.strip().lower())
+                    if x])
+
+    def passes(t):
+        tk = [x for x in re.split("[^a-z0-9]+", t.strip().lower()) if x]
+        n = len(tk)
+        wc = sum(len(x) for x in tk)
+        npu = sum(1 for ch in t if ch in
+                  r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""")
+        return (10 <= n <= 100000 and 3 * n <= wc <= 10 * n
+                and 10 * npu <= len(t)
+                and 20 * sum(1 for x in tk if x in stops) >= n
+                and 10 * sum(1 for x in tk if re.search("[a-z]", x))
+                    >= 7 * n
+                and 5 * len(set(tk)) >= n)
+
+    surv = [d for d in docs]
+    assert rows["raw"] == (8, sum(ntok(t) for _, t, _, _ in surv))
+    surv = [d for d in surv if d[2] == "en"]
+    assert rows["lang_filter"] == (len(surv),
+                                   sum(ntok(t) for _, t, _, _ in surv))
+    surv = [d for d in surv if passes(d[1])]
+    assert rows["quality_rules"][0] == len(surv)
+    seen, ded = set(), []
+    for d in sorted(surv):
+        k = hashlib.md5(d[1].strip().lower().encode()).hexdigest()
+        if k not in seen:
+            seen.add(k)
+            ded.append(d)
+    assert rows["exact_dedup"][0] == len(ded)
+    per_src, capped = {}, []
+    for d in sorted(ded):
+        c = per_src.get(d[3], 0)
+        if c < 2:
+            per_src[d[3]] = c + 1
+            capped.append(d)
+    assert rows["source_cap"][0] == len(capped)
+    cum, kept = 0, []
+    for d in sorted(capped):
+        if cum < 70:
+            kept.append(d)
+        cum += ntok(d[1])
+    assert rows["token_budget"] == (len(kept),
+                                    sum(ntok(t) for _, t, _, _ in kept))
+    # every planted casualty lands in its intended stage
+    assert rows["raw"][0] - rows["lang_filter"][0] == 1
+    assert rows["lang_filter"][0] - rows["quality_rules"][0] == 1
+    assert rows["quality_rules"][0] - rows["exact_dedup"][0] == 1
+    assert rows["exact_dedup"][0] - rows["source_cap"][0] == 1
+    assert rows["source_cap"][0] - rows["token_budget"][0] == 1
