@@ -2290,3 +2290,63 @@ def jarque_bera(
         jb.alias("jb"),
         chi2_sf_even(jb, 2).alias("p_value"),
     )
+
+
+def abc_analysis(
+    df: DataFrame,
+    key_col: str,
+    value_col,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """ABC (Pareto) classification of keys by value share — the
+    inventory/catalog triage staple: rank keys by value, classify the
+    prefix holding the first ``a_cut`` of cumulative share as A, up
+    to ``b_cut`` as B, the tail as C (a key is A if its RUNNING total
+    BEFORE it is still under the cut — the boundary key lands in the
+    lighter class; pinned by test). The classification sibling of the
+    Lorenz curve (q241).
+
+    Scale: one grouped integer aggregate; the rank/cumulative windows
+    run over the KEY table (dimension-sized — the post-aggregate
+    contract); exact integer cumulative sums against integer-scaled
+    cut thresholds (cum_before * 100 < cut_pct * total — no float
+    boundary).
+
+    Returns 3 rows: (abc_class, n_keys, value_sum, value_share).
+    """
+    a_pct = int(round(float(a_cut) * 100))
+    b_pct = int(round(float(b_cut) * 100))
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("v")
+    )
+    w = Window.orderBy(F.desc("v"), "k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = per.agg(F.sum("v").cast("long").alias("tv"))
+    ranked = per.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "v",
+        "tv",
+        F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long").alias("cb"),
+    )
+    cls = (
+        F.when(
+            F.lit(100) * F.col("cb") < F.lit(a_pct) * F.col("tv"), "A"
+        )
+        .when(F.lit(100) * F.col("cb") < F.lit(b_pct) * F.col("tv"), "B")
+        .otherwise("C")
+    )
+    out = ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("v").cast("long").alias("value_sum"),
+        F.max("tv").cast("long").alias("tv"),
+    )
+    return out.select(
+        "abc_class",
+        "n_keys",
+        "value_sum",
+        (
+            F.col("value_sum").cast("double") / F.col("tv").cast("double")
+        ).alias("value_share"),
+    )

@@ -2673,3 +2673,105 @@ def log_log_elasticity(
         b1.alias("elasticity"),
         (F.lit(1.0) - sse / sst).alias("r2"),
     )
+
+
+def collinearity_diagnostics(
+    df: DataFrame,
+    x1_col,
+    x2_col,
+    scale: int = 2,
+) -> DataFrame:
+    """Multicollinearity diagnostics for a 2-feature design — the
+    pre-fit sanity check the OLS family (ols_regression, q478, q494)
+    assumes: VIF = 1 / (1 - r^2) with r the feature correlation, and
+    the condition index of the 2x2 correlation matrix, whose
+    eigenvalues are exactly 1 +/- |r|:
+
+        cond = sqrt((1 + |r|) / (1 - |r|))
+
+    VIF > 10 / cond > 30 are the classic "drop or orthogonalize a
+    feature" thresholds.
+
+    Scale: ONE exact-decimal moment aggregate; fixed double trees
+    (the q265 no-rounding discipline, except |r|=1 degenerate inputs
+    yield NULL via try_divide).
+
+    Returns one row: (n_rows, r12, vif, cond_index).
+    """
+    d = f"decimal(18,{scale})"
+    x1, x2 = _c(x1_col).cast(d), _c(x2_col).cast(d)
+    m = df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+    )
+    n = F.col("n_rows").cast("double")
+    cxy = F.col("s12") - F.col("s1") * F.col("s2") / n
+    cxx = F.col("s11") - F.col("s1") * F.col("s1") / n
+    cyy = F.col("s22") - F.col("s2") * F.col("s2") / n
+    r = cxy / F.sqrt(cxx * cyy)
+    vif = F.try_divide(F.lit(1.0), F.lit(1.0) - r * r)
+    cond = F.sqrt(
+        F.try_divide(F.lit(1.0) + F.abs(r), F.lit(1.0) - F.abs(r))
+    )
+    return m.select(
+        "n_rows",
+        r.alias("r12"),
+        vif.alias("vif"),
+        cond.alias("cond_index"),
+    )
+
+
+def pca_2d(
+    df: DataFrame,
+    x_col,
+    y_col,
+    scale: int = 2,
+) -> DataFrame:
+    """Closed-form 2-D PCA — the exact eigendecomposition of the 2x2
+    covariance matrix (vs q263's power iteration over wide embedding
+    vectors: two metrics need no iterations):
+
+        lambda_{1,2} = (a + c +/- sqrt((a - c)^2 + 4 b^2)) / 2
+        slope of PC1 = (lambda_1 - a) / b     (unnormalized, exact)
+
+    with a = var(x), c = var(y), b = cov(x, y). explained =
+    lambda_1 / (lambda_1 + lambda_2). The angle is deliberately NOT
+    reported (atan2 is engine-divergent; the slope is the same
+    information in +,-,*,/,sqrt).
+
+    Scale: ONE exact-decimal moment pass; fixed double trees.
+
+    Returns one row: (n_rows, var_x, var_y, cov_xy, lambda1, lambda2,
+    explained, pc1_slope).
+    """
+    d = f"decimal(18,{scale})"
+    x, y = _c(x_col).cast(d), _c(y_col).cast(d)
+    m = df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    a = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+    c = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - F.lit(1.0))
+    b = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - F.lit(1.0))
+    disc = F.sqrt((a - c) * (a - c) + F.lit(4.0) * b * b)
+    l1 = (a + c + disc) / F.lit(2.0)
+    l2 = (a + c - disc) / F.lit(2.0)
+    return m.select(
+        "n_rows",
+        a.alias("var_x"),
+        c.alias("var_y"),
+        b.alias("cov_xy"),
+        l1.alias("lambda1"),
+        l2.alias("lambda2"),
+        (l1 / (l1 + l2)).alias("explained"),
+        F.try_divide(l1 - a, b).alias("pc1_slope"),
+    )

@@ -1145,3 +1145,77 @@ def test_curation_pipeline_matches_reference(spark):
     assert rows["quality_rules"][0] - rows["exact_dedup"][0] == 1
     assert rows["exact_dedup"][0] - rows["source_cap"][0] == 1
     assert rows["source_cap"][0] - rows["token_budget"][0] == 1
+
+
+# ---------------------------------------------------------------------------
+# multicollinearity, 2-D PCA, ABC triage
+
+
+def test_collinearity_diagnostics_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.evaluation import (
+        collinearity_diagnostics,
+    )
+
+    rows = [(i % 5 + 1, 2 * (i % 5 + 1) + i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long")
+    r = collinearity_diagnostics(df, "x1", "x2", scale=0).collect()[0]
+    n = len(rows)
+    s1 = sum(a for a, _ in rows); s2 = sum(b for _, b in rows)
+    s11 = sum(a * a for a, _ in rows)
+    s12 = sum(a * b for a, b in rows)
+    s22 = sum(b * b for _, b in rows)
+    rr = (s12 - s1 * s2 / n) / m.sqrt(
+        (s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)
+    )
+    assert r["r12"] == pytest.approx(rr, abs=1e-12)
+    assert r["vif"] == pytest.approx(1.0 / (1.0 - rr * rr), rel=1e-12)
+    assert r["cond_index"] == pytest.approx(
+        m.sqrt((1 + abs(rr)) / (1 - abs(rr))), rel=1e-12
+    )
+    assert r["vif"] > 10  # planted near-collinear design
+
+
+def test_pca_2d_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.evaluation import pca_2d
+
+    rows = [(i, 3 * i + (i * 7) % 5) for i in range(1, 25)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = pca_2d(df, "x", "y", scale=0).collect()[0]
+    n = len(rows)
+    sx = sum(a for a, _ in rows); sy = sum(b for _, b in rows)
+    sxx = sum(a * a for a, _ in rows); sxy = sum(a * b for a, b in rows)
+    syy = sum(b * b for _, b in rows)
+    a = (sxx - sx * sx / n) / (n - 1)
+    c = (syy - sy * sy / n) / (n - 1)
+    b = (sxy - sx * sy / n) / (n - 1)
+    disc = m.sqrt((a - c) ** 2 + 4 * b * b)
+    l1, l2 = (a + c + disc) / 2, (a + c - disc) / 2
+    assert r["lambda1"] == pytest.approx(l1, rel=1e-12)
+    assert r["lambda2"] == pytest.approx(l2, rel=1e-12)
+    assert r["explained"] == pytest.approx(l1 / (l1 + l2), rel=1e-12)
+    assert r["pc1_slope"] == pytest.approx((l1 - a) / b, rel=1e-12)
+    # PC1 slope tracks the planted y ~ 3x structure
+    assert 2.5 < r["pc1_slope"] < 3.5
+    # eigen identity: trace and determinant preserved
+    assert l1 + l2 == pytest.approx(a + c, rel=1e-12)
+    assert l1 * l2 == pytest.approx(a * c - b * b, rel=1e-9)
+
+
+def test_abc_analysis_matches_reference(spark):
+    from etl_java_spark.operators.dq import abc_analysis
+
+    vals = {1: 500, 2: 250, 3: 120, 4: 70, 5: 30, 6: 20, 7: 10}
+    rows = [(k, v) for k, v in vals.items()]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r["abc_class"]: (r["n_keys"], r["value_sum"],
+                            r["value_share"])
+           for r in abc_analysis(df, "k", "v").collect()}
+    tv = sum(vals.values())  # 1000
+    # cum_before: k1=0(A), k2=500(A), k3=750(A: 75<80), k4=870(B),
+    # k5=940(B), k6=970(C: 97>=95), k7=990(C)
+    assert got["A"] == (3, 870, pytest.approx(0.87, abs=1e-12))
+    assert got["B"] == (2, 100, pytest.approx(0.10, abs=1e-12))
+    assert got["C"] == (2, 30, pytest.approx(0.03, abs=1e-12))
+    assert tv == 1000
