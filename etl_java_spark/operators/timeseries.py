@@ -3623,3 +3623,210 @@ def safety_stock(
         saf.alias("safety_stock"),
         (mu * F.lit(float(lead_time)) + saf).alias("reorder_point"),
     )
+
+
+def ltv_curve(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    value_col: str,
+    max_age: int = 12,
+) -> DataFrame:
+    """Cohort lifetime-value curve: entities grouped by FIRST-activity
+    month, then average CUMULATIVE value per entity at each month age
+    — the revenue reading of the retention triangle (q112 counts who
+    comes back; this prices what they're worth by age):
+
+        ltv(cohort, age) = sum of cohort value in months <= age
+                           / cohort size
+
+    Ages beyond ``max_age`` months fold into the last bucket's months
+    but are not emitted (bounded output).
+
+    Scale: one (entity) min-month pass, one (cohort, age) grouped
+    integer aggregate, and a cumulative window over the
+    cohort-x-age table (calendar-bounded). Exact integer sums; the
+    per-entity average is one fixed ratio.
+
+    Returns (cohort, age, n_entities, cum_value_c, ltv_c) rows.
+    """
+    per = df.select(
+        F.col(entity_col).alias("e"),
+        F.date_trunc("month", F.col(time_col)).cast("date").alias("m"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    first = per.groupBy("e").agg(F.min("m").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n_entities")
+    )
+    j = per.join(first, "e").select(
+        "cohort",
+        (
+            (F.year("m") - F.year("cohort")) * 12
+            + (F.month("m") - F.month("cohort"))
+        )
+        .cast("long")
+        .alias("age"),
+        "v",
+    ).filter(F.col("age") <= int(max_age))
+    cell = j.groupBy("cohort", "age").agg(
+        F.sum("v").cast("long").alias("mv")
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cell.select(
+        "cohort", "age",
+        F.sum("mv").over(w).cast("long").alias("cum_value_c"),
+    )
+    out = cum.join(sizes, "cohort")
+    return out.select(
+        "cohort",
+        "age",
+        "n_entities",
+        "cum_value_c",
+        (
+            F.col("cum_value_c").cast("double")
+            / F.col("n_entities").cast("double")
+        ).alias("ltv_c"),
+    )
+
+
+def control_rules(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Western Electric control-chart rule screen over a period series
+    vs its GLOBAL mean/sigma (population): the run-pattern alarms a
+    single-point sigma rule (q128) and an adaptive band (q476) both
+    miss —
+
+        rule 1: the point is beyond 3 sigma
+        rule 2: 2 of the last 3 points beyond 2 sigma, same side
+        rule 3: 4 of the last 5 points beyond 1 sigma, same side
+        rule 4: 8 consecutive points on the same side of the mean
+
+    Sigma thresholds compare n-scaled INTEGER deviations against
+    integer variance bounds: point v with deviation d = n*v - S is
+    beyond k sigma iff d^2 > k^2 * (n*SS - S^2), since d^2 =
+    n^2 (v - mean)^2 and n*SS - S^2 = n^2 var_pop (strict; exact
+    integers — no float boundary anywhere).
+
+    Scale: one total-moment pass broadcast back, lag windows over the
+    calendar-bounded period table. Returns flagged rows only:
+    (t, v, rule1, rule2, rule3, rule4).
+    """
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum((F.col("v").cast(d38) * F.col("v")).cast(d38))
+        .cast(d38)
+        .alias("ss"),
+    )
+    j = base.crossJoin(F.broadcast(tot))
+    dev = (F.col("n") * F.col("v") - F.col("s")).cast(d38)
+    varn = (
+        F.col("n").cast(d38) * F.col("ss")
+        - F.col("s").cast(d38) * F.col("s")
+    ).cast(d38)
+
+    def beyond(k: int):
+        return (dev * dev).cast(d38) > F.lit(k * k) * varn
+
+    sided = j.select(
+        "t",
+        "v",
+        F.when(dev > 0, 1).when(dev < 0, -1).otherwise(0).alias("side"),
+        beyond(3).cast("int").alias("b3"),
+        (beyond(2) & (dev > 0)).cast("int").alias("b2p"),
+        (beyond(2) & (dev < 0)).cast("int").alias("b2n"),
+        (beyond(1) & (dev > 0)).cast("int").alias("b1p"),
+        (beyond(1) & (dev < 0)).cast("int").alias("b1n"),
+        (dev > 0).cast("int").alias("sp"),
+        (dev < 0).cast("int").alias("sn"),
+    )
+    w3 = Window.orderBy("t").rowsBetween(-2, 0)
+    w5 = Window.orderBy("t").rowsBetween(-4, 0)
+    w8 = Window.orderBy("t").rowsBetween(-7, 0)
+    flags = sided.select(
+        "t",
+        "v",
+        (F.col("b3") == 1).alias("rule1"),
+        (
+            (F.sum("b2p").over(w3) >= 2) | (F.sum("b2n").over(w3) >= 2)
+        ).alias("rule2"),
+        (
+            (F.sum("b1p").over(w5) >= 4) | (F.sum("b1n").over(w5) >= 4)
+        ).alias("rule3"),
+        (
+            (F.sum("sp").over(w8) == 8) | (F.sum("sn").over(w8) == 8)
+        ).alias("rule4"),
+    )
+    return flags.filter(
+        F.col("rule1") | F.col("rule2") | F.col("rule3") | F.col("rule4")
+    )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    time_col: str,
+) -> DataFrame:
+    """Per-group burstiness of entity inter-event gaps — "do orders
+    arrive like clockwork or in bursts?", the event-gap sibling of
+    the term-burstiness monitor (q435):
+
+        B = (CV - 1) / (CV + 1),  CV = sd(gap) / mean(gap)
+
+    B near -1 = periodic, 0 = Poisson, toward +1 = bursty. Gaps are
+    per-entity day differences (lag over the entity's events), pooled
+    per group with exact integer moments; CV/B are fixed
+    +,-,*,/,sqrt trees.
+
+    Returns one row per group: (grp, n_gaps, mean_gap, cv,
+    burstiness).
+    """
+    d38 = "decimal(38,0)"
+    w = Window.partitionBy("e").orderBy("d", "tb")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(entity_col).alias("e"),
+        F.col(time_col).cast("date").alias("d"),
+        F.col(time_col).alias("tb"),
+    )
+    gaps = base.select(
+        "grp",
+        F.datediff(F.col("d"), F.lag("d", 1).over(w)).cast("long").alias(
+            "g"
+        ),
+    ).filter(F.col("g").isNotNull() & (F.col("g") > 0))
+    m = gaps.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum((F.col("g").cast(d38) * F.col("g")).cast(d38))
+        .cast(d38)
+        .alias("ss"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("s").cast("double") / n
+    sd = F.sqrt(
+        (
+            n * F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+    ) / n
+    cv = sd / mean
+    return m.select(
+        "grp",
+        "n_gaps",
+        mean.alias("mean_gap"),
+        cv.alias("cv"),
+        ((cv - F.lit(1.0)) / (cv + F.lit(1.0))).alias("burstiness"),
+    )

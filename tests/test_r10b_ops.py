@@ -1219,3 +1219,96 @@ def test_abc_analysis_matches_reference(spark):
     assert got["B"] == (2, 100, pytest.approx(0.10, abs=1e-12))
     assert got["C"] == (2, 30, pytest.approx(0.03, abs=1e-12))
     assert tv == 1000
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV, control rules, interarrival burstiness
+
+
+def test_ltv_curve_matches_reference(spark):
+    import datetime as dt
+    from etl_java_spark.operators.timeseries import ltv_curve
+
+    rows = [
+        (1, dt.datetime(2020, 1, 5), 100),
+        (1, dt.datetime(2020, 2, 7), 50),
+        (2, dt.datetime(2020, 1, 20), 30),
+        (3, dt.datetime(2020, 2, 2), 80),
+        (3, dt.datetime(2020, 4, 1), 20),
+        (1, dt.datetime(2021, 6, 1), 999),  # age 17 > max_age -> cut
+    ]
+    df = spark.createDataFrame(rows, "e long, t timestamp, v long")
+    got = {
+        (str(r["cohort"]), r["age"]): (r["n_entities"], r["cum_value_c"],
+                                       r["ltv_c"])
+        for r in ltv_curve(df, "e", "t", "v", max_age=12).collect()
+    }
+    # cohort 2020-01: entities {1, 2}; age0 = 130, age1 = +50
+    assert got[("2020-01-01", 0)] == (2, 130, pytest.approx(65.0))
+    assert got[("2020-01-01", 1)] == (2, 180, pytest.approx(90.0))
+    # cohort 2020-02: entity {3}; age0 = 80, age2 = +20
+    assert got[("2020-02-01", 0)] == (1, 80, pytest.approx(80.0))
+    assert got[("2020-02-01", 2)] == (1, 100, pytest.approx(100.0))
+    assert ("2020-01-01", 17) not in got
+
+
+def test_control_rules_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.timeseries import control_rules
+
+    vals = [10, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 11, 10, 9, 40]
+    rows = [(t, v) for t, v in enumerate(vals, start=1)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    got = {r["t"]: (r["rule1"], r["rule2"], r["rule3"], r["rule4"])
+           for r in control_rules(df, "t", "v").collect()}
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum(v * v for v in vals) / n - mean * mean
+    sd = m.sqrt(var)
+    # replay: sides and k-sigma exceedances
+    def beyond(v, k):
+        return abs(v - mean) > k * sd
+    exp = {}
+    for i, v in enumerate(vals):
+        t = i + 1
+        r1 = beyond(v, 3)
+        w3 = vals[max(0, i - 2): i + 1]
+        r2 = (sum(1 for x in w3 if beyond(x, 2) and x > mean) >= 2
+              or sum(1 for x in w3 if beyond(x, 2) and x < mean) >= 2)
+        w5 = vals[max(0, i - 4): i + 1]
+        r3 = (sum(1 for x in w5 if beyond(x, 1) and x > mean) >= 4
+              or sum(1 for x in w5 if beyond(x, 1) and x < mean) >= 4)
+        w8 = vals[max(0, i - 7): i + 1]
+        r4 = (len(w8) == 8
+              and (all(x > mean for x in w8) or all(x < mean for x in w8)))
+        if r1 or r2 or r3 or r4:
+            exp[t] = (r1, r2, r3, r4)
+    assert got == exp
+    assert got[15][0]  # the planted 3-sigma spike fires rule 1
+
+
+def test_interarrival_burstiness_matches_reference(spark):
+    import math as m
+    import datetime as dt
+    from etl_java_spark.operators.timeseries import (
+        interarrival_burstiness,
+    )
+
+    base = dt.datetime(2020, 1, 1)
+    # entity 1: periodic every 7 days; entity 2: bursty
+    rows = [("g", 1, base + dt.timedelta(days=7 * i)) for i in range(6)]
+    rows += [("g", 2, base + dt.timedelta(days=d))
+             for d in [0, 1, 2, 40, 41, 90]]
+    df = spark.createDataFrame(rows, "grp string, e long, t timestamp")
+    r = interarrival_burstiness(df, "grp", "e", "t").collect()[0]
+    gaps = [7] * 5 + [1, 1, 38, 1, 49]
+    n = len(gaps)
+    mean = sum(gaps) / n
+    sd = m.sqrt(n * sum(g * g for g in gaps) - sum(gaps) ** 2) / n
+    cv = sd / mean
+    assert r["n_gaps"] == n
+    assert r["mean_gap"] == pytest.approx(mean, abs=1e-12)
+    assert r["cv"] == pytest.approx(cv, abs=1e-12)
+    assert r["burstiness"] == pytest.approx(
+        (cv - 1) / (cv + 1), abs=1e-12
+    )
