@@ -2350,3 +2350,56 @@ def abc_analysis(
             F.col("value_sum").cast("double") / F.col("tv").cast("double")
         ).alias("value_share"),
     )
+
+
+def process_capability(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lsl: int,
+    usl: int,
+) -> DataFrame:
+    """Process-capability indices per group vs fixed spec limits — the
+    "can this process hold its tolerance?" companion to the
+    control-rule screen (control_rules alarms on instability; Cp/Cpk
+    say whether even the stable process fits the spec):
+
+        Cp  = (USL - LSL) / (6 sigma)
+        Cpk = min(USL - mu, mu - LSL) / (3 sigma)
+
+    (sample sigma; Cpk < Cp exactly when the process is off-center).
+
+    Scale: ONE grouped exact-integer moment pass; fixed sqrt trees.
+    Returns one row per group: (grp, n, mu, sigma, cp, cpk).
+    """
+    d38 = "decimal(38,0)"
+    m = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col(value_col).cast("long")).cast("long").alias("s"),
+            F.sum(
+                (
+                    F.col(value_col).cast(d38) * F.col(value_col)
+                ).cast(d38)
+            )
+            .cast(d38)
+            .alias("ss"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sigma = F.sqrt(
+        (
+            nd * F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / (nd * (nd - F.lit(1.0)))
+    )
+    lo, hi = float(lsl), float(usl)
+    cp = (F.lit(hi) - F.lit(lo)) / (F.lit(6.0) * sigma)
+    cpk = F.least(F.lit(hi) - mu, mu - F.lit(lo)) / (F.lit(3.0) * sigma)
+    return m.select(
+        "grp", "n", mu.alias("mu"), sigma.alias("sigma"),
+        cp.alias("cp"), cpk.alias("cpk"),
+    )

@@ -3627,3 +3627,155 @@ def ansari_bradley(
         z.alias("z"),
         (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
     )
+
+
+def ks_uniform_test(
+    df: DataFrame,
+    value_col,
+    n_terms: int = 8,
+) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov test against the UNIFORM law on
+    the observed [min, max] — "is this id/band column actually
+    uniform?", the allocation-audit sibling of the two-sample drift
+    KS (q186, which has no p). D compares the empirical CDF with the
+    uniform CDF at each distinct value (both step corners), and the
+    p-value is the elementary Kolmogorov series
+
+        p = 2 SUM_{j=1..n_terms} (-1)^(j-1) exp(-2 j^2 D^2 n)
+
+    — a fixed exp sum both engines evaluate identically (the
+    chi2_sf_even convention; callers round p at <= 9).
+
+    Scale: one grouped count on the quantized value grid, one
+    cumulative window over the grid, exact integer counts; D and p
+    are fixed double trees.
+
+    Returns one row: (n, v_min, v_max, d_stat, p_value).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(v.cast("long").alias("val"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.min("val").cast("long").alias("v_min"),
+        F.max("val").cast("long").alias("v_max"),
+    )
+    cum = per.select(
+        "val",
+        "c",
+        F.sum("c").over(w).cast("long").alias("ca"),
+    ).crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    u = (F.col("val") - F.col("v_min")).cast("double") / (
+        F.col("v_max") - F.col("v_min")
+    ).cast("double")
+    ecdf_hi = F.col("ca").cast("double") / nd
+    ecdf_lo = (F.col("ca") - F.col("c")).cast("double") / nd
+    gap = F.greatest(F.abs(ecdf_hi - u), F.abs(u - ecdf_lo))
+    agg = cum.groupBy("n", "v_min", "v_max").agg(
+        F.max(gap).alias("d_stat")
+    )
+    d = F.col("d_stat")
+    p = F.lit(0.0)
+    for j in range(1, int(n_terms) + 1):
+        term = F.exp(F.lit(-2.0 * j * j) * d * d * nd)
+        p = p + (term if j % 2 == 1 else -term)
+    p = F.lit(2.0) * p
+    return agg.select(
+        "n", "v_min", "v_max",
+        d.alias("d_stat"),
+        F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)).alias("p_value"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+) -> DataFrame:
+    """Bartlett's test for variance homogeneity across k groups — the
+    parametric (normality-assuming) sibling of Brown-Forsythe (q423):
+
+        T = ((N - k) ln(Sp^2) - SUM (n_i - 1) ln(S_i^2)) / C
+        C = 1 + (SUM 1/(n_i-1) - 1/(N-k)) / (3 (k - 1))
+
+    p uses the even-df elementary chi-square form, so k must be ODD
+    (df = k - 1 even) — ValueError otherwise; the caller picks the
+    grouping.
+
+    Scale: ONE grouped exact-integer moment pass; the k-bounded group
+    table folds its ln(S_i^2) terms in group order (conditional-
+    entropy determinism contract; callers round per the log
+    contract).
+
+    Returns one row: (k_groups, n_total, t_stat, p_value).
+    """
+    d38 = "decimal(38,0)"
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    g = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("ni"),
+            F.sum(v.cast("long")).cast("long").alias("s"),
+            F.sum((v.cast(d38) * v).cast(d38)).cast(d38).alias("ss"),
+        )
+    )
+    nid = F.col("ni").cast("double")
+    s2i = (
+        nid * F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (nid * (nid - F.lit(1.0)))
+    terms = g.select(
+        "ni",
+        "s",
+        "ss",
+        F.struct(
+            "grp",
+            ((nid - F.lit(1.0)) * F.log(s2i)).alias("t"),
+            ((nid - F.lit(1.0)) * s2i).alias("w"),
+            (F.lit(1.0) / (nid - F.lit(1.0))).alias("inv"),
+        ).alias("__e"),
+    )
+    one = terms.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("ni").cast("long").alias("n_total"),
+        F.array_sort(F.collect_list("__e")).alias("__arr"),
+    )
+    fold_t = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda a, e: a + e["t"]
+    )
+    fold_w = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda a, e: a + e["w"]
+    )
+    fold_i = F.aggregate(
+        F.col("__arr"), F.lit(0.0), lambda a, e: a + e["inv"]
+    )
+    nd = F.col("n_total").cast("double")
+    kd = F.col("k_groups").cast("double")
+    nk = nd - kd
+    sp2 = fold_w / nk
+    c = F.lit(1.0) + (fold_i - F.lit(1.0) / nk) / (
+        F.lit(3.0) * (kd - F.lit(1.0))
+    )
+    t = (nk * F.log(sp2) - fold_t) / c
+    out = one.select("k_groups", "n_total", t.alias("t_stat"))
+    # df = k - 1 must be even for the elementary p; probe at plan time
+    k = df.select(F.col(group_col)).distinct().count()
+    if (k - 1) % 2 or k < 3:
+        raise ValueError(
+            "bartlett_test needs an odd group count >= 3 (even df) for "
+            f"the elementary chi-square p; got k={k}"
+        )
+    return out.select(
+        "k_groups",
+        "n_total",
+        "t_stat",
+        chi2_sf_even(F.col("t_stat"), k - 1).alias("p_value"),
+    )

@@ -1312,3 +1312,108 @@ def test_interarrival_burstiness_matches_reference(spark):
     assert r["burstiness"] == pytest.approx(
         (cv - 1) / (cv + 1), abs=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# process capability, uniformity KS, Bartlett
+
+
+def test_process_capability_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.dq import process_capability
+
+    rows = [("a", v) for v in [48, 50, 52, 49, 51, 50]] + \
+           [("b", v) for v in [30, 50, 70, 40, 60, 50]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["grp"]: (r["mu"], r["sigma"], r["cp"], r["cpk"])
+           for r in process_capability(df, "g", "v", lsl=40,
+                                       usl=64).collect()}
+    for g in ("a", "b"):
+        vs = [v for gg, v in rows if gg == g]
+        n = len(vs)
+        mu = sum(vs) / n
+        sig = m.sqrt((n * sum(v * v for v in vs) - sum(vs) ** 2)
+                     / (n * (n - 1)))
+        cp = (64.0 - 40.0) / (6.0 * sig)
+        cpk = min(64.0 - mu, mu - 40.0) / (3.0 * sig)
+        gm, gs, gcp, gcpk = got[g]
+        assert gm == pytest.approx(mu, abs=1e-12)
+        assert gs == pytest.approx(sig, abs=1e-12)
+        assert gcp == pytest.approx(cp, abs=1e-12)
+        assert gcpk == pytest.approx(cpk, abs=1e-12)
+    # tight group is capable, wide one is not
+    assert got["a"][2] > 1.0 > got["b"][2]
+    # off-center: cpk < cp for group a (mean 50, spec center 52)
+    assert got["a"][3] < got["a"][2]
+
+
+def test_ks_uniform_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.experiments import ks_uniform_test
+
+    vals = [0, 0, 1, 2, 3, 3, 3, 4, 7, 9, 9, 10]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = ks_uniform_test(df, "v", n_terms=8).collect()[0]
+    n = len(vals)
+    lo, hi = min(vals), max(vals)
+    from collections import Counter
+    cnt = Counter(vals)
+    ca = 0
+    d = 0.0
+    for val in sorted(cnt):
+        c = cnt[val]
+        u = (val - lo) / (hi - lo)
+        d = max(d, abs((ca + c) / n - u), abs(u - ca / n))
+        ca += c
+    p = 2.0 * sum(
+        (-1) ** (j - 1) * m.exp(-2.0 * j * j * d * d * n)
+        for j in range(1, 9)
+    )
+    p = min(max(p, 0.0), 1.0)
+    assert (r["n"], r["v_min"], r["v_max"]) == (n, lo, hi)
+    assert r["d_stat"] == pytest.approx(d, abs=1e-12)
+    assert r["p_value"] == pytest.approx(p, abs=1e-9)
+
+
+def test_bartlett_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.experiments import bartlett_test
+
+    groups = {
+        "a": [10, 12, 11, 13, 9, 11],
+        "b": [10, 20, 5, 25, 1, 30],
+        "c": [11, 11, 12, 10, 11, 12],
+        "d": [8, 14, 10, 12, 9, 13],
+        "e": [10, 11, 12, 11, 10, 12],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = bartlett_test(df, "g", "v").collect()[0]
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s2 = {}
+    for g, vs in groups.items():
+        ni = len(vs)
+        s2[g] = (ni * sum(v * v for v in vs) - sum(vs) ** 2) / (
+            ni * (ni - 1)
+        )
+    nk = n - k
+    sp2 = sum((len(groups[g]) - 1) * s2[g] for g in groups) / nk
+    ft = sum((len(groups[g]) - 1) * m.log(s2[g]) for g in groups)
+    fi = sum(1.0 / (len(groups[g]) - 1) for g in groups)
+    c = 1.0 + (fi - 1.0 / nk) / (3.0 * (k - 1))
+    t = (nk * m.log(sp2) - ft) / c
+    assert (r["k_groups"], r["n_total"]) == (k, n)
+    assert r["t_stat"] == pytest.approx(t, rel=1e-12)
+    # planted: group b has wildly larger variance -> strong rejection
+    assert r["t_stat"] > 20 and r["p_value"] < 0.001
+
+
+def test_bartlett_raises_on_even_group_count(spark):
+    from etl_java_spark.operators.experiments import bartlett_test
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 3)], "g string, v long"
+    )
+    with pytest.raises(ValueError, match="odd group count"):
+        bartlett_test(df, "g", "v")
