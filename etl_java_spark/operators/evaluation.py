@@ -2775,3 +2775,58 @@ def pca_2d(
         (l1 / (l1 + l2)).alias("explained"),
         F.try_divide(l1 - a, b).alias("pc1_slope"),
     )
+
+
+def weighted_ols(
+    df: DataFrame,
+    x_col,
+    y_col,
+    weight_col,
+) -> DataFrame:
+    """Weighted least squares y ~ b0 + b1 x with INTEGER weights — the
+    remedy q478's Goldfeld-Quandt prescribes when it rejects: weight
+    each observation by its precision (here: integer counts, so every
+    weighted moment is exact):
+
+        b1 = (W Swxy - Swx Swy) / (W Swxx - Swx^2)
+        b0 = (Swy - b1 Swx) / W
+        r2 = 1 - SSE_w / SST_w   (weighted sums of squares)
+
+    Scale: ONE grouped exact-integer moment aggregate; fixed double
+    trees (q265 no-rounding discipline).
+
+    Returns one row: (n_rows, w_total, beta0, beta1, r2w).
+    """
+    d38 = "decimal(38,0)"
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("long")
+    wt = (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ).cast("long")
+
+    def s(e, name):
+        return F.sum(e.cast(d38)).cast("double").alias(name)
+
+    m = df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(wt).cast("long").alias("w_total"),
+        s(wt.cast(d38) * x, "swx"),
+        s(wt.cast(d38) * y, "swy"),
+        s((wt.cast(d38) * x).cast(d38) * x, "swxx"),
+        s((wt.cast(d38) * x).cast(d38) * y, "swxy"),
+        s((wt.cast(d38) * y).cast(d38) * y, "swyy"),
+    )
+    w = F.col("w_total").cast("double")
+    b1 = (w * F.col("swxy") - F.col("swx") * F.col("swy")) / (
+        w * F.col("swxx") - F.col("swx") * F.col("swx")
+    )
+    b0 = (F.col("swy") - b1 * F.col("swx")) / w
+    sse = F.col("swyy") - b0 * F.col("swy") - b1 * F.col("swxy")
+    sst = F.col("swyy") - F.col("swy") * F.col("swy") / w
+    return m.select(
+        "n_rows",
+        "w_total",
+        b0.alias("beta0"),
+        b1.alias("beta1"),
+        (F.lit(1.0) - sse / sst).alias("r2w"),
+    )

@@ -1417,3 +1417,25 @@ def test_bartlett_raises_on_even_group_count(spark):
     )
     with pytest.raises(ValueError, match="odd group count"):
         bartlett_test(df, "g", "v")
+
+
+def test_weighted_ols_matches_reference(spark):
+    from etl_java_spark.operators.evaluation import weighted_ols
+
+    rows = [(1, 10, 2), (2, 19, 3), (3, 31, 1), (4, 42, 5), (5, 48, 4)]
+    df = spark.createDataFrame(rows, "x long, y long, w long")
+    r = weighted_ols(df, "x", "y", "w").collect()[0]
+    W = sum(w for _, _, w in rows)
+    swx = sum(w * x for x, _, w in rows)
+    swy = sum(w * y for _, y, w in rows)
+    swxx = sum(w * x * x for x, _, w in rows)
+    swxy = sum(w * x * y for x, y, w in rows)
+    swyy = sum(w * y * y for _, y, w in rows)
+    b1 = (W * swxy - swx * swy) / (W * swxx - swx * swx)
+    b0 = (swy - b1 * swx) / W
+    r2 = 1.0 - (swyy - b0 * swy - b1 * swxy) / (swyy - swy * swy / W)
+    assert (r["n_rows"], r["w_total"]) == (5, W)
+    assert r["beta1"] == pytest.approx(b1, rel=1e-12)
+    assert r["beta0"] == pytest.approx(b0, rel=1e-12)
+    assert r["r2w"] == pytest.approx(r2, rel=1e-12)
+    assert 9 < r["beta1"] < 11  # planted slope ~ 10
