@@ -525,9 +525,13 @@ def gk_lambda(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     scm = F.col("sum_colmax").cast("double")
     mrt = F.col("max_row_total").cast("double")
     mct = F.col("max_col_total").cast("double")
-    lam_yx = (srm - mct) / (nd - mct)
-    lam_xy = (scm - mrt) / (nd - mrt)
-    lam_s = (srm + scm - mrt - mct) / (F.lit(2.0) * nd - mrt - mct)
+    # try_divide: a single-category axis makes the denominator 0 —
+    # lambda is undefined (NULL), not an ANSI raise
+    lam_yx = F.try_divide(srm - mct, nd - mct)
+    lam_xy = F.try_divide(scm - mrt, nd - mrt)
+    lam_s = F.try_divide(
+        srm + scm - mrt - mct, F.lit(2.0) * nd - mrt - mct
+    )
     return one.select(
         "n", "sum_rowmax", "sum_colmax", "max_row_total", "max_col_total",
         lam_yx.alias("lambda_y_given_x"),
@@ -599,5 +603,5 @@ def theils_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         "n_cells",
         hy.alias("h_y_bits"),
         hcond.alias("h_y_given_x_bits"),
-        ((hy - hcond) / hy).alias("theil_u"),
+        F.try_divide(hy - hcond, hy).alias("theil_u"),
     )

@@ -422,6 +422,8 @@ def ams_f2(
 
     Returns one row: (n_keys, f2_exact, f2_est, rel_err).
     """
+    if n_estimators < 1:
+        raise ValueError("n_estimators must be >= 1")
     d38 = "decimal(38,0)"
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count("*").cast("long").alias("c")

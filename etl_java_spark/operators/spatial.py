@@ -293,6 +293,8 @@ def nearest_neighbor_join(
     Returns one row per matched point: (pid, fid, dist2).
     """
     cl = int(cell)
+    if cl <= 0:
+        raise ValueError("cell must be a positive integer")
     p = points.select(
         F.col(pid_col).alias("pid"),
         F.col(px_col).cast("long").alias("px"),

@@ -1632,6 +1632,8 @@ def holt_winters_additive(
     """
     if period < 2 or period > 16:
         raise ValueError("period must be in [2, 16]")
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
     b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     per = df.groupBy(b.alias("bucket")).agg(
@@ -1685,7 +1687,17 @@ def holt_winters_additive(
             )
         return F.struct(*fields)
 
-    fold = F.aggregate(xs, acc0, step)
+    # in-plan length guard (the spearman assert_true pattern): with
+    # fewer than 2*period buckets the init means read past the series
+    # and the fold would return silently-wrong state on BOTH engines.
+    guard = F.assert_true(
+        F.size(xs) >= F.lit(2 * m),
+        F.lit(
+            f"holt_winters_additive needs >= {2 * m} buckets "
+            f"(2*period) — got fewer"
+        ),
+    )
+    fold = F.when(guard.isNull(), F.aggregate(xs, acc0, step))
     st = one.select(fold.alias("__f"))
     hs = st.select(
         "__f", F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("h")
@@ -2736,6 +2748,11 @@ def ohlc_bars(
     bar: (bar, open_c, high_c, low_c, close_c, volume_q, pv, n_trades,
     vwap_c).
     """
+    if not seq_cols:
+        raise ValueError(
+            "ohlc_bars needs at least one sequence column — open/close "
+            "are nondeterministic without a total within-bar order"
+        )
     d38 = "decimal(38,0)"
     seq = [F.col(c).cast("long") for c in seq_cols]
     p = F.col(price_col).cast("long")
@@ -2873,6 +2890,8 @@ def rolling_band_breaches(
     """
     d38 = "decimal(38,0)"
     n = int(window)
+    if n < 2:
+        raise ValueError("window must be >= 2 (sigma needs spread)")
     k = float(k_sigma)
     base = df.select(
         F.col(time_col).alias("t"),

@@ -1439,3 +1439,47 @@ def test_weighted_ols_matches_reference(spark):
     assert r["beta0"] == pytest.approx(b0, rel=1e-12)
     assert r["r2w"] == pytest.approx(r2, rel=1e-12)
     assert 9 < r["beta1"] < 11  # planted slope ~ 10
+
+
+# ---------------------------------------------------------------------------
+# hardening guards
+
+
+def test_operator_guards_raise(spark):
+    from etl_java_spark.operators.spatial import nearest_neighbor_join
+    from etl_java_spark.operators.sketch import ams_f2
+    from etl_java_spark.operators.timeseries import (
+        ohlc_bars,
+        rolling_band_breaches,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    with pytest.raises(ValueError, match="positive"):
+        nearest_neighbor_join(df, df, "a", "b", "c", "a", "b", "c", cell=0)
+    with pytest.raises(ValueError, match="sequence column"):
+        ohlc_bars(df, "a", [], "b", "c")
+    with pytest.raises(ValueError, match="window"):
+        rolling_band_breaches(df, "a", "b", window=1)
+    with pytest.raises(ValueError, match="n_estimators"):
+        ams_f2(df, "a", n_estimators=0)
+
+
+def test_holt_winters_short_series_raises_in_plan(spark):
+    from etl_java_spark.operators.timeseries import holt_winters_additive
+
+    df = spark.createDataFrame(
+        [(t, 10 + t) for t in range(1, 5)], "b long, v long"
+    )
+    with pytest.raises(Exception, match="2\\*period|needs >= "):
+        holt_winters_additive(df, "b", "v", period=3, horizon=2).collect()
+
+
+def test_gk_lambda_degenerate_axis_is_null(spark):
+    from etl_java_spark.operators.assoc import gk_lambda
+
+    # single y category: lambda(Y|X) denominator is 0 -> NULL, no raise
+    df = spark.createDataFrame(
+        [("a", "p"), ("b", "p"), ("b", "p")], "x string, y string"
+    )
+    r = gk_lambda(df, "x", "y").collect()[0]
+    assert r["lambda_y_given_x"] is None
