@@ -3779,3 +3779,192 @@ def bartlett_test(
         "t_stat",
         chi2_sf_even(F.col("t_stat"), k - 1).alias("p_value"),
     )
+
+
+def cvm_uniform_test(
+    df: DataFrame,
+    value_col,
+) -> DataFrame:
+    """Cramér-von Mises statistic vs the uniform law on the observed
+    [min, max] grid — the WHOLE-CDF companion to :func:`ks_uniform_test`
+    (KS sees the worst gap; W² integrates every gap, so diffuse
+    misallocation that never spikes still registers):
+
+        W^2 = 1/(12n) + SUM_i (u_(i) - (2i-1)/(2n))^2
+
+    Tie runs collapse in closed form: a value with count c and
+    cumulative-before cb contributes c u^2 - u c(2cb+c)/n +
+    (4 S2 - 4 S1 + c)/(4 n^2) with S1/S2 the index/index-squared
+    range sums — ALL integers, so each per-value term is a fixed
+    double tree and only the value-grid fold (quantized-input
+    contract) orders the additions.
+
+    Returns one row: (n, v_min, v_max, w2_stat).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(v.cast("long").alias("val"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.min("val").cast("long").alias("v_min"),
+        F.max("val").cast("long").alias("v_max"),
+    )
+    cum = per.select(
+        "val", "c",
+        (F.sum("c").over(w) - F.col("c")).cast("long").alias("cb"),
+    ).crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    u = (F.col("val") - F.col("v_min")).cast("double") / (
+        F.col("v_max") - F.col("v_min")
+    ).cast("double")
+    c = F.col("c")
+    cb = F.col("cb")
+    # S1 = sum i, S2 = sum i^2 for i in (cb+1 .. cb+c), exact integers
+    s1 = (c * cb + c * (c + 1) / F.lit(2)).cast("long")
+    s2 = (
+        c * cb * cb
+        + (c * (c + 1)).cast("long") * cb
+        + (c * (c + 1) * (F.lit(2) * c + 1) / F.lit(6)).cast("long")
+    ).cast("long")
+    term = (
+        c.cast("double") * u * u
+        - u * (c * (F.lit(2) * cb + c)).cast("double") / nd
+        + (F.lit(4) * s2 - F.lit(4) * s1 + c).cast("double")
+        / (F.lit(4.0) * nd * nd)
+    )
+    folded = (
+        cum.select(
+            "n", "v_min", "v_max",
+            F.struct("val", term.alias("t")).alias("__e"),
+        )
+        .groupBy("n", "v_min", "v_max")
+        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    )
+    s = F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, e: a + e["t"])
+    return folded.select(
+        "n", "v_min", "v_max",
+        (F.lit(1.0) / (F.lit(12.0) * F.col("n").cast("double")) + s).alias(
+            "w2_stat"
+        ),
+    )
+
+
+def anderson_darling_uniform(
+    df: DataFrame,
+    value_col,
+) -> DataFrame:
+    """Anderson-Darling statistic vs the DISCRETE-midpoint uniform on
+    the observed value grid — the tail-weighted GOF (CvM weighs all
+    gaps equally; AD's 1/(F(1-F)) weight makes endpoint misallocation
+    loudest, which is where hash/shard skew lives):
+
+        A^2 = -n - (1/n) SUM_i (2i-1)(ln u_(i) + ln(1 - u_(n+1-i)))
+
+    with u = (val - v_min + 0.5) / (v_max - v_min + 1), the midpoint
+    CDF convention that keeps u strictly inside (0, 1) on a discrete
+    grid (endpoint observations would otherwise hit ln 0). Tie runs
+    collapse exactly: a value with count c, cumulative-before cb
+    contributes ln(u) c(2cb+c) + ln(1-u) c(2(n-cb)-c) — integer
+    weights, per-value fixed trees, one ordered value-grid fold (log
+    contract: callers round).
+
+    Returns one row: (n, v_min, v_max, a2_stat).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(v.cast("long").alias("val"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.min("val").cast("long").alias("v_min"),
+        F.max("val").cast("long").alias("v_max"),
+    )
+    cum = per.select(
+        "val", "c",
+        (F.sum("c").over(w) - F.col("c")).cast("long").alias("cb"),
+    ).crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    u = (
+        (F.col("val") - F.col("v_min")).cast("double") + F.lit(0.5)
+    ) / ((F.col("v_max") - F.col("v_min")).cast("double") + F.lit(1.0))
+    c = F.col("c")
+    cb = F.col("cb")
+    w1 = (c * (F.lit(2) * cb + c)).cast("double")
+    w2 = (c * (F.lit(2) * (F.col("n") - cb) - c)).cast("double")
+    term = F.log(u) * w1 + F.log(F.lit(1.0) - u) * w2
+    folded = (
+        cum.select(
+            "n", "v_min", "v_max",
+            F.struct("val", term.alias("t")).alias("__e"),
+        )
+        .groupBy("n", "v_min", "v_max")
+        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    )
+    s = F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, e: a + e["t"])
+    return folded.select(
+        "n", "v_min", "v_max",
+        (-nd - s / nd).alias("a2_stat"),
+    )
+
+
+def chisq_gof_uniform(
+    df: DataFrame,
+    value_col,
+    n_bands: int,
+) -> DataFrame:
+    """Chi-square goodness-of-fit vs the uniform over ``n_bands``
+    equiprobable bands (values must already BE the band ids,
+    0..n_bands-1) — the binned member of the uniformity battery, and
+    the one with an exact elementary p:
+
+        X^2 = (B / n) SUM_b o_b^2 - n,     df = B - 1
+
+    (empty bands contribute 0 to the sum and are handled by the
+    identity — no dense band table needed). df must be EVEN, so
+    ``n_bands`` must be odd (ValueError otherwise; the caller picks
+    the banding). One grouped count; exact integer sum of squares;
+    fixed p tree rounded by callers.
+
+    Returns one row: (n, n_bands, x2_stat, p_value).
+    """
+    b = int(n_bands)
+    if b < 3 or (b - 1) % 2:
+        raise ValueError(
+            "chisq_gof_uniform needs an odd n_bands >= 3 (even df) for "
+            f"the elementary chi-square p; got {b}"
+        )
+    d38 = "decimal(38,0)"
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = df.groupBy(v.cast("long").alias("band")).agg(
+        F.count("*").cast("long").alias("o")
+    )
+    tot = per.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum((F.col("o").cast(d38) * F.col("o")).cast(d38))
+        .cast(d38)
+        .alias("so2"),
+    )
+    nd = F.col("n").cast("double")
+    x2 = F.lit(float(b)) / nd * F.col("so2").cast("double") - nd
+    # project x2 FIRST so the (b-1)/2-term Horner p-tree references a
+    # plain column, not (b-1)/2 nested copies of the x2 expression —
+    # Catalyst's subexpression elimination blows up on the latter for
+    # wide dfs (measured: codegen OOM at df=100 without the split)
+    staged = tot.select("n", x2.alias("x2_stat"))
+    return staged.select(
+        "n",
+        F.lit(b).cast("long").alias("n_bands"),
+        "x2_stat",
+        chi2_sf_even(F.col("x2_stat"), b - 1).alias("p_value"),
+    )

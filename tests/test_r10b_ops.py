@@ -1483,3 +1483,63 @@ def test_gk_lambda_degenerate_axis_is_null(spark):
     )
     r = gk_lambda(df, "x", "y").collect()[0]
     assert r["lambda_y_given_x"] is None
+
+
+# ---------------------------------------------------------------------------
+# uniformity battery
+
+
+def test_cvm_uniform_matches_reference(spark):
+    from etl_java_spark.operators.experiments import cvm_uniform_test
+
+    vals = [0, 0, 1, 2, 2, 2, 4, 6, 6, 9, 9, 10]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = cvm_uniform_test(df, "v").collect()[0]
+    n = len(vals)
+    lo, hi = min(vals), max(vals)
+    xs = sorted(vals)
+    w2 = 1.0 / (12 * n) + sum(
+        ((x - lo) / (hi - lo) - (2 * (i + 1) - 1) / (2 * n)) ** 2
+        for i, x in enumerate(xs)
+    )
+    assert (r["n"], r["v_min"], r["v_max"]) == (n, lo, hi)
+    assert r["w2_stat"] == pytest.approx(w2, abs=1e-12)
+
+
+def test_anderson_darling_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.experiments import (
+        anderson_darling_uniform,
+    )
+
+    vals = [0, 0, 1, 2, 2, 2, 4, 6, 6, 9, 9, 10]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = anderson_darling_uniform(df, "v").collect()[0]
+    n = len(vals)
+    lo, hi = min(vals), max(vals)
+    xs = sorted(vals)
+    us = [(x - lo + 0.5) / (hi - lo + 1.0) for x in xs]
+    a2 = -n - (1.0 / n) * sum(
+        (2 * (i + 1) - 1) * (m.log(us[i]) + m.log(1 - us[n - 1 - i]))
+        for i in range(n)
+    )
+    assert r["a2_stat"] == pytest.approx(a2, abs=1e-9)
+
+
+def test_chisq_gof_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.experiments import chisq_gof_uniform
+
+    # 3 bands, uneven counts
+    bands = [0] * 10 + [1] * 4 + [2] * 7
+    df = spark.createDataFrame([(b,) for b in bands], "b long")
+    r = chisq_gof_uniform(df, "b", n_bands=3).collect()[0]
+    n = len(bands)
+    so2 = 100 + 16 + 49
+    x2 = 3.0 / n * so2 - n
+    # df = 2: p = exp(-x2/2)
+    assert (r["n"], r["n_bands"]) == (n, 3)
+    assert r["x2_stat"] == pytest.approx(x2, abs=1e-12)
+    assert r["p_value"] == pytest.approx(m.exp(-x2 / 2), rel=1e-12)
+    with pytest.raises(ValueError, match="odd n_bands"):
+        chisq_gof_uniform(df, "b", n_bands=4)
