@@ -2830,3 +2830,57 @@ def weighted_ols(
         b1.alias("beta1"),
         (F.lit(1.0) - sse / sst).alias("r2w"),
     )
+
+
+def corr_fisher_ci(
+    df: DataFrame,
+    x_col,
+    y_col,
+    scale: int = 2,
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Pearson correlation with a Fisher-z confidence interval — the
+    inference upgrade of the point estimate (q280's matrix gives r;
+    this says how sure): z = atanh(r) is approximately normal with
+    SE = 1/sqrt(n-3), and both transforms are elementary —
+
+        atanh(r) = 0.5 ln((1+r)/(1-r))
+        tanh(x)  = (e^{2x} - 1) / (e^{2x} + 1)
+
+    so the whole CI is one ln + two exp in fixed trees (log/exp
+    contract: callers round <= 9).
+
+    Scale: ONE exact-decimal moment pass. Returns one row:
+    (n_rows, r, z_fisher, ci_lo, ci_hi).
+    """
+    d = f"decimal(18,{scale})"
+    x, y = _c(x_col).cast(d), _c(y_col).cast(d)
+    m = df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    r = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    z = F.lit(0.5) * F.log((F.lit(1.0) + r) / (F.lit(1.0) - r))
+    se = F.lit(1.0) / F.sqrt(n - F.lit(3.0))
+    zl = z - F.lit(float(z_crit)) * se
+    zh = z + F.lit(float(z_crit)) * se
+
+    def tanh(col):
+        e2 = F.exp(F.lit(2.0) * col)
+        return (e2 - F.lit(1.0)) / (e2 + F.lit(1.0))
+
+    return m.select(
+        "n_rows",
+        r.alias("r"),
+        z.alias("z_fisher"),
+        tanh(zl).alias("ci_lo"),
+        tanh(zh).alias("ci_hi"),
+    )

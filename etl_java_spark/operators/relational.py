@@ -760,3 +760,89 @@ def topn_with_other(
     return top.select("key", "measure", F.col("rank").cast("long")).unionByName(
         other.select("key", "measure", F.col("rank").cast("long"))
     )
+
+
+def price_index(
+    df: DataFrame,
+    item_col: str,
+    period_col,
+    base_period,
+    curr_period,
+    price_col: str,
+    qty_col: str,
+) -> DataFrame:
+    """Bilateral price indices between two periods over a matched item
+    basket — the Laspeyres / Paasche / Fisher triple every
+    inflation/repricing dashboard starts from:
+
+        L = SUM p1 q0 / SUM p0 q0      (base-period basket)
+        P = SUM p1 q1 / SUM p0 q1      (current basket)
+        F = sqrt(L * P)
+
+    Only items present in BOTH periods enter (matched-basket
+    convention — an unmatched item has no p0 or p1). Prices are UNIT
+    VALUES: p = period revenue / period quantity per item (the
+    standard unit-value-index convention when line rows carry totals,
+    not unit prices). Revenue/quantity aggregates are exact integers;
+    each unit value is one exact ratio; the four basket sums fold in
+    item order (dimension-bounded).
+
+    Scale: one (item, period) grouped integer pass, one self-join on
+    the ITEM table (dimension-sized), one 4-sum aggregate.
+
+    Returns one row: (n_items, laspeyres, paasche, fisher).
+    """
+    p = (F.col(period_col) if isinstance(period_col, str) else period_col)
+    per = (
+        df.withColumn("__per", p)
+        .filter(F.col("__per").isin([base_period, curr_period]))
+        .groupBy(F.col(item_col).alias("item"), "__per")
+        .agg(
+            F.sum(F.col(qty_col).cast("long")).cast("long").alias("q"),
+            F.sum(F.col(price_col).cast("long")).cast("long").alias("rev"),
+        )
+    )
+    b = per.filter(F.col("__per") == F.lit(base_period)).select(
+        "item",
+        F.col("q").alias("q0"),
+        (F.col("rev").cast("double") / F.col("q").cast("double")).alias(
+            "p0"
+        ),
+    )
+    c = per.filter(F.col("__per") == F.lit(curr_period)).select(
+        "item",
+        F.col("q").alias("q1"),
+        (F.col("rev").cast("double") / F.col("q").cast("double")).alias(
+            "p1"
+        ),
+    )
+    j = b.join(c, "item")
+    terms = j.select(
+        F.struct(
+            "item",
+            (F.col("p1") * F.col("q0").cast("double")).alias("l_num"),
+            (F.col("p0") * F.col("q0").cast("double")).alias("l_den"),
+            (F.col("p1") * F.col("q1").cast("double")).alias("p_num"),
+            (F.col("p0") * F.col("q1").cast("double")).alias("p_den"),
+        ).alias("__e")
+    )
+    one = terms.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.array_sort(F.collect_list("__e")).alias("__arr"),
+    )
+
+    def fold(field):
+        return F.aggregate(
+            F.col("__arr"), F.lit(0.0), lambda a, e: a + e[field]
+        )
+
+    # try_divide: an EMPTY matched basket folds to 0.0/0.0 — the
+    # indices are undefined (NULL), not an ANSI raise
+    lasp = F.try_divide(fold("l_num"), fold("l_den"))
+    paas = F.try_divide(fold("p_num"), fold("p_den"))
+    return one.select(
+        "n_items",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        F.sqrt(lasp * paas).alias("fisher"),
+    )

@@ -3849,3 +3849,58 @@ def interarrival_burstiness(
         cv.alias("cv"),
         ((cv - F.lit(1.0)) / (cv + F.lit(1.0))).alias("burstiness"),
     )
+
+
+def overdispersion_test(
+    df: DataFrame,
+    time_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Poisson overdispersion screen for a count series — "is this
+    count KPI Poisson, or clumpier?" (the variance-mean question the
+    i.i.d.-rate assumptions in q441's two-rate test and burn-rate
+    monitors stand on):
+
+        D = (n - 1) s^2 / xbar        (~ chi2 with n-1 df under H0)
+        z = sqrt(2 D) - sqrt(2 (n-1) - 1)
+
+    (the classic sqrt normal approximation for large-df chi-square —
+    no parity constraint, unlike the elementary even-df series);
+    two-sided p from normal_sf; callers round per the contract.
+
+    Scale: one grouped integer pass; fixed sqrt trees. Returns one
+    row: (n_periods, mean_count, var_count, dispersion_index, d_stat,
+    z, p_value).
+    """
+    from .experiments import normal_sf
+
+    d38 = "decimal(38,0)"
+    per = df.groupBy(F.col(time_col).alias("t")).agg(
+        F.sum(F.col(count_col).cast("long")).cast("long").alias("c")
+    )
+    m = per.agg(
+        F.count("*").cast("long").alias("n_periods"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum((F.col("c").cast(d38) * F.col("c")).cast(d38))
+        .cast(d38)
+        .alias("ss"),
+    )
+    n = F.col("n_periods").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = (
+        n * F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (n * (n - F.lit(1.0)))
+    dstat = (n - F.lit(1.0)) * var / mean
+    z = F.sqrt(F.lit(2.0) * dstat) - F.sqrt(
+        F.lit(2.0) * (n - F.lit(1.0)) - F.lit(1.0)
+    )
+    return m.select(
+        "n_periods",
+        mean.alias("mean_count"),
+        var.alias("var_count"),
+        (var / mean).alias("dispersion_index"),
+        dstat.alias("d_stat"),
+        z.alias("z"),
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
+    )

@@ -1543,3 +1543,87 @@ def test_chisq_gof_matches_reference(spark):
     assert r["p_value"] == pytest.approx(m.exp(-x2 / 2), rel=1e-12)
     with pytest.raises(ValueError, match="odd n_bands"):
         chisq_gof_uniform(df, "b", n_bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Fisher-z CI, overdispersion, price indices
+
+
+def test_corr_fisher_ci_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.evaluation import corr_fisher_ci
+
+    rows = [(i, 3 * i + (i * 7) % 11) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = corr_fisher_ci(df, "x", "y", scale=0).collect()[0]
+    n = len(rows)
+    sx = sum(a for a, _ in rows); sy = sum(b for _, b in rows)
+    sxx = sum(a * a for a, _ in rows); sxy = sum(a * b for a, b in rows)
+    syy = sum(b * b for _, b in rows)
+    rr = (sxy - sx * sy / n) / m.sqrt(
+        (sxx - sx * sx / n) * (syy - sy * sy / n)
+    )
+    z = 0.5 * m.log((1 + rr) / (1 - rr))
+    se = 1.0 / m.sqrt(n - 3)
+    zc = 1.959963984540054
+    lo, hi = m.tanh(z - zc * se), m.tanh(z + zc * se)
+    assert r["r"] == pytest.approx(rr, abs=1e-12)
+    assert r["z_fisher"] == pytest.approx(z, abs=1e-12)
+    assert r["ci_lo"] == pytest.approx(lo, abs=1e-9)
+    assert r["ci_hi"] == pytest.approx(hi, abs=1e-9)
+    assert r["ci_lo"] < r["r"] < r["ci_hi"]
+
+
+def test_overdispersion_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.timeseries import overdispersion_test
+
+    # clumpy counts: variance >> mean
+    counts = [1, 0, 0, 12, 1, 0, 15, 0, 1, 0, 20, 2]
+    rows = [(t, c) for t, c in enumerate(counts, start=1)]
+    df = spark.createDataFrame(rows, "t long, c long")
+    r = overdispersion_test(df, "t", "c").collect()[0]
+    n = len(counts)
+    mean = sum(counts) / n
+    var = (n * sum(c * c for c in counts) - sum(counts) ** 2) / (
+        n * (n - 1)
+    )
+    d = (n - 1) * var / mean
+    z = m.sqrt(2 * d) - m.sqrt(2 * (n - 1) - 1)
+    assert r["n_periods"] == n
+    assert r["mean_count"] == pytest.approx(mean, abs=1e-12)
+    assert r["var_count"] == pytest.approx(var, abs=1e-12)
+    assert r["d_stat"] == pytest.approx(d, rel=1e-12)
+    assert r["z"] == pytest.approx(z, abs=1e-12)
+    assert r["dispersion_index"] > 5  # planted clumpiness
+
+
+def test_price_index_matches_reference(spark):
+    import math as m
+    from etl_java_spark.operators.relational import price_index
+
+    # (item, yr, rev, qty): prices roughly double in period 2
+    rows = [
+        (1, 0, 100, 10), (1, 1, 220, 11),
+        (2, 0, 300, 10), (2, 1, 540, 9),
+        (3, 0, 50, 5), (3, 1, 120, 6),
+        (4, 0, 80, 8),            # unmatched -> excluded
+        (5, 1, 90, 9),            # unmatched -> excluded
+    ]
+    df = spark.createDataFrame(rows, "item long, yr long, rev long, "
+                                     "qty long")
+    r = price_index(df, "item", "yr", 0, 1, "rev", "qty").collect()[0]
+    b = {i: (rev / q, q) for i, y, rev, q in rows if y == 0}
+    c = {i: (rev / q, q) for i, y, rev, q in rows if y == 1}
+    items = sorted(set(b) & set(c))
+    lnum = sum(c[i][0] * b[i][1] for i in items)
+    lden = sum(b[i][0] * b[i][1] for i in items)
+    pnum = sum(c[i][0] * c[i][1] for i in items)
+    pden = sum(b[i][0] * c[i][1] for i in items)
+    assert r["n_items"] == 3
+    assert r["laspeyres"] == pytest.approx(lnum / lden, rel=1e-12)
+    assert r["paasche"] == pytest.approx(pnum / pden, rel=1e-12)
+    assert r["fisher"] == pytest.approx(
+        m.sqrt(lnum / lden * (pnum / pden)), rel=1e-12
+    )
+    assert 1.8 < r["fisher"] < 2.4  # planted ~2x inflation
