@@ -3698,6 +3698,7 @@ def bartlett_test(
     df: DataFrame,
     group_col: str,
     value_col,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Bartlett's test for variance homogeneity across k groups — the
     parametric (normality-assuming) sibling of Brown-Forsythe (q423):
@@ -3707,7 +3708,11 @@ def bartlett_test(
 
     p uses the even-df elementary chi-square form, so k must be ODD
     (df = k - 1 even) — ValueError otherwise; the caller picks the
-    grouping.
+    grouping. Pass ``n_groups`` (the known post-NULL-filter group
+    count) to keep plan construction action-free — an in-plan
+    raise_error guard then checks it against the folded k_groups at
+    execution. Without it, a one-off eager distinct count runs over
+    the SAME NULL-filtered frame the aggregate uses.
 
     Scale: ONE grouped exact-integer moment pass; the k-bounded group
     table folds its ln(S_i^2) terms in group order (conditional-
@@ -3766,14 +3771,38 @@ def bartlett_test(
     )
     t = (nk * F.log(sp2) - fold_t) / c
     out = one.select("k_groups", "n_total", t.alias("t_stat"))
-    # df = k - 1 must be even for the elementary p; probe at plan time
-    k = df.select(F.col(group_col)).distinct().count()
+    # df = k - 1 must be even for the elementary p. chi2_sf_even needs
+    # the literal df at plan time: take it from n_groups (action-free)
+    # or, failing that, one eager distinct count over the SAME
+    # NULL-filtered frame the aggregate reads (all-NULL groups must
+    # not inflate k).
+    if n_groups is not None:
+        k = int(n_groups)
+    else:
+        k = (
+            df.filter(v.isNotNull())
+            .select(F.col(group_col))
+            .distinct()
+            .count()
+        )
     if (k - 1) % 2 or k < 3:
         raise ValueError(
             "bartlett_test needs an odd group count >= 3 (even df) for "
             f"the elementary chi-square p; got k={k}"
         )
-    return out.select(
+    t_checked = F.when(F.col("k_groups") == F.lit(k), F.col("t_stat")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"bartlett_test: n_groups={k} != observed "),
+                F.col("k_groups").cast("string"),
+            )
+        )
+    )
+    # project the checked stat as a plain column BEFORE the chi-square
+    # series so codegen never embeds the guard tree per term (q513
+    # codegen lesson)
+    checked = out.select("k_groups", "n_total", t_checked.alias("t_stat"))
+    return checked.select(
         "k_groups",
         "n_total",
         "t_stat",

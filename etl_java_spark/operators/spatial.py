@@ -271,6 +271,7 @@ def nearest_neighbor_join(
     fx_col: str,
     fy_col: str,
     cell: int,
+    exact: bool = False,
 ) -> DataFrame:
     """Nearest-facility assignment: for each point, the closest
     facility by squared Euclidean distance, grid-blocked — the spatial
@@ -286,6 +287,17 @@ def nearest_neighbor_join(
     O(10) candidates. Points whose whole 3x3 neighborhood is empty of
     facilities are absent from the output (MATCHED-ONLY semantics —
     callers needing total coverage widen ``cell``).
+
+    Exactness contract: with ``exact=False`` the result is an
+    APPROXIMATE argmin — it is the true nearest only when that
+    facility lies inside the 3x3 neighborhood; a candidate up to
+    ~2*sqrt(2)*cell away can win over a true nearest sitting just
+    past the neighborhood boundary (~cell+1). ``exact=True`` filters
+    candidates to dist2 <= cell^2, which makes every RETURNED
+    assignment provably the global nearest (any facility within
+    ``cell`` of a point is necessarily inside the 3x3 neighborhood)
+    at the cost of dropping points whose nearest facility is farther
+    than ``cell``.
 
     Determinism: squared distances are exact integers; ties break on
     the smallest facility id via lexicographic struct min.
@@ -327,6 +339,8 @@ def nearest_neighbor_join(
     cand = probe.join(f, ["mx", "my"]).select(
         "pid", F.struct(dist2.cast("long").alias("d2"), F.col("fid").alias("f")).alias("__c")
     )
+    if exact:
+        cand = cand.filter(F.col("__c.d2") <= F.lit(cl * cl))
     best = cand.groupBy("pid").agg(F.min("__c").alias("__b"))
     return best.select(
         "pid",

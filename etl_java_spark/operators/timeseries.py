@@ -2809,6 +2809,9 @@ def max_drawdown(
 
     Returns one row: (n_periods, final_equity_c, peak_equity_c,
     max_drawdown_c, trough_t, peak_at_trough_c, drawdown_frac).
+    drawdown_frac is NULL when the standing peak at the trough is
+    non-positive (a fraction of a <= 0 peak is meaningless; mirrors
+    the oracle's CASE WHEN runpeak > 0 guard).
     """
     w = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -2859,9 +2862,10 @@ def max_drawdown(
         dd.cast("long").alias("max_drawdown_c"),
         F.col("__tr.tt").alias("trough_t"),
         F.col("__tr.rp").alias("peak_at_trough_c"),
-        (dd.cast("double") / F.col("__tr.rp").cast("double")).alias(
-            "drawdown_frac"
-        ),
+        F.when(
+            F.col("__tr.rp") > 0,
+            dd.cast("double") / F.col("__tr.rp").cast("double"),
+        ).alias("drawdown_frac"),
     )
 
 
@@ -3659,8 +3663,11 @@ def ltv_curve(
         ltv(cohort, age) = sum of cohort value in months <= age
                            / cohort size
 
-    Ages beyond ``max_age`` months fold into the last bucket's months
-    but are not emitted (bounded output).
+    Activity beyond ``max_age`` months after first activity is
+    EXCLUDED (the curve is truncated at the horizon, not folded into
+    the last bucket): the cumulative value at the last emitted age
+    covers exactly months 0..max_age. Callers wanting whole-life
+    totals in the tail bucket should clamp the age upstream.
 
     Scale: one (entity) min-month pass, one (cohort, age) grouped
     integer aggregate, and a cumulative window over the
@@ -3808,6 +3815,16 @@ def interarrival_burstiness(
     per-entity day differences (lag over the entity's events), pooled
     per group with exact integer moments; CV/B are fixed
     +,-,*,/,sqrt trees.
+
+    POSITIVE-GAP CONVENTION: the series is day-grained, so zero-day
+    gaps (same-day repeat events) are EXCLUDED from the CV — a zero
+    gap is a sub-resolution tie at this grain, not a measured
+    interarrival, and keeping it would drive mean_gap toward 0 and
+    make CV unstable. Callers who want same-day bursts measured must
+    pre-aggregate to a finer time grain upstream (mirror of the
+    demand-day convention in :func:`safety_stock`); note the
+    exclusion biases B downward for traffic with heavy same-day
+    repetition.
 
     Returns one row per group: (grp, n_gaps, mean_gap, cv,
     burstiness).
