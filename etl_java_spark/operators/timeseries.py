@@ -3921,3 +3921,240 @@ def overdispersion_test(
         z.alias("z"),
         (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    season: int = 12,
+) -> DataFrame:
+    """Rolling-origin backtest of the SEASONAL-NAIVE forecaster over a
+    per-(group, period) integer series — the forecast-accuracy
+    scorecard (MAE / RMSE / MAPE / sMAPE / MASE) every demand-planning
+    pipeline publishes before trusting a model. Seasonal-naive
+    (f_t = a_{t-season}) is the standard benchmark: MASE scales the
+    model error by the in-sample ONE-step naive MAE, so MASE < 1
+    means "beats naive", comparable across series of any magnitude
+    (Hyndman & Koehler 2006 semantics).
+
+    Periods are ROW positions in time order within the group (the
+    series is assumed regular — aggregate to a calendar grain
+    upstream); the first ``season`` rows are warm-up (no forecast) and
+    the MASE denominator averages |a_t - a_{t-1}| over t >= 2.
+
+    Determinism: errors are exact integers, so MAE / RMSE / MASE are
+    fixed ratio/sqrt trees over integer sums. MAPE and sMAPE sum
+    per-row RATIOS of integers (order-dependent in double), so both
+    fold a bounded per-group array in time order (post-aggregate
+    contract: periods per group are calendar-bounded, e.g. ~84 months
+    for 7 years — same family as the EWMA/Holt folds).
+
+    Returns one row per group: (grp, n_periods, n_evals, mae, rmse,
+    mape, smape, mase).
+    """
+    d38 = "decimal(38,0)"
+    w = Window.partitionBy("grp").orderBy("t")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("a"),
+    )
+    lagged = base.select(
+        "grp",
+        "t",
+        "a",
+        F.lag("a", int(season)).over(w).alias("f"),
+        F.lag("a", 1).over(w).alias("prev"),
+    )
+    e = F.col("a") - F.col("f")
+    ae = F.abs(e)
+    denom = (F.abs(F.col("f")) + F.abs(F.col("a"))).cast("double")
+    per = lagged.select(
+        "grp",
+        "t",
+        "a",
+        "f",
+        "prev",
+        F.when(F.col("f").isNotNull(), ae).cast("long").alias("ae"),
+        F.when(F.col("f").isNotNull(), (e.cast(d38) * e).cast(d38)).alias(
+            "se"
+        ),
+        F.when(F.col("prev").isNotNull(), F.abs(F.col("a") - F.col("prev")))
+        .cast("long")
+        .alias("nae"),
+        F.when(
+            F.col("f").isNotNull(),
+            F.struct(
+                F.col("t").alias("k"),
+                F.when(
+                    F.col("a") != 0,
+                    ae.cast("double") / F.abs(F.col("a")).cast("double"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("apr"),
+                F.when(
+                    denom > 0, F.lit(2.0) * ae.cast("double") / denom
+                )
+                .otherwise(F.lit(0.0))
+                .alias("spr"),
+            ),
+        ).alias("__r"),
+    )
+    agg = per.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_periods"),
+        F.count("ae").cast("long").alias("n_evals"),
+        F.sum("ae").cast("long").alias("sae"),
+        F.sum("se").cast(d38).alias("sse"),
+        F.count("nae").cast("long").alias("n_naive"),
+        F.sum("nae").cast("long").alias("snae"),
+        F.array_sort(F.collect_list("__r")).alias("__arr"),
+    )
+    ne = F.col("n_evals").cast("double")
+    mae = F.col("sae").cast("double") / ne
+    rmse = F.sqrt(F.col("sse").cast("double") / ne)
+    mape = (
+        F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, x: a + x["apr"])
+        / ne
+    )
+    smape = (
+        F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, x: a + x["spr"])
+        / ne
+    )
+    naive_mae = F.col("snae").cast("double") / F.col("n_naive").cast(
+        "double"
+    )
+    return agg.select(
+        "grp",
+        "n_periods",
+        "n_evals",
+        mae.alias("mae"),
+        rmse.alias("rmse"),
+        mape.alias("mape"),
+        smape.alias("smape"),
+        F.when(F.col("snae") > 0, mae / naive_mae).alias("mase"),
+    )
+
+
+def newsvendor_policy(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cu: int,
+    co: int,
+) -> DataFrame:
+    """Newsvendor order quantity from an empirical demand sample: per
+    group, the critical-fractile optimum q* = F^-1(cu / (cu + co))
+    over the observed per-period demands (cu = unit underage cost,
+    co = unit overage cost) plus the empirical expected cost at q* —
+    the single-period stocking decision safety_stock's normal
+    approximation sidesteps (this one is distribution-free).
+
+    q* is the k-th smallest demand with k = ceil(n * cu / (cu + co))
+    — EXACT integer rank arithmetic, no float quantile. The rank
+    lookup is a per-group ordered row_number window (periods per
+    group are calendar-bounded — post-aggregate contract), then one
+    broadcast-join back for the cost aggregate: expected cost
+    = (co * sum(max(q*-d, 0)) + cu * sum(max(d-q*, 0))) / n, all
+    integers until the final ratio.
+
+    Ties: k-th order statistic with duplicate demands is still the
+    k-th row in (demand, period-rank) order — deterministic.
+
+    Returns (grp, n_periods, k_rank, q_star, over_units, under_units,
+    exp_cost).
+    """
+    cu_i, co_i = int(cu), int(co)
+    if cu_i <= 0 or co_i <= 0:
+        raise ValueError("cu and co must be positive integers")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("d"),
+    )
+    w = Window.partitionBy("grp").orderBy("d")
+    ranked = base.select(
+        "grp", "d", F.row_number().over(w).alias("rn")
+    )
+    sizes = base.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+    # k = ceil(n * cu / (cu + co)) in pure integers
+    k = F.floor(
+        (F.col("n") * F.lit(cu_i) + F.lit(cu_i + co_i - 1))
+        / F.lit(cu_i + co_i)
+    ).cast("long")
+    pick = sizes.select("grp", "n", k.alias("k_rank"))
+    qstar = (
+        ranked.join(F.broadcast(pick), "grp")
+        .filter(F.col("rn") == F.col("k_rank"))
+        .select("grp", "n", "k_rank", F.col("d").alias("q_star"))
+    )
+    cost = (
+        base.join(F.broadcast(qstar), "grp")
+        .groupBy("grp", "n", "k_rank", "q_star")
+        .agg(
+            F.sum(F.greatest(F.col("q_star") - F.col("d"), F.lit(0)))
+            .cast("long")
+            .alias("over_units"),
+            F.sum(F.greatest(F.col("d") - F.col("q_star"), F.lit(0)))
+            .cast("long")
+            .alias("under_units"),
+        )
+    )
+    return cost.select(
+        "grp",
+        F.col("n").alias("n_periods"),
+        "k_rank",
+        "q_star",
+        "over_units",
+        "under_units",
+        (
+            (
+                F.lit(co_i) * F.col("over_units")
+                + F.lit(cu_i) * F.col("under_units")
+            ).cast("double")
+            / F.col("n").cast("double")
+        ).alias("exp_cost"),
+    )
+
+
+def eoq_policy(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_cost_c: int,
+    holding_cost_c: int,
+) -> DataFrame:
+    """Economic order quantity per group from total observed demand:
+    EOQ = sqrt(2 D K / h) with D the demand sum, K the fixed cost per
+    order (cents) and h the holding cost per unit per horizon (cents)
+    — the classic Wilson lot-size formula, plus the implied order
+    count D / EOQ and the optimal total ordering+holding cost
+    sqrt(2 D K h) over the horizon.
+
+    One map-side-combinable integer aggregate per group; EOQ and the
+    cost readouts are fixed sqrt trees over exact integers.
+
+    Returns (grp, demand, eoq_units, n_orders, cycle_cost_c).
+    """
+    k_i, h_i = int(order_cost_c), int(holding_cost_c)
+    if k_i <= 0 or h_i <= 0:
+        raise ValueError("order and holding costs must be positive")
+    m = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("long").alias("d"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("d").cast("long").alias("demand"))
+    )
+    dd = F.col("demand").cast("double")
+    eoq = F.sqrt(F.lit(2.0) * dd * F.lit(float(k_i)) / F.lit(float(h_i)))
+    return m.select(
+        "grp",
+        "demand",
+        eoq.alias("eoq_units"),
+        (dd / eoq).alias("n_orders"),
+        F.sqrt(F.lit(2.0) * dd * F.lit(float(k_i)) * F.lit(float(h_i))).alias(
+            "cycle_cost_c"
+        ),
+    )

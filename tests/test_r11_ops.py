@@ -128,3 +128,106 @@ def test_bartlett_n_groups_mismatch_raises_in_plan(spark):
     plan = bartlett_test(df, "g", "v", n_groups=5)  # wrong on purpose
     with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
         plan.collect()
+
+
+# ---------------------------------------------------------------------------
+# wave 1: forecast scorecard, newsvendor, EOQ
+
+
+def test_forecast_backtest_matches_reference(spark):
+    import math
+
+    from etl_java_spark.operators.timeseries import forecast_backtest
+
+    vals = [10, 12, 9, 14, 11, 13, 8, 15, 10, 12]
+    rows = [("g", t, v) for t, v in enumerate(vals, start=1)]
+    df = spark.createDataFrame(rows, "grp string, t long, v long")
+    season = 3
+    row = forecast_backtest(df, "grp", "t", "v", season=season).collect()[0]
+
+    evals = [(a, f) for a, f in zip(vals[season:], vals[:-season])]
+    errs = [a - f for a, f in evals]
+    n = len(errs)
+    mae = sum(abs(e) for e in errs) / n
+    rmse = math.sqrt(sum(e * e for e in errs) / n)
+    mape = sum(abs(a - f) / abs(a) for a, f in evals) / n
+    smape = sum(2 * abs(a - f) / (abs(f) + abs(a)) for a, f in evals) / n
+    naive = [abs(b - a) for a, b in zip(vals, vals[1:])]
+    mase = mae / (sum(naive) / len(naive))
+    assert row["n_periods"] == len(vals)
+    assert row["n_evals"] == n
+    assert row["mae"] == pytest.approx(mae, abs=1e-12)
+    assert row["rmse"] == pytest.approx(rmse, abs=1e-12)
+    assert row["mape"] == pytest.approx(mape, abs=1e-12)
+    assert row["smape"] == pytest.approx(smape, abs=1e-12)
+    assert row["mase"] == pytest.approx(mase, abs=1e-12)
+
+
+def test_forecast_backtest_zero_actual_and_flat_series(spark):
+    from etl_java_spark.operators.timeseries import forecast_backtest
+
+    # actual 0 -> mape term contributes 0 by convention; flat series
+    # -> naive MAE 0 -> mase NULL
+    df = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, 5), ("g", 3, 5), ("g", 4, 0)],
+        "grp string, t long, v long",
+    )
+    row = forecast_backtest(df, "grp", "t", "v", season=2).collect()[0]
+    assert row["n_evals"] == 2
+    # errors: t3: 5-5=0; t4: 0-5=-5 -> mae 2.5
+    assert row["mae"] == pytest.approx(2.5, abs=1e-12)
+    assert row["mape"] == pytest.approx(0.0, abs=1e-12)  # 0/5 + skip-zero
+    # naive diffs: 0,0,5 -> mase = 2.5 / (5/3)
+    assert row["mase"] == pytest.approx(1.5, abs=1e-12)
+
+
+def test_newsvendor_policy_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import newsvendor_policy
+
+    demands = [4, 9, 2, 7, 7, 5, 12, 3]
+    df = spark.createDataFrame(
+        [("g", d) for d in demands], "grp string, d long"
+    )
+    cu, co = 3, 1
+    row = newsvendor_policy(df, "grp", "d", cu=cu, co=co).collect()[0]
+    n = len(demands)
+    k = -(-n * cu // (cu + co))  # ceil
+    q = sorted(demands)[k - 1]
+    over = sum(max(q - d, 0) for d in demands)
+    under = sum(max(d - q, 0) for d in demands)
+    assert row["n_periods"] == n
+    assert row["k_rank"] == k
+    assert row["q_star"] == q
+    assert row["over_units"] == over
+    assert row["under_units"] == under
+    assert row["exp_cost"] == pytest.approx(
+        (co * over + cu * under) / n, abs=1e-12
+    )
+
+
+def test_newsvendor_policy_validates_costs(spark):
+    from etl_java_spark.operators.timeseries import newsvendor_policy
+
+    df = spark.createDataFrame([("g", 1)], "grp string, d long")
+    with pytest.raises(ValueError, match="positive"):
+        newsvendor_policy(df, "grp", "d", cu=0, co=1)
+
+
+def test_eoq_policy_matches_reference(spark):
+    import math
+
+    from etl_java_spark.operators.timeseries import eoq_policy
+
+    df = spark.createDataFrame(
+        [("g", 300), ("g", 700)], "grp string, d long"
+    )
+    row = eoq_policy(df, "grp", "d", order_cost_c=200, holding_cost_c=8)
+    r = row.collect()[0]
+    d = 1000
+    eoq = math.sqrt(2 * d * 200 / 8)
+    assert r["demand"] == d
+    assert r["eoq_units"] == pytest.approx(eoq, abs=1e-9)
+    assert r["n_orders"] == pytest.approx(d / eoq, abs=1e-9)
+    assert r["cycle_cost_c"] == pytest.approx(
+        math.sqrt(2 * d * 200 * 8), abs=1e-9
+    )
