@@ -4158,3 +4158,260 @@ def eoq_policy(
             "cycle_cost_c"
         ),
     )
+
+
+def erlang_c_staffing(
+    df: DataFrame,
+    group_col: str,
+    count_col: str,
+    service_time: float,
+    c_max: int = 40,
+    target_wait_prob: float = 0.2,
+) -> DataFrame:
+    """Erlang-C staffing table: per group, the arrival rate over the
+    period rows, the offered load a = lambda * service_time, and the
+    SMALLEST agent count c <= ``c_max`` whose M/M/c probability of
+    wait meets ``target_wait_prob`` — the call-center / worker-pool
+    sizing readout (how many parallel consumers does this queue
+    need?).
+
+    Erlang B runs the classic one-pass recursion B(c) =
+    a B(c-1) / (c + a B(c-1)) from B(0) = 1; Erlang C converts
+    P_wait(c) = c B / (c - a (1 - B)) for c > a (an unstable queue,
+    c <= a, waits with probability 1). The scan is ONE in-row
+    ``aggregate`` fold over sequence(1..c_max) carrying
+    (B, c_star, pw) in a struct — a fixed, engine-identical chain of
+    IEEE +,*,/ ops (the EWMA fold family), evaluated per GROUP row,
+    never a shuffle. lambda is an exact integer ratio
+    (arrivals / n_periods).
+
+    Returns (grp, n_periods, arrivals, lam, offered_load, c_star,
+    wait_prob); c_star / wait_prob are NULL when even c_max misses
+    the target.
+    """
+    cm = int(c_max)
+    if cm < 1:
+        raise ValueError("c_max must be >= 1")
+    s = float(service_time)
+    if s <= 0:
+        raise ValueError("service_time must be positive")
+    tgt = float(target_wait_prob)
+    m = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(count_col).cast("long").alias("c"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_periods"),
+            F.sum("c").cast("long").alias("arrivals"),
+        )
+    )
+    lam = F.col("arrivals").cast("double") / F.col("n_periods").cast(
+        "double"
+    )
+    base = m.select("grp", "n_periods", "arrivals", lam.alias("lam"))
+    a = F.col("lam") * F.lit(s)
+    withload = base.select(
+        "grp", "n_periods", "arrivals", "lam", a.alias("offered_load")
+    )
+
+    def step(acc, c):
+        al = F.col("offered_load")
+        cd = c.cast("double")
+        b = al * acc["b"] / (cd + al * acc["b"])
+        pw = F.when(al < cd, cd * b / (cd - al * (F.lit(1.0) - b))).otherwise(
+            F.lit(1.0)
+        )
+        hit = (acc["cs"] == 0) & (al < cd) & (pw <= F.lit(tgt))
+        return F.struct(
+            b.alias("b"),
+            F.when(hit, c.cast("long")).otherwise(acc["cs"]).alias("cs"),
+            F.when(hit, pw).otherwise(acc["pw"]).alias("pw"),
+        )
+
+    init = F.struct(
+        F.lit(1.0).alias("b"),
+        F.lit(0).cast("long").alias("cs"),
+        F.lit(0.0).alias("pw"),
+    )
+    folded = withload.select(
+        "grp",
+        "n_periods",
+        "arrivals",
+        "lam",
+        "offered_load",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(cm)), init, step
+        ).alias("__f"),
+    )
+    return folded.select(
+        "grp",
+        "n_periods",
+        "arrivals",
+        "lam",
+        "offered_load",
+        F.when(F.col("__f.cs") > 0, F.col("__f.cs")).alias("c_star"),
+        F.when(F.col("__f.cs") > 0, F.col("__f.pw")).alias("wait_prob"),
+    )
+
+
+def little_law_audit(
+    df: DataFrame,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+    window_start: str,
+    window_end: str,
+) -> DataFrame:
+    """Little's-law consistency audit over an interval table: per
+    group, measure L (time-average work-in-progress over a FIXED
+    audit window), lambda (arrival rate into the window) and W (mean
+    residence days of window arrivals), and report L / (lambda W).
+    On a stationary system with no boundary truncation the ratio is
+    exactly 1 (Little's law); the deviation quantifies edge effects
+    and drift — the standard sanity check before trusting
+    queue-length or latency dashboards.
+
+    L integrates per-item overlap with the window
+    (sum of clipped [start, end) day overlaps / window days) — one
+    row-local clip expression + one integer aggregate, NO daily
+    explode, so the cost is item count, not item-days. lambda and W
+    count items ARRIVING inside the window (their full duration, the
+    operational W reading). All sums are exact integers; the three
+    readouts and the ratio are fixed ratio trees.
+
+    Returns (grp, n_arrivals, window_days, l_avg, lam_per_day,
+    w_days, little_ratio).
+    """
+    ws = F.lit(window_start).cast("date")
+    we = F.lit(window_end).cast("date")
+    wdays = F.datediff(we, ws) + 1
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(start_col).cast("date").alias("s"),
+        F.col(end_col).cast("date").alias("e"),
+    ).filter(F.col("e") >= F.col("s"))
+    ov = (
+        F.datediff(F.least(F.col("e"), we), F.greatest(F.col("s"), ws))
+        + 1
+    )
+    arrived = (F.col("s") >= ws) & (F.col("s") <= we)
+    per = base.select(
+        "grp",
+        F.greatest(ov, F.lit(0)).cast("long").alias("ov"),
+        F.when(arrived, 1).otherwise(0).cast("long").alias("arr"),
+        F.when(arrived, F.datediff(F.col("e"), F.col("s")) + 1)
+        .cast("long")
+        .alias("dur"),
+    )
+    agg = per.groupBy("grp").agg(
+        F.sum("arr").cast("long").alias("n_arrivals"),
+        F.sum("ov").cast("long").alias("sov"),
+        F.sum("dur").cast("long").alias("sdur"),
+    )
+    wd = wdays.cast("double")
+    l_avg = F.col("sov").cast("double") / wd
+    lam = F.col("n_arrivals").cast("double") / wd
+    w = F.col("sdur").cast("double") / F.col("n_arrivals").cast("double")
+    return agg.select(
+        "grp",
+        "n_arrivals",
+        wdays.cast("long").alias("window_days"),
+        l_avg.alias("l_avg"),
+        lam.alias("lam_per_day"),
+        w.alias("w_days"),
+        (l_avg / (lam * w)).alias("little_ratio"),
+    )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch-Slack): the MK sign
+    statistic computed WITHIN each calendar month across years, then
+    summed — so a 12-month seasonal cycle cannot masquerade as (or
+    mask) a monotone multi-year trend the plain MK (q409) would
+    misread:
+
+        S = SUM_m SUM_{i<j} sign(v_{m,j} - v_{m,i})
+        Var = SUM_m [n_m (n_m-1)(2 n_m+5) - SUM_t t(t-1)(2t+5)] / 18
+        Z = (S -/+ 1) / sqrt(Var)   (continuity-corrected)
+
+    The pairwise comparison is a per-season (year_i < year_j)
+    self-join — bounded at (years choose 2) x 12 pairs, a metadata
+    table for any calendar span (7 years = 252 pairs). S and the
+    Var numerator (x18) are exact integers; z/p are fixed trees with
+    p = 2 normal_sf(|z|).
+
+    Expects one row per (month, year) — aggregate upstream. Returns
+    one row: (n_seasons, n_pairs, s_stat, var_num18, z, p_value).
+    """
+    from .experiments import normal_sf
+
+    base = df.select(
+        F.month(F.col(time_col)).cast("long").alias("m"),
+        F.year(F.col(time_col)).cast("long").alias("y"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.m") == F.col("b.m")) & (F.col("a.y") < F.col("b.y")),
+    ).select(
+        F.signum((F.col("b.v") - F.col("a.v")).cast("double"))
+        .cast("long")
+        .alias("sgn")
+    )
+    sagg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("sgn").cast("long").alias("s_stat"),
+    )
+    nm = base.groupBy("m").agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        base.groupBy("m", "v")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.col("t")
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tcorr")
+        )
+    )
+    var_m = nm.join(ties, "m", "left").select(
+        "m",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.coalesce(F.col("tcorr"), F.lit(0))
+        )
+        .cast("long")
+        .alias("vn18"),
+    )
+    vagg = var_m.agg(
+        F.count("*").cast("long").alias("n_seasons"),
+        F.sum("vn18").cast("long").alias("var_num18"),
+    )
+    one = sagg.crossJoin(F.broadcast(vagg))
+    sd = F.col("s_stat").cast("double")
+    var = F.col("var_num18").cast("double") / F.lit(18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (sd + F.lit(1.0)) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return one.select(
+        "n_seasons",
+        "n_pairs",
+        "s_stat",
+        "var_num18",
+        z.alias("z"),
+        (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
+    )

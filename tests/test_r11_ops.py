@@ -231,3 +231,131 @@ def test_eoq_policy_matches_reference(spark):
     assert r["cycle_cost_c"] == pytest.approx(
         math.sqrt(2 * d * 200 * 8), abs=1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 2: Erlang-C staffing, Little's law, seasonal Mann-Kendall
+
+
+def test_erlang_c_staffing_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import erlang_c_staffing
+
+    counts = [3, 5, 2, 4, 6, 4]  # arrivals per period
+    df = spark.createDataFrame(
+        [("g", c) for c in counts], "grp string, c long"
+    )
+    s_time, c_max, tgt = 1.5, 30, 0.2
+    row = erlang_c_staffing(
+        df, "grp", "c", service_time=s_time, c_max=c_max,
+        target_wait_prob=tgt,
+    ).collect()[0]
+    lam = sum(counts) / len(counts)
+    a = lam * s_time
+    b = 1.0
+    c_star = pw_star = None
+    for c in range(1, c_max + 1):
+        b = a * b / (c + a * b)
+        pw = c * b / (c - a * (1.0 - b)) if a < c else 1.0
+        if c_star is None and a < c and pw <= tgt:
+            c_star, pw_star = c, pw
+    assert row["lam"] == pytest.approx(lam, abs=1e-15)
+    assert row["offered_load"] == pytest.approx(a, abs=1e-15)
+    assert row["c_star"] == c_star
+    assert row["wait_prob"] == pytest.approx(pw_star, abs=1e-12)
+
+
+def test_erlang_c_unreachable_target_is_null(spark):
+    from etl_java_spark.operators.timeseries import erlang_c_staffing
+
+    df = spark.createDataFrame([("g", 100)], "grp string, c long")
+    row = erlang_c_staffing(
+        df, "grp", "c", service_time=1.0, c_max=5,
+        target_wait_prob=0.2,
+    ).collect()[0]  # offered load 100 >> 5 agents
+    assert row["c_star"] is None
+    assert row["wait_prob"] is None
+
+
+def test_little_law_audit_matches_reference(spark):
+    import datetime as dt
+
+    from etl_java_spark.operators.timeseries import little_law_audit
+
+    d = dt.date
+    ivals = [
+        # (start, end): one fully inside, one straddling the left
+        # edge, one straddling the right edge, one outside-before
+        (d(2020, 1, 10), d(2020, 1, 19)),
+        (d(2019, 12, 25), d(2020, 1, 5)),
+        (d(2020, 1, 28), d(2020, 2, 10)),
+        (d(2019, 11, 1), d(2019, 11, 30)),
+    ]
+    df = spark.createDataFrame(
+        [("g", s, e) for s, e in ivals], "grp string, s date, e date"
+    )
+    ws, we = d(2020, 1, 1), d(2020, 1, 31)
+    row = little_law_audit(
+        df, "grp", "s", "e", "2020-01-01", "2020-01-31"
+    ).collect()[0]
+    wdays = (we - ws).days + 1
+    ov = sum(
+        max((min(e, we) - max(s, ws)).days + 1, 0) for s, e in ivals
+    )
+    arrivals = [(s, e) for s, e in ivals if ws <= s <= we]
+    sdur = sum((e - s).days + 1 for s, e in arrivals)
+    l_avg = ov / wdays
+    lam = len(arrivals) / wdays
+    w = sdur / len(arrivals)
+    assert row["n_arrivals"] == len(arrivals)
+    assert row["window_days"] == wdays
+    assert row["l_avg"] == pytest.approx(l_avg, abs=1e-12)
+    assert row["lam_per_day"] == pytest.approx(lam, abs=1e-12)
+    assert row["w_days"] == pytest.approx(w, abs=1e-12)
+    assert row["little_ratio"] == pytest.approx(
+        l_avg / (lam * w), abs=1e-12
+    )
+
+
+def test_seasonal_mann_kendall_matches_reference(spark):
+    import datetime as dt
+    import math
+
+    from etl_java_spark.operators.timeseries import seasonal_mann_kendall
+
+    # 3 months x 4 years, upward trend with a tie in month 2
+    series = {
+        (1, 2019): 10, (1, 2020): 12, (1, 2021): 15, (1, 2022): 14,
+        (2, 2019): 8, (2, 2020): 8, (2, 2021): 11, (2, 2022): 13,
+        (3, 2019): 20, (3, 2020): 22, (3, 2021): 21, (3, 2022): 25,
+    }
+    rows = [
+        ("x", dt.date(y, m, 1), v) for (m, y), v in series.items()
+    ]
+    df = spark.createDataFrame(rows, "pad string, t date, v long")
+    row = seasonal_mann_kendall(df, "t", "v").collect()[0]
+
+    s = n_pairs = 0
+    vn18 = 0
+    for m in (1, 2, 3):
+        vals = [series[(m, y)] for y in (2019, 2020, 2021, 2022)]
+        n = len(vals)
+        for i in range(n):
+            for j in range(i + 1, n):
+                n_pairs += 1
+                s += (vals[j] > vals[i]) - (vals[j] < vals[i])
+        ties: dict[int, int] = {}
+        for v in vals:
+            ties[v] = ties.get(v, 0) + 1
+        tcorr = sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+        )
+        vn18 += n * (n - 1) * (2 * n + 5) - tcorr
+    var = vn18 / 18.0
+    z = (s - 1) / math.sqrt(var) if s > 0 else (
+        (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    )
+    assert row["n_seasons"] == 3
+    assert row["n_pairs"] == n_pairs
+    assert row["s_stat"] == s
+    assert row["var_num18"] == vn18
+    assert row["z"] == pytest.approx(z, abs=1e-12)
