@@ -2403,3 +2403,134 @@ def process_capability(
         "grp", "n", mu.alias("mu"), sigma.alias("sigma"),
         cp.alias("cp"), cpk.alias("cpk"),
     )
+
+
+def dagostino_k2(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """D'Agostino-Pearson K^2 omnibus normality test per group — the
+    finite-sample-calibrated upgrade of Jarque-Bera (JB's chi2
+    approximation is notoriously slow to converge; K^2 normalizes
+    skewness and kurtosis SEPARATELY with their exact small-sample
+    transforms, then sums the squares):
+
+        Z1 = delta * asinh(Y / alpha)          (D'Agostino 1970)
+        Z2 = Anscombe-Glynn cube-root normal   (1983)
+        K2 = Z1^2 + Z2^2  ~  chi2(2)  ->  p = exp(-K2/2)
+
+    Moments are EXACT integer power sums (the skew_kurtosis S1..S4
+    discipline — quantize the metric upstream); every transform is a
+    fixed tree of +,-,*,/, sqrt, ln, exp (asinh spelled as
+    ln(y + sqrt(y^2+1)), the cube root as sign * exp(ln|t|/3)), so
+    both engines evaluate the identical expression chain; df=2 is
+    even, so p is elementary. Callers round at <= 9 per the log/exp
+    contract.
+
+    Returns one row per group: (grp, n, skewness, kurtosis, z_skew,
+    z_kurt, k2_stat, p_value).
+    """
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast(d38)
+    per = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(v).cast(d38).alias("s1"),
+            F.sum((v * v).cast(d38)).cast(d38).alias("s2"),
+            F.sum(((v * v).cast(d38) * v).cast(d38)).cast(d38).alias("s3"),
+            F.sum(((v * v).cast(d38) * (v * v).cast(d38)).cast(d38))
+            .cast(d38)
+            .alias("s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mean * mean
+    m3 = (
+        F.col("s3").cast("double") / n
+        - F.lit(3.0) * mean * (F.col("s2").cast("double") / n)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - F.lit(4.0) * mean * (F.col("s3").cast("double") / n)
+        + F.lit(6.0) * mean * mean * (F.col("s2").cast("double") / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    b2 = m4 / (m2 * m2)
+    # --- Z1: D'Agostino skewness transform
+    yy = g1 * F.sqrt(
+        (n + F.lit(1.0)) * (n + F.lit(3.0))
+        / (F.lit(6.0) * (n - F.lit(2.0)))
+    )
+    beta2 = (
+        F.lit(3.0)
+        * (n * n + F.lit(27.0) * n - F.lit(70.0))
+        * (n + F.lit(1.0))
+        * (n + F.lit(3.0))
+        / (
+            (n - F.lit(2.0))
+            * (n + F.lit(5.0))
+            * (n + F.lit(7.0))
+            * (n + F.lit(9.0))
+        )
+    )
+    w2 = F.lit(-1.0) + F.sqrt(F.lit(2.0) * (beta2 - F.lit(1.0)))
+    delta = F.lit(1.0) / F.sqrt(F.lit(0.5) * F.log(w2))
+    alpha = F.sqrt(F.lit(2.0) / (w2 - F.lit(1.0)))
+    ya = yy / alpha
+    z1 = delta * F.log(ya + F.sqrt(ya * ya + F.lit(1.0)))
+    # --- Z2: Anscombe-Glynn kurtosis transform
+    eb2 = F.lit(3.0) * (n - F.lit(1.0)) / (n + F.lit(1.0))
+    vb2 = (
+        F.lit(24.0)
+        * n
+        * (n - F.lit(2.0))
+        * (n - F.lit(3.0))
+        / (
+            (n + F.lit(1.0))
+            * (n + F.lit(1.0))
+            * (n + F.lit(3.0))
+            * (n + F.lit(5.0))
+        )
+    )
+    xs = (b2 - eb2) / F.sqrt(vb2)
+    sb1 = (
+        F.lit(6.0)
+        * (n * n - F.lit(5.0) * n + F.lit(2.0))
+        / ((n + F.lit(7.0)) * (n + F.lit(9.0)))
+        * F.sqrt(
+            F.lit(6.0)
+            * (n + F.lit(3.0))
+            * (n + F.lit(5.0))
+            / (n * (n - F.lit(2.0)) * (n - F.lit(3.0)))
+        )
+    )
+    aa = F.lit(6.0) + F.lit(8.0) / sb1 * (
+        F.lit(2.0) / sb1
+        + F.sqrt(F.lit(1.0) + F.lit(4.0) / (sb1 * sb1))
+    )
+    tt = (F.lit(1.0) - F.lit(2.0) / aa) / (
+        F.lit(1.0) + xs * F.sqrt(F.lit(2.0) / (aa - F.lit(4.0)))
+    )
+    cbrt = F.signum(tt) * F.exp(F.log(F.abs(tt)) / F.lit(3.0))
+    z2 = (
+        (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * aa)) - cbrt
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * aa))
+    k2 = z1 * z1 + z2 * z2
+    return per.select(
+        "grp",
+        "n",
+        g1.alias("skewness"),
+        b2.alias("kurtosis"),
+        z1.alias("z_skew"),
+        z2.alias("z_kurt"),
+        k2.alias("k2_stat"),
+        F.exp(F.lit(-0.5) * k2).alias("p_value"),
+    )

@@ -2884,3 +2884,175 @@ def corr_fisher_ci(
         tanh(zl).alias("ci_lo"),
         tanh(zh).alias("ci_hi"),
     )
+
+
+def breusch_pagan(
+    df: DataFrame,
+    y_col,
+    x_col,
+    resid_scale: int = 6,
+) -> DataFrame:
+    """Breusch-Pagan (Koenker) heteroscedasticity test for the
+    single-regressor OLS: fit y = b0 + b1 x, then regress the SQUARED
+    residuals on x and read
+
+        LM = n * R2_aux   (~ chi2 with 1 df under homoscedasticity)
+
+    — the formal-p companion of :func:`goldfeld_quandt` (which needs
+    a regime split; BP tests the x-linked variance drift directly).
+
+    Determinism contract: y and x must be INTEGER-valued (quantize
+    upstream — the exact-moment contract), so the first-stage
+    coefficients are fixed double trees over exact integer moments.
+    The squared residual z_i = (y_i - b0 - b1 x_i)^2 is a per-row
+    fixed double tree QUANTIZED to ``resid_scale`` decimals as
+    integer micro-units (explicit ROUND, both engines half-away at
+    the same grid), so every auxiliary moment (z, x z, z^2) is an
+    exact decimal(38,0) integer sum — order-independent. p for the
+    odd df=1 via 2 * normal_sf(sqrt(LM)).
+
+    Returns one row: (n_rows, b0, b1, r2_aux, lm_stat, p_value).
+    """
+    from .experiments import normal_sf
+
+    d38 = "decimal(38,0)"
+    mul = 10 ** int(resid_scale)
+    y = _c(y_col).cast("long")
+    x = _c(x_col).cast("long")
+    base = df.select(y.alias("__y"), x.alias("__x"))
+    m = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("sx"),
+        F.sum("__y").cast("long").alias("sy"),
+        F.sum((F.col("__x").cast(d38) * F.col("__x")).cast(d38))
+        .cast(d38)
+        .alias("sxx"),
+        F.sum((F.col("__x").cast(d38) * F.col("__y")).cast(d38))
+        .cast(d38)
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    b1 = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    b0 = (F.col("sy").cast("double") - b1 * F.col("sx").cast("double")) / nd
+    co = m.select("n", "sx", "sxx", b0.alias("b0"), b1.alias("b1"))
+    e = (
+        F.col("__y").cast("double")
+        - F.col("b0")
+        - F.col("b1") * F.col("__x").cast("double")
+    )
+    zmic = F.round(e * e * F.lit(float(mul)), 0).cast(d38)
+    per = base.crossJoin(F.broadcast(co)).select(
+        "n", "sx", "sxx", "b0", "b1", "__x", zmic.alias("__z")
+    )
+    aux = per.groupBy("n", "sx", "sxx", "b0", "b1").agg(
+        F.sum("__z").cast(d38).alias("sz"),
+        F.sum((F.col("__x").cast(d38) * F.col("__z")).cast(d38))
+        .cast(d38)
+        .alias("sxz"),
+        F.sum((F.col("__z") * F.col("__z")).cast(d38))
+        .cast(d38)
+        .alias("szz"),
+    )
+    nd2 = F.col("n").cast("double")
+    cov = nd2 * F.col("sxz").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sz").cast("double")
+    vx = nd2 * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vz = nd2 * F.col("szz").cast("double") - F.col("sz").cast(
+        "double"
+    ) * F.col("sz").cast("double")
+    # R2 is scale-free in z: the micro-unit factor appears squared in
+    # both cov^2 and vz, so no rescaling is needed
+    r2 = cov * cov / (vx * vz)
+    lm = nd2 * r2
+    return aux.select(
+        F.col("n").alias("n_rows"),
+        "b0",
+        "b1",
+        r2.alias("r2_aux"),
+        lm.alias("lm_stat"),
+        (F.lit(2.0) * normal_sf(F.sqrt(lm))).alias("p_value"),
+    )
+
+
+def arch_lm_test(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Engle's ARCH(1) LM test on a period series: do squared
+    deviations cluster in time (volatility bursts), violating the
+    constant-variance reading every z-score / control-band monitor
+    assumes?  Mean-model residuals are the N-SCALED integer
+    deviations d_t = n v_t - S (exact — no float mean subtraction);
+    the test regresses z_t = d_t^2 on z_{t-1} and reads
+
+        LM = m * R2    (m = n - 1 lagged pairs; ~ chi2(1) under H0)
+
+    ALL five auxiliary moments are exact decimal(38,0) integer sums
+    (d^4 for a daily count series is ~1e30 — safely inside 38
+    digits); R2/LM are fixed double trees and p = 2 normal_sf(
+    sqrt(LM)) for the odd df. One lag window over the period table
+    (calendar-bounded, post-aggregate contract).
+
+    Returns one row: (n_periods, n_pairs, r2_aux, lm_stat, p_value).
+    """
+    from .experiments import normal_sf
+
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+    )
+    z = (
+        (F.col("n") * F.col("v") - F.col("s")).cast(d38)
+        * (F.col("n") * F.col("v") - F.col("s")).cast(d38)
+    ).cast(d38)
+    w = Window.orderBy("t")
+    per = (
+        base.crossJoin(F.broadcast(tot))
+        .select("t", "n", z.alias("z"))
+        .select("t", "n", "z", F.lag("z", 1).over(w).alias("zl"))
+        .filter(F.col("zl").isNotNull())
+    )
+    aux = per.groupBy("n").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("z").cast(d38).alias("sz"),
+        F.sum("zl").cast(d38).alias("szl"),
+        F.sum((F.col("z") * F.col("zl")).cast(d38)).cast(d38).alias("szzl"),
+        F.sum((F.col("z") * F.col("z")).cast(d38)).cast(d38).alias("szz"),
+        F.sum((F.col("zl") * F.col("zl")).cast(d38))
+        .cast(d38)
+        .alias("szlzl"),
+    )
+    md = F.col("m").cast("double")
+    cov = md * F.col("szzl").cast("double") - F.col("szl").cast(
+        "double"
+    ) * F.col("sz").cast("double")
+    vx = md * F.col("szlzl").cast("double") - F.col("szl").cast(
+        "double"
+    ) * F.col("szl").cast("double")
+    vy = md * F.col("szz").cast("double") - F.col("sz").cast(
+        "double"
+    ) * F.col("sz").cast("double")
+    r2 = cov * cov / (vx * vy)
+    lm = md * r2
+    return aux.select(
+        F.col("n").alias("n_periods"),
+        F.col("m").alias("n_pairs"),
+        r2.alias("r2_aux"),
+        lm.alias("lm_stat"),
+        (F.lit(2.0) * normal_sf(F.sqrt(lm))).alias("p_value"),
+    )

@@ -359,3 +359,118 @@ def test_seasonal_mann_kendall_matches_reference(spark):
     assert row["s_stat"] == s
     assert row["var_num18"] == vn18
     assert row["z"] == pytest.approx(z, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# wave 3: regression diagnostics
+
+
+def test_breusch_pagan_matches_reference(spark):
+    from etl_java_spark.operators.evaluation import breusch_pagan
+
+    # variance grows with x -> LM should be clearly positive
+    pts = [
+        (1, 10), (1, 11), (1, 9), (2, 22), (2, 18), (2, 20),
+        (3, 35), (3, 24), (3, 31), (4, 50), (4, 30), (4, 40),
+    ]
+    df = spark.createDataFrame(
+        [(x, y) for x, y in pts], "x long, y long"
+    )
+    row = breusch_pagan(df, "y", "x", resid_scale=6).collect()[0]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b0 = (sy - b1 * sx) / n
+    zm = [round((y - b0 - b1 * x) ** 2 * 1e6) for x, y in pts]
+    sz = sum(zm)
+    sxz = sum(x * z for (x, _), z in zip(pts, zm))
+    szz = sum(z * z for z in zm)
+    cov = n * sxz - sx * sz
+    vx = n * sxx - sx * sx
+    vz = n * szz - sz * sz
+    r2 = cov * cov / (vx * vz)
+    assert row["n_rows"] == n
+    assert row["b0"] == pytest.approx(b0, abs=1e-9)
+    assert row["b1"] == pytest.approx(b1, abs=1e-9)
+    assert row["r2_aux"] == pytest.approx(r2, rel=1e-9)
+    assert row["lm_stat"] == pytest.approx(n * r2, rel=1e-9)
+    assert row["lm_stat"] > 1.0  # planted heteroscedasticity registers
+
+
+def test_arch_lm_matches_reference(spark):
+    from etl_java_spark.operators.evaluation import arch_lm_test
+
+    vals = [5, 9, 2, 8, 3, 9, 1, 7, 4, 6]
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals, 1)], "t long, v long"
+    )
+    row = arch_lm_test(df, "t", "v").collect()[0]
+    n = len(vals)
+    s = sum(vals)
+    z = [(n * v - s) ** 2 for v in vals]
+    pairs = list(zip(z[:-1], z[1:]))
+    m = len(pairs)
+    szl = sum(a for a, _ in pairs)
+    sz = sum(b for _, b in pairs)
+    szzl = sum(a * b for a, b in pairs)
+    szlzl = sum(a * a for a, _ in pairs)
+    szz = sum(b * b for _, b in pairs)
+    cov = m * szzl - szl * sz
+    r2 = cov * cov / ((m * szlzl - szl * szl) * (m * szz - sz * sz))
+    assert row["n_periods"] == n
+    assert row["n_pairs"] == m
+    assert row["r2_aux"] == pytest.approx(r2, rel=1e-12)
+    assert row["lm_stat"] == pytest.approx(m * r2, rel=1e-12)
+
+
+def test_dagostino_k2_matches_reference(spark):
+    import math
+
+    from etl_java_spark.operators.dq import dagostino_k2
+
+    vals = [3, 7, 8, 5, 12, 6, 9, 4, 11, 5, 6, 8, 30, 7, 5, 9, 6, 7,
+            10, 4, 8, 6]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v long"
+    )
+    row = dagostino_k2(df, "grp", "v").collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum(v * v for v in vals) / n - mean * mean
+    m3 = (sum(v ** 3 for v in vals) / n
+          - 3 * mean * (sum(v * v for v in vals) / n)
+          + 2 * mean ** 3)
+    m4 = (sum(v ** 4 for v in vals) / n
+          - 4 * mean * (sum(v ** 3 for v in vals) / n)
+          + 6 * mean * mean * (sum(v * v for v in vals) / n)
+          - 3 * mean ** 4)
+    g1 = m3 / m2 ** 1.5
+    b2 = m4 / (m2 * m2)
+    yy = g1 * math.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    beta2 = (3 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+             / ((n - 2) * (n + 5) * (n + 7) * (n + 9)))
+    w2 = -1 + math.sqrt(2 * (beta2 - 1))
+    delta = 1 / math.sqrt(0.5 * math.log(w2))
+    ya = yy / math.sqrt(2 / (w2 - 1))
+    z1 = delta * math.log(ya + math.sqrt(ya * ya + 1))
+    eb2 = 3 * (n - 1) / (n + 1)
+    vb2 = 24 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    xs = (b2 - eb2) / math.sqrt(vb2)
+    sb1 = (6 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+           * math.sqrt(6 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))))
+    aa = 6 + 8 / sb1 * (2 / sb1 + math.sqrt(1 + 4 / (sb1 * sb1)))
+    tt = (1 - 2 / aa) / (1 + xs * math.sqrt(2 / (aa - 4)))
+    cbrt = math.copysign(abs(tt) ** (1 / 3), tt)
+    z2 = ((1 - 2 / (9 * aa)) - cbrt) / math.sqrt(2 / (9 * aa))
+    assert row["n"] == n
+    assert row["skewness"] == pytest.approx(g1, abs=1e-10)
+    assert row["kurtosis"] == pytest.approx(b2, abs=1e-10)
+    assert row["z_skew"] == pytest.approx(z1, abs=1e-9)
+    assert row["z_kurt"] == pytest.approx(z2, abs=1e-9)
+    assert row["k2_stat"] == pytest.approx(z1 * z1 + z2 * z2, abs=1e-8)
+    assert row["p_value"] == pytest.approx(
+        math.exp(-0.5 * (z1 * z1 + z2 * z2)), abs=1e-10
+    )
