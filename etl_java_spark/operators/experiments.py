@@ -3997,3 +3997,128 @@ def chisq_gof_uniform(
         "x2_stat",
         chi2_sf_even(F.col("x2_stat"), b - 1).alias("p_value"),
     )
+
+
+def bayes_ab_beta(
+    df: DataFrame,
+    variant_col: str,
+    success_col,
+    variant_a,
+    variant_b,
+    prior_alpha: int = 1,
+    prior_beta: int = 1,
+    max_terms: int = 500_000,
+) -> DataFrame:
+    """EXACT Bayesian A/B readout for a binary metric: with
+    independent Beta(prior_alpha + conv, prior_beta + n - conv)
+    posteriors for the two variants, the probability that B's true
+    rate exceeds A's has the closed form (integer parameters)
+
+        P(pB > pA) = SUM_{i=0}^{aB-1} B(aA+i, bA+bB)
+                     / ((bB+i) B(1+i, bB) B(aA, bA))
+
+    Evaluated WITHOUT any gamma/log-gamma call: the leading term
+    t_0 = prod_{j=0}^{bB-1} (bA+j)/(aA+bA+j) and the ratio
+
+        t_{i+1}/t_i = (aA+i)/(aA+i+bA+bB)
+                      * (bB+i)/(bB+i+1) * (1+i+bB)/(1+i)
+
+    are pure rationals, so the whole probability is two in-row
+    ``aggregate`` folds over integer sequences — a fixed IEEE
+    +,*,/ chain both engines replay bit-for-bit (terms that
+    underflow to 0 do so identically). This is the exact posterior
+    readout the normal-approximation z-test (q278) and bootstrap
+    (q279) only approximate.
+
+    Scale: ONE grouped integer aggregate over the data; the fold
+    length is bB + aB ≈ posterior B trials — in-row sequential work,
+    so guard decision readouts with ``max_terms`` (raise rather than
+    silently burn minutes on a billion-trial variant; aggregate or
+    subsample upstream for those — at that scale P is 0/1 anyway).
+
+    Returns one row: (n_a, conv_a, n_b, conv_b, mean_a, mean_b,
+    prob_b_gt_a).
+    """
+    v = F.col(variant_col)
+    s = (
+        F.col(success_col)
+        if isinstance(success_col, str)
+        else success_col
+    ).cast("long")
+    agg = df.filter(v.isin([variant_a, variant_b])).agg(
+        F.count(F.when(v == variant_a, 1)).cast("long").alias("n_a"),
+        F.sum(F.when(v == variant_a, s)).cast("long").alias("conv_a"),
+        F.count(F.when(v == variant_b, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(v == variant_b, s)).cast("long").alias("conv_b"),
+    )
+    pa, pb = int(prior_alpha), int(prior_beta)
+    if pa < 1 or pb < 1:
+        raise ValueError("priors must be positive integers")
+    aA = (F.lit(pa) + F.col("conv_a")).cast("long")
+    bA = (F.lit(pb) + F.col("n_a") - F.col("conv_a")).cast("long")
+    aB = (F.lit(pa) + F.col("conv_b")).cast("long")
+    bB = (F.lit(pb) + F.col("n_b") - F.col("conv_b")).cast("long")
+    par = agg.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        aA.alias("aa"), bA.alias("ba"), aB.alias("ab"), bB.alias("bb"),
+    )
+    guard = F.when(
+        (F.col("ab") + F.col("bb")) <= F.lit(int(max_terms)),
+        F.lit(1),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("bayes_ab_beta: fold length exceeds max_terms="),
+                F.lit(str(int(max_terms))),
+            )
+        )
+    )
+    aad = F.col("aa").cast("double")
+    bad = F.col("ba").cast("double")
+    bbd = F.col("bb").cast("double")
+    t0 = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), F.col("bb") - 1),
+        F.lit(1.0),
+        lambda acc, j: acc
+        * ((bad + j.cast("double")) / (aad + bad + j.cast("double"))),
+    )
+    # fold i = 0 .. aB-2: carry (p, t); t_{i+1} = t_i * r_i
+    def step(acc, i):
+        idx = i.cast("double")
+        t_new = (
+            acc["t"]
+            * ((aad + idx) / (aad + idx + bad + bbd))
+            * ((bbd + idx) / (bbd + idx + F.lit(1.0)))
+            * ((F.lit(1.0) + idx + bbd) / (F.lit(1.0) + idx))
+        )
+        return F.struct(
+            (acc["p"] + t_new).alias("p"), t_new.alias("t")
+        )
+
+    with_t0 = par.select(
+        "*", (t0 * guard.cast("double")).alias("__t0")
+    )
+    # ab = 1 would make the end bound -1 (Spark sequence turns
+    # DESCENDING and the i = -1 step divides by zero under ANSI);
+    # clamp to one harmless step and let the F.when below discard it
+    folded = F.aggregate(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.greatest(F.col("ab") - 2, F.lit(0).cast("long")),
+        ),
+        F.struct(F.col("__t0").alias("p"), F.col("__t0").alias("t")),
+        step,
+    )
+    prob = F.when(F.col("ab") >= 2, folded["p"]).otherwise(
+        F.col("__t0")
+    )
+    out = with_t0.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        (F.col("aa").cast("double") / (aad + bad)).alias("mean_a"),
+        (
+            F.col("ab").cast("double")
+            / (F.col("ab") + F.col("bb")).cast("double")
+        ).alias("mean_b"),
+        prob.alias("prob_b_gt_a"),
+    )
+    return out

@@ -1119,3 +1119,153 @@ def katz_centrality(
         )
         xs = ckpt(xs)
     return xs.select("node", F.col("x").alias("katz"))
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Harmonic centrality of a SEED set over the undirected graph,
+    exact within a ``max_hops`` horizon:
+
+        H(seed) = SUM over reached nodes u != seed of 1 / d(seed, u)
+
+    — the centrality that stays finite on disconnected graphs (its
+    selling point over closeness) and, truncated at a fixed hop
+    budget, the standard approximation for massive graphs (beyond
+    ~4 hops the 1/d tail adds almost nothing). Per-seed exactness
+    needs a LABELED multi-source BFS — frontier keyed by (seed,
+    node), one edge join + one anti-join per hop (the bfs_layers
+    discipline: fixed rounds, per-round checkpoints, edge list
+    materialized once). Cost scales with seeds x reach, so the seed
+    set is the knob (centrality for a watchlist, not all nodes — the
+    all-nodes version is a different algorithm, HyperBall).
+
+    Determinism: per-(seed, hop) reach counts are exact integers; the
+    1/d fold runs over the <= max_hops-row per-seed array in hop
+    order (bounded fold).
+
+    Returns one row per seed: (seed, n_reached, harmonic).
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    und = ckpt(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .distinct()
+    )
+    dist = (
+        seeds.select(F.col(node).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("n"), F.lit(0).alias("hops"))
+    )
+    frontier = dist
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["n"] == und["s"])
+            .select("seed", F.col("d").alias("n"))
+            .distinct()
+            .join(dist.select("seed", "n"), ["seed", "n"], "left_anti")
+            .withColumn("hops", F.lit(k))
+        )
+        nxt = ckpt(nxt)
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    counts = (
+        dist.filter(F.col("hops") > 0)
+        .groupBy("seed", "hops")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    per = counts.groupBy("seed").agg(
+        F.sum("cnt").cast("long").alias("n_reached"),
+        F.array_sort(
+            F.collect_list(F.struct("hops", "cnt"))
+        ).alias("__arr"),
+    )
+    harm = F.aggregate(
+        F.col("__arr"),
+        F.lit(0.0),
+        lambda a, e: a
+        + e["cnt"].cast("double") / e["hops"].cast("double"),
+    )
+    return per.select("seed", "n_reached", harm.alias("harmonic"))
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-sweep eigenvector centrality over the UNDIRECTED graph —
+    prestige by association (your score is the sum of your neighbors'
+    scores), the damping-free sibling of :func:`pagerank` and the
+    one-vector projection of :func:`hits`:
+
+        x_0(v) = 1,   x_k(v) = SUM over neighbors u of x_{k-1}(u)
+
+    with normalization DEFERRED to the end (the hits discipline: mid
+    -iteration normalization only rescales, so every intermediate
+    stays an exact integer-valued double — k sweeps of x count the
+    k-step walks into each node — and the oracle replays the chain
+    bit-for-bit). score = x_K / SUM(x_K).
+
+    Each sweep is one edge join + one decimal-exact aggregate on the
+    node key; the doubled edge list is materialized once; fixed K
+    keeps the plan static (budgeted rounds, the 100 TB iterative
+    contract). K=3 already separates structural hubs from
+    degree-lucky nodes (K=1 IS degree).
+
+    Returns (node, raw_score, score).
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    if iterations < 1:
+        raise ValueError(
+            f"eigenvector_centrality: iterations must be >= 1, got "
+            f"{iterations}"
+        )
+    ckpt = make_checkpointer(checkpoint_dir)
+    und = ckpt(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .distinct()
+    )
+    nodes = ckpt(und.select(F.col("s").alias("node")).distinct())
+    x = nodes.withColumn("x", F.lit(1.0))
+    for it in range(iterations):
+        x = (
+            und.join(x, und["s"] == x["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("x")
+            )
+        )
+        x = ckpt(x)
+    tot = x.agg(
+        F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("t")
+    )
+    return (
+        nodes.join(x, "node", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.coalesce(F.col("x"), F.lit(0.0)).alias("raw_score"),
+            (F.coalesce(F.col("x"), F.lit(0.0)) / F.col("t")).alias(
+                "score"
+            ),
+        )
+    )

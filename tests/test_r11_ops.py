@@ -474,3 +474,98 @@ def test_dagostino_k2_matches_reference(spark):
     assert row["p_value"] == pytest.approx(
         math.exp(-0.5 * (z1 * z1 + z2 * z2)), abs=1e-10
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 4: centralities + exact Bayesian A/B
+
+
+def test_harmonic_centrality_matches_reference(spark):
+    from etl_java_spark.operators.graph import harmonic_centrality
+
+    # path graph 1-2-3-4-5 plus a pendant 6 off node 2
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (3,)], "node long")
+    got = {
+        r["seed"]: (r["n_reached"], r["harmonic"])
+        for r in harmonic_centrality(edf, seeds, max_hops=3).collect()
+    }
+    # seed 1: d(2)=1, d(3)=2, d(6)=2, d(4)=3 -> H = 1 + 1/2 + 1/2 + 1/3
+    assert got[1][0] == 4
+    assert got[1][1] == pytest.approx(1 + 0.5 + 0.5 + 1 / 3, abs=1e-12)
+    # seed 3: d(2)=1, d(4)=1, d(1)=2, d(6)=2, d(5)=2
+    assert got[3][0] == 5
+    assert got[3][1] == pytest.approx(2 * 1 + 3 * 0.5, abs=1e-12)
+
+
+def test_eigenvector_centrality_counts_walks(spark):
+    from etl_java_spark.operators.graph import eigenvector_centrality
+
+    # star: center 0 with leaves 1..3; x_k alternates between
+    # center/leaf walk counts, all exactly countable
+    edges = [(0, 1), (0, 2), (0, 3)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        r["node"]: (r["raw_score"], r["score"])
+        for r in eigenvector_centrality(edf, iterations=2).collect()
+    }
+    # x1: center 3, leaf 1; x2: center 3 (sum of leaves), leaf 3
+    assert out[0][0] == 3.0
+    assert all(out[i][0] == 3.0 for i in (1, 2, 3))
+    assert out[0][1] == pytest.approx(3 / 12, abs=1e-15)
+
+
+def test_bayes_ab_beta_matches_lgamma_reference(spark):
+    import math
+
+    from etl_java_spark.operators.experiments import bayes_ab_beta
+
+    def ref(a_a, b_a, a_b, b_b):
+        lb = lambda x, y: (
+            math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+        )
+        return sum(
+            math.exp(
+                lb(a_a + i, b_a + b_b)
+                - math.log(b_b + i)
+                - lb(1 + i, b_b)
+                - lb(a_a, b_a)
+            )
+            for i in range(a_b)
+        )
+
+    for ca, na, cb, nb in [(1, 2, 2, 3), (7, 20, 11, 18), (0, 5, 5, 5)]:
+        rows = (
+            [("A", 1)] * ca + [("A", 0)] * (na - ca)
+            + [("B", 1)] * cb + [("B", 0)] * (nb - cb)
+        )
+        df = spark.createDataFrame(rows, "v string, s long")
+        r = bayes_ab_beta(df, "v", "s", "A", "B").collect()[0]
+        exp = ref(1 + ca, 1 + na - ca, 1 + cb, 1 + nb - cb)
+        assert r["prob_b_gt_a"] == pytest.approx(exp, abs=1e-12)
+        assert r["n_a"] == na and r["conv_a"] == ca
+        assert r["mean_b"] == pytest.approx(
+            (1 + cb) / (2 + nb), abs=1e-15
+        )
+
+
+def test_bayes_ab_beta_symmetric_uniform_is_half(spark):
+    from etl_java_spark.operators.experiments import bayes_ab_beta
+
+    df = spark.createDataFrame(
+        [("A", 0), ("B", 0)], "v string, s long"
+    )
+    r = bayes_ab_beta(df, "v", "s", "A", "B").collect()[0]
+    assert r["prob_b_gt_a"] == pytest.approx(0.5, abs=1e-15)
+
+
+def test_bayes_ab_beta_max_terms_guard(spark):
+    from etl_java_spark.operators.experiments import bayes_ab_beta
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 0), ("B", 1), ("B", 0)], "v string, s long"
+    )
+    plan = bayes_ab_beta(df, "v", "s", "A", "B", max_terms=2)
+    with pytest.raises(Exception):
+        plan.collect()
