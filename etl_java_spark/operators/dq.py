@@ -2534,3 +2534,87 @@ def dagostino_k2(
         k2.alias("k2_stat"),
         F.exp(F.lit(-0.5) * k2).alias("p_value"),
     )
+
+
+def esd_outliers(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    max_outliers: int = 3,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Generalized-ESD style outlier rounds: ``max_outliers`` fixed
+    rounds, each computing the extreme studentized deviate
+    G = max |v - mean| / s over the REMAINING rows and removing the
+    argmax — the screen that fixes Grubbs' masking problem (one huge
+    outlier inflates s and hides the second; re-estimating after each
+    removal un-masks it). z-score screens (q128) flag against ONE
+    global fit; this one re-fits per round.
+
+    Each round is one exact-integer moment aggregate plus one
+    argmin-struct extreme pick (|n v - S| compares as exact integers;
+    ties break on smallest id), anti-joined against the tiny flagged
+    set — fixed rounds keep the plan static (budgeted-rounds
+    contract). ``threshold`` is the per-round critical value
+    (Rosner's exact lambda_r needs t quantiles — supply your own
+    cut; 3.0 is the common operational default).
+
+    Returns one row per round: (round, flagged_id, flagged_value,
+    g_stat, outlier).
+    """
+    k = int(max_outliers)
+    if k < 1:
+        raise ValueError("max_outliers must be >= 1")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    d38 = "decimal(38,0)"
+    out_rows = None
+    cur = base
+    for r in range(1, k + 1):
+        m = cur.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+            F.sum((F.col("v").cast(d38) * F.col("v")).cast(d38))
+            .cast(d38)
+            .alias("ss"),
+        )
+        j = cur.crossJoin(F.broadcast(m))
+        ad = F.abs(
+            (F.col("n").cast(d38) * F.col("v") - F.col("s")).cast(d38)
+        )
+        pick = (
+            j.select(
+                "n", "s", "ss",
+                F.struct(
+                    (-ad).alias("nad"), F.col("id").alias("id"),
+                    F.col("v").alias("v"),
+                ).alias("__p"),
+            )
+            .groupBy("n", "s", "ss")
+            .agg(F.min("__p").alias("__b"))
+        )
+        nd = F.col("n").cast("double")
+        sd = F.sqrt(
+            (
+                nd * F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+            )
+            / (nd * (nd - F.lit(1.0)))
+        )
+        g = (
+            (-F.col("__b.nad")).cast("double") / nd
+        ) / sd
+        row = pick.select(
+            F.lit(r).cast("long").alias("round"),
+            F.col("__b.id").alias("flagged_id"),
+            F.col("__b.v").alias("flagged_value"),
+            g.alias("g_stat"),
+            (g > F.lit(float(threshold))).alias("outlier"),
+        )
+        out_rows = row if out_rows is None else out_rows.unionByName(row)
+        cur = cur.join(
+            row.select(F.col("flagged_id").alias("id")), "id", "left_anti"
+        )
+    return out_rows

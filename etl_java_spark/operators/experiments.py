@@ -4122,3 +4122,180 @@ def bayes_ab_beta(
         prob.alias("prob_b_gt_a"),
     )
     return out
+
+
+def msprt_always_valid(
+    df: DataFrame,
+    unit_col: str,
+    success_col,
+    look_col,
+    tau: float = 0.1,
+) -> DataFrame:
+    """Mixture-SPRT ALWAYS-VALID p-value sequence for a binary-metric
+    A/B split (Johari et al.'s mSPRT with a N(0, tau^2) mixture over
+    the effect): at every look the likelihood ratio against delta=0 is
+
+        LR = sqrt(V / (V + tau^2))
+             * exp(delta^2 tau^2 / (2 V (V + tau^2)))
+
+    with delta the cumulative rate difference and V its pooled
+    variance; p_n = min(1, running min of 1/LR). Unlike the Pocock
+    schedule (group_sequential_looks, which needs the look count
+    fixed in advance), this p is valid at EVERY moment — the
+    peek-whenever-you-want experiment monitor.
+
+    Same scalable shape as q392: one (look, variant) aggregate pass,
+    cumulative + running-min windows over the K-row look table
+    (post-aggregate contract). ``tau`` is the effect-size prior scale
+    (policy): small tau is sensitive to small lifts but slower.
+    Zero-variance looks yield NULL LR and don't move the running
+    min. exp/ln only — callers round per the log contract.
+
+    Returns one row per look: (look, n_a, n_b, x_a, x_b, delta, lr,
+    p_always_valid).
+    """
+    success = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("int")
+    look = (F.col(look_col) if isinstance(look_col, str) else look_col).cast(
+        "int"
+    )
+    per = (
+        df.select(
+            look.alias("look"),
+            ab_assign(unit_col).alias("__v"),
+            success.alias("__s"),
+        )
+        .groupBy("look")
+        .agg(
+            F.sum(F.when(F.col("__v") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("da"),
+            F.sum(F.when(F.col("__v") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("db"),
+            F.sum(F.when(F.col("__v") == 0, F.col("__s")).otherwise(0))
+            .cast("long")
+            .alias("xa"),
+            F.sum(F.when(F.col("__v") == 1, F.col("__s")).otherwise(0))
+            .cast("long")
+            .alias("xb"),
+        )
+    )
+    w = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "look",
+        F.sum("da").over(w).cast("long").alias("n_a"),
+        F.sum("db").over(w).cast("long").alias("n_b"),
+        F.sum("xa").over(w).cast("long").alias("x_a"),
+        F.sum("xb").over(w).cast("long").alias("x_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    delta = F.col("x_b").cast("double") / nb - F.col("x_a").cast(
+        "double"
+    ) / na
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    vv = pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    t2 = F.lit(float(tau) * float(tau))
+    lr = F.sqrt(F.try_divide(vv, vv + t2)) * F.exp(
+        F.try_divide(delta * delta * t2, F.lit(2.0) * vv * (vv + t2))
+    )
+    scored = cum.select(
+        "look", "n_a", "n_b", "x_a", "x_b",
+        delta.alias("delta"),
+        F.when(vv > 0, lr).alias("lr"),
+    )
+    pinv = F.when(
+        F.col("lr").isNotNull(),
+        F.least(F.lit(1.0), F.lit(1.0) / F.col("lr")),
+    )
+    return scored.select(
+        "look", "n_a", "n_b", "x_a", "x_b", "delta", "lr",
+        F.min(pinv).over(w).alias("p_always_valid"),
+    )
+
+
+def lilliefors_normal(
+    df: DataFrame,
+    value_col,
+) -> DataFrame:
+    """Lilliefors statistic: the KS distance between the empirical CDF
+    and a normal FITTED from the same data (estimated mean/sd is
+    exactly what makes plain KS tables invalid — Lilliefors is the
+    version you may legally run after estimating the parameters):
+
+        D = max over values of max(F_n(v) - Phi(z_v),
+                                   Phi(z_v) - F_n(v-))
+
+    Values reduce to distinct-value counts first (quantized-input
+    contract — band a continuous metric upstream), cumulated by one
+    prefix window over the value grid; mean/sd come from exact
+    integer moments and Phi is the fixed Zelen-Severo tree
+    (1 - normal_sf(z) for z >= 0, normal_sf(-z) below — branch
+    mirrored in SQL). The statistic is reported with the classic
+    large-sample 5% line 0.886/sqrt(n); exact small-n p needs Monte
+    Carlo tables, which is the caller's lookup.
+
+    Returns one row: (n, mean, sd, d_stat, d_crit_05, reject_05).
+    """
+    d38 = "decimal(38,0)"
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(v.cast("long").alias("val"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = per.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum((F.col("val").cast(d38) * F.col("c")).cast(d38))
+        .cast(d38)
+        .alias("s"),
+        F.sum(
+            (
+                (F.col("val").cast(d38) * F.col("val")).cast(d38)
+                * F.col("c")
+            ).cast(d38)
+        )
+        .cast(d38)
+        .alias("ss"),
+    )
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "val", "c",
+        F.sum("c").over(w).cast("long").alias("cum"),
+    ).crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    sd = F.sqrt(
+        (
+            nd * F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+        / (nd * (nd - F.lit(1.0)))
+    )
+    z = (F.col("val").cast("double") - mean) / sd
+    phi = F.when(z >= 0, F.lit(1.0) - normal_sf(z)).otherwise(
+        normal_sf(-z)
+    )
+    gap = F.greatest(
+        F.col("cum").cast("double") / nd - phi,
+        phi - (F.col("cum") - F.col("c")).cast("double") / nd,
+    )
+    agg = cum.groupBy("n").agg(
+        F.max(gap).alias("d_stat"),
+        F.max(mean).alias("mean"),
+        F.max(sd).alias("sd"),
+    )
+    crit = F.lit(0.886) / F.sqrt(F.col("n").cast("double"))
+    return agg.select(
+        "n", "mean", "sd", "d_stat",
+        crit.alias("d_crit_05"),
+        (F.col("d_stat") > crit).alias("reject_05"),
+    )

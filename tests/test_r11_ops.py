@@ -569,3 +569,150 @@ def test_bayes_ab_beta_max_terms_guard(spark):
     plan = bayes_ab_beta(df, "v", "s", "A", "B", max_terms=2)
     with pytest.raises(Exception):
         plan.collect()
+
+
+# ---------------------------------------------------------------------------
+# wave 5: mSPRT, generalized ESD, Lilliefors
+
+
+def test_msprt_always_valid_matches_reference(spark):
+    import math
+
+    from etl_java_spark.operators.experiments import (
+        ab_assign,
+        msprt_always_valid,
+    )
+
+    rows = [(k, 1 + (k % 3), 1 if k % 4 == 0 else 0) for k in range(1, 61)]
+    df = spark.createDataFrame(rows, "unit long, look int, s int")
+    tau = 0.2
+    got = {
+        r["look"]: r
+        for r in msprt_always_valid(df, "unit", "s", "look", tau=tau)
+        .collect()
+    }
+    # replay with the engine's own variant assignment
+    vmap = {
+        r["unit"]: r["v"]
+        for r in df.select(
+            "unit", ab_assign("unit").alias("v")
+        ).collect()
+    }
+    agg = {}
+    for unit, look, s in rows:
+        d = agg.setdefault(look, [0, 0, 0, 0])
+        v = vmap[unit]
+        d[v] += 1
+        d[2 + v] += s
+    t2 = tau * tau
+    run_min = None
+    for look in sorted(agg):
+        na = sum(agg[lk][0] for lk in agg if lk <= look)
+        nb = sum(agg[lk][1] for lk in agg if lk <= look)
+        xa = sum(agg[lk][2] for lk in agg if lk <= look)
+        xb = sum(agg[lk][3] for lk in agg if lk <= look)
+        delta = xb / nb - xa / na
+        pp = (xa + xb) / (na + nb)
+        vv = pp * (1 - pp) * (1 / na + 1 / nb)
+        lr = math.sqrt(vv / (vv + t2)) * math.exp(
+            delta * delta * t2 / (2 * vv * (vv + t2))
+        )
+        p = min(1.0, 1.0 / lr)
+        run_min = p if run_min is None else min(run_min, p)
+        r = got[look]
+        assert (r["n_a"], r["n_b"], r["x_a"], r["x_b"]) == (na, nb, xa, xb)
+        assert r["delta"] == pytest.approx(delta, abs=1e-12)
+        assert r["lr"] == pytest.approx(lr, abs=1e-10)
+        assert r["p_always_valid"] == pytest.approx(run_min, abs=1e-10)
+
+
+def test_esd_outliers_unmasks_second_outlier(spark):
+    from etl_java_spark.operators.dq import esd_outliers
+
+    # two planted outliers close together: the first inflates s and
+    # partially masks the second; round-2 re-fit must still find it
+    vals = [10, 11, 9, 10, 12, 10, 11, 9, 10, 11, 80, 78]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals, 1)], "id long, v long"
+    )
+    rows = {
+        r["round"]: r
+        for r in esd_outliers(
+            df, "id", "v", max_outliers=3, threshold=2.0
+        ).collect()
+    }
+    assert rows[1]["flagged_value"] == 80
+    assert rows[2]["flagged_value"] == 78
+    assert rows[1]["outlier"] and rows[2]["outlier"]
+    # round 3 re-fits on the clean 10-row core; no value stands out
+    assert rows[3]["flagged_value"] in (9, 12)
+
+    # replay round 1 g exactly
+    import math
+
+    n = len(vals)
+    s = sum(vals)
+    ss = sum(v * v for v in vals)
+    sd = math.sqrt((n * ss - s * s) / (n * (n - 1)))
+    g1 = max(abs(v - s / n) for v in vals) / sd
+    assert rows[1]["g_stat"] == pytest.approx(g1, abs=1e-10)
+
+
+def test_esd_outliers_tiebreak_smallest_id(spark):
+    from etl_java_spark.operators.dq import esd_outliers
+
+    df = spark.createDataFrame(
+        [(5, 0), (2, 100), (9, 100), (1, 50), (3, 50)], "id long, v long"
+    )
+    r1 = esd_outliers(df, "id", "v", max_outliers=1).collect()[0]
+    # 0 deviates most (mean 60); unique -> id 5. Then ties break low.
+    assert r1["flagged_id"] == 5
+
+
+def test_lilliefors_matches_reference(spark):
+    import math
+
+    from etl_java_spark.operators.experiments import lilliefors_normal
+
+    vals = [1, 2, 2, 3, 3, 3, 4, 4, 5, 9]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = lilliefors_normal(df, "v").collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    sd = math.sqrt(
+        (n * sum(v * v for v in vals) - sum(vals) ** 2) / (n * (n - 1))
+    )
+
+    def phi(z):
+        # Zelen-Severo replay
+        b = [0.319381530, -0.356563782, 1.781477937, -1.821255978,
+             1.330274429]
+        p_ = 0.2316419
+        inv = 0.3989422804014327
+
+        def sf(x):
+            t = 1.0 / (1.0 + p_ * x)
+            poly = 0.0
+            for c in reversed(b):
+                poly = poly * t + c
+            poly = poly * t
+            return inv * math.exp(-0.5 * x * x) * poly
+
+        return 1.0 - sf(z) if z >= 0 else sf(-z)
+
+    from collections import Counter
+
+    cnt = Counter(vals)
+    cum = 0
+    d = 0.0
+    for v in sorted(cnt):
+        lo = cum / n
+        cum += cnt[v]
+        hi = cum / n
+        z = (v - mean) / sd
+        d = max(d, hi - phi(z), phi(z) - lo)
+    assert row["n"] == n
+    assert row["mean"] == pytest.approx(mean, abs=1e-12)
+    assert row["sd"] == pytest.approx(sd, abs=1e-12)
+    assert row["d_stat"] == pytest.approx(d, abs=1e-10)
+    assert row["d_crit_05"] == pytest.approx(0.886 / math.sqrt(n), abs=1e-12)
