@@ -400,3 +400,52 @@ def test_q485_funnel_single_exchange(spark):
     plan = plan_of(spark, "q485_quality_funnel", "simple")
     assert plan.count("Exchange") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_q520_erlang_fold_is_in_row_scalar_work(spark):
+    """The Erlang-B/C scan must be an in-row sequence fold over the
+    5-row group table — no window, no join, no extra exchange beyond
+    the one day-count aggregate chain (SCALE.md q520 row)."""
+    plan = plan_of(spark, "q520_erlang_c")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q523_breusch_pagan_aux_moments_map_side(spark):
+    """BP's auxiliary moments must partial-aggregate map-side (exact
+    decimal sums with combine), and the residual pass must not
+    introduce a cartesian or sort-merge re-join of the data against
+    itself — the 1-row coefficient table rides a broadcast."""
+    plan = plan_of(spark, "q523_breusch_pagan")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row coeff cross join
+
+
+def test_q527_eigenvector_sweep_reads_materialized_state(spark):
+    """Each eigenvector sweep must read the ONCE-materialized edge
+    list / previous vector (checkpoint scans), shuffling only the
+    node-key aggregate — no re-derivation of the upstream fact join
+    inside the final sweep (the pagerank/q389 discipline)."""
+    plan = plan_of(spark, "q527_eigenvector", "simple")
+    assert "Scan ExistingRDD" in plan  # checkpointed edge/vector state
+    assert "CartesianProduct" not in plan
+
+
+def test_q528_bayes_ab_single_aggregate_no_join(spark):
+    """The exact Bayes A/B readout is ONE conditional-count aggregate
+    plus in-row folds — any join/window in the plan means the
+    rational recurrence leaked into a shuffle."""
+    plan = plan_of(spark, "q528_bayes_ab")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_q530_esd_rounds_broadcast_only_joins(spark):
+    """Every ESD round's anti-join and moment broadcast must stay
+    broadcast-sized (1-row moments, <=k flagged ids) — a sort-merge
+    join would mean a full shuffle of the day table per round."""
+    plan = plan_of(spark, "q530_esd_outliers")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
