@@ -4415,3 +4415,251 @@ def seasonal_mann_kendall(
         z.alias("z"),
         (F.lit(2.0) * normal_sf(F.abs(z))).alias("p_value"),
     )
+
+
+def pinball_loss(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    actual_col: str,
+    forecast_col: str,
+    quantiles: list[tuple[int, int]] = ((1, 2), (9, 10)),
+) -> DataFrame:
+    """Pinball (quantile) loss scorecard for quantile forecasts: for
+    each target quantile q the loss of forecast f against actual a is
+
+        L_q(a, f) = max(q (a - f), (q - 1) (a - f))
+
+    — the strictly proper score for quantile predictions (a P90
+    forecast judged by MAE looks "biased"; pinball is what it is
+    actually optimizing). Quantiles are RATIONAL (num, den) pairs so
+    the per-row loss scales to the exact integer
+    den * L = max(num (a-f), (num-den)(a-f)); sums are exact and the
+    mean is one final ratio — no float accumulation anywhere.
+
+    One lag-free pass: rows with NULL forecast (warm-up) are skipped;
+    the quantile axis is a literal explode of len(quantiles) structs
+    (metadata). Returns one row per (group, quantile):
+    (grp, q_num, q_den, n_evals, pinball).
+    """
+    qs = [(int(n), int(d)) for n, d in quantiles]
+    for n, d in qs:
+        if not (0 < n < d):
+            raise ValueError(f"quantile {n}/{d} must be in (0, 1)")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(actual_col).cast("long").alias("a"),
+        F.col(forecast_col).cast("long").alias("f"),
+    ).filter(F.col("f").isNotNull())
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(n).cast("long").alias("qn"),
+                F.lit(d).cast("long").alias("qd"),
+            )
+            for n, d in qs
+        ]
+    )
+    e = F.col("a") - F.col("f")
+    per = base.withColumn("__q", F.explode(qarr)).select(
+        "grp",
+        F.col("__q.qn").alias("q_num"),
+        F.col("__q.qd").alias("q_den"),
+        F.greatest(
+            F.col("__q.qn") * e,
+            (F.col("__q.qn") - F.col("__q.qd")) * e,
+        )
+        .cast("long")
+        .alias("sl"),
+        F.col("__q.qd").alias("qd"),
+    )
+    agg = per.groupBy("grp", "q_num", "q_den").agg(
+        F.count("*").cast("long").alias("n_evals"),
+        F.sum("sl").cast("long").alias("ssl"),
+    )
+    return agg.select(
+        "grp", "q_num", "q_den", "n_evals",
+        (
+            F.col("ssl").cast("double")
+            / (F.col("n_evals") * F.col("q_den")).cast("double")
+        ).alias("pinball"),
+    )
+
+
+def inventory_policy_sim(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    demand_col: str,
+    s_reorder: int,
+    s_target: int,
+) -> DataFrame:
+    """Deterministic (s, S) inventory policy replay over a per-period
+    demand series: start at S; each period sell min(demand, on_hand)
+    (unmet demand is LOST, not backordered); if the ending position
+    drops below s, order up to S (delivered before the next period —
+    zero lead; compose with safety_stock/q498 for lead-time buffers).
+    Emits the service readouts a replenishment policy is judged by:
+    fill rate, lost units, order count, average ending inventory.
+
+        carry (on_hand, lost, orders, sum_end) — ALL integers
+
+    The replay is an ordered per-group fold over the calendar-bounded
+    period array (EWMA/Holt fold family; the oracle replays it as a
+    recursive CTE stepping all groups in lockstep). One grouped
+    collect per group — never a row window over raw data.
+
+    Returns (grp, n_periods, total_demand, lost_units, fill_rate,
+    n_orders, avg_end_inventory).
+    """
+    s_r, s_t = int(s_reorder), int(s_target)
+    if not (0 <= s_r < s_t):
+        raise ValueError("need 0 <= s_reorder < s_target")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(demand_col).cast("long").alias("d"),
+    )
+    per = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_periods"),
+        F.sum("d").cast("long").alias("total_demand"),
+        F.array_sort(
+            F.collect_list(F.struct("t", "d"))
+        ).alias("__arr"),
+    )
+
+    def step(acc, e):
+        sold = F.least(e["d"], acc["oh"])
+        lost = e["d"] - sold
+        end = acc["oh"] - sold
+        reorder = end < F.lit(s_r)
+        return F.struct(
+            F.when(reorder, F.lit(s_t).cast("long"))
+            .otherwise(end)
+            .alias("oh"),
+            (acc["lost"] + lost).cast("long").alias("lost"),
+            F.when(reorder, acc["orders"] + 1)
+            .otherwise(acc["orders"])
+            .cast("long")
+            .alias("orders"),
+            (acc["send"] + end).cast("long").alias("send"),
+        )
+
+    init = F.struct(
+        F.lit(s_t).cast("long").alias("oh"),
+        F.lit(0).cast("long").alias("lost"),
+        F.lit(0).cast("long").alias("orders"),
+        F.lit(0).cast("long").alias("send"),
+    )
+    folded = per.select(
+        "grp", "n_periods", "total_demand",
+        F.aggregate(F.col("__arr"), init, step).alias("__f"),
+    )
+    return folded.select(
+        "grp", "n_periods", "total_demand",
+        F.col("__f.lost").alias("lost_units"),
+        (
+            (F.col("total_demand") - F.col("__f.lost")).cast("double")
+            / F.col("total_demand").cast("double")
+        ).alias("fill_rate"),
+        F.col("__f.orders").alias("n_orders"),
+        (
+            F.col("__f.send").cast("double")
+            / F.col("n_periods").cast("double")
+        ).alias("avg_end_inventory"),
+    )
+
+
+def kingman_wait(
+    arrivals: DataFrame,
+    services: DataFrame,
+    group_col: str,
+    count_col: str,
+    dur_col: str,
+    servers: int,
+) -> DataFrame:
+    """G/G/m mean-queue-wait approximation (Sakasegawa's form of the
+    Kingman formula) from two observable aggregates — the
+    back-of-envelope SLA model between q520's Markovian Erlang-C
+    (assumes Poisson/exponential) and a full simulation:
+
+        Wq ~= (ca2 + cs2) / 2
+              * rho^(sqrt(2 (m + 1)) - 1) / (m (1 - rho)) * E[s]
+
+    ca2 is the arrival burstiness read as the dispersion index of
+    per-period counts (var/mean — Poisson = 1, the q515 statistic);
+    cs2 the squared CV of service durations; rho = lambda E[s] / m.
+    Both inputs reduce to exact integer moment passes; the readout is
+    a fixed tree whose one non-elementary piece, rho^p, is
+    exp(p ln rho) under the log/exp contract. rho >= 1 (unstable)
+    yields NULL Wq.
+
+    Returns per group: (grp, lam, ca2, es, cs2, rho, wq, wq_over_es).
+    """
+    d38 = "decimal(38,0)"
+    m = int(servers)
+    if m < 1:
+        raise ValueError("servers must be >= 1")
+    arr = (
+        arrivals.select(
+            F.col(group_col).alias("grp"),
+            F.col(count_col).cast("long").alias("c"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("np"),
+            F.sum("c").cast("long").alias("sc"),
+            F.sum((F.col("c").cast(d38) * F.col("c")).cast(d38))
+            .cast(d38)
+            .alias("scc"),
+        )
+    )
+    svc = (
+        services.select(
+            F.col(group_col).alias("grp"),
+            F.col(dur_col).cast("long").alias("x"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("ns"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum((F.col("x").cast(d38) * F.col("x")).cast(d38))
+            .cast(d38)
+            .alias("sxx"),
+        )
+    )
+    j = arr.join(svc, "grp")
+    npd = F.col("np").cast("double")
+    lam = F.col("sc").cast("double") / npd
+    varc = (
+        npd * F.col("scc").cast("double")
+        - F.col("sc").cast("double") * F.col("sc").cast("double")
+    ) / (npd * (npd - F.lit(1.0)))
+    ca2 = varc / lam
+    nsd = F.col("ns").cast("double")
+    es = F.col("sx").cast("double") / nsd
+    vars_ = (
+        nsd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (nsd * (nsd - F.lit(1.0)))
+    cs2 = vars_ / (es * es)
+    rho = lam * es / F.lit(float(m))
+    p = F.sqrt(F.lit(2.0) * F.lit(float(m + 1))) - F.lit(1.0)
+    wq = (
+        (ca2 + cs2)
+        / F.lit(2.0)
+        * F.exp(p * F.log(rho))
+        / (F.lit(float(m)) * (F.lit(1.0) - rho))
+        * es
+    )
+    wq_ok = F.when(rho < 1, wq)
+    return j.select(
+        "grp",
+        lam.alias("lam"),
+        ca2.alias("ca2"),
+        es.alias("es"),
+        cs2.alias("cs2"),
+        rho.alias("rho"),
+        wq_ok.alias("wq"),
+        F.when(rho < 1, wq / es).alias("wq_over_es"),
+    )

@@ -716,3 +716,129 @@ def test_lilliefors_matches_reference(spark):
     assert row["sd"] == pytest.approx(sd, abs=1e-12)
     assert row["d_stat"] == pytest.approx(d, abs=1e-10)
     assert row["d_crit_05"] == pytest.approx(0.886 / math.sqrt(n), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# wave 6: pinball, inventory replay, Kingman
+
+
+def test_pinball_loss_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import pinball_loss
+
+    rows = [
+        ("g", 1, 10, 8), ("g", 2, 7, 9), ("g", 3, 12, 12),
+        ("g", 4, 5, None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, t long, a long, f long")
+    got = {
+        (r["q_num"], r["q_den"]): r
+        for r in pinball_loss(
+            df, "grp", "t", "a", "f", quantiles=[(1, 4), (3, 4)]
+        ).collect()
+    }
+    evals = [(10, 8), (7, 9), (12, 12)]
+    for qn, qd in [(1, 4), (3, 4)]:
+        q = qn / qd
+        exp = sum(
+            max(q * (a - f), (q - 1) * (a - f)) for a, f in evals
+        ) / len(evals)
+        r = got[(qn, qd)]
+        assert r["n_evals"] == 3
+        assert r["pinball"] == pytest.approx(exp, abs=1e-12)
+
+
+def test_pinball_loss_validates_quantiles(spark):
+    from etl_java_spark.operators.timeseries import pinball_loss
+
+    df = spark.createDataFrame([("g", 1, 1, 1)], "grp string, t long, a long, f long")
+    with pytest.raises(ValueError, match="quantile"):
+        pinball_loss(df, "grp", "t", "a", "f", quantiles=[(5, 4)])
+
+
+def test_inventory_policy_sim_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import inventory_policy_sim
+
+    demands = [4, 9, 2, 15, 1, 7, 20, 3]
+    df = spark.createDataFrame(
+        [("g", t, d) for t, d in enumerate(demands, 1)],
+        "grp string, t long, d long",
+    )
+    s_r, s_t = 6, 18
+    row = inventory_policy_sim(
+        df, "grp", "t", "d", s_reorder=s_r, s_target=s_t
+    ).collect()[0]
+    oh, lost, orders, send = s_t, 0, 0, 0
+    for d in demands:
+        sold = min(d, oh)
+        lost += d - sold
+        end = oh - sold
+        send += end
+        if end < s_r:
+            oh = s_t
+            orders += 1
+        else:
+            oh = end
+    total = sum(demands)
+    assert row["n_periods"] == len(demands)
+    assert row["total_demand"] == total
+    assert row["lost_units"] == lost
+    assert row["n_orders"] == orders
+    assert row["fill_rate"] == pytest.approx(
+        (total - lost) / total, abs=1e-12
+    )
+    assert row["avg_end_inventory"] == pytest.approx(
+        send / len(demands), abs=1e-12
+    )
+
+
+def test_kingman_wait_matches_reference(spark):
+    import math
+
+    from etl_java_spark.operators.timeseries import kingman_wait
+
+    counts = [3, 5, 2, 6, 4]
+    durs = [10, 14, 9, 13, 12, 8]
+    arr = spark.createDataFrame(
+        [("g", c) for c in counts], "grp string, c long"
+    )
+    svc = spark.createDataFrame(
+        [("g", x) for x in durs], "grp string, x long"
+    )
+    m = 60
+    row = kingman_wait(arr, svc, "grp", "c", "x", servers=m).collect()[0]
+    np_, sc = len(counts), sum(counts)
+    lam = sc / np_
+    varc = (np_ * sum(c * c for c in counts) - sc * sc) / (
+        np_ * (np_ - 1)
+    )
+    ca2 = varc / lam
+    ns, sx = len(durs), sum(durs)
+    es = sx / ns
+    vars_ = (ns * sum(x * x for x in durs) - sx * sx) / (ns * (ns - 1))
+    cs2 = vars_ / (es * es)
+    rho = lam * es / m
+    p = math.sqrt(2 * (m + 1)) - 1
+    wq = (ca2 + cs2) / 2 * math.exp(p * math.log(rho)) / (
+        m * (1 - rho)
+    ) * es
+    assert rho < 1
+    assert row["lam"] == pytest.approx(lam, abs=1e-12)
+    assert row["ca2"] == pytest.approx(ca2, abs=1e-12)
+    assert row["es"] == pytest.approx(es, abs=1e-12)
+    assert row["cs2"] == pytest.approx(cs2, abs=1e-12)
+    assert row["rho"] == pytest.approx(rho, abs=1e-12)
+    assert row["wq"] == pytest.approx(wq, abs=1e-10)
+
+
+def test_kingman_wait_unstable_queue_null(spark):
+    from etl_java_spark.operators.timeseries import kingman_wait
+
+    arr = spark.createDataFrame(
+        [("g", 100), ("g", 90)], "grp string, c long"
+    )
+    svc = spark.createDataFrame(
+        [("g", 10), ("g", 12)], "grp string, x long"
+    )
+    row = kingman_wait(arr, svc, "grp", "c", "x", servers=2).collect()[0]
+    assert row["rho"] > 1
+    assert row["wq"] is None and row["wq_over_es"] is None
