@@ -2089,3 +2089,134 @@ def curation_pipeline(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """APPLY a span-removal plan to a corpus: delete 1-based inclusive
+    character ranges [start, end] from each document and return the
+    stitched remainder — the execution half of the dedup pipeline
+    whose discovery half is dup_span_intervals/q396 (find the
+    duplicated regions THERE, cut them HERE; same contract as
+    Lee et al.'s "remove the duplicated substring, keep the rest").
+
+    Spans clamp to the document bounds, drop when empty after
+    clamping, and MERGE when overlapping or adjacent (islands-and-
+    gaps: running-max end over the per-doc ordered span table — the
+    post-aggregate window contract, spans per doc are plan-sized),
+    so the cut is well-defined whatever the finder emitted. The
+    rebuild folds the merged spans in order, carrying (cursor,
+    kept-so-far) and concatenating the gap substrings — per-row
+    string work, no shuffle beyond the one span groupBy.
+
+    Docs with no spans pass through unchanged. Returns
+    (doc_id, orig_len, kept_len, n_spans, n_merged, kept_text).
+    """
+    d = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    sp = spans.select(
+        F.col(id_col).alias("id"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    )
+    lens = d.select("id", F.length("text").alias("len"))
+    clamped = (
+        sp.join(lens, "id")
+        .select(
+            "id",
+            F.greatest(F.col("s"), F.lit(1)).alias("s"),
+            F.least(F.col("e"), F.col("len")).alias("e"),
+        )
+        .filter(F.col("e") >= F.col("s"))
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    run = clamped.select(
+        "id", "s", "e",
+        F.max("e").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("pmax"),
+    )
+    flagged = run.select(
+        "id", "s", "e",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax") + 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "id", "s", "e",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("isl"),
+    )
+    merged = islands.groupBy("id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    per = merged.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_merged"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ms"), F.col("me")))
+        ).alias("__arr"),
+    )
+    ns = clamped.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_spans")
+    )
+    j = d.join(per, "id", "left").join(ns, "id", "left")
+
+    def step(acc, sp_):
+        gap_len = sp_["ms"] - acc["pos"]
+        return F.struct(
+            (sp_["me"] + 1).cast("long").alias("pos"),
+            F.concat(
+                acc["txt"],
+                F.when(
+                    gap_len > 0,
+                    F.col("text").substr(
+                        acc["pos"], gap_len.cast("int")
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("txt"),
+        )
+
+    init = F.struct(
+        F.lit(1).cast("long").alias("pos"), F.lit("").alias("txt")
+    )
+    folded = F.aggregate(
+        F.coalesce(
+            F.col("__arr"),
+            F.array().cast("array<struct<ms:bigint,me:bigint>>"),
+        ),
+        init,
+        step,
+    )
+    olen = F.length("text").cast("long")
+    kept = F.concat(
+        folded["txt"],
+        F.when(
+            olen - folded["pos"] + 1 > 0,
+            F.col("text").substr(
+                folded["pos"], (olen - folded["pos"] + 1).cast("int")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        olen.alias("orig_len"),
+        F.length(kept).cast("long").alias("kept_len"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias(
+            "n_spans"
+        ),
+        F.coalesce(F.col("n_merged"), F.lit(0)).cast("long").alias(
+            "n_merged"
+        ),
+        kept.alias("kept_text"),
+    )

@@ -1269,3 +1269,142 @@ def eigenvector_centrality(
             ),
         )
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-round k-truss peeling over the undirected graph: keep
+    only edges supported by at least k-2 triangles, re-count, repeat —
+    the EDGE-grain cohesion filter (k-core, q215, bounds degrees;
+    k-truss demands the degrees be *mutually reinforcing*: an edge
+    survives only inside triangle-dense neighborhoods, which is why
+    it's the standard community-core/spam-link cleaner).
+
+    Each round: one triangle enumeration on the canonical (u < v)
+    edge set (the q176 wedge join — each triangle found exactly once
+    as a < b < c), a 3-way explode of triangles to their edges, one
+    support groupBy, one semi-join filter. FIXED rounds keep the plan
+    static (budgeted-rounds contract; full convergence is a
+    while-loop over the same static round). Degree-bounded input is
+    the knob that bounds the wedge join — build kNN/capped graphs
+    upstream (q176/q394 discipline).
+
+    Returns the surviving edges with their LAST-round support:
+    (u, v, support).
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    ckpt = make_checkpointer(checkpoint_dir)
+    und = ckpt(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    cur = und
+    sup = None
+    for _ in range(int(rounds)):
+        e1 = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        tedges = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(
+                tri.select(F.col("b").alias("u"), F.col("c").alias("v"))
+            )
+            .unionByName(
+                tri.select(F.col("a").alias("u"), F.col("c").alias("v"))
+            )
+        )
+        sup = tedges.groupBy("u", "v").agg(
+            F.count("*").cast("long").alias("support")
+        )
+        cur = ckpt(
+            cur.join(
+                sup.filter(F.col("support") >= k - 2).select("u", "v"),
+                ["u", "v"],
+                "left_semi",
+            )
+        )
+    return cur.join(sup, ["u", "v"], "left").select(
+        "u", "v",
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias(
+            "support"
+        ),
+    )
+
+
+def temporal_motif_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    max_span_seconds: int = 3600,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Temporal 3-event motif census: count ordered event-type triples
+    (t1 -> t2 -> t3) by the SAME user whose whole span fits inside
+    ``max_span_seconds`` — the behavioral-sequence fingerprint behind
+    funnel discovery and fraud-pattern mining (q126's path explorer
+    follows consecutive steps; motifs admit interleaving, which is
+    what real sessions look like).
+
+    Two self-equi-joins on the user key, each pruned by the time
+    window BEFORE the next join (the window predicate is the knob
+    bounding the quadratic term: candidates per event ~ events per
+    user within the span, not per lifetime). Ordering is the strict
+    lexicographic (ts, event_id) so simultaneous events can't double
+    count or self-pair — the tiebreak the oracle replays exactly.
+
+    Returns one row per motif: (t1, t2, t3, n) — top the result
+    downstream.
+    """
+    idc = id_col or "event_id"
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("ty"),
+        F.col(idc).alias("eid"),
+    )
+    e1 = base.select(
+        F.col("u"), F.col("ts").alias("ts1"), F.col("ty").alias("t1"),
+        F.col("eid").alias("id1"),
+    )
+    e2 = base.select(
+        F.col("u"), F.col("ts").alias("ts2"), F.col("ty").alias("t2"),
+        F.col("eid").alias("id2"),
+    )
+    e3 = base.select(
+        F.col("u"), F.col("ts").alias("ts3"), F.col("ty").alias("t3"),
+        F.col("eid").alias("id3"),
+    )
+    lt12 = (F.col("ts2") > F.col("ts1")) | (
+        (F.col("ts2") == F.col("ts1")) & (F.col("id2") > F.col("id1"))
+    )
+    lt23 = (F.col("ts3") > F.col("ts2")) | (
+        (F.col("ts3") == F.col("ts2")) & (F.col("id3") > F.col("id2"))
+    )
+    span12 = (
+        F.col("ts2").cast("double") - F.col("ts1").cast("double")
+        <= F.lit(float(max_span_seconds))
+    )
+    span13 = (
+        F.col("ts3").cast("double") - F.col("ts1").cast("double")
+        <= F.lit(float(max_span_seconds))
+    )
+    pairs = e1.join(e2, "u").filter(lt12 & span12)
+    trips = pairs.join(e3, "u").filter(lt23 & span13)
+    return trips.groupBy("t1", "t2", "t3").agg(
+        F.count("*").cast("long").alias("n")
+    )
