@@ -2618,3 +2618,207 @@ def esd_outliers(
             row.select(F.col("flagged_id").alias("id")), "id", "left_anti"
         )
     return out_rows
+
+
+def qn_scale(
+    df: DataFrame,
+    value_col,
+) -> DataFrame:
+    """Rousseeuw-Croux Qn robust scale: the k-th smallest pairwise
+    absolute difference |v_i - v_j| (i < j) with k = h(h-1)/2,
+    h = n//2 + 1 — the 50%-breakdown spread estimator that, unlike
+    MAD (q173), needs no location estimate and keeps ~82% Gaussian
+    efficiency (MAD: 37%).
+
+    Exact at scale WITHOUT materializing n^2 pairs: values collapse
+    to the distinct-value grid first (quantized-input contract), the
+    pair census walks the grid x grid self-join with integer
+    multiplicities (c_i c_j cross, c(c-1)/2 within-tie), diffs group
+    by their value, and the k-th order statistic falls out of one
+    cumulative count over the sorted DIFF grid — every quantity an
+    exact integer, no sampling, no float ranks.
+
+    Returns one row: (n, h, k_rank, qn_raw, qn) with
+    qn = 2.2219 * qn_raw (the Gaussian-consistency constant).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(v.cast("long").alias("val"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a = per.select(F.col("val").alias("v1"), F.col("c").alias("c1"))
+    b = per.select(F.col("val").alias("v2"), F.col("c").alias("c2"))
+    pairs = a.join(b, F.col("v1") <= F.col("v2")).select(
+        (F.col("v2") - F.col("v1")).alias("diff"),
+        F.when(
+            F.col("v1") == F.col("v2"),
+            (F.col("c1") * (F.col("c1") - 1) / 2).cast("long"),
+        )
+        .otherwise(F.col("c1") * F.col("c2"))
+        .cast("long")
+        .alias("m"),
+    ).filter(F.col("m") > 0)
+    byd = pairs.groupBy("diff").agg(F.sum("m").cast("long").alias("m"))
+    tot = per.agg(F.sum("c").cast("long").alias("n"))
+    w = Window.orderBy("diff").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = byd.select(
+        "diff", F.sum("m").over(w).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    h = (F.col("n") / 2 + 1).cast("long")
+    k = (h * (h - 1) / 2).cast("long")
+    hit = cum.filter(F.col("cum") >= k).groupBy("n").agg(
+        F.min("diff").cast("long").alias("qn_raw")
+    )
+    h2 = (F.col("n") / 2 + 1).cast("long")
+    return hit.select(
+        "n",
+        h2.alias("h"),
+        (h2 * (h2 - 1) / 2).cast("long").alias("k_rank"),
+        "qn_raw",
+        (F.lit(2.2219) * F.col("qn_raw").cast("double")).alias("qn"),
+    )
+
+
+def two_way_anova(
+    df: DataFrame,
+    factor_a: str,
+    factor_b: str,
+    value_col,
+) -> DataFrame:
+    """Two-way fixed-effects ANOVA decomposition from exact integer
+    moments — "how much of this metric's variance do factor A, factor
+    B, and their interaction explain?" (the two-factor upgrade of the
+    one-way F lurking under q423/q509's variance tests):
+
+        SS_A     = SUM_a S_a^2/n_a - T^2/N
+        SS_B     = SUM_b S_b^2/n_b - T^2/N
+        SS_cells = SUM_ab S_ab^2/n_ab - T^2/N
+        SS_AB    = SS_cells - SS_A - SS_B
+        SS_err   = SS_total - SS_cells
+
+    (the textbook weighted-cell-means partition; for UNBALANCED
+    layouts SS_AB is the sequential remainder — document the design
+    before reading the F's).
+
+    Determinism: each S^2/n splits into an exact integer quotient
+    (S^2 DIV n) plus a sub-unit remainder ratio; integer parts sum
+    and cancel EXACTLY (no catastrophic-cancellation ulp
+    amplification — the failure mode of summing ~1e14 doubles; and
+    big-double decimal quantization is NOT cross-engine stable, see
+    the q540 lesson), and the sub-unit fractions fold in
+    factor-level order (bounded arrays). Contract: value
+    integer-valued and banded so S^2 fits 63 bits (kilo-unit a money
+    metric). F statistics are fixed ratio trees; p-values are the
+    caller's F-table lookup.
+
+    Returns one row: (n, ss_a, df_a, ss_b, df_b, ss_ab, df_ab,
+    ss_err, df_err, f_a, f_b, f_ab).
+    """
+    d38 = "decimal(38,0)"
+    v = (
+        F.col(value_col) if isinstance(value_col, str) else value_col
+    ).cast("long")
+    cells = (
+        df.select(
+            F.col(factor_a).alias("fa"),
+            F.col(factor_b).alias("fb"),
+            v.alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("fa", "fb")
+        .agg(
+            F.count("*").cast("long").alias("nc"),
+            F.sum("v").cast("long").alias("sc"),
+            F.sum((F.col("v").cast(d38) * F.col("v")).cast(d38))
+            .cast("long")
+            .alias("ssq"),
+        )
+    )
+
+    def qparts(tbl, key_cols, scol, ncol, iname, fname, kname):
+        pre = tbl.select(
+            *key_cols,
+            (F.col(scol) * F.col(scol)).alias("__sq"),
+            F.col(ncol).alias("__n"),
+        )
+        qq = F.expr("__sq div __n").cast("long")
+        withq = pre.select(*key_cols, "__sq", "__n", qq.alias("qq"))
+        frac = (F.col("__sq") - F.col("qq") * F.col("__n")).cast(
+            "double"
+        ) / F.col("__n").cast("double")
+        return (
+            withq.select(*key_cols, "qq", frac.alias("frac"))
+            .groupBy()
+            .agg(
+                F.sum("qq").cast("long").alias(iname),
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                *[F.col(k) for k in key_cols],
+                                F.col("frac"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda a, e: a + e["frac"],
+                ).alias(fname),
+                F.count("*").cast("long").alias(kname),
+            )
+        )
+
+    ma = cells.groupBy("fa").agg(
+        F.sum("nc").cast("long").alias("nm"),
+        F.sum("sc").cast("long").alias("sm"),
+    )
+    mb = cells.groupBy("fb").agg(
+        F.sum("nc").cast("long").alias("nm"),
+        F.sum("sc").cast("long").alias("sm"),
+    )
+    qa = qparts(ma, ["fa"], "sm", "nm", "qa_i", "qa_f", "ka")
+    qb = qparts(mb, ["fb"], "sm", "nm", "qb_i", "qb_f", "kb")
+    qc = qparts(cells, ["fa", "fb"], "sc", "nc", "qc_i", "qc_f",
+                "n_cells")
+    tot = cells.agg(
+        F.sum("nc").cast("long").alias("n"),
+        F.sum("sc").cast("long").alias("t"),
+        F.sum("ssq").cast("long").alias("ssq"),
+    )
+    one = (
+        tot.crossJoin(F.broadcast(qa))
+        .crossJoin(F.broadcast(qb))
+        .crossJoin(F.broadcast(qc))
+    )
+    one = one.withColumn("__tsq", F.col("t") * F.col("t")).withColumn(
+        "__cfq", F.expr("__tsq div n").cast("long")
+    )
+    cfq = F.col("__cfq")
+    cff = (F.col("__tsq") - cfq * F.col("n")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ss_a = (F.col("qa_i") - cfq).cast("double") + (F.col("qa_f") - cff)
+    ss_b = (F.col("qb_i") - cfq).cast("double") + (F.col("qb_f") - cff)
+    ss_cells = (F.col("qc_i") - cfq).cast("double") + (
+        F.col("qc_f") - cff
+    )
+    ss_tot = (F.col("ssq") - cfq).cast("double") - cff
+    ss_ab = ss_cells - ss_a - ss_b
+    ss_err = ss_tot - ss_cells
+    df_a = F.col("ka") - 1
+    df_b = F.col("kb") - 1
+    df_ab = df_a * df_b
+    df_err = F.col("n") - F.col("n_cells")
+    ms_err = ss_err / df_err.cast("double")
+    return one.select(
+        "n",
+        ss_a.alias("ss_a"), df_a.cast("long").alias("df_a"),
+        ss_b.alias("ss_b"), df_b.cast("long").alias("df_b"),
+        ss_ab.alias("ss_ab"), df_ab.cast("long").alias("df_ab"),
+        ss_err.alias("ss_err"), df_err.cast("long").alias("df_err"),
+        ((ss_a / df_a.cast("double")) / ms_err).alias("f_a"),
+        ((ss_b / df_b.cast("double")) / ms_err).alias("f_b"),
+        ((ss_ab / df_ab.cast("double")) / ms_err).alias("f_ab"),
+    )

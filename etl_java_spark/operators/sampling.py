@@ -587,3 +587,98 @@ def rebalance_classes(
             F.explode(F.sequence(F.lit(1), F.col("__reps"))).alias("__rep"),
         )
     )
+
+
+def raking_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    count_col: str,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    iterations: int = 5,
+) -> DataFrame:
+    """Iterative proportional fitting (survey raking): calibrate
+    per-cell weights so the weighted (row, column) table matches BOTH
+    sets of marginal targets — the standard post-stratification
+    weighting when only the margins of the population are known
+    (census nation totals x segment totals, never the joint).
+
+        repeat T times:
+          w *= row_target / current_row_sum   (all cells in the row)
+          w *= col_target / current_col_sum   (all cells in the col)
+
+    The cell table is an aggregate (post-aggregate contract:
+    dimensions x dimensions), so each half-step is one bounded
+    partitioned window + one broadcast target join; T is FIXED
+    (budgeted-rounds contract — IPF converges geometrically, 5
+    rounds is survey practice). Determinism: the per-row/col sums
+    quantize each w*n term to decimal(38,12) before summing, so the
+    margin sums are order-independent on both engines.
+
+    ``row_targets`` = (row_col, target) and ``col_targets`` =
+    (col_col, target). Returns the calibrated cell table:
+    (row, col, n, weight, weighted_n).
+    """
+    t = int(iterations)
+    if t < 1:
+        raise ValueError("iterations must be >= 1")
+    cells = (
+        df.select(
+            F.col(row_col).alias("r"),
+            F.col(col_col).alias("c"),
+            F.col(count_col).cast("long").alias("n"),
+        )
+        .groupBy("r", "c")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .withColumn("w", F.lit(1.0))
+    )
+    rt = F.broadcast(
+        row_targets.select(
+            F.col(row_col).alias("r"),
+            F.col(row_targets.columns[-1]).cast("double").alias("rt"),
+        )
+    )
+    ct = F.broadcast(
+        col_targets.select(
+            F.col(col_col).alias("c"),
+            F.col(col_targets.columns[-1]).cast("double").alias("ctg"),
+        )
+    )
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    wn = lambda: (F.col("w") * F.col("n").cast("double")).cast(
+        "decimal(38,12)"
+    )
+    for _ in range(t):
+        cells = (
+            cells.join(rt, "r")
+            .withColumn(
+                "w",
+                F.col("w")
+                * (
+                    F.col("rt")
+                    / F.sum(wn()).over(wr).cast("double")
+                ),
+            )
+            .drop("rt")
+        )
+        cells = (
+            cells.join(ct, "c")
+            .withColumn(
+                "w",
+                F.col("w")
+                * (
+                    F.col("ctg")
+                    / F.sum(wn()).over(wc).cast("double")
+                ),
+            )
+            .drop("ctg")
+        )
+    return cells.select(
+        F.col("r").alias(row_col),
+        F.col("c").alias(col_col),
+        "n",
+        F.col("w").alias("weight"),
+        (F.col("w") * F.col("n").cast("double")).alias("weighted_n"),
+    )

@@ -948,3 +948,129 @@ def test_cut_spans_adjacent_spans_merge(spark):
     r = cut_spans(docs, spans).collect()[0]
     assert r["n_merged"] == 1  # adjacent [2,3]+[4,5] -> [2,5]
     assert r["kept_text"] == "af"
+
+
+# ---------------------------------------------------------------------------
+# wave 8: raking, Qn scale, two-way ANOVA
+
+
+def test_raking_weights_hits_both_margins(spark):
+    from etl_java_spark.operators.sampling import raking_weights
+
+    cells = spark.createDataFrame(
+        [("a", "x", 10), ("a", "y", 30), ("b", "x", 20), ("b", "y", 40)],
+        "r string, c string, n long",
+    )
+    rt = spark.createDataFrame(
+        [("a", 50.0), ("b", 50.0)], "r string, target double"
+    )
+    ct = spark.createDataFrame(
+        [("x", 60.0), ("y", 40.0)], "c string, target double"
+    )
+    out = raking_weights(cells, "r", "c", "n", rt, ct, iterations=25)
+    rows = out.collect()
+    rsum = {}
+    csum = {}
+    for r in rows:
+        rsum[r["r"]] = rsum.get(r["r"], 0) + r["weighted_n"]
+        csum[r["c"]] = csum.get(r["c"], 0) + r["weighted_n"]
+    # after enough rounds IPF converges to both margins
+    assert rsum["a"] == pytest.approx(50.0, abs=1e-6)
+    assert rsum["b"] == pytest.approx(50.0, abs=1e-6)
+    assert csum["x"] == pytest.approx(60.0, abs=1e-6)
+    assert csum["y"] == pytest.approx(40.0, abs=1e-6)
+
+
+def test_raking_weights_matches_python_replay(spark):
+    from etl_java_spark.operators.sampling import raking_weights
+
+    cells = {("a", "x"): 5, ("a", "y"): 15, ("b", "x"): 25, ("b", "y"): 5}
+    cdf = spark.createDataFrame(
+        [(r, c, n) for (r, c), n in cells.items()], "r string, c string, n long"
+    )
+    rt = {"a": 30.0, "b": 20.0}
+    ct = {"x": 35.0, "y": 15.0}
+    rdf = spark.createDataFrame(list(rt.items()), "r string, target double")
+    cdf2 = spark.createDataFrame(list(ct.items()), "c string, target double")
+    got = {
+        (r["r"], r["c"]): r["weight"]
+        for r in raking_weights(
+            cdf, "r", "c", "n", rdf, cdf2, iterations=3
+        ).collect()
+    }
+    w = {k: 1.0 for k in cells}
+    for _ in range(3):
+        for rk in rt:
+            tot = sum(w[k] * cells[k] for k in sorted(w) if k[0] == rk)
+            for k in w:
+                if k[0] == rk:
+                    w[k] *= rt[rk] / tot
+        for ck in ct:
+            tot = sum(w[k] * cells[k] for k in sorted(w) if k[1] == ck)
+            for k in w:
+                if k[1] == ck:
+                    w[k] *= ct[ck] / tot
+    for k in cells:
+        assert got[k] == pytest.approx(w[k], rel=1e-12)
+
+
+def test_qn_scale_matches_bruteforce(spark):
+    from etl_java_spark.operators.dq import qn_scale
+
+    vals = [3, 7, 7, 1, 12, 5, 9, 7, 2, 15, 4]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = qn_scale(df, "v").collect()[0]
+    n = len(vals)
+    diffs = sorted(
+        abs(vals[i] - vals[j])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    h = n // 2 + 1
+    k = h * (h - 1) // 2
+    assert row["n"] == n
+    assert row["h"] == h
+    assert row["k_rank"] == k
+    assert row["qn_raw"] == diffs[k - 1]
+    assert row["qn"] == pytest.approx(2.2219 * diffs[k - 1], abs=1e-12)
+
+
+def test_two_way_anova_matches_reference(spark):
+    from etl_java_spark.operators.dq import two_way_anova
+
+    rows = [
+        ("a", "x", 4), ("a", "x", 6), ("a", "y", 8), ("a", "y", 12),
+        ("b", "x", 10), ("b", "x", 14), ("b", "y", 20), ("b", "y", 24),
+        ("b", "y", 22),
+    ]
+    df = spark.createDataFrame(rows, "fa string, fb string, v long")
+    r = two_way_anova(df, "fa", "fb", "v").collect()[0]
+    n = len(rows)
+    t = sum(v for _, _, v in rows)
+    cf = t * t / n
+    import collections
+
+    by_a = collections.defaultdict(list)
+    by_b = collections.defaultdict(list)
+    by_c = collections.defaultdict(list)
+    for a, b, v in rows:
+        by_a[a].append(v)
+        by_b[b].append(v)
+        by_c[(a, b)].append(v)
+    qa = sum(sum(g) ** 2 / len(g) for g in by_a.values())
+    qb = sum(sum(g) ** 2 / len(g) for g in by_b.values())
+    qc = sum(sum(g) ** 2 / len(g) for g in by_c.values())
+    ss_tot = sum(v * v for _, _, v in rows) - cf
+    ss_a, ss_b, ss_cells = qa - cf, qb - cf, qc - cf
+    ss_ab = ss_cells - ss_a - ss_b
+    ss_err = ss_tot - ss_cells
+    assert r["n"] == n
+    assert r["ss_a"] == pytest.approx(ss_a, abs=1e-9)
+    assert r["ss_b"] == pytest.approx(ss_b, abs=1e-9)
+    assert r["ss_ab"] == pytest.approx(ss_ab, abs=1e-9)
+    assert r["ss_err"] == pytest.approx(ss_err, abs=1e-9)
+    assert (r["df_a"], r["df_b"], r["df_ab"]) == (1, 1, 1)
+    assert r["df_err"] == n - 4
+    assert r["f_a"] == pytest.approx(
+        (ss_a / 1) / (ss_err / (n - 4)), rel=1e-9
+    )
