@@ -4299,3 +4299,175 @@ def lilliefors_normal(
         crit.alias("d_crit_05"),
         (F.col("d_stat") > crit).alias("reject_05"),
     )
+
+
+def rdd_estimate(
+    df: DataFrame,
+    running_col,
+    outcome_col,
+    cutoff: int,
+    bandwidth: int,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate: fit separate local
+    linear trends on each side of ``cutoff`` within ``bandwidth`` of
+    it and read the treatment effect as the JUMP of the two fitted
+    lines at the cutoff — the quasi-experimental design for
+    threshold-assigned treatments (credit granted at balance 0,
+    discounts above a spend line), complementing DiD (q288) and IPW
+    (q330) in the causal toolkit.
+
+        effect = (b0_R + b1_R c) - (b0_L + b1_L c)
+
+    Left window is [c - h, c), right [c, c + h]. Both fits are the
+    standard OLS closed form over EXACT integer conditional moments
+    (one aggregate pass, map-side combinable, the goldfeld_quandt
+    regime pattern); the jump is a fixed double tree. Bandwidth is
+    the bias-variance POLICY knob — report several, never tune
+    silently.
+
+    Returns one row: (n_left, n_right, b0_left, b1_left, b0_right,
+    b1_right, effect).
+    """
+    c = int(cutoff)
+    h = int(bandwidth)
+    if h <= 0:
+        raise ValueError("bandwidth must be positive")
+    d38 = "decimal(38,0)"
+    x = (
+        F.col(running_col)
+        if isinstance(running_col, str)
+        else running_col
+    ).cast("long")
+    y = (
+        F.col(outcome_col)
+        if isinstance(outcome_col, str)
+        else outcome_col
+    ).cast("long")
+    base = df.select(x.alias("x"), y.alias("y")).filter(
+        (F.col("x") >= c - h) & (F.col("x") <= c + h)
+    )
+    left = F.col("x") < c
+
+    def moments(cond, tag):
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("long").alias(f"{tag}n"),
+            F.sum(F.when(cond, F.col("x"))).cast("long").alias(f"{tag}sx"),
+            F.sum(F.when(cond, F.col("y"))).cast("long").alias(f"{tag}sy"),
+            F.sum(
+                F.when(
+                    cond,
+                    (F.col("x").cast(d38) * F.col("x")).cast(d38),
+                )
+            )
+            .cast(d38)
+            .alias(f"{tag}sxx"),
+            F.sum(
+                F.when(
+                    cond,
+                    (F.col("x").cast(d38) * F.col("y")).cast(d38),
+                )
+            )
+            .cast(d38)
+            .alias(f"{tag}sxy"),
+        ]
+
+    agg = base.agg(*moments(left, "l_"), *moments(~left, "r_"))
+
+    def fit(tag):
+        n = F.col(f"{tag}n").cast("double")
+        sx = F.col(f"{tag}sx").cast("double")
+        sy = F.col(f"{tag}sy").cast("double")
+        sxx = F.col(f"{tag}sxx").cast("double")
+        sxy = F.col(f"{tag}sxy").cast("double")
+        b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        b0 = (sy - b1 * sx) / n
+        return b0, b1
+
+    b0l, b1l = fit("l_")
+    b0r, b1r = fit("r_")
+    cd = F.lit(float(c))
+    return agg.select(
+        F.col("l_n").alias("n_left"),
+        F.col("r_n").alias("n_right"),
+        b0l.alias("b0_left"),
+        b1l.alias("b1_left"),
+        b0r.alias("b0_right"),
+        b1r.alias("b1_right"),
+        ((b0r + b1r * cd) - (b0l + b1l * cd)).alias("effect"),
+    )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    unit_col: str,
+    success_col,
+    margin: float,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Two-one-sided-tests (TOST) EQUIVALENCE readout for a binary
+    metric under the standard hash A/B split: is |pB - pA| smaller
+    than the practical margin? — the question a non-significant
+    superiority test (q278) does NOT answer (absence of evidence);
+    TOST gives positive evidence of "no meaningful difference"
+    (ship-the-refactor / non-inferiority launches).
+
+        z_lower = (delta + margin) / se     H0: delta <= -margin
+        z_upper = (margin - delta) / se     H0: delta >=  margin
+        p_equiv = max(normal_sf(z_lower), normal_sf(z_upper))
+
+    with the unpooled two-proportion standard error. One conditional
+    aggregate; fixed trees; p via the Zelen-Severo normal_sf (round
+    per the contract). Returns one row: (n_a, x_a, n_b, x_b, delta,
+    se, z_lower, z_upper, p_equiv, equivalent).
+    """
+    m = float(margin)
+    if m <= 0:
+        raise ValueError("margin must be positive")
+    success = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("int")
+    agg = df.select(
+        ab_assign(unit_col).alias("__v"), success.alias("__s")
+    ).agg(
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__v") == 0, F.col("__s")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("__v") == 1, F.col("__s")).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("x_a").cast("double") / na
+    pb = F.col("x_b").cast("double") / nb
+    delta = pb - pa
+    se = F.sqrt(
+        pa * (F.lit(1.0) - pa) / na + pb * (F.lit(1.0) - pb) / nb
+    )
+    zl = (delta + F.lit(m)) / se
+    zu = (F.lit(m) - delta) / se
+
+    def sf_signed(z):
+        # Zelen-Severo is a right-tail form for z >= 0; reflect below
+        return F.when(z >= 0, normal_sf(z)).otherwise(
+            F.lit(1.0) - normal_sf(-z)
+        )
+
+    pl = sf_signed(zl)
+    pu = sf_signed(zu)
+    pe = F.greatest(pl, pu)
+    return agg.select(
+        "n_a", "x_a", "n_b", "x_b",
+        delta.alias("delta"),
+        se.alias("se"),
+        zl.alias("z_lower"),
+        zu.alias("z_upper"),
+        pe.alias("p_equiv"),
+        (pe < F.lit(float(alpha))).alias("equivalent"),
+    )

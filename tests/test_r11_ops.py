@@ -1074,3 +1074,110 @@ def test_two_way_anova_matches_reference(spark):
     assert r["f_a"] == pytest.approx(
         (ss_a / 1) / (ss_err / (n - 4)), rel=1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 9: Luhn audit, RDD, TOST
+
+
+def test_luhn_card_audit_checksum(spark):
+    from etl_java_spark.operators.dq import luhn_card_audit
+
+    docs = [
+        (1, "pay 4532015112830366 now"),        # valid
+        (2, "ref 4532015112830367"),             # checksum fails
+        (3, "short 123456789012 x"),             # too short
+        (4, "a 4111111111111111 b 79927398713"), # valid 16d; 11d ignored
+        (5, "clean text"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {r["id"]: r for r in luhn_card_audit(df, "id", "text").collect()}
+    assert got[1]["n_valid"] == 1
+    assert got[1]["first_valid_masked"] == "****0366"
+    assert got[2]["n_valid"] == 0 and got[2]["n_invalid"] == 1
+    assert 3 not in got and 5 not in got
+    assert got[4]["n_candidates"] == 1 and got[4]["n_valid"] == 1
+    assert got[4]["first_valid_masked"] == "****1111"
+
+
+def test_rdd_estimate_recovers_planted_jump(spark):
+    from etl_java_spark.operators.experiments import rdd_estimate
+
+    # flat level 1 below 0 (2 + x//100 = 1 for -50..-5, floor div),
+    # flat level 12 at/above 0 -> exact jump 11
+    rows = []
+    for x in range(-50, 51, 5):
+        y = 2 + x // 100 if x < 0 else 12 + x // 100
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = rdd_estimate(df, "x", "y", cutoff=0, bandwidth=100).collect()[0]
+    assert r["n_left"] == 10 and r["n_right"] == 11
+    assert r["effect"] == pytest.approx(11.0, abs=1e-9)
+
+
+def test_rdd_estimate_matches_moment_replay(spark):
+    from etl_java_spark.operators.experiments import rdd_estimate
+
+    rows = [(-8, 3), (-5, 4), (-2, 2), (-1, 5), (1, 9), (3, 11),
+            (6, 10), (9, 14)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = rdd_estimate(df, "x", "y", cutoff=0, bandwidth=10).collect()[0]
+
+    def fit(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return (sy - b1 * sx) / n, b1
+
+    b0l, b1l = fit([p for p in rows if p[0] < 0])
+    b0r, b1r = fit([p for p in rows if p[0] >= 0])
+    assert r["b0_left"] == pytest.approx(b0l, abs=1e-12)
+    assert r["b1_right"] == pytest.approx(b1r, abs=1e-12)
+    assert r["effect"] == pytest.approx(b0r - b0l, abs=1e-12)
+
+
+def test_tost_equivalence_matches_reference(spark):
+    import math
+
+    from etl_java_spark.operators.experiments import (
+        ab_assign,
+        tost_equivalence,
+    )
+
+    rows = [(k, 1 if k % 5 == 0 else 0) for k in range(1, 201)]
+    df = spark.createDataFrame(rows, "unit long, s int")
+    m = 0.1
+    r = tost_equivalence(df, "unit", "s", margin=m).collect()[0]
+    vmap = {
+        x["unit"]: x["v"]
+        for x in df.select("unit", ab_assign("unit").alias("v")).collect()
+    }
+    na = sum(1 for u, _ in rows if vmap[u] == 0)
+    xa = sum(s for u, s in rows if vmap[u] == 0)
+    nb = len(rows) - na
+    xb = sum(s for u, s in rows if vmap[u] == 1)
+    pa, pb = xa / na, xb / nb
+    delta = pb - pa
+    se = math.sqrt(pa * (1 - pa) / na + pb * (1 - pb) / nb)
+
+    def sf(x):
+        b = [0.319381530, -0.356563782, 1.781477937, -1.821255978,
+             1.330274429]
+        t = 1.0 / (1.0 + 0.2316419 * x)
+        poly = 0.0
+        for c in reversed(b):
+            poly = poly * t + c
+        return 0.3989422804014327 * math.exp(-0.5 * x * x) * poly * t
+
+    def p_of(z):
+        return sf(z) if z >= 0 else 1.0 - sf(-z)
+
+    zl, zu = (delta + m) / se, (m - delta) / se
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (na, xa, nb, xb)
+    assert r["delta"] == pytest.approx(delta, abs=1e-14)
+    assert r["p_equiv"] == pytest.approx(
+        max(p_of(zl), p_of(zu)), abs=1e-10
+    )
