@@ -3056,3 +3056,68 @@ def arch_lm_test(
         lm.alias("lm_stat"),
         (F.lit(2.0) * normal_sf(F.sqrt(lm))).alias("p_value"),
     )
+
+
+def adjusted_rand_index(
+    df: DataFrame,
+    part_a: str,
+    part_b: str,
+) -> DataFrame:
+    """Adjusted Rand index between two partitions of the same items —
+    the chance-corrected clustering agreement score (q268's kappa for
+    CLUSTERINGS: label-free, permutation-invariant):
+
+        ARI = (SUM_ij C(n_ij,2) - E) / (max_term - E)
+        E   = SUM_i C(a_i,2) SUM_j C(b_j,2) / C(n,2)
+
+    Everything reduces to the contingency table (one grouped count;
+    cluster-count-bounded) and its margins; all pair counts are EXACT
+    integers and the final ratio is one fixed double tree. Returns
+    one row: (n_items, n_clusters_a, n_clusters_b, sum_comb_cells,
+    expected_index, max_index, ari).
+    """
+    base = df.select(
+        F.col(part_a).alias("pa"), F.col(part_b).alias("pb")
+    ).filter(F.col("pa").isNotNull() & F.col("pb").isNotNull())
+    cells = base.groupBy("pa", "pb").agg(
+        F.count("*").cast("long").alias("nij")
+    )
+    comb = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")
+    sc = cells.agg(
+        F.sum(comb("nij")).cast("long").alias("s_cells"),
+        F.sum("nij").cast("long").alias("n"),
+    )
+    ma = (
+        cells.groupBy("pa")
+        .agg(F.sum("nij").cast("long").alias("ai"))
+        .agg(
+            F.sum(comb("ai")).cast("long").alias("s_a"),
+            F.count("*").cast("long").alias("ka"),
+        )
+    )
+    mb = (
+        cells.groupBy("pb")
+        .agg(F.sum("nij").cast("long").alias("bj"))
+        .agg(
+            F.sum(comb("bj")).cast("long").alias("s_b"),
+            F.count("*").cast("long").alias("kb"),
+        )
+    )
+    one = sc.crossJoin(F.broadcast(ma)).crossJoin(F.broadcast(mb))
+    nn = comb("n").cast("double")
+    e = F.col("s_a").cast("double") * F.col("s_b").cast("double") / nn
+    mx = (
+        F.col("s_a").cast("double") + F.col("s_b").cast("double")
+    ) / F.lit(2.0)
+    ari = F.try_divide(
+        F.col("s_cells").cast("double") - e, mx - e
+    )
+    return one.select(
+        F.col("n").alias("n_items"),
+        F.col("ka").alias("n_clusters_a"),
+        F.col("kb").alias("n_clusters_b"),
+        F.col("s_cells").alias("sum_comb_cells"),
+        e.alias("expected_index"),
+        mx.alias("max_index"),
+        ari.alias("ari"),
+    )

@@ -682,3 +682,76 @@ def raking_weights(
         F.col("w").alias("weight"),
         (F.col("w") * F.col("n").cast("double")).alias("weighted_n"),
     )
+
+
+def sinkhorn_plan(
+    cost: DataFrame,
+    row_col: str,
+    col_col: str,
+    cost_col: str,
+    row_mass: DataFrame,
+    col_mass: DataFrame,
+    epsilon: float = 1.0,
+    iterations: int = 5,
+) -> DataFrame:
+    """Entropy-regularized optimal transport (Sinkhorn-Knopp): given
+    a bounded cost matrix and two mass vectors, compute the transport
+    plan P = diag(u) K diag(v) with K = exp(-cost/eps) — the
+    soft-assignment matcher behind distribution-shift correction and
+    source-to-target mixture alignment (the exp-kernel sibling of
+    :func:`raking_weights`: raking matches COUNTS, Sinkhorn matches
+    mass at minimal transport cost).
+
+    The scalings alternate FIXED rounds (budgeted-rounds contract):
+        u = r / (K v)        v = c / (K^T u)
+    Each half-step is one partitioned window sum over the
+    dimensions x dimensions cell table (post-aggregate contract)
+    with per-term decimal(38,12) quantization for order independence
+    (kernel values are <= 1, far inside the quantization-safety
+    bound). exp only — callers round per the log contract.
+
+    ``row_mass`` = (row_col, mass), ``col_mass`` = (col_col, mass).
+    Returns the plan: (row, col, cost, kernel, plan_mass).
+    """
+    t = int(iterations)
+    if t < 1:
+        raise ValueError("iterations must be >= 1")
+    eps = float(epsilon)
+    if eps <= 0:
+        raise ValueError("epsilon must be positive")
+    cells = cost.select(
+        F.col(row_col).alias("r"),
+        F.col(col_col).alias("c"),
+        F.col(cost_col).cast("double").alias("cost"),
+    ).withColumn("kern", F.exp(-F.col("cost") / F.lit(eps)))
+    rm = F.broadcast(
+        row_mass.select(
+            F.col(row_col).alias("r"),
+            F.col(row_mass.columns[-1]).cast("double").alias("rmass"),
+        )
+    )
+    cm = F.broadcast(
+        col_mass.select(
+            F.col(col_col).alias("c"),
+            F.col(col_mass.columns[-1]).cast("double").alias("cmass"),
+        )
+    )
+    state = cells.join(rm, "r").join(cm, "c").select(
+        "r", "c", "cost", "kern", "rmass", "cmass",
+        F.lit(1.0).alias("u"), F.lit(1.0).alias("v"),
+    )
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    q = lambda e: e.cast("decimal(38,12)")
+    for _ in range(t):
+        kv = F.sum(q(F.col("kern") * F.col("v"))).over(wr).cast("double")
+        state = state.withColumn("u", F.col("rmass") / kv)
+        ku = F.sum(q(F.col("kern") * F.col("u"))).over(wc).cast("double")
+        state = state.withColumn("v", F.col("cmass") / ku)
+    return state.select(
+        F.col("r").alias(row_col),
+        F.col("c").alias(col_col),
+        "cost",
+        F.col("kern").alias("kernel"),
+        (F.col("u") * F.col("kern") * F.col("v")).alias("plan_mass"),
+    )

@@ -1461,3 +1461,127 @@ def kcenter_coreset(
         )
         selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected.select("sel_round", "id", "dist2").orderBy("sel_round")
+
+
+def lloyd_deterministic(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 2,
+    quant: int = 1000,
+) -> DataFrame:
+    """FIXED-iteration, fully deterministic Lloyd k-means — the
+    oracle-replayable sibling of the pyspark.ml KMeans quantizer
+    (default_quantizer): seeds are the ``k`` SMALLEST ids' vectors
+    (no RNG), every distance is a fixed per-dimension fold over
+    ``quant``-quantized integer coordinates, assignment ties break on
+    the smallest centroid id, and each update is an exact integer
+    per-dimension mean — so two runs (or two engines) produce
+    IDENTICAL assignments, not just close inertia.
+
+    Plan shape per iteration: one broadcast of the k centroid rows,
+    one argmin-struct groupBy for assignments, one (cid, dim)
+    grouped integer sum via posexplode for the update (shuffles on
+    the cid/dim keys only — never on raw vectors). Budgeted rounds
+    (the pagerank contract); inertia sums quantize per-term to
+    decimal(38,6) — safe because the 1e-6 grid is COARSER than the
+    double ulp at these magnitudes (the q540 conversion lesson,
+    inverted).
+
+    Returns one row per cluster: (cid, n_points, inertia,
+    centroid_checksum).
+    """
+    if k < 1 or iterations < 1:
+        raise ValueError("k and iterations must be >= 1")
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(quant)), 0)
+            .cast("long"),
+        ).alias("xq"),
+    ).localCheckpoint(eager=True)
+    w = Window.orderBy("pid")
+    cent = (
+        pts.orderBy("pid")
+        .limit(int(k))
+        .select(
+            F.row_number().over(w).alias("cid"),
+            F.transform(F.col("xq"), lambda v: v.cast("double")).alias(
+                "c"
+            ),
+        )
+    )
+    assigned = None
+    for _ in range(int(iterations)):
+        cand = pts.crossJoin(F.broadcast(cent))
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("xq"),
+                F.col("c"),
+                lambda x, c: (x.cast("double") - c)
+                * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda a, d: a + d,
+        )
+        assigned = (
+            cand.select(
+                "pid",
+                "xq",
+                F.struct(
+                    dist.alias("d"), F.col("cid").alias("cid")
+                ).alias("__s"),
+            )
+            .groupBy("pid", "xq")
+            .agg(F.min("__s").alias("__b"))
+            .select(
+                "pid", "xq",
+                F.col("__b.cid").alias("cid"),
+                F.col("__b.d").alias("d"),
+            )
+        )
+        dims = assigned.select(
+            "cid", F.posexplode("xq").alias("dim", "v")
+        )
+        sums = dims.groupBy("cid", "dim").agg(
+            F.sum("v").cast("long").alias("s"),
+            F.count("*").cast("long").alias("n"),
+        )
+        cent = (
+            sums.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "dim",
+                            (
+                                F.col("s").cast("double")
+                                / F.col("n").cast("double")
+                            ).alias("m"),
+                        )
+                    )
+                ).alias("__arr")
+            )
+            .select(
+                "cid",
+                F.transform(F.col("__arr"), lambda e: e["m"]).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    per = assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum(F.col("d").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("inertia"),
+    )
+    chk = cent.select(
+        "cid",
+        F.aggregate(
+            F.col("c"), F.lit(0.0), lambda a, x: a + x
+        ).alias("centroid_checksum"),
+    )
+    return per.join(chk, "cid").select(
+        "cid", "n_points", "inertia", "centroid_checksum"
+    )

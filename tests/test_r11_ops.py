@@ -1181,3 +1181,110 @@ def test_tost_equivalence_matches_reference(spark):
     assert r["p_equiv"] == pytest.approx(
         max(p_of(zl), p_of(zu)), abs=1e-10
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 10: Lloyd, Sinkhorn, ARI
+
+
+def test_lloyd_deterministic_matches_reference(spark):
+    from etl_java_spark.operators.similarity import lloyd_deterministic
+
+    # 2 obvious clusters in 2-d; ids 1..6, k=2 seeded from ids 1-2
+    pts = [
+        (1, [0.0, 0.0]), (2, [10.0, 10.0]), (3, [0.5, -0.5]),
+        (4, [9.5, 10.5]), (5, [0.2, 0.1]), (6, [10.2, 9.9]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    rows = {
+        r["cid"]: r
+        for r in lloyd_deterministic(
+            df, "vec_id", "embedding", k=2, iterations=2, quant=1000
+        ).collect()
+    }
+    assert rows[1]["n_points"] == 3 and rows[2]["n_points"] == 3
+
+    # python replay
+    import itertools
+
+    xq = {i: [round(v * 1000) for v in e] for i, e in pts}
+    cent = {1: [float(v) for v in xq[1]], 2: [float(v) for v in xq[2]]}
+    for _ in range(2):
+        assign = {}
+        for i, x in xq.items():
+            best = min(
+                (sum((a - c) ** 2 for a, c in zip(x, cent[j])), j)
+                for j in cent
+            )
+            assign[i] = best
+        newc = {}
+        for j in cent:
+            members = [xq[i] for i in xq if assign[i][1] == j]
+            newc[j] = [
+                sum(col) / len(members) for col in zip(*members)
+            ]
+        cent = newc
+    for j in (1, 2):
+        members = [i for i in xq if assign[i][1] == j]
+        inertia = sum(assign[i][0] for i in members)
+        assert rows[j]["n_points"] == len(members)
+        assert rows[j]["inertia"] == pytest.approx(inertia, rel=1e-9)
+        assert rows[j]["centroid_checksum"] == pytest.approx(
+            sum(cent[j]), rel=1e-9
+        )
+
+
+def test_sinkhorn_plan_converges_to_margins(spark):
+    from etl_java_spark.operators.sampling import sinkhorn_plan
+
+    cost = spark.createDataFrame(
+        [("a", "x", 0.0), ("a", "y", 2.0), ("b", "x", 2.0),
+         ("b", "y", 0.0)],
+        "r string, c string, cost double",
+    )
+    rm = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.5)], "r string, mass double"
+    )
+    cm = spark.createDataFrame(
+        [("x", 0.5), ("y", 0.5)], "c string, mass double"
+    )
+    out = sinkhorn_plan(
+        cost, "r", "c", "cost", rm, cm, epsilon=0.5, iterations=30
+    ).collect()
+    rsum = {}
+    for r in out:
+        rsum[r["r"]] = rsum.get(r["r"], 0) + r["plan_mass"]
+    assert rsum["a"] == pytest.approx(0.5, abs=1e-9)
+    # cheap transport concentrates on the diagonal
+    plan = {(r["r"], r["c"]): r["plan_mass"] for r in out}
+    assert plan[("a", "x")] > 4 * plan[("a", "y")]
+
+
+def test_adjusted_rand_index_known_values(spark):
+    from etl_java_spark.operators.evaluation import adjusted_rand_index
+
+    # identical partitions -> ARI 1; crossed halves -> ARI < 0.1
+    same = spark.createDataFrame(
+        [(i % 3, i % 3) for i in range(30)], "pa long, pb long"
+    )
+    r1 = adjusted_rand_index(same, "pa", "pb").collect()[0]
+    assert r1["ari"] == pytest.approx(1.0, abs=1e-12)
+
+    crossed = spark.createDataFrame(
+        [(i % 2, i % 4) for i in range(40)], "pa long, pb long"
+    )
+    r2 = adjusted_rand_index(crossed, "pa", "pb").collect()[0]
+    # replay sklearn-style from the contingency table
+    import collections
+
+    cells = collections.Counter((i % 2, i % 4) for i in range(40))
+    arow = collections.Counter(i % 2 for i in range(40))
+    bcol = collections.Counter(i % 4 for i in range(40))
+    comb = lambda x: x * (x - 1) // 2
+    sc = sum(comb(v) for v in cells.values())
+    sa = sum(comb(v) for v in arow.values())
+    sb = sum(comb(v) for v in bcol.values())
+    n = 40
+    e = sa * sb / comb(n)
+    ari = (sc - e) / ((sa + sb) / 2 - e)
+    assert r2["ari"] == pytest.approx(ari, abs=1e-12)
