@@ -2895,3 +2895,104 @@ def luhn_card_audit(
         "id", "n_candidates", "n_valid", "n_invalid",
         masked.alias("first_valid_masked"),
     )
+
+
+def tukey_biweight_location(
+    df: DataFrame,
+    value_col,
+    c_mult: float = 4.685,
+    rounds: int = 2,
+) -> DataFrame:
+    """Tukey biweight (bisquare) robust location by fixed IRLS
+    rounds: weight w = (1 - u^2)^2 for |u| < 1 (0 beyond), with
+    u = (v - loc)/(c_mult * MAD) — the redescending M-estimator that
+    IGNORES far outliers entirely (vs winsorizing, q378, which clips
+    them to the fence but still counts them).
+
+    Start at the exact grid median; MAD comes from the
+    |v - median| distinct grid (q173 discipline); each round is one
+    pass over the distinct-value table with per-term
+    decimal(38,6)-quantized weighted sums (terms <= ~1e7, inside the
+    conversion-safety bound). FIXED rounds (budgeted contract — 2
+    rounds is already within ~1e-3 of convergence on unimodal data).
+
+    Returns one row: (n, median, mad, c_scale, loc).
+    """
+    r = int(rounds)
+    if r < 1:
+        raise ValueError("rounds must be >= 1")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(v.cast("long").alias("val"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = per.agg(F.sum("c").cast("long").alias("n"))
+    w = Window.orderBy("val")
+    cum = per.select(
+        "val", "c", F.sum("c").over(w).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    # lower median: smallest val with cum >= ceil(n/2)
+    k = F.floor((F.col("n") + 1) / 2).cast("long")
+    med = cum.filter(F.col("cum") >= k).agg(
+        F.min("val").cast("long").alias("med"),
+        F.max("n").cast("long").alias("n"),
+    )
+    dev = (
+        per.crossJoin(F.broadcast(med))
+        .groupBy(
+            F.abs(F.col("val") - F.col("med")).alias("ad"),
+        )
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    wd = Window.orderBy("ad")
+    dcum = dev.select(
+        "ad", F.sum("c").over(wd).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(med))
+    mad = dcum.filter(
+        F.col("cum") >= F.floor((F.col("n") + 1) / 2).cast("long")
+    ).agg(
+        F.min("ad").cast("long").alias("mad"),
+        F.max("n").cast("long").alias("n"),
+        F.max("med").cast("long").alias("med"),
+    )
+    state = per.crossJoin(F.broadcast(mad))
+    cs = F.lit(float(c_mult)) * F.col("mad").cast("double")
+    loc = F.col("med").cast("double")
+    q6 = lambda e: e.cast("decimal(38,6)")
+    for _ in range(r):
+        u = (F.col("val").cast("double") - loc) / cs
+        wgt = F.when(
+            F.abs(u) < 1,
+            (F.lit(1.0) - u * u) * (F.lit(1.0) - u * u),
+        ).otherwise(F.lit(0.0))
+        num = F.sum(
+            q6(wgt * F.col("val").cast("double") * F.col("c").cast("double"))
+        ).cast("double")
+        den = F.sum(q6(wgt * F.col("c").cast("double"))).cast("double")
+        agg = state.groupBy("n", "med", "mad").agg(
+            num.alias("__num"), den.alias("__den")
+        )
+        # fold the new location back as a literal column by joining
+        state = state.join(
+            F.broadcast(agg.select("n", (F.col("__num") / F.col("__den")).alias("__loc"))),
+            "n",
+        )
+        loc = F.col("__loc")
+        cs = F.lit(float(c_mult)) * F.col("mad").cast("double")
+        state = state.select("val", "c", "n", "med", "mad", "__loc")
+        loc = F.col("__loc")
+        # rename to avoid duplicate on next round
+        state = state.withColumnRenamed("__loc", "__locp")
+        loc = F.col("__locp")
+    return state.groupBy("n", "med", "mad").agg(
+        F.max("__locp").alias("loc")
+    ).select(
+        "n",
+        F.col("med").cast("long").alias("median"),
+        F.col("mad").cast("long").alias("mad"),
+        (F.lit(float(c_mult)) * F.col("mad").cast("double")).alias(
+            "c_scale"
+        ),
+        "loc",
+    )

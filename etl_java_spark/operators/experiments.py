@@ -736,6 +736,7 @@ def bh_fdr(
     p_col: str,
     q: float = 0.05,
     p_round: int = 9,
+    by_correction: bool = False,
 ) -> DataFrame:
     """Benjamini-Hochberg false-discovery-rate control over a table of
     p-values — the multiple-testing correction a segment-sweep A/B
@@ -745,7 +746,9 @@ def bh_fdr(
 
     Procedure (exactly the 1995 step-up rule): sort p ascending (key
     tiebreak), rank i of m, find the LARGEST i with p_(i) <= i*q/m,
-    flag ranks up to it. P-values are ROUNDED to ``p_round`` BEFORE
+    flag ranks up to it. ``by_correction=True`` divides the threshold
+    by the harmonic number H_m (Benjamini-Yekutieli 2001) for
+    validity under arbitrary dependence. P-values are ROUNDED to ``p_round`` BEFORE
     the comparison on both engines, so a last-ulp cross-engine p
     difference can never flip a boundary discovery.
 
@@ -767,6 +770,17 @@ def bh_fdr(
     thresh = (
         F.col("bh_rank").cast("double") * F.lit(q) / F.col("__m").cast("double")
     )
+    if by_correction:
+        # Benjamini-Yekutieli: divide by the harmonic number H_m so
+        # the FDR bound holds under ARBITRARY p-value dependence
+        # (BH assumes independence/PRDS). H_m is an in-row fold over
+        # 1..m in index order — identical on both engines.
+        h_m = F.aggregate(
+            F.sequence(F.lit(1), F.col("__m").cast("int")),
+            F.lit(0.0),
+            lambda a, i: a + F.lit(1.0) / i.cast("double"),
+        )
+        thresh = thresh / h_m
     flagged = ranked.withColumn("__ok", F.col("p_value") <= thresh)
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

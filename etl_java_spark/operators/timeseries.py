@@ -4663,3 +4663,99 @@ def kingman_wait(
         wq_ok.alias("wq"),
         F.when(rho < 1, wq / es).alias("wq_over_es"),
     )
+
+
+def weibull_mrr(
+    df: DataFrame,
+    duration_col,
+    quant_scale: int = 12,
+) -> DataFrame:
+    """Weibull fit by MEDIAN-RANK REGRESSION (the reliability
+    engineer's probability-plot method): order the observed lifetimes,
+    assign Benard median ranks F_i = (i - 0.3)/(n + 0.4), and OLS-fit
+
+        ln(-ln(1 - F_i)) = k ln(t_i) - k ln(lambda)
+
+    — slope k is the Weibull shape (k < 1 infant mortality, k > 1
+    wear-out), intercept gives the scale. The distribution-fitting
+    complement of the nonparametric survival stack (KM q269,
+    Nelson-Aalen q379): MRR answers "WHICH failure regime", not just
+    "what's the curve".
+
+    Ranks come from the distinct-duration prefix table (quantized-
+    input contract) with each tie run EXPLODED to its exact item
+    ranks (a distributed sequence explode — one pass, no window over
+    raw rows); the ln/ln-ln terms are per-item fixed trees QUANTIZED
+    to decimal(38,``quant_scale``) before the moment sums (|terms|
+    <= ~100, far inside the conversion-safety bound), so the five
+    OLS moments are order-independent exact decimals. exp/ln only —
+    round outputs per the log contract.
+
+    Returns one row: (n, shape_k, scale_lambda, r2).
+    """
+    d38 = f"decimal(38,{int(quant_scale)})"
+    t = (
+        F.col(duration_col)
+        if isinstance(duration_col, str)
+        else duration_col
+    ).cast("long")
+    per = (
+        df.select(t.alias("t"))
+        .filter(F.col("t") > 0)
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("t")
+    run = per.select(
+        "t", "c",
+        (F.sum("c").over(w) - F.col("c")).cast("long").alias("cb"),
+    )
+    tot = per.agg(F.sum("c").cast("long").alias("n"))
+    items = (
+        run.crossJoin(F.broadcast(tot))
+        .select(
+            "t", "n",
+            F.explode(
+                F.sequence(F.col("cb") + 1, F.col("cb") + F.col("c"))
+            ).alias("i"),
+        )
+    )
+    fi = (F.col("i").cast("double") - F.lit(0.3)) / (
+        F.col("n").cast("double") + F.lit(0.4)
+    )
+    x = F.log(F.col("t").cast("double"))
+    y = F.log(-F.log(F.lit(1.0) - fi))
+    q_ = lambda e: e.cast(d38)
+    m = items.select(
+        "n",
+        q_(x).alias("qx"),
+        q_(y).alias("qy"),
+        q_(x * y).alias("qxy"),
+        q_(x * x).alias("qxx"),
+        q_(y * y).alias("qyy"),
+    ).groupBy("n").agg(
+        F.sum("qx").cast("double").alias("sx"),
+        F.sum("qy").cast("double").alias("sy"),
+        F.sum("qxy").cast("double").alias("sxy"),
+        F.sum("qxx").cast("double").alias("sxx"),
+        F.sum("qyy").cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    b1 = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    b0 = (F.col("sy") - b1 * F.col("sx")) / nd
+    r2 = (
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return m.select(
+        "n",
+        b1.alias("shape_k"),
+        F.exp(-b0 / b1).alias("scale_lambda"),
+        r2.alias("r2"),
+    )

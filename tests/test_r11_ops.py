@@ -1288,3 +1288,95 @@ def test_adjusted_rand_index_known_values(spark):
     e = sa * sb / comb(n)
     ari = (sc - e) / ((sa + sb) / 2 - e)
     assert r2["ari"] == pytest.approx(ari, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# wave 11: Weibull MRR, Tukey biweight, BY-FDR
+
+
+def test_weibull_mrr_matches_reference(spark):
+    import math
+
+    from etl_java_spark.operators.timeseries import weibull_mrr
+
+    durs = [5, 7, 7, 9, 12, 15, 15, 20, 28, 40]
+    df = spark.createDataFrame([(x,) for x in durs], "t long")
+    row = weibull_mrr(df, "t").collect()[0]
+    n = len(durs)
+    pts = []
+    for i, t in enumerate(sorted(durs), start=1):
+        fi = (i - 0.3) / (n + 0.4)
+        pts.append((math.log(t), math.log(-math.log(1 - fi))))
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b0 = (sy - b1 * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert row["n"] == n
+    assert row["shape_k"] == pytest.approx(b1, rel=1e-9)
+    assert row["scale_lambda"] == pytest.approx(
+        math.exp(-b0 / b1), rel=1e-9
+    )
+    assert row["r2"] == pytest.approx(r2, rel=1e-9)
+
+
+def test_weibull_mrr_tie_ranks_are_itemwise(spark):
+    from etl_java_spark.operators.timeseries import weibull_mrr
+
+    # 4 identical lifetimes still occupy ranks 1..4 (not one collapsed
+    # rank) — n must count items
+    df = spark.createDataFrame([(5,), (5,), (5,), (5,)], "t long")
+    row = weibull_mrr(df, "t").collect()[0]
+    # n counts ITEMS (4), not the single distinct lifetime; the fit
+    # itself is degenerate (all x equal) and deterministic-garbage —
+    # the per-term quantization makes the zero denominator merely tiny
+    assert row["n"] == 4
+
+
+def test_tukey_biweight_ignores_far_outlier(spark):
+    from etl_java_spark.operators.dq import tukey_biweight_location
+
+    vals = [10, 11, 9, 10, 12, 10, 11, 9, 10, 11, 300]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = tukey_biweight_location(df, "v").collect()[0]
+    assert row["median"] == 10 and row["mad"] == 1
+    assert 9.5 < row["loc"] < 11.0  # 300 fully rejected
+    # replay the two IRLS rounds
+    med, mad, c = 10, 1, 4.685
+    loc = float(med)
+    for _ in range(2):
+        num = den = 0.0
+        for v in sorted(set(vals)):
+            cnt = vals.count(v)
+            u = (v - loc) / (c * mad)
+            w = (1 - u * u) ** 2 if abs(u) < 1 else 0.0
+            num += w * v * cnt
+            den += w * cnt
+        loc = num / den
+    # the engine quantizes weighted terms at 1e-6 per round; the exact
+    # replay agrees to quantization level
+    assert row["loc"] == pytest.approx(loc, abs=1e-4)
+
+
+def test_by_fdr_stricter_than_bh(spark):
+    from etl_java_spark.operators.experiments import bh_fdr
+
+    rows = [(f"t{i:02d}", p) for i, p in enumerate(
+        [0.001, 0.004, 0.01, 0.02, 0.04, 0.2, 0.5, 0.8]
+    )]
+    df = spark.createDataFrame(rows, "k string, p double")
+    bh = bh_fdr(df, ["k"], "p", q=0.05)
+    by = bh_fdr(df, ["k"], "p", q=0.05, by_correction=True)
+    n_bh = sum(1 for r in bh.collect() if r["discovery"])
+    n_by = sum(1 for r in by.collect() if r["discovery"])
+    assert n_by <= n_bh  # harmonic shrink can only lose discoveries
+    hm = sum(1.0 / i for i in range(1, 9))
+    r1 = {r["k"]: r for r in by.collect()}
+    assert r1["t00"]["bh_threshold"] == pytest.approx(
+        1 * 0.05 / 8 / hm, rel=1e-12
+    )
