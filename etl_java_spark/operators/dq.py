@@ -2996,3 +2996,82 @@ def tukey_biweight_location(
         ),
         "loc",
     )
+
+
+def median_ci(
+    df: DataFrame,
+    value_col,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Distribution-free confidence interval for the MEDIAN by order
+    statistics: the interval between ranks
+
+        lo = floor((n - z sqrt(n)) / 2)
+        hi = n - lo + 1
+
+    covers the population median with ~95% confidence for ANY
+    continuous distribution (the binomial/sign argument — no
+    normality, no bootstrap resamples; the classic bedside method
+    q279's bootstrap generalizes). Large-sample normal rank
+    approximation; exact binomial ranks differ by at most 1 for
+    n >= ~50 (documented bias, not noise).
+
+    Ranks resolve on the distinct-value cumulative grid (quantized-
+    input contract) — one grouped count + one prefix window. Returns
+    one row: (n, median, lo_rank, hi_rank, ci_lo, ci_hi).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(v.cast("long").alias("val"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = per.agg(F.sum("c").cast("long").alias("n"))
+    w = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "val", F.sum("c").over(w).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    lo_rank = F.floor(
+        (nd - F.lit(float(z)) * F.sqrt(nd)) / F.lit(2.0)
+    ).cast("long")
+    hi_rank = (F.col("n") - lo_rank + 1).cast("long")
+    med_rank = F.floor((F.col("n") + 1) / 2).cast("long")
+
+    def at_rank(r, name):
+        return cum.filter(F.col("cum") >= r).agg(
+            F.min("val").cast("long").alias(name),
+            F.max("n").cast("long").alias(f"__n_{name}"),
+        )
+
+    a = at_rank(med_rank, "median")
+    b = at_rank(lo_rank, "ci_lo")
+    c = at_rank(hi_rank, "ci_hi")
+    one = (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .select(
+            F.col("__n_median").alias("n"),
+            "median", "ci_lo", "ci_hi",
+        )
+    )
+    return one.select(
+        "n",
+        "median",
+        F.floor(
+            (F.col("n").cast("double") - F.lit(float(z)) * F.sqrt(F.col("n").cast("double")))
+            / F.lit(2.0)
+        ).cast("long").alias("lo_rank"),
+        (
+            F.col("n")
+            - F.floor(
+                (F.col("n").cast("double") - F.lit(float(z)) * F.sqrt(F.col("n").cast("double")))
+                / F.lit(2.0)
+            ).cast("long")
+            + 1
+        ).cast("long").alias("hi_rank"),
+        "ci_lo",
+        "ci_hi",
+    )

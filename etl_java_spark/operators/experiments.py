@@ -4485,3 +4485,111 @@ def tost_equivalence(
         pe.alias("p_equiv"),
         (pe < F.lit(float(alpha))).alias("equivalent"),
     )
+
+
+def lepage_test(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Lepage joint location-scale test: the sum of the squared
+    standardized Wilcoxon (location, :func:`mann_whitney_u`) and
+    Ansari-Bradley (scale, :func:`ansari_bradley`) statistics,
+
+        L = z_W^2 + z_AB^2  ~  chi2(2)
+
+    — the omnibus "did ANYTHING change?" two-sample screen: a shift
+    alone, a spread change alone, or both, all register (each
+    component test alone misses its blind spot). df = 2 is even, so
+    p = exp(-L/2) is elementary.
+
+    Both components are the repo's tie-robust exact-moment versions
+    (distinct-value grid, quantized-input contract); the combination
+    is one broadcast join of two 1-row results. Returns one row:
+    (n_a, n_b, z_w, z_ab, l_stat, p_value).
+    """
+    mw = mann_whitney_u(df, group_col, value_col, group_a, group_b)
+    ab = ansari_bradley(df, group_col, value_col, group_a, group_b)
+    mw1 = mw.select(
+        F.col("n_a"), F.col("n_b"), F.col("z").alias("z_w")
+    )
+    ab1 = ab.select(F.col("z").alias("z_ab"))
+    one = mw1.crossJoin(F.broadcast(ab1))
+    l = F.col("z_w") * F.col("z_w") + F.col("z_ab") * F.col("z_ab")
+    return one.select(
+        "n_a", "n_b", "z_w", "z_ab",
+        l.alias("l_stat"),
+        F.exp(F.lit(-0.5) * l).alias("p_value"),
+    )
+
+
+def hodges_lehmann_shift(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Hodges-Lehmann shift estimator: the MEDIAN of all pairwise
+    differences v_b - v_a between two samples — the effect SIZE that
+    goes with the Mann-Whitney test (q373 gives the p; HL answers
+    "shifted by how much?", robustly, in the metric's own units).
+
+    Exact at scale by the Qn census trick (q539): each sample
+    collapses to its distinct-value grid, the grid x grid join
+    carries integer pair multiplicities c_a c_b, differences group by
+    value, and the median pair falls out of one cumulative count —
+    never n_a x n_b materialized rows. Ties in the middle pair
+    average (lower/upper order statistics both reported).
+
+    Returns one row: (n_a, n_b, n_pairs, hl_lo, hl_hi, hl_shift).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    g = F.col(group_col)
+    pa = (
+        df.filter(g == group_a)
+        .groupBy(v.cast("long").alias("va"))
+        .agg(F.count("*").cast("long").alias("ca"))
+    )
+    pb = (
+        df.filter(g == group_b)
+        .groupBy(v.cast("long").alias("vb"))
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    pairs = pa.crossJoin(pb).select(
+        (F.col("vb") - F.col("va")).alias("diff"),
+        (F.col("ca") * F.col("cb")).cast("long").alias("m"),
+    )
+    byd = pairs.groupBy("diff").agg(F.sum("m").cast("long").alias("m"))
+    tots = pa.agg(F.sum("ca").cast("long").alias("n_a")).crossJoin(
+        pb.agg(F.sum("cb").cast("long").alias("n_b"))
+    )
+    w = Window.orderBy("diff").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = byd.select(
+        "diff", F.sum("m").over(w).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(tots))
+    np_ = F.col("n_a") * F.col("n_b")
+    klo = F.floor((np_ + 1) / 2).cast("long")
+    khi = (F.floor(np_ / 2) + 1).cast("long")
+    lo = cum.filter(F.col("cum") >= klo).agg(
+        F.min("diff").cast("long").alias("hl_lo"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    hi = cum.filter(F.col("cum") >= khi).agg(
+        F.min("diff").cast("long").alias("hl_hi")
+    )
+    one = lo.crossJoin(F.broadcast(hi))
+    return one.select(
+        "n_a", "n_b",
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+        "hl_lo", "hl_hi",
+        (
+            (F.col("hl_lo") + F.col("hl_hi")).cast("double")
+            / F.lit(2.0)
+        ).alias("hl_shift"),
+    )

@@ -1380,3 +1380,70 @@ def test_by_fdr_stricter_than_bh(spark):
     assert r1["t00"]["bh_threshold"] == pytest.approx(
         1 * 0.05 / 8 / hm, rel=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 12: Lepage, Hodges-Lehmann, median CI
+
+
+def test_lepage_combines_component_z(spark):
+    import math
+
+    from etl_java_spark.operators.experiments import (
+        ansari_bradley,
+        lepage_test,
+        mann_whitney_u,
+    )
+
+    rows = (
+        [("a", v) for v in [10, 12, 11, 13, 12, 11]]
+        + [("b", v) for v in [20, 2, 25, 1, 22, 3]]
+    )  # same-ish center, very different spread
+    df = spark.createDataFrame(rows, "g string, v long")
+    lp = lepage_test(df, "g", "v", "a", "b").collect()[0]
+    zw = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]["z"]
+    zab = ansari_bradley(df, "g", "v", "a", "b").collect()[0]["z"]
+    assert lp["z_w"] == pytest.approx(zw, abs=1e-12)
+    assert lp["z_ab"] == pytest.approx(zab, abs=1e-12)
+    assert lp["l_stat"] == pytest.approx(zw * zw + zab * zab, abs=1e-10)
+    assert lp["p_value"] == pytest.approx(
+        math.exp(-0.5 * (zw * zw + zab * zab)), abs=1e-10
+    )
+    # scale-only change: AB drives the signal
+    assert abs(zab) > abs(zw)
+
+
+def test_hodges_lehmann_matches_bruteforce(spark):
+    from etl_java_spark.operators.experiments import hodges_lehmann_shift
+
+    a = [3, 5, 7, 7, 9]
+    b = [10, 12, 12, 15]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = hodges_lehmann_shift(df, "g", "v", "a", "b").collect()[0]
+    diffs = sorted(vb - va for va in a for vb in b)
+    np_ = len(diffs)
+    lo = diffs[(np_ + 1) // 2 - 1]
+    hi = diffs[np_ // 2]
+    assert r["n_pairs"] == np_
+    assert r["hl_lo"] == lo and r["hl_hi"] == hi
+    assert r["hl_shift"] == pytest.approx((lo + hi) / 2, abs=1e-12)
+
+
+def test_median_ci_ranks_and_values(spark):
+    import math
+
+    from etl_java_spark.operators.dq import median_ci
+
+    vals = sorted([7, 3, 9, 1, 5, 11, 13, 2, 8, 6, 4, 12, 10, 14, 15])
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = median_ci(df, "v").collect()[0]
+    n = len(vals)
+    lo_rank = math.floor((n - 1.959963984540054 * math.sqrt(n)) / 2)
+    hi_rank = n - lo_rank + 1
+    assert r["n"] == n
+    assert r["median"] == vals[(n + 1) // 2 - 1]
+    assert r["lo_rank"] == lo_rank and r["hi_rank"] == hi_rank
+    assert r["ci_lo"] == vals[lo_rank - 1]
+    assert r["ci_hi"] == vals[hi_rank - 1]
+    assert r["ci_lo"] < r["median"] < r["ci_hi"]
