@@ -2220,3 +2220,61 @@ def cut_spans(
         ),
         kept.alias("kept_text"),
     )
+
+
+def chao1_richness(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Chao1 species-richness estimator per group: how many DISTINCT
+    types (tokens, users, SKUs) does the population hold, given how
+    many we've seen once and twice?
+
+        Chao1 = S_obs + f1^2 / (2 f2)        (f2 > 0)
+                S_obs + f1 (f1 - 1) / 2      (f2 = 0, bias-corrected)
+
+    — the missing-mass companion of the vocabulary-growth fits
+    (q432 Yule's K measures concentration, q434 Heaps extrapolates
+    the CURVE; Chao1 bounds the asymptote from the rare-type counts
+    alone). Two grouped integer passes (type frequencies, then the
+    f1/f2 census); the estimate is one fixed ratio tree.
+
+    Returns per group: (grp, s_obs, f1, f2, chao1, coverage) with
+    coverage the Good-Turing 1 - f1/N sample-coverage estimate.
+    """
+    freq = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(token_col).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .groupBy("grp", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per = freq.groupBy("grp").agg(
+        F.count("*").cast("long").alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao = F.when(
+        F.col("f2") > 0,
+        F.col("s_obs").cast("double") + f1 * f1 / (F.lit(2.0) * f2),
+    ).otherwise(
+        F.col("s_obs").cast("double")
+        + f1 * (f1 - F.lit(1.0)) / F.lit(2.0)
+    )
+    return per.select(
+        "grp", "s_obs", "f1", "f2",
+        chao.alias("chao1"),
+        (
+            F.lit(1.0) - f1 / F.col("n_tokens").cast("double")
+        ).alias("coverage"),
+    )

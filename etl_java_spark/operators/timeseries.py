@@ -4759,3 +4759,163 @@ def weibull_mrr(
         F.exp(-b0 / b1).alias("scale_lambda"),
         r2.alias("r2"),
     )
+
+
+def gpd_pwm(
+    df: DataFrame,
+    value_col,
+    threshold: int,
+) -> DataFrame:
+    """Generalized Pareto fit to threshold EXCEEDANCES by probability-
+    weighted moments (Hosking-Wallis): the peaks-over-threshold tail
+    model that uses every extreme observation, where block maxima
+    (q469's Gumbel) throw away all but one per block:
+
+        b0 = mean(y),  b1 = SUM (i-1)/(n-1) y_(i) / n   (sorted y)
+        shape xi = 2 - b0 / (b0 - 2 b1)
+        scale    = 2 b0 b1 / (b0 - 2 b1)
+
+    xi > 0 heavy tail, xi < 0 bounded tail. Exceedances y = v - u
+    collapse to the distinct-value grid, ranks explode exactly (the
+    weibull_mrr discipline), and the rank-weighted terms quantize to
+    decimal(38,6) before summing (magnitudes ~ y_max — inside the
+    conversion-safe zone for banded inputs). b0 is an exact integer
+    ratio.
+
+    Returns one row: (n_exceed, threshold, b0, b1, shape_xi, scale).
+    """
+    u = int(threshold)
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = (
+        df.select(v.cast("long").alias("v"))
+        .filter(F.col("v") > u)
+        .select((F.col("v") - F.lit(u)).alias("y"))
+        .groupBy("y")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("y")
+    run = per.select(
+        "y", "c",
+        (F.sum("c").over(w) - F.col("c")).cast("long").alias("cb"),
+    )
+    tot = per.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("y") * F.col("c")).cast("long").alias("sy"),
+    )
+    items = run.crossJoin(F.broadcast(tot)).select(
+        "y", "n", "sy",
+        F.explode(
+            F.sequence(F.col("cb") + 1, F.col("cb") + F.col("c"))
+        ).alias("i"),
+    )
+    term = (
+        (F.col("i").cast("double") - F.lit(1.0))
+        / (F.col("n").cast("double") - F.lit(1.0))
+        * F.col("y").cast("double")
+    )
+    m = items.groupBy("n", "sy").agg(
+        F.sum(term.cast("decimal(38,6)")).cast("double").alias("sw")
+    )
+    nd = F.col("n").cast("double")
+    b0 = F.col("sy").cast("double") / nd
+    b1 = F.col("sw") / nd
+    xi = F.lit(2.0) - b0 / (b0 - F.lit(2.0) * b1)
+    sc = F.lit(2.0) * b0 * b1 / (b0 - F.lit(2.0) * b1)
+    return m.select(
+        F.col("n").alias("n_exceed"),
+        F.lit(u).cast("long").alias("threshold"),
+        b0.alias("b0"),
+        b1.alias("b1"),
+        xi.alias("shape_xi"),
+        sc.alias("scale"),
+    )
+
+
+def adstock_mmm(
+    df: DataFrame,
+    time_col: str,
+    spend_col: str,
+    outcome_col: str,
+    decay_num: int = 1,
+    decay_den: int = 2,
+) -> DataFrame:
+    """Adstock media-mix regression (single channel): carry spend
+    forward with geometric decay theta = decay_num/decay_den,
+    saturate with ln(1 + adstock), and OLS-fit the outcome on the
+    transformed exposure —
+
+        adstock_t = spend_t + theta * adstock_{t-1}
+        outcome_t ~ b0 + b1 ln(1 + adstock_t)
+
+    the canonical reduced form behind marketing-mix attribution
+    (q199/q300/q340 allocate credit across touches; MMM asks the
+    aggregate "does spend MOVE the metric, with memory and
+    diminishing returns?").
+
+    theta is RATIONAL so the adstock recursion folds in exact scaled
+    integers: A_t in units of den^t collapses via
+    A'_t = spend_t * den^t? — no: the fold carries adstock as a
+    double (the EWMA/Holt fold contract, identical IEEE chain on
+    both engines, oracle = recursive CTE) and the five OLS moments
+    ride INSIDE the same sequential fold — order-fixed by
+    construction, so no decimal quantization is needed (and none
+    would be safe: x*y reaches ~1e10, outside the conversion-safe
+    zone).
+
+    Returns one row: (n_periods, b0, b1, r2).
+    """
+    th = float(decay_num) / float(decay_den)
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.col(spend_col).cast("long").alias("s"),
+        F.col(outcome_col).cast("long").alias("yv"),
+    )
+    per = base.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct("t", "s", "yv"))
+        ).alias("__arr"),
+    )
+
+    def step(acc, e):
+        a_new = e["s"].cast("double") + F.lit(th) * acc["a"]
+        x = F.log(F.lit(1.0) + a_new)
+        y = e["yv"].cast("double")
+        return F.struct(
+            a_new.alias("a"),
+            (acc["sx"] + x).alias("sx"),
+            (acc["sy"] + y).alias("sy"),
+            (acc["sxy"] + x * y).alias("sxy"),
+            (acc["sxx"] + x * x).alias("sxx"),
+            (acc["syy"] + y * y).alias("syy"),
+        )
+
+    init = F.struct(
+        F.lit(0.0).alias("a"),
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxy"),
+        F.lit(0.0).alias("sxx"),
+        F.lit(0.0).alias("syy"),
+    )
+    folded = per.select(
+        "n", F.aggregate(F.col("__arr"), init, step).alias("__f")
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("__f.sx"), F.col("__f.sy")
+    sxy, sxx, syy = (
+        F.col("__f.sxy"), F.col("__f.sxx"), F.col("__f.syy"),
+    )
+    b1 = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    b0 = (sy - b1 * sx) / nd
+    r2 = (
+        (nd * sxy - sx * sy)
+        * (nd * sxy - sx * sy)
+        / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    )
+    return folded.select(
+        F.col("n").alias("n_periods"),
+        b0.alias("b0"),
+        b1.alias("b1"),
+        r2.alias("r2"),
+    )

@@ -1447,3 +1447,86 @@ def test_median_ci_ranks_and_values(spark):
     assert r["ci_lo"] == vals[lo_rank - 1]
     assert r["ci_hi"] == vals[hi_rank - 1]
     assert r["ci_lo"] < r["median"] < r["ci_hi"]
+
+
+# ---------------------------------------------------------------------------
+# wave 13: GPD tail, adstock MMM, Chao1
+
+
+def test_gpd_pwm_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import gpd_pwm
+
+    vals = [410, 415, 415, 430, 450, 480, 520, 600, 405, 440]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    row = gpd_pwm(df, "v", threshold=400).collect()[0]
+    y = sorted(v - 400 for v in vals)
+    n = len(y)
+    b0 = sum(y) / n
+    b1 = sum((i - 1) / (n - 1) * yi for i, yi in enumerate(y, 1)) / n
+    xi = 2 - b0 / (b0 - 2 * b1)
+    sc = 2 * b0 * b1 / (b0 - 2 * b1)
+    assert row["n_exceed"] == n
+    assert row["b0"] == pytest.approx(b0, abs=1e-9)
+    assert row["b1"] == pytest.approx(b1, abs=1e-6)
+    assert row["shape_xi"] == pytest.approx(xi, abs=1e-6)
+    assert row["scale"] == pytest.approx(sc, abs=1e-5)
+
+
+def test_adstock_mmm_matches_reference(spark):
+    import math
+
+    from etl_java_spark.operators.timeseries import adstock_mmm
+
+    series = [(1, 10, 120), (2, 0, 100), (3, 20, 180), (4, 5, 140),
+              (5, 0, 110), (6, 30, 260)]
+    df = spark.createDataFrame(series, "t long, s long, yv long")
+    row = adstock_mmm(df, "t", "s", "yv", decay_num=1, decay_den=2)
+    r = row.collect()[0]
+    a = 0.0
+    pts = []
+    for _, s_, y_ in series:
+        a = s_ + 0.5 * a
+        pts.append((math.log(1 + a), y_))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b0 = (sy - b1 * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert r["n_periods"] == n
+    assert r["b0"] == pytest.approx(b0, rel=1e-9)
+    assert r["b1"] == pytest.approx(b1, rel=1e-9)
+    assert r["r2"] == pytest.approx(r2, rel=1e-9)
+    assert r["b1"] > 0  # planted positive spend effect
+
+
+def test_chao1_richness_matches_reference(spark):
+    from etl_java_spark.operators.corpus import chao1_richness
+
+    toks = (["a"] * 5 + ["b"] * 2 + ["c"] + ["d"] + ["e"] * 2
+            + ["f"] * 3)
+    df = spark.createDataFrame(
+        [("g", t) for t in toks], "grp string, tok string"
+    )
+    r = chao1_richness(df, "grp", "tok").collect()[0]
+    # freqs: a5 b2 c1 d1 e2 f3 -> s_obs 6, f1 2, f2 2
+    assert (r["s_obs"], r["f1"], r["f2"]) == (6, 2, 2)
+    assert r["chao1"] == pytest.approx(6 + 4 / 4, abs=1e-12)
+    assert r["coverage"] == pytest.approx(1 - 2 / len(toks), abs=1e-12)
+
+
+def test_chao1_no_doubletons_bias_corrected(spark):
+    from etl_java_spark.operators.corpus import chao1_richness
+
+    toks = ["a", "b", "c", "d", "d", "d"]
+    df = spark.createDataFrame(
+        [("g", t) for t in toks], "grp string, tok string"
+    )
+    r = chao1_richness(df, "grp", "tok").collect()[0]
+    # f1=3, f2=0 -> chao = 4 + 3*2/2 = 7
+    assert r["chao1"] == pytest.approx(7.0, abs=1e-12)
