@@ -2234,11 +2234,14 @@ def chao1_richness(
         Chao1 = S_obs + f1^2 / (2 f2)        (f2 > 0)
                 S_obs + f1 (f1 - 1) / 2      (f2 = 0, bias-corrected)
 
-    — the missing-mass companion of the vocabulary-growth fits
-    (q432 Yule's K measures concentration, q434 Heaps extrapolates
-    the CURVE; Chao1 bounds the asymptote from the rare-type counts
-    alone). Two grouped integer passes (type frequencies, then the
-    f1/f2 census); the estimate is one fixed ratio tree.
+    — the PER-GROUP generalization of the corpus-level estimate
+    inside :func:`vocab_richness` (q432): that one reports the
+    bias-corrected f1^2/(2(f2+1)) for the whole unigram vocabulary;
+    this one takes ANY caller-supplied type column (the q555 gate
+    feeds word bigrams), groups it, and uses the classic two-branch
+    Chao1 with the f2=0 correction — the per-source dashboard shape.
+    Two grouped integer passes (type frequencies, then the f1/f2
+    census); the estimate is one fixed ratio tree.
 
     Returns per group: (grp, s_obs, f1, f2, chao1, coverage) with
     coverage the Good-Turing 1 - f1/N sample-coverage estimate.
