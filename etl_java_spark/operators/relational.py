@@ -846,3 +846,188 @@ def price_index(
         paas.alias("paasche"),
         F.sqrt(lasp * paas).alias("fisher"),
     )
+
+
+def mrr_bridge(
+    df: DataFrame,
+    entity_col: str,
+    period_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Recurring-revenue growth-accounting bridge: decompose each
+    period-over-period revenue delta into NEW / RESURRECTED /
+    EXPANSION / CONTRACTION / CHURNED money, per period — the SaaS
+    "MRR waterfall" (q210 counts new USERS; q304 bridges price
+    -volume-mix; this bridges the customer-grain revenue ledger and
+    its identity is exact):
+
+        ending = starting + new + resurrected + expansion
+                 - contraction - churned
+
+    Mechanics (all equi-joins on the (entity, period) key):
+    consecutive-period pairs via a self-join on period-1; churn rows
+    via an anti-join; "new vs resurrected" splits on the entity's
+    first active period (one grouped MIN). Every term is an exact
+    integer sum — the identity holds to the cent by construction,
+    and the operator ASSERTS nothing instead emits both sides.
+
+    ``period_col`` must be an integer period index (year*12+month
+    style — derive upstream). Returns one row per period with a
+    predecessor: (period, starting, new_rev, resurrected, expansion,
+    contraction, churned, ending).
+    """
+    base = (
+        df.select(
+            F.col(entity_col).alias("e"),
+            F.col(period_col).cast("long").alias("p"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("e", "p")
+        .agg(F.sum("v").cast("long").alias("v"))
+        .filter(F.col("v") > 0)
+    )
+    first = base.groupBy("e").agg(F.min("p").cast("long").alias("p0"))
+    prev = base.select(
+        "e", (F.col("p") + 1).alias("p"), F.col("v").alias("pv")
+    )
+    cur = (
+        base.join(prev, ["e", "p"], "full_outer")
+        .join(first, "e")
+        .select(
+            "p",
+            F.coalesce("v", F.lit(0)).alias("v"),
+            F.coalesce("pv", F.lit(0)).alias("pv"),
+            "p0",
+        )
+    )
+    agg = cur.groupBy("p").agg(
+        F.sum("pv").cast("long").alias("starting"),
+        F.sum(
+            F.when(
+                (F.col("pv") == 0) & (F.col("p") == F.col("p0")),
+                F.col("v"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("new_rev"),
+        F.sum(
+            F.when(
+                (F.col("pv") == 0)
+                & (F.col("p") > F.col("p0"))
+                & (F.col("v") > 0),
+                F.col("v"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("resurrected"),
+        F.sum(
+            F.when(
+                (F.col("pv") > 0) & (F.col("v") > F.col("pv")),
+                F.col("v") - F.col("pv"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("expansion"),
+        F.sum(
+            F.when(
+                (F.col("pv") > 0)
+                & (F.col("v") < F.col("pv"))
+                & (F.col("v") > 0),
+                F.col("pv") - F.col("v"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("contraction"),
+        F.sum(
+            F.when(
+                (F.col("pv") > 0) & (F.col("v") == 0), F.col("pv")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("churned"),
+        F.sum("v").cast("long").alias("ending"),
+    )
+    # drop the first period of the whole ledger (no predecessor:
+    # "starting" would read 0 and every dollar would look NEW)
+    pmin = base.agg(F.min("p").alias("pm"))
+    return agg.join(F.broadcast(pmin), agg["p"] > pmin["pm"]).drop("pm")
+
+
+def shift_share(
+    df0: DataFrame,
+    df1: DataFrame,
+    region_col: str,
+    industry_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Classical shift-share decomposition of regional growth between
+    two period snapshots: how much of each region's change is the
+    NATIONAL tide, how much its INDUSTRY mix, and how much genuinely
+    local competitiveness?
+
+        NS_ri = v0_ri * g          (national share)
+        IM_ri = v0_ri * (g_i - g)  (industry mix)
+        RS_ri = dv_ri - NS - IM    (regional shift, the residual)
+
+    summed to region grain; the three components add EXACTLY to the
+    region's delta by construction. One aggregate per snapshot, one
+    (region, industry) full-outer join, broadcast national/industry
+    rates — the growth analogue of q304's price-volume-mix bridge.
+
+    Returns per region: (region, v0, v1, national_share,
+    industry_mix, regional_shift).
+    """
+    c0 = (
+        df0.select(
+            F.col(region_col).alias("r"),
+            F.col(industry_col).alias("i"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("r", "i")
+        .agg(F.sum("v").cast("long").alias("v0"))
+    )
+    c1 = (
+        df1.select(
+            F.col(region_col).alias("r"),
+            F.col(industry_col).alias("i"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("r", "i")
+        .agg(F.sum("v").cast("long").alias("v1"))
+    )
+    cells = c0.join(c1, ["r", "i"], "full_outer").select(
+        "r", "i",
+        F.coalesce("v0", F.lit(0)).alias("v0"),
+        F.coalesce("v1", F.lit(0)).alias("v1"),
+    )
+    nat = cells.agg(
+        F.sum("v0").cast("long").alias("t0"),
+        F.sum("v1").cast("long").alias("t1"),
+    )
+    ind = cells.groupBy("i").agg(
+        F.sum("v0").cast("long").alias("i0"),
+        F.sum("v1").cast("long").alias("i1"),
+    )
+    j = cells.join(F.broadcast(ind), "i").crossJoin(F.broadcast(nat))
+    g = (F.col("t1") - F.col("t0")).cast("double") / F.col("t0").cast(
+        "double"
+    )
+    gi = (F.col("i1") - F.col("i0")).cast("double") / F.col("i0").cast(
+        "double"
+    )
+    ns = F.col("v0").cast("double") * g
+    im = F.col("v0").cast("double") * (gi - g)
+    rs = (F.col("v1") - F.col("v0")).cast("double") - ns - im
+    return j.groupBy("r").agg(
+        F.sum("v0").cast("long").alias("v0"),
+        F.sum("v1").cast("long").alias("v1"),
+        F.sum(ns.cast("decimal(38,6)")).cast("double").alias(
+            "national_share"
+        ),
+        F.sum(im.cast("decimal(38,6)")).cast("double").alias(
+            "industry_mix"
+        ),
+        F.sum(rs.cast("decimal(38,6)")).cast("double").alias(
+            "regional_shift"
+        ),
+    )

@@ -1530,3 +1530,78 @@ def test_chao1_no_doubletons_bias_corrected(spark):
     r = chao1_richness(df, "grp", "tok").collect()[0]
     # f1=3, f2=0 -> chao = 4 + 3*2/2 = 7
     assert r["chao1"] == pytest.approx(7.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# wave 14: MRR bridge, shift-share
+
+
+def test_mrr_bridge_identity_and_categories(spark):
+    from etl_java_spark.operators.relational import mrr_bridge
+
+    rows = [
+        # customer A: new in p1 at 100, expands to 150, churns in p3
+        ("A", 1, 100), ("A", 2, 150),
+        # customer B: new in p1, contracts, stays
+        ("B", 1, 200), ("B", 2, 120), ("B", 3, 120),
+        # customer C: new in p2, gone p3, resurrected p4
+        ("C", 2, 80), ("C", 4, 90),
+    ]
+    df = spark.createDataFrame(rows, "e string, p long, v long")
+    out = {r["p"]: r for r in mrr_bridge(df, "e", "p", "v").collect()}
+    # p2: starting 300; A +50 expansion; B -80 contraction; C new 80
+    assert out[2]["starting"] == 300
+    assert out[2]["new_rev"] == 80
+    assert out[2]["expansion"] == 50
+    assert out[2]["contraction"] == 80
+    assert out[2]["churned"] == 0
+    assert out[2]["ending"] == 350
+    # p3: A churns (150); ending 120
+    assert out[3]["churned"] == 150 + 80  # A 150 + C 80 both absent p3
+    assert out[3]["ending"] == 120
+    # p4: C resurrected 90 (first period was 2)
+    assert out[4]["resurrected"] == 90
+    assert out[4]["new_rev"] == 0
+    # ledger identity everywhere
+    for r in out.values():
+        assert (
+            r["ending"]
+            == r["starting"] + r["new_rev"] + r["resurrected"]
+            + r["expansion"] - r["contraction"] - r["churned"]
+        )
+    # p1 (the ledger's first period) is not emitted
+    assert 1 not in out
+
+
+def test_shift_share_components_sum_to_delta(spark):
+    from etl_java_spark.operators.relational import shift_share
+
+    d0 = spark.createDataFrame(
+        [("r1", "i1", 100), ("r1", "i2", 50), ("r2", "i1", 200),
+         ("r2", "i2", 150)],
+        "r string, i string, v long",
+    )
+    d1 = spark.createDataFrame(
+        [("r1", "i1", 130), ("r1", "i2", 45), ("r2", "i1", 240),
+         ("r2", "i2", 160)],
+        "r string, i string, v long",
+    )
+    out = {r["r"]: r for r in shift_share(d0, d1, "r", "i", "v").collect()}
+    t0, t1 = 500, 575
+    g = (t1 - t0) / t0
+    gi = {"i1": (370 - 300) / 300, "i2": (205 - 200) / 200}
+    for r, cells in (("r1", [("i1", 100, 130), ("i2", 50, 45)]),
+                     ("r2", [("i1", 200, 240), ("i2", 150, 160)])):
+        ns = sum(v0 * g for _, v0, _ in cells)
+        im = sum(v0 * (gi[i] - g) for i, v0, _ in cells)
+        dv = sum(v1 - v0 for _, v0, v1 in cells)
+        row = out[r]
+        assert row["national_share"] == pytest.approx(ns, abs=1e-6)
+        assert row["industry_mix"] == pytest.approx(im, abs=1e-6)
+        assert row["regional_shift"] == pytest.approx(
+            dv - ns - im, abs=1e-6
+        )
+        assert (
+            row["national_share"] + row["industry_mix"]
+            + row["regional_shift"]
+        ) == pytest.approx(dv, abs=1e-6)
