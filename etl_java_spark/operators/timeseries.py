@@ -4919,3 +4919,236 @@ def adstock_mmm(
         b1.alias("b1"),
         r2.alias("r2"),
     )
+
+
+def risk_scorecard(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    pnl_col: str,
+) -> DataFrame:
+    """Per-group risk-adjusted return scorecard over an integer P&L
+    series: Sharpe, Sortino, max drawdown, and Calmar — the headline
+    ratios of a strategy/desk performance report. Charter §2B
+    extension (the reference, src/etl/ETLProcess.java:1-568, has no
+    analytics surface).
+
+    Conventions (documented, both engines): per-period (no annualizing
+    factor), risk-free rate 0, POPULATION dispersion via the exact
+    integer identity D = n*ss - s^2 (so sharpe = s / sqrt(D) — the
+    algebraic collapse of mean/sd_pop), Sortino target 0 with the
+    population downside second moment (sortino = s / sqrt(n*ssd)),
+    Calmar = mean pnl / max drawdown. Zero-dispersion, zero-downside,
+    or zero-drawdown groups read NULL for the affected ratio.
+
+    Scale design: ONE grouped aggregate carries the integer moments
+    (map-side combinable); drawdown needs the ordered equity curve, so
+    two windows PARTITIONED BY group ORDER BY time (the per-group
+    period table is calendar-bounded — the post-aggregate-window
+    contract) feed an integer max(runpeak - eq) back into the same
+    aggregate. Doubles appear only in the final readout as fixed
+    trees over exact integers; callers ROUND (<= 9) both engines.
+    """
+    d38 = "decimal(38,0)"
+    g = F.col(group_col).alias("grp")
+    base = df.select(
+        g,
+        F.col(time_col).alias("t"),
+        F.col(pnl_col).cast("long").alias("d"),
+    )
+    wt = Window.partitionBy("grp").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = base.select(
+        "grp",
+        "t",
+        "d",
+        F.sum("d").over(wt).cast("long").alias("eq"),
+    )
+    scored = curve.select(
+        "grp",
+        "d",
+        ((F.max("eq").over(wt)).cast("long") - F.col("eq"))
+        .cast("long")
+        .alias("dd"),
+    )
+    agg = scored.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_periods"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.col("d").cast(d38) * F.col("d")).cast(d38).alias("ss"),
+        F.sum(
+            F.when(F.col("d") < 0, F.col("d").cast(d38) * F.col("d"))
+            .otherwise(F.lit(0).cast(d38))
+        )
+        .cast(d38)
+        .alias("ssd"),
+        F.max("dd").cast("long").alias("max_dd"),
+    )
+    nd = F.col("n_periods").cast("double")
+    sd_ = F.col("s").cast("double")
+    disp = (
+        F.col("n_periods").cast(d38) * F.col("ss")
+        - F.col("s").cast(d38) * F.col("s")
+    ).cast(d38)
+    dn = (F.col("n_periods").cast(d38) * F.col("ssd")).cast(d38)
+    return agg.select(
+        "grp",
+        "n_periods",
+        F.col("s").alias("total_pnl"),
+        (sd_ / nd).alias("mean_pnl"),
+        F.when(
+            disp > 0, sd_ / F.sqrt(disp.cast("double"))
+        ).alias("sharpe"),
+        F.when(
+            dn > 0, sd_ / F.sqrt(dn.cast("double"))
+        ).alias("sortino"),
+        "max_dd",
+        F.when(
+            F.col("max_dd") > 0,
+            sd_ / nd / F.col("max_dd").cast("double"),
+        ).alias("calmar"),
+    )
+
+
+def var_cvar(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    pnl_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 20,
+) -> DataFrame:
+    """Historical Value-at-Risk and Conditional VaR (expected
+    shortfall) per group at tail probability ``alpha_num/alpha_den``
+    (default 5%): VaR is the k-th worst P&L observation negated,
+    CVaR the mean of the k worst, with k = ceil(alpha * n) computed
+    by EXACT integer arithmetic (floor((n*num + den - 1) / den)) so
+    neither engine ever rounds a float boundary. Ties in the P&L
+    value break by time — a total order, so the k-tail is a set, not
+    a sample. Charter §2B extension.
+
+    Scale design: one row_number window PARTITIONED BY group ORDER BY
+    (pnl, time) over the per-group period table (calendar-bounded —
+    the post-aggregate-window contract), count rides the same
+    partition; ONE grouped aggregate over the k-tail rows reads the
+    integer sum. CVaR is the single double (integer ratio fixed
+    tree); callers ROUND (<= 9).
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(pnl_col).cast("long").alias("d"),
+    )
+    wp = Window.partitionBy("grp")
+    wr = Window.partitionBy("grp").orderBy(F.col("d").asc(), F.col("t").asc())
+    num, den = int(alpha_num), int(alpha_den)
+    if not (0 < num < den):
+        raise ValueError("need 0 < alpha_num < alpha_den")
+    ranked = base.select(
+        "grp",
+        "d",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wp).cast("long").alias("n"),
+    )
+    k = F.floor(
+        (F.col("n") * F.lit(num) + F.lit(den - 1)) / F.lit(den)
+    ).cast("long")
+    tail = ranked.filter(F.col("rn") <= k)
+    agg = tail.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n_periods"),
+        F.count("*").cast("long").alias("k_tail"),
+        F.max("d").cast("long").alias("kth"),
+        F.sum("d").cast("long").alias("tail_sum"),
+    )
+    return agg.select(
+        "grp",
+        "n_periods",
+        "k_tail",
+        (-F.col("kth")).cast("long").alias("var_c"),
+        (
+            -(F.col("tail_sum").cast("double"))
+            / F.col("k_tail").cast("double")
+        ).alias("cvar_c"),
+    )
+
+
+def capm_scorecard(
+    df: DataFrame,
+    group_col: str,
+    asset_col: str,
+    market_col: str,
+) -> DataFrame:
+    """CAPM regression scorecard per group over paired integer
+    (asset, market) per-period P&L observations: beta (OLS slope of
+    asset on market), per-period alpha (intercept), r-squared,
+    population tracking error sd(asset - market), and information
+    ratio mean(a-m)/sd_pop(a-m) — which algebraically collapses to
+    se / sqrt(n*sse - se^2) over exact integers. Charter §2B
+    extension.
+
+    Scale design: ONE map-side-combinable grouped aggregate carries
+    all seven integer/decimal moments (n, sa, sm, sam, smm, saa, se,
+    sse); every cross moment is exact decimal(38,0), so the slope and
+    dispersion NUMERATORS are exact and each engine performs the
+    identical decimal -> double conversion before the one division
+    per readout (fixed double trees; callers ROUND <= 9).
+    Degenerate groups (zero market variance / zero tracking
+    dispersion) read NULL for the affected ratios.
+    """
+    d38 = "decimal(38,0)"
+    a = F.col(asset_col).cast("long")
+    m = F.col(market_col).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        a.alias("a"),
+        m.alias("m"),
+        (a - m).cast("long").alias("e"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_periods"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("m").cast("long").alias("sm"),
+        F.sum(F.col("a").cast(d38) * F.col("m")).cast(d38).alias("sam"),
+        F.sum(F.col("m").cast(d38) * F.col("m")).cast(d38).alias("smm"),
+        F.sum(F.col("a").cast(d38) * F.col("a")).cast(d38).alias("saa"),
+        F.sum("e").cast("long").alias("se"),
+        F.sum(F.col("e").cast(d38) * F.col("e")).cast(d38).alias("sse"),
+    )
+    n38 = F.col("n_periods").cast(d38)
+    cov_n = (n38 * F.col("sam") - F.col("sa").cast(d38) * F.col("sm")).cast(
+        d38
+    )
+    varm_n = (n38 * F.col("smm") - F.col("sm").cast(d38) * F.col("sm")).cast(
+        d38
+    )
+    vara_n = (n38 * F.col("saa") - F.col("sa").cast(d38) * F.col("sa")).cast(
+        d38
+    )
+    de_n = (n38 * F.col("sse") - F.col("se").cast(d38) * F.col("se")).cast(
+        d38
+    )
+    nd = F.col("n_periods").cast("double")
+    beta = F.when(
+        varm_n > 0, cov_n.cast("double") / varm_n.cast("double")
+    )
+    alpha = (
+        F.col("sa").cast("double") - beta * F.col("sm").cast("double")
+    ) / nd
+    covd = cov_n.cast("double")
+    r2 = F.when(
+        (varm_n > 0) & (vara_n > 0),
+        covd * covd / (varm_n.cast("double") * vara_n.cast("double")),
+    )
+    te = F.sqrt(de_n.cast("double")) / nd
+    ir = F.when(
+        de_n > 0, F.col("se").cast("double") / F.sqrt(de_n.cast("double"))
+    )
+    return agg.select(
+        "grp",
+        "n_periods",
+        beta.alias("beta"),
+        alpha.alias("alpha_c"),
+        r2.alias("r2"),
+        te.alias("tracking_error_c"),
+        ir.alias("information_ratio"),
+    )
