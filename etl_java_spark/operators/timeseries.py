@@ -5152,3 +5152,198 @@ def capm_scorecard(
         te.alias("tracking_error_c"),
         ir.alias("information_ratio"),
     )
+
+
+def range_volatility(
+    df: DataFrame,
+    group_col: str,
+    open_col: str,
+    high_col: str,
+    low_col: str,
+    close_col: str,
+) -> DataFrame:
+    """Range-based volatility estimators per group over OHLC bars:
+    Parkinson (high-low), Garman-Klass (high-low + open-close), and
+    Rogers-Satchell (drift-free) per-period variance — the bar-level
+    volatility family that extracts ~5-8x more efficiency from a bar
+    than close-to-close returns. Charter §2B extension.
+
+    Per bar (integer-cent prices, all positive):
+      hl = ln(H/L), co = ln(C/O), hc = ln(H/C), ho = ln(H/O),
+      lc = ln(L/C), lo = ln(L/O)
+      parkinson term = hl^2            (estimator: sum / (4 ln2 n))
+      garman-klass  = 0.5 hl^2 - (2 ln2 - 1) co^2        (sum / n)
+      rogers-satchell = hc*ho + lc*lo                    (sum / n)
+
+    Determinism: each per-bar term is one fixed double tree over exact
+    integer prices (both engines' ln agree to the ulp on ratio-of-
+    integer arguments), then QUANTIZED to decimal(38,12) before the
+    grouped sum — the order-independent float-sum convention (q538
+    raking / rank-term quantization lesson). Readouts divide by the
+    bar count in double; callers ROUND (<= 9).
+
+    Scale design: ONE map-side-combinable grouped aggregate over the
+    bar table (already calendar-bounded); no window, no second
+    shuffle. Bars with a non-positive low are dropped (log domain).
+    """
+    dq = "decimal(38,12)"
+    o = F.col(open_col).cast("double")
+    h = F.col(high_col).cast("double")
+    low = F.col(low_col).cast("double")
+    c = F.col(close_col).cast("double")
+    hl = F.log(h / low)
+    co = F.log(c / o)
+    hc = F.log(h / c)
+    ho = F.log(h / o)
+    lc = F.log(low / c)
+    lo = F.log(low / o)
+    ln2 = F.log(F.lit(2.0))
+    park_t = hl * hl
+    gk_t = F.lit(0.5) * hl * hl - (F.lit(2.0) * ln2 - F.lit(1.0)) * co * co
+    rs_t = hc * ho + lc * lo
+    base = df.filter(F.col(low_col) > 0).select(
+        F.col(group_col).alias("grp"),
+        F.round(park_t, 12).cast(dq).alias("pt"),
+        F.round(gk_t, 12).cast(dq).alias("gt"),
+        F.round(rs_t, 12).cast(dq).alias("rt"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_bars"),
+        F.sum("pt").cast(dq).alias("sp"),
+        F.sum("gt").cast(dq).alias("sg"),
+        F.sum("rt").cast(dq).alias("sr"),
+    )
+    nd = F.col("n_bars").cast("double")
+    return agg.select(
+        "grp",
+        "n_bars",
+        (
+            F.col("sp").cast("double") / (F.lit(4.0) * ln2 * nd)
+        ).alias("parkinson_var"),
+        (F.col("sg").cast("double") / nd).alias("garman_klass_var"),
+        (F.col("sr").cast("double") / nd).alias("rogers_satchell_var"),
+    )
+
+
+def roll_spread(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    price_col: str,
+) -> DataFrame:
+    """Roll (1984) implied effective spread per group: bid-ask bounce
+    makes successive price CHANGES negatively autocorrelated, and the
+    spread is 2*sqrt(-cov(dp_t, dp_{t-1})) when that first-order
+    autocovariance is negative (NULL otherwise — the model is
+    undefined on trending/positive-autocov segments). Charter §2B
+    extension.
+
+    Determinism: price changes are exact integers (cents); the pair
+    moments (n, sx, sy, sxy) are exact decimal(38,0), so the
+    POPULATION autocovariance numerator cov_n = n*sxy - sx*sy is
+    exact and the spread is one fixed double tree
+    2*sqrt(-cov_n)/n; callers ROUND (<= 9).
+
+    Scale design: two lags over one window PARTITIONED BY group ORDER
+    BY time (per-group period table, calendar-bounded — the
+    post-aggregate-window contract), then ONE map-side-combinable
+    grouped aggregate.
+    """
+    d38 = "decimal(38,0)"
+    w = Window.partitionBy("grp").orderBy("t")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(price_col).cast("long").alias("p"),
+    )
+    dp = base.select(
+        "grp",
+        "t",
+        (F.col("p") - F.lag("p").over(w)).cast("long").alias("dp"),
+    )
+    pairs = dp.select(
+        "grp",
+        F.col("dp").alias("y"),
+        F.lag("dp").over(w).cast("long").alias("x"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    agg = pairs.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+    )
+    covn = (
+        F.col("n_pairs").cast(d38) * F.col("sxy")
+        - F.col("sx").cast(d38) * F.col("sy")
+    ).cast(d38)
+    nd = F.col("n_pairs").cast("double")
+    return agg.select(
+        "grp",
+        "n_pairs",
+        (covn.cast("double") / (nd * nd)).alias("autocov"),
+        F.when(
+            covn < 0,
+            F.lit(2.0) * F.sqrt((-covn).cast("double")) / nd,
+        ).alias("roll_spread_c"),
+    )
+
+
+def amihud_illiquidity(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    price_col: str,
+    dollar_vol_col: str,
+) -> DataFrame:
+    """Amihud (2002) illiquidity ratio per group: the mean of
+    |price change| / dollar volume across periods, scaled by 1e6 —
+    price impact per traded dollar, the standard cross-sectional
+    liquidity proxy. Periods with zero/negative dollar volume are
+    dropped (ratio domain). Charter §2B extension.
+
+    Determinism: |dp| is an exact integer and dollar volume an exact
+    integer/decimal, so each per-period ratio is ONE double division
+    (identical in both engines); ratios are QUANTIZED to
+    decimal(38,15) before the grouped sum (order-independent
+    float-sum convention), and the 1e6-scaled mean is the final
+    fixed tree; callers ROUND (<= 9).
+
+    Scale design: one lag window PARTITIONED BY group ORDER BY time
+    over the per-group period table (post-aggregate-window contract),
+    then ONE map-side-combinable grouped aggregate.
+    """
+    dq = "decimal(38,15)"
+    w = Window.partitionBy("grp").orderBy("t")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(price_col).cast("long").alias("p"),
+        F.col(dollar_vol_col).cast("decimal(38,0)").alias("dv"),
+    )
+    terms = base.select(
+        "grp",
+        (F.col("p") - F.lag("p").over(w)).cast("long").alias("dp"),
+        "dv",
+    ).filter(F.col("dp").isNotNull() & (F.col("dv") > 0))
+    q = terms.select(
+        "grp",
+        F.round(
+            F.abs(F.col("dp")).cast("double") / F.col("dv").cast("double"),
+            15,
+        )
+        .cast(dq)
+        .alias("r"),
+    )
+    agg = q.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_periods"),
+        F.sum("r").cast(dq).alias("s"),
+    )
+    return agg.select(
+        "grp",
+        "n_periods",
+        (
+            F.lit(1000000.0)
+            * F.col("s").cast("double")
+            / F.col("n_periods").cast("double")
+        ).alias("illiq_1e6"),
+    )

@@ -137,3 +137,109 @@ def test_capm_scorecard_degenerate_market_null(spark):
     got = capm_scorecard(df, "g", "a", "m").collect()[0]
     assert got["beta"] is None
     assert got["r2"] is None
+
+
+# ---------------------------------------------------------------------------
+# wave 16: range volatility, Roll spread, Amihud illiquidity
+
+
+def test_range_volatility_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import range_volatility
+
+    bars = [
+        (100, 120, 90, 110),
+        (110, 130, 105, 125),
+        (125, 126, 100, 104),
+        (104, 140, 104, 132),
+    ]
+    rows = [("a", o, h, l, c) for o, h, l, c in bars]
+    df = spark.createDataFrame(rows, "g string, o long, h long, l long, c long")
+    got = range_volatility(df, "g", "o", "h", "l", "c").collect()[0]
+    ln2 = math.log(2.0)
+    pts, gts, rts = [], [], []
+    for o, h, l, c in bars:
+        hl = math.log(h / l)
+        co = math.log(c / o)
+        hc, ho = math.log(h / c), math.log(h / o)
+        lc, lo = math.log(l / c), math.log(l / o)
+        pts.append(round(hl * hl, 12))
+        gts.append(round(0.5 * hl * hl - (2 * ln2 - 1) * co * co, 12))
+        rts.append(round(hc * ho + lc * lo, 12))
+    n = len(bars)
+    assert got["n_bars"] == n
+    assert got["parkinson_var"] == pytest.approx(
+        sum(pts) / (4 * ln2 * n), abs=1e-12
+    )
+    assert got["garman_klass_var"] == pytest.approx(sum(gts) / n, abs=1e-12)
+    assert got["rogers_satchell_var"] == pytest.approx(
+        sum(rts) / n, abs=1e-12
+    )
+
+
+def test_range_volatility_drops_nonpositive_low(spark):
+    from etl_java_spark.operators.timeseries import range_volatility
+
+    rows = [("a", 100, 120, 90, 110), ("a", 100, 120, 0, 110)]
+    df = spark.createDataFrame(rows, "g string, o long, h long, l long, c long")
+    got = range_volatility(df, "g", "o", "h", "l", "c").collect()[0]
+    assert got["n_bars"] == 1
+
+
+def test_roll_spread_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import roll_spread
+
+    # bid-ask bounce around 100: +s/2, -s/2 alternating -> strongly
+    # negative autocov of changes
+    px = [102, 98, 102, 98, 102, 98, 102]
+    rows = [("a", t, p) for t, p in enumerate(px)]
+    df = spark.createDataFrame(rows, "g string, t long, p long")
+    got = roll_spread(df, "g", "t", "p").collect()[0]
+    dps = [px[i] - px[i - 1] for i in range(1, len(px))]
+    pairs = [(dps[i - 1], dps[i]) for i in range(1, len(dps))]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    covn = n * sxy - sx * sy
+    assert got["n_pairs"] == n
+    assert got["autocov"] == pytest.approx(covn / n / n, abs=1e-12)
+    assert got["roll_spread_c"] == pytest.approx(
+        2 * math.sqrt(-covn) / n, abs=1e-9
+    )
+
+
+def test_roll_spread_positive_autocov_null(spark):
+    from etl_java_spark.operators.timeseries import roll_spread
+
+    # monotone trend: changes all +10 -> autocov 0 (constant) -> NULL
+    rows = [("a", t, 100 + 10 * t) for t in range(6)]
+    df = spark.createDataFrame(rows, "g string, t long, p long")
+    got = roll_spread(df, "g", "t", "p").collect()[0]
+    assert got["roll_spread_c"] is None
+
+
+def test_amihud_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import amihud_illiquidity
+
+    days = [(0, 100, 5000), (1, 107, 4000), (2, 96, 8000), (3, 99, 2000)]
+    rows = [("a", t, p, v) for t, p, v in days]
+    df = spark.createDataFrame(rows, "g string, t long, p long, v long")
+    got = amihud_illiquidity(df, "g", "t", "p", "v").collect()[0]
+    terms = [
+        round(abs(days[i][1] - days[i - 1][1]) / days[i][2], 15)
+        for i in range(1, len(days))
+    ]
+    assert got["n_periods"] == 3
+    assert got["illiq_1e6"] == pytest.approx(
+        1e6 * sum(terms) / 3, abs=1e-9
+    )
+
+
+def test_amihud_drops_zero_volume_rows(spark):
+    from etl_java_spark.operators.timeseries import amihud_illiquidity
+
+    rows = [("a", 0, 100, 5000), ("a", 1, 107, 0), ("a", 2, 96, 8000)]
+    df = spark.createDataFrame(rows, "g string, t long, p long, v long")
+    got = amihud_illiquidity(df, "g", "t", "p", "v").collect()[0]
+    # zero-volume day contributes no ratio but still anchors the lag
+    assert got["n_periods"] == 1
