@@ -4593,3 +4593,196 @@ def hodges_lehmann_shift(
             / F.lit(2.0)
         ).alias("hl_shift"),
     )
+
+
+def meta_fixed_effect(
+    df: DataFrame,
+    y_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Fixed-effect inverse-variance meta-analysis over per-study
+    (effect, variance) rows: pooled effect Σwy/Σw with w = 1/v,
+    its standard error 1/sqrt(Σw), Cochran's Q heterogeneity
+    statistic Σw(y - pooled)^2 = Σwy^2 - (Σwy)^2/Σw, and the
+    I^2 = max(0, (Q - (k-1))/Q) inconsistency percentage — the
+    evidence-synthesis primitive (study = any grouping whose effect
+    was estimated independently: experiment cohorts, regions, data
+    slices). Charter §2B extension.
+
+    Determinism: callers feed y/v as fixed double trees (identical in
+    both engines); the per-study terms w, wy, wy^2 are QUANTIZED to
+    decimal(38,12) before the one global sum (order-independent
+    float-sum convention), and every readout is a fixed tree over the
+    exact sums; callers ROUND (<= 9).
+
+    Scale design: ONE map-side-combinable aggregate, single-row
+    output; studies with non-positive variance are dropped (weight
+    domain).
+    """
+    dq = "decimal(38,12)"
+    y = F.col(y_col).cast("double")
+    v = F.col(v_col).cast("double")
+    w = F.lit(1.0) / v
+    base = df.filter(v > 0).select(
+        F.round(w, 12).cast(dq).alias("w"),
+        F.round(w * y, 12).cast(dq).alias("wy"),
+        F.round(w * y * y, 12).cast(dq).alias("wy2"),
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("k_studies"),
+        F.sum("w").cast(dq).alias("sw"),
+        F.sum("wy").cast(dq).alias("swy"),
+        F.sum("wy2").cast(dq).alias("swy2"),
+    )
+    swd = F.col("sw").cast("double")
+    swyd = F.col("swy").cast("double")
+    swy2d = F.col("swy2").cast("double")
+    q = swy2d - swyd * swyd / swd
+    dfree = (F.col("k_studies") - F.lit(1)).cast("double")
+    i2 = F.when(
+        (F.col("k_studies") > 1) & (q > dfree),
+        (q - dfree) / q * F.lit(100.0),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "k_studies",
+        (swyd / swd).alias("pooled"),
+        (F.lit(1.0) / F.sqrt(swd)).alias("se_pooled"),
+        q.alias("q_stat"),
+        i2.alias("i2_pct"),
+    )
+
+
+def meta_random_effects(
+    df: DataFrame,
+    y_col: str,
+    v_col: str,
+) -> DataFrame:
+    """DerSimonian-Laird random-effects meta-analysis: method-of-
+    moments between-study variance tau^2 = max(0, (Q - (k-1)) / C)
+    with C = Σw - Σw^2/Σw from the fixed-effect pass, then a second
+    weighting w* = 1/(v + tau^2) pools under heterogeneity — the
+    standard random-effects synthesis beside meta_fixed_effect's
+    common-effect model. Charter §2B extension.
+
+    Scale design: TWO map-side-combinable aggregates — the stage-1
+    moment row (w, wy, wy^2, w^2 quantized to decimal(38,12))
+    broadcast-joins back onto the study rows to form the stage-2
+    weights (tau^2 is a fixed double tree over stage-1 sums, so the
+    stage-2 terms stay engine-identical before their own
+    quantization). Single-row output; non-positive variances drop.
+    """
+    dq = "decimal(38,12)"
+    y = F.col(y_col).cast("double")
+    v = F.col(v_col).cast("double")
+    w = F.lit(1.0) / v
+    studies = df.filter(v > 0).select(
+        y.alias("y"),
+        v.alias("v"),
+        F.round(w, 12).cast(dq).alias("w"),
+        F.round(w * y, 12).cast(dq).alias("wy"),
+        F.round(w * y * y, 12).cast(dq).alias("wy2"),
+        F.round(w * w, 12).cast(dq).alias("w2"),
+    )
+    s1 = studies.agg(
+        F.count("*").cast("long").alias("k_studies"),
+        F.sum("w").cast(dq).alias("sw"),
+        F.sum("wy").cast(dq).alias("swy"),
+        F.sum("wy2").cast(dq).alias("swy2"),
+        F.sum("w2").cast(dq).alias("sw2"),
+    )
+    swd = F.col("sw").cast("double")
+    swyd = F.col("swy").cast("double")
+    swy2d = F.col("swy2").cast("double")
+    sw2d = F.col("sw2").cast("double")
+    q = swy2d - swyd * swyd / swd
+    dfree = (F.col("k_studies") - F.lit(1)).cast("double")
+    c = swd - sw2d / swd
+    tau2 = F.when(
+        (F.col("k_studies") > 1) & (q > dfree) & (c > 0),
+        (q - dfree) / c,
+    ).otherwise(F.lit(0.0))
+    head = s1.select("k_studies", q.alias("q_stat"), tau2.alias("tau2"))
+    stage2 = studies.crossJoin(F.broadcast(head)).select(
+        "k_studies",
+        "q_stat",
+        "tau2",
+        F.round(F.lit(1.0) / (F.col("v") + F.col("tau2")), 12)
+        .cast(dq)
+        .alias("ws"),
+        F.round(
+            F.col("y") / (F.col("v") + F.col("tau2")), 12
+        )
+        .cast(dq)
+        .alias("wsy"),
+    )
+    s2 = stage2.groupBy("k_studies", "q_stat", "tau2").agg(
+        F.sum("ws").cast(dq).alias("sws"),
+        F.sum("wsy").cast(dq).alias("swsy"),
+    )
+    swsd = F.col("sws").cast("double")
+    return s2.select(
+        "k_studies",
+        "q_stat",
+        "tau2",
+        (F.col("swsy").cast("double") / swsd).alias("pooled_re"),
+        (F.lit(1.0) / F.sqrt(swsd)).alias("se_re"),
+    )
+
+
+def egger_test(
+    df: DataFrame,
+    y_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Egger funnel-plot asymmetry regression: the standardized effect
+    z = y/se regressed on precision x = 1/se; a non-zero INTERCEPT
+    signals small-study (publication) bias. Emits intercept b0, slope
+    b1, the intercept's standard error, and its t statistic with
+    df = k - 2. Charter §2B extension.
+
+    Determinism: x and z are fixed double trees per study; the five
+    OLS moment terms quantize to decimal(38,12) before the one global
+    sum; b0/b1/se/t are fixed trees over the exact sums (SSE folds
+    from the same moments: szz - b0*sz - b1*sxz); callers ROUND
+    (<= 9). Scale: ONE aggregate, single-row output.
+    """
+    dq = "decimal(38,12)"
+    y = F.col(y_col).cast("double")
+    v = F.col(v_col).cast("double")
+    se = F.sqrt(v)
+    x = F.lit(1.0) / se
+    z = y / se
+    base = df.filter(v > 0).select(
+        F.round(x, 12).cast(dq).alias("x"),
+        F.round(z, 12).cast(dq).alias("z"),
+        F.round(x * z, 12).cast(dq).alias("xz"),
+        F.round(x * x, 12).cast(dq).alias("xx"),
+        F.round(z * z, 12).cast(dq).alias("zz"),
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("k_studies"),
+        F.sum("x").cast(dq).alias("sx"),
+        F.sum("z").cast(dq).alias("sz"),
+        F.sum("xz").cast(dq).alias("sxz"),
+        F.sum("xx").cast(dq).alias("sxx"),
+        F.sum("zz").cast(dq).alias("szz"),
+    )
+    nd = F.col("k_studies").cast("double")
+    sx = F.col("sx").cast("double")
+    sz = F.col("sz").cast("double")
+    sxz = F.col("sxz").cast("double")
+    sxx = F.col("sxx").cast("double")
+    szz = F.col("szz").cast("double")
+    den = nd * sxx - sx * sx
+    b1 = (nd * sxz - sx * sz) / den
+    b0 = (sz - b1 * sx) / nd
+    sse = szz - b0 * sz - b1 * sxz
+    s2 = sse / (nd - F.lit(2.0))
+    se_b0 = F.sqrt(s2 * sxx / den)
+    return agg.select(
+        "k_studies",
+        b0.alias("intercept"),
+        b1.alias("slope"),
+        F.when(F.col("k_studies") > 2, se_b0).alias("se_intercept"),
+        F.when(F.col("k_studies") > 2, b0 / se_b0).alias("t_intercept"),
+    )

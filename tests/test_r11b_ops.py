@@ -243,3 +243,120 @@ def test_amihud_drops_zero_volume_rows(spark):
     got = amihud_illiquidity(df, "g", "t", "p", "v").collect()[0]
     # zero-volume day contributes no ratio but still anchors the lag
     assert got["n_periods"] == 1
+
+
+# ---------------------------------------------------------------------------
+# wave 17: meta-analysis (fixed, DL random, Egger)
+
+_META_STUDIES = [  # (y, v): effect + within-study variance
+    (0.42, 0.04),
+    (0.10, 0.09),
+    (0.65, 0.16),
+    (-0.12, 0.0625),
+    (0.33, 0.0256),
+]
+
+
+def _meta_ref():
+    ys = _META_STUDIES
+    k = len(ys)
+    w = [round(1 / v, 12) for _, v in ys]
+    wy = [round((1 / v) * y, 12) for y, v in ys]
+    wy2 = [round((1 / v) * y * y, 12) for y, v in ys]
+    w2 = [round((1 / v) * (1 / v), 12) for _, v in ys]
+    sw, swy, swy2, sw2 = sum(w), sum(wy), sum(wy2), sum(w2)
+    q = swy2 - swy * swy / sw
+    c = sw - sw2 / sw
+    tau2 = max(0.0, (q - (k - 1)) / c)
+    ws = [round(1 / (v + tau2), 12) for _, v in ys]
+    wsy = [round(y / (v + tau2), 12) for y, v in ys]
+    return {
+        "k": k,
+        "pooled": swy / sw,
+        "se_pooled": 1 / math.sqrt(sw),
+        "q": q,
+        "i2": max(0.0, (q - (k - 1)) / q * 100.0),
+        "tau2": tau2,
+        "pooled_re": sum(wsy) / sum(ws),
+        "se_re": 1 / math.sqrt(sum(ws)),
+    }
+
+
+def test_meta_fixed_effect_matches_reference(spark):
+    from etl_java_spark.operators.experiments import meta_fixed_effect
+
+    df = spark.createDataFrame(_META_STUDIES, "y double, v double")
+    got = meta_fixed_effect(df, "y", "v").collect()[0]
+    ref = _meta_ref()
+    assert got["k_studies"] == ref["k"]
+    assert got["pooled"] == pytest.approx(ref["pooled"], abs=1e-12)
+    assert got["se_pooled"] == pytest.approx(ref["se_pooled"], abs=1e-12)
+    assert got["q_stat"] == pytest.approx(ref["q"], abs=1e-12)
+    assert got["i2_pct"] == pytest.approx(ref["i2"], abs=1e-10)
+
+
+def test_meta_random_effects_matches_reference(spark):
+    from etl_java_spark.operators.experiments import meta_random_effects
+
+    df = spark.createDataFrame(_META_STUDIES, "y double, v double")
+    got = meta_random_effects(df, "y", "v").collect()[0]
+    ref = _meta_ref()
+    assert got["k_studies"] == ref["k"]
+    assert got["tau2"] == pytest.approx(ref["tau2"], abs=1e-12)
+    assert got["pooled_re"] == pytest.approx(ref["pooled_re"], abs=1e-12)
+    assert got["se_re"] == pytest.approx(ref["se_re"], abs=1e-12)
+
+
+def test_meta_homogeneous_tau2_zero(spark):
+    from etl_java_spark.operators.experiments import meta_random_effects
+
+    # identical effects: Q ~ 0 < k-1 -> tau2 clamps to 0 and the
+    # random-effects pooled estimate equals the fixed-effect one
+    rows = [(0.3, 0.04), (0.3, 0.09), (0.3, 0.0625)]
+    df = spark.createDataFrame(rows, "y double, v double")
+    got = meta_random_effects(df, "y", "v").collect()[0]
+    assert got["tau2"] == 0.0
+    assert got["pooled_re"] == pytest.approx(0.3, abs=1e-9)
+
+
+def test_egger_matches_reference(spark):
+    from etl_java_spark.operators.experiments import egger_test
+
+    df = spark.createDataFrame(_META_STUDIES, "y double, v double")
+    got = egger_test(df, "y", "v").collect()[0]
+    xs = [round(1 / math.sqrt(v), 12) for _, v in _META_STUDIES]
+    zs = [round(y / math.sqrt(v), 12) for y, v in _META_STUDIES]
+    xzs = [
+        round((1 / math.sqrt(v)) * (y / math.sqrt(v)), 12)
+        for y, v in _META_STUDIES
+    ]
+    xxs = [
+        round((1 / math.sqrt(v)) * (1 / math.sqrt(v)), 12)
+        for _, v in _META_STUDIES
+    ]
+    zzs = [
+        round((y / math.sqrt(v)) * (y / math.sqrt(v)), 12)
+        for y, v in _META_STUDIES
+    ]
+    n = len(xs)
+    sx, sz, sxz, sxx, szz = sum(xs), sum(zs), sum(xzs), sum(xxs), sum(zzs)
+    den = n * sxx - sx * sx
+    b1 = (n * sxz - sx * sz) / den
+    b0 = (sz - b1 * sx) / n
+    sse = szz - b0 * sz - b1 * sxz
+    se_b0 = math.sqrt(sse / (n - 2) * sxx / den)
+    assert got["k_studies"] == n
+    assert got["intercept"] == pytest.approx(b0, abs=1e-10)
+    assert got["slope"] == pytest.approx(b1, abs=1e-10)
+    assert got["se_intercept"] == pytest.approx(se_b0, abs=1e-10)
+    assert got["t_intercept"] == pytest.approx(b0 / se_b0, abs=1e-10)
+
+
+def test_egger_two_studies_se_null(spark):
+    from etl_java_spark.operators.experiments import egger_test
+
+    rows = [(0.4, 0.04), (0.1, 0.09)]
+    df = spark.createDataFrame(rows, "y double, v double")
+    got = egger_test(df, "y", "v").collect()[0]
+    assert got["se_intercept"] is None
+    assert got["t_intercept"] is None
