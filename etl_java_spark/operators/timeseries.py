@@ -5347,3 +5347,279 @@ def amihud_illiquidity(
             / F.col("n_periods").cast("double")
         ).alias("illiq_1e6"),
     )
+
+
+def diebold_mariano(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    loss_a_col: str,
+    loss_b_col: str,
+    h_lags: int = 1,
+) -> DataFrame:
+    """Diebold-Mariano equal-predictive-accuracy test per group over
+    paired integer per-period forecast losses: d_t = loss_a - loss_b,
+    DM = mean(d) / sqrt((gamma_0 + 2*sum_{k<=h} gamma_k) / n) with
+    truncated autocovariance correction for h-step-ahead forecasts
+    (``h_lags`` = h - 1 lags, default 1). Negative long-run variance
+    (possible under truncation) reads NULL. Charter §2B extension.
+
+    Determinism: losses are exact integers, so the n-scaled demeaned
+    series u_t = n*d_t - S is exactly integer (the q475 demeaning
+    trick) and every autocovariance numerator sum(u_t * u_{t-k}) is
+    exact decimal(38,0) — gamma_k = that / n^3. The DM readout is one
+    fixed double tree; callers ROUND (<= 9).
+
+    Scale design: one broadcast of the per-group (n, S) totals back
+    onto the rows, h lag windows PARTITIONED BY group ORDER BY time
+    (post-aggregate-window contract), ONE final grouped aggregate.
+    """
+    if h_lags < 0:
+        raise ValueError("h_lags must be >= 0")
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        (F.col(loss_a_col).cast("long") - F.col(loss_b_col).cast("long"))
+        .cast("long")
+        .alias("d"),
+    )
+    tot = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s"),
+    )
+    u = base.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "t",
+        "n",
+        "s",
+        (F.col("n") * F.col("d") - F.col("s")).cast("long").alias("u"),
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    lag_cols = [
+        (F.col("u").cast(d38) * F.lag("u", k).over(w)).alias(f"p{k}")
+        for k in range(0, h_lags + 1)
+    ]
+    prods = u.select("grp", "n", "s", *lag_cols)
+    aggs = [
+        F.sum(F.coalesce(F.col(f"p{k}"), F.lit(0).cast(d38)))
+        .cast(d38)
+        .alias(f"g{k}")
+        for k in range(0, h_lags + 1)
+    ]
+    agg = prods.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n_periods"),
+        F.max("s").cast("long").alias("s"),
+        *aggs,
+    )
+    nd = F.col("n_periods").cast("double")
+    mean_d = F.col("s").cast("double") / nd
+    lrv_n3 = F.col("g0").cast(d38)
+    for k in range(1, h_lags + 1):
+        lrv_n3 = (lrv_n3 + F.lit(2).cast(d38) * F.col(f"g{k}")).cast(d38)
+    # gamma_k = g_k / n^3 ; var(mean) = lrv / n  => dm = mean/sqrt(...)
+    var_mean = lrv_n3.cast("double") / (nd * nd * nd * nd)
+    return agg.select(
+        "grp",
+        "n_periods",
+        mean_d.alias("mean_loss_diff"),
+        F.when(lrv_n3 > 0, mean_d / F.sqrt(var_mean)).alias("dm_stat"),
+    )
+
+
+def cross_correlation(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Cross-correlation function per group between two integer
+    series: for each lag k = 0..max_lag, r_k = sum over the overlap
+    of (x_t - xbar)(y_{t+k} - ybar) / sqrt(Dx * Dy) with FULL-sample
+    means and denominators (the standard sample CCF normalization —
+    |r_k| can slightly exceed the subset-normalized value at long
+    lags). Identifies lead/lag structure between aligned series.
+    Charter §2B extension.
+
+    Determinism: the n-scaled demeaned series ux = n*x - Sx and
+    uy = n*y - Sy are exact integers, every cross product sums in
+    decimal(38,0), and r_k = sum(ux_t * uy_{t+k}) / (n * sqrt(Dx*Dy))
+    where Dx = n*Sxx - Sx^2 (the u-products carry n^2, the D-product
+    n^2 under the root — one residual n divides out) — all exact
+    until the one final double tree per lag; callers ROUND (<= 9).
+
+    Scale design: one broadcast totals join, ``max_lag`` lead columns
+    over one window PARTITIONED BY group ORDER BY time (post-
+    aggregate-window contract; max_lag is the width knob), one
+    grouped aggregate, then a bounded explode to (group, lag) rows.
+    """
+    if max_lag < 0:
+        raise ValueError("max_lag must be >= 0")
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    tot = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).cast(d38).alias("syy"),
+    )
+    u = base.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "t",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        (F.col("n") * F.col("x") - F.col("sx")).cast("long").alias("ux"),
+        (F.col("n") * F.col("y") - F.col("sy")).cast("long").alias("uy"),
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    prod_cols = [
+        (F.col("ux").cast(d38) * F.lead("uy", k).over(w)).alias(f"p{k}")
+        for k in range(0, max_lag + 1)
+    ]
+    cnt_cols = [
+        F.when(F.lead("uy", k).over(w).isNotNull(), 1)
+        .otherwise(0)
+        .alias(f"c{k}")
+        for k in range(0, max_lag + 1)
+    ]
+    prods = u.select(
+        "grp", "n", "sx", "sy", "sxx", "syy", *prod_cols, *cnt_cols
+    )
+    aggs = []
+    for k in range(0, max_lag + 1):
+        aggs.append(
+            F.sum(F.coalesce(F.col(f"p{k}"), F.lit(0).cast(d38)))
+            .cast(d38)
+            .alias(f"s{k}")
+        )
+        aggs.append(F.sum(F.col(f"c{k}")).cast("long").alias(f"m{k}"))
+    agg = prods.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n_periods"),
+        F.max("sx").cast("long").alias("sx"),
+        F.max("sy").cast("long").alias("sy"),
+        F.max("sxx").cast(d38).alias("sxx"),
+        F.max("syy").cast(d38).alias("syy"),
+        *aggs,
+    )
+    n38 = F.col("n_periods").cast(d38)
+    dx = (n38 * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")).cast(d38)
+    dy = (n38 * F.col("syy") - F.col("sy").cast(d38) * F.col("sy")).cast(d38)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                F.col(f"m{k}").alias("n_overlap"),
+                F.when(
+                    (dx > 0) & (dy > 0),
+                    F.col(f"s{k}").cast("double")
+                    / (
+                        F.col("n_periods").cast("double")
+                        * F.sqrt(dx.cast("double") * dy.cast("double"))
+                    ),
+                ).alias("ccf"),
+            )
+            for k in range(0, max_lag + 1)
+        ]
+    )
+    return (
+        agg.select("grp", "n_periods", F.explode(entries).alias("e"))
+        .select(
+            "grp",
+            "n_periods",
+            F.col("e.lag").alias("lag"),
+            F.col("e.n_overlap").alias("n_overlap"),
+            F.col("e.ccf").alias("ccf"),
+        )
+    )
+
+
+def variance_ratio(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    price_col: str,
+    q: int = 5,
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test per group over an integer
+    price/level series: VR(q) = Var_pop(q-period change) /
+    (q * Var_pop(1-period change)) with OVERLAPPING q-period changes
+    — VR near 1 is a random walk, below 1 mean reversion, above 1
+    momentum. z is the homoskedastic-asymptotics statistic
+    (VR - 1) * sqrt(3*q*n / (2*(2q-1)*(q-1))) with n = the 1-period
+    change count (the simple population-variance variant; the
+    small-sample unbiased corrections are deliberately not applied —
+    documented convention). Charter §2B extension.
+
+    Determinism: both change series are exact integers; each variance
+    uses its own exact decimal identity D = m*Sxx - Sx^2 over its own
+    sample, and VR folds as (DR * nr^2) / (q * Dr * nR^2) in one
+    fixed double tree; callers ROUND (<= 9).
+
+    Scale design: two lag columns over one window PARTITIONED BY
+    group ORDER BY time (post-aggregate-window contract), ONE grouped
+    aggregate carrying both series' moments.
+    """
+    if q < 2:
+        raise ValueError("q must be >= 2")
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(price_col).cast("long").alias("p"),
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    ch = base.select(
+        "grp",
+        (F.col("p") - F.lag("p", 1).over(w)).cast("long").alias("r"),
+        (F.col("p") - F.lag("p", q).over(w)).cast("long").alias("rq"),
+    )
+    agg = ch.groupBy("grp").agg(
+        F.count("r").cast("long").alias("nr"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r").cast(d38) * F.col("r")).cast(d38).alias("srr"),
+        F.count("rq").cast("long").alias("nq"),
+        F.sum("rq").cast("long").alias("sq"),
+        F.sum(F.col("rq").cast(d38) * F.col("rq")).cast(d38).alias("sqq"),
+    )
+    dr = (
+        F.col("nr").cast(d38) * F.col("srr")
+        - F.col("sr").cast(d38) * F.col("sr")
+    ).cast(d38)
+    dq_ = (
+        F.col("nq").cast(d38) * F.col("sqq")
+        - F.col("sq").cast(d38) * F.col("sq")
+    ).cast(d38)
+    nrd = F.col("nr").cast("double")
+    nqd = F.col("nq").cast("double")
+    vr = (
+        dq_.cast("double")
+        * (nrd * nrd)
+        / (
+            F.lit(float(q))
+            * dr.cast("double")
+            * (nqd * nqd)
+        )
+    )
+    zc = F.sqrt(
+        F.lit(3.0 * q)
+        * nrd
+        / F.lit(2.0 * (2 * q - 1) * (q - 1))
+    )
+    return agg.select(
+        "grp",
+        F.col("nr").alias("n_changes"),
+        F.lit(q).cast("long").alias("q"),
+        F.when(dr > 0, vr).alias("vr"),
+        F.when(dr > 0, (vr - F.lit(1.0)) * zc).alias("z_stat"),
+    )

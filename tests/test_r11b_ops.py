@@ -360,3 +360,111 @@ def test_egger_two_studies_se_null(spark):
     got = egger_test(df, "y", "v").collect()[0]
     assert got["se_intercept"] is None
     assert got["t_intercept"] is None
+
+
+# ---------------------------------------------------------------------------
+# wave 18: Diebold-Mariano, cross-correlation, variance ratio
+
+
+def test_diebold_mariano_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import diebold_mariano
+
+    la = [10, 14, 9, 22, 13, 17, 8, 25]
+    lb = [12, 11, 15, 16, 10, 19, 14, 18]
+    rows = [("a", t, la[t], lb[t]) for t in range(len(la))]
+    df = spark.createDataFrame(rows, "g string, t long, la long, lb long")
+    got = diebold_mariano(df, "g", "t", "la", "lb", h_lags=1).collect()[0]
+    d = [a - b for a, b in zip(la, lb)]
+    n, s = len(d), sum(d)
+    u = [n * x - s for x in d]
+    g0 = sum(x * x for x in u)
+    g1 = sum(u[i] * u[i - 1] for i in range(1, n))
+    lrv = g0 + 2 * g1
+    mean = s / n
+    assert got["n_periods"] == n
+    assert got["mean_loss_diff"] == pytest.approx(mean, abs=1e-12)
+    assert got["dm_stat"] == pytest.approx(
+        mean / math.sqrt(lrv / n**4), abs=1e-10
+    )
+
+
+def test_diebold_mariano_negative_lrv_null(spark):
+    from etl_java_spark.operators.timeseries import diebold_mariano
+
+    # perfectly alternating diff: gamma_1 ~ -gamma_0 -> g0+2g1 < 0
+    la = [10, 0, 10, 0, 10, 0]
+    lb = [0, 10, 0, 10, 0, 10]
+    rows = [("a", t, la[t], lb[t]) for t in range(len(la))]
+    df = spark.createDataFrame(rows, "g string, t long, la long, lb long")
+    got = diebold_mariano(df, "g", "t", "la", "lb", h_lags=1).collect()[0]
+    assert got["dm_stat"] is None
+
+
+def test_cross_correlation_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import cross_correlation
+
+    x = [5, 9, 2, 14, 7, 11, 4, 13]
+    y = [1, 6, 10, 3, 15, 8, 12, 5]  # unrelated series
+    rows = [("a", t, x[t], y[t]) for t in range(len(x))]
+    df = spark.createDataFrame(rows, "g string, t long, x long, y long")
+    out = {
+        r["lag"]: r
+        for r in cross_correlation(df, "g", "t", "x", "y", max_lag=2)
+        .collect()
+    }
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    ux = [n * v - sx for v in x]
+    uy = [n * v - sy for v in y]
+    dx = n * sum(v * v for v in x) - sx * sx
+    dy = n * sum(v * v for v in y) - sy * sy
+    for k in range(3):
+        num = sum(ux[t] * uy[t + k] for t in range(n - k))
+        assert out[k]["n_overlap"] == n - k
+        assert out[k]["ccf"] == pytest.approx(
+            num / (n * math.sqrt(dx * dy)), abs=1e-12
+        ), k
+
+
+def test_cross_correlation_lag0_is_pearson(spark):
+    from etl_java_spark.operators.timeseries import cross_correlation
+
+    # y = 2x + 3: lag-0 CCF must be exactly 1
+    x = [1, 5, 2, 8, 4]
+    rows = [("a", t, v, 2 * v + 3) for t, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "g string, t long, x long, y long")
+    out = cross_correlation(df, "g", "t", "x", "y", max_lag=0).collect()
+    assert out[0]["ccf"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_variance_ratio_random_walk_near_one(spark):
+    from etl_java_spark.operators.timeseries import variance_ratio
+
+    # exact reference replay on a short price path
+    px = [100, 103, 101, 106, 104, 109, 113, 110, 116, 115, 121, 118]
+    rows = [("a", t, p) for t, p in enumerate(px)]
+    df = spark.createDataFrame(rows, "g string, t long, p long")
+    got = variance_ratio(df, "g", "t", "p", q=3).collect()[0]
+    r = [px[i] - px[i - 1] for i in range(1, len(px))]
+    rq = [px[i] - px[i - 3] for i in range(3, len(px))]
+
+    def dpop(v):
+        m = len(v)
+        return m * sum(x * x for x in v) - sum(v) ** 2, m
+
+    dr, nr = dpop(r)
+    dq, nq = dpop(rq)
+    vr = dq * nr * nr / (3.0 * dr * nq * nq)
+    z = (vr - 1.0) * math.sqrt(3 * 3 * nr / (2.0 * (2 * 3 - 1) * (3 - 1)))
+    assert got["n_changes"] == nr
+    assert got["q"] == 3
+    assert got["vr"] == pytest.approx(vr, abs=1e-12)
+    assert got["z_stat"] == pytest.approx(z, abs=1e-10)
+
+
+def test_variance_ratio_rejects_small_q(spark):
+    from etl_java_spark.operators.timeseries import variance_ratio
+
+    df = spark.createDataFrame([("a", 1, 1)], "g string, t long, p long")
+    with pytest.raises(ValueError):
+        variance_ratio(df, "g", "t", "p", q=1)
