@@ -4786,3 +4786,171 @@ def egger_test(
         F.when(F.col("k_studies") > 2, se_b0).alias("se_intercept"),
         F.when(F.col("k_studies") > 2, b0 / se_b0).alias("t_intercept"),
     )
+
+
+def breslow_day(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    c_col: str,
+    d_col: str,
+) -> DataFrame:
+    """Breslow-Day test of odds-ratio homogeneity across strata (with
+    Tarone's correction) over per-stratum 2x2 counts (a=exposed
+    cases, b=exposed non-cases, c=unexposed cases, d=unexposed
+    non-cases): the Mantel-Haenszel common OR psi = sum(ad/n) /
+    sum(bc/n), each stratum's expected exposed-case count E solves
+    the psi-quadratic (the root inside the margin box), V is the
+    harmonic variance at E, and BD = sum (a-E)^2 / V; Tarone
+    subtracts (sum(a-E))^2 / sum(V). Pairs with q443's CMH pooled
+    test: CMH asks IF there is an effect, Breslow-Day whether it is
+    the SAME effect everywhere. Charter §2B extension.
+
+    Determinism: counts are exact integers; the MH terms ad/n, bc/n
+    quantize to decimal(38,12) before their global sum, psi is one
+    fixed tree, E/V per stratum are fixed trees over (integers, psi)
+    with the root chosen by an in-margin validity CASE (identical in
+    both engines), and the three readout sums quantize again;
+    callers ROUND (<= 9).
+
+    Scale design: ONE aggregate for psi, broadcast of the single-row
+    psi back onto strata, ONE final aggregate — strata parallelize
+    freely. Strata with any empty margin drop (E/V domain).
+    """
+    dq = "decimal(38,12)"
+    base = df.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+        F.col(c_col).cast("long").alias("c"),
+        F.col(d_col).cast("long").alias("d"),
+    ).filter(
+        (F.col("a") + F.col("b") > 0)
+        & (F.col("c") + F.col("d") > 0)
+        & (F.col("a") + F.col("c") > 0)
+        & (F.col("b") + F.col("d") > 0)
+    )
+    nd_ = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    mh = base.agg(
+        F.count("*").cast("long").alias("k_strata"),
+        F.sum(
+            F.round(
+                (F.col("a") * F.col("d")).cast("double") / nd_, 12
+            ).cast(dq)
+        )
+        .cast(dq)
+        .alias("s_ad"),
+        F.sum(
+            F.round(
+                (F.col("b") * F.col("c")).cast("double") / nd_, 12
+            ).cast(dq)
+        )
+        .cast(dq)
+        .alias("s_bc"),
+    )
+    psi_row = mh.select(
+        "k_strata",
+        (F.col("s_ad").cast("double") / F.col("s_bc").cast("double")).alias(
+            "psi"
+        ),
+    )
+    st = base.crossJoin(F.broadcast(psi_row))
+    n1 = (F.col("a") + F.col("b")).cast("double")
+    n2 = (F.col("c") + F.col("d")).cast("double")
+    m1 = (F.col("a") + F.col("c")).cast("double")
+    psi = F.col("psi")
+    aa = psi - F.lit(1.0)
+    bb = -((n1 + m1) * psi + (n2 - m1))
+    cc = psi * n1 * m1
+    disc = F.sqrt(bb * bb - F.lit(4.0) * aa * cc)
+    e1 = (-bb - disc) / (F.lit(2.0) * aa)
+    e2 = (-bb + disc) / (F.lit(2.0) * aa)
+    lo = F.greatest(F.lit(0.0), m1 - n2)
+    hi = F.least(n1, m1)
+    e = F.when((e1 >= lo) & (e1 <= hi), e1).otherwise(e2)
+    v = F.lit(1.0) / (
+        F.lit(1.0) / e
+        + F.lit(1.0) / (n1 - e)
+        + F.lit(1.0) / (m1 - e)
+        + F.lit(1.0) / (n2 - m1 + e)
+    )
+    dev = F.col("a").cast("double") - e
+    terms = st.select(
+        "k_strata",
+        "psi",
+        F.round(dev * dev / v, 12).cast(dq).alias("t"),
+        F.round(dev, 12).cast(dq).alias("dv"),
+        F.round(v, 12).cast(dq).alias("vv"),
+    )
+    agg = terms.groupBy("k_strata", "psi").agg(
+        F.sum("t").cast(dq).alias("st"),
+        F.sum("dv").cast(dq).alias("sdv"),
+        F.sum("vv").cast(dq).alias("svv"),
+    )
+    bd = F.col("st").cast("double")
+    corr = (
+        F.col("sdv").cast("double")
+        * F.col("sdv").cast("double")
+        / F.col("svv").cast("double")
+    )
+    return agg.select(
+        "k_strata",
+        F.col("psi").alias("psi_mh"),
+        bd.alias("bd_stat"),
+        (bd - corr).alias("tarone_stat"),
+    )
+
+
+def bowker_symmetry(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Bowker test of symmetry over paired categorical observations
+    (the K-category generalization of McNemar, q424): for each
+    unordered category pair {i,j}, i != j, the term
+    (n_ij - n_ji)^2 / (n_ij + n_ji) sums to a chi-square with one df
+    per pair with traffic; a large statistic means systematic
+    directional drift (rater A upgrades what B downgrades, state
+    flow is one-way). Pairs with n_ij + n_ji = 0 are skipped (both
+    conventions count df over used pairs only). Charter §2B
+    extension.
+
+    Determinism: cell counts are exact integers and each pair term is
+    one integer-ratio double, quantized to decimal(38,12) before the
+    single global sum. Scale design: ONE groupBy on the CANONICAL
+    (least, greatest) pair key with conditional sums — no cell
+    self-join, no K x K densification; diagonal cells drop at the
+    map side.
+    """
+    dq = "decimal(38,12)"
+    base = df.select(
+        F.col(a_col).cast("string").alias("x"),
+        F.col(b_col).cast("string").alias("y"),
+    ).filter(F.col("x") != F.col("y"))
+    pairs = base.groupBy(
+        F.least("x", "y").alias("lo"),
+        F.greatest("x", "y").alias("hi"),
+    ).agg(
+        F.sum(F.when(F.col("x") < F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fwd"),
+        F.sum(F.when(F.col("x") > F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rev"),
+    )
+    diff = (F.col("n_fwd") - F.col("n_rev")).cast("long")
+    tot = (F.col("n_fwd") + F.col("n_rev")).cast("long")
+    terms = pairs.select(
+        F.round(
+            (diff * diff).cast("double") / tot.cast("double"), 12
+        )
+        .cast(dq)
+        .alias("t")
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("df_pairs"),
+        F.sum("t").cast(dq).alias("s"),
+    ).select(
+        "df_pairs",
+        F.col("s").cast("double").alias("bowker_stat"),
+    )

@@ -755,3 +755,47 @@ def sinkhorn_plan(
         F.col("kern").alias("kernel"),
         (F.col("u") * F.col("kern") * F.col("v")).alias("plan_mass"),
     )
+
+
+def kish_design_effect(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Kish design effect of unequal weighting per group:
+    deff = n * sum(w^2) / sum(w)^2, effective sample size
+    ESS = sum(w)^2 / sum(w^2), and the relative weight-variance
+    cv2 = deff - 1 — how much precision a weighted sample loses vs
+    an equal-weight one (deff 1.5 means 1000 respondents carry the
+    information of ~667). The readout every survey-weighted metric
+    (raking q538, IPW) should report beside its estimate. Charter
+    §2B extension.
+
+    Determinism: integer weights sum exactly (sum(w) long,
+    sum(w^2) decimal(38,0)); deff/ess are fixed double trees over
+    the exact moments; callers ROUND (<= 9). Scale: ONE map-side-
+    combinable grouped aggregate. Non-positive weights are dropped
+    (weight domain).
+    """
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).filter(F.col("w") > 0)
+    agg = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("w").cast(d38) * F.col("w")).cast(d38).alias("sw2"),
+    )
+    nd = F.col("n_rows").cast("double")
+    swd = F.col("sw").cast("double")
+    sw2d = F.col("sw2").cast("double")
+    deff = nd * sw2d / (swd * swd)
+    return agg.select(
+        "grp",
+        "n_rows",
+        F.col("sw").alias("sum_w"),
+        deff.alias("deff"),
+        (swd * swd / sw2d).alias("ess"),
+        (deff - F.lit(1.0)).alias("cv2"),
+    )

@@ -468,3 +468,106 @@ def test_variance_ratio_rejects_small_q(spark):
     df = spark.createDataFrame([("a", 1, 1)], "g string, t long, p long")
     with pytest.raises(ValueError):
         variance_ratio(df, "g", "t", "p", q=1)
+
+
+# ---------------------------------------------------------------------------
+# wave 19: Breslow-Day/Tarone, Bowker symmetry, Kish design effect
+
+
+def test_breslow_day_matches_reference(spark):
+    from etl_java_spark.operators.experiments import breslow_day
+
+    strata = [
+        (12, 30, 8, 40),
+        (25, 20, 15, 35),
+        (9, 45, 10, 50),
+    ]
+    df = spark.createDataFrame(strata, "a long, b long, c long, d long")
+    got = breslow_day(df, "a", "b", "c", "d").collect()[0]
+
+    def r12(x):
+        return round(x, 12)
+
+    s_ad = sum(r12(a * d / (a + b + c + d)) for a, b, c, d in strata)
+    s_bc = sum(r12(b * c / (a + b + c + d)) for a, b, c, d in strata)
+    psi = s_ad / s_bc
+    st = sdv = svv = 0.0
+    for a, b, c, d in strata:
+        n1, n2, m1 = a + b, c + d, a + c
+        aa = psi - 1.0
+        bb = -((n1 + m1) * psi + (n2 - m1))
+        cq = psi * n1 * m1
+        disc = math.sqrt(bb * bb - 4 * aa * cq)
+        e1 = (-bb - disc) / (2 * aa)
+        e2 = (-bb + disc) / (2 * aa)
+        lo, hi = max(0.0, m1 - n2), min(n1, m1)
+        e = e1 if lo <= e1 <= hi else e2
+        v = 1.0 / (
+            1.0 / e + 1.0 / (n1 - e) + 1.0 / (m1 - e)
+            + 1.0 / (n2 - m1 + e)
+        )
+        st += r12((a - e) * (a - e) / v)
+        sdv += r12(a - e)
+        svv += r12(v)
+    assert got["k_strata"] == 3
+    assert got["psi_mh"] == pytest.approx(psi, abs=1e-10)
+    assert got["bd_stat"] == pytest.approx(st, abs=1e-9)
+    assert got["tarone_stat"] == pytest.approx(
+        st - sdv * sdv / svv, abs=1e-9
+    )
+
+
+def test_breslow_day_homogeneous_small_stat(spark):
+    from etl_java_spark.operators.experiments import breslow_day
+
+    # identical 2x2 in every stratum: OR identical -> BD ~ 0
+    strata = [(20, 10, 10, 20)] * 4
+    df = spark.createDataFrame(strata, "a long, b long, c long, d long")
+    got = breslow_day(df, "a", "b", "c", "d").collect()[0]
+    assert got["bd_stat"] == pytest.approx(0.0, abs=1e-9)
+    assert got["psi_mh"] == pytest.approx(4.0, abs=1e-9)
+
+
+def test_breslow_day_drops_empty_margin(spark):
+    from etl_java_spark.operators.experiments import breslow_day
+
+    strata = [(12, 30, 8, 40), (0, 0, 5, 9)]  # second: empty top row
+    df = spark.createDataFrame(strata, "a long, b long, c long, d long")
+    got = breslow_day(df, "a", "b", "c", "d").collect()[0]
+    assert got["k_strata"] == 1
+
+
+def test_bowker_matches_reference(spark):
+    from etl_java_spark.operators.experiments import bowker_symmetry
+
+    # transitions with asymmetric flow a->b
+    obs = (
+        [("a", "b")] * 9 + [("b", "a")] * 3
+        + [("a", "c")] * 4 + [("c", "a")] * 4
+        + [("b", "c")] * 2  # no reverse traffic
+        + [("a", "a")] * 5  # diagonal ignored
+    )
+    df = spark.createDataFrame(obs, "x string, y string")
+    got = bowker_symmetry(df, "x", "y").collect()[0]
+    ref = (
+        round((9 - 3) ** 2 / (9 + 3), 12)
+        + round((4 - 4) ** 2 / 8, 12)
+        + round((2 - 0) ** 2 / 2, 12)
+    )
+    assert got["df_pairs"] == 3
+    assert got["bowker_stat"] == pytest.approx(ref, abs=1e-12)
+
+
+def test_kish_design_effect_known_values(spark):
+    from etl_java_spark.operators.sampling import kish_design_effect
+
+    # equal weights -> deff exactly 1, ess = n
+    rows = [("e", 7)] * 5 + [("u", 1), ("u", 3)]
+    df = spark.createDataFrame(rows, "g string, w long")
+    out = {r["grp"]: r for r in kish_design_effect(df, "g", "w").collect()}
+    assert out["e"]["deff"] == pytest.approx(1.0, abs=1e-15)
+    assert out["e"]["ess"] == pytest.approx(5.0, abs=1e-12)
+    # unequal: deff = n*sw2/sw^2 = 2*10/16 = 1.25, ess = 16/10 = 1.6
+    assert out["u"]["deff"] == pytest.approx(1.25, abs=1e-12)
+    assert out["u"]["ess"] == pytest.approx(1.6, abs=1e-12)
+    assert out["u"]["cv2"] == pytest.approx(0.25, abs=1e-12)
