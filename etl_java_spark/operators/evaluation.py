@@ -3121,3 +3121,61 @@ def adjusted_rand_index(
         mx.alias("max_index"),
         ari.alias("ari"),
     )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    p_col: str,
+    y_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit statistic for probability
+    predictions against binary outcomes, over FIXED-WIDTH probability
+    bands (bin = floor(p * n_bins), clamped — the deterministic
+    variant of the classic decile-of-risk grouping; equal-count
+    deciles are tie-ambiguous across engines): per band,
+    HL term = (O - E)^2 * n / (E * (n - E)) with O = sum(y),
+    E = sum(p); bands with E = 0 or E = n drop (term domain). A large
+    HL means the predicted probabilities are miscalibrated even if
+    ranking (q158-style AUC) is fine. Charter §2B extension.
+
+    Determinism: p is a fixed double tree from the caller; per-row p
+    quantizes to decimal(38,12) before the band sum (order-
+    independent), O/n are exact integers, and each band term is one
+    fixed tree; terms re-quantize before the final sum; callers
+    ROUND (<= 9).
+
+    Scale design: ONE groupBy on the band key (map-side combinable,
+    <= n_bins groups) + one scalar aggregate.
+    """
+    if n_bins < 3:
+        raise ValueError("n_bins must be >= 3 (df = bins - 2)")
+    dq = "decimal(38,12)"
+    p = F.col(p_col).cast("double")
+    base = df.select(
+        F.least(
+            F.floor(p * F.lit(n_bins)).cast("long"),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("band"),
+        F.round(p, 12).cast(dq).alias("pq"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    bands = base.groupBy("band").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("obs"),
+        F.sum("pq").cast(dq).alias("exp"),
+    )
+    nd = F.col("n").cast("double")
+    od = F.col("obs").cast("double")
+    ed = F.col("exp").cast("double")
+    term = (od - ed) * (od - ed) * nd / (ed * (nd - ed))
+    terms = bands.filter((ed > 0) & (ed < nd)).select(
+        F.round(term, 12).cast(dq).alias("t")
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("bands_used"),
+        F.sum("t").cast(dq).alias("s"),
+    ).select(
+        "bands_used",
+        F.col("s").cast("double").alias("hl_stat"),
+    )

@@ -1408,3 +1408,58 @@ def temporal_motif_counts(
     return trips.groupBy("t1", "t2", "t3").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Edge reciprocity of a directed graph: the fraction of distinct
+    directed edges (self-loops excluded) whose reverse edge also
+    exists — 1.0 on a fully mutual graph, 0.0 on a strict hierarchy/
+    DAG. The directionality summary beside degree_assortativity's
+    mixing and partition_modularity's community strength. Charter
+    §2B extension.
+
+    Scale design: distinct() on the edge pair, then ONE groupBy on
+    the CANONICAL (least, greatest) node pair with two conditional
+    max flags — mutuality is decided inside each canonical-pair
+    group, so there is NO self-join against the reversed edge list
+    (the naive formulation shuffles the edges twice); one scalar
+    fold reads the counts. All integers — exact ratio is the one
+    double.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"),
+            F.col(dst).cast("long").alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    pairs = e.groupBy(
+        F.least("s", "d").alias("lo"),
+        F.greatest("s", "d").alias("hi"),
+    ).agg(
+        F.max(F.when(F.col("s") < F.col("d"), 1).otherwise(0)).alias("f"),
+        F.max(F.when(F.col("s") > F.col("d"), 1).otherwise(0)).alias("r"),
+    )
+    agg = pairs.agg(
+        F.sum(F.col("f") + F.col("r")).cast("long").alias("n_edges"),
+        F.sum(
+            F.when((F.col("f") == 1) & (F.col("r") == 1), 2).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mutual"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    return agg.select(
+        "n_edges",
+        "n_mutual",
+        "n_pairs",
+        (
+            F.col("n_mutual").cast("double")
+            / F.col("n_edges").cast("double")
+        ).alias("reciprocity"),
+    )

@@ -5623,3 +5623,84 @@ def variance_ratio(
         F.when(dr > 0, vr).alias("vr"),
         F.when(dr > 0, (vr - F.lit(1.0)) * zc).alias("z_stat"),
     )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Normalized permutation entropy (Bandt-Pompe, embedding m=3)
+    per group: each length-3 window of the ordered series maps to its
+    ordinal pattern (ranks with the STABLE tie convention — equal
+    values rank by position), the pattern distribution's Shannon
+    entropy normalizes by ln(3!) into [0,1] — low means predictable
+    motif structure, 1 means pattern-uniform (complex/noisy). The
+    complexity companion to q426's Hurst long-memory exponent.
+    Charter §2B extension.
+
+    Determinism: ranks come from integer comparisons only; pattern
+    counts are exact integers; each -(c/n)ln(c/n) term is a fixed
+    tree quantized to decimal(38,12) before the <= 6-row sum;
+    callers ROUND (<= 9).
+
+    Scale design: two lead columns over one window PARTITIONED BY
+    group ORDER BY time (post-aggregate-window contract), one
+    (group, pattern) groupBy (<= 6 patterns per group), one grouped
+    fold.
+    """
+    dq = "decimal(38,12)"
+    w = Window.partitionBy("grp").orderBy("t")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("x0"),
+    )
+    tri = base.select(
+        "grp",
+        "x0",
+        F.lead("x0", 1).over(w).alias("x1"),
+        F.lead("x0", 2).over(w).alias("x2"),
+    ).filter(F.col("x2").isNotNull())
+    x0, x1, x2 = F.col("x0"), F.col("x1"), F.col("x2")
+
+    def rank_of(xi, others):
+        # count of (xj, j) strictly before (xi, i) in stable order
+        r = F.lit(0)
+        for xj, earlier in others:
+            lt = xj < xi
+            tie = (xj == xi) & F.lit(earlier)
+            r = r + F.when(lt | tie, 1).otherwise(0)
+        return r
+
+    r0 = rank_of(x0, [(x1, False), (x2, False)])
+    r1 = rank_of(x1, [(x0, True), (x2, False)])
+    r2 = rank_of(x2, [(x0, True), (x1, True)])
+    pat = (r0 * 9 + r1 * 3 + r2).cast("long")
+    counts = tri.select("grp", pat.alias("pattern")).groupBy(
+        "grp", "pattern"
+    ).agg(F.count("*").cast("long").alias("c"))
+    tot = counts.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_windows"),
+        F.count("*").cast("long").alias("n_patterns"),
+    )
+    j = counts.join(F.broadcast(tot), "grp")
+    pr = F.col("c").cast("double") / F.col("n_windows").cast("double")
+    terms = j.select(
+        "grp",
+        "n_windows",
+        "n_patterns",
+        F.round(-(pr * F.log(pr)), 12).cast(dq).alias("h"),
+    )
+    agg = terms.groupBy("grp", "n_windows", "n_patterns").agg(
+        F.sum("h").cast(dq).alias("sh")
+    )
+    return agg.select(
+        "grp",
+        "n_windows",
+        "n_patterns",
+        (
+            F.col("sh").cast("double") / F.log(F.lit(6.0))
+        ).alias("perm_entropy"),
+    )

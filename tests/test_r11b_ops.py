@@ -571,3 +571,115 @@ def test_kish_design_effect_known_values(spark):
     assert out["u"]["deff"] == pytest.approx(1.25, abs=1e-12)
     assert out["u"]["ess"] == pytest.approx(1.6, abs=1e-12)
     assert out["u"]["cv2"] == pytest.approx(0.25, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# wave 20: Hosmer-Lemeshow, permutation entropy, reciprocity
+
+
+def test_hosmer_lemeshow_matches_reference(spark):
+    from etl_java_spark.operators.evaluation import hosmer_lemeshow
+
+    data = [
+        (0.05, 0), (0.08, 0), (0.12, 0), (0.18, 1), (0.25, 0),
+        (0.33, 0), (0.41, 1), (0.49, 0), (0.55, 1), (0.62, 1),
+        (0.68, 0), (0.74, 1), (0.81, 1), (0.88, 1), (0.95, 1),
+    ]
+    df = spark.createDataFrame(data, "p double, y long")
+    got = hosmer_lemeshow(df, "p", "y", n_bins=5).collect()[0]
+    bands = {}
+    for p, y in data:
+        b = min(int(p * 5), 4)
+        n, o, e = bands.get(b, (0, 0, 0.0))
+        bands[b] = (n + 1, o + y, e + round(p, 12))
+    stat = used = 0
+    for n, o, e in bands.values():
+        if 0 < e < n:
+            stat += round((o - e) ** 2 * n / (e * (n - e)), 12)
+            used += 1
+    assert got["bands_used"] == used
+    assert got["hl_stat"] == pytest.approx(stat, abs=1e-10)
+
+
+def test_hosmer_lemeshow_perfect_calibration_small(spark):
+    from etl_java_spark.operators.evaluation import hosmer_lemeshow
+
+    # each band's outcomes exactly match its probabilities -> HL = 0
+    data = [(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0)] + [
+        (0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0)
+    ]
+    df = spark.createDataFrame(data, "p double, y long")
+    got = hosmer_lemeshow(df, "p", "y", n_bins=4).collect()[0]
+    assert got["hl_stat"] == pytest.approx(0.0, abs=1e-10)
+
+
+def test_hosmer_lemeshow_rejects_small_bins(spark):
+    from etl_java_spark.operators.evaluation import hosmer_lemeshow
+
+    df = spark.createDataFrame([(0.5, 1)], "p double, y long")
+    with pytest.raises(ValueError):
+        hosmer_lemeshow(df, "p", "y", n_bins=2)
+
+
+def test_permutation_entropy_constant_vs_noisy(spark):
+    from etl_java_spark.operators.timeseries import permutation_entropy
+
+    # strictly increasing: ONE pattern -> entropy 0
+    rows = [("up", t, t * 10) for t in range(12)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = permutation_entropy(df, "g", "t", "v").collect()[0]
+    assert got["n_patterns"] == 1
+    assert got["perm_entropy"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_permutation_entropy_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import permutation_entropy
+
+    v = [5, 3, 8, 8, 1, 9, 2, 7, 4, 6]
+    rows = [("a", t, x) for t, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = permutation_entropy(df, "g", "t", "v").collect()[0]
+    pats = {}
+    for i in range(len(v) - 2):
+        win = v[i : i + 3]
+        # stable rank: count of (xj, j) before (xi, i)
+        r = []
+        for i2, xi in enumerate(win):
+            c = sum(
+                1
+                for j, xj in enumerate(win)
+                if j != i2 and (xj < xi or (xj == xi and j < i2))
+            )
+            r.append(c)
+        pid = r[0] * 9 + r[1] * 3 + r[2]
+        pats[pid] = pats.get(pid, 0) + 1
+    n = sum(pats.values())
+    h = sum(round(-(c / n) * math.log(c / n), 12) for c in pats.values())
+    assert got["n_windows"] == n
+    assert got["n_patterns"] == len(pats)
+    assert got["perm_entropy"] == pytest.approx(
+        h / math.log(6.0), abs=1e-12
+    )
+
+
+def test_reciprocity_known_graph(spark):
+    from etl_java_spark.operators.graph import reciprocity
+
+    # edges: 1->2, 2->1 (mutual), 1->3, 3->4, 4->4 (self-loop,
+    # dropped), and a duplicate 1->2 (deduped)
+    edges = [(1, 2), (2, 1), (1, 3), (3, 4), (4, 4), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = reciprocity(df, "src", "dst").collect()[0]
+    assert got["n_edges"] == 4
+    assert got["n_mutual"] == 2
+    assert got["n_pairs"] == 3
+    assert got["reciprocity"] == pytest.approx(0.5, abs=1e-15)
+
+
+def test_reciprocity_dag_zero(spark):
+    from etl_java_spark.operators.graph import reciprocity
+
+    edges = [(1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = reciprocity(df, "src", "dst").collect()[0]
+    assert got["reciprocity"] == 0.0
