@@ -1463,3 +1463,49 @@ def reciprocity(
             / F.col("n_edges").cast("double")
         ).alias("reciprocity"),
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rich-club coefficient at degree threshold k: among the nodes
+    with undirected degree > k (the "club"), the realized edge
+    density phi(k) = 2 * E_club / (n_club * (n_club - 1)) — phi near
+    1 means the hubs form a near-clique (elites talk to elites), the
+    topology signal behind q527's eigenvector concentration. Charter
+    §2B extension.
+
+    Scale design: canonical undirected edge set -> one degree count
+    -> the club membership is a (usually small) node list joined onto
+    BOTH edge endpoints (two equi-joins on the node key; AQE
+    broadcasts the club side when it fits) -> one scalar fold. No
+    all-pairs densification; exact integer ratio is the one double.
+    NULL phi when the club has fewer than 2 members.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    und = _canonical_und(edges, src, dst)
+    deg = _und_degrees(und)
+    club = deg.filter(F.col("d") > k).select(F.col("x").alias("node"))
+    nclub = club.agg(F.count("*").cast("long").alias("n_club"))
+    ek = (
+        und.join(club.withColumnRenamed("node", "u"), "u")
+        .join(club.withColumnRenamed("node", "v"), "v")
+        .agg(F.count("*").cast("long").alias("e_club"))
+    )
+    out = nclub.crossJoin(ek)
+    nc = F.col("n_club").cast("double")
+    return out.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_club",
+        "e_club",
+        F.when(
+            F.col("n_club") >= 2,
+            F.lit(2.0)
+            * F.col("e_club").cast("double")
+            / (nc * (nc - F.lit(1.0))),
+        ).alias("phi"),
+    )

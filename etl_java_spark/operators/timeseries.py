@@ -5704,3 +5704,63 @@ def permutation_entropy(
             F.col("sh").cast("double") / F.log(F.lit(6.0))
         ).alias("perm_entropy"),
     )
+
+
+def ar1_half_life(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """AR(1) mean-reversion half-life per group: OLS of x_t on
+    x_{t-1} gives the autoregressive coefficient rho, and a
+    stationary 0 < rho < 1 implies shocks decay with half-life
+    -ln(2)/ln(rho) periods — how long a deviation takes to halve.
+    rho outside (0, 1) reads NULL half-life (no mean reversion to
+    time). The parametric companion to q569's variance ratio and
+    q426's Hurst. Charter §2B extension.
+
+    Determinism: the lagged pairs are exact integers; the five OLS
+    moments are exact decimal(38,0); rho and the half-life are fixed
+    double trees over the exact numerators; callers ROUND (<= 9).
+
+    Scale design: one lag column over a window PARTITIONED BY group
+    ORDER BY time (post-aggregate-window contract), ONE grouped
+    moment aggregate.
+    """
+    d38 = "decimal(38,0)"
+    w = Window.partitionBy("grp").orderBy("t")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("y"),
+    )
+    pairs = base.select(
+        "grp",
+        F.col("y"),
+        F.lag("y").over(w).cast("long").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    agg = pairs.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+    )
+    n38 = F.col("n_pairs").cast(d38)
+    num = (n38 * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")).cast(
+        d38
+    )
+    den = (n38 * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")).cast(
+        d38
+    )
+    rho = F.when(den > 0, num.cast("double") / den.cast("double"))
+    return agg.select(
+        "grp",
+        "n_pairs",
+        rho.alias("rho"),
+        F.when(
+            (rho > 0) & (rho < 1),
+            -F.log(F.lit(2.0)) / F.log(rho),
+        ).alias("half_life"),
+    )

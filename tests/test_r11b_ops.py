@@ -683,3 +683,124 @@ def test_reciprocity_dag_zero(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = reciprocity(df, "src", "dst").collect()[0]
     assert got["reciprocity"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# wave 21: rich club, AR(1) half-life, TOPSIS
+
+
+def test_rich_club_known_graph(spark):
+    from etl_java_spark.operators.graph import rich_club
+
+    # square 1-2-3-4-1 plus hub 5 connected to all: degrees
+    # 1..4 -> 3, 5 -> 4; club at k=2 = all five nodes (8 edges);
+    # club at k=3 = {5} alone -> phi NULL
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1),
+             (5, 1), (5, 2), (5, 3), (5, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got2 = rich_club(df, k=2, src="src", dst="dst").collect()[0]
+    assert got2["n_club"] == 5
+    assert got2["e_club"] == 8
+    assert got2["phi"] == pytest.approx(2 * 8 / (5 * 4), abs=1e-15)
+    got3 = rich_club(df, k=3, src="src", dst="dst").collect()[0]
+    assert got3["n_club"] == 1
+    assert got3["phi"] is None
+
+
+def test_rich_club_hub_clique(spark):
+    from etl_java_spark.operators.graph import rich_club
+
+    # two hubs joined to each other and to 3 leaves each -> at k=2
+    # the club is the two hubs with their 1 edge: phi = 1
+    edges = [(1, 2)] + [(1, x) for x in (3, 4, 5)] + [
+        (2, x) for x in (6, 7, 8)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = rich_club(df, k=2, src="src", dst="dst").collect()[0]
+    assert got["n_club"] == 2
+    assert got["e_club"] == 1
+    assert got["phi"] == pytest.approx(1.0, abs=1e-15)
+
+
+def test_ar1_half_life_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import ar1_half_life
+
+    # AR(1)-ish integer path
+    y = [100, 80, 70, 62, 58, 55, 52, 51, 50, 50, 49]
+    rows = [("a", t, v) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = ar1_half_life(df, "g", "t", "v").collect()[0]
+    pairs = [(y[i - 1], y[i]) for i in range(1, len(y))]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(v for _, v in pairs)
+    sxy = sum(x * v for x, v in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    rho = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert got["n_pairs"] == n
+    assert got["rho"] == pytest.approx(rho, abs=1e-12)
+    assert got["half_life"] == pytest.approx(
+        -math.log(2.0) / math.log(rho), abs=1e-9
+    )
+
+
+def test_ar1_half_life_explosive_null(spark):
+    from etl_java_spark.operators.timeseries import ar1_half_life
+
+    # rho > 1 (explosive): half-life NULL, rho still reported
+    y = [1, 2, 4, 8, 16, 32]
+    rows = [("a", t, v) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = ar1_half_life(df, "g", "t", "v").collect()[0]
+    assert got["rho"] > 1
+    assert got["half_life"] is None
+
+
+def test_topsis_matches_reference(spark):
+    from etl_java_spark.operators.relational import topsis
+
+    alts = [(1, 80, 10, 5), (2, 60, 30, 2), (3, 90, 20, 9), (4, 40, 40, 1)]
+    df = spark.createDataFrame(alts, "alt long, b1 long, b2 long, c1 long")
+    got = {
+        r["alt"]: r
+        for r in topsis(df, "alt", ["b1", "b2"], ["c1"]).collect()
+    }
+    import math as _m
+
+    cols = {"b1": 1, "b2": 2, "c1": 3}
+    ss = {c: _m.sqrt(sum(a[i] ** 2 for a in alts)) for c, i in cols.items()}
+    mx = {c: max(a[i] for a in alts) for c, i in cols.items()}
+    mn = {c: min(a[i] for a in alts) for c, i in cols.items()}
+    for a in alts:
+        dp = dn = 0.0
+        for c, i in cols.items():
+            r = a[i] / ss[c]
+            best = (mx[c] if c.startswith("b") else mn[c]) / ss[c]
+            worst = (mn[c] if c.startswith("b") else mx[c]) / ss[c]
+            dp += (r - best) ** 2
+            dn += (r - worst) ** 2
+        dp, dn = _m.sqrt(dp), _m.sqrt(dn)
+        assert got[a[0]]["d_ideal"] == pytest.approx(dp, abs=1e-12)
+        assert got[a[0]]["d_anti"] == pytest.approx(dn, abs=1e-12)
+        assert got[a[0]]["closeness"] == pytest.approx(
+            dn / (dp + dn), abs=1e-12
+        )
+
+
+def test_topsis_dominant_alternative_wins(spark):
+    from etl_java_spark.operators.relational import topsis
+
+    # alt 1 dominates on every criterion -> closeness exactly 1
+    alts = [(1, 100, 1), (2, 50, 5), (3, 10, 9)]
+    df = spark.createDataFrame(alts, "alt long, b long, c long")
+    got = {r["alt"]: r for r in topsis(df, "alt", ["b"], ["c"]).collect()}
+    assert got[1]["closeness"] == pytest.approx(1.0, abs=1e-15)
+    assert got[3]["closeness"] == pytest.approx(0.0, abs=1e-15)
+
+
+def test_topsis_rejects_no_criteria(spark):
+    from etl_java_spark.operators.relational import topsis
+
+    df = spark.createDataFrame([(1, 2)], "alt long, b long")
+    with pytest.raises(ValueError):
+        topsis(df, "alt", [], [])
