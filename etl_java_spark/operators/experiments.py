@@ -4954,3 +4954,286 @@ def bowker_symmetry(
         "df_pairs",
         F.col("s").cast("double").alias("bowker_stat"),
     )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Brunner-Munzel nonparametric two-sample test (tie-robust,
+    variance-free of the shift model): estimates
+    p = P(X < Y) + 0.5 P(X = Y) from combined midranks and tests
+    p = 1/2 with the rank-variance statistic
+    W = n1*n2*(Rbar2 - Rbar1) / ((n1+n2) * sqrt(n1*S1^2 + n2*S2^2))
+    — the modern replacement for Mann-Whitney (q373) when variances
+    and shapes differ. Charter §2B extension.
+
+    QUANTIZED-INPUT CONTRACT (the q266/q331/q374 post-aggregate-
+    window family): ranks come from ONE distinct-VALUE count table
+    with cumulative windows ordered by value — callers must band/
+    quantize a continuous metric upstream or the distinct table
+    approaches the row count through a single-partition window.
+
+    Determinism: midranks are exact .5-rationals over integer counts
+    (fixed trees); the mean/variance folds quantize each per-value
+    term to decimal(38,12); W and p-hat are final fixed trees;
+    callers ROUND (<= 9).
+    """
+    dq = "decimal(38,12)"
+    v = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    base = df.select(
+        v.alias("v"),
+        F.when(g == group_a, 1).otherwise(0).alias("ia"),
+        F.when(g == group_b, 1).otherwise(0).alias("ib"),
+    ).filter((F.col("ia") == 1) | (F.col("ib") == 1))
+    cnt = base.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("c1"),
+        F.sum("ib").cast("long").alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cnt.select(
+        "v",
+        "c1",
+        "c2",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+        .cast("long")
+        .alias("cb"),
+        F.coalesce(F.sum("c1").over(w), F.lit(0)).cast("long").alias("cb1"),
+        F.coalesce(F.sum("c2").over(w), F.lit(0)).cast("long").alias("cb2"),
+    )
+    c = (F.col("c1") + F.col("c2")).cast("double")
+    rc = F.col("cb").cast("double") + (c + F.lit(1.0)) / F.lit(2.0)
+    r1 = F.col("cb1").cast("double") + (
+        F.col("c1").cast("double") + F.lit(1.0)
+    ) / F.lit(2.0)
+    r2 = F.col("cb2").cast("double") + (
+        F.col("c2").cast("double") + F.lit(1.0)
+    ) / F.lit(2.0)
+    ranked = cum.select(
+        "c1",
+        "c2",
+        rc.alias("rc"),
+        r1.alias("r1"),
+        r2.alias("r2"),
+    )
+    tot = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.round(F.col("c1").cast("double") * F.col("rc"), 12).cast(dq)
+        )
+        .cast(dq)
+        .alias("sr1"),
+        F.sum(
+            F.round(F.col("c2").cast("double") * F.col("rc"), 12).cast(dq)
+        )
+        .cast(dq)
+        .alias("sr2"),
+    )
+    head = tot.select(
+        "n1",
+        "n2",
+        (F.col("sr1").cast("double") / F.col("n1").cast("double")).alias(
+            "rb1"
+        ),
+        (F.col("sr2").cast("double") / F.col("n2").cast("double")).alias(
+            "rb2"
+        ),
+    )
+    jo = ranked.crossJoin(F.broadcast(head))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    dev1 = (
+        F.col("rc")
+        - F.col("r1")
+        - F.col("rb1")
+        + (n1d + F.lit(1.0)) / F.lit(2.0)
+    )
+    dev2 = (
+        F.col("rc")
+        - F.col("r2")
+        - F.col("rb2")
+        + (n2d + F.lit(1.0)) / F.lit(2.0)
+    )
+    terms = jo.select(
+        "n1",
+        "n2",
+        "rb1",
+        "rb2",
+        F.round(F.col("c1").cast("double") * dev1 * dev1, 12)
+        .cast(dq)
+        .alias("t1"),
+        F.round(F.col("c2").cast("double") * dev2 * dev2, 12)
+        .cast(dq)
+        .alias("t2"),
+    )
+    agg = terms.groupBy("n1", "n2", "rb1", "rb2").agg(
+        F.sum("t1").cast(dq).alias("ss1"),
+        F.sum("t2").cast(dq).alias("ss2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    s1 = F.col("ss1").cast("double") / (n1d - F.lit(1.0))
+    s2 = F.col("ss2").cast("double") / (n2d - F.lit(1.0))
+    den = (n1d + n2d) * F.sqrt(n1d * s1 + n2d * s2)
+    return agg.select(
+        "n1",
+        "n2",
+        ((F.col("rb2") - (n2d + F.lit(1.0)) / F.lit(2.0)) / n1d).alias(
+            "p_hat"
+        ),
+        F.when(
+            den > 0,
+            n1d * n2d * (F.col("rb2") - F.col("rb1")) / den,
+        ).alias("w_stat"),
+    )
+
+
+def welch_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA over integer values: the
+    k-group generalization of Welch's t (welch_t above) that q423's
+    Brown-Forsythe pairs with — weights w_i = n_i / s_i^2, grand mean
+    sum(w*m)/sum(w), F* = A / B with
+    A = sum(w*(m - grand)^2) / (k-1),
+    B = 1 + (2(k-2)/(k^2-1)) * L,  L = sum((1-w/sw)^2/(n_i-1)),
+    and Welch-Satterthwaite df2 = (k^2-1) / (3L). Charter §2B
+    extension.
+
+    Determinism: per-group n/s/ss are exact (decimal second moment);
+    m and s^2 are fixed trees; the three cross-group folds quantize
+    per-group terms to decimal(38,12) (A folds from
+    sum(w*m^2) - (sum(w*m))^2/sw, so no second data pass — only the
+    L fold needs the broadcast sw); readouts are fixed trees; callers
+    ROUND (<= 9). Groups with fewer than 2 rows or zero variance
+    drop (weight domain).
+
+    Scale design: ONE grouped moment aggregate (map-side
+    combinable), one broadcast of the scalar sums, one k-row fold.
+    """
+    dq = "decimal(38,12)"
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast("long")
+    g = df.filter(v.isNotNull()).groupBy(
+        F.col(group_col).alias("grp")
+    ).agg(
+        F.count("*").cast("long").alias("ni"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v.cast(d38) * v).cast(d38).alias("ss"),
+    )
+    nid = F.col("ni").cast("double")
+    disp = (
+        F.col("ni").cast(d38) * F.col("ss")
+        - F.col("s").cast(d38) * F.col("s")
+    ).cast(d38)
+    m = F.col("s").cast("double") / nid
+    s2 = disp.cast("double") / (nid * nid * (nid - F.lit(1.0)))
+    wi = nid / s2
+    per = g.filter((F.col("ni") >= 2) & (disp > 0)).select(
+        "ni",
+        m.alias("m"),
+        F.round(wi, 12).cast(dq).alias("w"),
+        F.round(wi * m, 12).cast(dq).alias("wm"),
+        F.round(wi * m * m, 12).cast(dq).alias("wm2"),
+    )
+    s1 = per.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("w").cast(dq).alias("sw"),
+        F.sum("wm").cast(dq).alias("swm"),
+        F.sum("wm2").cast(dq).alias("swm2"),
+    )
+    jo = per.crossJoin(F.broadcast(s1))
+    swd = F.col("sw").cast("double")
+    lterm = (
+        (F.lit(1.0) - F.col("w").cast("double") / swd)
+        * (F.lit(1.0) - F.col("w").cast("double") / swd)
+        / (F.col("ni").cast("double") - F.lit(1.0))
+    )
+    l2 = jo.select(
+        "k_groups",
+        "sw",
+        "swm",
+        "swm2",
+        F.round(lterm, 12).cast(dq).alias("lt"),
+    ).groupBy("k_groups", "sw", "swm", "swm2").agg(
+        F.sum("lt").cast(dq).alias("sl")
+    )
+    kd = F.col("k_groups").cast("double")
+    swd = F.col("sw").cast("double")
+    swmd = F.col("swm").cast("double")
+    swm2d = F.col("swm2").cast("double")
+    sld = F.col("sl").cast("double")
+    a = (swm2d - swmd * swmd / swd) / (kd - F.lit(1.0))
+    b = F.lit(1.0) + (
+        F.lit(2.0) * (kd - F.lit(2.0)) / (kd * kd - F.lit(1.0))
+    ) * sld
+    return l2.select(
+        "k_groups",
+        (swmd / swd).alias("grand_mean"),
+        F.when(F.col("k_groups") > 1, a / b).alias("f_stat"),
+        F.when(
+            (F.col("k_groups") > 1) & (sld > 0),
+            (kd * kd - F.lit(1.0)) / (F.lit(3.0) * sld),
+        ).alias("df2"),
+    )
+
+
+def empirical_bernstein_bound(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ln_inv_delta_num: int = 60,
+) -> DataFrame:
+    """Empirical-Bernstein confidence bound on each group's mean of a
+    BOUNDED integer metric: mean +/- (sqrt(2*V*ln(3/delta)/n)
+    + 3*R*ln(3/delta)/n) with V the sample variance and R the
+    OBSERVED range (the data-driven proxy for the a-priori bound;
+    documented caveat — a true EB bound needs the domain range). The
+    variance-adaptive finite-sample interval behind q529's
+    always-valid monitoring; much tighter than Hoeffding when the
+    metric's variance is small relative to its range.
+    ``ln_inv_delta_num`` fixes 3/delta as an integer (default 60 =
+    delta 0.05) so the log argument is exact. Charter §2B extension.
+
+    Determinism: one exact moment aggregate (n, s, ss decimal, min,
+    max); all readouts fixed trees over exact integers; callers
+    ROUND (<= 9). Scale: ONE map-side-combinable grouped aggregate.
+    """
+    if ln_inv_delta_num < 2:
+        raise ValueError("ln_inv_delta_num must be >= 2")
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast("long")
+    g = df.filter(v.isNotNull()).groupBy(
+        F.col(group_col).alias("grp")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v.cast(d38) * v).cast(d38).alias("ss"),
+        F.min(v).cast("long").alias("mn"),
+        F.max(v).cast("long").alias("mx"),
+    )
+    nd = F.col("n_rows").cast("double")
+    mean = F.col("s").cast("double") / nd
+    disp = (
+        F.col("n_rows").cast(d38) * F.col("ss")
+        - F.col("s").cast(d38) * F.col("s")
+    ).cast(d38)
+    var_s = disp.cast("double") / (nd * nd * (nd - F.lit(1.0)))
+    rng = (F.col("mx") - F.col("mn")).cast("double")
+    lg = F.log(F.lit(float(ln_inv_delta_num)))
+    hw = F.sqrt(F.lit(2.0) * var_s * lg / nd) + F.lit(3.0) * rng * lg / nd
+    return g.filter(F.col("n_rows") >= 2).select(
+        "grp",
+        "n_rows",
+        mean.alias("mean"),
+        (F.col("mx") - F.col("mn")).alias("range_obs"),
+        (mean - hw).alias("eb_lower"),
+        (mean + hw).alias("eb_upper"),
+    )

@@ -804,3 +804,151 @@ def test_topsis_rejects_no_criteria(spark):
     df = spark.createDataFrame([(1, 2)], "alt long, b long")
     with pytest.raises(ValueError):
         topsis(df, "alt", [], [])
+
+
+# ---------------------------------------------------------------------------
+# wave 22: Brunner-Munzel, Welch ANOVA, empirical-Bernstein bound
+
+
+def _bm_ref(xs, ys):
+    allv = sorted(xs + ys)
+
+    def midrank(v, pool):
+        less = sum(1 for p in pool if p < v)
+        eq = sum(1 for p in pool if p == v)
+        return less + (eq + 1) / 2
+
+    rcx = [midrank(v, allv) for v in xs]
+    rcy = [midrank(v, allv) for v in ys]
+    rx = [midrank(v, xs) for v in xs]
+    ry = [midrank(v, ys) for v in ys]
+    n1, n2 = len(xs), len(ys)
+    rb1, rb2 = sum(rcx) / n1, sum(rcy) / n2
+    s1 = sum(
+        (rcx[i] - rx[i] - rb1 + (n1 + 1) / 2) ** 2 for i in range(n1)
+    ) / (n1 - 1)
+    s2 = sum(
+        (rcy[i] - ry[i] - rb2 + (n2 + 1) / 2) ** 2 for i in range(n2)
+    ) / (n2 - 1)
+    w = (
+        n1 * n2 * (rb2 - rb1)
+        / ((n1 + n2) * math.sqrt(n1 * s1 + n2 * s2))
+    )
+    p = (rb2 - (n2 + 1) / 2) / n1
+    return p, w
+
+
+def test_brunner_munzel_matches_reference(spark):
+    from etl_java_spark.operators.experiments import brunner_munzel
+
+    xs = [1, 2, 2, 3, 5, 5, 7, 9]
+    ys = [2, 4, 4, 6, 6, 8, 9, 9, 10]
+    rows = [(v, "a") for v in xs] + [(v, "b") for v in ys]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = brunner_munzel(df, "v", "g", "a", "b").collect()[0]
+    p, w = _bm_ref(xs, ys)
+    assert got["n1"] == len(xs)
+    assert got["n2"] == len(ys)
+    assert got["p_hat"] == pytest.approx(p, abs=1e-10)
+    assert got["w_stat"] == pytest.approx(w, abs=1e-9)
+
+
+def test_brunner_munzel_symmetric_half(spark):
+    from etl_java_spark.operators.experiments import brunner_munzel
+
+    # identical samples: p_hat exactly 0.5, W = 0
+    xs = [1, 3, 5, 7]
+    rows = [(v, "a") for v in xs] + [(v, "b") for v in xs]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = brunner_munzel(df, "v", "g", "a", "b").collect()[0]
+    assert got["p_hat"] == pytest.approx(0.5, abs=1e-12)
+    assert got["w_stat"] == pytest.approx(0.0, abs=1e-12)
+
+
+def _welch_ref(groups):
+    import math as _m
+
+    per = []
+    for vals in groups:
+        n = len(vals)
+        m = sum(vals) / n
+        disp = n * sum(v * v for v in vals) - sum(vals) ** 2
+        s2 = disp / (n * n * (n - 1))
+        per.append((n, m, round(n / s2, 12)))
+    sw = sum(round(w, 12) for _, _, w in per)
+    swm = sum(round(w * m, 12) for _, m, w in per)
+    swm2 = sum(round(w * m * m, 12) for _, m, w in per)
+    k = len(per)
+    sl = sum(
+        round((1 - w / sw) ** 2 / (n - 1), 12) for n, _, w in per
+    )
+    a = (swm2 - swm * swm / sw) / (k - 1)
+    b = 1 + (2 * (k - 2) / (k * k - 1)) * sl
+    return swm / sw, a / b, (k * k - 1) / (3 * sl)
+
+
+def test_welch_anova_matches_reference(spark):
+    from etl_java_spark.operators.experiments import welch_anova
+
+    groups = [
+        [12, 15, 11, 18, 14],
+        [22, 25, 19, 30, 27, 24],
+        [9, 8, 12, 7],
+    ]
+    rows = [
+        (f"g{i}", v) for i, vals in enumerate(groups) for v in vals
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = welch_anova(df, "g", "v").collect()[0]
+    gm, f, df2 = _welch_ref(groups)
+    assert got["k_groups"] == 3
+    assert got["grand_mean"] == pytest.approx(gm, abs=1e-10)
+    assert got["f_stat"] == pytest.approx(f, abs=1e-9)
+    assert got["df2"] == pytest.approx(df2, abs=1e-6)
+
+
+def test_welch_anova_drops_degenerate_groups(spark):
+    from etl_java_spark.operators.experiments import welch_anova
+
+    rows = (
+        [("a", v) for v in (1, 5, 9)]
+        + [("b", v) for v in (4, 4, 4)]  # zero variance -> drop
+        + [("c", 7)]  # single row -> drop
+        + [("d", v) for v in (2, 8, 5)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = welch_anova(df, "g", "v").collect()[0]
+    assert got["k_groups"] == 2
+
+
+def test_empirical_bernstein_bound_matches_reference(spark):
+    from etl_java_spark.operators.experiments import (
+        empirical_bernstein_bound,
+    )
+
+    vals = [3, 7, 4, 9, 2, 8, 5, 6]
+    rows = [("a", v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = empirical_bernstein_bound(df, "g", "v", 60).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    var_s = (n * sum(v * v for v in vals) - sum(vals) ** 2) / (
+        n * n * (n - 1)
+    )
+    rng = max(vals) - min(vals)
+    lg = math.log(60.0)
+    hw = math.sqrt(2 * var_s * lg / n) + 3 * rng * lg / n
+    assert got["n_rows"] == n
+    assert got["range_obs"] == rng
+    assert got["eb_lower"] == pytest.approx(mean - hw, abs=1e-10)
+    assert got["eb_upper"] == pytest.approx(mean + hw, abs=1e-10)
+
+
+def test_empirical_bernstein_rejects_bad_delta(spark):
+    from etl_java_spark.operators.experiments import (
+        empirical_bernstein_bound,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError):
+        empirical_bernstein_bound(df, "g", "v", 1)
