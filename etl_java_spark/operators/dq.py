@@ -3075,3 +3075,58 @@ def median_ci(
         "ci_lo",
         "ci_hi",
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    quantiles_pct: tuple = (25, 50, 75),
+) -> DataFrame:
+    """Weighted quantiles per group by the LOWER-weighted-quantile
+    convention: the q-th percentile is the smallest value whose
+    cumulative weight reaches q% of the total (exact integer compare
+    100*cumw >= q*W — no float boundary), so a respondent with
+    weight 3 counts as three — the survey-weighted sibling of the
+    exact median (q552's order-statistic CI). Charter §2B extension.
+
+    Scale design: one cumulative-weight window per group ordered by
+    value (post-aggregate-window contract — band/quantize a
+    continuous metric upstream), then ONE conditional-min aggregate
+    per group; weights are exact integers throughout. Non-positive
+    weights drop.
+    """
+    qs = [int(q) for q in quantiles_pct]
+    if not qs or any(not (0 < q < 100) for q in qs):
+        raise ValueError("quantiles_pct must be integers in (0, 100)")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).filter(F.col("w") > 0)
+    byv = base.groupBy("grp", "v").agg(
+        F.sum("w").cast("long").alias("wv")
+    )
+    win = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = byv.select(
+        "grp",
+        "v",
+        F.sum("wv").over(win).cast("long").alias("cw"),
+        F.sum("wv").over(Window.partitionBy("grp")).cast("long").alias("tw"),
+    )
+    aggs = [F.max("tw").cast("long").alias("w_total")]
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("cw") >= F.lit(q) * F.col("tw"),
+                    F.col("v"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{q}")
+        )
+    return cum.groupBy("grp").agg(*aggs)

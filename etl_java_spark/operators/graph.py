@@ -1509,3 +1509,75 @@ def rich_club(
             / (nc * (nc - F.lit(1.0))),
         ).alias("phi"),
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame,
+    attrs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    attr_col: str = "attr",
+) -> DataFrame:
+    """Newman's categorical attribute assortativity of a graph: with
+    the mixing matrix e_ij = edge fraction between attribute classes
+    i and j, r = (sum_i e_ii - sum_i a_i*b_i) / (1 - sum_i a_i*b_i)
+    (a/b = row/column sums) — +1 when edges stay within a class
+    (homophily), negative when classes preferentially cross-link.
+    The categorical sibling of degree_assortativity. Charter §2B
+    extension.
+
+    Determinism: with M edges and integer class-pair counts c_ij,
+    r = (M * sum(c_ii) - sum_i A_i*B_i) / (M^2 - sum_i A_i*B_i)
+    EXACTLY in decimal — one double at the readout; callers ROUND
+    (<= 9).
+
+    Scale design: two attr equi-joins (attrs broadcast when small),
+    one (attr_i, attr_j) groupBy (bounded by the class-count
+    square), then endpoint-class sums and one scalar fold; nodes
+    missing an attribute drop with their edges (documented).
+    """
+    d38 = "decimal(38,0)"
+    a = attrs.select(
+        F.col(node_col).alias("__n"), F.col(attr_col).alias("__a")
+    )
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .join(a.withColumnRenamed("__n", "s").withColumnRenamed("__a", "ai"), "s")
+        .join(a.withColumnRenamed("__n", "d").withColumnRenamed("__a", "aj"), "d")
+    )
+    cells = e.groupBy("ai", "aj").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    rows = cells.groupBy(F.col("ai").alias("k")).agg(
+        F.sum("c").cast("long").alias("ra")
+    )
+    colsums = cells.groupBy(F.col("aj").alias("k")).agg(
+        F.sum("c").cast("long").alias("cb")
+    )
+    ab = rows.join(colsums, "k", "outer").select(
+        (
+            F.coalesce(F.col("ra"), F.lit(0)).cast(d38)
+            * F.coalesce(F.col("cb"), F.lit(0)).cast(d38)
+        )
+        .cast(d38)
+        .alias("p")
+    )
+    sab = ab.agg(F.sum("p").cast(d38).alias("sab"))
+    diag = cells.agg(
+        F.sum("c").cast("long").alias("m_edges"),
+        F.sum(F.when(F.col("ai") == F.col("aj"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("c_same"),
+    )
+    out = diag.crossJoin(sab)
+    m38 = F.col("m_edges").cast(d38)
+    num = (m38 * F.col("c_same") - F.col("sab")).cast(d38)
+    den = (m38 * m38 - F.col("sab")).cast(d38)
+    return out.select(
+        "m_edges",
+        "c_same",
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("assortativity"),
+    )

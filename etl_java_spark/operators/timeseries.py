@@ -5764,3 +5764,160 @@ def ar1_half_life(
             -F.log(F.lit(2.0)) / F.log(rho),
         ).alias("half_life"),
     )
+
+
+def dfa_alpha(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    scales: tuple = (4, 8, 16, 32),
+) -> DataFrame:
+    """Detrended fluctuation analysis per group: the profile
+    (cumulative sum of the demeaned series) is split into full boxes
+    of each scale s, each box is OLS-detrended, F(s) =
+    sqrt(mean box residual variance), and the DFA exponent alpha is
+    the log-log slope of F(s) on s — the nonstationarity-robust
+    long-memory estimate beside q426's rescaled-range Hurst (alpha
+    0.5 = uncorrelated, > 0.5 persistent, < 0.5 anti-persistent).
+    Charter §2B extension.
+
+    Determinism: the profile uses the n-scaled demeaning trick
+    (u_t = cumsum(n*x - S), exact integers; scaling by n shifts
+    every log F by ln n and cancels in the slope; the emitted log_f
+    values subtract ln n back as a fixed tree). Per-box OLS residual
+    SS folds from exact decimal moments; per-box terms quantize to
+    decimal(38,6) before the per-scale mean; the 4-point log-log
+    slope folds from quantized terms. Callers ROUND (<= 6).
+
+    Scale design: one row_number + one cumsum window per group
+    (post-aggregate-window contract), a bounded explode over the
+    scale list, one (group, scale, box) aggregate, one (group,
+    scale) mean, one k-scale slope fold.
+    """
+    if len(scales) < 2:
+        raise ValueError("need >= 2 scales for a slope")
+    d38 = "decimal(38,0)"
+    dq6 = "decimal(38,6)"
+    dq = "decimal(38,12)"
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    tot = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    prof = (
+        base.join(F.broadcast(tot), "grp")
+        .select(
+            "grp",
+            "t",
+            "n",
+            (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("d"),
+        )
+        .select(
+            "grp",
+            "n",
+            F.row_number().over(w).cast("long").alias("i"),
+            F.sum("d").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    sc = F.explode(
+        F.array(*[F.lit(int(s)) for s in scales])
+    ).alias("scale")
+    boxed = prof.select("grp", "n", "i", "u", sc).filter(
+        F.col("i") <= (F.col("n") - F.col("n") % F.col("scale"))
+    )
+    boxes = boxed.groupBy(
+        "grp",
+        "n",
+        "scale",
+        F.floor((F.col("i") - 1) / F.col("scale")).cast("long").alias("box"),
+    ).agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("i").cast("long").alias("sx"),
+        F.sum("u").cast("long").alias("sy"),
+        F.sum(F.col("i").cast(d38) * F.col("u")).cast(d38).alias("sxy"),
+        F.sum(F.col("i").cast(d38) * F.col("i")).cast(d38).alias("sxx"),
+        F.sum(F.col("u").cast(d38) * F.col("u")).cast(d38).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    dyy = (
+        F.col("m").cast(d38) * F.col("syy")
+        - F.col("sy").cast(d38) * F.col("sy")
+    ).cast(d38)
+    dxy = (
+        F.col("m").cast(d38) * F.col("sxy")
+        - F.col("sx").cast(d38) * F.col("sy")
+    ).cast(d38)
+    dxx = (
+        F.col("m").cast(d38) * F.col("sxx")
+        - F.col("sx").cast(d38) * F.col("sx")
+    ).cast(d38)
+    # SSE = (Dyy - Dxy^2/Dxx) / m  (exact-decimal numerators)
+    sse = (
+        dyy.cast("double")
+        - dxy.cast("double") * dxy.cast("double") / dxx.cast("double")
+    ) / md
+    per_box = boxes.select(
+        "grp",
+        "n",
+        "scale",
+        F.round(sse / F.col("scale").cast("double"), 6)
+        .cast(dq6)
+        .alias("fv"),
+    )
+    per_scale = per_box.groupBy("grp", "n", "scale").agg(
+        F.count("*").cast("long").alias("n_boxes"),
+        F.sum("fv").cast(dq6).alias("sfv"),
+    )
+    nd = F.col("n").cast("double")
+    logf = (
+        F.log(
+            F.sqrt(
+                F.col("sfv").cast("double")
+                / F.col("n_boxes").cast("double")
+            )
+        )
+        - F.log(nd)
+    )
+    pts = per_scale.select(
+        "grp",
+        "n",
+        F.log(F.col("scale").cast("double")).alias("lx"),
+        logf.alias("ly"),
+    )
+    q = pts.select(
+        "grp",
+        "n",
+        F.round(F.col("lx"), 12).cast(dq).alias("lx"),
+        F.round(F.col("ly"), 12).cast(dq).alias("ly"),
+        F.round(F.col("lx") * F.col("ly"), 12).cast(dq).alias("lxy"),
+        F.round(F.col("lx") * F.col("lx"), 12).cast(dq).alias("lxx"),
+    )
+    agg = q.groupBy("grp", "n").agg(
+        F.count("*").cast("long").alias("k_scales"),
+        F.sum("lx").cast(dq).alias("slx"),
+        F.sum("ly").cast(dq).alias("sly"),
+        F.sum("lxy").cast(dq).alias("slxy"),
+        F.sum("lxx").cast(dq).alias("slxx"),
+    )
+    kd = F.col("k_scales").cast("double")
+    slx = F.col("slx").cast("double")
+    sly = F.col("sly").cast("double")
+    slxy = F.col("slxy").cast("double")
+    slxx = F.col("slxx").cast("double")
+    alpha = (kd * slxy - slx * sly) / (kd * slxx - slx * slx)
+    return agg.select(
+        "grp",
+        F.col("n").alias("n_periods"),
+        "k_scales",
+        alpha.alias("alpha"),
+    )

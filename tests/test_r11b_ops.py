@@ -952,3 +952,140 @@ def test_empirical_bernstein_rejects_bad_delta(spark):
     df = spark.createDataFrame([("a", 1)], "g string, v long")
     with pytest.raises(ValueError):
         empirical_bernstein_bound(df, "g", "v", 1)
+
+
+# ---------------------------------------------------------------------------
+# wave 23: DFA, attribute assortativity, weighted quantiles
+
+
+def test_dfa_alpha_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import dfa_alpha
+
+    # deterministic pseudo-series (no RNG in tests): x_t from a
+    # fixed integer recurrence
+    x, vals = 7, []
+    for _ in range(64):
+        x = (x * 31 + 17) % 101
+        vals.append(x)
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = dfa_alpha(df, "g", "t", "v", scales=(4, 8, 16)).collect()[0]
+
+    n, s = len(vals), sum(vals)
+    u, acc = [], 0
+    for v in vals:
+        acc += n * v - s
+        u.append(acc)
+    pts = []
+    for sc in (4, 8, 16):
+        keep = n - n % sc
+        fvs = []
+        for b in range(keep // sc):
+            seg = [(i + 1, u[i]) for i in range(b * sc, (b + 1) * sc)]
+            m = len(seg)
+            sx = sum(i for i, _ in seg)
+            sy = sum(y for _, y in seg)
+            sxy = sum(i * y for i, y in seg)
+            sxx = sum(i * i for i, _ in seg)
+            syy = sum(y * y for _, y in seg)
+            dyy = m * syy - sy * sy
+            dxy = m * sxy - sx * sy
+            dxx = m * sxx - sx * sx
+            sse = (dyy - dxy * dxy / dxx) / m
+            fvs.append(round(sse / sc, 6))
+        lf = math.log(math.sqrt(sum(fvs) / len(fvs))) - math.log(n)
+        pts.append((round(math.log(sc), 12), round(lf, 12)))
+    k = len(pts)
+    slx = sum(round(x_, 12) for x_, _ in pts)
+    sly = sum(round(y_, 12) for _, y_ in pts)
+    slxy = sum(round(x_ * y_, 12) for x_, y_ in pts)
+    slxx = sum(round(x_ * x_, 12) for x_, _ in pts)
+    alpha = (k * slxy - slx * sly) / (k * slxx - slx * slx)
+    assert got["n_periods"] == n
+    assert got["k_scales"] == 3
+    assert got["alpha"] == pytest.approx(alpha, abs=1e-6)
+
+
+def test_dfa_uncorrelated_near_half(spark):
+    from etl_java_spark.operators.timeseries import dfa_alpha
+
+    # LCG noise: alpha should land near 0.5 (loose sanity band)
+    x, vals = 3, []
+    for _ in range(256):
+        x = (x * 1103515245 + 12345) % 2147483648
+        vals.append(x % 1000)
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = dfa_alpha(df, "g", "t", "v").collect()[0]
+    assert 0.3 < got["alpha"] < 0.8
+
+
+def test_attribute_assortativity_perfect_homophily(spark):
+    from etl_java_spark.operators.graph import attribute_assortativity
+
+    edges = [(1, 2), (2, 1), (3, 4), (4, 3)]
+    attrs = [(1, "x"), (2, "x"), (3, "y"), (4, "y")]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = spark.createDataFrame(attrs, "node long, attr string")
+    got = attribute_assortativity(e, a).collect()[0]
+    assert got["m_edges"] == 4
+    assert got["c_same"] == 4
+    assert got["assortativity"] == pytest.approx(1.0, abs=1e-15)
+
+
+def test_attribute_assortativity_matches_reference(spark):
+    from etl_java_spark.operators.graph import attribute_assortativity
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (2, 4)]
+    attrs = [(1, "x"), (2, "x"), (3, "y"), (4, "y")]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = spark.createDataFrame(attrs, "node long, attr string")
+    got = attribute_assortativity(e, a).collect()[0]
+    lab = dict(attrs)
+    m = len(edges)
+    c_same = sum(1 for s, d in edges if lab[s] == lab[d])
+    ra = {}
+    cb = {}
+    for s, d in edges:
+        ra[lab[s]] = ra.get(lab[s], 0) + 1
+        cb[lab[d]] = cb.get(lab[d], 0) + 1
+    sab = sum(
+        ra.get(k, 0) * cb.get(k, 0) for k in set(ra) | set(cb)
+    )
+    r = (m * c_same - sab) / (m * m - sab)
+    assert got["assortativity"] == pytest.approx(r, abs=1e-12)
+
+
+def test_weighted_quantiles_known_values(spark):
+    from etl_java_spark.operators.dq import weighted_quantiles
+
+    # values 1..4 with weights 1,1,1,7 -> total 10: p25 at cumw>=2.5
+    # -> value 3 (cum 1,2,3,10); p50 at >=5 -> 4; p75 at >=7.5 -> 4
+    rows = [("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("a", 4, 7)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = weighted_quantiles(df, "g", "v", "w").collect()[0]
+    assert got["w_total"] == 10
+    assert got["p25"] == 3
+    assert got["p50"] == 4
+    assert got["p75"] == 4
+
+
+def test_weighted_quantiles_equal_weights_match_unweighted(spark):
+    from etl_java_spark.operators.dq import weighted_quantiles
+
+    vals = [10, 20, 30, 40, 50, 60, 70, 80]
+    rows = [("a", v, 1) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = weighted_quantiles(df, "g", "v", "w").collect()[0]
+    # lower-quantile convention: smallest v with cum >= q*n/100
+    assert got["p25"] == 20
+    assert got["p50"] == 40
+    assert got["p75"] == 60
+
+
+def test_weighted_quantiles_rejects_bad_pct(spark):
+    from etl_java_spark.operators.dq import weighted_quantiles
+
+    df = spark.createDataFrame([("a", 1, 1)], "g string, v long, w long")
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "g", "v", "w", quantiles_pct=(0, 50))
