@@ -5237,3 +5237,137 @@ def empirical_bernstein_bound(
         (mean - hw).alias("eb_lower"),
         (mean + hw).alias("eb_upper"),
     )
+
+
+def fisher_exact(
+    df: DataFrame,
+    stratum_col: str,
+    a_col: str,
+    b_col: str,
+    c_col: str,
+    d_col: str,
+) -> DataFrame:
+    """Fisher exact test per 2x2 stratum: the two-sided p-value sums
+    every hypergeometric table (fixed margins) whose probability does
+    not exceed the observed one (the scipy two-sided convention, with
+    the standard 1+1e-7 tie tolerance). Exact small-sample inference
+    where q440's G-test / chi-square asymptotics break down. Charter
+    §2B extension.
+
+    Determinism + overflow safety: the unnormalized pmf anchors at
+    the distribution's MODE with u = 1 and folds the exact-integer-
+    ratio recurrence outward in both directions (every u <= 1 — no
+    factorials, no overflow however large the margins); both engines
+    replay the identical fixed-order fold (Spark array aggregate vs
+    a DuckDB recursive CTE — the kaplan_meier q253 discipline), and
+    the tail/total sums quantize each u to decimal(38,15) so the
+    normalization is order-free. Callers ROUND (<= 9).
+
+    Scale design: ALL work is row-local (one support-sized in-row
+    fold per stratum, support <= min(row, column) margin) followed by
+    a bounded posexplode + one grouped sum — strata parallelize
+    freely. Degenerate strata (empty margin -> single-table support)
+    emit p_two = 1.
+    """
+    dq = "decimal(38,15)"
+    base = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+        F.col(c_col).cast("long").alias("c"),
+        F.col(d_col).cast("long").alias("d"),
+    )
+    r1 = F.col("a") + F.col("b")
+    m1 = F.col("a") + F.col("c")
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    klo = F.greatest(F.lit(0).cast("long"), (r1 + m1 - n).cast("long"))
+    khi = F.least(r1, m1).cast("long")
+    mode_raw = F.floor(
+        ((r1 + 1) * (m1 + 1)).cast("double") / (n + 2).cast("double")
+    ).cast("long")
+    mode = F.greatest(klo, F.least(mode_raw, khi))
+    p = base.select(
+        "stratum", "a", "b", "c", "d",
+        r1.cast("long").alias("r1"),
+        m1.cast("long").alias("m1"),
+        n.cast("long").alias("n"),
+        klo.alias("klo"),
+        khi.alias("khi"),
+        mode.alias("mode"),
+    )
+
+    def rup(k):
+        return (
+            (F.col("r1") - k) * (F.col("m1") - k)
+        ).cast("double") / (
+            (k + 1) * (F.col("n") - F.col("r1") - F.col("m1") + k + 1)
+        ).cast("double")
+
+    def rdown(k):
+        return (
+            k * (F.col("n") - F.col("r1") - F.col("m1") + k)
+        ).cast("double") / (
+            (F.col("r1") - k + 1) * (F.col("m1") - k + 1)
+        ).cast("double")
+
+    up = F.aggregate(
+        F.when(
+            F.col("khi") > F.col("mode"),
+            F.sequence(F.col("mode"), F.col("khi") - 1),
+        ).otherwise(F.array().cast("array<long>")),
+        F.array(F.lit(1.0)),
+        lambda acc, k: F.concat(
+            acc, F.array(F.element_at(acc, -1) * rup(k))
+        ),
+    )
+    down = F.aggregate(
+        F.when(
+            F.col("mode") > F.col("klo"),
+            F.sequence(F.col("mode"), F.col("klo") + 1, F.lit(-1)),
+        ).otherwise(F.array().cast("array<long>")),
+        F.array(F.lit(1.0)),
+        lambda acc, k: F.concat(
+            acc, F.array(F.element_at(acc, -1) * rdown(k))
+        ),
+    )
+    # full support klo..khi: reversed down-tail (excluding mode) ++ up
+    arr = F.concat(
+        F.reverse(F.slice(down, 2, F.greatest(F.size(down) - 1, F.lit(0)))),
+        up,
+    )
+    expl = p.select(
+        "stratum", "a", "b", "c", "d", "klo",
+        F.posexplode(arr).alias("pos", "u"),
+    ).select(
+        "stratum", "a", "b", "c", "d",
+        (F.col("klo") + F.col("pos")).cast("long").alias("k"),
+        F.round(F.col("u"), 15).cast(dq).alias("uq"),
+    )
+    ua = expl.filter(F.col("k") == F.col("a")).select(
+        "stratum", F.col("uq").alias("uaq")
+    )
+    j = expl.join(ua, "stratum")
+    agg = j.groupBy("stratum", "a", "b", "c", "d", "uaq").agg(
+        F.sum("uq").cast(dq).alias("s_all"),
+        F.sum(
+            F.when(
+                F.col("uq").cast("double")
+                <= F.col("uaq").cast("double") * F.lit(1.0000001),
+                F.col("uq"),
+            ).otherwise(F.lit(0).cast(dq))
+        )
+        .cast(dq)
+        .alias("s_tail"),
+    )
+    orr = F.when(
+        (F.col("b") > 0) & (F.col("c") > 0),
+        (F.col("a") * F.col("d")).cast("double")
+        / (F.col("b") * F.col("c")).cast("double"),
+    )
+    return agg.select(
+        "stratum", "a", "b", "c", "d",
+        orr.alias("odds_ratio"),
+        (
+            F.col("s_tail").cast("double") / F.col("s_all").cast("double")
+        ).alias("p_two"),
+    )

@@ -5921,3 +5921,176 @@ def dfa_alpha(
         "k_scales",
         alpha.alias("alpha"),
     )
+
+
+def km_greenwood_bands(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Kaplan-Meier curve with Greenwood confidence bands: alongside
+    S(t) (the kaplan_meier fold above), the Greenwood variance
+    cumulates g = d / (n * (n - d)) over event times,
+    se(t) = S(t) * sqrt(G(t)), and the plain (linear-scale) bands
+    clamp to [0, 1]. The final event time with d = n has infinite
+    Greenwood variance — its se/bands read NULL (documented
+    convention). Charter §2B extension.
+
+    Scale design / determinism: identical to kaplan_meier — distinct-
+    EVENT-time array (calendar-bounded), prefix refolds in time order
+    for BOTH the survival product and the variance sum, so each
+    engine performs the identical fixed-order IEEE sequence; callers
+    ROUND (<= 9).
+    """
+    per = df.groupBy(F.col(duration_col).cast("long").alias("t")).agg(
+        F.sum(F.col(event_col).cast("int")).cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col(event_col).cast("int"))
+        .cast("long")
+        .alias("c"),
+    )
+    w_risk = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    per = per.select(
+        "t", "d", "c",
+        F.sum(F.col("d") + F.col("c")).over(w_risk).alias("n"),
+    )
+    ev = per.filter(F.col("d") > 0).select(
+        F.struct(
+            "t",
+            "d",
+            "n",
+            (
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n").cast("double")
+            ).alias("f"),
+            F.when(
+                F.col("n") > F.col("d"),
+                F.col("d").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * (F.col("n") - F.col("d")).cast("double")
+                ),
+            ).alias("g"),
+        ).alias("__e")
+    )
+    one = ev.agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    expl = one.select("__arr", F.posexplode("__arr").alias("__i", "__s"))
+    pre = F.slice(F.col("__arr"), F.lit(1), F.col("__i") + 1)
+    surv = F.aggregate(pre, F.lit(1.0), lambda acc, x: acc * x["f"])
+    gsum = F.aggregate(
+        pre,
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x["g"],
+    )
+    se = surv * F.sqrt(gsum)
+    zl = F.lit(float(z))
+    return expl.select(
+        F.col("__s")["t"].alias("t"),
+        F.col("__s")["n"].alias("n_risk"),
+        F.col("__s")["d"].alias("n_event"),
+        surv.alias("survival"),
+        se.alias("se"),
+        F.greatest(F.lit(0.0), surv - zl * se).alias("ci_lower"),
+        F.least(F.lit(1.0), surv + zl * se).alias("ci_upper"),
+    )
+
+
+def sprt_bernoulli_replay(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    success_col: str,
+    p0: float = 0.5,
+    p1: float = 0.6,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald SPRT replay over an ordered Bernoulli stream per group:
+    at each observation the log-likelihood ratio of H1: p = p1 vs
+    H0: p = p0 is llr = k*ln(p1/p0) + (m-k)*ln((1-p1)/(1-p0)) with
+    k = cumulative successes in m trials — accept H1 at the first
+    m with llr >= ln((1-beta)/alpha), accept H0 at the first m with
+    llr <= ln(beta/(1-alpha)). Emits where the classic fixed-
+    boundary test WOULD have stopped — the Wald ancestor of q529's
+    always-valid mSPRT. Charter §2B extension.
+
+    Determinism: the cumulative k and m are exact integer window
+    sums; llr is a fixed tree k*L1 + (m-k)*L0 (NO double running
+    sum — cross-engine windowed float accumulation is not
+    order-stable, integers are); crossing times are conditional
+    mins. Callers ROUND (<= 9).
+
+    Scale design: one integer cumsum window per group (post-
+    aggregate-window contract when replayed at entity grain), ONE
+    final grouped aggregate.
+    """
+    if not (0 < p0 < 1 and 0 < p1 < 1 and p0 != p1):
+        raise ValueError("need 0 < p0 != p1 < 1")
+    w = Window.partitionBy("grp").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(success_col).cast("int").alias("x"),
+    )
+    cum = base.select(
+        "grp",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("t"))
+        .cast("long")
+        .alias("m"),
+        F.sum("x").over(w).cast("long").alias("k"),
+    )
+    l1 = F.log(F.lit(p1) / F.lit(p0))
+    l0 = F.log((F.lit(1.0) - F.lit(p1)) / (F.lit(1.0) - F.lit(p0)))
+    a = F.log((F.lit(1.0) - F.lit(beta)) / F.lit(alpha))
+    b = F.log(F.lit(beta) / (F.lit(1.0) - F.lit(alpha)))
+    llr = F.col("k").cast("double") * l1 + (
+        F.col("m") - F.col("k")
+    ).cast("double") * l0
+    scored = cum.select(
+        "grp",
+        "m",
+        "k",
+        llr.alias("llr"),
+    )
+    agg = scored.groupBy("grp").agg(
+        F.max("m").cast("long").alias("n_trials"),
+        F.max(F.struct("m", "llr")).alias("__fin"),
+        F.min(F.when(F.col("llr") >= a, F.col("m")))
+        .cast("long")
+        .alias("t_accept_h1"),
+        F.min(F.when(F.col("llr") <= b, F.col("m")))
+        .cast("long")
+        .alias("t_accept_h0"),
+    )
+    t1 = F.col("t_accept_h1")
+    t0 = F.col("t_accept_h0")
+    decision = (
+        F.when(t1.isNull() & t0.isNull(), F.lit("continue"))
+        .when(t0.isNull() | (t1 <= t0), F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+    )
+    return agg.select(
+        "grp",
+        "n_trials",
+        F.col("__fin.llr").alias("llr_final"),
+        "t_accept_h1",
+        "t_accept_h0",
+        decision.alias("decision"),
+        F.least(
+            F.coalesce(t1, F.col("n_trials") + 1),
+            F.coalesce(t0, F.col("n_trials") + 1),
+        ).alias("__t"),
+    ).select(
+        "grp",
+        "n_trials",
+        "llr_final",
+        "t_accept_h1",
+        "t_accept_h0",
+        "decision",
+        F.when(
+            F.col("decision") != "continue", F.col("__t")
+        ).alias("n_at_decision"),
+    )

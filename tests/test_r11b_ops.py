@@ -1089,3 +1089,130 @@ def test_weighted_quantiles_rejects_bad_pct(spark):
     df = spark.createDataFrame([("a", 1, 1)], "g string, v long, w long")
     with pytest.raises(ValueError):
         weighted_quantiles(df, "g", "v", "w", quantiles_pct=(0, 50))
+
+
+# ---------------------------------------------------------------------------
+# wave 24: Greenwood bands, Wald SPRT replay, Fisher exact
+
+
+def test_km_greenwood_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import km_greenwood_bands
+
+    # durations with events (1) and censorings (0)
+    data = [(2, 1), (3, 1), (3, 0), (5, 1), (5, 1), (7, 0), (8, 1)]
+    df = spark.createDataFrame(data, "dur long, ev int")
+    rows = {
+        r["t"]: r for r in km_greenwood_bands(df, "dur", "ev").collect()
+    }
+    # replay: distinct event times 2,3,5,8
+    s, g = 1.0, 0.0
+    atrisk = {2: 7, 3: 6, 5: 4, 8: 1}
+    dmap = {2: 1, 3: 1, 5: 2, 8: 1}
+    for t in (2, 3, 5, 8):
+        n, d = atrisk[t], dmap[t]
+        s *= 1.0 - d / n
+        if n > d:
+            g += d / (n * (n - d))
+            se = s * math.sqrt(g)
+            assert rows[t]["se"] == pytest.approx(se, abs=1e-12), t
+            assert rows[t]["ci_lower"] == pytest.approx(
+                max(0.0, s - 1.96 * se), abs=1e-12
+            )
+            assert rows[t]["ci_upper"] == pytest.approx(
+                min(1.0, s + 1.96 * se), abs=1e-12
+            )
+        else:
+            # exhausted risk set: variance undefined
+            assert rows[t]["se"] is None
+        assert rows[t]["survival"] == pytest.approx(s, abs=1e-15), t
+
+
+def test_sprt_replay_decides_h1_on_high_rate(spark):
+    from etl_java_spark.operators.timeseries import sprt_bernoulli_replay
+
+    # 80% successes vs H0 p=0.3 / H1 p=0.4 -> accept H1, and the
+    # crossing time matches the straight-line replay
+    xs = [1, 1, 0, 1, 1, 1, 0, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 1, 1]
+    rows = [("a", t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, t long, x int")
+    got = sprt_bernoulli_replay(
+        df, "g", "t", "x", p0=0.3, p1=0.4, alpha=0.05, beta=0.05
+    ).collect()[0]
+    l1, l0 = math.log(0.4 / 0.3), math.log(0.6 / 0.7)
+    a = math.log(0.95 / 0.05)
+    k = m = 0
+    t_cross = None
+    for x in xs:
+        m += 1
+        k += x
+        if k * l1 + (m - k) * l0 >= a and t_cross is None:
+            t_cross = m
+    assert got["decision"] == "accept_h1"
+    assert got["t_accept_h1"] == t_cross
+    assert got["n_at_decision"] == t_cross
+    assert got["llr_final"] == pytest.approx(
+        k * l1 + (m - k) * l0, abs=1e-12
+    )
+
+
+def test_sprt_replay_continue_on_boundary_sample(spark):
+    from etl_java_spark.operators.timeseries import sprt_bernoulli_replay
+
+    # tiny sample that never crosses either boundary
+    rows = [("a", 0, 1), ("a", 1, 0), ("a", 2, 1)]
+    df = spark.createDataFrame(rows, "g string, t long, x int")
+    got = sprt_bernoulli_replay(df, "g", "t", "x").collect()[0]
+    assert got["decision"] == "continue"
+    assert got["n_at_decision"] is None
+
+
+def test_sprt_rejects_bad_p(spark):
+    from etl_java_spark.operators.timeseries import sprt_bernoulli_replay
+
+    df = spark.createDataFrame([("a", 1, 1)], "g string, t long, x int")
+    with pytest.raises(ValueError):
+        sprt_bernoulli_replay(df, "g", "t", "x", p0=0.5, p1=0.5)
+
+
+def test_fisher_exact_matches_combinatorial(spark):
+    from math import comb
+
+    from etl_java_spark.operators.experiments import fisher_exact
+
+    tables = [("s1", 8, 2, 1, 5), ("s2", 3, 7, 6, 4), ("s3", 0, 5, 5, 0),
+              ("s4", 12, 0, 0, 9)]
+    df = spark.createDataFrame(tables, "st string, a long, b long, c long, d long")
+    got = {
+        r["stratum"]: r
+        for r in fisher_exact(df, "st", "a", "b", "c", "d").collect()
+    }
+
+    def ref(a, b, c, d):
+        r1, m1, n = a + b, a + c, a + b + c + d
+        klo, khi = max(0, r1 + m1 - n), min(r1, m1)
+        probs = {
+            k: comb(r1, k) * comb(n - r1, m1 - k)
+            for k in range(klo, khi + 1)
+        }
+        tot = sum(probs.values())
+        pa = probs[a]
+        return (
+            sum(v for v in probs.values() if v <= pa * (1 + 1e-7)) / tot
+        )
+
+    for st, a, b, c, d in tables:
+        assert got[st]["p_two"] == pytest.approx(
+            ref(a, b, c, d), abs=1e-9
+        ), st
+
+
+def test_fisher_exact_extreme_table_small_p(spark):
+    from etl_java_spark.operators.experiments import fisher_exact
+
+    # strongly diagonal table: p should be tiny, OR large
+    df = spark.createDataFrame(
+        [("s", 20, 1, 2, 18)], "st string, a long, b long, c long, d long"
+    )
+    got = fisher_exact(df, "st", "a", "b", "c", "d").collect()[0]
+    assert got["p_two"] < 1e-6
+    assert got["odds_ratio"] == pytest.approx(20 * 18 / (1 * 2), abs=1e-9)
