@@ -6094,3 +6094,83 @@ def sprt_bernoulli_replay(
             F.col("decision") != "continue", F.col("__t")
         ).alias("n_at_decision"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    delta: int = 0,
+    lam: int = 0,
+) -> DataFrame:
+    """Page-Hinkley upward-drift detector per group (batch replay):
+    the drift score PH_t = M_t - min_{s<=t} M_s over the cumulative
+    sum M_t = sum(x_s - xbar - delta) alarms the first time it
+    exceeds ``lam`` (both in value units) — the one-sided mean-shift
+    alarm beside q380's two-sided CUSUM (delta is the indifference
+    slack, lam the evidence threshold). Charter §2B extension.
+
+    Determinism: the n-scaled cumulative u_t = cumsum(n*(x - delta)
+    - S) is exactly integer (q475 demeaning trick); the running min
+    and the threshold compare (u - minu > n*lam) stay integer; only
+    the reported max_ph divides by n. Callers ROUND (<= 9).
+
+    Scale design: two windows (cumsum + running min) PARTITIONED BY
+    group ORDER BY time over calendar-bounded period tables, ONE
+    final grouped aggregate.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        (F.col(value_col).cast("long") - F.lit(int(delta)))
+        .cast("long")
+        .alias("x"),
+    )
+    tot = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    w = Window.partitionBy("grp").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wrn = Window.partitionBy("grp").orderBy("t")
+    cum = base.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "n",
+        F.row_number().over(wrn).cast("long").alias("i"),
+        F.sum(F.col("n") * F.col("x") - F.col("s"))
+        .over(w)
+        .cast("long")
+        .alias("m"),
+    )
+    wi = Window.partitionBy("grp").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = cum.select(
+        "grp",
+        "n",
+        "i",
+        (F.col("m") - F.min("m").over(wi)).cast("long").alias("ph_n"),
+    )
+    agg = scored.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n_periods"),
+        F.max("ph_n").cast("long").alias("max_ph_n"),
+        F.min(
+            F.when(
+                F.col("ph_n") > F.col("n") * F.lit(int(lam)), F.col("i")
+            )
+        )
+        .cast("long")
+        .alias("t_alarm"),
+    )
+    return agg.select(
+        "grp",
+        "n_periods",
+        (
+            F.col("max_ph_n").cast("double")
+            / F.col("n_periods").cast("double")
+        ).alias("max_ph"),
+        "t_alarm",
+        F.col("t_alarm").isNotNull().alias("alarmed"),
+    )

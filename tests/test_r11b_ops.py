@@ -1216,3 +1216,130 @@ def test_fisher_exact_extreme_table_small_p(spark):
     got = fisher_exact(df, "st", "a", "b", "c", "d").collect()[0]
     assert got["p_two"] < 1e-6
     assert got["odds_ratio"] == pytest.approx(20 * 18 / (1 * 2), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# wave 25: Chatterjee xi, Page-Hinkley, rank aggregation
+
+
+def _xi_ref(xy):
+    # ties-general Chatterjee xi with rows ordered by (x, y)
+    xy = sorted(xy)
+    ys = [y for _, y in xy]
+    n = len(ys)
+    r = [sum(1 for z in ys if z <= y) for y in ys]
+    l = [sum(1 for z in ys if z >= y) for y in ys]
+    a = sum(abs(r[i + 1] - r[i]) for i in range(n - 1))
+    b = sum(li * (n - li) for li in l)
+    return 1 - n * a / (2 * b)
+
+
+def test_chatterjee_xi_functional_dependence(spark):
+    from etl_java_spark.operators.evaluation import chatterjee_xi
+
+    # y = (x - 20)^2: smooth, perfectly functional, non-monotone
+    xy = [(x, (x - 20) ** 2) for x in range(41)]
+    rows = [("a", x, y) for x, y in xy]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = chatterjee_xi(df, "g", "x", "y").collect()[0]
+    assert got["xi"] == pytest.approx(_xi_ref(xy), abs=1e-12)
+    assert got["xi"] > 0.8  # strong dependence detected
+
+
+def test_chatterjee_xi_matches_reference_with_ties(spark):
+    from etl_java_spark.operators.evaluation import chatterjee_xi
+
+    xy = [(0, 2), (1, 5), (2, 2), (3, 8), (4, 5), (5, 2), (6, 9),
+          (7, 5), (8, 8), (9, 2)]
+    rows = [("a", x, y) for x, y in xy]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = chatterjee_xi(df, "g", "x", "y").collect()[0]
+    assert got["n_rows"] == len(xy)
+    assert got["xi"] == pytest.approx(_xi_ref(xy), abs=1e-12)
+
+
+def test_chatterjee_xi_constant_y_null(spark):
+    from etl_java_spark.operators.evaluation import chatterjee_xi
+
+    rows = [("a", x, 7) for x in range(6)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = chatterjee_xi(df, "g", "x", "y").collect()[0]
+    assert got["xi"] is None  # l*(n-l) = 0 everywhere
+
+
+def test_page_hinkley_detects_level_shift(spark):
+    from etl_java_spark.operators.timeseries import page_hinkley
+
+    # flat 100 then jump to 200: upward drift must alarm after the jump
+    vals = [100] * 10 + [200] * 10
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = page_hinkley(df, "g", "t", "v", delta=0, lam=100).collect()[0]
+    # replay: n=20, s=3000; u_t = 20*v - 3000; cum m; ph = m - runmin
+    n, s = 20, sum(vals)
+    m = mn = 0
+    alarm = None
+    maxph = 0
+    for i, v in enumerate(vals, start=1):
+        m += n * v - s
+        mn = min(mn, m)
+        ph = m - mn
+        maxph = max(maxph, ph)
+        if alarm is None and ph > n * 100:
+            alarm = i
+    assert got["alarmed"] is True
+    assert got["t_alarm"] == alarm
+    assert got["max_ph"] == pytest.approx(maxph / n, abs=1e-9)
+
+
+def test_page_hinkley_no_alarm_on_flat(spark):
+    from etl_java_spark.operators.timeseries import page_hinkley
+
+    rows = [("a", t, 50) for t in range(8)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = page_hinkley(df, "g", "t", "v", lam=1).collect()[0]
+    assert got["alarmed"] is False
+    assert got["max_ph"] == 0.0
+
+
+def test_rank_aggregation_known_panel(spark):
+    from etl_java_spark.operators.evaluation import rank_aggregation
+
+    # 3 judges over items a,b,c: a usually first
+    panel = [
+        (1, "a", 1), (1, "b", 2), (1, "c", 3),
+        (2, "a", 1), (2, "c", 2), (2, "b", 3),
+        (3, "b", 1), (3, "a", 2), (3, "c", 3),
+    ]
+    df = spark.createDataFrame(panel, "rk long, item string, pos long")
+    got = {
+        r["item"]: r
+        for r in rank_aggregation(df, "rk", "item", "pos").collect()
+    }
+    # borda: a = (3-1)+(3-1)+(3-2)=5, b = 1+0+2=3, c = 0+1+0=1
+    assert got["a"]["borda"] == 5
+    assert got["b"]["borda"] == 3
+    assert got["c"]["borda"] == 1
+    # copeland: a beats b (2/3) and c (3/3) -> +2; b beats c (2/3),
+    # loses a -> 0; c loses both -> -2
+    assert got["a"]["copeland"] == 2
+    assert got["b"]["copeland"] == 0
+    assert got["c"]["copeland"] == -2
+
+
+def test_rank_aggregation_partial_panels(spark):
+    from etl_java_spark.operators.evaluation import rank_aggregation
+
+    # second judge ranked only two items: m=2 for its borda terms
+    panel = [
+        (1, "a", 1), (1, "b", 2), (1, "c", 3),
+        (2, "c", 1), (2, "a", 2),
+    ]
+    df = spark.createDataFrame(panel, "rk long, item string, pos long")
+    got = {
+        r["item"]: r
+        for r in rank_aggregation(df, "rk", "item", "pos").collect()
+    }
+    assert got["a"]["n_rankings"] == 2
+    assert got["a"]["borda"] == (3 - 1) + (2 - 2)
+    assert got["c"]["borda"] == (3 - 3) + (2 - 1)
