@@ -5134,7 +5134,7 @@ def welch_anova(
         - F.col("s").cast(d38) * F.col("s")
     ).cast(d38)
     m = F.col("s").cast("double") / nid
-    s2 = disp.cast("double") / (nid * nid * (nid - F.lit(1.0)))
+    s2 = disp.cast("double") / (nid * (nid - F.lit(1.0)))
     wi = nid / s2
     per = g.filter((F.col("ni") >= 2) & (disp > 0)).select(
         "ni",
@@ -5225,7 +5225,7 @@ def empirical_bernstein_bound(
         F.col("n_rows").cast(d38) * F.col("ss")
         - F.col("s").cast(d38) * F.col("s")
     ).cast(d38)
-    var_s = disp.cast("double") / (nd * nd * (nd - F.lit(1.0)))
+    var_s = disp.cast("double") / (nd * (nd - F.lit(1.0)))
     rng = (F.col("mx") - F.col("mn")).cast("double")
     lg = F.log(F.lit(float(ln_inv_delta_num)))
     hw = F.sqrt(F.lit(2.0) * var_s * lg / nd) + F.lit(3.0) * rng * lg / nd
@@ -5370,4 +5370,207 @@ def fisher_exact(
         (
             F.col("s_tail").cast("double") / F.col("s_all").cast("double")
         ).alias("p_two"),
+    )
+
+
+def count_model_mom(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Count-model method-of-moments diagnostics per group over a
+    non-negative integer metric: the dispersion index var/mean (the
+    q515 overdispersion readout), the negative-binomial MoM fit
+    r = m^2/(v - m), p = m/v (NULL unless overdispersed v > m), the
+    zero-inflated-Poisson MoM fit lambda = m + v/m - 1,
+    pi = 1 - m/lambda (NULL unless lambda > 0 and v > m), and the
+    observed zero fraction vs the Poisson-implied exp(-m) — which
+    count model should this metric get? Charter §2B extension.
+
+    Determinism: one exact moment aggregate (n, s, ss decimal, zero
+    count); every readout is a fixed tree; callers ROUND (<= 9).
+    Scale: ONE map-side-combinable grouped aggregate.
+    """
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast("long")
+    g = df.filter(v.isNotNull() & (v >= 0)).groupBy(
+        F.col(group_col).alias("grp")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v.cast(d38) * v).cast(d38).alias("ss"),
+        F.sum(F.when(v == 0, 1).otherwise(0)).cast("long").alias("zeros"),
+    )
+    nd = F.col("n_rows").cast("double")
+    m = F.col("s").cast("double") / nd
+    disp = (
+        F.col("n_rows").cast(d38) * F.col("ss")
+        - F.col("s").cast(d38) * F.col("s")
+    ).cast(d38)
+    var_s = disp.cast("double") / (nd * (nd - F.lit(1.0)))
+    idx = var_s / m
+    over = (var_s > m) & (m > 0)
+    nb_r = F.when(over, m * m / (var_s - m))
+    nb_p = F.when(over, m / var_s)
+    lam = m + var_s / m - F.lit(1.0)
+    zip_ok = over & (lam > 0)
+    zip_pi = F.when(zip_ok, F.lit(1.0) - m / lam)
+    return g.filter(F.col("n_rows") >= 2).select(
+        "grp",
+        "n_rows",
+        m.alias("mean"),
+        var_s.alias("var_s"),
+        F.when(m > 0, idx).alias("dispersion_index"),
+        nb_r.alias("nb_r"),
+        nb_p.alias("nb_p"),
+        F.when(zip_ok, lam).alias("zip_lambda"),
+        zip_pi.alias("zip_pi"),
+        (F.col("zeros").cast("double") / nd).alias("zero_frac"),
+        F.exp(-m).alias("poisson_zero_frac"),
+    )
+
+
+def srm_test(
+    df: DataFrame,
+    variant_col: str,
+    expected: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for an experiment's assignment
+    counts: chi-square of observed variant counts against the
+    planned integer allocation weights (e.g. {"control": 1,
+    "treatment": 1} for 50/50) — the first gate of any A/B readout;
+    a tiny SRM p-value means the randomizer or logging is broken and
+    every downstream metric is suspect. Variants observed but absent
+    from ``expected`` raise in-plan (assignment leakage is exactly
+    what this test exists to catch). Charter §2B extension.
+
+    Determinism: observed counts and weights are exact integers;
+    each (O - E)^2/E term is a fixed tree over exact integers
+    (E = N*w/W), quantized to decimal(38,12) before the k-row sum;
+    callers ROUND (<= 9). Scale: ONE groupBy on the variant key.
+    """
+    if not expected or any(int(w) <= 0 for w in expected.values()):
+        raise ValueError("expected must map every variant to weight > 0")
+    dq = "decimal(38,12)"
+    wtot = sum(int(w) for w in expected.values())
+    obs = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count("*").cast("long").alias("o")
+    )
+    wcol = F.create_map(
+        *[
+            x
+            for k, w in sorted(expected.items())
+            for x in (F.lit(k), F.lit(int(w)))
+        ]
+    )[F.col("variant")]
+    checked = obs.select(
+        "variant",
+        "o",
+        F.when(wcol.isNotNull(), wcol)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("srm_test: unexpected variant "),
+                    F.col("variant"),
+                )
+            )
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    tot = checked.agg(F.sum("o").cast("long").alias("n_total"))
+    j = checked.crossJoin(F.broadcast(tot))
+    e = (
+        F.col("n_total").cast("double")
+        * F.col("w").cast("double")
+        / F.lit(float(wtot))
+    )
+    dev = F.col("o").cast("double") - e
+    terms = j.select(
+        "n_total",
+        F.round(dev * dev / e, 12).cast(dq).alias("t"),
+        F.struct(F.abs(dev).alias("ad"), F.col("variant").alias("v"))
+        .alias("__w"),
+    )
+    agg = terms.groupBy("n_total").agg(
+        F.count("*").cast("long").alias("k_variants"),
+        F.sum("t").cast(dq).alias("s"),
+        F.max("__w").alias("__worst"),
+    )
+    return agg.select(
+        F.col("n_total"),
+        "k_variants",
+        F.col("s").cast("double").alias("chi2"),
+        F.col("__worst.v").alias("worst_variant"),
+        F.col("__worst.ad").alias("worst_abs_dev"),
+    )
+
+
+def anova_effect_sizes(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA effect sizes over integer values: eta^2 =
+    SSB/SST (variance explained by group membership) and the
+    less-biased omega^2 = (SSB - (k-1)*MSW) / (SST + MSW) — the
+    magnitude readouts that belong NEXT TO q580's Welch F (a
+    significant F with omega^2 = 0.002 is a no-op finding). Charter
+    §2B extension.
+
+    Determinism: SSB/SSW/SST fold EXACTLY from integer group moments
+    scaled by N*n_i (no means materialize): with S = total sum,
+    S_i = group sums, SSB_N = N*sum(S_i^2/n_i) - S^2 needs one
+    rational per group — quantized decimal(38,6) — while
+    SST_N = N*SS - S^2 is exact decimal; the readouts are fixed
+    trees; callers ROUND (<= 9). Scale: ONE grouped moment
+    aggregate + one k-row fold.
+    """
+    d38 = "decimal(38,0)"
+    dq6 = "decimal(38,6)"
+    v = F.col(value_col).cast("long")
+    g = df.filter(v.isNotNull()).groupBy(
+        F.col(group_col).alias("grp")
+    ).agg(
+        F.count("*").cast("long").alias("ni"),
+        F.sum(v).cast("long").alias("si"),
+        F.sum(v.cast(d38) * v).cast(d38).alias("ssi"),
+    )
+    per = g.select(
+        "ni",
+        "si",
+        "ssi",
+        F.round(
+            (F.col("si").cast(d38) * F.col("si")).cast(d38).cast("double")
+            / F.col("ni").cast("double"),
+            6,
+        )
+        .cast(dq6)
+        .alias("sq_over_n"),
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("ni").cast("long").alias("n_total"),
+        F.sum("si").cast("long").alias("s"),
+        F.sum("ssi").cast(d38).alias("ss"),
+        F.sum("sq_over_n").cast(dq6).alias("sqn"),
+    )
+    nd = F.col("n_total").cast("double")
+    kd = F.col("k_groups").cast("double")
+    sst = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    )
+    ssb = F.col("sqn").cast("double") - F.col("s").cast(
+        "double"
+    ) * F.col("s").cast("double") / nd
+    ssw = sst - ssb
+    msw = ssw / (nd - kd)
+    eta2 = ssb / sst
+    omega2 = (ssb - (kd - F.lit(1.0)) * msw) / (sst + msw)
+    return agg.select(
+        "k_groups",
+        "n_total",
+        F.when(sst > 0, eta2).alias("eta2"),
+        F.when((sst > 0) & (nd > kd), omega2).alias("omega2"),
     )

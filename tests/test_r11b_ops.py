@@ -873,7 +873,7 @@ def _welch_ref(groups):
         n = len(vals)
         m = sum(vals) / n
         disp = n * sum(v * v for v in vals) - sum(vals) ** 2
-        s2 = disp / (n * n * (n - 1))
+        s2 = disp / (n * (n - 1))
         per.append((n, m, round(n / s2, 12)))
     sw = sum(round(w, 12) for _, _, w in per)
     swm = sum(round(w * m, 12) for _, m, w in per)
@@ -933,7 +933,7 @@ def test_empirical_bernstein_bound_matches_reference(spark):
     n = len(vals)
     mean = sum(vals) / n
     var_s = (n * sum(v * v for v in vals) - sum(vals) ** 2) / (
-        n * n * (n - 1)
+        n * (n - 1)
     )
     rng = max(vals) - min(vals)
     lg = math.log(60.0)
@@ -1343,3 +1343,113 @@ def test_rank_aggregation_partial_panels(spark):
     assert got["a"]["n_rankings"] == 2
     assert got["a"]["borda"] == (3 - 1) + (2 - 2)
     assert got["c"]["borda"] == (3 - 3) + (2 - 1)
+
+
+# ---------------------------------------------------------------------------
+# wave 26: count-model MoM, SRM, ANOVA effect sizes
+
+
+def test_count_model_mom_matches_reference(spark):
+    from etl_java_spark.operators.experiments import count_model_mom
+
+    vals = [0, 0, 1, 2, 2, 3, 7, 0, 5, 10]
+    rows = [("a", v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = count_model_mom(df, "g", "v").collect()[0]
+    n = len(vals)
+    m = sum(vals) / n
+    var_s = (n * sum(v * v for v in vals) - sum(vals) ** 2) / (
+        n * (n - 1)
+    )
+    lam = m + var_s / m - 1
+    assert got["mean"] == pytest.approx(m, abs=1e-12)
+    assert got["var_s"] == pytest.approx(var_s, abs=1e-12)
+    assert got["dispersion_index"] == pytest.approx(var_s / m, abs=1e-12)
+    assert got["nb_r"] == pytest.approx(m * m / (var_s - m), abs=1e-12)
+    assert got["nb_p"] == pytest.approx(m / var_s, abs=1e-12)
+    assert got["zip_lambda"] == pytest.approx(lam, abs=1e-12)
+    assert got["zip_pi"] == pytest.approx(1 - m / lam, abs=1e-12)
+    assert got["zero_frac"] == pytest.approx(0.3, abs=1e-15)
+    assert got["poisson_zero_frac"] == pytest.approx(
+        math.exp(-m), abs=1e-12
+    )
+
+
+def test_count_model_mom_underdispersed_nulls(spark):
+    from etl_java_spark.operators.experiments import count_model_mom
+
+    # variance < mean: NB/ZIP MoM undefined
+    rows = [("a", v) for v in (5, 5, 6, 5, 6, 5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = count_model_mom(df, "g", "v").collect()[0]
+    assert got["nb_r"] is None
+    assert got["zip_pi"] is None
+
+
+def test_srm_test_balanced_and_skewed(spark):
+    from etl_java_spark.operators.experiments import srm_test
+
+    rows = [("a",)] * 100 + [("b",)] * 100
+    df = spark.createDataFrame(rows, "variant string")
+    got = srm_test(df, "variant", {"a": 1, "b": 1}).collect()[0]
+    assert got["chi2"] == pytest.approx(0.0, abs=1e-12)
+
+    rows2 = [("a",)] * 150 + [("b",)] * 90 + [("c",)] * 60
+    df2 = spark.createDataFrame(rows2, "variant string")
+    got2 = srm_test(df2, "variant", {"a": 1, "b": 1, "c": 1}).collect()[0]
+    # E = 100 each: chi2 = 50^2/100 + 10^2/100 + 40^2/100 = 42
+    assert got2["chi2"] == pytest.approx(42.0, abs=1e-9)
+    assert got2["worst_variant"] == "a"
+    assert got2["worst_abs_dev"] == pytest.approx(50.0, abs=1e-9)
+
+
+def test_srm_test_unexpected_variant_raises(spark):
+    from etl_java_spark.operators.experiments import srm_test
+
+    df = spark.createDataFrame([("a",), ("rogue",)], "variant string")
+    out = srm_test(df, "variant", {"a": 1})
+    with pytest.raises(Exception, match="unexpected variant"):
+        out.collect()
+
+
+def test_srm_test_rejects_bad_weights(spark):
+    from etl_java_spark.operators.experiments import srm_test
+
+    df = spark.createDataFrame([("a",)], "variant string")
+    with pytest.raises(ValueError):
+        srm_test(df, "variant", {"a": 0})
+
+
+def test_anova_effect_sizes_matches_reference(spark):
+    from etl_java_spark.operators.experiments import anova_effect_sizes
+
+    groups = {"a": [10, 12, 14], "b": [20, 22, 24, 26], "c": [5, 7]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = anova_effect_sizes(df, "g", "v").collect()[0]
+    allv = [v for vs in groups.values() for v in vs]
+    n, k = len(allv), len(groups)
+    s = sum(allv)
+    sst = sum(v * v for v in allv) - s * s / n
+    ssb = (
+        sum(round(sum(vs) ** 2 / len(vs), 6) for vs in groups.values())
+        - s * s / n
+    )
+    ssw = sst - ssb
+    msw = ssw / (n - k)
+    assert got["k_groups"] == k
+    assert got["n_total"] == n
+    assert got["eta2"] == pytest.approx(ssb / sst, abs=1e-10)
+    assert got["omega2"] == pytest.approx(
+        (ssb - (k - 1) * msw) / (sst + msw), abs=1e-10
+    )
+
+
+def test_anova_effect_sizes_identical_groups_zero(spark):
+    from etl_java_spark.operators.experiments import anova_effect_sizes
+
+    rows = [("a", 1), ("a", 3), ("b", 1), ("b", 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = anova_effect_sizes(df, "g", "v").collect()[0]
+    assert got["eta2"] == pytest.approx(0.0, abs=1e-12)
+    assert got["omega2"] < 0  # omega2 goes slightly negative at SSB=0
