@@ -605,3 +605,162 @@ def theils_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         hcond.alias("h_y_given_x_bits"),
         F.try_divide(hy - hcond, hy).alias("theil_u"),
     )
+
+
+def tail_dependence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    q_num: int = 9,
+    q_den: int = 10,
+) -> DataFrame:
+    """Empirical tail-dependence coefficients of two BANDED integer
+    metrics: with the q = q_num/q_den marginal thresholds (lower-
+    quantile convention, exact integer compares),
+    lambda_upper = P(y > y_q | x > x_q) and
+    lambda_lower = P(y <= y_{1-q} | x <= x_{1-q}) — do extremes
+    co-occur beyond what mid-range correlation says? The copula-free
+    joint-risk readout beside q85's Pearson and q374's Spearman.
+    Charter §2B extension (quantized-input contract: band
+    continuous metrics upstream).
+
+    Determinism: thresholds come from distinct-value cumulative
+    count tables with exact integer compares (den*cum >= num*n);
+    all four conditional counts are exact integers; the two lambdas
+    are single double divisions; callers ROUND (<= 9).
+
+    Scale design: two distinct-value windows + ONE scan aggregate
+    with the broadcast threshold row.
+    """
+    if not (0 < q_num < q_den):
+        raise ValueError("need 0 < q_num < q_den")
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    n_row = base.agg(F.count("*").cast("long").alias("n"))
+
+    def thr(col):
+        cnt = base.groupBy(col).agg(F.count("*").cast("long").alias("c"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = cnt.select(
+            F.col(col), F.sum("c").over(w).cast("long").alias("cw")
+        ).crossJoin(F.broadcast(n_row))
+        hi = cum.agg(
+            F.min(
+                F.when(
+                    F.lit(q_den) * F.col("cw") >= F.lit(q_num) * F.col("n"),
+                    F.col(col),
+                )
+            ).alias(f"{col}_hi"),
+            F.min(
+                F.when(
+                    F.lit(q_den) * F.col("cw")
+                    >= F.lit(q_den - q_num) * F.col("n"),
+                    F.col(col),
+                )
+            ).alias(f"{col}_lo"),
+        )
+        return hi
+
+    thrs = thr("x").crossJoin(thr("y"))
+    j = base.crossJoin(F.broadcast(thrs))
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("x_hi").cast("long").alias("x_hi"),
+        F.max("y_hi").cast("long").alias("y_hi"),
+        F.max("x_lo").cast("long").alias("x_lo"),
+        F.max("y_lo").cast("long").alias("y_lo"),
+        F.sum(F.when(F.col("x") > F.col("x_hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("mx_hi"),
+        F.sum(
+            F.when(
+                (F.col("x") > F.col("x_hi")) & (F.col("y") > F.col("y_hi")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("joint_hi"),
+        F.sum(F.when(F.col("x") <= F.col("x_lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("mx_lo"),
+        F.sum(
+            F.when(
+                (F.col("x") <= F.col("x_lo"))
+                & (F.col("y") <= F.col("y_lo")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("joint_lo"),
+    )
+    return agg.select(
+        "n",
+        "x_hi",
+        "y_hi",
+        "x_lo",
+        "y_lo",
+        "mx_hi",
+        "joint_hi",
+        "mx_lo",
+        "joint_lo",
+        F.when(
+            F.col("mx_hi") > 0,
+            F.col("joint_hi").cast("double") / F.col("mx_hi").cast("double"),
+        ).alias("lambda_upper"),
+        F.when(
+            F.col("mx_lo") > 0,
+            F.col("joint_lo").cast("double") / F.col("mx_lo").cast("double"),
+        ).alias("lambda_lower"),
+    )
+
+
+def contingency_residuals(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Haberman adjusted standardized residuals per contingency cell:
+    r_ij = (O - E) / sqrt(E * (1 - row_i/n) * (1 - col_j/n)) with
+    E = row_i * col_j / n — WHICH cells drive a significant q440
+    G-test / chi-square (|r| > 2 is the conventional callout).
+    Charter §2B extension.
+
+    Determinism: all counts exact integers; E and the residual are
+    fixed double trees per cell; callers ROUND (<= 9). Scale: one
+    (a, b) groupBy + two marginal groupBys joined back on the
+    bounded label keys.
+    """
+    base = df.select(
+        F.col(a_col).cast("string").alias("a"),
+        F.col(b_col).cast("string").alias("b"),
+    )
+    cells = base.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").cast("long").alias("ri"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("cj"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    j = (
+        cells.join(ra, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("n").cast("double")
+    e = F.col("ri").cast("double") * F.col("cj").cast("double") / nd
+    dev = F.col("o").cast("double") - e
+    adj = dev / F.sqrt(
+        e
+        * (F.lit(1.0) - F.col("ri").cast("double") / nd)
+        * (F.lit(1.0) - F.col("cj").cast("double") / nd)
+    )
+    return j.select(
+        "a",
+        "b",
+        "o",
+        e.alias("expected"),
+        adj.alias("adj_residual"),
+    )

@@ -5574,3 +5574,70 @@ def anova_effect_sizes(
         F.when(sst > 0, eta2).alias("eta2"),
         F.when((sst > 0) & (nd > kd), omega2).alias("omega2"),
     )
+
+
+def storey_qvalues(
+    df: DataFrame,
+    key_cols: list,
+    p_col: str,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Storey q-values over a table of p-values: estimate the true-
+    null fraction pi0 = min(1, #(p > lambda) / (m * (1 - lambda)))
+    from the flat right tail, then q_i = min over j with p_j >= p_i
+    of pi0 * m * p_j / rank_j — each test's estimated FDR at its own
+    rejection point. Less conservative than BH (q?9's bh_fdr, which
+    fixes pi0 = 1) whenever many hypotheses are genuinely non-null.
+    Charter §2B extension.
+
+    Determinism: callers feed pre-rounded p-values (the p_round
+    boundary-stability contract of holm/BH); ranks order by
+    (p, key); the suffix minimum is order-safe (min, not a float
+    sum). Callers ROUND q (<= 9).
+
+    Scale design: the test table is metadata-sized (one row per
+    hypothesis) — two global windows + one scalar broadcast, the
+    post-aggregate-window contract.
+    """
+    if not (0 < lam < 1):
+        raise ValueError("lam must be in (0, 1)")
+    keys = [F.col(k) for k in key_cols]
+    base = df.select(*keys, F.col(p_col).cast("double").alias("p"))
+    tot = base.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.when(F.col("p") > F.lit(lam), 1).otherwise(0))
+        .cast("long")
+        .alias("tail"),
+    )
+    head = tot.select(
+        "m",
+        F.least(
+            F.lit(1.0),
+            F.col("tail").cast("double")
+            / (F.col("m").cast("double") * F.lit(1.0 - lam)),
+        ).alias("pi0"),
+    )
+    wr = Window.orderBy(F.col("p").asc(), *[k.asc() for k in keys])
+    ranked = base.crossJoin(F.broadcast(head)).select(
+        *key_cols,
+        "p",
+        "m",
+        "pi0",
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+    raw = (
+        F.col("pi0")
+        * F.col("m").cast("double")
+        * F.col("p")
+        / F.col("rank").cast("double")
+    )
+    wmin = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ranked.select(
+        *key_cols,
+        F.col("p").alias("p_value"),
+        "rank",
+        F.col("pi0").alias("pi0"),
+        F.least(F.lit(1.0), F.min(raw).over(wmin)).alias("q_value"),
+    )

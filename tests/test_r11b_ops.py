@@ -1453,3 +1453,114 @@ def test_anova_effect_sizes_identical_groups_zero(spark):
     got = anova_effect_sizes(df, "g", "v").collect()[0]
     assert got["eta2"] == pytest.approx(0.0, abs=1e-12)
     assert got["omega2"] < 0  # omega2 goes slightly negative at SSB=0
+
+
+# ---------------------------------------------------------------------------
+# wave 27: Storey q-values, tail dependence, contingency residuals
+
+
+def test_storey_qvalues_matches_reference(spark):
+    from etl_java_spark.operators.experiments import storey_qvalues
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.16, 0.31, 0.42, 0.59, 0.71,
+          0.86, 0.93, 0.97]
+    rows = [(f"t{i:02d}", p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "k string, p double")
+    got = {
+        r["k"]: r for r in storey_qvalues(df, ["k"], "p").collect()
+    }
+    m = len(ps)
+    pi0 = min(1.0, sum(1 for p in ps if p > 0.5) / (m * 0.5))
+    order = sorted(range(m), key=lambda i: (ps[i], f"t{i:02d}"))
+    raw = [pi0 * m * ps[i] / (r + 1) for r, i in enumerate(order)]
+    qs = raw[:]
+    for r in range(m - 2, -1, -1):
+        qs[r] = min(qs[r], qs[r + 1])
+    qs = [min(1.0, q) for q in qs]
+    for r, i in enumerate(order):
+        k = f"t{i:02d}"
+        assert got[k]["rank"] == r + 1
+        assert got[k]["pi0"] == pytest.approx(pi0, abs=1e-12)
+        assert got[k]["q_value"] == pytest.approx(qs[r], abs=1e-12), k
+
+
+def test_storey_qvalues_monotone_and_bounded(spark):
+    from etl_java_spark.operators.experiments import storey_qvalues
+
+    ps = [0.9, 0.95, 0.99, 0.85, 0.8]
+    rows = [(f"t{i}", p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "k string, p double")
+    got = sorted(
+        storey_qvalues(df, ["k"], "p").collect(),
+        key=lambda r: r["rank"],
+    )
+    qs = [r["q_value"] for r in got]
+    assert all(q <= 1.0 for q in qs)
+    assert qs == sorted(qs)  # monotone in rank
+
+
+def test_storey_rejects_bad_lambda(spark):
+    from etl_java_spark.operators.experiments import storey_qvalues
+
+    df = spark.createDataFrame([("a", 0.5)], "k string, p double")
+    with pytest.raises(ValueError):
+        storey_qvalues(df, ["k"], "p", lam=1.0)
+
+
+def test_tail_dependence_comonotone_and_independent(spark):
+    from etl_java_spark.operators.assoc import tail_dependence
+
+    # comonotone: y = x -> both lambdas = 1
+    rows = [(v, v) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = tail_dependence(df, "x", "y", 9, 10).collect()[0]
+    assert got["lambda_upper"] == pytest.approx(1.0, abs=1e-15)
+    assert got["lambda_lower"] == pytest.approx(1.0, abs=1e-15)
+    # checkerboard-independent-ish: y cycles independently of x
+    rows2 = [(v, (v * 7) % 100) for v in range(1, 101)]
+    df2 = spark.createDataFrame(rows2, "x long, y long")
+    got2 = tail_dependence(df2, "x", "y", 9, 10).collect()[0]
+    assert got2["lambda_upper"] < 0.5
+
+
+def test_tail_dependence_thresholds_exact(spark):
+    from etl_java_spark.operators.assoc import tail_dependence
+
+    # n=10 values 1..10: hi threshold = smallest v with cum >= 9 -> 9
+    # lo threshold = smallest v with cum >= 1 -> 1
+    rows = [(v, 11 - v) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = tail_dependence(df, "x", "y", 9, 10).collect()[0]
+    assert got["x_hi"] == 9 and got["x_lo"] == 1
+    assert got["y_hi"] == 9 and got["y_lo"] == 1
+    # antimonotone: top x never pairs with top y
+    assert got["lambda_upper"] == 0.0
+    assert got["lambda_lower"] == 0.0
+
+
+def test_contingency_residuals_matches_reference(spark):
+    from etl_java_spark.operators.assoc import contingency_residuals
+
+    obs = (
+        [("x", "u")] * 30 + [("x", "v")] * 10
+        + [("y", "u")] * 15 + [("y", "v")] * 45
+    )
+    df = spark.createDataFrame(obs, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r
+        for r in contingency_residuals(df, "a", "b").collect()
+    }
+    n = 100
+    ri = {"x": 40, "y": 60}
+    cj = {"u": 45, "v": 55}
+    o = {("x", "u"): 30, ("x", "v"): 10, ("y", "u"): 15, ("y", "v"): 45}
+    for key, ov in o.items():
+        e = ri[key[0]] * cj[key[1]] / n
+        r = (ov - e) / math.sqrt(
+            e * (1 - ri[key[0]] / n) * (1 - cj[key[1]] / n)
+        )
+        assert got[key]["expected"] == pytest.approx(e, abs=1e-10)
+        assert got[key]["adj_residual"] == pytest.approx(r, abs=1e-10)
+    # 2x2 symmetry: all four |residuals| equal
+    vals = [abs(r["adj_residual"]) for r in got.values()]
+    assert max(vals) - min(vals) < 1e-9
