@@ -1564,3 +1564,99 @@ def test_contingency_residuals_matches_reference(spark):
     # 2x2 symmetry: all four |residuals| equal
     vals = [abs(r["adj_residual"]) for r in got.values()]
     assert max(vals) - min(vals) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# wave 28: process mining (DFG, trace variants, conformance)
+
+_LOG = [
+    # (case, seq, ts_s, act)
+    (1, 1, 0, "signup"), (1, 2, 60, "view"), (1, 3, 90, "click"),
+    (1, 4, 150, "purchase"),
+    (2, 1, 0, "view"), (2, 2, 30, "click"), (2, 3, 45, "view"),
+    (2, 4, 100, "error"), (2, 5, 130, "purchase"),
+    (3, 1, 0, "signup"), (3, 2, 10, "view"), (3, 3, 40, "click"),
+    (3, 4, 80, "purchase"),
+]
+
+
+def _log_df(spark):
+    import datetime as dt
+
+    rows = [
+        (c, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), i, a)
+        for c, i, s, a in _LOG
+    ]
+    return spark.createDataFrame(
+        rows, "case long, ts timestamp, eid long, act string"
+    )
+
+
+def test_directly_follows_graph_counts_and_gaps(spark):
+    from etl_java_spark.operators.process import directly_follows_graph
+
+    df = _log_df(spark)
+    got = {
+        (r["act_from"], r["act_to"]): r
+        for r in directly_follows_graph(
+            df, ["case"], ["ts", "eid"], "act"
+        ).collect()
+    }
+    # signup->view occurs in cases 1 and 3 with gaps 60 and 10
+    e = got[("signup", "view")]
+    assert e["n_events"] == 2 and e["n_cases"] == 2
+    assert e["mean_gap_s"] == pytest.approx(35.0, abs=1e-9)
+    # click->view (rework) only case 2, gap 15
+    e2 = got[("click", "view")]
+    assert e2["n_events"] == 1 and e2["mean_gap_s"] == pytest.approx(15.0)
+    assert ("purchase", "signup") not in got  # never adjacent
+
+
+def test_trace_variants_census(spark):
+    from etl_java_spark.operators.process import trace_variants
+
+    df = _log_df(spark)
+    got = {
+        r["variant"]: r
+        for r in trace_variants(
+            df, ["case"], ["ts", "eid"], "act", min_cases=1
+        ).collect()
+    }
+    assert got["signup>view>click>purchase"]["n_cases"] == 2
+    assert got["signup>view>click>purchase"]["case_share"] == pytest.approx(
+        2 / 3, abs=1e-12
+    )
+    assert got["view>click>view>error>purchase"]["n_cases"] == 1
+    # min_cases filters the tail
+    from etl_java_spark.operators.process import trace_variants as tv
+
+    head = tv(df, ["case"], ["ts", "eid"], "act", min_cases=2).collect()
+    assert len(head) == 1
+
+
+def test_conformance_fitness_scorecard(spark):
+    from etl_java_spark.operators.process import conformance_fitness
+
+    df = _log_df(spark)
+    got = conformance_fitness(
+        df, ["case"], ["ts", "eid"], "act",
+        expected_order=["signup", "view", "click", "purchase"],
+    ).collect()[0]
+    # case2 transitions among modeled acts: view->click fwd,
+    # click->view bwd, (error skipped both sides), so modeled
+    # transitions: cases 1,3 give 3 fwd each; case 2: v->c fwd,
+    # c->v bwd = 7 fwd, 1 bwd
+    assert got["n_cases"] == 3
+    assert got["n_forward"] == 7
+    assert got["n_backward"] == 1
+    assert got["fitness"] == pytest.approx(7 / 8, abs=1e-12)
+    assert got["n_off_model"] == 1
+    assert got["perfect_case_share"] == pytest.approx(2 / 3, abs=1e-12)
+
+
+def test_conformance_rejects_short_model(spark):
+    from etl_java_spark.operators.process import conformance_fitness
+
+    df = _log_df(spark)
+    with pytest.raises(ValueError):
+        conformance_fitness(df, ["case"], ["ts"], "act", ["signup"])
