@@ -5641,3 +5641,71 @@ def storey_qvalues(
         F.col("pi0").alias("pi0"),
         F.least(F.lit(1.0), F.min(raw).over(wmin)).alias("q_value"),
     )
+
+
+def evalue_panel(
+    df: DataFrame,
+    stratum_col: str,
+    a_col: str,
+    b_col: str,
+    c_col: str,
+    d_col: str,
+) -> DataFrame:
+    """VanderWeele E-values per 2x2 stratum: the risk ratio
+    RR = (a/(a+b)) / (c/(c+d)), its Katz log-normal 95% CI, and the
+    E-value — the minimum strength of unmeasured confounding (on the
+    risk-ratio scale, with both exposure and outcome) that could
+    explain the estimate away: E = RR* + sqrt(RR*(RR*-1)) with
+    RR* = max(RR, 1/RR), reported for the point estimate and for the
+    CI bound closer to 1 (E_ci = 1 when the CI crosses 1). The
+    sensitivity-analysis companion to q442's association panel.
+    Charter §2B extension.
+
+    Determinism: counts exact integers; RR/CI/E are fixed double
+    trees (exp/log/sqrt over exact ratios); callers ROUND (<= 9).
+    Scale: row-local arithmetic on the strata table.
+    """
+    base = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+        F.col(c_col).cast("long").alias("c"),
+        F.col(d_col).cast("long").alias("d"),
+    ).filter(
+        (F.col("a") > 0) & (F.col("c") > 0)
+        & (F.col("b") >= 0) & (F.col("d") >= 0)
+    )
+    n1 = (F.col("a") + F.col("b")).cast("double")
+    n0 = (F.col("c") + F.col("d")).cast("double")
+    rr = (
+        F.col("a").cast("double") / n1
+    ) / (F.col("c").cast("double") / n0)
+    se = F.sqrt(
+        F.lit(1.0) / F.col("a").cast("double")
+        - F.lit(1.0) / n1
+        + F.lit(1.0) / F.col("c").cast("double")
+        - F.lit(1.0) / n0
+    )
+    lo = F.exp(F.log(rr) - F.lit(1.96) * se)
+    hi = F.exp(F.log(rr) + F.lit(1.96) * se)
+
+    def evalue(r):
+        rs = F.when(r >= 1, r).otherwise(F.lit(1.0) / r)
+        return rs + F.sqrt(rs * (rs - F.lit(1.0)))
+
+    bound = F.when(rr >= 1, lo).otherwise(hi)
+    e_ci = F.when(
+        (lo <= 1) & (hi >= 1), F.lit(1.0)
+    ).otherwise(evalue(bound))
+    return base.select(
+        "stratum",
+        "a",
+        "b",
+        "c",
+        "d",
+        rr.alias("risk_ratio"),
+        lo.alias("rr_ci_lo"),
+        hi.alias("rr_ci_hi"),
+        evalue(rr).alias("e_value"),
+        e_ci.alias("e_value_ci"),
+    )

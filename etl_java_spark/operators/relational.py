@@ -1101,3 +1101,77 @@ def topsis(
             dps + dns > 0, dns / (dps + dns)
         ).otherwise(F.lit(0.0)).alias("closeness"),
     )
+
+
+def fractional_knapsack(
+    df: DataFrame,
+    item_col: str,
+    value_col: str,
+    cost_col: str,
+    budget: int,
+) -> DataFrame:
+    """Fractional-knapsack budget allocation: items ranked by exact
+    integer value/cost ratio (ties by item key — a total order),
+    taken greedily until the integer ``budget`` is exhausted; the
+    straddling item gets the exact fractional take. Greedy is OPTIMAL
+    for the fractional relaxation — the canonical "fund the best ROI
+    first" allocator (marketing budgets, storage quotas, sampling
+    budgets). Charter §2B extension.
+
+    Determinism: the rank order compares exact integer cross
+    products (value_i * cost_j vs value_j * cost_i via the ratio
+    sort key — implemented as a double sort key value/cost PLUS the
+    item tiebreak, stable across engines for the banded fixtures;
+    document ties), the cumulative cost is an exact integer window,
+    and the fraction is one exact integer ratio. Callers ROUND
+    (<= 9).
+
+    Scale design: one global ordered window over the item table
+    (post-aggregate-window contract — items are catalog-grain),
+    everything else row-local. Non-positive costs drop.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    base = df.select(
+        F.col(item_col).alias("item"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(cost_col).cast("long").alias("c"),
+    ).filter(F.col("c") > 0)
+    ratio = F.col("v").cast("double") / F.col("c").cast("double")
+    w = Window.orderBy(F.col("__r").desc(), F.col("item").asc())
+    ranked = base.select(
+        "item", "v", "c", ratio.alias("__r")
+    ).select(
+        "item",
+        "v",
+        "c",
+        "__r",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("c")
+        .over(
+            Window.orderBy(F.col("__r").desc(), F.col("item").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("cum_cost"),
+    )
+    prev = (F.col("cum_cost") - F.col("c")).cast("long")
+    take = (
+        F.when(F.col("cum_cost") <= F.lit(budget), F.lit(1.0))
+        .when(
+            prev < F.lit(budget),
+            (F.lit(budget) - prev).cast("double")
+            / F.col("c").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    out = ranked.select(
+        "item",
+        "v",
+        "c",
+        "rank",
+        "cum_cost",
+        take.alias("take_frac"),
+        (take * F.col("v").cast("double")).alias("value_taken"),
+    )
+    return out.filter(F.col("take_frac") > 0)

@@ -6174,3 +6174,101 @@ def page_hinkley(
         "t_alarm",
         F.col("t_alarm").isNotNull().alias("alarmed"),
     )
+
+
+def bass_diffusion(
+    df: DataFrame,
+    time_col: str,
+    adopters_col: str,
+) -> DataFrame:
+    """Bass diffusion fit of an adoption series by the discrete OLS
+    S_t = a + b*N_{t-1} + c*N_{t-1}^2 (S = new adopters, N =
+    cumulative before t), then the structural readouts: market size
+    M = (-b - sqrt(b^2 - 4ca)) / (2c) (the positive root),
+    innovation p = a/M, imitation q = -c*M, and the peak-adoption
+    time t* = ln(q/p)/(p+q) periods from launch — the product-
+    diffusion S-curve behind every adoption forecast. Emits NULLs
+    when the quadratic has no positive root (series not Bass-shaped).
+    Charter §2B extension.
+
+    Determinism: N and S are exact integers; ALL eight regression
+    moments (up to N^4 and y*N^2) are exact decimal(38,0); the 3x3
+    Cramer determinants then fold as fixed double trees over those
+    exact moments (decimal would overflow at det scale — documented),
+    so both engines compute identical doubles; callers ROUND (<= 6).
+
+    Scale design: one cumulative window over the calendar-bounded
+    period table + ONE moment aggregate; the solve is a single-row
+    fixed tree.
+    """
+    d38 = "decimal(38,0)"
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    base = df.select(
+        F.col(time_col).alias("t"),
+        F.col(adopters_col).cast("long").alias("s"),
+    )
+    lagged = base.select(
+        "t",
+        "s",
+        F.coalesce(F.sum("s").over(w), F.lit(0)).cast("long").alias("nprev"),
+    )
+    x = F.col("nprev")
+    y = F.col("s")
+    agg = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast(d38).alias("m1"),
+        F.sum(x.cast(d38) * x).cast(d38).alias("m2"),
+        F.sum((x.cast(d38) * x).cast(d38) * x).cast(d38).alias("m3"),
+        F.sum(
+            ((x.cast(d38) * x).cast(d38) * (x.cast(d38) * x).cast(d38))
+            .cast(d38)
+        )
+        .cast(d38)
+        .alias("m4"),
+        F.sum(y).cast(d38).alias("sy"),
+        F.sum(y.cast(d38) * x).cast(d38).alias("syx"),
+        F.sum((y.cast(d38) * x).cast(d38) * x).cast(d38).alias("syx2"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("m1").cast("double")
+    m2 = F.col("m2").cast("double")
+    m3 = F.col("m3").cast("double")
+    m4 = F.col("m4").cast("double")
+    sy = F.col("sy").cast("double")
+    syx = F.col("syx").cast("double")
+    syx2 = F.col("syx2").cast("double")
+
+    def det3(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+        return (
+            a11 * (a22 * a33 - a23 * a32)
+            - a12 * (a21 * a33 - a23 * a31)
+            + a13 * (a21 * a32 - a22 * a31)
+        )
+
+    d0 = det3(nd, m1, m2, m1, m2, m3, m2, m3, m4)
+    da = det3(sy, m1, m2, syx, m2, m3, syx2, m3, m4)
+    db = det3(nd, sy, m2, m1, syx, m3, m2, syx2, m4)
+    dc = det3(nd, m1, sy, m1, m2, syx, m2, m3, syx2)
+    a = da / d0
+    b = db / d0
+    c = dc / d0
+    disc = b * b - F.lit(4.0) * c * a
+    mroot = F.when(
+        (c < 0) & (disc > 0),
+        (-b - F.sqrt(disc)) / (F.lit(2.0) * c),
+    )
+    p = a / mroot
+    q = -c * mroot
+    return agg.select(
+        "n",
+        a.alias("coef_a"),
+        b.alias("coef_b"),
+        c.alias("coef_c"),
+        mroot.alias("market_m"),
+        F.when(mroot.isNotNull(), p).alias("p_innovation"),
+        F.when(mroot.isNotNull(), q).alias("q_imitation"),
+        F.when(
+            mroot.isNotNull() & (p > 0) & (q > 0),
+            F.log(q / p) / (p + q),
+        ).alias("peak_t"),
+    )

@@ -1660,3 +1660,114 @@ def test_conformance_rejects_short_model(spark):
     df = _log_df(spark)
     with pytest.raises(ValueError):
         conformance_fitness(df, ["case"], ["ts"], "act", ["signup"])
+
+
+# ---------------------------------------------------------------------------
+# wave 29: Bass diffusion, E-values, fractional knapsack
+
+
+def test_bass_diffusion_recovers_planted_curve(spark):
+    from etl_java_spark.operators.timeseries import bass_diffusion
+
+    # simulate exact discrete Bass with M=1000, p=0.03, q=0.4 and
+    # integer-rounded adopters
+    M, p, q = 1000, 0.03, 0.4
+    N = 0
+    series = []
+    for t in range(30):
+        s = round(p * M + (q - p) * N - (q / M) * N * N)
+        s = max(s, 0)
+        series.append((t, s))
+        N += s
+    df = spark.createDataFrame(series, "t long, s long")
+    got = bass_diffusion(df, "t", "s").collect()[0]
+    assert got["market_m"] == pytest.approx(M, rel=0.05)
+    assert got["p_innovation"] == pytest.approx(p, rel=0.15)
+    assert got["q_imitation"] == pytest.approx(q, rel=0.1)
+    assert got["peak_t"] == pytest.approx(
+        math.log(q / p) / (p + q), rel=0.2
+    )
+
+
+def test_bass_diffusion_non_bass_nulls(spark):
+    from etl_java_spark.operators.timeseries import bass_diffusion
+
+    # accelerating growth (c > 0): no positive root -> NULLs
+    series = [(t, 2**t) for t in range(10)]
+    df = spark.createDataFrame(series, "t long, s long")
+    got = bass_diffusion(df, "t", "s").collect()[0]
+    assert got["market_m"] is None
+    assert got["peak_t"] is None
+
+
+def test_evalue_panel_known_values(spark):
+    from etl_java_spark.operators.experiments import evalue_panel
+
+    # RR = (30/60)/(15/60) = 2 -> E = 2 + sqrt(2) ~ 3.414
+    rows = [("s", 30, 30, 15, 45)]
+    df = spark.createDataFrame(rows, "st string, a long, b long, c long, d long")
+    got = evalue_panel(df, "st", "a", "b", "c", "d").collect()[0]
+    assert got["risk_ratio"] == pytest.approx(2.0, abs=1e-12)
+    assert got["e_value"] == pytest.approx(2 + math.sqrt(2), abs=1e-12)
+    rr = 2.0
+    se = math.sqrt(1 / 30 - 1 / 60 + 1 / 15 - 1 / 60)
+    lo = math.exp(math.log(rr) - 1.96 * se)
+    assert got["rr_ci_lo"] == pytest.approx(lo, abs=1e-10)
+    if lo > 1:
+        assert got["e_value_ci"] == pytest.approx(
+            lo + math.sqrt(lo * (lo - 1)), abs=1e-10
+        )
+
+
+def test_evalue_protective_rr_mirrors(spark):
+    from etl_java_spark.operators.experiments import evalue_panel
+
+    # protective RR = 0.5: E-value must equal that of RR = 2
+    rows = [("s", 15, 45, 30, 30)]
+    df = spark.createDataFrame(rows, "st string, a long, b long, c long, d long")
+    got = evalue_panel(df, "st", "a", "b", "c", "d").collect()[0]
+    assert got["risk_ratio"] == pytest.approx(0.5, abs=1e-12)
+    assert got["e_value"] == pytest.approx(2 + math.sqrt(2), abs=1e-12)
+
+
+def test_evalue_ci_crossing_one_reads_one(spark):
+    from etl_java_spark.operators.experiments import evalue_panel
+
+    # tiny counts: CI spans 1 -> e_value_ci = 1
+    rows = [("s", 3, 7, 2, 8)]
+    df = spark.createDataFrame(rows, "st string, a long, b long, c long, d long")
+    got = evalue_panel(df, "st", "a", "b", "c", "d").collect()[0]
+    assert got["rr_ci_lo"] < 1 < got["rr_ci_hi"]
+    assert got["e_value_ci"] == 1.0
+
+
+def test_fractional_knapsack_greedy_optimal(spark):
+    from etl_java_spark.operators.relational import fractional_knapsack
+
+    items = [("a", 60, 10), ("b", 100, 20), ("c", 120, 30)]
+    df = spark.createDataFrame(items, "item string, v long, c long")
+    got = {
+        r["item"]: r
+        for r in fractional_knapsack(df, "item", "v", "c", budget=50)
+        .collect()
+    }
+    # ratios: a=6, b=5, c=4 -> take a full, b full, c 20/30
+    assert got["a"]["take_frac"] == 1.0
+    assert got["b"]["take_frac"] == 1.0
+    assert got["c"]["take_frac"] == pytest.approx(20 / 30, abs=1e-12)
+    assert got["c"]["value_taken"] == pytest.approx(80.0, abs=1e-9)
+    total = sum(r["value_taken"] for r in got.values())
+    assert total == pytest.approx(240.0, abs=1e-9)  # the LP optimum
+
+
+def test_fractional_knapsack_budget_guard_and_drop(spark):
+    from etl_java_spark.operators.relational import fractional_knapsack
+
+    df = spark.createDataFrame(
+        [("a", 5, 10), ("z", 9, 0)], "item string, v long, c long"
+    )
+    out = fractional_knapsack(df, "item", "v", "c", budget=5).collect()
+    assert [r["item"] for r in out] == ["a"]  # zero-cost row dropped
+    assert out[0]["take_frac"] == pytest.approx(0.5, abs=1e-12)
+    with pytest.raises(ValueError):
+        fractional_knapsack(df, "item", "v", "c", budget=0)
