@@ -6272,3 +6272,256 @@ def bass_diffusion(
             F.log(q / p) / (p + q),
         ).alias("peak_t"),
     )
+
+
+def periodogram_at(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    periods: tuple = (7, 30),
+) -> DataFrame:
+    """Periodogram power at CANDIDATE periods per group: for each
+    integer period P, the squared projection of the demeaned series
+    onto cos/sin at frequency 1/P,
+    var_frac(P) = 2 * ((sum d_t cos(w t))^2 + (sum d_t sin(w t))^2)
+    / (n * sum d_t^2) with d the demeaned series — ~1.0 for a pure
+    sinusoid at P, ~2/n for white noise. "Is there 7-day / 30-day
+    seasonality" answered with two sums, no FFT. Charter §2B
+    extension.
+
+    Determinism: the angle reduces IN INTEGER SPACE first
+    (2*pi*(t mod P)/P with t the 0-based row index), keeping cos/sin
+    arguments in [0, 2*pi) where both engines' libm agree to the ulp
+    (large-argument reduction is where they drift); per-row products
+    quantize to decimal(38,6) before the grouped sum (order-free;
+    the demeaned values keep term magnitude where the 1e-6 grid is
+    COARSER than the double ulp — the cross-engine quantization
+    contract); the readout is a fixed tree. Callers ROUND (<= 6).
+
+    Scale design: one row_number window per group + ONE grouped sum
+    per period (bounded period list explodes rows x len(periods)).
+    """
+    if not periods or any(int(p) < 2 for p in periods):
+        raise ValueError("periods must all be >= 2")
+    d38 = "decimal(38,0)"
+    dq6 = "decimal(38,6)"
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    tot = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    u = base.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "n",
+        (F.row_number().over(w) - 1).cast("long").alias("i"),
+        (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("u"),
+    )
+    sc = F.explode(
+        F.array(*[F.lit(int(p)) for p in periods])
+    ).alias("period")
+    un = F.col("u").cast("double") / F.col("n").cast("double")
+    rows = u.select("grp", "n", "i", un.alias("un"), sc)
+    ang = (
+        F.lit(2.0)
+        * F.lit(3.141592653589793)
+        * (F.col("i") % F.col("period")).cast("double")
+        / F.col("period").cast("double")
+    )
+    terms = rows.select(
+        "grp",
+        "n",
+        "period",
+        F.round(F.col("un") * F.cos(ang), 6).cast(dq6).alias("uc"),
+        F.round(F.col("un") * F.sin(ang), 6).cast(dq6).alias("us"),
+        F.round(F.col("un") * F.col("un"), 6).cast(dq6).alias("u2"),
+    )
+    agg = terms.groupBy("grp", "n", "period").agg(
+        F.sum("uc").cast(dq6).alias("sc_"),
+        F.sum("us").cast(dq6).alias("ss_"),
+        F.sum("u2").cast(dq6).alias("s2_"),
+    )
+    nd = F.col("n").cast("double")
+    var_frac = (
+        (
+            F.col("sc_").cast("double") * F.col("sc_").cast("double")
+            + F.col("ss_").cast("double") * F.col("ss_").cast("double")
+        )
+        * F.lit(2.0)
+        / (nd * F.col("s2_").cast("double"))
+    )
+    return agg.select(
+        "grp",
+        F.col("n").alias("n_periods"),
+        "period",
+        F.when(F.col("s2_") > 0, var_frac).alias("var_frac"),
+    )
+
+
+def haar_energy(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    levels: int = 4,
+) -> DataFrame:
+    """Haar wavelet energy decomposition per group: the series folds
+    through ``levels`` pairwise-sum pyramids; the level-k detail
+    energy sum((s_even - s_odd)^2) / 2^k localizes variance by time
+    scale (level 1 = adjacent-period noise, level 4 = 16-period
+    swings) — where does the volatility live? Trailing odd elements
+    at each level are dropped (documented half-open convention).
+    Charter §2B extension.
+
+    Determinism: the pyramid is EXACT integer arithmetic end-to-end
+    (sums, not averages; the 1/2^k normalization happens once per
+    level in the readout); energies are exact decimal sums; each
+    readout is one double division. Callers ROUND (<= 6).
+
+    Scale design: ``levels`` grouped aggregations over halving row
+    counts (pair key = i div 2), all map-side combinable; no window
+    after the first index assignment.
+    """
+    if not (1 <= levels <= 16):
+        raise ValueError("levels must be in 1..16")
+    d38 = "decimal(38,0)"
+    w = Window.partitionBy("grp").orderBy("t")
+    cur = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    ).select(
+        "grp",
+        (F.row_number().over(w) - 1).cast("long").alias("i"),
+        F.col("v").cast(d38).alias("v"),
+    )
+    outs = []
+    for k in range(1, levels + 1):
+        paired = cur.groupBy(
+            "grp", F.floor(F.col("i") / 2).cast("long").alias("j")
+        ).agg(
+            F.count("*").cast("long").alias("m"),
+            F.sum(F.when(F.col("i") % 2 == 0, F.col("v"))).cast(d38).alias(
+                "ev"
+            ),
+            F.sum(F.when(F.col("i") % 2 == 1, F.col("v"))).cast(d38).alias(
+                "ov"
+            ),
+        )
+        full = paired.filter(F.col("m") == 2)
+        d = (F.col("ev") - F.col("ov")).cast(d38)
+        lvl = full.groupBy("grp").agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum((d * d).cast(d38)).cast(d38).alias("e2"),
+        )
+        outs.append(
+            lvl.select(
+                "grp",
+                F.lit(k).cast("long").alias("level"),
+                "n_pairs",
+                (
+                    F.col("e2").cast("double") / F.lit(float(2**k))
+                ).alias("energy"),
+            )
+        )
+        cur = full.select(
+            "grp",
+            F.col("j").alias("i"),
+            (F.col("ev") + F.col("ov")).cast(d38).alias("v"),
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sax_words(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    word_len: int = 4,
+    min_count: int = 1,
+) -> DataFrame:
+    """SAX symbolic word census per group (alphabet 4, breakpoints
+    -0.6745 / 0 / +0.6745 population sigmas): each period maps to a
+    symbol a<b<c<d by its z-score band, non-overlapping ``word_len``
+    windows concatenate to words, and the word census (with the
+    ``min_count`` output knob) surfaces recurring shapes — the
+    discretized motif view beside q574's permutation entropy.
+    Trailing partial words drop. Charter §2B extension.
+
+    Determinism: the symbol compare is n-scaled integer u vs
+    +/-0.6745 * sqrt(D) with D = n*ss - s^2 exact decimal (one
+    fixed-tree threshold per group, broadcast); words build from an
+    array_sort'ed per-window collect; counts are exact.
+
+    Scale design: one row_number window per group, one (group, word
+    index) groupBy (window-bounded collect), one word groupBy.
+    """
+    if word_len < 1:
+        raise ValueError("word_len must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    tot = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("ss"),
+    )
+    disp = (
+        F.col("n").cast(d38) * F.col("ss")
+        - F.col("s").cast(d38) * F.col("s")
+    ).cast(d38)
+    head = tot.select(
+        "grp",
+        "n",
+        "s",
+        (F.lit(0.6745) * F.sqrt(disp.cast("double"))).alias("thr"),
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    u = base.join(F.broadcast(head), "grp").select(
+        "grp",
+        (F.row_number().over(w) - 1).cast("long").alias("i"),
+        (F.col("n") * F.col("x") - F.col("s"))
+        .cast("long")
+        .cast("double")
+        .alias("u"),
+        "thr",
+    )
+    sym = (
+        F.when(F.col("u") < -F.col("thr"), F.lit("a"))
+        .when(F.col("u") < 0, F.lit("b"))
+        .when(F.col("u") < F.col("thr"), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    words = u.select(
+        "grp",
+        F.floor(F.col("i") / word_len).cast("long").alias("wi"),
+        F.struct(F.col("i"), sym.alias("sym")).alias("e"),
+    ).groupBy("grp", "wi").agg(
+        F.count("*").cast("long").alias("m"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda s: s["sym"]
+            ),
+            "",
+        ).alias("word"),
+    )
+    census = (
+        words.filter(F.col("m") == word_len)
+        .groupBy("grp", "word")
+        .agg(F.count("*").cast("long").alias("n_windows"))
+        .filter(F.col("n_windows") >= min_count)
+    )
+    return census

@@ -1771,3 +1771,95 @@ def test_fractional_knapsack_budget_guard_and_drop(spark):
     assert out[0]["take_frac"] == pytest.approx(0.5, abs=1e-12)
     with pytest.raises(ValueError):
         fractional_knapsack(df, "item", "v", "c", budget=0)
+
+
+# ---------------------------------------------------------------------------
+# wave 30: periodogram, Haar energy, SAX words
+
+
+def test_periodogram_detects_planted_period(spark):
+    from etl_java_spark.operators.timeseries import periodogram_at
+
+    # strong period-8 square-ish wave, zero at period 5
+    vals = [100 + (50 if (t % 8) < 4 else -50) for t in range(64)]
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = {
+        r["period"]: r["var_frac"]
+        for r in periodogram_at(df, "g", "t", "v", periods=(8, 5))
+        .collect()
+    }
+    assert got[8] > 0.7  # fundamental carries most variance
+    assert got[5] < 0.05
+
+
+def test_periodogram_pure_cosine_near_one(spark):
+    from etl_java_spark.operators.timeseries import periodogram_at
+
+    vals = [
+        round(1000 * math.cos(2 * math.pi * t / 16)) for t in range(64)
+    ]
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = periodogram_at(df, "g", "t", "v", periods=(16,)).collect()[0]
+    assert got["var_frac"] == pytest.approx(1.0, abs=0.01)
+
+
+def test_haar_energy_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import haar_energy
+
+    vals = [13, 7, 22, 18, 5, 29, 11, 16, 8, 24, 19, 3, 27, 14, 21, 9, 6]
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = {
+        r["level"]: r
+        for r in haar_energy(df, "g", "t", "v", levels=3).collect()
+    }
+    cur = vals[:]
+    for k in (1, 2, 3):
+        pairs = [
+            (cur[2 * i], cur[2 * i + 1]) for i in range(len(cur) // 2)
+        ]
+        e = sum((a - b) ** 2 for a, b in pairs) / 2**k
+        assert got[k]["n_pairs"] == len(pairs)
+        assert got[k]["energy"] == pytest.approx(e, abs=1e-9), k
+        cur = [a + b for a, b in pairs]
+
+
+def test_haar_energy_flat_series_zero(spark):
+    from etl_java_spark.operators.timeseries import haar_energy
+
+    rows = [("a", t, 42) for t in range(16)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    for r in haar_energy(df, "g", "t", "v", levels=3).collect():
+        assert r["energy"] == 0.0
+
+
+def test_sax_words_census(spark):
+    from etl_java_spark.operators.timeseries import sax_words
+
+    # alternating high/low: every 4-window is the same word
+    vals = [100, 0, 100, 0] * 8
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = sax_words(df, "g", "t", "v", word_len=4, min_count=1).collect()
+    assert len(out) == 1
+    w = out[0]
+    assert w["n_windows"] == 8
+    # u alternates +/-, |z| = 1 < 0.6745*sqrt? thr in n-scaled space:
+    # symbols must alternate between the upper and lower halves
+    assert set(w["word"]) <= {"a", "b", "c", "d"}
+    # symbols alternate with the series: positions 0,2 match, 1,3 match
+    assert w["word"][0] == w["word"][2]
+    assert w["word"][1] == w["word"][3]
+    assert w["word"][0] != w["word"][1]
+
+
+def test_sax_words_partial_window_dropped(spark):
+    from etl_java_spark.operators.timeseries import sax_words
+
+    vals = [10, 20, 30, 40, 50, 60]  # 6 rows -> one full 4-window
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = sax_words(df, "g", "t", "v", word_len=4, min_count=1).collect()
+    assert sum(r["n_windows"] for r in out) == 1
