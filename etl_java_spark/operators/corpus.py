@@ -2281,3 +2281,58 @@ def chao1_richness(
             F.lit(1.0) - f1 / F.col("n_tokens").cast("double")
         ).alias("coverage"),
     )
+
+
+def lognormal_fit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Lognormal method-of-moments fit per group over a positive
+    integer size metric (document lengths, payload bytes): mu/sigma
+    of ln(x), the implied median exp(mu) and mean
+    exp(mu + sigma^2/2), and the implied/observed mean ratio — a
+    ratio near 1 says the sizes are lognormal-shaped (the standard
+    model for text lengths), far from 1 says heavy/truncated tails
+    (compare q497's Hill index for the tail exponent view). Charter
+    §2B extension.
+
+    Determinism: ln(x) terms and their squares quantize to
+    decimal(38,12) before the grouped sums (order-free); the observed
+    mean is an exact integer ratio; readouts are fixed trees; callers
+    ROUND (<= 9). Non-positive values drop (log domain). Scale: ONE
+    map-side-combinable grouped aggregate.
+    """
+    dq = "decimal(38,12)"
+    v = F.col(value_col).cast("long")
+    lx = F.log(v.cast("double"))
+    base = df.filter(v > 0).select(
+        F.col(group_col).alias("grp"),
+        v.alias("v"),
+        F.round(lx, 12).cast(dq).alias("l1"),
+        F.round(lx * lx, 12).cast(dq).alias("l2"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum("l1").cast(dq).alias("sl"),
+        F.sum("l2").cast(dq).alias("sl2"),
+    )
+    nd = F.col("n_rows").cast("double")
+    mu = F.col("sl").cast("double") / nd
+    var = (
+        F.col("sl2").cast("double")
+        - F.col("sl").cast("double") * F.col("sl").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    obs_mean = F.col("s").cast("double") / nd
+    implied_mean = F.exp(mu + var / F.lit(2.0))
+    return agg.filter(F.col("n_rows") >= 2).select(
+        "grp",
+        "n_rows",
+        mu.alias("mu_log"),
+        F.sqrt(var).alias("sigma_log"),
+        F.exp(mu).alias("implied_median"),
+        implied_mean.alias("implied_mean"),
+        obs_mean.alias("observed_mean"),
+        (implied_mean / obs_mean).alias("fit_ratio"),
+    )

@@ -6525,3 +6525,177 @@ def sax_words(
         .filter(F.col("n_windows") >= min_count)
     )
     return census
+
+
+def kpss_level(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    lags: int = 7,
+) -> DataFrame:
+    """KPSS level-stationarity statistic per group: with partial sums
+    S_t of the demeaned series and the Bartlett long-run variance
+    s2(l) = g0 + 2*sum_{j<=l} (1 - j/(l+1)) g_j,
+    eta = sum(S_t^2) / (n^2 * s2(l)) — LARGE eta rejects
+    stationarity (the null is the opposite of ADF-style tests;
+    ~0.463 is the asymptotic 5% point). Pairs with q577's AR(1)
+    half-life: KPSS asks IF the series reverts, AR(1) how fast.
+    Charter §2B extension.
+
+    Determinism: the n-scaled demeaned series u = n*x - S and its
+    running sum are exact integers (MAGNITUDE CONTRACT: keep values
+    scaled so n^2 * max|cumdev| fits int64 — feed dollars, not
+    cents, for long daily series); all lag products and the
+    partial-sum squares are exact decimal(38,0); eta folds as
+    A / (n * (G0 + 2*sum w_j G_j)) in one fixed tree. Callers ROUND
+    (<= 9).
+
+    Scale design: one cumsum window + ``lags`` lag columns in ONE
+    window pass per group (post-aggregate-window contract), one
+    grouped aggregate.
+    """
+    if lags < 0:
+        raise ValueError("lags must be >= 0")
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    tot = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = base.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "t",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("u"),
+    )
+    cum = u.select(
+        "grp",
+        "t",
+        "n",
+        "u",
+        F.sum("u").over(wc).cast("long").alias("st"),
+    )
+    lag_cols = [
+        (F.col("u").cast(d38) * F.lag("u", j).over(w)).alias(f"g{j}")
+        for j in range(0, lags + 1)
+    ]
+    prods = cum.select(
+        "grp",
+        "n",
+        (F.col("st").cast(d38) * F.col("st")).cast(d38).alias("s2"),
+        *lag_cols,
+    )
+    aggs = [
+        F.sum(F.coalesce(F.col(f"g{j}"), F.lit(0).cast(d38)))
+        .cast(d38)
+        .alias(f"G{j}")
+        for j in range(0, lags + 1)
+    ]
+    agg = prods.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n_periods"),
+        F.sum("s2").cast(d38).alias("A"),
+        *aggs,
+    )
+    lrv = F.col("G0").cast("double")
+    for j in range(1, lags + 1):
+        wj = 1.0 - j / (lags + 1.0)
+        lrv = lrv + F.lit(2.0 * wj) * F.col(f"G{j}").cast("double")
+    eta = F.col("A").cast("double") / (
+        F.col("n_periods").cast("double") * lrv
+    )
+    return agg.select(
+        "grp",
+        "n_periods",
+        F.lit(lags).cast("long").alias("lags"),
+        F.when(lrv > 0, eta).alias("kpss_stat"),
+    )
+
+
+def pettitt_test(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pettitt rank changepoint test per group (midrank/tie-adjusted):
+    U_t = 2 * sum_{i<=t} R_i - t * (n + 1) over combined midranks;
+    K = max |U_t| locates the most probable single shift (earliest
+    argmax), with the classic approximation
+    p ~ 2 * exp(-6 K^2 / (n^3 + n^2)). Distribution-free — the rank
+    sibling of q380's CUSUM and q589's Page-Hinkley. Charter §2B
+    extension (quantized-input contract: band a continuous metric
+    upstream — ranks come from the distinct-value table).
+
+    Determinism: doubled midranks 2R are exact integers (2*cumbefore
+    + c + 1), so every U_t is an exact integer; the argmax struct
+    breaks ties by time; p is one fixed tree. Callers ROUND (<= 9).
+
+    Scale design: one distinct-value count window, one rank-map join
+    back, one cumsum window per group, one grouped argmax.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    cnt = base.groupBy("grp", "x").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wv = Window.partitionBy("grp").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rmap = cnt.select(
+        "grp",
+        "x",
+        (
+            F.lit(2) * F.coalesce(F.sum("c").over(wv), F.lit(0))
+            + F.col("c")
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    tot = base.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+    rows = base.join(rmap, ["grp", "x"]).join(F.broadcast(tot), "grp")
+    w = Window.partitionBy("grp").orderBy("t")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = rows.select(
+        "grp",
+        "n",
+        "t",
+        (
+            F.sum("r2").over(wc)
+            - F.row_number().over(w).cast("long") * (F.col("n") + 1)
+        )
+        .cast("long")
+        .alias("ut"),
+    )
+    agg = scored.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n_periods"),
+        F.min(
+            F.struct(
+                (-F.abs(F.col("ut"))).alias("nk"),
+                F.col("t").alias("tt"),
+                F.col("ut").alias("u"),
+            )
+        ).alias("__k"),
+    )
+    k = F.abs(F.col("__k.u")).cast("double")
+    nd = F.col("n_periods").cast("double")
+    p = F.lit(2.0) * F.exp(
+        -F.lit(6.0) * k * k / (nd * nd * nd + nd * nd)
+    )
+    return agg.select(
+        "grp",
+        "n_periods",
+        F.abs(F.col("__k.u")).cast("long").alias("k_stat"),
+        F.col("__k.tt").alias("change_t"),
+        F.least(F.lit(1.0), p).alias("p_approx"),
+    )

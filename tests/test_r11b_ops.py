@@ -1863,3 +1863,112 @@ def test_sax_words_partial_window_dropped(spark):
     df = spark.createDataFrame(rows, "g string, t long, v long")
     out = sax_words(df, "g", "t", "v", word_len=4, min_count=1).collect()
     assert sum(r["n_windows"] for r in out) == 1
+
+
+# ---------------------------------------------------------------------------
+# wave 31: KPSS, Pettitt, lognormal fit
+
+
+def test_kpss_matches_reference(spark):
+    from etl_java_spark.operators.timeseries import kpss_level
+
+    x, vals = 11, []
+    for _ in range(48):
+        x = (x * 31 + 7) % 97
+        vals.append(x)
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = kpss_level(df, "g", "t", "v", lags=3).collect()[0]
+    n, s = len(vals), sum(vals)
+    u = [n * v - s for v in vals]
+    st, acc = [], 0
+    for uu in u:
+        acc += uu
+        st.append(acc)
+    A = sum(v * v for v in st)
+    G = [
+        sum(u[i] * u[i - j] for i in range(j, n)) for j in range(0, 4)
+    ]
+    lrv = G[0] + sum(2 * (1 - j / 4.0) * G[j] for j in (1, 2, 3))
+    assert got["kpss_stat"] == pytest.approx(A / (n * lrv), abs=1e-10)
+
+
+def test_kpss_trending_vs_flat(spark):
+    from etl_java_spark.operators.timeseries import kpss_level
+
+    # a strong trend should yield a much larger statistic than noise
+    trend = [("t", i, 100 + 10 * i) for i in range(60)]
+    x, noise = 17, []
+    for i in range(60):
+        x = (x * 29 + 13) % 89
+        noise.append(("n", i, 100 + x % 20))
+    df = spark.createDataFrame(
+        trend + noise, "g string, t long, v long"
+    )
+    got = {
+        r["grp"]: r["kpss_stat"]
+        for r in kpss_level(df, "g", "t", "v", lags=4).collect()
+    }
+    assert got["t"] > 5 * got["n"]
+
+
+def test_pettitt_locates_level_shift(spark):
+    from etl_java_spark.operators.timeseries import pettitt_test
+
+    vals = [10] * 15 + [30] * 15
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = pettitt_test(df, "g", "t", "v").collect()[0]
+    assert got["change_t"] == 14  # last index of the low regime
+    # exact K for a clean two-level shift: max U at the boundary
+    n = 30
+    # midranks: lows 2R = 16, highs 2R = 46
+    ut14 = 15 * 16 - 15 * (n + 1)
+    assert got["k_stat"] == abs(ut14)
+    assert got["p_approx"] < 0.01
+
+
+def test_pettitt_flat_series_high_p(spark):
+    from etl_java_spark.operators.timeseries import pettitt_test
+
+    rows = [("a", t, 5) for t in range(20)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = pettitt_test(df, "g", "t", "v").collect()[0]
+    assert got["k_stat"] == 0
+    assert got["p_approx"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_lognormal_fit_recovers_planted(spark):
+    from etl_java_spark.operators.corpus import lognormal_fit
+
+    # deterministic lognormal-ish sample via exp of a symmetric grid
+    vals = [round(math.exp(5 + 0.1 * k)) for k in range(-20, 21)]
+    rows = [("a", v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = lognormal_fit(df, "g", "v").collect()[0]
+    assert got["mu_log"] == pytest.approx(5.0, abs=0.01)
+    assert got["sigma_log"] == pytest.approx(
+        0.1 * math.sqrt(sum(k * k for k in range(-20, 21)) / 40), abs=0.01
+    )
+    # exact replay of the MoM readouts (a uniform log grid is NOT a
+    # Gaussian-log sample, so fit_ratio is legitimately above 1 —
+    # exactly the misfit the diagnostic exists to flag)
+    n = len(vals)
+    sl = sum(round(math.log(v), 12) for v in vals)
+    sl2 = sum(round(math.log(v) ** 2, 12) for v in vals)
+    mu = sl / n
+    var = (sl2 - sl * sl / n) / (n - 1)
+    obs = sum(vals) / n
+    assert got["fit_ratio"] == pytest.approx(
+        math.exp(mu + var / 2) / obs, abs=1e-9
+    )
+    assert got["fit_ratio"] > 1.05  # the flagged misfit
+
+
+def test_lognormal_fit_drops_nonpositive(spark):
+    from etl_java_spark.operators.corpus import lognormal_fit
+
+    rows = [("a", 10), ("a", 0), ("a", 100), ("a", -5), ("a", 1000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = lognormal_fit(df, "g", "v").collect()[0]
+    assert got["n_rows"] == 3
