@@ -3329,3 +3329,67 @@ def rank_aggregation(
             "copeland"
         ),
     )
+
+
+def deming_regression(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    lam: float = 1.0,
+) -> DataFrame:
+    """Deming (errors-in-both-variables) regression per group with
+    error-variance ratio ``lam`` (1.0 = total least squares): with
+    demeaned exact-integer moments Sxx, Syy, Sxy,
+    beta = (Syy - lam*Sxx + sqrt((Syy - lam*Sxx)^2 + 4*lam*Sxy^2))
+           / (2*Sxy), alpha = ybar - beta*xbar — the method-
+    comparison slope OLS gets WRONG when x is also noisy (completes
+    the q450 Lin's CCC / q451 Bland-Altman method-agreement family).
+    Sxy = 0 reads NULL (no identifiable line). Charter §2B extension.
+
+    Determinism: the five moments are exact decimal(38,0); the
+    discriminant folds in double (decimal would overflow at square
+    scale — documented); beta/alpha are fixed trees; callers ROUND
+    (<= 9). Scale: ONE map-side-combinable grouped aggregate.
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x.cast(d38) * x).cast(d38).alias("sxx"),
+        F.sum(y.cast(d38) * y).cast(d38).alias("syy"),
+        F.sum(x.cast(d38) * y).cast(d38).alias("sxy"),
+    )
+    n38 = F.col("n_rows").cast(d38)
+    dxx = (n38 * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")).cast(
+        d38
+    )
+    dyy = (n38 * F.col("syy") - F.col("sy").cast(d38) * F.col("sy")).cast(
+        d38
+    )
+    dxy = (n38 * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")).cast(
+        d38
+    )
+    nd = F.col("n_rows").cast("double")
+    sxxd = dxx.cast("double")
+    syyd = dyy.cast("double")
+    sxyd = dxy.cast("double")
+    l = F.lit(float(lam))
+    core = syyd - l * sxxd
+    beta = F.when(
+        dxy != 0,
+        (core + F.sqrt(core * core + F.lit(4.0) * l * sxyd * sxyd))
+        / (F.lit(2.0) * sxyd),
+    )
+    alpha = (
+        F.col("sy").cast("double") - beta * F.col("sx").cast("double")
+    ) / nd
+    return agg.select(
+        "grp",
+        "n_rows",
+        beta.alias("beta"),
+        alpha.alias("alpha"),
+    )

@@ -6699,3 +6699,189 @@ def pettitt_test(
         F.col("__k.tt").alias("change_t"),
         F.least(F.lit(1.0), p).alias("p_approx"),
     )
+
+
+def circular_stats(
+    df: DataFrame,
+    group_col: str,
+    pos_col: str,
+    period: int,
+) -> DataFrame:
+    """Circular statistics of an integer cyclic position (hour 0..23,
+    weekday 0..6) per group: mean resultant length Rbar (0 = uniform
+    around the clock, 1 = concentrated), mean direction as a
+    fractional position, the Rayleigh uniformity test
+    z = n*Rbar^2 with its standard small-sample approximation, and
+    the von Mises concentration kappa by the Best-Fisher piecewise
+    MoM — "WHEN does this activity happen, and how strongly?"
+    Charter §2B extension.
+
+    Determinism: angles are 2*pi*(pos mod period)/period (integer-
+    reduced, the q603 contract); unit cos/sin terms quantize to
+    decimal(38,12) (grid far coarser than the ulp of |t| <= 1);
+    readouts are fixed trees (atan2 maps back to position space).
+    Callers ROUND (<= 9).
+
+    Scale design: ONE map-side-combinable grouped aggregate.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    dq = "decimal(38,12)"
+    ang = (
+        F.lit(2.0)
+        * F.lit(3.141592653589793)
+        * (F.col(pos_col).cast("long") % period).cast("double")
+        / F.lit(float(period))
+    )
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.round(F.cos(ang), 12).cast(dq).alias("c"),
+        F.round(F.sin(ang), 12).cast(dq).alias("s"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c").cast(dq).alias("sc"),
+        F.sum("s").cast(dq).alias("ss"),
+    )
+    nd = F.col("n_rows").cast("double")
+    cd = F.col("sc").cast("double")
+    sd_ = F.col("ss").cast("double")
+    rbar = F.sqrt(cd * cd + sd_ * sd_) / nd
+    mean_ang = F.atan2(sd_, cd)
+    mean_pos = (
+        (mean_ang / (F.lit(2.0) * F.lit(3.141592653589793)))
+        * F.lit(float(period))
+        + F.lit(float(period))
+    ) % F.lit(float(period))
+    z = nd * rbar * rbar
+    p = F.exp(-z) * (
+        F.lit(1.0)
+        + (F.lit(2.0) * z - z * z) / (F.lit(4.0) * nd)
+    )
+    kappa = (
+        F.when(
+            rbar < 0.53,
+            F.lit(2.0) * rbar
+            + rbar * rbar * rbar
+            + F.lit(5.0) * rbar * rbar * rbar * rbar * rbar / F.lit(6.0),
+        )
+        .when(
+            rbar < 0.85,
+            F.lit(-0.4)
+            + F.lit(1.39) * rbar
+            + F.lit(0.43) / (F.lit(1.0) - rbar),
+        )
+        .otherwise(
+            F.lit(1.0)
+            / (
+                rbar * rbar * rbar
+                - F.lit(4.0) * rbar * rbar
+                + F.lit(3.0) * rbar
+            )
+        )
+    )
+    return agg.select(
+        "grp",
+        "n_rows",
+        rbar.alias("rbar"),
+        mean_pos.alias("mean_pos"),
+        z.alias("rayleigh_z"),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), p)).alias("p_approx"),
+        kappa.alias("kappa_mom"),
+    )
+
+
+def circular_linear_corr(
+    df: DataFrame,
+    group_col: str,
+    pos_col: str,
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Circular-linear correlation per group between a cyclic integer
+    position and a linear integer metric (Mardia):
+    r^2 = (r_xc^2 + r_xs^2 - 2 r_xc r_xs r_cs) / (1 - r_cs^2) from
+    the three Pearson correlations of (value, cos, sin) — does the
+    metric MOVE with the clock (q603 asks about the series; this
+    asks about row-level association). Charter §2B extension.
+
+    Determinism: value moments are exact integers/decimals; cos/sin
+    moments quantize to decimal(38,12) (unit magnitude — grid
+    coarser than ulp); the Pearson pieces and the fold are fixed
+    trees; callers ROUND (<= 9). Degenerate denominators read NULL.
+    Scale: ONE grouped aggregate.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    d38 = "decimal(38,0)"
+    dq = "decimal(38,12)"
+    ang = (
+        F.lit(2.0)
+        * F.lit(3.141592653589793)
+        * (F.col(pos_col).cast("long") % period).cast("double")
+        / F.lit(float(period))
+    )
+    x = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        x.alias("x"),
+        F.round(F.cos(ang), 12).cast(dq).alias("c"),
+        F.round(F.sin(ang), 12).cast(dq).alias("s"),
+    )
+    xc = F.col("x").cast("double") * F.col("c").cast("double")
+    xs = F.col("x").cast("double") * F.col("s").cast("double")
+    cs = F.col("c").cast("double") * F.col("s").cast("double")
+    cc = F.col("c").cast("double") * F.col("c").cast("double")
+    ss_ = F.col("s").cast("double") * F.col("s").cast("double")
+    agg = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("c").cast(dq)).cast(dq).alias("sc"),
+        F.sum(F.col("s").cast(dq)).cast(dq).alias("ss"),
+        F.sum(F.round(xc, 6).cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("sxc"),
+        F.sum(F.round(xs, 6).cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("sxs"),
+        F.sum(F.round(cs, 12).cast(dq)).cast(dq).alias("scs"),
+        F.sum(F.round(cc, 12).cast(dq)).cast(dq).alias("scc"),
+        F.sum(F.round(ss_, 12).cast(dq)).cast(dq).alias("sss"),
+    )
+    nd = F.col("n_rows").cast("double")
+
+    def corr(sab, sa, sb, daa, dbb):
+        num = nd * sab - sa * sb
+        return num / F.sqrt(daa * dbb)
+
+    sxd = F.col("sx").cast("double")
+    dxx = (
+        F.col("n_rows").cast(d38) * F.col("sxx")
+        - F.col("sx").cast(d38) * F.col("sx")
+    ).cast(d38).cast("double")
+    scd = F.col("sc").cast("double")
+    ssd = F.col("ss").cast("double")
+    dcc = nd * F.col("scc").cast("double") - scd * scd
+    dss = nd * F.col("sss").cast("double") - ssd * ssd
+    rxc = (nd * F.col("sxc").cast("double") - sxd * scd) / F.sqrt(
+        dxx * dcc
+    )
+    rxs = (nd * F.col("sxs").cast("double") - sxd * ssd) / F.sqrt(
+        dxx * dss
+    )
+    rcs = (nd * F.col("scs").cast("double") - scd * ssd) / F.sqrt(
+        dcc * dss
+    )
+    r2 = (rxc * rxc + rxs * rxs - F.lit(2.0) * rxc * rxs * rcs) / (
+        F.lit(1.0) - rcs * rcs
+    )
+    ok = (dxx > 0) & (dcc > 0) & (dss > 0)
+    return agg.select(
+        "grp",
+        "n_rows",
+        F.when(ok, rxc).alias("r_xc"),
+        F.when(ok, rxs).alias("r_xs"),
+        F.when(ok, rcs).alias("r_cs"),
+        F.when(ok, r2).alias("r2_circ_lin"),
+    )

@@ -1972,3 +1972,90 @@ def test_lognormal_fit_drops_nonpositive(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     got = lognormal_fit(df, "g", "v").collect()[0]
     assert got["n_rows"] == 3
+
+
+# ---------------------------------------------------------------------------
+# wave 32: Deming, circular stats, circular-linear correlation
+
+
+def test_deming_matches_reference_and_tls_symmetry(spark):
+    from etl_java_spark.operators.evaluation import deming_regression
+
+    pts = [(10, 12), (20, 19), (30, 33), (40, 38), (50, 54), (60, 58)]
+    rows = [("a", x, y) for x, y in pts]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = deming_regression(df, "g", "x", "y", lam=1.0).collect()[0]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    dxx = n * sum(x * x for x, _ in pts) - sx * sx
+    dyy = n * sum(y * y for _, y in pts) - sy * sy
+    dxy = n * sum(x * y for x, y in pts) - sx * sy
+    core = dyy - dxx
+    beta = (core + math.sqrt(core * core + 4 * dxy * dxy)) / (2 * dxy)
+    assert got["beta"] == pytest.approx(beta, abs=1e-10)
+    assert got["alpha"] == pytest.approx((sy - beta * sx) / n, abs=1e-9)
+    # TLS symmetry: swapping x/y must invert the slope
+    df2 = spark.createDataFrame(
+        [("a", y, x) for x, y in pts], "g string, x long, y long"
+    )
+    got2 = deming_regression(df2, "g", "x", "y", lam=1.0).collect()[0]
+    assert got2["beta"] == pytest.approx(1 / beta, abs=1e-9)
+
+
+def test_deming_perfect_line_exact(spark):
+    from etl_java_spark.operators.evaluation import deming_regression
+
+    rows = [("a", x, 3 * x + 7) for x in range(1, 8)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = deming_regression(df, "g", "x", "y").collect()[0]
+    assert got["beta"] == pytest.approx(3.0, abs=1e-12)
+    assert got["alpha"] == pytest.approx(7.0, abs=1e-9)
+
+
+def test_circular_stats_concentrated_vs_uniform(spark):
+    from etl_java_spark.operators.timeseries import circular_stats
+
+    rows = [("c", 9)] * 30 + [("u", h % 24) for h in range(48)]
+    df = spark.createDataFrame(rows, "g string, pos long")
+    got = {
+        r["grp"]: r for r in circular_stats(df, "g", "pos", 24).collect()
+    }
+    assert got["c"]["rbar"] == pytest.approx(1.0, abs=1e-9)
+    assert got["c"]["mean_pos"] == pytest.approx(9.0, abs=1e-6)
+    assert got["c"]["p_approx"] < 1e-9
+    assert got["u"]["rbar"] == pytest.approx(0.0, abs=1e-9)
+    assert got["u"]["p_approx"] > 0.9
+
+
+def test_circular_stats_wraparound_mean(spark):
+    from etl_java_spark.operators.timeseries import circular_stats
+
+    # hours 23 and 1 -> circular mean at midnight (0), not 12
+    rows = [("a", 23), ("a", 1)] * 10
+    df = spark.createDataFrame(rows, "g string, pos long")
+    got = circular_stats(df, "g", "pos", 24).collect()[0]
+    assert got["mean_pos"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_circular_linear_corr_planted_cosine(spark):
+    from etl_java_spark.operators.timeseries import circular_linear_corr
+
+    # value rides the clock exactly: x = 100*cos(ang) + 200
+    rows = []
+    for i in range(240):
+        h = i % 24
+        x = round(100 * math.cos(2 * math.pi * h / 24)) + 200
+        rows.append(("a", h, x))
+    df = spark.createDataFrame(rows, "g string, pos long, x long")
+    got = circular_linear_corr(df, "g", "pos", "x", 24).collect()[0]
+    assert got["r2_circ_lin"] == pytest.approx(1.0, abs=0.01)
+
+
+def test_circular_linear_corr_constant_value_null(spark):
+    from etl_java_spark.operators.timeseries import circular_linear_corr
+
+    rows = [("a", h % 24, 5) for h in range(48)]
+    df = spark.createDataFrame(rows, "g string, pos long, x long")
+    got = circular_linear_corr(df, "g", "pos", "x", 24).collect()[0]
+    assert got["r2_circ_lin"] is None
