@@ -3393,3 +3393,117 @@ def deming_regression(
         beta.alias("beta"),
         alpha.alias("alpha"),
     )
+
+
+def gamma_tau_c(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    m_categories: int | None = None,
+) -> DataFrame:
+    """Goodman-Kruskal gamma and Stuart's tau-c over QUANTIZED ordinal
+    pairs (the kendall_tau_b / somers_d grid, q384/q421's
+    contract): gamma = (P - Q)/(P + Q) ignores ties entirely (the
+    optimistic bound), tau-c = 2m(P - Q)/(n^2 (m-1)) corrects for a
+    rectangular table with m = min(#x levels, #y levels) — the two
+    remaining members of the concordance family. ``m_categories``
+    overrides the plan-time m (else one eager distinct count each on
+    the quantized columns, metadata-sized). Charter §2B extension.
+
+    Determinism: P/Q/n are exact decimals from the shared cell grid;
+    both readouts are single fixed trees; callers ROUND (<= 9).
+    """
+    pc = _ordinal_pair_counts(df, x_col, y_col)
+    if m_categories is not None:
+        m = int(m_categories)
+    else:
+        mx = df.select(x_col).filter(F.col(x_col).isNotNull()).distinct().count()
+        my = df.select(y_col).filter(F.col(y_col).isNotNull()).distinct().count()
+        m = min(mx, my)
+    if m < 2:
+        raise ValueError("need >= 2 categories on both axes")
+    pd_ = F.col("p").cast("double")
+    qd = F.col("q").cast("double")
+    nd = F.col("n").cast("double")
+    md = F.lit(float(m))
+    gamma = F.when(
+        (F.col("p") + F.col("q")).cast("double") > 0,
+        (pd_ - qd) / (pd_ + qd),
+    )
+    tau_c = (
+        F.lit(2.0) * md * (pd_ - qd) / (nd * nd * (md - F.lit(1.0)))
+    )
+    return pc.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("p").cast("long").alias("concordant"),
+        F.col("q").cast("long").alias("discordant"),
+        F.lit(m).cast("long").alias("m_categories"),
+        gamma.alias("gk_gamma"),
+        tau_c.alias("stuart_tau_c"),
+    )
+
+
+def diagnostic_panel(
+    df: DataFrame,
+    group_col: str,
+    truth_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Diagnostic-test panel per group from binary (truth, flag)
+    pairs: sensitivity, specificity, PPV, NPV, the likelihood ratios
+    LR+ = sens/(1-spec) and LR- = (1-sens)/spec, prevalence, and
+    Youden's J = sens + spec - 1 — the detector scorecard at ONE
+    fixed threshold (q158-style AUC summarizes all thresholds; a
+    deployed rule runs at one). Degenerate margins read NULL for the
+    affected ratios. Charter §2B extension.
+
+    Determinism: the four confusion cells are exact integers; every
+    readout is one or two exact-ratio trees; callers ROUND (<= 9).
+    Scale: ONE map-side-combinable grouped aggregate.
+    """
+    t = F.col(truth_col).cast("int")
+    fl = F.col(flag_col).cast("int")
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(F.when((t == 1) & (fl == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((t == 0) & (fl == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((t == 1) & (fl == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((t == 0) & (fl == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    sens = F.when(F.col("tp") + F.col("fn") > 0, tp / (tp + fn))
+    spec = F.when(F.col("fp") + F.col("tn") > 0, tn / (fp + tn))
+    ppv = F.when(F.col("tp") + F.col("fp") > 0, tp / (tp + fp))
+    npv = F.when(F.col("fn") + F.col("tn") > 0, tn / (fn + tn))
+    lr_pos = F.when(
+        spec.isNotNull() & sens.isNotNull() & (spec < 1),
+        sens / (F.lit(1.0) - spec),
+    )
+    lr_neg = F.when(
+        spec.isNotNull() & sens.isNotNull() & (spec > 0),
+        (F.lit(1.0) - sens) / spec,
+    )
+    n = tp + fp + fn + tn
+    return agg.select(
+        "grp",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (tp + fn).cast("long").alias("n_pos"),
+        ((tp + fn) / n).alias("prevalence"),
+        sens.alias("sensitivity"),
+        spec.alias("specificity"),
+        ppv.alias("ppv"),
+        npv.alias("npv"),
+        lr_pos.alias("lr_pos"),
+        lr_neg.alias("lr_neg"),
+        (sens + spec - F.lit(1.0)).alias("youden_j"),
+    )

@@ -5709,3 +5709,67 @@ def evalue_panel(
         evalue(rr).alias("e_value"),
         e_ci.alias("e_value_ci"),
     )
+
+
+def sidak_correction(
+    df: DataFrame,
+    key_cols: list,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Sidak multiplicity correction over a p-value table: adjusted
+    p = 1 - (1 - p)^m (exact under independence, marginally less
+    conservative than Bonferroni's m*p), plus the step-down
+    Holm-Sidak rejection at level ``alpha`` (threshold
+    1 - (1-alpha)^(1/(m - rank + 1)) at each rank, rejections stop
+    at the first failure) — completes the q436 Holm / q?9 BH /
+    q594 Storey multiplicity family. Charter §2B extension.
+
+    Determinism: callers feed pre-rounded p-values (the p_round
+    contract); powers are fixed trees; the step-down cut is a
+    suffix-min-free conditional on the first failing rank. Callers
+    ROUND (<= 9). Scale: the test table is metadata-sized — two
+    global windows (post-aggregate-window contract).
+    """
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    keys = [F.col(k) for k in key_cols]
+    base = df.select(*keys, F.col(p_col).cast("double").alias("p"))
+    tot = base.agg(F.count("*").cast("long").alias("m"))
+    wr = Window.orderBy(F.col("p").asc(), *[k.asc() for k in keys])
+    ranked = base.crossJoin(F.broadcast(tot)).select(
+        *key_cols,
+        "p",
+        "m",
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )
+    md = F.col("m").cast("double")
+    adj = F.least(
+        F.lit(1.0),
+        F.lit(1.0) - F.pow(F.lit(1.0) - F.col("p"), md),
+    )
+    thr = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.lit(alpha),
+        F.lit(1.0) / (md - F.col("rank").cast("double") + F.lit(1.0)),
+    )
+    flagged = ranked.select(
+        *key_cols,
+        F.col("p").alias("p_value"),
+        "rank",
+        adj.alias("p_sidak"),
+        thr.alias("step_threshold"),
+        (F.col("p") <= thr).alias("ok"),
+    )
+    cut = flagged.agg(
+        F.min(F.when(~F.col("ok"), F.col("rank"))).alias("first_fail")
+    )
+    return flagged.crossJoin(F.broadcast(cut)).select(
+        *key_cols,
+        "p_value",
+        "rank",
+        "p_sidak",
+        "step_threshold",
+        F.coalesce(
+            F.col("rank") < F.col("first_fail"), F.col("ok")
+        ).alias("reject"),
+    )

@@ -2059,3 +2059,110 @@ def test_circular_linear_corr_constant_value_null(spark):
     df = spark.createDataFrame(rows, "g string, pos long, x long")
     got = circular_linear_corr(df, "g", "pos", "x", 24).collect()[0]
     assert got["r2_circ_lin"] is None
+
+
+# ---------------------------------------------------------------------------
+# wave 33: gamma/tau-c, diagnostic panel, Sidak
+
+
+def test_gamma_tau_c_matches_bruteforce(spark):
+    from etl_java_spark.operators.evaluation import gamma_tau_c
+
+    xy = [(1, 1), (1, 2), (2, 1), (2, 2), (2, 3), (3, 2), (3, 3),
+          (3, 3), (1, 3), (2, 2)]
+    df = spark.createDataFrame(xy, "x long, y long")
+    got = gamma_tau_c(df, "x", "y").collect()[0]
+    p = q = 0
+    n = len(xy)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = xy[i][0] - xy[j][0]
+            dy = xy[i][1] - xy[j][1]
+            if dx * dy > 0:
+                p += 1
+            elif dx * dy < 0:
+                q += 1
+    m = min(len({a for a, _ in xy}), len({b for _, b in xy}))
+    assert got["concordant"] == p
+    assert got["discordant"] == q
+    assert got["m_categories"] == m
+    assert got["gk_gamma"] == pytest.approx((p - q) / (p + q), abs=1e-12)
+    assert got["stuart_tau_c"] == pytest.approx(
+        2 * m * (p - q) / (n * n * (m - 1)), abs=1e-12
+    )
+
+
+def test_gamma_perfect_concordance(spark):
+    from etl_java_spark.operators.evaluation import gamma_tau_c
+
+    df = spark.createDataFrame(
+        [(i, i * 2) for i in range(1, 9)], "x long, y long"
+    )
+    got = gamma_tau_c(df, "x", "y").collect()[0]
+    assert got["gk_gamma"] == pytest.approx(1.0, abs=1e-15)
+
+
+def test_diagnostic_panel_known_confusion(spark):
+    from etl_java_spark.operators.evaluation import diagnostic_panel
+
+    rows = (
+        [("g", 1, 1)] * 40 + [("g", 1, 0)] * 10
+        + [("g", 0, 1)] * 5 + [("g", 0, 0)] * 45
+    )
+    df = spark.createDataFrame(rows, "grp string, t int, f int")
+    got = diagnostic_panel(df, "grp", "t", "f").collect()[0]
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (40, 5, 10, 45)
+    assert got["sensitivity"] == pytest.approx(0.8, abs=1e-12)
+    assert got["specificity"] == pytest.approx(0.9, abs=1e-12)
+    assert got["ppv"] == pytest.approx(40 / 45, abs=1e-12)
+    assert got["npv"] == pytest.approx(45 / 55, abs=1e-12)
+    assert got["lr_pos"] == pytest.approx(0.8 / 0.1, abs=1e-9)
+    assert got["lr_neg"] == pytest.approx(0.2 / 0.9, abs=1e-9)
+    assert got["youden_j"] == pytest.approx(0.7, abs=1e-12)
+
+
+def test_diagnostic_panel_degenerate_nulls(spark):
+    from etl_java_spark.operators.evaluation import diagnostic_panel
+
+    rows = [("g", 1, 1)] * 5  # no negatives at all
+    df = spark.createDataFrame(rows, "grp string, t int, f int")
+    got = diagnostic_panel(df, "grp", "t", "f").collect()[0]
+    assert got["specificity"] is None
+    assert got["youden_j"] is None
+
+
+def test_sidak_matches_reference(spark):
+    from etl_java_spark.operators.experiments import sidak_correction
+
+    ps = [0.001, 0.012, 0.020, 0.04, 0.3, 0.6]
+    rows = [(f"t{i}", p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "k string, p double")
+    got = sorted(
+        sidak_correction(df, ["k"], "p", alpha=0.05).collect(),
+        key=lambda r: r["rank"],
+    )
+    m = len(ps)
+    # replay step-down: rejections run until the first failure
+    first_fail = next(
+        (
+            r
+            for r, p in enumerate(sorted(ps), start=1)
+            if p > 1 - (1 - 0.05) ** (1.0 / (m - r + 1))
+        ),
+        None,
+    )
+    for row in got:
+        exp_adj = min(1.0, 1 - (1 - row["p_value"]) ** m)
+        assert row["p_sidak"] == pytest.approx(exp_adj, abs=1e-10)
+        if first_fail is None:
+            assert row["reject"]
+        else:
+            assert row["reject"] == (row["rank"] < first_fail)
+
+
+def test_sidak_rejects_bad_alpha(spark):
+    from etl_java_spark.operators.experiments import sidak_correction
+
+    df = spark.createDataFrame([("a", 0.5)], "k string, p double")
+    with pytest.raises(ValueError):
+        sidak_correction(df, ["k"], "p", alpha=1.5)
