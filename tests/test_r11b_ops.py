@@ -2166,3 +2166,84 @@ def test_sidak_rejects_bad_alpha(spark):
     df = spark.createDataFrame([("a", 0.5)], "k string, p double")
     with pytest.raises(ValueError):
         sidak_correction(df, ["k"], "p", alpha=1.5)
+
+
+# ---------------------------------------------------------------------------
+# wave 34: actuarial reserving (chain-ladder family)
+
+_TRIANGLE = [
+    # (origin, dev, incremental) — classic 3-origin toy triangle
+    (1, 0, 100), (1, 1, 50), (1, 2, 25),
+    (2, 0, 120), (2, 1, 60),
+    (3, 0, 140),
+]
+
+
+def _cl_ref():
+    cum = {}
+    for i, j, inc in _TRIANGLE:
+        prev = cum.get((i, j - 1), 0)
+        cum[(i, j)] = prev + inc
+    # factors: f0 from origins 1,2; f1 from origin 1
+    f0 = (cum[(1, 1)] + cum[(2, 1)]) / (cum[(1, 0)] + cum[(2, 0)])
+    f1 = cum[(1, 2)] / cum[(1, 1)]
+    return cum, f0, f1
+
+
+def test_chain_ladder_matches_hand_triangle(spark):
+    from etl_java_spark.operators.actuarial import chain_ladder
+
+    df = spark.createDataFrame(_TRIANGLE, "o long, d long, a long")
+    got = {r["origin"]: r for r in chain_ladder(df, "o", "d", "a").collect()}
+    cum, f0, f1 = _cl_ref()
+    assert got[1]["cdf"] == pytest.approx(1.0, abs=1e-15)
+    assert got[1]["ultimate"] == pytest.approx(cum[(1, 2)], abs=1e-9)
+    assert got[2]["cdf"] == pytest.approx(f1, abs=1e-12)
+    assert got[2]["ultimate"] == pytest.approx(
+        cum[(2, 1)] * f1, abs=1e-9
+    )
+    assert got[3]["cdf"] == pytest.approx(f0 * f1, abs=1e-12)
+    assert got[3]["ibnr"] == pytest.approx(
+        cum[(3, 0)] * f0 * f1 - cum[(3, 0)], abs=1e-9
+    )
+
+
+def test_mack_sigma_matches_hand_triangle(spark):
+    from etl_java_spark.operators.actuarial import mack_sigma
+
+    df = spark.createDataFrame(_TRIANGLE, "o long, d long, a long")
+    got = {r["j"]: r for r in mack_sigma(df, "o", "d", "a").collect()}
+    cum, f0, f1 = _cl_ref()
+    assert got[0]["factor"] == pytest.approx(f0, abs=1e-12)
+    # sigma2 at dev 0 over two origins
+    t = cum[(1, 0)] * (cum[(1, 1)] / cum[(1, 0)] - f0) ** 2 + cum[
+        (2, 0)
+    ] * (cum[(2, 1)] / cum[(2, 0)] - f0) ** 2
+    assert got[0]["sigma2"] == pytest.approx(t / 1, abs=1e-6)
+    # dev 1 has a single origin -> NULL volatility
+    assert got[1]["sigma2"] is None
+
+
+def test_bornhuetter_ferguson_blends_prior(spark):
+    from etl_java_spark.operators.actuarial import bornhuetter_ferguson
+
+    df = spark.createDataFrame(_TRIANGLE, "o long, d long, a long")
+    expo = spark.createDataFrame(
+        [(1, 200), (2, 220), (3, 250)], "origin long, exposure long"
+    )
+    got = {
+        r["origin"]: r
+        for r in bornhuetter_ferguson(
+            df, "o", "d", "a", expo, expected_loss_ratio=0.9
+        ).collect()
+    }
+    cum, f0, f1 = _cl_ref()
+    cdf3 = f0 * f1
+    bf3 = cum[(3, 0)] + 250 * 0.9 * (1 - 1 / cdf3)
+    assert got[3]["bf_ultimate"] == pytest.approx(bf3, abs=1e-9)
+    # mature origin: cdf = 1 -> BF ultimate = latest (prior ignored)
+    assert got[1]["bf_ultimate"] == pytest.approx(
+        cum[(1, 2)], abs=1e-9
+    )
+    with pytest.raises(ValueError):
+        bornhuetter_ferguson(df, "o", "d", "a", expo, 0)
