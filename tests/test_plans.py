@@ -449,3 +449,69 @@ def test_q530_esd_rounds_broadcast_only_joins(spark):
     plan = plan_of(spark, "q530_esd_outliers")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q587_fisher_exact_is_row_local(spark):
+    """Fisher's support fold is row-local (mode-anchored array
+    aggregate) — the plan must posexplode (Generate) but NEVER
+    cartesian/nested-loop join support rows across strata; the only
+    joins key on the stratum."""
+    plan = plan_of(spark, "q587_fisher_exact", "simple")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q590_rank_aggregation_pairwise_join_keyed(spark):
+    """The Copeland pairwise join must be an equi-join ON the ranking
+    key (volume = sum_r m_r^2, leaderboard-bounded) — a cartesian/
+    nested-loop plan would be rankings^2-sized."""
+    plan = plan_of(spark, "q590_rank_aggregation", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q582_dfa_windows_post_aggregate(spark):
+    """DFA's profile windows and the scale explode run over the
+    per-day aggregated table, never raw orders — first Window node
+    must consume an Aggregate subtree (the post-aggregate-window
+    contract)."""
+    plan = plan_of(spark, "q582_dfa", "simple")
+    first_window = plan.find("Window")
+    assert first_window != -1
+    upstream = plan[first_window:]  # plans print top-down: the window's
+    # INPUT subtree is below it in the text
+    assert "HashAggregate" in upstream or "SortAggregate" in upstream, (
+        "DFA windows must consume the aggregated day table"
+    )
+
+
+def test_q602_knapsack_window_post_aggregate(spark):
+    """The greedy ratio window orders the supplier AGGREGATE (catalog
+    grain), not raw lineitem."""
+    plan = plan_of(spark, "q602_knapsack", "simple")
+    first_window = plan.find("Window")
+    assert first_window != -1
+    upstream = plan[first_window:]  # plans print top-down: the window's
+    # INPUT subtree is below it in the text
+    assert "HashAggregate" in upstream or "SortAggregate" in upstream
+
+
+def test_q615_chain_ladder_triangle_windows_post_aggregate(spark):
+    """Chain-ladder windows (cumulative triangle, factor pairs) run
+    over the metadata-sized (origin, dev) cell table built by ONE
+    grouped aggregate from event grain."""
+    plan = plan_of(spark, "q615_chain_ladder", "simple")
+    first_window = plan.find("Window")
+    assert first_window != -1
+    upstream = plan[first_window:]  # plans print top-down: the window's
+    # INPUT subtree is below it in the text
+    assert "HashAggregate" in upstream or "SortAggregate" in upstream
+
+
+def test_q610_circular_stats_single_aggregate_no_window(spark):
+    """Circular stats are ONE map-side-combinable aggregate — no
+    window, no join."""
+    plan = plan_of(spark, "q610_circular_stats", "simple")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
