@@ -3130,3 +3130,214 @@ def weighted_quantiles(
             .alias(f"p{q}")
         )
     return cum.groupBy("grp").agg(*aggs)
+
+
+def dixon_q(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dixon's Q outlier screen per SMALL group (the lab/QC test for
+    n ~ 3..30): q_high = (x_(n) - x_(n-1)) / range and
+    q_low = (x_(2) - x_(1)) / range — is the extreme value an
+    outlier relative to its gap? Emits both ratios with the extreme
+    values; compare against the caller's critical table (no
+    elementary Q quantiles — documented). Constant groups (range 0)
+    read NULL. Charter §2B extension.
+
+    Determinism: the four order statistics are exact integers from
+    one grouped min/max + rank window; the two ratios are exact
+    integer divisions. Scale: one rank window per group
+    (post-aggregate-window contract — groups are period/batch
+    grain), one grouped aggregate.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    w_asc = Window.partitionBy("grp").orderBy(F.col("v").asc())
+    w_desc = Window.partitionBy("grp").orderBy(F.col("v").desc())
+    ranked = base.select(
+        "grp",
+        "v",
+        F.row_number().over(w_asc).alias("ra"),
+        F.row_number().over(w_desc).alias("rd"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("v").cast("long").alias("x1"),
+        F.max("v").cast("long").alias("xn"),
+        F.max(F.when(F.col("ra") == 2, F.col("v")))
+        .cast("long")
+        .alias("x2"),
+        F.max(F.when(F.col("rd") == 2, F.col("v")))
+        .cast("long")
+        .alias("xn1"),
+    )
+    rng = (F.col("xn") - F.col("x1")).cast("double")
+    return agg.filter(F.col("n_rows") >= 3).select(
+        "grp",
+        "n_rows",
+        "x1",
+        "xn",
+        F.when(
+            rng > 0,
+            (F.col("xn") - F.col("xn1")).cast("double") / rng,
+        ).alias("q_high"),
+        F.when(
+            rng > 0,
+            (F.col("x2") - F.col("x1")).cast("double") / rng,
+        ).alias("q_low"),
+    )
+
+
+def tolerance_interval(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    r: int = 2,
+    coverage_pct: int = 90,
+) -> DataFrame:
+    """Distribution-free two-sided tolerance interval per group: the
+    order-statistic interval [x_(r), x_(n-r+1)] with the EXACT
+    achieved confidence that it covers at least ``coverage_pct``% of
+    the population: conf = P(Bin(n, gamma) <= n - 2r) (the Wilks
+    beta-binomial identity) — the "band that holds gamma of
+    everything, with stated confidence" readout behind spec limits.
+    Groups with n < 2r + 1 drop. Charter §2B extension.
+
+    Determinism: interval bounds are exact integer order statistics;
+    the binomial tail folds IN-ROW by the exact ratio recurrence
+    term_{k+1} = term_k * ((n-k)/(k+1)) * (gamma/(1-gamma)) from
+    term_0 = (1-gamma)^n (the q587 Fisher fold discipline — both
+    engines replay the identical left fold); callers ROUND (<= 9).
+
+    Scale design: one rank window per group + one grouped aggregate;
+    the fold length is n - 2r (keep groups batch-sized — the
+    documented small-n QC contract, like dixon_q).
+    """
+    if r < 1:
+        raise ValueError("r must be >= 1")
+    if not (0 < coverage_pct < 100):
+        raise ValueError("coverage_pct must be in (0, 100)")
+    g = coverage_pct / 100.0
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    w_asc = Window.partitionBy("grp").orderBy(F.col("v").asc())
+    w_desc = Window.partitionBy("grp").orderBy(F.col("v").desc())
+    ranked = base.select(
+        "grp",
+        "v",
+        F.row_number().over(w_asc).alias("ra"),
+        F.row_number().over(w_desc).alias("rd"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.max(F.when(F.col("ra") == r, F.col("v")))
+        .cast("long")
+        .alias("lo"),
+        F.max(F.when(F.col("rd") == r, F.col("v")))
+        .cast("long")
+        .alias("hi"),
+    ).filter(F.col("n_rows") >= 2 * r + 1)
+    n = F.col("n_rows")
+    gamma = F.lit(float(g))
+    one_m = F.lit(1.0) - gamma
+    term0 = F.pow(one_m, n.cast("double"))
+    kmax = (n - F.lit(2 * r)).cast("int")
+    folded = F.aggregate(
+        F.sequence(F.lit(0), kmax - 1),
+        F.struct(term0.alias("s"), term0.alias("t")),
+        lambda acc, k: F.struct(
+            (
+                acc["s"]
+                + acc["t"]
+                * ((n - k).cast("double") / (k + 1).cast("double"))
+                * (gamma / one_m)
+            ).alias("s"),
+            (
+                acc["t"]
+                * ((n - k).cast("double") / (k + 1).cast("double"))
+                * (gamma / one_m)
+            ).alias("t"),
+        ),
+    )
+    return agg.select(
+        "grp",
+        "n_rows",
+        F.col("lo").alias("tol_lo"),
+        F.col("hi").alias("tol_hi"),
+        F.lit(float(g)).alias("coverage"),
+        folded["s"].alias("confidence"),
+    )
+
+
+def oc_curve(
+    df: DataFrame,
+    group_col: str,
+    defect_col: str,
+    sample_n: int = 50,
+    accept_c: int = 2,
+) -> DataFrame:
+    """Acceptance-sampling OC point per group: from each group's
+    observed defect share p-hat, the probability the (n, c) single
+    sampling plan ACCEPTS a lot at that quality:
+    P(accept) = P(Bin(n, p_hat) <= c) — would the standard incoming
+    inspection pass this supplier? Emits p_hat and P(accept) per
+    group (p_hat = 0 or 1 short-circuit to exact 1/0). Charter §2B
+    extension.
+
+    Determinism: p_hat is an exact integer ratio; the c+1-term
+    binomial sum folds in-row by the exact ratio recurrence (the
+    q587/tolerance discipline); callers ROUND (<= 9). Scale: ONE
+    grouped aggregate + scalar folds.
+    """
+    if sample_n < 1 or not (0 <= accept_c < sample_n):
+        raise ValueError("need sample_n >= 1 and 0 <= accept_c < sample_n")
+    d = F.col(defect_col).cast("int")
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum(d).cast("long").alias("n_defect"),
+    )
+    p = F.col("n_defect").cast("double") / F.col("n_obs").cast("double")
+    q = F.lit(1.0) - p
+    term0 = F.pow(q, F.lit(float(sample_n)))
+    folded = F.aggregate(
+        F.sequence(F.lit(0), F.lit(accept_c - 1)),
+        F.struct(term0.alias("s"), term0.alias("t")),
+        lambda acc, k: F.struct(
+            (
+                acc["s"]
+                + acc["t"]
+                * (
+                    (F.lit(sample_n) - k).cast("double")
+                    / (k + 1).cast("double")
+                )
+                * (p / q)
+            ).alias("s"),
+            (
+                acc["t"]
+                * (
+                    (F.lit(sample_n) - k).cast("double")
+                    / (k + 1).cast("double")
+                )
+                * (p / q)
+            ).alias("t"),
+        ),
+    )
+    p_accept = (
+        F.when(F.col("n_defect") == 0, F.lit(1.0))
+        .when(F.col("n_defect") == F.col("n_obs"), F.lit(0.0))
+        .otherwise(folded["s"] if accept_c > 0 else term0)
+    )
+    return agg.select(
+        "grp",
+        "n_obs",
+        "n_defect",
+        p.alias("p_hat"),
+        F.lit(sample_n).cast("long").alias("plan_n"),
+        F.lit(accept_c).cast("long").alias("plan_c"),
+        p_accept.alias("p_accept"),
+    )

@@ -2247,3 +2247,84 @@ def test_bornhuetter_ferguson_blends_prior(spark):
     )
     with pytest.raises(ValueError):
         bornhuetter_ferguson(df, "o", "d", "a", expo, 0)
+
+
+# ---------------------------------------------------------------------------
+# wave 35: QC family (Dixon Q, OC curve, tolerance interval)
+
+
+def test_dixon_q_flags_gap_outlier(spark):
+    from etl_java_spark.operators.dq import dixon_q
+
+    vals = [10, 11, 12, 13, 14, 40]  # 40 is a gap outlier
+    rows = [("a", v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = dixon_q(df, "g", "v").collect()[0]
+    assert got["q_high"] == pytest.approx((40 - 14) / 30, abs=1e-12)
+    assert got["q_low"] == pytest.approx(1 / 30, abs=1e-12)
+    assert got["q_high"] > 0.56  # above the n=6 5% critical value
+
+
+def test_dixon_q_constant_group_null(spark):
+    from etl_java_spark.operators.dq import dixon_q
+
+    df = spark.createDataFrame([("a", 5)] * 4, "g string, v long")
+    got = dixon_q(df, "g", "v").collect()[0]
+    assert got["q_high"] is None and got["q_low"] is None
+
+
+def test_oc_curve_matches_binomial_cdf(spark):
+    from math import comb
+
+    from etl_java_spark.operators.dq import oc_curve
+
+    # 6 defects in 120 -> p = 0.05; plan (50, 2)
+    rows = [("s", 1)] * 6 + [("s", 0)] * 114
+    df = spark.createDataFrame(rows, "g string, d int")
+    got = oc_curve(df, "g", "d", sample_n=50, accept_c=2).collect()[0]
+    p = 6 / 120
+    ref = sum(
+        comb(50, k) * p**k * (1 - p) ** (50 - k) for k in range(3)
+    )
+    assert got["p_hat"] == pytest.approx(p, abs=1e-15)
+    assert got["p_accept"] == pytest.approx(ref, abs=1e-10)
+
+
+def test_oc_curve_degenerate_rates(spark):
+    from etl_java_spark.operators.dq import oc_curve
+
+    rows = [("clean", 0)] * 10 + [("dirty", 1)] * 10
+    df = spark.createDataFrame(rows, "g string, d int")
+    got = {r["grp"]: r for r in oc_curve(df, "g", "d").collect()}
+    assert got["clean"]["p_accept"] == 1.0
+    assert got["dirty"]["p_accept"] == 0.0
+
+
+def test_tolerance_interval_matches_wilks(spark):
+    from math import comb
+
+    from etl_java_spark.operators.dq import tolerance_interval
+
+    vals = list(range(100, 130))  # n = 30 distinct values
+    rows = [("a", v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = tolerance_interval(
+        df, "g", "v", r=2, coverage_pct=90
+    ).collect()[0]
+    assert got["tol_lo"] == 101  # x_(2)
+    assert got["tol_hi"] == 128  # x_(29)
+    n, g = 30, 0.9
+    ref = sum(
+        comb(n, k) * g**k * (1 - g) ** (n - k) for k in range(n - 4 + 1)
+    )
+    assert got["confidence"] == pytest.approx(ref, abs=1e-10)
+
+
+def test_tolerance_interval_guards(spark):
+    from etl_java_spark.operators.dq import tolerance_interval
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError):
+        tolerance_interval(df, "g", "v", r=0)
+    with pytest.raises(ValueError):
+        tolerance_interval(df, "g", "v", coverage_pct=100)
