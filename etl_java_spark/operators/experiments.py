@@ -5773,3 +5773,244 @@ def sidak_correction(
             F.col("rank") < F.col("first_fail"), F.col("ok")
         ).alias("reject"),
     )
+
+
+def iv_wald(
+    df: DataFrame,
+    instrument_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Wald instrumental-variable estimator over a BINARY instrument:
+    LATE = (ybar_{z=1} - ybar_{z=0}) / (xbar_{z=1} - xbar_{z=0}),
+    with the first-stage compliance difference and its strength
+    t^2 ~ F (one-regressor first stage, exact moment form) — the
+    causal ratio when treatment is confounded but the instrument is
+    clean. Weak instruments (F < 10 conventionally) make the ratio
+    explode — that is exactly what the emitted first_stage_f is for.
+    Charter §2B extension.
+
+    Determinism: all moments are exact integers (treatment/outcome
+    integer-coded); every readout is a fixed tree of exact ratios;
+    callers ROUND (<= 9). Scale: ONE map-side-combinable aggregate.
+    """
+    d38 = "decimal(38,0)"
+    z = F.col(instrument_col).cast("int")
+    x = F.col(treatment_col).cast("long")
+    y = F.col(outcome_col).cast("long")
+    agg = df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(z).cast("long").alias("n1"),
+        F.sum(F.when(z == 1, x).otherwise(0)).cast("long").alias("sx1"),
+        F.sum(F.when(z == 0, x).otherwise(0)).cast("long").alias("sx0"),
+        F.sum(F.when(z == 1, y).otherwise(0)).cast("long").alias("sy1"),
+        F.sum(F.when(z == 0, y).otherwise(0)).cast("long").alias("sy0"),
+        F.sum(x.cast(d38) * x).cast(d38).alias("sxx"),
+        F.sum(x).cast("long").alias("sx"),
+    )
+    n1d = F.col("n1").cast("double")
+    n0d = (F.col("n") - F.col("n1")).cast("double")
+    dx = F.col("sx1").cast("double") / n1d - F.col("sx0").cast(
+        "double"
+    ) / n0d
+    dy = F.col("sy1").cast("double") / n1d - F.col("sy0").cast(
+        "double"
+    ) / n0d
+    # first-stage F = t^2 of the z coefficient in x ~ z:
+    # slope = dx, se^2 = s2 * (1/n1 + 1/n0), s2 from the residual SS
+    nd = F.col("n").cast("double")
+    disp = (
+        F.col("n").cast(d38) * F.col("sxx")
+        - F.col("sx").cast(d38) * F.col("sx")
+    ).cast(d38)
+    sst_x = disp.cast("double") / nd
+    ssb_x = (
+        n1d * n0d / nd
+    ) * dx * dx  # between-group SS of the binary split
+    s2 = (sst_x - ssb_x) / (nd - F.lit(2.0))
+    f_stat = F.when(
+        s2 > 0,
+        dx * dx / (s2 * (F.lit(1.0) / n1d + F.lit(1.0) / n0d)),
+    )
+    return agg.select(
+        F.col("n").alias("n_rows"),
+        F.col("n1").alias("n_instrumented"),
+        dx.alias("first_stage_dx"),
+        f_stat.alias("first_stage_f"),
+        dy.alias("reduced_form_dy"),
+        F.when(F.abs(dx) > 0, dy / dx).alias("late_wald"),
+    )
+
+
+def oaxaca_blinder(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Single-covariate Oaxaca-Blinder decomposition of the mean
+    outcome gap between groups A and B:
+    gap = ybar_A - ybar_B = EXPLAINED (xbar_A - xbar_B) * beta_B
+    + coefficient effect xbar_A * (beta_A - beta_B)
+    + intercept effect (alpha_A - alpha_B),
+    with per-group OLS (beta, alpha) from exact integer moments —
+    how much of a gap is composition vs treatment-of-composition
+    (the B-weighted, 'A viewed through B's returns' convention;
+    swap arguments for the other reference). Charter §2B extension.
+
+    Determinism: per-group OLS moments are exact decimals; the
+    decomposition identity holds to fixed-tree arithmetic; callers
+    ROUND (<= 6). Scale: ONE grouped moment aggregate (2 rows).
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    g = df.filter(F.col(group_col).isin([group_a, group_b])).groupBy(
+        F.col(group_col).alias("grp")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x.cast(d38) * y).cast(d38).alias("sxy"),
+        F.sum(x.cast(d38) * x).cast(d38).alias("sxx"),
+    )
+    n38 = F.col("n").cast(d38)
+    num = (n38 * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")).cast(
+        d38
+    )
+    den = (n38 * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")).cast(
+        d38
+    )
+    nd = F.col("n").cast("double")
+    beta = num.cast("double") / den.cast("double")
+    xbar = F.col("sx").cast("double") / nd
+    ybar = F.col("sy").cast("double") / nd
+    per = g.select(
+        "grp",
+        F.col("n"),
+        beta.alias("beta"),
+        xbar.alias("xbar"),
+        ybar.alias("ybar"),
+        (ybar - beta * xbar).alias("alpha"),
+    )
+    a = per.filter(F.col("grp") == group_a).select(
+        F.col("n").alias("n_a"),
+        F.col("beta").alias("beta_a"),
+        F.col("xbar").alias("xbar_a"),
+        F.col("ybar").alias("ybar_a"),
+        F.col("alpha").alias("alpha_a"),
+    )
+    b = per.filter(F.col("grp") == group_b).select(
+        F.col("n").alias("n_b"),
+        F.col("beta").alias("beta_b"),
+        F.col("xbar").alias("xbar_b"),
+        F.col("ybar").alias("ybar_b"),
+        F.col("alpha").alias("alpha_b"),
+    )
+    jo = a.crossJoin(b)
+    gap = F.col("ybar_a") - F.col("ybar_b")
+    explained = (F.col("xbar_a") - F.col("xbar_b")) * F.col("beta_b")
+    coef_eff = F.col("xbar_a") * (F.col("beta_a") - F.col("beta_b"))
+    icept_eff = F.col("alpha_a") - F.col("alpha_b")
+    return jo.select(
+        "n_a",
+        "n_b",
+        gap.alias("gap"),
+        explained.alias("explained"),
+        coef_eff.alias("coefficient_effect"),
+        icept_eff.alias("intercept_effect"),
+    )
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    group_col: str,
+    treat_value,
+    control_value,
+    value_col: str,
+    quantiles_pct: tuple = (25, 50, 75),
+) -> DataFrame:
+    """Quantile treatment effects over a BANDED integer outcome: the
+    treated-minus-control gap at each requested percentile (lower-
+    quantile convention, exact integer threshold compares) — where
+    in the distribution the treatment acts (a mean shift, a tail
+    stretch, a floor raise), which the q31-style mean difference
+    cannot see. One row per percentile: (pct, q_treat, q_control,
+    qte). Charter §2B extension (quantized-input contract).
+
+    Determinism: quantiles are exact order statistics via cumulative
+    counts with integer compares (100*cum >= q*n); the gap is an
+    integer. Scale: one distinct-value cum window per arm + one
+    bounded explode.
+    """
+    qs = [int(q) for q in quantiles_pct]
+    if not qs or any(not (0 < q < 100) for q in qs):
+        raise ValueError("quantiles_pct must be integers in (0, 100)")
+    g = F.col(group_col)
+    base = df.filter(g.isin([treat_value, control_value])).select(
+        F.when(g == treat_value, F.lit(1)).otherwise(0).alias("arm"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    byv = base.groupBy("arm", "v").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("arm").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = byv.select(
+        "arm",
+        "v",
+        F.sum("c").over(w).cast("long").alias("cw"),
+        F.sum("c").over(Window.partitionBy("arm")).cast("long").alias("tw"),
+    )
+    aggs = []
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("cw") >= F.lit(q) * F.col("tw"),
+                    F.col("v"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{q}")
+        )
+    arms = cum.groupBy("arm").agg(
+        F.max("tw").cast("long").alias("n_rows"), *aggs
+    )
+    t = arms.filter(F.col("arm") == 1).select(
+        F.col("n_rows").alias("n_treat"),
+        *[F.col(f"p{q}").alias(f"t{q}") for q in qs],
+    )
+    c = arms.filter(F.col("arm") == 0).select(
+        F.col("n_rows").alias("n_control"),
+        *[F.col(f"p{q}").alias(f"c{q}") for q in qs],
+    )
+    jo = t.crossJoin(c)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("long").alias("pct"),
+                F.col(f"t{q}").alias("q_treat"),
+                F.col(f"c{q}").alias("q_control"),
+                (F.col(f"t{q}") - F.col(f"c{q}"))
+                .cast("long")
+                .alias("qte"),
+            )
+            for q in qs
+        ]
+    )
+    return jo.select(
+        "n_treat",
+        "n_control",
+        F.explode(entries).alias("e"),
+    ).select(
+        "n_treat",
+        "n_control",
+        F.col("e.pct").alias("pct"),
+        F.col("e.q_treat").alias("q_treat"),
+        F.col("e.q_control").alias("q_control"),
+        F.col("e.qte").alias("qte"),
+    )

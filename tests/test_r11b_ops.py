@@ -2328,3 +2328,95 @@ def test_tolerance_interval_guards(spark):
         tolerance_interval(df, "g", "v", r=0)
     with pytest.raises(ValueError):
         tolerance_interval(df, "g", "v", coverage_pct=100)
+
+
+# ---------------------------------------------------------------------------
+# wave 36: IV/Wald, Oaxaca-Blinder, QTE
+
+
+def test_iv_wald_recovers_planted_late(spark):
+    from etl_java_spark.operators.experiments import iv_wald
+
+    # z randomizes; compliance 100% among z=1, 0% among z=0;
+    # y = 10 + 5*x deterministic -> LATE exactly 5
+    rows = []
+    for i in range(200):
+        z = i % 2
+        x = z
+        y = 10 + 5 * x
+        rows.append((z, x, y))
+    df = spark.createDataFrame(rows, "z int, x long, y long")
+    got = iv_wald(df, "z", "x", "y").collect()[0]
+    assert got["first_stage_dx"] == pytest.approx(1.0, abs=1e-12)
+    assert got["late_wald"] == pytest.approx(5.0, abs=1e-12)
+    assert got["first_stage_f"] is None or got["first_stage_f"] > 1e3
+
+
+def test_iv_wald_partial_compliance(spark):
+    from etl_java_spark.operators.experiments import iv_wald
+
+    # 50% compliance among z=1, none among z=0; effect 8 ->
+    # dy = 4, dx = 0.5, LATE = 8
+    rows = []
+    for i in range(400):
+        z = i % 2
+        x = 1 if (z == 1 and i % 4 == 1) else 0
+        y = 100 + 8 * x
+        rows.append((z, x, y))
+    df = spark.createDataFrame(rows, "z int, x long, y long")
+    got = iv_wald(df, "z", "x", "y").collect()[0]
+    assert got["first_stage_dx"] == pytest.approx(0.5, abs=1e-12)
+    assert got["late_wald"] == pytest.approx(8.0, abs=1e-9)
+    assert got["first_stage_f"] > 10
+
+
+def test_oaxaca_identity_and_components(spark):
+    from etl_java_spark.operators.experiments import oaxaca_blinder
+
+    # group A: y = 10 + 3x; group B: y = 5 + 2x with different xbars
+    rows_a = [("A", x, 10 + 3 * x) for x in (1, 2, 3, 4, 10)]
+    rows_b = [("B", x, 5 + 2 * x) for x in (1, 1, 2, 2, 4)]
+    df = spark.createDataFrame(rows_a + rows_b, "g string, x long, y long")
+    got = oaxaca_blinder(df, "g", "A", "B", "x", "y").collect()[0]
+    xa = sum(x for _, x, _ in rows_a) / 5
+    xb = sum(x for _, x, _ in rows_b) / 5
+    ya = sum(y for _, _, y in rows_a) / 5
+    yb = sum(y for _, _, y in rows_b) / 5
+    assert got["gap"] == pytest.approx(ya - yb, abs=1e-9)
+    assert got["explained"] == pytest.approx((xa - xb) * 2.0, abs=1e-9)
+    assert got["coefficient_effect"] == pytest.approx(
+        xa * (3.0 - 2.0), abs=1e-9
+    )
+    assert got["intercept_effect"] == pytest.approx(5.0, abs=1e-9)
+    # the decomposition identity
+    assert got["gap"] == pytest.approx(
+        got["explained"]
+        + got["coefficient_effect"]
+        + got["intercept_effect"],
+        abs=1e-9,
+    )
+
+
+def test_qte_level_shift_constant_effect(spark):
+    from etl_java_spark.operators.experiments import (
+        quantile_treatment_effect,
+    )
+
+    ctrl = [10, 20, 30, 40, 50, 60, 70, 80]
+    rows = [("c", v) for v in ctrl] + [("t", v + 15) for v in ctrl]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = quantile_treatment_effect(
+        df, "g", "t", "c", "v", quantiles_pct=(25, 50, 75)
+    ).collect()
+    for r in out:
+        assert r["qte"] == 15, r["pct"]
+
+
+def test_qte_rejects_bad_pct(spark):
+    from etl_java_spark.operators.experiments import (
+        quantile_treatment_effect,
+    )
+
+    df = spark.createDataFrame([("t", 1), ("c", 2)], "g string, v long")
+    with pytest.raises(ValueError):
+        quantile_treatment_effect(df, "g", "t", "c", "v", (0,))
