@@ -6381,7 +6381,10 @@ def haar_energy(
     Determinism: the pyramid is EXACT integer arithmetic end-to-end
     (sums, not averages; the 1/2^k normalization happens once per
     level in the readout); energies are exact decimal sums; each
-    readout is one double division. Callers ROUND (<= 6).
+    readout is one double division. Callers must NOT round: the raw
+    tree is engine-bitwise, while DuckDB's ROUND(double, k) corrupts
+    values whose x*10^k leaves exact-double range (the q604 sf0.001
+    lesson).
 
     Scale design: ``levels`` grouped aggregations over halving row
     counts (pair key = i div 2), all map-side combinable; no window
