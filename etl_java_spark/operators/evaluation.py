@@ -3507,3 +3507,128 @@ def diagnostic_panel(
         lr_neg.alias("lr_neg"),
         (sens + spec - F.lit(1.0)).alias("youden_j"),
     )
+
+
+def forecast_skill_scores(
+    df: DataFrame,
+    group_col: str,
+    truth_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Categorical forecast-verification skill scores per group from
+    binary (event, forecast) pairs: Heidke (HSS — accuracy above
+    chance), Peirce (PSS = sensitivity + specificity - 1, the
+    base-rate-free true-skill statistic), and the Gilbert/equitable
+    threat score (ETS — hits above chance over all flagged-or-
+    observed) — the meteorology-grade upgrades of raw accuracy for
+    RARE events, where a never-flag forecaster scores 0 on all three
+    instead of 95% accuracy. Complements q613's diagnostic-panel
+    ratios. Degenerate margins read NULL. Charter §2B extension.
+
+    Determinism: the four confusion cells are exact integers;
+    HSS/PSS/ETS reduce to exact-integer-numerator fixed trees;
+    callers ROUND (<= 9). Scale: ONE map-side-combinable grouped
+    aggregate.
+    """
+    d38 = "decimal(38,0)"
+    t = F.col(truth_col).cast("int")
+    fl = F.col(flag_col).cast("int")
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(F.when((t == 1) & (fl == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("hits"),
+        F.sum(F.when((t == 0) & (fl == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("false_alarms"),
+        F.sum(F.when((t == 1) & (fl == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("misses"),
+        F.sum(F.when((t == 0) & (fl == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("correct_neg"),
+    )
+    a = F.col("hits").cast(d38)
+    b = F.col("false_alarms").cast(d38)
+    c = F.col("misses").cast(d38)
+    d = F.col("correct_neg").cast(d38)
+    n = (a + b + c + d).cast(d38)
+    # HSS = 2(ad - bc) / ((a+c)(c+d) + (a+b)(b+d))
+    hss_num = (F.lit(2).cast(d38) * (a * d - b * c).cast(d38)).cast(d38)
+    hss_den = (
+        ((a + c).cast(d38) * (c + d).cast(d38)).cast(d38)
+        + ((a + b).cast(d38) * (b + d).cast(d38)).cast(d38)
+    ).cast(d38)
+    # PSS = (ad - bc) / ((a+c)(b+d))
+    pss_num = (a * d - b * c).cast(d38)
+    pss_den = ((a + c).cast(d38) * (b + d).cast(d38)).cast(d38)
+    # ETS: a_r = (a+b)(a+c)/n ; ETS = (a - a_r)/(a + b + c - a_r)
+    ar = ((a + b).cast(d38) * (a + c).cast(d38)).cast(d38).cast(
+        "double"
+    ) / n.cast("double")
+    ets_num = a.cast("double") - ar
+    ets_den = (a + b + c).cast("double") - ar
+    return agg.select(
+        "grp",
+        "hits",
+        "false_alarms",
+        "misses",
+        "correct_neg",
+        F.when(
+            hss_den > 0, hss_num.cast("double") / hss_den.cast("double")
+        ).alias("heidke_hss"),
+        F.when(
+            pss_den > 0, pss_num.cast("double") / pss_den.cast("double")
+        ).alias("peirce_pss"),
+        F.when(ets_den != 0, ets_num / ets_den).alias("gilbert_ets"),
+    )
+
+
+def brier_skill_score(
+    df: DataFrame,
+    group_col: str,
+    prob_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Brier skill score per group: BSS = 1 - BS / BS_clim, the
+    probability forecast's improvement over always forecasting the
+    group's own base rate (BS_clim = pbar * (1 - pbar)) — positive
+    means the scores carry real information, <= 0 means you should
+    ship the base rate instead. The skill normalization the raw
+    Brier (q?5's decomposition) lacks. Degenerate groups (base rate
+    0 or 1) read NULL. Charter §2B extension.
+
+    Determinism: per-row squared errors quantize to decimal(38,12)
+    before the grouped sum (order-free; probabilities are O(1) so
+    the grid is coarser than the ulp); the base rate is an exact
+    integer ratio; readouts are fixed trees; callers ROUND (<= 9).
+    Scale: ONE map-side-combinable grouped aggregate.
+    """
+    dq = "decimal(38,12)"
+    p = F.col(prob_col).cast("double")
+    y = F.col(outcome_col).cast("int")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        y.alias("y"),
+        F.round((p - y.cast("double")) * (p - y.cast("double")), 12)
+        .cast(dq)
+        .alias("se"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("se").cast(dq).alias("sse"),
+    )
+    nd = F.col("n_rows").cast("double")
+    bs = F.col("sse").cast("double") / nd
+    pbar = F.col("n_pos").cast("double") / nd
+    bs_clim = pbar * (F.lit(1.0) - pbar)
+    return agg.select(
+        "grp",
+        "n_rows",
+        "n_pos",
+        bs.alias("brier"),
+        bs_clim.alias("brier_clim"),
+        F.when(
+            bs_clim > 0, F.lit(1.0) - bs / bs_clim
+        ).alias("brier_skill"),
+    )

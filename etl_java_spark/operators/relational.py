@@ -1175,3 +1175,93 @@ def fractional_knapsack(
         (take * F.col("v").cast("double")).alias("value_taken"),
     )
     return out.filter(F.col("take_frac") > 0)
+
+
+def tornqvist_walsh_index(
+    base_df: DataFrame,
+    curr_df: DataFrame,
+    item_col: str,
+    price_col: str,
+    qty_col: str,
+) -> DataFrame:
+    """Tornqvist and Walsh price indexes between a base and current
+    period over a MATCHED item basket (inner join — entering/exiting
+    items drop, the matched-model convention of the q516
+    Laspeyres/Paasche/Fisher trio this completes):
+    Tornqvist = exp(sum over items of sbar_i * ln(p1/p0)) with
+    sbar = the mean of the item's expenditure shares in the two
+    periods; Walsh = sum(p1*sqrt(q0*q1)) / sum(p0*sqrt(q0*q1)) —
+    the two superlative indexes economists actually publish.
+    Charter §2B extension.
+
+    Determinism: prices/quantities are exact integers; expenditure
+    shares are exact-integer ratios broadcast from one totals row;
+    the Tornqvist log terms and Walsh sqrt terms quantize to
+    decimal(38,12)/(38,6) before their sums (order-free); the two
+    readouts are fixed trees; callers ROUND (<= 9).
+
+    Scale design: one equi-join on the item key + two broadcast
+    totals + ONE aggregate.
+    """
+    dq12 = "decimal(38,12)"
+    dq6 = "decimal(38,6)"
+
+    def prep(d, tag):
+        return d.select(
+            F.col(item_col).alias("item"),
+            F.col(price_col).cast("long").alias(f"p{tag}"),
+            F.col(qty_col).cast("long").alias(f"q{tag}"),
+        )
+
+    j = prep(base_df, "0").join(prep(curr_df, "1"), "item").filter(
+        (F.col("p0") > 0) & (F.col("p1") > 0)
+        & (F.col("q0") > 0) & (F.col("q1") > 0)
+    )
+    tot = j.agg(
+        F.sum(F.col("p0").cast("decimal(38,0)") * F.col("q0"))
+        .cast("decimal(38,0)")
+        .alias("e0"),
+        F.sum(F.col("p1").cast("decimal(38,0)") * F.col("q1"))
+        .cast("decimal(38,0)")
+        .alias("e1"),
+    )
+    jj = j.crossJoin(F.broadcast(tot))
+    s0 = (
+        (F.col("p0").cast("decimal(38,0)") * F.col("q0"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        / F.col("e0").cast("double")
+    )
+    s1 = (
+        (F.col("p1").cast("decimal(38,0)") * F.col("q1"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        / F.col("e1").cast("double")
+    )
+    sbar = (s0 + s1) / F.lit(2.0)
+    lr = F.log(
+        F.col("p1").cast("double") / F.col("p0").cast("double")
+    )
+    wq = F.sqrt(
+        (F.col("q0").cast("decimal(38,0)") * F.col("q1"))
+        .cast("decimal(38,0)")
+        .cast("double")
+    )
+    terms = jj.select(
+        F.round(sbar * lr, 12).cast(dq12).alias("tt"),
+        F.round(F.col("p1").cast("double") * wq, 6).cast(dq6).alias("wn"),
+        F.round(F.col("p0").cast("double") * wq, 6).cast(dq6).alias("wd"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("tt").cast(dq12).alias("st"),
+        F.sum("wn").cast(dq6).alias("swn"),
+        F.sum("wd").cast(dq6).alias("swd"),
+    )
+    return agg.select(
+        "n_items",
+        F.exp(F.col("st").cast("double")).alias("tornqvist"),
+        (
+            F.col("swn").cast("double") / F.col("swd").cast("double")
+        ).alias("walsh"),
+    )

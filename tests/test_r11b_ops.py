@@ -2420,3 +2420,99 @@ def test_qte_rejects_bad_pct(spark):
     df = spark.createDataFrame([("t", 1), ("c", 2)], "g string, v long")
     with pytest.raises(ValueError):
         quantile_treatment_effect(df, "g", "t", "c", "v", (0,))
+
+
+# ---------------------------------------------------------------------------
+# wave 37: skill scores, superlative indexes, Brier skill
+
+
+def test_forecast_skill_scores_known_confusion(spark):
+    from etl_java_spark.operators.evaluation import forecast_skill_scores
+
+    rows = (
+        [("g", 1, 1)] * 30 + [("g", 1, 0)] * 10
+        + [("g", 0, 1)] * 20 + [("g", 0, 0)] * 40
+    )
+    df = spark.createDataFrame(rows, "grp string, t int, f int")
+    got = forecast_skill_scores(df, "grp", "t", "f").collect()[0]
+    a, b, c, d = 30, 20, 10, 40
+    n = 100
+    hss = 2 * (a * d - b * c) / ((a + c) * (c + d) + (a + b) * (b + d))
+    pss = (a * d - b * c) / ((a + c) * (b + d))
+    ar = (a + b) * (a + c) / n
+    ets = (a - ar) / (a + b + c - ar)
+    assert got["heidke_hss"] == pytest.approx(hss, abs=1e-12)
+    assert got["peirce_pss"] == pytest.approx(pss, abs=1e-12)
+    assert got["gilbert_ets"] == pytest.approx(ets, abs=1e-12)
+
+
+def test_skill_scores_never_flag_is_zero(spark):
+    from etl_java_spark.operators.evaluation import forecast_skill_scores
+
+    # never flags: a = b = 0 -> all three skills exactly 0
+    rows = [("g", 1, 0)] * 5 + [("g", 0, 0)] * 95
+    df = spark.createDataFrame(rows, "grp string, t int, f int")
+    got = forecast_skill_scores(df, "grp", "t", "f").collect()[0]
+    assert got["heidke_hss"] == 0.0
+    assert got["peirce_pss"] == 0.0
+    assert got["gilbert_ets"] == 0.0
+
+
+def test_tornqvist_walsh_uniform_inflation(spark):
+    from etl_java_spark.operators.relational import tornqvist_walsh_index
+
+    # every price doubles, quantities move arbitrarily: both
+    # superlative indexes must read exactly 2
+    base = [(i, 100 + i, 10 + i) for i in range(1, 9)]
+    curr = [(i, 2 * (100 + i), 17 - i) for i in range(1, 9)]
+    b = spark.createDataFrame(base, "item long, p long, q long")
+    c = spark.createDataFrame(curr, "item long, p long, q long")
+    got = tornqvist_walsh_index(b, c, "item", "p", "q").collect()[0]
+    assert got["n_items"] == 8
+    assert got["tornqvist"] == pytest.approx(2.0, abs=1e-9)
+    # walsh terms quantize at the 1e-6 grid -> ~1e-9 relative noise
+    assert got["walsh"] == pytest.approx(2.0, abs=1e-8)
+
+
+def test_tornqvist_matches_reference(spark):
+    from etl_java_spark.operators.relational import tornqvist_walsh_index
+
+    base = [(1, 100, 5), (2, 200, 3), (3, 50, 10)]
+    curr = [(1, 110, 4), (2, 180, 5), (3, 75, 8)]
+    b = spark.createDataFrame(base, "item long, p long, q long")
+    c = spark.createDataFrame(curr, "item long, p long, q long")
+    got = tornqvist_walsh_index(b, c, "item", "p", "q").collect()[0]
+    e0 = sum(p * q for _, p, q in base)
+    e1 = sum(p * q for _, p, q in curr)
+    lt = 0.0
+    wn = wd = 0.0
+    for (i, p0, q0), (_, p1, q1) in zip(base, curr):
+        s = (p0 * q0 / e0 + p1 * q1 / e1) / 2
+        lt += round(s * math.log(p1 / p0), 12)
+        wq = math.sqrt(q0 * q1)
+        wn += round(p1 * wq, 6)
+        wd += round(p0 * wq, 6)
+    assert got["tornqvist"] == pytest.approx(math.exp(lt), abs=1e-10)
+    assert got["walsh"] == pytest.approx(wn / wd, abs=1e-10)
+
+
+def test_brier_skill_score_perfect_and_climatology(spark):
+    from etl_java_spark.operators.evaluation import brier_skill_score
+
+    # perfect forecaster: BSS = 1
+    rows = [("p", 1.0, 1)] * 30 + [("p", 0.0, 0)] * 70
+    # climatology forecaster (p = base rate 0.3): BSS = 0
+    rows += [("c", 0.3, 1)] * 30 + [("c", 0.3, 0)] * 70
+    df = spark.createDataFrame(rows, "grp string, p double, y int")
+    got = {r["grp"]: r for r in brier_skill_score(df, "grp", "p", "y").collect()}
+    assert got["p"]["brier_skill"] == pytest.approx(1.0, abs=1e-12)
+    assert got["c"]["brier_skill"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_brier_skill_degenerate_null(spark):
+    from etl_java_spark.operators.evaluation import brier_skill_score
+
+    rows = [("g", 0.4, 1)] * 5  # base rate 1 -> clim 0 -> NULL
+    df = spark.createDataFrame(rows, "grp string, p double, y int")
+    got = brier_skill_score(df, "grp", "p", "y").collect()[0]
+    assert got["brier_skill"] is None
