@@ -1509,8 +1509,17 @@ def heaps_fit(
     from one min/max broadcast — NO global row window over the
     document table), so the only per-row work is the token explode;
     cumulative tokens and cumulative first-occurrence vocabulary are
-    prefix sums over the B-row bucket table, and the log-log OLS folds
-    over those B points in bucket order (the hurst_rs discipline).
+    prefix sums over the B-row bucket table.
+
+    Determinism: each ln term is quantized ROUND(ln, 9)::decimal(12,9)
+    BEFORE the OLS moments are summed (grid 1e-9, ~6 orders coarser
+    than the ~2e-16 relative ulp libm/Math.log latitude), so the sums
+    are exact order-free decimal adds and the beta/k readout is one
+    fixed double tree over bitwise-identical inputs — the repo-wide
+    quantize-before-sum contract. (The pre-r12 version folded RAW
+    double ln terms into a ROUND(...,9) readout and drew the corpus's
+    one driver-red hash row, CORRECTNESS_r11 q434: Math.log/exp carry
+    1-ulp latitude that differs across libm builds and JIT runs.)
 
     Returns one row per non-empty bucket:
     (bucket, n_cum, v_cum, beta, k_coef) with the shared fit repeated.
@@ -1549,25 +1558,23 @@ def heaps_fit(
         )
         .filter((F.col("n_cum") > 0) & (F.col("v_cum") > 0))
     )
-    pts = curve.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    "b",
-                    F.log(F.col("n_cum").cast("double")).alias("x"),
-                    F.log(F.col("v_cum").cast("double")).alias("y"),
-                )
-            )
-        ).alias("__p")
+    qx = F.round(F.log(F.col("n_cum").cast("double")), 9).cast(
+        "decimal(12,9)"
     )
-    arr = F.col("__p")
-    n = F.size(arr).cast("double")
-    sx = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["x"])
-    sy = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["y"])
-    sxy = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["x"] * x["y"])
-    sxx = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["x"] * x["x"])
+    qy = F.round(F.log(F.col("v_cum").cast("double")), 9).cast(
+        "decimal(12,9)"
+    )
+    mom = curve.select(qx.alias("x"), qy.alias("y")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
     beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    fit = pts.select(
+    fit = mom.select(
         beta.alias("beta"),
         F.exp((sy - beta * sx) / n).alias("k_coef"),
     )

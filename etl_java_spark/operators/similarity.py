@@ -1507,7 +1507,7 @@ def lloyd_deterministic(
         pts.orderBy("pid")
         .limit(int(k))
         .select(
-            F.row_number().over(w).alias("cid"),
+            F.row_number().over(w).cast("long").alias("cid"),
             F.transform(F.col("xq"), lambda v: v.cast("double")).alias(
                 "c"
             ),

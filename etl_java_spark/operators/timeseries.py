@@ -6323,7 +6323,7 @@ def periodogram_at(
         (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("u"),
     )
     sc = F.explode(
-        F.array(*[F.lit(int(p)) for p in periods])
+        F.array(*[F.lit(int(p)).cast("long") for p in periods])
     ).alias("period")
     un = F.col("u").cast("double") / F.col("n").cast("double")
     rows = u.select("grp", "n", "i", un.alias("un"), sc)

@@ -515,3 +515,31 @@ def test_q610_circular_stats_single_aggregate_no_window(spark):
     plan = plan_of(spark, "q610_circular_stats", "simple")
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+def test_q535_ktruss_candidate_join_is_banded(spark):
+    """The k-truss candidate graph must equi-join on (brand, bkt) —
+    the $1-bucket banded key — never on brand alone with the price
+    band as a post-join filter: the brand-only block join is
+    block-quadratic (SCALE.md's 100x protocol DNF'd it at ~6.4e9
+    candidate pairs per brand). The banded probe explodes 3 bucket
+    offsets, so the plan must Generate (explode) AND every join key
+    set that includes p_brand must include the bucket too. Explains
+    the module-level candidate builder directly — k_truss checkpoints
+    its edges, cutting this subplan from the final query's lineage."""
+    import re
+
+    df = Q._q535_knn_graph(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "Generate" in plan, "banded probe's 3-offset explode missing"
+    joins = re.findall(r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)\s*\[([^\]]*)\]", plan)
+    brand_joins = [k for k in joins if "brand" in k]
+    assert brand_joins, "candidate join on brand not found"
+    for keys in brand_joins:
+        assert "bkt" in keys, (
+            f"brand join without banded bucket key: [{keys}] — "
+            "block-quadratic candidate builder regressed"
+        )

@@ -1404,12 +1404,23 @@ def test_heaps_fit_matches_reference(spark):
         pts.append((b, n_cum, len(seen)))
     got = [(r["bucket"], r["n_cum"], r["v_cum"]) for r in rows]
     assert got == pts
-    xs = [math.log(n) for _, n, _ in pts]
-    ys = [math.log(v) for _, _, v in pts]
-    n = len(pts)
-    sx, sy = sum(xs), sum(ys)
-    sxy = sum(x * y for x, y in zip(xs, ys))
-    sxx = sum(x * x for x in xs)
+    # the r12 determinism contract: each ln term quantizes to the
+    # 1e-9 decimal grid (HALF_UP on the double's exact value — what
+    # Spark's ROUND+decimal(12,9) cast computes) BEFORE the exact
+    # order-free decimal sums; beta/k are one double tree after.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    g = Decimal("1e-9")
+    xs = [
+        Decimal(math.log(n)).quantize(g, ROUND_HALF_UP) for _, n, _ in pts
+    ]
+    ys = [
+        Decimal(math.log(v)).quantize(g, ROUND_HALF_UP) for _, _, v in pts
+    ]
+    n = float(len(pts))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    sxx = float(sum(x * x for x in xs))
     beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     k = math.exp((sy - beta * sx) / n)
     assert rows[0]["beta"] == pytest.approx(beta, rel=1e-12)
