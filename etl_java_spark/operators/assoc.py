@@ -553,9 +553,16 @@ def theils_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
 
     Scale: one (x, y) grouped count; marginals derive FROM the cell
     table (no second data pass). The contingency table must be
-    category-bounded (metadata-sized) — the three c*ln(c) folds run in
-    key order over collected arrays (the conditional_entropy
-    determinism contract; callers round per the log contract).
+    category-bounded (metadata-sized).
+
+    Determinism (r12 hardening, the q434 lesson): each entropy term
+    is c * ROUND(ln(c), 9)::decimal(12,9) — the ln factor quantizes
+    to the 1e-9 grid (~6 orders coarser than its ulp, so 1-ulp
+    libm/JIT latitude maps both engines to the same grid point) and
+    the exact-integer count multiplies IN DECIMAL, so the sums are
+    exact order-free decimal adds (no ordered fold needed); the H
+    readouts are one fixed double tree. Callers round per the log
+    contract.
 
     Returns one row: (n, n_cells, h_y_bits, h_y_given_x_bits, theil_u).
     """
@@ -573,18 +580,10 @@ def theils_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     cy = cells.groupBy("y").agg(F.sum("c").cast("long").alias("c"))
 
     def fold(t: DataFrame, keys: list[str], alias: str) -> DataFrame:
-        term = (
-            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
-        ).alias("t")
-        return (
-            t.select(F.struct(*keys, term).alias("__e"))
-            .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
-            .select(
-                F.aggregate(
-                    F.col("__arr"), F.lit(0.0), lambda a, e: a + e["t"]
-                ).alias(alias)
-            )
-        )
+        term = F.col("c").cast("decimal(15,0)") * F.round(
+            F.log(F.col("c").cast("double")), 9
+        ).cast("decimal(12,9)")
+        return t.agg(F.sum(term).cast("double").alias(alias))
 
     tot = cells.agg(
         F.sum("c").cast("long").alias("n"),

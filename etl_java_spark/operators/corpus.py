@@ -1701,11 +1701,13 @@ def conditional_entropy(
                = (SUM_x c_x log2 c_x - SUM_xy c_xy log2 c_xy) / N
 
     computed entirely from bigram/unigram COUNTS (both identities
-    exact-integer inputs to the logs). The two log folds run in
-    token/bigram order (the cramers_v determinism contract; round per
-    the log contract). Adjacent within-document pairs only — documents
-    never chain into each other. Returns one row:
-    (n_bigrams, n_contexts, h_cond_bits).
+    exact-integer inputs to the logs). Each entropy term is
+    c * ROUND(ln c, 9)::decimal(12,9) — the ln factor quantizes to
+    the 1e-9 grid before the exact-integer count multiplies it in
+    decimal, so both sums are exact order-free decimal adds (r12
+    hardening, the q434 lesson; round per the log contract).
+    Adjacent within-document pairs only — documents never chain into
+    each other. Returns one row: (n_bigrams, n_contexts, h_cond_bits).
     """
     toks = F.filter(
         F.array_remove(
@@ -1737,43 +1739,15 @@ def conditional_entropy(
     uni = big.groupBy("x").agg(F.sum("cxy").cast("long").alias("cx"))
     n = big.agg(F.sum("cxy").cast("long").alias("n"))
     ln2 = 0.6931471805599453
-    bfold = (
-        big.select(
-            F.struct(
-                "x", "y",
-                (
-                    F.col("cxy").cast("double")
-                    * F.log(F.col("cxy").cast("double"))
-                ).alias("t"),
-            ).alias("__e")
-        )
-        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
-        .select(
-            F.aggregate(
-                F.col("__arr"), F.lit(0.0), lambda a, e: a + e["t"]
-            ).alias("sxy"),
-        )
-    )
-    ufold = (
-        uni.select(
-            F.struct(
-                "x",
-                (
-                    F.col("cx").cast("double")
-                    * F.log(F.col("cx").cast("double"))
-                ).alias("t"),
-            ).alias("__e")
-        )
-        .agg(
-            F.count("*").cast("long").alias("n_contexts"),
-            F.array_sort(F.collect_list("__e")).alias("__arr"),
-        )
-        .select(
-            "n_contexts",
-            F.aggregate(
-                F.col("__arr"), F.lit(0.0), lambda a, e: a + e["t"]
-            ).alias("sx"),
-        )
+    def clnc(col: str):
+        return F.col(col).cast("decimal(15,0)") * F.round(
+            F.log(F.col(col).cast("double")), 9
+        ).cast("decimal(12,9)")
+
+    bfold = big.agg(F.sum(clnc("cxy")).cast("double").alias("sxy"))
+    ufold = uni.agg(
+        F.count("*").cast("long").alias("n_contexts"),
+        F.sum(clnc("cx")).cast("double").alias("sx"),
     )
     j = n.crossJoin(F.broadcast(bfold)).crossJoin(F.broadcast(ufold))
     h = (F.col("sx") - F.col("sxy")) / (
@@ -1950,8 +1924,13 @@ def hill_tail_index(
 
     Scale: one token-count groupBy (map-side combinable), ONE top-k
     (count desc, token asc — deterministic under count ties) via
-    TakeOrdered, and a k-bounded ordered log fold (log contract —
-    callers round).
+    TakeOrdered, and a k-bounded log-term sum.
+
+    Determinism (r12 hardening, the q434 lesson): each log-ratio
+    term quantizes ROUND(ln, 9)::decimal(12,9) BEFORE the sum —
+    1-ulp libm/JIT latitude maps both engines to the same 1e-9 grid
+    point, and the sum is an exact order-free decimal add (log
+    contract — callers round).
 
     Returns one row: (k, c_tail, hill_alpha).
     """
@@ -1972,27 +1951,20 @@ def hill_tail_index(
     tail = ranked.filter(F.col("rk") == int(k) + 1).select(
         F.col("c").alias("c_tail")
     )
+    lr = F.round(
+        F.log(F.col("c").cast("double") / F.col("c_tail").cast("double")),
+        9,
+    ).cast("decimal(12,9)")
     folded = (
         ranked.filter(F.col("rk") <= int(k))
         .crossJoin(F.broadcast(tail))
-        .select(
-            F.struct(
-                "rk",
-                F.log(
-                    F.col("c").cast("double")
-                    / F.col("c_tail").cast("double")
-                ).alias("lr"),
-            ).alias("__e"),
-            "c_tail",
-        )
         .groupBy("c_tail")
-        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+        .agg(F.sum(lr).cast("double").alias("s"))
     )
-    s = F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, e: a + e["lr"])
     return folded.select(
         F.lit(int(k)).cast("long").alias("k"),
         "c_tail",
-        (F.lit(float(k)) / s).alias("hill_alpha"),
+        (F.lit(float(k)) / F.col("s")).alias("hill_alpha"),
     )
 
 

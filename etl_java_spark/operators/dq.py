@@ -1769,24 +1769,27 @@ def group_central_means(
 
     Zero/negative/NULL values are EXCLUDED (GM/HM are undefined
     there); n reports the kept count so the exclusion is visible.
-    Determinism: the arithmetic sum is exact decimal; the log and
-    reciprocal sums pass through decimal(38,18) casts per row
-    (order-independent — the pagerank contribution discipline); GM
-    rounds per the log contract. ONE grouped pass. Returns one row
-    per group: (grp, n, mean_arith, mean_geo, mean_harm).
+    Determinism: the arithmetic sum is exact decimal; each log term
+    quantizes ROUND(ln, 9)::decimal(12,9) before its exact order-free
+    sum (r12 hardening, the q434 lesson — a raw decimal(38,18) cast
+    preserved 1-ulp libm/JIT ln latitude); the reciprocal is
+    exact-input IEEE arithmetic (no libm), so its decimal(38,18)
+    cast stays. GM rounds per the log contract. ONE grouped pass.
+    Returns one row per group: (grp, n, mean_arith, mean_geo,
+    mean_harm).
     """
     g = F.col(group_col)
     v = F.col(value_col).cast("double")
     base = df.filter(g.isNotNull() & (F.col(value_col) > 0)).select(
         g.alias("grp"),
         F.col(value_col).cast("decimal(38,0)").alias("vi"),
-        F.log(v).cast("decimal(38,18)").alias("lv"),
+        F.round(F.log(v), 9).cast("decimal(12,9)").alias("lv"),
         (F.lit(1.0) / v).cast("decimal(38,18)").alias("rv"),
     )
     per = base.groupBy("grp").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("vi").cast("decimal(38,0)").alias("s1"),
-        F.sum("lv").cast("decimal(38,18)").alias("sl"),
+        F.sum("lv").cast("decimal(38,9)").alias("sl"),
         F.sum("rv").cast("decimal(38,18)").alias("sr"),
     )
     nd = F.col("n").cast("double")
@@ -1985,8 +1988,12 @@ def theil_decomposition(
         T_total = T_betw + SUM_g s_g T_g          (exact identity)
 
     Positive values only (ln; zero/negative rows are excluded and the
-    kept count reported). SUM x ln x accumulates via per-row
-    decimal(38,18) casts (order-independent); Sx/n are exact decimal.
+    kept count reported). SUM x ln x accumulates as the exact decimal
+    product x::decimal(20,0) * ROUND(ln x, 9)::decimal(12,9) (r12
+    hardening, the q434 lesson: quantizing the ln factor to the 1e-9
+    grid absorbs 1-ulp libm/JIT latitude that the old raw-double
+    decimal(38,18) cast preserved; the sum is then an exact
+    order-free decimal add); Sx/n are exact decimal.
     ONE grouped pass + a one-row global rollup. Returns one row per
     group: (grp, n, mean, value_share, t_within, t_between, t_total)
     with the two global columns repeated (ordered fold over groups).
@@ -1997,18 +2004,18 @@ def theil_decomposition(
         g.alias("grp"),
         F.col(value_col).cast("long").alias("v"),
     )
-    xlx = (
-        F.col("v").cast("double") * F.log(F.col("v").cast("double"))
-    ).cast("decimal(38,18)")
+    xlx = F.col("v").cast("decimal(20,0)") * F.round(
+        F.log(F.col("v").cast("double")), 9
+    ).cast("decimal(12,9)")
     per = base.groupBy("grp").agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("v").cast(d38)).cast(d38).alias("sx"),
-        F.sum(xlx).cast("decimal(38,18)").alias("sxl"),
+        F.sum(xlx).cast("decimal(38,9)").alias("sxl"),
     )
     tot = per.agg(
         F.sum("n").cast("long").alias("nn"),
         F.sum("sx").cast(d38).alias("sxx"),
-        F.sum("sxl").cast("decimal(38,18)").alias("sxxl"),
+        F.sum("sxl").cast("decimal(38,9)").alias("sxxl"),
     )
     j = per.crossJoin(F.broadcast(tot))
     ng = F.col("n").cast("double")
@@ -2147,11 +2154,17 @@ def inequality_profile(
             .alias("hn")
         )
     )
+    # ln terms quantize ROUND(ln, 9)::decimal(12,9) (r12 hardening,
+    # the q434 lesson — 1-ulp libm/JIT ln latitude would survive a
+    # raw decimal(38,18) cast); 1/v is exact-input IEEE arithmetic
+    # (no libm), so its decimal(38,18) cast stays.
     moments = base.groupBy("grp").agg(
         F.sum(
-            F.log(F.col("v").cast("double")).cast("decimal(38,18)")
+            F.round(F.log(F.col("v").cast("double")), 9).cast(
+                "decimal(12,9)"
+            )
         )
-        .cast("decimal(38,18)")
+        .cast("decimal(38,9)")
         .alias("sl"),
         F.sum(
             (F.lit(1.0) / F.col("v").cast("double")).cast("decimal(38,18)")

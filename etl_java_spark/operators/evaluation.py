@@ -2635,30 +2635,38 @@ def log_log_elasticity(
     with p_i = num_i / den_i (e.g. revenue cents over quantity
     hundredths). The cross-sectional price-sensitivity readout.
 
-    Determinism: per-unit p and the two logs are fixed double trees;
-    the six regression moments are sums of DOUBLES, so each term is
-    cast to decimal(38,18) before summing (the pagerank
-    order-independence trick) — partitioning can't reorder them. The
-    engines' ln may drift a last ulp, so callers ROUND outputs (<= 9,
-    log contract).
+    Determinism (r12 hardening, the q434 lesson): each log quantizes
+    ROUND(ln, 9)::decimal(12,9) BEFORE the moment sums — a raw ln
+    cast to decimal(38,18) preserved the engines'/JIT's 1-ulp ln
+    latitude inside the sums; the 1e-9 grid (~6 orders coarser than
+    the ln ulp) maps both engines to the same grid point, products
+    are exact decimal(25,18), and the six moments are exact
+    order-free decimal adds. The OLS readout is one fixed double
+    tree; callers ROUND outputs (<= 9, log contract).
 
     Returns one row: (n_units, beta0, elasticity, r2).
     """
-    d = "decimal(38,18)"
     base = df.select(
-        F.log(
-            F.col(unit_num_col).cast("double")
-            / F.col(unit_den_col).cast("double")
-        ).alias("lp"),
-        F.log(F.col(qty_col).cast("double")).alias("lq"),
+        F.round(
+            F.log(
+                F.col(unit_num_col).cast("double")
+                / F.col(unit_den_col).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(12,9)")
+        .alias("lp"),
+        F.round(F.log(F.col(qty_col).cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("lq"),
     ).filter(F.col("lp").isNotNull() & F.col("lq").isNotNull())
     m = base.agg(
         F.count("*").cast("long").alias("n_units"),
-        F.sum(F.col("lp").cast(d)).cast("double").alias("sx"),
-        F.sum(F.col("lq").cast(d)).cast("double").alias("sy"),
-        F.sum((F.col("lp") * F.col("lp")).cast(d)).cast("double").alias("sxx"),
-        F.sum((F.col("lp") * F.col("lq")).cast(d)).cast("double").alias("sxy"),
-        F.sum((F.col("lq") * F.col("lq")).cast(d)).cast("double").alias("syy"),
+        F.sum("lp").cast("double").alias("sx"),
+        F.sum("lq").cast("double").alias("sy"),
+        F.sum(F.col("lp") * F.col("lp")).cast("double").alias("sxx"),
+        F.sum(F.col("lp") * F.col("lq")).cast("double").alias("sxy"),
+        F.sum(F.col("lq") * F.col("lq")).cast("double").alias("syy"),
     )
     n = F.col("n_units").cast("double")
     b1 = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (

@@ -3728,10 +3728,17 @@ def bartlett_test(
     execution. Without it, a one-off eager distinct count runs over
     the SAME NULL-filtered frame the aggregate uses.
 
-    Scale: ONE grouped exact-integer moment pass; the k-bounded group
-    table folds its ln(S_i^2) terms in group order (conditional-
-    entropy determinism contract; callers round per the log
-    contract).
+    Scale: ONE grouped exact-integer moment pass over a k-bounded
+    group table.
+
+    Determinism (r12 hardening, the q434 lesson): both ln sites
+    quantize to the 1e-9 decimal grid before their big-N multipliers
+    — (n_i - 1) * ROUND(ln(S_i^2), 9)::decimal(12,9) summed as exact
+    decimals, and nk * ROUND(ln(Sp^2), 9) in the statistic — because
+    (n_i - 1) ~ 3e4 would amplify 1-ulp libm/JIT ln latitude to
+    ~3e-10, within an order of the readout grid. The w/inv folds stay
+    ordered double folds (pure arithmetic of exact-integer-derived
+    doubles — no libm inside). Callers round per the log contract.
 
     Returns one row: (k_groups, n_total, t_stat, p_value).
     """
@@ -3751,13 +3758,16 @@ def bartlett_test(
         nid * F.col("ss").cast("double")
         - F.col("s").cast("double") * F.col("s").cast("double")
     ) / (nid * (nid - F.lit(1.0)))
+    lnq = F.round(F.log(s2i), 9).cast("decimal(12,9)")
     terms = g.select(
         "ni",
         "s",
         "ss",
+        ((F.col("ni") - F.lit(1)).cast("decimal(15,0)") * lnq).alias(
+            "tq"
+        ),
         F.struct(
             "grp",
-            ((nid - F.lit(1.0)) * F.log(s2i)).alias("t"),
             ((nid - F.lit(1.0)) * s2i).alias("w"),
             (F.lit(1.0) / (nid - F.lit(1.0))).alias("inv"),
         ).alias("__e"),
@@ -3765,11 +3775,10 @@ def bartlett_test(
     one = terms.agg(
         F.count("*").cast("long").alias("k_groups"),
         F.sum("ni").cast("long").alias("n_total"),
+        F.sum("tq").cast("double").alias("fold_t"),
         F.array_sort(F.collect_list("__e")).alias("__arr"),
     )
-    fold_t = F.aggregate(
-        F.col("__arr"), F.lit(0.0), lambda a, e: a + e["t"]
-    )
+    fold_t = F.col("fold_t")
     fold_w = F.aggregate(
         F.col("__arr"), F.lit(0.0), lambda a, e: a + e["w"]
     )
@@ -3783,7 +3792,7 @@ def bartlett_test(
     c = F.lit(1.0) + (fold_i - F.lit(1.0) / nk) / (
         F.lit(3.0) * (kd - F.lit(1.0))
     )
-    t = (nk * F.log(sp2) - fold_t) / c
+    t = (nk * F.round(F.log(sp2), 9) - fold_t) / c
     out = one.select("k_groups", "n_total", t.alias("t_stat"))
     # df = k - 1 must be even for the elementary p. chi2_sf_even needs
     # the literal df at plan time: take it from n_groups (action-free)
@@ -3914,8 +3923,14 @@ def anderson_darling_uniform(
     grid (endpoint observations would otherwise hit ln 0). Tie runs
     collapse exactly: a value with count c, cumulative-before cb
     contributes ln(u) c(2cb+c) + ln(1-u) c(2(n-cb)-c) — integer
-    weights, per-value fixed trees, one ordered value-grid fold (log
-    contract: callers round).
+    weights.
+
+    Determinism (r12 hardening, the q434 lesson): each ln factor
+    quantizes ROUND(ln, 9)::decimal(12,9) BEFORE the exact-integer
+    weight multiplies it in decimal — the big weights (~n per value)
+    would otherwise amplify 1-ulp libm/JIT ln latitude to ~n*ulp,
+    within two orders of the readout grid. The weighted sum is an
+    exact order-free decimal add (log contract: callers round).
 
     Returns one row: (n, v_min, v_max, a2_stat).
     """
@@ -3943,21 +3958,17 @@ def anderson_darling_uniform(
     ) / ((F.col("v_max") - F.col("v_min")).cast("double") + F.lit(1.0))
     c = F.col("c")
     cb = F.col("cb")
-    w1 = (c * (F.lit(2) * cb + c)).cast("double")
-    w2 = (c * (F.lit(2) * (F.col("n") - cb) - c)).cast("double")
-    term = F.log(u) * w1 + F.log(F.lit(1.0) - u) * w2
-    folded = (
-        cum.select(
-            "n", "v_min", "v_max",
-            F.struct("val", term.alias("t")).alias("__e"),
-        )
-        .groupBy("n", "v_min", "v_max")
-        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    w1 = (c * (F.lit(2) * cb + c)).cast("decimal(18,0)")
+    w2 = (c * (F.lit(2) * (F.col("n") - cb) - c)).cast("decimal(18,0)")
+    lq1 = F.round(F.log(u), 9).cast("decimal(12,9)")
+    lq2 = F.round(F.log(F.lit(1.0) - u), 9).cast("decimal(12,9)")
+    term = lq1 * w1 + lq2 * w2
+    folded = cum.groupBy("n", "v_min", "v_max").agg(
+        F.sum(term).cast("double").alias("s")
     )
-    s = F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, e: a + e["t"])
     return folded.select(
         "n", "v_min", "v_max",
-        (-nd - s / nd).alias("a2_stat"),
+        (-nd - F.col("s") / nd).alias("a2_stat"),
     )
 
 

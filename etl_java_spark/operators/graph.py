@@ -996,12 +996,13 @@ def adamic_adar(
 
         AA(u, v) = SUM over shared neighbors c of 1 / ln(deg_c)
 
-    The per-center weights are doubles, so the per-pair sum runs
-    through decimal(38,18) casts (order-independent — the
-    source_divergence trick that lifts the "one ln away" caveat in
-    link_prediction's docstring); callers round per the PMI/zipf log
-    contract. A wedge center always has degree >= 2, so ln never hits
-    zero. Same scale shape as link_prediction: canonical undirected
+    The per-center weight quantizes ROUND(1/ln(deg), 9)::decimal(12,9)
+    at construction (r12 hardening, the q434 lesson: the raw-double
+    decimal(38,18) cast preserved 1-ulp libm/JIT ln latitude inside
+    the per-pair sums; the 1e-9 grid maps both engines to the same
+    point and the sums are exact order-free decimal adds); callers
+    round per the PMI/zipf log contract. A wedge center always has
+    degree >= 2, so ln never hits zero. Same scale shape as link_prediction: canonical undirected
     edges once, ``max_degree``-capped wedge centers (the sum-deg^2
     knob), anti-join against existing edges. Returns
     (node_u, node_v, cn, aa) top-k by (aa desc, pair).
@@ -1020,7 +1021,9 @@ def adamic_adar(
         (F.col("d") <= max_degree) & (F.col("d") >= 2)
     ).select(
         F.col("x").alias("c"),
-        (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("w"),
+        F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("w"),
     )
     doubled = und.select(
         F.col("u").alias("c"), F.col("v").alias("l")
@@ -1041,9 +1044,7 @@ def adamic_adar(
         wedges.groupBy("u", "v")
         .agg(
             F.count("*").cast("long").alias("cn"),
-            F.sum(F.col("w").cast("decimal(38,18)"))
-            .cast("double")
-            .alias("aa"),
+            F.sum("w").cast("double").alias("aa"),
         )
         .join(und, ["u", "v"], "left_anti")
     )

@@ -2487,23 +2487,23 @@ def hurst_rs(
             ).alias("rs_avg"),
         )
     )
-    pts = perw.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    "w",
-                    F.log(F.col("w").cast("double")).alias("x"),
-                    F.log("rs_avg").alias("y"),
-                )
-            )
-        ).alias("__p")
+    # r12 hardening (the q434 lesson): both ln terms quantize
+    # ROUND(ln, 9)::decimal(12,9) before the OLS moment sums — exact
+    # order-free decimal adds absorb 1-ulp libm/JIT ln latitude; the
+    # slope is one fixed double tree over bitwise-identical sums.
+    qx = F.round(F.log(F.col("w").cast("double")), 9).cast(
+        "decimal(12,9)"
     )
-    arr = F.col("__p")
-    n = F.size(arr).cast("double")
-    sx = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["x"])
-    sy = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["y"])
-    sxy = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["x"] * x["y"])
-    sxx = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["x"] * x["x"])
+    qy = F.round(F.log("rs_avg"), 9).cast("decimal(12,9)")
+    pts = perw.select(qx.alias("x"), qy.alias("y")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
     slope = pts.select(
         ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("hurst")
     )

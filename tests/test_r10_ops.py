@@ -1086,6 +1086,14 @@ def test_icc_oneway_matches_reference(spark):
     assert out["icc"] > 0.9  # the planted subject effect dominates
 
 
+
+def _q9(x):
+    """Replay the r12 determinism contract: quantize a libm value to
+    the 1e-9 decimal grid (HALF_UP — what Spark's ROUND computes)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
 def test_hurst_rs_matches_reference(spark):
     import math
 
@@ -1116,13 +1124,22 @@ def test_hurst_rs_matches_reference(spark):
             rss.append((max(devs) - min(devs)) / math.sqrt(w * ss - s * s))
         return rss
 
+    # r12 determinism contract: ln terms quantize to the 1e-9 grid
+    # before the OLS moment sums (the q434 lesson)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q9(x):
+        return float(
+            Decimal(x).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        )
+
     pts = []
     for w in (4, 8):
         rss = rs_stats(w)
         avg = sum(rss) / len(rss)
         assert out[w]["n_blocks"] == len(rss)
         assert out[w]["rs_avg"] == pytest.approx(avg, rel=1e-12)
-        pts.append((math.log(w), math.log(avg)))
+        pts.append((q9(math.log(w)), q9(math.log(avg))))
     n = len(pts)
     sx = sum(x for x, _ in pts)
     sy = sum(y for _, y in pts)
@@ -1527,13 +1544,22 @@ def test_adamic_adar_matches_reference(spark):
         (r["node_u"], r["node_v"]): r
         for r in adamic_adar(df, topk=50).collect()
     }
+    # r12 determinism contract: the 1/ln(deg) weight quantizes to
+    # the 1e-9 grid at construction (the q434 lesson)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def w9(d):
+        return float(
+            Decimal(1 / math.log(d)).quantize(
+                Decimal("1e-9"), ROUND_HALF_UP
+            )
+        )
+
     r13 = rows[(1, 3)]
     assert r13["cn"] == 2
-    assert r13["aa"] == pytest.approx(
-        1 / math.log(2) + 1 / math.log(4), rel=1e-12
-    )
+    assert r13["aa"] == pytest.approx(w9(2) + w9(4), rel=1e-12)
     # wedge through the hub only: weight 1/ln(4) each
-    assert rows[(1, 4)]["aa"] == pytest.approx(1 / math.log(4), rel=1e-12)
+    assert rows[(1, 4)]["aa"] == pytest.approx(w9(4), rel=1e-12)
     # existing edges never appear
     assert (1, 2) not in rows and (2, 3) not in rows
     # rare-neighbor weighting: (1,3) outranks every hub-only pair
@@ -2181,7 +2207,7 @@ def test_group_central_means_matches_reference(spark):
     }
     xs = [1, 2, 4, 8]
     am = sum(xs) / 4
-    gm = math.exp(sum(math.log(x) for x in xs) / 4)
+    gm = math.exp(sum(_q9(math.log(x)) for x in xs) / 4)
     hm = 4 / sum(1 / x for x in xs)
     assert out["g"]["mean_arith"] == pytest.approx(am, rel=1e-12)
     assert out["g"]["mean_geo"] == pytest.approx(gm, rel=1e-12)
@@ -2189,7 +2215,7 @@ def test_group_central_means_matches_reference(spark):
     assert am >= gm >= hm
     # zero excluded, n reports the kept count
     assert out["z"]["n"] == 1 and out["z"]["mean_geo"] == pytest.approx(
-        5.0, rel=1e-12
+        5.0, rel=1e-8  # ln quantizes to the 1e-9 grid (r12 contract)
     )
 
 
@@ -2300,8 +2326,11 @@ def test_theil_decomposition_matches_reference(spark):
     mu = sum(allv) / len(allv)
 
     def theil(xs):
+        # replay the operator identity with the quantized ln factor:
+        # T = (SUM x*q9(ln x) - ln(m) SUM x) / (n m)
         m = sum(xs) / len(xs)
-        return sum(x / m * math.log(x / m) for x in xs) / len(xs)
+        sxl = sum(x * _q9(math.log(x)) for x in xs)
+        return (sxl - math.log(m) * sum(xs)) / (len(xs) * m)
 
     t_total = theil(allv)
     tb = sum(
@@ -2316,8 +2345,9 @@ def test_theil_decomposition_matches_reference(spark):
     assert out["a"]["t_between"] == pytest.approx(tb, rel=1e-12)
     # the exact decomposition identity
     assert out["a"]["t_total"] == pytest.approx(t_total, rel=1e-12)
-    # group a is perfectly equal -> within term exactly 0
-    assert out["a"]["t_within"] == pytest.approx(0.0, abs=1e-15)
+    # group a is perfectly equal -> within term ~0 at the scale of
+    # the 1e-9 ln quantization grid (r12 contract)
+    assert out["a"]["t_within"] == pytest.approx(0.0, abs=1e-10)
 
 
 def test_krippendorff_interval_matches_reference(spark):
@@ -2397,14 +2427,15 @@ def test_inequality_profile_matches_reference(spark):
         n, X = len(xs), sum(xs)
         hoover = sum(abs(x * n - X) for x in xs) / (2 * n * X)
         am = X / n
-        gm = math.exp(sum(math.log(x) for x in xs) / n)
+        gm = math.exp(sum(_q9(math.log(x)) for x in xs) / n)
         hm = n / sum(1 / x for x in xs)
         assert out[g]["hoover"] == pytest.approx(hoover, rel=1e-12)
         assert out[g]["atkinson_1"] == pytest.approx(1 - gm / am, rel=1e-12)
         assert out[g]["atkinson_2"] == pytest.approx(1 - hm / am, rel=1e-12)
-    # perfectly equal group scores exactly 0 on all three
+    # perfectly equal group scores 0 (atkinson_1 within the 1e-9 ln
+    # quantization grid, r12 contract)
     assert out["eq"]["hoover"] == 0.0
-    assert out["eq"]["atkinson_1"] == pytest.approx(0.0, abs=1e-15)
+    assert out["eq"]["atkinson_1"] == pytest.approx(0.0, abs=1e-9)
     assert out["sk"]["hoover"] > 0.3
 
 

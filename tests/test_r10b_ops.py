@@ -469,10 +469,21 @@ def test_theils_u_matches_reference(spark):
     cx = Counter(x for x, _ in rows)
     cy = Counter(y for _, y in rows)
     n = len(rows)
-    hy = m.log(n) - sum(c * m.log(c) for c in cy.values()) / n
+
+    # r12 determinism contract: the ln factor quantizes to the 1e-9
+    # decimal grid before the exact c-weighted sum (the q434 lesson)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def qln(c):
+        return float(
+            Decimal(c)
+            * Decimal(m.log(c)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        )
+
+    hy = m.log(n) - sum(qln(c) for c in cy.values()) / n
     hcond = (
-        sum(c * m.log(c) for c in cx.values())
-        - sum(c * m.log(c) for c in cxy.values())
+        sum(qln(c) for c in cx.values())
+        - sum(qln(c) for c in cxy.values())
     ) / n
     ln2 = m.log(2.0)
     assert r["n"] == n and r["n_cells"] == len(cxy)
@@ -1399,12 +1410,21 @@ def test_bartlett_matches_reference(spark):
         )
     nk = n - k
     sp2 = sum((len(groups[g]) - 1) * s2[g] for g in groups) / nk
-    ft = sum((len(groups[g]) - 1) * m.log(s2[g]) for g in groups)
+    # r12 determinism contract: both ln sites quantize to the 1e-9
+    # grid before their multipliers (the q434 lesson)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    g9 = Decimal("1e-9")
+
+    def q(x):
+        return float(Decimal(x).quantize(g9, ROUND_HALF_UP))
+
+    ft = sum((len(groups[g]) - 1) * q(m.log(s2[g])) for g in groups)
     fi = sum(1.0 / (len(groups[g]) - 1) for g in groups)
     c = 1.0 + (fi - 1.0 / nk) / (3.0 * (k - 1))
-    t = (nk * m.log(sp2) - ft) / c
+    t = (nk * q(m.log(sp2)) - ft) / c
     assert (r["k_groups"], r["n_total"]) == (k, n)
-    assert r["t_stat"] == pytest.approx(t, rel=1e-12)
+    assert r["t_stat"] == pytest.approx(t, rel=1e-9)
     # planted: group b has wildly larger variance -> strong rejection
     assert r["t_stat"] > 20 and r["p_value"] < 0.001
 
