@@ -138,3 +138,93 @@ def test_neardup_guard_retro_rejects_across_batches(spark):
     assert twin_first == _run_guard(
         spark, [[(i, DOCS[i]) for i in (1, 2, 3, 4)]]
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket family (operators/mba.py) vs hand-computed references
+
+
+_BASKETS = [
+    (1, "A"), (1, "B"), (1, "C"),
+    (2, "A"), (2, "B"),
+    (3, "A"), (3, "C"),
+    (4, "B"), (4, "C"),
+    (5, "A"), (5, "D"),  # D occurs once -> pruned at min_item_n=2
+]
+
+
+def test_association_rules_hand_counts(spark):
+    from etl_java_spark.operators.mba import association_rules
+
+    tx = spark.createDataFrame(_BASKETS, "basket long, item string")
+    rows = {
+        (r["item_a"], r["item_b"]): r
+    for r in association_rules(
+        tx, "basket", "item", min_item_n=2, min_pair_n=2
+    ).collect()}
+    assert set(rows) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = rows[("A", "B")]
+    assert ab["pair_n"] == 2 and ab["a_n"] == 4 and ab["b_n"] == 3
+    assert ab["n_baskets"] == 5
+    assert ab["support"] == 2 / 5
+    assert ab["conf_ab"] == 2 / 4
+    assert ab["conf_ba"] == 2 / 3
+    assert ab["lift"] == (2 * 5) / (4 * 3)
+
+
+def test_association_rules_min_pair_prune(spark):
+    from etl_java_spark.operators.mba import association_rules
+
+    tx = spark.createDataFrame(_BASKETS, "basket long, item string")
+    out = association_rules(
+        tx, "basket", "item", min_item_n=2, min_pair_n=3
+    ).collect()
+    assert out == []  # every surviving pair co-occurs exactly twice
+
+
+def test_item_cosine_neighbors_rank_and_ties(spark):
+    from etl_java_spark.operators.mba import item_cosine_neighbors
+
+    tx = spark.createDataFrame(_BASKETS, "basket long, item string")
+    out = item_cosine_neighbors(
+        tx, "basket", "item", k=5, min_item_n=2, min_pair_n=2
+    ).collect()
+    got = {(r["item"], r["rank"]): (r["neighbor"], r["cosine"]) for r in out}
+    # A: cos(A,B) == cos(A,C) == 2/sqrt(12), equal pair_n -> tie breaks
+    # on neighbor asc (B before C)
+    assert got[("A", 1)][0] == "B" and got[("A", 2)][0] == "C"
+    assert got[("A", 1)][1] == 2 / (12 ** 0.5)
+    # B: cos(B,C) = 2/3 beats cos(B,A) = 2/sqrt(12)
+    assert got[("B", 1)] == ("C", 2 / 3)
+    assert got[("B", 2)][0] == "A"
+    # D was pruned: no rows for it in either direction
+    assert not any(r["item"] == "D" or r["neighbor"] == "D" for r in out)
+
+
+def test_slope_one_hand_example(spark):
+    from etl_java_spark.operators.mba import slope_one_predict
+
+    ratings = spark.createDataFrame(
+        [
+            (1, "I", 5), (1, "J", 3),
+            (2, "I", 3), (2, "J", 1), (2, "K", 2),
+            (3, "I", 4), (3, "K", 2),
+            (4, "L", 7),  # only item -> no co-rated pair, NULL pred
+        ],
+        "u long, it string, r long",
+    )
+    out = {
+        (r["user"], r["item"]): r
+    for r in slope_one_predict(ratings, "u", "it", "r").collect()}
+    # dev(I->J): users 1,2 -> diffsum=-4, n=2; pred(1,J) from I:
+    # (-4 + 2*5)/2 = 3.0 (the data is exactly slope-one-consistent)
+    assert out[(1, "J")]["pred"] == 3.0
+    assert out[(1, "I")]["pred"] == 5.0
+    # pred(2,K): from I (-3 + 2*3) + from J (1 + 1*1) = 5 over den 3
+    assert out[(2, "K")]["pred"] == 5 / 3
+    assert out[(2, "K")]["n_weight"] == 3
+    # pred(3,I): from K: diffsum(K->I)=3 + 2*2 = 7 over 2
+    assert out[(3, "I")]["pred"] == 3.5
+    # isolated item: nothing to predict from
+    assert out[(4, "L")]["pred"] is None
+    assert out[(4, "L")]["n_weight"] == 0
