@@ -228,3 +228,109 @@ def test_slope_one_hand_example(spark):
     # isolated item: nothing to predict from
     assert out[(4, "L")]["pred"] is None
     assert out[(4, "L")]["n_weight"] == 0
+
+
+# ---------------------------------------------------------------------------
+# reliability family (operators/reliability.py) vs hand-computed references
+
+
+def _ts(sec):
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+
+def test_crow_amsaa_hand_mle(spark):
+    import math
+
+    from etl_java_spark.operators.reliability import crow_amsaa
+
+    day = 86400
+    rows = [("g", _ts(0)), ("g", _ts(day)), ("g", _ts(2 * day)),
+            ("g", _ts(4 * day))]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp")
+    out = crow_amsaa(df, "grp", "ts").collect()[0]
+    # origin failure excluded (t=0); t = 1d, 2d, 4d; tn = 4d
+    assert out["n_failures"] == 3
+    assert out["t_days"] == 4.0
+    beta = 3.0 / (round(math.log(4.0), 9) + round(math.log(2.0), 9))
+    assert out["beta"] == pytest.approx(beta, abs=1e-9)
+    assert out["lambda_day"] == pytest.approx(3.0 / 4.0 ** beta, abs=1e-6)
+    assert out["improving"] is False  # beta ~ 1.44 > 1: wear-out
+
+
+def test_crow_amsaa_single_failure_null(spark):
+    from etl_java_spark.operators.reliability import crow_amsaa
+
+    df = spark.createDataFrame(
+        [("g", _ts(0)), ("g", _ts(100))], "grp string, ts timestamp"
+    )
+    out = crow_amsaa(df, "grp", "ts").collect()[0]
+    # only ONE positive-t failure and sum_ln = 0 -> no estimate
+    assert out["n_failures"] == 1
+    assert out["beta"] is None and out["lambda_day"] is None
+
+
+def test_failure_recovery_stats_hand(spark):
+    from pyspark.sql import functions as F
+
+    from etl_java_spark.operators.reliability import (
+        failure_recovery_stats,
+    )
+
+    rows = [
+        (1, 10, _ts(0), "view"),
+        (2, 10, _ts(10), "error"),
+        (3, 10, _ts(20), "error"),
+        (4, 10, _ts(30), "view"),
+        (5, 10, _ts(50), "error"),  # never recovered
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, et string"
+    )
+    out = failure_recovery_stats(
+        df, F.lit(0), "user_id", "ts",
+        F.col("et") == "error", F.col("et") == "view",
+    ).collect()[0]
+    assert out["n_failures"] == 3 and out["n_recovered"] == 2
+    assert out["mtbf_sec"] == 20.0  # gaps 10s, 30s
+    assert out["mttr_sec"] == 15.0  # 20s and 10s to the t=30 recovery
+    # (10,30) and (20,30) merge into ONE 20s island — not 30s
+    assert out["downtime_us"] == 20_000_000
+    assert out["availability"] == 1.0 - 20 / 50
+
+
+def test_gauge_rr_hand_components(spark):
+    from etl_java_spark.operators.reliability import gauge_rr
+
+    rows = [
+        ("P1", "O1", 10), ("P1", "O1", 12),
+        ("P1", "O2", 11), ("P1", "O2", 13),
+        ("P2", "O1", 20), ("P2", "O1", 22),
+        ("P2", "O2", 21), ("P2", "O2", 23),
+    ]
+    df = spark.createDataFrame(rows, "part string, op string, v long")
+    out = gauge_rr(df, "part", "op", "v").collect()[0]
+    assert out["balanced"] is True
+    assert (out["p_parts"], out["o_operators"], out["r_reps"]) == (2, 2, 2)
+    # SS: part 200, op 2, inter 0, err 8 -> MS 200/2/0/2
+    assert out["var_repeat"] == 2.0
+    assert out["var_interaction"] == 0.0
+    assert out["var_operator"] == 0.5
+    assert out["var_part"] == 50.0
+    assert out["var_grr"] == 2.5
+    assert out["pct_grr"] == pytest.approx(2.5 / 52.5, abs=1e-9)
+    assert out["ndc"] == 6  # floor(1.41 * sqrt(50/2.5))
+
+
+def test_gauge_rr_unbalanced_nulls(spark):
+    from etl_java_spark.operators.reliability import gauge_rr
+
+    rows = [
+        ("P1", "O1", 10), ("P1", "O1", 12), ("P1", "O2", 11),
+        ("P2", "O1", 20), ("P2", "O2", 21),
+    ]
+    df = spark.createDataFrame(rows, "part string, op string, v long")
+    out = gauge_rr(df, "part", "op", "v").collect()[0]
+    assert out["balanced"] is False
+    assert out["var_part"] is None and out["pct_grr"] is None
