@@ -3640,3 +3640,300 @@ def brier_skill_score(
             bs_clim > 0, F.lit(1.0) - bs / bs_clim
         ).alias("brier_skill"),
     )
+
+
+def cluster_validity(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list,
+) -> DataFrame:
+    """Calinski-Harabasz and Davies-Bouldin cluster-validity panel
+    over INTEGER feature columns — "does this labeling actually
+    separate the data?" (the global companions of q272's per-label
+    simplified silhouette):
+
+        CH = (B/(k-1)) / (W/(n-k))   with W/B the exact within/
+                                     between sums of squares
+        DB = mean_i max_{j!=i} (s_i + s_j) / d_ij
+
+    where s_i is cluster i's mean point-to-centroid Euclidean
+    distance and d_ij the centroid distance.
+
+    Determinism: features must be integer-valued and banded so each
+    per-cluster S^2 fits 63 bits (the q540 kilo-unit contract — the
+    caller's banding choice is the 100x headroom knob). W and B split
+    into exact integer quotients plus sub-unit remainder ratios folded
+    in label order (the q540 div/frac discipline), so CH is a fixed
+    double tree. DB's per-point sqrt distances quantize to
+    decimal(38,9) before the per-cluster sum; the k DB terms fold in
+    label order (metadata-sized). sqrt is IEEE-correctly-rounded
+    (libm-exempt).
+
+    Scale: one groupBy over the points for the moments, one map-only
+    pass against the broadcast k x d centroid table for the distances,
+    and all remaining algebra on k- and k^2-row metadata tables.
+
+    Returns one row: (k, n, ss_within, ss_between,
+    calinski_harabasz, davies_bouldin).
+    """
+    d38 = "decimal(38,0)"
+    dq9 = "decimal(38,9)"
+    feats = list(feature_cols)
+    base = df.select(
+        F.col(label_col).alias("lab"),
+        *[F.col(c).cast("long").alias(f"x{i}") for i, c in enumerate(feats)],
+    )
+    aggs = [F.count("*").cast("long").alias("nc")]
+    for i in range(len(feats)):
+        aggs.append(F.sum(f"x{i}").cast("long").alias(f"s{i}"))
+        aggs.append(
+            F.sum(F.col(f"x{i}") * F.col(f"x{i}")).cast("long").alias(f"q{i}")
+        )
+    cl = base.groupBy("lab").agg(*aggs)
+
+    def qf(s, n):
+        qq = F.expr(f"{s} div {n}").cast("long")
+        fr = (F.col(s) - qq * F.col(n)).cast("double") / F.col(n).cast(
+            "double"
+        )
+        return qq, fr
+
+    # per-cluster sum over dims of S^2/n split into int + frac parts
+    sq_cols, fr_cols = [], []
+    for i in range(len(feats)):
+        cl = cl.withColumn(f"sq{i}", F.col(f"s{i}") * F.col(f"s{i}"))
+        qq, fr = qf(f"sq{i}", "nc")
+        sq_cols.append(qq)
+        fr_cols.append(fr)
+    cl = cl.withColumn(
+        "qq_c", sum(sq_cols[1:], sq_cols[0])
+    ).withColumn("fr_c", sum(fr_cols[1:], fr_cols[0]))
+    tot_aggs = [
+        F.sum("nc").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(
+            sum(
+                [F.col(f"q{i}") for i in range(1, len(feats))],
+                F.col("q0"),
+            )
+        )
+        .cast("long")
+        .alias("ssq_all"),
+        F.sum("qq_c").cast("long").alias("qq_sum"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lab", F.col("fr_c")))),
+            F.lit(0.0),
+            lambda a, e: a + e["fr_c"],
+        ).alias("fr_sum"),
+    ]
+    for i in range(len(feats)):
+        tot_aggs.append(F.sum(f"s{i}").cast("long").alias(f"ts{i}"))
+    tot = cl.agg(*tot_aggs)
+    # grand correction term T^2/n per dim
+    gq_cols, gf_cols = [], []
+    for i in range(len(feats)):
+        tot = tot.withColumn(f"tsq{i}", F.col(f"ts{i}") * F.col(f"ts{i}"))
+        qq, fr = qf(f"tsq{i}", "n")
+        gq_cols.append(qq)
+        gf_cols.append(fr)
+    tot = tot.withColumn(
+        "gq", sum(gq_cols[1:], gq_cols[0])
+    ).withColumn("gf", sum(gf_cols[1:], gf_cols[0]))
+    ssw = (F.col("ssq_all") - F.col("qq_sum")).cast("double") - F.col(
+        "fr_sum"
+    )
+    ssb = (F.col("qq_sum") - F.col("gq")).cast("double") + (
+        F.col("fr_sum") - F.col("gf")
+    )
+    ch = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")),
+        (ssb / (F.col("k") - 1).cast("double"))
+        / (ssw / (F.col("n") - F.col("k")).cast("double")),
+    )
+    # centroids (k x d metadata) -> per-point quantized distances
+    cents = cl.select(
+        F.col("lab").alias("clab"),
+        "nc",
+        *[
+            (F.col(f"s{i}").cast("double") / F.col("nc").cast("double")).alias(
+                f"m{i}"
+            )
+            for i in range(len(feats))
+        ],
+    )
+    pts = base.join(
+        F.broadcast(cents), base.lab == F.col("clab")
+    )
+    dist2 = None
+    for i in range(len(feats)):
+        t = (F.col(f"x{i}").cast("double") - F.col(f"m{i}")) * (
+            F.col(f"x{i}").cast("double") - F.col(f"m{i}")
+        )
+        dist2 = t if dist2 is None else dist2 + t
+    s_i = (
+        pts.select(
+            "lab", F.round(F.sqrt(dist2), 9).cast(dq9).alias("dq")
+        )
+        .groupBy("lab")
+        .agg(
+            (
+                F.sum("dq").cast(dq9).cast("double")
+                / F.count("*").cast("double")
+            ).alias("s_mean")
+        )
+    )
+    ci = cents.join(s_i, s_i.lab == cents.clab).select(
+        "clab", "s_mean", *[f"m{i}" for i in range(len(feats))]
+    )
+    a = ci.select(
+        F.col("clab").alias("la"),
+        F.col("s_mean").alias("sa"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(len(feats))],
+    )
+    b = ci.select(
+        F.col("clab").alias("lb"),
+        F.col("s_mean").alias("sb"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(len(feats))],
+    )
+    cd2 = None
+    for i in range(len(feats)):
+        t = (F.col(f"a{i}") - F.col(f"b{i}")) * (
+            F.col(f"a{i}") - F.col(f"b{i}")
+        )
+        cd2 = t if cd2 is None else cd2 + t
+    pair = (
+        a.crossJoin(b)
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            ((F.col("sa") + F.col("sb")) / F.sqrt(cd2)).alias("r"),
+        )
+    )
+    db_terms = pair.groupBy("la").agg(F.max("r").alias("rmax"))
+    db = db_terms.agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("la", F.col("rmax")))),
+                F.lit(0.0),
+                lambda acc, e: acc + e["rmax"],
+            )
+            / F.count("*").cast("double")
+        ).alias("davies_bouldin")
+    )
+    # ss readouts go out UNROUNDED: their magnitude can push x*10^k
+    # past exact-double range where DuckDB's double ROUND corrupts
+    # while Spark's BigDecimal round stays exact (the q604 lesson);
+    # the raw fixed trees are bitwise-equal as-is.
+    return tot.select(
+        "k",
+        "n",
+        ssw.alias("ss_within"),
+        ssb.alias("ss_between"),
+        F.round(ch, 9).alias("calinski_harabasz"),
+    ).crossJoin(F.broadcast(db.select(F.round("davies_bouldin", 9).alias("davies_bouldin"))))
+
+
+def naive_bayes_confusion(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    feature_cols: list,
+    alpha: int = 1,
+) -> DataFrame:
+    """Categorical (multinomial) naive Bayes trained and scored on the
+    SAME table, reported as a confusion matrix — the classic "is this
+    label predictable from these columns at all?" probe. Laplace
+    smoothing with integer ``alpha``:
+
+        score(c | row) = ln(n_c / n)
+                       + sum_f ln((n_{c,f=v} + alpha)
+                                  / (n_c + alpha * V_f))
+
+    where V_f is feature f's distinct-value count. Prediction is the
+    max-score class, smallest class label on ties.
+
+    Determinism: every probability is a ratio of exact integers; each
+    ln term quantizes to ROUND(ln, 12)::decimal(38,12) at MODEL-BUILD
+    time (metadata-sized tables), so a row's score is an exact decimal
+    sum of 1 + len(feature_cols) quantized terms — order-free and
+    bitwise comparable; the argmax is min(struct(-score, class)),
+    total because decimal compare is exact.
+
+    Scale: the model is (classes x values) per feature — broadcast;
+    scoring is one map-side pass per feature join over rows x k
+    class candidates (k small); the confusion matrix is one groupBy.
+
+    Returns (actual, predicted, n_rows) sorted by the caller.
+    """
+    dq12 = "decimal(38,12)"
+    feats = list(feature_cols)
+    a = int(alpha)
+    base = df.select(
+        F.col(id_col).alias("rid"),
+        F.col(class_col).cast("string").alias("cls"),
+        *[
+            F.col(c).cast("string").alias(f"f{i}")
+            for i, c in enumerate(feats)
+        ],
+    )
+    n_all = base.count()
+    classes = base.groupBy("cls").agg(
+        F.count("*").cast("long").alias("n_c")
+    )
+    prior = classes.select(
+        "cls",
+        "n_c",
+        F.round(
+            F.log(F.col("n_c").cast("double") / F.lit(float(n_all))), 12
+        )
+        .cast(dq12)
+        .alias("prior_ll"),
+    )
+    scored = base.crossJoin(
+        F.broadcast(prior.select(F.col("cls").alias("cand"), "n_c",
+                                 "prior_ll"))
+    ).withColumn("score", F.col("prior_ll"))
+    for i in range(len(feats)):
+        vals = base.select(F.col(f"f{i}").alias("val")).distinct()
+        cnt = base.groupBy(
+            F.col("cls").alias("cand"), F.col(f"f{i}").alias("val")
+        ).agg(F.count("*").cast("long").alias("n_cv"))
+        grid = (
+            prior.select(F.col("cls").alias("cand"), "n_c")
+            .crossJoin(vals)
+            .join(cnt, ["cand", "val"], "left")
+            .withColumn(
+                "n_cv", F.coalesce("n_cv", F.lit(0).cast("long"))
+            )
+        )
+        v_f = vals.count()
+        ll = grid.select(
+            "cand",
+            "val",
+            F.round(
+                F.log(
+                    (F.col("n_cv") + a).cast("double")
+                    / (F.col("n_c") + a * v_f).cast("double")
+                ),
+                12,
+            )
+            .cast(dq12)
+            .alias(f"ll{i}"),
+        )
+        scored = scored.join(
+            F.broadcast(ll.withColumnRenamed("val", f"f{i}")),
+            ["cand", f"f{i}"],
+        ).withColumn(
+            "score", (F.col("score") + F.col(f"ll{i}")).cast(dq12)
+        )
+    best = scored.groupBy("rid", "cls").agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).cast(dq12).alias("ns"),
+                F.col("cand").alias("cand"),
+            )
+        ).alias("b")
+    )
+    return best.groupBy(
+        F.col("cls").alias("actual"), F.col("b.cand").alias("predicted")
+    ).agg(F.count("*").cast("long").alias("n_rows"))

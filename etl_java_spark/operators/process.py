@@ -221,3 +221,95 @@ def conformance_fitness(
             / F.col("n_events").cast("double")
         ).alias("off_model_share"),
     )
+
+
+def sequential_pair_counts(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    types: list,
+) -> DataFrame:
+    """Gapped sequential-pattern counts: for every ordered type pair
+    (ante, post), the number of event pairs where an ``ante`` event
+    STRICTLY precedes a ``post`` event for the same entity — ANY gap
+    allowed (the skip-gram upgrade of q188's adjacent-only Markov
+    transitions and q597's directly-follows graph), plus the number
+    of entities exhibiting the pattern at least once.
+
+    Determinism: pure integer counting; the entity event order is
+    (ts, tiebreak) — total, so same-timestamp events rank
+    deterministically.
+
+    Scale: ONE window pass per entity (all ``types`` running counts
+    share the same window spec, so Spark evaluates them in a single
+    WindowExec), then one per-entity aggregate and one k^2-column
+    global fold melted to rows — never a per-entity self-join, never
+    quadratic in events. Cost knob: len(types)^2 aggregate columns
+    (pass the vocabulary you care about).
+    """
+    k_types = [str(t) for t in types]
+    base = df.select(
+        F.col(entity_col).alias("ent"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(type_col).cast("string").alias("t"),
+    ).filter(F.col("t").isin(k_types))
+    w = (
+        Window.partitionBy("ent")
+        .orderBy("us", "tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for i, a in enumerate(k_types):
+        base = base.withColumn(
+            f"c{i}",
+            F.coalesce(
+                F.sum(F.when(F.col("t") == a, F.lit(1)).otherwise(F.lit(0)))
+                .over(w),
+                F.lit(0),
+            ).cast("long"),
+        )
+    per_ent = base.groupBy("ent").agg(
+        *[
+            F.sum(
+                F.when(F.col("t") == b, F.col(f"c{i}")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"p_{i}_{j}")
+            for i, _a in enumerate(k_types)
+            for j, b in enumerate(k_types)
+        ]
+    )
+    glob = per_ent.agg(
+        *(
+            [
+                F.sum(f"p_{i}_{j}").cast("long").alias(f"n_{i}_{j}")
+                for i in range(len(k_types))
+                for j in range(len(k_types))
+            ]
+            + [
+                F.sum((F.col(f"p_{i}_{j}") > 0).cast("int"))
+                .cast("long")
+                .alias(f"e_{i}_{j}")
+                for i in range(len(k_types))
+                for j in range(len(k_types))
+            ]
+        )
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("ante"),
+                F.lit(b).alias("post"),
+                F.col(f"n_{i}_{j}").alias("n_pairs"),
+                F.col(f"e_{i}_{j}").alias("n_entities"),
+            )
+            for i, a in enumerate(k_types)
+            for j, b in enumerate(k_types)
+        ]
+    )
+    return (
+        glob.select(F.explode(cells).alias("c"))
+        .select("c.ante", "c.post", "c.n_pairs", "c.n_entities")
+    )

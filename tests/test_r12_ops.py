@@ -334,3 +334,84 @@ def test_gauge_rr_unbalanced_nulls(spark):
     out = gauge_rr(df, "part", "op", "v").collect()[0]
     assert out["balanced"] is False
     assert out["var_part"] is None and out["pct_grr"] is None
+
+
+# ---------------------------------------------------------------------------
+# cluster validity / naive Bayes / sequential pairs (wave C)
+
+
+def test_cluster_validity_hand_two_clusters(spark):
+    from etl_java_spark.operators.evaluation import cluster_validity
+
+    rows = [("A", 0, 0), ("A", 2, 0), ("B", 10, 0), ("B", 12, 0)]
+    df = spark.createDataFrame(rows, "lab string, x0 long, x1 long")
+    out = cluster_validity(df, "lab", ["x0", "x1"]).collect()[0]
+    assert (out["k"], out["n"]) == (2, 4)
+    assert out["ss_within"] == 4.0  # 1+1 per cluster, both dims
+    assert out["ss_between"] == 100.0  # 2*25 + 2*25
+    assert out["calinski_harabasz"] == 50.0  # (100/1)/(4/2)
+    assert out["davies_bouldin"] == pytest.approx(0.2, abs=1e-9)
+
+
+def test_naive_bayes_hand_confusion(spark):
+    from etl_java_spark.operators.evaluation import naive_bayes_confusion
+
+    rows = [(1, "X", "a"), (2, "X", "a"), (3, "Y", "b"), (4, "Y", "a")]
+    df = spark.createDataFrame(rows, "rid long, cls string, f string")
+    out = {
+        (r["actual"], r["predicted"]): r["n_rows"]
+    for r in naive_bayes_confusion(df, "rid", "cls", ["f"]).collect()}
+    # P(a|X)=3/4 beats P(a|Y)=2/4 -> 'a' rows predict X (row 4
+    # misclassified); P(b|X)=1/4 loses to P(b|Y)=2/4 -> row 3 correct
+    assert out == {("X", "X"): 2, ("Y", "X"): 1, ("Y", "Y"): 1}
+
+
+def test_naive_bayes_tie_breaks_to_smaller_class(spark):
+    from etl_java_spark.operators.evaluation import naive_bayes_confusion
+
+    rows = [(1, "X", "a"), (2, "Y", "a")]
+    df = spark.createDataFrame(rows, "rid long, cls string, f string")
+    out = {
+        (r["actual"], r["predicted"]): r["n_rows"]
+    for r in naive_bayes_confusion(df, "rid", "cls", ["f"]).collect()}
+    # identical scores for X and Y -> both rows predict X
+    assert out == {("X", "X"): 1, ("Y", "X"): 1}
+
+
+def test_sequential_pair_counts_hand(spark):
+    from etl_java_spark.operators.process import sequential_pair_counts
+
+    rows = [
+        (1, 10, _ts(1), "a"), (2, 10, _ts(2), "b"),
+        (3, 10, _ts(3), "a"), (4, 10, _ts(4), "b"),
+        (5, 20, _ts(1), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, et string"
+    )
+    out = {
+        (r["ante"], r["post"]): (r["n_pairs"], r["n_entities"])
+    for r in sequential_pair_counts(
+        df, "user_id", "ts", "event_id", "et", ["a", "b"]
+    ).collect()}
+    assert out[("a", "b")] == (3, 1)  # a1<b1, a1<b2, a2<b2
+    assert out[("a", "a")] == (1, 1)
+    assert out[("b", "a")] == (1, 1)
+    assert out[("b", "b")] == (1, 1)  # user 20's lone b pairs with none
+
+
+def test_sequential_pair_counts_tiebreak_order(spark):
+    from etl_java_spark.operators.process import sequential_pair_counts
+
+    # same timestamp: event_id breaks the tie, so a (id 1) precedes
+    # b (id 2) but NOT vice versa
+    rows = [(1, 10, _ts(5), "a"), (2, 10, _ts(5), "b")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, et string"
+    )
+    out = {
+        (r["ante"], r["post"]): r["n_pairs"]
+    for r in sequential_pair_counts(
+        df, "user_id", "ts", "event_id", "et", ["a", "b"]
+    ).collect()}
+    assert out[("a", "b")] == 1 and out[("b", "a")] == 0
