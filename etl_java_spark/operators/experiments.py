@@ -6025,3 +6025,175 @@ def quantile_treatment_effect(
         F.col("e.q_control").alias("q_control"),
         F.col("e.qte").alias("qte"),
     )
+
+
+def panel_fixed_effects(
+    df: DataFrame,
+    entity_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Within (entity fixed-effects) estimator for y on x over a
+    panel: beta_FE = sum_i S_i(x~y~) / sum_i S_i(x~x~) after demeaning
+    x and y WITHIN each entity — the workhorse "controls for
+    everything time-invariant per entity" regression a warehouse
+    panel actually runs (Charter §2B; no reference counterpart).
+
+    Per entity the centered cross-moments are exact rationals:
+    S(x~y~)_i = Sxy_i - Sx_i*Sy_i/n_i. Each splits into an integer
+    quotient (div) plus a sub-unit remainder ratio; quotients sum as
+    integers and the remainder ratios quantize to ROUND(., 12)::
+    decimal(38,12) before an ORDER-FREE decimal sum — unlike the
+    q540 label-ordered fold this scales to unbounded entity
+    cardinality (the estimator is DEFINED on the quantized grid; the
+    oracle mirrors it bitwise). x and y must be integer-valued and
+    banded so per-entity S*S fits 63 bits.
+
+    Returns one row: (n_obs, n_entities, sxx_within, sxy_within,
+    syy_within, beta_within, r2_within).
+    """
+    d38 = "decimal(38,0)"
+    dq12 = "decimal(38,12)"
+    per = (
+        df.select(
+            F.col(entity_col).alias("ent"),
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .groupBy("ent")
+        .agg(
+            F.count("*").cast("long").alias("n_i"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+            F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+            F.sum(F.col("y").cast(d38) * F.col("y")).cast(d38).alias("syy"),
+        )
+    )
+
+    def center(stot, sa, sb):
+        prod = (F.col(sa).cast(d38) * F.col(sb)).cast(d38)
+        qq = F.expr(
+            f"CAST((CAST({sa} AS DECIMAL(38,0)) * {sb}) AS DECIMAL(38,0))"
+            f" div n_i"
+        ).cast(d38)
+        fr = (prod - qq * F.col("n_i")).cast("double") / F.col(
+            "n_i"
+        ).cast("double")
+        return (
+            (F.col(stot) - qq).cast(d38).alias(f"{stot}_q"),
+            F.round(fr, 12).cast(dq12).alias(f"{stot}_f"),
+        )
+
+    cq, cf = center("sxy", "sx", "sy")
+    xq, xf = center("sxx", "sx", "sx")
+    yq, yf = center("syy", "sy", "sy")
+    terms = per.select("ent", "n_i", cq, cf, xq, xf, yq, yf)
+    tot = terms.agg(
+        F.sum("n_i").cast("long").alias("n_obs"),
+        F.count("*").cast("long").alias("n_entities"),
+        F.sum("sxy_q").cast(d38).alias("nq"),
+        F.sum("sxy_f").cast(dq12).alias("nf"),
+        F.sum("sxx_q").cast(d38).alias("dq"),
+        F.sum("sxx_f").cast(dq12).alias("df_"),
+        F.sum("syy_q").cast(d38).alias("yq"),
+        F.sum("syy_f").cast(dq12).alias("yf"),
+    )
+    sxy = F.col("nq").cast("double") - F.col("nf").cast("double")
+    sxx = F.col("dq").cast("double") - F.col("df_").cast("double")
+    syy = F.col("yq").cast("double") - F.col("yf").cast("double")
+    beta = F.when(sxx > 0, sxy / sxx)
+    r2 = F.when(
+        (sxx > 0) & (syy > 0), (sxy * sxy) / (sxx * syy)
+    )
+    return tot.select(
+        "n_obs",
+        "n_entities",
+        sxx.alias("sxx_within"),
+        sxy.alias("sxy_within"),
+        syy.alias("syy_within"),
+        F.round(beta, 9).alias("beta_within"),
+        F.round(r2, 9).alias("r2_within"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for serial randomness of a sequence's
+    signs about its LOWER MEDIAN (the order statistic at
+    ceil(n/2) — integer-exact; values EQUAL to it are excluded, the
+    standard tie convention): R = observed runs, and
+
+        z = (R - mu) / sigma,  mu = 2*n1*n2/n + 1,
+        sigma^2 = 2*n1*n2*(2*n1*n2 - n) / (n^2 * (n - 1))
+
+    with n = n1 + n2 survivors. Too FEW runs = positive serial
+    dependence (trending); too many = alternation.
+
+    Determinism: counting is exact; mu and sigma are single fixed
+    trees of integer ratios (products kept decimal(38,0)); z is one
+    division + sqrt. The reject flag compares bitwise-identical
+    doubles to 1.96. The sign-change window runs over the
+    post-aggregate sequence (the documented bounded-window
+    contract).
+
+    Returns one row: (n_used, n_above, n_below, n_runs, z_runs,
+    reject_5pct).
+    """
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(order_col).alias("o"), F.col(value_col).cast("long").alias("v")
+    )
+    n_all = base.agg(F.count("*").cast("long").alias("m"))
+    med = (
+        base.crossJoin(F.broadcast(n_all))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "o"))
+        )
+        .filter(F.col("rn") == F.ceil(F.col("m") / 2).cast("int"))
+        .select(F.col("v").alias("med"))
+    )
+    signed = (
+        base.crossJoin(F.broadcast(med))
+        .filter(F.col("v") != F.col("med"))
+        .select("o", (F.col("v") > F.col("med")).alias("up"))
+    )
+    w = Window.orderBy("o")
+    runs = signed.withColumn(
+        "chg",
+        F.when(
+            F.lag("up").over(w).isNull()
+            | (F.lag("up").over(w) != F.col("up")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    agg = runs.agg(
+        F.count("*").cast("long").alias("n_used"),
+        F.sum(F.col("up").cast("int")).cast("long").alias("n_above"),
+        F.sum(1 - F.col("up").cast("int")).cast("long").alias("n_below"),
+        F.sum("chg").cast("long").alias("n_runs"),
+    )
+    n = F.col("n_used")
+    tw = (F.lit(2).cast(d38) * F.col("n_above") * F.col("n_below")).cast(
+        d38
+    )
+    mu = tw.cast("double") / n.cast("double") + F.lit(1.0)
+    var = (
+        (tw * (tw - n)).cast(d38).cast("double")
+        / (n.cast(d38) * n * (n - 1)).cast(d38).cast("double")
+    )
+    z = F.when(
+        (n > 1) & (var > 0),
+        (F.col("n_runs").cast("double") - mu) / F.sqrt(var),
+    )
+    return agg.select(
+        "n_used",
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.round(z, 9).alias("z_runs"),
+        (F.abs(z) > 1.96).alias("reject_5pct"),
+    )

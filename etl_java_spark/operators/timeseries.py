@@ -6888,3 +6888,94 @@ def circular_linear_corr(
         F.when(ok, rcs).alias("r_cs"),
         F.when(ok, r2).alias("r2_circ_lin"),
     )
+
+
+def newey_west_lrv(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Newey-West (Bartlett-kernel) long-run variance of a series and
+    the HAC standard error of its mean — the serial-correlation-robust
+    upgrade of se = s/sqrt(n) (Charter §2B; no reference counterpart):
+
+        lrv = gamma_0 + 2 * sum_{l=1..L} (1 - l/(L+1)) * gamma_l,
+        gamma_l = (1/n) * sum_t u_t * u_{t+l},  u_t = y_t - ybar
+
+    computed EXACTLY in n-scaled integer space: v_t = n*y_t - S keeps
+    the demeaned series integer (u_t = v_t/n), and multiplying
+    through by n^3*(L+1) makes the whole kernel sum one exact
+    decimal(38,0) integer:
+
+        lrv * n^3 * (L+1) = (L+1)*G_0 + 2*sum_l (L+1-l)*G_l,
+        G_l = sum_t v_t * v_{t+l}.
+
+    The readout is ONE division of that exact decimal by n^3*(L+1)
+    (both < 2^53 for any realistic day count), then se_mean =
+    sqrt(lrv/n) — a fixed tree, no quantization grid needed anywhere.
+
+    Scale: the lag products come from L lead() columns over the
+    POST-AGGREGATE ordered series (the documented bounded-window
+    contract — aggregate to the series grain first); one final
+    aggregate emits everything.
+
+    Returns one row: (n, lrv, gamma0, se_mean_hac, se_mean_iid).
+    Band y so n*y fits comfortably (kilo-unit a money series): the
+    ROUND(lrv, 6) readout needs lrv*1e6 inside exact-double range
+    (q604 rule) — at a coarser banding, widen the readout grid.
+    """
+    d38 = "decimal(38,0)"
+    L = int(max_lag)
+    base = df.select(
+        F.col(order_col).alias("o"), F.col(value_col).cast("long").alias("y")
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    v = base.crossJoin(F.broadcast(tot)).select(
+        "o",
+        "n",
+        (F.col("n").cast(d38) * F.col("y") - F.col("s")).cast(d38).alias("v"),
+    )
+    w = Window.orderBy("o")
+    for lag in range(1, L + 1):
+        v = v.withColumn(f"v{lag}", F.lead("v", lag).over(w))
+    aggs = [
+        F.max("n").alias("n"),
+        F.sum((F.col("v") * F.col("v")).cast(d38)).cast(d38).alias("g0"),
+    ]
+    for lag in range(1, L + 1):
+        aggs.append(
+            F.sum((F.col("v") * F.col(f"v{lag}")).cast(d38))
+            .cast(d38)
+            .alias(f"g{lag}")
+        )
+    agg = v.agg(*aggs)
+    kern = (F.lit(L + 1).cast(d38) * F.col("g0")).cast(d38)
+    for lag in range(1, L + 1):
+        kern = (
+            kern
+            + (
+                F.lit(2 * (L + 1 - lag)).cast(d38)
+                * F.coalesce(F.col(f"g{lag}"), F.lit(0).cast(d38))
+            ).cast(d38)
+        ).cast(d38)
+    n = F.col("n")
+    denom = (n * n * n).cast("double") * F.lit(float(L + 1))
+    lrv = kern.cast("double") / denom
+    g0d = F.col("g0").cast("double") / (n * n * n).cast("double")
+    return agg.select(
+        "n",
+        F.round(lrv, 6).alias("lrv"),
+        F.round(g0d, 6).alias("gamma0"),
+        F.round(F.sqrt(lrv / n.cast("double")), 9).alias("se_mean_hac"),
+        F.round(
+            F.sqrt(
+                (g0d * n.cast("double") / (n - 1).cast("double"))
+                / n.cast("double")
+            ),
+            9,
+        ).alias("se_mean_iid"),
+    )

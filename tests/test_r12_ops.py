@@ -415,3 +415,83 @@ def test_sequential_pair_counts_tiebreak_order(spark):
         df, "user_id", "ts", "event_id", "et", ["a", "b"]
     ).collect()}
     assert out[("a", "b")] == 1 and out[("b", "a")] == 0
+
+
+# ---------------------------------------------------------------------------
+# robust econometric inference (wave D)
+
+
+def test_panel_fixed_effects_exact_within_slope(spark):
+    from etl_java_spark.operators.experiments import panel_fixed_effects
+
+    rows = [
+        (1, 0, 10), (1, 1, 12), (1, 2, 14),   # slope 2 within e1
+        (2, 0, 100), (2, 1, 102),             # slope 2 within e2
+    ]
+    df = spark.createDataFrame(rows, "ent long, x long, y long")
+    out = panel_fixed_effects(df, "ent", "x", "y").collect()[0]
+    assert (out["n_obs"], out["n_entities"]) == (5, 2)
+    assert out["sxx_within"] == 2.5
+    assert out["sxy_within"] == 5.0
+    assert out["syy_within"] == 10.0
+    assert out["beta_within"] == 2.0
+    assert out["r2_within"] == 1.0
+
+
+def test_newey_west_hand_kernel(spark):
+    import math
+
+    from etl_java_spark.operators.timeseries import newey_west_lrv
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4)], "o long, y long"
+    )
+    out = newey_west_lrv(df, "o", "y", max_lag=5).collect()[0]
+    # v = 4y-10 = [-6,-2,2,6]; g0=80 g1=20 g2=-24 g3=-36 g4=g5=0
+    # kern = 6*80 + 10*20 + 8*(-24) + 6*(-36) = 272
+    assert out["n"] == 4
+    assert out["gamma0"] == pytest.approx(80 / 64, abs=1e-6)
+    lrv = 272 / (64 * 6)
+    assert out["lrv"] == pytest.approx(lrv, abs=1e-6)
+    assert out["se_mean_hac"] == pytest.approx(
+        math.sqrt(lrv / 4), abs=1e-9
+    )
+    assert out["se_mean_iid"] == pytest.approx(
+        math.sqrt((80 / 64) * (4 / 3) / 4), abs=1e-9
+    )
+
+
+def test_runs_test_alternating_rejects(spark):
+    import math
+
+    from etl_java_spark.operators.experiments import runs_test
+
+    ys = [5, 1, 6, 2, 7, 3, 8, 4]
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(ys)], "o long, v long"
+    )
+    out = runs_test(df, "o", "v").collect()[0]
+    # lower median of 1..8 is 4 (excluded): survivors 5,1,6,2,7,3,8
+    # alternate perfectly -> 7 runs of 7 values
+    assert (out["n_used"], out["n_above"], out["n_below"]) == (7, 4, 3)
+    assert out["n_runs"] == 7
+    mu = 24 / 7 + 1
+    var = (24 * 17) / (49 * 6)
+    assert out["z_runs"] == pytest.approx(
+        (7 - mu) / math.sqrt(var), abs=1e-9
+    )
+    assert out["reject_5pct"] is True
+
+
+def test_runs_test_single_block_too_few_runs(spark):
+    from etl_java_spark.operators.experiments import runs_test
+
+    # monotone series: all lows first, all highs after -> 2 runs
+    ys = [1, 2, 3, 10, 11, 12]
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(ys)], "o long, v long"
+    )
+    out = runs_test(df, "o", "v").collect()[0]
+    # lower median 3 excluded -> 1,2 below; 10,11,12 above; 2 runs
+    assert out["n_runs"] == 2
+    assert out["z_runs"] < 0  # too few runs = trending
