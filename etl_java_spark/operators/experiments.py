@@ -6197,3 +6197,76 @@ def runs_test(
         F.round(z, 9).alias("z_runs"),
         (F.abs(z) > 1.96).alias("reject_5pct"),
     )
+
+
+def event_study_panel(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    anchor_pred: Column,
+    window_days: int = 3,
+) -> DataFrame:
+    """Event-study panel around each entity's FIRST anchor event: for
+    relative day r in [-window_days, +window_days], the number of
+    entities observed and their total event count r days from the
+    anchor — the "what changes around adoption/first purchase/outage"
+    table, with day 0 = the anchor's calendar day.
+
+    Determinism: pure integer counting on integer epoch days; the
+    anchor is a MIN aggregate. events_per_entity is one division.
+    Every anchored entity contributes to every relative-day row
+    (n_entities is constant across rows by construction — zero-event
+    days still count the entity), so the per-day rates are directly
+    comparable.
+
+    Scale: one anchor aggregate + one broadcast-join counting pass +
+    one (2w+1)-row groupBy; the relative-day table is generated from
+    the anchored entities x a literal day range (explode of a
+    sequence, never data-quadratic).
+
+    Returns one row per relative day: (rel_day, n_entities, n_events,
+    events_per_entity).
+    """
+    wd = int(window_days)
+    # integer day bucketing: epoch micros exceed 2^53, so a double
+    # division would misround near midnight boundaries — `div` stays
+    # in integer space (positive epochs: div == floor)
+    base = events.select(
+        F.col(entity_col).alias("ent"),
+        F.expr(f"unix_micros({ts_col}) div 86400000000")
+        .cast("long")
+        .alias("day"),
+        anchor_pred.alias("is_anchor"),
+    )
+    anchors = (
+        base.filter(F.col("is_anchor"))
+        .groupBy("ent")
+        .agg(F.min("day").alias("day0"))
+    )
+    counted = (
+        base.join(anchors, "ent")
+        .select("ent", (F.col("day") - F.col("day0")).alias("rel_day"))
+        .filter(
+            (F.col("rel_day") >= -wd) & (F.col("rel_day") <= wd)
+        )
+        .groupBy("ent", "rel_day")
+        .agg(F.count("*").cast("long").alias("n_ev"))
+    )
+    grid = anchors.select("ent").crossJoin(
+        F.broadcast(
+            events.sparkSession.range(-wd, wd + 1).select(
+                F.col("id").cast("long").alias("rel_day")
+            )
+        )
+    )
+    full = grid.join(counted, ["ent", "rel_day"], "left").select(
+        "rel_day",
+        F.coalesce("n_ev", F.lit(0).cast("long")).alias("n_ev"),
+    )
+    return full.groupBy("rel_day").agg(
+        F.count("*").cast("long").alias("n_entities"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.round(
+            F.sum("n_ev").cast("double") / F.count("*").cast("double"), 9
+        ).alias("events_per_entity"),
+    )

@@ -1582,3 +1582,87 @@ def attribute_assortativity(
             den != 0, num.cast("double") / den.cast("double")
         ).alias("assortativity"),
     )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Hop-bounded single-source shortest paths from a SEED set over
+    the undirected weighted graph (positive integer weights; parallel
+    edges collapse to their MIN weight): ``rounds`` Bellman-Ford
+    relaxations, so distances are EXACT for every shortest path using
+    <= rounds edges — the watchlist variant (cost scales with seeds x
+    reach; fixed rounds, per-round checkpoints, the
+    harmonic_centrality discipline; all-nodes all-pairs is a
+    different algorithm).
+
+    Determinism: distances are exact integer sums; each round is a
+    keyed MIN groupBy (order-free). The per-seed readouts are integer
+    aggregates plus one closeness division.
+
+    Returns one row per seed: (seed, n_reached, total_dist, max_dist,
+    closeness) with closeness = n_reached / total_dist and the seed
+    itself excluded.
+    """
+    from ..plans.checkpoints import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    und = ckpt(
+        edges.select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("d"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("s"),
+                F.col(src).alias("d"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+    )
+    dist = (
+        seeds.select(F.col(node).alias("seed"))
+        .distinct()
+        .select(
+            "seed",
+            F.col("seed").alias("n"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    for _ in range(int(rounds)):
+        relax = dist.join(und, dist["n"] == und["s"]).select(
+            "seed",
+            F.col("d").alias("n"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = ckpt(
+            dist.unionByName(relax)
+            .groupBy("seed", "n")
+            .agg(F.min("dist").alias("dist"))
+        )
+    reached = dist.filter(F.col("dist") > 0)
+    return reached.groupBy("seed").agg(
+        F.count("*").cast("long").alias("n_reached"),
+        F.sum("dist").cast("long").alias("total_dist"),
+        F.max("dist").cast("long").alias("max_dist"),
+    ).select(
+        "seed",
+        "n_reached",
+        "total_dist",
+        "max_dist",
+        F.round(
+            F.col("n_reached").cast("double")
+            / F.col("total_dist").cast("double"),
+            9,
+        ).alias("closeness"),
+    )

@@ -1265,3 +1265,108 @@ def tornqvist_walsh_index(
             F.col("swn").cast("double") / F.col("swd").cast("double")
         ).alias("walsh"),
     )
+
+
+def abc_xyz_analysis(
+    df: DataFrame,
+    item_col: str,
+    period_col,
+    revenue_col,
+    qty_col,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """ABC/XYZ inventory segmentation — the planner's 3x3 grid:
+    ABC ranks items by revenue share (cumulative share <= a_pct% = A,
+    <= b_pct% = B, else C, ranked revenue DESC with item-id
+    tie-break); XYZ classifies demand stability by the coefficient of
+    variation of per-period quantity over the item's OBSERVED periods
+    (population cv: X if cv <= 0.5, Y if cv <= 1.0, else Z).
+
+    Determinism: every boundary is an EXACT INTEGER inequality —
+    cumulative-share cuts compare 100*cumrev <= pct*total (n-scaled,
+    no float shares), and the cv cuts use cv^2 = (n*Sq2 - S^2)/S^2,
+    so cv <= 0.5 <=> 4*(n*Sq2 - S^2) <= S^2 and cv <= 1 <=>
+    n*Sq2 <= 2*S^2 (decimal(38,0) products). Items with zero total
+    quantity class as Z. No floats exist until the readout shares.
+
+    Scale: one (item, period) aggregate, one item aggregate, one
+    ranked window over ITEMS (item-grain, the post-aggregate-window
+    contract), one 9-cell groupBy.
+
+    Returns one row per (abc_class, xyz_class): (abc_class,
+    xyz_class, n_items, revenue, revenue_share).
+    """
+    d38 = "decimal(38,0)"
+    per = (
+        df.select(
+            F.col(item_col).alias("item"),
+            (
+                F.col(period_col)
+                if not isinstance(period_col, str)
+                else F.col(period_col)
+            ).alias("p"),
+            (
+                F.col(revenue_col)
+                if isinstance(revenue_col, str)
+                else revenue_col
+            ).cast("long").alias("rev"),
+            (
+                F.col(qty_col) if isinstance(qty_col, str) else qty_col
+            ).cast("long").alias("q"),
+        )
+        .groupBy("item", "p")
+        .agg(
+            F.sum("rev").cast("long").alias("rev"),
+            F.sum("q").cast("long").alias("q"),
+        )
+    )
+    items = per.groupBy("item").agg(
+        F.sum("rev").cast("long").alias("rev"),
+        F.count("*").cast("long").alias("n_p"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum((F.col("q").cast(d38) * F.col("q")).cast(d38))
+        .cast(d38)
+        .alias("sq2"),
+    )
+    tot = items.agg(F.sum("rev").cast("long").alias("rev_tot"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("item"))
+    ranked = (
+        items.withColumn("cumrev", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    abc = (
+        F.when(
+            F.lit(100).cast(d38) * F.col("cumrev")
+            <= F.lit(int(a_pct)).cast(d38) * F.col("rev_tot"),
+            F.lit("A"),
+        )
+        .when(
+            F.lit(100).cast(d38) * F.col("cumrev")
+            <= F.lit(int(b_pct)).cast(d38) * F.col("rev_tot"),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+    )
+    nvar = (
+        F.col("n_p").cast(d38) * F.col("sq2")
+        - F.col("sq").cast(d38) * F.col("sq")
+    ).cast(d38)
+    s2 = (F.col("sq").cast(d38) * F.col("sq")).cast(d38)
+    xyz = (
+        F.when(F.col("sq") <= 0, F.lit("Z"))
+        .when(F.lit(4).cast(d38) * nvar <= s2, F.lit("X"))
+        .when(nvar <= s2, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+    )
+    cls = ranked.select(
+        abc.alias("abc_class"), xyz.alias("xyz_class"), "rev", "rev_tot"
+    )
+    return cls.groupBy("abc_class", "xyz_class").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("rev").cast("long").alias("revenue"),
+        F.round(
+            F.sum("rev").cast("double") / F.max("rev_tot").cast("double"),
+            9,
+        ).alias("revenue_share"),
+    )

@@ -495,3 +495,82 @@ def test_runs_test_single_block_too_few_runs(spark):
     # lower median 3 excluded -> 1,2 below; 10,11,12 above; 2 runs
     assert out["n_runs"] == 2
     assert out["z_runs"] < 0  # too few runs = trending
+
+
+# ---------------------------------------------------------------------------
+# weighted SSSP / ABC-XYZ / event study (wave E)
+
+
+def test_weighted_sssp_relaxes_through_cheaper_path(spark):
+    from etl_java_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 5)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = weighted_sssp(edges, seeds, rounds=3).collect()[0]
+    # direct a-c (5) loses to a-b-c (2)
+    assert out["n_reached"] == 2
+    assert out["total_dist"] == 3  # b=1, c=2
+    assert out["max_dist"] == 2
+    assert out["closeness"] == pytest.approx(2 / 3, abs=1e-9)
+
+
+def test_weighted_sssp_hop_bound(spark):
+    from etl_java_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = weighted_sssp(edges, seeds, rounds=2).collect()[0]
+    # d needs 3 relaxations; at rounds=2 only b and c are priced
+    assert out["n_reached"] == 2 and out["max_dist"] == 2
+
+
+def test_abc_xyz_hand_grid(spark):
+    from etl_java_spark.operators.relational import abc_xyz_analysis
+
+    rows = [
+        (1, 1, 40, 2), (1, 2, 40, 2),   # A by revenue, cv=0 -> X
+        (2, 1, 10, 1), (2, 2, 5, 3),    # B, cv=0.5 boundary -> X
+        (3, 1, 3, 1), (3, 2, 2, 5),     # C, cv=2/3 -> Y
+    ]
+    df = spark.createDataFrame(rows, "item long, p long, rev long, q long")
+    out = {
+        (r["abc_class"], r["xyz_class"]): (r["n_items"], r["revenue"])
+    for r in abc_xyz_analysis(df, "item", "p", "rev", "q").collect()}
+    assert out == {
+        ("A", "X"): (1, 80), ("B", "X"): (1, 15), ("C", "Y"): (1, 5)
+    }
+
+
+def test_event_study_zero_filled_grid(spark):
+    from pyspark.sql import functions as F
+
+    from etl_java_spark.operators.experiments import event_study_panel
+
+    day = 86400
+    rows = [
+        (1, 10, _ts(5 * day), "view"),
+        (2, 10, _ts(7 * day), "purchase"),
+        (3, 10, _ts(8 * day), "view"),
+        (4, 10, _ts(8 * day), "click"),
+        (5, 20, _ts(6 * day), "view"),  # no purchase: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, et string"
+    )
+    out = {
+        r["rel_day"]: (r["n_entities"], r["n_events"])
+    for r in event_study_panel(
+        df, "user_id", "ts", F.col("et") == "purchase", window_days=3
+    ).collect()}
+    assert len(out) == 7  # the full -3..3 grid, zero-filled
+    assert all(v[0] == 1 for v in out.values())
+    assert out[-2] == (1, 1)
+    assert out[0] == (1, 1)   # the anchor itself
+    assert out[1] == (1, 2)
+    assert out[-3] == (1, 0) and out[3] == (1, 0)
