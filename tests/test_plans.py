@@ -543,3 +543,60 @@ def test_q535_ktruss_candidate_join_is_banded(spark):
             f"brand join without banded bucket key: [{keys}] — "
             "block-quadratic candidate builder regressed"
         )
+
+
+def test_q628_apriori_prune_before_pair_join(spark):
+    """Association rules must prune infrequent items via a BROADCAST
+    semi-filter BEFORE the within-basket self-join, and the pair join
+    must be a keyed equi-join on the basket — never a cartesian."""
+    plan = plan_of(spark, "q628_association_rules", "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, (
+        "frequent-item prune + both marginal joins must broadcast"
+    )
+
+
+def test_q637_panel_fe_no_window_no_smj(spark):
+    """Panel FE is two aggregates (entity, then global) with quantized
+    order-free frac sums — NO window, NO sort-merge join (the
+    entity-cardinality-scalable contract its docstring claims)."""
+    plan = plan_of(spark, "q637_panel_fe", "simple")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q638_newey_west_window_post_aggregate(spark):
+    """The L lead() columns run over the per-day AGGREGATE series,
+    never raw orders (post-aggregate-window contract)."""
+    plan = plan_of(spark, "q638_newey_west", "simple")
+    first_window = plan.find("Window")
+    assert first_window != -1
+    upstream = plan[first_window:]
+    assert "HashAggregate" in upstream or "SortAggregate" in upstream
+
+
+def test_q639_runs_test_window_post_aggregate(spark):
+    """The sign-change window orders the per-day AGGREGATE series."""
+    plan = plan_of(spark, "q639_runs_test", "simple")
+    first_window = plan.find("Window")
+    assert first_window != -1
+    upstream = plan[first_window:]
+    assert "HashAggregate" in upstream or "SortAggregate" in upstream
+
+
+def test_q641_abc_rank_window_post_aggregate(spark):
+    """The ABC cumulative-revenue window ranks the ITEM aggregate
+    (item grain), never raw lineitem rows."""
+    plan = plan_of(spark, "q641_abc_xyz", "simple")
+    first_window = plan.find("Window")
+    assert first_window != -1
+    upstream = plan[first_window:]
+    assert "HashAggregate" in upstream or "SortAggregate" in upstream
+
+
+def test_q640_sssp_no_cartesian(spark):
+    """Every SSSP relaxation is a keyed equi-join on the frontier
+    node; the plan (checkpoint-cut to the readout) must not contain a
+    cartesian product."""
+    plan = plan_of(spark, "q640_weighted_sssp", "simple")
+    assert "CartesianProduct" not in plan
