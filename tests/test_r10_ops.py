@@ -2035,9 +2035,12 @@ def test_conditional_entropy_matches_reference(spark):
     for (x, _), c in big.items():
         uni[x] += c
     n = sum(big.values())
+    # mirror the r12-hardened operator: the ln factor quantizes to the
+    # 1e-9 grid BEFORE the c* multiply and the order-free sum
+    q9 = lambda v: round(v, 9)  # noqa: E731
     h = (
-        sum(c * math.log(c) for c in uni.values())
-        - sum(c * math.log(c) for c in big.values())
+        sum(c * q9(math.log(c)) for c in uni.values())
+        - sum(c * q9(math.log(c)) for c in big.values())
     ) / (n * math.log(2))
     assert out["n_bigrams"] == n
     assert out["n_contexts"] == len(uni)
