@@ -6270,3 +6270,64 @@ def event_study_panel(
             F.sum("n_ev").cast("double") / F.count("*").cast("double"), 9
         ).alias("events_per_entity"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: Column | str,
+    value_col,
+    alpha_c: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the TRUE and
+    FALSE groups of ``group_col``: D = max over values of
+    |F1(v) - F2(v)|, computed EXACTLY in integer space —
+    D * n1 * n2 = max |n2*cum1 - n1*cum2| over the merged distinct
+    values (one ordered window over the value-grain aggregate; value
+    cardinality is the scale knob). reject_5pct compares D against
+    the asymptotic threshold c(alpha)*sqrt((n1+n2)/(n1*n2)) with
+    c(0.05) = 1.358 — both sides are fixed trees of exact integers.
+
+    Returns one row: (n1, n2, d_scaled, d_stat, threshold,
+    reject_5pct).
+    """
+    d38 = "decimal(38,0)"
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = (
+        F.col(value_col) if isinstance(value_col, str) else value_col
+    ).cast("long")
+    base = df.select(g.alias("in1"), v.alias("v"))
+    per = base.groupBy("v").agg(
+        F.sum(F.col("in1").cast("int")).cast("long").alias("c1"),
+        F.sum((~F.col("in1")).cast("int")).cast("long").alias("c2"),
+    )
+    tot = per.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.sum("c1").over(w).cast("long").alias("k1"),
+        F.sum("c2").over(w).cast("long").alias("k2"),
+    ).crossJoin(F.broadcast(tot))
+    gap = F.abs(
+        (F.col("n2").cast(d38) * F.col("k1")).cast(d38)
+        - (F.col("n1").cast(d38) * F.col("k2")).cast(d38)
+    ).cast(d38)
+    agg = cum.groupBy("n1", "n2").agg(
+        F.max(gap).cast("long").alias("d_scaled")
+    )
+    d = F.col("d_scaled").cast("double") / (
+        F.col("n1").cast(d38) * F.col("n2")
+    ).cast(d38).cast("double")
+    thr = F.lit(float(alpha_c)) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1").cast(d38) * F.col("n2")).cast(d38).cast("double")
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "d_scaled",
+        F.round(d, 9).alias("d_stat"),
+        F.round(thr, 9).alias("threshold"),
+        (d > thr).alias("reject_5pct"),
+    )

@@ -1370,3 +1370,63 @@ def abc_xyz_analysis(
             9,
         ).alias("revenue_share"),
     )
+
+
+def concentration_panel(
+    df: DataFrame,
+    firm_col: str,
+    revenue_col,
+    top_k: int = 4,
+) -> DataFrame:
+    """Market-concentration panel over firm revenues: the
+    Herfindahl-Hirschman index HHI = sum_i s_i^2 (shares of total),
+    the CR_k top-k concentration ratio, the single largest share, and
+    the "effective number of competitors" 1/HHI — the antitrust /
+    category-management quartet.
+
+    Determinism: revenues are exact integers; HHI = (sum rev_i^2) /
+    T^2 with the numerator an exact decimal sum and the denominator
+    ONE double product of the exact total — a fixed tree, no
+    quantization. CR_k ranks firms by (revenue DESC, firm id) — a
+    total order — and divides two exact integers.
+
+    Scale: one firm aggregate; the rank window runs at FIRM grain
+    (post-aggregate-window contract).
+
+    Returns one row: (n_firms, total_revenue, hhi, cr_top, top1_share,
+    effective_firms).
+    """
+    d38 = "decimal(38,0)"
+    rv = (
+        F.col(revenue_col) if isinstance(revenue_col, str) else revenue_col
+    ).cast("long")
+    firms = (
+        df.select(F.col(firm_col).alias("f"), rv.alias("rev"))
+        .groupBy("f")
+        .agg(F.sum("rev").cast("long").alias("rev"))
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("f"))
+    ranked = firms.withColumn("rk", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_firms"),
+        F.sum("rev").cast("long").alias("t"),
+        F.sum((F.col("rev").cast(d38) * F.col("rev")).cast(d38))
+        .cast(d38)
+        .alias("ssq"),
+        F.sum(F.when(F.col("rk") <= int(top_k), F.col("rev")))
+        .cast("long")
+        .alias("topk"),
+        F.sum(F.when(F.col("rk") == 1, F.col("rev")))
+        .cast("long")
+        .alias("top1"),
+    )
+    td = F.col("t").cast("double")
+    hhi = F.col("ssq").cast("double") / (td * td)
+    return agg.select(
+        "n_firms",
+        F.col("t").alias("total_revenue"),
+        F.round(hhi, 9).alias("hhi"),
+        F.round(F.col("topk").cast("double") / td, 9).alias("cr_top"),
+        F.round(F.col("top1").cast("double") / td, 9).alias("top1_share"),
+        F.round(F.lit(1.0) / hhi, 6).alias("effective_firms"),
+    )

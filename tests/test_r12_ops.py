@@ -574,3 +574,81 @@ def test_event_study_zero_filled_grid(spark):
     assert out[0] == (1, 1)   # the anchor itself
     assert out[1] == (1, 2)
     assert out[-3] == (1, 0) and out[3] == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W / two-sample KS / concentration (wave F)
+
+
+def test_kendalls_w_perfect_reversed_and_ties(spark):
+    from etl_java_spark.operators.evaluation import kendalls_w
+
+    agree = spark.createDataFrame(
+        [("j1", "A", 10), ("j1", "B", 20), ("j1", "C", 30),
+         ("j2", "A", 5), ("j2", "B", 6), ("j2", "C", 7)],
+        "j string, i string, v long",
+    )
+    out = kendalls_w(agree, "j", "i", "v").collect()[0]
+    assert (out["n_items"], out["m_judges"]) == (3, 2)
+    assert out["s4"] == 32 and out["tie_correction"] == 0
+    assert out["kendall_w"] == 1.0
+    assert out["chi2_approx"] == 4.0
+    # full reversal by judge 2 -> zero concordance
+    rev = spark.createDataFrame(
+        [("j1", "A", 10), ("j1", "B", 20), ("j1", "C", 30),
+         ("j2", "A", 7), ("j2", "B", 6), ("j2", "C", 5)],
+        "j string, i string, v long",
+    )
+    assert kendalls_w(rev, "j", "i", "v").collect()[0]["kendall_w"] == 0.0
+    # a tie inside judge 1 contributes t^3 - t = 6 to the correction
+    tied = spark.createDataFrame(
+        [("j1", "A", 10), ("j1", "B", 10), ("j1", "C", 30),
+         ("j2", "A", 5), ("j2", "B", 6), ("j2", "C", 7)],
+        "j string, i string, v long",
+    )
+    assert kendalls_w(tied, "j", "i", "v").collect()[0][
+        "tie_correction"
+    ] == 6
+
+
+def test_ks_two_sample_disjoint_and_identical(spark):
+    from pyspark.sql import functions as F
+
+    from etl_java_spark.operators.experiments import ks_two_sample
+
+    rows = [(True, 1), (True, 2), (True, 3),
+            (False, 4), (False, 5), (False, 6)]
+    df = spark.createDataFrame(rows, "g boolean, v long")
+    out = ks_two_sample(df, F.col("g"), "v").collect()[0]
+    assert (out["n1"], out["n2"]) == (3, 3)
+    assert out["d_scaled"] == 9 and out["d_stat"] == 1.0
+    # n=3: the asymptotic threshold 1.358*sqrt(6/9) ~ 1.109 exceeds
+    # even D=1 — tiny samples can never reject (document, don't fudge)
+    assert out["reject_5pct"] is False
+    big = spark.createDataFrame(
+        [(True, i) for i in range(20)]
+        + [(False, 100 + i) for i in range(20)],
+        "g boolean, v long",
+    )
+    outb = ks_two_sample(big, F.col("g"), "v").collect()[0]
+    assert outb["d_stat"] == 1.0 and outb["reject_5pct"] is True
+    same = spark.createDataFrame(
+        [(g, v) for g in (True, False) for v in (1, 2, 3)],
+        "g boolean, v long",
+    )
+    out2 = ks_two_sample(same, F.col("g"), "v").collect()[0]
+    assert out2["d_scaled"] == 0 and out2["reject_5pct"] is False
+
+
+def test_concentration_panel_hand(spark):
+    from etl_java_spark.operators.relational import concentration_panel
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 15), (4, 5)], "f long, rev long"
+    )
+    out = concentration_panel(df, "f", "rev", top_k=4).collect()[0]
+    assert out["n_firms"] == 4 and out["total_revenue"] == 100
+    assert out["hhi"] == pytest.approx(0.365, abs=1e-9)
+    assert out["cr_top"] == 1.0
+    assert out["top1_share"] == 0.5
+    assert out["effective_firms"] == pytest.approx(1 / 0.365, abs=1e-6)
