@@ -33,6 +33,26 @@ def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
     return edges.groupBy(src).agg(F.count("*").alias("outdeg"))
 
 
+def _pin(df: DataFrame, *keys: str) -> DataFrame:
+    """Materialize a STATIC per-round join side hash-partitioned on its
+    round-join key and keep it cached (the q389 LPA discipline, r12:
+    extended to the whole iterative family — guide §2.4, operations
+    keyed the same way share one exchange): InMemoryTableScan preserves
+    the user-specified repartition's outputPartitioning, so every
+    round's equi-join on ``keys`` reads the table with NO per-round
+    Exchange. A checkpoint can NOT do this — LogicalRDD surfaces
+    UnknownPartitioning under AQE, re-exchanging the big side every
+    round. Fault tolerance is lineage recompute (fine for a once-built
+    static table; per-round STATE keeps its checkpoint treatment).
+    Costs one extra build-time shuffle of the table, repaid after the
+    first round. Callers unpersist() when iteration ends — safe because
+    every returned frame is checkpoint-materialized first.
+    """
+    p = df.repartition(*[F.col(k) for k in keys]).persist()
+    p.count()
+    return p
+
+
 def _canonical_und(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Canonical undirected edge set (u < v): direction and duplicate
     edges collapsed, self-loops dropped — the shared first step of
@@ -92,16 +112,20 @@ def pagerank(
     # Materialize the edge list ONCE — the caller's edge plan may be an
     # arbitrary join tree, and nodes/degrees/iterations all re-read it.
     e = ckpt(edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")))
-    nodes = ckpt(
+    # Static per-round join sides PINNED on their round-join keys (r12,
+    # guide §2.4): the edge table reads exchange-free in every round's
+    # rank join, the node set in every round's left join-back.
+    nodes = _pin(
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
-        .distinct()
+        .distinct(),
+        "node",
     )
     deg = e.groupBy("e_src").agg(F.count("*").alias("outdeg"))
-    # (src, dst, outdeg) — static over iterations, checkpoint once
-    ed = ckpt(e.join(deg, "e_src"))
+    # (src, dst, outdeg) — static over iterations, pinned on the join key
+    ed = _pin(e.join(deg, "e_src"), "e_src")
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             ed.join(ranks, ed.e_src == ranks.node)
             .select(
@@ -121,11 +145,19 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # Per-round materialization measured FASTER than one unrolled
-        # lazy DAG here (5-6s vs 7.7s at sf0.1): each round's AQE
-        # re-plans against the real rank-vector size instead of a
-        # 3-round-deep estimate, and lineage stays O(1) for long runs.
-        ranks = ckpt(ranks)
+        # Rounds stay LAZY between checkpoints now that both static
+        # sides are pinned: with unpinned (checkpointed) inputs a lazy
+        # multi-round DAG measured SLOWER than per-round ckpt (7.7s vs
+        # 5-6s at sf0.1 — AQE re-planned each round against stale
+        # estimates), but against pinned, known-partitioned inputs the
+        # lazy chain wins (3.7s vs 4.6s pinned+per-round at sf0.1,
+        # bit-identical). Checkpoint every 4th round to cap lineage on
+        # long runs, and always after the last round so the returned
+        # frame survives unpersist().
+        if (it + 1) % 4 == 0 or it == iterations - 1:
+            ranks = ckpt(ranks)
+    ed.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -230,15 +262,20 @@ def personalized_pagerank(
         )
         .withColumn("seed", F.lit(1.0))
     )
-    base = ckpt(
+    # Static per-round sides pinned on their round-join keys (r12, the
+    # pagerank discipline): seed base on node, degree-annotated edges
+    # on e_src; rounds stay lazy between every-4th-round checkpoints
+    # (see pagerank for the measured A/B).
+    base = _pin(
         nodes.join(seed_flag, "node", "left").select(
             "node", F.coalesce(F.col("seed"), F.lit(0.0)).alias("seed")
-        )
+        ),
+        "node",
     )
     deg = e.groupBy("e_src").agg(F.count("*").alias("outdeg"))
-    ed = ckpt(e.join(deg, "e_src"))
+    ed = _pin(e.join(deg, "e_src"), "e_src")
     ranks = base.select("node", F.col("seed").alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             ed.join(ranks, ed.e_src == ranks.node)
             .select(
@@ -248,15 +285,17 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s"))
         )
-        ranks = ckpt(
-            base.join(contribs, "node", "left").select(
-                "node",
-                (
-                    F.lit(1.0 - damping) * F.col("seed")
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        ranks = base.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * F.col("seed")
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if (it + 1) % 4 == 0 or it == iterations - 1:
+            ranks = ckpt(ranks)
+    ed.unpersist()
+    base.unpersist()
     return ranks
 
 
@@ -426,7 +465,14 @@ def bfs_layers(
     # Materialize the doubled edge list ONCE (the pagerank discipline,
     # see `ed` above): without this, every frontier round re-derives
     # the caller's edge plan — for a fact-fact join input that is a
-    # full shuffle per hop at 100 TB.
+    # full shuffle per hop at 100 TB. NOT pinned (r12 A/B): the
+    # frontier side is broadcast-sized here by design (seeds are the
+    # cost knob), so the per-hop join never exchanges the edge side
+    # anyway, and a hash-partitioned cache flipped the plan to a
+    # sort-merge that re-SORTED the edge table every hop (q526
+    # 6.1s -> 11.2s, q640 4.8s -> 10.9s at sf0.1). Pinning pays only
+    # where the per-round probe side outgrows a broadcast (the
+    # pagerank-family rank vector over all nodes).
     und = ckpt(
         edges.select(
             F.col(src).alias("s"), F.col(dst).alias("d")
@@ -574,17 +620,24 @@ def hits(
     if iterations < 1:
         raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
     ckpt = make_checkpointer(checkpoint_dir)
-    e = ckpt(edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")))
+    e0 = ckpt(edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")))
+    # TWO pinned copies of the edge table, one per round-join key (r12,
+    # the pagerank discipline): the auth step joins on e_src, the hub
+    # step on e_dst — each reads its copy exchange-free every round.
+    # Cost: 2x edge storage (MEMORY_AND_DISK spills at scale), repaid
+    # by two edge exchanges per round from round one.
+    e_s = _pin(e0, "e_src")
+    e_d = _pin(e0, "e_dst")
     nodes = ckpt(
-        e.select(F.col("e_src").alias("node"))
-        .unionByName(e.select(F.col("e_dst").alias("node")))
+        e0.select(F.col("e_src").alias("node"))
+        .unionByName(e0.select(F.col("e_dst").alias("node")))
         .distinct()
     )
     hub = nodes.withColumn("h", F.lit(1.0))
     auth = None
     for it in range(iterations):
         auth = (
-            e.join(hub, e.e_src == hub.node)
+            e_s.join(hub, e_s.e_src == hub.node)
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.col("h").cast("decimal(38,6)")).cast("double").alias("a"))
         )
@@ -593,14 +646,18 @@ def hits(
             # intermediate ones feed exactly one hub join — no ckpt
             auth = ckpt(auth)
         hub = (
-            e.join(auth, e.e_dst == auth.node)
+            e_d.join(auth, e_d.e_dst == auth.node)
             .groupBy(F.col("e_src").alias("node"))
             .agg(F.sum(F.col("a").cast("decimal(38,6)")).cast("double").alias("h"))
         )
-        # Per-round materialization of the recurrence carrier: AQE
-        # re-plans each round against the real vector size; lineage
-        # stays O(1) (pagerank discipline).
-        hub = ckpt(hub)
+        # Rounds stay lazy against the pinned edge tables (see
+        # pagerank); checkpoint the carrier every 2nd round (2 joins
+        # per round) and always at the end, so the readout below joins
+        # materialized vectors and unpersist() is safe.
+        if (it + 1) % 2 == 0 or it == iterations - 1:
+            hub = ckpt(hub)
+    e_s.unpersist()
+    e_d.unpersist()
     h_tot = hub.agg(
         F.sum(F.col("h").cast("decimal(38,6)")).cast("double").alias("ht")
     )
@@ -1091,16 +1148,20 @@ def katz_centrality(
     from ..plans.checkpoints import make_checkpointer
 
     ckpt = make_checkpointer(checkpoint_dir)
-    e = ckpt(
+    # Static sides pinned on the round-join keys; lazy rounds between
+    # every-4th-round checkpoints (r12, the pagerank discipline).
+    e0 = ckpt(
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     )
-    nodes = ckpt(
-        e.select(F.col("e_src").alias("node"))
-        .unionByName(e.select(F.col("e_dst").alias("node")))
-        .distinct()
+    e = _pin(e0, "e_src")
+    nodes = _pin(
+        e0.select(F.col("e_src").alias("node"))
+        .unionByName(e0.select(F.col("e_dst").alias("node")))
+        .distinct(),
+        "node",
     )
     xs = nodes.withColumn("x", F.lit(1.0))
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             e.join(xs, e.e_src == xs.node)
             .select(F.col("e_dst").alias("node"), F.col("x"))
@@ -1118,7 +1179,10 @@ def katz_centrality(
                 + F.lit(float(alpha)) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("x"),
         )
-        xs = ckpt(xs)
+        if (it + 1) % 4 == 0 or it == iterations - 1:
+            xs = ckpt(xs)
+    e.unpersist()
+    nodes.unpersist()
     return xs.select("node", F.col("x").alias("katz"))
 
 
@@ -1236,12 +1300,17 @@ def eigenvector_centrality(
             f"{iterations}"
         )
     ckpt = make_checkpointer(checkpoint_dir)
-    und = ckpt(
+    # Doubled edge set pinned on the sweep-join key (r12, the pagerank
+    # discipline): every sweep reads it exchange-free; sweeps stay lazy
+    # between every-4th-sweep checkpoints, final sweep checkpointed
+    # (read twice: total + output join).
+    und = _pin(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(
             edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
         )
-        .distinct()
+        .distinct(),
+        "s",
     )
     nodes = ckpt(und.select(F.col("s").alias("node")).distinct())
     x = nodes.withColumn("x", F.lit(1.0))
@@ -1255,7 +1324,9 @@ def eigenvector_centrality(
                 .alias("x")
             )
         )
-        x = ckpt(x)
+        if (it + 1) % 4 == 0 or it == iterations - 1:
+            x = ckpt(x)
+    und.unpersist()
     tot = x.agg(
         F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("t")
     )

@@ -433,6 +433,62 @@ def test_q527_eigenvector_sweep_reads_materialized_state(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pagerank_round_reads_pinned_edges(spark):
+    """r12 optimization gate: one pagerank-family round = the rank join
+    reading the ONCE-pinned (cached, pre-partitioned-on-e_src) edge
+    table with NO per-round ENSURE_REQUIREMENTS re-exchange of the edge
+    side — the q389 LPA discipline extended to the rank-vector
+    iterators (pagerank / personalized_pagerank / katz / eigenvector /
+    hits)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_java_spark.operators.graph import _pin
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    deg = e.groupBy("e_src").agg(F.count("*").alias("outdeg"))
+    ed = _pin(e.join(deg, "e_src"), "e_src")
+    try:
+        ranks = (
+            ed.select(F.col("e_src").alias("node"))
+            .distinct()
+            .withColumn("rank", F.lit(1.0))
+            .localCheckpoint(eager=True)
+        )
+        contribs = (
+            ed.join(ranks, ed.e_src == ranks.node)
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.col("rank") / F.col("outdeg").cast("double")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        plan = contribs._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    finally:
+        ed.unpersist()
+    assert "InMemoryTableScan" in plan, "edge table must read the one cache"
+    # the explain prints the cache's own BUILD plan under
+    # InMemoryRelation (which legitimately contains its one e_src
+    # exchange); the gate is about the ROUND's operators above it
+    round_ops = plan.split("InMemoryRelation")[0]
+    assert not re.search(
+        r"Exchange hashpartitioning\(e_src#\d+L", round_ops
+    ), "edge side re-exchanged per round (cache partitioning lost)"
+
+
 def test_q528_bayes_ab_single_aggregate_no_join(spark):
     """The exact Bayes A/B readout is ONE conditional-count aggregate
     plus in-row folds — any join/window in the plan means the
