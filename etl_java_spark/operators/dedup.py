@@ -150,6 +150,7 @@ def minhash_incremental_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     index: DataFrame | None = None,
+    new_index: DataFrame | None = None,
     side_markers: bool = False,
 ) -> DataFrame:
     """Incremental near-dup: verified pairs touching the NEW batch only
@@ -175,14 +176,22 @@ def minhash_incremental_pairs(
 
     ``bands=None`` auto-sizes from the threshold (lsh_band_sizing). A
     precomputed ``index`` must have been built with the SAME resolved
-    (num_hashes, bands) — banding is part of the index layout.
+    (num_hashes, bands) — banding is part of the index layout. The same
+    applies to ``new_index`` (the NEW batch's band rows): a caller that
+    already banded the batch — the streaming guard bands it anyway to
+    append it to the standing index — passes it here so the batch's
+    MinHash signatures are computed ONCE per micro-batch, not twice
+    (r12: one full signature pass saved per batch; one explode + k min
+    aggregates over the batch text).
     """
     if bands is None:
         bands, _ = lsh_band_sizing(threshold, num_hashes)
     rows = num_hashes // bands
     if index is None:
         index = minhash_index(old_df, text_col, id_col, num_hashes, bands, shingle_n)
-    new_banded = minhash_index(new_df, text_col, id_col, num_hashes, bands, shingle_n)
+    new_banded = new_index if new_index is not None else minhash_index(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n
+    )
     o, n = index.alias("o"), new_banded.alias("n")
     cross = o.join(
         n,
@@ -563,7 +572,10 @@ def embedding_near_dup_pairs(
         raise ValueError("num_planes must be divisible by bands")
     per_band = num_planes // bands
     hasher = seeded_band_hashes_udf(seed, num_planes, bands)
-    bucketed = df.select(
+    # _spread (r12): the Arrow-UDF plane hashing is the map-side CPU of
+    # this operator and runs before any shuffle — spread single-split
+    # scans across the cluster (q263/q260 map-skew fix; no-op at scale)
+    bucketed = _spread(df.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col),
         F.posexplode(hasher(F.col(vec_col))).alias("__band", "__h"),
     )
@@ -975,9 +987,15 @@ def weighted_jaccard_verify(
     shingles = F.array_distinct(
         word_shingles(F.col(text_col), shingle_n, pat)
     )
+    # _spread (r12): both shingle explodes below are map-side CPU over
+    # the full corpus BEFORE any shuffle — spread single-split scans
+    # (q263/q260 map-skew fix; no-op at real scale)
+    spread = _spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+    )
     toks = (
-        df.select(
-            F.col(id_col).alias("__id"),
+        spread.select(
+            F.col("__id"),
             F.explode(shingles).alias("__sh"),
         )
         .join(needed, on="__id", how="left_semi")
@@ -986,7 +1004,7 @@ def weighted_jaccard_verify(
     # document frequency over the FULL corpus (weights must not depend
     # on which pairs are being verified)
     df_counts = (
-        df.select(F.explode(shingles).alias("__sh"))
+        spread.select(F.explode(shingles).alias("__sh"))
         .groupBy("__sh")
         .agg(F.count("*").cast("long").alias("__df"))
     )

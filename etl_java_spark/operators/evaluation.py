@@ -3876,7 +3876,28 @@ def naive_bayes_confusion(
             for i, c in enumerate(feats)
         ],
     )
-    n_all = base.count()
+    # ONE scan for every driver-side scalar the model needs (r12):
+    # n_all and the per-feature distinct-value counts each ran their
+    # own action over the full input before (1 + len(feats) jobs, each
+    # recomputing the caller's join). countDistinct skips NULL, so a
+    # NULL-presence flag restores the exact distinct-including-NULL
+    # count the smoothing denominator used.
+    scalars = base.agg(
+        F.count("*").alias("__n"),
+        *[
+            c
+            for i in range(len(feats))
+            for c in (
+                F.countDistinct(f"f{i}").alias(f"__v{i}"),
+                F.max(F.col(f"f{i}").isNull().cast("int")).alias(f"__nl{i}"),
+            )
+        ],
+    ).collect()[0]
+    n_all = scalars["__n"]
+    v_fs = [
+        int(scalars[f"__v{i}"]) + int(scalars[f"__nl{i}"] or 0)
+        for i in range(len(feats))
+    ]
     classes = base.groupBy("cls").agg(
         F.count("*").cast("long").alias("n_c")
     )
@@ -3894,10 +3915,14 @@ def naive_bayes_confusion(
                                  "prior_ll"))
     ).withColumn("score", F.col("prior_ll"))
     for i in range(len(feats)):
-        vals = base.select(F.col(f"f{i}").alias("val")).distinct()
         cnt = base.groupBy(
             F.col("cls").alias("cand"), F.col(f"f{i}").alias("val")
         ).agg(F.count("*").cast("long").alias("n_cv"))
+        # every row lands in cnt, so cnt's distinct vals ARE the
+        # feature's distinct values — deriving them here instead of
+        # from base saves a full input scan per feature in the lazy
+        # scoring plan (r12)
+        vals = cnt.select("val").distinct()
         grid = (
             prior.select(F.col("cls").alias("cand"), "n_c")
             .crossJoin(vals)
@@ -3906,7 +3931,7 @@ def naive_bayes_confusion(
                 "n_cv", F.coalesce("n_cv", F.lit(0).cast("long"))
             )
         )
-        v_f = vals.count()
+        v_f = v_fs[i]
         ll = grid.select(
             "cand",
             "val",

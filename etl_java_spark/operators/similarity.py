@@ -40,11 +40,19 @@ def brute_force_topk(
     Result: (query_id, neighbor_id, cos_sim, rank), excluding self-match
     when ids collide. Ties broken by neighbor id for determinism.
     """
+    from .dedup import _spread
+
     query_id_col = query_id_col or id_col
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    # _spread (r12): the broadcast crossJoin scores |queries| cosines
+    # per corpus row BEFORE any shuffle — on a 1-2-split scan that pins
+    # the whole scoring pass onto 1-2 cores (q260 measured a 3.2s
+    # single-task stage at sf0.1). No-op at real scale (many splits).
+    c = _spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -378,13 +386,18 @@ def lsh_topk(
     if hasher is None:
         hasher = seeded_band_hashes_udf(seed, num_planes, bands)
 
+    from .dedup import _spread
+
     def banded(df, idc, alias):
         return df.select(
             F.col(idc).alias(alias),
             F.posexplode(hasher(F.col(vec_col))).alias("band_idx", "band_hash"),
         )
 
-    cb = banded(corpus, id_col, "neighbor_id")
+    # _spread (r12): corpus banding is num_planes x dim work per row,
+    # all BEFORE the first shuffle — single-split scans pin it on one
+    # core (the q263/q260 map-skew fix); no-op at real scale.
+    cb = banded(_spread(corpus), id_col, "neighbor_id")
     # The query side is small by contract (same assumption as
     # brute_force_topk's broadcast): broadcasting its banded form makes
     # candidate generation a map-only pass over the corpus — the corpus
@@ -859,13 +872,20 @@ def gram_power_pca(
     """
     import math
 
+    from .dedup import _spread
+
     c = F.col(vec_col)
     outer = F.flatten(
         F.transform(
             c, lambda xi: F.transform(c, lambda xj: xi.cast("double") * xj.cast("double"))
         )
     )
-    prods = df.select(
+    # _spread (r12): the d^2-per-row outer-product explode is the CPU
+    # of this operator and runs BEFORE the first shuffle — on a small
+    # parquet scan (1-2 splits) it pins all work onto 1-2 cores while
+    # the rest idle (measured 5.0s -> ~2s at sf0.1). At real scale the
+    # scan has thousands of splits and no shuffle is added.
+    prods = _spread(df.select(c.alias(vec_col))).select(
         F.size(c).alias("__d"), F.posexplode(outer).alias("p", "v")
     )
     gram_df = (
@@ -950,11 +970,16 @@ def brute_force_topk_l2(
     query-side crossJoin, map-only scoring, per-query top-k — swap in
     the IVF probe when the query set stops fitting in a broadcast.
     """
+    from .dedup import _spread
+
     query_id_col = query_id_col or id_col
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    # _spread (r12): same single-split map-skew fix as brute_force_topk
+    c = _spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    )
     sq = F.aggregate(
         F.zip_with(
             F.col("__qvec"),

@@ -129,6 +129,11 @@ def foreach_batch_neardup_guard(
             shingle_n=shingle_n,
             threshold=threshold,
             index=index,
+            # the batch's band rows are computed (and checkpointed)
+            # above anyway to append them to the standing index — reuse
+            # them so the batch is MinHash-signed once per micro-batch,
+            # not twice (r12)
+            new_index=banded,
         )
         dups.write.mode("overwrite").parquet(
             f"{dup_path}/epoch={int(epoch_id)}"
