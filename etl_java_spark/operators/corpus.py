@@ -337,10 +337,15 @@ def dup_spans(
     (id, n_spans, n_dup_spans, dup_frac) for every doc with at least
     one selected span; dup_frac is one double division of exact counts.
     """
-    from .dedup import md5_hash60
+    from .dedup import _spread, md5_hash60
 
-    base = df.select(F.col(id_col), F.col(text_col).alias("__t")).filter(
-        F.length("__t") >= k
+    # _spread (r12): one md5 per character position, all map-side
+    # before the span shuffle — spread single-split scans (no-op at
+    # real scale)
+    base = _spread(
+        df.select(F.col(id_col), F.col(text_col).alias("__t")).filter(
+            F.length("__t") >= k
+        )
     )
     spans = base.select(
         F.col(id_col),

@@ -55,6 +55,8 @@ def cms_build(
     """Build the sketch: one explode (depth cells per input row) + one
     grouped count -> (row, bucket, cnt), at most depth x width rows.
     Map-side combine collapses the shuffle to the cell count."""
+    from .dedup import _spread
+
     cells = F.array(
         *[
             F.struct(
@@ -63,8 +65,14 @@ def cms_build(
             for i in range(depth)
         ]
     )
+    # _spread (r12): depth md5 digests per input row, all map-side
+    # before the cell shuffle — spread few-split inputs across the
+    # cluster (no-op at real scale where the stream has many splits);
+    # project to the key first so the spread shuffle moves only it
+    base = df.select(key_col) if isinstance(key_col, str) else df
     return (
-        df.select(F.explode(cells).alias("c"))
+        _spread(base)
+        .select(F.explode(cells).alias("c"))
         .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
