@@ -207,7 +207,10 @@ def markov_attribution(
     ).withColumn(
         "__s",
         F.when(F.col("__e") == conv_type, F.lit("CONV")).otherwise(F.col("__e")),
-    ).localCheckpoint(eager=True)
+        # eager=False (r12): the channel collect below materializes
+        # kept/trans in ONE action instead of three synchronous
+        # checkpoint jobs; later consumers reuse the cached RDDs
+    ).localCheckpoint(eager=False)
     # successor via lead() over the SAME (user, rn) partitioning — a
     # (u, rn) self-join here was the hot spot (a full shuffle join of
     # the path table with itself; measured ~2x the whole query)
@@ -231,7 +234,7 @@ def markov_attribution(
     trans = counts.join(tot, "__s").select(
         "__s", "__to",
         (F.col("__n").cast("double") / F.col("__tot").cast("double")).alias("__p"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     channels = [
         r["__s"] for r in trans.select("__s").distinct().collect()
         if r["__s"] not in ("START", "CONV", "NULL")
@@ -243,7 +246,7 @@ def markov_attribution(
     vtrans = (
         trans.crossJoin(F.broadcast(variants))
         .filter((F.col("__var") == "full") | (F.col("__s") != F.col("__var")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     v = variants.select("__var", F.lit("CONV").alias("__st"), F.lit(1.0).alias("__val"))
     for _ in range(steps):
@@ -274,6 +277,9 @@ def markov_attribution(
         # #states rows, so an 8-round lazy DAG is cheap to plan and
         # saves 8 materialization jobs (measured 9.1s -> much less at
         # sf0.1); the path/transition tables above ARE checkpointed.
+        # (Re-tested r12: per-round eager ckpt measured ~2s SLOWER —
+        # the growing per-job task counts in the profile are AQE
+        # listing SKIPPED/reused stages, not recomputation.)
         v = prop.filter(F.col("__st") != "CONV").unionByName(
             variants.select(
                 "__var", F.lit("CONV").alias("__st"), F.lit(1.0).alias("__val")
