@@ -52,10 +52,20 @@ _D38 = "decimal(38,0)"
 
 
 def _baskets(tx: DataFrame, basket_col: str, item_col: str) -> DataFrame:
-    """Distinct (basket, item) membership — presence, not quantity."""
-    return tx.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    """Distinct (basket, item) membership — presence, not quantity.
+
+    Lazily checkpointed (r12): three consumers (item counts, the pruned
+    pair join, the basket total) each re-ran the caller's fact join +
+    distinct — the per-job profile showed the same ~0.7s upstream job
+    twice per query. The first consuming action materializes it once.
+    """
+    return (
+        tx.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
 
 def _pair_counts(
@@ -64,9 +74,11 @@ def _pair_counts(
     """A-priori-pruned co-occurrence: returns (pair counts with
     item_a < item_b, per-item basket counts). The support prune runs
     BEFORE the within-basket self-join (the level-1 A-priori cut)."""
+    # metadata-sized; lazily checkpointed because it feeds the prune
+    # semi-join AND two marginal broadcasts (r12)
     item_n = b.groupBy("item").agg(
         F.count("*").cast("long").alias("item_n")
-    )
+    ).localCheckpoint(eager=False)
     frequent = b.join(
         F.broadcast(
             item_n.filter(F.col("item_n") >= int(min_item_n)).select("item")

@@ -1321,6 +1321,9 @@ def abc_xyz_analysis(
             F.sum("q").cast("long").alias("q"),
         )
     )
+    # item-grain; lazily checkpointed (r12): the revenue total and the
+    # ranked window otherwise each re-run the (item, period) aggregate
+    # over the full input (profile: two ~1.2s twin jobs per query)
     items = per.groupBy("item").agg(
         F.sum("rev").cast("long").alias("rev"),
         F.count("*").cast("long").alias("n_p"),
@@ -1328,7 +1331,7 @@ def abc_xyz_analysis(
         F.sum((F.col("q").cast(d38) * F.col("q")).cast(d38))
         .cast(d38)
         .alias("sq2"),
-    )
+    ).localCheckpoint(eager=False)
     tot = items.agg(F.sum("rev").cast("long").alias("rev_tot"))
     w = Window.orderBy(F.col("rev").desc(), F.col("item"))
     ranked = (
