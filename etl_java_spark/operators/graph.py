@@ -35,18 +35,31 @@ def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
 
 def _pin(df: DataFrame, *keys: str) -> DataFrame:
     """Materialize a STATIC per-round join side hash-partitioned on its
-    round-join key and keep it cached (the q389 LPA discipline, r12:
-    extended to the whole iterative family — guide §2.4, operations
-    keyed the same way share one exchange): InMemoryTableScan preserves
-    the user-specified repartition's outputPartitioning, so every
-    round's equi-join on ``keys`` reads the table with NO per-round
-    Exchange. A checkpoint can NOT do this — LogicalRDD surfaces
-    UnknownPartitioning under AQE, re-exchanging the big side every
-    round. Fault tolerance is lineage recompute (fine for a once-built
-    static table; per-round STATE keeps its checkpoint treatment).
-    Costs one extra build-time shuffle of the table, repaid after the
-    first round. Callers unpersist() when iteration ends — safe because
-    every returned frame is checkpoint-materialized first.
+    round-join key and keep it cached (the q389 LPA discipline — guide
+    §2.4, operations keyed the same way share one exchange):
+    InMemoryTableScan preserves the user-specified repartition's
+    outputPartitioning, so every round's equi-join on ``keys`` reads
+    the table with NO per-round Exchange. A checkpoint can NOT do this
+    — LogicalRDD surfaces UnknownPartitioning under AQE, re-exchanging
+    the big side every round. Fault tolerance is lineage recompute
+    (fine for a once-built static table; per-round STATE keeps its
+    checkpoint treatment). Costs one extra build-time shuffle of the
+    table, repaid after the first round. Callers unpersist() when
+    iteration ends — safe because every returned frame is
+    checkpoint-materialized first.
+
+    Scope (r13): used by PAGERANK ONLY. r12 extended the pin family-
+    wide; the r13 quiet-box paired A/B (3 reps, controls in-session,
+    corroborating both r12 full-bench records and the driver's run)
+    kept it only where it wins: pagerank 3.94s pinned vs 5.46s
+    per-round-ckpt at sf0.1, but eigenvector 5.26 vs 3.93, hits 6.09
+    vs 4.43, katz 2.86 vs 2.92 (flat warm, +27% in the full bench),
+    ppr 4.04 vs 4.04 (flat warm, +15% in the full bench) — those four
+    went back to ckpt'd static sides + per-round materialization. At
+    100 TB (rank vector too big to broadcast) the pin argument still
+    holds for all five — but the measured local numbers decide the
+    default, and pagerank is the only operator where they agree with
+    the theory. Callers that pin again must bring a paired A/B.
     """
     p = df.repartition(*[F.col(k) for k in keys]).persist()
     p.count()
@@ -262,20 +275,19 @@ def personalized_pagerank(
         )
         .withColumn("seed", F.lit(1.0))
     )
-    # Static per-round sides pinned on their round-join keys (r12, the
-    # pagerank discipline): seed base on node, degree-annotated edges
-    # on e_src; rounds stay lazy between every-4th-round checkpoints
-    # (see pagerank for the measured A/B).
-    base = _pin(
+    # Static sides ckpt'd once, rounds materialized per iteration — NOT
+    # pinned (r13 revert of the r12 family-wide pin): the full bench
+    # had ppr +15% with the pin while the warm A/B was flat (4.04s
+    # both ways); see _pin's scope note for the family-wide numbers.
+    base = ckpt(
         nodes.join(seed_flag, "node", "left").select(
             "node", F.coalesce(F.col("seed"), F.lit(0.0)).alias("seed")
-        ),
-        "node",
+        )
     )
     deg = e.groupBy("e_src").agg(F.count("*").alias("outdeg"))
-    ed = _pin(e.join(deg, "e_src"), "e_src")
+    ed = ckpt(e.join(deg, "e_src"))
     ranks = base.select("node", F.col("seed").alias("rank"))
-    for it in range(iterations):
+    for _ in range(iterations):
         contribs = (
             ed.join(ranks, ed.e_src == ranks.node)
             .select(
@@ -285,17 +297,15 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s"))
         )
-        ranks = base.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(1.0 - damping) * F.col("seed")
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("rank"),
+        ranks = ckpt(
+            base.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("seed")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
         )
-        if (it + 1) % 4 == 0 or it == iterations - 1:
-            ranks = ckpt(ranks)
-    ed.unpersist()
-    base.unpersist()
     return ranks
 
 
@@ -614,30 +624,27 @@ def hits(
     — at 100 TB you budget rounds, not convergence jobs, and 2 rounds
     already separate broad hubs from incidental linkers. Returns
     (node, hub, auth) for every node, 0.0 on the side it never plays.
+
+    NOT pinned (r13 revert of the r12 twin-pin): 6.09s pinned vs
+    4.43s per-round-ckpt in the quiet-box A/B, and the twin pin
+    doubled edge-cache storage — see _pin's scope note.
     """
     from ..plans.checkpoints import make_checkpointer
 
     if iterations < 1:
         raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
     ckpt = make_checkpointer(checkpoint_dir)
-    e0 = ckpt(edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")))
-    # TWO pinned copies of the edge table, one per round-join key (r12,
-    # the pagerank discipline): the auth step joins on e_src, the hub
-    # step on e_dst — each reads its copy exchange-free every round.
-    # Cost: 2x edge storage (MEMORY_AND_DISK spills at scale), repaid
-    # by two edge exchanges per round from round one.
-    e_s = _pin(e0, "e_src")
-    e_d = _pin(e0, "e_dst")
+    e = ckpt(edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")))
     nodes = ckpt(
-        e0.select(F.col("e_src").alias("node"))
-        .unionByName(e0.select(F.col("e_dst").alias("node")))
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct()
     )
     hub = nodes.withColumn("h", F.lit(1.0))
     auth = None
     for it in range(iterations):
         auth = (
-            e_s.join(hub, e_s.e_src == hub.node)
+            e.join(hub, e.e_src == hub.node)
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.col("h").cast("decimal(38,6)")).cast("double").alias("a"))
         )
@@ -646,18 +653,14 @@ def hits(
             # intermediate ones feed exactly one hub join — no ckpt
             auth = ckpt(auth)
         hub = (
-            e_d.join(auth, e_d.e_dst == auth.node)
+            e.join(auth, e.e_dst == auth.node)
             .groupBy(F.col("e_src").alias("node"))
             .agg(F.sum(F.col("a").cast("decimal(38,6)")).cast("double").alias("h"))
         )
-        # Rounds stay lazy against the pinned edge tables (see
-        # pagerank); checkpoint the carrier every 2nd round (2 joins
-        # per round) and always at the end, so the readout below joins
-        # materialized vectors and unpersist() is safe.
-        if (it + 1) % 2 == 0 or it == iterations - 1:
-            hub = ckpt(hub)
-    e_s.unpersist()
-    e_d.unpersist()
+        # Per-round materialization of the recurrence carrier: AQE
+        # re-plans each round against the real vector size; lineage
+        # stays O(1) (pagerank discipline).
+        hub = ckpt(hub)
     h_tot = hub.agg(
         F.sum(F.col("h").cast("decimal(38,6)")).cast("double").alias("ht")
     )
@@ -1144,24 +1147,24 @@ def katz_centrality(
     anything; with a rounds budget the iterates are exact regardless.
 
     Returns (node, katz) for every node appearing as src or dst.
+
+    NOT pinned (r13 revert of the r12 family-wide pin): +27% in the
+    full bench, flat warm (2.86s pinned vs 2.92s per-round-ckpt) —
+    see _pin's scope note.
     """
     from ..plans.checkpoints import make_checkpointer
 
     ckpt = make_checkpointer(checkpoint_dir)
-    # Static sides pinned on the round-join keys; lazy rounds between
-    # every-4th-round checkpoints (r12, the pagerank discipline).
-    e0 = ckpt(
+    e = ckpt(
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     )
-    e = _pin(e0, "e_src")
-    nodes = _pin(
-        e0.select(F.col("e_src").alias("node"))
-        .unionByName(e0.select(F.col("e_dst").alias("node")))
-        .distinct(),
-        "node",
+    nodes = ckpt(
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
     )
     xs = nodes.withColumn("x", F.lit(1.0))
-    for it in range(iterations):
+    for _ in range(iterations):
         contribs = (
             e.join(xs, e.e_src == xs.node)
             .select(F.col("e_dst").alias("node"), F.col("x"))
@@ -1179,10 +1182,7 @@ def katz_centrality(
                 + F.lit(float(alpha)) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("x"),
         )
-        if (it + 1) % 4 == 0 or it == iterations - 1:
-            xs = ckpt(xs)
-    e.unpersist()
-    nodes.unpersist()
+        xs = ckpt(xs)
     return xs.select("node", F.col("x").alias("katz"))
 
 
@@ -1291,6 +1291,9 @@ def eigenvector_centrality(
     degree-lucky nodes (K=1 IS degree).
 
     Returns (node, raw_score, score).
+
+    NOT pinned (r13 revert of the r12 family-wide pin): 5.26s pinned
+    vs 3.93s per-sweep-ckpt in the quiet-box A/B — see _pin's note.
     """
     from ..plans.checkpoints import make_checkpointer
 
@@ -1300,17 +1303,12 @@ def eigenvector_centrality(
             f"{iterations}"
         )
     ckpt = make_checkpointer(checkpoint_dir)
-    # Doubled edge set pinned on the sweep-join key (r12, the pagerank
-    # discipline): every sweep reads it exchange-free; sweeps stay lazy
-    # between every-4th-sweep checkpoints, final sweep checkpointed
-    # (read twice: total + output join).
-    und = _pin(
+    und = ckpt(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(
             edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
         )
-        .distinct(),
-        "s",
+        .distinct()
     )
     nodes = ckpt(und.select(F.col("s").alias("node")).distinct())
     x = nodes.withColumn("x", F.lit(1.0))
@@ -1324,9 +1322,7 @@ def eigenvector_centrality(
                 .alias("x")
             )
         )
-        if (it + 1) % 4 == 0 or it == iterations - 1:
-            x = ckpt(x)
-    und.unpersist()
+        x = ckpt(x)
     tot = x.agg(
         F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("t")
     )
