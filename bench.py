@@ -112,9 +112,18 @@ def main() -> None:
     sf_val = float(sf) if sf else None
     # Full-fidelity record (full query names, ms resolution) for the
     # judge's per-query comparisons across rounds. The committed record
-    # is the sf0.1 run; smoke runs at other scale factors write a
-    # side file so they can't clobber it (bit round 5 once).
-    record = "bench_full.json" if sf_val == 0.1 else f"bench_full_sf{sf}.json"
+    # is the sf0.1 run AT THE CANONICAL CORE COUNT; smoke runs at other
+    # scale factors AND low-core scaling runs (the driver re-benches at
+    # cpus=8) write a side file so they can't clobber it (bit round 5
+    # once at other SFs; r12's committed record was overwritten by the
+    # driver's own 8-core verification pass).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if sf_val != 0.1:
+        record = f"bench_full_sf{sf}.json"
+    elif cpus not in ("", "32"):
+        record = f"bench_full_c{cpus}.json"
+    else:
+        record = "bench_full.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), record), "w") as f:
         json.dump(
             {
@@ -141,6 +150,15 @@ def main() -> None:
         separators=(",", ":"),
     )
     print(detail)
+    # The totals line carries the TOP-40 slowest queries (~700 bytes
+    # with the envelope — comfortably inside the driver's ~2 KB tail
+    # capture) so the driver's per-query channel works again: r12's
+    # empty "queries" made PERF report n_common=0 (no geomean, no
+    # per-query regression statuses, an empty scaling block). The
+    # 588-query tail (0.1-2s each) still lives in the detail line above
+    # and in the full-fidelity record file. Entries are ADDED relative
+    # to r12's totals line ({} -> top-40), never removed or renamed.
+    top40 = dict(sorted(compact.items(), key=lambda kv: (-kv[1], kv[0]))[:40])
     totals = json.dumps(
         {
             "metric": "corpus_total_sec",
@@ -148,9 +166,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_val,
             "n_queries": len(timings),
-            # per-query timings live in bench_full.json and the detail
-            # line above; kept out of this line so it stays <200 bytes.
-            "queries": {},
+            "queries": top40,
         },
         separators=(",", ":"),
     )

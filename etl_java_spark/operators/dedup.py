@@ -25,14 +25,31 @@ from ..functions.vectors import cosine
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition iff the input has fewer partitions than the
-    cluster has slots.
+    """Round-robin repartition iff the input is a small SCAN — fewer
+    partitions than the cluster has slots.
 
     Explode-heavy operators burn their CPU map-side, BEFORE the first
     shuffle; a small parquet scan (1-2 splits) pins that work onto 1-2
     cores while the rest idle. At real scale (100 TB -> thousands of
     input splits) the condition is false and no shuffle is added.
+
+    The partition probe is gated to NON-ADAPTIVE plans (r13): on an
+    AQE-wrapped plan (any input with an Exchange or subquery),
+    ``df.rdd`` finalizes the adaptive plan and eagerly executes every
+    upstream shuffle stage at operator-CONSTRUCTION time, and those
+    stages are not reused by the subsequent repartition plan — a caller
+    passing a joined/aggregated input would pay its upstream work
+    twice. Such inputs are already cluster-spread by their own shuffle,
+    so the guard has nothing to fix there; scan-like (exchange-free)
+    plans never get the AQE wrapper (spark.sql.adaptive.forceApply
+    defaults false) and their ``.rdd`` probe is a free metadata read.
+    Streaming inputs (no .rdd at all) pass through untouched.
     """
+    if df.isStreaming:
+        return df
+    plan_cls = df._jdf.queryExecution().executedPlan().getClass().getSimpleName()
+    if plan_cls == "AdaptiveSparkPlanExec":
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)

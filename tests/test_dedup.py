@@ -38,3 +38,35 @@ def test_lsh_band_sizing_tracks_threshold():
         assert bands * rows == 32
         recall = 1 - (1 - t ** rows) ** bands
         assert recall >= 0.95, (t, bands, rows, recall)
+
+
+def test_spread_gates_on_plan_shape(spark):
+    """_spread (the single-split map-skew guard) must (a) round-robin
+    a small scan-like input up to the cluster slot count, (b) return
+    adaptive (exchange-bearing) inputs UNTOUCHED — probing .rdd on an
+    AQE-wrapped plan finalizes it and eagerly executes every upstream
+    shuffle stage at operator-construction time (r13, advisor item) —
+    and (c) pass streaming inputs through."""
+    from pyspark.sql import functions as F
+
+    from etl_java_spark.operators.dedup import _spread
+
+    par = spark.sparkContext.defaultParallelism
+
+    # (a) narrow single-partition input -> spread to the slot count
+    small = spark.range(0, 100).coalesce(1)
+    out = _spread(small)
+    assert out.rdd.getNumPartitions() == par
+
+    # (b) aggregated input carries an Exchange -> AQE plan -> identity
+    # (no repartition inserted, no eager stage execution)
+    agg = spark.range(0, 100).groupBy((F.col("id") % 5).alias("k")).count()
+    plan_cls = (
+        agg._jdf.queryExecution().executedPlan().getClass().getSimpleName()
+    )
+    assert plan_cls == "AdaptiveSparkPlanExec", "fixture lost its AQE wrapper"
+    assert _spread(agg) is agg
+
+    # (c) streaming input -> identity (no .rdd access, which would raise)
+    stream = spark.readStream.format("rate").load()
+    assert _spread(stream) is stream
