@@ -69,12 +69,15 @@ def bigram_fluency(
     aggregate. The vocab size V is a 1-row aggregate broadcast into the
     probability expression.
     """
-    from ..operators.dedup import _spread
-
-    # _spread (r12): tokenize + slice + zip + explode is the map-side
-    # CPU of the model build and runs before the first shuffle — spread
-    # single-split scans across the cluster (no-op at real scale)
-    docs = _spread(docs)
+    # NOT _spread (r13): the r12 single-split guard measured a LOSS on
+    # every lm call site once re-measured quiet-box against in-session
+    # controls (q125 1.68->1.49s, q183 0.84->0.72s, q323 1.08->0.85s
+    # without it; q254 flat) — the per-doc tokenize work here is light
+    # enough that the extra full-text round-robin shuffle (plus its
+    # sort-before-repartition) costs more than the parallelism wins.
+    # The heavy lifting (explode output) is redistributed by the
+    # groupBy shuffle right after anyway. Contrast cms_build, where
+    # the same guard measured a 1.4-2x WIN (kept there).
     toks_col = token_array(text_col, pattern)
     # adjacent pairs via two native slices zipped — no per-element
     # lambda/element_at overhead (measured ~2x on the explode stage);
@@ -156,9 +159,7 @@ def pmi_bigrams(
     shuffles, a 1-row total broadcast, and a Zipf-head-aware join (AQE
     skew-split handles the hot unigrams).
     """
-    from ..operators.dedup import _spread
-
-    docs = _spread(docs)  # single-split map-skew guard (r12, see bigram_fluency)
+    # not _spread — measured loss, see bigram_fluency (r13)
     toks_col = token_array(text_col, pattern)
     sliced = docs.select(
         F.slice(toks_col, 1, F.greatest(F.size(toks_col) - 1, F.lit(0))).alias(
@@ -235,9 +236,7 @@ def trigram_fluency(
     8-byte-ish keys and AQE skew-split covers the hot heads. Returns
     (id, n_trigrams, fluency) with fluency rounded to 12.
     """
-    from ..operators.dedup import _spread
-
-    docs = _spread(docs)  # single-split map-skew guard (r12, see bigram_fluency)
+    # not _spread — measured loss, see bigram_fluency (r13)
     toks_col = token_array(text_col, pattern)
     n = F.size(toks_col)
     sliced = docs.select(
@@ -319,11 +318,7 @@ def bigram_cross_fluency(
     keys (Zipf head -> AQE skew splitting, same stance as
     bigram_fluency).
     """
-    from ..operators.dedup import _spread
-
-    # single-split map-skew guard (r12, see bigram_fluency)
-    train_docs = _spread(train_docs)
-    score_docs = _spread(score_docs)
+    # not _spread — measured loss, see bigram_fluency (r13)
 
     def doc_bigrams(docs):
         toks_col = token_array(text_col, pattern)
