@@ -226,6 +226,7 @@ def minhash_incremental_pairs(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
     pairs = cross.unionByName(within).filter(F.col("id_a") != F.col("id_b")).distinct()
+    # eager is load-bearing — see minhash_dedup_pairs (r13 A/B)
     pairs = pairs.localCheckpoint(eager=True)
     corpus = (
         old_df.select(F.col(id_col), F.col(text_col))
@@ -410,7 +411,11 @@ def minhash_dedup_pairs(
     )
     # The verify stage references the candidate list three times (id
     # semi-join + both sides of the set join); materialize it once —
-    # candidates are tiny relative to the corpus.
+    # candidates are tiny relative to the corpus. EAGER is load-bearing
+    # (r13 A/B): a lazy checkpoint leaves the three references sharing
+    # only the distinct's shuffle files, not materialized blocks, and
+    # measured q73 4.2->5.2s / q627 6.5->9.0s; the extra eager job is
+    # cheaper than the triple reduce-side re-read.
     pairs = pairs.localCheckpoint(eager=True)
     return jaccard_verify(df, pairs, text_col, id_col, shingle_n, threshold)
 
@@ -659,31 +664,40 @@ def dedup_clusters(
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    # Convergence probe via the LABEL-SUM MONOTONE (r13): min-label
+    # propagation can only DECREASE a node's label (the aggregate
+    # includes the node's own label) and the id set is fixed after
+    # round 0, so sum(labels) is strictly decreasing until the
+    # fixpoint — sum unchanged <=> no label changed. One decimal-exact
+    # aggregate over the just-checkpointed blocks replaces the old
+    # two-sided join + limit probe (half the probe's input reads, no
+    # join). Deterministic on any partitioning (order-free decimal
+    # sum). A fully-lazy variant (ckpt(eager=False) materialized by
+    # the probe) was measured and REVERTED: q219 4.28->4.99s,
+    # q225 4.35->5.01s — the eager per-round ckpt is load-bearing.
+    label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+    prev_sum = None
     for _ in range(max_iter):
         # candidate labels: own label + min neighbor label
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.id, "inner")
             .select(F.col("src").alias("id"), F.col("cluster_id"))
         )
-        # checkpoint BEFORE the convergence probe: the probe then
-        # reads the materialized result instead of recomputing the
-        # whole round's plan a second time (measured ~2x per round)
         new_labels = ckpt(
             labels.select("id", "cluster_id")
             .unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(label_sum).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        # None = empty label set (no pairs): trivially converged. A
+        # non-empty graph ALWAYS changes in round 1 (every edge's
+        # greater endpoint takes the smaller id), so prev_sum=None
+        # skipping round 1's comparison never adds a round.
+        if new_sum is None or (prev_sum is not None and new_sum == prev_sum):
             break
+        prev_sum = new_sum
     return labels
 
 

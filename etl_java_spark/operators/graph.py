@@ -494,6 +494,13 @@ def bfs_layers(
         F.col(node).alias("n"), F.lit(0).alias("hops")
     ).distinct()
     frontier = dist
+    # r13 negative result: folding distinct+anti-join into one keyed
+    # MIN aggregate over dist UNION candidates (min(hops) = first
+    # reach) was prototyped and REVERTED — it re-shuffles and
+    # re-checkpoints the FULL standing table every hop instead of only
+    # the new frontier, measured a wash here (q312 4.8s both ways) and
+    # +10-20% on harmonic/sssp in three paired A/Bs. Delta-frontier
+    # (anti-join keeps checkpoint I/O proportional to |new|) stays.
     for k in range(1, max_hops + 1):
         nxt = (
             frontier.join(und, frontier["n"] == und["s"])
@@ -1233,6 +1240,11 @@ def harmonic_centrality(
         .select("seed", F.col("seed").alias("n"), F.lit(0).alias("hops"))
     )
     frontier = dist
+    # r13 negative result: one keyed MIN aggregate per hop in place of
+    # distinct+anti-join measured +9-21% WORSE in three paired A/Bs
+    # (q526 4.3 -> 4.7-5.2s) — the aggregate re-shuffles and
+    # re-checkpoints the full (seed, n) table per hop; the anti-join
+    # keeps per-hop checkpoint I/O proportional to the new frontier.
     for k in range(1, max_hops + 1):
         nxt = (
             frontier.join(und, frontier["n"] == und["s"])
@@ -1706,6 +1718,13 @@ def weighted_sssp(
             F.lit(0).cast("long").alias("dist"),
         )
     )
+    # r13 negative result: delta relaxation (only rows whose dist
+    # improved last round relax, tracked via a __old = pre-round dist
+    # column through the same MIN aggregate) was prototyped and
+    # REVERTED — correct, but at the measured scale most reached rows
+    # keep improving every round, so the shrunken relax input never
+    # pays for the extra column through the shuffle + second MIN
+    # (q640 3.4-4.5s before vs 3.8-4.1s after across three pairs).
     for _ in range(int(rounds)):
         relax = dist.join(und, dist["n"] == und["s"]).select(
             "seed",
