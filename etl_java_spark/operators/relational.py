@@ -1321,9 +1321,12 @@ def abc_xyz_analysis(
             F.sum("q").cast("long").alias("q"),
         )
     )
-    # item-grain; lazily checkpointed (r12): the revenue total and the
-    # ranked window otherwise each re-run the (item, period) aggregate
-    # over the full input (profile: two ~1.2s twin jobs per query)
+    # item-grain; persisted (r12): the revenue total and the ranked
+    # window otherwise each re-run the (item, period) aggregate over
+    # the full input (profile: two ~1.2s twin jobs per query).
+    # persist() over localCheckpoint (r13, advisor): keeps lineage so
+    # an executor loss recomputes instead of failing, and blocks are
+    # evictable (no unpersist possible — returned lazily).
     items = per.groupBy("item").agg(
         F.sum("rev").cast("long").alias("rev"),
         F.count("*").cast("long").alias("n_p"),
@@ -1331,7 +1334,7 @@ def abc_xyz_analysis(
         F.sum((F.col("q").cast(d38) * F.col("q")).cast(d38))
         .cast(d38)
         .alias("sq2"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     tot = items.agg(F.sum("rev").cast("long").alias("rev_tot"))
     w = Window.orderBy(F.col("rev").desc(), F.col("item"))
     ranked = (
