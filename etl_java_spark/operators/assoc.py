@@ -48,7 +48,7 @@ def copurchase_lift(
     # Four consumers (basket count, item counts, both pair-join sides):
     # materialize the deduped/capped fact once instead of re-shuffling it
     # per consumer.
-    it = it.localCheckpoint(eager=False)
+    it = it.persist()
     n_baskets = it.agg(F.countDistinct("__b").alias("__nb"))
     item_counts = it.groupBy("__i").agg(F.count("*").alias("__ni"))
     a, b = it.alias("a"), it.alias("b")
@@ -209,7 +209,11 @@ def markov_attribution(
         F.when(F.col("__e") == conv_type, F.lit("CONV")).otherwise(F.col("__e")),
         # eager=False (r12): the channel collect below materializes
         # kept/trans in ONE action instead of three synchronous
-        # checkpoint jobs; later consumers reuse the cached RDDs
+        # checkpoint jobs; later consumers reuse the cached RDDs.
+        # localCheckpoint, NOT persist (r13): the corpus-wide persist
+        # swap measured q340 7.4 -> 15.1s with persist here — the
+        # attribution loop's plans re-embed this subtree every round
+        # without the checkpoint's lineage truncation.
     ).localCheckpoint(eager=False)
     # successor via lead() over the SAME (user, rn) partitioning — a
     # (u, rn) self-join here was the hot spot (a full shuffle join of

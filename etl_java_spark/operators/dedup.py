@@ -340,7 +340,7 @@ def jaccard_verify(
     sets_df = (
         df.join(cand_ids, on=id_col, how="left_semi")
         .select(F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("__set"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     j = (
         pairs.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "set_a"), "id_a")
@@ -761,7 +761,7 @@ def ngram_jaccard_pairs(
     sets_df = df.select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, shingle_n, pat)).alias("__set"),
-    ).filter(F.size("__set") > 0).localCheckpoint(eager=False)
+    ).filter(F.size("__set") > 0).persist()
     par = df.sparkSession.sparkContext.defaultParallelism
     inv = sets_df.select(F.col(id_col), F.explode("__set").alias("__sh"))
     # drop hot shingles by anti-joining the OVER-frequency blacklist
@@ -821,7 +821,7 @@ def _ngram_jaccard_prefix(
                 F.array_sort(F.transform("__set", lambda s: F.xxhash64(s)))
             ),
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     par = df.sparkSession.sparkContext.defaultParallelism
     # prefix length |A| - ceil(t*|A|) + 1

@@ -828,7 +828,7 @@ def t_closeness(
     cells = (
         df.groupBy(*qs, sv.alias("__sv"))
         .agg(F.count("*").alias("__cgj"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     catg = (
         cells.groupBy("__sv")

@@ -345,7 +345,7 @@ def conformal_coverage(
     )
     # three consumers (cumulative, totals, coverage) — materialize the
     # distinct-score table once instead of re-scanning the raw data
-    per = per.localCheckpoint(eager=False)
+    per = per.persist()
     w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
     cum = per.select(
         "__s", "__nc", "__nt", F.sum("__nc").over(w).alias("__cum")
@@ -495,7 +495,7 @@ def mutual_information(df: DataFrame, x_col, y_col) -> DataFrame:
     )
     # four consumers (margins x2, total, join) over a categorical-
     # bounded table — materialize once, never re-scan the raw data
-    cells = cells.localCheckpoint(eager=False)
+    cells = cells.persist()
     mx = cells.groupBy("__x").agg(F.sum("__c").alias("__nx"))
     my = cells.groupBy("__y").agg(F.sum("__c").alias("__ny"))
     tot = cells.agg(F.sum("__c").alias("__n"))
@@ -520,7 +520,7 @@ def mutual_information(df: DataFrame, x_col, y_col) -> DataFrame:
             * F.log(F.col("__ny").cast("double") / nd)
         ).alias("__ty"),
     )
-    terms = terms.localCheckpoint(eager=False)  # 3 consumers, cell-bounded
+    terms = terms.persist()  # 3 consumers, cell-bounded
     # entropies fold over DISTINCT margin terms (one per x / per y),
     # MI over all cells — each in sorted order
     mi_fold = F.aggregate(
@@ -1490,7 +1490,7 @@ def spearman_corr(
     base = (
         df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
     def rank_map(col: str, out: str) -> DataFrame:

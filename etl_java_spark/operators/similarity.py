@@ -1098,7 +1098,7 @@ def confident_label_noise(
             F.col("__lab").alias("cand_label"),
             cosine(F.col(vec_col), F.col("__cvec")).alias("__cos"),
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     thresholds = (
         scored.filter(F.col("given_label") == F.col("cand_label"))
